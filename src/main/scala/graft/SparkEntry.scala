@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every implemented operator (SURVEY.md §2 IDs noted
+  * at each definition site); `oracleSql` carries the DuckDB-equivalent ANSI
+  * SQL for each hash-checked query. Non-SQL-expressible operators (MinHash
+  * banding, SimHash, LSH ANN, approx-distinct, mapPartitions media stub)
+  * are present in `queries` only → driver records a rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's `obter_top_10_indices` (main.py:149–157) transliterated
+    * — see queries.RefQueries.flagshipTop10.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_flagship_top10")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.RefQueries.queries ++
+      graft.etl.EtlQueries.queries ++
+      graft.queries.EventQueries.queries ++
+      graft.text.TextOps.queries ++
+      graft.text.Dedup.queries ++
+      graft.text.LangId.queries ++
+      graft.vec.VectorOps.queries ++
+      graft.multimodal.Media.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    graft.queries.RefQueries.oracle ++
+      graft.etl.EtlQueries.oracle ++
+      graft.queries.EventQueries.oracle ++
+      graft.text.TextOps.oracle ++
+      graft.text.Dedup.oracle ++
+      graft.vec.VectorOps.oracle
 }

@@ -1,0 +1,143 @@
+package graft.etl
+
+import graft.etl.Normalize._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end ETL-parity queries (SURVEY.md §3.1): the reference's whole
+  * pipeline — multi-source scrape batches (S-2), pt-BR normalization
+  * (F-1..F-4), parse-failure row drops (P-7), sector classification with
+  * defaults (F-5/J-4), dimension build with deterministic surrogate keys
+  * (J-3, §7.4) and FK resolution — as ONE lazy Spark plan. The literal raw
+  * rows mimic /root/reference/main.py:108–115 scrape output (incl. malformed
+  * rows exercising main.py:116–117 drop semantics).
+  */
+object EtlQueries {
+
+  private val rawRows: Seq[(String, String, String, String, String, String)] = Seq(
+    // (nome, valor_atual, maxima, minima, variacao, pais)
+    ("Ibovespa", "1.234,56", "1.240,00", "1.200,10", "+1,25%", "Brasil"),
+    ("IBrX 50", "10.876,54", "10.900,00", "10.800,99", "-0,48%", "Brasil"),
+    ("Small Caps", "2.345,67", "2.350,00", "2.300,00", "0,75%", "Brasil"),
+    ("Quebrado", "N/A", "-", "", "+0,00%", "Brasil"), // dropped: parse failure
+    ("Shanghai", "3.210,98", "3.250,45", "3.200,11", "2,00%", "China"),
+    ("SZSE Component", "9.876,54", "9.900,00", "9.800,00", "-1,10%", "China"),
+    ("SP 500", "5.432,10", "5.450,00", "5.400,00", "+0,75%", "EUA"),
+    ("Dow Jones", "38.765,43", "38.800,00", "38.700,00", "+0,10%", "EUA"),
+    ("Nasdaq", "", "", "", "", "EUA")) // dropped: empty cells
+
+  private val rawValuesSql: String = rawRows
+    .map { case (n, v, ma, mi, va, p) => s"('$n','$v','$ma','$mi','$va','$p')" }
+    .mkString(",\n  ")
+
+  /** Sector maps mirroring main.py:52–84 (re-derived, not copied): Brazil
+    * classifies by index name with default "Diversificado"; other countries
+    * by country with default "Primário" (main.py:106).
+    */
+  private val brazilSectorOf =
+    Map("Ibovespa" -> "Diversificado", "IBrX 50" -> "Financeiro", "Small Caps" -> "Secundário")
+  private val countrySectorOf = Map("China" -> "Primário", "EUA" -> "Primário")
+
+  /** F-1..F-4 + P-7 in isolation: parse pt-BR numerics, drop unparseable. */
+  def ptBrNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    rawRows.toDF("nome", "valor_atual_s", "maxima_s", "minima_s", "variacao_s", "pais")
+      .withColumn("valor_atual", ptBrNumber("valor_atual_s"))
+      .withColumn("variacao", ptBrPercent("variacao_s"))
+      .where($"valor_atual".isNotNull && $"variacao".isNotNull)
+      .select("nome", "pais", "valor_atual", "variacao")
+      .orderBy("nome")
+  }
+
+  val ptBrNormalizeSql: String =
+    s"""WITH raw(nome, valor_atual_s, maxima_s, minima_s, variacao_s, pais) AS (VALUES
+       |  $rawValuesSql)
+       |SELECT nome, pais,
+       |  ${ptBrNumberSql("valor_atual_s")} AS valor_atual,
+       |  ${ptBrPercentSql("variacao_s")} AS variacao
+       |FROM raw
+       |WHERE ${ptBrNumberSql("valor_atual_s")} IS NOT NULL
+       |  AND ${ptBrPercentSql("variacao_s")} IS NOT NULL
+       |ORDER BY nome""".stripMargin
+
+  /** The full star build: normalize → drop → classify → dims → FK-resolved
+    * fact. Re-expression of main()'s pipeline (main.py:159–173) as one plan:
+    * boundaries that were per-row Postgres round-trips become two tiny
+    * broadcast joins.
+    */
+  def starBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = rawRows.toDF("nome", "valor_atual_s", "maxima_s", "minima_s", "variacao_s", "pais")
+    val parsed = raw
+      .withColumn("valor_atual", ptBrNumber("valor_atual_s"))
+      .withColumn("maxima", ptBrNumber("maxima_s"))
+      .withColumn("minima", ptBrNumber("minima_s"))
+      .withColumn("variacao", ptBrPercent("variacao_s"))
+      .where(
+        $"valor_atual".isNotNull && $"maxima".isNotNull &&
+          $"minima".isNotNull && $"variacao".isNotNull)
+    val classified = parsed.withColumn(
+      "setor",
+      when($"pais" === "Brasil", classify($"nome", brazilSectorOf, "Diversificado"))
+        .otherwise(classify($"pais", countrySectorOf, "Primário")))
+    val paisDim = Dims
+      .withSequentialIds(classified.select($"pais".as("nome_pais")).distinct(), "nome_pais", 0L)
+      .withColumnRenamed("id", "pais_id")
+    val setorDim = Dims
+      .withSequentialIds(classified.select($"setor".as("nome_setor")).distinct(), "nome_setor", 0L)
+      .withColumnRenamed("id", "setor_id")
+    classified
+      .join(broadcast(paisDim), $"pais" === $"nome_pais")
+      .join(broadcast(setorDim), $"setor" === $"nome_setor")
+      .select($"nome", $"pais_id", $"setor_id", $"valor_atual", $"maxima", $"minima", $"variacao")
+      .orderBy("nome")
+  }
+
+  val starBuildSql: String = {
+    val brazilCase =
+      brazilSectorOf.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ")
+    val countryCase =
+      countrySectorOf.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ")
+    s"""WITH raw(nome, valor_atual_s, maxima_s, minima_s, variacao_s, pais) AS (VALUES
+       |  $rawValuesSql),
+       |parsed AS (
+       |  SELECT nome, pais,
+       |    ${ptBrNumberSql("valor_atual_s")} AS valor_atual,
+       |    ${ptBrNumberSql("maxima_s")} AS maxima,
+       |    ${ptBrNumberSql("minima_s")} AS minima,
+       |    ${ptBrPercentSql("variacao_s")} AS variacao
+       |  FROM raw),
+       |clean AS (
+       |  SELECT * FROM parsed
+       |  WHERE valor_atual IS NOT NULL AND maxima IS NOT NULL
+       |    AND minima IS NOT NULL AND variacao IS NOT NULL),
+       |cls AS (
+       |  SELECT *,
+       |    CASE WHEN pais = 'Brasil'
+       |      THEN CASE nome $brazilCase ELSE 'Diversificado' END
+       |      ELSE CASE pais $countryCase ELSE 'Primário' END
+       |    END AS setor
+       |  FROM clean),
+       |pais_dim AS (
+       |  SELECT nome_pais, CAST(ROW_NUMBER() OVER (ORDER BY nome_pais) AS BIGINT) AS pais_id
+       |  FROM (SELECT DISTINCT pais AS nome_pais FROM cls)),
+       |setor_dim AS (
+       |  SELECT nome_setor, CAST(ROW_NUMBER() OVER (ORDER BY nome_setor) AS BIGINT) AS setor_id
+       |  FROM (SELECT DISTINCT setor AS nome_setor FROM cls))
+       |SELECT nome, pais_id, setor_id, valor_atual, maxima, minima, variacao
+       |FROM cls
+       |JOIN pais_dim ON pais = nome_pais
+       |JOIN setor_dim ON setor = nome_setor
+       |ORDER BY nome""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ptbr_normalize" -> (ptBrNormalize _),
+    "q_etl_star_build" -> (starBuild _))
+
+  val oracle: Map[String, String] = Map(
+    "q_ptbr_normalize" -> ptBrNormalizeSql,
+    "q_etl_star_build" -> starBuildSql)
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-table operators: JSON/semi-structured extraction, batch event-time
+  * windows (SURVEY.md X-7), sessionization via `lag`, and exact/approx
+  * distinct (X-8). Batch shapes here mirror the Structured Streaming
+  * equivalents in [[graft.streaming.EventStreaming]] — same groupBy(window)
+  * plan, so semantics are oracle-checked in batch and reused in streaming.
+  */
+object EventQueries {
+
+  /** Extract the numeric `k` from the `props` JSON string. Uses a codegen'd
+    * `regexp_extract` (no UDF); at scale this stays inside whole-stage
+    * codegen on the scan projection. (`from_json` works too; regex keeps the
+    * oracle byte-identical.)
+    */
+  private def kCol: org.apache.spark.sql.Column = {
+    val s = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+    when(s === "", lit(null)).otherwise(s).cast("int")
+  }
+
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", kCol)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast("double") / count(col("k")).cast("double")).as("avg_k"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INT) AS k
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(k) AS BIGINT) AS sum_k,
+      |       CAST(SUM(k) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE) AS avg_k
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** X-7: tumbling event-time window aggregation (batch). `window()` aligns
+    * to the epoch exactly like DuckDB's `time_bucket`. At scale: one shuffle
+    * on (window), partial aggregation map-side; streaming adds a watermark
+    * (see EventStreaming.windowedCounts — same logical shape).
+    */
+  def hourlyWindows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("n_events"), col("sum_value"))
+      .orderBy("hour_start")
+
+  val hourlyWindowsSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1 ORDER BY hour_start""".stripMargin
+
+  /** X-7b: sessionization — 30-minute inactivity gap starts a new session.
+    * `lag` over (user_id, ts) with an event_id tiebreaker for determinism;
+    * one shuffle on user_id. Timestamp comparison is exact (µs), identical
+    * in both engines — no epoch-seconds truncation.
+    */
+  def sessionCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("new_session")).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  val sessionCountsSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                       + INTERVAL '30 minutes'
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(new_session) AS BIGINT) AS n_sessions
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** X-8 (exact side): per-type exact distinct users — the oracle-checkable
+    * variant. The approx twin below trades exactness for mergeable HLL
+    * sketches, the right call at 100 TB.
+    */
+  def distinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  val distinctUsersSql: String =
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** X-8 (approx side): HLL++ sketches — single pass, fixed memory,
+    * mergeable across 1000 executors. Not oracle-hash-checked (estimates),
+    * driver records rows>0.
+    */
+  def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> (jsonExtract _),
+    "q_hourly_windows" -> (hourlyWindows _),
+    "q_session_counts" -> (sessionCounts _),
+    "x8_distinct_users" -> (distinctUsers _),
+    "x8_approx_distinct" -> (approxDistinctUsers _))
+
+  val oracle: Map[String, String] = Map(
+    "q_json_extract" -> jsonExtractSql,
+    "q_hourly_windows" -> hourlyWindowsSql,
+    "q_session_counts" -> sessionCountsSql,
+    "x8_distinct_users" -> distinctUsersSql)
+}

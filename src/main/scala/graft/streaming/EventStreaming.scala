@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.7): the reference's
+  * append-only timestamped fact accumulation (repeated `main()` runs,
+  * /root/reference/main.py:44,176) generalized to real streams. The batch
+  * twins of these plans are oracle-checked in
+  * [[graft.queries.EventQueries]]; here the same logical shapes run
+  * incrementally with watermarks + state. Tested with MemoryStream
+  * (EventStreamingSpec) — swap `readStream.format("kafka"|"parquet")` for
+  * production sources; state is per-key and partitioned, so 1000 executors
+  * scale linearly in keys.
+  */
+object EventStreaming {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  case class SessionUpdate(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Tumbling event-time windowed aggregation with a late-data watermark —
+    * the streaming twin of EventQueries.hourlyWindows.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value"))
+
+  /** Custom per-key state: 30-minute-gap sessionization via
+    * mapGroupsWithState — the streaming twin of EventQueries.sessionCounts.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long, Long), SessionUpdate](GroupStateTimeout.NoTimeout) {
+        // state = (lastTsMillis, nEvents, nSessions)
+        (userId: Long, batch: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
+          val gapMs = 30L * 60 * 1000
+          var (lastTs, nEvents, nSessions) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (lastTs == Long.MinValue || t - lastTs > gapMs) nSessions += 1
+            nEvents += 1
+            lastTs = t
+          }
+          state.update((lastTs, nEvents, nSessions))
+          SessionUpdate(userId, nEvents, nSessions)
+      }
+  }
+
+  /** Output-mode helper for the windowed plan (update mode + watermark). */
+  def startWindowedQuery(events: DataFrame, checkpointDir: String, sinkTable: String) =
+    windowedCounts(events).writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(sinkTable)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}

@@ -1,0 +1,176 @@
+package graft.text
+
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY.md X-1/X-2; training-data pipeline core):
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, and SimHash.
+  *
+  * Scale posture: exact dedup is one hash aggregate on the text (or its
+  * fingerprint — see [[TextOps.fingerprints]]). Near-dup avoids the O(n²)
+  * pair space via LSH banding: only documents sharing a band bucket are
+  * candidate pairs, and exact Jaccard runs on candidates only. The
+  * oracle-checked Jaccard query caps the corpus slice (doc_id < 200) so the
+  * DuckDB cross-check stays cheap at every SF — the LSH path is the
+  * unbounded-scale variant.
+  */
+object Dedup {
+
+  /** Word trigram shingles of the token array column named `t`
+    * (guards len < 3; indices are in range by construction).
+    */
+  val shinglesExpr: Column =
+    expr(
+      "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+        "ELSE array() END")
+
+  /** Per-doc DISTINCT shingle rows: (doc_id, sh). */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(shinglesExpr).as("sh"))
+      .distinct()
+
+  /** X-1: exact dedup — canonical doc per identical text + duplicate count.
+    * groupBy(text) is a map-side-combined hash aggregate; at scale group by
+    * md5 fingerprint instead to shrink shuffle keys.
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies", "text")
+      .orderBy("doc_id")
+
+  val exactDedupSql: String =
+    """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies, text
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+
+  /** X-2 (oracle-checkable form): n-gram Jaccard near-dup pairs over a fixed
+    * corpus slice. inter/union counted via a shingle equi-join — never a
+    * cross join.
+    */
+  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleRows(Tables.documents(spark, sfDir).where(col("doc_id") < 200))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("n1").cast("double") + col("n2").cast("double") - col("i").cast("double"))
+    inter
+      .join(sizes.withColumnRenamed("n", "n1").withColumnRenamed("doc_id", "dd1"), col("d1") === col("dd1"))
+      .join(sizes.withColumnRenamed("n", "n2").withColumnRenamed("doc_id", "dd2"), col("d2") === col("dd2"))
+      .where(jac >= 0.4)
+      .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  val jaccardPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 200),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2,
+      |       ROUND(CAST(i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i AS DOUBLE)), 6) AS jaccard
+      |FROM inter
+      |JOIN sz s1 ON d1 = s1.doc_id
+      |JOIN sz s2 ON d2 = s2.doc_id
+      |WHERE CAST(i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i AS DOUBLE)) >= 0.4
+      |ORDER BY d1, d2""".stripMargin
+
+  // ---- MinHash + LSH banding (the 100 TB near-dup path; no SQL oracle —
+  //      seed-pinned hashes, unit+property tested per SURVEY.md §7.4) ----
+
+  val NumHashes = 32
+  val BandSize = 4 // 8 bands of 4 → catches Jaccard ≳ 0.5 with high prob.
+
+  /** 32 seed-pinned minhash values per doc: min over shingles of
+    * xxhash64(shingle, seed_i). Linear in corpus size, no pair blowup.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingleRows(docs)
+    val aggs = (0 until NumHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: hash each band of 4 minhashes to a bucket; docs sharing
+    * any (band, bucket) become candidate pairs; exact Jaccard verifies.
+    * This is the join-on-bucket pattern that replaces the O(n²) self-join:
+    * at 1000 executors the bucket join shuffles only (band, bucket) keys.
+    */
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sig = minhashSignatures(docs)
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      val cols = (0 until BandSize).map(r => col(s"mh${b * BandSize + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // verify candidates with exact Jaccard over shingle sets
+    val sh = shingleRows(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("d2") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("n1").cast("double") + col("n2").cast("double") - col("i").cast("double"))
+    inter
+      .join(sizes.withColumnRenamed("n", "n1").withColumnRenamed("doc_id", "dd1"), col("d1") === col("dd1"))
+      .join(sizes.withColumnRenamed("n", "n2").withColumnRenamed("doc_id", "dd2"), col("d2") === col("dd2"))
+      .where(jac >= 0.5)
+      .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  // ---- SimHash (64→63-bit to stay in a signed long; no oracle) ----
+
+  /** Per-doc SimHash fingerprint: token hashes vote per bit; near-dups land
+    * within small Hamming distance. One explode + one aggregate — linear.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 63).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val voted = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val fp = (0 until 63)
+      .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    voted.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+  }
+
+  def simhashQuery(spark: SparkSession, sfDir: String): DataFrame =
+    simhash(Tables.documents(spark, sfDir).where(col("doc_id") < 300))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_dedup_exact" -> (exactDedup _),
+    "x2_jaccard_pairs" -> (jaccardPairs _),
+    "x2_minhash_pairs" -> (minhashPairs _),
+    "x2_simhash" -> (simhashQuery _))
+
+  val oracle: Map[String, String] = Map(
+    "x1_dedup_exact" -> exactDedupSql,
+    "x2_jaccard_pairs" -> jaccardPairsSql)
+}

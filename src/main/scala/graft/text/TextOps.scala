@@ -1,0 +1,132 @@
+package graft.text
+
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` corpus (SURVEY.md X-5 and
+  * the training-data-pipeline surface): token statistics, word frequency,
+  * quality scoring, and content fingerprinting. Everything is built from
+  * codegen'd built-ins (`split`, higher-order `filter`, `md5`) — no UDFs —
+  * so the hot path stays inside whole-stage codegen and each op is a single
+  * scan + (at most) one aggregation shuffle at 100 TB.
+  */
+object TextOps {
+
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** X-5: per-language corpus stats. One map-side-combined aggregate. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"), col("n_chars"), size(tokens(col("text"))).as("n_tok"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_tok")).as("total_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("avg_chars"))
+      .orderBy("lang")
+
+  val textStatsSql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** X-5: global token frequency, top-20. explode → hash aggregate; the
+    * count-desc top-k is TakeOrderedAndProject (per-partition heaps), so
+    * only 20 rows ever cross the final exchange.
+    */
+  def wordFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(20)
+
+  val wordFreqSql: String =
+    """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  /** Quality scoring (training-data filtering): length score, stopword
+    * ratio, punctuation ratio combined into a deterministic [0,1] score.
+    * Pure double arithmetic on identical operands → bit-identical vs the
+    * oracle; `round` only as final guard.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(StopWords.map(lit): _*)
+    val tokCnt = size(toks).cast("bigint")
+    val stopCnt = size(filter(toks, t => array_contains(stopArr, t))).cast("bigint")
+    val charLen = length(col("text")).cast("bigint")
+    val punctCnt = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("bigint")
+    val lenScore = least(lit(1.0), tokCnt.cast("double") / lit(200.0))
+    val stopRatio = stopCnt.cast("double") / tokCnt.cast("double")
+    val punctRatio = punctCnt.cast("double") / charLen.cast("double")
+    Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 300)
+      .select(
+        col("doc_id"),
+        tokCnt.as("n_tokens"),
+        charLen.as("n_chars"),
+        stopCnt.as("n_stopwords"),
+        punctCnt.as("n_punct"),
+        round(lit(0.5) * lenScore + lit(0.3) * stopRatio + lit(0.2) * (lit(1.0) - punctRatio), 6)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |                         t -> list_contains([$stopList], t))) AS BIGINT) AS n_stopwords,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+       |  FROM documents WHERE doc_id < 300)
+       |SELECT doc_id, n_tokens, n_chars, n_stopwords, n_punct,
+       |  ROUND(0.5 * least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 200.0)
+       |      + 0.3 * (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |      + 0.2 * (CAST(1.0 AS DOUBLE) - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)), 6)
+       |    AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: md5 of raw and whitespace-normalized text —
+    * the join key for cross-corpus exact dedup at scale (fingerprint first,
+    * compare bytes only within hash buckets).
+    */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 300)
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("fp"),
+        md5(trim(regexp_replace(lower(col("text")), " +", " ")).cast("binary")).as("norm_fp"))
+      .orderBy("doc_id")
+
+  val fingerprintsSql: String =
+    """SELECT doc_id, md5(text) AS fp,
+      |       md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_fp
+      |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x5_text_stats" -> (textStats _),
+    "x5_word_freq" -> (wordFreq _),
+    "t_quality_score" -> (qualityScore _),
+    "t_fingerprints" -> (fingerprints _))
+
+  val oracle: Map[String, String] = Map(
+    "x5_text_stats" -> textStatsSql,
+    "x5_word_freq" -> wordFreqSql,
+    "t_quality_score" -> qualityScoreSql,
+    "t_fingerprints" -> fingerprintsSql)
+}

@@ -1,0 +1,176 @@
+package graft.vec
+
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column operators (SURVEY.md X-3/X-4/X-6): cosine top-k search,
+  * blocked similarity join, per-label centroids, and an LSH-bucketed ANN
+  * variant. Vectors are plain `ARRAY<FLOAT>` columns; all arithmetic uses
+  * codegen'd higher-order functions (`zip_with` + `aggregate`) — no UDFs, no
+  * MLlib vector types — so embeddings flow through joins/aggs like any
+  * other column (the "multimodal column" posture).
+  *
+  * Scale notes: brute-force top-k is a single scan + TakeOrderedAndProject
+  * (per-partition heaps; only k rows cross the exchange) — the correct
+  * baseline. The blocked sim-join shuffles on the blocking key only; the
+  * LSH variant prunes the candidate set by signature prefix, the pattern
+  * that survives 100 TB (pre-partition by bucket, search within bucket).
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product of two double-array columns. The fold order
+    * (left-to-right) matches DuckDB's list_dot_product loop, keeping float
+    * results bit-comparable.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def embDouble: Column = col("embedding").cast("array<double>")
+
+  /** The pinned query vector: per-position mean of label-0 embeddings.
+    * Computed as one tiny aggregate then inlined as a literal (64 doubles)
+    * so the scan side stays a single codegen'd pass.
+    */
+  def labelCentroidVector(spark: SparkSession, sfDir: String, label: Int): Seq[Double] =
+    Tables.embeddings(spark, sfDir)
+      .where(col("label") === label)
+      .select(posexplode(embDouble).as(Seq("pos", "e")))
+      .groupBy("pos")
+      .agg(avg(col("e")).as("v"))
+      .orderBy("pos")
+      .collect()
+      .map(_.getDouble(1))
+      .toSeq
+
+  /** X-3: brute-force cosine top-k vs the label-0 centroid query vector. */
+  def knnCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = labelCentroidVector(spark, sfDir, 0)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val qLit = typedLit(q)
+    val sim = dot(embDouble, qLit) / (norm(embDouble) * lit(qNorm))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), round(sim, 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(20)
+  }
+
+  val knnCosineSql: String =
+    """WITH q AS (
+      |  SELECT i - 1 AS pos, AVG(CAST(e AS DOUBLE)) AS v
+      |  FROM (SELECT unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+      |        FROM embeddings WHERE label = 0)
+      |  GROUP BY 1),
+      |qv AS (SELECT list(v ORDER BY pos) AS qvec FROM q)
+      |SELECT vec_id, label,
+      |       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qvec)
+      |             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+      |                * sqrt(list_dot_product(qvec, qvec))), 6) AS sim
+      |FROM embeddings, qv
+      |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin
+
+  /** X-4: similarity self-join, blocked by label (never a full cross join);
+    * corpus capped (vec_id < 1000) so the oracle's quadratic check stays
+    * bounded at every SF. The unbounded-scale variant is [[lshBuckets]]-style
+    * blocking instead of the label key.
+    */
+  def simJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < 1000)
+      .select(col("vec_id"), col("label"), embDouble.as("emb"))
+    val sim = cosine(col("a.emb"), col("b.emb"))
+    e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .where(sim >= 0.5)
+      .select(
+        col("a.label").as("label"),
+        col("a.vec_id").as("v1"),
+        col("b.vec_id").as("v2"),
+        round(sim, 6).as("sim"))
+      .orderBy("v1", "v2")
+  }
+
+  val simJoinSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings WHERE vec_id < 1000)
+      |SELECT a.label AS label, a.vec_id AS v1, b.vec_id AS v2,
+      |       ROUND(list_dot_product(a.emb, b.emb)
+      |             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.emb, b.emb)
+      |      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.5
+      |ORDER BY v1, v2""".stripMargin
+
+  /** X-6: per-label centroids in long format (label, pos, centroid_val) —
+    * posexplode + one aggregate; embeddings as first-class agg inputs.
+    */
+  def centroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(embDouble).as(Seq("pos", "e")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("e")), 6).as("centroid_val"), count(lit(1)).as("n_vecs"))
+      .orderBy("label", "pos")
+
+  val centroidsSql: String =
+    """SELECT label, i - 1 AS pos, ROUND(AVG(CAST(e AS DOUBLE)), 6) AS centroid_val,
+      |       CAST(COUNT(*) AS BIGINT) AS n_vecs
+      |FROM (SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+      |      FROM embeddings)
+      |GROUP BY label, i ORDER BY label, pos""".stripMargin
+
+  // ---- LSH-bucketed ANN (scale path; no oracle — signature pruning) ----
+
+  val NumPlanes = 12
+
+  /** Deterministic random hyperplanes (seed-pinned) for sign-LSH. */
+  def hyperplanes(dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(NumPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH signature: bit j = (e · h_j) > 0, packed into an int. At 100 TB
+    * you pre-partition by this bucket and search only matching buckets.
+    */
+  def signature(emb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (p, j) =>
+        when(dot(emb, typedLit(p)) > 0, lit(1 << j)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+
+  /** X-3 scale path: ANN top-k — prune to buckets within Hamming ≤ 2 of the
+    * query signature, exact cosine only on survivors (~6% of the corpus for
+    * 12 planes), then the same top-k heap.
+    */
+  def knnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = labelCentroidVector(spark, sfDir, 0)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val planes = hyperplanes(q.size)
+    val qSig = planes.zipWithIndex.map { case (p, j) =>
+      if (p.zip(q).map { case (a, b) => a * b }.sum > 0) 1 << j else 0
+    }.sum
+    val sim = dot(embDouble, typedLit(q)) / (norm(embDouble) * lit(qNorm))
+    Tables.embeddings(spark, sfDir)
+      .withColumn("sig", signature(embDouble, planes))
+      .where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= 2)
+      .select(col("vec_id"), col("label"), round(sim, 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x3_knn_cosine" -> (knnCosine _),
+    "x3_knn_lsh" -> (knnLsh _),
+    "x4_sim_join" -> (simJoin _),
+    "x6_centroids" -> (centroids _))
+
+  val oracle: Map[String, String] = Map(
+    "x3_knn_cosine" -> knnCosineSql,
+    "x4_sim_join" -> simJoinSql,
+    "x6_centroids" -> centroidsSql)
+}
