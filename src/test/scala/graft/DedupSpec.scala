@@ -1,0 +1,59 @@
+package graft
+
+import graft.text.Dedup
+import org.apache.spark.sql.functions._
+
+/** MinHash/SimHash have no SQL oracle (seed-pinned hashes) — unit-tested
+  * here per SURVEY.md §7.4: identical texts collide, disjoint texts don't,
+  * and signatures are stable across runs.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely different words with zero overlap whatsoever here now"),
+    (5L, "ab")) // < 3 tokens → empty shingle set
+    .toDF("doc_id", "text")
+
+  test("shingles: trigrams over tokens; short docs yield empty array") {
+    val sh = docs.select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", Dedup.shinglesExpr.as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(5L).isEmpty)
+    assert(sh(1L).head === "the quick brown")
+    assert(sh(1L).size === 10) // 12 tokens → 10 trigrams
+  }
+
+  test("minhash: identical docs get identical signatures; disjoint docs differ") {
+    val sig = Dedup.minhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(4L))
+    // docs 1 & 3 share 7 of 13 distinct trigrams → true Jaccard ≈ 0.54, so
+    // E[agreements] ≈ 17/32; a quarter-bound keeps the check far above the
+    // disjoint-pair expectation (≈0) without flaking on estimator variance
+    val agree = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(agree > Dedup.NumHashes / 4, s"only $agree/${Dedup.NumHashes} minhashes agree")
+    val agreeFar = sig(1L).zip(sig(4L)).count { case (a, b) => a == b }
+    assert(agree > agreeFar, s"near-dup agreement $agree not above unrelated $agreeFar")
+  }
+
+  test("minhash signatures are deterministic across evaluations") {
+    val a = Dedup.minhashSignatures(docs).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Dedup.minhashSignatures(docs).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("simhash: identical docs equal; near-dups land within small Hamming distance") {
+    val fp = Dedup.simhash(docs.where($"doc_id" < 5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    val hammingNear = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val hammingFar = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(hammingNear < hammingFar,
+      s"near-dup hamming $hammingNear should be < unrelated $hammingFar")
+  }
+}

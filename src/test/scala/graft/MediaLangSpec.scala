@@ -1,0 +1,41 @@
+package graft
+
+import graft.multimodal.Media
+import graft.text.LangId
+
+/** Multimodal plumbing (schema/batch shape real, decode stubbed) and the
+  * language-ID heuristic on unambiguous inputs.
+  */
+class MediaLangSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeStub is deterministic and bounded") {
+    val bytes = Array[Byte](-1, 64, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+    val (w1, h1, f1) = Media.decodeStub(bytes)
+    val (w2, h2, f2) = Media.decodeStub(bytes)
+    assert((w1, h1) === (w2, h2) && f1.toSeq === f2.toSeq)
+    assert(w1 >= 1 && w1 <= 64 && h1 >= 1 && h1 <= 64)
+    assert(f1.length === 8 && f1.forall(v => v >= 0f && v <= 1f))
+  }
+
+  test("extractFeatures preserves ids and emits the typed feature schema") {
+    val items = Media.mediaTable(spark, sf001)
+    val feats = Media.extractFeatures(items, batchSize = 16)
+    val n = items.count()
+    assert(feats.count() === n)
+    val one = feats.head()
+    assert(one.feat.length === 8)
+    assert(Set("image", "audio", "video").contains(one.kind))
+  }
+
+  test("lang-id predicts the dominant stopword profile") {
+    val docs = Seq(
+      (1L, "xx", "the cat sat on the mat and the dog ran to the park"),
+      (2L, "xx", "el perro y la casa de que el gato y la luna"))
+      .toDF("doc_id", "lang", "text")
+    val out = LangId.predict(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+  }
+}

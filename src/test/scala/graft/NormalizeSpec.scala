@@ -1,0 +1,65 @@
+package graft
+
+import graft.etl.{Dims, Normalize}
+import org.apache.spark.sql.functions._
+
+/** F-1/F-2 pt-BR parsing edge semantics (reference main.py:101–104), the
+  * P-7 drop contract, and J-4 classify defaults — the cases the DuckDB
+  * oracle can't isolate (SURVEY.md §5.2 item 2).
+  */
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parseNum(ss: String*): Seq[Option[Double]] =
+    ss.toDF("x").select(Normalize.ptBrNumber("x").as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+
+  private def parsePct(ss: String*): Seq[Option[Double]] =
+    ss.toDF("x").select(Normalize.ptBrPercent("x").as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+
+  test("F-1: thousands dot removed BEFORE comma becomes the decimal point") {
+    assert(parseNum("1.234,56") === Seq(Some(1234.56)))
+    assert(parseNum("1.234.567,89") === Seq(Some(1234567.89)))
+  }
+
+  test("F-1: whitespace trimmed; plain integers pass through") {
+    assert(parseNum("  42  ", "7,5") === Seq(Some(42.0), Some(7.5)))
+  }
+
+  test("F-2: percent strips + and % but preserves -") {
+    assert(parsePct("+1,25%") === Seq(Some(1.25)))
+    assert(parsePct("-0,50%") === Seq(Some(-0.5)))
+    assert(parsePct("0,75%") === Seq(Some(0.75)))
+  }
+
+  test("P-7: unparseable input becomes NULL (drop semantics), not an error") {
+    assert(parseNum("N/A", "-", "") === Seq(None, None, None))
+    assert(parsePct("abc%") === Seq(None))
+  }
+
+  test("J-4/F-5: classify probes the map literal and falls back to default") {
+    val out = Seq("Ibovespa", "Unknown Index").toDF("nome")
+      .select(Normalize.classify($"nome", Map("Ibovespa" -> "Diversificado"), "Fallback"))
+      .as[String].collect().toSeq
+    assert(out === Seq("Diversificado", "Fallback"))
+  }
+
+  test("J-3: get-or-create is idempotent — second run of the same batch adds nothing") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("id", "nome")
+    val incoming = Seq("b", "c", "c", "d").toDF("nome")
+    val once = Dims.getOrCreate(existing, incoming, "nome")
+    val twice = Dims.getOrCreate(once, incoming, "nome")
+    assert(once.count() === 4) // a, b, c, d
+    assert(twice.count() === 4)
+    val ids = once.orderBy("nome").select("id").as[Long].collect().toSeq
+    assert(ids === Seq(1L, 2L, 3L, 4L)) // deterministic sequential ids past max
+  }
+
+  test("J-3: newEntries returns only unseen keys, deduplicated") {
+    val existing = Seq((1L, "x")).toDF("id", "nome")
+    val incoming = Seq("x", "y", "y").toDF("nome")
+    val fresh = Dims.newEntries(incoming, existing, "nome").as[String].collect().toSeq
+    assert(fresh === Seq("y"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.etl.{Dims, Normalize}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based checks (SURVEY.md §5.2 item 3) using ScalaCheck's own
+  * runner (no scalatestplus bridge in the offline cache). Spark evaluation
+  * per trial is expensive, so properties batch all generated cases into ONE
+  * DataFrame pass.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, trials: Int = 30): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(trials), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Render a double (2dp) in pt-BR format with thousands separators. */
+  private def ptBr(cents: Long): String = {
+    val neg = cents < 0
+    val abs = math.abs(cents)
+    val intPart = abs / 100
+    val frac = abs % 100
+    val grouped = intPart.toString.reverse.grouped(3).mkString(".").reverse
+    (if (neg) "-" else "") + grouped + f",$frac%02d"
+  }
+
+  test("property: pt-BR format → parse round-trips exactly (batched)") {
+    val gen = Gen.chooseNum(-999999999L, 999999999L)
+    val cases = Gen.listOfN(300, gen).sample.get.distinct
+    val parsed = cases.map(ptBr).toDF("s")
+      .select(Normalize.ptBrNumber("s").as("v")).as[Double].collect()
+    assert(parsed.toSeq === cases.map(_ / 100.0))
+  }
+
+  test("property: top-k is a prefix of the full sort, for any k") {
+    val data = Gen.listOfN(200, Gen.chooseNum(-1000, 1000)).sample.get.zipWithIndex
+    val df = data.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val full = df.orderBy(desc("v"), asc("id")).select("id").as[Long].collect().toSeq
+    check(Prop.forAll(Gen.chooseNum(0, 50)) { k =>
+      val topk = df.orderBy(desc("v"), asc("id")).limit(k).select("id").as[Long].collect().toSeq
+      topk == full.take(k)
+    }, trials = 10)
+  }
+
+  test("property: exact dedup is a fixpoint — dedup(dedup(x)) == dedup(x)") {
+    val texts = Gen.listOfN(120, Gen.oneOf("aa", "bb", "cc", "dd", "ee")).sample.get
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = df.groupBy("text").agg(min($"doc_id").as("doc_id"))
+    val twice = once.groupBy("text").agg(min($"doc_id").as("doc_id"))
+    assert(once.orderBy("doc_id").collect().toSeq === twice.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("property: get-or-create never duplicates and never loses keys") {
+    val existing = Seq((1L, "k1"), (2L, "k2")).toDF("id", "nome")
+    val keys = Gen.listOfN(100, Gen.oneOf("k1", "k2", "k3", "k4", "k5", "k6")).sample.get
+    val out = Dims.getOrCreate(existing, keys.toDF("nome"), "nome")
+    val names = out.select("nome").as[String].collect().toSeq
+    assert(names.distinct.sorted === (keys :+ "k1" :+ "k2").distinct.sorted)
+    assert(names.length === names.distinct.length)
+    val ids = out.select("id").as[Long].collect().toSeq
+    assert(ids.length === ids.distinct.length)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStreaming
+import graft.streaming.EventStreaming.{Event, SessionUpdate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming semantics via MemoryStream: watermarked windows and
+  * mapGroupsWithState sessionization (the streaming twins of the
+  * oracle-checked batch queries in EventQueries).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowedCounts: tumbling 1h event-time windows aggregate incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreaming.windowedCounts(input.toDF())
+      .writeStream.outputMode(OutputMode.Update()).format("memory")
+      .queryName("wc").start()
+    try {
+      input.addData(
+        Event(1, ts(10), 100, "click", 1.0),
+        Event(2, ts(50), 100, "click", 2.0),
+        Event(3, ts(70), 101, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("hour_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(r => (r._1.getTime, r._2)).toSeq
+      assert(rows === Seq(
+        (ts(0), "click", 2L, 3.0),
+        (ts(60), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: 30-minute gaps split sessions; state carries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreaming.sessionize(input.toDS())
+      .writeStream.outputMode(OutputMode.Update()).format("memory")
+      .queryName("sess").start()
+    try {
+      // batch 1: two events 10 min apart → one session
+      input.addData(Event(1, ts(0), 7, "a", 0), Event(2, ts(10), 7, "a", 0))
+      q.processAllAvailable()
+      // batch 2: 50 min after last → second session for user 7
+      input.addData(Event(3, ts(60), 7, "a", 0))
+      q.processAllAvailable()
+      val last = spark.table("sess").as[SessionUpdate].collect()
+        .filter(_.user_id == 7L).maxBy(_.n_events)
+      assert(last === SessionUpdate(7L, 3L, 2L))
+    } finally q.stop()
+  }
+}
