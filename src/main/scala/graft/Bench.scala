@@ -10,6 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up (untimed): JIT/codegen compilation and parquet footer reads
+    // otherwise land entirely on whichever query happens to run first,
+    // inflating it ~10x. One cheap pass per table + one codegen'd agg.
+    try {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings")
+        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+      graft.model.Tables.events(spark, sfDir).count()
+      spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -22,6 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RefQueries.queries ++
+      graft.queries.JoinQueries.queries ++
       graft.etl.EtlQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.text.TextOps.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.RefQueries.oracle ++
+      graft.queries.JoinQueries.oracle ++
       graft.etl.EtlQueries.oracle ++
       graft.queries.EventQueries.oracle ++
       graft.text.TextOps.oracle ++

@@ -52,6 +52,10 @@ object Dedup {
     * cross join.
     */
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // The shingle set feeds three plan branches (sizes + both join sides).
+    // Deliberately NOT persisted: the branches are identical subtrees, so
+    // Spark reuses one shuffle (ReusedExchange) — caching measured slower
+    // (blocks exchange reuse, adds memory pressure).
     val sh = shingleRows(Tables.documents(spark, sfDir).where(col("doc_id") < 200))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
@@ -111,7 +115,11 @@ object Dedup {
     */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val sig = minhashSignatures(docs)
+    // Shared by the signature build AND the verification join; identical
+    // subtrees reuse one exchange, so no persist (measured slower cached).
+    val sh = shingleRows(docs)
+    val aggs = (0 until NumHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh$i"))
+    val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       val cols = (0 until BandSize).map(r => col(s"mh${b * BandSize + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
@@ -125,8 +133,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // verify candidates with exact Jaccard over shingle sets
-    val sh = shingleRows(docs)
+    // verify candidates with exact Jaccard over the SAME persisted shingles
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = candidates
       .join(sh.as("sa"), col("d1") === col("sa.doc_id"))

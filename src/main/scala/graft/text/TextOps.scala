@@ -118,15 +118,72 @@ object TextOps {
       |       md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_fp
       |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
 
+  /** Token counting, whitespace vs BPE-ish: the regex splits runs of
+    * letters, runs of digits, and single punctuation marks — the pre-merge
+    * segmentation a BPE tokenizer starts from. Group 0 (full match) in both
+    * engines; the pattern avoids regex-dialect divergence (no classes
+    * beyond literal ranges, no backrefs).
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def bpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("n_ws_tokens"),
+        size(expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)")).cast("bigint")
+          .as("n_bpe_tokens"))
+      .groupBy("lang")
+      .agg(
+        sum(col("n_ws_tokens")).as("ws_tokens"),
+        sum(col("n_bpe_tokens")).as("bpe_tokens"),
+        round(sum(col("n_bpe_tokens")).cast("double") / sum(col("n_ws_tokens")).cast("double"), 6)
+          .as("fertility"))
+      .orderBy("lang")
+
+  val bpeTokensSql: String =
+    s"""SELECT lang,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(len(regexp_extract_all(lower(text), '$BpePattern', 0))) AS BIGINT) AS bpe_tokens,
+       |  ROUND(CAST(SUM(len(regexp_extract_all(lower(text), '$BpePattern', 0))) AS DOUBLE)
+       |        / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE), 6) AS fertility
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Rolling-hash document fingerprint: a polynomial fold over token hashes
+    * (h ← (31·h + hash(tok)) mod p). One codegen'd `aggregate` higher-order
+    * function — no UDF, no shuffle, order-sensitive by construction (unlike
+    * md5-of-text it extends to windowed/rolling n-gram fingerprints). The
+    * `pmod` keeps every intermediate < 2^36, so ANSI overflow can't trip.
+    * xxhash64 is Spark-specific → no SQL oracle (rows-only check);
+    * determinism is covered by TextOpsSpec.
+    */
+  def rollingFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = 1000000007L
+    Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 300)
+      .select(
+        col("doc_id"),
+        aggregate(
+          split(col("text"), " "),
+          lit(0L),
+          (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(p)), lit(p)))
+          .as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x5_text_stats" -> (textStats _),
     "x5_word_freq" -> (wordFreq _),
     "t_quality_score" -> (qualityScore _),
-    "t_fingerprints" -> (fingerprints _))
+    "t_fingerprints" -> (fingerprints _),
+    "t_bpe_tokens" -> (bpeTokens _),
+    "t_rolling_fp" -> (rollingFingerprint _))
 
   val oracle: Map[String, String] = Map(
     "x5_text_stats" -> textStatsSql,
     "x5_word_freq" -> wordFreqSql,
     "t_quality_score" -> qualityScoreSql,
-    "t_fingerprints" -> fingerprintsSql)
+    "t_fingerprints" -> fingerprintsSql,
+    "t_bpe_tokens" -> bpeTokensSql)
 }
