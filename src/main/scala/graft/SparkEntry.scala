@@ -23,6 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RefQueries.queries ++
       graft.queries.JoinQueries.queries ++
+      graft.queries.RelQueries.queries ++
       graft.etl.EtlQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.text.TextOps.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.RefQueries.oracle ++
       graft.queries.JoinQueries.oracle ++
+      graft.queries.RelQueries.oracle ++
       graft.etl.EtlQueries.oracle ++
       graft.queries.EventQueries.oracle ++
       graft.text.TextOps.oracle ++

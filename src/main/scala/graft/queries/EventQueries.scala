@@ -119,16 +119,66 @@ object EventQueries {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
       .orderBy("event_type")
 
+  /** Schema-declared JSON parsing — `from_json` with an explicit struct
+    * schema (the production path for semi-structured columns; unlike the
+    * regex variant it extends to nested fields and arrays). Null-safe:
+    * malformed JSON yields NULL k, counted separately.
+    */
+  def jsonSchema(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("parsed", from_json(col("props"), lit("k INT")))
+      .groupBy("event_type")
+      .agg(
+        count(col("parsed.k")).as("n_with_k"),
+        sum(when(col("parsed.k").isNull, 1).otherwise(0)).as("n_null_k"),
+        max(col("parsed.k")).as("max_k"),
+        min(col("parsed.k")).as("min_k"))
+      .orderBy("event_type")
+
+  val jsonSchemaSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS n_with_k,
+      |  CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Exact percentiles per type — Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the same linear-interpolation definition;
+    * round(6) absorbs the final-ulp difference. The 100 TB variant is
+    * `approx_percentile` (t-digest sketches, mergeable); exact is the
+    * oracle-checkable twin.
+    */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type")
+
+  val percentilesSql: String =
+    """SELECT event_type,
+      |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+      |  ROUND(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> (jsonExtract _),
+    "q_json_schema" -> (jsonSchema _),
     "q_hourly_windows" -> (hourlyWindows _),
     "q_session_counts" -> (sessionCounts _),
     "x8_distinct_users" -> (distinctUsers _),
-    "x8_approx_distinct" -> (approxDistinctUsers _))
+    "x8_approx_distinct" -> (approxDistinctUsers _),
+    "x9_percentiles" -> (percentiles _))
 
   val oracle: Map[String, String] = Map(
     "q_json_extract" -> jsonExtractSql,
+    "q_json_schema" -> jsonSchemaSql,
     "q_hourly_windows" -> hourlyWindowsSql,
     "q_session_counts" -> sessionCountsSql,
-    "x8_distinct_users" -> distinctUsersSql)
+    "x8_distinct_users" -> distinctUsersSql,
+    "x9_percentiles" -> percentilesSql)
 }

@@ -229,8 +229,20 @@ object RefQueries {
       |GROUP BY 1, 2
       |ORDER BY n_name""".stripMargin
 
+  /** S-4/S-7: the SQL entry point — tables registered as temp views (the
+    * engine's "catalog"), the flagship expressed in pure ANSI SQL through
+    * `spark.sql`. Plans identically to the DataFrame version (same Catalyst
+    * pipeline), proving the two surfaces are one engine.
+    */
+  def sqlApi(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "nation", "region")
+      .foreach(t => Tables.read(spark, sfDir, t).createOrReplaceTempView(t))
+    spark.sql(flagshipSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_flagship_top10" -> (flagshipTop10 _),
+    "q_sql_api" -> (sqlApi _),
     "q_point_lookup" -> (pointLookup _),
     "q_union_multiplex" -> (unionMultiplex _),
     "q_distinct_segments" -> (distinctSegments _),
@@ -242,6 +254,7 @@ object RefQueries {
 
   val oracle: Map[String, String] = Map(
     "q_flagship_top10" -> flagshipSql,
+    "q_sql_api" -> flagshipSql,
     "q_point_lookup" -> pointLookupSql,
     "q_union_multiplex" -> unionMultiplexSql,
     "q_distinct_segments" -> distinctSegmentsSql,

@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational-completeness operators: the join kinds, grouping extensions
+  * (ROLLUP), pivot, set operations, and window frames a user of a general
+  * engine expects even though the reference only exercises inner joins.
+  * Cross-engine determinism notes: Spark's ASC default is NULLS FIRST,
+  * DuckDB's is NULLS LAST — every oracle ORDER BY pins NULLS FIRST
+  * explicitly wherever an outer join or ROLLUP can emit NULL keys.
+  */
+object RelQueries {
+
+  /** Left outer join + aggregation: every customer, with or without orders.
+    * The join shuffles on the key at scale; AQE handles the skew. Customers
+    * without orders surface as zero counts (never dropped).
+    */
+  def custOrdersOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    // restrict the right side to one year so unmatched customers exist and
+    // the NULL-preserving branch actually executes (on the full table every
+    // customer has orders — verified vacuous)
+    val o = Tables.orders(spark, sfDir)
+      .where(
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey").as("c_custkey"))
+      .agg(
+        count(o("o_orderkey")).as("n_orders"),
+        coalesce(sum(o("o_totalprice").cast("decimal(18,2)")), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  val custOrdersOuterSql: String =
+    """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+      |       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+      |FROM customer LEFT JOIN (
+      |  SELECT * FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      |) ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** Left semi + left anti in one result: per-segment counts of customers
+    * WITH orders (semi) and WITHOUT (anti) — the EXISTS / NOT EXISTS pair.
+    * Both plan as one-sided joins: no row multiplication, shuffle on key.
+    */
+  def semiAntiCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    // same one-year slice as custOrdersOuter: guarantees the anti branch
+    // is non-empty on the testdata
+    val o = Tables.orders(spark, sfDir)
+      .where(
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .select("o_custkey")
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+      .select(
+        col("c_mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val semiAntiCustomersSql: String =
+    """WITH o95 AS (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+      |w AS (
+      |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_with_orders
+      |  FROM customer WHERE EXISTS (SELECT 1 FROM o95 WHERE o_custkey = c_custkey)
+      |  GROUP BY c_mktsegment),
+      |wo AS (
+      |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_without_orders
+      |  FROM customer WHERE NOT EXISTS (SELECT 1 FROM o95 WHERE o_custkey = c_custkey)
+      |  GROUP BY c_mktsegment)
+      |SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+      |       COALESCE(n_with_orders, 0) AS n_with_orders,
+      |       COALESCE(n_without_orders, 0) AS n_without_orders
+      |FROM w FULL JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** ROLLUP over (status, priority): subtotals + grand total in one pass —
+    * Spark expands grouping sets map-side, still one shuffle. Sort pins
+    * grouping_id first so NULL-filled subtotal rows order identically in
+    * both engines.
+    */
+  def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .select("gid", "o_orderstatus", "o_orderpriority", "n", "total")
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val ordersRollupSql: String =
+    """SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      |       o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Pivot: order counts by status × pinned priority list → fixed columns.
+    * Equivalent to conditional aggregation (the oracle form); Spark plans
+    * it as a single aggregate, no extra shuffle over the groupBy.
+    */
+  def ordersPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("1-URGENT", "urgent")
+      .withColumnRenamed("2-HIGH", "high")
+      .withColumnRenamed("3-MEDIUM", "medium")
+      .orderBy("o_orderstatus")
+
+  val ordersPivotSql: String =
+    """SELECT o_orderstatus,
+      |  CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+      |  CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+      |  CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Set operations over customer activity in two adjacent half-years:
+    * INTERSECT (active in both), EXCEPT (H1-only), UNION — tagged into one
+    * result. All three plan as aggregates/joins on the value, no
+    * driver-side set math. The half-year framing keeps every branch
+    * non-trivial at every SF (orders/customer is SF-invariant ≈10 over
+    * 6.6 years, so membership in each half is a coin flip).
+    */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def active(lo: String, hi: String) =
+      o.where(
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(s"$lo 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf(s"$hi 00:00:00")))
+        .select(col("o_custkey"))
+    val h1 = active("1995-01-01", "1995-07-01")
+    val h2 = active("1995-07-01", "1996-01-01")
+    val i = h1.intersect(h2).withColumn("op", lit("both_halves"))
+    val e = h1.except(h2).withColumn("op", lit("h1_only"))
+    val u = h1.union(h2).distinct().withColumn("op", lit("either"))
+    i.unionByName(e).unionByName(u).orderBy("op", "o_custkey")
+  }
+
+  val setOpsSql: String =
+    """WITH h1 AS (SELECT o_custkey FROM orders
+      |            WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'),
+      |h2 AS (SELECT o_custkey FROM orders
+      |       WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+      |SELECT * FROM (
+      |  SELECT o_custkey, 'both_halves' AS op FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+      |  UNION ALL
+      |  SELECT o_custkey, 'h1_only' AS op FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+      |  UNION ALL
+      |  SELECT o_custkey, 'either' AS op FROM (SELECT * FROM h1 UNION SELECT * FROM h2)
+      |) ORDER BY op, o_custkey""".stripMargin
+
+  /** Window frames: per-customer running order total (rows unbounded
+    * preceding → current) with lag/lead — full analytic-function surface.
+    * One shuffle on the partition key; frame evaluation is a linear pass.
+    * Sliced to one segment to keep the oracle result compact.
+    */
+  def windowFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .where(col("o_custkey") < 50)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(frame).cast("double").as("running_total"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        row_number().over(w).as("order_seq"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  val windowFramesSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+      |  LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+      |FROM orders WHERE o_custkey < 50
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outer_join" -> (custOrdersOuter _),
+    "q_semi_anti" -> (semiAntiCustomers _),
+    "q_rollup" -> (ordersRollup _),
+    "q_pivot" -> (ordersPivot _),
+    "q_set_ops" -> (setOps _),
+    "q_window_frames" -> (windowFrames _))
+
+  val oracle: Map[String, String] = Map(
+    "q_outer_join" -> custOrdersOuterSql,
+    "q_semi_anti" -> semiAntiCustomersSql,
+    "q_rollup" -> ordersRollupSql,
+    "q_pivot" -> ordersPivotSql,
+    "q_set_ops" -> setOpsSql,
+    "q_window_frames" -> windowFramesSql)
+}
