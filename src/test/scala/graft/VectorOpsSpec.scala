@@ -18,6 +18,31 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(2) - 1.0) < 1e-12) // cos(a,a) = 1
   }
 
+  test("native graft_dot: SQL-visible, equals the HOF fold bit-exactly") {
+    val df = Seq((Seq(1.5, -2.25, 3.125), Seq(0.5, 4.0, -1.0))).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT graft_dot(a, b) AS d FROM vecs").head().getDouble(0)
+    val viaHof = df.select(VectorOps.dotHof($"a", $"b")).head().getDouble(0)
+    val viaNative = df.select(VectorOps.dot($"a", $"b")).head().getDouble(0)
+    assert(viaSql === viaHof)
+    assert(viaNative === viaHof)
+    assert(viaHof === 1.5 * 0.5 + -2.25 * 4.0 + 3.125 * -1.0)
+  }
+
+  test("native graft_dot: null array yields null; arity error is caught at analysis") {
+    val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    assert(df.select(VectorOps.dot($"a", $"b")).head().isNullAt(0))
+    val err = intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").collect())
+    assert(err.getMessage.toLowerCase.contains("argument"))
+  }
+
+  test("GraftExtensions registers the function declaratively") {
+    val ext = new graft.functions.GraftExtensions()
+    // applying to a fresh extensions object must not throw; session-level
+    // registration is covered by the SQL test above
+    ext.apply(new org.apache.spark.sql.SparkSessionExtensions())
+  }
+
   test("cosine of orthogonal vectors is 0") {
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0))).toDF("a", "b")
     assert(df.select(VectorOps.cosine($"a", $"b")).head().getDouble(0) === 0.0)
