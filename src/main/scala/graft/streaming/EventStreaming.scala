@@ -60,6 +60,24 @@ object EventStreaming {
       }
   }
 
+  /** File-based streaming source over a directory of event parquet files —
+    * the production shape for micro-batch ingestion of an append-only
+    * landing zone (the reference's repeated-run accumulation, main.py:176,
+    * done properly). Explicit schema (streams can't infer); the testdata's
+    * TIMESTAMP(NANOS) column is read as a raw long (nanosAsLong) and
+    * rebuilt at µs exactly like the batch path in
+    * [[graft.model.Tables.events]], so batch and stream plans agree.
+    */
+  def parquetEventStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    spark.readStream
+      .schema(schema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
   /** Output-mode helper for the windowed plan (update mode + watermark). */
   def startWindowedQuery(events: DataFrame, checkpointDir: String, sinkTable: String) =
     windowedCounts(events).writeStream

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Runnable micro-batch demo: stream an events-parquet landing directory
+  * through the watermarked hourly-window aggregation and print the totals.
+  *
+  *   sbt "runMain graft.streaming.StreamDemo /path/to/landing-dir"
+  *
+  * Uses Trigger.AvailableNow (process everything present, then stop) — the
+  * batch-backfill mode; drop the trigger for continuous micro-batches.
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/probe_stream")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = EventStreaming.windowedCounts(EventStreaming.parquetEventStream(spark, dir).drop("props"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("wc")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val t = spark.table("wc")
+    println("stream windows=" + t.count() +
+      " events=" + t.agg(sum(col("n_events"))).head.getLong(0))
+    spark.stop()
+  }
+}

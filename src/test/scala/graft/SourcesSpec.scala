@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.etl.SkewJoin
+import graft.sources.Sinks
+import graft.streaming.EventStreaming
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface: partitioned-write pruning, CSV/JSON round-trips
+  * with explicit schemas, bucketed shuffle-free joins, salted skew joins,
+  * and the file-based streaming source agreeing with its batch twin.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("partitioned write: filter on partition column prunes directories") {
+    val out = tmp("part")
+    val df = graft.model.Tables.customer(spark, sf001)
+    Sinks.writePartitioned(df, out, "c_mktsegment")
+    assert(Files.exists(Paths.get(s"$out/c_mktsegment=FURNITURE")))
+    val read = spark.read.parquet(out).where($"c_mktsegment" === "FURNITURE")
+    assert(read.count() === df.where($"c_mktsegment" === "FURNITURE").count())
+    // partition filter must appear in the scan, not as a post-scan filter
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(c_mktsegment"), plan)
+  }
+
+  test("csv and json round-trip with explicit schemas") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "name", "v")
+    val schema = StructType.fromDDL("id BIGINT, name STRING, v DOUBLE")
+    val cp = tmp("csv"); val jp = tmp("json")
+    Sinks.writeCsv(df, cp); Sinks.writeJson(df, jp)
+    assert(Sinks.readCsv(spark, cp, schema).orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
+    assert(Sinks.readJson(spark, jp, schema).orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
+  }
+
+  test("bucketed tables join without a shuffle on the bucket key") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val c = graft.model.Tables.customer(spark, sf001)
+      val o = graft.model.Tables.orders(spark, sf001)
+      Sinks.writeBucketed(c, "c_bkt", "c_custkey", 4)
+      Sinks.writeBucketed(o.withColumnRenamed("o_custkey", "c_custkey"), "o_bkt", "c_custkey", 4)
+      val joined = spark.table("c_bkt").join(spark.table("o_bkt"), "c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === c.join(o, c("c_custkey") === o("o_custkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("salted join returns exactly the unsalted join's result") {
+    val large = graft.model.Tables.orders(spark, sf001)
+    val small = graft.model.Tables.customer(spark, sf001).select("c_custkey", "c_name")
+    val plain = large.join(small, large("o_custkey") === small("c_custkey"))
+      .select("o_orderkey", "c_name")
+    val salted = SkewJoin.saltedJoin(large, "o_custkey", small, "c_custkey", large("o_orderkey"))
+      .select("o_orderkey", "c_name")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("file-based event stream produces the same hourly windows as batch") {
+    val streamDir = tmp("evstream")
+    Files.copy(
+      Paths.get(s"$sf001/events.parquet"),
+      Paths.get(s"$streamDir/events.parquet"))
+    val streamed = EventStreaming.windowedCounts(
+      EventStreaming.parquetEventStream(spark, streamDir).drop("props"))
+    val q = streamed.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("file_wc")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("file_wc")
+      .groupBy("hour_start").agg(sum($"n_events").as("n"))
+      .orderBy("hour_start")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    val expected = graft.queries.EventQueries.hourlyWindows(spark, sf001)
+      .select($"hour_start", $"n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+}
