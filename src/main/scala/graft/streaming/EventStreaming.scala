@@ -23,11 +23,17 @@ object EventStreaming {
   case class SessionUpdate(user_id: Long, n_events: Long, n_sessions: Long)
 
   /** Tumbling event-time windowed aggregation with a late-data watermark —
-    * the streaming twin of EventQueries.hourlyWindows.
+    * the streaming twin of EventQueries.hourlyWindows. Composable with
+    * upstream stateful ops ([[dedupedEvents]]): redefining a watermark is
+    * an AnalysisException, so one is added only if the input doesn't
+    * already carry an EventTimeWatermark node.
     */
-  def windowedCounts(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "2 hours")
+  def windowedCounts(events: DataFrame): DataFrame = {
+    val hasWatermark = events.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+    (if (hasWatermark) events else events.withWatermark("ts", "2 hours"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(
@@ -35,6 +41,7 @@ object EventStreaming {
         col("event_type"),
         col("n_events"),
         col("sum_value"))
+  }
 
   /** Custom per-key state: 30-minute-gap sessionization via
     * mapGroupsWithState — the streaming twin of EventQueries.sessionCounts.
@@ -59,6 +66,17 @@ object EventStreaming {
           SessionUpdate(userId, nEvents, nSessions)
       }
   }
+
+  /** Streaming exact dedup — the streaming twin of X-1. State is bounded
+    * by the watermark: an event_id is remembered only until its event time
+    * falls behind the watermark, so state size tracks the late-data window
+    * rather than the full history (the only dedup that survives an
+    * unbounded stream).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** File-based streaming source over a directory of event parquet files —
     * the production shape for micro-batch ingestion of an append-only

@@ -15,13 +15,16 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamDemo {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/probe_stream")
+    val dedup = args.contains("--dedup")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val q = EventStreaming.windowedCounts(EventStreaming.parquetEventStream(spark, dir).drop("props"))
+    val events = EventStreaming.parquetEventStream(spark, dir).drop("props")
+    val src = if (dedup) EventStreaming.dedupedEvents(events) else events
+    val q = EventStreaming.windowedCounts(src)
       .writeStream
       .outputMode("complete")
       .format("memory")

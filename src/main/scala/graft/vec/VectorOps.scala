@@ -175,9 +175,71 @@ object VectorOps {
       .limit(20)
   }
 
+  // ---- IVF ANN (coarse-quantizer variant; no oracle — pruned search) ----
+
+  /** All label centroids in one aggregate pass (collect is 10×64 doubles —
+    * driver-tiny). In production the coarse quantizer is k-means; here the
+    * 10 label centroids play that role deterministically.
+    */
+  def allLabelCentroids(spark: SparkSession, sfDir: String): Map[Int, Seq[Double]] =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(embDouble).as(Seq("pos", "e")))
+      .groupBy("label", "pos")
+      .agg(avg(col("e")).as("v"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+
+  /** Squared-L2 distance to a literal centroid via the native dot product:
+    * |e|² − 2·e·c + |c|² (the |e|² term is rank-invariant per row but kept
+    * so the struct-min tie rule sees true distances).
+    */
+  private def sqDist(e: Column, c: Seq[Double]): Column = {
+    val cNormSq = c.map(x => x * x).sum
+    dot(e, e) - lit(2.0) * dot(e, typedLit(c)) + lit(cNormSq)
+  }
+
+  /** Nearest-centroid assignment (argmin via array_min over (dist, id)
+    * structs; ties break to the lower cluster id — deterministic).
+    */
+  def clusterAssignment(e: Column, centroids: Map[Int, Seq[Double]]): Column = {
+    val cells = centroids.toSeq.sortBy(_._1).map { case (id, c) =>
+      struct(sqDist(e, c).as("d"), lit(id).as("id"))
+    }
+    array_min(array(cells: _*)).getField("id")
+  }
+
+  /** X-3 IVF path: assign every vector to its nearest coarse centroid
+    * (at 100 TB this assignment is computed at ingest and the table is
+    * partitioned/bucketed by it), then search ONLY the nProbe clusters
+    * nearest the query — scan cost drops to nProbe/nClusters of the
+    * corpus; exact cosine re-ranks the survivors.
+    */
+  def knnIvf(spark: SparkSession, sfDir: String, nProbe: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = allLabelCentroids(spark, sfDir)
+    val q = labelCentroidVector(spark, sfDir, 0)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    def d2(c: Seq[Double]): Double =
+      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probed = cents.toSeq.sortBy { case (id, c) => (d2(c), id) }.take(nProbe).map(_._1)
+    val sim = dot(embDouble, typedLit(q)) / (norm(embDouble) * lit(qNorm))
+    Tables.embeddings(spark, sfDir)
+      .withColumn("cluster", clusterAssignment(embDouble, cents))
+      .where(col("cluster").isin(probed: _*))
+      .select(col("vec_id"), col("label"), col("cluster"), round(sim, 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(20)
+  }
+
+  def knnIvfQuery(spark: SparkSession, sfDir: String): DataFrame = knnIvf(spark, sfDir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x3_knn_cosine" -> (knnCosine _),
     "x3_knn_lsh" -> (knnLsh _),
+    "x3_knn_ivf" -> (knnIvfQuery _),
     "x4_sim_join" -> (simJoin _),
     "x6_centroids" -> (centroids _))
 

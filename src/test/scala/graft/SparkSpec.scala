@@ -13,6 +13,12 @@ trait SparkSpec extends AnyFunSuite {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // unique warehouse per JVM: managed-table locations (bucketed-write
+      // tests) must not leak across runs — a stale dir under the repo's
+      // spark-warehouse/ makes saveAsTable throw LOCATION_ALREADY_EXISTS
+      .config(
+        "spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.functions.GraftFunctions.register(s)

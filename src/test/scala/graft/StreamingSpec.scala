@@ -38,6 +38,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate event_ids within the watermark are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreaming.dedupedEvents(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "a", 1.0),
+        Event(1, ts(0), 1, "a", 1.0), // exact duplicate, same batch
+        Event(2, ts(5), 1, "a", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(6), 1, "a", 2.0)) // dup across batches
+      q.processAllAvailable()
+      assert(spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize: 30-minute gaps split sessions; state carries across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

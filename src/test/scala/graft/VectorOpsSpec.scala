@@ -71,6 +71,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(sims === sims.sorted(Ordering[Double].reverse))
   }
 
+  test("IVF knn: cluster assignment is deterministic; pruned search overlaps brute force") {
+    val cents = VectorOps.allLabelCentroids(spark, sf001)
+    assert(cents.size === 10 && cents.values.forall(_.size === 64))
+    val ivf = VectorOps.knnIvf(spark, sf001).collect()
+    assert(ivf.length === 20)
+    // probed clusters only
+    val clusters = ivf.map(_.getInt(2)).toSet
+    assert(clusters.size <= 3)
+    // the query vector IS the label-0 centroid → its cluster must be probed
+    assert(clusters.contains(0))
+    val brute = VectorOps.knnCosine(spark, sf001).collect().map(_.getLong(0)).toSet
+    val overlap = ivf.map(_.getLong(0)).count(brute.contains)
+    assert(overlap >= 10, s"IVF found only $overlap/20 of the brute-force top-20")
+  }
+
   test("LSH knn results are a subset of the brute-force ranking universe") {
     val brute = VectorOps.knnCosine(spark, sf001).select("vec_id").as[Long].collect().toSet
     val lsh = VectorOps.knnLsh(spark, sf001).collect()
