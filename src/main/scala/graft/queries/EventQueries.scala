@@ -165,6 +165,18 @@ object EventQueries {
       |  ROUND(quantile_cont(value, 0.99), 6) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Sketch twin of [[percentiles]]: approx_percentile builds mergeable
+    * per-partition digests — single pass, bounded memory, the shape that
+    * replaces exact sorting at 100 TB. Estimates → rows-only check.
+    */
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("p_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> (jsonExtract _),
     "q_json_schema" -> (jsonSchema _),
@@ -172,7 +184,8 @@ object EventQueries {
     "q_session_counts" -> (sessionCounts _),
     "x8_distinct_users" -> (distinctUsers _),
     "x8_approx_distinct" -> (approxDistinctUsers _),
-    "x9_percentiles" -> (percentiles _))
+    "x9_percentiles" -> (percentiles _),
+    "x9_approx_percentiles" -> (approxPercentiles _))
 
   val oracle: Map[String, String] = Map(
     "q_json_extract" -> jsonExtractSql,

@@ -96,6 +96,29 @@ object EventStreaming {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
+  /** Stream-stream join: purchases joined to the click that preceded them
+    * within one hour, per user — the streaming twin of the batch as-of join
+    * (JoinQueries.asofClickBeforePurchase). Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark can expire
+    * buffered state: click state lives until (click.ts + 1 hour) falls
+    * behind the purchase watermark. Inner interval joins like this are the
+    * only stream-stream joins whose state provably stays bounded.
+    */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(
+      c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Output-mode helper for the windowed plan (update mode + watermark). */
   def startWindowedQuery(events: DataFrame, checkpointDir: String, sinkTable: String) =
     windowedCounts(events).writeStream

@@ -23,18 +23,34 @@ object StreamDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val events = EventStreaming.parquetEventStream(spark, dir).drop("props")
-    val src = if (dedup) EventStreaming.dedupedEvents(events) else events
-    val q = EventStreaming.windowedCounts(src)
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName("wc")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(120000)
-    val t = spark.table("wc")
-    println("stream windows=" + t.count() +
-      " events=" + t.agg(sum(col("n_events"))).head.getLong(0))
+    if (args.contains("--join")) {
+      // stream-stream interval join: clicks and purchases as two streams
+      val clicks = EventStreaming.parquetEventStream(spark, dir)
+        .where(col("event_type") === "click")
+      val purchases = EventStreaming.parquetEventStream(spark, dir)
+        .where(col("event_type") === "purchase")
+      val q = EventStreaming.clickToPurchaseJoin(clicks, purchases)
+        .writeStream.outputMode("append").format("memory").queryName("ssj")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val t = spark.table("ssj")
+      println("stream joined pairs=" + t.count() +
+        " distinct purchases=" + t.select("purchase_id").distinct().count())
+    } else {
+      val src = if (dedup) EventStreaming.dedupedEvents(events) else events
+      val q = EventStreaming.windowedCounts(src)
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName("wc")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val t = spark.table("wc")
+      println("stream windows=" + t.count() +
+        " events=" + t.agg(sum(col("n_events"))).head.getLong(0))
+    }
     spark.stop()
   }
 }

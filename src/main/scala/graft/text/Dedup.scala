@@ -99,11 +99,21 @@ object Dedup {
   val NumHashes = 32
   val BandSize = 4 // 8 bands of 4 → catches Jaccard ≳ 0.5 with high prob.
 
+  /** Per-doc shingle rows WITHOUT the distinct — for min-aggregations the
+    * multiset and the set give identical results (min is idempotent), so
+    * the (doc_id, sh) dedup shuffle is pure waste on the signature path:
+    * explode → ONE shuffle with map-side partial mins.
+    */
+  private def shingleRowsMulti(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(shinglesExpr).as("sh"))
+
   /** 32 seed-pinned minhash values per doc: min over shingles of
     * xxhash64(shingle, seed_i). Linear in corpus size, no pair blowup.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingleRows(docs)
+    val sh = shingleRowsMulti(docs)
     val aggs = (0 until NumHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -115,11 +125,10 @@ object Dedup {
     */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    // Shared by the signature build AND the verification join; identical
-    // subtrees reuse one exchange, so no persist (measured slower cached).
+    // signatures from the multiset (no distinct shuffle); the exact-Jaccard
+    // verification below still needs the DISTINCT shingle set
+    val sig = minhashSignatures(docs)
     val sh = shingleRows(docs)
-    val aggs = (0 until NumHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh$i"))
-    val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       val cols = (0 until BandSize).map(r => col(s"mh${b * BandSize + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))

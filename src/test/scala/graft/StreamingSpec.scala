@@ -38,6 +38,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchase pairs with clicks within the hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreaming.clickToPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try {
+      clicks.addData(Event(1, ts(0), 7, "click", 0), Event(2, ts(30), 7, "click", 0))
+      purchases.addData(
+        Event(10, ts(40), 7, "purchase", 9.99), // joins clicks at 0 and 30
+        Event(11, ts(120), 7, "purchase", 5.0)) // both clicks >1h earlier → no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .select("purchase_id", "click_ts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1))).sortBy(r => (r._1, r._2.getTime)).toSeq
+      assert(rows === Seq((10L, ts(0)), (10L, ts(30))))
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate event_ids within the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
