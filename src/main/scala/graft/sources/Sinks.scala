@@ -47,4 +47,34 @@ object Sinks {
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead
+    * of failing the job — the source-level twin of the reference's
+    * drop-on-parse-failure (main.py:116–117 / SURVEY.md P-7). Callers
+    * filter `_corrupt_record IS NULL` to drop (observable count) or keep
+    * the column for quarantine-table routing. At 100 TB a FAILFAST job
+    * dying at hour 9 on one bad line is the alternative — don't.
+    * Note: Spark rejects queries touching ONLY `_corrupt_record` on the
+    * raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache or materialize
+    * the parse before corrupt-only filters.
+    */
+  def readCsvPermissive(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .csv(path)
+
+  /** Range-partitioned, sorted-within-file layout: rows globally ordered on
+    * `sortCol` across `nFiles` files. Parquet stores per-row-group min/max
+    * on every column; with sorted data a range predicate on `sortCol` skips
+    * whole row groups/files at scan time — the poor-man's index, and the
+    * single highest-leverage layout decision for a 100 TB fact table.
+    */
+  def writeSorted(df: DataFrame, path: String, sortCol: String, nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, df(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
 }

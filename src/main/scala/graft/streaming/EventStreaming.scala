@@ -119,6 +119,25 @@ object EventStreaming {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** foreachBatch parquet sink: per-micro-batch batch-mode write — the
+    * production pattern when the target (parquet dir, JDBC, multiple sinks)
+    * has no native streaming writer. The batch id gives idempotence hooks
+    * (dedup on re-delivery after checkpoint recovery).
+    */
+  def startParquetSink(
+      events: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()) =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Output-mode helper for the windowed plan (update mode + watermark). */
   def startWindowedQuery(events: DataFrame, checkpointDir: String, sinkTable: String) =
     windowedCounts(events).writeStream

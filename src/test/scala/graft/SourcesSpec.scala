@@ -67,6 +67,46 @@ class SourcesSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("permissive csv: corrupt lines are captured, not fatal; drop is observable") {
+    val dir = tmp("badcsv")
+    Files.writeString(
+      Paths.get(s"$dir/data.csv"),
+      "id,name,v\n1,a,1.5\nnot-a-number,b\n3,c,2.5\n")
+    val schema = StructType.fromDDL("id BIGINT, name STRING, v DOUBLE")
+    // cache: Spark disallows queries touching ONLY _corrupt_record on a raw
+    // file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — parse once, then filter
+    val df = Sinks.readCsvPermissive(spark, dir, schema).cache()
+    assert(df.count() === 3)
+    assert(df.where($"_corrupt_record".isNotNull).count() === 1)
+    val clean = df.where($"_corrupt_record".isNull).drop("_corrupt_record")
+    assert(clean.orderBy("id").select("id").as[Long].collect().toSeq === Seq(1L, 3L))
+  }
+
+  test("writeSorted: files hold disjoint sorted ranges (row-group pruning layout)") {
+    val out = tmp("sorted")
+    Sinks.writeSorted(graft.model.Tables.orders(spark, sf001), out, "o_totalprice", 4)
+    val perFile = spark.read.parquet(out)
+      .select(input_file_name().as("f"), $"o_totalprice")
+      .groupBy("f")
+      .agg(min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+      .orderBy("lo")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    assert(perFile.size >= 2)
+    perFile.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlapping file ranges: $perFile")
+      case _ =>
+    }
+  }
+
+  test("foreachBatch parquet sink: streamed rows land in the parquet dir") {
+    val landing = tmp("fb_landing"); val out = tmp("fb_out"); val cp = tmp("fb_cp")
+    Files.copy(Paths.get(s"$sf001/events.parquet"), Paths.get(s"$landing/events.parquet"))
+    val q = EventStreaming.startParquetSink(
+      EventStreaming.parquetEventStream(spark, landing).drop("props"), out, cp)
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() === 1000)
+  }
+
   test("file-based event stream produces the same hourly windows as batch") {
     val streamDir = tmp("evstream")
     Files.copy(
