@@ -1,0 +1,91 @@
+package graft.etl
+
+import graft.etl.Normalize._
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The reference's operational loop (/root/reference/main.py:159–177) as a
+  * reusable, idempotent batch API: parse → drop unparseable → classify →
+  * get-or-create dims against the PERSISTED dimension tables → append
+  * FK-resolved facts. Re-running with the same batch appends facts (the
+  * reference's data_coleta accumulation, main.py:44) but never duplicates
+  * or renumbers a dimension row — the unique-constraint semantics
+  * (main.py:27,32) enforced set-based.
+  *
+  * Everything is one lazy plan per run: the per-row Postgres round-trips of
+  * the reference (main.py:130–147) become two broadcast joins; at 100 TB
+  * the fact batch streams through executors while the dims stay
+  * driver-negligible.
+  */
+object Pipeline {
+
+  /** Parquet locations of the star schema (the "database"). */
+  case class StarPaths(pais: String, setor: String, fato: String)
+
+  private val dimSchema = StructType.fromDDL("id BIGINT, nome STRING")
+
+  private def readOrEmpty(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    try spark.read.schema(schema).parquet(path)
+    catch { case _: AnalysisException => spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema) }
+
+  /** Normalize + drop + classify — the Transform stage, shared with the
+    * oracle-checked EtlQueries.starBuild.
+    */
+  def transform(
+      raw: DataFrame,
+      brazilSectorOf: Map[String, String],
+      countrySectorOf: Map[String, String]): DataFrame = {
+    val parsed = raw
+      .withColumn("valor_atual", ptBrNumber("valor_atual_s"))
+      .withColumn("maxima", ptBrNumber("maxima_s"))
+      .withColumn("minima", ptBrNumber("minima_s"))
+      .withColumn("variacao", ptBrPercent("variacao_s"))
+      .where(
+        col("valor_atual").isNotNull && col("maxima").isNotNull &&
+          col("minima").isNotNull && col("variacao").isNotNull)
+    parsed.withColumn(
+      "setor",
+      when(col("pais") === "Brasil", classify(col("nome"), brazilSectorOf, "Diversificado"))
+        .otherwise(classify(col("pais"), countrySectorOf, "Primário")))
+  }
+
+  /** One Extract→Load run. Returns (paisCount, setorCount, factsAppended). */
+  def run(
+      spark: SparkSession,
+      raw: DataFrame,
+      paths: StarPaths,
+      brazilSectorOf: Map[String, String] = Map.empty,
+      countrySectorOf: Map[String, String] = Map.empty): (Long, Long, Long) = {
+    val batch = transform(raw, brazilSectorOf, countrySectorOf)
+
+    // get-or-create per dimension, against persisted state (J-3, set-based)
+    def upsertDim(path: String, incoming: DataFrame): DataFrame = {
+      val existing = readOrEmpty(spark, path, dimSchema)
+      val updated = Dims.getOrCreate(existing, incoming, "nome")
+      // two-phase write: the updated dim depends on the existing files, so
+      // materialize to a staging dir first, then swap in
+      val staging = path + "__staging"
+      updated.write.mode(SaveMode.Overwrite).parquet(staging)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(path))
+      spark.read.schema(dimSchema).parquet(path)
+    }
+
+    val pais = upsertDim(paths.pais, batch.select(col("pais").as("nome")))
+    val setor = upsertDim(paths.setor, batch.select(col("setor").as("nome")))
+
+    // FK-resolve + append facts (S-3 batch append, not per-row commits)
+    batch
+      .join(broadcast(pais.withColumnRenamed("id", "pais_id")), col("pais") === pais("nome"))
+      .join(broadcast(setor.withColumnRenamed("id", "setor_id")), col("setor") === setor("nome"))
+      .select(
+        batch("nome"), col("pais_id"), col("setor_id"),
+        col("valor_atual"), col("maxima"), col("minima"), col("variacao"))
+      .write.mode(SaveMode.Append).parquet(paths.fato)
+
+    (pais.count(), setor.count(), spark.read.parquet(paths.fato).count())
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.etl.Pipeline
+import graft.etl.Pipeline.StarPaths
+import org.apache.spark.sql.functions._
+
+/** The reference's operational loop end-to-end: repeated runs accumulate
+  * facts while dimensions stay stable (ids never renumber), FK integrity
+  * holds, and new dimension values slot in above the existing max id.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val brazilMap = Map("Ibovespa" -> "Diversificado", "IBrX 50" -> "Financeiro")
+  private val countryMap = Map("China" -> "Primário", "EUA" -> "Primário")
+
+  private def rawBatch(rows: (String, String, String, String, String, String)*) =
+    rows.toSeq.toDF("nome", "valor_atual_s", "maxima_s", "minima_s", "variacao_s", "pais")
+
+  private val batch1 = rawBatch(
+    ("Ibovespa", "1.234,56", "1.240,00", "1.200,10", "+1,25%", "Brasil"),
+    ("Quebrado", "N/A", "-", "", "+0,00%", "Brasil"), // dropped
+    ("Shanghai", "3.210,98", "3.250,45", "3.200,11", "2,00%", "China"))
+
+  test("re-running the same batch appends facts but never touches dims") {
+    val dir = Files.createTempDirectory("star").toString
+    val paths = StarPaths(s"$dir/pais", s"$dir/setor", s"$dir/fato")
+    val (p1, s1, f1) = Pipeline.run(spark, batch1, paths, brazilMap, countryMap)
+    assert((p1, s1, f1) === (2L, 2L, 2L)) // Brasil+China; Diversificado+Primário; 2 facts (1 dropped)
+    val dims1 = spark.read.parquet(paths.pais).orderBy("nome").collect().toSeq
+    val (p2, s2, f2) = Pipeline.run(spark, batch1, paths, brazilMap, countryMap)
+    assert((p2, s2, f2) === (2L, 2L, 4L)) // facts doubled, dims identical
+    assert(spark.read.parquet(paths.pais).orderBy("nome").collect().toSeq === dims1)
+  }
+
+  test("new dimension values get fresh ids above the existing max; old ids stable") {
+    val dir = Files.createTempDirectory("star").toString
+    val paths = StarPaths(s"$dir/pais", s"$dir/setor", s"$dir/fato")
+    Pipeline.run(spark, batch1, paths, brazilMap, countryMap)
+    val before = spark.read.parquet(paths.pais)
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    val batch2 = rawBatch(("SP 500", "5.432,10", "5.450,00", "5.400,00", "+0,75%", "EUA"))
+    Pipeline.run(spark, batch2, paths, brazilMap, countryMap)
+    val after = spark.read.parquet(paths.pais)
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(before.forall { case (k, v) => after(k) == v }) // old ids untouched
+    assert(after("EUA") > before.values.max) // fresh id past the max
+  }
+
+  test("FK integrity: every fact row resolves to a dim row (anti-join empty)") {
+    val dir = Files.createTempDirectory("star").toString
+    val paths = StarPaths(s"$dir/pais", s"$dir/setor", s"$dir/fato")
+    Pipeline.run(spark, batch1, paths, brazilMap, countryMap)
+    val fato = spark.read.parquet(paths.fato)
+    val pais = spark.read.parquet(paths.pais)
+    val orphans = fato.join(pais, fato("pais_id") === pais("id"), "left_anti")
+    assert(orphans.isEmpty)
+    val setor = spark.read.parquet(paths.setor)
+    assert(fato.join(setor, fato("setor_id") === setor("id"), "left_anti").isEmpty)
+  }
+
+  test("classification defaults: unmapped Brazil index falls to Diversificado, unmapped country to Primário") {
+    val out = Pipeline.transform(
+      rawBatch(
+        ("Unknown BR Index", "1,00", "1,00", "1,00", "0,00%", "Brasil"),
+        ("Nikkei", "2,00", "2,00", "2,00", "0,00%", "Japão")),
+      brazilMap, countryMap)
+    val setores = out.select("nome", "setor").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(setores("Unknown BR Index") === "Diversificado")
+    assert(setores("Nikkei") === "Primário")
+  }
+}
