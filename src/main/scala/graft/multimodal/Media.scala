@@ -72,6 +72,45 @@ object Media {
     }
   }
 
+  /** STUB resize: a real implementation hands the batch to an image codec;
+    * the deterministic fake scales the stub dimensions and re-derives
+    * features. Signature/batching shape is the real contract.
+    */
+  def resizeStub(items: Dataset[MediaFeatures], maxDim: Int): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map { m =>
+      val scale = math.min(1.0, maxDim.toDouble / math.max(m.width, m.height))
+      m.copy(
+        width = math.max(1, (m.width * scale).toInt),
+        height = math.max(1, (m.height * scale).toInt))
+    })
+  }
+
+  /** STUB frame-sample for video payloads: a real impl decodes every Nth
+    * frame; the fake derives one MediaItem per sampled "frame" from the
+    * payload bytes. Shows the 1→N explode shape (flatMap in batches) that
+    * a frame sampler needs — output partitioning stays with the input.
+    */
+  def frameSampleStub(items: Dataset[MediaItem], everyNth: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
+      val nFrames = 1 + java.lang.Byte.toUnsignedInt(m.content(2)) % 8
+      (0 until nFrames by everyNth).map { f =>
+        m.copy(
+          media_id = m.media_id * 1000 + f,
+          kind = "frame",
+          content = m.content.map(b => (b ^ f).toByte))
+      }
+    })
+  }
+
+  /** Partition-by-kind layout: payload bytes stay columnar per kind so a
+    * kind-filtered decode job never reads the other modalities' bytes —
+    * the metadata-prunes-payload pattern for multimodal tables at 100 TB.
+    */
+  def writePartitionedByKind(items: Dataset[MediaItem], path: String): Unit =
+    items.write.mode("overwrite").partitionBy("kind").parquet(path)
+
   /** Driver-facing query: features rolled up per kind (rows-only check —
     * mapPartitions output is not SQL-expressible for the oracle).
     */

@@ -28,6 +28,31 @@ class MediaLangSpec extends SparkSpec {
     assert(Set("image", "audio", "video").contains(one.kind))
   }
 
+  test("resize stub caps dimensions, preserving aspect-ish scaling") {
+    val feats = Media.extractFeatures(Media.mediaTable(spark, sf001))
+    val resized = Media.resizeStub(feats, maxDim = 16)
+    assert(resized.collect().forall(m => m.width <= 16 && m.height <= 16 && m.width >= 1))
+    assert(resized.count() === feats.count())
+  }
+
+  test("frame sampling explodes only video items, deterministically") {
+    val items = Media.mediaTable(spark, sf001)
+    val frames = Media.frameSampleStub(items, everyNth = 2)
+    val out = frames.collect()
+    assert(out.nonEmpty && out.forall(_.kind === "frame"))
+    val again = Media.frameSampleStub(items, everyNth = 2).collect()
+    assert(out.map(_.media_id).sorted.toSeq === again.map(_.media_id).sorted.toSeq)
+  }
+
+  test("partition-by-kind layout prunes other modalities at scan") {
+    val out = java.nio.file.Files.createTempDirectory("media").toString
+    Media.writePartitionedByKind(Media.mediaTable(spark, sf001), out)
+    val scan = spark.read.parquet(out).where($"kind" === "video")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(kind"), plan)
+    assert(scan.count() > 0)
+  }
+
   test("lang-id predicts the dominant stopword profile") {
     val docs = Seq(
       (1L, "xx", "the cat sat on the mat and the dog ran to the park"),
