@@ -68,18 +68,9 @@ object EtlQueries {
   def starBuild(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val raw = rawRows.toDF("nome", "valor_atual_s", "maxima_s", "minima_s", "variacao_s", "pais")
-    val parsed = raw
-      .withColumn("valor_atual", ptBrNumber("valor_atual_s"))
-      .withColumn("maxima", ptBrNumber("maxima_s"))
-      .withColumn("minima", ptBrNumber("minima_s"))
-      .withColumn("variacao", ptBrPercent("variacao_s"))
-      .where(
-        $"valor_atual".isNotNull && $"maxima".isNotNull &&
-          $"minima".isNotNull && $"variacao".isNotNull)
-    val classified = parsed.withColumn(
-      "setor",
-      when($"pais" === "Brasil", classify($"nome", brazilSectorOf, "Diversificado"))
-        .otherwise(classify($"pais", countrySectorOf, "Primário")))
+    // the parse/drop/classify stage IS Pipeline.transform — one definition,
+    // so the oracle-checked path and the operational path cannot diverge
+    val classified = Pipeline.transform(raw, brazilSectorOf, countrySectorOf)
     val paisDim = Dims
       .withSequentialIds(classified.select($"pais".as("nome_pais")).distinct(), "nome_pais", 0L)
       .withColumnRenamed("id", "pais_id")

@@ -50,42 +50,55 @@ object Pipeline {
         .otherwise(classify(col("pais"), countrySectorOf, "Primário")))
   }
 
-  /** One Extract→Load run. Returns (paisCount, setorCount, factsAppended). */
+  /** One Extract→Load run. Returns (paisCount, setorCount, factTableTotal)
+    * — the third element is the CUMULATIVE fact-table row count after the
+    * append (the accumulation the reference's repeated runs produce), not
+    * this run's delta.
+    */
   def run(
       spark: SparkSession,
       raw: DataFrame,
       paths: StarPaths,
       brazilSectorOf: Map[String, String] = Map.empty,
       countrySectorOf: Map[String, String] = Map.empty): (Long, Long, Long) = {
-    val batch = transform(raw, brazilSectorOf, countrySectorOf)
+    // persist: the batch feeds 3+ actions (two dim upserts, the fact
+    // append); without it the raw source would be re-scanned per action —
+    // wasted work AND a consistency window if the source dir changes
+    // mid-run (facts would FK-resolve against dims from another snapshot)
+    val batch = transform(raw, brazilSectorOf, countrySectorOf).persist()
+    try {
+      // get-or-create per dimension, against persisted state (J-3, set-based)
+      def upsertDim(path: String, incoming: DataFrame): DataFrame = {
+        val existing = readOrEmpty(spark, path, dimSchema)
+        val updated = Dims.getOrCreate(existing, incoming, "nome")
+        // two-phase write: the updated dim depends on the existing files, so
+        // materialize to a staging dir first, then swap in. Hadoop FS ops
+        // report failure via return value, not exceptions — check them, or
+        // a failed rename silently destroys the dimension table.
+        val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+        val target = new org.apache.hadoop.fs.Path(path)
+        updated.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(target) && !fs.delete(target, true))
+          throw new java.io.IOException(s"failed to delete old dim at $target")
+        if (!fs.rename(staging, target))
+          throw new java.io.IOException(s"failed to swap staged dim into $target")
+        spark.read.schema(dimSchema).parquet(path)
+      }
 
-    // get-or-create per dimension, against persisted state (J-3, set-based)
-    def upsertDim(path: String, incoming: DataFrame): DataFrame = {
-      val existing = readOrEmpty(spark, path, dimSchema)
-      val updated = Dims.getOrCreate(existing, incoming, "nome")
-      // two-phase write: the updated dim depends on the existing files, so
-      // materialize to a staging dir first, then swap in
-      val staging = path + "__staging"
-      updated.write.mode(SaveMode.Overwrite).parquet(staging)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(path))
-      spark.read.schema(dimSchema).parquet(path)
-    }
+      val pais = upsertDim(paths.pais, batch.select(col("pais").as("nome")))
+      val setor = upsertDim(paths.setor, batch.select(col("setor").as("nome")))
 
-    val pais = upsertDim(paths.pais, batch.select(col("pais").as("nome")))
-    val setor = upsertDim(paths.setor, batch.select(col("setor").as("nome")))
+      // FK-resolve + append facts (S-3 batch append, not per-row commits)
+      batch
+        .join(broadcast(pais.withColumnRenamed("id", "pais_id")), col("pais") === pais("nome"))
+        .join(broadcast(setor.withColumnRenamed("id", "setor_id")), col("setor") === setor("nome"))
+        .select(
+          batch("nome"), col("pais_id"), col("setor_id"),
+          col("valor_atual"), col("maxima"), col("minima"), col("variacao"))
+        .write.mode(SaveMode.Append).parquet(paths.fato)
 
-    // FK-resolve + append facts (S-3 batch append, not per-row commits)
-    batch
-      .join(broadcast(pais.withColumnRenamed("id", "pais_id")), col("pais") === pais("nome"))
-      .join(broadcast(setor.withColumnRenamed("id", "setor_id")), col("setor") === setor("nome"))
-      .select(
-        batch("nome"), col("pais_id"), col("setor_id"),
-        col("valor_atual"), col("maxima"), col("minima"), col("variacao"))
-      .write.mode(SaveMode.Append).parquet(paths.fato)
-
-    (pais.count(), setor.count(), spark.read.parquet(paths.fato).count())
+      (pais.count(), setor.count(), spark.read.parquet(paths.fato).count())
+    } finally batch.unpersist()
   }
 }

@@ -25,11 +25,18 @@ object Tables {
     * longs (legacy conf) and rebuild a µs timestamp with integer arithmetic
     * (`DIV`, not `/` — a double division would lose precision above 2^53 ns).
     * The testdata carries no sub-µs precision, so the conversion is lossless.
+    * ONE definition shared by batch and streaming reads
+    * (EventStreaming.parquetEventStream) so the two plans cannot diverge.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  val NanosTsToMicrosExpr = "timestamp_micros(ts DIV 1000)"
+
+  def readEventsAsNanoLongs(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    readEventsAsNanoLongs(spark)
     read(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", org.apache.spark.sql.functions.expr(NanosTsToMicrosExpr))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")

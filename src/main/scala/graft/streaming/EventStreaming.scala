@@ -87,13 +87,13 @@ object EventStreaming {
     * [[graft.model.Tables.events]], so batch and stream plans agree.
     */
   def parquetEventStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.model.Tables.readEventsAsNanoLongs(spark)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
     spark.readStream
       .schema(schema)
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", expr(graft.model.Tables.NanosTsToMicrosExpr))
   }
 
   /** Stream-stream join: purchases joined to the click that preceded them

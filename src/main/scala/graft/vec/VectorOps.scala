@@ -220,7 +220,9 @@ object VectorOps {
   def knnIvf(spark: SparkSession, sfDir: String, nProbe: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val cents = allLabelCentroids(spark, sfDir)
-    val q = labelCentroidVector(spark, sfDir, 0)
+    // the query vector IS cents(0) — recomputing it via labelCentroidVector
+    // would be a second full-table aggregate job
+    val q = cents(0)
     val qNorm = math.sqrt(q.map(x => x * x).sum)
     def d2(c: Seq[Double]): Double =
       c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
