@@ -125,15 +125,23 @@ object Dedup {
     */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    // signatures from the multiset (no distinct shuffle); the exact-Jaccard
-    // verification below still needs the DISTINCT shingle set
-    val sig = minhashSignatures(docs)
-    val sh = shingleRows(docs)
+    // ONE pass over shingle rows produces BOTH the banded signature and the
+    // per-doc sorted distinct-shingle-hash array used for exact
+    // verification: the min-aggs don't need distinct (idempotent) and
+    // collect_set dedupes inline — no second/third shingle scan, no
+    // candidate⋈shingles double join.
+    val shm = shingleRowsMulti(docs).withColumn("h", xxhash64(col("sh")))
+    val minAggs = (0 until NumHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh$i"))
+    val perDoc = shm.groupBy("doc_id")
+      .agg(array_sort(collect_set(col("h"))).as("hs"), minAggs: _*)
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       val cols = (0 until BandSize).map(r => col(s"mh${b * BandSize + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
     }
-    val buckets = sig
+    // bucket join on ids only (NOT the hs arrays — 8 bands would shuffle 8
+    // copies of every doc's shingle hashes); arrays are fetched afterwards,
+    // one copy per surviving candidate side
+    val buckets = perDoc
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val candidates = buckets.as("a")
@@ -142,18 +150,16 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // verify candidates with exact Jaccard over the SAME persisted shingles
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("d2") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("i"))
-    val jac = col("i").cast("double") /
-      (col("n1").cast("double") + col("n2").cast("double") - col("i").cast("double"))
-    inter
-      .join(sizes.withColumnRenamed("n", "n1").withColumnRenamed("doc_id", "dd1"), col("d1") === col("dd1"))
-      .join(sizes.withColumnRenamed("n", "n2").withColumnRenamed("doc_id", "dd2"), col("d2") === col("dd2"))
+    // exact Jaccard = |A∩B| / |A∪B| via array_intersect on the 64-bit hash
+    // sets (collision-safe at any realistic corpus size); perDoc's single
+    // aggregation feeds the buckets AND both array fetches (ReusedExchange)
+    val hs = perDoc.select(col("doc_id"), col("hs"))
+    val pairs = candidates
+      .join(hs.withColumnRenamed("doc_id", "dd1").withColumnRenamed("hs", "h1"), col("d1") === col("dd1"))
+      .join(hs.withColumnRenamed("doc_id", "dd2").withColumnRenamed("hs", "h2"), col("d2") === col("dd2"))
+    val i = size(array_intersect(col("h1"), col("h2"))).cast("double")
+    val jac = i / (size(col("h1")).cast("double") + size(col("h2")).cast("double") - i)
+    pairs
       .where(jac >= 0.5)
       .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
       .orderBy("d1", "d2")
