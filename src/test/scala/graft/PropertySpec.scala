@@ -53,6 +53,41 @@ class PropertySpec extends SparkSpec {
     assert(once.orderBy("doc_id").collect().toSeq === twice.orderBy("doc_id").collect().toSeq)
   }
 
+  test("property: as-of join matches a brute-force reference, including ts ties") {
+    // small ts domain on purpose: forces click/purchase ts collisions, the
+    // case the <= (inclusive) semantics must get right
+    val gen = for {
+      id <- Gen.chooseNum(1L, 10000L)
+      user <- Gen.chooseNum(1L, 5L)
+      t <- Gen.chooseNum(0L, 20L)
+      kind <- Gen.oneOf("click", "purchase", "view")
+    } yield (id, user, t, kind)
+    val events = Gen.listOfN(150, gen).sample.get
+      .distinctBy(_._1) // unique event ids
+    val df = events.toDF("event_id", "user_id", "t", "event_type")
+      .withColumn("ts", expr("timestamp_seconds(t)"))
+      .select("event_id", "user_id", "ts", "event_type")
+    df.createOrReplaceTempView("prop_events")
+    // the production operator, re-expressed over this view
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), when(col("event_type") === "click", 0).otherwise(1), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val got = df.where(col("event_type").isin("click", "purchase"))
+      .withColumn("prev_click_ts", max(when(col("event_type") === "click", col("ts"))).over(w))
+      .where(col("event_type") === "purchase")
+      .select("event_id", "prev_click_ts")
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1)).map(_.getTime)).toMap
+    // brute force in plain Scala
+    val clicks = events.filter(_._4 == "click")
+    val expected = events.filter(_._4 == "purchase").map { case (id, u, t, _) =>
+      val prior = clicks.filter(c => c._2 == u && c._3 <= t).map(_._3)
+      id -> (if (prior.isEmpty) None else Some(prior.max * 1000L))
+    }.toMap
+    assert(got === expected)
+  }
+
   test("property: get-or-create never duplicates and never loses keys") {
     val existing = Seq((1L, "k1"), (2L, "k2")).toDF("id", "nome")
     val keys = Gen.listOfN(100, Gen.oneOf("k1", "k2", "k3", "k4", "k5", "k6")).sample.get
