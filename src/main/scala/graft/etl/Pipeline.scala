@@ -73,16 +73,23 @@ object Pipeline {
         val updated = Dims.getOrCreate(existing, incoming, "nome")
         // two-phase write: the updated dim depends on the existing files, so
         // materialize to a staging dir first, then swap in. Hadoop FS ops
-        // report failure via return value, not exceptions — check them, or
-        // a failed rename silently destroys the dimension table.
+        // report failure via return value, not exceptions — check them. The
+        // swap order is crash-safe: the old table is moved ASIDE (not
+        // deleted) before the staged one moves in, so at no point is the
+        // dimension absent-with-no-recovery; a crash mid-swap leaves either
+        // the old table or both old+staging on disk, never neither.
         val staging = new org.apache.hadoop.fs.Path(path + "__staging")
         val target = new org.apache.hadoop.fs.Path(path)
+        val old = new org.apache.hadoop.fs.Path(path + "__old")
         updated.write.mode(SaveMode.Overwrite).parquet(staging.toString)
         val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(target) && !fs.delete(target, true))
-          throw new java.io.IOException(s"failed to delete old dim at $target")
+        if (fs.exists(old) && !fs.delete(old, true))
+          throw new java.io.IOException(s"failed to clear previous $old")
+        if (fs.exists(target) && !fs.rename(target, old))
+          throw new java.io.IOException(s"failed to move old dim aside at $target")
         if (!fs.rename(staging, target))
           throw new java.io.IOException(s"failed to swap staged dim into $target")
+        fs.delete(old, true) // best-effort cleanup; stale __old is harmless
         spark.read.schema(dimSchema).parquet(path)
       }
 

@@ -24,13 +24,19 @@ object MediaDemo {
     val items = Media.mediaTable(spark, sfDir)
     Media.writePartitionedByKind(items, outDir)
     val videoScan = spark.read.parquet(outDir).where(col("kind") === "video")
+    // structural pruning check (not a plan-string substring, which breaks
+    // silently on plan-format changes): find the scan node, ask it directly
+    val pruned = videoScan.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.partitionFilters.nonEmpty
+    }.exists(identity)
     println("partitioned: kinds=" +
       spark.read.parquet(outDir).select("kind").distinct().count() +
       " videoOnly=" + videoScan.count() +
-      " pruned=" + videoScan.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(kind"))
+      " pruned=" + pruned)
     val feats = Media.extractFeatures(items)
     val resized = Media.resizeStub(feats, maxDim = 16)
-    val maxDim = resized.agg(max(greatest(col("width"), col("height")))).head.getInt(0)
+    val maxDim = resized.agg(coalesce(max(greatest(col("width"), col("height"))), lit(0)))
+      .head.getInt(0)
     println("features=" + feats.count() + " resizedMaxDim=" + maxDim)
     val frames = Media.frameSampleStub(items, everyNth = 2)
     println("videoFrames=" + frames.count())

@@ -60,7 +60,12 @@ object EventStreaming {
             val t = e.ts.getTime
             if (lastTs == Long.MinValue || t - lastTs > gapMs) nSessions += 1
             nEvents += 1
-            lastTs = t
+            // never regress: an event arriving LATE (t < lastTs, i.e.
+            // out-of-order across micro-batches) folds into the current
+            // session without moving its end time backwards — otherwise a
+            // later in-order event could falsely open a new session and the
+            // stream would diverge from the globally-sorted batch twin
+            lastTs = math.max(lastTs, t)
           }
           state.update((lastTs, nEvents, nSessions))
           SessionUpdate(userId, nEvents, nSessions)
@@ -121,8 +126,11 @@ object EventStreaming {
 
   /** foreachBatch parquet sink: per-micro-batch batch-mode write — the
     * production pattern when the target (parquet dir, JDBC, multiple sinks)
-    * has no native streaming writer. The batch id gives idempotence hooks
-    * (dedup on re-delivery after checkpoint recovery).
+    * has no native streaming writer. Idempotent under micro-batch
+    * re-delivery: each batch OVERWRITES its own `batch_id=N` partition
+    * directory, so a batch replayed after checkpoint recovery lands on the
+    * same path instead of appending duplicates. Readers get a `batch_id`
+    * provenance column for free via partition discovery.
     */
   def startParquetSink(
       events: DataFrame,
@@ -132,7 +140,7 @@ object EventStreaming {
         org.apache.spark.sql.streaming.Trigger.AvailableNow()) =
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.write.mode("append").parquet(outDir)
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -48,8 +48,9 @@ object StreamDemo {
         .start()
       q.awaitTermination(120000)
       val t = spark.table("wc")
+      // coalesce: sum over an empty sink table is NULL, not 0
       println("stream windows=" + t.count() +
-        " events=" + t.agg(sum(col("n_events"))).head.getLong(0))
+        " events=" + t.agg(coalesce(sum(col("n_events")), lit(0L))).head.getLong(0))
     }
     spark.stop()
   }

@@ -58,6 +58,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a late cross-batch event cannot regress the session clock") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreaming.sessionize(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("late").start()
+    try {
+      input.addData(Event(1, ts(60), 9, "a", 0)) // session 1 at 1:00
+      q.processAllAvailable()
+      input.addData(Event(2, ts(10), 9, "a", 0)) // LATE: 0:10, folds into session 1
+      q.processAllAvailable()
+      input.addData(Event(3, ts(70), 9, "a", 0)) // 1:10 — 10 min after 1:00, same session
+      q.processAllAvailable()
+      val last = spark.table("late").as[SessionUpdate].collect()
+        .filter(_.user_id == 9L).maxBy(_.n_events)
+      // without the no-regress guard the 1:10 event would open a spurious
+      // session (70 - 10 > 30 min)
+      assert(last === SessionUpdate(9L, 3L, 1L))
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate event_ids within the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

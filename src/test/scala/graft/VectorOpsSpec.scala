@@ -29,6 +29,15 @@ class VectorOpsSpec extends SparkSpec {
     assert(viaHof === 1.5 * 0.5 + -2.25 * 4.0 + 3.125 * -1.0)
   }
 
+  test("native graft_dot: mismatched lengths yield null, exactly like the HOF twin") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val row = df.select(
+      VectorOps.dot($"a", $"b").as("native"),
+      VectorOps.dotHof($"a", $"b").as("hof")).head()
+    assert(row.isNullAt(0), "native must not truncate a ragged pair to a partial dot product")
+    assert(row.isNullAt(1))
+  }
+
   test("native graft_dot: null array yields null; arity error is caught at analysis") {
     val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
     assert(df.select(VectorOps.dot($"a", $"b")).head().isNullAt(0))
