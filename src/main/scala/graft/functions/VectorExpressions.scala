@@ -78,7 +78,69 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
-/** Registration for [[DotProduct]] — both paths Spark supports:
+/** Fused cosine similarity: dot(a,b) / (√dot(a,a)·√dot(b,b)) in ONE loop
+  * over both arrays — the composed form traverses each array three times
+  * (dot + two norms). All three sums accumulate in the same left-to-right
+  * fold order as the composed expression, so results are bit-identical and
+  * the DuckDB oracle (which composes list_dot_product the same way) is
+  * unaffected. Null contract matches [[DotProduct]]: null/ragged → null;
+  * zero-norm inputs yield NaN exactly like the composed division.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var sab = 0.0; var saa = 0.0; var sbb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getDouble(i); val yi = y.getDouble(i)
+        sab += xi * yi; saa += xi * xi; sbb += yi * yi
+        i += 1
+      }
+      sab / (math.sqrt(saa) * math.sqrt(sbb))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sab = ctx.freshName("sab")
+      val saa = ctx.freshName("saa")
+      val sbb = ctx.freshName("sbb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $sab = 0.0; double $saa = 0.0; double $sbb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $a.getDouble($i); double $yi = $b.getDouble($i);
+         |    $sab += $xi * $yi; $saa += $xi * $xi; $sbb += $yi * $yi;
+         |  }
+         |  ${ev.value} = $sab / (java.lang.Math.sqrt($saa) * java.lang.Math.sqrt($sbb));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Registration for [[DotProduct]] and [[CosineSim]] — both paths Spark supports:
   *
   *   - `GraftFunctions.register(spark)`: imperative, idempotent, used by
   *     the query layer (sessions the driver creates without our conf).
@@ -93,21 +155,35 @@ object GraftFunctions {
 
   val dotInfo: ExpressionInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
 
+  val cosineInfo: ExpressionInfo = new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine")
+
   val dotBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => DotProduct(a, b)
     case args =>
       throw new IllegalArgumentException(s"graft_dot expects 2 arguments, got ${args.size}")
   }
 
-  def register(spark: SparkSession): Unit =
+  val cosineBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => CosineSim(a, b)
+    case args =>
+      throw new IllegalArgumentException(s"graft_cosine expects 2 arguments, got ${args.size}")
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_cosine", cosineBuilder, "built-in")
+  }
 
-  /** DataFrame-side handle (requires register() on the active session). */
+  /** DataFrame-side handles (require register() on the active session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"), GraftFunctions.dotInfo, GraftFunctions.dotBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"), GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
+  }
 }

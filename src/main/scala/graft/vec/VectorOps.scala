@@ -37,7 +37,12 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine ([[graft.functions.CosineSim]]) — the
+    * composed dot/(norm·norm) form traverses each array three times;
+    * identical fold order keeps results bit-equal to the composition and
+    * the DuckDB oracle.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.GraftFunctions.cosineSim(a, b)
 
   private def embDouble: Column = col("embedding").cast("array<double>")
 
@@ -60,9 +65,7 @@ object VectorOps {
   def knnCosine(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val q = labelCentroidVector(spark, sfDir, 0)
-    val qNorm = math.sqrt(q.map(x => x * x).sum)
-    val qLit = typedLit(q)
-    val sim = dot(embDouble, qLit) / (norm(embDouble) * lit(qNorm))
+    val sim = cosine(embDouble, typedLit(q))
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), round(sim, 6).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
@@ -161,12 +164,11 @@ object VectorOps {
   def knnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val q = labelCentroidVector(spark, sfDir, 0)
-    val qNorm = math.sqrt(q.map(x => x * x).sum)
     val planes = hyperplanes(q.size)
     val qSig = planes.zipWithIndex.map { case (p, j) =>
       if (p.zip(q).map { case (a, b) => a * b }.sum > 0) 1 << j else 0
     }.sum
-    val sim = dot(embDouble, typedLit(q)) / (norm(embDouble) * lit(qNorm))
+    val sim = cosine(embDouble, typedLit(q))
     Tables.embeddings(spark, sfDir)
       .withColumn("sig", signature(embDouble, planes))
       .where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= 2)
@@ -223,11 +225,10 @@ object VectorOps {
     // the query vector IS cents(0) — recomputing it via labelCentroidVector
     // would be a second full-table aggregate job
     val q = cents(0)
-    val qNorm = math.sqrt(q.map(x => x * x).sum)
     def d2(c: Seq[Double]): Double =
       c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
     val probed = cents.toSeq.sortBy { case (id, c) => (d2(c), id) }.take(nProbe).map(_._1)
-    val sim = dot(embDouble, typedLit(q)) / (norm(embDouble) * lit(qNorm))
+    val sim = cosine(embDouble, typedLit(q))
     Tables.embeddings(spark, sfDir)
       .withColumn("cluster", clusterAssignment(embDouble, cents))
       .where(col("cluster").isin(probed: _*))
