@@ -150,6 +150,29 @@ object TextOps {
        |        / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE), 6) AS fertility
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Bigram frequency, top-20 — the n-gram count shape LM/tokenizer-vocab
+    * pipelines run at corpus scale: one explode of adjacent-token pairs,
+    * one map-side-combined count, TakeOrderedAndProject for the top-k.
+    */
+  def bigramFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("t"))
+      .select(explode(expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])) ELSE array() END"))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(20)
+
+  val bigramFreqSql: String =
+    """SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (
+      |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 2)
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
   /** Rolling-hash document fingerprint: a polynomial fold over token hashes
     * (h ← (31·h + hash(tok)) mod p). One codegen'd `aggregate` higher-order
     * function — no UDF, no shuffle, order-sensitive by construction (unlike
@@ -178,12 +201,14 @@ object TextOps {
     "t_quality_score" -> (qualityScore _),
     "t_fingerprints" -> (fingerprints _),
     "t_bpe_tokens" -> (bpeTokens _),
-    "t_rolling_fp" -> (rollingFingerprint _))
+    "t_rolling_fp" -> (rollingFingerprint _),
+    "x5_bigram_freq" -> (bigramFreq _))
 
   val oracle: Map[String, String] = Map(
     "x5_text_stats" -> textStatsSql,
     "x5_word_freq" -> wordFreqSql,
     "t_quality_score" -> qualityScoreSql,
     "t_fingerprints" -> fingerprintsSql,
-    "t_bpe_tokens" -> bpeTokensSql)
+    "t_bpe_tokens" -> bpeTokensSql,
+    "x5_bigram_freq" -> bigramFreqSql)
 }
