@@ -199,7 +199,31 @@ object RelQueries {
       |FROM orders WHERE o_custkey < 50
       |ORDER BY o_custkey, order_seq""".stripMargin
 
+  /** Subquery surface, exercised through `spark.sql` so Catalyst's subquery
+    * handling (scalar-subquery extraction, EXISTS decorrelation into a
+    * semi-join) actually runs: per-segment counts of customers above the
+    * global mean balance who ordered in 1995. The same SQL text is the
+    * oracle — one definition, two engines.
+    */
+  val subqueriesSql: String =
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rich_active
+      |FROM customer
+      |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+      |  AND EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |                AND o_orderdate < TIMESTAMP '1996-01-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  def subqueries(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(t => Tables.read(spark, sfDir, t).createOrReplaceTempView(t))
+    spark.sql(subqueriesSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_subqueries" -> (subqueries _),
     "q_outer_join" -> (custOrdersOuter _),
     "q_semi_anti" -> (semiAntiCustomers _),
     "q_rollup" -> (ordersRollup _),
@@ -208,6 +232,7 @@ object RelQueries {
     "q_window_frames" -> (windowFrames _))
 
   val oracle: Map[String, String] = Map(
+    "q_subqueries" -> subqueriesSql,
     "q_outer_join" -> custOrdersOuterSql,
     "q_semi_anti" -> semiAntiCustomersSql,
     "q_rollup" -> ordersRollupSql,
