@@ -111,6 +111,28 @@ object RelQueries {
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** CUBE over (status, priority): all four grouping sets in one pass —
+    * with ROLLUP above, the complete grouping-extension family. Same
+    * NULLS FIRST pinning discipline.
+    */
+  def ordersCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .select("gid", "o_orderstatus", "o_orderpriority", "n", "total")
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val ordersCubeSql: String =
+    """SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      |       o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** Pivot: order counts by status × pinned priority list → fixed columns.
     * Equivalent to conditional aggregation (the oracle form); Spark plans
     * it as a single aggregate, no extra shuffle over the groupBy.
@@ -227,6 +249,7 @@ object RelQueries {
     "q_outer_join" -> (custOrdersOuter _),
     "q_semi_anti" -> (semiAntiCustomers _),
     "q_rollup" -> (ordersRollup _),
+    "q_cube" -> (ordersCube _),
     "q_pivot" -> (ordersPivot _),
     "q_set_ops" -> (setOps _),
     "q_window_frames" -> (windowFrames _))
@@ -236,6 +259,7 @@ object RelQueries {
     "q_outer_join" -> custOrdersOuterSql,
     "q_semi_anti" -> semiAntiCustomersSql,
     "q_rollup" -> ordersRollupSql,
+    "q_cube" -> ordersCubeSql,
     "q_pivot" -> ordersPivotSql,
     "q_set_ops" -> setOpsSql,
     "q_window_frames" -> windowFramesSql)

@@ -124,6 +124,18 @@ object EventStreaming {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * (batch) dimension table — the most common production streaming join
+    * (enrich facts with dims). No watermark needed on the static side; the
+    * dim broadcasts per micro-batch, so 1000 executors each probe a local
+    * hash table and nothing shuffles.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      events(eventKey) === dim(dimKey),
+      "left_outer")
+
   /** foreachBatch parquet sink: per-micro-batch batch-mode write — the
     * production pattern when the target (parquet dir, JDBC, multiple sinks)
     * has no native streaming writer. Idempotent under micro-batch

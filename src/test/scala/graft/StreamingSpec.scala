@@ -38,6 +38,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with a broadcast dim, preserving unmatched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((100L, "gold"), (101L, "silver")).toDF("dim_user", "tier")
+    val input = MemoryStream[Event]
+    val q = EventStreaming.enrichWithDim(input.toDF(), dim, "user_id", "dim_user")
+      .select("event_id", "tier")
+      .writeStream.outputMode("append").format("memory").queryName("enrich").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 100, "click", 1.0),
+        Event(2, ts(1), 999, "click", 1.0)) // no dim row → tier null, row kept
+      q.processAllAvailable()
+      val rows = spark.table("enrich").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows === Map(1L -> Some("gold"), 2L -> None))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchase pairs with clicks within the hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
