@@ -20,6 +20,17 @@ class InvariantSpec extends SparkSpec {
     assert(math.abs(grand.head.getDouble(4) - details.map(_.getDouble(4)).sum) < 1e-6)
   }
 
+  test("cube contains rollup exactly (rollup's grouping sets are a subset)") {
+    val cube = RelQueries.ordersCube(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val rollup = RelQueries.ordersRollup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(rollup.subsetOf(cube))
+    // cube's extra sets are exactly gid=2 (status aggregated away)
+    assert((cube -- rollup).forall(_._1 == 2L))
+    assert((cube -- rollup).nonEmpty)
+  }
+
   test("pivot: per-status pivoted counts sum to the plain group counts") {
     val piv = RelQueries.ordersPivot(spark, sf001).collect()
       .map(r => r.getString(0) -> (r.getLong(1) + r.getLong(2) + r.getLong(3))).toMap
