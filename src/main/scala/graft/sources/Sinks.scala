@@ -66,6 +66,29 @@ object Sinks {
       .schema(schema.add("_corrupt_record", "string"))
       .csv(path)
 
+  /** Small-file compaction: rewrite a directory (e.g. a streaming sink's
+    * accumulated micro-batch files) into `nFiles` files via a staging dir +
+    * swap. The operational follow-up to foreachBatch sinks — thousands of
+    * tiny parquet files are the classic streaming-landing-zone pathology
+    * (footer-per-file planning cost, tiny row groups).
+    */
+  def compact(spark: SparkSession, path: String, nFiles: Int): Unit = {
+    val staging = path + "__compacting"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"failed to clear $old")
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"failed to move $target aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), target))
+      throw new java.io.IOException(s"failed to swap compacted files into $target")
+    fs.delete(old, true)
+  }
+
   /** Range-partitioned, sorted-within-file layout: rows globally ordered on
     * `sortCol` across `nFiles` files. Parquet stores per-row-group min/max
     * on every column; with sorted data a range predicate on `sortCol` skips

@@ -107,6 +107,28 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 1000)
   }
 
+  test("compact: many small files become nFiles, content byte-identical") {
+    val out = tmp("compact")
+    val c = graft.model.Tables.customer(spark, sf001)
+    c.repartition(20).write.mode("overwrite").parquet(out)
+    val before = c.orderBy("c_custkey").collect().toSeq
+    assert(new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet")) === 20)
+    Sinks.compact(spark, out, 2)
+    assert(new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet")) === 2)
+    assert(spark.read.parquet(out).orderBy("c_custkey").collect().toSeq === before)
+  }
+
+  test("mergeSchema read unions evolved parquet schemas") {
+    val dir = tmp("evolve")
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/p=1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "name", "score", "p"))
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(rows === Seq(1L -> None, 2L -> Some(9.5))) // old files null-fill new columns
+  }
+
   test("file-based event stream produces the same hourly windows as batch") {
     val streamDir = tmp("evstream")
     Files.copy(
