@@ -48,6 +48,12 @@ object MicroBench {
     val h = time("hof", hof)
     val nat = time("native", native)
     println(f"native is ${h / nat}%.2fx the HOF path on $n rows x 64 dims")
+    // typed-Aggregator surface check: one-pass centroid over the synthetic
+    // vectors (the shuffle-light alternative to posexplode+groupBy)
+    val cent = vecs.select(col("a"))
+      .agg(graft.vec.VectorAggregates.centroidAgg(64)(col("a")).as("c"))
+      .head.getSeq[Double](0)
+    println(f"udaf centroid: dim=${cent.length} c0=${cent.head}%.6f")
     spark.stop()
   }
 }

@@ -107,6 +107,33 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 1000)
   }
 
+  test("orc round-trip preserves data; filters push into the ORC scan") {
+    val out = tmp("orc")
+    val c = graft.model.Tables.customer(spark, sf001)
+    Sinks.writeOrc(c, out)
+    val back = Sinks.readOrc(spark, out)
+    assert(back.orderBy("c_custkey").collect().toSeq === c.orderBy("c_custkey").collect().toSeq)
+    val scan = back.where($"c_acctbal" > 5000)
+    assert(scan.queryExecution.executedPlan.toString.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,5000"))
+  }
+
+  test("typed Aggregator centroid matches the posexplode form within float tolerance") {
+    import graft.vec.VectorAggregates
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+      .select($"label", $"embedding".cast("array<double>").as("emb"))
+    val viaAgg = emb.groupBy("label")
+      .agg(VectorAggregates.centroidAgg(64)($"emb").as("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val viaExplode = graft.vec.VectorOps.allLabelCentroids(spark, sf001)
+    assert(viaAgg.keySet === viaExplode.keySet)
+    viaAgg.foreach { case (label, c) =>
+      assert(c.length === 64)
+      c.zip(viaExplode(label)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"label $label centroid mismatch: $a vs $b")
+      }
+    }
+  }
+
   test("compact: many small files become nFiles, content byte-identical") {
     val out = tmp("compact")
     val c = graft.model.Tables.customer(spark, sf001)
