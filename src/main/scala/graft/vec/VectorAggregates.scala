@@ -24,9 +24,16 @@ object VectorAggregates {
     override def zero: CentroidBuf = CentroidBuf(Array.fill(dim)(0.0), 0L)
 
     override def reduce(b: CentroidBuf, v: Seq[Double]): CentroidBuf = {
-      var i = 0
-      while (i < dim && i < v.length) { b.sums(i) += v(i); i += 1 }
-      CentroidBuf(b.sums, b.count + 1)
+      // skip nulls (like every built-in aggregate) AND ragged vectors —
+      // zero-padding a short vector while counting it would silently bias
+      // every tail dimension toward 0, the masking the DotProduct null
+      // contract exists to prevent
+      if (v == null || v.length != dim) b
+      else {
+        var i = 0
+        while (i < dim) { b.sums(i) += v(i); i += 1 }
+        CentroidBuf(b.sums, b.count + 1)
+      }
     }
 
     override def merge(a: CentroidBuf, b: CentroidBuf): CentroidBuf = {

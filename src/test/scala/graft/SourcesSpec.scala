@@ -117,6 +117,20 @@ class SourcesSpec extends SparkSpec {
     assert(scan.queryExecution.executedPlan.toString.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,5000"))
   }
 
+  test("typed Aggregator centroid skips null and ragged vectors without bias") {
+    import graft.vec.VectorAggregates
+    val df = Seq(
+      (1, Some(Seq(2.0, 4.0))),
+      (1, Some(Seq(6.0, 8.0))),
+      (1, None), // null row: skipped, not counted
+      (1, Some(Seq(99.0)))) // ragged row: skipped, not counted
+      .toDF("label", "emb")
+    val c = df.groupBy("label")
+      .agg(VectorAggregates.centroidAgg(2)($"emb").as("c"))
+      .head.getSeq[Double](1)
+    assert(c === Seq(4.0, 6.0)) // mean of the two well-formed vectors only
+  }
+
   test("typed Aggregator centroid matches the posexplode form within float tolerance") {
     import graft.vec.VectorAggregates
     val emb = graft.model.Tables.embeddings(spark, sf001)
