@@ -40,4 +40,17 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+
+  val AllTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view (events through its
+    * nanos-safe reader) — the one-call catalog for `spark.sql` sessions.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    AllTables.foreach { t =>
+      val df = if (t == "events") events(spark, sfDir) else read(spark, sfDir, t)
+      df.createOrReplaceTempView(t)
+    }
 }
