@@ -30,9 +30,71 @@ object EtlQueries {
     .map { case (n, v, ma, mi, va, p) => s"('$n','$v','$ma','$mi','$va','$p')" }
     .mkString(",\n  ")
 
-  /** Sector maps mirroring main.py:52–84 (re-derived, not copied): Brazil
-    * classifies by index name with default "Diversificado"; other countries
-    * by country with default "Primário" (main.py:106).
+  /** Raw row/cell-scan fixture modeling the scrape's DOM shape
+    * (main.py:94–104): each row is the `td` cell texts of one `tbody tr` —
+    * cell 0 is non-data chrome, cell 1 the name anchor, cells 2–5 the
+    * pt-BR numerics. Includes a short row (arity guard P-6, main.py:98),
+    * an unparseable row (drop P-7, main.py:116–117), and an extra-cell row
+    * (positional extraction ignores trailing cells).
+    */
+  private val rawCellRows: Seq[Seq[String]] = Seq(
+    Seq("", "Ibovespa", "1.234,56", "1.240,00", "1.200,10", "+1,25%"),
+    Seq("", "IBrX 50", "10.876,54", "10.900,00", "10.800,99", "-0,48%"),
+    Seq("", "Shanghai", "3.210,98", "3.250,45", "3.200,11", "2,00%"),
+    Seq("", "Truncada", "1,00"), // < 6 cells: dropped by the arity guard (P-6)
+    Seq("", "Quebrada", "N/A", "-", "", "x%"), // 6 cells, unparseable: dropped (P-7)
+    Seq("", "SP 500", "5.432,10", "5.450,00", "5.400,00", "+0,75%", "extra-cell"))
+
+  /** S-1 faithful analogue of the scrape's row/cell scan: explode-free
+    * positional extraction over raw cell arrays — arity guard (P-6,
+    * `size(cells) >= 6`) → 1-based `element_at` projection (name at cell 2,
+    * numerics at 3–6, exactly main.py:100–104) → F-1..F-4 normalize →
+    * P-7 unparseable-row drop. At scale this is the scan-side shape of any
+    * semi-structured ingest: a guard + positional projection fused into the
+    * scan, no shuffle.
+    */
+  def rowScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    rawCellRows.toDF("cells")
+      .where(size($"cells") >= 6)
+      .select(
+        element_at($"cells", 2).as("nome"),
+        ptBrNumber("element_at(cells, 3)").as("valor_atual"),
+        ptBrNumber("element_at(cells, 4)").as("maxima"),
+        ptBrNumber("element_at(cells, 5)").as("minima"),
+        ptBrPercent("element_at(cells, 6)").as("variacao"))
+      .where(
+        $"valor_atual".isNotNull && $"maxima".isNotNull &&
+          $"minima".isNotNull && $"variacao".isNotNull)
+      .orderBy("nome")
+  }
+
+  val rowScanSql: String = {
+    val cellValuesSql = rawCellRows
+      .map(r => "(" + r.map(c => s"'$c'").mkString("[", ", ", "]") + ")")
+      .mkString(",\n  ")
+    s"""WITH raw(cells) AS (VALUES
+       |  $cellValuesSql),
+       |kept AS (SELECT cells FROM raw WHERE len(cells) >= 6),
+       |parsed AS (
+       |  SELECT cells[2] AS nome,
+       |    ${ptBrNumberSql("cells[3]")} AS valor_atual,
+       |    ${ptBrNumberSql("cells[4]")} AS maxima,
+       |    ${ptBrNumberSql("cells[5]")} AS minima,
+       |    ${ptBrPercentSql("cells[6]")} AS variacao
+       |  FROM kept)
+       |SELECT * FROM parsed
+       |WHERE valor_atual IS NOT NULL AND maxima IS NOT NULL
+       |  AND minima IS NOT NULL AND variacao IS NOT NULL
+       |ORDER BY nome""".stripMargin
+  }
+
+  /** Illustrative fixture maps exercising the main.py:106 classification
+    * SHAPE — Brazil classifies by index name with default "Diversificado",
+    * other countries by country with default "Primário". The entries are
+    * deliberately NOT the reference's literal 26-entry map (main.py:52–84
+    * was not copied); values here exist to exercise hit/miss/default paths,
+    * not to reproduce the reference's sector assignments.
     */
   private val brazilSectorOf =
     Map("Ibovespa" -> "Diversificado", "IBrX 50" -> "Financeiro", "Small Caps" -> "Secundário")
@@ -126,9 +188,11 @@ object EtlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ptbr_normalize" -> (ptBrNormalize _),
+    "q_rowscan" -> (rowScan _),
     "q_etl_star_build" -> (starBuild _))
 
   val oracle: Map[String, String] = Map(
     "q_ptbr_normalize" -> ptBrNormalizeSql,
+    "q_rowscan" -> rowScanSql,
     "q_etl_star_build" -> starBuildSql)
 }

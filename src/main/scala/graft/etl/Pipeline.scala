@@ -60,7 +60,8 @@ object Pipeline {
       raw: DataFrame,
       paths: StarPaths,
       brazilSectorOf: Map[String, String] = Map.empty,
-      countrySectorOf: Map[String, String] = Map.empty): (Long, Long, Long) = {
+      countrySectorOf: Map[String, String] = Map.empty,
+      collectedAt: org.apache.spark.sql.Column = current_timestamp()): (Long, Long, Long) = {
     // persist: the batch feeds 3+ actions (two dim upserts, the fact
     // append); without it the raw source would be re-scanned per action —
     // wasted work AND a consistency window if the source dir changes
@@ -69,40 +70,49 @@ object Pipeline {
     try {
       // get-or-create per dimension, against persisted state (J-3, set-based)
       def upsertDim(path: String, incoming: DataFrame): DataFrame = {
-        val existing = readOrEmpty(spark, path, dimSchema)
-        val updated = Dims.getOrCreate(existing, incoming, "nome")
         // two-phase write: the updated dim depends on the existing files, so
         // materialize to a staging dir first, then swap in. Hadoop FS ops
         // report failure via return value, not exceptions — check them. The
         // swap order is crash-safe: the old table is moved ASIDE (not
         // deleted) before the staged one moves in, so at no point is the
         // dimension absent-with-no-recovery; a crash mid-swap leaves either
-        // the old table or both old+staging on disk, never neither.
+        // the old table or both old+staging on disk, never neither — and the
+        // recovery rename below completes an interrupted swap on the next
+        // run BEFORE reading existing ids (otherwise a post-crash run would
+        // see an empty dim, renumber ids from 1, and orphan appended facts).
         val staging = new org.apache.hadoop.fs.Path(path + "__staging")
         val target = new org.apache.hadoop.fs.Path(path)
         val old = new org.apache.hadoop.fs.Path(path + "__old")
-        updated.write.mode(SaveMode.Overwrite).parquet(staging.toString)
         val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(target) && fs.exists(old) && !fs.rename(old, target))
+          throw new java.io.IOException(s"failed to restore $old after interrupted swap")
+        val existing = readOrEmpty(spark, path, dimSchema)
+        val updated = Dims.getOrCreate(existing, incoming, "nome")
+        updated.write.mode(SaveMode.Overwrite).parquet(staging.toString)
         if (fs.exists(old) && !fs.delete(old, true))
           throw new java.io.IOException(s"failed to clear previous $old")
         if (fs.exists(target) && !fs.rename(target, old))
           throw new java.io.IOException(s"failed to move old dim aside at $target")
         if (!fs.rename(staging, target))
           throw new java.io.IOException(s"failed to swap staged dim into $target")
-        fs.delete(old, true) // best-effort cleanup; stale __old is harmless
+        fs.delete(old, true) // best-effort cleanup; stale __old is recovered next run
         spark.read.schema(dimSchema).parquet(path)
       }
 
       val pais = upsertDim(paths.pais, batch.select(col("pais").as("nome")))
       val setor = upsertDim(paths.setor, batch.select(col("setor").as("nome")))
 
-      // FK-resolve + append facts (S-3 batch append, not per-row commits)
+      // FK-resolve + append facts (S-3 batch append, not per-row commits).
+      // data_coleta stamps each fact row with the collection time (F-6,
+      // main.py:44 `default=datetime.utcnow`); tests pass a frozen literal
+      // for determinism, the operational default is current_timestamp().
       batch
         .join(broadcast(pais.withColumnRenamed("id", "pais_id")), col("pais") === pais("nome"))
         .join(broadcast(setor.withColumnRenamed("id", "setor_id")), col("setor") === setor("nome"))
         .select(
           batch("nome"), col("pais_id"), col("setor_id"),
           col("valor_atual"), col("maxima"), col("minima"), col("variacao"))
+        .withColumn("data_coleta", collectedAt.cast("timestamp"))
         .write.mode(SaveMode.Append).parquet(paths.fato)
 
       (pais.count(), setor.count(), spark.read.parquet(paths.fato).count())

@@ -170,10 +170,14 @@ object GraftFunctions {
   }
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_cosine", cosineBuilder, "built-in")
+    // idempotent: skip if already registered on this session — a blind
+    // createOrReplace logs a "replacing temp function" warning per query,
+    // which pollutes BENCH output when every entry point calls register
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier("graft_dot")))
+      registry.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
+    if (!registry.functionExists(FunctionIdentifier("graft_cosine")))
+      registry.createOrReplaceTempFunction("graft_cosine", cosineBuilder, "built-in")
   }
 
   /** DataFrame-side handles (require register() on the active session). */

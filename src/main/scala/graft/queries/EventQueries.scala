@@ -167,7 +167,9 @@ object EventQueries {
 
   /** Sketch twin of [[percentiles]]: approx_percentile builds mergeable
     * per-partition digests — single pass, bounded memory, the shape that
-    * replaces exact sorting at 100 TB. Estimates → rows-only check.
+    * replaces exact sorting at 100 TB. Estimates → rows-only check. The
+    * quantile array is projected to scalar columns (the harness sorts rows
+    * by value, so array-typed cells are not checkable).
     */
   def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -175,6 +177,12 @@ object EventQueries {
       .agg(
         expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("p_approx"),
         count(lit(1)).as("n"))
+      .select(
+        col("event_type"),
+        element_at(col("p_approx"), 1).as("p50_approx"),
+        element_at(col("p_approx"), 2).as("p90_approx"),
+        element_at(col("p_approx"), 3).as("p99_approx"),
+        col("n"))
       .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

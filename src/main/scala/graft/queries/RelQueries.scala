@@ -45,28 +45,29 @@ object RelQueries {
       |) ON c_custkey = o_custkey
       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
-  /** Left semi + left anti in one result: per-segment counts of customers
-    * WITH orders (semi) and WITHOUT (anti) — the EXISTS / NOT EXISTS pair.
-    * Both plan as one-sided joins: no row multiplication, shuffle on key.
+  /** EXISTS / NOT EXISTS per segment in ONE pass: distinct active customers
+    * (a left-semi-shaped aggregate on orders) left-outer-joined to customer,
+    * then conditional aggregation — n_with = matched, n_without = null
+    * probe. One scan of each table, one join, one agg; the earlier
+    * two-branch form (semi + anti + full-outer merge) scanned both tables
+    * twice for the same answer.
     */
   def semiAntiCustomers(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
     // same one-year slice as custOrdersOuter: guarantees the anti branch
-    // is non-empty on the testdata
+    // is non-empty on the testdata; distinct first so the outer join can't
+    // multiply customer rows
     val o = Tables.orders(spark, sfDir)
       .where(
         col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
           col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
       .select("o_custkey")
-    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
-    val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
-    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
-      .select(
-        col("c_mktsegment"),
-        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
-        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .distinct()
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(o("o_custkey")).as("n_with_orders"),
+        sum(when(o("o_custkey").isNull, 1L).otherwise(0L)).as("n_without_orders"))
       .orderBy("c_mktsegment")
   }
 

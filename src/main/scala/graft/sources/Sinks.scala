@@ -98,6 +98,68 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** JDBC source — the Spark-native replacement for the reference's
+    * SQLAlchemy/Postgres read path (main.py:15, engine over DB_URL). The
+    * partitioning contract is what makes it a PARALLEL scan instead of one
+    * executor dragging the whole table through a single connection:
+    * `partitionColumn` + `lowerBound`/`upperBound` + `numPartitions` split
+    * the table into numPartitions range-predicate queries (`WHERE col >= lo
+    * AND col < hi`), one per task, so 1000 executors each pull their slice.
+    * Pick a roughly uniform numeric/date column (a surrogate key); bounds
+    * only steer the split points — rows outside them are still read by the
+    * first/last partition. No live DB ships in this container, so the
+    * plumbing is unit-tested via the reader's declared options (see
+    * SourcesSpec); the call shape is the production one.
+    */
+  def readJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    require(numPartitions >= 1, "numPartitions must be >= 1")
+    require(lowerBound < upperBound, "lowerBound must be < upperBound")
+    val reader = spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+    props.foreach { case (k, v) => reader.option(k, v) }
+    reader.load()
+  }
+
+  /** JDBC sink — batch append, replacing the reference's per-row
+    * session.add + COMMIT loop (main.py:130–147) with one transaction per
+    * PARTITION: each task opens one connection and writes its rows in
+    * `batchsize`-row batches (the two-round-trips-per-row pathology becomes
+    * ~rows/batchsize round trips per executor). `numPartitions` caps
+    * concurrent connections so 1000 tasks don't stampede the database —
+    * coalesce (not repartition: no shuffle) down to it.
+    */
+  def writeJdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      numPartitions: Int = 8,
+      batchSize: Int = 10000,
+      props: Map[String, String] = Map.empty): Unit = {
+    require(numPartitions >= 1, "numPartitions must be >= 1")
+    val writer = df.coalesce(numPartitions).write
+      .format("jdbc")
+      .mode(SaveMode.Append)
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+    props.foreach { case (k, v) => writer.option(k, v) }
+    writer.save()
+  }
+
   /** Range-partitioned, sorted-within-file layout: rows globally ordered on
     * `sortCol` across `nFiles` files. Parquet stores per-row-group min/max
     * on every column; with sorted data a range predicate on `sortCol` skips

@@ -101,13 +101,18 @@ object EventStreaming {
       .withColumn("ts", expr(graft.model.Tables.NanosTsToMicrosExpr))
   }
 
-  /** Stream-stream join: purchases joined to the click that preceded them
-    * within one hour, per user — the streaming twin of the batch as-of join
-    * (JoinQueries.asofClickBeforePurchase). Both sides carry watermarks and
-    * the join condition bounds event-time distance, so Spark can expire
-    * buffered state: click state lives until (click.ts + 1 hour) falls
-    * behind the purchase watermark. Inner interval joins like this are the
-    * only stream-stream joins whose state provably stays bounded.
+  /** Stream-stream interval join: purchases joined to EVERY click that
+    * preceded them within one hour, per user — one output row per
+    * qualifying (purchase, click) pair, NOT one per purchase. The batch
+    * as-of join (JoinQueries.asofClickBeforePurchase) keeps only the latest
+    * such click; to get the as-of semantics downstream of this stream,
+    * aggregate `max(click_ts) GROUP BY purchase_id` (an extra stateful
+    * stage), which is why the interval join itself is exposed unreduced.
+    * Both sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can expire buffered state: click state lives until
+    * (click.ts + 1 hour) falls behind the purchase watermark. Inner
+    * interval joins like this are the only stream-stream joins whose state
+    * provably stays bounded.
     */
   def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
     val c = clicks.withWatermark("ts", "30 minutes")

@@ -151,19 +151,57 @@ object TextOps {
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Bigram frequency, top-20 — the n-gram count shape LM/tokenizer-vocab
-    * pipelines run at corpus scale: one explode of adjacent-token pairs,
-    * one map-side-combined count, TakeOrderedAndProject for the top-k.
+    * pipelines run at corpus scale. Heavy-hitters two-pass: counting
+    * directly on bigram STRINGS shuffles every distinct bigram string for a
+    * 20-row answer (the classic top-k scale killer). Instead pass 1 counts
+    * on `xxhash64(bigram)` — 8-byte shuffle keys, dense map-side combine —
+    * and takes the 20th-largest count (20 longs to the driver); pass 2
+    * rescans and recounts ONLY the bigrams whose hash-count reaches that
+    * bar (candidate set = 20 + boundary ties), so the only strings that
+    * cross an exchange are the winners. A 64-bit hash collision could at
+    * worst promote an extra candidate into pass 2, where the exact
+    * per-string recount and final top-20 discard it.
     */
-  def bigramFreq(spark: SparkSession, sfDir: String): DataFrame =
+  private def bigramsOf(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(split(col("text"), " ").as("t"))
       .select(explode(expr(
         "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])) ELSE array() END"))
         .as("bigram"))
-      .groupBy("bigram")
+
+  def bigramFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigrams = bigramsOf(spark, sfDir)
+    // Pass 1: top-100 hash counts (100 rows to the driver). 100 = 20 + wide
+    // margin for count ties at the 20th place (observed tie groups in the
+    // corpus are <10 wide); candidates = every hash whose count reaches the
+    // 20th-largest count, so boundary ties are resolved by the final
+    // string-ordered top-20, not by hash order.
+    val topHashes = bigrams
+      .groupBy(xxhash64(col("bigram")).as("h"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), asc("bigram"))
-      .limit(20)
+      .orderBy(desc("n"), asc("h"))
+      .limit(100)
+      .collect()
+    val stringCounts = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
+    val fullFallback = stringCounts.orderBy(desc("n"), asc("bigram")).limit(20)
+    if (topHashes.length < 20) fullFallback // tiny corpus: exact path is cheap
+    else {
+      val kth = topHashes.map(_.getLong(1)).sorted(Ordering[Long].reverse)(19)
+      if (topHashes.last.getLong(1) == kth) {
+        // tie group at the bar may extend past the collected window —
+        // correctness over speed (never observed on the test corpus)
+        fullFallback
+      } else {
+        val candidates = topHashes.filter(_.getLong(1) >= kth).map(_.getLong(0))
+        bigrams
+          .where(xxhash64(col("bigram")).isInCollection(candidates))
+          .groupBy("bigram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("bigram"))
+          .limit(20)
+      }
+    }
+  }
 
   val bigramFreqSql: String =
     """SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n

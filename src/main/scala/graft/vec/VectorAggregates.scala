@@ -42,8 +42,11 @@ object VectorAggregates {
       CentroidBuf(a.sums, a.count + b.count)
     }
 
+    // empty/all-null group → NULL (like avg), never an empty or zero vector:
+    // a shape-changing Seq.empty breaks element_at/zip consumers downstream,
+    // and a zero vector would be indistinguishable from real data
     override def finish(b: CentroidBuf): Seq[Double] =
-      if (b.count == 0) Seq.empty else b.sums.map(_ / b.count).toSeq
+      if (b.count == 0) null else b.sums.map(_ / b.count).toSeq
 
     override def bufferEncoder: Encoder[CentroidBuf] = Encoders.product[CentroidBuf]
     override def outputEncoder: Encoder[Seq[Double]] =

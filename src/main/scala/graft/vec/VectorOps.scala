@@ -46,20 +46,21 @@ object VectorOps {
 
   private def embDouble: Column = col("embedding").cast("array<double>")
 
-  /** The pinned query vector: per-position mean of label-0 embeddings.
-    * Computed as one tiny aggregate then inlined as a literal (64 doubles)
-    * so the scan side stays a single codegen'd pass.
+  /** Decimal-exact per-position mean: DECIMAL(38,18) sums are independent of
+    * partial-aggregation order (the repo's determinism rule — a plain double
+    * avg() can drift an ulp vs DuckDB's single-threaded fold and flip a
+    * round(6) boundary), divided as doubles at the end.
+    */
+  private def exactMean(e: Column): Column =
+    sum(e.cast("decimal(38,18)")).cast("double") / count(lit(1)).cast("double")
+
+  /** The pinned query vector: per-position mean of label-`label` embeddings.
+    * Derived from the memoized [[allLabelCentroids]] pass, so the whole x3
+    * family (cosine/LSH/IVF) shares ONE centroid aggregate per sf-dir per
+    * JVM — each checked query then costs a single FileScan of embeddings.
     */
   def labelCentroidVector(spark: SparkSession, sfDir: String, label: Int): Seq[Double] =
-    Tables.embeddings(spark, sfDir)
-      .where(col("label") === label)
-      .select(posexplode(embDouble).as(Seq("pos", "e")))
-      .groupBy("pos")
-      .agg(avg(col("e")).as("v"))
-      .orderBy("pos")
-      .collect()
-      .map(_.getDouble(1))
-      .toSeq
+    allLabelCentroids(spark, sfDir)(label)
 
   /** X-3: brute-force cosine top-k vs the label-0 centroid query vector. */
   def knnCosine(spark: SparkSession, sfDir: String): DataFrame = {
@@ -74,7 +75,9 @@ object VectorOps {
 
   val knnCosineSql: String =
     """WITH q AS (
-      |  SELECT i - 1 AS pos, AVG(CAST(e AS DOUBLE)) AS v
+      |  SELECT i - 1 AS pos,
+      |         CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+      |           / CAST(COUNT(*) AS DOUBLE) AS v
       |  FROM (SELECT unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
       |        FROM embeddings WHERE label = 0)
       |  GROUP BY 1),
@@ -88,9 +91,14 @@ object VectorOps {
 
   /** X-4: similarity self-join, blocked by label (never a full cross join);
     * corpus capped (vec_id < 1000) so the oracle's quadratic check stays
-    * bounded at every SF. The unbounded-scale variant is [[lshBuckets]]-style
-    * blocking instead of the label key.
+    * bounded at every SF. The unbounded-scale variant is [[knnLsh]]-style
+    * signature blocking instead of the label key. Threshold 0.15: random
+    * 64-dim cosines concentrate near 0, so 0.15 keeps the checked result
+    * non-empty at sf0.01 (a 0-row hash match would prove nothing about the
+    * scores) while same-label structure still dominates the pairs.
     */
+  val SimJoinThreshold = 0.15
+
   def simJoin(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
@@ -99,7 +107,7 @@ object VectorOps {
     val sim = cosine(col("a.emb"), col("b.emb"))
     e.as("a")
       .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .where(sim >= 0.5)
+      .where(sim >= SimJoinThreshold)
       .select(
         col("a.label").as("label"),
         col("a.vec_id").as("v1"),
@@ -117,7 +125,7 @@ object VectorOps {
       |             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE list_dot_product(a.emb, b.emb)
-      |      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.5
+      |      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.15
       |ORDER BY v1, v2""".stripMargin
 
   /** X-6: per-label centroids in long format (label, pos, centroid_val) —
@@ -127,11 +135,13 @@ object VectorOps {
     Tables.embeddings(spark, sfDir)
       .select(col("label"), posexplode(embDouble).as(Seq("pos", "e")))
       .groupBy("label", "pos")
-      .agg(round(avg(col("e")), 6).as("centroid_val"), count(lit(1)).as("n_vecs"))
+      .agg(round(exactMean(col("e")), 6).as("centroid_val"), count(lit(1)).as("n_vecs"))
       .orderBy("label", "pos")
 
   val centroidsSql: String =
-    """SELECT label, i - 1 AS pos, ROUND(AVG(CAST(e AS DOUBLE)), 6) AS centroid_val,
+    """SELECT label, i - 1 AS pos,
+      |       ROUND(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+      |             / CAST(COUNT(*) AS DOUBLE), 6) AS centroid_val,
       |       CAST(COUNT(*) AS BIGINT) AS n_vecs
       |FROM (SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
       |      FROM embeddings)
@@ -181,18 +191,27 @@ object VectorOps {
 
   /** All label centroids in one aggregate pass (collect is 10×64 doubles —
     * driver-tiny). In production the coarse quantizer is k-means; here the
-    * 10 label centroids play that role deterministically.
+    * 10 label centroids play that role deterministically. Memoized per
+    * sf-dir: the whole x3 family (and the query-vector derivation) shares a
+    * single centroid job per JVM instead of re-aggregating the table per
+    * query — in production the query vector is an input, not recomputed.
     */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Seq[Double]]]()
+
   def allLabelCentroids(spark: SparkSession, sfDir: String): Map[Int, Seq[Double]] =
-    Tables.embeddings(spark, sfDir)
-      .select(col("label"), posexplode(embDouble).as(Seq("pos", "e")))
-      .groupBy("label", "pos")
-      .agg(avg(col("e")).as("v"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (l, rows) =>
-        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-      }
+    centroidCache.computeIfAbsent(
+      sfDir,
+      _ =>
+        Tables.embeddings(spark, sfDir)
+          .select(col("label"), posexplode(embDouble).as(Seq("pos", "e")))
+          .groupBy("label", "pos")
+          .agg(exactMean(col("e")).as("v"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (l, rows) =>
+            l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          })
 
   /** Squared-L2 distance to a literal centroid via the native dot product:
     * |e|² − 2·e·c + |c|² (the |e|² term is rank-invariant per row but kept

@@ -62,4 +62,15 @@ class NormalizeSpec extends SparkSpec {
     val fresh = Dims.newEntries(incoming, existing, "nome").as[String].collect().toSeq
     assert(fresh === Seq("y"))
   }
+
+  test("S-1/P-6 row scan: arity guard drops short rows, parse drop applies, extra cells ignored") {
+    val out = graft.etl.EtlQueries.rowScan(spark, "")
+    val names = out.select("nome").as[String].collect().toSeq
+    // Truncada (3 cells, P-6) and Quebrada (unparseable, P-7) are gone;
+    // SP 500's trailing 7th cell doesn't disturb positional extraction
+    assert(names === Seq("IBrX 50", "Ibovespa", "SP 500", "Shanghai"))
+    val sp = out.where($"nome" === "SP 500").head
+    assert(sp.getDouble(1) === 5432.10)
+    assert(sp.getDouble(4) === 0.75)
+  }
 }

@@ -61,6 +61,42 @@ class PipelineSpec extends SparkSpec {
     assert(fato.join(setor, fato("setor_id") === setor("id"), "left_anti").isEmpty)
   }
 
+  test("F-6: facts are stamped with data_coleta; frozen literal is stable across the append") {
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    val dir = Files.createTempDirectory("star").toString
+    val paths = StarPaths(s"$dir/pais", s"$dir/setor", s"$dir/fato")
+    val frozen = "2026-01-02 03:04:05"
+    Pipeline.run(spark, batch1, paths, brazilMap, countryMap,
+      collectedAt = to_timestamp(lit(frozen)))
+    val fato = spark.read.parquet(paths.fato)
+    assert(fato.schema("data_coleta").dataType.typeName === "timestamp")
+    val stamps = fato.select("data_coleta").collect().map(_.getTimestamp(0)).toSet
+    assert(stamps === Set(java.sql.Timestamp.valueOf(frozen)))
+    // the operational default (current_timestamp) also stamps every row
+    Pipeline.run(spark, batch1, paths, brazilMap, countryMap)
+    assert(spark.read.parquet(paths.fato).where("data_coleta IS NULL").isEmpty)
+  }
+
+  test("upsertDim recovers from a crash between the two swap renames") {
+    val dir = Files.createTempDirectory("star").toString
+    val paths = StarPaths(s"$dir/pais", s"$dir/setor", s"$dir/fato")
+    Pipeline.run(spark, batch1, paths, brazilMap, countryMap)
+    val idsBefore = spark.read.parquet(paths.pais)
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    // simulate the crash window: target renamed aside, staging never moved in
+    val fs = new org.apache.hadoop.fs.Path(paths.pais)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(paths.pais),
+      new org.apache.hadoop.fs.Path(paths.pais + "__old")))
+    // next run must restore __old BEFORE reading existing ids — without the
+    // recovery it would renumber from 1 and orphan previously appended facts
+    Pipeline.run(spark, batch1, paths, brazilMap, countryMap)
+    val idsAfter = spark.read.parquet(paths.pais)
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(idsAfter === idsBefore)
+  }
+
   test("classification defaults: unmapped Brazil index falls to Diversificado, unmapped country to Primário") {
     val out = Pipeline.transform(
       rawBatch(

@@ -131,6 +131,16 @@ class SourcesSpec extends SparkSpec {
     assert(c === Seq(4.0, 6.0)) // mean of the two well-formed vectors only
   }
 
+  test("typed Aggregator centroid yields NULL (not empty vector) for all-null groups") {
+    import graft.vec.VectorAggregates
+    val df = Seq((1, Option.empty[Seq[Double]]), (1, Option.empty[Seq[Double]]))
+      .toDF("label", "emb")
+    val row = df.groupBy("label")
+      .agg(VectorAggregates.centroidAgg(2)($"emb").as("c"))
+      .head
+    assert(row.isNullAt(1))
+  }
+
   test("typed Aggregator centroid matches the posexplode form within float tolerance") {
     import graft.vec.VectorAggregates
     val emb = graft.model.Tables.embeddings(spark, sf001)
@@ -145,6 +155,35 @@ class SourcesSpec extends SparkSpec {
       c.zip(viaExplode(label)).foreach { case (a, b) =>
         assert(math.abs(a - b) < 1e-9, s"label $label centroid mismatch: $a vs $b")
       }
+    }
+  }
+
+  test("jdbc round-trip via embedded Derby: batch write, partitioned parallel read") {
+    // in-memory Derby (ships with Spark) stands in for the reference's
+    // Postgres; exercises the REAL jdbc source/sink path end-to-end
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val driver = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = (1L to 10L).map(i => (i, s"row_$i")).toDF("id", "nome")
+    Sinks.writeJdbc(df, url, "t_graft", numPartitions = 2, props = driver)
+    val back = Sinks.readJdbc(spark, url, "t_graft", "id", 1L, 10L, 4, props = driver)
+    // the partitioning contract took effect: 4 range-split read tasks
+    assert(back.rdd.getNumPartitions === 4)
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === (1L to 10L).map(i => (i, s"row_$i")))
+    // append (not overwrite): a second batch accumulates like the fact table
+    Sinks.writeJdbc(df.where($"id" <= 3), url, "t_graft", numPartitions = 1, props = driver)
+    assert(Sinks.readJdbc(spark, url, "t_graft", "id", 1L, 10L, 2, props = driver).count() === 13)
+  }
+
+  test("jdbc wrappers validate the partitioning contract") {
+    intercept[IllegalArgumentException] {
+      Sinks.readJdbc(spark, "jdbc:derby:memory:x", "t", "id", 10L, 1L, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.readJdbc(spark, "jdbc:derby:memory:x", "t", "id", 1L, 10L, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.writeJdbc(Seq((1, "a")).toDF("id", "v"), "jdbc:derby:memory:x", "t", numPartitions = 0)
     }
   }
 
