@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the formatted physical plan of one (or every) named
+  * query — the evidence base for PLANS.md.
+  *
+  *   sbt "runMain graft.PlanDump <sfDir> [queryName]"
+  *
+  * Note: queries that drive multiple jobs (e.g. the bigram two-pass or the
+  * x3 centroid job) only show the plan of the RETURNED DataFrame; the
+  * preparatory job's plan is visible by explaining its building block
+  * directly.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val only = args.lift(1)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_ == name) }
+      .toSeq.sortBy(_._1)
+      .foreach { case (name, fn) =>
+        println(s"\n===== $name =====")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+      }
+    spark.stop()
+  }
+}

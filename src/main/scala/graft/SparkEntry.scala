@@ -43,5 +43,6 @@ object SparkEntry {
       graft.queries.EventQueries.oracle ++
       graft.text.TextOps.oracle ++
       graft.text.Dedup.oracle ++
+      graft.text.LangId.oracle ++
       graft.vec.VectorOps.oracle
 }

@@ -158,23 +158,31 @@ object RelQueries {
 
   /** Set operations over customer activity in two adjacent half-years:
     * INTERSECT (active in both), EXCEPT (H1-only), UNION — tagged into one
-    * result. All three plan as aggregates/joins on the value, no
-    * driver-side set math. The half-year framing keeps every branch
-    * non-trivial at every SF (orders/customer is SF-invariant ≈10 over
-    * 6.6 years, so membership in each half is a coin flip).
+    * result. Computed from ONE membership aggregate: scan the year once,
+    * groupBy customer with per-half max-flags, then derive all three sets
+    * as filters over the flags — INTERSECT = h1∧h2, EXCEPT = h1∧¬h2,
+    * UNION = every grouped key. The naive intersect/except/union form
+    * planned 6 scans of orders and 3 aggregation shuffles for the same
+    * answer (round-1 plan); this is 1 scan + 1 shuffle, with the three
+    * branches sharing the exchange (ReusedExchange). The half-year framing
+    * keeps every branch non-trivial at every SF (orders/customer is
+    * SF-invariant ≈10 over 6.6 years, so membership is a coin flip).
     */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-    def active(lo: String, hi: String) =
-      o.where(
-        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(s"$lo 00:00:00")) &&
-          col("o_orderdate") < lit(java.sql.Timestamp.valueOf(s"$hi 00:00:00")))
-        .select(col("o_custkey"))
-    val h1 = active("1995-01-01", "1995-07-01")
-    val h2 = active("1995-07-01", "1996-01-01")
-    val i = h1.intersect(h2).withColumn("op", lit("both_halves"))
-    val e = h1.except(h2).withColumn("op", lit("h1_only"))
-    val u = h1.union(h2).distinct().withColumn("op", lit("either"))
+    val mid = lit(java.sql.Timestamp.valueOf("1995-07-01 00:00:00"))
+    val flags = Tables.orders(spark, sfDir)
+      .where(
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .groupBy("o_custkey")
+      .agg(
+        max(when(col("o_orderdate") < mid, 1).otherwise(0)).as("in_h1"),
+        max(when(col("o_orderdate") >= mid, 1).otherwise(0)).as("in_h2"))
+    val i = flags.where(col("in_h1") === 1 && col("in_h2") === 1)
+      .select(col("o_custkey"), lit("both_halves").as("op"))
+    val e = flags.where(col("in_h1") === 1 && col("in_h2") === 0)
+      .select(col("o_custkey"), lit("h1_only").as("op"))
+    val u = flags.select(col("o_custkey"), lit("either").as("op"))
     i.unionByName(e).unionByName(u).orderBy("op", "o_custkey")
   }
 

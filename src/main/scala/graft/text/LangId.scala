@@ -46,6 +46,33 @@ object LangId {
   def langIdQuery(spark: SparkSession, sfDir: String): DataFrame =
     predict(Tables.documents(spark, sfDir).where(col("doc_id") < 300)).orderBy("doc_id")
 
+  /** The same scoring + argmax in DuckDB SQL (generated from [[Profiles]]
+    * so the two can't drift). The argmax tie rule — equal scores break
+    * toward the lexicographically LAST lang, matching Spark's struct
+    * array_max — becomes a CASE that tests langs in reverse-lex order.
+    */
+  val langIdSql: String = {
+    val langs = Profiles.keys.toSeq.sorted
+    val scoreCols = langs.map { l =>
+      val list = Profiles(l).map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains($list, t))) AS DOUBLE) AS s_$l"
+    }
+    val greatest = langs.map("s_" + _).mkString("greatest(", ", ", ")")
+    val argmax = langs.reverse.init
+      .map(l => s"WHEN s_$l = m THEN '$l'")
+      .mkString("CASE ", " ", s" ELSE '${langs.head}' END")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang AS actual_lang,
+       |    ${scoreCols.mkString(",\n    ")}
+       |  FROM documents WHERE doc_id < 300),
+       |m AS (SELECT *, $greatest AS m FROM s)
+       |SELECT doc_id, actual_lang, $argmax AS predicted_lang, m AS best_score
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_lang_id" -> (langIdQuery _))
+
+  val oracle: Map[String, String] = Map(
+    "t_lang_id" -> langIdSql)
 }
