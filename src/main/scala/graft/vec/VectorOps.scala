@@ -167,6 +167,31 @@ object VectorOps {
       }
       .reduce(_ + _)
 
+  /** Embedding dimensionality of the testdata corpus (FIXTURES.md:
+    * `embeddings.embedding FLOAT[64]`) — pinned so the oracle SQL can
+    * inline the seed-42 hyperplanes as literals.
+    */
+  val EmbDim = 64
+
+  private def sqlDoubleList(xs: Seq[Double]): String =
+    xs.map(_.toString).mkString("[", ", ", "]")
+
+  /** Decimal-exact label-0 centroid CTE shared by the knn oracle SQLs. */
+  private val qvecCte: String =
+    """q AS (
+      |  SELECT i - 1 AS pos,
+      |         CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+      |           / CAST(COUNT(*) AS DOUBLE) AS v
+      |  FROM (SELECT unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+      |        FROM embeddings WHERE label = 0)
+      |  GROUP BY 1),
+      |qv AS (SELECT list(v ORDER BY pos) AS qvec FROM q)""".stripMargin
+
+  private val cosineVsQvecSql: String =
+    """list_dot_product(CAST(embedding AS DOUBLE[]), qvec)
+      |             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+      |                * sqrt(list_dot_product(qvec, qvec)))""".stripMargin
+
   /** X-3 scale path: ANN top-k — prune to buckets within Hamming ≤ 2 of the
     * query signature, exact cosine only on survivors (~6% of the corpus for
     * 12 planes), then the same top-k heap.
@@ -185,6 +210,30 @@ object VectorOps {
       .select(col("vec_id"), col("label"), round(sim, 6).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(20)
+  }
+
+  /** DuckDB twin of [[knnLsh]]: the seed-42 hyperplanes are DETERMINISTIC,
+    * so they inline as double-list literals; signatures, the Hamming
+    * pruning, and the cosine re-rank are all plain SQL. Dot-product fold
+    * order matches the Spark side (both left-to-right, multiplication is
+    * IEEE-commutative), so bucket membership and scores are bit-identical
+    * — which is what upgrades this from a rows-only to a hash check.
+    */
+  val knnLshSql: String = {
+    val planes = hyperplanes(EmbDim)
+    val embSig = planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${sqlDoubleList(p)}) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("\n      + ")
+    val qSigExpr = planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product(${sqlDoubleList(p)}, qvec) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH $qvecCte,
+       |qs AS (SELECT ($qSigExpr) AS qsig FROM qv)
+       |SELECT vec_id, label,
+       |       ROUND($cosineVsQvecSql, 6) AS sim
+       |FROM embeddings, qv, qs
+       |WHERE bit_count(xor(CAST(($embSig) AS BIGINT), CAST(qsig AS BIGINT))) <= 2
+       |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin
   }
 
   // ---- IVF ANN (coarse-quantizer variant; no oracle — pruned search) ----
@@ -258,6 +307,46 @@ object VectorOps {
 
   def knnIvfQuery(spark: SparkSession, sfDir: String): DataFrame = knnIvf(spark, sfDir)
 
+  /** DuckDB twin of [[knnIvf]] (nProbe = 3): per-label decimal-exact
+    * centroids as the coarse quantizer, nearest-centroid assignment via a
+    * 10-row cross join + ROW_NUMBER ordered by (distance, label) — the
+    * same (dist, id) struct-min tie rule as [[clusterAssignment]] — probe
+    * the 3 clusters nearest the query, exact cosine re-rank. The squared
+    * distance uses the identical expansion and operation order as
+    * [[sqDist]] (`(e·e − 2·e·c) + c·c`), so assignments are bit-identical.
+    */
+  val knnIvfSql: String = {
+    val d2 = """((list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                |               - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec))
+                |               + list_dot_product(c.cvec, c.cvec))""".stripMargin
+    s"""WITH pc AS (
+       |  SELECT label, i - 1 AS pos,
+       |         CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+       |           / CAST(COUNT(*) AS DOUBLE) AS v
+       |  FROM (SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings)
+       |  GROUP BY 1, 2),
+       |cents AS (SELECT label AS clabel, list(v ORDER BY pos) AS cvec FROM pc GROUP BY label),
+       |qv AS (SELECT cvec AS qvec FROM cents WHERE clabel = 0),
+       |probed AS (
+       |  SELECT clabel FROM cents, qv
+       |  ORDER BY ((list_dot_product(cvec, cvec) - 2.0 * list_dot_product(cvec, qvec))
+       |            + list_dot_product(qvec, qvec)), clabel
+       |  LIMIT 3),
+       |assigned AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.clabel AS cluster,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY $d2, c.clabel) AS rn
+       |  FROM embeddings e CROSS JOIN cents c)
+       |SELECT a.vec_id, a.label, a.cluster,
+       |       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), qvec)
+       |             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+       |                * sqrt(list_dot_product(qvec, qvec))), 6) AS sim
+       |FROM assigned a, qv
+       |WHERE a.rn = 1 AND a.cluster IN (SELECT clabel FROM probed)
+       |ORDER BY sim DESC, a.vec_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x3_knn_cosine" -> (knnCosine _),
     "x3_knn_lsh" -> (knnLsh _),
@@ -267,6 +356,8 @@ object VectorOps {
 
   val oracle: Map[String, String] = Map(
     "x3_knn_cosine" -> knnCosineSql,
+    "x3_knn_lsh" -> knnLshSql,
+    "x3_knn_ivf" -> knnIvfSql,
     "x4_sim_join" -> simJoinSql,
     "x6_centroids" -> centroidsSql)
 }
