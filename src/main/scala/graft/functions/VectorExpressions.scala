@@ -23,7 +23,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * MISMATCHED lengths → null, matching the HOF twin exactly (zip_with pads
   * the shorter side with nulls, which nulls the aggregate) — a truncated
   * partial dot product would silently mask bad-ingest rows instead of
-  * dropping them. Elements are assumed non-null (embedding columns).
+  * dropping them. A null ELEMENT also nulls the whole sum (the HOF's
+  * null-propagating fold); the per-element check is emitted only when the
+  * static schema says elements CAN be null (`containsNull`), so clean
+  * embedding columns pay nothing — and the [[graft.plans.DotProductFusion]]
+  * rewrite stays semantics-preserving on every double-array input.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -38,15 +42,22 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) null
     else {
       val n = x.numElements()
+      val checkNulls = elementsNullable
       var s = 0.0
       var i = 0
       while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
         s += x.getDouble(i) * y.getDouble(i)
         i += 1
       }
@@ -59,6 +70,10 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -66,9 +81,10 @@ case class DotProduct(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $s += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $s;
+         |  ${ev.value} = ${ev.isNull} ? -1.0 : $s;
          |}
        """.stripMargin
     })
@@ -189,5 +205,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"), GraftFunctions.dotInfo, GraftFunctions.dotBuilder))
     ext.injectFunction((FunctionIdentifier("graft_cosine"), GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
+    // HOF dot-product composition → fused native expression (see the rule's
+    // scaladoc for the semantics-preservation argument)
+    ext.injectOptimizerRule(_ => graft.plans.DotProductFusion)
   }
 }
