@@ -162,31 +162,36 @@ object TextOps {
     * worst promote an extra candidate into pass 2, where the exact
     * per-string recount and final top-20 discard it.
     */
-  private def bigramsOf(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  private def bigramsOf(docs: DataFrame): DataFrame =
+    docs
       .select(split(col("text"), " ").as("t"))
       .select(explode(expr(
         "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])) ELSE array() END"))
         .as("bigram"))
 
-  def bigramFreq(spark: SparkSession, sfDir: String): DataFrame = {
-    val bigrams = bigramsOf(spark, sfDir)
-    // Pass 1: top-100 hash counts (100 rows to the driver). 100 = 20 + wide
-    // margin for count ties at the 20th place (observed tie groups in the
-    // corpus are <10 wide); candidates = every hash whose count reaches the
-    // 20th-largest count, so boundary ties are resolved by the final
-    // string-ordered top-20, not by hash order.
+  /** Heavy-hitters top-k over any `text`-column corpus — exposed for
+    * property testing against the naive string-groupBy (identical output
+    * by construction, including on tie-heavy corpora that force the
+    * fallback path).
+    */
+  def bigramTopK(docs: DataFrame, k: Int, candidateWindow: Int = 100): DataFrame = {
+    val bigrams = bigramsOf(docs)
+    // Pass 1: top-`candidateWindow` hash counts to the driver. The window =
+    // k + wide margin for count ties at the kth place (observed tie groups
+    // in the corpus are <10 wide); candidates = every hash whose count
+    // reaches the kth-largest count, so boundary ties are resolved by the
+    // final string-ordered top-k, not by hash order.
     val topHashes = bigrams
       .groupBy(xxhash64(col("bigram")).as("h"))
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("h"))
-      .limit(100)
+      .limit(candidateWindow)
       .collect()
     val stringCounts = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
-    val fullFallback = stringCounts.orderBy(desc("n"), asc("bigram")).limit(20)
-    if (topHashes.length < 20) fullFallback // tiny corpus: exact path is cheap
+    val fullFallback = stringCounts.orderBy(desc("n"), asc("bigram")).limit(k)
+    if (topHashes.length < k) fullFallback // tiny corpus: exact path is cheap
     else {
-      val kth = topHashes.map(_.getLong(1)).sorted(Ordering[Long].reverse)(19)
+      val kth = topHashes.map(_.getLong(1)).sorted(Ordering[Long].reverse)(k - 1)
       if (topHashes.last.getLong(1) == kth) {
         // tie group at the bar may extend past the collected window —
         // correctness over speed (never observed on the test corpus)
@@ -198,10 +203,13 @@ object TextOps {
           .groupBy("bigram")
           .agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), asc("bigram"))
-          .limit(20)
+          .limit(k)
       }
     }
   }
+
+  def bigramFreq(spark: SparkSession, sfDir: String): DataFrame =
+    bigramTopK(Tables.documents(spark, sfDir), 20)
 
   val bigramFreqSql: String =
     """SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n

@@ -45,6 +45,30 @@ class PropertySpec extends SparkSpec {
     }, trials = 10)
   }
 
+  test("property: bigram heavy-hitters two-pass == naive string top-k, incl. tie-heavy corpora") {
+    import graft.text.TextOps
+    // tiny vocab → massive count ties at every boundary; exercises the
+    // candidate path AND the tie-overflow fallback (small candidateWindow)
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    (1 to 5).foreach { trial =>
+      val docs = Gen.listOfN(60, doc).sample.get.toDF("text")
+      // independent naive reference: explode + string groupBy + ordered top-k
+      val naive = docs.select(split(col("text"), " ").as("t"))
+        .select(explode(expr(
+          "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])) ELSE array() END"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("bigram")).limit(5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      Seq(6, 8, 100).foreach { window =>
+        val fast = TextOps.bigramTopK(docs, 5, candidateWindow = window)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(fast === naive, s"trial $trial window $window")
+      }
+    }
+  }
+
   test("property: exact dedup is a fixpoint — dedup(dedup(x)) == dedup(x)") {
     val texts = Gen.listOfN(120, Gen.oneOf("aa", "bb", "cc", "dd", "ee")).sample.get
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
