@@ -129,6 +129,19 @@ object EventStreaming {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** As-of reduction over [[clickToPurchaseJoin]]'s interval-join output:
+    * keep only the LATEST qualifying click per purchase — the streaming
+    * equivalent of the batch as-of join's result
+    * (JoinQueries.asofClickBeforePurchase). A second stateful stage (the
+    * aggregate buffers per-purchase state until the watermark closes the
+    * purchase's join window); composes as
+    * `latestClickPerPurchase(clickToPurchaseJoin(clicks, purchases))`.
+    */
+  def latestClickPerPurchase(joined: DataFrame): DataFrame =
+    joined
+      .groupBy("purchase_id", "user_id", "purchase_ts", "value")
+      .agg(org.apache.spark.sql.functions.max("click_ts").as("click_ts"))
+
   /** Stream-static enrichment: join the event stream against a static
     * (batch) dimension table — the most common production streaming join
     * (enrich facts with dims). No watermark needed on the static side; the

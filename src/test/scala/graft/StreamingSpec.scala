@@ -77,6 +77,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latestClickPerPurchase reduces the interval join to as-of semantics") {
+    import spark.implicits._
+    // shaped like clickToPurchaseJoin output: one row per qualifying pair
+    val joined = Seq(
+      (10L, 7L, ts(40), 9.99, ts(0)),
+      (10L, 7L, ts(40), 9.99, ts(30)), // latest qualifying click wins
+      (12L, 8L, ts(50), 1.0, ts(20)))
+      .toDF("purchase_id", "user_id", "purchase_ts", "value", "click_ts")
+    val out = EventStreaming.latestClickPerPurchase(joined)
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(4)).toMap
+    assert(out === Map(10L -> ts(30), 12L -> ts(20)))
+  }
+
   test("sessionize: a late cross-batch event cannot regress the session clock") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
