@@ -99,8 +99,10 @@ case class DotProduct(left: Expression, right: Expression)
   * (dot + two norms). All three sums accumulate in the same left-to-right
   * fold order as the composed expression, so results are bit-identical and
   * the DuckDB oracle (which composes list_dot_product the same way) is
-  * unaffected. Null contract matches [[DotProduct]]: null/ragged → null;
-  * zero-norm inputs yield NaN exactly like the composed division.
+  * unaffected. Null contract matches [[DotProduct]]: null/ragged → null,
+  * null ELEMENT → null (check emitted only when the static schema has
+  * `containsNull = true`); zero-norm inputs yield NaN exactly like the
+  * composed division.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -110,15 +112,22 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) null
     else {
       val n = x.numElements()
+      val checkNulls = elementsNullable
       var sab = 0.0; var saa = 0.0; var sbb = 0.0
       var i = 0
       while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
         val xi = x.getDouble(i); val yi = y.getDouble(i)
         sab += xi * yi; saa += xi * xi; sbb += yi * yi
         i += 1
@@ -136,6 +145,10 @@ case class CosineSim(left: Expression, right: Expression)
       val sbb = ctx.freshName("sbb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -143,10 +156,12 @@ case class CosineSim(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $sab = 0.0; double $saa = 0.0; double $sbb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    double $xi = $a.getDouble($i); double $yi = $b.getDouble($i);
          |    $sab += $xi * $yi; $saa += $xi * $xi; $sbb += $yi * $yi;
          |  }
-         |  ${ev.value} = $sab / (java.lang.Math.sqrt($saa) * java.lang.Math.sqrt($sbb));
+         |  ${ev.value} = ${ev.isNull}
+         |    ? -1.0 : $sab / (java.lang.Math.sqrt($saa) * java.lang.Math.sqrt($sbb));
          |}
        """.stripMargin
     })

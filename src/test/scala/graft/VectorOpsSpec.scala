@@ -78,6 +78,7 @@ class VectorOpsSpec extends SparkSpec {
         .toDF("a", "b")
       assert(df.select(VectorOps.dotHof($"a", $"b")).head().isNullAt(0))
       assert(df.select(VectorOps.dot($"a", $"b")).head().isNullAt(0))
+      assert(df.select(VectorOps.cosine($"a", $"b")).head().isNullAt(0))
     } finally spark.experimental.extraOptimizations = Nil
   }
 
