@@ -128,6 +128,54 @@ object VectorOps {
       |      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.15
       |ORDER BY v1, v2""".stripMargin
 
+  /** X-4 scale path: embedding-cosine near-dup pairs via SIGNATURE
+    * blocking — no label key, no corpus cap. Vectors sharing the full
+    * 12-bit sign-LSH signature become candidate pairs (bucket equi-join:
+    * the shuffle key is the signature, never a cross join); exact cosine
+    * verifies candidates against the threshold. This is the pair-finding
+    * twin of [[knnLsh]]'s search pruning and the embedding-space analogue
+    * of MinHash banding ([[graft.text.Dedup.minhashPairs]]) — the shape
+    * that runs dedup over an unlabeled 100 TB embedding corpus
+    * (pre-partition by signature at ingest; each bucket joins locally).
+    */
+  def simJoinLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val planes = hyperplanes(EmbDim)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), embDouble.as("emb"))
+      .withColumn("sig", signature(col("emb"), planes))
+    val sim = cosine(col("a.emb"), col("b.emb"))
+    e.as("a")
+      .join(e.as("b"), col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .where(sim >= SimJoinThreshold)
+      .select(
+        col("a.sig").as("sig"),
+        col("a.vec_id").as("v1"),
+        col("b.vec_id").as("v2"),
+        round(sim, 6).as("sim"))
+      .orderBy("v1", "v2")
+  }
+
+  // lazy: declared before NumPlanes/EmbDim in object-init order — an eager
+  // val would capture their default (0) and generate an empty signature
+  lazy val simJoinLshSql: String = {
+    val planes = hyperplanes(EmbDim)
+    def sigExpr(tbl: String) = planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product(CAST($tbl.embedding AS DOUBLE[]), ${sqlDoubleList(p)}) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |         (${sigExpr("embeddings")}) AS sig
+       |  FROM embeddings)
+       |SELECT a.sig AS sig, a.vec_id AS v1, b.vec_id AS v2,
+       |       ROUND(list_dot_product(a.emb, b.emb)
+       |             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+       |FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.emb, b.emb)
+       |      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.15
+       |ORDER BY v1, v2""".stripMargin
+  }
+
   /** X-6: per-label centroids in long format (label, pos, centroid_val) —
     * posexplode + one aggregate; embeddings as first-class agg inputs.
     */
@@ -352,6 +400,7 @@ object VectorOps {
     "x3_knn_lsh" -> (knnLsh _),
     "x3_knn_ivf" -> (knnIvfQuery _),
     "x4_sim_join" -> (simJoin _),
+    "x4_sim_join_lsh" -> (simJoinLsh _),
     "x6_centroids" -> (centroids _))
 
   val oracle: Map[String, String] = Map(
@@ -359,5 +408,6 @@ object VectorOps {
     "x3_knn_lsh" -> knnLshSql,
     "x3_knn_ivf" -> knnIvfSql,
     "x4_sim_join" -> simJoinSql,
+    "x4_sim_join_lsh" -> simJoinLshSql,
     "x6_centroids" -> centroidsSql)
 }
