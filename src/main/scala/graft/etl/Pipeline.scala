@@ -106,6 +106,10 @@ object Pipeline {
       // data_coleta stamps each fact row with the collection time (F-6,
       // main.py:44 `default=datetime.utcnow`); tests pass a frozen literal
       // for determinism, the operational default is current_timestamp().
+      // Schema note: fact dirs written before data_coleta existed need a
+      // one-time backfill (or .option("mergeSchema", true) on read) —
+      // appending mixed schemas otherwise leaves the column's visibility
+      // dependent on which footer Spark samples.
       batch
         .join(broadcast(pais.withColumnRenamed("id", "pais_id")), col("pais") === pais("nome"))
         .join(broadcast(setor.withColumnRenamed("id", "setor_id")), col("setor") === setor("nome"))

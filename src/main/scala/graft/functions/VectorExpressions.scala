@@ -29,6 +29,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * embedding columns pay nothing — and the [[graft.plans.DotProductFusion]]
   * rewrite stays semantics-preserving on every double-array input.
   */
+/** Shared null-element contract for the fused array expressions: both
+  * classes must emit the identical check (or none) so the
+  * [[graft.plans.DotProductFusion]] bit-identity argument holds — one
+  * definition, changed in lockstep by construction.
+  */
+private[functions] object ArrayPairNulls {
+  def elementsNullable(l: Expression, r: Expression): Boolean =
+    Seq(l, r).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+
+  /** Codegen fragment: null element → null result, loop abandoned. Empty
+    * when the static schema proves elements non-null.
+    */
+  def checkSnippet(emit: Boolean, a: String, b: String, i: String, isNull: String): String =
+    if (emit) s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $isNull = true; break; }" else ""
+}
+
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
@@ -42,10 +61,7 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
-  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
-    case ArrayType(_, cn) => cn
-    case _ => true
-  })
+  private def elementsNullable: Boolean = ArrayPairNulls.elementsNullable(left, right)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -70,10 +86,7 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
-      val nullCheck =
-        if (elementsNullable)
-          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
-        else ""
+      val nullCheck = ArrayPairNulls.checkSnippet(elementsNullable, a, b, i, ev.isNull.toString)
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -112,10 +125,7 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
-  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
-    case ArrayType(_, cn) => cn
-    case _ => true
-  })
+  private def elementsNullable: Boolean = ArrayPairNulls.elementsNullable(left, right)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -145,10 +155,7 @@ case class CosineSim(left: Expression, right: Expression)
       val sbb = ctx.freshName("sbb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
-      val nullCheck =
-        if (elementsNullable)
-          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
-        else ""
+      val nullCheck = ArrayPairNulls.checkSnippet(elementsNullable, a, b, i, ev.isNull.toString)
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -200,15 +207,23 @@ object GraftFunctions {
       throw new IllegalArgumentException(s"graft_cosine expects 2 arguments, got ${args.size}")
   }
 
+  // sessions this object has registered on — a weak map so sessions can be
+  // collected; synchronized: query entry points may race from test threads
+  private val registeredSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
-    // idempotent: skip if already registered on this session — a blind
-    // createOrReplace logs a "replacing temp function" warning per query,
-    // which pollutes BENCH output when every entry point calls register
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier("graft_dot")))
+    // once per session — a blind createOrReplace logs a "replacing temp
+    // function" warning per query (pollutes BENCH output), but the guard
+    // must be OUR registration marker, not functionExists: a foreign
+    // function that happens to be named graft_dot should be replaced with
+    // the correct binding, not silently kept
+    if (registeredSessions.put(spark, java.lang.Boolean.TRUE) == null) {
+      val registry = spark.sessionState.functionRegistry
       registry.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
-    if (!registry.functionExists(FunctionIdentifier("graft_cosine")))
       registry.createOrReplaceTempFunction("graft_cosine", cosineBuilder, "built-in")
+    }
   }
 
   /** DataFrame-side handles (require register() on the active session). */

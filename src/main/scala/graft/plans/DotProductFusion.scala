@@ -58,7 +58,11 @@ object DotProductFusion extends Rule[LogicalPlan] {
             Seq(lacc: NamedLambdaVariable, lel: NamedLambdaVariable),
             _),
           finish)
-        if zero == 0.0 &&
+        // +0.0 only (raw-bits check): -0.0 == 0.0 under IEEE, but an empty
+        // array folds to the seed itself — HOF would return -0.0 where
+        // DotProduct returns +0.0, breaking the bit-identity contract
+        if zero != null &&
+          java.lang.Double.doubleToRawLongBits(zero.asInstanceOf[Double]) == 0L &&
           x.exprId == lx.exprId && y.exprId == ly.exprId &&
           acc.exprId == lacc.exprId && el.exprId == lel.exprId &&
           isIdentityFinish(finish) &&

@@ -155,12 +155,14 @@ object TextOps {
     * directly on bigram STRINGS shuffles every distinct bigram string for a
     * 20-row answer (the classic top-k scale killer). Instead pass 1 counts
     * on `xxhash64(bigram)` — 8-byte shuffle keys, dense map-side combine —
-    * and takes the 20th-largest count (20 longs to the driver); pass 2
+    * and takes the 20th-largest count (20 rows to the driver); pass 2
     * rescans and recounts ONLY the bigrams whose hash-count reaches that
     * bar (candidate set = 20 + boundary ties), so the only strings that
-    * cross an exchange are the winners. A 64-bit hash collision could at
-    * worst promote an extra candidate into pass 2, where the exact
-    * per-string recount and final top-20 discard it.
+    * cross an exchange are the winners. The count key is a 128-bit pair of
+    * independent xxhash64 values: a 64-bit key's collision (≈3% at 1e9
+    * distinct bigrams) would not merely add a candidate — a merged count
+    * can inflate the bar above a true winner's own count and EVICT it, so
+    * the key must make collisions impossible at corpus scale.
     */
   private def bigramsOf(docs: DataFrame): DataFrame =
     docs
@@ -176,30 +178,37 @@ object TextOps {
     */
   def bigramTopK(docs: DataFrame, k: Int, candidateWindow: Int = 100): DataFrame = {
     val bigrams = bigramsOf(docs)
+    val h1 = xxhash64(col("bigram"))
+    val h2 = xxhash64(col("bigram"), lit(1))
     // Pass 1: top-`candidateWindow` hash counts to the driver. The window =
     // k + wide margin for count ties at the kth place (observed tie groups
     // in the corpus are <10 wide); candidates = every hash whose count
     // reaches the kth-largest count, so boundary ties are resolved by the
     // final string-ordered top-k, not by hash order.
     val topHashes = bigrams
-      .groupBy(xxhash64(col("bigram")).as("h"))
+      .groupBy(h1.as("h1"), h2.as("h2"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), asc("h"))
+      .orderBy(desc("n"), asc("h1"), asc("h2"))
       .limit(candidateWindow)
       .collect()
     val stringCounts = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
     val fullFallback = stringCounts.orderBy(desc("n"), asc("bigram")).limit(k)
     if (topHashes.length < k) fullFallback // tiny corpus: exact path is cheap
     else {
-      val kth = topHashes.map(_.getLong(1)).sorted(Ordering[Long].reverse)(k - 1)
-      if (topHashes.last.getLong(1) == kth) {
+      // already sorted n-descending: row k-1 carries the kth-largest count
+      val kth = topHashes(k - 1).getLong(2)
+      if (topHashes.last.getLong(2) == kth) {
         // tie group at the bar may extend past the collected window —
         // correctness over speed (never observed on the test corpus)
         fullFallback
       } else {
-        val candidates = topHashes.filter(_.getLong(1) >= kth).map(_.getLong(0))
+        val cands = topHashes.filter(_.getLong(2) >= kth)
+        // h1∈C1 && h2∈C2 over-approximates the candidate set by possible
+        // cross-pairings — harmless: the exact per-string recount and the
+        // final ordered top-k discard any extras
         bigrams
-          .where(xxhash64(col("bigram")).isInCollection(candidates))
+          .where(h1.isInCollection(cands.map(_.getLong(0))) &&
+            h2.isInCollection(cands.map(_.getLong(1))))
           .groupBy("bigram")
           .agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), asc("bigram"))

@@ -117,7 +117,7 @@ object VectorOps {
   }
 
   val simJoinSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
       |  FROM embeddings WHERE vec_id < 1000)
       |SELECT a.label AS label, a.vec_id AS v1, b.vec_id AS v2,
@@ -125,7 +125,7 @@ object VectorOps {
       |             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE list_dot_product(a.emb, b.emb)
-      |      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.15
+      |      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= $SimJoinThreshold
       |ORDER BY v1, v2""".stripMargin
 
   /** X-4 scale path: embedding-cosine near-dup pairs via SIGNATURE
@@ -158,23 +158,18 @@ object VectorOps {
 
   // lazy: declared before NumPlanes/EmbDim in object-init order — an eager
   // val would capture their default (0) and generate an empty signature
-  lazy val simJoinLshSql: String = {
-    val planes = hyperplanes(EmbDim)
-    def sigExpr(tbl: String) = planes.zipWithIndex.map { case (p, j) =>
-      s"(CASE WHEN list_dot_product(CAST($tbl.embedding AS DOUBLE[]), ${sqlDoubleList(p)}) > 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString("\n      + ")
+  lazy val simJoinLshSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-       |         (${sigExpr("embeddings")}) AS sig
+       |         (${sigSqlExpr("embeddings")}) AS sig
        |  FROM embeddings)
        |SELECT a.sig AS sig, a.vec_id AS v1, b.vec_id AS v2,
        |       ROUND(list_dot_product(a.emb, b.emb)
        |             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
        |FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
        |WHERE list_dot_product(a.emb, b.emb)
-       |      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.15
+       |      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= $SimJoinThreshold
        |ORDER BY v1, v2""".stripMargin
-  }
 
   /** X-6: per-label centroids in long format (label, pos, centroid_val) —
     * posexplode + one aggregate; embeddings as first-class agg inputs.
@@ -224,6 +219,19 @@ object VectorOps {
   private def sqlDoubleList(xs: Seq[Double]): String =
     xs.map(_.toString).mkString("[", ", ", "]")
 
+  /** Shared SQL generator: the sign-LSH signature of `ref.embedding` as the
+    * same per-plane CASE sum [[signature]] computes — ONE definition feeds
+    * both LSH oracles ([[knnLshSql]], [[simJoinLshSql]]) so their bucket
+    * math can never drift from each other or from the Spark side. A `def`
+    * defers evaluation to the caller's init point — combined with
+    * simJoinLshSql being lazy, it never reads NumPlanes/EmbDim before they
+    * initialize.
+    */
+  private def sigSqlExpr(ref: String): String =
+    hyperplanes(EmbDim).zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product(CAST($ref.embedding AS DOUBLE[]), ${sqlDoubleList(p)}) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("\n      + ")
+
   /** Decimal-exact label-0 centroid CTE shared by the knn oracle SQLs. */
   private val qvecCte: String =
     """q AS (
@@ -268,11 +276,8 @@ object VectorOps {
     * — which is what upgrades this from a rows-only to a hash check.
     */
   val knnLshSql: String = {
-    val planes = hyperplanes(EmbDim)
-    val embSig = planes.zipWithIndex.map { case (p, j) =>
-      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${sqlDoubleList(p)}) > 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString("\n      + ")
-    val qSigExpr = planes.zipWithIndex.map { case (p, j) =>
+    val embSig = sigSqlExpr("embeddings")
+    val qSigExpr = hyperplanes(EmbDim).zipWithIndex.map { case (p, j) =>
       s"(CASE WHEN list_dot_product(${sqlDoubleList(p)}, qvec) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("\n      + ")
     s"""WITH $qvecCte,
@@ -292,9 +297,19 @@ object VectorOps {
     * sf-dir: the whole x3 family (and the query-vector derivation) shares a
     * single centroid job per JVM instead of re-aggregating the table per
     * query — in production the query vector is an input, not recomputed.
+    * CONTRACT: an sf dir is immutable for the JVM's lifetime (true for the
+    * driver's read-only testdata); data rewritten in place at the same path
+    * would serve stale centroids — call `clearCentroidCache()` after any
+    * such rewrite.
     */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Seq[Double]]]()
+
+  /** Drop memoized centroids (all sf dirs, or one) — required after
+    * rewriting data in place at a cached path.
+    */
+  def clearCentroidCache(sfDir: Option[String] = None): Unit =
+    sfDir.fold(centroidCache.clear())(d => { centroidCache.remove(d); () })
 
   def allLabelCentroids(spark: SparkSession, sfDir: String): Map[Int, Seq[Double]] =
     centroidCache.computeIfAbsent(
@@ -341,8 +356,14 @@ object VectorOps {
     // the query vector IS cents(0) — recomputing it via labelCentroidVector
     // would be a second full-table aggregate job
     val q = cents(0)
-    def d2(c: Seq[Double]): Double =
-      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+    // probe selection uses the SAME expanded form and fold order as the
+    // oracle SQL's ORDER BY ((c·c − 2·c·q) + q·q) — a plain sum-of-squared-
+    // diffs would round differently and could flip the probed set on a
+    // near-tie, breaking the hash check
+    def dotS(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val qq = dotS(q, q)
+    def d2(c: Seq[Double]): Double = (dotS(c, c) - 2.0 * dotS(c, q)) + qq
     val probed = cents.toSeq.sortBy { case (id, c) => (d2(c), id) }.take(nProbe).map(_._1)
     val sim = cosine(embDouble, typedLit(q))
     Tables.embeddings(spark, sfDir)
