@@ -192,11 +192,51 @@ object Dedup {
   def simhashQuery(spark: SparkSession, sfDir: String): DataFrame =
     simhash(Tables.documents(spark, sfDir).where(col("doc_id") < 300))
 
+  /** SimHash near-dup PAIRS via Hamming banding (the pigeonhole trick): a
+    * 63-bit fingerprint is split into `SimhashBands` contiguous bands; two
+    * fingerprints within Hamming distance < SimhashBands MUST agree on at
+    * least one whole band, so candidates come from a (band, band-bits)
+    * equi-join — never an all-pairs comparison — and exact `bit_count(xor)`
+    * verifies. Same candidate-generation shape as [[minhashPairs]]; at
+    * 100 TB, pre-partition by (band, bits) at ingest.
+    */
+  val SimhashBands = 4
+  val SimhashMaxHamming = 3 // < SimhashBands, so banding is lossless
+
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairsOf(Tables.documents(spark, sfDir).where(col("doc_id") < 300))
+
+  def simhashPairsOf(docs: DataFrame): DataFrame = {
+    val fp = simhash(docs)
+    val bandBits = 63 / SimhashBands + 1 // 16 bits per band covers 63 bits
+    val bands = fp.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(array((0 until SimhashBands).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits)
+            .bitwiseAND((1L << bandBits) - 1L).as("bits"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val dist = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        dist.as("hamming"))
+      .distinct() // a pair can share several bands
+      .where(col("hamming") <= SimhashMaxHamming)
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_dedup_exact" -> (exactDedup _),
     "x2_jaccard_pairs" -> (jaccardPairs _),
     "x2_minhash_pairs" -> (minhashPairs _),
-    "x2_simhash" -> (simhashQuery _))
+    "x2_simhash" -> (simhashQuery _),
+    "x2_simhash_pairs" -> (simhashPairs _))
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> exactDedupSql,

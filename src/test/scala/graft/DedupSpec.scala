@@ -27,6 +27,20 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L).size === 10) // 12 tokens → 10 trigrams
   }
 
+  test("simhash pairs: identical docs pair at hamming 0; banding never drops a ≤3 pair") {
+    val pairs = Dedup.simhashPairsOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0) // exact dup
+    // exhaustively verify banding recall: every fingerprint pair within
+    // SimhashMaxHamming must be present (pigeonhole over 4 bands)
+    val fps = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = for {
+      a <- fps.keys.toSeq; b <- fps.keys.toSeq
+      if a < b && java.lang.Long.bitCount(fps(a) ^ fps(b)) <= Dedup.SimhashMaxHamming
+    } yield (a, b)
+    assert(pairs.keySet === expected.toSet)
+  }
+
   test("minhash: identical docs get identical signatures; disjoint docs differ") {
     val sig = Dedup.minhashSignatures(docs)
       .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
