@@ -97,6 +97,36 @@ class PipelineSpec extends SparkSpec {
     assert(idsAfter === idsBefore)
   }
 
+  test("end-to-end: batches through Pipeline.run serve the reference's flagship query") {
+    // the complete reference workflow (main.py:159–177): scrape batches →
+    // load the star → obter_top_10_indices over the persisted tables
+    val dir = Files.createTempDirectory("star").toString
+    val paths = StarPaths(s"$dir/pais", s"$dir/setor", s"$dir/fato")
+    val batch = rawBatch(
+      ("Ibovespa", "1.234,56", "1.240,00", "1.200,10", "+1,25%", "Brasil"),
+      ("Shanghai", "3.210,98", "3.250,45", "3.200,11", "2,00%", "China"),
+      ("SZSE Component", "9.876,54", "9.900,00", "9.800,00", "-1,10%", "China"),
+      ("SP 500", "5.432,10", "5.450,00", "5.400,00", "+0,75%", "EUA"),
+      ("Quebrado", "N/A", "-", "", "x%", "EUA")) // dropped
+    Pipeline.run(spark, batch, paths, brazilMap, countryMap)
+    val fato = spark.read.parquet(paths.fato)
+    val pais = spark.read.parquet(paths.pais).withColumnRenamed("nome", "pais")
+    val setor = spark.read.parquet(paths.setor).withColumnRenamed("nome", "setor")
+    // main.py:149–157 transliterated over OUR star (P-1..P-4, J-1/J-2, W-1/W-2)
+    val top = fato
+      .join(pais, fato("pais_id") === pais("id"))
+      .join(setor, fato("setor_id") === setor("id"))
+      .where(col("setor") === "Primário" && col("pais").isin("China", "EUA"))
+      .select(fato("nome"), col("pais"), col("setor"), col("maxima"))
+      .orderBy(desc("maxima"), asc("nome"))
+      .limit(10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3))).toSeq
+    assert(top === Seq(
+      ("SZSE Component", "China", 9900.0),
+      ("SP 500", "EUA", 5450.0),
+      ("Shanghai", "China", 3250.45))) // Ibovespa (Brasil) filtered out, Quebrado dropped
+  }
+
   test("classification defaults: unmapped Brazil index falls to Diversificado, unmapped country to Primário") {
     val out = Pipeline.transform(
       rawBatch(
