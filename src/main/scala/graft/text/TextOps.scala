@@ -53,6 +53,23 @@ object TextOps {
       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
 
+  /** Sketch twin of [[wordFreq]] (and the third of the sketch family, with
+    * HLL distinct and t-digest percentiles): `approx_top_k` builds a
+    * mergeable frequency sketch per partition — single pass, bounded
+    * memory, and the only thing crossing the exchange is one sketch per
+    * partition, not the token cardinality. Estimates → rows-only check;
+    * the exact twins ([[wordFreq]], [[bigramTopK]]) are the oracle-checked
+    * baselines. Result projected to scalar rows (the harness can't sort
+    * struct-array cells).
+    */
+  def approxTopWords(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .agg(expr("approx_top_k(token, 20, 10000)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("n_approx"))
+      .orderBy(desc("n_approx"), asc("token"))
+
   /** Quality scoring (training-data filtering): length score, stopword
     * ratio, punctuation ratio combined into a deterministic [0,1] score.
     * Pure double arithmetic on identical operands → bit-identical vs the
@@ -257,7 +274,8 @@ object TextOps {
     "t_fingerprints" -> (fingerprints _),
     "t_bpe_tokens" -> (bpeTokens _),
     "t_rolling_fp" -> (rollingFingerprint _),
-    "x5_bigram_freq" -> (bigramFreq _))
+    "x5_bigram_freq" -> (bigramFreq _),
+    "x5_approx_top_words" -> (approxTopWords _))
 
   val oracle: Map[String, String] = Map(
     "x5_text_stats" -> textStatsSql,
