@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.JoinQueries.queries ++
       graft.queries.RelQueries.queries ++
       graft.etl.EtlQueries.queries ++
+      graft.etl.Sampling.queries ++
       graft.queries.EventQueries.queries ++
       graft.text.TextOps.queries ++
       graft.text.Dedup.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       graft.queries.JoinQueries.oracle ++
       graft.queries.RelQueries.oracle ++
       graft.etl.EtlQueries.oracle ++
+      graft.etl.Sampling.oracle ++
       graft.queries.EventQueries.oracle ++
       graft.text.TextOps.oracle ++
       graft.text.Dedup.oracle ++

@@ -1,0 +1,107 @@
+package graft.etl
+
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting — the assignment operators a
+  * training-data pipeline runs before anything else (held-out eval splits,
+  * per-class subsamples, debug slices). Everything here is HASH-determined,
+  * never RNG-determined: `df.sample()`/`rand()` give a different subset per
+  * run, per partitioning, and per Spark version, which silently breaks
+  * train/test hygiene (yesterday's test row is today's training row). A
+  * hash of a stable key gives the same verdict for the same row on any
+  * cluster, any day, any engine — and because md5 is bit-identical across
+  * Spark and DuckDB, every operator here is oracle-hash-checkable.
+  *
+  * Scale posture: both operators are one codegen'd projection (split) or
+  * one window shuffle on the group key (sample); no RNG state, no driver
+  * participation, no extra scan. The per-group top-k sample plans through
+  * `WindowGroupLimit` (PLANS.md §10): each map task keeps ≤ k rows per
+  * group before the exchange.
+  */
+object Sampling {
+
+  /** Hash bucket in [0, 256) as the first two hex chars of md5(key).
+    * Fixed-width lowercase hex compares identically as a STRING in every
+    * engine, so the split predicate needs no hex-to-int parsing anywhere —
+    * the same `< 'cc'` comparison runs in Spark and DuckDB byte-for-byte.
+    */
+  private def bucketHex(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 2)
+
+  private def boundHex(bucket: Int): String = f"$bucket%02x"
+
+  /** Deterministic train/val/test assignment from a stable key: bucket =
+    * first byte of md5(key), split by cumulative fraction boundaries
+    * (granularity 1/256 ≈ 0.4 % — documented rounding, not hidden). Same
+    * row → same split, forever, on every engine.
+    */
+  def splitColumn(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val trainBound = boundHex((256 * trainPct) / 100)
+    val valBound = boundHex((256 * trainPct) / 100 + (256 * valPct) / 100)
+    val b = bucketHex(key)
+    when(b < trainBound, "train").when(b < valBound, "val").otherwise("test")
+  }
+
+  /** Split-assignment audit over orders: rows and exact fraction per split
+    * — the query a pipeline runs to prove split hygiene before training.
+    */
+  def splitCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(splitColumn(col("o_orderkey")).as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "pct",
+        round(col("n").cast("double") / sum(col("n")).over(Window.partitionBy()).cast("double"), 6))
+      .orderBy("split")
+
+  val splitCountsSql: String = {
+    val trainBound = boundHex((256 * 80) / 100)
+    val valBound = boundHex((256 * 80) / 100 + (256 * 10) / 100)
+    s"""WITH s AS (
+       |  SELECT CASE WHEN b < '$trainBound' THEN 'train'
+       |              WHEN b < '$valBound' THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM (SELECT substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS b FROM orders))
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+       |       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS pct
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  /** Deterministic per-group k-sample: bottom-k by md5(key) within each
+    * group — hash order is uniform over the keys, so this IS a uniform
+    * sample, but a reproducible one (the anti-`rand()` property above).
+    * Plans as Window + WindowGroupLimit: ≤ k rows per group cross the
+    * exchange.
+    */
+  def sampledPerGroup(df: DataFrame, groupCol: String, keyCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w)).where(col("sample_rank") <= k)
+  }
+
+  /** 5 deterministic customers per market segment. */
+  def samplePerSegment(spark: SparkSession, sfDir: String): DataFrame =
+    sampledPerGroup(Tables.customer(spark, sfDir), "c_mktsegment", "c_custkey", 5)
+      .select(col("c_mktsegment"), col("sample_rank"), col("c_custkey"))
+      .orderBy("c_mktsegment", "sample_rank")
+
+  val samplePerSegmentSql: String =
+    """SELECT c_mktsegment, sample_rank, c_custkey FROM (
+      |  SELECT c_mktsegment, c_custkey,
+      |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS sample_rank
+      |  FROM customer)
+      |WHERE sample_rank <= 5
+      |ORDER BY c_mktsegment, sample_rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_split_counts" -> (splitCounts _),
+    "t_sample_per_group" -> (samplePerSegment _))
+
+  val oracle: Map[String, String] = Map(
+    "t_split_counts" -> splitCountsSql,
+    "t_sample_per_group" -> samplePerSegmentSql)
+}

@@ -63,6 +63,33 @@ class NormalizeSpec extends SparkSpec {
     assert(fresh === Seq("y"))
   }
 
+  test("deterministic split: stable across evaluations, covers all rows, ~80/10/10") {
+    import graft.etl.Sampling
+    val df = (1L to 2000L).toDF("id")
+    val a = df.select($"id", Sampling.splitColumn($"id").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = df.select($"id", Sampling.splitColumn($"id").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b) // hash-determined, never RNG-determined
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(frac.keySet === Set("train", "val", "test")) // total coverage
+    assert(math.abs(frac("train") - 0.8) < 0.05)
+    assert(math.abs(frac("val") - 0.1) < 0.03)
+    assert(math.abs(frac("test") - 0.1) < 0.03)
+  }
+
+  test("deterministic per-group sample: exactly k per group, stable, within the group") {
+    import graft.etl.Sampling
+    val df = (1L to 300L).map(i => (i % 3, i)).toDF("g", "id")
+    val s1 = Sampling.sampledPerGroup(df, "g", "id", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s2 = Sampling.sampledPerGroup(df, "g", "id", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s1 === s2)
+    assert(s1.groupBy(_._1).forall { case (_, rows) => rows.size === 7 })
+    assert(s1.forall { case (g, id) => id % 3 === g }) // sample stays in its group
+  }
+
   test("S-1/P-6 row scan: arity guard drops short rows, parse drop applies, extra cells ignored") {
     val out = graft.etl.EtlQueries.rowScan(spark, "")
     val names = out.select("nome").as[String].collect().toSeq
