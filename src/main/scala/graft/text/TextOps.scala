@@ -245,6 +245,47 @@ object TextOps {
       |  WHERE len(t) >= 2)
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  /** Document chunking for LM pretraining: fixed `ChunkSize`-token windows
+    * at `ChunkStride` steps (8-token overlap so no context is lost at a
+    * boundary) — the op every pretraining pipeline runs between cleaning
+    * and tokenization. Pure array arithmetic on the scan side (`transform`
+    * + `slice`, codegen'd, no shuffle at all until the ORDER BY the
+    * harness needs); chunk count = ceil((n − size) / stride) + 1, short
+    * docs yield exactly one (possibly partial) chunk.
+    */
+  val ChunkSize = 64
+  val ChunkStride = 56
+
+  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 300)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(cast(ceil((size(t) - $ChunkSize) / $ChunkStride.0) as int), 0)), i -> slice(t, i * $ChunkStride + 1, $ChunkSize))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        size(col("chunk")).cast("bigint").as("n_tokens"),
+        element_at(col("chunk"), 1).as("first_token"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val chunkDocsSql: String = {
+    val lt =
+      s"list_transform(range(0, greatest(CAST(ceil((len(t) - $ChunkSize) / $ChunkStride.0) AS INT), 0) + 1), i -> t[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkSize])"
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents WHERE doc_id < 300),
+       |c AS (
+       |  SELECT doc_id, unnest($lt) AS chunk, generate_subscripts($lt, 1) AS i
+       |  FROM tok)
+       |SELECT doc_id, i - 1 AS chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
+       |       chunk[1] AS first_token
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** Rolling-hash document fingerprint: a polynomial fold over token hashes
     * (h ← (31·h + hash(tok)) mod p). One codegen'd `aggregate` higher-order
     * function — no UDF, no shuffle, order-sensitive by construction (unlike
@@ -275,7 +316,8 @@ object TextOps {
     "t_bpe_tokens" -> (bpeTokens _),
     "t_rolling_fp" -> (rollingFingerprint _),
     "x5_bigram_freq" -> (bigramFreq _),
-    "x5_approx_top_words" -> (approxTopWords _))
+    "x5_approx_top_words" -> (approxTopWords _),
+    "t_chunks" -> (chunkDocs _))
 
   val oracle: Map[String, String] = Map(
     "x5_text_stats" -> textStatsSql,
@@ -283,5 +325,6 @@ object TextOps {
     "t_quality_score" -> qualityScoreSql,
     "t_fingerprints" -> fingerprintsSql,
     "t_bpe_tokens" -> bpeTokensSql,
-    "x5_bigram_freq" -> bigramFreqSql)
+    "x5_bigram_freq" -> bigramFreqSql,
+    "t_chunks" -> chunkDocsSql)
 }

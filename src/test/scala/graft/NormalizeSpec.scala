@@ -63,6 +63,25 @@ class NormalizeSpec extends SparkSpec {
     assert(fresh === Seq("y"))
   }
 
+  test("chunking: stride overlap, full coverage, short docs yield one partial chunk") {
+    import graft.text.TextOps
+    // 130 tokens → chunks at 1..64, 57..120, 113..130 (3 chunks, 8-token overlap)
+    val long = (1 to 130).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, long), (2L, "a b c")).toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, greatest(cast(ceil((size(t) - ${TextOps.ChunkSize}) / ${TextOps.ChunkStride}.0) as int), 0)), i -> slice(t, i * ${TextOps.ChunkStride} + 1, ${TextOps.ChunkSize}))"))
+        .as(Seq("chunk_idx", "chunk")))
+    val chunks = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[String](2)).toMap
+    assert(chunks((1L, 0)).size === 64 && chunks((1L, 0)).head === "w1")
+    assert(chunks((1L, 1)).head === "w57") // 8-token overlap with chunk 0
+    assert(chunks((1L, 2)) === (113 to 130).map(i => s"w$i")) // final partial chunk
+    assert(chunks.keys.count(_._1 == 1L) === 3)
+    assert(chunks((2L, 0)) === Seq("a", "b", "c")) // short doc: one partial chunk
+    assert(chunks.keys.count(_._1 == 2L) === 1)
+  }
+
   test("deterministic split: stable across evaluations, covers all rows, ~80/10/10") {
     import graft.etl.Sampling
     val df = (1L to 2000L).toDF("id")
