@@ -2,6 +2,7 @@ package graft.text
 
 import graft.model.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` corpus (SURVEY.md X-5 and
@@ -286,6 +287,58 @@ object TextOps {
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** Sequence packing (chunking's companion): assign whole documents to
+    * fixed-token-budget packs — the pretraining step that batches short
+    * docs together so a 2048-token context isn't wasted on a 40-token doc.
+    * Scalable formulation: docs land in one of 16 hash buckets (so packing
+    * is bucket-parallel, not a single global sequential fold), and within
+    * a bucket `pack_id = floor(tokens_before / budget)` over a
+    * deterministic md5 order — first-fit-in-hash-order, the standard
+    * shuffle-then-fill approximation. Docs are never split; a pack may
+    * overflow the budget by at most one doc (budget is a target, not a
+    * cap) — that is the documented trade of whole-doc packing. One window
+    * shuffle on the bucket key; everything else is scan-side arithmetic.
+    */
+  val PackBudget = 256
+
+  def packedDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val w = Window.partitionBy("bucket").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 300)
+      .select(
+        col("doc_id"),
+        bucket.as("bucket"),
+        md5(col("doc_id").cast("string")).as("ord"),
+        size(tokens(col("text"))).cast("bigint").as("n_tok"))
+      // floor(), not a bare cast: Spark's double→long cast truncates but
+      // DuckDB's CAST rounds — floor is identical in both
+      .withColumn("pack_id", floor((sum(col("n_tok")).over(w) - col("n_tok")) / PackBudget).cast("bigint"))
+      .groupBy("bucket", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("pack_tokens"))
+      .orderBy("bucket", "pack_id")
+  }
+
+  val packedDocsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+       |         md5(CAST(doc_id AS VARCHAR)) AS ord,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents WHERE doc_id < 300),
+       |p AS (
+       |  SELECT bucket, doc_id, n_tok,
+       |         CAST(floor((SUM(n_tok) OVER (PARTITION BY bucket ORDER BY ord, doc_id
+       |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                     - n_tok) / $PackBudget) AS BIGINT) AS pack_id
+       |  FROM d)
+       |SELECT bucket, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+       |FROM p GROUP BY bucket, pack_id ORDER BY bucket, pack_id""".stripMargin
+
   /** Rolling-hash document fingerprint: a polynomial fold over token hashes
     * (h ← (31·h + hash(tok)) mod p). One codegen'd `aggregate` higher-order
     * function — no UDF, no shuffle, order-sensitive by construction (unlike
@@ -317,7 +370,8 @@ object TextOps {
     "t_rolling_fp" -> (rollingFingerprint _),
     "x5_bigram_freq" -> (bigramFreq _),
     "x5_approx_top_words" -> (approxTopWords _),
-    "t_chunks" -> (chunkDocs _))
+    "t_chunks" -> (chunkDocs _),
+    "t_packed" -> (packedDocs _))
 
   val oracle: Map[String, String] = Map(
     "x5_text_stats" -> textStatsSql,
@@ -326,5 +380,6 @@ object TextOps {
     "t_fingerprints" -> fingerprintsSql,
     "t_bpe_tokens" -> bpeTokensSql,
     "x5_bigram_freq" -> bigramFreqSql,
-    "t_chunks" -> chunkDocsSql)
+    "t_chunks" -> chunkDocsSql,
+    "t_packed" -> packedDocsSql)
 }

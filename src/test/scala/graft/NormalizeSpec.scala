@@ -82,6 +82,26 @@ class NormalizeSpec extends SparkSpec {
     assert(chunks.keys.count(_._1 == 2L) === 1)
   }
 
+  test("packing: every doc packed exactly once; per-bucket pack ids contiguous from 0") {
+    import graft.text.TextOps
+    val out = TextOps.packedDocs(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._3).sum === 300) // all 300 docs assigned exactly once
+    out.groupBy(_._1).foreach { case (bucket, packs) =>
+      val ids = packs.map(_._2).sorted.toSeq
+      assert(ids === (0L until ids.length).toSeq, s"bucket $bucket pack ids not contiguous")
+    }
+    // packs (except possibly a bucket's last) reach the budget: cumulative
+    // token count through pack p must exceed p * budget
+    out.groupBy(_._1).foreach { case (bucket, packs) =>
+      val sorted = packs.sortBy(_._2)
+      val cums = sorted.map(_._4).scanLeft(0L)(_ + _).tail
+      cums.init.zipWithIndex.foreach { case (cum, p) =>
+        assert(cum >= (p + 1L) * TextOps.PackBudget, s"bucket $bucket pack $p underfilled")
+      }
+    }
+  }
+
   test("deterministic split: stable across evaluations, covers all rows, ~80/10/10") {
     import graft.etl.Sampling
     val df = (1L to 2000L).toDF("id")
