@@ -93,6 +93,44 @@ object Dedup {
       |WHERE CAST(i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i AS DOUBLE)) >= 0.4
       |ORDER BY d1, d2""".stripMargin
 
+  /** Benchmark decontamination — the eval-hygiene pass every training
+    * pipeline runs before a model ships: flag TRAIN documents sharing any
+    * word-trigram with the EVAL set (here: doc_id >= 280 plays the held-out
+    * benchmark). One semi-ish shingle equi-join: the eval shingle set is
+    * tiny and broadcast, so at 100 TB this is a map-side probe per train
+    * shingle — no pair space, no shuffle of the train corpus. Output is the
+    * contamination report (which train docs overlap, by how many distinct
+    * shingles) that decides drop-vs-keep.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 300)
+    decontaminateOf(docs.where(col("doc_id") < 280), docs.where(col("doc_id") >= 280))
+  }
+
+  /** Contamination report for arbitrary train/eval corpora (each with
+    * `doc_id`, `text`).
+    */
+  def decontaminateOf(train: DataFrame, eval: DataFrame): DataFrame =
+    shingleRows(train)
+      .join(broadcast(shingleRows(eval).select(col("sh")).distinct()), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .orderBy("doc_id")
+
+  val decontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 300),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id >= 280)
+      |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+      |FROM sh s JOIN ev ON s.sh = ev.sh
+      |WHERE s.doc_id < 280
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   // ---- MinHash + LSH banding (the 100 TB near-dup path; no SQL oracle —
   //      seed-pinned hashes, unit+property tested per SURVEY.md §7.4) ----
 
@@ -236,9 +274,11 @@ object Dedup {
     "x2_jaccard_pairs" -> (jaccardPairs _),
     "x2_minhash_pairs" -> (minhashPairs _),
     "x2_simhash" -> (simhashQuery _),
-    "x2_simhash_pairs" -> (simhashPairs _))
+    "x2_simhash_pairs" -> (simhashPairs _),
+    "t_decontaminate" -> (decontaminate _))
 
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> exactDedupSql,
-    "x2_jaccard_pairs" -> jaccardPairsSql)
+    "x2_jaccard_pairs" -> jaccardPairsSql,
+    "t_decontaminate" -> decontaminateSql)
 }

@@ -27,6 +27,16 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L).size === 10) // 12 tokens → 10 trigrams
   }
 
+  test("decontamination: only train docs sharing an eval trigram are flagged, with exact counts") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"), // shares "the quick brown" + "quick brown fox"
+      (2L, "totally unrelated training text here")).toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox runs away")).toDF("doc_id", "text")
+    val out = Dedup.decontaminateOf(train, eval)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L)) // doc 2 untouched; doc 1 shares exactly 2 trigrams
+  }
+
   test("simhash pairs: identical docs pair at hamming 0; banding never drops a ≤3 pair") {
     val pairs = Dedup.simhashPairsOf(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
