@@ -31,7 +31,10 @@ object Sampling {
   private def bucketHex(key: Column): Column =
     substring(md5(key.cast("string")), 1, 2)
 
-  private def boundHex(bucket: Int): String = f"$bucket%02x"
+  // bucket 256 (a cumulative fraction of exactly 100%) must compare ABOVE
+  // every 2-hex-char bucket — f"%02x" would yield the 3-char "100", which
+  // sorts BELOW "c0" lexicographically and silently collapses the range
+  private def boundHex(bucket: Int): String = if (bucket >= 256) "g" else f"$bucket%02x"
 
   /** Deterministic train/val/test assignment from a stable key: bucket =
     * first byte of md5(key), split by cumulative fraction boundaries

@@ -108,13 +108,15 @@ object Dedup {
   }
 
   /** Contamination report for arbitrary train/eval corpora (each with
-    * `doc_id`, `text`).
+    * `doc_id`, `text`). The train side is the MULTISET shingle stream — no
+    * pre-dedup shuffle of the whole corpus; the broadcast probe filters
+    * first and only the (tiny) matched rows pay the distinct aggregation.
     */
   def decontaminateOf(train: DataFrame, eval: DataFrame): DataFrame =
-    shingleRows(train)
+    shingleRowsMulti(train)
       .join(broadcast(shingleRows(eval).select(col("sh")).distinct()), "sh")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared_shingles"))
+      .agg(countDistinct(col("sh")).as("n_shared_shingles"))
       .orderBy("doc_id")
 
   val decontaminateSql: String =

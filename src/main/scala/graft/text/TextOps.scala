@@ -257,15 +257,21 @@ object TextOps {
   val ChunkSize = 64
   val ChunkStride = 56
 
-  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .where(col("doc_id") < 300)
+  /** Raw (doc_id, chunk_idx, chunk) rows for any `doc_id`+`text` corpus —
+    * the single definition of the window arithmetic (tests and the named
+    * query both go through here, so they can't drift).
+    */
+  def chunksOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(
         col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, greatest(cast(ceil((size(t) - $ChunkSize) / $ChunkStride.0) as int), 0)), i -> slice(t, i * $ChunkStride + 1, $ChunkSize))"))
           .as(Seq("chunk_idx", "chunk")))
+
+  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame =
+    chunksOf(Tables.documents(spark, sfDir).where(col("doc_id") < 300))
       .select(
         col("doc_id"),
         col("chunk_idx"),
