@@ -167,8 +167,13 @@ object Dedup {
     * This is the join-on-bucket pattern that replaces the O(n²) self-join:
     * at 1000 executors the bucket join shuffles only (band, bucket) keys.
     */
-  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairsOf(Tables.documents(spark, sfDir), 0.5)
+
+  /** MinHash+LSH near-dup pairs for an arbitrary `doc_id`+`text` corpus at
+    * the given exact-Jaccard threshold.
+    */
+  def minhashPairsOf(docs: DataFrame, threshold: Double): DataFrame = {
     // ONE pass over shingle rows produces BOTH the banded signature and the
     // per-doc sorted distinct-shingle-hash array used for exact
     // verification: the min-aggs don't need distinct (idempotent) and
@@ -206,7 +211,7 @@ object Dedup {
     val i = size(array_intersect(col("h1"), col("h2"))).cast("double")
     val jac = i / (size(col("h1")).cast("double") + size(col("h2")).cast("double") - i)
     pairs
-      .where(jac >= 0.5)
+      .where(jac >= threshold)
       .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
       .orderBy("d1", "d2")
   }

@@ -76,6 +76,22 @@ object TextOps {
     * Pure double arithmetic on identical operands → bit-identical vs the
     * oracle; `round` only as final guard.
     */
+  /** The [0,1] quality score as a reusable Column over a text column —
+    * the filter predicate [[graft.text.CorpusPipeline]] curates with.
+    */
+  def qualityColumn(text: Column): Column = {
+    val toks = split(text, " ")
+    val stopArr = array(StopWords.map(lit): _*)
+    val tokCnt = size(toks).cast("bigint")
+    val stopCnt = size(filter(toks, t => array_contains(stopArr, t))).cast("bigint")
+    val charLen = length(text).cast("bigint")
+    val punctCnt = (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("bigint")
+    val lenScore = least(lit(1.0), tokCnt.cast("double") / lit(200.0))
+    val stopRatio = stopCnt.cast("double") / tokCnt.cast("double")
+    val punctRatio = punctCnt.cast("double") / charLen.cast("double")
+    round(lit(0.5) * lenScore + lit(0.3) * stopRatio + lit(0.2) * (lit(1.0) - punctRatio), 6)
+  }
+
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tokens(col("text"))
     val stopArr = array(StopWords.map(lit): _*)
@@ -84,9 +100,6 @@ object TextOps {
     val charLen = length(col("text")).cast("bigint")
     val punctCnt = (length(col("text")) -
       length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("bigint")
-    val lenScore = least(lit(1.0), tokCnt.cast("double") / lit(200.0))
-    val stopRatio = stopCnt.cast("double") / tokCnt.cast("double")
-    val punctRatio = punctCnt.cast("double") / charLen.cast("double")
     Tables.documents(spark, sfDir)
       .where(col("doc_id") < 300)
       .select(
@@ -95,8 +108,7 @@ object TextOps {
         charLen.as("n_chars"),
         stopCnt.as("n_stopwords"),
         punctCnt.as("n_punct"),
-        round(lit(0.5) * lenScore + lit(0.3) * stopRatio + lit(0.2) * (lit(1.0) - punctRatio), 6)
-          .as("quality"))
+        qualityColumn(col("text")).as("quality"))
       .orderBy("doc_id")
   }
 

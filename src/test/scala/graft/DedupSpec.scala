@@ -27,6 +27,33 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L).size === 10) // 12 tokens → 10 trigrams
   }
 
+  test("corpus pipeline: monotone funnel, consistent counts, split-stamped chunks") {
+    import graft.text.CorpusPipeline
+    val all = graft.model.Tables.documents(spark, sf001)
+    val eval = all.where($"doc_id" >= 290)
+    val train = all.where($"doc_id" < 290)
+    var funnel = Vector.empty[(String, Long)]
+    // tolerant thresholds: the synthetic tiny-vocab corpus overlaps heavily,
+    // so a zero-tolerance decontamination would empty the funnel
+    val out = CorpusPipeline.curate(
+      train, eval,
+      CorpusPipeline.Config(minQuality = 0.0, maxSharedShingles = 1000L, nearDupJaccard = 0.5),
+      f => funnel :+= f).cache()
+    val m = funnel.toMap
+    assert(funnel.map(_._1) ===
+      Vector("input", "quality", "decontaminated", "exact_dedup", "near_dedup", "chunks"))
+    assert(m("input") >= m("quality"))
+    assert(m("quality") >= m("decontaminated"))
+    assert(m("decontaminated") >= m("exact_dedup"))
+    assert(m("exact_dedup") >= m("near_dedup"))
+    assert(m("near_dedup") > 0, "curated corpus must be non-empty under tolerant config")
+    assert(out.count() === m("chunks"))
+    assert(out.columns.toSeq === Seq("doc_id", "chunk_idx", "text", "n_tokens", "split"))
+    val splits = out.select("split").distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.nonEmpty)
+    out.unpersist()
+  }
+
   test("decontamination: only train docs sharing an eval trigram are flagged, with exact counts") {
     val train = Seq(
       (1L, "the quick brown fox jumps high"), // shares "the quick brown" + "quick brown fox"
