@@ -31,53 +31,73 @@ object CorpusPipeline {
       nearDupJaccard: Double = 0.5)
 
   /** One curation run. `docs`/`evalDocs` need (doc_id, text, n_chars).
-    * Returns the curated, chunked, split corpus; `funnel` receives
-    * (stage → surviving doc count) for the audit log.
+    * Returns the curated, chunked, split corpus.
+    *
+    * `funnel` (optional) receives (stage → surviving doc count). Counting
+    * forces each stage, so when a funnel is requested the intermediate
+    * stages are PERSISTED for the duration of the run — without that,
+    * stage N's count would recompute stages 1..N-1 from the scan, a 6×
+    * recomputation cascade at corpus scale. With no funnel (production),
+    * nothing is counted, nothing cached: one lazy plan end to end.
     */
   def curate(
       docs: DataFrame,
       evalDocs: DataFrame,
       cfg: Config = Config(),
-      funnel: ((String, Long)) => Unit = _ => ()): DataFrame = {
-    funnel(("input", docs.count()))
+      funnel: ((String, Long)) => Unit = null): DataFrame = {
+    val audit = funnel != null
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def stage(name: String, df: DataFrame): DataFrame =
+      if (!audit) df
+      else {
+        val p = df.persist()
+        cached += p
+        funnel((name, p.count()))
+        p
+      }
+    try {
+      if (audit) funnel(("input", docs.count()))
 
-    // 1. quality: keep docs at or above the score threshold
-    val scored = docs.withColumn(
-      "quality",
-      TextOps.qualityColumn(col("text")))
-    val quality = scored.where(col("quality") >= cfg.minQuality).drop("quality")
-    funnel(("quality", quality.count()))
+      // 1. quality: keep docs at or above the score threshold
+      val quality = stage(
+        "quality",
+        docs.where(TextOps.qualityColumn(col("text")) >= cfg.minQuality))
 
-    // 2. decontaminate: drop docs overlapping the eval set
-    val contaminated = Dedup.decontaminateOf(quality, evalDocs)
-      .where(col("n_shared_shingles") > cfg.maxSharedShingles)
-      .select(col("doc_id"))
-    val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
-    funnel(("decontaminated", clean.count()))
+      // 2. decontaminate: drop docs overlapping the eval set
+      val contaminated = Dedup.decontaminateOf(quality, evalDocs)
+        .where(col("n_shared_shingles") > cfg.maxSharedShingles)
+        .select(col("doc_id"))
+      val clean = stage(
+        "decontaminated",
+        quality.join(contaminated, Seq("doc_id"), "left_anti"))
 
-    // 3. exact dedup: one canonical doc per identical text
-    val exact = clean
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("text").orderBy("doc_id")))
-      .where(col("rk") === 1).drop("rk")
-    funnel(("exact_dedup", exact.count()))
+      // 3. exact dedup: one canonical doc per identical text
+      val exact = stage(
+        "exact_dedup",
+        clean
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("text").orderBy("doc_id")))
+          .where(col("rk") === 1).drop("rk"))
 
-    // 4. near-dup: drop the higher-id member of every MinHash+LSH pair at
-    // or above the Jaccard threshold (keep-first policy, deterministic)
-    val dupIds = Dedup.minhashPairsOf(exact, cfg.nearDupJaccard)
-      .select(col("d2").as("doc_id")).distinct()
-    val nearDeduped = exact.join(dupIds, Seq("doc_id"), "left_anti")
-    funnel(("near_dedup", nearDeduped.count()))
+      // 4. near-dup: drop the higher-id member of every MinHash+LSH pair at
+      // or above the Jaccard threshold (keep-first policy, deterministic)
+      val dupIds = Dedup.minhashPairsOf(exact, cfg.nearDupJaccard)
+        .select(col("d2").as("doc_id")).distinct()
+      val nearDeduped = stage("near_dedup", exact.join(dupIds, Seq("doc_id"), "left_anti"))
 
-    // 5. chunk to training windows, 6. stamp the split
-    val out = TextOps.chunksOf(nearDeduped)
-      .select(
-        col("doc_id"),
-        col("chunk_idx"),
-        concat_ws(" ", col("chunk")).as("text"),
-        size(col("chunk")).cast("bigint").as("n_tokens"))
-      .withColumn("split", Sampling.splitColumn(col("doc_id")))
-    funnel(("chunks", out.count()))
-    out
+      // 5. chunk to training windows, 6. stamp the split
+      val out = TextOps.chunksOf(nearDeduped)
+        .select(
+          col("doc_id"),
+          col("chunk_idx"),
+          concat_ws(" ", col("chunk")).as("text"),
+          size(col("chunk")).cast("bigint").as("n_tokens"))
+        .withColumn("split", Sampling.splitColumn(col("doc_id")))
+      if (audit) funnel(("chunks", out.count()))
+      out
+    } finally
+    // caches only back the audit counts; the returned plan recomputes
+    // lazily from the source (callers persist the RESULT if reusing it)
+    cached.foreach(_.unpersist())
   }
 }
