@@ -106,10 +106,11 @@ object Pipeline {
       // data_coleta stamps each fact row with the collection time (F-6,
       // main.py:44 `default=datetime.utcnow`); tests pass a frozen literal
       // for determinism, the operational default is current_timestamp().
-      // Schema note: fact dirs written before data_coleta existed need a
-      // one-time backfill (or .option("mergeSchema", true) on read) —
-      // appending mixed schemas otherwise leaves the column's visibility
-      // dependent on which footer Spark samples.
+      // Schema note: fact dirs written before data_coleta existed hold
+      // mixed-schema files after this append; the count read below uses
+      // mergeSchema so the union schema is authoritative regardless of
+      // which footer Spark samples — external readers of a mixed dir
+      // should do the same (or run a one-time backfill rewrite).
       batch
         .join(broadcast(pais.withColumnRenamed("id", "pais_id")), col("pais") === pais("nome"))
         .join(broadcast(setor.withColumnRenamed("id", "setor_id")), col("setor") === setor("nome"))
@@ -119,7 +120,8 @@ object Pipeline {
         .withColumn("data_coleta", collectedAt.cast("timestamp"))
         .write.mode(SaveMode.Append).parquet(paths.fato)
 
-      (pais.count(), setor.count(), spark.read.parquet(paths.fato).count())
+      (pais.count(), setor.count(),
+        spark.read.option("mergeSchema", "true").parquet(paths.fato).count())
     } finally batch.unpersist()
   }
 }

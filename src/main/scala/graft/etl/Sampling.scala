@@ -42,6 +42,9 @@ object Sampling {
     * row → same split, forever, on every engine.
     */
   def splitColumn(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(
+      trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split: trainPct=$trainPct valPct=$valPct (need >=0 and sum <=100)")
     val trainBound = boundHex((256 * trainPct) / 100)
     val valBound = boundHex((256 * trainPct) / 100 + (256 * valPct) / 100)
     val b = bucketHex(key)

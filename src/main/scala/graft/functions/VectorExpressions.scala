@@ -216,11 +216,17 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     // once per session — a blind createOrReplace logs a "replacing temp
     // function" warning per query (pollutes BENCH output), but the guard
-    // must be OUR registration marker, not functionExists: a foreign
+    // must be OUR registration marker, not functionExists alone: a foreign
     // function that happens to be named graft_dot should be replaced with
-    // the correct binding, not silently kept
-    if (registeredSessions.put(spark, java.lang.Boolean.TRUE) == null) {
-      val registry = spark.sessionState.functionRegistry
+    // the correct binding, not silently kept. The marker alone isn't
+    // sufficient either — if either name is later DROPped from the
+    // registry, the marker would make this a silent no-op — so re-register
+    // whenever the registry no longer has both names
+    val registry = spark.sessionState.functionRegistry
+    val firstTime = registeredSessions.put(spark, java.lang.Boolean.TRUE) == null
+    if (firstTime ||
+      !registry.functionExists(FunctionIdentifier("graft_dot")) ||
+      !registry.functionExists(FunctionIdentifier("graft_cosine"))) {
       registry.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
       registry.createOrReplaceTempFunction("graft_cosine", cosineBuilder, "built-in")
     }

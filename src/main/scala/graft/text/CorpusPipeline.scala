@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture is inherited from the stages: quality scoring is
   * scan-side arithmetic, decontamination a broadcast probe, exact dedup a
-  * hash aggregate, near-dup an LSH-banded candidate join (never O(n²)),
+  * fingerprint-keyed keep-first window (md5 keys drive the exchange, never
+  * the text), near-dup an LSH-banded candidate join (never O(n²)),
   * chunking scan-side, splitting a projection. No stage collects the
   * corpus to the driver; `funnel` counts are the only driver-side values.
   */
@@ -71,13 +72,18 @@ object CorpusPipeline {
         "decontaminated",
         quality.join(contaminated, Seq("doc_id"), "left_anti"))
 
-      // 3. exact dedup: one canonical doc per identical text
+      // 3. exact dedup: one canonical doc per identical text. The window is
+      // partitioned by the md5 FINGERPRINT, not the text: rank-limit
+      // pushdown (WindowGroupLimit) keeps ≤1 row per fingerprint on the map
+      // side and the exchange is keyed by 16-byte fingerprints — full
+      // documents never become shuffle keys (they ride once as payload)
       val exact = stage(
         "exact_dedup",
         clean
+          .withColumn("fp", md5(col("text").cast("binary")))
           .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("text").orderBy("doc_id")))
-          .where(col("rk") === 1).drop("rk"))
+            org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")))
+          .where(col("rk") === 1).drop("rk", "fp"))
 
       // 4. near-dup: drop the higher-id member of every MinHash+LSH pair at
       // or above the Jaccard threshold (keep-first policy, deterministic)

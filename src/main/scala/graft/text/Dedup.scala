@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators (SURVEY.md X-1/X-2; training-data pipeline core):
   * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, and SimHash.
   *
-  * Scale posture: exact dedup is one hash aggregate on the text (or its
-  * fingerprint — see [[TextOps.fingerprints]]). Near-dup avoids the O(n²)
+  * Scale posture: exact dedup is one hash aggregate keyed by the md5
+  * fingerprint ([[TextOps.fingerprints]] is the standalone fingerprint op),
+  * so shuffle keys are 16 bytes regardless of document size. Near-dup
+  * avoids the O(n²)
   * pair space via LSH banding: only documents sharing a band bucket are
   * candidate pairs, and exact Jaccard runs on candidates only. The
   * oracle-checked Jaccard query caps the corpus slice (doc_id < 200) so the
@@ -33,14 +35,21 @@ object Dedup {
       .distinct()
 
   /** X-1: exact dedup — canonical doc per identical text + duplicate count.
-    * groupBy(text) is a map-side-combined hash aggregate; at scale group by
-    * md5 fingerprint instead to shrink shuffle keys.
+    * Fingerprint-first: the aggregate is KEYED by md5(text), so after
+    * map-side combine the exchange carries 16-byte fingerprints plus at most
+    * one candidate row per (group, map partition) — never every byte of the
+    * corpus as a grouping key. The canonical row (min doc_id and its text)
+    * rides the partial aggregate as a min-struct, so no second scan or join
+    * is needed to resolve the text. An md5 collision would merge two
+    * distinct texts — negligible below ~2^64 docs (the standard
+    * fingerprint-dedup trade), and the oracle, which groups by RAW text,
+    * would flag one on the checked corpora.
     */
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .groupBy("text")
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-      .select("doc_id", "n_copies", "text")
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("canon"), count(lit(1)).as("n_copies"))
+      .select(col("canon.doc_id").as("doc_id"), col("n_copies"), col("canon.text").as("text"))
       .orderBy("doc_id")
 
   val exactDedupSql: String =

@@ -60,7 +60,9 @@ object VectorOps {
     * JVM — each checked query then costs a single FileScan of embeddings.
     */
   def labelCentroidVector(spark: SparkSession, sfDir: String, label: Int): Seq[Double] =
-    allLabelCentroids(spark, sfDir)(label)
+    // empty for an absent label (no rows → no centroid), matching the
+    // pre-memoization aggregate's behavior rather than throwing
+    allLabelCentroids(spark, sfDir).getOrElse(label, Seq.empty)
 
   /** X-3: brute-force cosine top-k vs the label-0 centroid query vector. */
   def knnCosine(spark: SparkSession, sfDir: String): DataFrame = {
