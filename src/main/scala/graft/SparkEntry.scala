@@ -29,6 +29,7 @@ object SparkEntry {
       graft.queries.EventQueries.queries ++
       graft.text.TextOps.queries ++
       graft.text.Dedup.queries ++
+      graft.text.CorpusPipeline.queries ++
       graft.text.LangId.queries ++
       graft.vec.VectorOps.queries ++
       graft.multimodal.Media.queries

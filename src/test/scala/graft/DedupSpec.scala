@@ -54,6 +54,21 @@ class DedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("curateQuery: driver-visible funnel stays non-vacuous at its pinned config") {
+    val out = graft.text.CorpusPipeline.curateQuery(spark, sf001).cache()
+    try {
+      assert(out.count() > 0, "curated corpus must be non-empty")
+      // the pinned thresholds must actually BITE (strictly fewer curated
+      // docs than train input) — guards against a config drift that turns
+      // the driver's rows-only check into an identity pass-through
+      val curatedDocs = out.select("doc_id").distinct().count()
+      val trainDocs = graft.model.Tables.documents(spark, sf001)
+        .where($"doc_id" % 10 =!= 9).count()
+      assert(curatedDocs > 0 && curatedDocs < trainDocs,
+        s"expected 0 < $curatedDocs < $trainDocs")
+    } finally { out.unpersist(); () }
+  }
+
   test("decontamination: only train docs sharing an eval trigram are flagged, with exact counts") {
     val train = Seq(
       (1L, "the quick brown fox jumps high"), // shares "the quick brown" + "quick brown fox"
