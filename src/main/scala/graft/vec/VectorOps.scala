@@ -130,48 +130,83 @@ object VectorOps {
       |      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= $SimJoinThreshold
       |ORDER BY v1, v2""".stripMargin
 
-  /** X-4 scale path: embedding-cosine near-dup pairs via SIGNATURE
-    * blocking — no label key, no corpus cap. Vectors sharing the full
-    * 12-bit sign-LSH signature become candidate pairs (bucket equi-join:
-    * the shuffle key is the signature, never a cross join); exact cosine
-    * verifies candidates against the threshold. This is the pair-finding
-    * twin of [[knnLsh]]'s search pruning and the embedding-space analogue
-    * of MinHash banding ([[graft.text.Dedup.minhashPairs]]) — the shape
-    * that runs dedup over an unlabeled 100 TB embedding corpus
-    * (pre-partition by signature at ingest; each bucket joins locally).
+  /** Banded sign-LSH for the pair join: `SimJoinBands` independent bands of
+    * `SimJoinBandBits` hyperplanes each. A single monolithic signature is
+    * AND-amplification only (all bits must agree → recall collapses as bits
+    * grow); banding adds the OR stage — candidates are the UNION of
+    * per-band bucket matches — exactly the b×r structure of MinHash LSH
+    * ([[graft.text.Dedup.BandSize]]). At cos θ the per-band match rate is
+    * (1 − θ/π)^r and pair recall 1 − (1 − (1 − θ/π)^r)^b: for r=8, b=4 the
+    * round-2 single-12-bit join's ~0.07 % candidate rate at the checked
+    * threshold becomes ~3 %, a ~40× recall lift, while near-orthogonal
+    * pairs (θ≈90°, the 100 TB bulk) still only collide at ~4/256 ≈ 1.6 % —
+    * the pair space stays bucket-bounded, never quadratic.
+    */
+  val SimJoinBands = 4
+  val SimJoinBandBits = 8
+
+  private def simJoinBandPlanes: Seq[Seq[Seq[Double]]] =
+    hyperplanes(EmbDim, SimJoinBands * SimJoinBandBits)
+      .grouped(SimJoinBandBits).toSeq
+
+  /** X-4 scale path: embedding-cosine near-dup pairs via banded SIGNATURE
+    * blocking — no label key, no corpus cap. Vectors sharing ANY band's
+    * 8-bit sign-LSH bucket become candidate pairs (bucket equi-join on
+    * (band, bits): the shuffle key is the bucket, never a cross join, and
+    * only (vec_id, band, bits) rows enter it — embeddings are fetched once
+    * per surviving candidate side afterwards, the [[graft.text.Dedup
+    * .minhashPairs]] shape); exact cosine verifies candidates against the
+    * threshold. This is the pair-finding twin of [[knnLsh]]'s search
+    * pruning, the shape that runs dedup over an unlabeled 100 TB embedding
+    * corpus (pre-partition by (band, bits) at ingest; each bucket joins
+    * locally).
     */
   def simJoinLsh(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val planes = hyperplanes(EmbDim)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), embDouble.as("emb"))
-      .withColumn("sig", signature(col("emb"), planes))
-    val sim = cosine(col("a.emb"), col("b.emb"))
-    e.as("a")
-      .join(e.as("b"), col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+    val bandCols = simJoinBandPlanes.zipWithIndex.map { case (planes, b) =>
+      struct(lit(b).as("band"), signature(col("emb"), planes).as("bits"))
+    }
+    val buckets = e
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+    val sim = cosine(col("e1"), col("e2"))
+    candidates
+      .join(e.select(col("vec_id").as("vv1"), col("emb").as("e1")), col("v1") === col("vv1"))
+      .join(e.select(col("vec_id").as("vv2"), col("emb").as("e2")), col("v2") === col("vv2"))
       .where(sim >= SimJoinThreshold)
-      .select(
-        col("a.sig").as("sig"),
-        col("a.vec_id").as("v1"),
-        col("b.vec_id").as("v2"),
-        round(sim, 6).as("sim"))
+      .select(col("v1"), col("v2"), round(sim, 6).as("sim"))
       .orderBy("v1", "v2")
   }
 
   // lazy: declared before NumPlanes/EmbDim in object-init order — an eager
   // val would capture their default (0) and generate an empty signature
-  lazy val simJoinLshSql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-       |         (${sigSqlExpr("embeddings")}) AS sig
-       |  FROM embeddings)
-       |SELECT a.sig AS sig, a.vec_id AS v1, b.vec_id AS v2,
-       |       ROUND(list_dot_product(a.emb, b.emb)
-       |             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
-       |FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
-       |WHERE list_dot_product(a.emb, b.emb)
-       |      / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= $SimJoinThreshold
+  lazy val simJoinLshSql: String = {
+    val bandSelects = simJoinBandPlanes.zipWithIndex.map { case (planes, b) =>
+      s"  SELECT vec_id, $b AS band, (${sigSqlExprOf(planes, "embeddings")}) AS bits FROM embeddings"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH bands AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+       |SELECT v1, v2,
+       |       ROUND(list_dot_product(e1.emb, e2.emb)
+       |             / (sqrt(list_dot_product(e1.emb, e1.emb)) * sqrt(list_dot_product(e2.emb, e2.emb))), 6) AS sim
+       |FROM cand JOIN e e1 ON v1 = e1.vec_id JOIN e e2 ON v2 = e2.vec_id
+       |WHERE list_dot_product(e1.emb, e2.emb)
+       |      / (sqrt(list_dot_product(e1.emb, e1.emb)) * sqrt(list_dot_product(e2.emb, e2.emb))) >= $SimJoinThreshold
        |ORDER BY v1, v2""".stripMargin
+  }
 
   /** X-6: per-label centroids in long format (label, pos, centroid_val) —
     * posexplode + one aggregate; embeddings as first-class agg inputs.
@@ -197,9 +232,9 @@ object VectorOps {
   val NumPlanes = 12
 
   /** Deterministic random hyperplanes (seed-pinned) for sign-LSH. */
-  def hyperplanes(dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+  def hyperplanes(dim: Int, n: Int = NumPlanes, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(NumPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    Seq.fill(n)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
   /** Sign-LSH signature: bit j = (e · h_j) > 0, packed into an int. At 100 TB
@@ -221,18 +256,20 @@ object VectorOps {
   private def sqlDoubleList(xs: Seq[Double]): String =
     xs.map(_.toString).mkString("[", ", ", "]")
 
-  /** Shared SQL generator: the sign-LSH signature of `ref.embedding` as the
-    * same per-plane CASE sum [[signature]] computes — ONE definition feeds
-    * both LSH oracles ([[knnLshSql]], [[simJoinLshSql]]) so their bucket
-    * math can never drift from each other or from the Spark side. A `def`
-    * defers evaluation to the caller's init point — combined with
-    * simJoinLshSql being lazy, it never reads NumPlanes/EmbDim before they
-    * initialize.
+  /** Shared SQL generator: the sign-LSH signature of `ref.embedding` over
+    * an explicit plane set, as the same per-plane CASE sum [[signature]]
+    * computes — ONE definition feeds both LSH oracles ([[knnLshSql]],
+    * [[simJoinLshSql]]) so their bucket math can never drift from each
+    * other or from the Spark side. A `def` defers evaluation to the
+    * caller's init point — combined with simJoinLshSql being lazy, it
+    * never reads NumPlanes/EmbDim before they initialize.
     */
-  private def sigSqlExpr(ref: String): String =
-    hyperplanes(EmbDim).zipWithIndex.map { case (p, j) =>
+  private def sigSqlExprOf(planes: Seq[Seq[Double]], ref: String): String =
+    planes.zipWithIndex.map { case (p, j) =>
       s"(CASE WHEN list_dot_product(CAST($ref.embedding AS DOUBLE[]), ${sqlDoubleList(p)}) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("\n      + ")
+
+  private def sigSqlExpr(ref: String): String = sigSqlExprOf(hyperplanes(EmbDim), ref)
 
   /** Decimal-exact label-0 centroid CTE shared by the knn oracle SQLs. */
   private val qvecCte: String =
