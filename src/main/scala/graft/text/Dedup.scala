@@ -179,10 +179,29 @@ object Dedup {
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairsOf(Tables.documents(spark, sfDir), 0.5)
 
-  /** MinHash+LSH near-dup pairs for an arbitrary `doc_id`+`text` corpus at
-    * the given exact-Jaccard threshold.
+  /** Skew guard for banded candidate joins: a band bucket holding more than
+    * this many docs (boilerplate-heavy corpora — headers, license blocks,
+    * templated pages hash to ONE bucket) would go locally quadratic in the
+    * candidate join. Buckets are capped to their bottom-`MaxBandBucket`
+    * members by doc id (deterministic; `WindowGroupLimit` keeps ≤cap rows
+    * per bucket map-side, so oversized buckets never even cross the
+    * exchange whole). The cap trades recall ONLY inside pathological
+    * buckets — a 4096-member bucket is boilerplate, not near-duplication
+    * signal, and its survivors still pair with each other. Checked-corpus
+    * buckets are far below the default cap, so oracle results are
+    * unaffected; DedupSpec drives an adversarial hot-bucket corpus through
+    * a tiny cap to prove the candidate count is bounded.
     */
-  def minhashPairsOf(docs: DataFrame, threshold: Double): DataFrame = {
+  val MaxBandBucket = 4096
+
+  /** MinHash+LSH near-dup pairs for an arbitrary `doc_id`+`text` corpus at
+    * the given exact-Jaccard threshold. `maxBucketSize` is the hot-bucket
+    * cap ([[MaxBandBucket]]).
+    */
+  def minhashPairsOf(
+      docs: DataFrame,
+      threshold: Double,
+      maxBucketSize: Int = MaxBandBucket): DataFrame = {
     // ONE pass over shingle rows produces BOTH the banded signature and the
     // per-doc sorted distinct-shingle-hash array used for exact
     // verification: the min-aggs don't need distinct (idempotent) and
@@ -204,6 +223,12 @@ object Dedup {
     val buckets = perDoc
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // hot-bucket cap: rank-limit on the SAME key the candidate join
+      // shuffles on (WindowGroupLimit prunes map-side; no extra exchange)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket").orderBy("doc_id")))
+      .where(col("rk") <= maxBucketSize)
+      .drop("rk")
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -225,19 +250,25 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  // ---- SimHash (64→63-bit to stay in a signed long; no oracle) ----
+  // ---- SimHash (60-bit, md5-derived → DuckDB-expressible, hash-checked) ----
 
   /** Per-doc SimHash fingerprint: token hashes vote per bit; near-dups land
     * within small Hamming distance. One explode + one aggregate — linear.
+    * Token hashes are [[TextOps.md5Hash60]] (60 bits, engine-portable), so
+    * the vote/pack arithmetic is reproducible in DuckDB and both simhash
+    * queries are HASH-checked against generated SQL ([[simhashSql]]) —
+    * upgraded from the xxhash64 rows-only variant.
     */
+  val SimhashBits = 60
+
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitVotes = (0 until 63).map { b =>
+      .withColumn("h", TextOps.md5Hash60(col("tok")))
+    val bitVotes = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
     }
     val voted = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val fp = (0 until 63)
+    val fp = (0 until SimhashBits)
       .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce(_ + _)
     voted.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
@@ -246,8 +277,40 @@ object Dedup {
   def simhashQuery(spark: SparkSession, sfDir: String): DataFrame =
     simhash(Tables.documents(spark, sfDir).where(col("doc_id") < 300))
 
+  /** Shared CTE chain computing the per-doc 60-bit SimHash in DuckDB with
+    * bit-identical votes: same tokenization (string_split), same md5-derived
+    * token hash, same per-bit ±1 votes and pack. Generated, not hand-kept —
+    * bit count and band structure come from the same constants as the Spark
+    * side, so they cannot drift (the [[graft.vec.VectorOps.sigSqlExprOf]]
+    * technique).
+    */
+  private def simhashFpCte: String = {
+    val votes = (0 until SimhashBits)
+      .map(b => s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n         ")
+    val pack = (0 until SimhashBits)
+      .map(b => s"(CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("\n       + ")
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE doc_id < 300),
+       |h AS (
+       |  SELECT doc_id, ${TextOps.md5Hash60Sql("tok")} AS h FROM tok),
+       |v AS (
+       |  SELECT doc_id,
+       |         $votes
+       |  FROM h GROUP BY doc_id),
+       |fp AS (
+       |  SELECT doc_id,
+       |         $pack AS simhash
+       |  FROM v)""".stripMargin
+  }
+
+  lazy val simhashSql: String =
+    s"WITH $simhashFpCte\nSELECT doc_id, simhash FROM fp ORDER BY doc_id"
+
   /** SimHash near-dup PAIRS via Hamming banding (the pigeonhole trick): a
-    * 63-bit fingerprint is split into `SimhashBands` contiguous bands; two
+    * 60-bit fingerprint is split into `SimhashBands` contiguous bands; two
     * fingerprints within Hamming distance < SimhashBands MUST agree on at
     * least one whole band, so candidates come from a (band, band-bits)
     * equi-join — never an all-pairs comparison — and exact `bit_count(xor)`
@@ -255,6 +318,7 @@ object Dedup {
     * 100 TB, pre-partition by (band, bits) at ingest.
     */
   val SimhashBands = 4
+  val SimhashBandBits = SimhashBits / SimhashBands // 15 bits per band
   val SimhashMaxHamming = 3 // < SimhashBands, so banding is lossless
 
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
@@ -262,15 +326,14 @@ object Dedup {
 
   def simhashPairsOf(docs: DataFrame): DataFrame = {
     val fp = simhash(docs)
-    val bandBits = 63 / SimhashBands + 1 // 16 bits per band covers 63 bits
     val bands = fp.select(
       col("doc_id"),
       col("simhash"),
       explode(array((0 until SimhashBands).map { b =>
         struct(
           lit(b).as("band"),
-          shiftright(col("simhash"), b * bandBits)
-            .bitwiseAND((1L << bandBits) - 1L).as("bits"))
+          shiftright(col("simhash"), b * SimhashBandBits)
+            .bitwiseAND((1L << SimhashBandBits) - 1L).as("bits"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
     val dist = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
@@ -285,6 +348,24 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  lazy val simhashPairsSql: String = {
+    val mask = (1L << SimhashBandBits) - 1L
+    val bandSelects = (0 until SimhashBands).map { b =>
+      s"  SELECT doc_id, simhash, $b AS band, (simhash >> ${b * SimhashBandBits}) & $mask AS bits FROM fp"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $simhashFpCte,
+       |bands AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, hamming FROM cand
+       |WHERE hamming <= $SimhashMaxHamming
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_dedup_exact" -> (exactDedup _),
     "x2_jaccard_pairs" -> (jaccardPairs _),
@@ -296,5 +377,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> exactDedupSql,
     "x2_jaccard_pairs" -> jaccardPairsSql,
+    "x2_simhash" -> simhashSql,
+    "x2_simhash_pairs" -> simhashPairsSql,
     "t_decontaminate" -> decontaminateSql)
 }

@@ -16,6 +16,22 @@ object TextOps {
 
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+  /** 60-bit hash of a string column, derived from md5: the top 15 hex chars
+    * parsed as an integer. Engine-portable by construction — md5 is bytewise
+    * identical everywhere, so the SAME value is computable in DuckDB as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT` ([[md5Hash60Sql]]) — which is
+    * what lets SimHash and the rolling fingerprint be hash-checked against
+    * the oracle instead of rows-only (xxhash64 is Spark-private). 60 bits
+    * keep the value positive in a signed BIGINT in both engines; collision
+    * behavior is that of a truncated cryptographic hash — uniform.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB twin of [[md5Hash60]] over an arbitrary SQL expression. */
+  def md5Hash60Sql(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
   def tokens(c: Column): Column = split(c, " ")
 
   /** X-5: per-language corpus stats. One map-side-combined aggregate. */
@@ -316,8 +332,41 @@ object TextOps {
     * overflow the budget by at most one doc (budget is a target, not a
     * cap) — that is the documented trade of whole-doc packing. One window
     * shuffle on the bucket key; everything else is scan-side arithmetic.
+    * The checked query pins 16 buckets (first md5 hex char) for oracle
+    * parity; [[packedOf]] is the engine API with the bucket count as a
+    * parameter (cluster-sized parallelism).
     */
   val PackBudget = 256
+
+  /** Parameterized sequence packing for arbitrary corpora: `nBuckets`
+    * controls the packing parallelism (one window partition per bucket), so
+    * a 1000-executor cluster sets it to ~4× its core count instead of being
+    * capped at 16. Buckets are assigned by an md5-derived hash of `doc_id`
+    * mod `nBuckets` — hash-deterministic like everything else, and
+    * independent of the bucket count's binary form (any nBuckets ≥ 1
+    * works, not just powers of 16). [[packedDocs]] remains the 16-bucket
+    * hex-char special case so the oracle-checked query is unchanged; the
+    * pack arithmetic (deterministic md5 order, floor running-sum pack ids,
+    * whole-doc packing with at-most-one-doc overflow) is identical.
+    */
+  def packedOf(docs: DataFrame, budget: Int = PackBudget, nBuckets: Int = 128): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val bucket = pmod(md5Hash60(col("doc_id").cast("string")), lit(nBuckets.toLong))
+    val w = Window.partitionBy("bucket").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(
+        col("doc_id"),
+        bucket.as("bucket"),
+        md5(col("doc_id").cast("string")).as("ord"),
+        size(tokens(col("text"))).cast("bigint").as("n_tok"))
+      .withColumn("pack_id", floor((sum(col("n_tok")).over(w) - col("n_tok")) / budget).cast("bigint"))
+      .groupBy("bucket", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("pack_tokens"))
+      .orderBy("bucket", "pack_id")
+  }
 
   def packedDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
@@ -362,11 +411,15 @@ object TextOps {
     * function — no UDF, no shuffle, order-sensitive by construction (unlike
     * md5-of-text it extends to windowed/rolling n-gram fingerprints). The
     * `pmod` keeps every intermediate < 2^36, so ANSI overflow can't trip.
-    * xxhash64 is Spark-specific → no SQL oracle (rows-only check);
-    * determinism is covered by TextOpsSpec.
+    * Token hashes are [[md5Hash60]] (engine-portable), so the whole fold is
+    * expressible as a DuckDB `list_reduce` and the query is HASH-checked
+    * ([[rollingFingerprintSql]]) — md5Hash60 is non-negative, so Spark's
+    * `pmod` and DuckDB's `%` agree at every step.
     */
+  val RollingFpMod = 1000000007L
+
   def rollingFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = 1000000007L
+    val p = RollingFpMod
     Tables.documents(spark, sfDir)
       .where(col("doc_id") < 300)
       .select(
@@ -374,10 +427,19 @@ object TextOps {
         aggregate(
           split(col("text"), " "),
           lit(0L),
-          (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(p)), lit(p)))
+          (acc, t) => pmod(acc * lit(31L) + pmod(md5Hash60(t), lit(p)), lit(p)))
           .as("rolling_fp"))
       .orderBy("doc_id")
   }
+
+  val rollingFingerprintSql: String =
+    s"""SELECT doc_id,
+       |       list_reduce(
+       |         list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(text, ' '),
+       |             t -> ${md5Hash60Sql("t")} % $RollingFpMod)),
+       |         (acc, h) -> (acc * 31 + h) % $RollingFpMod) AS rolling_fp
+       |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x5_text_stats" -> (textStats _),
@@ -399,5 +461,6 @@ object TextOps {
     "t_bpe_tokens" -> bpeTokensSql,
     "x5_bigram_freq" -> bigramFreqSql,
     "t_chunks" -> chunkDocsSql,
-    "t_packed" -> packedDocsSql)
+    "t_packed" -> packedDocsSql,
+    "t_rolling_fp" -> rollingFingerprintSql)
 }

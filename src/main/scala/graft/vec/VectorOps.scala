@@ -59,10 +59,15 @@ object VectorOps {
     * family (cosine/LSH/IVF) shares ONE centroid aggregate per sf-dir per
     * JVM — each checked query then costs a single FileScan of embeddings.
     */
-  def labelCentroidVector(spark: SparkSession, sfDir: String, label: Int): Seq[Double] =
-    // empty for an absent label (no rows → no centroid), matching the
-    // pre-memoization aggregate's behavior rather than throwing
-    allLabelCentroids(spark, sfDir).getOrElse(label, Seq.empty)
+  def labelCentroidVector(spark: SparkSession, sfDir: String, label: Int): Seq[Double] = {
+    val cents = allLabelCentroids(spark, sfDir)
+    // loud failure beats a silent empty query vector: cosine against an
+    // empty literal yields all-null sims and a garbage "top-k"
+    require(
+      cents.contains(label),
+      s"no embeddings with label=$label under $sfDir (labels present: ${cents.keys.toSeq.sorted.mkString(", ")})")
+    cents(label)
+  }
 
   /** X-3: brute-force cosine top-k vs the label-0 centroid query vector. */
   def knnCosine(spark: SparkSession, sfDir: String): DataFrame = {
@@ -146,7 +151,7 @@ object VectorOps {
   val SimJoinBandBits = 8
 
   private def simJoinBandPlanes: Seq[Seq[Seq[Double]]] =
-    hyperplanes(EmbDim, SimJoinBands * SimJoinBandBits)
+    hyperplanes(EmbDim, n = SimJoinBands * SimJoinBandBits)
       .grouped(SimJoinBandBits).toSeq
 
   /** X-4 scale path: embedding-cosine near-dup pairs via banded SIGNATURE
@@ -171,6 +176,13 @@ object VectorOps {
     val buckets = e
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+      // hot-bucket cap (mirrored in the oracle SQL): bottom-MaxBandBucket
+      // ids per (band, bits) — see graft.text.Dedup.MaxBandBucket. Same key
+      // as the candidate join, so WindowGroupLimit prunes map-side
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bits").orderBy("vec_id")))
+      .where(col("rk") <= graft.text.Dedup.MaxBandBucket)
+      .drop("rk")
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
@@ -194,9 +206,15 @@ object VectorOps {
     }.mkString("\n  UNION ALL\n")
     s"""WITH bands AS (
        |$bandSelects),
+       |capped AS (
+       |  SELECT vec_id, band, bits FROM (
+       |    SELECT vec_id, band, bits,
+       |           ROW_NUMBER() OVER (PARTITION BY band, bits ORDER BY vec_id) AS rk
+       |    FROM bands)
+       |  WHERE rk <= ${graft.text.Dedup.MaxBandBucket}),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-       |  FROM bands a JOIN bands b
+       |  FROM capped a JOIN capped b
        |    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
        |SELECT v1, v2,
@@ -231,8 +249,11 @@ object VectorOps {
 
   val NumPlanes = 12
 
-  /** Deterministic random hyperplanes (seed-pinned) for sign-LSH. */
-  def hyperplanes(dim: Int, n: Int = NumPlanes, seed: Long = 42L): Seq[Seq[Double]] = {
+  /** Deterministic random hyperplanes (seed-pinned) for sign-LSH. The plane
+    * count comes AFTER the seed so a positional `hyperplanes(dim, seed)`
+    * call can never be silently reinterpreted as a plane count.
+    */
+  def hyperplanes(dim: Int, seed: Long = 42L, n: Int = NumPlanes): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(n)(Seq.fill(dim)(rnd.nextGaussian()))
   }
@@ -287,44 +308,64 @@ object VectorOps {
       |             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
       |                * sqrt(list_dot_product(qvec, qvec)))""".stripMargin
 
-  /** X-3 scale path: ANN top-k — prune to buckets within Hamming ≤ 2 of the
-    * query signature, exact cosine only on survivors (~6% of the corpus for
-    * 12 planes), then the same top-k heap.
+  /** Per-band multi-probe radius for the [[knnLsh]] search path: a corpus
+    * vector is a candidate if ANY of the [[SimJoinBands]] 8-bit band
+    * signatures lands within Hamming ≤ 1 of the query's — the same
+    * banded-OR amplification [[simJoinLsh]] uses for pairs, plus one bit of
+    * probing slack per band. The round-2/3 single-12-bit ≤2 prune kept ~6 %
+    * of the corpus and answered a top-20 request with 4 rows; banding +
+    * probing keeps ~13 % of RANDOM vectors ((1−(1−9/256)^4) — still a
+    * pruned scan, the point of LSH) while near vectors collide in some band
+    * with high probability, so the query returns a full k at every checked
+    * SF. At 100 TB the corpus is pre-partitioned by band buckets and the
+    * probe reads 4×9 bucket partitions instead of scanning.
+    */
+  val KnnProbeHamming = 1
+
+  /** X-3 scale path: banded multi-probe ANN top-k — prune to vectors
+    * sharing any ~Hamming-1 band bucket with the query, exact cosine only
+    * on survivors, then the same top-k heap.
     */
   def knnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val q = labelCentroidVector(spark, sfDir, 0)
-    val planes = hyperplanes(q.size)
-    val qSig = planes.zipWithIndex.map { case (p, j) =>
-      if (p.zip(q).map { case (a, b) => a * b }.sum > 0) 1 << j else 0
-    }.sum
     val sim = cosine(embDouble, typedLit(q))
+    // per-band query signatures fold on the driver (plane · q, same
+    // plane-first left-to-right order as the SQL's list_dot_product)
+    val bandMatch = simJoinBandPlanes.map { planes =>
+      val qSig = planes.zipWithIndex.map { case (p, j) =>
+        if (p.zip(q).map { case (a, b) => a * b }.sum > 0) 1 << j else 0
+      }.sum
+      bit_count(signature(embDouble, planes).bitwiseXOR(lit(qSig))) <= KnnProbeHamming
+    }.reduce(_ || _)
     Tables.embeddings(spark, sfDir)
-      .withColumn("sig", signature(embDouble, planes))
-      .where(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= 2)
+      .where(bandMatch)
       .select(col("vec_id"), col("label"), round(sim, 6).as("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(20)
   }
 
   /** DuckDB twin of [[knnLsh]]: the seed-42 hyperplanes are DETERMINISTIC,
-    * so they inline as double-list literals; signatures, the Hamming
-    * pruning, and the cosine re-rank are all plain SQL. Dot-product fold
-    * order matches the Spark side (both left-to-right, multiplication is
-    * IEEE-commutative), so bucket membership and scores are bit-identical
-    * — which is what upgrades this from a rows-only to a hash check.
+    * so they inline as double-list literals; per-band signatures, the
+    * Hamming probing, and the cosine re-rank are all plain SQL. Dot-product
+    * fold order matches the Spark side (both left-to-right, plane-first for
+    * the query signature), so bucket membership and scores are
+    * bit-identical — which is what keeps this a hash check. lazy: reads
+    * band constants — see [[simJoinLshSql]]'s init-order note.
     */
-  val knnLshSql: String = {
-    val embSig = sigSqlExpr("embeddings")
-    val qSigExpr = hyperplanes(EmbDim).zipWithIndex.map { case (p, j) =>
-      s"(CASE WHEN list_dot_product(${sqlDoubleList(p)}, qvec) > 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString("\n      + ")
-    s"""WITH $qvecCte,
-       |qs AS (SELECT ($qSigExpr) AS qsig FROM qv)
+  lazy val knnLshSql: String = {
+    val bandPreds = simJoinBandPlanes.map { planes =>
+      val embSig = sigSqlExprOf(planes, "embeddings")
+      val qSig = planes.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN list_dot_product(${sqlDoubleList(p)}, qvec) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString("\n        + ")
+      s"bit_count(xor(CAST(($embSig) AS BIGINT), CAST(($qSig) AS BIGINT))) <= $KnnProbeHamming"
+    }.mkString("\n   OR ")
+    s"""WITH $qvecCte
        |SELECT vec_id, label,
        |       ROUND($cosineVsQvecSql, 6) AS sim
-       |FROM embeddings, qv, qs
-       |WHERE bit_count(xor(CAST(($embSig) AS BIGINT), CAST(qsig AS BIGINT))) <= 2
+       |FROM embeddings, qv
+       |WHERE $bandPreds
        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin
   }
 
@@ -348,7 +389,9 @@ object VectorOps {
     * rewriting data in place at a cached path.
     */
   def clearCentroidCache(sfDir: Option[String] = None): Unit =
-    sfDir.fold(centroidCache.clear())(d => { centroidCache.remove(d); () })
+    sfDir.fold { centroidCache.clear(); kmeansCache.clear() } { d =>
+      centroidCache.remove(d); kmeansCache.remove(d); ()
+    }
 
   def allLabelCentroids(spark: SparkSession, sfDir: String): Map[Int, Seq[Double]] =
     centroidCache.computeIfAbsent(
@@ -383,18 +426,58 @@ object VectorOps {
     array_min(array(cells: _*)).getField("id")
   }
 
-  /** X-3 IVF path: assign every vector to its nearest coarse centroid
-    * (at 100 TB this assignment is computed at ingest and the table is
-    * partitioned/bucketed by it), then search ONLY the nProbe clusters
-    * nearest the query — scan cost drops to nProbe/nClusters of the
-    * corpus; exact cosine re-ranks the survivors.
+  /** Deterministic k-means coarse quantizer: [[KmeansIters]] Lloyd
+    * iterations seeded from the label centroids, so the quantizer no longer
+    * depends on labels being MEANINGFUL — they only pin the deterministic
+    * init (the role a seeded sample plays in production k-means). Every
+    * step is engine-reproducible: assignment is the same (dist, id)
+    * struct-min as [[clusterAssignment]], means are decimal-exact (partial-
+    * aggregation-order-independent), and an emptied cluster keeps its
+    * previous centroid rather than vanishing, so the cluster count is
+    * stable. Memoized per sf-dir; each iteration collects 10×64 doubles —
+    * driver-tiny. The oracle replays the SAME iterations unrolled in SQL
+    * ([[knnIvfSql]]), so the quantizer itself is hash-checked, not just the
+    * final search.
+    */
+  val KmeansIters = 2
+
+  private val kmeansCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Seq[Double]]]()
+
+  def kmeansCentroids(spark: SparkSession, sfDir: String): Map[Int, Seq[Double]] =
+    kmeansCache.computeIfAbsent(
+      sfDir,
+      _ => {
+        graft.functions.GraftFunctions.register(spark)
+        var cents = allLabelCentroids(spark, sfDir)
+        for (_ <- 1 to KmeansIters) {
+          val next = Tables.embeddings(spark, sfDir)
+            .withColumn("cluster", clusterAssignment(embDouble, cents))
+            .select(col("cluster"), posexplode(embDouble).as(Seq("pos", "e")))
+            .groupBy("cluster", "pos")
+            .agg(exactMean(col("e")).as("v"))
+            .collect()
+            .groupBy(_.getInt(0))
+            .map { case (c, rows) =>
+              c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+            }
+          cents = cents ++ next // emptied clusters keep their previous centroid
+        }
+        cents
+      })
+
+  /** X-3 IVF path: assign every vector to its nearest coarse k-means
+    * centroid (at 100 TB this assignment is computed at ingest and the
+    * table is partitioned/bucketed by it), then search ONLY the nProbe
+    * clusters nearest the query — scan cost drops to nProbe/nClusters of
+    * the corpus; exact cosine re-ranks the survivors.
     */
   def knnIvf(spark: SparkSession, sfDir: String, nProbe: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val cents = allLabelCentroids(spark, sfDir)
-    // the query vector IS cents(0) — recomputing it via labelCentroidVector
-    // would be a second full-table aggregate job
-    val q = cents(0)
+    val cents = kmeansCentroids(spark, sfDir)
+    // the query vector stays the x3 family's pinned label-0 centroid — it
+    // shares the memoized centroid job, never a second table aggregate
+    val q = labelCentroidVector(spark, sfDir, 0)
     // probe selection uses the SAME expanded form and fold order as the
     // oracle SQL's ORDER BY ((c·c − 2·c·q) + q·q) — a plain sum-of-squared-
     // diffs would round differently and could flip the probed set on a
@@ -415,18 +498,42 @@ object VectorOps {
 
   def knnIvfQuery(spark: SparkSession, sfDir: String): DataFrame = knnIvf(spark, sfDir)
 
-  /** DuckDB twin of [[knnIvf]] (nProbe = 3): per-label decimal-exact
-    * centroids as the coarse quantizer, nearest-centroid assignment via a
-    * 10-row cross join + ROW_NUMBER ordered by (distance, label) — the
-    * same (dist, id) struct-min tie rule as [[clusterAssignment]] — probe
-    * the 3 clusters nearest the query, exact cosine re-rank. The squared
-    * distance uses the identical expansion and operation order as
-    * [[sqDist]] (`(e·e − 2·e·c) + c·c`), so assignments are bit-identical.
+  /** DuckDB twin of [[knnIvf]] (nProbe = 3): label centroids seed the
+    * quantizer, then the SAME [[KmeansIters]] Lloyd iterations are UNROLLED
+    * in SQL — per-iteration assignment via a 10-row cross join + ROW_NUMBER
+    * ordered by (distance, label) (the (dist, id) struct-min tie rule of
+    * [[clusterAssignment]]), decimal-exact cluster means, COALESCE keeping
+    * an emptied cluster's previous centroid (the `cents ++ next` merge).
+    * The squared distance uses the identical expansion and operation order
+    * as [[sqDist]] (`(e·e − 2·e·c) + c·c`), so every iteration's
+    * assignments — and therefore the final quantizer — are bit-identical
+    * to the Spark side with NO centroid literals shipped across: the
+    * oracle re-derives k-means from the raw table. lazy: reads KmeansIters.
     */
-  val knnIvfSql: String = {
+  lazy val knnIvfSql: String = {
     val d2 = """((list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
                 |               - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec))
                 |               + list_dot_product(c.cvec, c.cvec))""".stripMargin
+    val iterCtes = (1 to KmeansIters).map { i =>
+      val prev = s"cents${i - 1}"
+      s"""a$i AS (
+         |  SELECT e.vec_id, e.embedding, c.clabel,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |           ORDER BY $d2, c.clabel) AS rn
+         |  FROM embeddings e CROSS JOIN $prev c),
+         |m$i AS (
+         |  SELECT clabel, i - 1 AS pos,
+         |         CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+         |           / CAST(COUNT(*) AS DOUBLE) AS v
+         |  FROM (SELECT clabel, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+         |        FROM a$i WHERE rn = 1)
+         |  GROUP BY 1, 2),
+         |n$i AS (SELECT clabel, list(v ORDER BY pos) AS cvec FROM m$i GROUP BY clabel),
+         |cents$i AS (
+         |  SELECT p.clabel, COALESCE(n.cvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN n$i n ON p.clabel = n.clabel)"""
+    }.mkString(",\n")
+    val last = s"cents$KmeansIters"
     s"""WITH pc AS (
        |  SELECT label, i - 1 AS pos,
        |         CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
@@ -434,10 +541,11 @@ object VectorOps {
        |  FROM (SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
        |        FROM embeddings)
        |  GROUP BY 1, 2),
-       |cents AS (SELECT label AS clabel, list(v ORDER BY pos) AS cvec FROM pc GROUP BY label),
-       |qv AS (SELECT cvec AS qvec FROM cents WHERE clabel = 0),
+       |cents0 AS (SELECT label AS clabel, list(v ORDER BY pos) AS cvec FROM pc GROUP BY label),
+       |$iterCtes,
+       |qv AS (SELECT cvec AS qvec FROM cents0 WHERE clabel = 0),
        |probed AS (
-       |  SELECT clabel FROM cents, qv
+       |  SELECT clabel FROM $last, qv
        |  ORDER BY ((list_dot_product(cvec, cvec) - 2.0 * list_dot_product(cvec, qvec))
        |            + list_dot_product(qvec, qvec)), clabel
        |  LIMIT 3),
@@ -445,7 +553,7 @@ object VectorOps {
        |  SELECT e.vec_id, e.label, e.embedding, c.clabel AS cluster,
        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |           ORDER BY $d2, c.clabel) AS rn
-       |  FROM embeddings e CROSS JOIN cents c)
+       |  FROM embeddings e CROSS JOIN $last c)
        |SELECT a.vec_id, a.label, a.cluster,
        |       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), qvec)
        |             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
