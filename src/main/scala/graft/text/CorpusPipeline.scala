@@ -112,9 +112,10 @@ object CorpusPipeline {
   }
 
   /** Driver-visible run of the composed funnel over fixed corpus slices:
-    * train = doc_id ≢ 9 (mod 10), eval = doc_id ≡ 9 (mod 10) playing the
-    * held-out benchmark. The config is tuned to the testdata corpus so
-    * EVERY stage bites without emptying the funnel (measured at sf0.001:
+    * train = doc_id ≢ 9 (mod 10) plus its [[trainWithMirrors]] exact-dup
+    * mirrors, eval = doc_id ≡ 9 (mod 10) playing the held-out benchmark.
+    * The config is tuned to the testdata corpus so EVERY stage bites
+    * without emptying the funnel (measured at sf0.001 pre-mirrors:
     * 450 → 342 quality → 295 decontaminated → 280 near-deduped → 411
     * chunks; quality scores sit in [0.22, 0.47] and 93 % of train docs
     * share ≥1 trigram with the mod-10 eval slice, so the defaults of 0.5 /
@@ -125,12 +126,46 @@ object CorpusPipeline {
     * composition users actually run (not just its parts) under the
     * driver's eye each round.
     */
+  /** The checked query's pinned slices + config — shared with the honesty
+    * spec (DedupSpec) that asserts every stage still BITES at sf0.01 and
+    * sf0.1, so a testdata refresh can't silently turn the driver's
+    * rows-only check into an identity pass-through.
+    */
+  val PinnedConfig: Config = Config(minQuality = 0.3, maxSharedShingles = 8, nearDupJaccard = 0.5)
+  def trainSlice(docs: DataFrame): DataFrame = docs.where(col("doc_id") % 10 =!= 9)
+
+  /** The held-out benchmark slice is FIXED-SIZE (ids ≡ 9 mod 10, capped
+    * below 500): real eval benchmarks do not grow with the train corpus.
+    * Uncapped, the eval side scaled 10× with the corpus and the pinned
+    * `maxSharedShingles = 8` rejected 99.5 % of sf0.1 train docs
+    * (3462 → 17 — a near-vacuous funnel measured by ScaleGuardSpec); a
+    * growing eval side also bloats the broadcast probe. At sf ≤ 0.01 the
+    * cap covers the whole corpus, so the checked output is unchanged.
+    */
+  def evalSlice(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 10 === 9 && col("doc_id") < 500)
+
+  /** Train slice plus a ~1 % re-keyed mirror of itself (ids ≡ 3 mod 97,
+    * offset past the corpus id range) — the synthetic corpus carries NO
+    * exact-duplicate texts at sf ≤ 0.01, so without the mirrors the exact-
+    * dedup stage would be dead weight in the checked funnel (a stage the
+    * rows-only check silently stops exercising). Mirrors model mirrored/
+    * syndicated pages; because dedup keeps the LOWEST doc id per
+    * fingerprint, every mirror (id + 10⁶) loses to its original and the
+    * curated OUTPUT is bit-identical to the unmirrored run — only the
+    * funnel path through stage 3 becomes real.
+    */
+  val MirrorIdOffset = 1000000L
+  def trainWithMirrors(docs: DataFrame): DataFrame = {
+    val base = trainSlice(docs)
+    base.unionByName(
+      base.where(col("doc_id") % 97 === 3)
+        .withColumn("doc_id", col("doc_id") + MirrorIdOffset))
+  }
+
   def curateQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    curate(
-      docs.where(col("doc_id") % 10 =!= 9),
-      docs.where(col("doc_id") % 10 === 9),
-      Config(minQuality = 0.3, maxSharedShingles = 8, nearDupJaccard = 0.5))
+    curate(trainWithMirrors(docs), evalSlice(docs), PinnedConfig)
       .orderBy("doc_id", "chunk_idx")
   }
 

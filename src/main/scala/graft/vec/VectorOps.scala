@@ -168,8 +168,18 @@ object VectorOps {
     */
   def simJoinLsh(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), embDouble.as("emb"))
+    simJoinLshOf(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), embDouble.as("emb")))
+  }
+
+  /** The banded pair join over an arbitrary `(vec_id, emb: array<double>)`
+    * frame, with the hot-bucket cap exposed (default
+    * [[graft.text.Dedup.MaxBandBucket]]) — the unit-testable engine API
+    * behind [[simJoinLsh]].
+    */
+  def simJoinLshOf(
+      e: DataFrame,
+      maxBucketSize: Int = graft.text.Dedup.MaxBandBucket): DataFrame = {
     val bandCols = simJoinBandPlanes.zipWithIndex.map { case (planes, b) =>
       struct(lit(b).as("band"), signature(col("emb"), planes).as("bits"))
     }
@@ -181,7 +191,7 @@ object VectorOps {
       // as the candidate join, so WindowGroupLimit prunes map-side
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bits").orderBy("vec_id")))
-      .where(col("rk") <= graft.text.Dedup.MaxBandBucket)
+      .where(col("rk") <= maxBucketSize)
       .drop("rk")
     val candidates = buckets.as("a")
       .join(buckets.as("b"),

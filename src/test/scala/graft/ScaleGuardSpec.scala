@@ -1,0 +1,100 @@
+package graft
+
+import graft.text.{CorpusPipeline, Dedup, TextOps}
+import graft.vec.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Guards for the at-scale failure modes the small-SF oracle can't see:
+  * hot-bucket skew in banded candidate joins (boilerplate-heavy corpora go
+  * locally quadratic without the cap), packing parallelism beyond the
+  * 16-bucket special case, and the curation funnel staying non-vacuous as
+  * the corpus grows (every stage must still BITE at the checked SFs).
+  */
+class ScaleGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("minhash hot-bucket cap bounds an adversarial boilerplate corpus") {
+    // 40 copies of one boilerplate doc: every band bucket holds all 40 ids,
+    // so the uncapped candidate join is quadratic in the bucket
+    val boiler = "terms of service apply to all content on this mirrored page"
+    val docs = ((1L to 40L).map(i => (i, boiler)) ++ Seq(
+      (100L, "some genuinely unique document body here with its own words"),
+      (101L, "another entirely unrelated text that shares nothing at all")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashPairsOf(docs, 0.9)
+    assert(uncapped.count() === 40L * 39 / 2) // the quadratic blowup, un-guarded
+    val capped = Dedup.minhashPairsOf(docs, 0.9, maxBucketSize = 4)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // bottom-4 ids per bucket survive → exactly C(4,2) pairs, ids 1..4
+    assert(pairs.length === 6)
+    assert(pairs.flatMap(p => Seq(p._1, p._2)).forall(_ <= 4L))
+  }
+
+  test("sign-LSH sim-join hot-bucket cap bounds identical-vector pileups") {
+    graft.functions.GraftFunctions.register(spark)
+    val vec = Seq.tabulate(VectorOps.EmbDim)(i => 0.25 + 0.01 * i)
+    val e = (1L to 30L).map(i => (i, vec)).toDF("vec_id", "emb")
+    val uncapped = VectorOps.simJoinLshOf(e)
+    assert(uncapped.count() === 30L * 29 / 2)
+    val capped = VectorOps.simJoinLshOf(e, maxBucketSize = 3)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length === 3) // C(3,2); cosine 1.0 keeps all survivors
+    assert(pairs.flatMap(p => Seq(p._1, p._2)).forall(_ <= 3L))
+  }
+
+  test("packedOf: invariants hold at two bucket counts vs an independent reimplementation") {
+    val docs = graft.model.Tables.documents(spark, sf001).where($"doc_id" < 300)
+    val raw = docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (nBuckets <- Seq(5, 128)) {
+      val expected = raw
+        .map { case (id, n) =>
+          val hex = md5Hex(id.toString)
+          (java.lang.Long.parseLong(hex.take(15), 16) % nBuckets, hex, id, n)
+        }
+        .groupBy(_._1)
+        .toSeq
+        .flatMap { case (bucket, rows) =>
+          var before = 0L
+          rows.sortBy(r => (r._2, r._3)).map { case (_, _, _, n) =>
+            val pack = before / TextOps.PackBudget
+            before += n
+            (bucket, pack, n)
+          }
+        }
+        .groupBy(r => (r._1, r._2))
+        .map { case ((b, p), rs) => (b, p, rs.size.toLong, rs.map(_._3).sum) }
+        .toSet
+      val got = TextOps.packedOf(docs, nBuckets = nBuckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === expected, s"nBuckets=$nBuckets")
+      assert(got.toSeq.map(_._3).sum === 300, s"every doc packed exactly once at nBuckets=$nBuckets")
+    }
+  }
+
+  test("t_curate funnel: every stage bites and output is non-empty at sf0.01 and sf0.1") {
+    for (sfDir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = graft.model.Tables.documents(spark, sfDir)
+      var funnel = Vector.empty[(String, Long)]
+      CorpusPipeline.curate(
+        CorpusPipeline.trainWithMirrors(docs),
+        CorpusPipeline.evalSlice(docs),
+        CorpusPipeline.PinnedConfig,
+        f => funnel :+= f)
+      val m = funnel.toMap
+      info(s"$sfDir funnel: ${funnel.map { case (k, v) => s"$k=$v" }.mkString(" → ")}")
+      withClue(s"$sfDir funnel=$funnel: ") {
+        assert(m("input") > m("quality"), "quality stage dropped nothing")
+        assert(m("quality") > m("decontaminated"), "decontamination dropped nothing")
+        assert(m("decontaminated") > m("exact_dedup"), "exact dedup dropped nothing")
+        assert(m("exact_dedup") > m("near_dedup"), "near-dup stage dropped nothing")
+        assert(m("near_dedup") > 0 && m("chunks") > 0, "funnel emptied the corpus")
+      }
+    }
+  }
+}
