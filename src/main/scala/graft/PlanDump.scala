@@ -11,11 +11,18 @@ import org.apache.spark.sql.SparkSession
   * x3 centroid job) only show the plan of the RETURNED DataFrame; the
   * preparatory job's plan is visible by explaining its building block
   * directly.
+  *
+  * With a third arg `exec`, the query is RUN first and the AQE-final
+  * executed plan is printed instead of the static one — the only plan in
+  * which runtime exchange/stage reuse (ReusedExchange, ReusedSubquery) is
+  * visible, and therefore the evidence that duplicated static subtrees do
+  * or do not re-execute.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val only = args.lift(1)
+    val exec = args.lift(2).contains("exec")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
@@ -28,8 +35,15 @@ object PlanDump {
       .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
         println(s"\n===== $name =====")
-        try fn(spark, sfDir).explain("formatted")
-        catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+        try {
+          val df = fn(spark, sfDir)
+          if (exec) {
+            val t0 = System.nanoTime()
+            df.count()
+            println(s"[exec ${(System.nanoTime() - t0) / 1e9}%s sec]")
+            println(df.queryExecution.executedPlan.toString)
+          } else df.explain("formatted")
+        } catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
       }
     spark.stop()
   }

@@ -41,7 +41,10 @@ object CorpusPipeline {
     * stages are PERSISTED for the duration of the run — without that,
     * stage N's count would recompute stages 1..N-1 from the scan, a 6×
     * recomputation cascade at corpus scale. With no funnel (production),
-    * nothing is counted, nothing cached: one lazy plan end to end.
+    * nothing is counted and exactly ONE stage is cached: the deduped
+    * corpus (`exact`), whose multiple differently-pruned consumers defeat
+    * AQE exchange reuse (see the stage-3 comment). Everything else is one
+    * lazy plan end to end.
     */
   def curate(
       docs: DataFrame,
@@ -80,14 +83,29 @@ object CorpusPipeline {
       // side and the exchange is keyed by 16-byte fingerprints — full
       // documents never become shuffle keys (they ride once as payload).
       // Working columns are __graft_-prefixed so a caller corpus carrying
-      // its own `fp`/`rk` columns is never silently clobbered
-      val exact = stage(
-        "exact_dedup",
-        clean
+      // its own `fp`/`rk` columns is never silently clobbered.
+      //
+      // PERSISTED in both modes (the one funnel stage that is): `exact` is
+      // consumed by the MinHash signature scan, the near-dup anti-join, and
+      // (in audit mode) the stage count — and the consumers prune DIFFERENT
+      // column sets, so their subtrees canonicalize differently and AQE
+      // stage reuse can NEVER cover them (measured round 4: the unpersisted
+      // funnel executed the quality→decontaminate→dedup prefix 4–5×, 40
+      // parquet scans in the executed plan, 82 s at sf0.01 vs 2.8 s
+      // persisted — PLANS.md §14). The cache holds the DEDUPED corpus
+      // (post-quality, post-decontamination — the smallest point in the
+      // funnel) at MEMORY_AND_DISK, and is released by Spark's
+      // ContextCleaner when the returned plan is no longer referenced.
+      val exact = {
+        val e = clean
           .withColumn("__graft_fp", md5(col("text").cast("binary")))
           .withColumn("__graft_rk", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy("__graft_fp").orderBy("doc_id")))
-          .where(col("__graft_rk") === 1).drop("__graft_rk", "__graft_fp"))
+          .where(col("__graft_rk") === 1).drop("__graft_rk", "__graft_fp")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (audit) funnel(("exact_dedup", e.count()))
+        e
+      }
 
       // 4. near-dup: drop the higher-id member of every MinHash+LSH pair at
       // or above the Jaccard threshold (keep-first policy, deterministic)
@@ -106,8 +124,9 @@ object CorpusPipeline {
       if (audit) funnel(("chunks", out.count()))
       out
     } finally
-    // caches only back the audit counts; the returned plan recomputes
-    // lazily from the source (callers persist the RESULT if reusing it)
+    // audit-only caches back the stage counts and are dropped here; the
+    // `exact` cache is NOT in this list — the returned plan depends on it
+    // (callers persist the RESULT if reusing it beyond one action)
     cached.foreach(_.unpersist())
   }
 
