@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Spark generates a Janino class per codegen stage; a 60-query bench run
+  // compiles thousands of methods. The JDK default 240 MB code cache fills
+  // mid-run and flushes hot compiled code, so late queries run partially
+  // interpreted (measured round 5: identical queries 2-3x slower late in a
+  // JVM's life). 512 MB keeps the whole run's compiled code resident.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )
