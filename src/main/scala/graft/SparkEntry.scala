@@ -28,6 +28,7 @@ object SparkEntry {
       graft.etl.Sampling.queries ++
       graft.queries.EventQueries.queries ++
       graft.text.TextOps.queries ++
+      graft.text.CurationOps.queries ++
       graft.text.Dedup.queries ++
       graft.text.CorpusPipeline.queries ++
       graft.text.LangId.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       graft.etl.Sampling.oracle ++
       graft.queries.EventQueries.oracle ++
       graft.text.TextOps.oracle ++
+      graft.text.CurationOps.oracle ++
       graft.text.Dedup.oracle ++
       graft.text.LangId.oracle ++
       graft.vec.VectorOps.oracle

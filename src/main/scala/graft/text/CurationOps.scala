@@ -1,0 +1,197 @@
+package graft.text
+
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation signals beyond the X-5 basics: intra-document
+  * repetition (the Gopher-style duplicate-n-gram filter), per-document
+  * TF-IDF top terms, and PII redaction. All three are scan + keyed
+  * aggregation shapes — no all-pairs work, no driver collects — and each
+  * is DuckDB-expressible, so all three are HASH-checked by the driver.
+  *
+  * Floating-point posture (SURVEY.md §7.5): scores use only IEEE-exact
+  * arithmetic (integer counts and double division, identical bit-for-bit
+  * in Spark and DuckDB). Natural log is deliberately avoided — `ln` is not
+  * IEEE-specified and may differ in the last ulp between engines, which
+  * would flip rounded values or tie order; the TF-IDF idf uses the odds
+  * form (N - df) / df (the argument of BM25's log-idf, rank-equivalent
+  * for fixed N) instead.
+  */
+object CurationOps {
+
+  // ---- Intra-document repetition (Gopher-style duplicate trigrams) ----
+
+  /** Fraction of repeated word-trigrams inside each doc:
+    * 1 - distinct/total. High values flag boilerplate/templated text that
+    * per-doc quality scores miss. One explode + one (doc_id)-keyed
+    * aggregate — linear, map-side combinable, no cross-doc work.
+    */
+  def repetitionOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(Dedup.shinglesExpr).as("tri"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        countDistinct(col("tri")).as("n_distinct"))
+      .select(
+        col("doc_id"), col("n_trigrams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams").cast("double"), 6)
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionOf(Tables.documents(spark, sfDir).where(col("doc_id") < 300))
+
+  val repetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents WHERE doc_id < 300),
+      |g AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tri
+      |  FROM t WHERE len(w) >= 3)
+      |SELECT doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+      |       CAST(COUNT(DISTINCT tri) AS BIGINT) AS n_distinct,
+      |       round(1.0 - CAST(COUNT(DISTINCT tri) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS rep_ratio
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- TF-IDF top terms per document ----
+
+  val TfidfTopK = 3
+
+  /** Top-[[TfidfTopK]] terms per doc by tf·idf with idf = (N − df) / df.
+    * Shape at 100 TB: one (doc_id, tok) aggregate for tf, one (tok)
+    * aggregate for df (vocabulary-sized — small relative to the corpus, so
+    * its join back is broadcast-able), N via a broadcast 1-row aggregate
+    * (never a driver action), then a per-doc top-k window that plans
+    * through WindowGroupLimit (map-side pruning to k rows per doc,
+    * PLANS.md §10). Ties are impossible within a doc at fixed score only
+    * if terms differ, so the sort key (score DESC, tok ASC) is total.
+    */
+  def tfidfTopTermsOf(docs: DataFrame, k: Int = TfidfTopK): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") *
+      (col("n_docs") - col("df")).cast("double") / col("df").cast("double")
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), round(score, 6).as("tfidf"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .where(col("rk") <= k)
+      .orderBy("doc_id", "rk")
+  }
+
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfTopTermsOf(Tables.documents(spark, sfDir).where(col("doc_id") < 300))
+
+  val tfidfTopTermsSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE doc_id < 300),
+       |tfc AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM tf GROUP BY doc_id, tok),
+       |dfc AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY tok),
+       |n AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM documents WHERE doc_id < 300),
+       |scored AS (
+       |  SELECT tfc.doc_id, tfc.tok, tfc.tf, dfc.df,
+       |         round(CAST(tfc.tf AS DOUBLE) * CAST(n.n_docs - dfc.df AS DOUBLE)
+       |               / CAST(dfc.df AS DOUBLE), 6) AS tfidf
+       |  FROM tfc JOIN dfc USING (tok) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY tfidf DESC, tok) AS rk
+       |  FROM scored)
+       |SELECT doc_id, tok, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin
+
+  // ---- PII redaction ----
+
+  /** RE2-and-Java-compatible patterns (no lookaround, no \\d shorthand —
+    * the intersection grammar both engines compile identically).
+    */
+  val EmailPattern = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z0-9]"
+  val Ipv4Pattern = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+  /** Redact emails and IPv4s; count each per doc. The synthetic corpus
+    * carries no PII (verified: zero digits or '@' at every SF), so the
+    * CHECKED query first stamps deterministic synthetic PII into a fixed
+    * doc_id slice ([[piiStamped]]) — otherwise the scrub would be an
+    * identity pass the driver's check never exercises. The stamping is the
+    * same pure expression on both engines, so the comparison still proves
+    * the redaction semantics end to end.
+    */
+  def piiScrubOf(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0))).cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Pattern), lit(0))).cast("bigint").as("n_ips"),
+        regexp_replace(regexp_replace(col("text"), EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>")
+          .as("text_clean"))
+      .where(col("n_emails") + col("n_ips") > 0)
+      .orderBy("doc_id")
+
+  /** Deterministic synthetic-PII stamping: every 7th doc gains an email,
+    * every 11th an IPv4 (both, when both divide). Pure arithmetic on
+    * doc_id — bit-identical in Spark and DuckDB.
+    */
+  def piiStamped(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@mail.example")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" host 10.0."), col("doc_id") % 200, lit(".7")))
+          .otherwise(lit(""))).as("text"))
+
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    piiScrubOf(piiStamped(Tables.documents(spark, sfDir).where(col("doc_id") < 300)))
+
+  val piiScrubSql: String =
+    s"""WITH stamped AS (
+       |  SELECT doc_id,
+       |         text
+       |           || (CASE WHEN doc_id % 7 = 0
+       |                    THEN ' contact user' || doc_id || '@mail.example'
+       |                    ELSE '' END)
+       |           || (CASE WHEN doc_id % 11 = 0
+       |                    THEN ' host 10.0.' || (doc_id % 200) || '.7'
+       |                    ELSE '' END) AS text
+       |  FROM documents WHERE doc_id < 300)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$EmailPattern')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$Ipv4Pattern')) AS BIGINT) AS n_ips,
+       |       regexp_replace(regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
+       |                      '$Ipv4Pattern', '<IP>', 'g') AS text_clean
+       |FROM stamped
+       |WHERE len(regexp_extract_all(text, '$EmailPattern'))
+       |      + len(regexp_extract_all(text, '$Ipv4Pattern')) > 0
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_repetition" -> (repetition _),
+    "t_tfidf_topterms" -> (tfidfTopTerms _),
+    "t_pii_scrub" -> (piiScrub _))
+
+  val oracle: Map[String, String] = Map(
+    "t_repetition" -> repetitionSql,
+    "t_tfidf_topterms" -> tfidfTopTermsSql,
+    "t_pii_scrub" -> piiScrubSql)
+}
