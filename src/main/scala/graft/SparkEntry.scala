@@ -33,6 +33,7 @@ object SparkEntry {
       graft.text.CorpusPipeline.queries ++
       graft.text.LangId.queries ++
       graft.vec.VectorOps.queries ++
+      graft.graph.Components.queries ++
       graft.multimodal.Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.text.CurationOps.oracle ++
       graft.text.Dedup.oracle ++
       graft.text.LangId.oracle ++
-      graft.vec.VectorOps.oracle
+      graft.vec.VectorOps.oracle ++
+      graft.graph.Components.oracle
 }

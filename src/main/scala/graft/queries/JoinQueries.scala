@@ -118,15 +118,129 @@ object JoinQueries {
       |WHERE a.event_type = 'purchase'
       |ORDER BY a.event_id""".stripMargin
 
+  /** Bin width for the range-join decomposition. Interval endpoints are
+    * deliberately NOT multiples of this (lo/hi carry odd offsets), so the
+    * exact-containment refilter genuinely bites — aligned endpoints would
+    * make the bin equi-join exact by construction and hide a broken filter.
+    */
+  val RangeBinWidth = 20000.0
+
+  /** Overlapping price bands derived from `region` (arbitrary interval
+    * endpoints, 2.5-band overlap): the interval table of [[rangeJoinBinned]].
+    */
+  private def priceBands(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.region(spark, sfDir).select(
+      col("r_regionkey").as("band_id"),
+      (col("r_regionkey").cast("double") * 40000.0 + 777.0).as("lo"),
+      (col("r_regionkey").cast("double") * 40000.0 + 100332.0).as("hi"))
+
+  /** Range (interval-containment) join, decomposed to an EQUI-join: both
+    * sides map to fixed-width bins — each interval explodes to the bins it
+    * covers, each point to the one bin containing it — the join runs on the
+    * bin key, and an exact `lo <= x < hi` refilter removes the partial-bin
+    * false positives. Spark plans a raw interval predicate as
+    * BroadcastNestedLoopJoin (fine for this 5-row band table, quadratic
+    * death for a large one); the bin decomposition turns it into a keyed
+    * hash join that shuffle-partitions on the bin at any scale — the
+    * standard trick (DuckDB's IEJoin and Spark's range-join hints solve the
+    * same problem engine-side). Bin width trades explode factor (intervals
+    * spanning many bins) against bin population; ~the median interval width
+    * is right, here ~5 bins per interval.
+    *
+    * A point landing in k overlapping intervals is counted once per
+    * interval (band_id is part of the output key) but joins exactly once
+    * per (point, interval) — the point's bin is unique, so no dedup step is
+    * needed.
+    */
+  def rangeJoinBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = priceBands(spark, sfDir)
+      .withColumn(
+        "bin",
+        explode(sequence(
+          floor(col("lo") / RangeBinWidth).cast("long"),
+          floor(col("hi") / RangeBinWidth).cast("long"))))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bin", floor(col("o_totalprice") / RangeBinWidth).cast("long"))
+    o.join(bands, Seq("bin"))
+      .where(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band_id")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+      .orderBy("band_id")
+  }
+
+  val rangeJoinBinnedSql: String =
+    """WITH bands AS (
+      |  SELECT r_regionkey AS band_id,
+      |         CAST(r_regionkey AS DOUBLE) * 40000.0 + 777.0 AS lo,
+      |         CAST(r_regionkey AS DOUBLE) * 40000.0 + 100332.0 AS hi
+      |  FROM region)
+      |SELECT band_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders JOIN bands
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band_id ORDER BY band_id""".stripMargin
+
+  /** Fuzzy (approximate string) self-join: part names within Levenshtein
+    * distance [1, 3], blocked on the first name token. The blocking key
+    * turns the quadratic all-pairs distance matrix into per-block
+    * equi-joins — the record-linkage standard — and the distance runs only
+    * inside blocks (shuffle key = block, never a cross join). Distance 0
+    * (identical names) is excluded: exact matches are [[graft.text.Dedup]]'s
+    * fingerprint job at a fraction of the cost; this operator exists for
+    * the near-misses. Corpus capped (p_partkey < 500, the same 500 parts at
+    * every SF) so the oracle's in-block quadratic check stays bounded.
+    * Blocks in this corpus are ≤ ~80 parts; for heavy-tailed real blocks
+    * the [[graft.text.Dedup.MaxBandBucket]]-style cap/salt guard applies
+    * unchanged (same keyed-window shape).
+    */
+  def fuzzyNameJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .where(col("p_partkey") < 500)
+      .select(
+        col("p_partkey"), col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("block_key"))
+    p.as("a")
+      .join(p.as("b"),
+        col("a.block_key") === col("b.block_key") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .where(col("dist").between(1, 3))
+      .select(
+        col("a.block_key").as("block_key"),
+        col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+        col("a.p_name").as("n1"), col("b.p_name").as("n2"),
+        col("dist").cast("bigint").as("dist"))
+      .orderBy("k1", "k2")
+  }
+
+  val fuzzyNameJoinSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS block_key
+      |  FROM part WHERE p_partkey < 500)
+      |SELECT a.block_key AS block_key, a.p_partkey AS k1, b.p_partkey AS k2,
+      |       a.p_name AS n1, b.p_name AS n2,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM p a JOIN p b
+      |  ON a.block_key = b.block_key AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+      |ORDER BY k1, k2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_revenue_by_region" -> (revenueByRegion _),
     "q_topk_parts_brand" -> (topkPartsPerBrand _),
     "q_supplier_by_nation" -> (supplierByNation _),
-    "q_asof_join" -> (asofClickBeforePurchase _))
+    "q_asof_join" -> (asofClickBeforePurchase _),
+    "q_range_join" -> (rangeJoinBinned _),
+    "q_fuzzy_join" -> (fuzzyNameJoin _))
 
   val oracle: Map[String, String] = Map(
     "q_revenue_by_region" -> revenueByRegionSql,
     "q_topk_parts_brand" -> topkPartsPerBrandSql,
     "q_supplier_by_nation" -> supplierByNationSql,
-    "q_asof_join" -> asofClickBeforePurchaseSql)
+    "q_asof_join" -> asofClickBeforePurchaseSql,
+    "q_range_join" -> rangeJoinBinnedSql,
+    "q_fuzzy_join" -> fuzzyNameJoinSql)
 }

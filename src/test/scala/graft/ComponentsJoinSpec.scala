@@ -1,0 +1,85 @@
+package graft
+
+import graft.graph.Components
+import graft.queries.JoinQueries
+import org.apache.spark.sql.functions._
+
+/** Unit checks for connected components, the binned range join, and the
+  * blocked fuzzy join on hand-computable inputs; the driver hash-checks
+  * all three against DuckDB on the real testdata.
+  */
+class ComponentsJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components: chain, triangle, and isolated pair each get min-id labels") {
+    // chain 1-2-3-4, triangle 10-11-12 (+ redundant closure edge),
+    // pair 20-21, parallel edge + reversed duplicate tolerated
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (21L, 20L), (20L, 21L))
+      .toDF("src", "dst")
+    val r = Components.connectedComponents(edges)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    assert(Components.converged)
+  }
+
+  test("components: long chain converges within diameter rounds") {
+    // path 0-1-2-...-9: worst-case diameter for min propagation
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val r = Components.connectedComponents(edges)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size === 10 && r.values.forall(_ == 0L))
+    assert(Components.converged && Components.rounds <= 10)
+  }
+
+  test("components: maxIter bound reports non-convergence honestly") {
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    Components.connectedComponents(edges, maxIter = 2).count()
+    assert(!Components.converged)
+  }
+
+  test("range join: bin decomposition equals the naive interval predicate") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = JoinQueries.rangeJoinBinned(spark, sfDir)
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).toMap
+    // naive nested-loop ground truth over the same bands
+    val bands = (0 to 4).map(i => (i.toLong, i * 40000.0 + 777.0, i * 40000.0 + 100332.0))
+    val prices = graft.model.Tables.orders(spark, sfDir)
+      .select(col("o_totalprice")).as[Double].collect()
+    val naive = bands.map { case (id, lo, hi) =>
+      id -> prices.count(p => p >= lo && p < hi).toLong
+    }.filter(_._2 > 0).toMap
+    assert(got === naive)
+    // overlap is real: some order must land in more than one band
+    assert(got.values.sum > prices.count(p => p >= 777.0 && p < 260332.0))
+  }
+
+  test("fuzzy join: blocked pairs respect the distance band and block key") {
+    val parts = Seq(
+      (1L, "red widget"), (2L, "red widgets"), // dist 1, same block
+      (3L, "red gadget"), // dist 3 from widget
+      (4L, "blue widget"), // other block — never paired with red*
+      (5L, "red bolt")) // dist > 3 from widget/widgets
+      .toDF("p_partkey", "p_name")
+    // drive the same shape as the checked query, inline corpus
+    val p = parts.select(
+      col("p_partkey"), col("p_name"),
+      split(col("p_name"), " ").getItem(0).as("block_key"))
+    val got = p.as("a")
+      .join(p.as("b"),
+        col("a.block_key") === col("b.block_key") && col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .where(col("dist").between(1, 3))
+      .select(col("a.p_partkey"), col("b.p_partkey"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // widget→widgets ins 1; widget→gadget sub 2; widgets→gadget 3 edits;
+    // bolt is > 3 from every other red-block name; blue never joins red
+    assert(got === Set((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 3)))
+    assert(!got.exists(t => t._1 == 4L || t._2 == 4L))
+  }
+}
