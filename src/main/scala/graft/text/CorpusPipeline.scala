@@ -30,7 +30,10 @@ object CorpusPipeline {
   case class Config(
       minQuality: Double = 0.5,
       maxSharedShingles: Long = 0L, // 0 = drop on ANY eval overlap
-      nearDupJaccard: Double = 0.5)
+      nearDupJaccard: Double = 0.5,
+      // component-wise near-dup drop (transitive closure, keep min id per
+      // component) instead of pairwise keep-first — see the stage-4 comment
+      componentDedup: Boolean = false)
 
   /** One curation run. `docs`/`evalDocs` need (doc_id, text, n_chars).
     * Returns the curated, chunked, split corpus. Column names prefixed
@@ -107,10 +110,26 @@ object CorpusPipeline {
         e
       }
 
-      // 4. near-dup: drop the higher-id member of every MinHash+LSH pair at
-      // or above the Jaccard threshold (keep-first policy, deterministic)
-      val dupIds = Dedup.minhashPairsOf(exact, cfg.nearDupJaccard)
-        .select(col("d2").as("doc_id")).distinct()
+      // 4. near-dup: drop all but one member of every duplicate group.
+      // Pairwise mode (default) drops the higher-id member of each
+      // MinHash+LSH pair — cheap, and it never drops a doc component mode
+      // would keep (every pair's d2 exceeds its component's min) — but it
+      // UNDER-drops on transitive structure: pairs {(1,3),(2,3)} keep both
+      // 1 and 2 although they are duplicates through 3, and WHICH docs
+      // survive a blob depends on which pairs the LSH bands happened to
+      // emit. Component mode closes the pairs transitively
+      // ([[graft.graph.Components]]) and keeps exactly the min-id doc per
+      // component — the complete, band-sampling-robust policy (cost: the
+      // O(diameter) label-propagation rounds).
+      val pairs = Dedup.minhashPairsOf(exact, cfg.nearDupJaccard)
+      val dupIds =
+        if (!cfg.componentDedup)
+          pairs.select(col("d2").as("doc_id")).distinct()
+        else
+          graft.graph.Components.connectedComponents(
+            pairs.select(col("d1").as("src"), col("d2").as("dst")))
+            .where(col("node") =!= col("comp")) // keep the component min
+            .select(col("node").as("doc_id"))
       val nearDeduped = stage("near_dedup", exact.join(dupIds, Seq("doc_id"), "left_anti"))
 
       // 5. chunk to training windows, 6. stamp the split

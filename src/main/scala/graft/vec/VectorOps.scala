@@ -573,10 +573,151 @@ object VectorOps {
        |ORDER BY sim DESC, a.vec_id LIMIT 20""".stripMargin
   }
 
+  // ---- PQ ANN (product quantization — the memory-compression scale path) ----
+
+  /** Product quantization: [[PqSubspaces]] subspaces of [[PqSubDim]] dims;
+    * one code per subspace from a [[PqCodebookSize]]-entry codebook, so a
+    * 64-dim float vector compresses to `PqSubspaces·log2(PqCodebookSize)` =
+    * 24 bits — the representation that keeps a 100 TB embedding corpus's
+    * index in executor memory (floats: 256 B/vec; PQ codes: 3 B/vec).
+    * Search is ADC (asymmetric distance computation): the query stays
+    * exact; per subspace a `PqCodebookSize`-entry lookup table of
+    * query-subvector→centroid distances is computed ONCE (driver-side —
+    * 64 doubles), and each vector's approximate distance is the sum of its
+    * codes' LUT entries — a pure scan-side expression, no joins, no
+    * shuffle; then exact cosine re-ranks the [[PqCandidates]] best.
+    *
+    * The codebook here is the sliced label-centroid set (subspace s of
+    * label l's centroid is entry l of subspace s's codebook) — the same
+    * deterministic stand-in for trained k-means that seeds [[knnIvf]]'s
+    * quantizer, and it reuses the memoized [[allLabelCentroids]] job (no
+    * extra table pass). Production training is per-subspace Lloyd
+    * iterations — [[kmeansCentroids]]' loop applied per slice.
+    *
+    * Determinism discipline (what keeps this hash-checkable): every float
+    * fold is left-to-right in BOTH engines — sub-distances expand as
+    * `(q·q − 2·q·c) + c·c` exactly like [[sqDist]]; the ADC sum folds
+    * sub 0→7 (Spark `reduceLeft`, DuckDB `list_dot_product(d_list, 1⃗)`);
+    * argmin ties break to the lower code via the same (dist, code)
+    * struct-min; candidate and final cuts carry vec_id tiebreakers.
+    */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodebookSize = 8
+  val PqCandidates = 100
+
+  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+
+  /** codebook(sub)(code) = subvector `sub` of label-`code`'s centroid. */
+  def pqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Double]]] = {
+    val cents = allLabelCentroids(spark, sfDir)
+    (0 until PqSubspaces).map { s =>
+      (0 until PqCodebookSize).map { code =>
+        cents(code).slice(s * PqSubDim, (s + 1) * PqSubDim)
+      }
+    }
+  }
+
+  /** X-3 PQ path: encode scan-side (argmin per subspace over literal
+    * centroids), ADC-prune to [[PqCandidates]], exact-cosine re-rank.
+    */
+  def knnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val books = pqCodebooks(spark, sfDir)
+    val q = labelCentroidVector(spark, sfDir, 0)
+    def qSub(s: Int): Seq[Double] = q.slice(s * PqSubDim, (s + 1) * PqSubDim)
+    // per-subspace code: (dist, code) struct-min over the literal codebook,
+    // sub-distance in sqDist's exact expansion order
+    def codeCol(s: Int): Column = {
+      val e = slice(embDouble, s * PqSubDim + 1, PqSubDim)
+      val cells = books(s).zipWithIndex.map { case (c, code) =>
+        struct(
+          (dot(e, e) - lit(2.0) * dot(e, typedLit(c)) + lit(dotSeq(c, c))).as("d"),
+          lit(code).as("id"))
+      }
+      array_min(array(cells: _*)).getField("id")
+    }
+    // ADC: LUT per subspace is driver-computed with the SAME expansion —
+    // (q·q − 2·q·c) + c·c — then summed left-to-right over subspaces
+    val adc = (0 until PqSubspaces).map { s =>
+      val qs = qSub(s)
+      val lut = books(s).map(c => (dotSeq(qs, qs) - 2.0 * dotSeq(qs, c)) + dotSeq(c, c))
+      element_at(typedLit(lut), codeCol(s) + 1)
+    }.reduceLeft(_ + _)
+    val sim = cosine(embDouble, typedLit(q))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"), adc.as("adc"))
+      .orderBy(asc("adc"), asc("vec_id"))
+      .limit(PqCandidates)
+      .select(col("vec_id"), col("label"), round(col("adc"), 6).as("adc"), round(sim, 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(20)
+  }
+
+  /** DuckDB twin of [[knnPq]]: the codebook is RE-DERIVED from the raw
+    * table (per-label per-position decimal-exact means, sliced by `pos//8`
+    * — no literals shipped), codes via the same (dist, code) argmin as a
+    * ROW_NUMBER, and the ADC sum as `list_dot_product(list(d ORDER BY
+    * sub), ones)` — a left-to-right fold matching Spark's `reduceLeft`
+    * (IEEE: the leading `0.0 +` is exact for non-negative distances).
+    * lazy: reads the Pq* constants.
+    */
+  lazy val knnPqSql: String = {
+    val ones = (0 until PqSubspaces).map(_ => "1.0").mkString("[", ", ", "]")
+    s"""WITH pc AS (
+       |  SELECT label, i - 1 AS pos,
+       |         CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+       |           / CAST(COUNT(*) AS DOUBLE) AS v
+       |  FROM (SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings)
+       |  GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT label AS code, pos // $PqSubDim AS sub,
+       |         list(v ORDER BY pos) AS cvec
+       |  FROM pc WHERE label < $PqCodebookSize
+       |  GROUP BY label, pos // $PqSubDim),
+       |qv AS (SELECT list(v ORDER BY pos) AS qvec FROM pc WHERE label = 0),
+       |qs AS (
+       |  SELECT pos // $PqSubDim AS sub, list(v ORDER BY pos) AS qsub
+       |  FROM pc WHERE label = 0 GROUP BY pos // $PqSubDim),
+       |ev AS (
+       |  SELECT vec_id, label, (i - 1) // $PqSubDim AS sub,
+       |         list(CAST(e AS DOUBLE) ORDER BY i) AS esub
+       |  FROM (SELECT vec_id, label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings)
+       |  GROUP BY vec_id, label, (i - 1) // $PqSubDim),
+       |codes AS (
+       |  SELECT vec_id, label, sub, code, cvec,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY
+       |           ((list_dot_product(esub, esub) - 2.0 * list_dot_product(esub, cvec))
+       |            + list_dot_product(cvec, cvec)), code) AS rn
+       |  FROM ev JOIN cb USING (sub)),
+       |adc AS (
+       |  SELECT c.vec_id, ANY_VALUE(c.label) AS label,
+       |         list_dot_product(
+       |           list(((list_dot_product(q.qsub, q.qsub) - 2.0 * list_dot_product(q.qsub, c.cvec))
+       |                 + list_dot_product(c.cvec, c.cvec)) ORDER BY c.sub),
+       |           $ones) AS adc
+       |  FROM codes c JOIN qs q USING (sub)
+       |  WHERE c.rn = 1
+       |  GROUP BY c.vec_id),
+       |cand AS (
+       |  SELECT vec_id, label, adc FROM adc
+       |  ORDER BY adc, vec_id LIMIT $PqCandidates)
+       |SELECT c.vec_id, c.label, ROUND(c.adc, 6) AS adc,
+       |       ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qvec)
+       |             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+       |                * sqrt(list_dot_product(qvec, qvec))), 6) AS sim
+       |FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN qv
+       |ORDER BY sim DESC, c.vec_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x3_knn_cosine" -> (knnCosine _),
     "x3_knn_lsh" -> (knnLsh _),
     "x3_knn_ivf" -> (knnIvfQuery _),
+    "x3_knn_pq" -> (knnPq _),
     "x4_sim_join" -> (simJoin _),
     "x4_sim_join_lsh" -> (simJoinLsh _),
     "x6_centroids" -> (centroids _))
@@ -585,6 +726,7 @@ object VectorOps {
     "x3_knn_cosine" -> knnCosineSql,
     "x3_knn_lsh" -> knnLshSql,
     "x3_knn_ivf" -> knnIvfSql,
+    "x3_knn_pq" -> knnPqSql,
     "x4_sim_join" -> simJoinSql,
     "x4_sim_join_lsh" -> simJoinLshSql,
     "x6_centroids" -> centroidsSql)

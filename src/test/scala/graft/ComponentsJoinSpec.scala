@@ -59,6 +59,34 @@ class ComponentsJoinSpec extends SparkSpec {
     assert(got.values.sum > prices.count(p => p >= 777.0 && p < 260332.0))
   }
 
+  test("curate componentDedup: transitive near-dups collapse to the min id") {
+    import graft.text.CorpusPipeline
+    // 28-word shared core; 1 appends two words, 2 prepends two words:
+    // J(1,3) = J(2,3) = 26/28 ≈ 0.93 (≥ the 0.9 threshold, and high enough
+    // that the 8×4 MinHash bands detect it essentially surely), while
+    // J(1,2) = 26/30 ≈ 0.87 < 0.9 — the bands DO emit (1,2) as a candidate
+    // but the exact-Jaccard verify rejects it, so 1~2 holds only
+    // TRANSITIVELY through 3
+    val core = (1 to 28).map(i => s"w$i")
+    val t3 = core.mkString(" ")
+    val t1 = (core ++ Seq("x1", "x2")).mkString(" ")
+    val t2 = (Seq("y1", "y2") ++ core).mkString(" ")
+    val docs = Seq((1L, t1), (2L, t2), (3L, t3), (100L, "totally different words " * 4))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    val noEval = docs.where(lit(false))
+    def survivors(cfg: CorpusPipeline.Config): Set[Long] =
+      CorpusPipeline.curate(docs, noEval, cfg)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val open = CorpusPipeline.Config(
+      minQuality = -1.0, maxSharedShingles = Long.MaxValue, nearDupJaccard = 0.9)
+    // pairwise keep-first: pairs (1,3),(2,3) drop only d2=3 — 1 AND 2 both
+    // survive although they are duplicates through 3
+    assert(survivors(open) === Set(1L, 2L, 100L))
+    // component mode: {1,2,3} is one component — only the min id survives
+    assert(survivors(open.copy(componentDedup = true)) === Set(1L, 100L))
+  }
+
   test("fuzzy join: blocked pairs respect the distance band and block key") {
     val parts = Seq(
       (1L, "red widget"), (2L, "red widgets"), // dist 1, same block
