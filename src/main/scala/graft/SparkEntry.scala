@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.RelQueries.queries ++
       graft.etl.EtlQueries.queries ++
       graft.etl.Sampling.queries ++
+      graft.etl.Profiler.queries ++
       graft.queries.EventQueries.queries ++
       graft.text.TextOps.queries ++
       graft.text.CurationOps.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       graft.queries.RelQueries.oracle ++
       graft.etl.EtlQueries.oracle ++
       graft.etl.Sampling.oracle ++
+      graft.etl.Profiler.oracle ++
       graft.queries.EventQueries.oracle ++
       graft.text.TextOps.oracle ++
       graft.text.CurationOps.oracle ++

@@ -185,7 +185,74 @@ object EventQueries {
         col("n"))
       .orderBy("event_type")
 
+  /** Time-series gap fill + last-observation-carried-forward: the resample
+    * operator metric/feature pipelines need (sparse event stream → dense
+    * hourly series per key). An hourly spine (distinct users × the global
+    * hour range — both sides derived IN-plan: the range is a broadcast
+    * 1-row aggregate, the user list a distinct over the capped slice;
+    * nothing reaches the driver) left-joins the observed hourly aggregates;
+    * missing hours surface as n_events = 0 and a NULL sum, and `filled`
+    * carries the last observed (rounded) sum forward per user via
+    * `last(ignoreNulls)` over an unbounded-preceding row frame — one
+    * shuffle on user_id, linear per partition, the same running-window
+    * shape as the as-of join. Hours before a user's first observation stay
+    * NULL (nothing to carry), exactly as in the oracle's
+    * `last_value IGNORE NULLS`.
+    *
+    * At 100 TB the spine explode is |keys| × |buckets| rows of three
+    * columns — partition by key so the window never re-shuffles, and bound
+    * the bucket range per key (a per-key min/max join) if global range ×
+    * sparse keys would dominate; here the global range is the honest shape
+    * (every user spans the month).
+    */
+  def gapFillLocf(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("user_id") < 5)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"), col("value"))
+    val hourly = ev
+      .groupBy("user_id", "hour")
+      .agg(
+        count(lit(1)).as("n_obs"),
+        round(sum(col("value").cast("decimal(38,18)")).cast("double"), 6).as("sv"))
+    val range = ev.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val spine = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(range))
+      .select(
+        col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(hourly, Seq("user_id", "hour"), "left")
+      .select(
+        col("user_id"), col("hour"),
+        coalesce(col("n_obs"), lit(0L)).as("n_events"),
+        last(col("sv"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy("user_id", "hour")
+  }
+
+  val gapFillLocfSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour, value
+      |  FROM events WHERE user_id < 5),
+      |hourly AS (
+      |  SELECT user_id, hour, CAST(COUNT(*) AS BIGINT) AS n_obs,
+      |         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE), 6) AS sv
+      |  FROM ev GROUP BY user_id, hour),
+      |r AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM ev),
+      |spine AS (
+      |  SELECT u.user_id, unnest(generate_series(r.h0, r.h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN r)
+      |SELECT s.user_id, s.hour,
+      |       COALESCE(h.n_obs, 0) AS n_events,
+      |       last_value(h.sv IGNORE NULLS) OVER (
+      |         PARTITION BY s.user_id ORDER BY s.hour
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM spine s LEFT JOIN hourly h USING (user_id, hour)
+      |ORDER BY user_id, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gapfill" -> (gapFillLocf _),
     "q_json_extract" -> (jsonExtract _),
     "q_json_schema" -> (jsonSchema _),
     "q_hourly_windows" -> (hourlyWindows _),
@@ -196,6 +263,7 @@ object EventQueries {
     "x9_approx_percentiles" -> (approxPercentiles _))
 
   val oracle: Map[String, String] = Map(
+    "q_gapfill" -> gapFillLocfSql,
     "q_json_extract" -> jsonExtractSql,
     "q_json_schema" -> jsonSchemaSql,
     "q_hourly_windows" -> hourlyWindowsSql,
