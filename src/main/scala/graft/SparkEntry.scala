@@ -27,6 +27,7 @@ object SparkEntry {
       graft.etl.EtlQueries.queries ++
       graft.etl.Sampling.queries ++
       graft.etl.Profiler.queries ++
+      graft.etl.SkewJoin.queries ++
       graft.queries.EventQueries.queries ++
       graft.text.TextOps.queries ++
       graft.text.CurationOps.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       graft.etl.EtlQueries.oracle ++
       graft.etl.Sampling.oracle ++
       graft.etl.Profiler.oracle ++
+      graft.etl.SkewJoin.oracle ++
       graft.queries.EventQueries.oracle ++
       graft.text.TextOps.oracle ++
       graft.text.CurationOps.oracle ++

@@ -251,8 +251,53 @@ object EventQueries {
       |FROM spine s LEFT JOIN hourly h USING (user_id, hour)
       |ORDER BY user_id, hour""".stripMargin
 
+  /** Ordered conversion funnel view → click → purchase: a user advances a
+    * stage only with an event STRICTLY AFTER their first qualifying event
+    * of the previous stage ("click after first view"). The stage time is
+    * min(ts | stage ∧ ts > prev) — and since the earliest previous-stage
+    * time bounds all others, one whole-partition min per stage suffices:
+    * three CHAINED window mins on the same user_id partitioning = ONE
+    * shuffle total (Spark chains same-key Window operators without
+    * re-exchanging), then a 1-row conditional count. No self-joins, no
+    * per-user sequence materialization — the shape that funnels a 100 TB
+    * event log.
+    */
+  def funnelStages(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val tsc = col("ts")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), tsc, col("event_type"))
+      .withColumn("tv", min(when(col("event_type") === "view", tsc)).over(w))
+      .withColumn("tc", min(when(col("event_type") === "click" && tsc > col("tv"), tsc)).over(w))
+      .withColumn("tp", min(when(col("event_type") === "purchase" && tsc > col("tc"), tsc)).over(w))
+      .agg(
+        countDistinct(when(col("tv").isNotNull, col("user_id"))).as("n_view"),
+        countDistinct(when(col("tc").isNotNull, col("user_id"))).as("n_view_click"),
+        countDistinct(when(col("tp").isNotNull, col("user_id"))).as("n_full_funnel"))
+  }
+
+  val funnelStagesSql: String =
+    """WITH w1 AS (
+      |  SELECT user_id, ts, event_type,
+      |         MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |           OVER (PARTITION BY user_id) AS tv
+      |  FROM events),
+      |w2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+      |              OVER (PARTITION BY user_id) AS tc
+      |  FROM w1),
+      |w3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+      |              OVER (PARTITION BY user_id) AS tp
+      |  FROM w2)
+      |SELECT CAST(COUNT(DISTINCT CASE WHEN tv IS NOT NULL THEN user_id END) AS BIGINT) AS n_view,
+      |       CAST(COUNT(DISTINCT CASE WHEN tc IS NOT NULL THEN user_id END) AS BIGINT) AS n_view_click,
+      |       CAST(COUNT(DISTINCT CASE WHEN tp IS NOT NULL THEN user_id END) AS BIGINT) AS n_full_funnel
+      |FROM w3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gapfill" -> (gapFillLocf _),
+    "q_funnel_stages" -> (funnelStages _),
     "q_json_extract" -> (jsonExtract _),
     "q_json_schema" -> (jsonSchema _),
     "q_hourly_windows" -> (hourlyWindows _),
@@ -264,6 +309,7 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q_gapfill" -> gapFillLocfSql,
+    "q_funnel_stages" -> funnelStagesSql,
     "q_json_extract" -> jsonExtractSql,
     "q_json_schema" -> jsonSchemaSql,
     "q_hourly_windows" -> hourlyWindowsSql,

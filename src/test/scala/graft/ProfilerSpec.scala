@@ -35,6 +35,41 @@ class ProfilerSpec extends SparkSpec {
     assert(a("id") >= 3L && a("id") <= 5L)
   }
 
+  test("funnel: strict ordering gates each stage on the previous one") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Seq(
+      // user 0: full ordered funnel
+      (0L, "2024-01-01 01:00:00", "view"),
+      (0L, "2024-01-01 02:00:00", "click"),
+      (0L, "2024-01-01 03:00:00", "purchase"),
+      // user 1: click BEFORE the first view — stalls at view
+      (1L, "2024-01-01 02:00:00", "view"),
+      (1L, "2024-01-01 01:00:00", "click"),
+      // user 2: purchase before click — view+click only
+      (2L, "2024-01-01 01:00:00", "view"),
+      (2L, "2024-01-01 03:00:00", "click"),
+      (2L, "2024-01-01 02:00:00", "purchase"),
+      // user 3: no view at all — counts nowhere
+      (3L, "2024-01-01 01:00:00", "click"),
+      (3L, "2024-01-01 02:00:00", "purchase"),
+      // user 4: same-ts click as first view — strict > rejects it
+      (4L, "2024-01-01 01:00:00", "view"),
+      (4L, "2024-01-01 01:00:00", "click"))
+      .toDF("user_id", "tss", "event_type")
+      .select(col("user_id"), to_timestamp(col("tss")).as("ts"), col("event_type"))
+    val w = Window.partitionBy("user_id")
+    val r = ev
+      .withColumn("tv", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("tc", min(when(col("event_type") === "click" && col("ts") > col("tv"), col("ts"))).over(w))
+      .withColumn("tp", min(when(col("event_type") === "purchase" && col("ts") > col("tc"), col("ts"))).over(w))
+      .agg(
+        countDistinct(when(col("tv").isNotNull, col("user_id"))).as("n_view"),
+        countDistinct(when(col("tc").isNotNull, col("user_id"))).as("n_view_click"),
+        countDistinct(when(col("tp").isNotNull, col("user_id"))).as("n_full"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 2L, 1L)))
+  }
+
   test("gapfill: missing hours get 0 events and carry the last sum forward") {
     val ev = Seq(
       (0L, "2024-01-01 00:10:00", 10.0),
