@@ -31,6 +31,7 @@ object SparkEntry {
       graft.queries.EventQueries.queries ++
       graft.text.TextOps.queries ++
       graft.text.CurationOps.queries ++
+      graft.text.BpeTrainer.queries ++
       graft.text.Dedup.queries ++
       graft.text.CorpusPipeline.queries ++
       graft.text.LangId.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
       graft.queries.EventQueries.oracle ++
       graft.text.TextOps.oracle ++
       graft.text.CurationOps.oracle ++
+      graft.text.BpeTrainer.oracle ++
       graft.text.Dedup.oracle ++
       graft.text.LangId.oracle ++
       graft.vec.VectorOps.oracle ++

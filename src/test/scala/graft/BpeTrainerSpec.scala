@@ -1,0 +1,46 @@
+package graft
+
+import graft.text.BpeTrainer
+
+/** Unit checks for the BPE merge trainer on hand-computable corpora; the
+  * driver hash-checks t_bpe_merges against a DuckDB oracle that re-trains
+  * the same rounds from the raw table.
+  */
+class BpeTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def merges(text: String, n: Int): Seq[(Long, String, String, Long)] =
+    BpeTrainer.train(spark, Seq((1L, text)).toDF("doc_id", "text"), n)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("most frequent pair wins; counts are corpus-weighted") {
+    // ab×3 + cd×1: pair (a,b) freq 3 beats (c,d) freq 1
+    val m = merges("ab ab ab cd", 2)
+    assert(m === Seq((1L, "a", "b", 3L), (2L, "c", "d", 1L)))
+  }
+
+  test("odd run: greedy left-to-right merge, then tie broken by pair string") {
+    // 'aaaaa': round 1 counts (a,a)=4 (all adjacent positions), merge →
+    // [aa, aa, a]. Round 2: pairs (aa,aa)=1 and (aa,a)=1 tie on freq;
+    // ascending pair string picks "aa a" → [aa, aaa]. This is the case
+    // where single-space joining diverges from the greedy fold — the
+    // double-space representation must NOT produce [aa, a, aa].
+    val m = merges("aaaaa", 3)
+    assert(m.take(2) === Seq((1L, "a", "a", 4L), (2L, "aa", "a", 1L)))
+    // round 3 merges the surviving (aa, aaa) pair — proof the round-2
+    // vocab really is [aa, aaa]
+    assert(m(2) === ((3L, "aa", "aaa", 1L)))
+  }
+
+  test("merges compound across rounds (classic est-suffix shape)") {
+    // 'xy' dominates, then 'xyz' builds on the learned 'xy' token
+    val m = merges("xyz xyz xy xy xy", 2)
+    assert(m.head === ((1L, "x", "y", 5L)))
+    assert(m(1) === ((2L, "xy", "z", 2L)))
+  }
+
+  test("trainer stops early when no pairs remain") {
+    val m = merges("a b c", 5) // single-char words: no pairs at all
+    assert(m.isEmpty)
+  }
+}
