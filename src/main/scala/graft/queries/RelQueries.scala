@@ -253,7 +253,75 @@ object RelQueries {
     spark.sql(subqueriesSql)
   }
 
+  /** Equi-depth decile histogram of order value: `ntile(10)` over a
+    * TIE-SAFE total order (price, then orderkey) so bucket membership is
+    * engine-independent; per bucket count/min/max/decimal-sum. Both
+    * engines distribute the remainder rows to the first buckets (ANSI
+    * NTILE), so edges match exactly. Scale note: ntile needs a global
+    * order — one range-partitioned sort at 100 TB (Spark plans a global
+    * Sort; acceptable for reporting). The streaming-friendly alternative
+    * is approx-percentile CUTPOINTS + a scan-side bucket assignment
+    * (`x9_approx_percentiles` shows the sketch); this query is the exact
+    * reporting shape.
+    */
+  def histogramEquiDepth(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bucket", ntile(10).over(w).cast("bigint"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("bucket")
+  }
+
+  val histogramEquiDepthSql: String =
+    """SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT o_totalprice,
+      |         CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+      |  FROM orders)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Scalar date/time function breadth (§2.6): year/quarter extraction,
+    * day-of-month, and day arithmetic against a fixed epoch — all integer
+    * results, so no engine formatting or timezone-render hazards (the
+    * repo's determinism rule for cross-engine scalars).
+    */
+  def dateMath(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        year(col("o_orderdate")).cast("bigint").as("yr"),
+        quarter(col("o_orderdate")).cast("bigint").as("qtr"),
+        dayofmonth(col("o_orderdate")).cast("bigint").as("dom"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"))
+      .groupBy("yr", "qtr")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        max(col("dom")).as("max_dom"),
+        min(col("days_since")).cast("bigint").as("min_days"),
+        max(col("days_since")).cast("bigint").as("max_days"))
+      .orderBy("yr", "qtr")
+
+  val dateMathSql: String =
+    """SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+      |       EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       MAX(EXTRACT(DAY FROM o_orderdate)) AS max_dom,
+      |       CAST(MIN(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS min_days,
+      |       CAST(MAX(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS max_days
+      |FROM orders
+      |GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram" -> (histogramEquiDepth _),
+    "q_date_math" -> (dateMath _),
     "q_subqueries" -> (subqueries _),
     "q_outer_join" -> (custOrdersOuter _),
     "q_semi_anti" -> (semiAntiCustomers _),
@@ -264,6 +332,8 @@ object RelQueries {
     "q_window_frames" -> (windowFrames _))
 
   val oracle: Map[String, String] = Map(
+    "q_histogram" -> histogramEquiDepthSql,
+    "q_date_math" -> dateMathSql,
     "q_subqueries" -> subqueriesSql,
     "q_outer_join" -> custOrdersOuterSql,
     "q_semi_anti" -> semiAntiCustomersSql,
