@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * avoids the O(n²)
   * pair space via LSH banding: only documents sharing a band bucket are
   * candidate pairs, and exact Jaccard runs on candidates only. The
-  * oracle-checked Jaccard query caps the corpus slice (doc_id < 200) so the
-  * DuckDB cross-check stays cheap at every SF — the LSH path is the
-  * unbounded-scale variant.
+  * oracle-checked Jaccard query runs UNCAPPED — its shingle equi-join (and
+  * the oracle's identical join) never materializes the pair space, so no
+  * corpus slice is needed; the LSH path is the variant that also bounds
+  * the candidate set under boilerplate-shingle skew.
   */
 object Dedup {
 
@@ -56,16 +57,21 @@ object Dedup {
     """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies, text
       |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
 
-  /** X-2 (oracle-checkable form): n-gram Jaccard near-dup pairs over a fixed
-    * corpus slice. inter/union counted via a shingle equi-join — never a
-    * cross join.
+  /** X-2 (oracle-checkable form): n-gram Jaccard near-dup pairs over the
+    * WHOLE corpus. inter/union counted via a shingle equi-join — never a
+    * cross join — and the oracle uses the same equi-join, so no cap is
+    * needed on either side. (An earlier doc_id < 200 cap, meant to bound a
+    * quadratic oracle that doesn't exist, made the sf0.1 result EMPTY —
+    * the testdata's planted near-dup pairs span the full id space, so a
+    * prefix slice checks nothing at larger SFs. Uncapped, the check bites
+    * at every SF: 3 pairs at sf0.01, 100+ at sf0.1.)
     */
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // The shingle set feeds three plan branches (sizes + both join sides).
     // Deliberately NOT persisted: the branches are identical subtrees, so
     // Spark reuses one shuffle (ReusedExchange) — caching measured slower
     // (blocks exchange reuse, adds memory pressure).
-    val sh = shingleRows(Tables.documents(spark, sfDir).where(col("doc_id") < 200))
+    val sh = shingleRows(Tables.documents(spark, sfDir))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -83,7 +89,7 @@ object Dedup {
 
   val jaccardPairsSql: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 200),
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,
       |         unnest(list_transform(range(1, len(t) - 1),

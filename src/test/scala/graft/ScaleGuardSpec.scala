@@ -97,4 +97,15 @@ class ScaleGuardSpec extends SparkSpec {
       }
     }
   }
+
+  test("x2_jaccard_pairs is non-vacuous at sf0.01 AND sf0.1") {
+    // a testdata refresh that moves the planted near-dups must not silently
+    // turn the hash check into a 0-row tautology (the round-5 finding that
+    // removed the doc_id cap: sf0.1's pairs live across the whole id space)
+    for (sfDir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val n = graft.text.Dedup.jaccardPairs(spark, sfDir).count()
+      info(s"$sfDir: $n pairs")
+      assert(n > 0, s"jaccard pair check is vacuous at $sfDir")
+    }
+  }
 }
