@@ -441,7 +441,65 @@ object TextOps {
        |         (acc, h) -> (acc * 31 + h) % $RollingFpMod) AS rolling_fp
        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
 
+  /** Token-budgeted curriculum selection: take documents in quality order
+    * (best first, doc_id tiebreak — a total order) until the running token
+    * count exceeds the budget — the standard "export the best N tokens"
+    * step between curation and training. One ordered running-sum window +
+    * a filter; integer cumsum, so the cut is engine-exact. The global
+    * ordered window is the reporting shape (fine for a budget that fits a
+    * shard); at 100 TB allocate per-shard budgets (range-partition by
+    * quality bucket, run the same window per partition) — same operator,
+    * partitioned key.
+    */
+  val TokenBudget = 10000L
+
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 300)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        qualityColumn(col("text")).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("quality"), asc("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("quality"))
+      .orderBy(desc("quality"), asc("doc_id"))
+  }
+
+  val tokenBudgetSql: String = {
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |                         t -> list_contains([$stopList], t))) AS BIGINT) AS n_stopwords,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+       |  FROM documents WHERE doc_id < 300),
+       |q AS (
+       |  SELECT doc_id, n_tokens,
+       |    ROUND(0.5 * least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 200.0)
+       |        + 0.3 * (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |        + 0.2 * (CAST(1.0 AS DOUBLE) - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)), 6)
+       |      AS quality
+       |  FROM m),
+       |s AS (
+       |  SELECT doc_id, n_tokens, quality,
+       |         CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM q)
+       |SELECT doc_id, n_tokens, cum_tokens, quality
+       |FROM s WHERE cum_tokens <= $TokenBudget
+       |ORDER BY quality DESC, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_budget" -> (tokenBudget _),
     "x5_text_stats" -> (textStats _),
     "x5_word_freq" -> (wordFreq _),
     "t_quality_score" -> (qualityScore _),
@@ -457,6 +515,7 @@ object TextOps {
     "x5_text_stats" -> textStatsSql,
     "x5_word_freq" -> wordFreqSql,
     "t_quality_score" -> qualityScoreSql,
+    "t_token_budget" -> tokenBudgetSql,
     "t_fingerprints" -> fingerprintsSql,
     "t_bpe_tokens" -> bpeTokensSql,
     "x5_bigram_freq" -> bigramFreqSql,

@@ -713,7 +713,49 @@ object VectorOps {
        |ORDER BY sim DESC, c.vec_id LIMIT 20""".stripMargin
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * path that shrinks a float32 corpus 4× (and the input format for int8
+    * SIMD distance kernels): per-vector scale = 127/max|x|, elements
+    * quantized by floor(x·scale + 0.5) (round-half-up — floor is
+    * bit-identical across engines, unlike engine round() on negatives).
+    * Pure scan-side HOFs, no shuffle. The checked output reports the
+    * quantized array's (sum, min, max) + the rounded scale per vector —
+    * integer/exact values that pin the whole array without shipping it.
+    */
+  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embDouble
+    val amax = array_max(transform(e, x => abs(x)))
+    val scale = lit(127.0) / amax
+    val q = transform(e, x => floor(x * scale + lit(0.5)).cast("long"))
+    Tables.embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        round(scale, 6).as("scale"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("sum_q"),
+        array_min(q).as("min_q"),
+        array_max(q).as("max_q"))
+      .orderBy("vec_id")
+  }
+
+  val quantizeInt8Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, emb,
+      |         127.0 / list_max(list_transform(emb, x -> abs(x))) AS scale
+      |  FROM e),
+      |qq AS (
+      |  SELECT vec_id, scale,
+      |         list_transform(emb, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+      |  FROM s)
+      |SELECT vec_id, ROUND(scale, 6) AS scale,
+      |       CAST(list_sum(q) AS BIGINT) AS sum_q,
+      |       CAST(list_min(q) AS BIGINT) AS min_q,
+      |       CAST(list_max(q) AS BIGINT) AS max_q
+      |FROM qq ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x6_quantize_int8" -> (quantizeInt8 _),
     "x3_knn_cosine" -> (knnCosine _),
     "x3_knn_lsh" -> (knnLsh _),
     "x3_knn_ivf" -> (knnIvfQuery _),
@@ -723,6 +765,7 @@ object VectorOps {
     "x6_centroids" -> (centroids _))
 
   val oracle: Map[String, String] = Map(
+    "x6_quantize_int8" -> quantizeInt8Sql,
     "x3_knn_cosine" -> knnCosineSql,
     "x3_knn_lsh" -> knnLshSql,
     "x3_knn_ivf" -> knnIvfSql,

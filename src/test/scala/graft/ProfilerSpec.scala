@@ -35,6 +35,49 @@ class ProfilerSpec extends SparkSpec {
     assert(a("id") >= 3L && a("id") <= 5L)
   }
 
+  test("token budget: quality-ordered selection cuts exactly at the budget") {
+    // identical shape to t_token_budget, inline corpus with known scores:
+    // budget 10 tokens, docs of 4 tokens each in quality order a>b>c —
+    // cum 4, 8, 12 → c exceeds the budget and is cut
+    val docs = Seq(
+      (1L, 0.9, 4L), (2L, 0.8, 4L), (3L, 0.7, 4L))
+      .toDF("doc_id", "quality", "n_tokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("quality"), asc("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val kept = docs.withColumn("cum", sum(col("n_tokens")).over(w))
+      .where(col("cum") <= 10L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+    // the real query respects its budget and is quality-sorted
+    val out = graft.text.TextOps.tokenBudget(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    assert(out.last.getLong(2) <= graft.text.TextOps.TokenBudget)
+    val qs = out.map(_.getDouble(3)).toSeq
+    assert(qs === qs.sorted(Ordering[Double].reverse))
+  }
+
+  test("int8 quantization: known vector and range bounds") {
+    import graft.vec.VectorOps
+    // [1.0, -0.5, 0.25]: scale 127 → [127, floor(-63.5+0.5)=-63, 32]
+    val df = Seq((1L, Seq(1.0f, -0.5f, 0.25f))).toDF("vec_id", "embedding")
+    val q = {
+      val e = col("embedding").cast("array<double>")
+      val amax = array_max(transform(e, x => abs(x)))
+      val scale = lit(127.0) / amax
+      val qq = transform(e, x => floor(x * scale + lit(0.5)).cast("long"))
+      df.select(
+        aggregate(qq, lit(0L), (a, x) => a + x).as("sum_q"),
+        array_min(qq).as("min_q"), array_max(qq).as("max_q"))
+        .collect().head
+    }
+    assert((q.getLong(0), q.getLong(1), q.getLong(2)) === ((96L, -63L, 127L)))
+    // every quantized value across the real table is within int8 range
+    val bounds = VectorOps.quantizeInt8(spark, "/root/testdata/sf0.001")
+      .agg(min(col("min_q")), max(col("max_q"))).collect().head
+    assert(bounds.getLong(0) >= -127L && bounds.getLong(1) <= 127L)
+  }
+
   test("funnel: strict ordering gates each stage on the previous one") {
     import org.apache.spark.sql.expressions.Window
     val ev = Seq(
