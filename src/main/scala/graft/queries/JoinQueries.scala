@@ -196,25 +196,48 @@ object JoinQueries {
     * the [[graft.text.Dedup.MaxBandBucket]]-style cap/salt guard applies
     * unchanged (same keyed-window shape).
     */
-  def fuzzyNameJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = Tables.part(spark, sfDir)
-      .where(col("p_partkey") < 500)
-      .select(
-        col("p_partkey"), col("p_name"),
-        split(col("p_name"), " ").getItem(0).as("block_key"))
+  /** The engine function behind [[fuzzyNameJoin]]: blocked Levenshtein
+    * pair join over `(id, name)` rows with a HOT-BLOCK CAP — the same skew
+    * guard as `graft.text.Dedup.MaxBandBucket`: a heavy-tailed block (every
+    * record sharing one common first token) is otherwise locally quadratic.
+    * The cap keeps the deterministic bottom-`maxBlockSize` ids per block
+    * (keyed window → WindowGroupLimit prunes map-side); `Int.MaxValue`
+    * disables it (the checked query's blocks are ≤ ~80).
+    */
+  def fuzzyJoinOf(
+      rows: DataFrame, // (id, name)
+      minDist: Int,
+      maxDist: Int,
+      maxBlockSize: Int = Int.MaxValue): DataFrame = {
+    val p0 = rows.select(
+      col("id"), col("name"),
+      split(col("name"), " ").getItem(0).as("block_key"))
+    val p =
+      if (maxBlockSize == Int.MaxValue) p0
+      else
+        p0.withColumn("rk", row_number().over(
+            Window.partitionBy("block_key").orderBy("id")))
+          .where(col("rk") <= maxBlockSize)
+          .drop("rk")
     p.as("a")
       .join(p.as("b"),
-        col("a.block_key") === col("b.block_key") &&
-          col("a.p_partkey") < col("b.p_partkey"))
-      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
-      .where(col("dist").between(1, 3))
+        col("a.block_key") === col("b.block_key") && col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.name"), col("b.name")))
+      .where(col("dist").between(minDist, maxDist))
       .select(
         col("a.block_key").as("block_key"),
-        col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
-        col("a.p_name").as("n1"), col("b.p_name").as("n2"),
+        col("a.id").as("k1"), col("b.id").as("k2"),
+        col("a.name").as("n1"), col("b.name").as("n2"),
         col("dist").cast("bigint").as("dist"))
       .orderBy("k1", "k2")
   }
+
+  def fuzzyNameJoin(spark: SparkSession, sfDir: String): DataFrame =
+    fuzzyJoinOf(
+      Tables.part(spark, sfDir)
+        .where(col("p_partkey") < 500)
+        .select(col("p_partkey").as("id"), col("p_name").as("name")),
+      minDist = 1, maxDist = 3)
 
   val fuzzyNameJoinSql: String =
     """WITH p AS (

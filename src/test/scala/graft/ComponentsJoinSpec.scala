@@ -94,20 +94,18 @@ class ComponentsJoinSpec extends SparkSpec {
       (4L, "blue widget"), // other block — never paired with red*
       (5L, "red bolt")) // dist > 3 from widget/widgets
       .toDF("p_partkey", "p_name")
-    // drive the same shape as the checked query, inline corpus
-    val p = parts.select(
-      col("p_partkey"), col("p_name"),
-      split(col("p_name"), " ").getItem(0).as("block_key"))
-    val got = p.as("a")
-      .join(p.as("b"),
-        col("a.block_key") === col("b.block_key") && col("a.p_partkey") < col("b.p_partkey"))
-      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
-      .where(col("dist").between(1, 3))
-      .select(col("a.p_partkey"), col("b.p_partkey"), col("dist"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rows = parts.select(col("p_partkey").as("id"), col("p_name").as("name"))
+    val got = JoinQueries.fuzzyJoinOf(rows, 1, 3)
+      .select("k1", "k2", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // widget→widgets ins 1; widget→gadget sub 2; widgets→gadget 3 edits;
     // bolt is > 3 from every other red-block name; blue never joins red
-    assert(got === Set((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 3)))
+    assert(got === Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 3L)))
     assert(!got.exists(t => t._1 == 4L || t._2 == 4L))
+    // hot-block cap: with maxBlockSize=2 only the bottom-2 ids of the 'red'
+    // block survive → pair count bounded at C(2,2)=1 per block
+    val capped = JoinQueries.fuzzyJoinOf(rows, 1, 3, maxBlockSize = 2)
+      .select("k1", "k2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)))
   }
 }
