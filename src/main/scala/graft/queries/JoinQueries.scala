@@ -219,10 +219,13 @@ object JoinQueries {
             Window.partitionBy("block_key").orderBy("id")))
           .where(col("rk") <= maxBlockSize)
           .drop("rk")
+    // threshold form: banded DP with early exit — O(maxDist·n) per pair
+    // instead of O(n²), the difference that matters when blocks hold long
+    // strings; returns -1 above the bound, so the between() also drops it
     p.as("a")
       .join(p.as("b"),
         col("a.block_key") === col("b.block_key") && col("a.id") < col("b.id"))
-      .withColumn("dist", levenshtein(col("a.name"), col("b.name")))
+      .withColumn("dist", levenshtein(col("a.name"), col("b.name"), maxDist + 1))
       .where(col("dist").between(minDist, maxDist))
       .select(
         col("a.block_key").as("block_key"),

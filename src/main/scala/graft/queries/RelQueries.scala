@@ -319,7 +319,33 @@ object RelQueries {
       |FROM orders
       |GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin
 
+  /** List/collection aggregation: per-nation sorted roster of suppliers —
+    * `collect_list` is Spark's non-deterministic-ORDER aggregate, so the
+    * repo's determinism rule applies: ALWAYS `sort_array` (or
+    * `array_sort`) the collected list before it leaves the aggregate, here
+    * also joined to a single string so the checked output carries no
+    * engine-specific array rendering. One keyed shuffle; the dim join
+    * broadcasts.
+    */
+  def arrayAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name").as("n_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        concat_ws(",", sort_array(collect_list(col("s_name")))).as("roster"))
+      .orderBy("n_name")
+  }
+
+  val arrayAggSql: String =
+    """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |       array_to_string(list(s_name ORDER BY s_name), ',') AS roster
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_array_agg" -> (arrayAgg _),
     "q_histogram" -> (histogramEquiDepth _),
     "q_date_math" -> (dateMath _),
     "q_subqueries" -> (subqueries _),
@@ -332,6 +358,7 @@ object RelQueries {
     "q_window_frames" -> (windowFrames _))
 
   val oracle: Map[String, String] = Map(
+    "q_array_agg" -> arrayAggSql,
     "q_histogram" -> histogramEquiDepthSql,
     "q_date_math" -> dateMathSql,
     "q_subqueries" -> subqueriesSql,
