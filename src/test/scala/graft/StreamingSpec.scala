@@ -148,4 +148,33 @@ class StreamingSpec extends SparkSpec {
       assert(last === SessionUpdate(7L, 3L, 2L))
     } finally q.stop()
   }
+
+  test("curateStream: quality gate + cross-batch fingerprint dedup, batch-parity scores") {
+    import spark.implicits._
+    import graft.streaming.CorpusStreaming
+    import graft.streaming.CorpusStreaming.Doc
+    implicit val sqlCtx = spark.sqlContext
+    // long wordy text scores high; terse text scores low (len term dominates)
+    val good = ("the of a and " * 30).trim
+    val bad = "x!"
+    val input = MemoryStream[Doc]
+    val q = CorpusStreaming.curateStream(input.toDF(), minQuality = 0.3)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("cur").start()
+    try {
+      input.addData(Doc(1, ts(0), good), Doc(2, ts(1), bad))
+      q.processAllAvailable()
+      // batch 2, still inside the watermark: an exact re-crawl of doc 1
+      // under a NEW id must be dropped by the fingerprint state
+      input.addData(Doc(3, ts(20), good))
+      q.processAllAvailable()
+      val rows = spark.table("cur").collect()
+      assert(rows.map(_.getLong(0)).toSet === Set(1L)) // bad filtered, dup dropped
+      // score parity with the batch operator on the same text
+      val batchQ = Seq((1L, good)).toDF("doc_id", "text")
+        .select(graft.text.TextOps.qualityColumn(org.apache.spark.sql.functions.col("text")))
+        .collect().head.getDouble(0)
+      assert(rows.head.getDouble(3) === batchQ)
+    } finally q.stop()
+  }
 }
