@@ -51,6 +51,14 @@ object Sampling {
     when(b < trainBound, "train").when(b < valBound, "val").otherwise("test")
   }
 
+  /** The hex bucket boundaries [[splitColumn]] compares against, public so
+    * oracle-SQL generators elsewhere can inline the byte-identical CASE
+    * (one formula, no drift between the Spark and SQL sides).
+    */
+  def splitBoundsHex(trainPct: Int = 80, valPct: Int = 10): (String, String) =
+    (boundHex((256 * trainPct) / 100),
+      boundHex((256 * trainPct) / 100 + (256 * valPct) / 100))
+
   /** Split-assignment audit over orders: rows and exact fraction per split
     * — the query a pipeline runs to prove split hygiene before training.
     */

@@ -114,8 +114,12 @@ object Components {
       .orderBy("node")
   }
 
-  val simClustersSql: String = {
-    // the verified sim-join pair set, verbatim semantics (minus ordering)
+  /** Shared recursive-closure CTE prefix (the verified sim-join pair set,
+    * verbatim semantics minus ordering, then full transitive reachability
+    * down to min-reachable-id component labels) — used by both oracle SQLs
+    * below so the edge/closure definition cannot drift between them.
+    */
+  private val closureCtePrefix: String = {
     val pairs =
       s"""SELECT a.vec_id AS v1, b.vec_id AS v2
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -135,17 +139,80 @@ object Components {
        |  SELECT a, a FROM und
        |  UNION
        |  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.node),
-       |deg AS (
-       |  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY a),
        |comp AS (
-       |  SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+       |  SELECT node, MIN(r) AS comp FROM reach GROUP BY node)""".stripMargin
+  }
+
+  val simClustersSql: String =
+    s"""$closureCtePrefix,
+       |deg AS (
+       |  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY a)
        |SELECT comp.node AS node, comp.comp AS comp, deg.degree AS degree
        |FROM comp JOIN deg USING (node) ORDER BY node""".stripMargin
+
+  /** Leakage-safe train/val/test split: near-duplicates must never
+    * straddle splits (a test doc with a train-set near-copy inflates every
+    * eval metric), so the split key is the near-dup CLUSTER, not the doc —
+    * every member of a component lands in the same split by construction.
+    * Composition: the hash-verified sim-join edges → [[connectedComponents]]
+    * closure → isolated docs keep their own id as a singleton cluster →
+    * [[graft.etl.Sampling.splitColumn]] on the cluster id. Output is the
+    * per-split audit (docs + distinct clusters); straddling is structurally
+    * impossible because the split is a pure function of the cluster id.
+    *
+    * Scale posture: the closure is the banded/blocked pair set (never
+    * all-pairs), the left join against components is keyed on the doc id,
+    * and the audit is a 3-row aggregate — nothing new shuffles beyond the
+    * clustering itself.
+    */
+  /** Per-doc (id, cluster, split) assignment over arbitrary `ids`
+    * (one column) and `edges` (src/dst) — the testable core of
+    * [[leakageSplit]]. Isolated ids become singleton clusters of their own
+    * id, so every id gets exactly one split.
+    */
+  def leakageAssignment(ids: DataFrame, edges: DataFrame): DataFrame = {
+    val idCol = ids.columns.head
+    val comps = connectedComponents(edges).select(col("node"), col("comp"))
+    ids
+      .join(comps, ids(idCol) === comps("node"), "left")
+      .select(ids(idCol).as("id"), coalesce(col("comp"), ids(idCol)).as("cluster"))
+      .withColumn("split", graft.etl.Sampling.splitColumn(col("cluster")))
+  }
+
+  def leakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = graft.vec.VectorOps.simJoin(spark, sfDir)
+      .select(col("v1").as("src"), col("v2").as("dst"))
+    val vecs = graft.model.Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < 1000).select(col("vec_id"))
+    leakageAssignment(vecs, edges)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("cluster")).as("n_clusters"))
+      .orderBy("split")
+  }
+
+  val leakageSplitSql: String = {
+    val (trainB, valB) = graft.etl.Sampling.splitBoundsHex()
+    s"""$closureCtePrefix,
+       |assigned AS (
+       |  SELECT COALESCE(comp.comp, e.vec_id) AS cluster
+       |  FROM e LEFT JOIN comp ON e.vec_id = comp.node),
+       |s AS (
+       |  SELECT cluster,
+       |         CASE WHEN b < '$trainB' THEN 'train'
+       |              WHEN b < '$valB' THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM (SELECT cluster, substr(md5(CAST(cluster AS VARCHAR)), 1, 2) AS b
+       |        FROM assigned))
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x4_sim_clusters" -> (simClusters _))
+    "x4_sim_clusters" -> (simClusters _),
+    "t_leakage_split" -> (leakageSplit _))
 
   val oracle: Map[String, String] = Map(
-    "x4_sim_clusters" -> simClustersSql)
+    "x4_sim_clusters" -> simClustersSql,
+    "t_leakage_split" -> leakageSplitSql)
 }

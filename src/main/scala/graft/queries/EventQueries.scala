@@ -295,7 +295,71 @@ object EventQueries {
       |       CAST(COUNT(DISTINCT CASE WHEN tp IS NOT NULL THEN user_id END) AS BIGINT) AS n_full_funnel
       |FROM w3""".stripMargin
 
+  /** SCD2 change-history collapse — the warehouse-side twin of the
+    * reference's get-or-create dimension handling: where get-or-create
+    * keeps ONE row per key, type-2 history keeps one row per (key, value
+    * epoch) with validity bounds, which is how a dimension that changes
+    * over time is loaded at scale (CDC stream → collapse consecutive
+    * duplicates → version + valid_from/valid_to).
+    *
+    * Shape: change detection is lag() over (user_id | ts, event_id) — the
+    * event_id tiebreak makes the order total, so version numbering is
+    * deterministic; version = running sum of change flags on the SAME
+    * window partitioning, so Spark chains the two Window operators over one
+    * shuffle; the collapse is a (user_id, version)-keyed aggregate and
+    * valid_to is a lead() on the already-collapsed (small) history. One
+    * exchange of the event slice, one of the collapsed history — nothing
+    * all-pairs, nothing driver-side. The user_id < 100 slice bounds the
+    * checked output; the operator itself is slice-free.
+    */
+  def scd2HistoryOf(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val collapsed = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+      .withColumn("chg", when(col("prev").isNull || col("prev") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(wOrd))
+      .groupBy(col("user_id"), col("version"))
+      .agg(
+        min(col("event_type")).as("state"), // constant within the version
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    collapsed
+      .withColumn(
+        "valid_to",
+        lead(col("valid_from"), 1).over(Window.partitionBy("user_id").orderBy("version")))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+      .orderBy("user_id", "version")
+  }
+
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame =
+    scd2HistoryOf(Tables.events(spark, sfDir).where(col("user_id") < 100))
+
+  val scd2HistorySql: String =
+    """WITH src AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE user_id < 100),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM src),
+      |versioned AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+      |  FROM flagged),
+      |collapsed AS (
+      |  SELECT user_id, CAST(version AS BIGINT) AS version,
+      |         MIN(event_type) AS state,
+      |         MIN(ts) AS valid_from,
+      |         CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM versioned GROUP BY user_id, version)
+      |SELECT user_id, version, state, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+      |       n_events
+      |FROM collapsed ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_history" -> (scd2History _),
     "q_gapfill" -> (gapFillLocf _),
     "q_funnel_stages" -> (funnelStages _),
     "q_json_extract" -> (jsonExtract _),
@@ -308,6 +372,7 @@ object EventQueries {
     "x9_approx_percentiles" -> (approxPercentiles _))
 
   val oracle: Map[String, String] = Map(
+    "q_scd2_history" -> scd2HistorySql,
     "q_gapfill" -> gapFillLocfSql,
     "q_funnel_stages" -> funnelStagesSql,
     "q_json_extract" -> jsonExtractSql,

@@ -118,6 +118,62 @@ object CurationOps {
        |SELECT doc_id, tok, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin
 
+  // ---- Unigram-LM surprisal (LM-based quality/novelty signal) ----
+
+  /** Per-document mean unigram surprisal — the quality signal CCNet-style
+    * pipelines compute with a pretrained LM, here with the corpus's own
+    * unigram distribution as the model. True −log2 p(tok) is quantized to
+    * integer bit lengths (bitlen(total) − bitlen(cnt) via base-2 string
+    * conversion, exact in both engines) because `ln`/`log2` are not
+    * IEEE-specified and can differ in the last ulp cross-engine (file
+    * header); the quantized score is rank-equivalent to cross-entropy at
+    * power-of-two resolution, which is what a filter threshold consumes.
+    *
+    * Shape at 100 TB: one wordcount aggregate (map-side combinable) builds
+    * the vocab; the grand total re-aggregates the already-small vocab (the
+    * vocab exchange is reused, not a second corpus scan); the per-token
+    * surprisal lookup is a token-keyed join where the vocab side broadcasts
+    * when it fits and AQE's skew-join splits the stopword keys when it
+    * doesn't; the final (doc_id) aggregate sums integers — partial-agg
+    * order can never change the answer.
+    */
+  def surprisalOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val surp = vocab.crossJoin(broadcast(total))
+      .select(
+        col("tok"),
+        (length(conv(col("total").cast("string"), 10, 2))
+          - length(conv(col("cnt").cast("string"), 10, 2))).cast("bigint").as("surp"))
+    toks.join(surp, "tok")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(col("surp")).cast("double") / count(lit(1)).cast("double"), 6).as("surprisal"))
+      .orderBy("doc_id")
+  }
+
+  def surprisal(spark: SparkSession, sfDir: String): DataFrame =
+    surprisalOf(Tables.documents(spark, sfDir))
+
+  val surprisalSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |vocab AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+      |total AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+      |surp AS (
+      |  SELECT tok,
+      |         CAST(length(format('{:b}', total.total))
+      |              - length(format('{:b}', cnt)) AS BIGINT) AS surp
+      |  FROM vocab CROSS JOIN total)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |       round(CAST(SUM(surp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS surprisal
+      |FROM toks JOIN surp USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- PII redaction ----
 
   /** RE2-and-Java-compatible patterns (no lookaround, no \\d shorthand —
@@ -188,10 +244,12 @@ object CurationOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_repetition" -> (repetition _),
     "t_tfidf_topterms" -> (tfidfTopTerms _),
+    "t_surprisal" -> (surprisal _),
     "t_pii_scrub" -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
     "t_repetition" -> repetitionSql,
     "t_tfidf_topterms" -> tfidfTopTermsSql,
+    "t_surprisal" -> surprisalSql,
     "t_pii_scrub" -> piiScrubSql)
 }

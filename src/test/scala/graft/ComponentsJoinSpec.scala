@@ -87,6 +87,19 @@ class ComponentsJoinSpec extends SparkSpec {
     assert(survivors(open.copy(componentDedup = true)) === Set(1L, 100L))
   }
 
+  test("leakage split: cluster members share a split; isolated ids are singletons") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("vec_id")
+    val a = Components.leakageAssignment(ids, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(a.length === 6)
+    // component labels are the min member id; isolated 20 is its own cluster
+    assert(a.map(t => t._1 -> t._2).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // the invariant the operator exists for: one split per cluster
+    assert(a.groupBy(_._2).forall { case (_, rs) => rs.map(_._3).distinct.length == 1 })
+  }
+
   test("fuzzy join: blocked pairs respect the distance band and block key") {
     val parts = Seq(
       (1L, "red widget"), (2L, "red widgets"), // dist 1, same block

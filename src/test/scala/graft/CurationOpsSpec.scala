@@ -44,6 +44,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.groupBy(_._1).forall { case (_, rs) => rs.map(_._2).sorted.toSeq == Seq(1L, 2L) })
   }
 
+  test("surprisal: bit-length quantized -log2 p, hand-computed") {
+    // vocab: a:2 b:2 c:1, total=5 (bitlen 3); surp a=b=3-2=1, c=3-1=2
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = CurationOps.surprisalOf(docs)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) === ((3L, 1.0))) // (1+1+1)/3
+    assert(r(2L) === ((2L, 1.5))) // (1+2)/2
+    // rarer tokens → strictly higher doc score
+    assert(r(2L)._2 > r(1L)._2)
+  }
+
   test("pii scrub: stamped emails and ips are counted and redacted") {
     val docs = Seq(
       (0L, "plain words here"), // %7 and %11 → both stamped

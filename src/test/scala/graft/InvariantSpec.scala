@@ -55,6 +55,28 @@ class InvariantSpec extends SparkSpec {
     assert(total === graft.model.Tables.customer(spark, sf001).count())
   }
 
+  test("scd2: consecutive duplicates collapse; validity intervals tile the timeline") {
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00", 0L, "A"),
+      (1L, "2024-01-01 01:00:00", 1L, "A"), // same state → same version
+      (1L, "2024-01-01 02:00:00", 2L, "B"),
+      (1L, "2024-01-01 03:00:00", 3L, "A"), // A returns → NEW version, not merged
+      (2L, "2024-01-01 00:30:00", 4L, "C"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = graft.queries.EventQueries.scd2HistoryOf(events)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.get(3).toString,
+        Option(x.get(4)).map(_.toString), x.getLong(5)))
+    assert(r.map(t => (t._1, t._2, t._3, t._6)).toSeq === Seq(
+      (1L, 1L, "A", 2L), (1L, 2L, "B", 1L), (1L, 3L, "A", 1L), (2L, 1L, "C", 1L)))
+    // intervals tile: each version's valid_to equals the next valid_from;
+    // only the last version per user is open-ended
+    val u1 = r.filter(_._1 == 1L).sortBy(_._2)
+    assert(u1.init.zip(u1.tail).forall { case (a, b) => a._5.contains(b._4) })
+    assert(u1.last._5.isEmpty && r.filter(_._1 == 2L).head._5.isEmpty)
+  }
+
   test("flagship top-10 is a prefix of the unlimited ordering") {
     val top10 = RefQueries.flagshipTop10(spark, sf001)
       .select("nome").as[String].collect().toSeq
