@@ -148,11 +148,30 @@ object Dedup {
       |WHERE s.doc_id < 280
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 
-  // ---- MinHash + LSH banding (the 100 TB near-dup path; no SQL oracle —
-  //      seed-pinned hashes, unit+property tested per SURVEY.md §7.4) ----
+  // ---- MinHash + LSH banding (the 100 TB near-dup path) ----
+  //
+  // Hash family is md5-derived ([[TextOps.md5Hash60]]) — engine-portable by
+  // construction, so the ENTIRE pipeline (seeded signatures, band buckets,
+  // hot-bucket cap, exact verification) is reproducible in DuckDB and
+  // `x2_minhash_pairs` is HASH-checked against [[minhashPairsSql]], the
+  // same upgrade SimHash got in round 4. (xxhash64 was ~2× cheaper per
+  // shingle but Spark-private — the portability of the scale path's
+  // correctness check is worth the md5.)
 
   val NumHashes = 32
   val BandSize = 4 // 8 bands of 4 → catches Jaccard ≳ 0.5 with high prob.
+
+  /** Seeded, engine-portable re-hash of a 60-bit hash value: md5 over the
+    * decimal rendering of (h, seed). Constant-time per seed and ~32× less
+    * string hashing than hashing the shingle once per seed; both engines
+    * render a non-negative BIGINT identically, so the seeded family is
+    * bit-reproducible in DuckDB ([[seededHashSql]]).
+    */
+  private def seededHash(h: Column, seed: Int): Column =
+    TextOps.md5Hash60(concat(h.cast("string"), lit(":" + seed)))
+
+  private def seededHashSql(h: String, seed: Int): String =
+    TextOps.md5Hash60Sql(s"CAST($h AS VARCHAR) || ':$seed'")
 
   /** Per-doc shingle rows WITHOUT the distinct — for min-aggregations the
     * multiset and the set give identical results (min is idempotent), so
@@ -164,16 +183,14 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(shinglesExpr).as("sh"))
 
-  /** 32 seed-pinned minhash values per doc: hash each shingle STRING once
-    * (the expensive variable-length hash), then derive the 32 seeded hashes
-    * by re-hashing the 64-bit value with the seed — constant-time per seed,
-    * ~32× less string hashing than xxhash64(shingle, seed_i) per seed while
-    * keeping the same uniformity (hash of a hash). Linear in corpus size,
-    * no pair blowup.
+  /** 32 seeded minhash values per doc: hash each shingle STRING once (the
+    * expensive variable-length hash), then derive the 32 seeded hashes by
+    * re-hashing the 60-bit value with the seed ([[seededHash]]) — hash of a
+    * hash keeps the uniformity. Linear in corpus size, no pair blowup.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingleRowsMulti(docs).withColumn("h", xxhash64(col("sh")))
-    val aggs = (0 until NumHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"mh$i"))
+    val sh = shingleRowsMulti(docs).withColumn("h", TextOps.md5Hash60(col("sh")))
+    val aggs = (0 until NumHashes).map(i => min(seededHash(col("h"), i)).as(s"mh$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -183,7 +200,7 @@ object Dedup {
     * at 1000 executors the bucket join shuffles only (band, bucket) keys.
     */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    minhashPairsOf(Tables.documents(spark, sfDir), 0.5)
+    minhashPairsOf(Tables.documents(spark, sfDir), MinhashThreshold)
 
   /** Skew guard for banded candidate joins: a band bucket holding more than
     * this many docs (boilerplate-heavy corpora — headers, license blocks,
@@ -213,15 +230,15 @@ object Dedup {
     // verification: the min-aggs don't need distinct (idempotent) and
     // collect_set dedupes inline — no second/third shingle scan, no
     // candidate⋈shingles double join.
-    val shm = shingleRowsMulti(docs).withColumn("h", xxhash64(col("sh")))
+    val shm = shingleRowsMulti(docs).withColumn("h", TextOps.md5Hash60(col("sh")))
     // seeded minhashes derive from the single string hash `h` (see
     // minhashSignatures) — the same `h` also feeds the verification arrays
-    val minAggs = (0 until NumHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"mh$i"))
+    val minAggs = (0 until NumHashes).map(i => min(seededHash(col("h"), i)).as(s"mh$i"))
     val perDoc = shm.groupBy("doc_id")
       .agg(array_sort(collect_set(col("h"))).as("hs"), minAggs: _*)
     val bandCols = (0 until NumHashes / BandSize).map { b =>
-      val cols = (0 until BandSize).map(r => col(s"mh${b * BandSize + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+      val cols = (0 until BandSize).map(r => col(s"mh${b * BandSize + r}").cast("string"))
+      struct(lit(b).as("band"), TextOps.md5Hash60(concat_ws(":", cols: _*)).as("bucket"))
     }
     // bucket join on ids only (NOT the hs arrays — 8 bands would shuffle 8
     // copies of every doc's shingle hashes); arrays are fetched afterwards,
@@ -254,6 +271,68 @@ object Dedup {
       .where(jac >= threshold)
       .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
       .orderBy("d1", "d2")
+  }
+
+  /** Exact-Jaccard threshold of the driver-checked [[minhashPairs]] query —
+    * shared with the generated oracle so Spark and SQL cannot drift.
+    */
+  val MinhashThreshold = 0.5
+
+  /** Generated DuckDB twin of [[minhashPairs]]: re-derives the seeded
+    * signatures, band buckets, hot-bucket cap, candidate join, and exact
+    * Jaccard verification from the SAME constants (NumHashes, BandSize,
+    * MaxBandBucket, MinhashThreshold) — the oracle re-computes the whole
+    * LSH pipeline in SQL rather than shipping expected literals, so a
+    * drift anywhere (hash family, banding, cap, threshold) fails the
+    * hash check. Verification intersects the per-doc DISTINCT 60-bit
+    * shingle-hash sets, exactly like the Spark side's collect_set arrays.
+    */
+  lazy val minhashPairsSql: String = {
+    val mhDefs = (0 until NumHashes)
+      .map(i => s"MIN(${seededHashSql("h", i)}) AS mh$i")
+      .mkString(",\n         ")
+    val bandSelects = (0 until NumHashes / BandSize).map { b =>
+      val concat = (0 until BandSize)
+        .map(r => s"CAST(mh${b * BandSize + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"  SELECT doc_id, $b AS band, ${TextOps.md5Hash60Sql(concat)} AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shm AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(t) - 1),
+       |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |  FROM toks WHERE len(t) >= 3),
+       |h AS (SELECT doc_id, ${TextOps.md5Hash60Sql("sh")} AS h FROM shm),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $mhDefs
+       |  FROM h GROUP BY doc_id),
+       |buckets AS (
+       |$bandSelects),
+       |capped AS (
+       |  SELECT doc_id, band, bucket FROM buckets
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY doc_id) <= $MaxBandBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |hs AS (SELECT DISTINCT doc_id, h FROM h),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN hs x ON x.doc_id = c.d1
+       |  JOIN hs y ON y.doc_id = c.d2 AND y.h = x.h
+       |  GROUP BY 1, 2)
+       |SELECT i.d1, i.d2,
+       |       ROUND(CAST(i.i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i.i AS DOUBLE)), 6) AS jaccard
+       |FROM inter i
+       |JOIN sz s1 ON i.d1 = s1.doc_id
+       |JOIN sz s2 ON i.d2 = s2.doc_id
+       |WHERE CAST(i.i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i.i AS DOUBLE)) >= $MinhashThreshold
+       |ORDER BY d1, d2""".stripMargin
   }
 
   // ---- SimHash (60-bit, md5-derived → DuckDB-expressible, hash-checked) ----
@@ -383,6 +462,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "x1_dedup_exact" -> exactDedupSql,
     "x2_jaccard_pairs" -> jaccardPairsSql,
+    "x2_minhash_pairs" -> minhashPairsSql,
     "x2_simhash" -> simhashSql,
     "x2_simhash_pairs" -> simhashPairsSql,
     "t_decontaminate" -> decontaminateSql)
