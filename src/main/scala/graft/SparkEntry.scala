@@ -55,6 +55,7 @@ object SparkEntry {
       graft.text.CurationOps.oracle ++
       graft.text.BpeTrainer.oracle ++
       graft.text.Dedup.oracle ++
+      graft.text.CorpusPipeline.oracle ++
       graft.text.LangId.oracle ++
       graft.vec.VectorOps.oracle ++
       graft.graph.Components.oracle

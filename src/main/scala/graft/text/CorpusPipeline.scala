@@ -207,6 +207,68 @@ object CorpusPipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Generated DuckDB twin of the WHOLE composed funnel — unblocked by the
+    * md5-portable MinHash family: every stage is now SQL-expressible, so
+    * the composition users actually run (not just its parts) gets the
+    * end-to-end hash check. Each stage's SQL comes from the SAME generator
+    * its standalone oracle uses ([[TextOps.qualitySqlExpr]],
+    * [[Dedup.minhashPairsCtes]], [[TextOps.chunkListSql]],
+    * [[Sampling.splitBoundsHex]]) and the thresholds come from
+    * [[PinnedConfig]] — one definition per stage, no drift surface.
+    */
+  lazy val curateSql: String = {
+    val cfg = PinnedConfig
+    val (trainBound, valBound) = Sampling.splitBoundsHex()
+    val lt = TextOps.chunkListSql("t")
+    val shingleList =
+      "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
+       |train AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + $MirrorIdOffset AS doc_id, text FROM base WHERE doc_id % 97 = 3),
+       |quality AS (
+       |  SELECT doc_id, text FROM train
+       |  WHERE ${TextOps.qualitySqlExpr("text")} >= ${cfg.minQuality}),
+       |ev AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 9 AND doc_id < 500),
+       |evsh AS (
+       |  SELECT DISTINCT unnest($shingleList) AS sh
+       |  FROM (SELECT string_split(text, ' ') AS t FROM ev)
+       |  WHERE len(t) >= 3),
+       |qsh AS (
+       |  SELECT doc_id, unnest($shingleList) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM quality)
+       |  WHERE len(t) >= 3),
+       |contaminated AS (
+       |  SELECT q.doc_id FROM qsh q JOIN evsh e ON q.sh = e.sh
+       |  GROUP BY q.doc_id HAVING COUNT(DISTINCT q.sh) > ${cfg.maxSharedShingles}),
+       |clean AS (
+       |  SELECT doc_id, text FROM quality
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |exact AS (
+       |  SELECT doc_id, text FROM clean
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+       |${Dedup.minhashPairsCtes("exact", cfg.nearDupJaccard)},
+       |dup AS (SELECT DISTINCT d2 AS doc_id FROM mp_pairs),
+       |keep AS (
+       |  SELECT doc_id, text FROM exact
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+       |chunks AS (
+       |  SELECT doc_id, unnest($lt) AS chunk, generate_subscripts($lt, 1) AS i
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM keep))
+       |SELECT doc_id, i - 1 AS chunk_idx, array_to_string(chunk, ' ') AS text,
+       |       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$trainBound' THEN 'train'
+       |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$valBound' THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_curate" -> (curateQuery _))
+
+  val oracle: Map[String, String] = Map(
+    "t_curate" -> curateSql)
 }

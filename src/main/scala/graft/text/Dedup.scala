@@ -278,16 +278,21 @@ object Dedup {
     */
   val MinhashThreshold = 0.5
 
-  /** Generated DuckDB twin of [[minhashPairs]]: re-derives the seeded
+  /** Generated DuckDB CTE chain re-deriving [[minhashPairsOf]] over an
+    * arbitrary source relation `src` (needs `doc_id`, `text`): seeded
     * signatures, band buckets, hot-bucket cap, candidate join, and exact
-    * Jaccard verification from the SAME constants (NumHashes, BandSize,
-    * MaxBandBucket, MinhashThreshold) — the oracle re-computes the whole
-    * LSH pipeline in SQL rather than shipping expected literals, so a
-    * drift anywhere (hash family, banding, cap, threshold) fails the
-    * hash check. Verification intersects the per-doc DISTINCT 60-bit
+    * Jaccard verification, all from the SAME constants (NumHashes,
+    * BandSize, MaxBandBucket) — the oracle re-computes the whole LSH
+    * pipeline in SQL rather than shipping expected literals, so a drift
+    * anywhere (hash family, banding, cap, threshold) fails the hash
+    * check. Verification intersects the per-doc DISTINCT 60-bit
     * shingle-hash sets, exactly like the Spark side's collect_set arrays.
+    * Emits CTEs prefixed `p`, ending in `{p}pairs(d1, d2, jaccard)` —
+    * thresholded on the raw ratio, jaccard rounded to 6 places.
+    * Parameterized so composed oracles (the t_curate funnel) reuse the
+    * identical generated pipeline over an intermediate stage.
     */
-  lazy val minhashPairsSql: String = {
+  def minhashPairsCtes(src: String, threshold: Double, p: String = "mp_"): String = {
     val mhDefs = (0 until NumHashes)
       .map(i => s"MIN(${seededHashSql("h", i)}) AS mh$i")
       .mkString(",\n         ")
@@ -295,45 +300,49 @@ object Dedup {
       val concat = (0 until BandSize)
         .map(r => s"CAST(mh${b * BandSize + r} AS VARCHAR)")
         .mkString(" || ':' || ")
-      s"  SELECT doc_id, $b AS band, ${TextOps.md5Hash60Sql(concat)} AS bucket FROM sig"
+      s"  SELECT doc_id, $b AS band, ${TextOps.md5Hash60Sql(concat)} AS bucket FROM ${p}sig"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |shm AS (
+    s"""${p}shm AS (
        |  SELECT doc_id,
        |         unnest(list_transform(range(1, len(t) - 1),
        |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-       |  FROM toks WHERE len(t) >= 3),
-       |h AS (SELECT doc_id, ${TextOps.md5Hash60Sql("sh")} AS h FROM shm),
-       |sig AS (
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src)
+       |  WHERE len(t) >= 3),
+       |${p}h AS (SELECT doc_id, ${TextOps.md5Hash60Sql("sh")} AS h FROM ${p}shm),
+       |${p}sig AS (
        |  SELECT doc_id,
        |         $mhDefs
-       |  FROM h GROUP BY doc_id),
-       |buckets AS (
+       |  FROM ${p}h GROUP BY doc_id),
+       |${p}buckets AS (
        |$bandSelects),
-       |capped AS (
-       |  SELECT doc_id, band, bucket FROM buckets
+       |${p}capped AS (
+       |  SELECT doc_id, band, bucket FROM ${p}buckets
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY doc_id) <= $MaxBandBucket),
-       |cand AS (
+       |${p}cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM capped a JOIN capped b
+       |  FROM ${p}capped a JOIN ${p}capped b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |hs AS (SELECT DISTINCT doc_id, h FROM h),
-       |sz AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
-       |inter AS (
+       |${p}hs AS (SELECT DISTINCT doc_id, h FROM ${p}h),
+       |${p}sz AS (SELECT doc_id, COUNT(*) AS n FROM ${p}hs GROUP BY doc_id),
+       |${p}inter AS (
        |  SELECT c.d1, c.d2, COUNT(*) AS i
-       |  FROM cand c
-       |  JOIN hs x ON x.doc_id = c.d1
-       |  JOIN hs y ON y.doc_id = c.d2 AND y.h = x.h
-       |  GROUP BY 1, 2)
-       |SELECT i.d1, i.d2,
-       |       ROUND(CAST(i.i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i.i AS DOUBLE)), 6) AS jaccard
-       |FROM inter i
-       |JOIN sz s1 ON i.d1 = s1.doc_id
-       |JOIN sz s2 ON i.d2 = s2.doc_id
-       |WHERE CAST(i.i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i.i AS DOUBLE)) >= $MinhashThreshold
-       |ORDER BY d1, d2""".stripMargin
+       |  FROM ${p}cand c
+       |  JOIN ${p}hs x ON x.doc_id = c.d1
+       |  JOIN ${p}hs y ON y.doc_id = c.d2 AND y.h = x.h
+       |  GROUP BY 1, 2),
+       |${p}pairs AS (
+       |  SELECT i.d1, i.d2,
+       |         ROUND(CAST(i.i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i.i AS DOUBLE)), 6) AS jaccard
+       |  FROM ${p}inter i
+       |  JOIN ${p}sz s1 ON i.d1 = s1.doc_id
+       |  JOIN ${p}sz s2 ON i.d2 = s2.doc_id
+       |  WHERE CAST(i.i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i.i AS DOUBLE)) >= $threshold)""".stripMargin
   }
+
+  /** DuckDB twin of the driver-checked [[minhashPairs]] query. */
+  lazy val minhashPairsSql: String =
+    s"""WITH ${minhashPairsCtes("documents", MinhashThreshold)}
+       |SELECT d1, d2, jaccard FROM mp_pairs ORDER BY d1, d2""".stripMargin
 
   // ---- SimHash (60-bit, md5-derived → DuckDB-expressible, hash-checked) ----
 

@@ -128,22 +128,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** DuckDB twin of [[qualityColumn]] over an arbitrary SQL text
+    * expression — ONE formula shared by the t_quality_score oracle and
+    * composed oracles (the curation funnel), so the two cannot drift.
+    * Same operand order and casts as the Column form → bit-identical
+    * doubles.
+    */
+  def qualitySqlExpr(t: String): String = {
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    s"ROUND(0.5 * least(CAST(1.0 AS DOUBLE), CAST(len(string_split($t, ' ')) AS DOUBLE) / 200.0)" +
+      s" + 0.3 * (CAST(len(list_filter(string_split($t, ' '), x -> list_contains([$stopList], x))) AS DOUBLE)" +
+      s" / CAST(len(string_split($t, ' ')) AS DOUBLE))" +
+      s" + 0.2 * (CAST(1.0 AS DOUBLE) - CAST(length($t) - length(regexp_replace($t, '[.,!?;:]', '', 'g')) AS DOUBLE)" +
+      s" / CAST(length($t) AS DOUBLE)), 6)"
+  }
+
   val qualityScoreSql: String = {
     val stopList = StopWords.map(w => s"'$w'").mkString(", ")
-    s"""WITH m AS (
-       |  SELECT doc_id,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    CAST(length(text) AS BIGINT) AS n_chars,
-       |    CAST(len(list_filter(string_split(text, ' '),
-       |                         t -> list_contains([$stopList], t))) AS BIGINT) AS n_stopwords,
-       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
-       |  FROM documents WHERE doc_id < 300)
-       |SELECT doc_id, n_tokens, n_chars, n_stopwords, n_punct,
-       |  ROUND(0.5 * least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 200.0)
-       |      + 0.3 * (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-       |      + 0.2 * (CAST(1.0 AS DOUBLE) - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)), 6)
-       |    AS quality
-       |FROM m ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(list_filter(string_split(text, ' '),
+       |                       t -> list_contains([$stopList], t))) AS BIGINT) AS n_stopwords,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |  ${qualitySqlExpr("text")} AS quality
+       |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
   }
 
   /** Document fingerprinting: md5 of raw and whitespace-normalized text —
@@ -307,9 +316,15 @@ object TextOps {
         element_at(col("chunk"), 1).as("first_token"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** DuckDB list expression mirroring [[chunksOf]]'s window arithmetic over
+    * a token-array SQL expression `t` — shared by the t_chunks oracle and
+    * the composed funnel oracle.
+    */
+  def chunkListSql(t: String): String =
+    s"list_transform(range(0, greatest(CAST(ceil((len($t) - $ChunkSize) / $ChunkStride.0) AS INT), 0) + 1), i -> $t[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkSize])"
+
   val chunkDocsSql: String = {
-    val lt =
-      s"list_transform(range(0, greatest(CAST(ceil((len(t) - $ChunkSize) / $ChunkStride.0) AS INT), 0) + 1), i -> t[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkSize])"
+    val lt = chunkListSql("t")
     s"""WITH tok AS (
        |  SELECT doc_id, string_split(text, ' ') AS t
        |  FROM documents WHERE doc_id < 300),
