@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.model.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -253,23 +253,62 @@ object RelQueries {
     spark.sql(subqueriesSql)
   }
 
-  /** Equi-depth decile histogram of order value: `ntile(10)` over a
-    * TIE-SAFE total order (price, then orderkey) so bucket membership is
-    * engine-independent; per bucket count/min/max/decimal-sum. Both
-    * engines distribute the remainder rows to the first buckets (ANSI
-    * NTILE), so edges match exactly. Scale note: ntile needs a global
-    * order — one range-partitioned sort at 100 TB (Spark plans a global
-    * Sort; acceptable for reporting). The streaming-friendly alternative
-    * is approx-percentile CUTPOINTS + a scan-side bucket assignment
-    * (`x9_approx_percentiles` shows the sketch); this query is the exact
-    * reporting shape.
+  /** Equi-depth decile histogram of order value, with exact ANSI-NTILE
+    * bucket edges (ties broken by orderkey so membership is
+    * engine-independent) — in DISTRIBUTED form.
+    *
+    * The naive shape, `ntile(10) OVER (ORDER BY …)` with no PARTITION BY,
+    * makes Spark move every row into ONE task for the WindowExec — a
+    * straight scale-killer at 100 TB (round-5 verdict). This keeps the
+    * exact semantics with no global window, in three passes:
+    *
+    *   1. ~31 range cutpoints from the approx-percentile sketch (driver
+    *      fetches 31 doubles — control plane). Sketch accuracy affects
+    *      only partition BALANCE, never the result.
+    *   2. one exact COUNT per range (≤32-row aggregate, collected) →
+    *      prefix-sum rank offsets on the driver.
+    *   3. scan-side range tag, then a window PARTITIONED BY range: exact
+    *      global rank = offset(range) + row_number() within range — 32
+    *      concurrent window partitions instead of one. Ranges are
+    *      order-contiguous (price ties never straddle a cutpoint because
+    *      the tag is `price <= cut`), so per-range ranks + offsets ARE
+    *      the global ranks.
+    *
+    * Bucket then follows from the rank via the ANSI NTILE formula (first
+    * N mod 10 buckets take one extra row). The oracle stays the plain
+    * NTILE SQL — DuckDB re-derives the buckets from the standard
+    * semantics, proving the distributed rank matches them exactly.
     */
   def histogramEquiDepth(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("bucket", ntile(10).over(w).cast("bigint"))
+    val nBuckets = 10
+    val base = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice"))
+    val cuts = base.stat
+      .approxQuantile("o_totalprice", (1 until 32).map(_ / 32.0).toArray, 0.001)
+      .distinct.sorted
+    val rangeCol = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
+      case ((c, i), els) => when(col("o_totalprice") <= c, lit(i)).otherwise(els)
+    }
+    val ranged = base.withColumn("rng", rangeCol)
+    val counts = ranged.groupBy("rng").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    var acc = 0L
+    val offsets = counts.keys.toSeq.sorted.map { r => val o = acc; acc += counts(r); r -> o }
+    val offCol = offsets.foldLeft(lit(0L): Column) {
+      case (els, (r, o)) => when(col("rng") === r, lit(o)).otherwise(els)
+    }
+    val w = Window.partitionBy("rng").orderBy("o_totalprice", "o_orderkey")
+    // ANSI NTILE from the 1-based global rank: base size q, first r buckets
+    // hold q+1 rows ("div" keeps the arithmetic in exact integer space)
+    val q = total / nBuckets
+    val r = total % nBuckets
+    val bucket =
+      if (q == 0) col("rk") // degenerate: fewer rows than buckets
+      else when(col("rk") <= lit(r * (q + 1)), expr(s"(rk - 1) div ${q + 1} + 1"))
+        .otherwise(expr(s"$r + (rk - 1 - ${r * (q + 1)}) div $q + 1"))
+    ranged
+      .withColumn("rk", row_number().over(w).cast("bigint") + offCol)
+      .withColumn("bucket", bucket.cast("bigint"))
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("n_orders"),
