@@ -57,24 +57,47 @@ object Dedup {
     """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies, text
       |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
 
-  /** X-2 (oracle-checkable form): n-gram Jaccard near-dup pairs over the
-    * WHOLE corpus. inter/union counted via a shingle equi-join — never a
-    * cross join — and the oracle uses the same equi-join, so no cap is
-    * needed on either side. (An earlier doc_id < 200 cap, meant to bound a
-    * quadratic oracle that doesn't exist, made the sf0.1 result EMPTY —
-    * the testdata's planted near-dup pairs span the full id space, so a
-    * prefix slice checks nothing at larger SFs. Uncapped, the check bites
-    * at every SF: 3 pairs at sf0.01, 100+ at sf0.1.)
+  /** Hot-shingle guard for the direct Jaccard join: a shingle appearing in
+    * more than this many DOCUMENTS is boilerplate (headers, license
+    * blocks, templated markup) and is dropped from the shingle universe —
+    * sizes and intersections both, identically in Spark and the oracle,
+    * so the metric stays well-defined ("Jaccard over non-boilerplate
+    * shingles", standard near-dup practice: a shingle shared by
+    * thousands of documents carries no duplication signal). Without it
+    * the shingle equi-join is quadratic per distinct value: one trigram
+    * shared by 100k docs yields 10^10 join rows — the first query to
+    * blow up at 100 TB (round-5 verdict). The df aggregate is map-side
+    * combined (no hot-key task), and the hot list is tiny by construction
+    * (boilerplate values only), so the anti-join broadcasts under AQE.
     */
-  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // The shingle set feeds three plan branches (sizes + both join sides).
-    // Deliberately NOT persisted: the branches are identical subtrees, so
-    // Spark reuses one shuffle (ReusedExchange) — caching measured slower
-    // (blocks exchange reuse, adds memory pressure).
-    val sh = shingleRows(Tables.documents(spark, sfDir))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+  val MaxShingleDf = 256L
+
+  /** X-2 (oracle-checkable form): n-gram Jaccard near-dup pairs over an
+    * arbitrary `doc_id`+`text` corpus. inter/union counted via a shingle
+    * equi-join — never a cross join — with shingles df-capped at
+    * `maxShingleDf` ([[MaxShingleDf]]). (An earlier doc_id < 200 cap,
+    * meant to bound a quadratic oracle that doesn't exist, made the sf0.1
+    * result EMPTY — the testdata's planted near-dup pairs span the full
+    * id space, so a prefix slice checks nothing at larger SFs. The df
+    * cap, unlike that slice, binds only pathological shingles: the check
+    * bites at every SF.)
+    */
+  def jaccardPairsOf(
+      docs: DataFrame,
+      minJaccard: Double = 0.4,
+      maxShingleDf: Long = MaxShingleDf): DataFrame = {
+    val sh = shingleRows(docs)
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf)
+      .select("sh")
+    // The kept shingle set feeds three plan branches (sizes + both join
+    // sides). Deliberately NOT persisted: the branches are identical
+    // subtrees, so Spark reuses one shuffle (ReusedExchange) — caching
+    // measured slower (blocks exchange reuse, adds memory pressure).
+    val kept = sh.join(hot, Seq("sh"), "left_anti")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.as("a")
+      .join(kept.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("i"))
     val jac = col("i").cast("double") /
@@ -82,23 +105,28 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("n", "n1").withColumnRenamed("doc_id", "dd1"), col("d1") === col("dd1"))
       .join(sizes.withColumnRenamed("n", "n2").withColumnRenamed("doc_id", "dd2"), col("d2") === col("dd2"))
-      .where(jac >= 0.4)
+      .where(jac >= minJaccard)
       .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
       .orderBy("d1", "d2")
   }
 
+  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPairsOf(Tables.documents(spark, sfDir))
+
   val jaccardPairsSql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,
       |         unnest(list_transform(range(1, len(t) - 1),
       |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
       |  FROM toks WHERE len(t) >= 3),
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > $MaxShingleDf),
+      |kept AS (SELECT doc_id, sh FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT d1, d2,
       |       ROUND(CAST(i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i AS DOUBLE)), 6) AS jaccard

@@ -98,6 +98,25 @@ class ScaleGuardSpec extends SparkSpec {
     }
   }
 
+  test("jaccard df-cap bounds an adversarial boilerplate corpus") {
+    // 50 single-shingle boilerplate docs: pairwise Jaccard 1.0, so the
+    // uncapped equi-join emits all C(50,2) pairs — quadratic in the df of
+    // ONE shingle value. With the df cap below 50, the boilerplate shingle
+    // leaves the universe and contributes NOTHING to the pair space, while
+    // genuinely near-dup docs (sharing low-df shingles) are untouched.
+    val boiler = "terms of service apply" // 4 tokens → 2 shingles, df=50 each
+    val docs = ((1L to 50L).map(i => (i, boiler)) ++ Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta iota")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairsOf(docs, 0.4, maxShingleDf = Long.MaxValue)
+    assert(uncapped.where($"d1" < 100).count() === 50L * 49 / 2)
+    val capped = Dedup.jaccardPairsOf(docs, 0.4, maxShingleDf = 8)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // boilerplate pair space gone; the real near-dup pair survives intact
+    assert(pairs.toSeq === Seq((100L, 101L)))
+  }
+
   test("x2_jaccard_pairs is non-vacuous at sf0.01 AND sf0.1") {
     // a testdata refresh that moves the planted near-dups must not silently
     // turn the hash check into a 0-row tautology (the round-5 finding that
