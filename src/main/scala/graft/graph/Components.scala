@@ -102,9 +102,16 @@ object Components {
     * fixpoint, so the hash match is a real cross-check of the propagation
     * loop, not a reimplementation.
     */
-  def simClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = graft.vec.VectorOps.simJoin(spark, sfDir)
-      .select(col("v1").as("src"), col("v2").as("dst"))
+  def simClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clustersWithDegree(
+      graft.vec.VectorOps.simJoin(spark, sfDir)
+        .select(col("v1").as("src"), col("v2").as("dst")))
+
+  /** (node, comp, degree) over an arbitrary pair set — the shared body of
+    * both cluster queries (degree doubles as an edge-set checksum the
+    * closure alone wouldn't catch).
+    */
+  private def clustersWithDegree(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -113,6 +120,35 @@ object Components {
       .select(col("node"), col("comp"), col("degree"))
       .orderBy("node")
   }
+
+  /** The 100 TB composition: closure over the BANDED-LSH edge set
+    * ([[graft.vec.VectorOps.simJoinLsh]] — full corpus, no label blocking,
+    * no vec_id cap, hot buckets capped), the edge set a real dedup run
+    * would feed it. The label-blocked [[simClusters]] stays as the bounded
+    * oracle twin; this entry proves the closure over the scale path's
+    * candidates, with the same recursive-CTE cross-check re-deriving the
+    * LSH pipeline from [[graft.vec.VectorOps.simJoinLshCtes]].
+    */
+  def simClustersLsh(spark: SparkSession, sfDir: String): DataFrame =
+    clustersWithDegree(
+      graft.vec.VectorOps.simJoinLsh(spark, sfDir)
+        .select(col("v1").as("src"), col("v2").as("dst")))
+
+  val simClustersLshSql: String =
+    s"""WITH RECURSIVE ${graft.vec.VectorOps.simJoinLshCtes},
+       |und AS (
+       |  SELECT v1 AS a, v2 AS b FROM lsh_pairs
+       |  UNION
+       |  SELECT v2 AS a, v1 AS b FROM lsh_pairs),
+       |reach(node, r) AS (
+       |  SELECT a, a FROM und
+       |  UNION
+       |  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.node),
+       |comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+       |deg AS (
+       |  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY a)
+       |SELECT comp.node AS node, comp.comp AS comp, deg.degree AS degree
+       |FROM comp JOIN deg USING (node) ORDER BY node""".stripMargin
 
   /** Shared recursive-closure CTE prefix (the verified sim-join pair set,
     * verbatim semantics minus ordering, then full transitive reachability
@@ -210,9 +246,11 @@ object Components {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x4_sim_clusters" -> (simClusters _),
+    "x4_sim_clusters_lsh" -> (simClustersLsh _),
     "t_leakage_split" -> (leakageSplit _))
 
   val oracle: Map[String, String] = Map(
     "x4_sim_clusters" -> simClustersSql,
+    "x4_sim_clusters_lsh" -> simClustersLshSql,
     "t_leakage_split" -> leakageSplitSql)
 }

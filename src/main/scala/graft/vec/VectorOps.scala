@@ -210,11 +210,16 @@ object VectorOps {
 
   // lazy: declared before NumPlanes/EmbDim in object-init order — an eager
   // val would capture their default (0) and generate an empty signature
-  lazy val simJoinLshSql: String = {
+  /** CTE chain re-deriving [[simJoinLshOf]] over the full embeddings table,
+    * ending in `lsh_pairs(v1, v2, sim)` — shared by the pair oracle below
+    * and the closure oracle in [[graft.graph.Components]], so the scale
+    * edge set has ONE SQL definition.
+    */
+  lazy val simJoinLshCtes: String = {
     val bandSelects = simJoinBandPlanes.zipWithIndex.map { case (planes, b) =>
       s"  SELECT vec_id, $b AS band, (${sigSqlExprOf(planes, "embeddings")}) AS bits FROM embeddings"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH bands AS (
+    s"""bands AS (
        |$bandSelects),
        |capped AS (
        |  SELECT vec_id, band, bits FROM (
@@ -226,15 +231,19 @@ object VectorOps {
        |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
        |  FROM capped a JOIN capped b
        |    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-       |SELECT v1, v2,
-       |       ROUND(list_dot_product(e1.emb, e2.emb)
-       |             / (sqrt(list_dot_product(e1.emb, e1.emb)) * sqrt(list_dot_product(e2.emb, e2.emb))), 6) AS sim
-       |FROM cand JOIN e e1 ON v1 = e1.vec_id JOIN e e2 ON v2 = e2.vec_id
-       |WHERE list_dot_product(e1.emb, e2.emb)
-       |      / (sqrt(list_dot_product(e1.emb, e1.emb)) * sqrt(list_dot_product(e2.emb, e2.emb))) >= $SimJoinThreshold
-       |ORDER BY v1, v2""".stripMargin
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |lsh_pairs AS (
+       |  SELECT v1, v2,
+       |         ROUND(list_dot_product(e1.emb, e2.emb)
+       |               / (sqrt(list_dot_product(e1.emb, e1.emb)) * sqrt(list_dot_product(e2.emb, e2.emb))), 6) AS sim
+       |  FROM cand JOIN e e1 ON v1 = e1.vec_id JOIN e e2 ON v2 = e2.vec_id
+       |  WHERE list_dot_product(e1.emb, e2.emb)
+       |        / (sqrt(list_dot_product(e1.emb, e1.emb)) * sqrt(list_dot_product(e2.emb, e2.emb))) >= $SimJoinThreshold)""".stripMargin
   }
+
+  lazy val simJoinLshSql: String =
+    s"""WITH $simJoinLshCtes
+       |SELECT v1, v2, sim FROM lsh_pairs ORDER BY v1, v2""".stripMargin
 
   /** X-6: per-label centroids in long format (label, pos, centroid_val) —
     * posexplode + one aggregate; embeddings as first-class agg inputs.
