@@ -177,4 +177,59 @@ class StreamingSpec extends SparkSpec {
       assert(rows.head.getDouble(3) === batchQ)
     } finally q.stop()
   }
+
+  test("lambda handoff: streamed quality+dedup into the batch funnel equals pure batch") {
+    // The documented lambda split (CorpusStreaming: near-dup stays batch)
+    // end to end: micro-batches flow through curateStream (quality gate +
+    // watermarked fingerprint dedup), the survivors feed the BATCH funnel,
+    // and the combined result must equal running the pure-batch funnel
+    // over the same corpus. Correctness hinges on two commutations the
+    // operators are designed around: quality and decontamination are
+    // per-doc predicates (same text → same verdict, so order vs dedup is
+    // immaterial), and the stream's keep-first-arrival dedup picks the
+    // SAME canonical ids as batch keep-min-id because originals are
+    // ingested before their re-crawled mirrors. Re-running the full
+    // curate() over the survivors makes its quality and exact-dedup
+    // stages idempotent no-ops — no spec-local reimplementation of any
+    // stage.
+    import spark.implicits._
+    import graft.streaming.CorpusStreaming
+    import graft.streaming.CorpusStreaming.Doc
+    import graft.text.CorpusPipeline
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val cfg = CorpusPipeline.PinnedConfig
+    val originals = CorpusPipeline.trainSlice(docs)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val mirrors = CorpusPipeline.trainWithMirrors(docs)
+      .where($"doc_id" >= CorpusPipeline.MirrorIdOffset)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+
+    val input = MemoryStream[Doc]
+    val q = CorpusStreaming.curateStream(input.toDF(), minQuality = cfg.minQuality)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("lambda").start()
+    val survivorIds =
+      try {
+        // batch 1: the original crawl; batch 2: re-crawled mirrors, later
+        // ingest_ts but inside the watermark → fingerprint state drops them
+        input.addData(originals.map { case (id, t) => Doc(id, ts(0), t) }.toSeq)
+        q.processAllAvailable()
+        input.addData(mirrors.map { case (id, t) => Doc(id, ts(10), t) }.toSeq)
+        q.processAllAvailable()
+        spark.table("lambda").select("doc_id").as[Long].collect().toSet
+      } finally q.stop()
+
+    // handoff: stream survivors (with their texts) enter the batch funnel
+    val survivors = CorpusPipeline.trainWithMirrors(docs)
+      .where($"doc_id".isInCollection(survivorIds))
+    val lambdaOut = CorpusPipeline
+      .curate(survivors, CorpusPipeline.evalSlice(docs), cfg)
+      .collect().map(_.toSeq).toSet
+    val batchOut = CorpusPipeline
+      .curate(CorpusPipeline.trainWithMirrors(docs), CorpusPipeline.evalSlice(docs), cfg)
+      .collect().map(_.toSeq).toSet
+    assert(lambdaOut === batchOut)
+    assert(batchOut.nonEmpty)
+  }
 }
