@@ -134,22 +134,26 @@ class VectorOpsSpec extends SparkSpec {
     assert((lshTop -- brute).size < lsh.length) // overlap exists (pruned recall)
   }
 
-  test("PQ knn: codebook shape, full k, and useful ADC recall vs brute force") {
+  test("PQ knn: trained codebooks, full k, and useful ADC recall vs brute force") {
+    // init slices must tile the label centroid exactly (the deterministic seed)
+    val init = VectorOps.pqCodebooksInit(spark, sf001)
+    val cent0 = VectorOps.allLabelCentroids(spark, sf001)(0)
+    assert(init.map(_(0)).flatten === cent0)
+    // Lloyd training keeps the shape and actually moves entries
     val books = VectorOps.pqCodebooks(spark, sf001)
     assert(books.size === VectorOps.PqSubspaces)
     assert(books.forall(_.size === VectorOps.PqCodebookSize))
     assert(books.forall(_.forall(_.size === VectorOps.PqSubDim)))
-    // subspace slices must tile the label centroid exactly
-    val cent0 = VectorOps.allLabelCentroids(spark, sf001)(0)
-    assert(books.map(_(0)).flatten === cent0)
+    assert(books !== init, "training left every codebook entry at its seed")
     val pq = VectorOps.knnPq(spark, sf001).collect()
     assert(pq.length === 20)
     val sims = pq.map(_.getDouble(3)).toSeq
     assert(sims === sims.sorted(Ordering[Double].reverse))
     val brute = VectorOps.knnCosine(spark, sf001).collect().map(_.getLong(0)).toSet
     val overlap = pq.map(_.getLong(0)).count(brute.contains)
-    // 24-bit codes + 100-candidate re-rank: recall@20 measured 0.8 at
-    // sf0.01; require a conservative half here so data refreshes don't flake
+    info(s"PQ recall@20 vs brute force: $overlap/20")
+    // 24-bit codes + 100-candidate re-rank: require a conservative half so
+    // data refreshes don't flake (measured values live in the scaladoc)
     assert(overlap >= 10, s"PQ found only $overlap/20 of the brute-force top-20")
   }
 }
