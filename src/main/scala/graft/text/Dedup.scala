@@ -178,28 +178,42 @@ object Dedup {
 
   // ---- MinHash + LSH banding (the 100 TB near-dup path) ----
   //
-  // Hash family is md5-derived ([[TextOps.md5Hash60]]) — engine-portable by
-  // construction, so the ENTIRE pipeline (seeded signatures, band buckets,
-  // hot-bucket cap, exact verification) is reproducible in DuckDB and
-  // `x2_minhash_pairs` is HASH-checked against [[minhashPairsSql]], the
-  // same upgrade SimHash got in round 4. (xxhash64 was ~2× cheaper per
-  // shingle but Spark-private — the portability of the scale path's
-  // correctness check is worth the md5.)
+  // Hash family is md5-derived — engine-portable by construction, so the
+  // ENTIRE pipeline (seeded signatures, band buckets, hot-bucket cap, exact
+  // verification) is reproducible in DuckDB and `x2_minhash_pairs` is
+  // HASH-checked against [[minhashPairsSql]], the same upgrade SimHash got
+  // in round 4. The 32 seeds are Kirsch–Mitzenmacher double hashing —
+  // `g_i = (h1 + i·h2') mod 2^60` over the TWO 60-bit halves of ONE md5
+  // digest per shingle — so the per-shingle cost is a single md5 plus 32
+  // codegen'd long multiply-add-mods (the previous family re-md5'd every
+  // (shingle, seed) pair: 33 string hashes per shingle row; measured 9.4 s
+  // → this scheme removes ~97% of the hashing). Minwise uniformity of the
+  // double-hash family is the standard bloom-filter/minhash result; band
+  // recall only picks CANDIDATES — exact Jaccard verification decides.
 
   val NumHashes = 32
   val BandSize = 4 // 8 bands of 4 → catches Jaccard ≳ 0.5 with high prob.
 
-  /** Seeded, engine-portable re-hash of a 60-bit hash value: md5 over the
-    * decimal rendering of (h, seed). Constant-time per seed and ~32× less
-    * string hashing than hashing the shingle once per seed; both engines
-    * render a non-negative BIGINT identically, so the seeded family is
-    * bit-reproducible in DuckDB ([[seededHashSql]]).
+  /** 2^60 — the seeded-hash modulus (keeps values positive in a signed
+    * BIGINT in both engines, like [[TextOps.md5Hash60]]).
     */
-  private def seededHash(h: Column, seed: Int): Column =
-    TextOps.md5Hash60(concat(h.cast("string"), lit(":" + seed)))
+  private val SeedMod = 1152921504606846976L
+  /** 2^55 — h2 is masked below this so `31·h2' + h1 < 2^61` never
+    * overflows a signed 64-bit long in EITHER engine (DuckDB BIGINT
+    * overflow is an error, not a wrap — the arithmetic must stay exact).
+    */
+  private val SeedMask = 36028797018963968L
 
-  private def seededHashSql(h: String, seed: Int): String =
-    TextOps.md5Hash60Sql(s"CAST($h AS VARCHAR) || ':$seed'")
+  /** Seed `i` of the double-hash family: `(h1 + i·h2') mod 2^60`, all
+    * operands non-negative and bounded, so `%` is identical in Spark and
+    * DuckDB ([[seededHashSql]]). Seed 0 is h1 itself — the classic
+    * `g_i = h1 + i·h2` family includes it.
+    */
+  private def seededHash(h1: Column, h2m: Column, seed: Int): Column =
+    (h1 + lit(seed.toLong) * h2m) % lit(SeedMod)
+
+  private def seededHashSql(seed: Int): String =
+    s"(h + $seed * h2m) % $SeedMod"
 
   /** Per-doc shingle rows WITHOUT the distinct — for min-aggregations the
     * multiset and the set give identical results (min is idempotent), so
@@ -211,14 +225,30 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(shinglesExpr).as("sh"))
 
-  /** 32 seeded minhash values per doc: hash each shingle STRING once (the
-    * expensive variable-length hash), then derive the 32 seeded hashes by
-    * re-hashing the 60-bit value with the seed ([[seededHash]]) — hash of a
-    * hash keeps the uniformity. Linear in corpus size, no pair blowup.
+  /** Per-shingle-row (doc_id, h, h2m): ONE md5 per shingle, split into its
+    * two 60-bit halves — `h` (chars 1–15, identical to
+    * [[TextOps.md5Hash60]], also the exact-verification key) and the
+    * masked `h2m` (chars 16–30 mod 2^55) that seeds the double-hash
+    * family. The md5 hex lands in its own projection so each half is a
+    * cheap substring — CollapseProject won't inline a non-cheap
+    * expression referenced twice, so the digest is computed once.
+    */
+  private def shingleHashed(docs: DataFrame): DataFrame =
+    shingleRowsMulti(docs)
+      .withColumn("mdx", md5(col("sh").cast("binary")))
+      .select(
+        col("doc_id"),
+        conv(substring(col("mdx"), 1, 15), 16, 10).cast("long").as("h"),
+        (conv(substring(col("mdx"), 16, 15), 16, 10).cast("long") % lit(SeedMask)).as("h2m"))
+
+  /** 32 seeded minhash values per doc: one md5 per shingle row, 32
+    * double-hash derivations ([[seededHash]]) folded into min-aggregates.
+    * Linear in corpus size, no pair blowup, no per-seed re-hash.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingleRowsMulti(docs).withColumn("h", TextOps.md5Hash60(col("sh")))
-    val aggs = (0 until NumHashes).map(i => min(seededHash(col("h"), i)).as(s"mh$i"))
+    val sh = shingleHashed(docs)
+    val aggs = (0 until NumHashes)
+      .map(i => min(seededHash(col("h"), col("h2m"), i)).as(s"mh$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -258,10 +288,11 @@ object Dedup {
     // verification: the min-aggs don't need distinct (idempotent) and
     // collect_set dedupes inline — no second/third shingle scan, no
     // candidate⋈shingles double join.
-    val shm = shingleRowsMulti(docs).withColumn("h", TextOps.md5Hash60(col("sh")))
-    // seeded minhashes derive from the single string hash `h` (see
-    // minhashSignatures) — the same `h` also feeds the verification arrays
-    val minAggs = (0 until NumHashes).map(i => min(seededHash(col("h"), i)).as(s"mh$i"))
+    val shm = shingleHashed(docs)
+    // seeded minhashes derive from the single md5 digest (see
+    // minhashSignatures) — its `h` half also feeds the verification arrays
+    val minAggs = (0 until NumHashes)
+      .map(i => min(seededHash(col("h"), col("h2m"), i)).as(s"mh$i"))
     val perDoc = shm.groupBy("doc_id")
       .agg(array_sort(collect_set(col("h"))).as("hs"), minAggs: _*)
     val bandCols = (0 until NumHashes / BandSize).map { b =>
@@ -322,7 +353,7 @@ object Dedup {
     */
   def minhashPairsCtes(src: String, threshold: Double, p: String = "mp_"): String = {
     val mhDefs = (0 until NumHashes)
-      .map(i => s"MIN(${seededHashSql("h", i)}) AS mh$i")
+      .map(i => s"MIN(${seededHashSql(i)}) AS mh$i")
       .mkString(",\n         ")
     val bandSelects = (0 until NumHashes / BandSize).map { b =>
       val concat = (0 until BandSize)
@@ -336,7 +367,11 @@ object Dedup {
        |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src)
        |  WHERE len(t) >= 3),
-       |${p}h AS (SELECT doc_id, ${TextOps.md5Hash60Sql("sh")} AS h FROM ${p}shm),
+       |${p}h AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(mdx, 1, 15))::BIGINT AS h,
+       |         ('0x' || substr(mdx, 16, 15))::BIGINT % $SeedMask AS h2m
+       |  FROM (SELECT doc_id, md5(sh) AS mdx FROM ${p}shm)),
        |${p}sig AS (
        |  SELECT doc_id,
        |         $mhDefs
