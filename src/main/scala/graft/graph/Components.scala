@@ -111,7 +111,11 @@ object Components {
     * both cluster queries (degree doubles as an edge-set checksum the
     * closure alone wouldn't catch).
     */
-  private def clustersWithDegree(edges: DataFrame): DataFrame = {
+  private def clustersWithDegree(edges0: DataFrame): DataFrame = {
+    // materialize the pair set ONCE: the edge derivation (an LSH banding
+    // pipeline for the scale query) would otherwise be evaluated twice —
+    // once under the degree aggregate and once under the closure loop
+    val edges = edges0.localCheckpoint(true)
     val deg = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
