@@ -21,8 +21,15 @@ import org.apache.spark.sql.functions._
   *     unbounded stream). Cross-horizon re-crawls are caught downstream by
   *     the batch fingerprint join ([[graft.text.Dedup.exactDedup]]) — the
   *     standard lambda split;
-  *   - near-dup (MinHash) stays batch: LSH banding needs corpus-global
-  *     band buckets, which no bounded-state streaming operator provides.
+  *   - near-dup WITHIN the watermark horizon runs in-stream as the
+  *     band-bucket approximation ([[nearDupStream]]): per-row minhash
+  *     signatures (no aggregation — [[graft.text.Dedup.rowMinhashSig]]),
+  *     band keys deduped within the watermark, survivors = docs keeping
+  *     ALL their band keys. State is one entry per distinct band key per
+  *     horizon — bounded by arrival rate, not corpus size. CROSS-horizon
+  *     near-dup stays batch: corpus-global band buckets are exactly what
+  *     bounded streaming state cannot hold, so the lambda handoff
+  *     (StreamingSpec) feeds stream survivors to the batch funnel.
   *
   * At 1000 executors the dedup state is hash-partitioned by fingerprint;
   * everything else is narrow.
@@ -47,4 +54,50 @@ object CorpusStreaming {
         size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
         graft.text.TextOps.qualityColumn(col("text")).as("quality"),
         col("fp"))
+
+  /** Within-horizon streaming NEAR-dup: the bounded-state band-bucket
+    * approximation of MinHash+LSH dedup. Two chained stateful stages
+    * (supported operator chain in append mode):
+    *
+    *   1. each doc's [[graft.text.Dedup.rowMinhashSig]] signature — a pure
+    *      projection, no aggregation — explodes into its
+    *      `NumHashes/BandSize` band keys, and
+    *      `dropDuplicatesWithinWatermark` keeps each band key's FIRST
+    *      owner within the horizon;
+    *   2. a tumbling-window count per doc: a doc survives iff it kept ALL
+    *      its band keys (losing any key means an earlier in-horizon doc
+    *      agreed with it on a full band of minhashes — the LSH candidate
+    *      rule).
+    *
+    * Approximation contract, stated honestly: candidates are NOT
+    * exact-Jaccard verified in-stream (band agreement at J≈0.5 fires ~J⁴
+    * per band, so lower-similarity false positives are possible and
+    * dropped docs' remaining keys keep absorbing later arrivals —
+    * transitive keep-one, like the batch cluster closure); within one
+    * micro-batch the surviving owner of a contested key is
+    * arrival-ordered, not min-id (a stream has no global order). The
+    * precision-critical pass stays the batch funnel's verified near-dup —
+    * this stage exists to shed the recrawl/mirror duplicate mass BEFORE
+    * it lands in the corpus. State: one band key per distinct
+    * (band, bucket) per horizon plus the open windows' per-doc counts —
+    * both bounded by arrival rate. Emits (doc_id, window_start) in append
+    * mode once the watermark closes the doc's window.
+    */
+  def nearDupStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    import graft.text.Dedup
+    val nBands = Dedup.NumHashes / Dedup.BandSize
+    docs
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withColumn("sig", Dedup.rowMinhashSig(col("text")))
+      .withWatermark("ingest_ts", horizon)
+      .select(
+        col("doc_id"),
+        col("ingest_ts"),
+        explode(Dedup.rowBandKeys(col("sig"), col("fp"))).as("band_key"))
+      .dropDuplicatesWithinWatermark("band_key")
+      .groupBy(window(col("ingest_ts"), horizon), col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"))
+      .where(col("n_kept") === nBands)
+      .select(col("doc_id"), col("window.start").as("window_start"))
+  }
 }

@@ -252,6 +252,67 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  // ---- scan-side (per-row) minhash — the streaming-safe construction ----
+
+  /** Word-trigram shingles of a token-array Column — the DSL twin of
+    * [[shinglesExpr]] (which is bound to a column literally named `t`),
+    * producing byte-identical shingle strings.
+    */
+  private def shingleArr(t: Column): Column =
+    when(size(t) >= 3,
+      transform(sequence(lit(0), size(t) - 3), i =>
+        concat_ws(" ",
+          element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-ROW minhash signature as `array<long>` of [[NumHashes]] values —
+    * NO aggregation, NO shuffle: a document's shingles all live in its own
+    * row, so the signature is a pure projection (the insight that makes
+    * minhash computable inside a Structured Streaming stage, where a
+    * corpus-keyed groupBy would be unbounded state). Same hash family as
+    * [[minhashSignatures]] — one md5 per shingle (the digests materialize
+    * in their OWN transform: HOF lambdas are interpreted per element with
+    * no codegen subexpression elimination, so a lambda mentioning md5
+    * twice would hash twice), then per-shingle seed vectors folded with an
+    * elementwise-min `aggregate`/`zip_with` (each input array is referenced
+    * exactly once, so nothing re-evaluates per seed). Docs with no
+    * shingles (< 3 tokens) yield NULL. DedupSpec asserts bit-parity with
+    * the aggregated batch signature.
+    */
+  def rowMinhashSig(text: Column): Column = {
+    val digests = transform(shingleArr(split(text, " ")), sh => md5(sh.cast("binary")))
+    val pairs = transform(digests, m =>
+      struct(
+        conv(substring(m, 1, 15), 16, 10).cast("long").as("h"),
+        (conv(substring(m, 16, 15), 16, 10).cast("long") % lit(SeedMask)).as("h2m")))
+    val seeds = typedLit((0L until NumHashes.toLong).toSeq)
+    val perShingle = transform(pairs, p =>
+      transform(seeds, s => (p.getField("h") + s * p.getField("h2m")) % lit(SeedMod)))
+    val folded = aggregate(
+      perShingle,
+      typedLit(Seq.fill(NumHashes)(Long.MaxValue)),
+      (acc, v) => zip_with(acc, v, (a, b) => least(a, b)))
+    when(size(digests) > 0, folded).otherwise(lit(null).cast("array<bigint>"))
+  }
+
+  /** Per-ROW LSH band keys for [[rowMinhashSig]]: one string key per band,
+    * `band ':' md5hex(mh..mh)` — docs agreeing on ALL [[BandSize]] hashes
+    * of some band share that band's key (the same banding rule as the
+    * batch (band, bucket) join key, folded into one string because
+    * streaming dedup wants a single column). A NULL signature (< 3
+    * tokens) falls back to `band ':uniq:' <uniq>` — with a per-document
+    * `uniq` (e.g. the text fingerprint) shingle-less docs never cross-match
+    * as near-dups, while exact re-crawls still collide on the fingerprint.
+    */
+  def rowBandKeys(sig: Column, uniq: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes / BandSize - 1)), b =>
+      when(sig.isNull, concat(b.cast("string"), lit(":uniq:"), uniq))
+        .otherwise(concat(
+          b.cast("string"), lit(":"),
+          md5(concat_ws(":",
+            transform(slice(sig, b * lit(BandSize) + 1, lit(BandSize)), v => v.cast("string")))
+            .cast("binary")))))
+
   /** LSH banding: hash each band of 4 minhashes to a bucket; docs sharing
     * any (band, bucket) become candidate pairs; exact Jaccard verifies.
     * This is the join-on-bucket pattern that replaces the O(n²) self-join:

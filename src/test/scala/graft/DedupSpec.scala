@@ -3,9 +3,11 @@ package graft
 import graft.text.Dedup
 import org.apache.spark.sql.functions._
 
-/** MinHash/SimHash have no SQL oracle (seed-pinned hashes) — unit-tested
-  * here per SURVEY.md §7.4: identical texts collide, disjoint texts don't,
-  * and signatures are stable across runs.
+/** MinHash/SimHash property tests per SURVEY.md §7.4 (the pair queries are
+  * ALSO hash-checked against generated DuckDB oracles — see
+  * Dedup.minhashPairsSql/simhashPairsSql): identical texts collide,
+  * disjoint texts don't, signatures are stable across runs, and the
+  * scan-side per-row signature matches the aggregated one bit-for-bit.
   */
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -105,6 +107,28 @@ class DedupSpec extends SparkSpec {
     assert(agree > Dedup.NumHashes / 4, s"only $agree/${Dedup.NumHashes} minhashes agree")
     val agreeFar = sig(1L).zip(sig(4L)).count { case (a, b) => a == b }
     assert(agree > agreeFar, s"near-dup agreement $agree not above unrelated $agreeFar")
+  }
+
+  test("rowMinhashSig: per-row signature equals the aggregated batch signature") {
+    // the streaming-safe scan-side construction must be BIT-identical to
+    // the explode+groupBy batch signature — same md5 halves, same
+    // double-hash family, same mins — for every doc with shingles
+    val agg = Dedup.minhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    val perRow = docs
+      .select($"doc_id", Dedup.rowMinhashSig($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    for ((id, sig) <- agg) assert(perRow(id) === Some(sig), s"doc $id")
+    assert(perRow(5L) === None) // < 3 tokens → NULL, not an empty signature
+    // band keys: exact dups share all keys; near-dups some; disjoint none;
+    // shingle-less docs never cross-match (uniq fallback)
+    val keys = docs
+      .select($"doc_id",
+        Dedup.rowBandKeys(Dedup.rowMinhashSig($"text"), md5($"text".cast("binary"))).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(keys(1L) === keys(2L))
+    assert((keys(1L) & keys(4L)).isEmpty)
+    assert(keys.values.forall(_.size === Dedup.NumHashes / Dedup.BandSize))
   }
 
   test("minhash signatures are deterministic across evaluations") {

@@ -178,6 +178,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupStream: within-horizon band-bucket near-dup drops the mirror, keeps the rest") {
+    import spark.implicits._
+    import graft.streaming.CorpusStreaming
+    import graft.streaming.CorpusStreaming.Doc
+    import graft.text.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while the calm river flows past the old stone bridge at dawn"
+    val near = base.replace("river", "creek") // few shingles differ → high Jaccard
+    val other = "completely unrelated content about database engines and vectorized execution with columnar storage formats"
+    // self-validating premise: near must share SOME but not ALL band keys
+    // with base, and other must share none (deterministic — md5 is fixed)
+    val keys = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+      .select($"doc_id",
+        Dedup.rowBandKeys(
+          Dedup.rowMinhashSig($"text"),
+          org.apache.spark.sql.functions.md5($"text".cast("binary"))).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((keys(1L) & keys(2L)).nonEmpty && keys(1L) != keys(2L), "premise: partial band overlap")
+    assert((keys(1L) & keys(3L)).isEmpty && (keys(2L) & keys(3L)).isEmpty)
+
+    val input = MemoryStream[Doc]
+    val q = CorpusStreaming.nearDupStream(input.toDF())
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("neardup").start()
+    try {
+      input.addData(Doc(1, ts(0), base), Doc(3, ts(1), other))
+      q.processAllAvailable()
+      // same horizon, later batch: the near-mirror loses its shared band
+      // keys to doc 1's state entries → dropped; a short doc passes via
+      // its uniq fallback keys...
+      input.addData(Doc(2, ts(20), near), Doc(4, ts(21), "tiny doc"))
+      q.processAllAvailable()
+      // ...and an exact re-crawl of the short doc collides on ALL its
+      // fallback keys (fingerprint-equal) → dropped
+      input.addData(Doc(5, ts(30), "tiny doc"))
+      q.processAllAvailable()
+      // advance the watermark past the [0h, 1h) window so append emits
+      input.addData(Doc(99, ts(200), other + " far beyond the horizon"))
+      q.processAllAvailable()
+      val survivors = spark.table("neardup").select("doc_id").as[Long].collect().toSet
+      assert(survivors === Set(1L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("lambda handoff: streamed quality+dedup into the batch funnel equals pure batch") {
     // The documented lambda split (CorpusStreaming: near-dup stays batch)
     // end to end: micro-batches flow through curateStream (quality gate +
