@@ -27,6 +27,7 @@ object SparkEntry {
       graft.etl.EtlQueries.queries ++
       graft.etl.Sampling.queries ++
       graft.etl.Profiler.queries ++
+      graft.etl.Checks.queries ++
       graft.etl.SkewJoin.queries ++
       graft.queries.EventQueries.queries ++
       graft.text.TextOps.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       graft.etl.EtlQueries.oracle ++
       graft.etl.Sampling.oracle ++
       graft.etl.Profiler.oracle ++
+      graft.etl.Checks.oracle ++
       graft.etl.SkewJoin.oracle ++
       graft.queries.EventQueries.oracle ++
       graft.text.TextOps.oracle ++
@@ -58,5 +60,6 @@ object SparkEntry {
       graft.text.CorpusPipeline.oracle ++
       graft.text.LangId.oracle ++
       graft.vec.VectorOps.oracle ++
-      graft.graph.Components.oracle
+      graft.graph.Components.oracle ++
+      graft.multimodal.Media.oracle
 }

@@ -111,19 +111,45 @@ object Media {
   def writePartitionedByKind(items: Dataset[MediaItem], path: String): Unit =
     items.write.mode("overwrite").partitionBy("kind").parquet(path)
 
-  /** Driver-facing query: features rolled up per kind (rows-only check —
-    * mapPartitions output is not SQL-expressible for the oracle).
+  /** Driver-facing query: features rolled up per kind. Every output column
+    * is an exact integer (counts and sums of byte-derived ints), so despite
+    * flowing through `mapPartitions`, the whole pipeline is hash-checkable:
+    * the DuckDB oracle re-derives the stub's math from `md5(text)` bytes in
+    * SQL (payload byte k = hex pair 2k+1 of the digest). `sum_feat0_255`
+    * proves the float feature array survives the Dataset round-trip —
+    * `round(feat[0]·255)` recovers the source byte exactly (relative float32
+    * error ≤ 2⁻²⁴ ≪ 0.5), keeping the check integer-exact in both engines.
     */
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(mediaTable(spark, sfDir))
       .groupBy("kind")
       .agg(
         count(lit(1)).as("n_items"),
-        sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("width").cast("double")), 6).as("avg_width"),
-        round(avg(element_at(col("feat"), 1).cast("double")), 6).as("avg_feat0"))
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        sum(round(element_at(col("feat"), 1) * 255).cast("long")).as("sum_feat0_255"))
       .orderBy("kind")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> (mediaFeatures _))
+
+  /** DuckDB twin: re-derives [[decodeStub]]'s byte math from `md5(text)` —
+    * payload = `unhex(md5(text))`, so payload byte k is hex chars
+    * [2k+1, 2k+2] of the digest; width/height/feat0 follow [[decodeStub]].
+    */
+  val oracle: Map[String, String] = Map(
+    "m_media_features" ->
+      """WITH m AS (
+        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         ('0x' || substr(md5(text), 1, 2))::BIGINT AS b0,
+        |         ('0x' || substr(md5(text), 3, 2))::BIGINT AS b1
+        |  FROM documents)
+        |SELECT kind,
+        |       count(*) AS n_items,
+        |       CAST(count(*) * 16 AS BIGINT) AS total_bytes,
+        |       CAST(sum(1 + (b0 % 64)) AS BIGINT) AS sum_width,
+        |       CAST(sum(1 + (b1 % 64)) AS BIGINT) AS sum_height,
+        |       CAST(sum(b0) AS BIGINT) AS sum_feat0_255
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin)
 }

@@ -358,7 +358,39 @@ object EventQueries {
       |       n_events
       |FROM collapsed ORDER BY user_id, version""".stripMargin
 
+  /** Cohort retention — the product-analytics staple: bucket every user by
+    * first-seen day, then count distinct users active k weeks after their
+    * cohort date. Two hash aggregates (first-seen per user, then distinct
+    * users per (cohort, offset)) joined on user_id; all outputs exact
+    * integers/dates, so fully hash-checked. Scale posture: both aggregates
+    * and the join shuffle on user_id — AQE coalesces the second stage; the
+    * (cohort, offset) matrix is days×weeks tiny regardless of corpus size.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohorts = e.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    e.join(cohorts, "user_id")
+      .select(
+        col("user_id"),
+        col("cohort_day"),
+        (datediff(col("d"), col("cohort_day")) / lit(7)).cast("long").as("week_offset"))
+      .groupBy("cohort_day", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |f AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT cohort_day,
+      |       CAST((e.d - f.cohort_day) // 7 AS BIGINT) AS week_offset,
+      |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention" -> (cohortRetention _),
     "q_scd2_history" -> (scd2History _),
     "q_gapfill" -> (gapFillLocf _),
     "q_funnel_stages" -> (funnelStages _),
@@ -372,6 +404,7 @@ object EventQueries {
     "x9_approx_percentiles" -> (approxPercentiles _))
 
   val oracle: Map[String, String] = Map(
+    "q_retention" -> cohortRetentionSql,
     "q_scd2_history" -> scd2HistorySql,
     "q_gapfill" -> gapFillLocfSql,
     "q_funnel_stages" -> funnelStagesSql,

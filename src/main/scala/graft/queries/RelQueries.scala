@@ -383,7 +383,73 @@ object RelQueries {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Second-moment statistics per group — corr / covar / regression slope
+    * between quantity and price. Spark's `corr`/`covar_pop` aggregate in
+    * DOUBLE, whose partial-merge order changes the low bits run to run —
+    * unusable for a hash check and silently irreproducible in production.
+    * This shape instead folds the five moment sums (Σx, Σy, Σxy, Σx², Σy²)
+    * decimal-EXACT in one hash aggregate (decimal×decimal products of 2dp
+    * values are exact; partial-agg order can never change the answer), then
+    * derives the statistics with one deterministic double expression per
+    * output — the same digits on every run, every partitioning, and every
+    * engine (the oracle mirrors the expression tree verbatim).
+    *
+    * Scale posture: one column-pruned scan + map-side partial aggregation
+    * into ≤|groups| rows; no joins, no window. The moment-sum trick is the
+    * standard one-pass parallel formula, so 100× data = the same plan.
+    */
+  def statsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val n = col("n_rows").cast("double")
+    def d(name: String) = col(name)
+    li.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sx2"),
+        sum(y * y).cast("double").as("sy2"))
+      .select(
+        col("l_returnflag"),
+        col("n_rows"),
+        round((n * d("sxy") - d("sx") * d("sy")) /
+          (sqrt(n * d("sx2") - d("sx") * d("sx")) * sqrt(n * d("sy2") - d("sy") * d("sy"))), 6)
+          .as("corr_qty_price"),
+        round((n * d("sxy") - d("sx") * d("sy")) / (n * n), 6).as("covar_pop"),
+        round((n * d("sxy") - d("sx") * d("sy")) / (n * d("sx2") - d("sx") * d("sx")), 6)
+          .as("regr_slope"))
+      .orderBy("l_returnflag")
+  }
+
+  val statsAggSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |         COUNT(*)::BIGINT AS n_rows,
+      |         CAST(SUM(x) AS DOUBLE) AS sx,
+      |         CAST(SUM(y) AS DOUBLE) AS sy,
+      |         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+      |         CAST(SUM(x * x) AS DOUBLE) AS sx2,
+      |         CAST(SUM(y * y) AS DOUBLE) AS sy2
+      |  FROM (SELECT l_returnflag,
+      |               CAST(l_quantity AS DECIMAL(18,2)) AS x,
+      |               CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |SELECT l_returnflag, n_rows,
+      |       ROUND((CAST(n_rows AS DOUBLE) * sxy - sx * sy) /
+      |             (sqrt(CAST(n_rows AS DOUBLE) * sx2 - sx * sx)
+      |              * sqrt(CAST(n_rows AS DOUBLE) * sy2 - sy * sy)), 6) AS corr_qty_price,
+      |       ROUND((CAST(n_rows AS DOUBLE) * sxy - sx * sy) /
+      |             (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS covar_pop,
+      |       ROUND((CAST(n_rows AS DOUBLE) * sxy - sx * sy) /
+      |             (CAST(n_rows AS DOUBLE) * sx2 - sx * sx), 6) AS regr_slope
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_agg" -> (statsAgg _),
     "q_array_agg" -> (arrayAgg _),
     "q_histogram" -> (histogramEquiDepth _),
     "q_date_math" -> (dateMath _),
@@ -397,6 +463,7 @@ object RelQueries {
     "q_window_frames" -> (windowFrames _))
 
   val oracle: Map[String, String] = Map(
+    "q_stats_agg" -> statsAggSql,
     "q_array_agg" -> arrayAggSql,
     "q_histogram" -> histogramEquiDepthSql,
     "q_date_math" -> dateMathSql,

@@ -245,6 +245,33 @@ object VectorOps {
     s"""WITH $simJoinLshCtes
        |SELECT v1, v2, sim FROM lsh_pairs ORDER BY v1, v2""".stripMargin
 
+  /** Cross-modal semantic dedup: the doc and embedding tables share an id
+    * space, so the banded-LSH embedding pairs annotate directly with text
+    * fingerprint equality — `same_text = false` rows are the semantic
+    * duplicates EXACT dedup can never catch (paraphrases, re-encodes),
+    * the reason embedding near-dup exists in a curation funnel at all.
+    * Two keyed joins against the (doc_id, md5) projection — at 100 TB both
+    * shuffle on the id the pair join already produced; no new pair space.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    simJoinLsh(spark, sfDir)
+      .join(fp.select(col("doc_id").as("v1"), col("fp").as("fp1")), "v1")
+      .join(fp.select(col("doc_id").as("v2"), col("fp").as("fp2")), "v2")
+      .select(col("v1"), col("v2"), col("sim"), (col("fp1") === col("fp2")).as("same_text"))
+      .orderBy("v1", "v2")
+  }
+
+  lazy val semanticDedupSql: String =
+    s"""WITH $simJoinLshCtes,
+       |f AS (SELECT doc_id, md5(text) AS fp FROM documents)
+       |SELECT p.v1, p.v2, p.sim, (f1.fp = f2.fp) AS same_text
+       |FROM lsh_pairs p
+       |JOIN f f1 ON p.v1 = f1.doc_id
+       |JOIN f f2 ON p.v2 = f2.doc_id
+       |ORDER BY v1, v2""".stripMargin
+
   /** X-6: per-label centroids in long format (label, pos, centroid_val) —
     * posexplode + one aggregate; embeddings as first-class agg inputs.
     */
@@ -852,12 +879,54 @@ object VectorOps {
       |       CAST(list_max(q) AS BIGINT) AS max_q
       |FROM qq ORDER BY vec_id""".stripMargin
 
+  /** ANN quality harness: recall@20 of each approximate index (LSH, IVF,
+    * PQ) against the brute-force top-20 — the eval loop every production
+    * ANN deployment runs before trusting an index. `hits` = |approx ∩
+    * exact| as an exact integer, so the metric is hash-checkable: the
+    * oracle re-runs all four searches (including re-deriving the k-means
+    * and PQ codebooks) inside one SQL statement. Cost is the four
+    * single-scan searches — no new shuffle shape; at 100 TB the same
+    * query runs over a sampled query set rather than one centroid probe.
+    */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = knnCosine(spark, sfDir).select("vec_id")
+    Seq("ivf" -> knnIvf(spark, sfDir), "lsh" -> knnLsh(spark, sfDir), "pq" -> knnPq(spark, sfDir))
+      .map { case (m, approx) =>
+        approx.select("vec_id").join(exact, "vec_id")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(m).as("method"), lit(20).as("k"), col("hits"))
+      }
+      .reduce(_ union _)
+      .orderBy("method")
+  }
+
+  /** Oracle: the four existing (independently hash-checked) search SQLs
+    * embedded as CTEs; recall is a counted semi-join between id sets.
+    */
+  lazy val annRecallSql: String =
+    s"""WITH exact AS ($knnCosineSql),
+       |     lsh AS ($knnLshSql),
+       |     ivf AS ($knnIvfSql),
+       |     pq AS ($knnPqSql)
+       |SELECT * FROM (
+       |  SELECT 'ivf' AS method, 20 AS k,
+       |         (SELECT COUNT(*) FROM ivf WHERE vec_id IN (SELECT vec_id FROM exact))::BIGINT AS hits
+       |  UNION ALL
+       |  SELECT 'lsh' AS method, 20 AS k,
+       |         (SELECT COUNT(*) FROM lsh WHERE vec_id IN (SELECT vec_id FROM exact))::BIGINT AS hits
+       |  UNION ALL
+       |  SELECT 'pq' AS method, 20 AS k,
+       |         (SELECT COUNT(*) FROM pq WHERE vec_id IN (SELECT vec_id FROM exact))::BIGINT AS hits
+       |) ORDER BY method""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x6_quantize_int8" -> (quantizeInt8 _),
     "x3_knn_cosine" -> (knnCosine _),
     "x3_knn_lsh" -> (knnLsh _),
     "x3_knn_ivf" -> (knnIvfQuery _),
     "x3_knn_pq" -> (knnPq _),
+    "x4_ann_recall" -> (annRecall _),
+    "x4_semantic_dedup" -> (semanticDedup _),
     "x4_sim_join" -> (simJoin _),
     "x4_sim_join_lsh" -> (simJoinLsh _),
     "x6_centroids" -> (centroids _))
@@ -868,6 +937,8 @@ object VectorOps {
     "x3_knn_lsh" -> knnLshSql,
     "x3_knn_ivf" -> knnIvfSql,
     "x3_knn_pq" -> knnPqSql,
+    "x4_ann_recall" -> annRecallSql,
+    "x4_semantic_dedup" -> semanticDedupSql,
     "x4_sim_join" -> simJoinSql,
     "x4_sim_join_lsh" -> simJoinLshSql,
     "x6_centroids" -> centroidsSql)
