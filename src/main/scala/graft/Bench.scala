@@ -53,6 +53,17 @@ object Bench {
     */
   private val QuietSec = 0.6
   private val MaxReps = 3
+
+  /** Post-suite retry threshold: bursts last minutes, so all MaxReps
+    * consecutive reps of a cheap query can land inside one (observed:
+    * sub-second aggregates at 8–20 s with quiet CPU calibration — an
+    * I/O-side stall the burn can't see). Any query whose in-suite min
+    * exceeds this gets ONE more measurement after the whole suite — by
+    * then the burst has usually passed; min-merge keeps it steady-state
+    * honest. Genuinely heavy queries pay one extra rep (~25 s total);
+    * burst victims recover tens of seconds.
+    */
+  private val RetrySec = 2.0
   private val CalibEvery = 8
 
   def main(args: Array[String]): Unit = {
@@ -111,12 +122,22 @@ object Bench {
         }
       name -> sec
     }
+    // post-suite retry: re-measure anything that may have sat in a burst
+    val retried = results.map {
+      case (name, sec) if sec > RetrySec =>
+        val again =
+          try once(SparkEntry.queries(name))
+          catch { case _: Throwable => Double.MaxValue }
+        name -> math.min(sec, again)
+      case kv => kv
+    }
+
     val calibPost = calibBurn()
     val wall = (System.nanoTime() - wall0) / 1e9
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = retried.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = retried.map(_._2).filter(_ >= 0).sum
     val calib = s"""{"pre":$calibPre,"post":$calibPost,"during":[${during.mkString(",")}]}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":$calib,"wall":$wall}""")
     spark.stop()

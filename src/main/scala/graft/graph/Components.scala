@@ -220,8 +220,12 @@ object Components {
   }
 
   def leakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    // materialize the pair set once, as clustersWithDegree does: the
+    // closure's undirected view unions two selects of its input, so an
+    // unmaterialized edge plan (a sim join) would be evaluated twice
     val edges = graft.vec.VectorOps.simJoin(spark, sfDir)
       .select(col("v1").as("src"), col("v2").as("dst"))
+      .localCheckpoint(true)
     val vecs = graft.model.Tables.embeddings(spark, sfDir)
       .where(col("vec_id") < 1000).select(col("vec_id"))
     leakageAssignment(vecs, edges)

@@ -889,7 +889,9 @@ object VectorOps {
     * query runs over a sampled query set rather than one centroid probe.
     */
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val exact = knnCosine(spark, sfDir).select("vec_id")
+    // 20 rows, materialized once — three method branches join against it,
+    // and an unmaterialized plan would re-run the brute-force scan per branch
+    val exact = knnCosine(spark, sfDir).select("vec_id").localCheckpoint(true)
     Seq("ivf" -> knnIvf(spark, sfDir), "lsh" -> knnLsh(spark, sfDir), "pq" -> knnPq(spark, sfDir))
       .map { case (m, approx) =>
         approx.select("vec_id").join(exact, "vec_id")
