@@ -31,10 +31,17 @@ object Checks {
     * counts exact. Domain rules for the same table fold into one scan;
     * referential rules are anti-join counts.
     */
-  def dataQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val cust = Tables.customer(spark, sfDir)
-    val ord = Tables.orders(spark, sfDir)
-    val li = Tables.lineitem(spark, sfDir)
+  def dataQuality(spark: SparkSession, sfDir: String): DataFrame =
+    dataQualityOf(
+      Tables.customer(spark, sfDir),
+      Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir))
+
+  /** The rule engine over arbitrary star-shaped inputs — unit-testable
+    * with planted violations (the shipped testdata is referentially clean,
+    * so the spec proves each rule BITES, not just that it returns zero).
+    */
+  def dataQualityOf(cust: DataFrame, ord: DataFrame, li: DataFrame): DataFrame = {
 
     // referential integrity: anti-join counts (keyed shuffle, never a scan
     // of the other side's payload columns)
@@ -42,11 +49,14 @@ object Checks {
       .join(ord.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
       .select(lit("customers_without_orders").as("check_name"), col("n_violations"))
-    val ordersWithoutCustomer = ord.select("o_custkey")
+    // null keys are their OWN rule below — the orphan rules count non-null
+    // keys only, so the Spark anti-join and the oracle's NOT IN (which
+    // silently drops rows when the probe is NULL) agree even on dirty data
+    val ordersWithoutCustomer = ord.select("o_custkey").where(col("o_custkey").isNotNull)
       .join(cust.select("c_custkey"), col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
       .select(lit("orders_without_customer").as("check_name"), col("n_violations"))
-    val lineitemsWithoutOrder = li.select("l_orderkey")
+    val lineitemsWithoutOrder = li.select("l_orderkey").where(col("l_orderkey").isNotNull)
       .join(ord.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
       .select(lit("lineitems_without_order").as("check_name"), col("n_violations"))
@@ -86,15 +96,18 @@ object Checks {
     """SELECT * FROM (
       |  SELECT 'customers_without_orders' AS check_name,
       |         (SELECT COUNT(*) FROM customer
-      |          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))::BIGINT AS n_violations
+      |          WHERE c_custkey NOT IN
+      |            (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL))::BIGINT AS n_violations
       |  UNION ALL
       |  SELECT 'orders_without_customer',
       |         (SELECT COUNT(*) FROM orders
-      |          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT
+      |          WHERE o_custkey IS NOT NULL
+      |            AND o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT
       |  UNION ALL
       |  SELECT 'lineitems_without_order',
       |         (SELECT COUNT(*) FROM lineitem
-      |          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT
+      |          WHERE l_orderkey IS NOT NULL
+      |            AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT
       |  UNION ALL
       |  SELECT 'duplicate_order_keys',
       |         (SELECT COALESCE(SUM(c - 1), 0)

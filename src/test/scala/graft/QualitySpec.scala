@@ -26,6 +26,45 @@ class QualitySpec extends SparkSpec {
     assert(rows("orders_null_custkey") === 0L)
   }
 
+  test("dataQuality: every rule bites on planted violations") {
+    import spark.implicits._
+    val cust = Seq((1L, "a"), (2L, "b"), (9L, "orphan-cust"))
+      .toDF("c_custkey", "c_name")
+    // custkey 7 is an orphan; order 100 is duplicated; one null custkey
+    val ord = Seq(
+      (100L, Option(1L)), (100L, Option(1L)), (101L, Option(2L)),
+      (102L, Option(7L)), (103L, None))
+      .toDF("o_orderkey", "o_custkey")
+    // lineitem 999 is an orphan; one bad quantity, one bad price, one bad discount
+    val li = Seq(
+      (100L, 5.0, 10.0, 0.05), (101L, -2.0, 10.0, 0.05),
+      (101L, 5.0, 0.0, 1.5), (999L, 5.0, 10.0, 0.05))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val got = Checks.dataQualityOf(cust, ord, li)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("customers_without_orders") === 1L) // custkey 9
+    assert(got("orders_without_customer") === 1L) // custkey 7 (null has its own rule)
+    assert(got("lineitems_without_order") === 1L) // orderkey 999
+    assert(got("duplicate_order_keys") === 1L) // one extra row of key 100
+    assert(got("orders_null_custkey") === 1L)
+    assert(got("lineitem_nonpositive_quantity") === 1L)
+    assert(got("lineitem_nonpositive_price") === 1L)
+    assert(got("lineitem_discount_out_of_range") === 1L)
+  }
+
+  test("statsAgg: moment-sum corr agrees with Spark's corr()") {
+    import org.apache.spark.sql.functions.{corr => sparkCorr}
+    val exact = RelQueries.statsAgg(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val builtin = graft.model.Tables.lineitem(spark, sf001)
+      .groupBy("l_returnflag")
+      .agg(sparkCorr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (flag, v) =>
+      assert(math.abs(v - builtin(flag)) < 1e-6, s"$flag: $v vs ${builtin(flag)}")
+    }
+  }
+
   test("annRecall: one row per method, hits within [0, k]") {
     val rows = VectorOps.annRecall(spark, sf001).collect()
     assert(rows.map(_.getString(0)).toSeq === Seq("ivf", "lsh", "pq"))
