@@ -254,7 +254,52 @@ object JoinQueries {
       |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
       |ORDER BY k1, k2""".stripMargin
 
+  /** Q3-shaped shipping-priority query: segment-filtered customers ⋈
+    * date-filtered orders ⋈ lineitem, revenue per order, top-10. The
+    * classic "find the biggest unshipped orders" analytic. Both date
+    * predicates and the segment filter push into their parquet scans;
+    * lineitem⋈orders shuffles on orderkey (the key both sides already
+    * produce), the filtered customer side joins on custkey — AQE
+    * broadcasts it when small, shuffles when the segment is still huge at
+    * 100 TB (no hint forced, deliberately). Revenue folds decimal-exact,
+    * top-10 is TakeOrderedAndProject (no global sort materializes).
+    */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf("1998-06-01 00:00:00")
+    val c = Tables.customer(spark, sfDir)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") < lit(cutoff))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") > lit(cutoff))
+      .select(
+        col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shipping_priority" -> (shippingPriority _),
     "q_revenue_by_region" -> (revenueByRegion _),
     "q_topk_parts_brand" -> (topkPartsPerBrand _),
     "q_supplier_by_nation" -> (supplierByNation _),
@@ -263,6 +308,7 @@ object JoinQueries {
     "q_fuzzy_join" -> (fuzzyNameJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q_shipping_priority" -> shippingPrioritySql,
     "q_revenue_by_region" -> revenueByRegionSql,
     "q_topk_parts_brand" -> topkPartsPerBrandSql,
     "q_supplier_by_nation" -> supplierByNationSql,
