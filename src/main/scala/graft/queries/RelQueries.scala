@@ -448,7 +448,39 @@ object RelQueries {
       |             (CAST(n_rows AS DOUBLE) * sx2 - sx * sx), 6) AS regr_slope
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** Custom GROUPING SETS — two independent one-column rollups plus the
+    * grand total in ONE pass (what ROLLUP/CUBE can't express: no
+    * (status, priority) cross cells). Spark plans one Expand over the
+    * scan feeding a single hash aggregate — the data is read once however
+    * many sets are requested. GROUPING() flags disambiguate real NULLs
+    * from subtotal rows; both engines order NULLS FIRST explicitly (their
+    * defaults differ: Spark NULLS FIRST, DuckDB NULLS LAST).
+    */
+  def groupingSetsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_gsets")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        |FROM orders_gsets
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  val groupingSetsAggSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_prio,
+      |         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (groupingSetsAgg _),
     "q_stats_agg" -> (statsAgg _),
     "q_array_agg" -> (arrayAgg _),
     "q_histogram" -> (histogramEquiDepth _),
@@ -463,6 +495,7 @@ object RelQueries {
     "q_window_frames" -> (windowFrames _))
 
   val oracle: Map[String, String] = Map(
+    "q_grouping_sets" -> groupingSetsAggSql,
     "q_stats_agg" -> statsAggSql,
     "q_array_agg" -> arrayAggSql,
     "q_histogram" -> histogramEquiDepthSql,
