@@ -111,11 +111,88 @@ object Sampling {
       |WHERE sample_rank <= 5
       |ORDER BY c_mktsegment, sample_rank""".stripMargin
 
+  /** Data-mixture sampling — the mixing step of every pretraining corpus
+    * build: given per-source target weights, downsample each source so the
+    * output hits the target TOKEN proportions, bounded by the scarcest
+    * source (no source oversamples: rate ≤ 1). The whole derivation is
+    * integer-exact rational arithmetic, so the selection is
+    * hash-reproducible on any engine:
+    *
+    *   T_s = tokens in source s;  w_s = weight;  W = Σ w_s
+    *   O   = min_s floor(T_s·W / w_s)        (achievable output scale)
+    *   keep doc d of source s  iff  b16(d)·W·T_s < O·w_s·65536
+    *
+    * where b16 is the first-4-hex-chars md5 bucket of doc_id (16-bit, the
+    * same hash-not-RNG rule as [[splitColumn]]). The keep-rule is one
+    * BIGINT comparison per row — no RNG, no driver round-trip; the
+    * per-source aggregates are 20 rows broadcast back onto the scan. At
+    * true corpus scale the products exceed int64 — production swaps the
+    * comparison operands to DECIMAL(38,0) (same expression, same result);
+    * at the checked SFs longs carry ~1e11 with 8 orders of headroom.
+    * Weights here derive from the source name (1 + suffix mod 3) so the
+    * check exercises unequal targets without a config table.
+    *
+    * Output: per-source audit (weight, tokens in, docs/tokens kept) — the
+    * achieved-vs-target report a mixture run is judged by.
+    */
+  def dataMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long").as("b16"))
+    val per = docs.groupBy("source")
+      .agg(sum(col("n_tokens")).as("t"))
+      .withColumn("w", regexp_extract(col("source"), "(\\d+)$", 1).cast("long") % 3 + 1)
+    val tot = per.agg(sum(col("w")).as("bigw"))
+    val osc = per.crossJoin(broadcast(tot))
+      .agg(min(expr("t * bigw div w")).as("o_scaled"))
+    val rates = per.crossJoin(broadcast(tot)).crossJoin(broadcast(osc))
+    val kept = docs
+      .join(broadcast(rates), "source")
+      .where(col("b16") * col("bigw") * col("t") < col("o_scaled") * col("w") * lit(65536L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).as("n_tokens_kept"))
+    rates.select(col("source"), col("w"), col("t").as("n_tokens_in"))
+      .join(kept, Seq("source"), "left")
+      .select(
+        col("source"), col("w"), col("n_tokens_in"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+      .orderBy("source")
+  }
+
+  val dataMixtureSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS b16
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, SUM(n_tokens)::BIGINT AS t,
+      |         (CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 3 + 1) AS w
+      |  FROM d GROUP BY source),
+      |tot AS (SELECT SUM(w)::BIGINT AS bigw FROM per),
+      |osc AS (SELECT MIN(t * bigw // w)::BIGINT AS o_scaled FROM per, tot),
+      |kept AS (
+      |  SELECT d.source, COUNT(*)::BIGINT AS n_docs_kept,
+      |         SUM(d.n_tokens)::BIGINT AS n_tokens_kept
+      |  FROM d JOIN per USING (source), tot, osc
+      |  WHERE d.b16 * tot.bigw * per.t < osc.o_scaled * per.w * 65536
+      |  GROUP BY d.source)
+      |SELECT per.source, per.w, per.t AS n_tokens_in,
+      |       COALESCE(kept.n_docs_kept, 0)::BIGINT AS n_docs_kept,
+      |       COALESCE(kept.n_tokens_kept, 0)::BIGINT AS n_tokens_kept
+      |FROM per LEFT JOIN kept USING (source)
+      |ORDER BY per.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_split_counts" -> (splitCounts _),
-    "t_sample_per_group" -> (samplePerSegment _))
+    "t_sample_per_group" -> (samplePerSegment _),
+    "t_data_mixture" -> (dataMixture _))
 
   val oracle: Map[String, String] = Map(
     "t_split_counts" -> splitCountsSql,
-    "t_sample_per_group" -> samplePerSegmentSql)
+    "t_sample_per_group" -> samplePerSegmentSql,
+    "t_data_mixture" -> dataMixtureSql)
 }
