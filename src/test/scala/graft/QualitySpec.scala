@@ -95,6 +95,22 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("dataMixture: bottleneck source saturates, no source oversamples") {
+    val rows = graft.etl.Sampling.dataMixture(spark, sf001).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (tokensIn, docsKept, tokensKept) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(tokensKept <= tokensIn, s"${r.getString(0)} oversampled")
+      assert(docsKept >= 0L)
+    }
+    // the binding source (min T_s*W/w_s) keeps rate exactly 1 — all tokens
+    val w = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bigW = w.values.sum
+    val binding = rows.minBy(r => r.getLong(2) * bigW / w(r.getString(0)))
+    assert(binding.getLong(4) === binding.getLong(2),
+      s"binding source ${binding.getString(0)} should keep every token")
+  }
+
   test("cohortRetention: offset-0 cells cover every distinct user exactly once") {
     val df = EventQueries.cohortRetention(spark, sf001)
     val rows = df.collect()
