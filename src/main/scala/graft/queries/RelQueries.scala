@@ -479,7 +479,35 @@ object RelQueries {
       |ORDER BY g_status, g_prio,
       |         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Calendar-RANGE window frame — 90-day rolling spend per customer, the
+    * time-series frame ROWS can't express (the window widens and narrows
+    * with order DENSITY in time, not row count; same-day orders are frame
+    * peers by definition). One exchange keyed on o_custkey; each
+    * partition's frame scan is linear two-pointer work over that
+    * customer's orders, so 100× customers = 100× partitions, no global
+    * sort. Decimal-exact sum under the frame, cast once at the end.
+    */
+  def rollingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_roll")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate
+        |         RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
+        |FROM orders_roll WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+  }
+
+  val rollingWindowSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |         PARTITION BY o_custkey ORDER BY o_orderdate
+      |         RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_window" -> (rollingWindow _),
     "q_grouping_sets" -> (groupingSetsAgg _),
     "q_stats_agg" -> (statsAgg _),
     "q_array_agg" -> (arrayAgg _),
@@ -495,6 +523,7 @@ object RelQueries {
     "q_window_frames" -> (windowFrames _))
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_window" -> rollingWindowSql,
     "q_grouping_sets" -> groupingSetsAggSql,
     "q_stats_agg" -> statsAggSql,
     "q_array_agg" -> arrayAggSql,
