@@ -64,6 +64,7 @@ object Bench {
     * burst victims recover tens of seconds.
     */
   private val RetrySec = 2.0
+  private val MaxRetries = 3
   private val CalibEvery = 8
 
   def main(args: Array[String]): Unit = {
@@ -122,24 +123,57 @@ object Bench {
         }
       name -> sec
     }
-    // post-suite retry: re-measure anything that may have sat in a burst
+    // post-suite retry: re-measure anything that may have sat in a burst.
+    // Up to MaxRetries attempts, but STOP once an attempt fails to improve
+    // the minimum by >30% — a stable repeat is the query's real cost, while
+    // a big improvement means the earlier reading was burst-inflated and
+    // the floor may be lower still (r6 observed t_curate 18 s in-suite AND
+    // on its single retry; the burst outlived one retry). All attempts are
+    // preserved in the emitted JSON ("retried" field, [inSuite, a1, a2...])
+    // so an in-suite minimum and a retry-pass minimum stay distinguishable
+    // and cross-round totals remain comparable.
+    val retryLog = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     val retried = results.map {
       case (name, sec) if sec > RetrySec =>
-        val again =
-          try once(SparkEntry.queries(name))
-          catch { case _: Throwable => Double.MaxValue }
-        name -> math.min(sec, again)
+        var attempts = List.empty[Double]
+        var best = sec
+        var improving = true
+        while (attempts.size < MaxRetries && best > RetrySec && improving) {
+          val again =
+            try once(SparkEntry.queries(name))
+            catch { case _: Throwable => Double.MaxValue }
+          attempts = attempts :+ again
+          improving = again < best * 0.7
+          best = math.min(best, again)
+        }
+        retryLog(name) = sec :: attempts
+        name -> best
       case kv => kv
     }
 
     val calibPost = calibBurn()
     val wall = (System.nanoTime() - wall0) / 1e9
 
-    val qs = retried.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-dp rendering keeps the single JSON line short enough for tail
+    // capture (full-precision doubles tripled its length and got it
+    // clipped in rounds 5–6 → BENCH parsed:null)
+    def f(d: Double): String =
+      if (d == Double.MaxValue) "-1.0"
+      else (math.round(d * 1000) / 1000.0).toString
+    val qs = retried.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = retried.map(_._2).filter(_ >= 0).sum
-    val calib = s"""{"pre":$calibPre,"post":$calibPost,"during":[${during.mkString(",")}]}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":$calib,"wall":$wall}""")
+    val calib = s"""{"pre":${f(calibPre)},"post":${f(calibPost)},"during":[${during.map(f).mkString(",")}]}"""
+    val retryJson = retryLog
+      .map { case (k, vs) => s"\"" + k + s"\":[${vs.map(f).mkString(",")}]" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib":$calib,"retried":$retryJson,"wall":${f(wall)}}"""
+    // file copy survives any stdout tail-clipping by the harness
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

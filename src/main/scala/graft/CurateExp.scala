@@ -46,11 +46,13 @@ object CurateExp {
         .where(col("n_shared_shingles") > cfg.maxSharedShingles)
         .select(col("doc_id"))
       val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
-      val exact = materialize(clean
-        .withColumn("__graft_fp", md5(col("text").cast("binary")))
-        .withColumn("__graft_rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("__graft_fp").orderBy("doc_id")))
-        .where(col("__graft_rk") === 1).drop("__graft_rk", "__graft_fp"))
+      val exact = materialize {
+        val cols = clean.columns
+        clean
+          .groupBy(md5(col("text").cast("binary")).as("__graft_fp"))
+          .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("__graft_canon"))
+          .select(cols.map(c => col(s"__graft_canon.$c").as(c)): _*)
+      }
       val dupIds = Dedup.minhashPairsOf(exact, cfg.nearDupJaccard)
         .select(col("d2").as("doc_id")).distinct()
       val nearDeduped = exact.join(dupIds, Seq("doc_id"), "left_anti")
@@ -64,16 +66,20 @@ object CurateExp {
     }
 
     val mat: DataFrame => DataFrame = mode match {
-      case "persist" => _.persist()
-      case "lcp"     => _.localCheckpoint()
-      case "plain"   => identity
+      case "persist" | "persist_clear" => _.persist()
+      case "lcp"                       => _.localCheckpoint()
+      case "plain"                     => identity
     }
     for (i <- 1 to nRuns) {
       val (g0, j0) = (gcMs, jitMs)
       val t0 = System.nanoTime()
       val n = curateWith(mat).count()
+      val rt = Runtime.getRuntime
+      val cachedRdds = spark.sparkContext.getPersistentRDDs.size
       println(f"[$mode run $i] rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        f"gc=+${gcMs - g0} ms jit=+${jitMs - j0} ms")
+        f"gc=+${gcMs - g0} ms jit=+${jitMs - j0} ms cachedRdds=$cachedRdds " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%d MB")
+      if (mode == "persist_clear") spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -74,6 +74,8 @@ object FunnelProbe {
         .count()
     }
     probe("full_curate_prod")(CorpusPipeline.curateQuery(spark, sfDir).count())
+    probe("full_curate_again")(CorpusPipeline.curateQuery(spark, sfDir).count())
+    probe("full_curate_third")(CorpusPipeline.curateQuery(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -23,9 +23,12 @@ object PlanDump {
     val sfDir = args(0)
     val only = args.lift(1)
     val exec = args.lift(2).contains("exec")
+    // SPARK_GRAFT_CPUS lets the dump replicate the driver's local[32]
+    // shape — exchange-reuse behavior can differ with partition count
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -39,8 +42,11 @@ object PlanDump {
           val df = fn(spark, sfDir)
           if (exec) {
             val t0 = System.nanoTime()
-            df.count()
-            println(s"[exec ${(System.nanoTime() - t0) / 1e9}%s sec]")
+            // collect() executes THIS DataFrame's QueryExecution (count()
+            // would build a separate one, leaving df's adaptive plan
+            // unexecuted → isFinalPlan=false and no ReusedExchange visible)
+            val n = df.collect().length
+            println(s"[exec ${(System.nanoTime() - t0) / 1e9} sec, $n rows]")
             println(df.queryExecution.executedPlan.toString)
           } else df.explain("formatted")
         } catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }

@@ -1,0 +1,57 @@
+package graft
+
+import java.lang.management.ManagementFactory
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: steady-state timing of named queries in the driver's bench
+  * shape (local[N] from SPARK_GRAFT_CPUS, N shuffle partitions).
+  *
+  *   sbt "runMain graft.QueryProbe <sfDir> <reps> <name> [<name> ...]"
+  *
+  * Prints per-rep wall + JIT-compile delta so a JIT-storm rep (wall ≫
+  * median, jit ≫ 0 on identical code) is distinguishable from a plan
+  * cost. The per-query MIN is the comparable bench number.
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_CONF="k1=v1;k2=v2" for config experiments
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def jitMs: Long = ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+    def janino: Long =
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    // same warm-up as Bench: table footers + one codegen'd agg
+    try {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings")
+        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+      graft.model.Tables.events(spark, sfDir).count()
+      spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    } catch { case _: Throwable => () }
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).map { i =>
+        val (j0, c0) = (jitMs, janino)
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val w = (System.nanoTime() - t0) / 1e9
+        println(f"[$name rep $i] rows=$n wall=$w%.2f s jit=+${jitMs - j0} ms janino=+${janino - c0}")
+        w
+      }
+      println(f"[$name] min=${times.min}%.2f s median=${times.sorted.apply(reps / 2)}%.2f s")
+    }
+    spark.stop()
+  }
+}

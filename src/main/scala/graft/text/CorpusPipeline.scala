@@ -80,13 +80,18 @@ object CorpusPipeline {
         "decontaminated",
         quality.join(contaminated, Seq("doc_id"), "left_anti"))
 
-      // 3. exact dedup: one canonical doc per identical text. The window is
-      // partitioned by the md5 FINGERPRINT, not the text: rank-limit
-      // pushdown (WindowGroupLimit) keeps ≤1 row per fingerprint on the map
-      // side and the exchange is keyed by 16-byte fingerprints — full
-      // documents never become shuffle keys (they ride once as payload).
-      // Working columns are __graft_-prefixed so a caller corpus carrying
-      // its own `fp`/`rk` columns is never silently clobbered.
+      // 3. exact dedup: one canonical doc per identical text, as one
+      // min-struct hash aggregate keyed by the md5 FINGERPRINT (the
+      // [[Dedup.exactDedup]] shape): map-side combine keeps ≤1 candidate
+      // row per (fingerprint, map partition) and the exchange carries
+      // 16-byte keys — full documents never become shuffle keys. min_by
+      // orders on doc_id alone (ties impossible — ids are unique), so the
+      // kept row is the lowest-id one, identical to
+      // the previous ROW_NUMBER()-over-window form while dropping its
+      // Sort+Window chain from the plan (the funnel's plan compiles to
+      // ~130 codegen classes; every node removed is JIT time at every
+      // fresh-JVM run). The working column is __graft_-prefixed so a
+      // caller corpus carrying its own `fp` column is never clobbered.
       //
       // PERSISTED in both modes (the one funnel stage that is): `exact` is
       // consumed by the MinHash signature scan, the near-dup anti-join, and
@@ -100,11 +105,11 @@ object CorpusPipeline {
       // funnel) at MEMORY_AND_DISK, and is released by Spark's
       // ContextCleaner when the returned plan is no longer referenced.
       val exact = {
+        val cols = clean.columns
         val e = clean
-          .withColumn("__graft_fp", md5(col("text").cast("binary")))
-          .withColumn("__graft_rk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("__graft_fp").orderBy("doc_id")))
-          .where(col("__graft_rk") === 1).drop("__graft_rk", "__graft_fp")
+          .groupBy(md5(col("text").cast("binary")).as("__graft_fp"))
+          .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("__graft_canon"))
+          .select(cols.map(c => col(s"__graft_canon.$c").as(c)): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         if (audit) funnel(("exact_dedup", e.count()))
         e
