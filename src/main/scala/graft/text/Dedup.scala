@@ -86,25 +86,40 @@ object Dedup {
       docs: DataFrame,
       minJaccard: Double = 0.4,
       maxShingleDf: Long = MaxShingleDf): DataFrame = {
-    val sh = shingleRows(docs)
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // Shingle identity is the 60-bit md5-derived hash (TextOps.md5Hash60)
+    // rather than the string: 8-byte join/shuffle keys instead of ~25-byte
+    // trigram strings, the same identity the minhash verification arrays
+    // use. A within-doc collision merges two shingles IDENTICALLY in both
+    // engines (the oracle hashes with the same formula), so the check
+    // stays exact; vs. true string-Jaccard the error is ~2^-60 per pair.
+    val sh = shingleRowsMulti(docs)
+      .select(col("doc_id"), TextOps.md5Hash60(col("sh")).as("h"))
+      .distinct()
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") > maxShingleDf)
-      .select("sh")
-    // The kept shingle set feeds three plan branches (sizes + both join
-    // sides). Deliberately NOT persisted: the branches are identical
-    // subtrees, so Spark reuses one shuffle (ReusedExchange) — caching
-    // measured slower (blocks exchange reuse, adds memory pressure).
-    val kept = sh.join(hot, Seq("sh"), "left_anti")
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = kept.as("a")
-      .join(kept.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select("h")
+    // kept is NOT persisted: hot and perDoc both hang off the distinct's
+    // exchange (ReusedExchange), and everything downstream is a single
+    // linear chain — no branch recomputes it.
+    val kept = sh.join(hot, Seq("h"), "left_anti")
+    // ONE doc_id-keyed aggregation carries the per-doc size alongside the
+    // shingle set; explode re-derives the rows with n attached, so the
+    // former sizes relation and its two post-aggregation joins vanish
+    // from the plan (ADVICE r6: the 3-branch kept reuse was the bench
+    // suspect). The collect_list buffer is bounded by document length —
+    // the same per-doc envelope minhashPairsOf's collect_set already uses.
+    val perDoc = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), collect_list(col("h")).as("hs"))
+    val rows = perDoc.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+    // self-join canonicalizes identically on both sides → one exchange,
+    // reused. min(n) is exact: n is constant within a (d1,d2) group.
+    val inter = rows.as("a")
+      .join(rows.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("i"))
+      .agg(count(lit(1)).as("i"), min(col("a.n")).as("n1"), min(col("b.n")).as("n2"))
     val jac = col("i").cast("double") /
       (col("n1").cast("double") + col("n2").cast("double") - col("i").cast("double"))
     inter
-      .join(sizes.withColumnRenamed("n", "n1").withColumnRenamed("doc_id", "dd1"), col("d1") === col("dd1"))
-      .join(sizes.withColumnRenamed("n", "n2").withColumnRenamed("doc_id", "dd2"), col("d2") === col("dd2"))
       .where(jac >= minJaccard)
       .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
       .orderBy("d1", "d2")
@@ -116,17 +131,18 @@ object Dedup {
   val jaccardPairsSql: String =
     s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
+      |shm AS (
+      |  SELECT doc_id,
       |         unnest(list_transform(range(1, len(t) - 1),
       |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
       |  FROM toks WHERE len(t) >= 3),
-      |hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > $MaxShingleDf),
-      |kept AS (SELECT doc_id, sh FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+      |sh AS (SELECT DISTINCT doc_id, ${TextOps.md5Hash60Sql("sh")} AS h FROM shm),
+      |hot AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > $MaxShingleDf),
+      |kept AS (SELECT doc_id, h FROM sh WHERE h NOT IN (SELECT h FROM hot)),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-      |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT d1, d2,
       |       ROUND(CAST(i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i AS DOUBLE)), 6) AS jaccard

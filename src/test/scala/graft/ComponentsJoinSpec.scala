@@ -37,6 +37,19 @@ class ComponentsJoinSpec extends SparkSpec {
     assert(Components.converged && Components.rounds <= 10)
   }
 
+  test("components: 10k-node path converges in O(log n) rounds via pointer doubling") {
+    // adversarial diameter: a 10,000-node path with the min id at one end.
+    // Plain min propagation needs ~10,000 rounds; the pointer-doubling
+    // shortcut doubles covered label-distance per round → ~log2(10k) ≈ 14.
+    val n = 10000L
+    val edges = spark.range(n - 1).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val r = Components.connectedComponents(edges, maxIter = 25)
+    assert(r.where(col("comp") =!= 0L).count() === 0L)
+    assert(r.count() === n)
+    assert(Components.converged, s"did not converge in 25 rounds (${Components.rounds})")
+    assert(Components.rounds < 20, s"took ${Components.rounds} rounds — pointer doubling not effective")
+  }
+
   test("components: maxIter bound reports non-convergence honestly") {
     val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
     Components.connectedComponents(edges, maxIter = 2).count()
