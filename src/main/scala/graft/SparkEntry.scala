@@ -38,7 +38,8 @@ object SparkEntry {
       graft.text.LangId.queries ++
       graft.vec.VectorOps.queries ++
       graft.graph.Components.queries ++
-      graft.multimodal.Media.queries
+      graft.multimodal.Media.queries ++
+      graft.streaming.CorpusStreaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -61,5 +62,6 @@ object SparkEntry {
       graft.text.LangId.oracle ++
       graft.vec.VectorOps.oracle ++
       graft.graph.Components.oracle ++
-      graft.multimodal.Media.oracle
+      graft.multimodal.Media.oracle ++
+      graft.streaming.CorpusStreaming.oracle
 }

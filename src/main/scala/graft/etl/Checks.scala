@@ -45,13 +45,14 @@ object Checks {
 
     // referential integrity: anti-join counts (keyed shuffle, never a scan
     // of the other side's payload columns)
-    val customersWithoutOrders = cust.select("c_custkey")
+    // null keys are their OWN rule below — ALL THREE orphan rules count
+    // non-null probe keys only, so the Spark anti-join and the oracle's
+    // NOT IN (which silently drops rows when the probe is NULL) agree
+    // even on dirty data
+    val customersWithoutOrders = cust.select("c_custkey").where(col("c_custkey").isNotNull)
       .join(ord.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
       .select(lit("customers_without_orders").as("check_name"), col("n_violations"))
-    // null keys are their OWN rule below — the orphan rules count non-null
-    // keys only, so the Spark anti-join and the oracle's NOT IN (which
-    // silently drops rows when the probe is NULL) agree even on dirty data
     val ordersWithoutCustomer = ord.select("o_custkey").where(col("o_custkey").isNotNull)
       .join(cust.select("c_custkey"), col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
@@ -96,18 +97,21 @@ object Checks {
     """SELECT * FROM (
       |  SELECT 'customers_without_orders' AS check_name,
       |         (SELECT COUNT(*) FROM customer
-      |          WHERE c_custkey NOT IN
-      |            (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL))::BIGINT AS n_violations
+      |          WHERE c_custkey IS NOT NULL
+      |            AND c_custkey NOT IN
+      |              (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL))::BIGINT AS n_violations
       |  UNION ALL
       |  SELECT 'orders_without_customer',
       |         (SELECT COUNT(*) FROM orders
       |          WHERE o_custkey IS NOT NULL
-      |            AND o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT
+      |            AND o_custkey NOT IN
+      |              (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))::BIGINT
       |  UNION ALL
       |  SELECT 'lineitems_without_order',
       |         (SELECT COUNT(*) FROM lineitem
       |          WHERE l_orderkey IS NOT NULL
-      |            AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT
+      |            AND l_orderkey NOT IN
+      |              (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))::BIGINT
       |  UNION ALL
       |  SELECT 'duplicate_order_keys',
       |         (SELECT COALESCE(SUM(c - 1), 0)

@@ -124,13 +124,16 @@ object Sampling {
     *
     * where b16 is the first-4-hex-chars md5 bucket of doc_id (16-bit, the
     * same hash-not-RNG rule as [[splitColumn]]). The keep-rule is one
-    * BIGINT comparison per row — no RNG, no driver round-trip; the
-    * per-source aggregates are 20 rows broadcast back onto the scan. At
-    * true corpus scale the products exceed int64 — production swaps the
-    * comparison operands to DECIMAL(38,0) (same expression, same result);
-    * at the checked SFs longs carry ~1e11 with 8 orders of headroom.
-    * Weights here derive from the source name (1 + suffix mod 3) so the
-    * check exercises unequal targets without a config table.
+    * DECIMAL comparison per row — no RNG, no driver round-trip; the
+    * per-source aggregates are 20 rows broadcast back onto the scan. The
+    * comparison operands are cast to bounded DECIMALs (b16 < 2^16 is 5
+    * digits, bigw ≤ ~60 is 2, T_s gets 22 digits ≈ 10^22 tokens — far
+    * past any corpus), so the products stay ≤ 34 digits inside
+    * DECIMAL(38,0) arithmetic in BOTH engines and the selection is exact
+    * at any scale — int64 operands would wrap silently once per-source
+    * tokens pass ~2.3e12. Weights here derive from the source name
+    * (1 + suffix mod 3) so the check exercises unequal targets without a
+    * config table.
     *
     * Output: per-source audit (weight, tokens in, docs/tokens kept) — the
     * achieved-vs-target report a mixture run is judged by.
@@ -150,7 +153,11 @@ object Sampling {
     val rates = per.crossJoin(broadcast(tot)).crossJoin(broadcast(osc))
     val kept = docs
       .join(broadcast(rates), "source")
-      .where(col("b16") * col("bigw") * col("t") < col("o_scaled") * col("w") * lit(65536L))
+      .where(
+        col("b16").cast("decimal(6,0)") * col("bigw").cast("decimal(4,0)")
+          * col("t").cast("decimal(22,0)") <
+          col("o_scaled").cast("decimal(26,0)") * col("w").cast("decimal(2,0)")
+            * lit(65536L).cast("decimal(6,0)"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).as("n_tokens_kept"))
     rates.select(col("source"), col("w"), col("t").as("n_tokens_in"))
@@ -178,7 +185,8 @@ object Sampling {
       |  SELECT d.source, COUNT(*)::BIGINT AS n_docs_kept,
       |         SUM(d.n_tokens)::BIGINT AS n_tokens_kept
       |  FROM d JOIN per USING (source), tot, osc
-      |  WHERE d.b16 * tot.bigw * per.t < osc.o_scaled * per.w * 65536
+      |  WHERE d.b16::DECIMAL(6,0) * tot.bigw::DECIMAL(4,0) * per.t::DECIMAL(22,0)
+      |        < osc.o_scaled::DECIMAL(26,0) * per.w::DECIMAL(2,0) * 65536::DECIMAL(6,0)
       |  GROUP BY d.source)
       |SELECT per.source, per.w, per.t AS n_tokens_in,
       |       COALESCE(kept.n_docs_kept, 0)::BIGINT AS n_docs_kept,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming ingest for the training-corpus pipeline: the scan-side stages
@@ -83,6 +83,73 @@ object CorpusStreaming {
     * both bounded by arrival rate. Emits (doc_id, window_start) in append
     * mode once the watermark closes the doc's window.
     */
+  /** Driver-visible batch-twin equivalence: [[curateStream]] actually RUNS
+    * (MemoryStream → quality gate → watermarked fingerprint dedup → memory
+    * sink, the documents slice fed in three micro-batches so dedup state
+    * crosses batch boundaries) and its output is diffed against the batch
+    * semantics — distinct (fp, n_tokens, quality) over the quality-passing
+    * slice. The projection is winner-independent by construction: docs
+    * contesting a fingerprint have IDENTICAL text, so every column is the
+    * same whichever arrival the stream keeps, and the one-row report
+    * (n_stream, n_batch, n_diff) is deterministic and ORACLE-HASHABLE —
+    * DuckDB re-derives n_batch as COUNT(DISTINCT md5(text)) and asserts
+    * n_diff = 0, so a streaming-semantics drift fails the driver's hash
+    * gate, not just a unit test. The collect feeding the MemoryStream is
+    * the bounded 300-doc test slice (harness plumbing, not the operator);
+    * production streams read a source, they are not fed from batch.
+    */
+  def streamBatchParity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val MinQuality = graft.text.CorpusPipeline.PinnedConfig.minQuality
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val slice = graft.model.Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 300).select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => Doc(r.getLong(0), new Timestamp(base + r.getLong(0) * 1000L), r.getString(1)))
+      .sortBy(_.doc_id)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    val sinkName = s"sbp_${sinkCounter.incrementAndGet()}"
+    val q = curateStream(input.toDF(), MinQuality)
+      .select(col("fp"), col("n_tokens"), col("quality"))
+      .writeStream.outputMode("append").format("memory").queryName(sinkName).start()
+    try {
+      slice.grouped(math.max(1, slice.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table(sinkName)
+    val batch = graft.model.Tables.documents(spark, sfDir)
+      .where(col("doc_id") < 300)
+      .where(graft.text.TextOps.qualityColumn(col("text")) >= MinQuality)
+      .select(
+        md5(col("text").cast("binary")).as("fp"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        graft.text.TextOps.qualityColumn(col("text")).as("quality"))
+      .distinct()
+    val nDiff = streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
+    Seq((streamed.count(), batch.count(), nDiff))
+      .toDF("n_stream", "n_batch", "n_diff")
+  }
+
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  lazy val streamBatchParitySql: String = {
+    val mq = graft.text.CorpusPipeline.PinnedConfig.minQuality
+    s"""SELECT n AS n_stream, n AS n_batch, CAST(0 AS BIGINT) AS n_diff
+       |FROM (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n
+       |      FROM documents
+       |      WHERE doc_id < 300 AND ${graft.text.TextOps.qualitySqlExpr("text")} >= $mq)""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_stream_batch_parity" -> (streamBatchParity _))
+
+  val oracle: Map[String, String] = Map(
+    "s_stream_batch_parity" -> streamBatchParitySql)
+
   def nearDupStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame = {
     import graft.text.Dedup
     val nBands = Dedup.NumHashes / Dedup.BandSize

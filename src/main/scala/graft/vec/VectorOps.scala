@@ -250,15 +250,20 @@ object VectorOps {
     * fingerprint equality — `same_text = false` rows are the semantic
     * duplicates EXACT dedup can never catch (paraphrases, re-encodes),
     * the reason embedding near-dup exists in a curation funnel at all.
-    * Two keyed joins against the (doc_id, md5) projection — at 100 TB both
-    * shuffle on the id the pair join already produced; no new pair space.
+    * Two keyed LEFT joins against the (doc_id, md5) projection — at 100 TB
+    * both shuffle on the id the pair join already produced; no new pair
+    * space. LEFT, not inner: an embedding vec_id with no matching doc row
+    * must surface as `same_text` NULL (plain `=` propagates the NULL fp),
+    * not silently shrink the pair set — the id spaces align in shipped
+    * testdata, but a fixture drift would otherwise drop rows with no
+    * signal.
     */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val fp = Tables.documents(spark, sfDir)
       .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
     simJoinLsh(spark, sfDir)
-      .join(fp.select(col("doc_id").as("v1"), col("fp").as("fp1")), "v1")
-      .join(fp.select(col("doc_id").as("v2"), col("fp").as("fp2")), "v2")
+      .join(fp.select(col("doc_id").as("v1"), col("fp").as("fp1")), Seq("v1"), "left")
+      .join(fp.select(col("doc_id").as("v2"), col("fp").as("fp2")), Seq("v2"), "left")
       .select(col("v1"), col("v2"), col("sim"), (col("fp1") === col("fp2")).as("same_text"))
       .orderBy("v1", "v2")
   }
@@ -268,8 +273,8 @@ object VectorOps {
        |f AS (SELECT doc_id, md5(text) AS fp FROM documents)
        |SELECT p.v1, p.v2, p.sim, (f1.fp = f2.fp) AS same_text
        |FROM lsh_pairs p
-       |JOIN f f1 ON p.v1 = f1.doc_id
-       |JOIN f f2 ON p.v2 = f2.doc_id
+       |LEFT JOIN f f1 ON p.v1 = f1.doc_id
+       |LEFT JOIN f f2 ON p.v2 = f2.doc_id
        |ORDER BY v1, v2""".stripMargin
 
   /** X-6: per-label centroids in long format (label, pos, centroid_val) —

@@ -84,4 +84,55 @@ class InvariantSpec extends SparkSpec {
       .select("nome").as[String].collect().toSeq
     assert(top10 === full.take(10))
   }
+
+  // ε-bound checks for the three rows-only sketch queries: the driver can
+  // only assert they RUN (estimates have no hash oracle); these pin them
+  // CLOSE to their exact, hash-checked twins, so every query surface
+  // output is verified — exactly or within its algorithm's bound.
+
+  test("sketch ε-bound: approx_count_distinct within 5% of exact per event_type") {
+    val exact = graft.queries.EventQueries.distinctUsers(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.queries.EventQueries.approxDistinctUsers(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (et, n) =>
+      val a = approx(et)
+      // rsd=0.01 configured; 5% is 5σ slack — a real sketch break (wrong
+      // column, wrong merge) lands orders of magnitude out
+      assert(math.abs(a - n) <= math.max(1L, (0.05 * n).toLong),
+        s"$et: approx $a vs exact $n")
+    }
+  }
+
+  test("sketch ε-bound: approx_percentile lands within rank-ε of the distribution") {
+    val approx = graft.queries.EventQueries.approxPercentiles(spark, sf001).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val values = graft.model.Tables.events(spark, sf001)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(_.getDouble(1)).sorted }
+    assert(approx.keySet === values.keySet)
+    approx.foreach { case (et, ps) =>
+      val vs = values(et)
+      val n = vs.length.toDouble
+      Seq(0.5, 0.9, 0.99).zip(ps).foreach { case (q, pa) =>
+        // the sketch guarantees rank error ≤ 1/accuracy (1e-4 here); allow
+        // 1% plus the duplicate-run slack (rank of a repeated value spans
+        // its whole run)
+        val rank = vs.count(_ <= pa) / n
+        val slack = 0.01 + vs.count(_ == pa) / n
+        assert(rank >= q - slack && rank <= q + slack,
+          s"$et q=$q: approx value $pa sits at rank $rank (slack $slack)")
+      }
+    }
+  }
+
+  test("sketch ε-bound: approx_top_k(20) contains the exact top 10 tokens") {
+    val exact = graft.text.TextOps.wordFreq(spark, sf001).collect()
+      .take(10).map(_.getString(0))
+    val approx = graft.text.TextOps.approxTopWords(spark, sf001).collect()
+      .map(_.getString(0)).toSet
+    exact.foreach(t => assert(approx.contains(t), s"exact-top-10 token '$t' missing"))
+  }
 }

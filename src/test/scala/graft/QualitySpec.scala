@@ -52,6 +52,34 @@ class QualitySpec extends SparkSpec {
     assert(got("lineitem_discount_out_of_range") === 1L)
   }
 
+  test("dataQuality: NULL dim-side keys neither collapse nor inflate the orphan rules") {
+    import spark.implicits._
+    // NULL keys on BOTH sides of every referential rule. Without the
+    // IS NOT NULL guards (Spark probe filters / oracle inner NOT IN
+    // selects) one NULL dim key makes SQL's NOT IN three-valued and
+    // collapses the orphan count to 0, while a NULL probe key counts as
+    // an orphan in the anti-join but is dropped by NOT IN. Fixed
+    // semantics both sides: NULL keys belong to the null-key rules only.
+    val cust = Seq(Option(1L) -> "a", Option(2L) -> "b",
+      Option(9L) -> "orphan", (None: Option[Long]) -> "null-key")
+      .toDF("c_custkey", "c_name")
+    val ord = Seq(
+      (Option(100L), Option(1L)), (Option(101L), Option(2L)),
+      (Option(102L), Option(7L)), (Option(103L), None: Option[Long]),
+      (None: Option[Long], Option(1L)))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      (Option(100L), 5.0, 10.0, 0.05), (Option(999L), 5.0, 10.0, 0.05),
+      (None: Option[Long], 5.0, 10.0, 0.05))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val got = Checks.dataQualityOf(cust, ord, li)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("customers_without_orders") === 1L) // 9 only; NULL dim key is no orphan
+    assert(got("orders_without_customer") === 1L) // 7 only; NULL probe has its own rule
+    assert(got("lineitems_without_order") === 1L) // 999 only; NULL probe dropped
+    assert(got("orders_null_custkey") === 1L)
+  }
+
   test("statsAgg: moment-sum corr agrees with Spark's corr()") {
     import org.apache.spark.sql.functions.{corr => sparkCorr}
     val exact = RelQueries.statsAgg(spark, sf001)
@@ -61,7 +89,11 @@ class QualitySpec extends SparkSpec {
       .agg(sparkCorr(col("l_quantity"), col("l_extendedprice")).as("c"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     exact.foreach { case (flag, v) =>
-      assert(math.abs(v - builtin(flag)) < 1e-6, s"$flag: $v vs ${builtin(flag)}")
+      // 1e-5, not 1e-6: the query rounds to 6 dp (5e-7 of budget consumed
+      // by rounding alone) and the textbook moment formula loses digits to
+      // cancellation as n grows — the test cross-validates the formula,
+      // not double ULPs
+      assert(math.abs(v - builtin(flag)) < 1e-5, s"$flag: $v vs ${builtin(flag)}")
     }
   }
 
