@@ -111,15 +111,30 @@ object CorpusStreaming {
     val input =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
     val sinkName = s"sbp_${sinkCounter.incrementAndGet()}"
-    val q = curateStream(input.toDF(), MinQuality)
-      .select(col("fp"), col("n_tokens"), col("quality"))
-      .writeStream.outputMode("append").format("memory").queryName(sinkName).start()
+    // Size STATE partitioning to the stream, not the batch-analytics
+    // width: a streaming micro-batch commits one state store per shuffle
+    // partition per stateful operator, so at local[32] a 300-doc stream
+    // pays 32x the store overhead for zero parallelism win. The session
+    // value is restored after the run (streams pin their state
+    // partitioning at query start, so the override can't leak into a
+    // running production stream).
+    // The override must hold until the FIRST micro-batch has planned
+    // (state partitioning pins itself then, not at start()), so it wraps
+    // the whole bounded run and is restored after stop().
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
     try {
-      slice.grouped(math.max(1, slice.length / 3 + 1)).foreach { chunk =>
-        input.addData(chunk.toSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+      spark.conf.set(partKey, "4")
+      val q = curateStream(input.toDF(), MinQuality)
+        .select(col("fp"), col("n_tokens"), col("quality"))
+        .writeStream.outputMode("append").format("memory").queryName(sinkName).start()
+      try {
+        slice.grouped(math.max(1, slice.length / 3 + 1)).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set(partKey, prevParts)
     val streamed = spark.table(sinkName)
     val batch = graft.model.Tables.documents(spark, sfDir)
       .where(col("doc_id") < 300)
