@@ -151,6 +151,148 @@ object CorpusStreaming {
 
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Driver-visible [[nearDupStream]] parity, HASH-checked. The stream's
+    * only nondeterminism is contested-band-key ownership WITHIN a
+    * micro-batch, so the harness feeds ONE doc per micro-batch in doc_id
+    * order — arrival order becomes id order, ownership becomes
+    * min-doc_id, and the survivor set equals a pure batch rule: a doc
+    * survives iff it is the min-id owner of ALL its band keys. The
+    * oracle re-derives that rule in DuckDB from the SAME generated
+    * minhash-signature CTEs the x2 oracle uses (signature → band keys →
+    * min owner → BOOL_AND ownership), so the emitted
+    * (n_stream, n_batch, n_diff=0) row hash-checks streaming near-dup
+    * semantics end to end. A far-future sentinel advances the watermark
+    * so append mode closes the slice's window (the sentinel's own window
+    * stays open — never emitted, and arriving last it can steal no
+    * ownership).
+    */
+  def nearDupStreamParity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.Dedup
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime // hour-aligned
+    val slice = graft.model.Tables.documents(spark, sfDir)
+      .where(nearDupParitySlice)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => Doc(r.getLong(0), new Timestamp(base + (r.getLong(0) % 3000) * 1000L), r.getString(1)))
+      .sortBy(_.doc_id)
+    // batch min-owner rule over the same slice, same band-key expression.
+    // localCheckpoint: the 32-seed signature expression tree is large, and
+    // FIVE downstream consumers (partner collect, owners, survivors, both
+    // exceptAll sides) would each re-analyze and re-evaluate it —
+    // materializing the 8·|slice| key rows once cuts it out of every
+    // downstream plan.
+    val keyRows = graft.model.Tables.documents(spark, sfDir)
+      .where(nearDupParitySlice)
+      .select(
+        col("doc_id"),
+        explode(Dedup.rowBandKeys(
+          Dedup.rowMinhashSig(col("text")),
+          md5(col("text").cast("binary")))).as("band_key"))
+      .localCheckpoint(true)
+    // Chunked feeding that preserves arrival-order determinism with
+    // O(contested) micro-batches instead of O(docs): within-batch
+    // ownership of a contested key is arrival-arbitrary, so docs SHARING
+    // a band key must not co-chunk — everyone else rides along. Chunks
+    // stay consecutive in id order, so a contested key's min-id holder
+    // always lands in an earlier micro-batch and stream ownership is
+    // exactly the batch min-id rule. The collect is the 8·|slice| key
+    // list — harness plumbing over the bounded slice.
+    val partners = {
+      val m = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+      keyRows.collect().groupBy(_.getString(1)).values.filter(_.length > 1).foreach { rows =>
+        val ids = rows.map(_.getLong(0)).toSet
+        ids.foreach(i => m(i) = m(i) ++ (ids - i))
+      }
+      m
+    }
+    val chunks = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[Doc])
+    slice.foreach { d =>
+      if (chunks.last.exists(x => partners(d.doc_id).contains(x.doc_id)))
+        chunks += scala.collection.mutable.ArrayBuffer.empty[Doc]
+      chunks.last += d
+    }
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    val sinkName = s"sbp_${sinkCounter.incrementAndGet()}"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    try {
+      spark.conf.set(partKey, "4")
+      val q = nearDupStream(input.toDF())
+        .writeStream.outputMode("append").format("memory").queryName(sinkName).start()
+      try {
+        chunks.filter(_.nonEmpty).foreach { c =>
+          input.addData(c.toSeq)
+          q.processAllAvailable()
+        }
+        input.addData(Doc(999999999L, new Timestamp(base + 3 * 3600 * 1000L),
+          "graft nearDup parity watermark sentinel text shared with nothing"))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set(partKey, prevParts)
+    val streamed = spark.table(sinkName).select(col("doc_id"))
+    val owners = keyRows.groupBy("band_key").agg(min(col("doc_id")).as("owner"))
+    val batch = keyRows.join(owners, "band_key")
+      .groupBy("doc_id")
+      .agg(max(when(col("doc_id") =!= col("owner"), 1).otherwise(0)).as("lost"))
+      .where(col("lost") === 0).select(col("doc_id"))
+    val nDiff = streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
+    Seq((streamed.count(), batch.count(), nDiff))
+      .toDF("n_stream", "n_batch", "n_diff")
+  }
+
+  /** Slice bounds chosen so the slice CONTAINS a planted near-dup pair at
+    * the oracle-checked SF (docs 152/178 share band keys at sf0.01) —
+    * with no in-slice contest every doc trivially keeps all its keys and
+    * the hash gate would verify only plumbing; with one, the stream must
+    * DROP the later arrival's contested keys and DuckDB independently
+    * decides which docs survive. (`% 3000` in the event-time offset keeps
+    * any slice inside one tumbling window regardless of id magnitude.)
+    */
+  val NearDupParityLo = 150L
+  val NearDupParityHi = 186L
+
+  private def nearDupParitySlice: org.apache.spark.sql.Column =
+    col("doc_id") >= NearDupParityLo && col("doc_id") < NearDupParityHi
+
+  /** DuckDB twin: signatures via the generated minhash CTE chain
+    * ([[graft.text.Dedup.minhashPairsCtes]] — only the CTEs up to `sig`
+    * are referenced; unreferenced CTEs are not evaluated), band keys with
+    * the exact [[graft.text.Dedup.rowBandKeys]] formula (full md5 hex of
+    * the ':'-joined band minhashes; ':uniq:' fingerprint fallback for
+    * shingle-less docs), then min-owner / own-all-keys survival.
+    */
+  lazy val nearDupStreamParitySql: String = {
+    import graft.text.Dedup
+    val src =
+      s"(SELECT doc_id, text FROM documents WHERE doc_id >= $NearDupParityLo AND doc_id < $NearDupParityHi)"
+    val nBands = Dedup.NumHashes / Dedup.BandSize
+    val bandKeySelects = (0 until nBands).map { b =>
+      val joined = (0 until Dedup.BandSize)
+        .map(r => s"CAST(mh${b * Dedup.BandSize + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"  SELECT doc_id, '$b' || ':' || md5($joined) AS band_key FROM mp_sig"
+    }.mkString("\n  UNION ALL\n")
+    val uniqSelects = (0 until nBands)
+      .map(b => s"  SELECT doc_id, '$b' || ':uniq:' || md5(text) AS band_key FROM shortdoc")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH ${Dedup.minhashPairsCtes(src, Dedup.MinhashThreshold)},
+       |shortdoc AS (
+       |  SELECT doc_id, text FROM $src d
+       |  WHERE len(string_split(text, ' ')) < 3),
+       |nk AS (
+       |$bandKeySelects
+       |  UNION ALL
+       |$uniqSelects),
+       |own AS (SELECT band_key, MIN(doc_id) AS owner FROM nk GROUP BY band_key),
+       |sv AS (
+       |  SELECT nk.doc_id FROM nk JOIN own USING (band_key)
+       |  GROUP BY nk.doc_id HAVING BOOL_AND(nk.doc_id = own.owner))
+       |SELECT n AS n_stream, n AS n_batch, CAST(0 AS BIGINT) AS n_diff
+       |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sv)""".stripMargin
+  }
+
   lazy val streamBatchParitySql: String = {
     val mq = graft.text.CorpusPipeline.PinnedConfig.minQuality
     s"""SELECT n AS n_stream, n AS n_batch, CAST(0 AS BIGINT) AS n_diff
@@ -160,10 +302,12 @@ object CorpusStreaming {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s_stream_batch_parity" -> (streamBatchParity _))
+    "s_stream_batch_parity" -> (streamBatchParity _),
+    "s_neardup_stream_parity" -> (nearDupStreamParity _))
 
   val oracle: Map[String, String] = Map(
-    "s_stream_batch_parity" -> streamBatchParitySql)
+    "s_stream_batch_parity" -> streamBatchParitySql,
+    "s_neardup_stream_parity" -> nearDupStreamParitySql)
 
   def nearDupStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame = {
     import graft.text.Dedup
