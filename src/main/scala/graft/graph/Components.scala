@@ -302,13 +302,36 @@ object Components {
        |FROM s GROUP BY split ORDER BY split""".stripMargin
   }
 
+  /** Cluster-size distribution — the dedup run's summary statistic (how
+    * much mass is duplicated, and how: many small mirror pairs vs a few
+    * giant boilerplate blobs decides cap/threshold tuning). Two keyed
+    * counts over the memoized closure labels; effectively free once any
+    * closure query has run in the JVM.
+    */
+  def clusterSizes(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, comps) = simJoinClosure(spark, sfDir)
+    comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
+  val clusterSizesSql: String =
+    s"""$closureCtePrefix,
+       |sizes AS (
+       |  SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY comp)
+       |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+       |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x4_sim_clusters" -> (simClusters _),
     "x4_sim_clusters_lsh" -> (simClustersLsh _),
+    "x4_cluster_sizes" -> (clusterSizes _),
     "t_leakage_split" -> (leakageSplit _))
 
   val oracle: Map[String, String] = Map(
     "x4_sim_clusters" -> simClustersSql,
     "x4_sim_clusters_lsh" -> simClustersLshSql,
+    "x4_cluster_sizes" -> clusterSizesSql,
     "t_leakage_split" -> leakageSplitSql)
 }

@@ -241,15 +241,51 @@ object CurationOps {
        |      + len(regexp_extract_all(text, '$Ipv4Pattern')) > 0
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-source document cap — the "domain capping" pass of web-corpus
+    * curation (C4/RefinedWeb shape): a handful of over-represented
+    * sources (mirror farms, boilerplate-heavy domains) must not dominate
+    * the training mix, so each source keeps only its top-`cap` docs by
+    * quality (doc_id tiebreak — deterministic). The rank limit is a
+    * `WindowGroupLimit`: ≤cap rows per source survive map-side, so the
+    * exchange carries the CAP, not the source's document count — the
+    * property that makes the pass viable on a 100 TB crawl where one
+    * domain can hold billions of pages.
+    */
+  val SourceCap = 5
+
+  def sourceCapOf(docs: DataFrame, cap: Int = SourceCap): DataFrame =
+    docs
+      .select(col("source"), col("doc_id"), TextOps.qualityColumn(col("text")).as("quality"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))))
+      .where(col("rk") <= cap)
+      .select(col("source"), col("rk"), col("doc_id"), round(col("quality"), 6).as("quality"))
+      .orderBy("source", "rk")
+
+  def sourceCap(spark: SparkSession, sfDir: String): DataFrame =
+    sourceCapOf(Tables.documents(spark, sfDir))
+
+  val sourceCapSql: String =
+    s"""SELECT source, rk, doc_id, ROUND(quality, 6) AS quality FROM (
+       |  SELECT source, doc_id, ${TextOps.qualitySqlExpr("text")} AS quality,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |                            ORDER BY ${TextOps.qualitySqlExpr("text")} DESC, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $SourceCap
+       |ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_repetition" -> (repetition _),
     "t_tfidf_topterms" -> (tfidfTopTerms _),
     "t_surprisal" -> (surprisal _),
-    "t_pii_scrub" -> (piiScrub _))
+    "t_pii_scrub" -> (piiScrub _),
+    "t_source_cap" -> (sourceCap _))
 
   val oracle: Map[String, String] = Map(
     "t_repetition" -> repetitionSql,
     "t_tfidf_topterms" -> tfidfTopTermsSql,
     "t_surprisal" -> surprisalSql,
-    "t_pii_scrub" -> piiScrubSql)
+    "t_pii_scrub" -> piiScrubSql,
+    "t_source_cap" -> sourceCapSql)
 }
