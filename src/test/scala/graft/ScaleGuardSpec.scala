@@ -117,6 +117,24 @@ class ScaleGuardSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((100L, 101L)))
   }
 
+  test("source cap: an over-represented source emits <= cap rows, rank-limit pushed map-side") {
+    // one mirror-farm source with 200 pages vs two healthy sources: the
+    // capped output carries at most `cap` rows per source regardless of
+    // the farm's page count, and the physical plan shows WindowGroupLimit
+    // (the map-side rank prune) — the property that keeps the pass viable
+    // when one domain holds billions of pages.
+    val farm = (1L to 200L).map(i => (i, "farm", s"mirror page $i of the same boilerplate listing"))
+    val docs = (farm ++ Seq(
+      (300L, "blog", "a long considered essay with many genuinely distinct words and thoughts"),
+      (301L, "news", "breaking report with yet another set of distinct words")))
+      .toDF("doc_id", "source", "text")
+    val capped = graft.text.CurationOps.sourceCapOf(docs, cap = 3)
+    val bySource = capped.collect().groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(bySource("farm") === 3 && bySource("blog") === 1 && bySource("news") === 1)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"rank-limit not pushed:\n$plan")
+  }
+
   test("x2_jaccard_pairs is non-vacuous at sf0.01 AND sf0.1") {
     // a testdata refresh that moves the planted near-dups must not silently
     // turn the hash check into a 0-row tautology (the round-5 finding that

@@ -222,6 +222,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupStreamParity: stream survivors equal the batch min-owner rule (0 diff)") {
+    // the driver hash-checks this at sf0.01; this pins the SAME 0-diff
+    // invariant in-suite at sf0.001 (identical 500-doc documents table,
+    // so the contested pair is exercised here too)
+    val row = graft.streaming.CorpusStreaming
+      .nearDupStreamParity(spark, "/root/testdata/sf0.001").collect().head
+    assert(row.getLong(2) === 0L, s"stream/batch diverged: $row")
+    assert(row.getLong(0) === row.getLong(1))
+    assert(row.getLong(0) > 0L)
+  }
+
   test("lambda handoff: streamed quality+dedup into the batch funnel equals pure batch") {
     // The documented lambda split (CorpusStreaming: near-dup stays batch)
     // end to end: micro-batches flow through curateStream (quality gate +
