@@ -128,6 +128,28 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("cluster-size distribution re-sums to the cluster membership table") {
+    // x4_cluster_sizes and x4_sim_clusters derive from the SAME memoized
+    // closure — Σ(size × count) must equal the membership row count, and
+    // Σ(count) the distinct-component count
+    val sizes = graft.graph.Components.clusterSizes(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val members = graft.graph.Components.simClusters(spark, sf001)
+    assert(sizes.map { case (s, n) => s * n }.sum === members.count())
+    assert(sizes.map(_._2).sum === members.select("comp").distinct().count())
+  }
+
+  test("source cap keeps exactly min(cap, source size) docs per source") {
+    val cap = graft.text.CurationOps.SourceCap.toLong
+    val kept = graft.text.CurationOps.sourceCap(spark, sf001).collect()
+      .groupBy(_.getString(0)).map { case (s, rows) => s -> rows.length.toLong }
+    val have = graft.model.Tables.documents(spark, sf001)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet === have.keySet)
+    kept.foreach { case (s, n) => assert(n === math.min(cap, have(s)), s"source $s") }
+  }
+
   test("sketch ε-bound: approx_top_k(20) contains the exact top 10 tokens") {
     val exact = graft.text.TextOps.wordFreq(spark, sf001).collect()
       .take(10).map(_.getString(0))
