@@ -55,34 +55,6 @@ object CorpusStreaming {
         graft.text.TextOps.qualityColumn(col("text")).as("quality"),
         col("fp"))
 
-  /** Within-horizon streaming NEAR-dup: the bounded-state band-bucket
-    * approximation of MinHash+LSH dedup. Two chained stateful stages
-    * (supported operator chain in append mode):
-    *
-    *   1. each doc's [[graft.text.Dedup.rowMinhashSig]] signature — a pure
-    *      projection, no aggregation — explodes into its
-    *      `NumHashes/BandSize` band keys, and
-    *      `dropDuplicatesWithinWatermark` keeps each band key's FIRST
-    *      owner within the horizon;
-    *   2. a tumbling-window count per doc: a doc survives iff it kept ALL
-    *      its band keys (losing any key means an earlier in-horizon doc
-    *      agreed with it on a full band of minhashes — the LSH candidate
-    *      rule).
-    *
-    * Approximation contract, stated honestly: candidates are NOT
-    * exact-Jaccard verified in-stream (band agreement at J≈0.5 fires ~J⁴
-    * per band, so lower-similarity false positives are possible and
-    * dropped docs' remaining keys keep absorbing later arrivals —
-    * transitive keep-one, like the batch cluster closure); within one
-    * micro-batch the surviving owner of a contested key is
-    * arrival-ordered, not min-id (a stream has no global order). The
-    * precision-critical pass stays the batch funnel's verified near-dup —
-    * this stage exists to shed the recrawl/mirror duplicate mass BEFORE
-    * it lands in the corpus. State: one band key per distinct
-    * (band, bucket) per horizon plus the open windows' per-doc counts —
-    * both bounded by arrival rate. Emits (doc_id, window_start) in append
-    * mode once the watermark closes the doc's window.
-    */
   /** Driver-visible batch-twin equivalence: [[curateStream]] actually RUNS
     * (MemoryStream → quality gate → watermarked fingerprint dedup → memory
     * sink, the documents slice fed in three micro-batches so dedup state
@@ -153,10 +125,11 @@ object CorpusStreaming {
 
   /** Driver-visible [[nearDupStream]] parity, HASH-checked. The stream's
     * only nondeterminism is contested-band-key ownership WITHIN a
-    * micro-batch, so the harness feeds ONE doc per micro-batch in doc_id
-    * order — arrival order becomes id order, ownership becomes
-    * min-doc_id, and the survivor set equals a pure batch rule: a doc
-    * survives iff it is the min-id owner of ALL its band keys. The
+    * micro-batch, so the harness feeds id-ordered chunks split so that
+    * docs sharing a band key never co-batch — arrival order equals id
+    * order exactly where it matters, ownership becomes min-doc_id, and
+    * the survivor set equals a pure batch rule: a doc survives iff it is
+    * the min-id owner of ALL its band keys. The
     * oracle re-derives that rule in DuckDB from the SAME generated
     * minhash-signature CTEs the x2 oracle uses (signature → band keys →
     * min owner → BOOL_AND ownership), so the emitted
@@ -309,6 +282,34 @@ object CorpusStreaming {
     "s_stream_batch_parity" -> streamBatchParitySql,
     "s_neardup_stream_parity" -> nearDupStreamParitySql)
 
+  /** Within-horizon streaming NEAR-dup: the bounded-state band-bucket
+    * approximation of MinHash+LSH dedup. Two chained stateful stages
+    * (supported operator chain in append mode):
+    *
+    *   1. each doc's [[graft.text.Dedup.rowMinhashSig]] signature — a pure
+    *      projection, no aggregation — explodes into its
+    *      `NumHashes/BandSize` band keys, and
+    *      `dropDuplicatesWithinWatermark` keeps each band key's FIRST
+    *      owner within the horizon;
+    *   2. a tumbling-window count per doc: a doc survives iff it kept ALL
+    *      its band keys (losing any key means an earlier in-horizon doc
+    *      agreed with it on a full band of minhashes — the LSH candidate
+    *      rule).
+    *
+    * Approximation contract, stated honestly: candidates are NOT
+    * exact-Jaccard verified in-stream (band agreement at J≈0.5 fires ~J⁴
+    * per band, so lower-similarity false positives are possible and
+    * dropped docs' remaining keys keep absorbing later arrivals —
+    * transitive keep-one, like the batch cluster closure); within one
+    * micro-batch the surviving owner of a contested key is
+    * arrival-ordered, not min-id (a stream has no global order). The
+    * precision-critical pass stays the batch funnel's verified near-dup —
+    * this stage exists to shed the recrawl/mirror duplicate mass BEFORE
+    * it lands in the corpus. State: one band key per distinct
+    * (band, bucket) per horizon plus the open windows' per-doc counts —
+    * both bounded by arrival rate. Emits (doc_id, window_start) in append
+    * mode once the watermark closes the doc's window.
+    */
   def nearDupStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame = {
     import graft.text.Dedup
     val nBands = Dedup.NumHashes / Dedup.BandSize
