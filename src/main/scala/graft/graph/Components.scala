@@ -61,6 +61,10 @@ object Components {
       .where(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true) // undirected view, reused every round
+    // (Measured: forcing the loop's shuffles down to 1 partition on small
+    // graphs is a net LOSS at local[32] — the rounds are stage-barrier
+    // bound, not task-count bound, and AQE already coalesces the tiny
+    // post-shuffle reads. Keep the session partitioning.)
     var comp = und.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint(true)

@@ -221,13 +221,35 @@ object CorpusPipeline {
     * [[Sampling.splitBoundsHex]]) and the thresholds come from
     * [[PinnedConfig]] — one definition per stage, no drift surface.
     */
-  lazy val curateSql: String = {
+  lazy val curateSql: String =
+    curateSqlWith("dup AS (SELECT DISTINCT d2 AS doc_id FROM mp_pairs)", recursive = false)
+
+  /** Oracle for the component-mode funnel: identical chain, but `dup` is
+    * the transitive closure of the pair set (recursive reachability down
+    * to min-id labels — the [[graft.graph.Components]] oracle technique)
+    * minus each component's min. One dup-policy CTE swaps; nothing else
+    * can drift.
+    */
+  lazy val curateComponentsSql: String = curateSqlWith(
+    """und AS (
+      |  SELECT d1 AS a, d2 AS b FROM mp_pairs
+      |  UNION
+      |  SELECT d2 AS a, d1 AS b FROM mp_pairs),
+      |reach(node, r) AS (
+      |  SELECT a, a FROM und
+      |  UNION
+      |  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.node),
+      |compc AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+      |dup AS (SELECT node AS doc_id FROM compc WHERE node <> comp)""".stripMargin,
+    recursive = true)
+
+  private def curateSqlWith(dupCtes: String, recursive: Boolean): String = {
     val cfg = PinnedConfig
     val (trainBound, valBound) = Sampling.splitBoundsHex()
     val lt = TextOps.chunkListSql("t")
     val shingleList =
       "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
-    s"""WITH base AS (
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}base AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
        |train AS (
        |  SELECT doc_id, text FROM base
@@ -256,7 +278,7 @@ object CorpusPipeline {
        |  SELECT doc_id, text FROM clean
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
        |${Dedup.minhashPairsCtes("exact", cfg.nearDupJaccard)},
-       |dup AS (SELECT DISTINCT d2 AS doc_id FROM mp_pairs),
+       |$dupCtes,
        |keep AS (
        |  SELECT doc_id, text FROM exact
        |  WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
@@ -271,9 +293,22 @@ object CorpusPipeline {
        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** Component-mode run of the same pinned funnel — the transitive
+    * keep-min-per-component near-dup policy (band-sampling-robust; see
+    * the stage-4 comment) under the driver's hash gate, not just its
+    * unit spec. Same slices, same config, only the dup policy differs.
+    */
+  def curateComponentsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    curate(trainWithMirrors(docs), evalSlice(docs), PinnedConfig.copy(componentDedup = true))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t_curate" -> (curateQuery _))
+    "t_curate" -> (curateQuery _),
+    "t_curate_components" -> (curateComponentsQuery _))
 
   val oracle: Map[String, String] = Map(
-    "t_curate" -> curateSql)
+    "t_curate" -> curateSql,
+    "t_curate_components" -> curateComponentsSql)
 }
