@@ -39,7 +39,8 @@ object SparkEntry {
       graft.vec.VectorOps.queries ++
       graft.graph.Components.queries ++
       graft.multimodal.Media.queries ++
-      graft.streaming.CorpusStreaming.queries
+      graft.streaming.CorpusStreaming.queries ++
+      graft.streaming.EventStreaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -63,5 +64,6 @@ object SparkEntry {
       graft.vec.VectorOps.oracle ++
       graft.graph.Components.oracle ++
       graft.multimodal.Media.oracle ++
-      graft.streaming.CorpusStreaming.oracle
+      graft.streaming.CorpusStreaming.oracle ++
+      graft.streaming.EventStreaming.oracle
 }

@@ -69,9 +69,15 @@ object EventQueries {
     * one shuffle on user_id. Timestamp comparison is exact (µs), identical
     * in both engines — no epoch-seconds truncation.
     */
-  def sessionCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  def sessionCounts(spark: SparkSession, sfDir: String): DataFrame =
+    sessionCountsOf(Tables.events(spark, sfDir))
+
+  /** Per-user (n_events, n_sessions) over an arbitrary events frame — the
+    * batch sessionization body, shared with the streaming parity query.
+    */
+  def sessionCountsOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(spark, sfDir)
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn(
         "new_session",

@@ -51,14 +51,21 @@ object EventStreaming {
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState[(Long, Long, Long), SessionUpdate](GroupStateTimeout.NoTimeout) {
-        // state = (lastTsMillis, nEvents, nSessions)
+        // state = (lastTsMicros, nEvents, nSessions). MICROsecond gap
+        // arithmetic, not getTime's milliseconds: the events fixture
+        // carries µs-precision timestamps, and a gap landing within 1 ms
+        // of the 30-minute boundary would otherwise round to "same
+        // session" here while the µs-exact batch twin (and its DuckDB
+        // oracle) opens a new one.
         (userId: Long, batch: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
-          val gapMs = 30L * 60 * 1000
+          val gapUs = 30L * 60 * 1000 * 1000
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
           var (lastTs, nEvents, nSessions) =
             state.getOption.getOrElse((Long.MinValue, 0L, 0L))
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime
-            if (lastTs == Long.MinValue || t - lastTs > gapMs) nSessions += 1
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            if (lastTs == Long.MinValue || t - lastTs > gapUs) nSessions += 1
             nEvents += 1
             // never regress: an event arriving LATE (t < lastTs, i.e.
             // out-of-order across micro-batches) folds into the current
@@ -184,4 +191,84 @@ object EventStreaming {
       .queryName(sinkTable)
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** Driver-visible [[sessionize]] parity, HASH-checked — the events-side
+    * streaming family's batch-twin gate (the corpus side has
+    * [[CorpusStreaming.streamBatchParity]]). The bounded user slice is
+    * fed ts-ordered in three micro-batches, so the custom
+    * `mapGroupsWithState` sessionizer sees in-order cross-batch arrivals;
+    * its per-user state is a pure fold over the ts-ordered event sequence
+    * (within-batch it sorts, across batches never-regress holds), so the
+    * FINAL (n_events, n_sessions) per user — the max over the update
+    * stream, both counters monotone — must equal the batch
+    * lag-over-window derivation [[graft.queries.EventQueries
+    * .sessionCountsOf]] exactly. The emitted one-row report carries the
+    * stream-side totals plus the per-user diff count; DuckDB re-derives
+    * the totals independently and asserts n_diff = 0.
+    */
+  def sessionStreamParity(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = graft.model.Tables.events(spark, sfDir)
+      .where(col("user_id") < SessionParityUsers)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val sinkName = s"ssp_${sessionSinkCounter.incrementAndGet()}"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    try {
+      spark.conf.set(partKey, "4")
+      val q = sessionize(input.toDS()).writeStream
+        .outputMode(OutputMode.Update()).format("memory").queryName(sinkName).start()
+      try {
+        slice.grouped(math.max(1, slice.length / 3 + 1)).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set(partKey, prevParts)
+    // final state per user = max of the monotone update stream
+    val streamed = spark.table(sinkName)
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"), max(col("n_sessions")).as("n_sessions"))
+    val batch = graft.queries.EventQueries.sessionCountsOf(
+      graft.model.Tables.events(spark, sfDir).where(col("user_id") < SessionParityUsers))
+      .select(col("user_id"), col("n_events"), col("n_sessions"))
+    val nDiff = streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
+    val totals = streamed
+      .agg(count(lit(1)), sum(col("n_events")), sum(col("n_sessions")))
+      .collect().head
+    Seq((totals.getLong(0), totals.getLong(1), totals.getLong(2), nDiff))
+      .toDF("n_users", "total_events", "total_sessions", "n_diff")
+  }
+
+  val SessionParityUsers = 30L
+
+  private val sessionSinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  lazy val sessionStreamParitySql: String =
+    s"""WITH g AS (
+       |  SELECT user_id,
+       |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |                OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |                       + INTERVAL '30 minutes'
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM events WHERE user_id < $SessionParityUsers),
+       |pu AS (
+       |  SELECT user_id, COUNT(*) AS n_events, SUM(new_session) AS n_sessions
+       |  FROM g GROUP BY user_id)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       |       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       |       CAST(SUM(n_sessions) AS BIGINT) AS total_sessions,
+       |       CAST(0 AS BIGINT) AS n_diff
+       |FROM pu""".stripMargin
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "s_session_stream_parity" -> (sessionStreamParity _))
+
+  val oracle: Map[String, String] = Map(
+    "s_session_stream_parity" -> sessionStreamParitySql)
 }
