@@ -249,6 +249,61 @@ object EventStreaming {
 
   private val sessionSinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Driver-visible [[windowedCounts]] parity — the watermark + tumbling
+    * window aggregate, the remaining streaming shape without a hash row
+    * (dedup and sessions have theirs). Counts are commutative, so ANY
+    * chunking is deterministic; the ts-ordered feed just guarantees no
+    * chunk is late against the 2 h watermark. The diff runs on
+    * (hour_start, event_type, n_events) — `sum_value` is a raw double
+    * sum whose merge order the stream controls, exactly the
+    * cross-engine-unsafe shape the repo's decimal-sum rule exists for,
+    * so the hash-checked columns are the integer ones.
+    */
+  def windowStreamParity(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = graft.model.Tables.events(spark, sfDir)
+      .where(col("user_id") < SessionParityUsers)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val sinkName = s"swp_${sessionSinkCounter.incrementAndGet()}"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    try {
+      spark.conf.set(partKey, "4")
+      val q = windowedCounts(input.toDF()).writeStream
+        .outputMode(OutputMode.Update()).format("memory").queryName(sinkName).start()
+      try {
+        slice.grouped(math.max(1, slice.length / 3 + 1)).foreach { chunk =>
+          input.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set(partKey, prevParts)
+    val streamed = spark.table(sinkName)
+      .groupBy("hour_start", "event_type")
+      .agg(max(col("n_events")).as("n_events")) // final update of a monotone counter
+    val batch = graft.model.Tables.events(spark, sfDir)
+      .where(col("user_id") < SessionParityUsers)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"))
+    val nDiff = streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
+    val totals = streamed.agg(count(lit(1)), sum(col("n_events"))).collect().head
+    Seq((totals.getLong(0), totals.getLong(1), nDiff))
+      .toDF("n_windows", "total_events", "n_diff")
+  }
+
+  lazy val windowStreamParitySql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |       CAST(SUM(n) AS BIGINT) AS total_events,
+       |       CAST(0 AS BIGINT) AS n_diff
+       |FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type, COUNT(*) AS n
+       |      FROM events WHERE user_id < $SessionParityUsers GROUP BY 1, 2)""".stripMargin
+
   lazy val sessionStreamParitySql: String =
     s"""WITH g AS (
        |  SELECT user_id,
@@ -267,8 +322,10 @@ object EventStreaming {
        |FROM pu""".stripMargin
 
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
-    "s_session_stream_parity" -> (sessionStreamParity _))
+    "s_session_stream_parity" -> (sessionStreamParity _),
+    "s_window_stream_parity" -> (windowStreamParity _))
 
   val oracle: Map[String, String] = Map(
-    "s_session_stream_parity" -> sessionStreamParitySql)
+    "s_session_stream_parity" -> sessionStreamParitySql,
+    "s_window_stream_parity" -> windowStreamParitySql)
 }
