@@ -222,6 +222,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session + window stream parity: 0 diff against the batch twins in-suite") {
+    val s = graft.streaming.EventStreaming
+      .sessionStreamParity(spark, "/root/testdata/sf0.001").collect().head
+    assert(s.getLong(3) === 0L, s"sessionize diverged from batch: $s")
+    assert(s.getLong(0) > 0L)
+    val w = graft.streaming.EventStreaming
+      .windowStreamParity(spark, "/root/testdata/sf0.001").collect().head
+    assert(w.getLong(2) === 0L, s"windowed counts diverged from batch: $w")
+    assert(w.getLong(0) > 0L && w.getLong(1) === s.getLong(1)) // same slice, same event total
+  }
+
   test("nearDupStreamParity: stream survivors equal the batch min-owner rule (0 diff)") {
     // the driver hash-checks this at sf0.01; this pins the SAME 0-diff
     // invariant in-suite at sf0.001 (identical 500-doc documents table,
