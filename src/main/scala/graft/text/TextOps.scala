@@ -87,6 +87,46 @@ object TextOps {
       .select(col("e.item").as("token"), col("e.count").as("n_approx"))
       .orderBy(desc("n_approx"), asc("token"))
 
+  /** Bigram LM table — conditional probabilities P(w2 | w1) = c12 / c1
+    * with c1 the bigram-prefix total (so Σ_w2 p = 1 per w1), the count
+    * shape every n-gram LM / perplexity-filtering pipeline builds. One
+    * hash aggregate over bigram pairs + a w1-partitioned window sum —
+    * c1 needs no second scan or join. Output bounded to the top-50
+    * bigrams by count (c12 desc, then w1/w2 — a total order, so the cut
+    * is deterministic); the DISTRIBUTION is computed in full, as an LM
+    * build requires — at corpus scale this is the standard shuffle-heavy
+    * n-gram count job (shard by prefix hash and emit count tables;
+    * [[bigramTopK]]'s heavy-hitter trick applies only when the answer is
+    * a top-k, not a probability table).
+    */
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("t"))
+      .select(explode(expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2)) ELSE array() END"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .withColumn("c1",
+        sum(col("c12")).over(org.apache.spark.sql.expressions.Window.partitionBy("w1")))
+      .select(
+        col("w1"), col("w2"), col("c12"), col("c1"),
+        round(col("c12").cast("double") / col("c1").cast("double"), 6).as("p"))
+      .orderBy(desc("c12"), asc("w1"), asc("w2"))
+      .limit(50)
+  }
+
+  val bigramLmSql: String =
+    """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |b AS (
+      |  SELECT t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+      |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+      |w AS (SELECT w1, w2, c12, CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1 FROM c)
+      |SELECT w1, w2, c12, c1,
+      |       ROUND(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE), 6) AS p
+      |FROM w ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin
+
   /** Quality scoring (training-data filtering): length score, stopword
     * ratio, punctuation ratio combined into a deterministic [0,1] score.
     * Pure double arithmetic on identical operands → bit-identical vs the
@@ -522,6 +562,7 @@ object TextOps {
     "t_bpe_tokens" -> (bpeTokens _),
     "t_rolling_fp" -> (rollingFingerprint _),
     "x5_bigram_freq" -> (bigramFreq _),
+    "t_bigram_lm" -> (bigramLm _),
     "x5_approx_top_words" -> (approxTopWords _),
     "t_chunks" -> (chunkDocs _),
     "t_packed" -> (packedDocs _))
@@ -534,6 +575,7 @@ object TextOps {
     "t_fingerprints" -> fingerprintsSql,
     "t_bpe_tokens" -> bpeTokensSql,
     "x5_bigram_freq" -> bigramFreqSql,
+    "t_bigram_lm" -> bigramLmSql,
     "t_chunks" -> chunkDocsSql,
     "t_packed" -> packedDocsSql,
     "t_rolling_fp" -> rollingFingerprintSql)
