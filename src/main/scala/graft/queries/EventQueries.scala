@@ -125,6 +125,59 @@ object EventQueries {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
       .orderBy("event_type")
 
+  /** Telemetry anomaly gate — per-type 3σ outlier counts from
+    * decimal-EXACT moments (the [[graft.queries.RelQueries.statsAgg]]
+    * discipline: Σx and Σx² as DECIMAL sums cast to double at the end,
+    * so mean/σ are reproducible at any partitioning). Two passes: a
+    * 5-row stats aggregate broadcast back onto the scan, then a
+    * conditional count — the shape that flags sensor glitches before
+    * they poison downstream aggregates. The z-comparison operands
+    * (raw double value, derived mean/σ) are identical expressions in
+    * both engines, so the boundary is exact.
+    */
+  def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val x = col("value").cast("decimal(18,2)")
+    val nD = col("n").cast("double")
+    val stats = ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(x * x).cast("double").as("sx2"))
+      .select(
+        col("event_type"), col("n"),
+        (col("sx") / nD).as("mean"),
+        sqrt((col("sx2") - col("sx") * col("sx") / nD) / nD).as("std"))
+    ev.join(broadcast(stats), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(abs(col("value") - col("mean")) > lit(3.0) * col("std"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        round(min(col("mean")), 6).as("mean_value"),
+        round(min(col("std")), 6).as("std_value"))
+      .orderBy("event_type")
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH s AS (
+      |  SELECT event_type, COUNT(*)::BIGINT AS n,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+      |  FROM events GROUP BY event_type),
+      |st AS (
+      |  SELECT event_type, n,
+      |         sx / CAST(n AS DOUBLE) AS mean,
+      |         sqrt((sx2 - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS std
+      |  FROM s)
+      |SELECT e.event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CASE WHEN abs(e.value - st.mean) > 3.0 * st.std THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       ROUND(MIN(st.mean), 6) AS mean_value,
+      |       ROUND(MIN(st.std), 6) AS std_value
+      |FROM events e JOIN st USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   /** Schema-declared JSON parsing — `from_json` with an explicit struct
     * schema (the production path for semi-structured columns; unlike the
     * regex variant it extends to nested fields and arrays). Null-safe:
@@ -405,6 +458,7 @@ object EventQueries {
     "q_hourly_windows" -> (hourlyWindows _),
     "q_session_counts" -> (sessionCounts _),
     "x8_distinct_users" -> (distinctUsers _),
+    "q_anomaly_zscore" -> (anomalyZscore _),
     "x8_approx_distinct" -> (approxDistinctUsers _),
     "x9_percentiles" -> (percentiles _),
     "x9_approx_percentiles" -> (approxPercentiles _))
@@ -419,5 +473,6 @@ object EventQueries {
     "q_hourly_windows" -> hourlyWindowsSql,
     "q_session_counts" -> sessionCountsSql,
     "x8_distinct_users" -> distinctUsersSql,
+    "q_anomaly_zscore" -> anomalyZscoreSql,
     "x9_percentiles" -> percentilesSql)
 }

@@ -275,7 +275,44 @@ object CurationOps {
        |WHERE rk <= $SourceCap
        |ORDER BY source, rk""".stripMargin
 
+  /** Per-source duplication report — the curation dashboard number that
+    * decides where dedup effort goes (a mirror-heavy source is a crawl
+    * config bug, not a corpus property). One aggregate: n_docs and
+    * distinct-fingerprint count per source; 16-byte md5 keys drive the
+    * distinct, never the text. Runs over the SAME mirrored corpus the
+    * checked funnel ingests ([[CorpusPipeline.trainWithMirrors]]) — the
+    * raw synthetic table has no exact dupes, so the unmirrored report
+    * would be all zeros (a vacuous check).
+    */
+  def dupRateBySource(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusPipeline.trainWithMirrors(Tables.documents(spark, sfDir))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
+      .select(
+        col("source"), col("n_docs"), col("n_unique"),
+        (col("n_docs") - col("n_unique")).as("n_dupes"),
+        round((col("n_docs") - col("n_unique")).cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"))
+      .orderBy("source")
+
+  val dupRateBySourceSql: String =
+    s"""WITH corpus AS (
+       |  SELECT source, text FROM documents WHERE doc_id % 10 <> 9
+       |  UNION ALL
+       |  SELECT source, text FROM documents WHERE doc_id % 10 <> 9 AND doc_id % 97 = 3),
+       |agg AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+       |  FROM corpus GROUP BY source)
+       |SELECT source, n_docs, n_unique,
+       |       (n_docs - n_unique)::BIGINT AS n_dupes,
+       |       ROUND(CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+       |FROM agg ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_dup_rate_by_source" -> (dupRateBySource _),
     "t_repetition" -> (repetition _),
     "t_tfidf_topterms" -> (tfidfTopTerms _),
     "t_surprisal" -> (surprisal _),
@@ -283,6 +320,7 @@ object CurationOps {
     "t_source_cap" -> (sourceCap _))
 
   val oracle: Map[String, String] = Map(
+    "t_dup_rate_by_source" -> dupRateBySourceSql,
     "t_repetition" -> repetitionSql,
     "t_tfidf_topterms" -> tfidfTopTermsSql,
     "t_surprisal" -> surprisalSql,
