@@ -150,6 +150,25 @@ class InvariantSpec extends SparkSpec {
     kept.foreach { case (s, n) => assert(n === math.min(cap, have(s)), s"source $s") }
   }
 
+  test("anomaly gate: outlier fraction respects the Chebyshev 3σ bound") {
+    // |z| > 3 events can never exceed n/9 (Chebyshev, distribution-free);
+    // a broken mean/σ derivation blows straight through it
+    graft.queries.EventQueries.anomalyZscore(spark, sf001).collect().foreach { r =>
+      val (n, out) = (r.getLong(1), r.getLong(2))
+      assert(out <= n / 9, s"${r.getString(0)}: $out outliers of $n breaks Chebyshev")
+      assert(out > 0, s"${r.getString(0)}: vacuous — no outliers flagged at all")
+    }
+  }
+
+  test("dup-rate report: total dupes equal the planted mirror count") {
+    val dupes = graft.text.CurationOps.dupRateBySource(spark, sf001).collect()
+      .map(_.getLong(3)).sum
+    val mirrors = graft.model.Tables.documents(spark, sf001)
+      .where(col("doc_id") % 10 =!= 9 && col("doc_id") % 97 === 3).count()
+    assert(dupes === mirrors, s"report counts $dupes dupes, $mirrors mirrors planted")
+    assert(mirrors > 0)
+  }
+
   test("sketch ε-bound: approx_top_k(20) contains the exact top 10 tokens") {
     val exact = graft.text.TextOps.wordFreq(spark, sf001).collect()
       .take(10).map(_.getString(0))
