@@ -600,7 +600,102 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** Incremental-ingest dedup — the daily-crawl shape: a NEW batch (the
+    * delta) is screened against the EXISTING corpus (the base) before it
+    * lands, without re-deduping the corpus. Two probes per delta doc,
+    * both keyed joins against base-side DISTINCT projections:
+    *
+    *   - exact: fingerprint semi-join (16-byte md5 keys);
+    *   - near: shared LSH band buckets ([[rowBandKeys]] — the same
+    *     scan-side signature the streaming path uses, so batch-delta and
+    *     stream ingest flag the SAME candidates), counted per delta doc.
+    *
+    * At 100 TB the base-side fingerprint/bucket sets are the persisted
+    * dedup index (built once, appended per ingest), and the delta probe
+    * shuffles only the delta — the corpus never rescans. The checked
+    * query models that with in-plan base projections. The delta carries
+    * re-keyed mirrors of base docs (the [[CorpusPipeline
+    * .trainWithMirrors]] device) so the exact probe is non-vacuous: the
+    * raw synthetic corpus has no cross-slice exact dupes.
+    */
+  val DeltaSplitId = 400L
+  val DeltaMirrorMod = 83L
+
+  def dedupDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.where(col("doc_id") < DeltaSplitId)
+    val delta = docs.where(col("doc_id") >= DeltaSplitId)
+      .unionByName(base.where(col("doc_id") % DeltaMirrorMod === 7)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    def fps(df: DataFrame) =
+      df.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    def keys(df: DataFrame) = df.select(
+      col("doc_id"),
+      explode(rowBandKeys(rowMinhashSig(col("text")), md5(col("text").cast("binary")))).as("bk"))
+    val exact = fps(delta)
+      .join(fps(base).select("fp").distinct(), Seq("fp"), "left_semi")
+      .select(col("doc_id")).withColumn("hit", lit(true))
+    val near = keys(delta)
+      .join(keys(base).select("bk").distinct(), Seq("bk"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_buckets"))
+    delta.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("hit"), lit(false)).as("is_exact_dup"),
+        coalesce(col("n_shared_buckets"), lit(0L)).as("n_shared_buckets"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: both slices' signatures via TWO instantiations of the
+    * generated minhash CTE chain (prefixes `bb_`/`dd_`; only the CTEs up
+    * to `sig` are referenced), band keys with the [[rowBandKeys]]
+    * formula, then the same two probes.
+    */
+  lazy val dedupDeltaSql: String = {
+    val baseSrc = s"(SELECT doc_id, text FROM documents WHERE doc_id < $DeltaSplitId)"
+    val deltaSrc =
+      s"""(SELECT doc_id, text FROM documents WHERE doc_id >= $DeltaSplitId
+         |   UNION ALL
+         |   SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |   WHERE doc_id < $DeltaSplitId AND doc_id % $DeltaMirrorMod = 7)""".stripMargin
+    val nBands = NumHashes / BandSize
+    def bandKeys(p: String, src: String) = {
+      val sels = (0 until nBands).map { b =>
+        val joined = (0 until BandSize)
+          .map(r => s"CAST(mh${b * BandSize + r} AS VARCHAR)")
+          .mkString(" || ':' || ")
+        s"  SELECT doc_id, '$b' || ':' || md5($joined) AS bk FROM ${p}sig"
+      }.mkString("\n  UNION ALL\n")
+      val uniq = (0 until nBands)
+        .map(b => s"  SELECT doc_id, '$b' || ':uniq:' || md5(text) AS bk FROM $src s WHERE len(string_split(text, ' ')) < 3")
+        .mkString("\n  UNION ALL\n")
+      s"$sels\n  UNION ALL\n$uniq"
+    }
+    s"""WITH ${minhashPairsCtes(baseSrc, MinhashThreshold, "bb_")},
+       |${minhashPairsCtes(deltaSrc, MinhashThreshold, "dd_")},
+       |bk_b AS (
+       |${bandKeys("bb_", baseSrc)}),
+       |bk_d AS (
+       |${bandKeys("dd_", deltaSrc)}),
+       |dl AS (SELECT doc_id, text FROM $deltaSrc d),
+       |ex AS (
+       |  SELECT d.doc_id FROM dl d
+       |  WHERE md5(d.text) IN (SELECT md5(text) FROM $baseSrc b)),
+       |near AS (
+       |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_buckets
+       |  FROM bk_d d JOIN (SELECT DISTINCT bk FROM bk_b) b USING (bk)
+       |  GROUP BY d.doc_id)
+       |SELECT dl.doc_id,
+       |       (dl.doc_id IN (SELECT doc_id FROM ex)) AS is_exact_dup,
+       |       COALESCE(near.n_shared_buckets, 0)::BIGINT AS n_shared_buckets
+       |FROM dl LEFT JOIN near USING (doc_id)
+       |ORDER BY dl.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_dedup_delta" -> (dedupDelta _),
     "x1_dedup_exact" -> (exactDedup _),
     "x2_jaccard_pairs" -> (jaccardPairs _),
     "x2_minhash_pairs" -> (minhashPairs _),
@@ -609,6 +704,7 @@ object Dedup {
     "t_decontaminate" -> (decontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "t_dedup_delta" -> dedupDeltaSql,
     "x1_dedup_exact" -> exactDedupSql,
     "x2_jaccard_pairs" -> jaccardPairsSql,
     "x2_minhash_pairs" -> minhashPairsSql,
