@@ -79,35 +79,9 @@ object CorpusStreaming {
       .collect()
       .map(r => Doc(r.getLong(0), new Timestamp(base + r.getLong(0) * 1000L), r.getString(1)))
       .sortBy(_.doc_id)
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
-    val sinkName = s"sbp_${sinkCounter.incrementAndGet()}"
-    // Size STATE partitioning to the stream, not the batch-analytics
-    // width: a streaming micro-batch commits one state store per shuffle
-    // partition per stateful operator, so at local[32] a 300-doc stream
-    // pays 32x the store overhead for zero parallelism win. The session
-    // value is restored after the run (streams pin their state
-    // partitioning at query start, so the override can't leak into a
-    // running production stream).
-    // The override must hold until the FIRST micro-batch has planned
-    // (state partitioning pins itself then, not at start()), so it wraps
-    // the whole bounded run and is restored after stop().
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    try {
-      spark.conf.set(partKey, "4")
-      val q = curateStream(input.toDF(), MinQuality)
-        .select(col("fp"), col("n_tokens"), col("quality"))
-        .writeStream.outputMode("append").format("memory").queryName(sinkName).start()
-      try {
-        slice.grouped(math.max(1, slice.length / 3 + 1)).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    } finally spark.conf.set(partKey, prevParts)
-    val streamed = spark.table(sinkName)
+    val streamed = runBoundedStream(
+      spark, slice.grouped(math.max(1, slice.length / 3 + 1)).map(_.toSeq).toSeq)(
+      in => curateStream(in, MinQuality).select(col("fp"), col("n_tokens"), col("quality")))
     val batch = graft.model.Tables.documents(spark, sfDir)
       .where(col("doc_id") < 300)
       .where(graft.text.TextOps.qualityColumn(col("text")) >= MinQuality)
@@ -122,6 +96,40 @@ object CorpusStreaming {
   }
 
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Shared bounded-stream harness for the parity queries: runs `plan`
+    * over a MemoryStream fed `chunks` (one micro-batch each, so state
+    * crosses batch boundaries), into a uniquely-named memory sink, and
+    * returns the sink table. `spark.sql.shuffle.partitions` is held at 4
+    * for the whole run — a streaming micro-batch commits one state store
+    * per shuffle partition per stateful operator, so a bounded test
+    * stream at local[32] would pay 32× the store overhead for zero
+    * parallelism win; the override must survive until the FIRST
+    * micro-batch has planned (state partitioning pins itself then, not
+    * at start()), and is restored after stop.
+    */
+  private[streaming] def runBoundedStream[A: org.apache.spark.sql.Encoder](
+      spark: SparkSession,
+      chunks: Seq[Seq[A]],
+      outputMode: String = "append")(plan: DataFrame => DataFrame): DataFrame = {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
+    val sinkName = s"graft_parity_${sinkCounter.incrementAndGet()}"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    try {
+      spark.conf.set(partKey, "4")
+      val q = plan(input.toDF()).writeStream
+        .outputMode(outputMode).format("memory").queryName(sinkName).start()
+      try {
+        chunks.foreach { c =>
+          input.addData(c)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set(partKey, prevParts)
+    spark.table(sinkName)
+  }
 
   /** Driver-visible [[nearDupStream]] parity, HASH-checked. The stream's
     * only nondeterminism is contested-band-key ownership WITHIN a
@@ -184,27 +192,11 @@ object CorpusStreaming {
         chunks += scala.collection.mutable.ArrayBuffer.empty[Doc]
       chunks.last += d
     }
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
-    val sinkName = s"sbp_${sinkCounter.incrementAndGet()}"
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    try {
-      spark.conf.set(partKey, "4")
-      val q = nearDupStream(input.toDF())
-        .writeStream.outputMode("append").format("memory").queryName(sinkName).start()
-      try {
-        chunks.filter(_.nonEmpty).foreach { c =>
-          input.addData(c.toSeq)
-          q.processAllAvailable()
-        }
-        input.addData(Doc(999999999L, new Timestamp(base + 3 * 3600 * 1000L),
-          "graft nearDup parity watermark sentinel text shared with nothing"))
-        q.processAllAvailable()
-      } finally q.stop()
-    } finally spark.conf.set(partKey, prevParts)
-    val streamed = spark.table(sinkName).select(col("doc_id"))
+    val sentinel = Seq(Doc(999999999L, new Timestamp(base + 3 * 3600 * 1000L),
+      "graft nearDup parity watermark sentinel text shared with nothing"))
+    val streamed = runBoundedStream(
+      spark, chunks.filter(_.nonEmpty).map(_.toSeq).toSeq :+ sentinel)(nearDupStream(_))
+      .select(col("doc_id"))
     val owners = keyRows.groupBy("band_key").agg(min(col("doc_id")).as("owner"))
     val batch = keyRows.join(owners, "band_key")
       .groupBy("doc_id")

@@ -213,25 +213,10 @@ object EventStreaming {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event].collect()
       .sortBy(e => (e.ts.getTime, e.event_id))
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
-    val sinkName = s"ssp_${sessionSinkCounter.incrementAndGet()}"
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    try {
-      spark.conf.set(partKey, "4")
-      val q = sessionize(input.toDS()).writeStream
-        .outputMode(OutputMode.Update()).format("memory").queryName(sinkName).start()
-      try {
-        slice.grouped(math.max(1, slice.length / 3 + 1)).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    } finally spark.conf.set(partKey, prevParts)
     // final state per user = max of the monotone update stream
-    val streamed = spark.table(sinkName)
+    val streamed = CorpusStreaming.runBoundedStream(
+      spark, slice.grouped(math.max(1, slice.length / 3 + 1)).map(_.toSeq).toSeq,
+      outputMode = "update")(in => sessionize(in.as[Event]).toDF())
       .groupBy("user_id")
       .agg(max(col("n_events")).as("n_events"), max(col("n_sessions")).as("n_sessions"))
     val batch = graft.queries.EventQueries.sessionCountsOf(
@@ -246,8 +231,6 @@ object EventStreaming {
   }
 
   val SessionParityUsers = 30L
-
-  private val sessionSinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Driver-visible [[windowedCounts]] parity — the watermark + tumbling
     * window aggregate, the remaining streaming shape without a hash row
@@ -266,24 +249,9 @@ object EventStreaming {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event].collect()
       .sortBy(e => (e.ts.getTime, e.event_id))
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
-    val sinkName = s"swp_${sessionSinkCounter.incrementAndGet()}"
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partKey)
-    try {
-      spark.conf.set(partKey, "4")
-      val q = windowedCounts(input.toDF()).writeStream
-        .outputMode(OutputMode.Update()).format("memory").queryName(sinkName).start()
-      try {
-        slice.grouped(math.max(1, slice.length / 3 + 1)).foreach { chunk =>
-          input.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    } finally spark.conf.set(partKey, prevParts)
-    val streamed = spark.table(sinkName)
+    val streamed = CorpusStreaming.runBoundedStream(
+      spark, slice.grouped(math.max(1, slice.length / 3 + 1)).map(_.toSeq).toSeq,
+      outputMode = "update")(windowedCounts(_))
       .groupBy("hour_start", "event_type")
       .agg(max(col("n_events")).as("n_events")) // final update of a monotone counter
     val batch = graft.model.Tables.events(spark, sfDir)
