@@ -561,16 +561,26 @@ object VectorOps {
     * to the Spark side with NO centroid literals shipped across: the
     * oracle re-derives k-means from the raw table. lazy: reads KmeansIters.
     */
-  lazy val knnIvfSql: String = {
-    val d2 = """((list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-                |               - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec))
-                |               + list_dot_product(c.cvec, c.cvec))""".stripMargin
+  /** Shared d2 expression over (embeddings e ⨯ centroid c) — the exact
+    * [[sqDist]] expansion/fold order.
+    */
+  private val kmeansD2Sql =
+    """((list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+      |               - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec))
+      |               + list_dot_product(c.cvec, c.cvec))""".stripMargin
+
+  /** The k-means re-derivation CTE chain (label-centroid seed + unrolled
+    * Lloyd iterations), ending in `cents$KmeansIters(clabel, cvec)` —
+    * shared by [[knnIvfSql]] and [[clusterQualitySql]] so the two oracles
+    * can never train different quantizers.
+    */
+  private lazy val kmeansCteChain: String = {
     val iterCtes = (1 to KmeansIters).map { i =>
       val prev = s"cents${i - 1}"
       s"""a$i AS (
          |  SELECT e.vec_id, e.embedding, c.clabel,
          |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |           ORDER BY $d2, c.clabel) AS rn
+         |           ORDER BY $kmeansD2Sql, c.clabel) AS rn
          |  FROM embeddings e CROSS JOIN $prev c),
          |m$i AS (
          |  SELECT clabel, i - 1 AS pos,
@@ -584,8 +594,7 @@ object VectorOps {
          |  SELECT p.clabel, COALESCE(n.cvec, p.cvec) AS cvec
          |  FROM $prev p LEFT JOIN n$i n ON p.clabel = n.clabel)"""
     }.mkString(",\n")
-    val last = s"cents$KmeansIters"
-    s"""WITH pc AS (
+    s"""pc AS (
        |  SELECT label, i - 1 AS pos,
        |         CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
        |           / CAST(COUNT(*) AS DOUBLE) AS v
@@ -593,7 +602,13 @@ object VectorOps {
        |        FROM embeddings)
        |  GROUP BY 1, 2),
        |cents0 AS (SELECT label AS clabel, list(v ORDER BY pos) AS cvec FROM pc GROUP BY label),
-       |$iterCtes,
+       |$iterCtes""".stripMargin
+  }
+
+  lazy val knnIvfSql: String = {
+    val d2 = kmeansD2Sql
+    val last = s"cents$KmeansIters"
+    s"""WITH $kmeansCteChain,
        |qv AS (SELECT cvec AS qvec FROM cents0 WHERE clabel = 0),
        |probed AS (
        |  SELECT clabel FROM $last, qv
@@ -612,6 +627,54 @@ object VectorOps {
        |FROM assigned a, qv
        |WHERE a.rn = 1 AND a.cluster IN (SELECT clabel FROM probed)
        |ORDER BY sim DESC, a.vec_id LIMIT 20""".stripMargin
+  }
+
+  /** Clustering-quality report over the trained coarse quantizer:
+    * per-cluster population and inertia (Σ squared distance to the
+    * assigned centroid) — THE metric that decides when a quantizer is
+    * retrained (rising inertia = embedding drift) and whether IVF probe
+    * counts still hold. One scan with the scan-side argmin assignment;
+    * the per-row d2 doubles are bit-identical in both engines (same
+    * [[sqDist]] expansion), and the SUM goes through DECIMAL(38,18) so
+    * the total is partial-order independent. Oracle re-trains the
+    * quantizer via [[kmeansCteChain]] — the same chain knnIvf's oracle
+    * uses, so the two cannot diverge.
+    */
+  def clusterQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = kmeansCentroids(spark, sfDir)
+    val sorted = cents.toSeq.sortBy(_._1)
+    val d2Assigned = sorted.tail.foldLeft(
+      when(col("cluster") === sorted.head._1, sqDist(embDouble, sorted.head._2))) {
+      case (acc, (id, c)) => acc.when(col("cluster") === id, sqDist(embDouble, c))
+    }
+    Tables.embeddings(spark, sfDir)
+      .withColumn("cluster", clusterAssignment(embDouble, cents))
+      .withColumn("d2", d2Assigned)
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("d2").cast("decimal(38,18)")).cast("double"), 6).as("inertia"),
+        round((sum(col("d2").cast("decimal(38,18)")).cast("double") / count(lit(1)).cast("double")), 6)
+          .as("mean_d2"))
+      .orderBy("cluster")
+  }
+
+  lazy val clusterQualitySql: String = {
+    val last = s"cents$KmeansIters"
+    s"""WITH $kmeansCteChain,
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, c.clabel AS cluster,
+       |         $kmeansD2Sql AS d2,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY $kmeansD2Sql, c.clabel) AS rn
+       |  FROM embeddings e CROSS JOIN $last c)
+       |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |       ROUND(CAST(SUM(CAST(d2 AS DECIMAL(38,18))) AS DOUBLE), 6) AS inertia,
+       |       ROUND(CAST(SUM(CAST(d2 AS DECIMAL(38,18))) AS DOUBLE)
+       |             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_d2
+       |FROM assigned WHERE rn = 1
+       |GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
   // ---- PQ ANN (product quantization — the memory-compression scale path) ----
@@ -933,6 +996,7 @@ object VectorOps {
     "x3_knn_ivf" -> (knnIvfQuery _),
     "x3_knn_pq" -> (knnPq _),
     "x4_ann_recall" -> (annRecall _),
+    "x6_cluster_quality" -> (clusterQuality _),
     "x4_semantic_dedup" -> (semanticDedup _),
     "x4_sim_join" -> (simJoin _),
     "x4_sim_join_lsh" -> (simJoinLsh _),
@@ -945,6 +1009,7 @@ object VectorOps {
     "x3_knn_ivf" -> knnIvfSql,
     "x3_knn_pq" -> knnPqSql,
     "x4_ann_recall" -> annRecallSql,
+    "x6_cluster_quality" -> clusterQualitySql,
     "x4_semantic_dedup" -> semanticDedupSql,
     "x4_sim_join" -> simJoinSql,
     "x4_sim_join_lsh" -> simJoinLshSql,
