@@ -112,6 +112,39 @@ class PropertySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("property: components (pointer-doubled) match brute-force union-find on random graphs") {
+    // random sparse graphs exercise shapes the fixed fixtures don't:
+    // several components, cycles, chains, and high-degree hubs mixed.
+    // One Spark run per graph; labels must equal a driver-side union-find.
+    val gen = for {
+      n <- Gen.chooseNum(2, 60)
+      m <- Gen.chooseNum(1, 90)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield edges.filter { case (a, b) => a != b }
+    val graphs = Gen.listOfN(8, gen).sample.get.filter(_.nonEmpty)
+    graphs.foreach { edges =>
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // union-find roots are not canonical min-ids; normalize per root
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.groupBy(find).flatMap { case (_, ns) =>
+        val m = ns.min; ns.map(_ -> m)
+      }.toMap
+      val got = graft.graph.Components
+        .connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"graph with ${edges.size} edges diverged")
+      assert(graft.graph.Components.converged)
+    }
+  }
+
   test("property: get-or-create never duplicates and never loses keys") {
     val existing = Seq((1L, "k1"), (2L, "k2")).toDF("id", "nome")
     val keys = Gen.listOfN(100, Gen.oneOf("k1", "k2", "k3", "k4", "k5", "k6")).sample.get
