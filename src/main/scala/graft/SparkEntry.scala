@@ -34,6 +34,7 @@ object SparkEntry {
       graft.text.CurationOps.queries ++
       graft.text.BpeTrainer.queries ++
       graft.text.Dedup.queries ++
+      graft.text.SpanDedup.queries ++
       graft.text.CorpusPipeline.queries ++
       graft.text.LangId.queries ++
       graft.vec.VectorOps.queries ++
@@ -59,6 +60,7 @@ object SparkEntry {
       graft.text.CurationOps.oracle ++
       graft.text.BpeTrainer.oracle ++
       graft.text.Dedup.oracle ++
+      graft.text.SpanDedup.oracle ++
       graft.text.CorpusPipeline.oracle ++
       graft.text.LangId.oracle ++
       graft.vec.VectorOps.oracle ++
