@@ -128,29 +128,41 @@ object Dedup {
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
     jaccardPairsOf(Tables.documents(spark, sfDir))
 
+  /** Generated DuckDB CTE chain re-deriving [[jaccardPairsOf]] over an
+    * arbitrary source relation `src` (needs `doc_id`, `text`), ending in
+    * `{p}pairs(d1, d2, jaccard)` — raw-ratio threshold, jaccard rounded
+    * to 6 places, same df cap. One generator feeds the standalone oracle
+    * AND the composed oracles (LSH recall, threshold sweep), so the SQL
+    * cannot drift from the single Spark-side definition — the
+    * [[minhashPairsCtes]] discipline applied to the exact path.
+    */
+  def jaccardPairsCtes(src: String, minJaccard: Double, p: String = "jp_"): String =
+    s"""${p}toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       |${p}shm AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(t) - 1),
+       |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |  FROM ${p}toks WHERE len(t) >= 3),
+       |${p}sh AS (SELECT DISTINCT doc_id, ${TextOps.md5Hash60Sql("sh")} AS h FROM ${p}shm),
+       |${p}hot AS (SELECT h FROM ${p}sh GROUP BY h HAVING COUNT(*) > $MaxShingleDf),
+       |${p}kept AS (SELECT doc_id, h FROM ${p}sh WHERE h NOT IN (SELECT h FROM ${p}hot)),
+       |${p}sz AS (SELECT doc_id, COUNT(*) AS n FROM ${p}kept GROUP BY doc_id),
+       |${p}inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |  FROM ${p}kept a JOIN ${p}kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |${p}pairs AS (
+       |  SELECT d1, d2,
+       |         ROUND(CAST(i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i AS DOUBLE)), 6) AS jaccard
+       |  FROM ${p}inter
+       |  JOIN ${p}sz s1 ON d1 = s1.doc_id
+       |  JOIN ${p}sz s2 ON d2 = s2.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i AS DOUBLE)) >= $minJaccard)""".stripMargin
+
   val jaccardPairsSql: String =
-    s"""WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |shm AS (
-      |  SELECT doc_id,
-      |         unnest(list_transform(range(1, len(t) - 1),
-      |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-      |  FROM toks WHERE len(t) >= 3),
-      |sh AS (SELECT DISTINCT doc_id, ${TextOps.md5Hash60Sql("sh")} AS h FROM shm),
-      |hot AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > $MaxShingleDf),
-      |kept AS (SELECT doc_id, h FROM sh WHERE h NOT IN (SELECT h FROM hot)),
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-      |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT d1, d2,
-      |       ROUND(CAST(i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i AS DOUBLE)), 6) AS jaccard
-      |FROM inter
-      |JOIN sz s1 ON d1 = s1.doc_id
-      |JOIN sz s2 ON d2 = s2.doc_id
-      |WHERE CAST(i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i AS DOUBLE)) >= 0.4
-      |ORDER BY d1, d2""".stripMargin
+    s"""WITH ${jaccardPairsCtes("documents", 0.4)}
+       |SELECT d1, d2, jaccard FROM jp_pairs ORDER BY d1, d2""".stripMargin
 
   /** Benchmark decontamination — the eval-hygiene pass every training
     * pipeline runs before a model ships: flag TRAIN documents sharing any
@@ -694,6 +706,93 @@ object Dedup {
        |ORDER BY dl.doc_id""".stripMargin
   }
 
+  /** LSH tuning telemetry: does the 8×4 banding actually find the near-dup
+    * pairs the exact shingle-Jaccard join finds at the same threshold?
+    * Ground truth and candidate sets are the two EXISTING pair queries
+    * ([[jaccardPairsOf]] / [[minhashPairsOf]]) at [[MinhashThreshold]];
+    * one full-outer join on the pair key + one aggregate emits
+    * (n_exact, n_lsh, n_hit, recall) — the per-corpus number that decides
+    * band/row geometry before a 100 TB dedup run is committed (the
+    * [[graft.vec.VectorOps]] `x4_ann_recall` discipline applied to text
+    * dedup). Sides can differ legitimately: banding can miss a true pair
+    * (recall < 1), and the df-capped exact universe can exclude a pair
+    * the full-shingle LSH verification admits.
+    *
+    * Scale posture: both inputs are the already-scale-audited pair
+    * pipelines; the overlay is one equi-join on (d1, d2) + a single-row
+    * aggregate — no new pair space, no collects.
+    */
+  def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val e = jaccardPairsOf(docs, MinhashThreshold)
+      .select(col("d1"), col("d2"), lit(1).as("e"))
+    val l = minhashPairsOf(docs, MinhashThreshold)
+      .select(col("d1"), col("d2"), lit(1).as("l"))
+    e.join(l, Seq("d1", "d2"), "full_outer")
+      .agg(
+        count(col("e")).cast("bigint").as("n_exact"),
+        count(col("l")).cast("bigint").as("n_lsh"),
+        count(when(col("e").isNotNull && col("l").isNotNull, lit(1)))
+          .cast("bigint").as("n_hit"))
+      .select(
+        col("n_exact"), col("n_lsh"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"))
+  }
+
+  val lshRecallSql: String =
+    s"""WITH ${jaccardPairsCtes("documents", MinhashThreshold)},
+       |${minhashPairsCtes("documents", MinhashThreshold)},
+       |e AS (SELECT d1, d2, 1 AS e FROM jp_pairs),
+       |l AS (SELECT d1, d2, 1 AS l FROM mp_pairs),
+       |j AS (SELECT e, l FROM e FULL OUTER JOIN l USING (d1, d2))
+       |SELECT CAST(COUNT(e) AS BIGINT) AS n_exact,
+       |       CAST(COUNT(l) AS BIGINT) AS n_lsh,
+       |       CAST(COUNT(CASE WHEN e IS NOT NULL AND l IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit,
+       |       ROUND(CAST(COUNT(CASE WHEN e IS NOT NULL AND l IS NOT NULL THEN 1 END) AS DOUBLE)
+       |             / CAST(COUNT(e) AS DOUBLE), 6) AS recall
+       |FROM j""".stripMargin
+
+  /** Jaccard thresholds the sweep reports; the floor bounds the pair space
+    * the sweep materializes (pairs below the floor are never near-dup
+    * candidates at any reported threshold).
+    */
+  val SweepThresholds: Seq[Double] = Seq(0.05, 0.3, 0.5, 0.9)
+
+  /** Threshold-tuning curve: pair count and dropped-doc count (min-id keep
+    * policy: every distinct d2 is a removal) at each candidate Jaccard
+    * threshold, in ONE pass over the pair set — the sweep a pipeline owner
+    * reads before pinning the near-dup threshold, instead of re-running
+    * dedup per candidate value. Two-level aggregate: (threshold, d2) then
+    * threshold, so the distinct-doc count never needs countDistinct; the
+    * 4-row threshold relation broadcasts onto the pair set.
+    */
+  def thresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = jaccardPairsOf(Tables.documents(spark, sfDir), SweepThresholds.min)
+    val th = spark.range(1)
+      .select(explode(array(SweepThresholds.map(lit): _*)).as("threshold"))
+    pairs
+      .join(th, col("jaccard") >= col("threshold"))
+      .groupBy("threshold", "d2").agg(count(lit(1)).as("np"))
+      .groupBy("threshold")
+      .agg(
+        sum("np").cast("bigint").as("n_pairs"),
+        count(lit(1)).cast("bigint").as("n_dropped"))
+      .orderBy("threshold")
+  }
+
+  val thresholdSweepSql: String =
+    s"""WITH ${jaccardPairsCtes("documents", SweepThresholds.min)},
+       |th(threshold) AS (VALUES ${SweepThresholds.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")}),
+       |l1 AS (
+       |  SELECT threshold, d2, COUNT(*) AS np
+       |  FROM jp_pairs JOIN th ON jaccard >= threshold
+       |  GROUP BY threshold, d2)
+       |SELECT threshold,
+       |       CAST(SUM(np) AS BIGINT) AS n_pairs,
+       |       CAST(COUNT(*) AS BIGINT) AS n_dropped
+       |FROM l1 GROUP BY threshold ORDER BY threshold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_dedup_delta" -> (dedupDelta _),
     "x1_dedup_exact" -> (exactDedup _),
@@ -701,6 +800,8 @@ object Dedup {
     "x2_minhash_pairs" -> (minhashPairs _),
     "x2_simhash" -> (simhashQuery _),
     "x2_simhash_pairs" -> (simhashPairs _),
+    "t_lsh_recall" -> (lshRecall _),
+    "t_threshold_sweep" -> (thresholdSweep _),
     "t_decontaminate" -> (decontaminate _))
 
   val oracle: Map[String, String] = Map(
@@ -710,5 +811,7 @@ object Dedup {
     "x2_minhash_pairs" -> minhashPairsSql,
     "x2_simhash" -> simhashSql,
     "x2_simhash_pairs" -> simhashPairsSql,
+    "t_lsh_recall" -> lshRecallSql,
+    "t_threshold_sweep" -> thresholdSweepSql,
     "t_decontaminate" -> decontaminateSql)
 }

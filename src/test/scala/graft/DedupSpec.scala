@@ -137,6 +137,31 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("lshRecall: hit count bounded by both sides; recall well-formed and non-vacuous") {
+    val r = Dedup.lshRecall(spark, sf001).collect()
+    assert(r.length === 1)
+    val (nExact, nLsh, nHit, recall) =
+      (r.head.getLong(0), r.head.getLong(1), r.head.getLong(2), r.head.getDouble(3))
+    assert(nExact > 0L, "fixture must contain exact near-dup pairs at the LSH threshold")
+    assert(nHit <= math.min(nExact, nLsh))
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(math.abs(recall - nHit.toDouble / nExact) < 1e-6 + 5e-7)
+  }
+
+  test("thresholdSweep: counts monotone non-increasing in threshold; ties out with lshRecall") {
+    val rows = Dedup.thresholdSweep(spark, sf001).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Dedup.SweepThresholds)
+    rows.sliding(2).foreach { case Array((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1, "raising the threshold cannot add pairs or drops")
+    }
+    rows.foreach { case (_, p, d) => assert(d <= p && d >= 1L) }
+    // the sweep's count at the LSH threshold is lshRecall's ground-truth side
+    val nExact = Dedup.lshRecall(spark, sf001).collect().head.getLong(0)
+    val atLsh = rows.find(_._1 == Dedup.MinhashThreshold).get
+    assert(atLsh._2 === nExact)
+  }
+
   test("simhash: identical docs equal; near-dups land within small Hamming distance") {
     val fp = Dedup.simhash(docs.where($"doc_id" < 5))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
