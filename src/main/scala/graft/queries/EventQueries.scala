@@ -448,7 +448,61 @@ object EventQueries {
       |FROM e JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Event-sequence transition matrix (first-order Markov counts): for
+    * every ordered pair of consecutive events per user — ts order,
+    * event_id tiebreak, the sessionizer's total order — count transitions,
+    * distinct users making them, and the row-normalized probability
+    * P(to·from). The behavioral-analytics shape behind next-action
+    * prediction features and anomaly screening (an unseen transition is
+    * signal), and relationally a lag-window + two-level aggregate: the
+    * (from, to, user) level makes the distinct-user count a plain COUNT
+    * (no countDistinct), and the probability is one integer-exact window
+    * sum over the ≤|types|² matrix — all shuffles keyed by user_id then by
+    * the 8-byte-ish type pair. Scales: the lag window partitions by user
+    * (bounded per-user history), the matrix itself is tiny at any corpus
+    * size.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val t = Tables.events(spark, sfDir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+    t.groupBy(col("from_type"), col("event_type").as("to_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_u"))
+      .groupBy("from_type", "to_type")
+      .agg(
+        sum("n_u").cast("bigint").as("n_transitions"),
+        count(lit(1)).cast("bigint").as("n_users"))
+      .withColumn(
+        "p",
+        round(
+          col("n_transitions").cast("double") /
+            sum(col("n_transitions")).over(Window.partitionBy("from_type")).cast("double"),
+          6))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH t AS (
+      |  SELECT user_id,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+      |         event_type AS to_type
+      |  FROM events),
+      |l1 AS (
+      |  SELECT from_type, to_type, user_id, COUNT(*) AS n_u
+      |  FROM t WHERE from_type IS NOT NULL GROUP BY from_type, to_type, user_id),
+      |l2 AS (
+      |  SELECT from_type, to_type,
+      |         CAST(SUM(n_u) AS BIGINT) AS n_transitions,
+      |         CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM l1 GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n_transitions, n_users,
+      |       ROUND(CAST(n_transitions AS DOUBLE)
+      |             / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+      |FROM l2 ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> (eventTransitions _),
     "q_retention" -> (cohortRetention _),
     "q_scd2_history" -> (scd2History _),
     "q_gapfill" -> (gapFillLocf _),
@@ -464,6 +518,7 @@ object EventQueries {
     "x9_approx_percentiles" -> (approxPercentiles _))
 
   val oracle: Map[String, String] = Map(
+    "q_event_transitions" -> eventTransitionsSql,
     "q_retention" -> cohortRetentionSql,
     "q_scd2_history" -> scd2HistorySql,
     "q_gapfill" -> gapFillLocfSql,

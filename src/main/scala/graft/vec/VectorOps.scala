@@ -989,7 +989,237 @@ object VectorOps {
        |         (SELECT COUNT(*) FROM pq WHERE vec_id IN (SELECT vec_id FROM exact))::BIGINT AS hits
        |) ORDER BY method""".stripMargin
 
+  /** Per-dimension embedding statistics — the whitening/normalization prep
+    * pass (and drift monitor) every embedding pipeline runs before ANN
+    * indexing: mean, population std, min, max per coordinate. One
+    * posexplode + one 64-key aggregate; the std comes from the moment sums
+    * (Σx, Σx²) in DECIMAL(38,18) — the [[exactMean]] / statsAgg
+    * determinism rule — with the final arithmetic on doubles written
+    * IDENTICALLY in both engines. min/max of casts are exact, no rounding
+    * needed. At 100 TB this is one map pass + a 64-group partial-agg
+    * reduction — no joins, no data-plane collects.
+    */
+  def dimStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = col("n_vecs").cast("double")
+    Tables.embeddings(spark, sfDir)
+      .select(posexplode(embDouble).as(Seq("pos", "e")))
+      .groupBy("pos")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("e").cast("decimal(38,18)")).cast("double").as("sx"),
+        sum((col("e") * col("e")).cast("decimal(38,18)")).cast("double").as("sx2"),
+        min(col("e")).as("min_val"),
+        max(col("e")).as("max_val"))
+      .select(
+        col("pos"), col("n_vecs"),
+        round(col("sx") / n, 6).as("mean_val"),
+        round(sqrt(n * col("sx2") - col("sx") * col("sx")) / n, 6).as("std_val"),
+        col("min_val"), col("max_val"))
+      .orderBy("pos")
+  }
+
+  val dimStatsSql: String =
+    """WITH s AS (
+      |  SELECT i - 1 AS pos, COUNT(*)::BIGINT AS n_vecs,
+      |         CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+      |         CAST(SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS sx2,
+      |         MIN(CAST(e AS DOUBLE)) AS min_val, MAX(CAST(e AS DOUBLE)) AS max_val
+      |  FROM (SELECT unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+      |        FROM embeddings)
+      |  GROUP BY i)
+      |SELECT pos, n_vecs,
+      |       ROUND(sx / CAST(n_vecs AS DOUBLE), 6) AS mean_val,
+      |       ROUND(sqrt(CAST(n_vecs AS DOUBLE) * sx2 - sx * sx) / CAST(n_vecs AS DOUBLE), 6) AS std_val,
+      |       min_val, max_val
+      |FROM s ORDER BY pos""".stripMargin
+
+  /** Sort-free ordered reassembly: collect (pos, v) structs, sort by pos,
+    * project the value — the deterministic array_agg-ORDER-BY shape Spark
+    * lacks natively.
+    */
+  private def orderedArray(pos: Column, v: Column): Column =
+    transform(array_sort(collect_list(struct(pos.as("p"), v.as("x")))), s => s.getField("x"))
+
+  /** Power-iteration rounds for the checked [[pcaPower]] query; each round
+    * is one more CTE block in the generated oracle, so the count is pinned
+    * and shared between engines.
+    */
+  val PcaIters = 3
+
+  /** Distributed PCA power iteration over the embedding cloud — the
+    * dimensionality-reduction/whitening building block — expressed
+    * ENTIRELY as one lazy DataFrame plan: no driver-side linear algebra,
+    * no collects. Per round: s = c·v per row (codegen'd [[dot]],
+    * left-to-right — the fold DuckDB's list_dot_product shares, same
+    * portability contract the x3 family's hash checks rest on), then
+    * w_j = Σ_rows s·c_j as a DECIMAL(38,18) 64-key aggregate rounded to
+    * 6 dp, then v ← w/‖w‖ with the norm-square summed in DECIMAL over the
+    * 64 rounded loadings. Every cross-engine sum is decimal-exact and
+    * every double expression is written identically in the generated
+    * oracle ([[pcaIterCtes]]), so the whole iteration chain is
+    * HASH-checked, not rows-only. The centering mean is rounded to 6 dp
+    * before subtraction so the centered values are bit-identical in both
+    * engines.
+    *
+    * λ is the Rayleigh quotient v·(Av)/n at the final round (v unit):
+    * the sample variance captured along the iterate. It is non-decreasing
+    * in rounds and converges to the top eigenvalue at rate (λ₂/λ₁)^t —
+    * on the synthetic corpus the top of the spectrum is nearly degenerate
+    * (isotropic cluster noise), so [[PcaIters]] rounds deliberately report
+    * a partially-converged direction; the invariants that make the result
+    * meaningful at ANY round count (unit norm; λ ≥ every single-axis
+    * variance from [[dimStats]]; λ monotone in rounds) are spec-tested,
+    * and a production run on a spectrally-separated corpus just raises
+    * the round count (or swaps in block iteration — same per-round plan).
+    *
+    * Scale posture: each round is one map pass over the corpus plus a
+    * 64-key aggregate (classic distributed power iteration); the centered
+    * matrix never materializes driver-side and the only broadcast is the
+    * 1-row v vector. Deterministic start (uniform unit v0), fixed round
+    * count — no RNG, no convergence data-dependence.
+    */
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame =
+    pcaPowerOf(spark, sfDir, PcaIters)
+
+  def pcaPowerOf(spark: SparkSession, sfDir: String, iters: Int): DataFrame = {
+    val (chain, emb) = pcaChain(spark, sfDir, iters)
+    // Rayleigh λ = v_prev · w_final / n  (v_prev unit, w = A v_prev)
+    val nRows = emb.agg(count(lit(1)).cast("double").as("n"))
+    val lam = chain.vPrev
+      .select(posexplode(col("v")).as(Seq("pos", "vj")))
+      .join(chain.wFinal, "pos")
+      .agg(sum((col("vj") * col("w")).cast("decimal(38,18)")).cast("double").as("vw"))
+      .crossJoin(nRows)
+      .select(round(col("vw") / col("n"), 6).as("lambda"))
+    chain.vFinal
+      .select(posexplode(col("v")).as(Seq("pos", "loading")))
+      .crossJoin(lam)
+      .select(col("pos"), col("loading"), col("lambda"))
+      .orderBy("pos")
+  }
+
+  /** The shared iteration chain: centered rows `c(vec_id, c)` plus the
+    * final/previous iterate and final unnormalized image — reused by the
+    * component query and the projection-scores query.
+    */
+  private case class PcaChain(c: DataFrame, vPrev: DataFrame, vFinal: DataFrame, wFinal: DataFrame)
+
+  private def pcaChain(spark: SparkSession, sfDir: String, iters: Int): (PcaChain, DataFrame) = {
+    require(iters >= 1, "power iteration needs at least one round")
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), embDouble.as("x"))
+    // 1-row frames broadcast by AQE; the mean is rounded BEFORE centering
+    val mArr = emb
+      .select(posexplode(col("x")).as(Seq("pos", "e")))
+      .groupBy("pos").agg(round(exactMean(col("e")), 6).as("m"))
+      .agg(orderedArray(col("pos"), col("m")).as("m"))
+    val c = emb.crossJoin(mArr)
+      .select(col("vec_id"), zip_with(col("x"), col("m"), (a, b) => a - b).as("c"))
+
+    // one round: returns (v_next as 1-row array frame, w as (pos, w) rows)
+    def round1(v: DataFrame): (DataFrame, DataFrame) = {
+      val s = c.crossJoin(v).select(dot(col("c"), col("v")).as("s"), col("c"))
+      val w = s
+        .select(col("s"), posexplode(col("c")).as(Seq("pos", "cj")))
+        .groupBy("pos")
+        .agg(round(sum((col("s") * col("cj")).cast("decimal(38,18)")).cast("double"), 6).as("w"))
+      val n2 = w.agg(sum((col("w") * col("w")).cast("decimal(38,18)")).cast("double").as("n2"))
+      val vNext = w.crossJoin(n2)
+        .select(col("pos"), round(col("w") / sqrt(col("n2")), 6).as("v"))
+        .agg(orderedArray(col("pos"), col("v")).as("v"))
+      (vNext, w)
+    }
+
+    val v0 = spark.range(1).select(array_repeat(lit(0.125), lit(64)).as("v"))
+    var vCur = v0
+    var vPrev = v0
+    var wFinal: DataFrame = null
+    for (_ <- 1 to iters) {
+      vPrev = vCur
+      val (vn, w) = round1(vCur)
+      vCur = vn
+      wFinal = w
+    }
+    (PcaChain(c, vPrev, vCur, wFinal), emb)
+  }
+
+  /** Per-vector projection onto the converged iterate — the "use the
+    * component" step (1-D PCA feature / outlier score): score = c·v,
+    * top-20 by |score| (vec_id tiebreak). Extremes both ways are the
+    * interesting rows, hence the abs ranking. Reuses the SAME chain (and
+    * the same generated CTEs in the oracle) as [[pcaPower]]; the scoring
+    * pass is one broadcast of the 1-row v plus a TakeOrdered top-k — at
+    * 100 TB a map pass, no extra shuffle.
+    */
+  def pcaScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val (chain, _) = pcaChain(spark, sfDir, PcaIters)
+    chain.c
+      .crossJoin(chain.vFinal)
+      .select(col("vec_id"), round(dot(col("c"), col("v")), 6).as("score"))
+      .orderBy(abs(col("score")).desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** One generated power-iteration round: CTEs `s{i}`, `w{i}`, `n2{i}`,
+    * `v{i}` reading centered rows `c(vec_id, c)` and the previous round's
+    * 1-row vector relation `prevV(v)`. Mirrors [[pcaPower]]'s round1 step
+    * for step — one definition of the arithmetic per side, same rounding
+    * points.
+    */
+  private def pcaIterCtes(i: Int, prevV: String): String =
+    s"""s$i AS (SELECT vec_id, list_dot_product(c.c, $prevV.v) AS s FROM c, $prevV),
+       |w$i AS (
+       |  SELECT j - 1 AS pos,
+       |         ROUND(CAST(SUM(CAST(s * cj AS DECIMAL(38,18))) AS DOUBLE), 6) AS w
+       |  FROM (SELECT s$i.s, unnest(c.c) AS cj, generate_subscripts(c.c, 1) AS j
+       |        FROM c JOIN s$i USING (vec_id))
+       |  GROUP BY j),
+       |n2$i AS (SELECT CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE) AS n2 FROM w$i),
+       |v$i AS (SELECT list(ROUND(w / sqrt(n2), 6) ORDER BY pos) AS v FROM w$i, n2$i)""".stripMargin
+
+  /** Generated CTE prefix shared by the component and the scores oracles —
+    * centering, v0, and all [[PcaIters]] unrolled rounds.
+    */
+  private lazy val pcaChainSqlCtes: String = {
+    val iters = (1 to PcaIters).map(i => pcaIterCtes(i, if (i == 1) "v0" else s"v${i - 1}"))
+    s"""m AS (
+       |  SELECT i - 1 AS pos,
+       |         ROUND(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+       |               / CAST(COUNT(*) AS DOUBLE), 6) AS m
+       |  FROM (SELECT unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings)
+       |  GROUP BY i),
+       |mv AS (SELECT list(m ORDER BY pos) AS m FROM m),
+       |c AS (SELECT vec_id,
+       |             list_transform(range(1, len(embedding) + 1),
+       |                            j -> CAST(embedding[j] AS DOUBLE) - m[j]) AS c
+       |      FROM embeddings, mv),
+       |v0 AS (SELECT list_transform(range(1, 65), j -> 0.125) AS v),
+       |${iters.mkString(",\n")}""".stripMargin
+  }
+
+  lazy val pcaPowerSql: String =
+    s"""WITH $pcaChainSqlCtes,
+       |lam AS (
+       |  SELECT ROUND(CAST(SUM(CAST(vj * w AS DECIMAL(38,18))) AS DOUBLE)
+       |               / (SELECT CAST(COUNT(*) AS DOUBLE) FROM embeddings), 6) AS lambda
+       |  FROM (SELECT unnest(v) AS vj, generate_subscripts(v, 1) AS j
+       |        FROM v${PcaIters - 1}) vv
+       |  JOIN w$PcaIters ON vv.j - 1 = w$PcaIters.pos)
+       |SELECT j - 1 AS pos, vj AS loading, lambda
+       |FROM (SELECT unnest(v) AS vj, generate_subscripts(v, 1) AS j FROM v$PcaIters) vf, lam
+       |ORDER BY pos""".stripMargin
+
+  lazy val pcaScoresSql: String =
+    s"""WITH $pcaChainSqlCtes,
+       |sc AS (SELECT vec_id, ROUND(list_dot_product(c.c, v$PcaIters.v), 6) AS score
+       |       FROM c, v$PcaIters)
+       |SELECT vec_id, score FROM sc ORDER BY abs(score) DESC, vec_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x6_dim_stats" -> (dimStats _),
+    "x6_pca_power" -> (pcaPower _),
+    "x6_pca_scores" -> (pcaScores _),
     "x6_quantize_int8" -> (quantizeInt8 _),
     "x3_knn_cosine" -> (knnCosine _),
     "x3_knn_lsh" -> (knnLsh _),
@@ -1003,6 +1233,9 @@ object VectorOps {
     "x6_centroids" -> (centroids _))
 
   val oracle: Map[String, String] = Map(
+    "x6_dim_stats" -> dimStatsSql,
+    "x6_pca_power" -> pcaPowerSql,
+    "x6_pca_scores" -> pcaScoresSql,
     "x6_quantize_int8" -> quantizeInt8Sql,
     "x3_knn_cosine" -> knnCosineSql,
     "x3_knn_lsh" -> knnLshSql,

@@ -176,4 +176,18 @@ class InvariantSpec extends SparkSpec {
       .map(_.getString(0)).toSet
     exact.foreach(t => assert(approx.contains(t), s"exact-top-10 token '$t' missing"))
   }
+
+  test("event transitions: counts conserve (events - active users) and rows normalize to 1") {
+    val rows = graft.queries.EventQueries.eventTransitions(spark, sf001).collect()
+    val events = graft.model.Tables.events(spark, sf001)
+    // each user with n events contributes exactly n-1 transitions
+    val expected = events.count() - events.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === expected)
+    // per-from_type probabilities sum to 1 (integer-exact numerators)
+    rows.groupBy(_.getString(0)).foreach { case (ft, rs) =>
+      val p = rs.map(_.getDouble(4)).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"P(.|$ft) sums to $p")
+    }
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(2), "n_users cannot exceed n_transitions"))
+  }
 }

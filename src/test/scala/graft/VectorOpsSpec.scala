@@ -134,6 +134,42 @@ class VectorOpsSpec extends SparkSpec {
     assert((lshTop -- brute).size < lsh.length) // overlap exists (pruned recall)
   }
 
+  test("dimStats: one row per dimension, std >= 0, mean inside [min, max]") {
+    val rows = VectorOps.dimStats(spark, sf001).collect()
+    assert(rows.length === 64)
+    assert(rows.map(_.getLong(1)).distinct.length === 1, "every dim sees every vector")
+    rows.foreach { r =>
+      val (mean, std, mn, mx) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(std >= 0.0)
+      assert(mean >= mn - 1e-6 && mean <= mx + 1e-6)
+      assert(mn <= mx)
+    }
+  }
+
+  test("pcaPower: unit loadings; lambda beats every single-axis variance and is monotone in rounds") {
+    val rows = VectorOps.pcaPower(spark, sf001).collect()
+    assert(rows.length === 64)
+    val norm2 = rows.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"loadings norm^2 $norm2")
+    val lam3 = rows.head.getDouble(2)
+    // the iterate must explain at least as much variance as any raw axis
+    val maxAxisVar = VectorOps.dimStats(spark, sf001).collect()
+      .map(r => math.pow(r.getDouble(3), 2)).max
+    assert(lam3 >= maxAxisVar - 1e-6, s"lambda $lam3 vs max axis var $maxAxisVar")
+    // Rayleigh quotient is non-decreasing along power iteration
+    val lam1 = VectorOps.pcaPowerOf(spark, sf001, 1).collect().head.getDouble(2)
+    assert(lam3 >= lam1 - 1e-6, s"lambda must not decrease: $lam1 -> $lam3")
+  }
+
+  test("pcaScores: 20 rows ranked by |projection|, consistent with the component's scale") {
+    val rows = VectorOps.pcaScores(spark, sf001).collect()
+    assert(rows.length === 20)
+    val absScores = rows.map(r => math.abs(r.getDouble(1)))
+    assert(absScores.sliding(2).forall(p => p(0) >= p(1) - 1e-9), "must be |score|-descending")
+    assert(absScores.head > 0.0, "top projection must be non-trivial")
+  }
+
   test("PQ knn: trained codebooks, full k, and useful ADC recall vs brute force") {
     // init slices must tile the label centroid exactly (the deterministic seed)
     val init = VectorOps.pqCodebooksInit(spark, sf001)
