@@ -90,10 +90,18 @@ object SpanDedup {
     * occurrences also appear in at least one OTHER document. The curation
     * decision this feeds: docs above a dup_frac threshold are trimmed or
     * dropped even when no whole-document twin exists.
+    *
+    * The distinct-doc count per gram is a WINDOW over the (doc, gram)
+    * aggregate, not a groupBy(g)-and-join-back: the join form computes the
+    * dg subtree twice (exchange reuse does not fire across the broadcast
+    * boundary — verified in the executed plan at local[32]), i.e. two full
+    * corpus scans at 100 TB; the window form is one linear pipeline —
+    * scan → (doc,g) agg → g-partitioned window → doc agg — with exactly
+    * one scan and three keyed exchanges.
     */
   def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val dg = docGrams(gramOccurrences(Tables.documents(spark, sfDir)))
-    dg.join(gramDocs(dg), "g")
+    dg.withColumn("n_docs", count(lit(1)).over(Window.partitionBy("g")))
       .groupBy("doc_id")
       .agg(
         sum("cnt").cast("bigint").as("n_grams"),
@@ -108,14 +116,14 @@ object SpanDedup {
 
   val spanDedupSql: String =
     s"""$gramCtes,
-       |gd AS (SELECT g, COUNT(*) AS n_docs FROM dg GROUP BY g)
-       |SELECT dg.doc_id,
+       |dgw AS (SELECT doc_id, cnt, COUNT(*) OVER (PARTITION BY g) AS n_docs FROM dg)
+       |SELECT doc_id,
        |       CAST(SUM(cnt) AS BIGINT) AS n_grams,
        |       CAST(SUM(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_grams,
        |       ROUND(CAST(SUM(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
        |             / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_frac
-       |FROM dg JOIN gd USING (g)
-       |GROUP BY dg.doc_id ORDER BY doc_id""".stripMargin
+       |FROM dgw
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Maximal duplicated runs per document (gaps-and-islands over dup
     * positions): how LONG the copied blocks are, not just how much is
@@ -173,8 +181,9 @@ object SpanDedup {
     */
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     val dg = docGrams(gramOccurrences(Tables.documents(spark, sfDir)))
-    val firstDoc = dg.groupBy("g").agg(min("doc_id").as("first_doc"))
-    dg.join(firstDoc, "g")
+    // window-min over the (doc, gram) aggregate — same single-scan linear
+    // pipeline rationale as [[spanDedup]]
+    dg.withColumn("first_doc", min("doc_id").over(Window.partitionBy("g")))
       .groupBy("doc_id")
       .agg(
         sum("cnt").cast("bigint").as("n_grams"),
@@ -189,14 +198,14 @@ object SpanDedup {
 
   val ngramNoveltySql: String =
     s"""$gramCtes,
-       |fo AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g)
-       |SELECT dg.doc_id,
+       |dgw AS (SELECT doc_id, cnt, MIN(doc_id) OVER (PARTITION BY g) AS first_doc FROM dg)
+       |SELECT doc_id,
        |       CAST(SUM(cnt) AS BIGINT) AS n_grams,
-       |       CAST(SUM(CASE WHEN dg.doc_id = first_doc THEN cnt ELSE 0 END) AS BIGINT) AS n_novel,
-       |       ROUND(CAST(SUM(CASE WHEN dg.doc_id = first_doc THEN cnt ELSE 0 END) AS DOUBLE)
+       |       CAST(SUM(CASE WHEN doc_id = first_doc THEN cnt ELSE 0 END) AS BIGINT) AS n_novel,
+       |       ROUND(CAST(SUM(CASE WHEN doc_id = first_doc THEN cnt ELSE 0 END) AS DOUBLE)
        |             / CAST(SUM(cnt) AS DOUBLE), 6) AS novelty
-       |FROM dg JOIN fo USING (g)
-       |GROUP BY dg.doc_id ORDER BY doc_id""".stripMargin
+       |FROM dgw
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_span_dedup" -> (spanDedup _),
