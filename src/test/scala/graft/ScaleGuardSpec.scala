@@ -135,6 +135,18 @@ class ScaleGuardSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"rank-limit not pushed:\n$plan")
   }
 
+  test("span dedup family is non-vacuous at sf0.01 AND sf0.1") {
+    for (sfDir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val cov = graft.text.SpanDedup.spanDedup(spark, sfDir)
+        .where($"n_dup_grams" > 0).count()
+      assert(cov > 0, s"$sfDir: no cross-doc duplicated spans — the coverage check is vacuous")
+      val runs = graft.text.SpanDedup.dupSpanRuns(spark, sfDir).count()
+      assert(runs === cov, s"$sfDir: runs rows ($runs) must equal docs with dup coverage ($cov)")
+      val recall = graft.text.Dedup.lshRecall(spark, sfDir).collect().head
+      assert(recall.getLong(0) > 0, s"$sfDir: no exact pairs at the LSH threshold")
+    }
+  }
+
   test("x2_jaccard_pairs is non-vacuous at sf0.01 AND sf0.1") {
     // a testdata refresh that moves the planted near-dups must not silently
     // turn the hash check into a 0-row tautology (the round-5 finding that
