@@ -243,9 +243,28 @@ object CorpusPipeline {
       |dup AS (SELECT node AS doc_id FROM compc WHERE node <> comp)""".stripMargin,
     recursive = true)
 
-  private def curateSqlWith(dupCtes: String, recursive: Boolean): String = {
-    val cfg = PinnedConfig
+  private def curateSqlWith(dupCtes: String, recursive: Boolean): String =
+    s"""${funnelCtes(dupCtes, recursive)}
+       |${curateFinalSelect()}""".stripMargin
+
+  private def curateFinalSelect(): String = {
     val (trainBound, valBound) = Sampling.splitBoundsHex()
+    s"""SELECT doc_id, i - 1 AS chunk_idx, array_to_string(chunk, ' ') AS text,
+       |       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$trainBound' THEN 'train'
+       |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$valBound' THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** The shared WITH-chain (train slices → quality → decontamination →
+    * exact dedup → MinHash pairs → `dup` policy → keep → chunks) — one
+    * generator feeds [[curateSql]], [[curateComponentsSql]] AND
+    * [[curateAttritionSql]], so the funnel the attrition report counts is
+    * definitionally the funnel the curated output flows through.
+    */
+  private def funnelCtes(dupCtes: String, recursive: Boolean): String = {
+    val cfg = PinnedConfig
     val lt = TextOps.chunkListSql("t")
     val shingleList =
       "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
@@ -284,13 +303,7 @@ object CorpusPipeline {
        |  WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
        |chunks AS (
        |  SELECT doc_id, unnest($lt) AS chunk, generate_subscripts($lt, 1) AS i
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM keep))
-       |SELECT doc_id, i - 1 AS chunk_idx, array_to_string(chunk, ' ') AS text,
-       |       CAST(len(chunk) AS BIGINT) AS n_tokens,
-       |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$trainBound' THEN 'train'
-       |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$valBound' THEN 'val'
-       |            ELSE 'test' END AS split
-       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM keep))""".stripMargin
   }
 
   /** Component-mode run of the same pinned funnel — the transitive
@@ -304,11 +317,47 @@ object CorpusPipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** The funnel ATTRITION report for the pinned run — one row per stage
+    * with the surviving row count, the observability artifact a curation
+    * run ships alongside its output (where did the corpus go?). Runs
+    * [[curate]] in audit mode: the stage counts are the funnel callback's
+    * six control-plane scalars (the ONLY driver-side values the pipeline
+    * produces — see the [[curate]] scaladoc), assembled into a 6-row
+    * DataFrame. The oracle recomputes every count from the SAME generated
+    * CTE chain the curated-output oracles use ([[funnelCtes]]), so a
+    * Spark-side stage drifting from its SQL twin breaks this hash gate
+    * even if the final curated rows happen to agree.
+    */
+  def curateAttritionQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    curate(trainWithMirrors(docs), evalSlice(docs), PinnedConfig, counts += _)
+    import spark.implicits._
+    counts.toSeq.zipWithIndex
+      .map { case ((stage, n), i) => (i, stage, n) }
+      .toDF("stage_idx", "stage", "n_rows")
+      .orderBy("stage_idx")
+  }
+
+  lazy val curateAttritionSql: String =
+    s"""${funnelCtes("dup AS (SELECT DISTINCT d2 AS doc_id FROM mp_pairs)", recursive = false)},
+       |counts AS (
+       |            SELECT 0 AS stage_idx, 'input' AS stage,
+       |                   CAST(COUNT(*) AS BIGINT) AS n_rows FROM train
+       |  UNION ALL SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT) FROM quality
+       |  UNION ALL SELECT 2, 'decontaminated', CAST(COUNT(*) AS BIGINT) FROM clean
+       |  UNION ALL SELECT 3, 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM exact
+       |  UNION ALL SELECT 4, 'near_dedup', CAST(COUNT(*) AS BIGINT) FROM keep
+       |  UNION ALL SELECT 5, 'chunks', CAST(COUNT(*) AS BIGINT) FROM chunks)
+       |SELECT stage_idx, stage, n_rows FROM counts ORDER BY stage_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_curate" -> (curateQuery _),
-    "t_curate_components" -> (curateComponentsQuery _))
+    "t_curate_components" -> (curateComponentsQuery _),
+    "t_curate_attrition" -> (curateAttritionQuery _))
 
   val oracle: Map[String, String] = Map(
     "t_curate" -> curateSql,
-    "t_curate_components" -> curateComponentsSql)
+    "t_curate_components" -> curateComponentsSql,
+    "t_curate_attrition" -> curateAttritionSql)
 }

@@ -157,8 +157,13 @@ object CurationOps {
   def surprisal(spark: SparkSession, sfDir: String): DataFrame =
     surprisalOf(Tables.documents(spark, sfDir))
 
-  val surprisalSql: String =
-    """WITH toks AS (
+  /** The toks→vocab→total→surp CTE chain and the per-doc aggregate SELECT,
+    * factored so [[surprisalSql]] and [[perplexityBucketsSql]] share one
+    * definition of the score (no drift surface between the standalone
+    * oracle and the bucketed one).
+    */
+  private val surprisalCtes: String =
+    """toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       |vocab AS (
       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
@@ -168,11 +173,69 @@ object CurationOps {
       |  SELECT tok,
       |         CAST(length(format('{:b}', total.total))
       |              - length(format('{:b}', cnt)) AS BIGINT) AS surp
-      |  FROM vocab CROSS JOIN total)
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  FROM vocab CROSS JOIN total)""".stripMargin
+
+  private val surprisalDocAggSql: String =
+    """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
       |       round(CAST(SUM(surp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS surprisal
       |FROM toks JOIN surp USING (tok)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |GROUP BY doc_id""".stripMargin
+
+  val surprisalSql: String =
+    s"""WITH $surprisalCtes
+       |$surprisalDocAggSql ORDER BY doc_id""".stripMargin
+
+  // ---- Perplexity bucketing (CCNet-style head/middle/tail) ----
+
+  /** Tertile partition of the corpus by mean unigram surprisal — the
+    * CCNet-style head/middle/tail stratification web pipelines apply
+    * before sampling (head = most-predictable third under the LM, tail =
+    * least). Buckets are exact tertiles over (surprisal, doc_id) — the id
+    * tiebreak makes the assignment total-ordered and therefore
+    * deterministic cross-engine — and the report is one row per bucket:
+    * doc count, token mass, and the surprisal range it spans.
+    *
+    * Shape at 100 TB: the per-doc score inherits [[surprisalOf]]'s linear
+    * shape; the NTILE here is a single global sort, which is the EXACT
+    * form the oracle can check. The production form at corpus scale is
+    * two-pass: collect the two tertile cutoffs via approx_percentile (a
+    * 2-scalar control-plane collect), then bucket scan-side with a CASE —
+    * identical output shape, no global sort. The report aggregate itself
+    * is 3 rows either way.
+    */
+  def perplexityBucketsOf(docs: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("surprisal"), col("doc_id"))
+    surprisalOf(docs)
+      .select(col("doc_id"), col("n_tokens"), col("surprisal"),
+        ntile(3).over(w).cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("n_tokens"),
+        round(sum(col("surprisal").cast("decimal(38,18)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_surprisal"),
+        min(col("surprisal")).as("min_surprisal"),
+        max(col("surprisal")).as("max_surprisal"))
+      .orderBy("bucket")
+  }
+
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    perplexityBucketsOf(Tables.documents(spark, sfDir))
+
+  val perplexityBucketsSql: String =
+    s"""WITH $surprisalCtes,
+       |s AS (
+       |$surprisalDocAggSql),
+       |b AS (
+       |  SELECT doc_id, n_tokens, surprisal,
+       |         CAST(NTILE(3) OVER (ORDER BY surprisal, doc_id) AS INTEGER) AS bucket
+       |  FROM s)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |       ROUND(CAST(SUM(CAST(surprisal AS DECIMAL(38,18))) AS DOUBLE)
+       |             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_surprisal,
+       |       MIN(surprisal) AS min_surprisal, MAX(surprisal) AS max_surprisal
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---- PII redaction ----
 
@@ -316,6 +379,7 @@ object CurationOps {
     "t_repetition" -> (repetition _),
     "t_tfidf_topterms" -> (tfidfTopTerms _),
     "t_surprisal" -> (surprisal _),
+    "t_perplexity_buckets" -> (perplexityBuckets _),
     "t_pii_scrub" -> (piiScrub _),
     "t_source_cap" -> (sourceCap _))
 
@@ -324,6 +388,7 @@ object CurationOps {
     "t_repetition" -> repetitionSql,
     "t_tfidf_topterms" -> tfidfTopTermsSql,
     "t_surprisal" -> surprisalSql,
+    "t_perplexity_buckets" -> perplexityBucketsSql,
     "t_pii_scrub" -> piiScrubSql,
     "t_source_cap" -> sourceCapSql)
 }

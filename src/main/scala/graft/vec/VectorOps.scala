@@ -1033,6 +1033,70 @@ object VectorOps {
       |       min_val, max_val
       |FROM s ORDER BY pos""".stripMargin
 
+  // ---- Source-centroid similarity (domain-mixture analysis) ----
+
+  /** Pairwise cosine between per-source embedding centroids — the
+    * domain-similarity matrix a mixture designer reads before setting
+    * sampling weights (near-identical sources are redundant mass;
+    * orthogonal ones are coverage). Joins embeddings to documents on the
+    * shared id space, mean-pools per (source, dimension), then compares
+    * every source pair.
+    *
+    * Shape at 100 TB: the corpus-sized work is ONE pass — posexplode to
+    * (source, pos, value) rows whose (source, pos)-keyed aggregate is
+    * map-side combinable, so the exchange carries n_sources × dim partial
+    * sums per task, not data. Everything after operates on the centroid
+    * matrix (n_sources × dim — control-plane sized for any real source
+    * taxonomy), and the pair join broadcasts it. DECIMAL(38,18) partial
+    * sums keep both the pooling and the dot products merge-order exact
+    * (file header / SURVEY.md §7.5).
+    */
+  def sourceSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val cents = Tables.embeddings(spark, sfDir)
+      .join(src, Seq("vec_id"))
+      .select(col("source"), posexplode(embDouble).as(Seq("pos", "e")))
+      .groupBy("source", "pos")
+      .agg((sum(col("e").cast("decimal(38,18)")).cast("double")
+        / count(lit(1)).cast("double")).as("m"))
+    val a = cents.select(col("source").as("src1"), col("pos"), col("m").as("m1"))
+    val b = cents.select(col("source").as("src2"), col("pos"), col("m").as("m2"))
+    a.join(broadcast(b), Seq("pos"))
+      .where(col("src1") < col("src2"))
+      .groupBy("src1", "src2")
+      .agg(
+        sum((col("m1") * col("m2")).cast("decimal(38,18)")).cast("double").as("dot"),
+        sum((col("m1") * col("m1")).cast("decimal(38,18)")).cast("double").as("n1"),
+        sum((col("m2") * col("m2")).cast("decimal(38,18)")).cast("double").as("n2"))
+      .select(col("src1"), col("src2"),
+        round(col("dot") / (sqrt(col("n1")) * sqrt(col("n2"))), 6).as("cos_sim"))
+      .orderBy("src1", "src2")
+  }
+
+  val sourceSimilaritySql: String =
+    """WITH j AS (
+      |  SELECT d.source, e.embedding
+      |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+      |x AS (
+      |  SELECT source, CAST(e AS DOUBLE) AS e, i
+      |  FROM (SELECT source, unnest(embedding) AS e,
+      |               generate_subscripts(embedding, 1) AS i FROM j)),
+      |c AS (
+      |  SELECT source, i,
+      |         CAST(SUM(CAST(e AS DECIMAL(38,18))) AS DOUBLE)
+      |           / CAST(COUNT(*) AS DOUBLE) AS m
+      |  FROM x GROUP BY source, i),
+      |p AS (
+      |  SELECT a.source AS src1, b.source AS src2,
+      |         CAST(SUM(CAST(a.m * b.m AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+      |         CAST(SUM(CAST(a.m * a.m AS DECIMAL(38,18))) AS DOUBLE) AS n1,
+      |         CAST(SUM(CAST(b.m * b.m AS DECIMAL(38,18))) AS DOUBLE) AS n2
+      |  FROM c a JOIN c b ON a.i = b.i AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src1, src2, ROUND(dot / (sqrt(n1) * sqrt(n2)), 6) AS cos_sim
+      |FROM p ORDER BY src1, src2""".stripMargin
+
   /** Sort-free ordered reassembly: collect (pos, v) structs, sort by pos,
     * project the value — the deterministic array_agg-ORDER-BY shape Spark
     * lacks natively.
@@ -1218,6 +1282,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x6_dim_stats" -> (dimStats _),
+    "x6_source_similarity" -> (sourceSimilarity _),
     "x6_pca_power" -> (pcaPower _),
     "x6_pca_scores" -> (pcaScores _),
     "x6_quantize_int8" -> (quantizeInt8 _),
@@ -1234,6 +1299,7 @@ object VectorOps {
 
   val oracle: Map[String, String] = Map(
     "x6_dim_stats" -> dimStatsSql,
+    "x6_source_similarity" -> sourceSimilaritySql,
     "x6_pca_power" -> pcaPowerSql,
     "x6_pca_scores" -> pcaScoresSql,
     "x6_quantize_int8" -> quantizeInt8Sql,

@@ -55,6 +55,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(r(2L)._2 > r(1L)._2)
   }
 
+  test("perplexity buckets: tertiles by surprisal, mass conserved, means ordered") {
+    // a skewed vocab makes per-doc surprisal hand-checkable: counts
+    // common:4 mid:2 rare:1, total 7 (bitlen 3) → surp(common)=3-3=0,
+    // surp(mid)=3-2=1, surp(rare)=3-1=2. Doc scores: 1..4 → 0, 5 → 1,
+    // 6 → 2; sorted by (surprisal, doc_id) NTILE(3) over 6 rows buckets
+    // {1,2},{3,4},{5,6} with means 0, 0, (1+2)/2.
+    val docs = Seq(
+      (1L, "common"), (2L, "common"), (3L, "common"), (4L, "common"),
+      (5L, "mid mid"), (6L, "rare"))
+      .toDF("doc_id", "text")
+    val b = CurationOps.perplexityBucketsOf(docs)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(b.map(_._1).toSeq === Seq(1, 2, 3))
+    assert(b.map(_._2).sum === 6L) // every doc in exactly one bucket
+    assert(b.map(_._3).sum === 7L) // token mass conserved
+    // means never decrease with bucket rank (tail = least predictable)
+    assert(b.map(_._4).toSeq === b.map(_._4).toSeq.sorted)
+    assert(b.last._4 === 1.5) // (1 + 2) / 2 for {doc5, doc6}
+  }
+
   test("pii scrub: stamped emails and ips are counted and redacted") {
     val docs = Seq(
       (0L, "plain words here"), // %7 and %11 → both stamped

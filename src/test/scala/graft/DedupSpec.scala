@@ -71,6 +71,22 @@ class DedupSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("curateAttritionQuery: stage order pinned, counts monotone, input count exact") {
+    import graft.text.CorpusPipeline
+    val rows = CorpusPipeline.curateAttritionQuery(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(t => (t._1, t._2)).toSeq === Seq(
+      (0, "input"), (1, "quality"), (2, "decontaminated"),
+      (3, "exact_dedup"), (4, "near_dedup"), (5, "chunks")))
+    val n = rows.map(_._3)
+    // doc stages only shrink; chunking may split docs so stage 5 is exempt
+    assert(n.take(5).toSeq === n.take(5).toSeq.sortBy(-_), s"funnel not monotone: ${n.toSeq}")
+    assert(n.forall(_ > 0), s"vacuous stage in ${rows.toSeq}")
+    val expectedInput = CorpusPipeline
+      .trainWithMirrors(graft.model.Tables.documents(spark, sf001)).count()
+    assert(n.head === expectedInput)
+  }
+
   test("decontamination: only train docs sharing an eval trigram are flagged, with exact counts") {
     val train = Seq(
       (1L, "the quick brown fox jumps high"), // shares "the quick brown" + "quick brown fox"

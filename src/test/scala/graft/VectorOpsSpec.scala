@@ -147,6 +147,22 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("sourceSimilarity: all unordered source pairs once, cosines in [-1,1]") {
+    val rows = VectorOps.sourceSimilarity(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val nSrc = graft.model.Tables.documents(spark, sf001)
+      .select("source").distinct().count()
+    assert(rows.length === (nSrc * (nSrc - 1) / 2), "each unordered pair exactly once")
+    rows.foreach { case (s1, s2, c) =>
+      assert(s1 < s2, s"pair ($s1,$s2) not in canonical order")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cosine $c out of range")
+    }
+    // mean-pooled centroids of a shared synthetic distribution are far
+    // from orthogonal — a degenerate all-zero or all-one matrix would
+    // mean the per-source pooling silently collapsed
+    assert(rows.map(_._3).distinct.length > 1, "similarity matrix is constant")
+  }
+
   test("pcaPower: unit loadings; lambda beats every single-axis variance and is monotone in rounds") {
     val rows = VectorOps.pcaPower(spark, sf001).collect()
     assert(rows.length === 64)
