@@ -204,6 +204,54 @@ object Dedup {
       |WHERE s.doc_id < 280
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 
+  /** The eval-side view of decontamination — per BENCHMARK doc, how
+    * compromised is it: how many train docs share at least one of its
+    * trigram shingles, and how many of its distinct shingles appear
+    * anywhere in the train corpus. [[decontaminateOf]] answers "which
+    * train docs to drop"; this answers "which eval items stop measuring
+    * generalization" — the leaderboard-integrity report a benchmark owner
+    * runs against a training corpus. Same pinned slices as
+    * `t_decontaminate` (train ids < 280, eval 280–299), so the two reports
+    * describe the same overlap from both ends.
+    *
+    * Shape at 100 TB: identical to decontamination — the eval shingle set
+    * broadcasts (eval benchmarks are fixed-size; see [[decontaminateOf]]),
+    * the train corpus streams through the probe once, and the aggregate is
+    * keyed by eval doc: n_eval_docs × 2 counters of state. The
+    * count-distincts are over (eval_id, train_id) and (eval_id, shingle)
+    * pairs that SURVIVED the broadcast probe — contamination-sized, not
+    * corpus-sized.
+    */
+  def evalOverlapOf(train: DataFrame, eval: DataFrame): DataFrame =
+    shingleRows(eval)
+      .select(col("doc_id").as("eval_id"), col("sh"))
+      .join(shingleRowsMulti(train).select(col("doc_id").as("train_id"), col("sh")), "sh")
+      .groupBy("eval_id")
+      .agg(
+        countDistinct(col("train_id")).as("n_train_docs"),
+        countDistinct(col("sh")).as("n_shared_shingles"))
+      .orderBy("eval_id")
+
+  def evalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 300)
+    evalOverlapOf(docs.where(col("doc_id") < 280), docs.where(col("doc_id") >= 280))
+  }
+
+  val evalOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 300),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id < 280),
+      |ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id >= 280)
+      |SELECT e.eval_id, CAST(COUNT(DISTINCT t.train_id) AS BIGINT) AS n_train_docs,
+      |       CAST(COUNT(DISTINCT e.sh) AS BIGINT) AS n_shared_shingles
+      |FROM ev e JOIN tr t ON e.sh = t.sh
+      |GROUP BY e.eval_id ORDER BY e.eval_id""".stripMargin
+
   // ---- MinHash + LSH banding (the 100 TB near-dup path) ----
   //
   // Hash family is md5-derived — engine-portable by construction, so the
@@ -802,7 +850,8 @@ object Dedup {
     "x2_simhash_pairs" -> (simhashPairs _),
     "t_lsh_recall" -> (lshRecall _),
     "t_threshold_sweep" -> (thresholdSweep _),
-    "t_decontaminate" -> (decontaminate _))
+    "t_decontaminate" -> (decontaminate _),
+    "t_eval_overlap" -> (evalOverlap _))
 
   val oracle: Map[String, String] = Map(
     "t_dedup_delta" -> dedupDeltaSql,
@@ -813,5 +862,6 @@ object Dedup {
     "x2_simhash_pairs" -> simhashPairsSql,
     "t_lsh_recall" -> lshRecallSql,
     "t_threshold_sweep" -> thresholdSweepSql,
-    "t_decontaminate" -> decontaminateSql)
+    "t_decontaminate" -> decontaminateSql,
+    "t_eval_overlap" -> evalOverlapSql)
 }

@@ -2,6 +2,7 @@ package graft.vec
 
 import graft.model.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding-column operators (SURVEY.md X-3/X-4/X-6): cosine top-k search,
@@ -122,6 +123,65 @@ object VectorOps {
         round(sim, 6).as("sim"))
       .orderBy("v1", "v2")
   }
+
+  /** Neighbors per node in [[knnGraph]] before the mutuality filter. */
+  val KnnGraphK = 3
+
+  /** Mutual k-NN graph over the embedding corpus — the index structure
+    * graph-ANN methods (NN-descent seeding, HNSW base layers) and
+    * graph-based semantic dedup consume. Per node: its [[KnnGraphK]]
+    * nearest same-label neighbors by cosine; an edge survives only if BOTH
+    * endpoints rank each other (mutuality symmetrizes the graph and prunes
+    * hub edges), emitted once in (src < dst) canonical order.
+    *
+    * Shape at 100 TB: label plays the IVF coarse cell — the exact
+    * all-pairs work is BLOCKED per cell (the per-cell brute force every
+    * IVF-style graph build bottoms out in), so the pair space is
+    * Σ|cell|², never |corpus|²; the top-k is a per-src window inside the
+    * cell and the mutuality check a self-semi-join on the (src, dst) edge
+    * key. Rounded-cosine ordering with a dst tiebreak keeps rank
+    * assignment total-ordered, so the graph is deterministic cross-engine.
+    */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), embDouble.as("emb"))
+    val sim = cosine(col("a.emb"), col("b.emb"))
+    val topk = e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("src"),
+        col("b.vec_id").as("dst"),
+        round(sim, 6).as("sim"))
+      .select(col("src"), col("dst"), col("sim"),
+        row_number().over(
+          Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))).as("rk"))
+      .where(col("rk") <= KnnGraphK)
+    val reverse = topk.select(col("dst").as("src"), col("src").as("dst"))
+    topk.join(reverse, Seq("src", "dst"), "left_semi")
+      .where(col("src") < col("dst"))
+      .select(col("src"), col("dst"), col("sim"))
+      .orderBy("src", "dst")
+  }
+
+  val knnGraphSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |t AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |         ROUND(list_dot_product(a.emb, b.emb)
+       |               / (sqrt(list_dot_product(a.emb, a.emb))
+       |                  * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT src, dst, sim,
+       |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
+       |  FROM t),
+       |k AS (SELECT src, dst, sim FROM r WHERE rk <= $KnnGraphK)
+       |SELECT k.src AS src, k.dst AS dst, k.sim AS sim
+       |FROM k JOIN k m ON k.src = m.dst AND k.dst = m.src
+       |WHERE k.src < k.dst
+       |ORDER BY k.src, k.dst""".stripMargin
 
   val simJoinSql: String =
     s"""WITH e AS (
@@ -1283,6 +1343,7 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x6_dim_stats" -> (dimStats _),
     "x6_source_similarity" -> (sourceSimilarity _),
+    "x3_knn_graph" -> (knnGraph _),
     "x6_pca_power" -> (pcaPower _),
     "x6_pca_scores" -> (pcaScores _),
     "x6_quantize_int8" -> (quantizeInt8 _),
@@ -1300,6 +1361,7 @@ object VectorOps {
   val oracle: Map[String, String] = Map(
     "x6_dim_stats" -> dimStatsSql,
     "x6_source_similarity" -> sourceSimilaritySql,
+    "x3_knn_graph" -> knnGraphSql,
     "x6_pca_power" -> pcaPowerSql,
     "x6_pca_scores" -> pcaScoresSql,
     "x6_quantize_int8" -> quantizeInt8Sql,

@@ -87,6 +87,20 @@ class DedupSpec extends SparkSpec {
     assert(n.head === expectedInput)
   }
 
+  test("evalOverlap: per-eval contamination counts hand-computed; untouched eval doc absent") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"), // shares 2 trigrams with eval 100
+      (2L, "a quick brown fox runs"), // shares 1 ("quick brown fox")
+      (3L, "unrelated text entirely here")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "the quick brown fox sleeps"),
+      (101L, "nothing in common at all")).toDF("doc_id", "text")
+    val r = Dedup.evalOverlapOf(train, eval)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(100L) === ((2L, 2L))) // docs {1,2}; shingles {"the quick brown", "quick brown fox"}
+    assert(!r.contains(101L), "clean eval doc must not appear in the overlap report")
+  }
+
   test("decontamination: only train docs sharing an eval trigram are flagged, with exact counts") {
     val train = Seq(
       (1L, "the quick brown fox jumps high"), // shares "the quick brown" + "quick brown fox"

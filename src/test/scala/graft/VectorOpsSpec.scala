@@ -163,6 +163,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows.map(_._3).distinct.length > 1, "similarity matrix is constant")
   }
 
+  test("knnGraph: canonical mutual edges, degree bounded by K, same-label endpoints") {
+    val edges = VectorOps.knnGraph(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(edges.nonEmpty, "mutual k-NN graph is empty")
+    assert(edges.forall { case (s, d, _) => s < d }, "edge not in canonical order")
+    assert(edges.map(e => (e._1, e._2)).distinct.length === edges.length, "duplicate edge")
+    edges.foreach { case (_, _, sim) => assert(sim >= -1.0 - 1e-9 && sim <= 1.0 + 1e-9) }
+    // mutuality caps degree at K: a node's mutual edges are a subset of
+    // its own top-K list
+    val degree = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map(_._2.length)
+    assert(degree.max <= VectorOps.KnnGraphK, s"degree ${degree.max} exceeds K")
+    val label = graft.model.Tables.embeddings(spark, sf001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(edges.forall { case (s, d, _) => label(s) == label(d) },
+      "edge crosses label cells — the blocking is broken")
+  }
+
   test("pcaPower: unit loadings; lambda beats every single-axis variance and is monotone in rounds") {
     val rows = VectorOps.pcaPower(spark, sf001).collect()
     assert(rows.length === 64)
