@@ -131,8 +131,26 @@ object Media {
         sum(round(element_at(col("feat"), 1) * 255).cast("long")).as("sum_feat0_255"))
       .orderBy("kind")
 
+  /** Driver-facing query over [[frameSampleStub]]: every sampled frame of
+    * every video payload, as (frame_id, b0, n_bytes) rows. Hash-checkable
+    * despite the typed flatMap: frame ids are arithmetic on the parent id,
+    * `b0` is the first payload byte after the per-frame XOR, and the DuckDB
+    * twin re-derives both from the `md5(text)` hex digits plus
+    * `range(0, n_frames, 2)` — so the 1→N explode shape (the thing a real
+    * frame sampler needs from the engine) is verified end to end, not just
+    * unit-tested.
+    */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    frameSampleStub(mediaTable(spark, sfDir), everyNth = 2)
+      .map(m => (m.media_id, java.lang.Byte.toUnsignedInt(m.content(0)).toLong, m.n_bytes.toLong))
+      .toDF("frame_id", "b0", "n_bytes")
+      .orderBy("frame_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m_media_features" -> (mediaFeatures _))
+    "m_media_features" -> (mediaFeatures _),
+    "m_frame_sample" -> (frameSample _))
 
   /** DuckDB twin: re-derives [[decodeStub]]'s byte math from `md5(text)` —
     * payload = `unhex(md5(text))`, so payload byte k is hex chars
@@ -151,5 +169,21 @@ object Media {
         |       CAST(sum(1 + (b0 % 64)) AS BIGINT) AS sum_width,
         |       CAST(sum(1 + (b1 % 64)) AS BIGINT) AS sum_height,
         |       CAST(sum(b0) AS BIGINT) AS sum_feat0_255
-        |FROM m GROUP BY kind ORDER BY kind""".stripMargin)
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+    // Twin of frameSample: videos are doc_id % 3 = 2 (element_at is
+    // 1-indexed on the kind seq); payload byte k = hex pair [2k+1, 2k+2] of
+    // md5(text); n_frames = 1 + (byte2 % 8); sampled f = range(0,n,2);
+    // b0 of a frame = xor(byte0, f) because the stub XORs every payload
+    // byte with the frame index.
+    "m_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(text), 1, 2))::BIGINT AS b0,
+        |         ('0x' || substr(md5(text), 5, 2))::BIGINT AS b2
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT v.doc_id * 1000 + f.f AS frame_id,
+        |       xor(v.b0, f.f) AS b0,
+        |       CAST(16 AS BIGINT) AS n_bytes
+        |FROM v, unnest(range(0, 1 + (v.b2 % 8), 2)) AS f(f)
+        |ORDER BY frame_id""".stripMargin)
 }

@@ -553,6 +553,80 @@ object TextOps {
        |ORDER BY quality DESC, doc_id""".stripMargin
   }
 
+  /** Vocabulary coverage curve — for the top-[[VocabCoverageK]] tokens by
+    * corpus frequency: rank, count, cumulative count, and the fraction of
+    * all token occurrences a vocab cut at that rank would cover. The curve
+    * every tokenizer-design loop reads off ("what OOV rate does a 32k
+    * vocab buy"). One hash aggregate over tokens, a top-k cut
+    * (TakeOrderedAndProject — only K rows cross the final exchange), then
+    * an ordered window over those K rows — the window input is
+    * vocab-cut-sized, never corpus-sized. `coverage` divides two exact
+    * BIGINTs and rounds to 6 dp, the engine-portable double recipe.
+    */
+  val VocabCoverageK = 50
+
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("token"))
+    val total = toks.agg(count(lit(1)).cast("bigint").as("total")).select("total")
+    val top = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token")).limit(VocabCoverageK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), asc("token"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .select(
+        row_number().over(w).cast("bigint").as("rk"),
+        col("token"), col("cnt"),
+        sum(col("cnt")).over(w).as("cum_cnt"),
+        round(sum(col("cnt")).over(w).cast("double") / col("total").cast("double"), 6)
+          .as("coverage"))
+      .orderBy("rk")
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+       |top AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM toks GROUP BY token
+       |  ORDER BY cnt DESC, token LIMIT $VocabCoverageK)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rk,
+       |       token, cnt,
+       |       CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt,
+       |       ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |         / CAST(tot.total AS DOUBLE), 6) AS coverage
+       |FROM top, tot ORDER BY rk""".stripMargin
+
+  /** Per-source corpus checksum — the ingest-integrity fingerprint a data
+    * version catalog records per shard: doc count, char volume, and an
+    * ORDER-INDEPENDENT content fingerprint (`bit_xor` of each doc's md5-60)
+    * so two ingests of the same docs match regardless of arrival order.
+    * XOR aggregation is the 100 TB shape: constant per-key state, partial
+    * merges commute, no sorted concatenation or collect_list of the shard's
+    * hashes (a Merkle-by-sorted-concat holds every member hash per group —
+    * memory grows with the shard; XOR holds 8 bytes).
+    */
+  def corpusChecksum(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars"), md5Hash60(col("text")).as("fp60"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"),
+        expr("bit_xor(fp60)").as("content_fp"))
+      .orderBy("source")
+
+  val corpusChecksumSql: String =
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |       bit_xor(${md5Hash60Sql("text")}) AS content_fp
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_budget" -> (tokenBudget _),
     "x5_text_stats" -> (textStats _),
@@ -565,7 +639,9 @@ object TextOps {
     "t_bigram_lm" -> (bigramLm _),
     "x5_approx_top_words" -> (approxTopWords _),
     "t_chunks" -> (chunkDocs _),
-    "t_packed" -> (packedDocs _))
+    "t_packed" -> (packedDocs _),
+    "t_vocab_coverage" -> (vocabCoverage _),
+    "t_corpus_checksum" -> (corpusChecksum _))
 
   val oracle: Map[String, String] = Map(
     "x5_text_stats" -> textStatsSql,
@@ -578,5 +654,7 @@ object TextOps {
     "t_bigram_lm" -> bigramLmSql,
     "t_chunks" -> chunkDocsSql,
     "t_packed" -> packedDocsSql,
-    "t_rolling_fp" -> rollingFingerprintSql)
+    "t_rolling_fp" -> rollingFingerprintSql,
+    "t_vocab_coverage" -> vocabCoverageSql,
+    "t_corpus_checksum" -> corpusChecksumSql)
 }

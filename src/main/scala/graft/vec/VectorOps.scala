@@ -164,8 +164,11 @@ object VectorOps {
       .orderBy("src", "dst")
   }
 
-  val knnGraphSql: String =
-    s"""WITH e AS (
+  /** CTE chain shared by [[knnGraphSql]] and [[triangleCountSql]]: `g` is
+    * the canonical mutual-k-NN edge set.
+    */
+  private val knnGraphCtes: String =
+    s"""e AS (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |t AS (
        |  SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -177,11 +180,75 @@ object VectorOps {
        |  SELECT src, dst, sim,
        |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
        |  FROM t),
-       |k AS (SELECT src, dst, sim FROM r WHERE rk <= $KnnGraphK)
-       |SELECT k.src AS src, k.dst AS dst, k.sim AS sim
-       |FROM k JOIN k m ON k.src = m.dst AND k.dst = m.src
-       |WHERE k.src < k.dst
-       |ORDER BY k.src, k.dst""".stripMargin
+       |k AS (SELECT src, dst, sim FROM r WHERE rk <= $KnnGraphK),
+       |g AS (
+       |  SELECT k.src AS src, k.dst AS dst, k.sim AS sim
+       |  FROM k JOIN k m ON k.src = m.dst AND k.dst = m.src
+       |  WHERE k.src < k.dst)""".stripMargin
+
+  val knnGraphSql: String =
+    s"WITH $knnGraphCtes\nSELECT src, dst, sim FROM g ORDER BY src, dst"
+
+  /** Triangle census of the mutual k-NN graph, per label cell: node count
+    * (nodes with ≥1 mutual edge), edge count, and triangle count — the
+    * local-clustering readout that distinguishes a tight semantic cluster
+    * (many triangles) from a hub-and-spoke artifact (none), computed the
+    * classical distributed way: because every edge is stored once in
+    * (src < dst) canonical orientation, a triangle {a<b<c} is found by
+    * exactly one join chain (a,b)⋈(b,c)⋈(a,c) — no ÷6 correction and no
+    * orientation shuffle. Join fan-out is bounded by the mutual degree
+    * (≤ [[KnnGraphK]]), the property that makes triangle counting on a
+    * k-NN graph linear-ish in edges rather than Σdeg² of a power-law
+    * graph. All-integer output.
+    */
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = knnGraph(spark, sfDir).select(col("src"), col("dst"))
+    val lab = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val nodes = g.select(col("src").as("v")).union(g.select(col("dst").as("v"))).distinct()
+      .join(lab, col("v") === col("vec_id"))
+      .groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    val edges = g.join(lab, col("src") === col("vec_id"))
+      .groupBy("label").agg(count(lit(1)).as("n_edges"))
+    val tris = g.as("ab")
+      .join(g.as("bc"), col("ab.dst") === col("bc.src"))
+      .join(g.as("ac"), col("ab.src") === col("ac.src") && col("bc.dst") === col("ac.dst"))
+      .select(col("ab.src").as("a"))
+      .join(lab, col("a") === col("vec_id"))
+      .groupBy("label").agg(count(lit(1)).as("n_triangles"))
+    nodes
+      .join(edges, Seq("label"), "left")
+      .join(tris, Seq("label"), "left")
+      .select(
+        col("label"),
+        col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("label")
+  }
+
+  val triangleCountSql: String =
+    s"""WITH $knnGraphCtes,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |n AS (
+       |  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |  FROM (SELECT src AS v FROM g UNION SELECT dst AS v FROM g) nv
+       |  JOIN lab l ON nv.v = l.vec_id GROUP BY l.label),
+       |ec AS (
+       |  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_edges
+       |  FROM g JOIN lab l ON g.src = l.vec_id GROUP BY l.label),
+       |tri AS (
+       |  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |  FROM g ab
+       |  JOIN g bc ON ab.dst = bc.src
+       |  JOIN g ac ON ab.src = ac.src AND bc.dst = ac.dst
+       |  JOIN lab l ON ab.src = l.vec_id
+       |  GROUP BY l.label)
+       |SELECT n.label, n.n_nodes,
+       |       COALESCE(ec.n_edges, 0)::BIGINT AS n_edges,
+       |       COALESCE(tri.n_triangles, 0)::BIGINT AS n_triangles
+       |FROM n LEFT JOIN ec ON n.label = ec.label
+       |       LEFT JOIN tri ON n.label = tri.label
+       |ORDER BY n.label""".stripMargin
 
   val simJoinSql: String =
     s"""WITH e AS (
@@ -1344,6 +1411,7 @@ object VectorOps {
     "x6_dim_stats" -> (dimStats _),
     "x6_source_similarity" -> (sourceSimilarity _),
     "x3_knn_graph" -> (knnGraph _),
+    "x4_triangle_count" -> (triangleCount _),
     "x6_pca_power" -> (pcaPower _),
     "x6_pca_scores" -> (pcaScores _),
     "x6_quantize_int8" -> (quantizeInt8 _),
@@ -1362,6 +1430,7 @@ object VectorOps {
     "x6_dim_stats" -> dimStatsSql,
     "x6_source_similarity" -> sourceSimilaritySql,
     "x3_knn_graph" -> knnGraphSql,
+    "x4_triangle_count" -> triangleCountSql,
     "x6_pca_power" -> pcaPowerSql,
     "x6_pca_scores" -> pcaScoresSql,
     "x6_quantize_int8" -> quantizeInt8Sql,

@@ -169,6 +169,65 @@ class InvariantSpec extends SparkSpec {
     assert(mirrors > 0)
   }
 
+  test("vocab coverage: prefix agrees with wordFreq, cumsum exact, coverage monotone to <1") {
+    val top = graft.text.TextOps.wordFreq(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val cov = graft.text.TextOps.vocabCoverage(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // sf0.001's synthetic vocab has ~31 distinct tokens — the cut returns
+    // min(K, |vocab|) rows
+    assert(cov.length >= 20 && cov.length <= graft.text.TextOps.VocabCoverageK)
+    // same ordering rule → the coverage table's first 20 rows ARE wordFreq
+    assert(cov.take(20).map(c => (c._2, c._3)).toSeq === top.toSeq)
+    assert(cov.map(_._1).toSeq === (1L to cov.length).toSeq, "rank not dense")
+    cov.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 === a._4 + b._3, "cumulative count broken")
+      assert(b._5 >= a._5, "coverage not monotone")
+      assert(a._3 >= b._3, "counts not non-increasing")
+    }
+    assert(cov.last._5 > 0.0 && cov.last._5 <= 1.0)
+    if (cov.length < graft.text.TextOps.VocabCoverageK)
+      assert(cov.last._5 === 1.0, "cut covers the whole vocab — coverage must close at 1")
+  }
+
+  test("corpus checksum: XOR fingerprint matches a driver-side recomputation per source") {
+    val got = graft.text.TextOps.corpusChecksum(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = graft.model.Tables.documents(spark, sf001)
+      .select("source", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fp60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      src -> ((rows.length.toLong, rows.map(_._3).sum, rows.map(r => fp60(r._2)).reduce(_ ^ _)))
+    }
+    assert(got === expected)
+  }
+
+  test("triangle census: per-label counts equal brute force over the collected knn graph") {
+    val edges = graft.vec.VectorOps.knnGraph(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val label = graft.model.Tables.embeddings(spark, sf001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val eset = edges.toSet
+    val byLabel = edges.groupBy(e => label(e._1))
+    val got = graft.vec.VectorOps.triangleCount(spark, sf001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === byLabel.keySet)
+    byLabel.foreach { case (l, es) =>
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.length.toLong
+      val tris = es.flatMap { case (a, b) =>
+        es.collect { case (b2, c) if b2 == b && eset.contains((a, c)) => (a, b, c) }
+      }.distinct.length.toLong
+      assert(got(l) === ((nodes, es.length.toLong, tris)), s"label $l census mismatch")
+    }
+    assert(got.values.map(_._3).sum > 0, "no triangles anywhere — census is vacuous")
+  }
+
   test("sketch ε-bound: approx_top_k(20) contains the exact top 10 tokens") {
     val exact = graft.text.TextOps.wordFreq(spark, sf001).collect()
       .take(10).map(_.getString(0))

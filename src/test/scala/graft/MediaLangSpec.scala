@@ -44,6 +44,25 @@ class MediaLangSpec extends SparkSpec {
     assert(out.map(_.media_id).sorted.toSeq === again.map(_.media_id).sorted.toSeq)
   }
 
+  test("m_frame_sample: frame ids, byte-XOR, and per-video frame counts re-derive from payloads") {
+    val rows = Media.frameSample(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 == 16L), "payload is an md5 digest — 16 bytes")
+    val videos = Media.mediaTable(spark, sf001).collect()
+      .filter(_.kind == "video").map(m => m.media_id -> m.content).toMap
+    val byParent = rows.groupBy(_._1 / 1000)
+    assert(byParent.keySet === videos.keySet, "every video sampled, nothing else")
+    byParent.foreach { case (id, fs) =>
+      val content = videos(id)
+      val nFrames = 1 + java.lang.Byte.toUnsignedInt(content(2)) % 8
+      val expect = (0 until nFrames by 2).map { f =>
+        (id * 1000 + f, (java.lang.Byte.toUnsignedInt(content(0)) ^ f).toLong, 16L)
+      }
+      assert(fs.sortBy(_._1).toSeq === expect, s"video $id frame set mismatch")
+    }
+  }
+
   test("partition-by-kind layout prunes other modalities at scan") {
     val out = java.nio.file.Files.createTempDirectory("media").toString
     Media.writePartitionedByKind(Media.mediaTable(spark, sf001), out)
