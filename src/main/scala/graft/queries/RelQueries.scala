@@ -506,7 +506,64 @@ object RelQueries {
       |FROM orders WHERE o_custkey < 100
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** CDC upsert apply — MERGE INTO semantics expressed relationally: a
+    * deterministic change batch (key-sliced from `orders`, op assigned by
+    * key residue) applied to a snapshot via ONE full outer join on the
+    * key. Matched+D deletes, matched+U/I updates, unmatched+U/I inserts,
+    * unmatched+D is a no-op — the full MERGE decision table, folded to a
+    * single audit row: per-op applied counts, before/after cardinality,
+    * and a `bit_xor` key fingerprint of the surviving set (the same
+    * order-independent checksum discipline as `t_corpus_checksum`, here
+    * proving WHICH rows survived, not just how many). At 100 TB this is
+    * the nightly-compaction shape: both sides shuffle once on the merge
+    * key; with the snapshot bucketed by key, only the (small) change
+    * batch moves.
+    */
+  def cdcUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val snap = ord.where(col("o_orderkey") % 4 =!= 3)
+      .select(col("o_orderkey").as("k"), lit(1L).as("in_snap"))
+    val chg = ord.where(col("o_orderkey") % 5 === 0)
+      .select(
+        col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 3 === 0, "D")
+          .when(col("o_orderkey") % 3 === 1, "U")
+          .otherwise("I").as("op"))
+    val matched = col("in_snap").isNotNull
+    val hasOp = col("op").isNotNull
+    val survives = (hasOp && col("op") =!= "D") || (!hasOp && matched)
+    snap.join(chg, Seq("k"), "full_outer")
+      .agg(
+        count(col("in_snap")).as("n_before"),
+        count(col("op")).as("n_changes"),
+        sum(when(matched && col("op") === "D", 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(matched && hasOp && col("op") =!= "D", 1L).otherwise(0L)).as("n_updated"),
+        sum(when(!matched && col("op") =!= "D", 1L).otherwise(0L)).as("n_inserted"),
+        sum(when(survives, 1L).otherwise(0L)).as("n_after"),
+        expr("bit_xor(CASE WHEN (op IS NOT NULL AND op <> 'D') OR (op IS NULL AND in_snap IS NOT NULL) THEN k END)")
+          .as("survivor_key_xor"))
+  }
+
+  val cdcUpsertSql: String =
+    """WITH snap AS (
+      |  SELECT o_orderkey AS k, 1::BIGINT AS in_snap FROM orders WHERE o_orderkey % 4 <> 3),
+      |chg AS (
+      |  SELECT o_orderkey AS k,
+      |         CASE o_orderkey % 3 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |j AS (SELECT COALESCE(s.k, c.k) AS k, s.in_snap, c.op
+      |      FROM snap s FULL OUTER JOIN chg c ON s.k = c.k)
+      |SELECT CAST(COUNT(in_snap) AS BIGINT) AS n_before,
+      |       CAST(COUNT(op) AS BIGINT) AS n_changes,
+      |       CAST(SUM(CASE WHEN in_snap IS NOT NULL AND op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+      |       CAST(SUM(CASE WHEN in_snap IS NOT NULL AND op IS NOT NULL AND op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+      |       CAST(SUM(CASE WHEN in_snap IS NULL AND op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+      |       CAST(SUM(CASE WHEN (op IS NOT NULL AND op <> 'D') OR (op IS NULL AND in_snap IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+      |       bit_xor(CASE WHEN (op IS NOT NULL AND op <> 'D') OR (op IS NULL AND in_snap IS NOT NULL) THEN k END) AS survivor_key_xor
+      |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_upsert" -> (cdcUpsert _),
     "q_rolling_window" -> (rollingWindow _),
     "q_grouping_sets" -> (groupingSetsAgg _),
     "q_stats_agg" -> (statsAgg _),
@@ -523,6 +580,7 @@ object RelQueries {
     "q_window_frames" -> (windowFrames _))
 
   val oracle: Map[String, String] = Map(
+    "q_cdc_upsert" -> cdcUpsertSql,
     "q_rolling_window" -> rollingWindowSql,
     "q_grouping_sets" -> groupingSetsAggSql,
     "q_stats_agg" -> statsAggSql,

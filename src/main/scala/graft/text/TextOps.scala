@@ -602,6 +602,28 @@ object TextOps {
        |         / CAST(tot.total AS DOUBLE), 6) AS coverage
        |FROM top, tot ORDER BY rk""".stripMargin
 
+  /** Frequency-of-frequencies (the Zipf/heaps readout): for each observed
+    * token count c, how many distinct words occur exactly c times. The
+    * hapax row (c = 1) sizes the vocabulary's long tail — the number every
+    * smoothing estimator (Good–Turing) and vocab-pruning decision starts
+    * from. Two chained hash aggregates, both partial-agg friendly; the
+    * second's key space is ǀdistinct countsǀ ≪ ǀvocabǀ. All-integer.
+    */
+  def zipfFreqOfFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .groupBy("freq").agg(count(lit(1)).as("n_words"))
+      .orderBy("freq")
+
+  val zipfFreqOfFreqSql: String =
+    """SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_words
+      |FROM (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY token)
+      |GROUP BY freq ORDER BY freq""".stripMargin
+
   /** Per-source corpus checksum — the ingest-integrity fingerprint a data
     * version catalog records per shard: doc count, char volume, and an
     * ORDER-INDEPENDENT content fingerprint (`bit_xor` of each doc's md5-60)
@@ -641,6 +663,7 @@ object TextOps {
     "t_chunks" -> (chunkDocs _),
     "t_packed" -> (packedDocs _),
     "t_vocab_coverage" -> (vocabCoverage _),
+    "t_zipf_ffreq" -> (zipfFreqOfFreq _),
     "t_corpus_checksum" -> (corpusChecksum _))
 
   val oracle: Map[String, String] = Map(
@@ -656,5 +679,6 @@ object TextOps {
     "t_packed" -> packedDocsSql,
     "t_rolling_fp" -> rollingFingerprintSql,
     "t_vocab_coverage" -> vocabCoverageSql,
+    "t_zipf_ffreq" -> zipfFreqOfFreqSql,
     "t_corpus_checksum" -> corpusChecksumSql)
 }

@@ -226,6 +226,68 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** Fixed-point scale and round count for [[pageRank]]. */
+  val PageRankScale = 1000000000000L
+  val PageRankRounds = 3
+
+  /** PageRank over the (undirected) mutual k-NN graph in INTEGER
+    * arithmetic — the centrality readout that ranks corpus exemplars
+    * (a high-rank node sits in a dense semantic neighborhood; graph-based
+    * sample-selection methods weight by exactly this). All ranks are
+    * BIGINTs at a 1e12 fixed-point scale and every division is integer
+    * division, so the iteration is bit-identical across engines — no
+    * double accumulation anywhere (the same determinism discipline as the
+    * decimal statsAgg family, but with floors instead of DECIMAL because
+    * rank mass conservation doesn't matter for ordering).
+    *
+    * Per round: contribution of u = rank(u) div deg(u) flows along each
+    * edge, one (src-keyed join + dst-keyed sum) pair — the classic
+    * edge-partitioned PageRank step (each round shuffles the edge list by
+    * src then by dst; at 100 TB pre-partition the adjacency by src and
+    * only the rank vector moves). [[PageRankRounds]] rounds unrolled,
+    * teleport 15% of the uniform base, damping 85%. Top-20 by final rank
+    * (rank desc, node asc — total order).
+    */
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = knnGraph(spark, sfDir).select(col("src"), col("dst"))
+    val adj = g.union(g.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val base = deg.agg((lit(PageRankScale) / count(lit(1))).cast("long").as("b"))
+    val degb = deg.crossJoin(broadcast(base))
+    var r = degb.select(col("src").as("v"), col("b").as("rank"))
+    for (_ <- 1 to PageRankRounds) {
+      r = adj
+        .join(degb, "src")
+        .join(r, col("v") === col("src"))
+        .groupBy(col("dst"))
+        .agg(
+          min(col("b")).as("b"),
+          sum(expr("rank div deg")).as("s"))
+        .select(
+          col("dst").as("v"),
+          expr("(15 * b) div 100 + (85 * s) div 100").as("rank"))
+    }
+    r.orderBy(desc("rank"), asc("v")).limit(20).select(col("v"), col("rank"))
+  }
+
+  val pageRankSql: String = {
+    def round(k: Int): String =
+      s"""r$k AS (
+         |  SELECT a.dst AS v,
+         |         (15 * MIN(b.b)) // 100 + (85 * SUM(r.pr // d.deg)) // 100 AS pr
+         |  FROM adj a JOIN deg d ON a.src = d.src
+         |             JOIN r${k - 1} r ON r.v = a.src, base b
+         |  GROUP BY a.dst)""".stripMargin
+    s"""WITH $knnGraphCtes,
+       |adj AS (SELECT src, dst FROM g UNION ALL SELECT dst AS src, src AS dst FROM g),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+       |base AS (SELECT $PageRankScale // COUNT(*) AS b FROM deg),
+       |r0 AS (SELECT d.src AS v, b.b AS pr FROM deg d, base b),
+       |${(1 to PageRankRounds).map(round).mkString(",\n")}
+       |SELECT v, pr AS rank FROM r$PageRankRounds
+       |ORDER BY pr DESC, v LIMIT 20""".stripMargin
+  }
+
   val triangleCountSql: String =
     s"""WITH $knnGraphCtes,
        |lab AS (SELECT vec_id, label FROM embeddings),
@@ -1412,6 +1474,7 @@ object VectorOps {
     "x6_source_similarity" -> (sourceSimilarity _),
     "x3_knn_graph" -> (knnGraph _),
     "x4_triangle_count" -> (triangleCount _),
+    "x4_pagerank" -> (pageRank _),
     "x6_pca_power" -> (pcaPower _),
     "x6_pca_scores" -> (pcaScores _),
     "x6_quantize_int8" -> (quantizeInt8 _),
@@ -1431,6 +1494,7 @@ object VectorOps {
     "x6_source_similarity" -> sourceSimilaritySql,
     "x3_knn_graph" -> knnGraphSql,
     "x4_triangle_count" -> triangleCountSql,
+    "x4_pagerank" -> pageRankSql,
     "x6_pca_power" -> pcaPowerSql,
     "x6_pca_scores" -> pcaScoresSql,
     "x6_quantize_int8" -> quantizeInt8Sql,

@@ -228,6 +228,57 @@ class InvariantSpec extends SparkSpec {
     assert(got.values.map(_._3).sum > 0, "no triangles anywhere — census is vacuous")
   }
 
+  test("pagerank: integer iteration matches a driver-side replay over the collected graph") {
+    val edges = graft.vec.VectorOps.knnGraph(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1))).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    val deg = adj.map { case (v, ns) => v -> ns.length.toLong }
+    val n = adj.size
+    val base = graft.vec.VectorOps.PageRankScale / n
+    var r = adj.keys.map(_ -> base).toMap
+    for (_ <- 1 to graft.vec.VectorOps.PageRankRounds)
+      r = adj.map { case (v, _) => v -> 0L } ++ // every node receives (symmetric graph)
+        (edges ++ edges.map(e => (e._2, e._1))).groupBy(_._2).map { case (v, in) =>
+          v -> ((15L * base) / 100 + 85L * in.map { case (u, _) => r(u) / deg(u) }.sum / 100)
+        }
+    val expect = r.toSeq.sortBy { case (v, pr) => (-pr, v) }.take(20)
+    val got = graft.vec.VectorOps.pageRank(spark, sf001).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got === expect)
+    assert(got.nonEmpty && got.forall(_._2 > 0))
+  }
+
+  test("zipf freq-of-freq: Σ freq·n_words = corpus tokens; Σ n_words = vocab size") {
+    val ff = graft.text.TextOps.zipfFreqOfFreq(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val totalTokens = docs.select(explode(split(col("text"), " "))).count()
+    val vocab = docs.select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    assert(ff.map { case (f, w) => f * w }.sum === totalTokens)
+    assert(ff.map(_._2).sum === vocab)
+    assert(ff.map(_._1).distinct.length === ff.length, "freq key not unique")
+  }
+
+  test("cdc upsert: conservation n_after = n_before - deleted + inserted; xor replays") {
+    val r = RelQueries.cdcUpsert(spark, sf001).collect().head
+    val (before, changes, del, upd, ins, after, xorFp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(after === before - del + ins)
+    val keys = graft.model.Tables.orders(spark, sf001).select("o_orderkey").collect().map(_.getLong(0))
+    val snap = keys.filter(_ % 4 != 3).toSet
+    val chg = keys.filter(_ % 5 == 0).map(k => k -> (k % 3 match {
+      case 0 => "D"; case 1 => "U"; case _ => "I"
+    })).toMap
+    assert(before === snap.size.toLong && changes === chg.size.toLong)
+    assert(del === chg.count { case (k, op) => op == "D" && snap(k) }.toLong)
+    assert(upd === chg.count { case (k, op) => op != "D" && snap(k) }.toLong)
+    assert(ins === chg.count { case (k, op) => op != "D" && !snap(k) }.toLong)
+    val survivors = (snap -- chg.filter(_._2 == "D").keySet) ++ chg.filter(_._2 != "D").keySet
+    assert(after === survivors.size.toLong)
+    assert(xorFp === survivors.reduce(_ ^ _))
+  }
+
   test("sketch ε-bound: approx_top_k(20) contains the exact top 10 tokens") {
     val exact = graft.text.TextOps.wordFreq(spark, sf001).collect()
       .take(10).map(_.getString(0))
