@@ -40,6 +40,7 @@ object SparkEntry {
       graft.vec.VectorOps.queries ++
       graft.graph.Components.queries ++
       graft.multimodal.Media.queries ++
+      graft.sources.Sinks.queries ++
       graft.streaming.CorpusStreaming.queries ++
       graft.streaming.EventStreaming.queries
 
@@ -66,6 +67,7 @@ object SparkEntry {
       graft.vec.VectorOps.oracle ++
       graft.graph.Components.oracle ++
       graft.multimodal.Media.oracle ++
+      graft.sources.Sinks.oracle ++
       graft.streaming.CorpusStreaming.oracle ++
       graft.streaming.EventStreaming.oracle
 }

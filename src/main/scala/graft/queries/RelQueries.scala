@@ -562,8 +562,81 @@ object RelQueries {
       |       bit_xor(CASE WHEN (op IS NOT NULL AND op <> 'D') OR (op IS NULL AND in_snap IS NOT NULL) THEN k END) AS survivor_key_xor
       |FROM j""".stripMargin
 
+  /** Ranking-function breadth (§2.5 completeness): RANK / DENSE_RANK /
+    * PERCENT_RANK / CUME_DIST over a tie-heavy ordering (ties are the
+    * point — they distinguish the four), plus FIRST_VALUE / NTH_VALUE
+    * over a fully-ordered running frame. Determinism rules: the tie-broken
+    * rank family is tie-stable (equal inputs get equal outputs), the value
+    * functions get a TOTAL order and an explicit frame, the two ratio
+    * outputs round to 6 dp, and the final ORDER BY is a total order.
+    */
+  def rankFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_rank")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderkey, o_custkey % 10 AS tie,
+        |       CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        |       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+        |       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+        |       FIRST_VALUE(o_orderkey) OVER w2 AS first_key,
+        |       NTH_VALUE(o_orderkey, 3) OVER w2 AS third_key
+        |FROM orders_rank WHERE o_orderkey < 500
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_custkey % 10),
+        |       w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin)
+  }
+
+  val rankFunctionsSql: String =
+    """SELECT o_orderstatus, o_orderkey, o_custkey % 10 AS tie,
+      |       CAST(RANK() OVER w AS BIGINT) AS rnk,
+      |       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+      |       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+      |       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+      |       FIRST_VALUE(o_orderkey) OVER w2 AS first_key,
+      |       NTH_VALUE(o_orderkey, 3) OVER w2 AS third_key
+      |FROM orders WHERE o_orderkey < 500
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_custkey % 10),
+      |       w2 AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
+  /** Wide→long unpivot (the melt half of the pivot pair; `q_pivot` is the
+    * long→wide half). Spark's `Dataset.unpivot` — the DuckDB twin uses
+    * three UNION ALL branches (the portable expansion every engine can
+    * run). Variable names carried from the wide column names so the two
+    * shapes are exact inverses.
+    */
+  def unpivotStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Tables.orders(spark, sfDir)
+      .groupBy((col("o_custkey") % 10).as("bucket"))
+      .agg(
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("O"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("F"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("P"))
+    wide.unpivot(
+        Array(col("bucket")),
+        Array(col("O"), col("F"), col("P")),
+        "status", "cnt")
+      .orderBy("bucket", "status")
+  }
+
+  val unpivotStatusSql: String =
+    """WITH wide AS (
+      |  SELECT o_custkey % 10 AS bucket,
+      |         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |  FROM orders GROUP BY 1)
+      |SELECT bucket, 'O' AS status, n_o AS cnt FROM wide
+      |UNION ALL SELECT bucket, 'F', n_f FROM wide
+      |UNION ALL SELECT bucket, 'P', n_p FROM wide
+      |ORDER BY bucket, status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_upsert" -> (cdcUpsert _),
+    "q_rank_functions" -> (rankFunctions _),
+    "q_unpivot" -> (unpivotStatus _),
     "q_rolling_window" -> (rollingWindow _),
     "q_grouping_sets" -> (groupingSetsAgg _),
     "q_stats_agg" -> (statsAgg _),
@@ -581,6 +654,8 @@ object RelQueries {
 
   val oracle: Map[String, String] = Map(
     "q_cdc_upsert" -> cdcUpsertSql,
+    "q_rank_functions" -> rankFunctionsSql,
+    "q_unpivot" -> unpivotStatusSql,
     "q_rolling_window" -> rollingWindowSql,
     "q_grouping_sets" -> groupingSetsAggSql,
     "q_stats_agg" -> statsAggSql,

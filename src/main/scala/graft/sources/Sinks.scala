@@ -57,6 +57,58 @@ object Sinks {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Driver-facing format roundtrip: a lineitem key slice written to CSV,
+    * JSON, and ORC, read back through the explicit-schema readers above,
+    * and audited per format — row count, an order-independent `bit_xor`
+    * key fingerprint, and a string-column count (proves VARCHAR survives
+    * the text formats, not just numerics). The DuckDB oracle computes the
+    * SAME audit three times straight from parquet, so a row lost, a key
+    * corrupted, or a flag mangled by ANY of the three format paths breaks
+    * the hash — the source/sink surface moves from unit-tested to
+    * driver-checked. Temp output is per-sfDir and overwritten each run
+    * (bench reruns are idempotent).
+    */
+  def formatRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val slice = graft.model.Tables.lineitem(spark, sfDir)
+      .where(col("l_orderkey") % 50 === 0)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_returnflag"))
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_roundtrip_" + Integer.toHexString(sfDir.hashCode)).getPath
+    writeCsv(slice, s"$tmp/csv")
+    writeJson(slice, s"$tmp/json")
+    writeOrc(slice, s"$tmp/orc")
+    def audit(df: DataFrame, fmt: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(l_orderkey * 10 + l_linenumber)").as("key_xor"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_flag_r"))
+        .select(lit(fmt).as("format"), col("n_rows"), col("key_xor"), col("n_flag_r"))
+    audit(readCsv(spark, s"$tmp/csv", slice.schema), "csv")
+      .union(audit(readJson(spark, s"$tmp/json", slice.schema), "json"))
+      .union(audit(readOrc(spark, s"$tmp/orc"), "orc"))
+      .orderBy("format")
+  }
+
+  val formatRoundtripSql: String = {
+    def audit(fmt: String): String =
+      s"""SELECT '$fmt' AS format, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       bit_xor(l_orderkey * 10 + l_linenumber) AS key_xor,
+         |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_r
+         |FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin
+    Seq("csv", "json", "orc").map(audit).mkString("", "\nUNION ALL\n", "\nORDER BY format")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_format_roundtrip" -> (formatRoundtrip _))
+
+  val oracle: Map[String, String] = Map(
+    "q_format_roundtrip" -> formatRoundtripSql)
+
   /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead
     * of failing the job — the source-level twin of the reference's
     * drop-on-parse-failure (main.py:116–117 / SURVEY.md P-7). Callers
