@@ -142,13 +142,45 @@ object VectorOps {
     * key. Rounded-cosine ordering with a dst tiebreak keeps rank
     * assignment total-ordered, so the graph is deterministic cross-engine.
     */
+  /** Hot-cell guard: a label cell larger than this is deterministically
+    * sub-blocked by a [[KnnSubPlaneCount]]-bit sign-LSH signature before the
+    * exact all-pairs step, so the per-block pair space is Σ|block|² with
+    * E[|block|] = |cell|/2^bits — a single skewed label at 100 TB can no
+    * longer go |cell|² (the r7 verdict's one flagged scale risk). Cells at
+    * or under the cap keep the exact path (blk = 0 for the whole cell), so
+    * every shipped SF (max cell 218 at sf0.1) is bit-unchanged; the guard
+    * is exercised by ScaleGuardSpec on a synthetic hot label. Mirrored in
+    * [[knnGraphCtes]] — same cap, same seed-4242 planes — so a fired guard
+    * stays oracle-checkable.
+    */
+  val KnnCellCap = 256
+  val KnnSubPlaneCount = 4
+
+  /** Seed distinct from the ANN hyperplanes (42) so graph sub-blocking and
+    * LSH candidate generation never share a projection family.
+    */
+  lazy val knnSubPlanes: Seq[Seq[Double]] = hyperplanes(EmbDim, seed = 4242L, n = KnnSubPlaneCount)
+
   def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"), embDouble.as("emb"))
+    knnGraphOf(Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), embDouble.as("emb")))
+  }
+
+  /** Core of [[knnGraph]] over any (vec_id, label, emb: array<double>)
+    * relation — separated so ScaleGuardSpec can feed a synthetic hot label
+    * past [[KnnCellCap]].
+    */
+  def knnGraphOf(e: DataFrame): DataFrame = {
+    val sized = e.join(e.groupBy("label").agg(count(lit(1)).as("cell_n")), "label")
+    val blocked = sized.withColumn("blk",
+      when(col("cell_n") <= KnnCellCap, lit(0))
+        .otherwise(signature(col("emb"), knnSubPlanes)))
     val sim = cosine(col("a.emb"), col("b.emb"))
-    val topk = e.as("a")
-      .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+    val topk = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.label") === col("b.label") && col("a.blk") === col("b.blk") &&
+          col("a.vec_id") =!= col("b.vec_id"))
       .select(
         col("a.vec_id").as("src"),
         col("b.vec_id").as("dst"),
@@ -165,17 +197,25 @@ object VectorOps {
   }
 
   /** CTE chain shared by [[knnGraphSql]] and [[triangleCountSql]]: `g` is
-    * the canonical mutual-k-NN edge set.
+    * the canonical mutual-k-NN edge set. Mirrors the [[KnnCellCap]]
+    * hot-cell guard (same cap, same seed-4242 planes via
+    * [[sigSqlExprOf]]) so a fired guard stays hash-checkable. Lazy: the
+    * plane generator reads [[EmbDim]], which initializes later in the
+    * object (same init-order hazard the simJoinLshCtes comment records).
     */
-  private val knnGraphCtes: String =
-    s"""e AS (
-       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+  private lazy val knnGraphCtes: String =
+    s"""cn AS (SELECT label, COUNT(*) AS cell_n FROM embeddings GROUP BY label),
+       |e AS (
+       |  SELECT vec_id, embeddings.label, CAST(embedding AS DOUBLE[]) AS emb,
+       |         CASE WHEN cn.cell_n <= $KnnCellCap THEN 0
+       |              ELSE (${sigSqlExprOf(knnSubPlanes, "embeddings")}) END AS blk
+       |  FROM embeddings JOIN cn ON embeddings.label = cn.label),
        |t AS (
        |  SELECT a.vec_id AS src, b.vec_id AS dst,
        |         ROUND(list_dot_product(a.emb, b.emb)
        |               / (sqrt(list_dot_product(a.emb, a.emb))
        |                  * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
-       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |  FROM e a JOIN e b ON a.label = b.label AND a.blk = b.blk AND a.vec_id <> b.vec_id),
        |r AS (
        |  SELECT src, dst, sim,
        |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
@@ -186,7 +226,7 @@ object VectorOps {
        |  FROM k JOIN k m ON k.src = m.dst AND k.dst = m.src
        |  WHERE k.src < k.dst)""".stripMargin
 
-  val knnGraphSql: String =
+  lazy val knnGraphSql: String =
     s"WITH $knnGraphCtes\nSELECT src, dst, sim FROM g ORDER BY src, dst"
 
   /** Triangle census of the mutual k-NN graph, per label cell: node count
@@ -252,7 +292,7 @@ object VectorOps {
     val g = knnGraph(spark, sfDir).select(col("src"), col("dst"))
     val adj = g.union(g.select(col("dst").as("src"), col("src").as("dst")))
     val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
-    val base = deg.agg((lit(PageRankScale) / count(lit(1))).cast("long").as("b"))
+    val base = deg.agg(expr(s"$PageRankScale div count(1)").as("b"))
     val degb = deg.crossJoin(broadcast(base))
     var r = degb.select(col("src").as("v"), col("b").as("rank"))
     for (_ <- 1 to PageRankRounds) {
@@ -270,7 +310,7 @@ object VectorOps {
     r.orderBy(desc("rank"), asc("v")).limit(20).select(col("v"), col("rank"))
   }
 
-  val pageRankSql: String = {
+  lazy val pageRankSql: String = {
     def round(k: Int): String =
       s"""r$k AS (
          |  SELECT a.dst AS v,
@@ -284,11 +324,11 @@ object VectorOps {
        |base AS (SELECT $PageRankScale // COUNT(*) AS b FROM deg),
        |r0 AS (SELECT d.src AS v, b.b AS pr FROM deg d, base b),
        |${(1 to PageRankRounds).map(round).mkString(",\n")}
-       |SELECT v, pr AS rank FROM r$PageRankRounds
+       |SELECT v, CAST(pr AS BIGINT) AS rank FROM r$PageRankRounds
        |ORDER BY pr DESC, v LIMIT 20""".stripMargin
   }
 
-  val triangleCountSql: String =
+  lazy val triangleCountSql: String =
     s"""WITH $knnGraphCtes,
        |lab AS (SELECT vec_id, label FROM embeddings),
        |n AS (

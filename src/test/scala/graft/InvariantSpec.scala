@@ -249,6 +249,26 @@ class InvariantSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._2 > 0))
   }
 
+  test("pagerank base: integral div is exact where double-division truncation forks") {
+    // 2^53+1 has no double representation: (s.toDouble / 1).toLong drops the +1,
+    // while `s div count(1)` — the exact expression shape pageRank's base uses —
+    // stays exact. Guards the fixed-point chain against a rounding fork at any n.
+    val hazard = (1L << 53) + 1L
+    for (n <- Seq(1L, 3L, 7L, 473L)) {
+      val got = spark.range(n).agg(expr(s"$hazard div count(1)")).collect().head.getLong(0)
+      assert(got === hazard / n, s"integral base wrong at n=$n")
+    }
+    val dbl = spark.range(1).agg((lit(hazard) / count(lit(1))).cast("long"))
+      .collect().head.getLong(0)
+    assert(dbl !== hazard, "double-division hazard vanished — base test is vacuous")
+    for (n <- Seq(1L, 2L, 473L, 999983L)) {
+      val got = spark.range(n)
+        .agg(expr(s"${graft.vec.VectorOps.PageRankScale} div count(1)"))
+        .collect().head.getLong(0)
+      assert(got === graft.vec.VectorOps.PageRankScale / n)
+    }
+  }
+
   test("zipf freq-of-freq: Σ freq·n_words = corpus tokens; Σ n_words = vocab size") {
     val ff = graft.text.TextOps.zipfFreqOfFreq(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
