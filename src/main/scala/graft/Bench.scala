@@ -168,7 +168,7 @@ object Bench {
       .map { case (k, vs) => s"\"" + k + s"\":[${vs.map(f).mkString(",")}]" }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib":$calib,"retried":$retryJson,"wall":${f(wall)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"n_failed":${retried.count(_._2 < 0)},"sf":"$sfDir","calib":$calib,"retried":$retryJson,"wall":${f(wall)}}"""
     // file copy survives any stdout tail-clipping by the harness
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))
@@ -178,9 +178,14 @@ object Bench {
     // short total-only line is emitted BEFORE and AFTER it so that a
     // complete parseable record survives regardless of whether the capture
     // keeps the head or the tail of stdout; full per-query detail stays in
-    // the long line and in bench_out.json.
+    // the long line and in bench_out.json. Distinct metric name so a
+    // parser summing every "total" record can't triple-count, and explicit
+    // n_failed + names so a red round can never read as green from the
+    // short line alone (r8: 17 failures hid behind a bare n_queries).
+    val failed = retried.collect { case (k, v) if v < 0 => k }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val short =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${retried.count(_._2 >= 0)},"sf":"$sfDir","wall":${f(wall)}}"""
+      s"""{"metric":"total_short","value":${f(total)},"unit":"sec","n_queries":${retried.count(_._2 >= 0)},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","wall":${f(wall)}}"""
     println(short)
     println(json)
     println(short)

@@ -18,6 +18,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Named schema gate (round-8 postmortem: a testdata regeneration broke
+    // 17 queries with the same opaque AnalysisException). Diagnostic only —
+    // queries not touched by a drifted column must still dump, so report
+    // loudly and continue rather than zeroing the whole round.
+    val contractDiff = graft.model.SchemaContract.diff(spark, sfDir)
+    if (contractDiff.nonEmpty)
+      System.err.println(
+        "[verify] SCHEMA CONTRACT VIOLATION (FIXTURES.md §B) — expect " +
+          s"failures in queries touching these columns:\n  ${contractDiff.mkString("\n  ")}")
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

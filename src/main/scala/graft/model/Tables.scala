@@ -20,11 +20,19 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = read(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "lineitem")
-  /** The events table is written with TIMESTAMP(NANOS) parquet timestamps,
-    * which Spark's vectorized reader rejects outright. Read nanos as raw
-    * longs (legacy conf) and rebuild a µs timestamp with integer arithmetic
-    * (`DIV`, not `/` — a double division would lose precision above 2^53 ns).
-    * The testdata carries no sub-µs precision, so the conversion is lossless.
+  /** The events table's `ts` column has been written three different ways
+    * across testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — readable only as raw longs via the legacy conf),
+    * microsecond TIMESTAMP_NTZ (isAdjustedToUTC=false), and plain TIMESTAMP.
+    * The reader adapts on the actual file schema instead of assuming one
+    * encoding, so a testdata regeneration can't break every events query:
+    *   - LongType (nanos legacy conf active) → rebuild a µs timestamp with
+    *     integer arithmetic (`DIV`, not `/` — double division loses precision
+    *     above 2^53 ns; the testdata carries no sub-µs precision).
+    *   - TimestampNTZType → cast to session-TZ TimestampType. The session TZ
+    *     is pinned UTC everywhere (Bench/Verify/specs), so the instant is
+    *     unchanged and matches the LTZ values the oracle hashes.
+    *   - TimestampType → pass through.
     * ONE definition shared by batch and streaming reads
     * (EventStreaming.parquetEventStream) so the two plans cannot diverge.
     */
@@ -33,10 +41,22 @@ object Tables {
   def readEventsAsNanoLongs(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  def adaptEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr(NanosTsToMicrosExpr))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — expected BIGINT (nanos), TIMESTAMP_NTZ or TIMESTAMP")
+    }
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     readEventsAsNanoLongs(spark)
-    read(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(NanosTsToMicrosExpr))
+    adaptEventTs(read(spark, sfDir, "events"))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")

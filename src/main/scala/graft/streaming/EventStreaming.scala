@@ -93,19 +93,19 @@ object EventStreaming {
   /** File-based streaming source over a directory of event parquet files —
     * the production shape for micro-batch ingestion of an append-only
     * landing zone (the reference's repeated-run accumulation, main.py:176,
-    * done properly). Explicit schema (streams can't infer); the testdata's
-    * TIMESTAMP(NANOS) column is read as a raw long (nanosAsLong) and
-    * rebuilt at µs exactly like the batch path in
-    * [[graft.model.Tables.events]], so batch and stream plans agree.
+    * done properly). Explicit schema (streams can't infer) taken from a
+    * one-footer batch read of the same directory, then the same adaptive
+    * `ts` normalization as the batch path in [[graft.model.Tables.events]]
+    * (nanos-long / TIMESTAMP_NTZ / TIMESTAMP all accepted), so batch and
+    * stream plans agree regardless of how the writer encoded the column.
     */
   def parquetEventStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     graft.model.Tables.readEventsAsNanoLongs(spark)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-    spark.readStream
-      .schema(schema)
-      .parquet(dir)
-      .withColumn("ts", expr(graft.model.Tables.NanosTsToMicrosExpr))
+    val schema = spark.read.parquet(dir).schema
+    graft.model.Tables.adaptEventTs(
+      spark.readStream
+        .schema(schema)
+        .parquet(dir))
   }
 
   /** Stream-stream interval join: purchases joined to EVERY click that

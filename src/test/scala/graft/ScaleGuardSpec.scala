@@ -147,6 +147,47 @@ class ScaleGuardSpec extends SparkSpec {
     }
   }
 
+  test("knnGraphOf hot-cell guard: a >KnnCellCap label is sign-LSH sub-blocked and matches an independent reimplementation") {
+    graft.functions.GraftFunctions.register(spark)
+    val dim = VectorOps.EmbDim
+    // 300 rows in ONE label (> cap 256) force the guard; a 10-row cold cell
+    // rides along to prove the exact (blk=0) path coexists in the same plan
+    val rnd = new scala.util.Random(7L)
+    val rows = ((1L to 300L).map(i => (i, "hot", Seq.fill(dim)(rnd.nextGaussian()))) ++
+      (1000L to 1009L).map(i => (i, "cold", Seq.fill(dim)(rnd.nextGaussian())))).toVector
+    val got = VectorOps.knnGraphOf(rows.toDF("vec_id", "label", "emb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // independent plain-Scala reimplementation of the same spec
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    def blkOf(v: Seq[Double]): Int =
+      VectorOps.knnSubPlanes.zipWithIndex
+        .map { case (p, j) => if (dot(v, p) > 0) 1 << j else 0 }.sum
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val blocked = rows.map { case (id, lab, v) =>
+      (id, lab, if (rows.count(_._2 == lab) <= VectorOps.KnnCellCap) 0 else blkOf(v), v)
+    }
+    assert(blocked.filter(_._2 == "hot").map(_._3).distinct.size > 1,
+      "guard did not fire: hot cell collapsed to one sub-block")
+    assert(blocked.filter(_._2 == "cold").forall(_._3 == 0),
+      "cold cell must keep the exact blk=0 path")
+    val topk = blocked.flatMap { case (src, lab, blk, v) =>
+      blocked.filter(b => b._2 == lab && b._3 == blk && b._1 != src)
+        .map { case (dst, _, _, w) =>
+          (src, dst, r6(dot(v, w) / (math.sqrt(dot(v, v)) * math.sqrt(dot(w, w)))))
+        }
+        .sortBy { case (_, dst, sim) => (-sim, dst) }
+        .take(VectorOps.KnnGraphK)
+    }
+    val edgeSet = topk.map(e => (e._1, e._2)).toSet
+    val expected = topk
+      .filter(e => edgeSet.contains((e._2, e._1)) && e._1 < e._2)
+      .toSet
+    assert(got === expected)
+  }
+
   test("x2_jaccard_pairs is non-vacuous at sf0.01 AND sf0.1") {
     // a testdata refresh that moves the planted near-dups must not silently
     // turn the hash check into a 0-row tautology (the round-5 finding that

@@ -31,6 +31,34 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(c_mktsegment"), plan)
   }
 
+  test("Tables.events: nanos-long, TIMESTAMP_NTZ and TIMESTAMP encodings yield identical rows") {
+    // The writer has used all three encodings across testdata generations
+    // (r8 postmortem: the flip from nanos to µs NTZ broke 17 queries). The
+    // adaptive reader must make the encoding unobservable. True
+    // TIMESTAMP(NANOS) parquet can't be written from Spark; under the
+    // legacy nanosAsLong conf it surfaces as LongType, which is exactly
+    // what a BIGINT-nanos file presents to adaptEventTs — same branch.
+    val src = graft.model.Tables.events(spark, sf001).orderBy("event_id")
+    val ntzDir = tmp("ev-ntz")
+    src.withColumn("ts", $"ts".cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+    val ltzDir = tmp("ev-ltz")
+    src.write.mode("overwrite").parquet(s"$ltzDir/events.parquet")
+    val nanosDir = tmp("ev-nanos")
+    src.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+    val expected = src.collect().toSeq
+    for (dir <- Seq(ntzDir, ltzDir, nanosDir)) {
+      val got = graft.model.Tables.events(spark, dir).orderBy("event_id")
+      assert(got.schema("ts").dataType === org.apache.spark.sql.types.TimestampType,
+        s"$dir: ts must normalize to TIMESTAMP")
+      assert(got.collect().toSeq === expected, s"$dir: rows diverge from source")
+    }
+    // and the shipped testdata is in contract — a regeneration that drifts
+    // shows up here as a NAMED diff, not 17 opaque AnalysisExceptions
+    assert(graft.model.SchemaContract.diff(spark, sf001) === Seq.empty)
+  }
+
   test("csv and json round-trip with explicit schemas") {
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "name", "v")
     val schema = StructType.fromDDL("id BIGINT, name STRING, v DOUBLE")
