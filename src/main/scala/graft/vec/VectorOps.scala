@@ -416,10 +416,27 @@ object VectorOps {
     * corpus (pre-partition by (band, bits) at ingest; each bucket joins
     * locally).
     */
+  /** Memoized pair set per (SparkContext, sfDir): the banded-LSH pair
+    * pipeline feeds FOUR consumers (x4_sim_join_lsh, x4_semantic_dedup,
+    * and the closure behind x4_sim_clusters_lsh / t_leakage_split via
+    * [[graft.graph.Components]]) — one materialized build per JVM serves
+    * all of them, the same index-build-once shape a 100 TB deployment
+    * uses (pairs land in a table; queries join against it). Checkpointed
+    * plan references, not driver data; sf dirs are immutable per JVM —
+    * call [[clearPairCache]] after rewriting data in place.
+    */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  def clearPairCache(): Unit = pairCache.clear()
+
   def simJoinLsh(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    simJoinLshOf(
-      Tables.embeddings(spark, sfDir).select(col("vec_id"), embDouble.as("emb")))
+    pairCache.computeIfAbsent(
+      (System.identityHashCode(spark.sparkContext), sfDir),
+      _ => simJoinLshOf(
+        Tables.embeddings(spark, sfDir).select(col("vec_id"), embDouble.as("emb")))
+        .localCheckpoint(true))
   }
 
   /** The banded pair join over an arbitrary `(vec_id, emb: array<double>)`
