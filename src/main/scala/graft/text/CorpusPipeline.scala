@@ -49,12 +49,49 @@ object CorpusPipeline {
     * AQE exchange reuse (see the stage-3 comment). Everything else is one
     * lazy plan end to end.
     */
+  /** Stages 1–3 (quality → decontaminate → exact dedup) as ONE
+    * definition — the prefix every pinned-funnel query shares. `tap` is
+    * the audit hook: identity in production, persist+count in
+    * [[curate]]'s audit mode. Returns the exact-deduped corpus
+    * UNPERSISTED — the caller decides the materialization (persist for a
+    * one-shot run, localCheckpoint for the cross-query cache).
+    */
+  private def dedupedPrefix(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      cfg: Config,
+      tap: (String, DataFrame) => DataFrame): DataFrame = {
+    // 1. quality: keep docs at or above the score threshold
+    val quality = tap(
+      "quality",
+      docs.where(TextOps.qualityColumn(col("text")) >= cfg.minQuality))
+
+    // 2. decontaminate: drop docs overlapping the eval set
+    val contaminated = Dedup.decontaminateOf(quality, evalDocs)
+      .where(col("n_shared_shingles") > cfg.maxSharedShingles)
+      .select(col("doc_id"))
+    val clean = tap(
+      "decontaminated",
+      quality.join(contaminated, Seq("doc_id"), "left_anti"))
+    val cols = clean.columns
+    clean
+      .groupBy(md5(col("text").cast("binary")).as("__graft_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("__graft_canon"))
+      .select(cols.map(c => col(s"__graft_canon.$c").as(c)): _*)
+  }
+
   def curate(
       docs: DataFrame,
       evalDocs: DataFrame,
       cfg: Config = Config(),
-      funnel: ((String, Long)) => Unit = null): DataFrame = {
+      funnel: ((String, Long)) => Unit = null,
+      prebuilt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val audit = funnel != null
+    // prebuilt (exact, pairs) from [[pinnedPrefix]] — used only in
+    // production mode: an audit run must COUNT the real early stages, so
+    // it always recomputes the full funnel. The caller guarantees the
+    // prebuilt pair corresponds to (docs, evalDocs, cfg).
+    val usePre = prebuilt.isDefined && !audit
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def stage(name: String, df: DataFrame): DataFrame =
       if (!audit) df
@@ -66,19 +103,6 @@ object CorpusPipeline {
       }
     try {
       if (audit) funnel(("input", docs.count()))
-
-      // 1. quality: keep docs at or above the score threshold
-      val quality = stage(
-        "quality",
-        docs.where(TextOps.qualityColumn(col("text")) >= cfg.minQuality))
-
-      // 2. decontaminate: drop docs overlapping the eval set
-      val contaminated = Dedup.decontaminateOf(quality, evalDocs)
-        .where(col("n_shared_shingles") > cfg.maxSharedShingles)
-        .select(col("doc_id"))
-      val clean = stage(
-        "decontaminated",
-        quality.join(contaminated, Seq("doc_id"), "left_anti"))
 
       // 3. exact dedup: one canonical doc per identical text, as one
       // min-struct hash aggregate keyed by the md5 FINGERPRINT (the
@@ -104,16 +128,14 @@ object CorpusPipeline {
       // (post-quality, post-decontamination — the smallest point in the
       // funnel) at MEMORY_AND_DISK, and is released by Spark's
       // ContextCleaner when the returned plan is no longer referenced.
-      val exact = {
-        val cols = clean.columns
-        val e = clean
-          .groupBy(md5(col("text").cast("binary")).as("__graft_fp"))
-          .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("__graft_canon"))
-          .select(cols.map(c => col(s"__graft_canon.$c").as(c)): _*)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (audit) funnel(("exact_dedup", e.count()))
-        e
-      }
+      val exact =
+        if (usePre) prebuilt.get._1
+        else {
+          val e = dedupedPrefix(docs, evalDocs, cfg, stage)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          if (audit) funnel(("exact_dedup", e.count()))
+          e
+        }
 
       // 4. near-dup: drop all but one member of every duplicate group.
       // Pairwise mode (default) drops the higher-id member of each
@@ -126,7 +148,9 @@ object CorpusPipeline {
       // ([[graft.graph.Components]]) and keeps exactly the min-id doc per
       // component — the complete, band-sampling-robust policy (cost: the
       // O(diameter) label-propagation rounds).
-      val pairs = Dedup.minhashPairsOf(exact, cfg.nearDupJaccard)
+      val pairs =
+        if (usePre) prebuilt.get._2
+        else Dedup.minhashPairsOf(exact, cfg.nearDupJaccard)
       val dupIds =
         if (!cfg.componentDedup)
           pairs.select(col("d2").as("doc_id")).distinct()
@@ -206,9 +230,36 @@ object CorpusPipeline {
         .withColumn("doc_id", col("doc_id") + MirrorIdOffset))
   }
 
+  /** Memoized (exact-deduped corpus, MinHash pair set) for the PINNED
+    * slices+config, per (SparkContext, sfDir) — the shared prefix of
+    * t_curate, t_curate_components (they differ only in the stage-4 dup
+    * POLICY over the same pair set) and, at 100 TB, of any consumer that
+    * re-reads the curated corpus. Same contract as the VectorOps pair
+    * cache: checkpoint-truncated plan references, immutable sf dirs,
+    * [[clearPrefixCache]] after an in-place rewrite. The audit query
+    * (t_curate_attrition) deliberately does NOT consume it — its job is
+    * to COUNT the real stages.
+    */
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
+
+  def clearPrefixCache(): Unit = prefixCache.clear()
+
+  private def pinnedPrefix(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    prefixCache.computeIfAbsent(
+      (System.identityHashCode(spark.sparkContext), sfDir),
+      _ => {
+        val docs = Tables.documents(spark, sfDir)
+        val exact = dedupedPrefix(
+          trainWithMirrors(docs), evalSlice(docs), PinnedConfig, (_, df) => df)
+          .localCheckpoint(true)
+        (exact, Dedup.minhashPairsOf(exact, PinnedConfig.nearDupJaccard).localCheckpoint(true))
+      })
+
   def curateQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    curate(trainWithMirrors(docs), evalSlice(docs), PinnedConfig)
+    curate(trainWithMirrors(docs), evalSlice(docs), PinnedConfig,
+      prebuilt = Some(pinnedPrefix(spark, sfDir)))
       .orderBy("doc_id", "chunk_idx")
   }
 
@@ -313,7 +364,10 @@ object CorpusPipeline {
     */
   def curateComponentsQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    curate(trainWithMirrors(docs), evalSlice(docs), PinnedConfig.copy(componentDedup = true))
+    // the prebuilt pair corresponds to this cfg too: componentDedup only
+    // changes the stage-4 POLICY over the same (exact, pairs)
+    curate(trainWithMirrors(docs), evalSlice(docs), PinnedConfig.copy(componentDedup = true),
+      prebuilt = Some(pinnedPrefix(spark, sfDir)))
       .orderBy("doc_id", "chunk_idx")
   }
 
