@@ -85,6 +85,19 @@ object Dedup {
   def jaccardPairsOf(
       docs: DataFrame,
       minJaccard: Double = 0.4,
+      maxShingleDf: Long = MaxShingleDf): DataFrame =
+    jaccardFromInter(jaccardInterOf(docs, maxShingleDf), minJaccard)
+
+  /** The threshold-INDEPENDENT core of [[jaccardPairsOf]]: every
+    * d1 < d2 pair sharing at least one kept shingle, with the intersect
+    * size and both set sizes — all the sweep/recall/pair consumers need;
+    * the Jaccard threshold is a post-filter ([[jaccardFromInter]]). Split
+    * out so the expensive part (shingle scan, df cap, per-doc aggregate,
+    * self-join, pair aggregate) has ONE definition and can be memoized
+    * across consumers that differ only in threshold.
+    */
+  private def jaccardInterOf(
+      docs: DataFrame,
       maxShingleDf: Long = MaxShingleDf): DataFrame = {
     // Shingle identity is the 60-bit md5-derived hash (TextOps.md5Hash60)
     // rather than the string: 8-byte join/shuffle keys instead of ~25-byte
@@ -113,10 +126,13 @@ object Dedup {
     val rows = perDoc.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
     // self-join canonicalizes identically on both sides → one exchange,
     // reused. min(n) is exact: n is constant within a (d1,d2) group.
-    val inter = rows.as("a")
+    rows.as("a")
       .join(rows.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("i"), min(col("a.n")).as("n1"), min(col("b.n")).as("n2"))
+  }
+
+  private def jaccardFromInter(inter: DataFrame, minJaccard: Double): DataFrame = {
     val jac = col("i").cast("double") /
       (col("n1").cast("double") + col("n2").cast("double") - col("i").cast("double"))
     inter
@@ -125,8 +141,38 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Memoized [[jaccardInterOf]] over the documents table, per
+    * (SparkContext, sfDir): x2_jaccard_pairs (threshold 0.4), t_lsh_recall
+    * ([[MinhashThreshold]]) and t_threshold_sweep ([[SweepThresholds]]
+    * floor) all run the IDENTICAL intersect pipeline and differ only in
+    * the post-filter, so one materialized build serves all three. Same
+    * contract as the other substructure caches (checkpointed plan
+    * references, immutable sf dirs, [[clearPairCaches]] escape hatch).
+    */
+  private val interCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** Memoized [[minhashPairsOf]] at the pinned [[MinhashThreshold]] over
+    * the documents table — shared by x2_minhash_pairs and t_lsh_recall.
+    */
+  private val minhashCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  def clearPairCaches(): Unit = { interCache.clear(); minhashCache.clear() }
+
+  private def jaccardInter(spark: SparkSession, sfDir: String): DataFrame =
+    interCache.computeIfAbsent(
+      (System.identityHashCode(spark.sparkContext), sfDir),
+      _ => jaccardInterOf(Tables.documents(spark, sfDir)).localCheckpoint(true))
+
+  private def minhashPairsPinned(spark: SparkSession, sfDir: String): DataFrame =
+    minhashCache.computeIfAbsent(
+      (System.identityHashCode(spark.sparkContext), sfDir),
+      _ => minhashPairsOf(Tables.documents(spark, sfDir), MinhashThreshold)
+        .localCheckpoint(true))
+
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
-    jaccardPairsOf(Tables.documents(spark, sfDir))
+    jaccardFromInter(jaccardInter(spark, sfDir), 0.4)
 
   /** Generated DuckDB CTE chain re-deriving [[jaccardPairsOf]] over an
     * arbitrary source relation `src` (needs `doc_id`, `text`), ending in
@@ -395,7 +441,7 @@ object Dedup {
     * at 1000 executors the bucket join shuffles only (band, bucket) keys.
     */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    minhashPairsOf(Tables.documents(spark, sfDir), MinhashThreshold)
+    minhashPairsPinned(spark, sfDir)
 
   /** Skew guard for banded candidate joins: a band bucket holding more than
     * this many docs (boilerplate-heavy corpora — headers, license blocks,
@@ -771,10 +817,9 @@ object Dedup {
     * aggregate — no new pair space, no collects.
     */
   def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val e = jaccardPairsOf(docs, MinhashThreshold)
+    val e = jaccardFromInter(jaccardInter(spark, sfDir), MinhashThreshold)
       .select(col("d1"), col("d2"), lit(1).as("e"))
-    val l = minhashPairsOf(docs, MinhashThreshold)
+    val l = minhashPairsPinned(spark, sfDir)
       .select(col("d1"), col("d2"), lit(1).as("l"))
     e.join(l, Seq("d1", "d2"), "full_outer")
       .agg(
@@ -816,7 +861,7 @@ object Dedup {
     * 4-row threshold relation broadcasts onto the pair set.
     */
   def thresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = jaccardPairsOf(Tables.documents(spark, sfDir), SweepThresholds.min)
+    val pairs = jaccardFromInter(jaccardInter(spark, sfDir), SweepThresholds.min)
     val th = spark.range(1)
       .select(explode(array(SweepThresholds.map(lit): _*)).as("threshold"))
     pairs
