@@ -1435,7 +1435,27 @@ object VectorOps {
     */
   private case class PcaChain(c: DataFrame, vPrev: DataFrame, vFinal: DataFrame, wFinal: DataFrame)
 
-  private def pcaChain(spark: SparkSession, sfDir: String, iters: Int): (PcaChain, DataFrame) = {
+  /** Memoized per (SparkContext, sfDir, iters): x6_pca_power and
+    * x6_pca_scores consume the IDENTICAL chain, and each of its rounds is
+    * a full corpus pass — one materialized run serves both. The per-round
+    * iterates are 1-row/64-row frames, checkpointed ROUND BY ROUND: that
+    * both truncates the nested-plan growth an iterative DataFrame loop
+    * otherwise accumulates (PLANS.md §15) and makes the total build cost
+    * exactly `iters` corpus passes. The centered relation `c` stays lazy —
+    * one map pass from the scan per consumer, the right trade at 100 TB
+    * where the centered matrix must not materialize.
+    */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), (PcaChain, DataFrame)]()
+
+  def clearPcaCache(): Unit = pcaCache.clear()
+
+  private def pcaChain(spark: SparkSession, sfDir: String, iters: Int): (PcaChain, DataFrame) =
+    pcaCache.computeIfAbsent(
+      (System.identityHashCode(spark.sparkContext), sfDir, iters),
+      _ => pcaChainBuild(spark, sfDir, iters))
+
+  private def pcaChainBuild(spark: SparkSession, sfDir: String, iters: Int): (PcaChain, DataFrame) = {
     require(iters >= 1, "power iteration needs at least one round")
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), embDouble.as("x"))
@@ -1468,10 +1488,13 @@ object VectorOps {
     for (_ <- 1 to iters) {
       vPrev = vCur
       val (vn, w) = round1(vCur)
-      vCur = vn
+      // eager 1-row checkpoint per round: round i+1 reads a materialized
+      // iterate, never re-executes rounds 1..i (and w's own evaluation
+      // below rides the same checkpointed input)
+      vCur = vn.localCheckpoint(true)
       wFinal = w
     }
-    (PcaChain(c, vPrev, vCur, wFinal), emb)
+    (PcaChain(c, vPrev, vCur, wFinal.localCheckpoint(true)), emb)
   }
 
   /** Per-vector projection onto the converged iterate — the "use the
