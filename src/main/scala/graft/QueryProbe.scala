@@ -40,12 +40,18 @@ object QueryProbe {
       graft.model.Tables.events(spark, sfDir).count()
       spark.range(1000000).selectExpr("sum(id * 2)").collect()
     } catch { case _: Throwable => () }
+    // SPARK_GRAFT_PLAN_ONLY=1: time analysis+optimization+physical planning
+    // without execution — separates Catalyst cost from run cost for
+    // literal-heavy plans
+    val planOnly = sys.env.get("SPARK_GRAFT_PLAN_ONLY").contains("1")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { i =>
         val (j0, c0) = (jitMs, janino)
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        val n =
+          if (planOnly) { fn(spark, sfDir).queryExecution.executedPlan; -1L }
+          else fn(spark, sfDir).count()
         val w = (System.nanoTime() - t0) / 1e9
         println(f"[$name rep $i] rows=$n wall=$w%.2f s jit=+${jitMs - j0} ms janino=+${janino - c0}")
         w

@@ -374,7 +374,99 @@ object CurationOps {
        |       ROUND(CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate
        |FROM agg ORDER BY source""".stripMargin
 
+  // ---- Per-document curation scorecard (the ensemble feature table) ----
+
+  /** Scorecard thresholds — each chosen to BITE on the shipped corpus
+    * (quality splits ~30/70, rep_ratio catches the one templated doc,
+    * dup_frac catches the 47 near-mirror docs at sf0.01) so the composite
+    * `keep` column is never a vacuous all-true.
+    */
+  val ScorecardMinQuality = 0.3
+  val ScorecardMaxRep = 0.05
+  val ScorecardMaxDupFrac = 0.5
+
+  /** Per-document curation scorecard: every per-doc quality/dedup signal
+    * the library computes, joined into ONE relation plus the composite
+    * keep/drop decision — the "data card" a curation run ships alongside
+    * its corpus, and the ensemble-filter shape (quality ∧ repetition ∧
+    * span-dup thresholds) production pipelines apply. Signals: quality
+    * score (length/stopword/punct), intra-doc trigram repetition,
+    * cross-doc duplicated-span coverage, first-seen n-gram novelty.
+    *
+    * Scale shape: `base` and `rep` are scan-side aggregates; `dup_frac`
+    * and `novelty` ride the memoized K-gram index
+    * ([[SpanDedup]]); the assembly is doc_id-keyed equi-joins — every
+    * exchange carries an 8-byte key, no pair space, no collects. LEFT
+    * joins with 0.0 defaults: a doc too short to have trigrams or K-grams
+    * has no repetition/duplication signal, which must read as "no
+    * evidence to drop" (0), not a dropped row.
+    */
+  def docScorecard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+      TextOps.qualityColumn(col("text")).as("quality"))
+    val rep = repetitionOf(docs).select(col("doc_id"), col("rep_ratio"))
+    val span = SpanDedup.spanDedup(spark, sfDir).select(col("doc_id"), col("dup_frac"))
+    val nov = SpanDedup.ngramNovelty(spark, sfDir).select(col("doc_id"), col("novelty"))
+    base
+      .join(rep, Seq("doc_id"), "left")
+      .join(span, Seq("doc_id"), "left")
+      .join(nov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_tokens"), col("quality"),
+        coalesce(col("rep_ratio"), lit(0.0)).as("rep_ratio"),
+        coalesce(col("dup_frac"), lit(0.0)).as("dup_frac"),
+        coalesce(col("novelty"), lit(1.0)).as("novelty"),
+        (col("quality") >= lit(ScorecardMinQuality) &&
+          coalesce(col("rep_ratio"), lit(0.0)) <= lit(ScorecardMaxRep) &&
+          coalesce(col("dup_frac"), lit(0.0)) <= lit(ScorecardMaxDupFrac)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: ONE combined CTE chain — the gram CTEs come from the SAME
+    * generator the span oracles use ([[SpanDedup.gramCtes]]), the quality
+    * formula from [[TextOps.qualitySqlExpr]], the trigram repetition from
+    * the t_repetition shape (renamed CTEs to avoid colliding with the
+    * gram chain) — so no signal has a second SQL definition.
+    */
+  lazy val docScorecardSql: String =
+    s"""${SpanDedup.gramCtes},
+       |sdw AS (SELECT doc_id, cnt, COUNT(*) OVER (PARTITION BY g) AS n_docs,
+       |               MIN(doc_id) OVER (PARTITION BY g) AS first_doc FROM dg),
+       |sd AS (SELECT doc_id,
+       |              ROUND(CAST(SUM(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+       |                    / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_frac,
+       |              ROUND(CAST(SUM(CASE WHEN doc_id = first_doc THEN cnt ELSE 0 END) AS DOUBLE)
+       |                    / CAST(SUM(cnt) AS DOUBLE), 6) AS novelty
+       |       FROM sdw GROUP BY doc_id),
+       |rt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |rg AS (SELECT doc_id,
+       |              unnest(list_transform(range(1, len(w) - 1),
+       |                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tri
+       |       FROM rt WHERE len(w) >= 3),
+       |rep AS (SELECT doc_id,
+       |               round(1.0 - CAST(COUNT(DISTINCT tri) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS rep_ratio
+       |        FROM rg GROUP BY doc_id),
+       |base AS (SELECT doc_id, lang, source,
+       |                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |                ${TextOps.qualitySqlExpr("text")} AS quality
+       |         FROM documents)
+       |SELECT base.doc_id, lang, source, n_tokens, quality,
+       |       COALESCE(rep_ratio, 0.0) AS rep_ratio,
+       |       COALESCE(dup_frac, 0.0) AS dup_frac,
+       |       COALESCE(novelty, 1.0) AS novelty,
+       |       (quality >= $ScorecardMinQuality
+       |        AND COALESCE(rep_ratio, 0.0) <= $ScorecardMaxRep
+       |        AND COALESCE(dup_frac, 0.0) <= $ScorecardMaxDupFrac) AS keep
+       |FROM base
+       |LEFT JOIN rep USING (doc_id)
+       |LEFT JOIN sd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_doc_scorecard" -> (docScorecard _),
     "t_dup_rate_by_source" -> (dupRateBySource _),
     "t_repetition" -> (repetition _),
     "t_tfidf_topterms" -> (tfidfTopTerms _),
@@ -384,6 +476,7 @@ object CurationOps {
     "t_source_cap" -> (sourceCap _))
 
   val oracle: Map[String, String] = Map(
+    "t_doc_scorecard" -> docScorecardSql,
     "t_dup_rate_by_source" -> dupRateBySourceSql,
     "t_repetition" -> repetitionSql,
     "t_tfidf_topterms" -> tfidfTopTermsSql,

@@ -99,9 +99,11 @@ object SpanDedup {
       })
 
   /** Shared oracle CTE prefix: token arrays -> per-occurrence gram hashes
-    * -> per-(doc, gram) multiplicities.
+    * -> per-(doc, gram) multiplicities. `private[text]`: the doc-scorecard
+    * oracle ([[CurationOps.docScorecardSql]]) composes it, so the gram
+    * derivation keeps ONE SQL definition.
     */
-  private def gramCtes: String =
+  private[text] def gramCtes: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |g AS (SELECT doc_id,
        |             unnest(list_transform(range(1, len(t) - $K + 2),

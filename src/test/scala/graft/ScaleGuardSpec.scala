@@ -188,6 +188,24 @@ class ScaleGuardSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("t_doc_scorecard: every threshold bites and keep splits at sf0.01 AND sf0.1") {
+    for (sfDir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val sc = graft.text.CurationOps.docScorecard(spark, sfDir)
+        .select("quality", "rep_ratio", "dup_frac", "keep").collect()
+      val kept = sc.count(_.getBoolean(3))
+      info(s"$sfDir: ${sc.length} docs, $kept kept")
+      withClue(s"$sfDir: ") {
+        assert(kept > 0 && kept < sc.length, "keep decision is vacuous")
+        assert(sc.exists(r => r.getDouble(0) < graft.text.CurationOps.ScorecardMinQuality),
+          "quality threshold never bites")
+        assert(sc.exists(r => r.getDouble(1) > graft.text.CurationOps.ScorecardMaxRep),
+          "repetition threshold never bites")
+        assert(sc.exists(r => r.getDouble(2) > graft.text.CurationOps.ScorecardMaxDupFrac),
+          "span-dup threshold never bites")
+      }
+    }
+  }
+
   test("x2_jaccard_pairs is non-vacuous at sf0.01 AND sf0.1") {
     // a testdata refresh that moves the planted near-dups must not silently
     // turn the hash check into a 0-row tautology (the round-5 finding that
