@@ -431,7 +431,7 @@ object CurationOps {
     * the t_repetition shape (renamed CTEs to avoid colliding with the
     * gram chain) — so no signal has a second SQL definition.
     */
-  lazy val docScorecardSql: String =
+  private lazy val docScorecardCore: String =
     s"""${SpanDedup.gramCtes},
        |sdw AS (SELECT doc_id, cnt, COUNT(*) OVER (PARTITION BY g) AS n_docs,
        |               MIN(doc_id) OVER (PARTITION BY g) AS first_doc FROM dg),
@@ -462,11 +462,55 @@ object CurationOps {
        |        AND COALESCE(dup_frac, 0.0) <= $ScorecardMaxDupFrac) AS keep
        |FROM base
        |LEFT JOIN rep USING (doc_id)
-       |LEFT JOIN sd USING (doc_id)
-       |ORDER BY doc_id""".stripMargin
+       |LEFT JOIN sd USING (doc_id)""".stripMargin
+
+  lazy val docScorecardSql: String = s"$docScorecardCore\nORDER BY doc_id"
+
+  /** Per-source rollup of the scorecard — the crawl-health dashboard that
+    * decides where curation effort (or a crawler fix) goes: volume, keep
+    * rate, and mean quality/dup per source. One source-keyed aggregate
+    * over the scorecard relation; the quality/dup means go through
+    * DECIMAL(38,18) partial sums (the statsAgg determinism rule) so the
+    * digits are identical at any partitioning.
+    */
+  def sourceScorecard(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = col("n_docs").cast("double")
+    docScorecard(spark, sfDir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).cast("bigint").as("n_kept"),
+        sum(col("quality").cast("decimal(38,18)")).cast("double").as("sq"),
+        sum(col("dup_frac").cast("decimal(38,18)")).cast("double").as("sd"))
+      .select(
+        col("source"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / n, 6).as("keep_rate"),
+        round(col("sq") / n, 6).as("mean_quality"),
+        round(col("sd") / n, 6).as("mean_dup_frac"))
+      .orderBy("source")
+  }
+
+  /** Oracle: the scorecard core nests as a derived table (a subquery may
+    * carry its own WITH chain), so the rollup reads the IDENTICAL
+    * per-doc relation the t_doc_scorecard oracle checks.
+    */
+  lazy val sourceScorecardSql: String =
+    s"""SELECT source, n_docs, n_kept,
+       |       ROUND(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS keep_rate,
+       |       ROUND(sq / CAST(n_docs AS DOUBLE), 6) AS mean_quality,
+       |       ROUND(sd / CAST(n_docs AS DOUBLE), 6) AS mean_dup_frac
+       |FROM (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |         CAST(SUM(CAST(quality AS DECIMAL(38,18))) AS DOUBLE) AS sq,
+       |         CAST(SUM(CAST(dup_frac AS DECIMAL(38,18))) AS DOUBLE) AS sd
+       |  FROM ($docScorecardCore) sc
+       |  GROUP BY source)
+       |ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_doc_scorecard" -> (docScorecard _),
+    "t_source_scorecard" -> (sourceScorecard _),
     "t_dup_rate_by_source" -> (dupRateBySource _),
     "t_repetition" -> (repetition _),
     "t_tfidf_topterms" -> (tfidfTopTerms _),
@@ -477,6 +521,7 @@ object CurationOps {
 
   val oracle: Map[String, String] = Map(
     "t_doc_scorecard" -> docScorecardSql,
+    "t_source_scorecard" -> sourceScorecardSql,
     "t_dup_rate_by_source" -> dupRateBySourceSql,
     "t_repetition" -> repetitionSql,
     "t_tfidf_topterms" -> tfidfTopTermsSql,
