@@ -512,6 +512,46 @@ object VectorOps {
     s"""WITH $simJoinLshCtes
        |SELECT v1, v2, sim FROM lsh_pairs ORDER BY v1, v2""".stripMargin
 
+  /** Cosine thresholds the embedding sweep reports — each bites on the
+    * shipped corpus (637/374/183/91/7 pairs at sf0.01), so every tier of
+    * the curve carries signal. The floor is [[SimJoinThreshold]]: pairs
+    * below it never enter the pair set at any reported threshold.
+    */
+  val SimSweepThresholds: Seq[Double] = Seq(0.15, 0.2, 0.25, 0.3, 0.4)
+
+  /** Embedding-side near-dup threshold tuning curve — [[graft.text.Dedup
+    * .thresholdSweep]]'s discipline applied to cosine pairs: pair count
+    * and dropped-doc count (min-id keep: every distinct v2 is a removal)
+    * per candidate threshold, in ONE pass over the memoized LSH pair set.
+    * The curve a pipeline owner reads before pinning the semantic-dedup
+    * threshold; rides [[simJoinLsh]]'s cache, so steady-state cost is the
+    * broadcast join + two-level aggregate only.
+    */
+  def simThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val th = spark.range(1)
+      .select(explode(array(SimSweepThresholds.map(lit): _*)).as("threshold"))
+    simJoinLsh(spark, sfDir)
+      .join(th, col("sim") >= col("threshold"))
+      .groupBy("threshold", "v2").agg(count(lit(1)).as("np"))
+      .groupBy("threshold")
+      .agg(
+        sum("np").cast("bigint").as("n_pairs"),
+        count(lit(1)).cast("bigint").as("n_dropped"))
+      .orderBy("threshold")
+  }
+
+  lazy val simThresholdSweepSql: String =
+    s"""WITH $simJoinLshCtes,
+       |th(threshold) AS (VALUES ${SimSweepThresholds.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")}),
+       |l1 AS (
+       |  SELECT threshold, v2, COUNT(*) AS np
+       |  FROM lsh_pairs JOIN th ON sim >= threshold
+       |  GROUP BY threshold, v2)
+       |SELECT threshold,
+       |       CAST(SUM(np) AS BIGINT) AS n_pairs,
+       |       CAST(COUNT(*) AS BIGINT) AS n_dropped
+       |FROM l1 GROUP BY threshold ORDER BY threshold""".stripMargin
+
   /** Cross-modal semantic dedup: the doc and embedding tables share an id
     * space, so the banded-LSH embedding pairs annotate directly with text
     * fingerprint equality — `same_text = false` rows are the semantic
@@ -1588,6 +1628,7 @@ object VectorOps {
     "x4_semantic_dedup" -> (semanticDedup _),
     "x4_sim_join" -> (simJoin _),
     "x4_sim_join_lsh" -> (simJoinLsh _),
+    "x4_threshold_sweep" -> (simThresholdSweep _),
     "x6_centroids" -> (centroids _))
 
   val oracle: Map[String, String] = Map(
@@ -1608,5 +1649,6 @@ object VectorOps {
     "x4_semantic_dedup" -> semanticDedupSql,
     "x4_sim_join" -> simJoinSql,
     "x4_sim_join_lsh" -> simJoinLshSql,
+    "x4_threshold_sweep" -> simThresholdSweepSql,
     "x6_centroids" -> centroidsSql)
 }

@@ -206,6 +206,19 @@ class ScaleGuardSpec extends SparkSpec {
     }
   }
 
+  test("x4_threshold_sweep: monotone non-increasing and non-vacuous at sf0.01") {
+    val rows = VectorOps.simThresholdSweep(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === VectorOps.SimSweepThresholds,
+      "every threshold tier must emit a row on the shipped corpus")
+    val pairs = rows.map(_._2)
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b },
+      "pair count must be monotone non-increasing in the threshold")
+    assert(pairs.distinct.length >= 3, "sweep is flat — thresholds don't discriminate")
+    assert(rows.forall { case (_, np, nd) => nd > 0 && np >= nd },
+      "dropped-doc count must be positive and bounded by the pair count")
+  }
+
   test("x2_jaccard_pairs is non-vacuous at sf0.01 AND sf0.1") {
     // a testdata refresh that moves the planted near-dups must not silently
     // turn the hash check into a 0-row tautology (the round-5 finding that
