@@ -44,13 +44,18 @@ object QueryProbe {
     // without execution — separates Catalyst cost from run cost for
     // literal-heavy plans
     val planOnly = sys.env.get("SPARK_GRAFT_PLAN_ONLY").contains("1")
+    // SPARK_GRAFT_REUSE=1: build the DataFrame once and re-count it, so
+    // rep 2+ time is pure execution (no re-analysis/optimization)
+    val reuse = sys.env.get("SPARK_GRAFT_REUSE").contains("1")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      lazy val reused = fn(spark, sfDir)
       val times = (1 to reps).map { i =>
         val (j0, c0) = (jitMs, janino)
         val t0 = System.nanoTime()
         val n =
           if (planOnly) { fn(spark, sfDir).queryExecution.executedPlan; -1L }
+          else if (reuse) reused.count()
           else fn(spark, sfDir).count()
         val w = (System.nanoTime() - t0) / 1e9
         println(f"[$name rep $i] rows=$n wall=$w%.2f s jit=+${jitMs - j0} ms janino=+${janino - c0}")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native codegen'd dot product over two ARRAY<DOUBLE> columns.
   *
@@ -178,6 +178,76 @@ case class CosineSim(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Packed sign-LSH signature: bit j of the result = (emb · planes[j]) > 0.
+  * One COMPACT nested loop replacing the unrolled per-plane composition
+  * (Σ CASE WHEN graft_dot(emb, plane_j) > 0 THEN 2^j): with 56 planes the
+  * unrolled form generated a WholeStageCodegen method past HotSpot's
+  * 8 KB huge-method JIT ceiling, so the hot filter ran as INTERPRETED
+  * bytecode — measured 1.36 s for a 2000-row scan (x3_knn_lsh, plan
+  * reused). The loop form is a few hundred bytes of bytecode and JITs.
+  *
+  * Arithmetic is bit-identical to the composed form: the inner dot is the
+  * same ascending left-to-right fold as [[DotProduct]], and bits are set
+  * in ascending plane order exactly as the Σ 2^j sum evaluated. The
+  * DuckDB oracle keeps the per-plane CASE composition
+  * (VectorOps.sigSqlExprOf) — same math, so hash checks are unaffected.
+  *
+  * Null contract: null emb or planes → null (BinaryExpression default);
+  * element nulls are impossible by construction (planes are literals,
+  * emb comes from the non-null parquet schema) and not checked.
+  */
+case class SignBits(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sign"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val emb = a.asInstanceOf[ArrayData]
+    val planes = b.asInstanceOf[ArrayData]
+    val nPlanes = planes.numElements()
+    var bits = 0
+    var j = 0
+    while (j < nPlanes) {
+      val p = planes.getArray(j)
+      val n = math.min(emb.numElements(), p.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += emb.getDouble(i) * p.getDouble(i); i += 1 }
+      if (s > 0) bits |= 1 << j
+      j += 1
+    }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val p = ctx.freshName("p")
+      val bits = ctx.freshName("bits")
+      s"""
+         |int $bits = 0;
+         |for (int $j = 0; $j < $b.numElements(); $j++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $p = $b.getArray($j);
+         |  int $n = java.lang.Math.min($a.numElements(), $p.numElements());
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $p.getDouble($i); }
+         |  if ($s > 0) $bits |= 1 << $j;
+         |}
+         |${ev.value} = $bits;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** Registration for [[DotProduct]] and [[CosineSim]] — both paths Spark supports:
   *
   *   - `GraftFunctions.register(spark)`: imperative, idempotent, used by
@@ -207,6 +277,14 @@ object GraftFunctions {
       throw new IllegalArgumentException(s"graft_cosine expects 2 arguments, got ${args.size}")
   }
 
+  val signInfo: ExpressionInfo = new ExpressionInfo(classOf[SignBits].getName, "graft_sign")
+
+  val signBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => SignBits(a, b)
+    case args =>
+      throw new IllegalArgumentException(s"graft_sign expects 2 arguments, got ${args.size}")
+  }
+
   // sessions this object has registered on — a weak map so sessions can be
   // collected; synchronized: query entry points may race from test threads
   private val registeredSessions =
@@ -226,21 +304,25 @@ object GraftFunctions {
     val firstTime = registeredSessions.put(spark, java.lang.Boolean.TRUE) == null
     if (firstTime ||
       !registry.functionExists(FunctionIdentifier("graft_dot")) ||
-      !registry.functionExists(FunctionIdentifier("graft_cosine"))) {
+      !registry.functionExists(FunctionIdentifier("graft_cosine")) ||
+      !registry.functionExists(FunctionIdentifier("graft_sign"))) {
       registry.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
       registry.createOrReplaceTempFunction("graft_cosine", cosineBuilder, "built-in")
+      registry.createOrReplaceTempFunction("graft_sign", signBuilder, "built-in")
     }
   }
 
   /** DataFrame-side handles (require register() on the active session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def signBits(emb: Column, planes: Column): Column = call_function("graft_sign", emb, planes)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"), GraftFunctions.dotInfo, GraftFunctions.dotBuilder))
     ext.injectFunction((FunctionIdentifier("graft_cosine"), GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_sign"), GraftFunctions.signInfo, GraftFunctions.signBuilder))
     // HOF dot-product composition → fused native expression (see the rule's
     // scaladoc for the semantics-preservation argument)
     ext.injectOptimizerRule(_ => graft.plans.DotProductFusion)

@@ -618,13 +618,17 @@ object VectorOps {
 
   /** Sign-LSH signature: bit j = (e · h_j) > 0, packed into an int. At 100 TB
     * you pre-partition by this bucket and search only matching buckets.
+    *
+    * Evaluated by the loop-based [[graft.functions.SignBits]] expression,
+    * not a per-plane `when(dot > 0, 2^j)` composition: 56 unrolled dot
+    * subtrees (7 bands × 8 planes in the band-match filters) blew the
+    * generated method past HotSpot's 8 KB JIT ceiling and the hot scan ran
+    * interpreted (1.36 s for 2000 rows, measured with a reused plan). Same
+    * fold order, bit-identical results; the SQL oracle keeps the per-plane
+    * CASE composition ([[sigSqlExprOf]]).
     */
   def signature(emb: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex
-      .map { case (p, j) =>
-        when(dot(emb, typedLit(p)) > 0, lit(1 << j)).otherwise(lit(0))
-      }
-      .reduce(_ + _)
+    graft.functions.GraftFunctions.signBits(emb, typedLit(planes))
 
   /** Embedding dimensionality of the testdata corpus (FIXTURES.md:
     * `embeddings.embedding FLOAT[64]`) — pinned so the oracle SQL can
