@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -248,6 +248,90 @@ case class SignBits(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment over a literal centroid matrix — the
+  * loop form of `array_min(array(struct(d_k, id_k)...)).id` with
+  * d_k = dot(e,e) − 2·dot(e,c_k) + ‖c_k‖²: the composed form generates
+  * 2 unrolled dot loops + a struct per centroid and (at 10+ centroids)
+  * pushes the WholeStageCodegen method past HotSpot's JIT ceiling — the
+  * same interpreted-bytecode failure mode [[SignBits]] fixes for the
+  * sign-LSH filters.
+  *
+  * Bit-identical to the composed form: dot(e,e), dot(e,c_k) and ‖c_k‖²
+  * are the same ascending left-to-right folds (‖c_k‖² was a driver-side
+  * `c.map(x*x).sum` — same order), the distance combines as
+  * ((ee − 2·ec) + cn) exactly like the composed `-`/`+` chain, and the
+  * ascending scan with strict `<` reproduces the (d, id) struct-min's
+  * break-ties-to-lower-id rule (ids arrive sorted ascending).
+  */
+case class NearestCell(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)), ArrayType(IntegerType))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest"
+
+  override protected def nullSafeEval(e: Any, cs: Any, ids: Any): Any = {
+    val emb = e.asInstanceOf[ArrayData]
+    val cents = cs.asInstanceOf[ArrayData]
+    val idArr = ids.asInstanceOf[ArrayData]
+    val n = emb.numElements()
+    var ee = 0.0
+    var i = 0
+    while (i < n) { val x = emb.getDouble(i); ee += x * x; i += 1 }
+    var bestD = Double.PositiveInfinity
+    var bestId = -1
+    var k = 0
+    while (k < cents.numElements()) {
+      val c = cents.getArray(k)
+      val m = math.min(n, c.numElements())
+      var ec = 0.0; var cn = 0.0
+      i = 0
+      while (i < m) {
+        val ci = c.getDouble(i)
+        ec += emb.getDouble(i) * ci; cn += ci * ci
+        i += 1
+      }
+      val d = (ee - 2.0 * ec) + cn
+      if (d < bestD) { bestD = d; bestId = idArr.getInt(k) }
+      k += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, cs, ids) => {
+      val i = ctx.freshName("i"); val k = ctx.freshName("k"); val n = ctx.freshName("n")
+      val m = ctx.freshName("m"); val ee = ctx.freshName("ee"); val ec = ctx.freshName("ec")
+      val cn = ctx.freshName("cn"); val ci = ctx.freshName("ci"); val d = ctx.freshName("d")
+      val bd = ctx.freshName("bd"); val bi = ctx.freshName("bi"); val c = ctx.freshName("c")
+      s"""
+         |int $n = $e.numElements();
+         |double $ee = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { double $ci = $e.getDouble($i); $ee += $ci * $ci; }
+         |double $bd = Double.POSITIVE_INFINITY;
+         |int $bi = -1;
+         |for (int $k = 0; $k < $cs.numElements(); $k++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $c = $cs.getArray($k);
+         |  int $m = java.lang.Math.min($n, $c.numElements());
+         |  double $ec = 0.0; double $cn = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    double $ci = $c.getDouble($i);
+         |    $ec += $e.getDouble($i) * $ci; $cn += $ci * $ci;
+         |  }
+         |  double $d = ($ee - 2.0 * $ec) + $cn;
+         |  if ($d < $bd) { $bd = $d; $bi = $ids.getInt($k); }
+         |}
+         |${ev.value} = $bi;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Registration for [[DotProduct]] and [[CosineSim]] — both paths Spark supports:
   *
   *   - `GraftFunctions.register(spark)`: imperative, idempotent, used by
@@ -285,6 +369,14 @@ object GraftFunctions {
       throw new IllegalArgumentException(s"graft_sign expects 2 arguments, got ${args.size}")
   }
 
+  val nearestInfo: ExpressionInfo = new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest")
+
+  val nearestBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b, c) => NearestCell(a, b, c)
+    case args =>
+      throw new IllegalArgumentException(s"graft_nearest expects 3 arguments, got ${args.size}")
+  }
+
   // sessions this object has registered on — a weak map so sessions can be
   // collected; synchronized: query entry points may race from test threads
   private val registeredSessions =
@@ -305,10 +397,12 @@ object GraftFunctions {
     if (firstTime ||
       !registry.functionExists(FunctionIdentifier("graft_dot")) ||
       !registry.functionExists(FunctionIdentifier("graft_cosine")) ||
-      !registry.functionExists(FunctionIdentifier("graft_sign"))) {
+      !registry.functionExists(FunctionIdentifier("graft_sign")) ||
+      !registry.functionExists(FunctionIdentifier("graft_nearest"))) {
       registry.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
       registry.createOrReplaceTempFunction("graft_cosine", cosineBuilder, "built-in")
       registry.createOrReplaceTempFunction("graft_sign", signBuilder, "built-in")
+      registry.createOrReplaceTempFunction("graft_nearest", nearestBuilder, "built-in")
     }
   }
 
@@ -316,6 +410,8 @@ object GraftFunctions {
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def signBits(emb: Column, planes: Column): Column = call_function("graft_sign", emb, planes)
+  def nearestCell(emb: Column, cents: Column, ids: Column): Column =
+    call_function("graft_nearest", emb, cents, ids)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -323,6 +419,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dot"), GraftFunctions.dotInfo, GraftFunctions.dotBuilder))
     ext.injectFunction((FunctionIdentifier("graft_cosine"), GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
     ext.injectFunction((FunctionIdentifier("graft_sign"), GraftFunctions.signInfo, GraftFunctions.signBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_nearest"), GraftFunctions.nearestInfo, GraftFunctions.nearestBuilder))
     // HOF dot-product composition → fused native expression (see the rule's
     // scaladoc for the semantics-preservation argument)
     ext.injectOptimizerRule(_ => graft.plans.DotProductFusion)

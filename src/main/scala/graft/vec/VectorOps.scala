@@ -778,14 +778,18 @@ object VectorOps {
     dot(e, e) - lit(2.0) * dot(e, typedLit(c)) + lit(cNormSq)
   }
 
-  /** Nearest-centroid assignment (argmin via array_min over (dist, id)
-    * structs; ties break to the lower cluster id — deterministic).
+  /** Nearest-centroid assignment (argmin over squared distance; ties
+    * break to the lower cluster id — deterministic). Evaluated by the
+    * loop-based [[graft.functions.NearestCell]] expression for the same
+    * reason [[signature]] uses SignBits: the composed array_min-over-
+    * structs form unrolls 2 dot loops + a struct per centroid and falls
+    * out of HotSpot's JIT past ~10 centroids. Same fold orders and
+    * ((ee − 2·ec) + ‖c‖²) combination as [[sqDist]] — bit-identical.
     */
   def clusterAssignment(e: Column, centroids: Map[Int, Seq[Double]]): Column = {
-    val cells = centroids.toSeq.sortBy(_._1).map { case (id, c) =>
-      struct(sqDist(e, c).as("d"), lit(id).as("id"))
-    }
-    array_min(array(cells: _*)).getField("id")
+    val sorted = centroids.toSeq.sortBy(_._1)
+    graft.functions.GraftFunctions.nearestCell(
+      e, typedLit(sorted.map(_._2)), typedLit(sorted.map(_._1)))
   }
 
   /** Deterministic k-means coarse quantizer: [[KmeansIters]] Lloyd
