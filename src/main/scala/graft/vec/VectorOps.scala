@@ -1056,14 +1056,12 @@ object VectorOps {
     * (dist, code) struct-min with [[sqDist]]'s exact expansion order —
     * shared by training and encoding so the two can never disagree.
     */
-  private def subCode(e: Column, book: Seq[Seq[Double]]): Column = {
-    val cells = book.zipWithIndex.map { case (c, code) =>
-      struct(
-        (dot(e, e) - lit(2.0) * dot(e, typedLit(c)) + lit(dotSeq(c, c))).as("d"),
-        lit(code).as("id"))
-    }
-    array_min(array(cells: _*)).getField("id")
-  }
+  private def subCode(e: Column, book: Seq[Seq[Double]]): Column =
+    // loop-based argmin ([[graft.functions.NearestCell]]) — same expansion
+    // and fold orders as the previous array_min-over-structs composition
+    // (codes are ascending positions), see clusterAssignment's JIT note
+    graft.functions.GraftFunctions.nearestCell(
+      e, typedLit(book.map(_.toSeq).toSeq), typedLit(book.indices.toList))
 
   private val pqBooksCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
