@@ -1302,6 +1302,48 @@ object VectorOps {
        |         (SELECT COUNT(*) FROM pq WHERE vec_id IN (SELECT vec_id FROM exact))::BIGINT AS hits
        |) ORDER BY method""".stripMargin
 
+  /** Per-label vector-NORM audit — the sanity pass run before trusting
+    * any cosine-based index: unnormalized batches, zero vectors and
+    * norm drift between sources/labels all surface here (a zero vector
+    * makes cosine NaN; a mixed-norm corpus silently biases dot-product
+    * retrieval). Per label: count, zero-vector count, DECIMAL-exact mean
+    * of the rounded norms, min, max. One scan + one codegen'd
+    * [[dot]] per row + a 10-key aggregate — no joins, no explode; at
+    * 100 TB this is the cheapest possible full-corpus pass.
+    */
+  def normStats(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val nrm = round(sqrt(dot(embDouble, embDouble)), 6)
+    val n = col("n_vecs").cast("double")
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), nrm.as("nrm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("nrm") === 0.0, lit(1L)).otherwise(lit(0L))).cast("bigint").as("n_zero"),
+        sum(col("nrm").cast("decimal(38,18)")).cast("double").as("sn"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"))
+      .select(
+        col("label"), col("n_vecs"), col("n_zero"),
+        round(col("sn") / n, 6).as("mean_norm"),
+        col("min_norm"), col("max_norm"))
+      .orderBy("label")
+  }
+
+  val normStatsSql: String =
+    """WITH v AS (
+      |  SELECT label,
+      |         ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                     CAST(embedding AS DOUBLE[]))), 6) AS nrm
+      |  FROM embeddings)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |       CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |       ROUND(CAST(SUM(CAST(nrm AS DECIMAL(38,18))) AS DOUBLE)
+      |             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_norm,
+      |       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+      |FROM v GROUP BY label ORDER BY label""".stripMargin
+
   /** Per-dimension embedding statistics — the whitening/normalization prep
     * pass (and drift monitor) every embedding pipeline runs before ANN
     * indexing: mean, population std, min, max per coordinate. One
@@ -1618,6 +1660,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x6_dim_stats" -> (dimStats _),
+    "x6_norm_stats" -> (normStats _),
     "x6_source_similarity" -> (sourceSimilarity _),
     "x3_knn_graph" -> (knnGraph _),
     "x4_triangle_count" -> (triangleCount _),
@@ -1639,6 +1682,7 @@ object VectorOps {
 
   val oracle: Map[String, String] = Map(
     "x6_dim_stats" -> dimStatsSql,
+    "x6_norm_stats" -> normStatsSql,
     "x6_source_similarity" -> sourceSimilaritySql,
     "x3_knn_graph" -> knnGraphSql,
     "x4_triangle_count" -> triangleCountSql,
