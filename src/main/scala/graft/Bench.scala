@@ -88,6 +88,16 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id * 2)").collect()
     } catch { case _: Throwable => () }
 
+    // same named schema gate as Verify (diagnostic only): if the driver
+    // regenerates testdata mid-round again, the bench log names the
+    // drifted column instead of just recording n_failed > 0
+    try {
+      val contractDiff = graft.model.SchemaContract.diff(spark, sfDir)
+      if (contractDiff.nonEmpty)
+        System.err.println(
+          s"[bench] SCHEMA CONTRACT VIOLATION:\n  ${contractDiff.mkString("\n  ")}")
+    } catch { case _: Throwable => () }
+
     val calibPre = calibBurn()
     val during = scala.collection.mutable.ArrayBuffer.empty[Double]
 
