@@ -18,6 +18,44 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(2) - 1.0) < 1e-12) // cos(a,a) = 1
   }
 
+  test("SignBits and NearestCell equal their composed expression forms bit-for-bit") {
+    // The loop expressions replaced unrolled compositions that fell out of
+    // HotSpot's JIT (PLANS.md §17). This pins the refactor: the composed
+    // forms are rebuilt HERE exactly as VectorOps used to write them, and
+    // both paths must agree on every random vector.
+    import graft.functions.GraftFunctions
+    val rnd = new scala.util.Random(11L)
+    val dim = 16
+    val vecs = Seq.fill(200)(Seq.fill(dim)(rnd.nextGaussian() * (1 + rnd.nextInt(3))))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "emb")
+
+    val planes = VectorOps.hyperplanes(dim, seed = 4242L, n = 9)
+    val composedSign = planes.zipWithIndex
+      .map { case (p, j) =>
+        when(GraftFunctions.dot($"emb", typedLit(p)) > 0, lit(1 << j)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+    val signRows = df.select(
+      VectorOps.signature($"emb", planes).as("loop"), composedSign.as("comp")).collect()
+    assert(signRows.forall(r => r.getInt(0) === r.getInt(1)))
+
+    val cents = (0 until 7).map(k => k * 3 -> Seq.fill(dim)(rnd.nextGaussian())).toMap
+    val composedNearest = {
+      val cells = cents.toSeq.sortBy(_._1).map { case (id, c) =>
+        val cn = c.map(x => x * x).sum
+        struct(
+          (GraftFunctions.dot($"emb", $"emb") -
+            lit(2.0) * GraftFunctions.dot($"emb", typedLit(c)) + lit(cn)).as("d"),
+          lit(id).as("id"))
+      }
+      array_min(array(cells: _*)).getField("id")
+    }
+    val nearRows = df.select(
+      VectorOps.clusterAssignment($"emb", cents).as("loop"),
+      composedNearest.as("comp")).collect()
+    assert(nearRows.forall(r => r.getInt(0) === r.getInt(1)))
+  }
+
   test("native graft_dot: SQL-visible, equals the HOF fold bit-exactly") {
     val df = Seq((Seq(1.5, -2.25, 3.125), Seq(0.5, 4.0, -1.0))).toDF("a", "b")
     df.createOrReplaceTempView("vecs")
