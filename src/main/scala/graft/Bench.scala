@@ -73,6 +73,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same pinned session TZ as Verify/QueryProbe/SparkSpec: an
+      // NTZ-encoded events.parquet must bench the same instants Verify
+      // hashes, regardless of host zone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -177,8 +181,15 @@ object Bench {
     val retryJson = retryLog
       .map { case (k, vs) => s"\"" + k + s"\":[${vs.map(f).mkString(",")}]" }
       .mkString("{", ",", "}")
+    // cold build seconds per memoized substructure (Memo.buildTimes):
+    // per-query minima are steady-state (the index is amortized across
+    // consumers), so a regression in a BUILD would otherwise hide inside
+    // whichever consumer ran first — this map makes it first-class
+    val cacheJson = graft.util.Memo.buildTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"n_failed":${retried.count(_._2 < 0)},"sf":"$sfDir","calib":$calib,"retried":$retryJson,"wall":${f(wall)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"n_failed":${retried.count(_._2 < 0)},"sf":"$sfDir","calib":$calib,"retried":$retryJson,"cache_builds":$cacheJson,"wall":${f(wall)}}"""
     // file copy survives any stdout tail-clipping by the harness
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -186,11 +186,16 @@ case class CosineSim(left: Expression, right: Expression)
   * bytecode — measured 1.36 s for a 2000-row scan (x3_knn_lsh, plan
   * reused). The loop form is a few hundred bytes of bytecode and JITs.
   *
-  * Arithmetic is bit-identical to the composed form: the inner dot is the
-  * same ascending left-to-right fold as [[DotProduct]], and bits are set
-  * in ascending plane order exactly as the Σ 2^j sum evaluated. The
-  * DuckDB oracle keeps the per-plane CASE composition
-  * (VectorOps.sigSqlExprOf) — same math, so hash checks are unaffected.
+  * Arithmetic is bit-identical to the composed form FOR EQUAL-LENGTH
+  * inputs (every shipped call site: planes and embeddings are pinned
+  * 64-dim): the inner dot is the same ascending left-to-right fold as
+  * [[DotProduct]], and bits are set in ascending plane order exactly as
+  * the Σ 2^j sum evaluated. On a LENGTH MISMATCH the two forms diverge by
+  * design — this loop truncates to the shorter array, while the composed
+  * form's [[DotProduct]] returns null and the CASE leaves the bit unset;
+  * the parity spec pins only the equal-length contract. The DuckDB oracle
+  * keeps the per-plane CASE composition (VectorOps.sigSqlExprOf) — same
+  * math, so hash checks are unaffected.
   *
   * Null contract: null emb or planes → null (BinaryExpression default);
   * element nulls are impossible by construction (planes are literals,
@@ -256,12 +261,18 @@ case class SignBits(left: Expression, right: Expression)
   * same interpreted-bytecode failure mode [[SignBits]] fixes for the
   * sign-LSH filters.
   *
-  * Bit-identical to the composed form: dot(e,e), dot(e,c_k) and ‖c_k‖²
-  * are the same ascending left-to-right folds (‖c_k‖² was a driver-side
-  * `c.map(x*x).sum` — same order), the distance combines as
-  * ((ee − 2·ec) + cn) exactly like the composed `-`/`+` chain, and the
-  * ascending scan with strict `<` reproduces the (d, id) struct-min's
-  * break-ties-to-lower-id rule (ids arrive sorted ascending).
+  * Bit-identical to the composed form FOR EQUAL-LENGTH, non-NaN inputs —
+  * every shipped call site (embeddings and centroids are pinned 64-dim;
+  * distances are finite): dot(e,e), dot(e,c_k) and ‖c_k‖² are the same
+  * ascending left-to-right folds (‖c_k‖² was a driver-side `c.map(x*x)
+  * .sum` — same order), the distance combines as ((ee − 2·ec) + cn)
+  * exactly like the composed `-`/`+` chain, and the ascending scan with
+  * strict `<` reproduces the (d, id) struct-min's break-ties-to-lower-id
+  * rule (ids arrive sorted ascending). Outside that domain the forms
+  * diverge by design: a length mismatch truncates here where the composed
+  * [[DotProduct]] nulls the distance, and all-NaN distances return the -1
+  * sentinel where the struct-min picked an arbitrary real id — neither
+  * input shape is producible from the parquet schema contract.
   */
 case class NearestCell(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {

@@ -138,22 +138,17 @@ object Components {
     * sf dir is immutable for the JVM's lifetime; call
     * [[clearClosureCache]] after rewriting data in place.
     */
-  private val closureCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), (DataFrame, DataFrame)]()
-
-  def clearClosureCache(): Unit = closureCache.clear()
+  def clearClosureCache(): Unit = graft.util.Memo.clear("closure")
 
   private def cachedClosure(spark: SparkSession, sfDir: String, variant: String)(
       mkEdges: => DataFrame): (DataFrame, DataFrame) =
-    closureCache.computeIfAbsent(
-      (System.identityHashCode(spark.sparkContext), sfDir, variant),
-      _ => {
-        // materialize the pair set ONCE: the edge derivation (an LSH
-        // banding pipeline for the scale variant) would otherwise be
-        // re-evaluated by the degree aggregate AND every closure round
-        val edges = mkEdges.localCheckpoint(true)
-        (edges, connectedComponents(edges))
-      })
+    graft.util.Memo.cached("closure", spark, sfDir, variant = variant) {
+      // materialize the pair set ONCE: the edge derivation (an LSH
+      // banding pipeline for the scale variant) would otherwise be
+      // re-evaluated by the degree aggregate AND every closure round
+      val edges = mkEdges.localCheckpoint(true)
+      (edges, connectedComponents(edges))
+    }
 
   private def simJoinClosure(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
     cachedClosure(spark, sfDir, "simjoin")(

@@ -41,6 +41,20 @@ object Tables {
   def readEventsAsNanoLongs(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Contract schema for a not-yet-populated events landing zone (stream
+    * startup before the first file arrives — inference has nothing to
+    * read, so ONE encoding must be assumed). `ts TIMESTAMP_NTZ` matches
+    * what the current generator writes (µs, isAdjustedToUTC=false);
+    * [[adaptEventTs]] normalizes it exactly as it would an inferred
+    * schema. A landing zone fed in a different historical encoding
+    * (TIMESTAMP(NANOS) / plain TIMESTAMP) passes an explicit schema to
+    * `parquetEventStream` instead — a parquet INT64 column cannot be read
+    * under a mismatched logical type, so no single fallback can cover all
+    * three.
+    */
+  val eventStreamDdl: String =
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
   def adaptEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}

@@ -94,17 +94,32 @@ object EventStreaming {
     * the production shape for micro-batch ingestion of an append-only
     * landing zone (the reference's repeated-run accumulation, main.py:176,
     * done properly). Explicit schema (streams can't infer) taken from a
-    * one-footer batch read of the same directory, then the same adaptive
-    * `ts` normalization as the batch path in [[graft.model.Tables.events]]
-    * (nanos-long / TIMESTAMP_NTZ / TIMESTAMP all accepted), so batch and
-    * stream plans agree regardless of how the writer encoded the column.
+    * one-footer batch read of the same directory when files already exist,
+    * then the same adaptive `ts` normalization as the batch path in
+    * [[graft.model.Tables.events]] (nanos-long / TIMESTAMP_NTZ / TIMESTAMP
+    * all accepted), so batch and stream plans agree regardless of how the
+    * writer encoded the column. An EMPTY landing zone — the normal state
+    * when the stream starts before the first micro-batch arrives — must
+    * not kill the stream, so when nothing is readable yet the source falls
+    * back to the contract schema ([[graft.model.Tables.eventStreamDdl]],
+    * `ts` as µs TIMESTAMP_NTZ — the current generator's encoding).
+    * Callers with a known divergent layout pass `schema` explicitly.
     */
-  def parquetEventStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  def parquetEventStream(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     graft.model.Tables.readEventsAsNanoLongs(spark)
-    val schema = spark.read.parquet(dir).schema
+    val resolved = schema.getOrElse {
+      try spark.read.parquet(dir).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          org.apache.spark.sql.types.StructType.fromDDL(graft.model.Tables.eventStreamDdl)
+      }
+    }
     graft.model.Tables.adaptEventTs(
       spark.readStream
-        .schema(schema)
+        .schema(resolved)
         .parquet(dir))
   }
 

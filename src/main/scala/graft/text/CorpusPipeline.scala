@@ -240,21 +240,16 @@ object CorpusPipeline {
     * (t_curate_attrition) deliberately does NOT consume it — its job is
     * to COUNT the real stages.
     */
-  private val prefixCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
-
-  def clearPrefixCache(): Unit = prefixCache.clear()
+  def clearPrefixCache(): Unit = graft.util.Memo.clear("curatePrefix")
 
   private def pinnedPrefix(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
-    prefixCache.computeIfAbsent(
-      (System.identityHashCode(spark.sparkContext), sfDir),
-      _ => {
-        val docs = Tables.documents(spark, sfDir)
-        val exact = dedupedPrefix(
-          trainWithMirrors(docs), evalSlice(docs), PinnedConfig, (_, df) => df)
-          .localCheckpoint(true)
-        (exact, Dedup.minhashPairsOf(exact, PinnedConfig.nearDupJaccard).localCheckpoint(true))
-      })
+    graft.util.Memo.cached("curatePrefix", spark, sfDir) {
+      val docs = Tables.documents(spark, sfDir)
+      val exact = dedupedPrefix(
+        trainWithMirrors(docs), evalSlice(docs), PinnedConfig, (_, df) => df)
+        .localCheckpoint(true)
+      (exact, Dedup.minhashPairsOf(exact, PinnedConfig.nearDupJaccard).localCheckpoint(true))
+    }
 
   def curateQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)

@@ -149,26 +149,20 @@ object Dedup {
     * contract as the other substructure caches (checkpointed plan
     * references, immutable sf dirs, [[clearPairCaches]] escape hatch).
     */
-  private val interCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  def clearPairCaches(): Unit = {
+    graft.util.Memo.clear("jaccardInter"); graft.util.Memo.clear("minhashPairs")
+  }
+
+  private def jaccardInter(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached("jaccardInter", spark, sfDir)(
+      jaccardInterOf(Tables.documents(spark, sfDir)).localCheckpoint(true))
 
   /** Memoized [[minhashPairsOf]] at the pinned [[MinhashThreshold]] over
     * the documents table — shared by x2_minhash_pairs and t_lsh_recall.
     */
-  private val minhashCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-
-  def clearPairCaches(): Unit = { interCache.clear(); minhashCache.clear() }
-
-  private def jaccardInter(spark: SparkSession, sfDir: String): DataFrame =
-    interCache.computeIfAbsent(
-      (System.identityHashCode(spark.sparkContext), sfDir),
-      _ => jaccardInterOf(Tables.documents(spark, sfDir)).localCheckpoint(true))
-
   private def minhashPairsPinned(spark: SparkSession, sfDir: String): DataFrame =
-    minhashCache.computeIfAbsent(
-      (System.identityHashCode(spark.sparkContext), sfDir),
-      _ => minhashPairsOf(Tables.documents(spark, sfDir), MinhashThreshold)
+    graft.util.Memo.cached("minhashPairs", spark, sfDir)(
+      minhashPairsOf(Tables.documents(spark, sfDir), MinhashThreshold)
         .localCheckpoint(true))
 
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame =

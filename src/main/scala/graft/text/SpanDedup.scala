@@ -85,18 +85,13 @@ object SpanDedup {
     * Checkpointed plan references; immutable sf dirs; [[clearGramCache]]
     * after an in-place rewrite.
     */
-  private val gramCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
-
-  def clearGramCache(): Unit = gramCache.clear()
+  def clearGramCache(): Unit = graft.util.Memo.clear("kgramIndex")
 
   private def grams(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
-    gramCache.computeIfAbsent(
-      (System.identityHashCode(spark.sparkContext), sfDir),
-      _ => {
-        val occ = gramOccurrences(Tables.documents(spark, sfDir)).localCheckpoint(true)
-        (occ, docGrams(occ).localCheckpoint(true))
-      })
+    graft.util.Memo.cached("kgramIndex", spark, sfDir) {
+      val occ = gramOccurrences(Tables.documents(spark, sfDir)).localCheckpoint(true)
+      (occ, docGrams(occ).localCheckpoint(true))
+    }
 
   /** Shared oracle CTE prefix: token arrays -> per-occurrence gram hashes
     * -> per-(doc, gram) multiplicities. `private[text]`: the doc-scorecard

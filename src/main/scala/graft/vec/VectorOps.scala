@@ -1,6 +1,7 @@
 package graft.vec
 
 import graft.model.Tables
+import graft.util.Memo
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -161,28 +162,22 @@ object VectorOps {
     */
   lazy val knnSubPlanes: Seq[Seq[Double]] = hyperplanes(EmbDim, seed = 4242L, n = KnnSubPlaneCount)
 
-  /** Memoized canonical edge set per (SparkContext, sfDir): x3_knn_graph,
-    * x4_triangle_count and x4_pagerank all consume the IDENTICAL mutual
-    * k-NN graph, and pageRank's unrolled rounds join it twice per round —
-    * without materialization the whole build (all-pairs-within-block
-    * self-join + two window ranks) re-executes per consumer and per round
-    * (the r8 verdict's 2.8× x4_pagerank regression). One localCheckpoint
-    * per JVM serves every consumer — the [[graft.graph.Components]]
-    * closure-cache pattern; cached values are checkpoint-truncated plan
-    * references (executor-side blocks), not driver data. An sf dir is
-    * immutable for the JVM's lifetime; call [[clearKnnGraphCache]] after
-    * rewriting data in place.
+  /** Memoized canonical edge set ([[graft.util.Memo]]: per SparkContext,
+    * sfDir, and data fingerprint): x3_knn_graph, x4_triangle_count and
+    * x4_pagerank all consume the IDENTICAL mutual k-NN graph, and
+    * pageRank's unrolled rounds join it twice per round — without
+    * materialization the whole build (all-pairs-within-block self-join +
+    * two window ranks) re-executes per consumer and per round (the r8
+    * verdict's 2.8× x4_pagerank regression). One localCheckpoint per JVM
+    * serves every consumer; cached values are checkpoint-truncated plan
+    * references (executor-side blocks), not driver data.
     */
-  private val knnGraphCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-
-  def clearKnnGraphCache(): Unit = knnGraphCache.clear()
+  def clearKnnGraphCache(): Unit = Memo.clear("knnGraph")
 
   def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    knnGraphCache.computeIfAbsent(
-      (System.identityHashCode(spark.sparkContext), sfDir),
-      _ => knnGraphOf(Tables.embeddings(spark, sfDir)
+    Memo.cached("knnGraph", spark, sfDir)(
+      knnGraphOf(Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("label"), embDouble.as("emb")))
         .localCheckpoint(true))
   }
@@ -416,25 +411,20 @@ object VectorOps {
     * corpus (pre-partition by (band, bits) at ingest; each bucket joins
     * locally).
     */
-  /** Memoized pair set per (SparkContext, sfDir): the banded-LSH pair
+  /** Memoized pair set ([[graft.util.Memo]] keying): the banded-LSH pair
     * pipeline feeds FOUR consumers (x4_sim_join_lsh, x4_semantic_dedup,
     * and the closure behind x4_sim_clusters_lsh / t_leakage_split via
     * [[graft.graph.Components]]) — one materialized build per JVM serves
     * all of them, the same index-build-once shape a 100 TB deployment
     * uses (pairs land in a table; queries join against it). Checkpointed
-    * plan references, not driver data; sf dirs are immutable per JVM —
-    * call [[clearPairCache]] after rewriting data in place.
+    * plan references, not driver data.
     */
-  private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
-
-  def clearPairCache(): Unit = pairCache.clear()
+  def clearPairCache(): Unit = Memo.clear("lshPairs")
 
   def simJoinLsh(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    pairCache.computeIfAbsent(
-      (System.identityHashCode(spark.sparkContext), sfDir),
-      _ => simJoinLshOf(
+    Memo.cached("lshPairs", spark, sfDir)(
+      simJoinLshOf(
         Tables.embeddings(spark, sfDir).select(col("vec_id"), embDouble.as("emb")))
         .localCheckpoint(true))
   }
@@ -744,22 +734,14 @@ object VectorOps {
     * would serve stale centroids — call `clearCentroidCache()` after any
     * such rewrite.
     */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Seq[Double]]]()
-
-  /** Drop memoized centroids (all sf dirs, or one) — required after
-    * rewriting data in place at a cached path.
+  /** Drop memoized centroid/k-means models — the [[graft.util.Memo]]
+    * fingerprint already handles in-place data rewrites automatically.
     */
-  def clearCentroidCache(sfDir: Option[String] = None): Unit =
-    sfDir.fold { centroidCache.clear(); kmeansCache.clear() } { d =>
-      centroidCache.remove(d); kmeansCache.remove(d); ()
-    }
+  def clearCentroidCache(): Unit = { Memo.clear("centroids"); Memo.clear("kmeans") }
 
   def allLabelCentroids(spark: SparkSession, sfDir: String): Map[Int, Seq[Double]] =
-    centroidCache.computeIfAbsent(
-      sfDir,
-      _ =>
-        Tables.embeddings(spark, sfDir)
+    Memo.cached("centroids", spark, sfDir)(
+      Tables.embeddings(spark, sfDir)
           .select(col("label"), posexplode(embDouble).as(Seq("pos", "e")))
           .groupBy("label", "pos")
           .agg(exactMean(col("e")).as("v"))
@@ -807,30 +789,25 @@ object VectorOps {
     */
   val KmeansIters = 2
 
-  private val kmeansCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Seq[Double]]]()
-
   def kmeansCentroids(spark: SparkSession, sfDir: String): Map[Int, Seq[Double]] =
-    kmeansCache.computeIfAbsent(
-      sfDir,
-      _ => {
-        graft.functions.GraftFunctions.register(spark)
-        var cents = allLabelCentroids(spark, sfDir)
-        for (_ <- 1 to KmeansIters) {
-          val next = Tables.embeddings(spark, sfDir)
-            .withColumn("cluster", clusterAssignment(embDouble, cents))
-            .select(col("cluster"), posexplode(embDouble).as(Seq("pos", "e")))
-            .groupBy("cluster", "pos")
-            .agg(exactMean(col("e")).as("v"))
-            .collect()
-            .groupBy(_.getInt(0))
-            .map { case (c, rows) =>
-              c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-            }
-          cents = cents ++ next // emptied clusters keep their previous centroid
-        }
-        cents
-      })
+    Memo.cached("kmeans", spark, sfDir) {
+      graft.functions.GraftFunctions.register(spark)
+      var cents = allLabelCentroids(spark, sfDir)
+      for (_ <- 1 to KmeansIters) {
+        val next = Tables.embeddings(spark, sfDir)
+          .withColumn("cluster", clusterAssignment(embDouble, cents))
+          .select(col("cluster"), posexplode(embDouble).as(Seq("pos", "e")))
+          .groupBy("cluster", "pos")
+          .agg(exactMean(col("e")).as("v"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (c, rows) =>
+            c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          }
+        cents = cents ++ next // emptied clusters keep their previous centroid
+      }
+      cents
+    }
 
   /** X-3 IVF path: assign every vector to its nearest coarse k-means
     * centroid (at 100 TB this assignment is computed at ingest and the
@@ -1063,9 +1040,6 @@ object VectorOps {
     graft.functions.GraftFunctions.nearestCell(
       e, typedLit(book.map(_.toSeq).toSeq), typedLit(book.indices.toList))
 
-  private val pqBooksCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
-
   /** Lloyd-trained codebooks: [[KmeansIters]] assign/mean rounds per
     * subspace from the [[pqCodebooksInit]] seed. One pass over the table
     * per iteration covers ALL subspaces (explode to (sub, esub), scan-side
@@ -1074,36 +1048,34 @@ object VectorOps {
     * sf-dir like [[kmeansCentroids]].
     */
   def pqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Double]]] =
-    pqBooksCache.computeIfAbsent(
-      sfDir,
-      _ => {
-        graft.functions.GraftFunctions.register(spark)
-        var books = pqCodebooksInit(spark, sfDir)
-        for (_ <- 1 to KmeansIters) {
-          val subStructs = (0 until PqSubspaces).map { s =>
-            struct(lit(s).as("sub"), slice(embDouble, s * PqSubDim + 1, PqSubDim).as("esub"))
-          }
-          val codeBySub = (0 until PqSubspaces)
-            .map(s => (s, subCode(col("esub"), books(s))))
-            .foldRight(lit(-1): Column) { case ((s, c), els) =>
-              when(col("sub") === s, c).otherwise(els)
-            }
-          val next = Tables.embeddings(spark, sfDir)
-            .select(explode(array(subStructs: _*)).as("ss"))
-            .select(col("ss.sub").as("sub"), col("ss.esub").as("esub"))
-            .withColumn("code", codeBySub)
-            .select(col("sub"), col("code"), posexplode(col("esub")).as(Seq("pos", "e")))
-            .groupBy("sub", "code", "pos")
-            .agg(exactMean(col("e")).as("v"))
-            .collect()
-            .groupBy(r => (r.getInt(0), r.getInt(1)))
-            .map { case (k, rows) => k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
-          books = (0 until PqSubspaces).map { s =>
-            (0 until PqCodebookSize).map(c => next.getOrElse((s, c), books(s)(c)))
-          }
+    Memo.cached("pqBooks", spark, sfDir) {
+      graft.functions.GraftFunctions.register(spark)
+      var books = pqCodebooksInit(spark, sfDir)
+      for (_ <- 1 to KmeansIters) {
+        val subStructs = (0 until PqSubspaces).map { s =>
+          struct(lit(s).as("sub"), slice(embDouble, s * PqSubDim + 1, PqSubDim).as("esub"))
         }
-        books
-      })
+        val codeBySub = (0 until PqSubspaces)
+          .map(s => (s, subCode(col("esub"), books(s))))
+          .foldRight(lit(-1): Column) { case ((s, c), els) =>
+            when(col("sub") === s, c).otherwise(els)
+          }
+        val next = Tables.embeddings(spark, sfDir)
+          .select(explode(array(subStructs: _*)).as("ss"))
+          .select(col("ss.sub").as("sub"), col("ss.esub").as("esub"))
+          .withColumn("code", codeBySub)
+          .select(col("sub"), col("code"), posexplode(col("esub")).as(Seq("pos", "e")))
+          .groupBy("sub", "code", "pos")
+          .agg(exactMean(col("e")).as("v"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (k, rows) => k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+        books = (0 until PqSubspaces).map { s =>
+          (0 until PqCodebookSize).map(c => next.getOrElse((s, c), books(s)(c)))
+        }
+      }
+      books
+    }
 
   /** X-3 PQ path: encode scan-side (argmin per subspace over literal
     * centroids), ADC-prune to [[PqCandidates]], exact-cosine re-rank.
@@ -1533,15 +1505,11 @@ object VectorOps {
     * one map pass from the scan per consumer, the right trade at 100 TB
     * where the centered matrix must not materialize.
     */
-  private val pcaCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), (PcaChain, DataFrame)]()
-
-  def clearPcaCache(): Unit = pcaCache.clear()
+  def clearPcaCache(): Unit = Memo.clear("pca")
 
   private def pcaChain(spark: SparkSession, sfDir: String, iters: Int): (PcaChain, DataFrame) =
-    pcaCache.computeIfAbsent(
-      (System.identityHashCode(spark.sparkContext), sfDir, iters),
-      _ => pcaChainBuild(spark, sfDir, iters))
+    Memo.cached("pca", spark, sfDir, variant = iters.toString)(
+      pcaChainBuild(spark, sfDir, iters))
 
   private def pcaChainBuild(spark: SparkSession, sfDir: String, iters: Int): (PcaChain, DataFrame) = {
     require(iters >= 1, "power iteration needs at least one round")

@@ -126,6 +126,18 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("parquetEventStream starts on an EMPTY landing zone via the contract-schema fallback") {
+    val landing = tmp("empty_landing"); val out = tmp("empty_out"); val cp = tmp("empty_cp")
+    // the stream is DEFINED while the dir has no files — inference has
+    // nothing to read, so the eventStreamDdl fallback must kick in
+    val stream = EventStreaming.parquetEventStream(spark, landing).drop("props")
+    // first file arrives only after the source exists (production order)
+    Files.copy(Paths.get(s"$sf001/events.parquet"), Paths.get(s"$landing/events.parquet"))
+    val q = EventStreaming.startParquetSink(stream, out, cp)
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() === 1000)
+  }
+
   test("foreachBatch parquet sink: streamed rows land in the parquet dir") {
     val landing = tmp("fb_landing"); val out = tmp("fb_out"); val cp = tmp("fb_cp")
     Files.copy(Paths.get(s"$sf001/events.parquet"), Paths.get(s"$landing/events.parquet"))
