@@ -42,6 +42,16 @@ object Dims {
   def withHashIds(newDims: DataFrame, keyCol: String): DataFrame =
     newDims.withColumn("id", xxhash64(col(keyCol)))
 
+  /** Oracle-checkable scale-path surrogate key: the 60-bit md5-derived
+    * content hash ([[graft.text.TextOps.md5Hash60]]). Same scale property
+    * as [[withHashIds]] — scan-side, no shuffle, no window — but md5 is
+    * bytewise identical in every engine, so the id VALUES themselves are
+    * driver-hash-checked against DuckDB (`q_getorcreate_hashkeys`);
+    * xxhash64 stays available as the cheapest Spark-private variant.
+    */
+  def withHashIds60(newDims: DataFrame, keyCol: String): DataFrame =
+    newDims.withColumn("id", graft.text.TextOps.md5Hash60(col(keyCol)))
+
   /** Full get-or-create: existing dim table (id, key) + incoming keys →
     * updated dim table with new keys appended under fresh sequential ids.
     */

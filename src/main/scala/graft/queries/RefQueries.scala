@@ -197,6 +197,44 @@ object RefQueries {
       |SELECT CAST(3 + ROW_NUMBER() OVER (ORDER BY nome) AS BIGINT) AS id, nome
       |FROM fresh ORDER BY nome""".stripMargin
 
+  /** J-3 scale path: get-or-create over a HUGE key domain, where the
+    * row_number surrogate of [[getOrCreateDims]] (a single-partition
+    * window — fine for dimension domains, wrong for e.g. a URL or user-id
+    * domain at 100 TB) is replaced by a scan-side content hash
+    * ([[Dims.withHashIds60]]): no shuffle, no window, ids stable across
+    * batches by construction. The collision guard every hash-keyed dim
+    * load ships with is part of the result: `n_keys_for_id` counts keys
+    * per id (a map-side-combinable aggregate on the new 8-byte key) and
+    * must be 1 everywhere — a collision would surface as a hash-compare
+    * mismatch AND a visible 2 in the column. Customer names play the
+    * huge domain (one key per entity — the domain GROWS with the data,
+    * unlike the 64-value part/nation vocabularies); the anti-join models
+    * the keys already loaded.
+    */
+  def getOrCreateHashKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val existing = cust.where(col("c_custkey") < 100).select(col("c_name"))
+    val fresh = Dims.newEntries(cust.select(col("c_name")), existing, "c_name")
+    val ids = Dims.withHashIds60(fresh, "c_name").select(col("c_name").as("key"), col("id"))
+    val coll = ids.groupBy("id").agg(count(lit(1)).as("n_keys_for_id"))
+    ids.join(coll, "id")
+      .select(col("key"), col("id"), col("n_keys_for_id"))
+      .orderBy("key")
+  }
+
+  val getOrCreateHashKeysSql: String =
+    """WITH existing AS (SELECT c_name FROM customer WHERE c_custkey < 100),
+      |inc AS (SELECT DISTINCT c_name FROM customer),
+      |fresh AS (
+      |  SELECT c_name FROM inc
+      |  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.c_name = inc.c_name)),
+      |ids AS (
+      |  SELECT c_name AS key, ('0x' || substr(md5(c_name), 1, 15))::BIGINT AS id
+      |  FROM fresh),
+      |coll AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_keys_for_id FROM ids GROUP BY id)
+      |SELECT key, id, n_keys_for_id FROM ids JOIN coll USING (id)
+      |ORDER BY key""".stripMargin
+
   /** J-4/F-5: literal-map classification with default (main.py:52–84,106)
     * — a Catalyst map literal probed per row (constant-folded, no join at
     * all), with the reference's fall-back default semantics.
@@ -250,6 +288,7 @@ object RefQueries {
     "q_lineitem_agg" -> (lineitemAgg _),
     "q_orders_by_nation" -> (ordersByNation _),
     "q_getorcreate_dims" -> (getOrCreateDims _),
+    "q_getorcreate_hashkeys" -> (getOrCreateHashKeys _),
     "q_map_classify" -> (mapClassify _))
 
   val oracle: Map[String, String] = Map(
@@ -262,5 +301,6 @@ object RefQueries {
     "q_lineitem_agg" -> lineitemAggSql,
     "q_orders_by_nation" -> ordersByNationSql,
     "q_getorcreate_dims" -> getOrCreateDimsSql,
+    "q_getorcreate_hashkeys" -> getOrCreateHashKeysSql,
     "q_map_classify" -> mapClassifySql)
 }

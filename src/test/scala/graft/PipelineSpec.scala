@@ -49,6 +49,23 @@ class PipelineSpec extends SparkSpec {
     assert(after("EUA") > before.values.max) // fresh id past the max
   }
 
+  test("hash surrogate keys: md5-60 value pinned, stable across batches, collision-free") {
+    import graft.etl.Dims
+    val keys = (1 to 200).map(i => s"user_$i") :+ "alice"
+    val df = keys.toDF("k")
+    val ids = Dims.withHashIds60(df, "k").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // engine-portable pinned value: ('0x' || substr(md5('alice'),1,15))::BIGINT
+    assert(ids("alice") === 448194110076271807L)
+    assert(ids.values.toSeq.distinct.size === keys.size) // collision-free domain
+    // content hash => same id when the key arrives again in a later batch
+    val again = Dims.withHashIds60(Seq("alice").toDF("k"), "k").collect()(0).getLong(1)
+    assert(again === ids("alice"))
+    // the Spark-private xxhash64 variant is deterministic too
+    val x1 = Dims.withHashIds(df, "k").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val x2 = Dims.withHashIds(df, "k").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(x1 === x2)
+  }
+
   test("FK integrity: every fact row resolves to a dim row (anti-join empty)") {
     val dir = Files.createTempDirectory("star").toString
     val paths = StarPaths(s"$dir/pais", s"$dir/setor", s"$dir/fato")
