@@ -932,17 +932,25 @@ object VectorOps {
     * quantizer via [[kmeansCteChain]] — the same chain knnIvf's oracle
     * uses, so the two cannot diverge.
     */
+  /** d2 to the ALREADY-ASSIGNED centroid (a `cluster` column must exist):
+    * CASE over the literal centroid set with [[sqDist]]'s exact expansion —
+    * shared by [[clusterQuality]] and [[ivfDelta]] so training-run and
+    * delta-batch distances can never use different arithmetic.
+    */
+  private def d2ToAssigned(e: Column, cents: Map[Int, Seq[Double]]): Column = {
+    val sorted = cents.toSeq.sortBy(_._1)
+    sorted.tail.foldLeft(
+      when(col("cluster") === sorted.head._1, sqDist(e, sorted.head._2))) {
+      case (acc, (id, c)) => acc.when(col("cluster") === id, sqDist(e, c))
+    }
+  }
+
   def clusterQuality(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val cents = kmeansCentroids(spark, sfDir)
-    val sorted = cents.toSeq.sortBy(_._1)
-    val d2Assigned = sorted.tail.foldLeft(
-      when(col("cluster") === sorted.head._1, sqDist(embDouble, sorted.head._2))) {
-      case (acc, (id, c)) => acc.when(col("cluster") === id, sqDist(embDouble, c))
-    }
     Tables.embeddings(spark, sfDir)
       .withColumn("cluster", clusterAssignment(embDouble, cents))
-      .withColumn("d2", d2Assigned)
+      .withColumn("d2", d2ToAssigned(embDouble, cents))
       .groupBy("cluster")
       .agg(
         count(lit(1)).as("n_vecs"),
@@ -967,6 +975,118 @@ object VectorOps {
        |             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_d2
        |FROM assigned WHERE rn = 1
        |GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
+  /** Incremental ANN-index maintenance — the vector-side twin of
+    * `t_dedup_delta`'s daily-crawl shape (round-9 verdict stretch ask):
+    * a DELTA batch of embeddings is assigned to the MEMOIZED IVF
+    * quantizer ([[kmeansCentroids]] — the training run) WITHOUT
+    * retraining, and the report is the drift scorecard that decides when
+    * retraining is due: per cluster, the training run's population and
+    * mean assignment distance next to the delta batch's population, mean
+    * and median assignment distance, and the drift ratio
+    * (mean_delta / mean_train — rising means the batch no longer looks
+    * like the data the index was trained on).
+    *
+    * The delta models a new crawl deterministically: every 7th vector,
+    * re-keyed past the corpus ids and shifted by +0.25 per dimension
+    * (exact in binary FP, so both engines compute identical doubles).
+    * Assignment and d2 are the SAME expressions as the training run
+    * ([[clusterAssignment]], [[d2ToAssigned]]); the oracle re-derives
+    * the quantizer via [[kmeansCteChain]] — the identical chain knnIvf
+    * and clusterQuality train, so index, training stats and delta stats
+    * can never disagree on the model.
+    *
+    * Shape at 100 TB: the delta batch shuffles once on the 8-byte
+    * cluster key; the corpus is never rescanned (its stats ride the
+    * training-run aggregate — here recomputed because the testdata has
+    * no persisted stats table, in production a 10-row lookup). The
+    * ranked median is exact per cluster over the DELTA only (a bounded
+    * daily batch); at corpus scale swap in approx_percentile — the one
+    * sketch-for-exact trade this report tolerates, flagged here rather
+    * than silently.
+    */
+  val IvfDeltaMod = 7L
+  val IvfDeltaRem = 3L
+  val IvfDeltaIdOffset = 1000000L
+
+  def ivfDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = kmeansCentroids(spark, sfDir) // memoized index — NOT retrained
+    val emb = Tables.embeddings(spark, sfDir)
+    val train = emb
+      .withColumn("cluster", clusterAssignment(embDouble, cents))
+      .withColumn("d2", d2ToAssigned(embDouble, cents))
+    val tstats = train.groupBy("cluster").agg(
+      count(lit(1)).as("n_train"),
+      round(sum(col("d2").cast("decimal(38,18)")).cast("double")
+        / count(lit(1)).cast("double"), 6).as("mean_d2_train"))
+    val delta = emb
+      .where(col("vec_id") % IvfDeltaMod === IvfDeltaRem)
+      .select(
+        (col("vec_id") + IvfDeltaIdOffset).as("vec_id"),
+        transform(embDouble, x => x + lit(0.25)).as("demb"))
+      .withColumn("cluster", clusterAssignment(col("demb"), cents))
+      .withColumn("d2", d2ToAssigned(col("demb"), cents))
+    val wRank = Window.partitionBy("cluster").orderBy("d2", "vec_id")
+    val counted = delta
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("cluster")))
+    val dstats = counted.groupBy("cluster").agg(
+      count(lit(1)).as("n_delta"),
+      round(sum(col("d2").cast("decimal(38,18)")).cast("double")
+        / count(lit(1)).cast("double"), 6).as("mean_d2_delta"),
+      round(max(when(col("rn") === expr("(cnt + 1) div 2"), col("d2"))), 6).as("med_d2_delta"))
+    tstats.join(dstats, Seq("cluster"), "left")
+      .select(
+        col("cluster"), col("n_train"), col("mean_d2_train"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        col("mean_d2_delta"), col("med_d2_delta"),
+        round(col("mean_d2_delta") / col("mean_d2_train"), 6).as("drift_ratio"))
+      .orderBy("cluster")
+  }
+
+  lazy val ivfDeltaSql: String = {
+    val last = s"cents$KmeansIters"
+    val dD2 = """((list_dot_product(e.demb, e.demb)
+      |               - 2.0 * list_dot_product(e.demb, c.cvec))
+      |               + list_dot_product(c.cvec, c.cvec))""".stripMargin
+    s"""WITH $kmeansCteChain,
+       |ta AS (
+       |  SELECT e.vec_id, c.clabel AS cluster, $kmeansD2Sql AS d2,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY $kmeansD2Sql, c.clabel) AS rn
+       |  FROM embeddings e CROSS JOIN $last c),
+       |ts AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_train,
+       |         ROUND(CAST(SUM(CAST(d2 AS DECIMAL(38,18))) AS DOUBLE)
+       |               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_d2_train
+       |  FROM ta WHERE rn = 1 GROUP BY cluster),
+       |dl AS (
+       |  SELECT vec_id + $IvfDeltaIdOffset AS vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.25) AS demb
+       |  FROM embeddings WHERE vec_id % $IvfDeltaMod = $IvfDeltaRem),
+       |da AS (
+       |  SELECT e.vec_id, c.clabel AS cluster, $dD2 AS d2,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY $dD2, c.clabel) AS rn
+       |  FROM dl e CROSS JOIN $last c),
+       |dc AS (
+       |  SELECT vec_id, cluster, d2,
+       |         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY d2, vec_id) AS rn2,
+       |         COUNT(*) OVER (PARTITION BY cluster) AS cnt
+       |  FROM da WHERE rn = 1),
+       |ds AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_delta,
+       |         ROUND(CAST(SUM(CAST(d2 AS DECIMAL(38,18))) AS DOUBLE)
+       |               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_d2_delta,
+       |         ROUND(MAX(CASE WHEN rn2 = (cnt + 1) // 2 THEN d2 END), 6) AS med_d2_delta
+       |  FROM dc GROUP BY cluster)
+       |SELECT t.cluster, t.n_train, t.mean_d2_train,
+       |       COALESCE(d.n_delta, 0) AS n_delta, d.mean_d2_delta, d.med_d2_delta,
+       |       ROUND(d.mean_d2_delta / t.mean_d2_train, 6) AS drift_ratio
+       |FROM ts t LEFT JOIN ds d USING (cluster)
+       |ORDER BY cluster""".stripMargin
   }
 
   // ---- PQ ANN (product quantization — the memory-compression scale path) ----
@@ -1642,6 +1762,7 @@ object VectorOps {
     "x3_knn_pq" -> (knnPq _),
     "x4_ann_recall" -> (annRecall _),
     "x6_cluster_quality" -> (clusterQuality _),
+    "x3_ivf_delta" -> (ivfDelta _),
     "x4_semantic_dedup" -> (semanticDedup _),
     "x4_sim_join" -> (simJoin _),
     "x4_sim_join_lsh" -> (simJoinLsh _),
@@ -1664,6 +1785,7 @@ object VectorOps {
     "x3_knn_pq" -> knnPqSql,
     "x4_ann_recall" -> annRecallSql,
     "x6_cluster_quality" -> clusterQualitySql,
+    "x3_ivf_delta" -> ivfDeltaSql,
     "x4_semantic_dedup" -> semanticDedupSql,
     "x4_sim_join" -> simJoinSql,
     "x4_sim_join_lsh" -> simJoinLshSql,

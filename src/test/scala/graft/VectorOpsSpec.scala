@@ -265,4 +265,31 @@ class VectorOpsSpec extends SparkSpec {
     // data refreshes don't flake (measured values live in the scaladoc)
     assert(overlap >= 10, s"PQ found only $overlap/20 of the brute-force top-20")
   }
+
+  test("ivfDelta: delta mass conserved, drift stats null-honest, training stats match clusterQuality") {
+    val rows = VectorOps.ivfDelta(spark, sf001).collect()
+    // one row per trained cluster, every cluster from the memoized index
+    val cq = VectorOps.clusterQuality(spark, sf001).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(rows.map(_.getInt(0)).toSet === cq.keySet)
+    // training-side columns agree with the clusterQuality report exactly
+    rows.foreach { r =>
+      val (nTrain, meanD2) = cq(r.getInt(0))
+      assert(r.getLong(1) === nTrain)
+      assert(r.getDouble(2) === meanD2)
+    }
+    // the delta batch (every 7th vec) lands somewhere, exactly once each
+    val expected = graft.model.Tables.embeddings(spark, sf001)
+      .where(col("vec_id") % VectorOps.IvfDeltaMod === VectorOps.IvfDeltaRem).count()
+    assert(rows.map(_.getLong(3)).sum === expected)
+    // stats are null exactly when the cluster received no delta vectors;
+    // where present, the ranked median lies within the d2 mass (>= 0)
+    rows.foreach { r =>
+      val n = r.getLong(3)
+      assert((n == 0L) === r.isNullAt(4), s"mean_d2_delta nullness vs n_delta=$n")
+      assert((n == 0L) === r.isNullAt(5), s"med_d2_delta nullness vs n_delta=$n")
+      assert((n == 0L) === r.isNullAt(6), s"drift_ratio nullness vs n_delta=$n")
+      if (n > 0) { assert(r.getDouble(4) >= 0.0); assert(r.getDouble(5) >= 0.0) }
+    }
+  }
 }
