@@ -278,37 +278,18 @@ object RelQueries {
     * N mod 10 buckets take one extra row). The oracle stays the plain
     * NTILE SQL — DuckDB re-derives the buckets from the standard
     * semantics, proving the distributed rank matches them exactly.
+    *
+    * The technique lives in [[graft.plans.RangedCumsum]] (round 10) — ONE
+    * definition shared with `t_perplexity_buckets`' tertiles and
+    * `t_token_budget`'s weighted running sum.
     */
   def histogramEquiDepth(spark: SparkSession, sfDir: String): DataFrame = {
-    val nBuckets = 10
     val base = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice"))
-    val cuts = base.stat
-      .approxQuantile("o_totalprice", (1 until 32).map(_ / 32.0).toArray, 0.001)
-      .distinct.sorted
-    val rangeCol = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
-      case ((c, i), els) => when(col("o_totalprice") <= c, lit(i)).otherwise(els)
-    }
-    val ranged = base.withColumn("rng", rangeCol)
-    val counts = ranged.groupBy("rng").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = counts.values.sum
-    var acc = 0L
-    val offsets = counts.keys.toSeq.sorted.map { r => val o = acc; acc += counts(r); r -> o }
-    val offCol = offsets.foldLeft(lit(0L): Column) {
-      case (els, (r, o)) => when(col("rng") === r, lit(o)).otherwise(els)
-    }
-    val w = Window.partitionBy("rng").orderBy("o_totalprice", "o_orderkey")
-    // ANSI NTILE from the 1-based global rank: base size q, first r buckets
-    // hold q+1 rows ("div" keeps the arithmetic in exact integer space)
-    val q = total / nBuckets
-    val r = total % nBuckets
-    val bucket =
-      if (q == 0) col("rk") // degenerate: fewer rows than buckets
-      else when(col("rk") <= lit(r * (q + 1)), expr(s"(rk - 1) div ${q + 1} + 1"))
-        .otherwise(expr(s"$r + (rk - 1 - ${r * (q + 1)}) div $q + 1"))
-    ranged
-      .withColumn("rk", row_number().over(w).cast("bigint") + offCol)
-      .withColumn("bucket", bucket.cast("bigint"))
+    val (ranked, total) = graft.plans.RangedCumsum.withGlobalCumsum(
+      base, "o_totalprice", "o_orderkey", lit(1L), "rk")
+    ranked
+      .withColumn("bucket",
+        graft.plans.RangedCumsum.ntileFromRank("rk", total, 10).cast("bigint"))
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("n_orders"),

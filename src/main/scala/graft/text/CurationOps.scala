@@ -233,34 +233,11 @@ object CurationOps {
     bucketsFromScored(surprisalOf(docs).localCheckpoint(true))
 
   private def bucketsFromScored(scored: DataFrame): DataFrame = {
-    val nBuckets = 3
-    val cuts = scored.stat
-      .approxQuantile("surprisal", (1 until 8).map(_ / 8.0).toArray, 0.001)
-      .distinct.sorted
-    val rangeCol = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
-      case ((c, i), els) => when(col("surprisal") <= c, lit(i)).otherwise(els)
-    }
-    val ranged = scored.withColumn("rng", rangeCol)
-    val counts = ranged.groupBy("rng").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = counts.values.sum
-    var acc = 0L
-    val offsets = counts.keys.toSeq.sorted.map { r => val o = acc; acc += counts(r); r -> o }
-    val offCol = offsets.foldLeft(lit(0L): Column) {
-      case (els, (r, o)) => when(col("rng") === r, lit(o)).otherwise(els)
-    }
-    val w = Window.partitionBy("rng").orderBy("surprisal", "doc_id")
-    // ANSI NTILE from the 1-based global rank: base size q, first r buckets
-    // hold q+1 rows (`div` keeps the arithmetic in exact integer space)
-    val q = total / nBuckets
-    val r = total % nBuckets
-    val bucket =
-      if (q == 0) col("rk") // degenerate: fewer rows than buckets
-      else when(col("rk") <= lit(r * (q + 1)), expr(s"(rk - 1) div ${q + 1} + 1"))
-        .otherwise(expr(s"$r + (rk - 1 - ${r * (q + 1)}) div $q + 1"))
-    ranged
-      .withColumn("rk", row_number().over(w).cast("bigint") + offCol)
-      .withColumn("bucket", bucket.cast("int"))
+    val (ranked, total) = graft.plans.RangedCumsum.withGlobalCumsum(
+      scored, "surprisal", "doc_id", lit(1L), "rk", nProbes = 8)
+    ranked
+      .withColumn("bucket",
+        graft.plans.RangedCumsum.ntileFromRank("rk", total, 3).cast("int"))
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -533,32 +533,14 @@ object TextOps {
         col("doc_id"),
         size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
         qualityColumn(col("text")).as("quality"))
-      .localCheckpoint(true) // three passes below must not re-score
-    val cuts = scored.stat
-      .approxQuantile("quality", (1 until 16).map(_ / 16.0).toArray, 0.001)
-      .distinct.sorted(Ordering[Double].reverse) // range 0 = BEST quality
-    val rangeCol = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
-      case ((c, i), els) => when(col("quality") >= c, lit(i)).otherwise(els)
-    }
-    val ranged = scored.withColumn("rng", rangeCol)
-    val mass = ranged.groupBy("rng").agg(sum(col("n_tokens")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    var acc = 0L
-    val offsets = mass.keys.toSeq.sorted.map { r => val o = acc; acc += mass(r); r -> o }
-    // ranges whose every row is past the cut can never emit — prune them
-    // BEFORE the per-range sort (the 100 TB case: most of the corpus)
-    val live = offsets.filter { case (_, o) => o <= TokenBudget }
-    val offCol = live.foldLeft(lit(0L): Column) {
-      case (els, (r, o)) => when(col("rng") === r, lit(o)).otherwise(els)
-    }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("rng")
-      .orderBy(desc("quality"), asc("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    ranged
-      .where(col("rng").isin(live.map(_._1): _*))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + offCol)
+      .localCheckpoint(true) // the helper's passes must not re-score
+    val (summed, _) = graft.plans.RangedCumsum.withGlobalCumsum(
+      scored, "quality", "doc_id", col("n_tokens"), "cum_tokens",
+      descending = true, nProbes = 16,
+      // a range whose START is already past the budget can never emit —
+      // pruned BEFORE its sort (the 100 TB case: most of the corpus)
+      keepRangeIf = _ <= TokenBudget)
+    summed
       .where(col("cum_tokens") <= TokenBudget)
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("quality"))
       .orderBy(desc("quality"), asc("doc_id"))
