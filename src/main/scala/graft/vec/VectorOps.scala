@@ -1238,8 +1238,14 @@ object VectorOps {
     * (IEEE: the leading `0.0 +` is exact for non-negative distances).
     * lazy: reads the Pq* constants.
     */
-  lazy val knnPqSql: String = {
-    val ones = (0 until PqSubspaces).map(_ => "1.0").mkString("[", ", ", "]")
+  /** The PQ codebook-training CTE chain (label-slice seed `cb0`, subspace
+    * decomposition `ev`, [[KmeansIters]] unrolled Lloyd iterations),
+    * ending in `cb$KmeansIters(sub, code, cvec)` — shared by [[knnPqSql]]
+    * and [[pqDeltaSql]] so the two oracles can never train different
+    * codebooks. Also defines `pc` (per-label per-pos means — the query
+    * vector's source).
+    */
+  private lazy val pqCbCteChain: String = {
     val pqD2 = """((list_dot_product(ev.esub, ev.esub) - 2.0 * list_dot_product(ev.esub, cb.cvec))
                  |            + list_dot_product(cb.cvec, cb.cvec))""".stripMargin
     val iterCtes = (1 to KmeansIters).map { i =>
@@ -1261,8 +1267,7 @@ object VectorOps {
          |  SELECT p.sub, p.code, COALESCE(n.cvec, p.cvec) AS cvec
          |  FROM $prev p LEFT JOIN pn$i n ON p.sub = n.sub AND p.code = n.code)"""
     }.mkString(",\n")
-    val last = s"cb$KmeansIters"
-    s"""WITH pc AS (
+    s"""pc AS (
        |  SELECT label, i - 1 AS pos,
        |         CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
        |           / CAST(COUNT(*) AS DOUBLE) AS v
@@ -1274,17 +1279,23 @@ object VectorOps {
        |         list(v ORDER BY pos) AS cvec
        |  FROM pc WHERE label < $PqCodebookSize
        |  GROUP BY label, pos // $PqSubDim),
-       |qv AS (SELECT list(v ORDER BY pos) AS qvec FROM pc WHERE label = 0),
-       |qs AS (
-       |  SELECT pos // $PqSubDim AS sub, list(v ORDER BY pos) AS qsub
-       |  FROM pc WHERE label = 0 GROUP BY pos // $PqSubDim),
        |ev AS (
        |  SELECT vec_id, label, (i - 1) // $PqSubDim AS sub,
        |         list(CAST(e AS DOUBLE) ORDER BY i) AS esub
        |  FROM (SELECT vec_id, label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
        |        FROM embeddings)
        |  GROUP BY vec_id, label, (i - 1) // $PqSubDim),
-       |$iterCtes,
+       |$iterCtes""".stripMargin
+  }
+
+  lazy val knnPqSql: String = {
+    val ones = (0 until PqSubspaces).map(_ => "1.0").mkString("[", ", ", "]")
+    val last = s"cb$KmeansIters"
+    s"""WITH $pqCbCteChain,
+       |qv AS (SELECT list(v ORDER BY pos) AS qvec FROM pc WHERE label = 0),
+       |qs AS (
+       |  SELECT pos // $PqSubDim AS sub, list(v ORDER BY pos) AS qsub
+       |  FROM pc WHERE label = 0 GROUP BY pos // $PqSubDim),
        |codes AS (
        |  SELECT vec_id, label, sub, code, cvec,
        |         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY
@@ -1309,6 +1320,115 @@ object VectorOps {
        |                * sqrt(list_dot_product(qvec, qvec))), 6) AS sim
        |FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN qv
        |ORDER BY sim DESC, c.vec_id LIMIT 20""".stripMargin
+  }
+
+  /** PQ-side incremental index maintenance — [[ivfDelta]]'s twin for the
+    * product quantizer: the delta batch (same deterministic crawl model —
+    * every [[IvfDeltaMod]]th vector, re-keyed, +0.25/dim exact-FP shift)
+    * is ENCODED with the memoized trained codebooks without retraining,
+    * and the report is the per-subspace drift scorecard: training vs
+    * delta population, mean reconstruction error (the assignment d2 —
+    * what the codebooks minimize; its rise under new data is THE retrain
+    * signal for a PQ index), delta code usage (codes still in use out of
+    * [[PqCodebookSize]] — collapsing usage means the batch concentrates
+    * into a corner of the codebook), and the mean-ratio drift signal.
+    *
+    * The assignment d2 is `least` over the same [[sqDist]] expansions the
+    * [[subCode]] argmin scans — the min VALUE of the min-arg scan, so no
+    * second distance definition exists; codes come from [[subCode]]
+    * itself. The oracle re-trains the books via [[pqCbCteChain]] (the
+    * identical chain [[knnPqSql]] uses) and re-derives both sides' d2
+    * with the same expansion. Scale shape: both sides are scan +
+    * (sub)-keyed aggregate — 8 groups, map-side combinable, no joins
+    * beyond the final 8-row merge.
+    */
+  def pqDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val books = pqCodebooks(spark, sfDir) // memoized trained index — NOT retrained
+    def subStructsOf(e: Column) = (0 until PqSubspaces).map { s =>
+      struct(lit(s).as("sub"), slice(e, s * PqSubDim + 1, PqSubDim).as("esub"))
+    }
+    val codeBySub = (0 until PqSubspaces)
+      .map(s => (s, subCode(col("esub"), books(s))))
+      .foldRight(lit(-1): Column) { case ((s, c), els) =>
+        when(col("sub") === s, c).otherwise(els)
+      }
+    val d2BySub = (0 until PqSubspaces)
+      .map(s => (s, least(books(s).map(c => sqDist(col("esub"), c)): _*)))
+      .foldRight(lit(Double.NaN): Column) { case ((s, c), els) =>
+        when(col("sub") === s, c).otherwise(els)
+      }
+    def decomposed(src: DataFrame, e: Column) = src
+      .select(col("vec_id"), explode(array(subStructsOf(e): _*)).as("ss"))
+      .select(col("vec_id"), col("ss.sub").as("sub"), col("ss.esub").as("esub"))
+      .withColumn("code", codeBySub)
+      .withColumn("d2", d2BySub)
+    val emb = Tables.embeddings(spark, sfDir)
+    val tstats = decomposed(emb, embDouble).groupBy("sub").agg(
+      count(lit(1)).as("n_train"),
+      round(sum(col("d2").cast("decimal(38,18)")).cast("double")
+        / count(lit(1)).cast("double"), 6).as("mean_d2_train"))
+    val delta = emb
+      .where(col("vec_id") % IvfDeltaMod === IvfDeltaRem)
+      .select(
+        (col("vec_id") + IvfDeltaIdOffset).as("vec_id"),
+        transform(embDouble, x => x + lit(0.25)).as("demb"))
+    val dstats = decomposed(delta, col("demb")).groupBy("sub").agg(
+      count(lit(1)).as("n_delta"),
+      round(sum(col("d2").cast("decimal(38,18)")).cast("double")
+        / count(lit(1)).cast("double"), 6).as("mean_d2_delta"),
+      countDistinct(col("code")).cast("bigint").as("n_codes_used"))
+    tstats.join(dstats, Seq("sub"), "left")
+      .select(
+        col("sub"), col("n_train"), col("mean_d2_train"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        col("mean_d2_delta"),
+        coalesce(col("n_codes_used"), lit(0L)).as("n_codes_used"),
+        round(col("mean_d2_delta") / col("mean_d2_train"), 6).as("drift_ratio"))
+      .orderBy("sub")
+  }
+
+  lazy val pqDeltaSql: String = {
+    val last = s"cb$KmeansIters"
+    val trD2 = """((list_dot_product(e.esub, e.esub) - 2.0 * list_dot_product(e.esub, cb.cvec))
+      |               + list_dot_product(cb.cvec, cb.cvec))""".stripMargin
+    s"""WITH $pqCbCteChain,
+       |tr AS (
+       |  SELECT e.vec_id, e.sub, cb.code, $trD2 AS d2,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.sub
+       |           ORDER BY $trD2, cb.code) AS rn
+       |  FROM ev e JOIN $last cb USING (sub)),
+       |ts AS (
+       |  SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_train,
+       |         ROUND(CAST(SUM(CAST(d2 AS DECIMAL(38,18))) AS DOUBLE)
+       |               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_d2_train
+       |  FROM tr WHERE rn = 1 GROUP BY sub),
+       |dl AS (
+       |  SELECT vec_id + $IvfDeltaIdOffset AS vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.25) AS demb
+       |  FROM embeddings WHERE vec_id % $IvfDeltaMod = $IvfDeltaRem),
+       |dev AS (
+       |  SELECT vec_id, (i - 1) // $PqSubDim AS sub, list(e ORDER BY i) AS esub
+       |  FROM (SELECT vec_id, unnest(demb) AS e, generate_subscripts(demb, 1) AS i
+       |        FROM dl)
+       |  GROUP BY vec_id, (i - 1) // $PqSubDim),
+       |dr AS (
+       |  SELECT e.vec_id, e.sub, cb.code, $trD2 AS d2,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.sub
+       |           ORDER BY $trD2, cb.code) AS rn
+       |  FROM dev e JOIN $last cb USING (sub)),
+       |ds AS (
+       |  SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_delta,
+       |         ROUND(CAST(SUM(CAST(d2 AS DECIMAL(38,18))) AS DOUBLE)
+       |               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_d2_delta,
+       |         CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes_used
+       |  FROM dr WHERE rn = 1 GROUP BY sub)
+       |SELECT t.sub, t.n_train, t.mean_d2_train,
+       |       COALESCE(d.n_delta, 0) AS n_delta, d.mean_d2_delta,
+       |       COALESCE(d.n_codes_used, 0) AS n_codes_used,
+       |       ROUND(d.mean_d2_delta / t.mean_d2_train, 6) AS drift_ratio
+       |FROM ts t LEFT JOIN ds d USING (sub)
+       |ORDER BY sub""".stripMargin
   }
 
   /** Symmetric int8 quantization of the embedding column — the storage
@@ -1763,6 +1883,7 @@ object VectorOps {
     "x4_ann_recall" -> (annRecall _),
     "x6_cluster_quality" -> (clusterQuality _),
     "x3_ivf_delta" -> (ivfDelta _),
+    "x3_pq_delta" -> (pqDelta _),
     "x4_semantic_dedup" -> (semanticDedup _),
     "x4_sim_join" -> (simJoin _),
     "x4_sim_join_lsh" -> (simJoinLsh _),
@@ -1786,6 +1907,7 @@ object VectorOps {
     "x4_ann_recall" -> annRecallSql,
     "x6_cluster_quality" -> clusterQualitySql,
     "x3_ivf_delta" -> ivfDeltaSql,
+    "x3_pq_delta" -> pqDeltaSql,
     "x4_semantic_dedup" -> semanticDedupSql,
     "x4_sim_join" -> simJoinSql,
     "x4_sim_join_lsh" -> simJoinLshSql,

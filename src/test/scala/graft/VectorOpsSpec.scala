@@ -292,4 +292,23 @@ class VectorOpsSpec extends SparkSpec {
       if (n > 0) { assert(r.getDouble(4) >= 0.0); assert(r.getDouble(5) >= 0.0) }
     }
   }
+
+  test("pqDelta: one row per subspace, delta mass uniform, code usage within the codebook") {
+    val rows = VectorOps.pqDelta(spark, sf001).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (0 until VectorOps.PqSubspaces))
+    val nDelta = graft.model.Tables.embeddings(spark, sf001)
+      .where(col("vec_id") % VectorOps.IvfDeltaMod === VectorOps.IvfDeltaRem).count()
+    val nTrain = graft.model.Tables.embeddings(spark, sf001).count()
+    rows.foreach { r =>
+      // every vector contributes one subvector to EVERY subspace
+      assert(r.getLong(1) === nTrain)
+      assert(r.getLong(3) === nDelta)
+      assert(r.getDouble(2) >= 0.0) // reconstruction error is a distance
+      val used = r.getLong(5)
+      assert(used >= 1L && used <= VectorOps.PqCodebookSize)
+      // the +0.25/dim shift moves the batch off the trained manifold —
+      // reconstruction error must not IMPROVE under drifted data
+      assert(r.getDouble(6) >= 1.0, s"drift_ratio ${r.getDouble(6)} < 1 on a shifted batch")
+    }
+  }
 }
