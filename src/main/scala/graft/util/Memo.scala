@@ -65,6 +65,13 @@ object Memo {
     * ~10 table files per access — microseconds against query cost) and
     * exactly as strong as needed: any rewrite that changes a byte count
     * or timestamp anywhere under the dir yields a new fingerprint.
+    *
+    * Non-local paths (s3://, hdfs:// — the 100 TB deployment) are not
+    * walkable through java.io and hash to the constant `absent:` form:
+    * the cache then degrades gracefully to plain (context, dir, variant)
+    * keying — never wrong twice, just without the rewrite guard. A
+    * production port would swap this for the Hadoop FileSystem
+    * `listStatus` census (same (path, len, mtime) tuple, same key).
     */
   def dirFingerprint(path: String): String = {
     def walk(f: java.io.File): Seq[String] =

@@ -155,4 +155,37 @@ class PropertySpec extends SparkSpec {
     val ids = out.select("id").as[Long].collect().toSeq
     assert(ids.length === ids.distinct.length)
   }
+
+  test("property: RangedCumsum == the naive global window, tie-heavy data, asc and desc") {
+    import graft.plans.RangedCumsum
+    // few distinct values → many order ties, the hazard for range cuts
+    val gen = for {
+      v <- Gen.chooseNum(0, 9)
+      w <- Gen.chooseNum(1L, 20L)
+    } yield (v.toDouble / 4.0, w)
+    val data = Gen.listOfN(400, gen).sample.get.zipWithIndex
+      .map { case ((v, wt), i) => (i.toLong, v, wt) }
+    val df = data.toDF("id", "v", "wt")
+    for (descending <- Seq(false, true)) {
+      val ord = if (descending) Seq(desc("v"), asc("id")) else Seq(asc("v"), asc("id"))
+      val naiveW = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+        .rowsBetween(Long.MinValue, 0)
+      val naive = df.withColumn("cum", sum(col("wt")).over(naiveW))
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      val (ranked, total) = RangedCumsum.withGlobalCumsum(
+        df, "v", "id", col("wt"), "cum", descending = descending, nProbes = 8)
+      val got = ranked.select("id", "cum").as[(Long, Long)].collect().toMap
+      assert(got === naive, s"descending=$descending")
+      assert(total === data.map(_._3).sum)
+      // weight 1 ⇒ the cumsum IS the global rank; NTILE formula vs ntile()
+      val (rk, n) = RangedCumsum.withGlobalCumsum(
+        df, "v", "id", lit(1L), "rk", descending = descending, nProbes = 8)
+      val buckets = rk.withColumn("b", RangedCumsum.ntileFromRank("rk", n, 7))
+        .select("id", "b").as[(Long, Long)].collect().toMap
+      val ntiles = df.withColumn("b",
+        ntile(7).over(org.apache.spark.sql.expressions.Window.orderBy(ord: _*)).cast("long"))
+        .select("id", "b").as[(Long, Long)].collect().toMap
+      assert(buckets === ntiles, s"NTILE parity, descending=$descending")
+    }
+  }
 }
