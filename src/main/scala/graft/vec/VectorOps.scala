@@ -1333,10 +1333,13 @@ object VectorOps {
     * [[PqCodebookSize]] — collapsing usage means the batch concentrates
     * into a corner of the codebook), and the mean-ratio drift signal.
     *
-    * The assignment d2 is `least` over the same [[sqDist]] expansions the
-    * [[subCode]] argmin scans — the min VALUE of the min-arg scan, so no
-    * second distance definition exists; codes come from [[subCode]]
-    * itself. The oracle re-trains the books via [[pqCbCteChain]] (the
+    * Codes come from [[subCode]] itself; the assignment d2 re-derives the
+    * argmin's min VALUE by a dynamic lookup of the assigned code's
+    * centroid in the literal codebook — the same [[sqDist]] expansion and
+    * fold orders, so no second distance definition exists and the
+    * generated method stays far under the JIT ceiling (PLANS.md §17)
+    * instead of unrolling every code's distance per subspace. The oracle
+    * re-trains the books via [[pqCbCteChain]] (the
     * identical chain [[knnPqSql]] uses) and re-derives both sides' d2
     * with the same expansion. Scale shape: both sides are scan +
     * (sub)-keyed aggregate — 8 groups, map-side combinable, no joins
@@ -1353,8 +1356,16 @@ object VectorOps {
       .foldRight(lit(-1): Column) { case ((s, c), els) =>
         when(col("sub") === s, c).otherwise(els)
       }
+    // d2 to the ASSIGNED code via a dynamic codebook lookup — the argmin's
+    // min VALUE without unrolling all PqCodebookSize distances per
+    // subspace (8× less generated code, same [[sqDist]] expansion and
+    // fold orders: ‖c‖² is the driver-side c.map(x*x).sum in both forms)
     val d2BySub = (0 until PqSubspaces)
-      .map(s => (s, least(books(s).map(c => sqDist(col("esub"), c)): _*)))
+      .map { s =>
+        val cvec = element_at(typedLit(books(s).map(_.toSeq)), col("code") + 1)
+        val cn = element_at(typedLit(books(s).map(c => c.map(x => x * x).sum)), col("code") + 1)
+        (s, dot(col("esub"), col("esub")) - lit(2.0) * dot(col("esub"), cvec) + cn)
+      }
       .foldRight(lit(Double.NaN): Column) { case ((s, c), els) =>
         when(col("sub") === s, c).otherwise(els)
       }
