@@ -42,7 +42,8 @@ object SparkEntry {
       graft.multimodal.Media.queries ++
       graft.sources.Sinks.queries ++
       graft.streaming.CorpusStreaming.queries ++
-      graft.streaming.EventStreaming.queries
+      graft.streaming.EventStreaming.queries ++
+      graft.streaming.VectorStreaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -69,5 +70,6 @@ object SparkEntry {
       graft.multimodal.Media.oracle ++
       graft.sources.Sinks.oracle ++
       graft.streaming.CorpusStreaming.oracle ++
-      graft.streaming.EventStreaming.oracle
+      graft.streaming.EventStreaming.oracle ++
+      graft.streaming.VectorStreaming.oracle
 }

@@ -856,7 +856,7 @@ object VectorOps {
   /** Shared d2 expression over (embeddings e ⨯ centroid c) — the exact
     * [[sqDist]] expansion/fold order.
     */
-  private val kmeansD2Sql =
+  private[graft] val kmeansD2Sql =
     """((list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
       |               - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec))
       |               + list_dot_product(c.cvec, c.cvec))""".stripMargin
@@ -866,7 +866,7 @@ object VectorOps {
     * shared by [[knnIvfSql]] and [[clusterQualitySql]] so the two oracles
     * can never train different quantizers.
     */
-  private lazy val kmeansCteChain: String = {
+  private[graft] lazy val kmeansCteChain: String = {
     val iterCtes = (1 to KmeansIters).map { i =>
       val prev = s"cents${i - 1}"
       s"""a$i AS (

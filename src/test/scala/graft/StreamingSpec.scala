@@ -233,6 +233,16 @@ class StreamingSpec extends SparkSpec {
     assert(w.getLong(0) > 0L && w.getLong(1) === s.getLong(1)) // same slice, same event total
   }
 
+  test("ivfAssignParity: streaming centroid assignment equals the batch counts (0 diff)") {
+    val row = graft.streaming.VectorStreaming
+      .ivfAssignParity(spark, "/root/testdata/sf0.001").collect().head
+    assert(row.getLong(2) === 0L, s"stream/batch assignment diverged: $row")
+    // every vector lands in exactly one cluster of the trained quantizer
+    val nVecs = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(row.getLong(1) === nVecs)
+    assert(row.getLong(0) > 0L)
+  }
+
   test("nearDupStreamParity: stream survivors equal the batch min-owner rule (0 diff)") {
     // the driver hash-checks this at sf0.01; this pins the SAME 0-diff
     // invariant in-suite at sf0.001 (identical 500-doc documents table,
