@@ -64,6 +64,41 @@ object EventQueries {
       |FROM events
       |GROUP BY 1 ORDER BY hour_start""".stripMargin
 
+  /** X-7: SLIDING (hopping) event-time windows — 1-hour windows advancing
+    * every 15 minutes, so each event lands in exactly 4 overlapping
+    * windows (60/15). `window(ts, len, slide)` expands the event to its
+    * window set ON THE SCAN (a generated-column explode, no join), then
+    * aggregates — one shuffle on window start, partial agg map-side, same
+    * plan family as the tumbling query. The overlap factor multiplies
+    * shuffled rows by len/slide (4× here): at 100 TB that constant is the
+    * cost knob a pipeline owner tunes via the slide, and it is visible in
+    * this plan rather than hidden in a per-event UDF loop. Oracle: DuckDB
+    * has no hopping bucket, so the window set is re-derived as
+    * `time_bucket(15 min, ts) - j*15min` for j=0..3 via a 4-row cross
+    * join — every window start within (ts - 1 hour, ts].
+    */
+  def slidingWindows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("n_events"), col("n_users"), col("sum_value"))
+      .orderBy("win_start")
+
+  val slidingWindowsSql: String =
+    """WITH ev AS (
+      |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+      |           - j.k * INTERVAL '15 minutes' AS win_start,
+      |         user_id, value
+      |  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS j(k))
+      |SELECT win_start,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM ev GROUP BY 1 ORDER BY win_start""".stripMargin
+
   /** X-7b: sessionization — 30-minute inactivity gap starts a new session.
     * `lag` over (user_id, ts) with an event_id tiebreaker for determinism;
     * one shuffle on user_id. Timestamp comparison is exact (µs), identical
@@ -510,6 +545,7 @@ object EventQueries {
     "q_json_extract" -> (jsonExtract _),
     "q_json_schema" -> (jsonSchema _),
     "q_hourly_windows" -> (hourlyWindows _),
+    "q_sliding_windows" -> (slidingWindows _),
     "q_session_counts" -> (sessionCounts _),
     "x8_distinct_users" -> (distinctUsers _),
     "q_anomaly_zscore" -> (anomalyZscore _),
@@ -526,6 +562,7 @@ object EventQueries {
     "q_json_extract" -> jsonExtractSql,
     "q_json_schema" -> jsonSchemaSql,
     "q_hourly_windows" -> hourlyWindowsSql,
+    "q_sliding_windows" -> slidingWindowsSql,
     "q_session_counts" -> sessionCountsSql,
     "x8_distinct_users" -> distinctUsersSql,
     "q_anomaly_zscore" -> anomalyZscoreSql,

@@ -460,34 +460,11 @@ object Dedup {
       docs: DataFrame,
       threshold: Double,
       maxBucketSize: Int = MaxBandBucket): DataFrame = {
-    // ONE pass over shingle rows produces BOTH the banded signature and the
-    // per-doc sorted distinct-shingle-hash array used for exact
-    // verification: the min-aggs don't need distinct (idempotent) and
-    // collect_set dedupes inline — no second/third shingle scan, no
-    // candidate⋈shingles double join.
-    val shm = shingleHashed(docs)
-    // seeded minhashes derive from the single md5 digest (see
-    // minhashSignatures) — its `h` half also feeds the verification arrays
-    val minAggs = (0 until NumHashes)
-      .map(i => min(seededHash(col("h"), col("h2m"), i)).as(s"mh$i"))
-    val perDoc = shm.groupBy("doc_id")
-      .agg(array_sort(collect_set(col("h"))).as("hs"), minAggs: _*)
-    val bandCols = (0 until NumHashes / BandSize).map { b =>
-      val cols = (0 until BandSize).map(r => col(s"mh${b * BandSize + r}").cast("string"))
-      struct(lit(b).as("band"), TextOps.md5Hash60(concat_ws(":", cols: _*)).as("bucket"))
-    }
+    val perDoc = lshPerDoc(docs)
     // bucket join on ids only (NOT the hs arrays — 8 bands would shuffle 8
     // copies of every doc's shingle hashes); arrays are fetched afterwards,
     // one copy per surviving candidate side
-    val buckets = perDoc
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      // hot-bucket cap: rank-limit on the SAME key the candidate join
-      // shuffles on (WindowGroupLimit prunes map-side; no extra exchange)
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket").orderBy("doc_id")))
-      .where(col("rk") <= maxBucketSize)
-      .drop("rk")
+    val buckets = lshBuckets(perDoc, maxBucketSize)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -507,6 +484,76 @@ object Dedup {
       .where(jac >= threshold)
       .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
       .orderBy("d1", "d2")
+  }
+
+  /** Per-doc LSH state in ONE pass over the shingle rows: the sorted
+    * distinct shingle-hash array (`hs`, the exact-verification side) plus
+    * the [[NumHashes]] seeded minhash minima — the min-aggs don't need
+    * distinct (idempotent) and collect_set dedupes inline, so no second
+    * shingle scan and no candidate⋈shingles double join. Shared by the
+    * self-join pair query ([[minhashPairsOf]]) and the cross-corpus delta
+    * probe ([[minhashCrossPairsOf]]).
+    */
+  private def lshPerDoc(docs: DataFrame): DataFrame = {
+    val shm = shingleHashed(docs)
+    // seeded minhashes derive from the single md5 digest (see
+    // minhashSignatures) — its `h` half also feeds the verification arrays
+    val minAggs = (0 until NumHashes)
+      .map(i => min(seededHash(col("h"), col("h2m"), i)).as(s"mh$i"))
+    shm.groupBy("doc_id")
+      .agg(array_sort(collect_set(col("h"))).as("hs"), minAggs: _*)
+  }
+
+  /** Capped (doc_id, band, bucket) rows over [[lshPerDoc]] output. The
+    * hot-bucket cap is a rank-limit on the SAME key the candidate join
+    * shuffles on (WindowGroupLimit prunes map-side; no extra exchange).
+    */
+  private def lshBuckets(perDoc: DataFrame, maxBucketSize: Int): DataFrame = {
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      val cols = (0 until BandSize).map(r => col(s"mh${b * BandSize + r}").cast("string"))
+      struct(lit(b).as("band"), TextOps.md5Hash60(concat_ws(":", cols: _*)).as("bucket"))
+    }
+    perDoc
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket").orderBy("doc_id")))
+      .where(col("rk") <= maxBucketSize)
+      .drop("rk")
+  }
+
+  /** Cross-corpus MinHash+LSH near-dup pairs: every (delta doc, base doc)
+    * pair sharing a band bucket, verified by exact Jaccard over the
+    * distinct-shingle-hash sets. The candidate join is base⋈delta ONLY —
+    * base never self-pairs, so a daily ingest probes the corpus index
+    * at delta-proportional cost: at 100 TB the base side's (band, bucket)
+    * rows and `hs` arrays are the persisted near-dup index (built once,
+    * appended per ingest — the same shape [[dedupDelta]] models for the
+    * unverified bucket-count screen), and only the delta is signed fresh.
+    */
+  def minhashCrossPairsOf(
+      base: DataFrame,
+      delta: DataFrame,
+      threshold: Double,
+      maxBucketSize: Int = MaxBandBucket): DataFrame = {
+    val pb = lshPerDoc(base)
+    val pd = lshPerDoc(delta)
+    val candidates = lshBuckets(pb, maxBucketSize).as("a")
+      .join(lshBuckets(pd, maxBucketSize).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("base_id"), col("b.doc_id").as("delta_id"))
+      .distinct()
+    val hb = pb.select(col("doc_id").as("bid"), col("hs").as("h1"))
+    val hd = pd.select(col("doc_id").as("did"), col("hs").as("h2"))
+    val pairs = candidates
+      .join(hb, col("base_id") === col("bid"))
+      .join(hd, col("delta_id") === col("did"))
+    val i = size(array_intersect(col("h1"), col("h2"))).cast("double")
+    val jac = i / (size(col("h1")).cast("double") + size(col("h2")).cast("double") - i)
+    pairs
+      .where(jac >= threshold)
+      .select(col("delta_id"), col("base_id"), round(jac, 6).as("jaccard"))
+      .orderBy("delta_id", "base_id")
   }
 
   /** Exact-Jaccard threshold of the driver-checked [[minhashPairs]] query —
@@ -794,6 +841,67 @@ object Dedup {
        |ORDER BY dl.doc_id""".stripMargin
   }
 
+  /** Near-dup delta resolution — the VERIFIED companion to [[dedupDelta]]'s
+    * bucket-count screen: each delta doc's near-duplicate base docs with
+    * their exact Jaccard, via the cross-corpus LSH probe
+    * ([[minhashCrossPairsOf]]) at the pinned [[MinhashThreshold]]. The
+    * screen says "this doc shares N buckets with the corpus"; this query
+    * answers the question the ingest policy actually acts on — WHICH corpus
+    * docs it near-duplicates and HOW close — without ever pairing the base
+    * against itself. Non-vacuity: the delta carries near-MIRRORS of base
+    * docs (one appended token, so Jaccard ≈ (n-2)/(n-1) over trigram
+    * shingles — high but not 1.0; the [[dedupDelta]] exact-mirror device
+    * shifted to the near-dup regime), alongside any organic cross-slice
+    * near-dups the generator planted.
+    */
+  val NearMirrorMod = 97L
+  val NearMirrorOffset = 2000000L
+
+  def neardupDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.where(col("doc_id") < DeltaSplitId).select("doc_id", "text")
+    val delta = docs.where(col("doc_id") >= DeltaSplitId).select("doc_id", "text")
+      .unionByName(base.where(col("doc_id") % NearMirrorMod === 13)
+        .select(
+          (col("doc_id") + NearMirrorOffset).as("doc_id"),
+          concat(col("text"), lit(" graftdelta")).as("text")))
+    minhashCrossPairsOf(base, delta, MinhashThreshold)
+  }
+
+  /** DuckDB twin: the generated minhash CTE chain instantiated per slice
+    * (prefixes `nb_`/`nd_`; the within-slice candidate/pair CTEs go
+    * unreferenced), then the SAME cross-slice bucket join + intersect
+    * verification as the Spark plan.
+    */
+  lazy val neardupDeltaSql: String = {
+    val baseSrc = s"(SELECT doc_id, text FROM documents WHERE doc_id < $DeltaSplitId)"
+    val deltaSrc =
+      s"""(SELECT doc_id, text FROM documents WHERE doc_id >= $DeltaSplitId
+         |   UNION ALL
+         |   SELECT doc_id + $NearMirrorOffset AS doc_id, text || ' graftdelta' AS text
+         |   FROM documents
+         |   WHERE doc_id < $DeltaSplitId AND doc_id % $NearMirrorMod = 13)""".stripMargin
+    s"""WITH ${minhashPairsCtes(baseSrc, MinhashThreshold, "nb_")},
+       |${minhashPairsCtes(deltaSrc, MinhashThreshold, "nd_")},
+       |nx_cand AS (
+       |  SELECT DISTINCT b.doc_id AS base_id, d.doc_id AS delta_id
+       |  FROM nb_capped b JOIN nd_capped d
+       |    ON b.band = d.band AND b.bucket = d.bucket),
+       |nx_inter AS (
+       |  SELECT c.delta_id, c.base_id, COUNT(*) AS i
+       |  FROM nx_cand c
+       |  JOIN nb_hs x ON x.doc_id = c.base_id
+       |  JOIN nd_hs y ON y.doc_id = c.delta_id AND y.h = x.h
+       |  GROUP BY 1, 2)
+       |SELECT i.delta_id, i.base_id,
+       |       ROUND(CAST(i.i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i.i AS DOUBLE)), 6) AS jaccard
+       |FROM nx_inter i
+       |JOIN nb_sz s1 ON i.base_id = s1.doc_id
+       |JOIN nd_sz s2 ON i.delta_id = s2.doc_id
+       |WHERE CAST(i.i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i.i AS DOUBLE)) >= $MinhashThreshold
+       |ORDER BY delta_id, base_id""".stripMargin
+  }
+
   /** LSH tuning telemetry: does the 8×4 banding actually find the near-dup
     * pairs the exact shingle-Jaccard join finds at the same threshold?
     * Ground truth and candidate sets are the two EXISTING pair queries
@@ -882,6 +990,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_dedup_delta" -> (dedupDelta _),
+    "t_neardup_delta" -> (neardupDelta _),
     "x1_dedup_exact" -> (exactDedup _),
     "x2_jaccard_pairs" -> (jaccardPairs _),
     "x2_minhash_pairs" -> (minhashPairs _),
@@ -894,6 +1003,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "t_dedup_delta" -> dedupDeltaSql,
+    "t_neardup_delta" -> neardupDeltaSql,
     "x1_dedup_exact" -> exactDedupSql,
     "x2_jaccard_pairs" -> jaccardPairsSql,
     "x2_minhash_pairs" -> minhashPairsSql,

@@ -161,6 +161,23 @@ class DedupSpec extends SparkSpec {
     assert(keys.values.forall(_.size === Dedup.NumHashes / Dedup.BandSize))
   }
 
+  test("neardupDelta: cross-slice only; planted near-mirrors resolve to their source below 1.0") {
+    val rows = Dedup.neardupDelta(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // the probe is base⋈delta only: every pair is (delta doc, base doc)
+    assert(rows.forall { case (d, b, _) => b < Dedup.DeltaSplitId && d >= Dedup.DeltaSplitId })
+    assert(rows.forall { case (_, _, j) => j >= Dedup.MinhashThreshold && j <= 1.0 })
+    // each planted near-mirror (source + 1 appended token) finds its own
+    // source with high-but-not-exact Jaccard — the near-dup regime, not
+    // the exact-dup one t_dedup_delta's mirrors exercise
+    val selfPairs = rows.filter { case (d, b, _) => d == b + Dedup.NearMirrorOffset }
+    val expectedMirrors = (0L until Dedup.DeltaSplitId)
+      .count(_ % Dedup.NearMirrorMod == 13L)
+    assert(selfPairs.length === expectedMirrors)
+    selfPairs.foreach { case (_, _, j) => assert(j > 0.5 && j < 1.0) }
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     val a = Dedup.minhashSignatures(docs).orderBy("doc_id").collect().map(_.toSeq).toSeq
     val b = Dedup.minhashSignatures(docs).orderBy("doc_id").collect().map(_.toSeq).toSeq

@@ -31,6 +31,20 @@ class InvariantSpec extends SparkSpec {
     assert((cube -- rollup).nonEmpty)
   }
 
+  test("sliding windows: every event lands in exactly len/slide windows; starts slide-aligned") {
+    val win = graft.queries.EventQueries.slidingWindows(spark, sf001).collect()
+    val nEvents = graft.model.Tables.events(spark, sf001).count()
+    // 1-hour window, 15-minute slide → each event counted in exactly 4 windows
+    assert(win.map(_.getLong(1)).sum === 4L * nEvents)
+    assert(win.forall { r =>
+      val t = r.getTimestamp(0).toInstant.getEpochSecond
+      t % (15 * 60) == 0
+    })
+    // overlapping windows can only widen the distinct-user count vs any
+    // single tumbling hour, and never exceed the event count
+    assert(win.forall(r => r.getLong(2) <= r.getLong(1)))
+  }
+
   test("pivot: per-status pivoted counts sum to the plain group counts") {
     val piv = RelQueries.ordersPivot(spark, sf001).collect()
       .map(r => r.getString(0) -> (r.getLong(1) + r.getLong(2) + r.getLong(3))).toMap
