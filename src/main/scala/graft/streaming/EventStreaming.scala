@@ -43,6 +43,29 @@ object EventStreaming {
         col("sum_value"))
   }
 
+  /** SLIDING event-time windows with a late-data watermark — the streaming
+    * twin of EventQueries.slidingWindows (1-hour windows every 15 minutes).
+    * Same state model as the tumbling aggregate, ×(len/slide) window keys:
+    * the overlap factor multiplies STATE rows, not input passes — each
+    * event still arrives once and updates its 4 windows in place, and the
+    * watermark expires a window's state once event time passes its END +
+    * delay, so state stays bounded by (active span / slide) regardless of
+    * stream length.
+    */
+  def slidingCounts(events: DataFrame): DataFrame = {
+    val hasWatermark = events.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+    (if (hasWatermark) events else events.withWatermark("ts", "2 hours"))
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"),
+        col("n_events"))
+  }
+
   /** Custom per-key state: 30-minute-gap sessionization via
     * mapGroupsWithState — the streaming twin of EventQueries.sessionCounts.
     */
@@ -280,6 +303,48 @@ object EventStreaming {
       .toDF("n_windows", "total_events", "n_diff")
   }
 
+  /** Driver-visible [[slidingCounts]] parity — the hopping-window streaming
+    * shape checked the same way as the tumbling one: bounded ts-ordered
+    * chunks, update mode, max of the monotone per-window counter, then an
+    * exceptAll diff against the batch hop aggregate. The hash-checked
+    * totals are the integer columns; `total_events` is 4× the slice's
+    * event count (each event lands in len/slide = 4 windows), which the
+    * oracle reproduces via the same 4-row hop expansion as
+    * q_sliding_windows.
+    */
+  def slidingStreamParity(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = graft.model.Tables.events(spark, sfDir)
+      .where(col("user_id") < SessionParityUsers)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val streamed = CorpusStreaming.runBoundedStream(
+      spark, slice.grouped(math.max(1, slice.length / 3 + 1)).map(_.toSeq).toSeq,
+      outputMode = "update")(slidingCounts(_))
+      .groupBy("win_start", "event_type")
+      .agg(max(col("n_events")).as("n_events")) // final update of a monotone counter
+    val batch = graft.model.Tables.events(spark, sfDir)
+      .where(col("user_id") < SessionParityUsers)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
+    val nDiff = streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
+    val totals = streamed.agg(count(lit(1)), sum(col("n_events"))).collect().head
+    Seq((totals.getLong(0), totals.getLong(1), nDiff))
+      .toDF("n_windows", "total_events", "n_diff")
+  }
+
+  lazy val slidingStreamParitySql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |       CAST(SUM(n) AS BIGINT) AS total_events,
+       |       CAST(0 AS BIGINT) AS n_diff
+       |FROM (SELECT time_bucket(INTERVAL '15 minutes', ts)
+       |               - j.k * INTERVAL '15 minutes' AS ws,
+       |             event_type, COUNT(*) AS n
+       |      FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS j(k)
+       |      WHERE user_id < $SessionParityUsers GROUP BY 1, 2)""".stripMargin
+
   lazy val windowStreamParitySql: String =
     s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
        |       CAST(SUM(n) AS BIGINT) AS total_events,
@@ -306,9 +371,11 @@ object EventStreaming {
 
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "s_session_stream_parity" -> (sessionStreamParity _),
-    "s_window_stream_parity" -> (windowStreamParity _))
+    "s_window_stream_parity" -> (windowStreamParity _),
+    "s_sliding_stream_parity" -> (slidingStreamParity _))
 
   val oracle: Map[String, String] = Map(
     "s_session_stream_parity" -> sessionStreamParitySql,
-    "s_window_stream_parity" -> windowStreamParitySql)
+    "s_window_stream_parity" -> windowStreamParitySql,
+    "s_sliding_stream_parity" -> slidingStreamParitySql)
 }

@@ -437,19 +437,7 @@ object VectorOps {
   def simJoinLshOf(
       e: DataFrame,
       maxBucketSize: Int = graft.text.Dedup.MaxBandBucket): DataFrame = {
-    val bandCols = simJoinBandPlanes.zipWithIndex.map { case (planes, b) =>
-      struct(lit(b).as("band"), signature(col("emb"), planes).as("bits"))
-    }
-    val buckets = e
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bits").as("bits"))
-      // hot-bucket cap (mirrored in the oracle SQL): bottom-MaxBandBucket
-      // ids per (band, bits) — see graft.text.Dedup.MaxBandBucket. Same key
-      // as the candidate join, so WindowGroupLimit prunes map-side
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bits").orderBy("vec_id")))
-      .where(col("rk") <= maxBucketSize)
-      .drop("rk")
+    val buckets = lshVecBuckets(e, maxBucketSize)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
@@ -463,6 +451,106 @@ object VectorOps {
       .where(sim >= SimJoinThreshold)
       .select(col("v1"), col("v2"), round(sim, 6).as("sim"))
       .orderBy("v1", "v2")
+  }
+
+  /** Capped (vec_id, band, bits) sign-LSH bucket rows over a
+    * `(vec_id, emb: array<double>)` frame. The hot-bucket cap (mirrored in
+    * the oracle SQL) keeps the bottom-`maxBucketSize` ids per (band, bits)
+    * — same key as the candidate join, so WindowGroupLimit prunes
+    * map-side. Shared by the self-join pair query ([[simJoinLshOf]]) and
+    * the cross-corpus delta screen ([[simCrossLshOf]]).
+    */
+  private def lshVecBuckets(e: DataFrame, maxBucketSize: Int): DataFrame = {
+    val bandCols = simJoinBandPlanes.zipWithIndex.map { case (planes, b) =>
+      struct(lit(b).as("band"), signature(col("emb"), planes).as("bits"))
+    }
+    e
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bits").orderBy("vec_id")))
+      .where(col("rk") <= maxBucketSize)
+      .drop("rk")
+  }
+
+  /** Cross-corpus semantic near-dup screen: every (delta vector, base
+    * vector) pair sharing a sign-LSH band bucket, verified by exact cosine
+    * against the threshold. The candidate join is base⋈delta ONLY — the
+    * corpus never re-pairs against itself, so screening a daily embedding
+    * batch costs delta-proportional work against a persisted index of the
+    * base side's (band, bits) rows: the vector twin of
+    * [[graft.text.Dedup.minhashCrossPairsOf]], and the missing step
+    * between [[simJoinLsh]] (build the corpus pair set once) and
+    * [[ivfDelta]]/[[pqDelta]] (keep the ANN index alive) — new vectors get
+    * a near-dup verdict BEFORE they pollute the corpus.
+    */
+  def simCrossLshOf(
+      base: DataFrame,
+      delta: DataFrame,
+      threshold: Double,
+      maxBucketSize: Int = graft.text.Dedup.MaxBandBucket): DataFrame = {
+    val candidates = lshVecBuckets(base, maxBucketSize).as("a")
+      .join(lshVecBuckets(delta, maxBucketSize).as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits"))
+      .select(col("a.vec_id").as("base_id"), col("b.vec_id").as("delta_id"))
+      .distinct()
+    val sim = cosine(col("e1"), col("e2"))
+    candidates
+      .join(base.select(col("vec_id").as("bb1"), col("emb").as("e1")), col("base_id") === col("bb1"))
+      .join(delta.select(col("vec_id").as("dd1"), col("emb").as("e2")), col("delta_id") === col("dd1"))
+      .where(sim >= threshold)
+      .select(col("delta_id"), col("base_id"), round(sim, 6).as("sim"))
+      .orderBy("delta_id", "base_id")
+  }
+
+  /** First vec_id of the delta slice for the driver-checked screen — the
+    * base/delta split plays the same role as
+    * [[graft.text.Dedup.DeltaSplitId]] on the text side.
+    */
+  val VecDeltaSplit = 400L
+
+  def semanticDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), embDouble.as("emb"))
+    simCrossLshOf(
+      e.where(col("vec_id") < VecDeltaSplit),
+      e.where(col("vec_id") >= VecDeltaSplit),
+      SimJoinThreshold)
+  }
+
+  /** DuckDB twin of [[semanticDelta]]: per-slice band CTEs from the same
+    * generated signature expressions, cross-slice candidate join, exact
+    * cosine verification.
+    */
+  lazy val semanticDeltaSql: String = {
+    def side(pred: String, p: String) = {
+      val bandSelects = simJoinBandPlanes.zipWithIndex.map { case (planes, b) =>
+        s"  SELECT vec_id, $b AS band, (${sigSqlExprOf(planes, "embeddings")}) AS bits FROM embeddings WHERE $pred"
+      }.mkString("\n  UNION ALL\n")
+      s"""${p}bands AS (
+         |$bandSelects),
+         |${p}capped AS (
+         |  SELECT vec_id, band, bits FROM (
+         |    SELECT vec_id, band, bits,
+         |           ROW_NUMBER() OVER (PARTITION BY band, bits ORDER BY vec_id) AS rk
+         |    FROM ${p}bands)
+         |  WHERE rk <= ${graft.text.Dedup.MaxBandBucket})""".stripMargin
+    }
+    s"""WITH ${side(s"vec_id < $VecDeltaSplit", "sb_")},
+       |${side(s"vec_id >= $VecDeltaSplit", "sd_")},
+       |sx_cand AS (
+       |  SELECT DISTINCT a.vec_id AS base_id, b.vec_id AS delta_id
+       |  FROM sb_capped a JOIN sd_capped b ON a.band = b.band AND a.bits = b.bits),
+       |sx_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+       |SELECT delta_id, base_id,
+       |       ROUND(list_dot_product(e1.emb, e2.emb)
+       |             / (sqrt(list_dot_product(e1.emb, e1.emb)) * sqrt(list_dot_product(e2.emb, e2.emb))), 6) AS sim
+       |FROM sx_cand
+       |JOIN sx_e e1 ON base_id = e1.vec_id
+       |JOIN sx_e e2 ON delta_id = e2.vec_id
+       |WHERE list_dot_product(e1.emb, e2.emb)
+       |      / (sqrt(list_dot_product(e1.emb, e1.emb)) * sqrt(list_dot_product(e2.emb, e2.emb))) >= $SimJoinThreshold
+       |ORDER BY delta_id, base_id""".stripMargin
   }
 
   // lazy: declared before NumPlanes/EmbDim in object-init order — an eager
@@ -1898,6 +1986,7 @@ object VectorOps {
     "x4_semantic_dedup" -> (semanticDedup _),
     "x4_sim_join" -> (simJoin _),
     "x4_sim_join_lsh" -> (simJoinLsh _),
+    "x4_semantic_delta" -> (semanticDelta _),
     "x4_threshold_sweep" -> (simThresholdSweep _),
     "x6_centroids" -> (centroids _))
 
@@ -1922,6 +2011,7 @@ object VectorOps {
     "x4_semantic_dedup" -> semanticDedupSql,
     "x4_sim_join" -> simJoinSql,
     "x4_sim_join_lsh" -> simJoinLshSql,
+    "x4_semantic_delta" -> semanticDeltaSql,
     "x4_threshold_sweep" -> simThresholdSweepSql,
     "x6_centroids" -> centroidsSql)
 }

@@ -46,6 +46,28 @@ class ScaleGuardSpec extends SparkSpec {
     assert(pairs.flatMap(p => Seq(p._1, p._2)).forall(_ <= 3L))
   }
 
+  test("simCrossLshOf: cross-side pairs only; subset of the self-join pair set; screen is non-vacuous") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.model.Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+    val cross = VectorOps.simCrossLshOf(
+      e.where($"vec_id" < VectorOps.VecDeltaSplit),
+      e.where($"vec_id" >= VectorOps.VecDeltaSplit),
+      VectorOps.SimJoinThreshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cross.nonEmpty, "delta screen must flag organic cross-slice near-dups")
+    assert(cross.forall { case (d, b, _) =>
+      d >= VectorOps.VecDeltaSplit && b < VectorOps.VecDeltaSplit })
+    assert(cross.forall { case (_, _, s) => s >= VectorOps.SimJoinThreshold && s <= 1.0 + 1e-9 })
+    // the cross screen finds exactly the full self-join pair set's
+    // cross-slice rows: same bands, same cap geometry, no corpus self-pairs
+    val full = VectorOps.simJoinLshOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (v1, v2) => v1 < VectorOps.VecDeltaSplit && v2 >= VectorOps.VecDeltaSplit }
+      .map { case (v1, v2) => (v2, v1) }.toSet
+    assert(cross.map(c => (c._1, c._2)).toSet === full)
+  }
+
   test("packedOf: invariants hold at two bucket counts vs an independent reimplementation") {
     val docs = graft.model.Tables.documents(spark, sf001).where($"doc_id" < 300)
     val raw = docs

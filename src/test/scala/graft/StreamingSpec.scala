@@ -231,6 +231,11 @@ class StreamingSpec extends SparkSpec {
       .windowStreamParity(spark, "/root/testdata/sf0.001").collect().head
     assert(w.getLong(2) === 0L, s"windowed counts diverged from batch: $w")
     assert(w.getLong(0) > 0L && w.getLong(1) === s.getLong(1)) // same slice, same event total
+    val sl = graft.streaming.EventStreaming
+      .slidingStreamParity(spark, "/root/testdata/sf0.001").collect().head
+    assert(sl.getLong(2) === 0L, s"sliding counts diverged from batch: $sl")
+    // hop factor: each event counted in exactly 4 overlapping windows
+    assert(sl.getLong(1) === 4L * s.getLong(1))
   }
 
   test("ivfAssignParity: streaming centroid assignment equals the batch counts (0 diff)") {
