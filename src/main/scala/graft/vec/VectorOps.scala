@@ -460,12 +460,19 @@ object VectorOps {
     * map-side. Shared by the self-join pair query ([[simJoinLshOf]]) and
     * the cross-corpus delta screen ([[simCrossLshOf]]).
     */
-  private def lshVecBuckets(e: DataFrame, maxBucketSize: Int): DataFrame = {
-    val bandCols = simJoinBandPlanes.zipWithIndex.map { case (planes, b) =>
-      struct(lit(b).as("band"), signature(col("emb"), planes).as("bits"))
-    }
+  /** The banded sign-LSH signature set of an embedding column, as an
+    * `array<struct<band, bits>>` — a stateless scan-side projection, so a
+    * streaming ingest can band-key arriving vectors with no state store
+    * ([[graft.streaming.VectorStreaming.semanticDeltaParity]]).
+    */
+  private[graft] def vecBandArray(emb: Column): Column =
+    array(simJoinBandPlanes.zipWithIndex.map { case (planes, b) =>
+      struct(lit(b).as("band"), signature(emb, planes).as("bits"))
+    }: _*)
+
+  private[graft] def lshVecBuckets(e: DataFrame, maxBucketSize: Int): DataFrame = {
     e
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), explode(vecBandArray(col("emb"))).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bits").as("bits"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bits").orderBy("vec_id")))
@@ -518,11 +525,14 @@ object VectorOps {
       SimJoinThreshold)
   }
 
-  /** DuckDB twin of [[semanticDelta]]: per-slice band CTEs from the same
+  /** DuckDB twin of [[semanticDelta]], as a CTE chain ending in
+    * `sx_pairs(delta_id, base_id, sim)`: per-slice band CTEs from the same
     * generated signature expressions, cross-slice candidate join, exact
-    * cosine verification.
+    * cosine verification. Shared by the pair oracle and the streaming
+    * parity oracle ([[graft.streaming.VectorStreaming]]), so the screen
+    * has ONE SQL definition.
     */
-  lazy val semanticDeltaSql: String = {
+  lazy val semanticDeltaCtes: String = {
     def side(pred: String, p: String) = {
       val bandSelects = simJoinBandPlanes.zipWithIndex.map { case (planes, b) =>
         s"  SELECT vec_id, $b AS band, (${sigSqlExprOf(planes, "embeddings")}) AS bits FROM embeddings WHERE $pred"
@@ -536,22 +546,26 @@ object VectorOps {
          |    FROM ${p}bands)
          |  WHERE rk <= ${graft.text.Dedup.MaxBandBucket})""".stripMargin
     }
-    s"""WITH ${side(s"vec_id < $VecDeltaSplit", "sb_")},
+    s"""${side(s"vec_id < $VecDeltaSplit", "sb_")},
        |${side(s"vec_id >= $VecDeltaSplit", "sd_")},
        |sx_cand AS (
        |  SELECT DISTINCT a.vec_id AS base_id, b.vec_id AS delta_id
        |  FROM sb_capped a JOIN sd_capped b ON a.band = b.band AND a.bits = b.bits),
-       |sx_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-       |SELECT delta_id, base_id,
-       |       ROUND(list_dot_product(e1.emb, e2.emb)
-       |             / (sqrt(list_dot_product(e1.emb, e1.emb)) * sqrt(list_dot_product(e2.emb, e2.emb))), 6) AS sim
-       |FROM sx_cand
-       |JOIN sx_e e1 ON base_id = e1.vec_id
-       |JOIN sx_e e2 ON delta_id = e2.vec_id
-       |WHERE list_dot_product(e1.emb, e2.emb)
-       |      / (sqrt(list_dot_product(e1.emb, e1.emb)) * sqrt(list_dot_product(e2.emb, e2.emb))) >= $SimJoinThreshold
-       |ORDER BY delta_id, base_id""".stripMargin
+       |sx_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sx_pairs AS (
+       |  SELECT delta_id, base_id,
+       |         ROUND(list_dot_product(e1.emb, e2.emb)
+       |               / (sqrt(list_dot_product(e1.emb, e1.emb)) * sqrt(list_dot_product(e2.emb, e2.emb))), 6) AS sim
+       |  FROM sx_cand
+       |  JOIN sx_e e1 ON base_id = e1.vec_id
+       |  JOIN sx_e e2 ON delta_id = e2.vec_id
+       |  WHERE list_dot_product(e1.emb, e2.emb)
+       |        / (sqrt(list_dot_product(e1.emb, e1.emb)) * sqrt(list_dot_product(e2.emb, e2.emb))) >= $SimJoinThreshold)""".stripMargin
   }
+
+  lazy val semanticDeltaSql: String =
+    s"""WITH $semanticDeltaCtes
+       |SELECT delta_id, base_id, sim FROM sx_pairs ORDER BY delta_id, base_id""".stripMargin
 
   // lazy: declared before NumPlanes/EmbDim in object-init order — an eager
   // val would capture their default (0) and generate an empty signature

@@ -238,6 +238,17 @@ class StreamingSpec extends SparkSpec {
     assert(sl.getLong(1) === 4L * s.getLong(1))
   }
 
+  test("semanticDeltaParity: streamed delta screen equals the batch cross-corpus pairs (0 diff)") {
+    val row = graft.streaming.VectorStreaming
+      .semanticDeltaParity(spark, "/root/testdata/sf0.001").collect().head
+    assert(row.getLong(2) === 0L, s"stream/batch delta screen diverged: $row")
+    assert(row.getLong(0) > 0L, "screen must flag organic cross-slice near-dups")
+    // flagged vectors can't exceed pairs, and both sides agree with batch
+    assert(row.getLong(1) <= row.getLong(0))
+    val batchPairs = graft.vec.VectorOps.semanticDelta(spark, "/root/testdata/sf0.001").count()
+    assert(row.getLong(0) === batchPairs)
+  }
+
   test("ivfAssignParity: streaming centroid assignment equals the batch counts (0 diff)") {
     val row = graft.streaming.VectorStreaming
       .ivfAssignParity(spark, "/root/testdata/sf0.001").collect().head
