@@ -868,20 +868,16 @@ object Dedup {
     minhashCrossPairsOf(base, delta, MinhashThreshold)
   }
 
-  /** DuckDB twin: the generated minhash CTE chain instantiated per slice
-    * (prefixes `nb_`/`nd_`; the within-slice candidate/pair CTEs go
-    * unreferenced), then the SAME cross-slice bucket join + intersect
-    * verification as the Spark plan.
+  /** Generated CTE chain for the cross-corpus probe over arbitrary base /
+    * delta source relations, ending in `nx_pairs(delta_id, base_id,
+    * jaccard)` — the minhash chain instantiated per slice (prefixes
+    * `nb_`/`nd_`; the within-slice candidate/pair CTEs go unreferenced),
+    * then the SAME cross-slice bucket join + intersect verification as
+    * the Spark plan. Shared by the pair oracle and the composed ingest
+    * gate, so the screen has ONE SQL definition.
     */
-  lazy val neardupDeltaSql: String = {
-    val baseSrc = s"(SELECT doc_id, text FROM documents WHERE doc_id < $DeltaSplitId)"
-    val deltaSrc =
-      s"""(SELECT doc_id, text FROM documents WHERE doc_id >= $DeltaSplitId
-         |   UNION ALL
-         |   SELECT doc_id + $NearMirrorOffset AS doc_id, text || ' graftdelta' AS text
-         |   FROM documents
-         |   WHERE doc_id < $DeltaSplitId AND doc_id % $NearMirrorMod = 13)""".stripMargin
-    s"""WITH ${minhashPairsCtes(baseSrc, MinhashThreshold, "nb_")},
+  def neardupCrossCtes(baseSrc: String, deltaSrc: String): String =
+    s"""${minhashPairsCtes(baseSrc, MinhashThreshold, "nb_")},
        |${minhashPairsCtes(deltaSrc, MinhashThreshold, "nd_")},
        |nx_cand AS (
        |  SELECT DISTINCT b.doc_id AS base_id, d.doc_id AS delta_id
@@ -892,14 +888,117 @@ object Dedup {
        |  FROM nx_cand c
        |  JOIN nb_hs x ON x.doc_id = c.base_id
        |  JOIN nd_hs y ON y.doc_id = c.delta_id AND y.h = x.h
-       |  GROUP BY 1, 2)
-       |SELECT i.delta_id, i.base_id,
-       |       ROUND(CAST(i.i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i.i AS DOUBLE)), 6) AS jaccard
-       |FROM nx_inter i
-       |JOIN nb_sz s1 ON i.base_id = s1.doc_id
-       |JOIN nd_sz s2 ON i.delta_id = s2.doc_id
-       |WHERE CAST(i.i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i.i AS DOUBLE)) >= $MinhashThreshold
+       |  GROUP BY 1, 2),
+       |nx_pairs AS (
+       |  SELECT i.delta_id, i.base_id,
+       |         ROUND(CAST(i.i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i.i AS DOUBLE)), 6) AS jaccard
+       |  FROM nx_inter i
+       |  JOIN nb_sz s1 ON i.base_id = s1.doc_id
+       |  JOIN nd_sz s2 ON i.delta_id = s2.doc_id
+       |  WHERE CAST(i.i AS DOUBLE) / (CAST(s1.n AS DOUBLE) + CAST(s2.n AS DOUBLE) - CAST(i.i AS DOUBLE)) >= $MinhashThreshold)""".stripMargin
+
+  private val neardupBaseSrc =
+    s"(SELECT doc_id, text FROM documents WHERE doc_id < $DeltaSplitId)"
+
+  private val neardupDeltaSrc =
+    s"""(SELECT doc_id, text FROM documents WHERE doc_id >= $DeltaSplitId
+       |   UNION ALL
+       |   SELECT doc_id + $NearMirrorOffset AS doc_id, text || ' graftdelta' AS text
+       |   FROM documents
+       |   WHERE doc_id < $DeltaSplitId AND doc_id % $NearMirrorMod = 13)""".stripMargin
+
+  /** DuckDB twin of [[neardupDelta]] via [[neardupCrossCtes]]. */
+  lazy val neardupDeltaSql: String =
+    s"""WITH ${neardupCrossCtes(neardupBaseSrc, neardupDeltaSrc)}
+       |SELECT delta_id, base_id, jaccard FROM nx_pairs
        |ORDER BY delta_id, base_id""".stripMargin
+
+  /** The ingest GATE — the decision a daily-crawl pipeline actually
+    * executes per arriving document, composing the whole delta family in
+    * one verdict: exact-dup screen ([[dedupDelta]]'s fingerprint
+    * semi-join) → verified near-dup screen ([[minhashCrossPairsOf]] at
+    * the pinned threshold) → quality floor ([[TextOps.qualityColumn]] at
+    * [[CorpusPipeline.PinnedConfig]]'s `minQuality` — the SAME constant
+    * the batch curation funnel cuts at, so gate and funnel cannot
+    * disagree about what "too low" means). Priority mirrors curation
+    * stage order: `exact_dup` > `near_dup` > `low_quality` > `keep`.
+    * The delta carries BOTH mirror families (exact re-crawls and
+    * one-token-off near-mirrors), so every drop reason bites on the
+    * checked corpora.
+    *
+    * Scale posture: three probes, each keyed and delta-proportional —
+    * 16-byte fingerprint semi-join, banded bucket join (never base⋈base),
+    * and a scan-side quality projection; the verdict is a CASE over their
+    * left-joined results. No pair spaces, no collects, no windows.
+    */
+  def ingestDecision(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.where(col("doc_id") < DeltaSplitId).select("doc_id", "text")
+    val delta = docs.where(col("doc_id") >= DeltaSplitId).select("doc_id", "text")
+      .unionByName(base.where(col("doc_id") % DeltaMirrorMod === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(base.where(col("doc_id") % NearMirrorMod === 13)
+        .select(
+          (col("doc_id") + NearMirrorOffset).as("doc_id"),
+          concat(col("text"), lit(" graftdelta")).as("text")))
+    val exact = delta
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .join(base.select(md5(col("text").cast("binary")).as("fp")).distinct(),
+        Seq("fp"), "left_semi")
+      .select(col("doc_id")).withColumn("hit", lit(true))
+    val near = minhashCrossPairsOf(base, delta, MinhashThreshold)
+      .groupBy(col("delta_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_near"))
+    val minQ = CorpusPipeline.PinnedConfig.minQuality
+    delta
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("hit"), lit(false)).as("is_exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near_dups"),
+        TextOps.qualityColumn(col("text")).as("quality"),
+        when(coalesce(col("hit"), lit(false)), "exact_dup")
+          .when(coalesce(col("n_near"), lit(0L)) > 0, "near_dup")
+          .when(TextOps.qualityColumn(col("text")) < minQ, "low_quality")
+          .otherwise("keep").as("decision"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[ingestDecision]]: the shared cross-probe CTEs over
+    * the two-mirror delta, the fingerprint IN-probe, and the SAME quality
+    * formula ([[TextOps.qualitySqlExpr]]) and priority CASE.
+    */
+  lazy val ingestDecisionSql: String = {
+    val deltaSrc =
+      s"""(SELECT doc_id, text FROM documents WHERE doc_id >= $DeltaSplitId
+         |   UNION ALL
+         |   SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |   WHERE doc_id < $DeltaSplitId AND doc_id % $DeltaMirrorMod = 7
+         |   UNION ALL
+         |   SELECT doc_id + $NearMirrorOffset AS doc_id, text || ' graftdelta' AS text
+         |   FROM documents
+         |   WHERE doc_id < $DeltaSplitId AND doc_id % $NearMirrorMod = 13)""".stripMargin
+    val minQ = CorpusPipeline.PinnedConfig.minQuality
+    val q = TextOps.qualitySqlExpr("dl.text")
+    s"""WITH ${neardupCrossCtes(neardupBaseSrc, deltaSrc)},
+       |dl AS (SELECT doc_id, text FROM $deltaSrc d),
+       |ex AS (
+       |  SELECT doc_id FROM dl
+       |  WHERE md5(text) IN (SELECT md5(text) FROM $neardupBaseSrc b)),
+       |nn AS (
+       |  SELECT delta_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_near
+       |  FROM nx_pairs GROUP BY 1)
+       |SELECT dl.doc_id,
+       |       (dl.doc_id IN (SELECT doc_id FROM ex)) AS is_exact_dup,
+       |       COALESCE(nn.n_near, 0)::BIGINT AS n_near_dups,
+       |       $q AS quality,
+       |       CASE WHEN dl.doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
+       |            WHEN COALESCE(nn.n_near, 0) > 0 THEN 'near_dup'
+       |            WHEN $q < $minQ THEN 'low_quality'
+       |            ELSE 'keep' END AS decision
+       |FROM dl LEFT JOIN nn USING (doc_id)
+       |ORDER BY dl.doc_id""".stripMargin
   }
 
   /** LSH tuning telemetry: does the 8×4 banding actually find the near-dup
@@ -991,6 +1090,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_dedup_delta" -> (dedupDelta _),
     "t_neardup_delta" -> (neardupDelta _),
+    "t_ingest_decision" -> (ingestDecision _),
     "x1_dedup_exact" -> (exactDedup _),
     "x2_jaccard_pairs" -> (jaccardPairs _),
     "x2_minhash_pairs" -> (minhashPairs _),
@@ -1004,6 +1104,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "t_dedup_delta" -> dedupDeltaSql,
     "t_neardup_delta" -> neardupDeltaSql,
+    "t_ingest_decision" -> ingestDecisionSql,
     "x1_dedup_exact" -> exactDedupSql,
     "x2_jaccard_pairs" -> jaccardPairsSql,
     "x2_minhash_pairs" -> minhashPairsSql,

@@ -178,6 +178,28 @@ class DedupSpec extends SparkSpec {
     selfPairs.foreach { case (_, _, j) => assert(j > 0.5 && j < 1.0) }
   }
 
+  test("ingestDecision: every drop reason bites; verdict respects the priority order") {
+    val rows = Dedup.ingestDecision(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+    val n = rows.groupBy(_._5).view.mapValues(_.length).toMap
+    assert(n.keySet.subsetOf(Set("exact_dup", "near_dup", "low_quality", "keep")))
+    Seq("exact_dup", "near_dup", "low_quality", "keep").foreach { d =>
+      assert(n.getOrElse(d, 0) > 0, s"gate branch '$d' must bite on the fixture")
+    }
+    val minQ = graft.text.CorpusPipeline.PinnedConfig.minQuality
+    rows.foreach { case (_, ex, nn, q, d) =>
+      val expected =
+        if (ex) "exact_dup"
+        else if (nn > 0) "near_dup"
+        else if (q < minQ) "low_quality"
+        else "keep"
+      assert(d === expected)
+    }
+    // an exact re-crawl shares every shingle with its source, so it is
+    // also a verified near-dup — the CASE priority, not the data, decides
+    assert(rows.filter(_._2).forall(_._3 >= 1L))
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     val a = Dedup.minhashSignatures(docs).orderBy("doc_id").collect().map(_.toSeq).toSeq
     val b = Dedup.minhashSignatures(docs).orderBy("doc_id").collect().map(_.toSeq).toSeq
