@@ -37,6 +37,7 @@ object SparkEntry {
       graft.text.SpanDedup.queries ++
       graft.text.CorpusPipeline.queries ++
       graft.text.LangId.queries ++
+      graft.text.QualityModel.queries ++
       graft.vec.VectorOps.queries ++
       graft.graph.Components.queries ++
       graft.multimodal.Media.queries ++
@@ -65,6 +66,7 @@ object SparkEntry {
       graft.text.SpanDedup.oracle ++
       graft.text.CorpusPipeline.oracle ++
       graft.text.LangId.oracle ++
+      graft.text.QualityModel.oracle ++
       graft.vec.VectorOps.oracle ++
       graft.graph.Components.oracle ++
       graft.multimodal.Media.oracle ++

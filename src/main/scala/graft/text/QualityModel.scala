@@ -1,0 +1,320 @@
+package graft.text
+
+import graft.model.Tables
+import graft.util.Memo
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Learned quality classifier — distributed logistic regression trained by
+  * batch gradient descent, the CCNet/GPT-3-style quality-filter shape: a
+  * linear probe over surface text statistics trained against a weak label.
+  * The checked instance DISTILLS the curation funnel's hand-tuned quality
+  * rule ([[TextOps.qualityColumn]] at the pinned [[LabelThreshold]]) into
+  * learned weights — the teacher→student shape a production pipeline uses
+  * to turn an expensive labeler (LLM judge, human ratings, trusted-source
+  * membership) into a cheap linear filter; the label column is the only
+  * thing to swap. The teacher was chosen because it is genuinely learnable
+  * here: this corpus is seed-pinned token soup (see [[LangId]]'s accuracy
+  * note), so an extrinsic label like `lang` carries no surface signal,
+  * while the teacher's boundary is exactly linear in the features — the
+  * student demonstrably recovers it (accuracy ≫ majority class, learned
+  * ordering w_len > w_stop > 0 matching the teacher's 0.5/0.3 weighting —
+  * spec-pinned invariants, not just hash parity).
+  *
+  * Training loop (batch GD, [[Iters]] rounds, learning rate
+  * [[LearningRate]] on the mean gradient):
+  *
+  *   - features x1..x4 per doc (length score, stopword ratio, punctuation
+  *     ratio, mean word length) — ONE map pass, same formula family as
+  *     [[TextOps.qualityColumn]];
+  *   - standardize: z_j = (x_j - m_j) / s_j with the moments computed as
+  *     DECIMAL(38,18) sums rounded to 6 dp (the [[graft.vec.VectorOps]]
+  *     cross-engine contract — sums are order-independent and exact);
+  *   - per round: p = σ(w·z) rounded to 6 dp, then the mean-gradient
+  *     aggregate g_j = Σ (y - p)·z_j in DECIMAL (products of 6-dp values
+  *     are exact at 12 dp, inside DECIMAL(38,18)), then
+  *     w_j ← round(w_j + g_j / n, 6).
+  *
+  * Every arithmetic step is mirrored operand-for-operand in the generated
+  * oracle CTE chain ([[modelSqlCtes]] — one unrolled block per round, the
+  * [[graft.vec.VectorOps.pcaPower]] pattern), so the trained weights, the
+  * eval scorecard, and the per-doc scores are all HASH-checked, not
+  * rows-only. `exp` is the one non-IEEE-pinned op in the chain (±1 ulp
+  * across libms); p is rounded to 6 dp immediately so a last-bit wobble
+  * only matters within ~1e-16 of a rounding boundary — verified stable on
+  * the checked corpora at both sf0.01 and sf0.1.
+  *
+  * Scale posture: each round is one scan over the feature relation plus a
+  * 1-row aggregate; the weight vector is a 1-row frame broadcast by AQE
+  * (the control plane), checkpointed round by round so round i+1 reads a
+  * materialized iterate (plan depth stays O(1), PLANS.md §15). Features
+  * stay LAZY — the standardized matrix never materializes; at 100 TB the
+  * cost is exactly Iters+2 corpus passes and nothing shuffles more than a
+  * handful of scalar rows. The trained chain is memoized per
+  * (context, sfDir) — [[trainedModel]] serves all three consumer queries
+  * from one training run, the fit-once/score-many production shape.
+  */
+object QualityModel {
+
+  /** GD rounds — each is one more unrolled CTE block in the oracle, so the
+    * count is pinned and shared between engines.
+    */
+  val Iters = 8
+
+  /** Step size on the mean gradient. Standardized features bound the
+    * logistic Hessian's spectral norm by λmax(ZᵀZ/n)/4 ≈ 1, so 2.0 sits at
+    * the classical stability edge — fast without divergence.
+    */
+  val LearningRate = 2.0
+
+  /** Teacher cut: documents with [[TextOps.qualityColumn]] ≥ this are the
+    * positive class (≈53/47 split on the checked corpora at every SF).
+    */
+  val LabelThreshold = 0.35
+
+  private val FeatIdx = 1 to 4
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(38,18)")).cast("double")
+
+  /** Per-doc label + raw features, 6-dp rounded — one map pass. */
+  private def featsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopArr = array(TextOps.StopWords.map(lit): _*)
+    val tokCnt = size(toks).cast("bigint")
+    val stopCnt = size(filter(toks, t => array_contains(stopArr, t))).cast("bigint")
+    val charLen = length(col("text")).cast("bigint")
+    val punctCnt = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("bigint")
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      when(TextOps.qualityColumn(col("text")) >= LabelThreshold, lit(1.0))
+        .otherwise(lit(0.0)).as("y"),
+      round(least(lit(1.0), tokCnt.cast("double") / lit(200.0)), 6).as("x1"),
+      round(stopCnt.cast("double") / tokCnt.cast("double"), 6).as("x2"),
+      round(punctCnt.cast("double") / charLen.cast("double"), 6).as("x3"),
+      round(charLen.cast("double") / tokCnt.cast("double") / lit(10.0), 6).as("x4"))
+  }
+
+  /** σ(b + w·z) rounded to 6 dp — operand order pinned to the oracle's
+    * `b + w1 * z1 + w2 * z2 + w3 * z3 + w4 * z4`.
+    */
+  private def probCol: Column = {
+    val u = FeatIdx.foldLeft(col("b"))((acc, j) => acc + col(s"w$j") * col(s"z$j"))
+    round(lit(1.0) / (lit(1.0) + exp(-u)), 6)
+  }
+
+  /** Standardized features (lazy) + trained 1-row weight frame
+    * (checkpointed), memoized per (context, sfDir, data fingerprint).
+    */
+  private def trainedModel(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    Memo.cached("qmodel", spark, sfDir) {
+      val f = featsOf(spark, sfDir)
+      val nCol = count(lit(1)).cast("double")
+      val st = f.agg(
+        nCol.as("n"),
+        FeatIdx.flatMap(j =>
+          Seq(
+            round(dsum(col(s"x$j")) / nCol, 6).as(s"m$j"),
+            (dsum(col(s"x$j") * col(s"x$j")) / nCol).as(s"q$j"))): _*)
+      // s_j = sqrt(var) with a constant-feature guard (var <= 0 → 1.0)
+      val sd = st
+        .select(
+          col("n") +: FeatIdx.flatMap { j =>
+            val varJ = round(col(s"q$j") - col(s"m$j") * col(s"m$j"), 6)
+            Seq(
+              col(s"m$j"),
+              when(varJ <= 0, lit(1.0)).otherwise(round(sqrt(varJ), 6)).as(s"s$j"))
+          }: _*)
+        .localCheckpoint(true)
+      val z = f.crossJoin(sd.drop("n")).select(
+        col("doc_id") +: col("y") +:
+          FeatIdx.map(j => round((col(s"x$j") - col(s"m$j")) / col(s"s$j"), 6).as(s"z$j")): _*)
+      val n1 = sd.select(col("n"))
+
+      val w0 = spark.range(1).select(
+        lit(0.0).as("b") +: FeatIdx.map(j => lit(0.0).as(s"w$j")): _*)
+      var w = w0
+      for (_ <- 1 to Iters) {
+        val p = z.crossJoin(w).select(col("y") +: FeatIdx.map(j => col(s"z$j")) :+
+          probCol.as("p"): _*)
+        val g = p.agg(
+          dsum(col("y") - col("p")).as("gb"),
+          FeatIdx.map(j => dsum((col("y") - col("p")) * col(s"z$j")).as(s"g$j")): _*)
+        // 1-row × 1-row × 1-row: the whole update is control plane
+        val lr = lit(LearningRate)
+        w = w
+          .crossJoin(g)
+          .crossJoin(n1)
+          .select(
+            round(col("b") + lr * (col("gb") / col("n")), 6).as("b") +:
+              FeatIdx.map(j =>
+                round(col(s"w$j") + lr * (col(s"g$j") / col("n")), 6).as(s"w$j")): _*)
+          .localCheckpoint(true)
+      }
+      (z, w)
+    }
+
+  /** Named coefficient long-form of the trained weights — the model
+    * artifact a deployment persists.
+    */
+  def modelWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, w) = trainedModel(spark, sfDir)
+    val named = Seq(
+      "bias" -> "b", "w_len" -> "w1", "w_stop" -> "w2",
+      "w_punct" -> "w3", "w_wordlen" -> "w4")
+    w.select(explode(array(named.map { case (nm, c) =>
+        struct(lit(nm).as("coef"), col(c).as("weight"))
+      }: _*)).as("e"))
+      .select(col("e.coef").as("coef"), col("e.weight").as("weight"))
+      .orderBy("coef")
+  }
+
+  /** Training-set scorecard at threshold 0.5: confusion counts, accuracy,
+    * and the Brier score (mean squared error of p — IEEE-exact, unlike
+    * log-loss whose `ln` is a second libm dependence).
+    */
+  def modelEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val (z, w) = trainedModel(spark, sfDir)
+    val scored = z.crossJoin(w).select(col("y"), probCol.as("p"))
+    val nCol = count(lit(1))
+    def cnt(pred: Column, lab: Column): Column =
+      sum(when(pred && lab, 1L).otherwise(0L))
+    scored
+      .agg(
+        nCol.as("n_docs"),
+        cnt(col("p") >= 0.5, col("y") === 1.0).as("tp"),
+        cnt(col("p") >= 0.5, col("y") === 0.0).as("fp"),
+        cnt(col("p") < 0.5, col("y") === 0.0).as("tn"),
+        cnt(col("p") < 0.5, col("y") === 1.0).as("fn"),
+        round(dsum((col("y") - col("p")) * (col("y") - col("p"))) /
+          nCol.cast("double"), 6).as("brier"))
+      .select(
+        col("n_docs"), col("tp"), col("fp"), col("tn"), col("fn"),
+        round((col("tp") + col("tn")).cast("double") / col("n_docs").cast("double"), 6)
+          .as("accuracy"),
+        col("brier"))
+  }
+
+  /** Top-20 keep-confidence docs by model score — the "use the classifier"
+    * pass: one broadcast of the 1-row weights + TakeOrdered.
+    */
+  def modelScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val (z, w) = trainedModel(spark, sfDir)
+    z.crossJoin(w)
+      .select(col("doc_id"), col("y").cast("bigint").as("label"), probCol.as("p_keep"))
+      .orderBy(desc("p_keep"), col("doc_id"))
+      .limit(20)
+  }
+
+  def clearModelCache(): Unit = Memo.clear("qmodel")
+
+  // ---------------------------------------------------------------- oracle
+
+  private def stopList: String = TextOps.StopWords.map(w => s"'$w'").mkString(", ")
+
+  private def sigmoidSql: String =
+    "ROUND(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
+      "exp(-(b + w1 * z1 + w2 * z2 + w3 * z3 + w4 * z4))), 6)"
+
+  /** One generated GD round: CTEs `p{i}` (per-doc σ), `g{i}` (decimal mean
+    * gradient numerators), `w{i}` (the 1-row update) — mirrors the Spark
+    * loop body step for step.
+    */
+  private def iterCtes(i: Int): String = {
+    val prev = if (i == 1) "w0" else s"w${i - 1}"
+    val gCols = ("CAST(SUM(CAST(y - p AS DECIMAL(38,18))) AS DOUBLE) AS gb" +:
+      FeatIdx.map(j =>
+        s"CAST(SUM(CAST((y - p) * z$j AS DECIMAL(38,18))) AS DOUBLE) AS g$j")).mkString(",\n         ")
+    val wCols = (s"ROUND(b + $LearningRate * (gb / n), 6) AS b" +:
+      FeatIdx.map(j => s"ROUND(w$j + $LearningRate * (g$j / n), 6) AS w$j")).mkString(", ")
+    s"""p$i AS (SELECT y, z1, z2, z3, z4, $sigmoidSql AS p FROM z, $prev),
+       |g$i AS (
+       |  SELECT $gCols
+       |  FROM p$i),
+       |w$i AS (SELECT $wCols FROM $prev, g$i, sd)""".stripMargin
+  }
+
+  /** Shared CTE prefix: features, moments, standardization, w0, and all
+    * [[Iters]] unrolled rounds. One definition serves all three oracles.
+    */
+  private lazy val modelSqlCtes: String = {
+    val featSql = Seq(
+      "ROUND(least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0), 6) AS x1",
+      s"ROUND(CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$stopList], t))) AS DOUBLE)" +
+        " / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS x2",
+      "ROUND(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)" +
+        " / CAST(length(text) AS DOUBLE), 6) AS x3",
+      "ROUND(CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 6) AS x4")
+      .mkString(",\n       ")
+    val stCols = FeatIdx.flatMap(j =>
+      Seq(
+        s"ROUND(CAST(SUM(CAST(x$j AS DECIMAL(38,18))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS m$j",
+        s"CAST(SUM(CAST(x$j * x$j AS DECIMAL(38,18))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS q$j"))
+      .mkString(",\n       ")
+    val sdCols = FeatIdx.map(j =>
+      s"CASE WHEN ROUND(q$j - m$j * m$j, 6) <= 0 THEN CAST(1.0 AS DOUBLE)" +
+        s" ELSE ROUND(sqrt(ROUND(q$j - m$j * m$j, 6)), 6) END AS s$j").mkString(", ")
+    val zCols = FeatIdx.map(j => s"ROUND((x$j - m$j) / s$j, 6) AS z$j").mkString(", ")
+    val w0Cols = ("CAST(0.0 AS DOUBLE) AS b" +:
+      FeatIdx.map(j => s"CAST(0.0 AS DOUBLE) AS w$j")).mkString(", ")
+    s"""f AS (
+       |  SELECT doc_id,
+       |       CASE WHEN ${TextOps.qualitySqlExpr("text")} >= CAST($LabelThreshold AS DOUBLE)
+       |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+       |       $featSql
+       |  FROM documents),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |       $stCols
+       |  FROM f),
+       |sd AS (SELECT n, m1, m2, m3, m4, $sdCols FROM st),
+       |z AS (SELECT doc_id, y, $zCols FROM f, sd),
+       |w0 AS (SELECT $w0Cols),
+       |${(1 to Iters).map(iterCtes).mkString(",\n")}""".stripMargin
+  }
+
+  private def wFinal = s"w$Iters"
+
+  lazy val modelWeightsSql: String = {
+    val named = Seq(
+      "bias" -> "b", "w_len" -> "w1", "w_stop" -> "w2",
+      "w_punct" -> "w3", "w_wordlen" -> "w4")
+    val branches = named
+      .map { case (nm, c) => s"SELECT '$nm' AS coef, $c AS weight FROM $wFinal" }
+      .mkString("\nUNION ALL\n")
+    s"WITH $modelSqlCtes\n$branches\nORDER BY coef"
+  }
+
+  lazy val modelEvalSql: String =
+    s"""WITH $modelSqlCtes,
+       |pf AS (SELECT y, $sigmoidSql AS p FROM z, $wFinal),
+       |ev AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN p >= 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |       CAST(SUM(CASE WHEN p >= 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |       CAST(SUM(CASE WHEN p < 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |       CAST(SUM(CASE WHEN p < 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |       ROUND(CAST(SUM(CAST((y - p) * (y - p) AS DECIMAL(38,18))) AS DOUBLE)
+       |             / CAST(COUNT(*) AS DOUBLE), 6) AS brier
+       |  FROM pf)
+       |SELECT n_docs, tp, fp, tn, fn,
+       |       ROUND(CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS accuracy,
+       |       brier
+       |FROM ev""".stripMargin
+
+  lazy val modelScoresSql: String =
+    s"""WITH $modelSqlCtes
+       |SELECT doc_id, CAST(y AS BIGINT) AS label, $sigmoidSql AS p_keep
+       |FROM z, $wFinal
+       |ORDER BY p_keep DESC, doc_id LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_quality_model" -> (modelWeights _),
+    "t_quality_model_eval" -> (modelEval _),
+    "t_quality_model_scores" -> (modelScores _))
+
+  val oracle: Map[String, String] = Map(
+    "t_quality_model" -> modelWeightsSql,
+    "t_quality_model_eval" -> modelEvalSql,
+    "t_quality_model_scores" -> modelScoresSql)
+}

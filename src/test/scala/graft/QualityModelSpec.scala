@@ -1,0 +1,64 @@
+package graft
+
+import graft.text.{QualityModel, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Round-10 addition: the distilled quality classifier (distributed
+  * logistic regression). Beyond the driver's hash checks, these pin the
+  * properties that make the training NON-VACUOUS: the student separates
+  * the teacher's classes far above the majority rate, and the learned
+  * weight structure recovers the teacher's hand-tuned coefficient order.
+  */
+class QualityModelSpec extends SparkSpec {
+
+  private lazy val weights: Map[String, Double] =
+    QualityModel.modelWeights(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("modelWeights: 5 named coefficients, all finite") {
+    assert(weights.keySet ===
+      Set("bias", "w_len", "w_stop", "w_punct", "w_wordlen"))
+    assert(weights.values.forall(w => !w.isNaN && !w.isInfinite))
+  }
+
+  test("modelWeights: student recovers the teacher's coefficient order") {
+    // teacher = 0.5*lenScore + 0.3*stopRatio + 0.2*(1 - punctRatio):
+    // length dominates, stopwords second, both positive; punct ratio is
+    // constant 0 on the synthetic corpus so its z is identically 0 and
+    // its weight must never move off the 0.0 init
+    assert(weights("w_len") > weights("w_stop"))
+    assert(weights("w_stop") > 0.0)
+    assert(weights("w_punct") === 0.0)
+  }
+
+  test("modelEval: counts consistent, accuracy >> majority class, brier << 0.25") {
+    val r = QualityModel.modelEval(spark, sf001).collect().head
+    val (n, tp, fp, tn, fn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(tp + fp + tn + fn === n)
+    val majority = math.max(tp + fn, fp + tn).toDouble / n
+    assert(r.getDouble(5) > majority + 0.2, s"accuracy ${r.getDouble(5)} vs majority $majority")
+    // brier of the untrained p=0.5 model is exactly 0.25; training must
+    // beat it decisively or the GD loop did nothing
+    assert(r.getDouble(6) < 0.1, s"brier ${r.getDouble(6)}")
+  }
+
+  test("modelScores: valid probabilities, descending, top-20 all true positives") {
+    val rows = QualityModel.modelScores(spark, sf001).collect()
+    assert(rows.length === 20)
+    val ps = rows.map(_.getDouble(2))
+    assert(ps.forall(p => p >= 0.0 && p <= 1.0))
+    assert(ps.sliding(2).forall(a => a(0) >= a(1)))
+    // the most-confident keeps should actually be teacher-positive
+    assert(rows.forall(_.getLong(1) === 1L))
+  }
+
+  test("label threshold splits the corpus non-degenerately at sf0.001") {
+    val docs = graft.model.Tables.documents(spark, sf001)
+    val pos = docs
+      .where(TextOps.qualityColumn(col("text")) >= QualityModel.LabelThreshold)
+      .count()
+    val n = docs.count()
+    assert(pos > n / 4 && pos < 3 * n / 4, s"$pos of $n positive")
+  }
+}
