@@ -35,6 +35,68 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Bucketed + sorted table at an EXPLICIT location (external table) —
+    * same co-location contract as [[writeBucketed]] but the data lands at
+    * `path` instead of the session warehouse, so ephemeral metastores
+    * (fresh per JVM here) can re-register over a pre-existing directory
+    * without managed-location conflicts.
+    */
+  def writeBucketedAt(
+      df: DataFrame, table: String, path: String, bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Driver-checked co-located join+aggregate over bucketed layouts — the
+    * write-side decision that deletes the two big exchanges a fact⋈dim →
+    * per-key rollup otherwise pays. Customer and orders are both written
+    * bucketed 8 ways on the customer key; the join then needs no shuffle
+    * (both sides' bucket layout IS the required clustering) and the
+    * per-customer aggregate rides the same layout (grouping on a superset
+    * of the bucket key satisfies its clustering too), so the only data
+    * movement in the whole plan is the final top-10 TakeOrdered — at
+    * 100 TB this is the difference between re-shuffling the fact table
+    * per query and reading it join-ready (SourcesSpec pins the
+    * no-Exchange plan; this entry pins the semantics against the plain
+    *-join oracle). Temp tables/paths are per-sfDir and overwritten each
+    * run; stale locations from prior JVMs are cleared first.
+    */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = Integer.toHexString(sfDir.hashCode)
+    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_bucketed_$sfx").getPath
+    val (cT, oT) = (s"graft_bkt_c_$sfx", s"graft_bkt_o_$sfx")
+    spark.sql(s"DROP TABLE IF EXISTS $cT")
+    spark.sql(s"DROP TABLE IF EXISTS $oT")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    writeBucketedAt(
+      graft.model.Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name")),
+      cT, s"$base/c", "c_custkey", 8)
+    writeBucketedAt(
+      graft.model.Tables.orders(spark, sfDir)
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+      oT, s"$base/o", "c_custkey", 8)
+    spark.table(cT).join(spark.table(oT), "c_custkey")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_spent"))
+      .orderBy(desc("total_spent"), col("c_custkey"))
+      .limit(10)
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT c_custkey, c_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY total_spent DESC, c_custkey LIMIT 10""".stripMargin
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
@@ -104,10 +166,12 @@ object Sinks {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_format_roundtrip" -> (formatRoundtrip _))
+    "q_format_roundtrip" -> (formatRoundtrip _),
+    "q_bucketed_join" -> (bucketedJoin _))
 
   val oracle: Map[String, String] = Map(
-    "q_format_roundtrip" -> formatRoundtripSql)
+    "q_format_roundtrip" -> formatRoundtripSql,
+    "q_bucketed_join" -> bucketedJoinSql)
 
   /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead
     * of failing the job — the source-level twin of the reference's

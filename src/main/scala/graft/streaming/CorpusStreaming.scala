@@ -266,13 +266,66 @@ object CorpusStreaming {
        |      WHERE doc_id < 300 AND ${graft.text.TextOps.qualitySqlExpr("text")} >= $mq)""".stripMargin
   }
 
+  /** MemoryStream row for the model-serving parity — (doc_id, text). */
+  case class ScoreDoc(doc_id: Long, text: String)
+
+  /** Online model serving, hash-checked: documents ARRIVE as a stream and
+    * are scored with the TRAINED quality classifier entirely scan-side —
+    * the deployed model is 9 driver-collected scalars (train-time moments
+    * + weights, [[graft.text.QualityModel.servingParams]] — the bounded
+    * control plane a real serving path broadcasts), so scoring is a
+    * STATELESS projection: no join, no state store, embarrassing
+    * parallelism at any ingest rate. The production detail under test is
+    * that serve-time standardization must use TRAIN-time moments — the
+    * classic training/serving-skew bug — and the parity proves it: served
+    * scores are bit-identical to the batch chain's (`n_diff = 0` over the
+    * full (doc_id, p) relation), because [[graft.text.QualityModel
+    * .scoreText]] shares the feature expressions, rounding points, and
+    * fold order with the training plan. The oracle re-derives n_docs and
+    * the keep-count from the SAME unrolled training CTEs.
+    */
+  def modelServingParity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (m, s, wts, b) = graft.text.QualityModel.servingParams(spark, sfDir)
+    val rows = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[ScoreDoc].collect().sortBy(_.doc_id)
+    val streamed = runBoundedStream(
+      spark,
+      rows.grouped(math.max(1, rows.length / 3 + 1)).map(_.toSeq).toSeq) { in =>
+      in.select(
+        col("doc_id"),
+        graft.text.QualityModel.scoreText(m, s, wts, b)(col("text")).as("p"))
+    }
+    val batch = graft.text.QualityModel.scoredDocs(spark, sfDir)
+    val nDiff = streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
+    val totals = streamed
+      .agg(
+        count(lit(1)),
+        sum(when(col("p") >= 0.5, 1L).otherwise(0L)))
+      .collect().head
+    Seq((totals.getLong(0), totals.getLong(1), nDiff))
+      .toDF("n_docs", "n_keep", "n_diff")
+  }
+
+  lazy val modelServingParitySql: String =
+    s"""WITH ${graft.text.QualityModel.modelSqlCtes},
+       |pf AS (SELECT doc_id, ${graft.text.QualityModel.sigmoidSql} AS p
+       |       FROM z, ${graft.text.QualityModel.wFinal})
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |       CAST(0 AS BIGINT) AS n_diff
+       |FROM pf""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_stream_batch_parity" -> (streamBatchParity _),
-    "s_neardup_stream_parity" -> (nearDupStreamParity _))
+    "s_neardup_stream_parity" -> (nearDupStreamParity _),
+    "s_model_serving_parity" -> (modelServingParity _))
 
   val oracle: Map[String, String] = Map(
     "s_stream_batch_parity" -> streamBatchParitySql,
-    "s_neardup_stream_parity" -> nearDupStreamParitySql)
+    "s_neardup_stream_parity" -> nearDupStreamParitySql,
+    "s_model_serving_parity" -> modelServingParitySql)
 
   /** Within-horizon streaming NEAR-dup: the bounded-state band-bucket
     * approximation of MinHash+LSH dedup. Two chained stateful stages

@@ -76,24 +76,32 @@ object QualityModel {
 
   private def dsum(c: Column): Column = sum(c.cast("decimal(38,18)")).cast("double")
 
-  /** Per-doc label + raw features, 6-dp rounded — one map pass. */
-  private def featsOf(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = split(col("text"), " ")
+  /** The four raw feature expressions over a text column, 6-dp rounded —
+    * ONE definition shared by the training scan and the streaming serving
+    * path so they cannot drift.
+    */
+  private[graft] def featureCols(text: Column): Seq[Column] = {
+    val toks = split(text, " ")
     val stopArr = array(TextOps.StopWords.map(lit): _*)
     val tokCnt = size(toks).cast("bigint")
     val stopCnt = size(filter(toks, t => array_contains(stopArr, t))).cast("bigint")
-    val charLen = length(col("text")).cast("bigint")
-    val punctCnt = (length(col("text")) -
-      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("bigint")
-    Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      when(TextOps.qualityColumn(col("text")) >= LabelThreshold, lit(1.0))
-        .otherwise(lit(0.0)).as("y"),
-      round(least(lit(1.0), tokCnt.cast("double") / lit(200.0)), 6).as("x1"),
-      round(stopCnt.cast("double") / tokCnt.cast("double"), 6).as("x2"),
-      round(punctCnt.cast("double") / charLen.cast("double"), 6).as("x3"),
-      round(charLen.cast("double") / tokCnt.cast("double") / lit(10.0), 6).as("x4"))
+    val charLen = length(text).cast("bigint")
+    val punctCnt = (length(text) -
+      length(regexp_replace(text, "[.,!?;:]", ""))).cast("bigint")
+    Seq(
+      round(least(lit(1.0), tokCnt.cast("double") / lit(200.0)), 6),
+      round(stopCnt.cast("double") / tokCnt.cast("double"), 6),
+      round(punctCnt.cast("double") / charLen.cast("double"), 6),
+      round(charLen.cast("double") / tokCnt.cast("double") / lit(10.0), 6))
   }
+
+  /** Per-doc label + raw features, 6-dp rounded — one map pass. */
+  private def featsOf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id") +:
+        when(TextOps.qualityColumn(col("text")) >= LabelThreshold, lit(1.0))
+          .otherwise(lit(0.0)).as("y") +:
+        featureCols(col("text")).zip(FeatIdx).map { case (c, j) => c.as(s"x$j") }: _*)
 
   /** σ(b + w·z) rounded to 6 dp — operand order pinned to the oracle's
     * `b + w1 * z1 + w2 * z2 + w3 * z3 + w4 * z4`.
@@ -103,10 +111,11 @@ object QualityModel {
     round(lit(1.0) / (lit(1.0) + exp(-u)), 6)
   }
 
-  /** Standardized features (lazy) + trained 1-row weight frame
-    * (checkpointed), memoized per (context, sfDir, data fingerprint).
+  /** Standardized features (lazy), 1-row moment frame, and trained 1-row
+    * weight frame (both checkpointed), memoized per (context, sfDir, data
+    * fingerprint).
     */
-  private def trainedModel(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+  private def trainedModel(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) =
     Memo.cached("qmodel", spark, sfDir) {
       val f = featsOf(spark, sfDir)
       val nCol = count(lit(1)).cast("double")
@@ -151,14 +160,14 @@ object QualityModel {
                 round(col(s"w$j") + lr * (col(s"g$j") / col("n")), 6).as(s"w$j")): _*)
           .localCheckpoint(true)
       }
-      (z, w)
+      (z, sd, w)
     }
 
   /** Named coefficient long-form of the trained weights — the model
     * artifact a deployment persists.
     */
   def modelWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, w) = trainedModel(spark, sfDir)
+    val (_, _, w) = trainedModel(spark, sfDir)
     val named = Seq(
       "bias" -> "b", "w_len" -> "w1", "w_stop" -> "w2",
       "w_punct" -> "w3", "w_wordlen" -> "w4")
@@ -174,7 +183,7 @@ object QualityModel {
     * log-loss whose `ln` is a second libm dependence).
     */
   def modelEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val (z, w) = trainedModel(spark, sfDir)
+    val (z, _, w) = trainedModel(spark, sfDir)
     val scored = z.crossJoin(w).select(col("y"), probCol.as("p"))
     val nCol = count(lit(1))
     def cnt(pred: Column, lab: Column): Column =
@@ -199,7 +208,7 @@ object QualityModel {
     * pass: one broadcast of the 1-row weights + TakeOrdered.
     */
   def modelScores(spark: SparkSession, sfDir: String): DataFrame = {
-    val (z, w) = trainedModel(spark, sfDir)
+    val (z, _, w) = trainedModel(spark, sfDir)
     z.crossJoin(w)
       .select(col("doc_id"), col("y").cast("bigint").as("label"), probCol.as("p_keep"))
       .orderBy(desc("p_keep"), col("doc_id"))
@@ -208,11 +217,53 @@ object QualityModel {
 
   def clearModelCache(): Unit = Memo.clear("qmodel")
 
+  /** The deployed model as driver-side scalars — 9 doubles (4 means,
+    * 4 scales, 4 weights + bias): the bounded control plane a serving
+    * path broadcasts. Returns (means, scales, weights, bias).
+    */
+  private[graft] def servingParams(
+      spark: SparkSession, sfDir: String): (Seq[Double], Seq[Double], Seq[Double], Double) = {
+    val (_, sd, w) = trainedModel(spark, sfDir)
+    val sdRow = sd.collect().head
+    val wRow = w.collect().head
+    (
+      FeatIdx.map(j => sdRow.getAs[Double](s"m$j")),
+      FeatIdx.map(j => sdRow.getAs[Double](s"s$j")),
+      FeatIdx.map(j => wRow.getAs[Double](s"w$j")),
+      wRow.getAs[Double]("b"))
+  }
+
+  /** Scan-side scoring of a raw text column with literal (train-time)
+    * moments and weights — the STATELESS serving form: identical
+    * arithmetic to the batch chain (same feature expressions via
+    * [[featureCols]], same rounding points, same fold order), so served
+    * and batch scores are bit-identical.
+    */
+  private[graft] def scoreText(
+      means: Seq[Double], scales: Seq[Double], weights: Seq[Double], bias: Double)(
+      text: Column): Column = {
+    val zs = featureCols(text).zipWithIndex.map { case (x, i) =>
+      round((x - lit(means(i))) / lit(scales(i)), 6)
+    }
+    val u = zs.zipWithIndex.foldLeft(lit(bias): Column) { case (acc, (zj, i)) =>
+      acc + lit(weights(i)) * zj
+    }
+    round(lit(1.0) / (lit(1.0) + exp(-u)), 6)
+  }
+
+  /** Every doc's batch score under the trained weights — the comparison
+    * relation the streaming serving parity diffs against.
+    */
+  private[graft] def scoredDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val (z, _, w) = trainedModel(spark, sfDir)
+    z.crossJoin(w).select(col("doc_id"), probCol.as("p"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def stopList: String = TextOps.StopWords.map(w => s"'$w'").mkString(", ")
 
-  private def sigmoidSql: String =
+  private[graft] def sigmoidSql: String =
     "ROUND(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
       "exp(-(b + w1 * z1 + w2 * z2 + w3 * z3 + w4 * z4))), 6)"
 
@@ -237,7 +288,7 @@ object QualityModel {
   /** Shared CTE prefix: features, moments, standardization, w0, and all
     * [[Iters]] unrolled rounds. One definition serves all three oracles.
     */
-  private lazy val modelSqlCtes: String = {
+  private[graft] lazy val modelSqlCtes: String = {
     val featSql = Seq(
       "ROUND(least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0), 6) AS x1",
       s"ROUND(CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$stopList], t))) AS DOUBLE)" +
@@ -273,7 +324,7 @@ object QualityModel {
        |${(1 to Iters).map(iterCtes).mkString(",\n")}""".stripMargin
   }
 
-  private def wFinal = s"w$Iters"
+  private[graft] def wFinal = s"w$Iters"
 
   lazy val modelWeightsSql: String = {
     val named = Seq(

@@ -53,6 +53,14 @@ class QualityModelSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) === 1L))
   }
 
+  test("streaming serving parity: served scores bit-identical to batch, keeps non-trivial") {
+    val r = graft.streaming.CorpusStreaming.modelServingParity(spark, sf001).collect().head
+    assert(r.getLong(2) === 0L, "streamed scores diverged from batch chain")
+    assert(r.getLong(0) === 500L)
+    // the keep-rate must be a real split, not all/nothing
+    assert(r.getLong(1) > 0L && r.getLong(1) < r.getLong(0))
+  }
+
   test("label threshold splits the corpus non-degenerately at sf0.001") {
     val docs = graft.model.Tables.documents(spark, sf001)
     val pos = docs

@@ -84,6 +84,29 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q_bucketed_join: join AND per-key aggregate both ride the bucket layout") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val df = Sinks.bucketedJoin(spark, sf001)
+      val plan = df.queryExecution.executedPlan.toString
+      // the ONLY allowed movement is the final top-10: no hash exchange
+      // anywhere — the join reads bucket-aligned inputs and the grouping
+      // (a superset of the bucket key) inherits the same clustering
+      assert(!plan.contains("Exchange hashpartitioning"), s"bucketed plan shuffles:\n$plan")
+      // semantics equal the plain shuffled join+agg
+      val c = graft.model.Tables.customer(spark, sf001)
+      val o = graft.model.Tables.orders(spark, sf001)
+      val plain = c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(c("c_custkey"), c("c_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(o("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_spent"))
+        .orderBy(desc("total_spent"), c("c_custkey"))
+        .limit(10)
+      assert(df.collect().toSeq === plain.collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("salted join returns exactly the unsalted join's result") {
     val large = graft.model.Tables.orders(spark, sf001)
     val small = graft.model.Tables.customer(spark, sf001).select("c_custkey", "c_name")
