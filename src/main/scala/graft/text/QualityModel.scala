@@ -111,15 +111,27 @@ object QualityModel {
     round(lit(1.0) / (lit(1.0) + exp(-u)), 6)
   }
 
+  /** Train fraction for the holdout variant — [[graft.etl.Sampling
+    * .splitColumn]] buckets on md5(doc_id), so membership is engine- and
+    * run-stable.
+    */
+  val TrainPct = 80
+
   /** Standardized features (lazy), 1-row moment frame, and trained 1-row
     * weight frame (both checkpointed), memoized per (context, sfDir, data
-    * fingerprint).
+    * fingerprint). With `holdout = true`, the moments AND the gradient
+    * scans see only the deterministic train split; the returned z still
+    * covers every doc (train-moment standardization — the only correct
+    * serving form), carrying its split label for per-split evaluation.
     */
-  private def trainedModel(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) =
-    Memo.cached("qmodel", spark, sfDir) {
-      val f = featsOf(spark, sfDir)
+  private def trainedModelOf(
+      spark: SparkSession, sfDir: String, holdout: Boolean): (DataFrame, DataFrame, DataFrame) =
+    Memo.cached("qmodel", spark, sfDir, variant = if (holdout) "holdout" else "") {
+      val f = featsOf(spark, sfDir).withColumn(
+        "split", graft.etl.Sampling.splitColumn(col("doc_id"), TrainPct, 0))
+      val base = if (holdout) f.where(col("split") === "train") else f
       val nCol = count(lit(1)).cast("double")
-      val st = f.agg(
+      val st = base.agg(
         nCol.as("n"),
         FeatIdx.flatMap(j =>
           Seq(
@@ -136,15 +148,16 @@ object QualityModel {
           }: _*)
         .localCheckpoint(true)
       val z = f.crossJoin(sd.drop("n")).select(
-        col("doc_id") +: col("y") +:
+        col("doc_id") +: col("y") +: col("split") +:
           FeatIdx.map(j => round((col(s"x$j") - col(s"m$j")) / col(s"s$j"), 6).as(s"z$j")): _*)
+      val zTrain = if (holdout) z.where(col("split") === "train") else z
       val n1 = sd.select(col("n"))
 
       val w0 = spark.range(1).select(
         lit(0.0).as("b") +: FeatIdx.map(j => lit(0.0).as(s"w$j")): _*)
       var w = w0
       for (_ <- 1 to Iters) {
-        val p = z.crossJoin(w).select(col("y") +: FeatIdx.map(j => col(s"z$j")) :+
+        val p = zTrain.crossJoin(w).select(col("y") +: FeatIdx.map(j => col(s"z$j")) :+
           probCol.as("p"): _*)
         val g = p.agg(
           dsum(col("y") - col("p")).as("gb"),
@@ -162,6 +175,9 @@ object QualityModel {
       }
       (z, sd, w)
     }
+
+  private def trainedModel(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) =
+    trainedModelOf(spark, sfDir, holdout = false)
 
   /** Named coefficient long-form of the trained weights — the model
     * artifact a deployment persists.
@@ -213,6 +229,30 @@ object QualityModel {
       .select(col("doc_id"), col("y").cast("bigint").as("label"), probCol.as("p_keep"))
       .orderBy(desc("p_keep"), col("doc_id"))
       .limit(20)
+  }
+
+  /** Generalization scorecard: the model trained ONLY on the deterministic
+    * [[TrainPct]]% md5 split (moments and gradients both see train rows
+    * alone — no peeking), evaluated per split with train-time
+    * standardization. Held-out accuracy ≈ train accuracy is the evidence
+    * the filter transfers to tomorrow's crawl instead of memorizing
+    * today's; at 100 TB this is the same Iters+2 scans over a smaller
+    * relation (the split predicate is one codegen'd md5 projection, pushed
+    * into every pass).
+    */
+  def modelHoldout(spark: SparkSession, sfDir: String): DataFrame = {
+    val (z, _, w) = trainedModelOf(spark, sfDir, holdout = true)
+    val scored = z.crossJoin(w).select(col("split"), col("y"), probCol.as("p"))
+    scored
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(
+          sum(when((col("p") >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("accuracy"),
+        round(dsum((col("y") - col("p")) * (col("y") - col("p"))) /
+          count(lit(1)).cast("double"), 6).as("brier"))
+      .orderBy("split")
   }
 
   def clearModelCache(): Unit = Memo.clear("qmodel")
@@ -269,16 +309,17 @@ object QualityModel {
 
   /** One generated GD round: CTEs `p{i}` (per-doc σ), `g{i}` (decimal mean
     * gradient numerators), `w{i}` (the 1-row update) — mirrors the Spark
-    * loop body step for step.
+    * loop body step for step. `zWhere` restricts the gradient scan to the
+    * train split in the holdout chain.
     */
-  private def iterCtes(i: Int): String = {
+  private def iterCtes(i: Int, zWhere: String): String = {
     val prev = if (i == 1) "w0" else s"w${i - 1}"
     val gCols = ("CAST(SUM(CAST(y - p AS DECIMAL(38,18))) AS DOUBLE) AS gb" +:
       FeatIdx.map(j =>
         s"CAST(SUM(CAST((y - p) * z$j AS DECIMAL(38,18))) AS DOUBLE) AS g$j")).mkString(",\n         ")
     val wCols = (s"ROUND(b + $LearningRate * (gb / n), 6) AS b" +:
       FeatIdx.map(j => s"ROUND(w$j + $LearningRate * (g$j / n), 6) AS w$j")).mkString(", ")
-    s"""p$i AS (SELECT y, z1, z2, z3, z4, $sigmoidSql AS p FROM z, $prev),
+    s"""p$i AS (SELECT y, z1, z2, z3, z4, $sigmoidSql AS p FROM z, $prev$zWhere),
        |g$i AS (
        |  SELECT $gCols
        |  FROM p$i),
@@ -286,9 +327,17 @@ object QualityModel {
   }
 
   /** Shared CTE prefix: features, moments, standardization, w0, and all
-    * [[Iters]] unrolled rounds. One definition serves all three oracles.
+    * [[Iters]] unrolled rounds. One definition serves every oracle; the
+    * holdout form filters the moment and gradient scans to the train
+    * split (the same md5 CASE [[graft.etl.Sampling.splitColumn]] compiles
+    * to).
     */
-  private[graft] lazy val modelSqlCtes: String = {
+  private def chainCtes(holdout: Boolean): String = {
+    val trainBound = graft.etl.Sampling.splitBoundsHex(TrainPct, 0)._1
+    val splitSql =
+      s"CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$trainBound'" +
+        " THEN 'train' ELSE 'test' END"
+    val baseWhere = if (holdout) " WHERE split = 'train'" else ""
     val featSql = Seq(
       "ROUND(least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0), 6) AS x1",
       s"ROUND(CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$stopList], t))) AS DOUBLE)" +
@@ -312,17 +361,20 @@ object QualityModel {
        |  SELECT doc_id,
        |       CASE WHEN ${TextOps.qualitySqlExpr("text")} >= CAST($LabelThreshold AS DOUBLE)
        |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+       |       $splitSql AS split,
        |       $featSql
        |  FROM documents),
        |st AS (
        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
        |       $stCols
-       |  FROM f),
+       |  FROM f$baseWhere),
        |sd AS (SELECT n, m1, m2, m3, m4, $sdCols FROM st),
-       |z AS (SELECT doc_id, y, $zCols FROM f, sd),
+       |z AS (SELECT doc_id, y, split, $zCols FROM f, sd),
        |w0 AS (SELECT $w0Cols),
-       |${(1 to Iters).map(iterCtes).mkString(",\n")}""".stripMargin
+       |${(1 to Iters).map(i => iterCtes(i, baseWhere)).mkString(",\n")}""".stripMargin
   }
+
+  private[graft] lazy val modelSqlCtes: String = chainCtes(holdout = false)
 
   private[graft] def wFinal = s"w$Iters"
 
@@ -359,13 +411,25 @@ object QualityModel {
        |FROM z, $wFinal
        |ORDER BY p_keep DESC, doc_id LIMIT 20""".stripMargin
 
+  lazy val modelHoldoutSql: String =
+    s"""WITH ${chainCtes(holdout = true)},
+       |pf AS (SELECT split, y, $sigmoidSql AS p FROM z, $wFinal)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       ROUND(CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy,
+       |       ROUND(CAST(SUM(CAST((y - p) * (y - p) AS DECIMAL(38,18))) AS DOUBLE)
+       |             / CAST(COUNT(*) AS DOUBLE), 6) AS brier
+       |FROM pf GROUP BY split ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_quality_model" -> (modelWeights _),
     "t_quality_model_eval" -> (modelEval _),
-    "t_quality_model_scores" -> (modelScores _))
+    "t_quality_model_scores" -> (modelScores _),
+    "t_quality_model_holdout" -> (modelHoldout _))
 
   val oracle: Map[String, String] = Map(
     "t_quality_model" -> modelWeightsSql,
     "t_quality_model_eval" -> modelEvalSql,
-    "t_quality_model_scores" -> modelScoresSql)
+    "t_quality_model_scores" -> modelScoresSql,
+    "t_quality_model_holdout" -> modelHoldoutSql)
 }

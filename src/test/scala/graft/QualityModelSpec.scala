@@ -61,6 +61,22 @@ class QualityModelSpec extends SparkSpec {
     assert(r.getLong(1) > 0L && r.getLong(1) < r.getLong(0))
   }
 
+  test("holdout: model trained on the md5 train split generalizes to held-out docs") {
+    val rows = QualityModel.modelHoldout(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.keySet === Set("train", "test"))
+    val (nTest, accTest, brierTest) = rows("test")
+    val (nTrain, accTrain, _) = rows("train")
+    assert(nTrain + nTest === 500L)
+    // the split is ~80/20 by md5 bucket, never degenerate
+    assert(nTest > 50L && nTest < 150L)
+    // held-out accuracy must stay near train accuracy — the filter
+    // transfers instead of memorizing (both far above the ~0.55 majority)
+    assert(accTest > 0.9, s"held-out accuracy $accTest")
+    assert((accTrain - accTest).abs < 0.1, s"train $accTrain vs test $accTest")
+    assert(brierTest < 0.1)
+  }
+
   test("label threshold splits the corpus non-degenerately at sf0.001") {
     val docs = graft.model.Tables.documents(spark, sf001)
     val pos = docs
