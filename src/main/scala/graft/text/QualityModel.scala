@@ -127,8 +127,15 @@ object QualityModel {
   private def trainedModelOf(
       spark: SparkSession, sfDir: String, holdout: Boolean): (DataFrame, DataFrame, DataFrame) =
     Memo.cached("qmodel", spark, sfDir, variant = if (holdout) "holdout" else "") {
-      val f = featsOf(spark, sfDir).withColumn(
-        "split", graft.etl.Sampling.splitColumn(col("doc_id"), TrainPct, 0))
+      // Materialize the FEATURE relation once: ~50 bytes/doc vs the raw
+      // text, so the 8 GD rounds iterate over the feature matrix instead
+      // of re-tokenizing the corpus per round — at 100 TB that is the
+      // difference between 8 corpus scans and 1 corpus scan + 8 passes
+      // over a few hundred GB of features (the shape MLlib's iterative
+      // optimizers use: extract once, cache, iterate).
+      val f = featsOf(spark, sfDir)
+        .withColumn("split", graft.etl.Sampling.splitColumn(col("doc_id"), TrainPct, 0))
+        .localCheckpoint(true)
       val base = if (holdout) f.where(col("split") === "train") else f
       val nCol = count(lit(1)).cast("double")
       val st = base.agg(
