@@ -126,7 +126,21 @@ object QualityModel {
     */
   private def trainedModelOf(
       spark: SparkSession, sfDir: String, holdout: Boolean): (DataFrame, DataFrame, DataFrame) =
-    Memo.cached("qmodel", spark, sfDir, variant = if (holdout) "holdout" else "") {
+    trainedChain(
+      spark, sfDir,
+      variantKey = if (holdout) "holdout" else "",
+      trainPop = if (holdout) _.where(col("split") === "train") else identity)
+
+  /** The parameterized fit: moments AND gradient scans see only
+    * `trainPop(f)`; the returned z covers every doc (train-moment
+    * standardization) with its split label.
+    */
+  private def trainedChain(
+      spark: SparkSession,
+      sfDir: String,
+      variantKey: String,
+      trainPop: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) =
+    Memo.cached("qmodel", spark, sfDir, variant = variantKey) {
       // Materialize the FEATURE relation once: ~50 bytes/doc vs the raw
       // text, so the 8 GD rounds iterate over the feature matrix instead
       // of re-tokenizing the corpus per round — at 100 TB that is the
@@ -136,7 +150,7 @@ object QualityModel {
       val f = featsOf(spark, sfDir)
         .withColumn("split", graft.etl.Sampling.splitColumn(col("doc_id"), TrainPct, 0))
         .localCheckpoint(true)
-      val base = if (holdout) f.where(col("split") === "train") else f
+      val base = trainPop(f)
       val nCol = count(lit(1)).cast("double")
       val st = base.agg(
         nCol.as("n"),
@@ -157,31 +171,37 @@ object QualityModel {
       val z = f.crossJoin(sd.drop("n")).select(
         col("doc_id") +: col("y") +: col("split") +:
           FeatIdx.map(j => round((col(s"x$j") - col(s"m$j")) / col(s"s$j"), 6).as(s"z$j")): _*)
-      val zTrain = if (holdout) z.where(col("split") === "train") else z
+      // trainPop filters on columns (split, doc_id) that z carries too
+      val zTrain = trainPop(z)
       val n1 = sd.select(col("n"))
 
       val w0 = spark.range(1).select(
         lit(0.0).as("b") +: FeatIdx.map(j => lit(0.0).as(s"w$j")): _*)
       var w = w0
-      for (_ <- 1 to Iters) {
-        val p = zTrain.crossJoin(w).select(col("y") +: FeatIdx.map(j => col(s"z$j")) :+
-          probCol.as("p"): _*)
-        val g = p.agg(
-          dsum(col("y") - col("p")).as("gb"),
-          FeatIdx.map(j => dsum((col("y") - col("p")) * col(s"z$j")).as(s"g$j")): _*)
-        // 1-row × 1-row × 1-row: the whole update is control plane
-        val lr = lit(LearningRate)
-        w = w
-          .crossJoin(g)
-          .crossJoin(n1)
-          .select(
-            round(col("b") + lr * (col("gb") / col("n")), 6).as("b") +:
-              FeatIdx.map(j =>
-                round(col(s"w$j") + lr * (col(s"g$j") / col("n")), 6).as(s"w$j")): _*)
-          .localCheckpoint(true)
-      }
+      for (_ <- 1 to Iters) w = gdRound(zTrain, w, n1)
       (z, sd, w)
     }
+
+  /** One mean-gradient GD step over `zPop` from weights `w` (1-row), with
+    * the population size read from the 1-row `n1` — shared by the main
+    * fit and the delta fine-tune.
+    */
+  private def gdRound(zPop: DataFrame, w: DataFrame, n1: DataFrame): DataFrame = {
+    val p = zPop.crossJoin(w).select(col("y") +: FeatIdx.map(j => col(s"z$j")) :+
+      probCol.as("p"): _*)
+    val g = p.agg(
+      dsum(col("y") - col("p")).as("gb"),
+      FeatIdx.map(j => dsum((col("y") - col("p")) * col(s"z$j")).as(s"g$j")): _*)
+    // 1-row × 1-row × 1-row: the whole update is control plane
+    val lr = lit(LearningRate)
+    w.crossJoin(g)
+      .crossJoin(n1)
+      .select(
+        round(col("b") + lr * (col("gb") / col("n")), 6).as("b") +:
+          FeatIdx.map(j =>
+            round(col(s"w$j") + lr * (col(s"g$j") / col("n")), 6).as(s"w$j")): _*)
+      .localCheckpoint(true)
+  }
 
   private def trainedModel(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) =
     trainedModelOf(spark, sfDir, holdout = false)
@@ -262,6 +282,47 @@ object QualityModel {
       .orderBy("split")
   }
 
+  /** Fine-tune rounds for the delta-maintenance query — unrolled into the
+    * oracle like [[Iters]], so pinned.
+    */
+  val DeltaIters = 2
+
+  /** Model maintenance under a daily crawl — the classifier-side twin of
+    * `x3_ivf_delta`: the model trained on yesterday's corpus (docs below
+    * [[graft.text.Dedup.DeltaSplitId]], the same base/delta cut every
+    * delta screen uses) is fine-tuned with [[DeltaIters]] mean-gradient
+    * steps on ONLY the arriving delta batch, and the per-coefficient
+    * drift is the retrain signal a deployment watches. Standardization
+    * stays on BASE moments (the served scaler — rescaling mid-flight
+    * would silently shift every served score). Cost: the delta steps
+    * scan only the delta slice of the already-materialized feature
+    * matrix; everything else rides the memoized base fit.
+    */
+  def modelDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val split = graft.text.Dedup.DeltaSplitId
+    val (z, _, wBase) = trainedChain(
+      spark, sfDir, variantKey = "base", trainPop = _.where(col("doc_id") < split))
+    val zDelta = z.where(col("doc_id") >= split)
+    val n1d = zDelta.agg(count(lit(1)).cast("double").as("n"))
+    var w = wBase
+    for (_ <- 1 to DeltaIters) w = gdRound(zDelta, w, n1d)
+    val updated = w.select(
+      col("b").as("u_b") +: FeatIdx.map(j => col(s"w$j").as(s"u_w$j")): _*)
+    val named = Seq(
+      "bias" -> "b", "w_len" -> "w1", "w_stop" -> "w2",
+      "w_punct" -> "w3", "w_wordlen" -> "w4")
+    wBase.crossJoin(updated)
+      .select(explode(array(named.map { case (nm, c) =>
+        struct(
+          lit(nm).as("coef"),
+          col(c).as("w_base"),
+          col(s"u_$c").as("w_updated"),
+          round(col(s"u_$c") - col(c), 6).as("drift"))
+      }: _*)).as("e"))
+      .select(col("e.coef"), col("e.w_base"), col("e.w_updated"), col("e.drift"))
+      .orderBy("coef")
+  }
+
   def clearModelCache(): Unit = Memo.clear("qmodel")
 
   /** The deployed model as driver-side scalars — 9 doubles (4 means,
@@ -319,18 +380,22 @@ object QualityModel {
     * loop body step for step. `zWhere` restricts the gradient scan to the
     * train split in the holdout chain.
     */
-  private def iterCtes(i: Int, zWhere: String): String = {
+  private def iterCtes(i: Int, zWhere: String, nRel: String = "sd"): String = {
     val prev = if (i == 1) "w0" else s"w${i - 1}"
     val gCols = ("CAST(SUM(CAST(y - p AS DECIMAL(38,18))) AS DOUBLE) AS gb" +:
       FeatIdx.map(j =>
         s"CAST(SUM(CAST((y - p) * z$j AS DECIMAL(38,18))) AS DOUBLE) AS g$j")).mkString(",\n         ")
     val wCols = (s"ROUND(b + $LearningRate * (gb / n), 6) AS b" +:
       FeatIdx.map(j => s"ROUND(w$j + $LearningRate * (g$j / n), 6) AS w$j")).mkString(", ")
+    // w$i MATERIALIZED: each round references its predecessor TWICE (the
+    // update term and the gradient's sigmoid) — inlined CTEs would make
+    // oracle evaluation exponential in rounds; materialization (1 row)
+    // keeps it linear
     s"""p$i AS (SELECT y, z1, z2, z3, z4, $sigmoidSql AS p FROM z, $prev$zWhere),
        |g$i AS (
        |  SELECT $gCols
        |  FROM p$i),
-       |w$i AS (SELECT $wCols FROM $prev, g$i, sd)""".stripMargin
+       |w$i AS MATERIALIZED (SELECT $wCols FROM $prev, g$i, $nRel)""".stripMargin
   }
 
   /** Shared CTE prefix: features, moments, standardization, w0, and all
@@ -339,12 +404,11 @@ object QualityModel {
     * split (the same md5 CASE [[graft.etl.Sampling.splitColumn]] compiles
     * to).
     */
-  private def chainCtes(holdout: Boolean): String = {
+  private def chainCtes(baseWhere: String): String = {
     val trainBound = graft.etl.Sampling.splitBoundsHex(TrainPct, 0)._1
     val splitSql =
       s"CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$trainBound'" +
         " THEN 'train' ELSE 'test' END"
-    val baseWhere = if (holdout) " WHERE split = 'train'" else ""
     val featSql = Seq(
       "ROUND(least(CAST(1.0 AS DOUBLE), CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0), 6) AS x1",
       s"ROUND(CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$stopList], t))) AS DOUBLE)" +
@@ -364,7 +428,7 @@ object QualityModel {
     val zCols = FeatIdx.map(j => s"ROUND((x$j - m$j) / s$j, 6) AS z$j").mkString(", ")
     val w0Cols = ("CAST(0.0 AS DOUBLE) AS b" +:
       FeatIdx.map(j => s"CAST(0.0 AS DOUBLE) AS w$j")).mkString(", ")
-    s"""f AS (
+    s"""f AS MATERIALIZED (
        |  SELECT doc_id,
        |       CASE WHEN ${TextOps.qualitySqlExpr("text")} >= CAST($LabelThreshold AS DOUBLE)
        |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
@@ -375,13 +439,13 @@ object QualityModel {
        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
        |       $stCols
        |  FROM f$baseWhere),
-       |sd AS (SELECT n, m1, m2, m3, m4, $sdCols FROM st),
-       |z AS (SELECT doc_id, y, split, $zCols FROM f, sd),
+       |sd AS MATERIALIZED (SELECT n, m1, m2, m3, m4, $sdCols FROM st),
+       |z AS MATERIALIZED (SELECT doc_id, y, split, $zCols FROM f, sd),
        |w0 AS (SELECT $w0Cols),
        |${(1 to Iters).map(i => iterCtes(i, baseWhere)).mkString(",\n")}""".stripMargin
   }
 
-  private[graft] lazy val modelSqlCtes: String = chainCtes(holdout = false)
+  private[graft] lazy val modelSqlCtes: String = chainCtes("")
 
   private[graft] def wFinal = s"w$Iters"
 
@@ -419,7 +483,7 @@ object QualityModel {
        |ORDER BY p_keep DESC, doc_id LIMIT 20""".stripMargin
 
   lazy val modelHoldoutSql: String =
-    s"""WITH ${chainCtes(holdout = true)},
+    s"""WITH ${chainCtes(" WHERE split = 'train'")},
        |pf AS (SELECT split, y, $sigmoidSql AS p FROM z, $wFinal)
        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |       ROUND(CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
@@ -428,15 +492,37 @@ object QualityModel {
        |             / CAST(COUNT(*) AS DOUBLE), 6) AS brier
        |FROM pf GROUP BY split ORDER BY split""".stripMargin
 
+  lazy val modelDeltaSql: String = {
+    val split = graft.text.Dedup.DeltaSplitId
+    val deltaRounds = (Iters + 1 to Iters + DeltaIters)
+      .map(i => iterCtes(i, s" WHERE doc_id >= $split", nRel = "nd"))
+      .mkString(",\n")
+    val wUpd = s"w${Iters + DeltaIters}"
+    val named = Seq(
+      "bias" -> "b", "w_len" -> "w1", "w_stop" -> "w2",
+      "w_punct" -> "w3", "w_wordlen" -> "w4")
+    val branches = named.map { case (nm, c) =>
+      s"SELECT '$nm' AS coef, $wFinal.$c AS w_base, $wUpd.$c AS w_updated," +
+        s" ROUND($wUpd.$c - $wFinal.$c, 6) AS drift FROM $wFinal, $wUpd"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${chainCtes(s" WHERE doc_id < $split")},
+       |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM z WHERE doc_id >= $split),
+       |$deltaRounds
+       |$branches
+       |ORDER BY coef""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_quality_model" -> (modelWeights _),
     "t_quality_model_eval" -> (modelEval _),
     "t_quality_model_scores" -> (modelScores _),
-    "t_quality_model_holdout" -> (modelHoldout _))
+    "t_quality_model_holdout" -> (modelHoldout _),
+    "t_model_delta" -> (modelDelta _))
 
   val oracle: Map[String, String] = Map(
     "t_quality_model" -> modelWeightsSql,
     "t_quality_model_eval" -> modelEvalSql,
     "t_quality_model_scores" -> modelScoresSql,
-    "t_quality_model_holdout" -> modelHoldoutSql)
+    "t_quality_model_holdout" -> modelHoldoutSql,
+    "t_model_delta" -> modelDeltaSql)
 }

@@ -77,6 +77,23 @@ class QualityModelSpec extends SparkSpec {
     assert(brierTest < 0.1)
   }
 
+  test("modelDelta: fine-tune moves the live coefficients, constant feature stays pinned") {
+    val rows = QualityModel.modelDelta(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.keySet === Set("bias", "w_len", "w_stop", "w_punct", "w_wordlen"))
+    rows.foreach { case (coef, (base, updated, drift)) =>
+      assert(!updated.isNaN && !updated.isInfinite, coef)
+      // drift column is exactly the rounded difference it claims to be
+      assert(math.abs(drift - BigDecimal(updated - base)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12, coef)
+    }
+    // z ≡ 0 for the constant punct feature ⇒ its gradient is 0 on the
+    // delta batch too
+    assert(rows("w_punct")._3 === 0.0)
+    // the delta steps actually learned something
+    assert(rows.valuesIterator.exists(_._3 != 0.0))
+  }
+
   test("label threshold splits the corpus non-degenerately at sf0.001") {
     val docs = graft.model.Tables.documents(spark, sf001)
     val pos = docs
