@@ -282,6 +282,70 @@ object QualityModel {
       .orderBy("split")
   }
 
+  /** Label + score for every doc under the trained weights — the shared
+    * input of the AUC and calibration scorecards.
+    */
+  private def scoredYP(spark: SparkSession, sfDir: String): DataFrame = {
+    val (z, _, w) = trainedModel(spark, sfDir)
+    z.crossJoin(w).select(col("y"), probCol.as("p"))
+  }
+
+  /** Test access to the full (y, p) relation — QualityModelSpec's
+    * brute-force AUC cross-check.
+    */
+  private[graft] def scoredForTest(spark: SparkSession, sfDir: String): DataFrame =
+    scoredYP(spark, sfDir)
+
+  /** Exact ROC-AUC, distributed — the ranking metric a filter deployment
+    * reads before picking a threshold (accuracy at 0.5 says nothing about
+    * other operating points). Mann–Whitney form with average-rank tie
+    * handling, computed WITHOUT a global sort of the corpus:
+    *
+    *   1. group by distinct score → (p, n_pos, n_neg) — the relation
+    *      shrinks from docs to distinct 6-dp scores;
+    *   2. exact global running negative count below each score via
+    *      [[graft.plans.RangedCumsum]] (the §19 operator — range offsets +
+    *      per-range windows, no single-partition window anywhere);
+    *   3. AUC = Σ n_pos·(2·below + n_neg) / (2·nPos·nNeg) — ALL integer
+    *      arithmetic until one final rounded division, so the result is
+    *      engine-exact, not summation-order luck.
+    */
+  def modelAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = scoredYP(spark, sfDir)
+      .groupBy("p")
+      .agg(
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("nn"))
+    val (cum, _) = graft.plans.RangedCumsum.withGlobalCumsum(
+      g, valueCol = "p", tieCol = "p", weight = col("nn"), outCol = "cum_nn")
+    cum
+      .agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * (col("cum_nn") - col("nn")) + col("nn"))).as("num"))
+      .select(
+        col("n_pos"), col("n_neg"),
+        round(
+          col("num").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+  }
+
+  /** Calibration (reliability) curve: fixed-width score deciles with the
+    * DECIMAL-exact mean predicted probability vs realized positive rate —
+    * a trained filter whose scores are miscalibrated silently biases any
+    * downstream quality-weighted sampling that treats p as a probability.
+    * One scan + ≤10-key aggregate.
+    */
+  def modelCalibration(spark: SparkSession, sfDir: String): DataFrame =
+    scoredYP(spark, sfDir)
+      .withColumn("bin", least(lit(9L), floor(col("p") * 10).cast("bigint")))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(dsum(col("p")) / count(lit(1)).cast("double"), 6).as("mean_p"),
+        round(dsum(col("y")) / count(lit(1)).cast("double"), 6).as("frac_pos"))
+      .orderBy("bin")
+
   /** Fine-tune rounds for the delta-maintenance query — unrolled into the
     * oracle like [[Iters]], so pinned.
     */
@@ -512,17 +576,47 @@ object QualityModel {
        |ORDER BY coef""".stripMargin
   }
 
+  lazy val modelAucSql: String =
+    s"""WITH $modelSqlCtes,
+       |pf AS (SELECT y, $sigmoidSql AS p FROM z, $wFinal),
+       |g AS (
+       |  SELECT p,
+       |         CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |         CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+       |  FROM pf GROUP BY p),
+       |c AS (SELECT np, nn, CAST(SUM(nn) OVER (ORDER BY p) AS BIGINT) AS cum_nn FROM g)
+       |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       |       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       |       ROUND(CAST(SUM(np * (2 * (cum_nn - nn) + nn)) AS DOUBLE)
+       |             / CAST(2 * SUM(np) * SUM(nn) AS DOUBLE), 6) AS auc
+       |FROM c""".stripMargin
+
+  lazy val modelCalibrationSql: String =
+    s"""WITH $modelSqlCtes,
+       |pf AS (SELECT y, $sigmoidSql AS p FROM z, $wFinal)
+       |SELECT LEAST(9, CAST(FLOOR(p * 10) AS BIGINT)) AS bin,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       ROUND(CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE)
+       |             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_p,
+       |       ROUND(CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE)
+       |             / CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos
+       |FROM pf GROUP BY 1 ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_quality_model" -> (modelWeights _),
     "t_quality_model_eval" -> (modelEval _),
     "t_quality_model_scores" -> (modelScores _),
     "t_quality_model_holdout" -> (modelHoldout _),
-    "t_model_delta" -> (modelDelta _))
+    "t_model_delta" -> (modelDelta _),
+    "t_model_auc" -> (modelAuc _),
+    "t_model_calibration" -> (modelCalibration _))
 
   val oracle: Map[String, String] = Map(
     "t_quality_model" -> modelWeightsSql,
     "t_quality_model_eval" -> modelEvalSql,
     "t_quality_model_scores" -> modelScoresSql,
     "t_quality_model_holdout" -> modelHoldoutSql,
-    "t_model_delta" -> modelDeltaSql)
+    "t_model_delta" -> modelDeltaSql,
+    "t_model_auc" -> modelAucSql,
+    "t_model_calibration" -> modelCalibrationSql)
 }

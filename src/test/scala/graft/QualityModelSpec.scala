@@ -94,6 +94,37 @@ class QualityModelSpec extends SparkSpec {
     assert(rows.valuesIterator.exists(_._3 != 0.0))
   }
 
+  test("modelAuc: exact Mann-Whitney AUC agrees with a brute-force pair count") {
+    val r = QualityModel.modelAuc(spark, sf001).collect().head
+    val (nPos, nNeg, auc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nPos + nNeg === 500L)
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(auc > 0.95, s"ranking quality collapsed: $auc")
+    // brute-force check on the same scored relation: P(p_pos > p_neg) + ½P(=)
+    val yps = QualityModel.scoredForTest(spark, sf001).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val pos = yps.filter(_._1 == 1.0).map(_._2)
+    val neg = yps.filter(_._1 == 0.0).map(_._2)
+    var num = 0.0
+    for (a <- pos; b <- neg) num += (if (a > b) 1.0 else if (a == b) 0.5 else 0.0)
+    val brute = num / (pos.length.toLong * neg.length)
+    assert(math.abs(auc - brute) < 1e-5, s"auc $auc vs brute $brute")
+  }
+
+  test("modelCalibration: bins partition the corpus, mean_p inside each bin") {
+    val rows = QualityModel.modelCalibration(spark, sf001).collect()
+    assert(rows.map(_.getLong(1)).sum === 500L)
+    rows.foreach { r =>
+      val (bin, meanP, fracPos) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(meanP >= bin / 10.0 - 1e-6 && meanP <= (bin + 1) / 10.0 + 1e-6, s"bin $bin")
+      assert(fracPos >= 0.0 && fracPos <= 1.0)
+    }
+    // scores must actually separate: top bin nearly all positive, bottom none
+    val byBin = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byBin(byBin.keys.max) > 0.9)
+    assert(byBin(byBin.keys.min) < 0.1)
+  }
+
   test("label threshold splits the corpus non-degenerately at sf0.001") {
     val docs = graft.model.Tables.documents(spark, sf001)
     val pos = docs
