@@ -346,6 +346,42 @@ object QualityModel {
         round(dsum(col("y")) / count(lit(1)).cast("double"), 6).as("frac_pos"))
       .orderBy("bin")
 
+  /** Candidate operating thresholds for [[modelThreshold]] — a pinned grid
+    * shared with the generated oracle.
+    */
+  val ThresholdGrid: Seq[Double] = (1 to 9).map(_ / 10.0)
+
+  /** Operating-point sweep — the t_threshold_sweep discipline applied to
+    * the classifier: precision / recall / F1 at each candidate cut, read
+    * before pinning the production keep-threshold (AUC says the ranking
+    * is good; this says where to cut it). ONE scan: all 9 thresholds are
+    * conditional sums in a single aggregate (no per-threshold pass, no
+    * crossJoin amplification), unpivoted from the 1-row result; F1 stays
+    * in integer space until one rounded division.
+    */
+  def modelThreshold(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = scoredYP(spark, sfDir)
+    val aggs = ThresholdGrid.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(when(col("p") >= t && col("y") === 1.0, 1L).otherwise(0L)).as(s"tp$i"),
+        sum(when(col("p") >= t && col("y") === 0.0, 1L).otherwise(0L)).as(s"fp$i"),
+        sum(when(col("p") < t && col("y") === 1.0, 1L).otherwise(0L)).as(s"fn$i"))
+    }
+    val one = scored.agg(aggs.head, aggs.tail: _*)
+    one
+      .select(explode(array(ThresholdGrid.zipWithIndex.map { case (t, i) =>
+        struct(
+          lit(t).as("threshold"),
+          col(s"tp$i").as("tp"), col(s"fp$i").as("fp"), col(s"fn$i").as("fn"))
+      }: _*)).as("e"))
+      .select(
+        col("e.threshold").as("threshold"),
+        col("e.tp").as("tp"), col("e.fp").as("fp"), col("e.fn").as("fn"),
+        round((lit(2L) * col("e.tp")).cast("double") /
+          (lit(2L) * col("e.tp") + col("e.fp") + col("e.fn")).cast("double"), 6).as("f1"))
+      .orderBy("threshold")
+  }
+
   /** Fine-tune rounds for the delta-maintenance query — unrolled into the
     * oracle like [[Iters]], so pinned.
     */
@@ -602,7 +638,28 @@ object QualityModel {
        |             / CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos
        |FROM pf GROUP BY 1 ORDER BY bin""".stripMargin
 
+  lazy val modelThresholdSql: String = {
+    val aggCols = ThresholdGrid.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        s"CAST(SUM(CASE WHEN p >= CAST($t AS DOUBLE) AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp$i",
+        s"CAST(SUM(CASE WHEN p >= CAST($t AS DOUBLE) AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp$i",
+        s"CAST(SUM(CASE WHEN p < CAST($t AS DOUBLE) AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn$i")
+    }.mkString(",\n       ")
+    val branches = ThresholdGrid.zipWithIndex.map { case (t, i) =>
+      s"SELECT CAST($t AS DOUBLE) AS threshold, tp$i AS tp, fp$i AS fp, fn$i AS fn," +
+        s" ROUND(CAST(2 * tp$i AS DOUBLE) / CAST(2 * tp$i + fp$i + fn$i AS DOUBLE), 6) AS f1 FROM ag"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $modelSqlCtes,
+       |pf AS (SELECT y, $sigmoidSql AS p FROM z, $wFinal),
+       |ag AS MATERIALIZED (
+       |  SELECT $aggCols
+       |  FROM pf)
+       |$branches
+       |ORDER BY threshold""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_model_threshold" -> (modelThreshold _),
     "t_quality_model" -> (modelWeights _),
     "t_quality_model_eval" -> (modelEval _),
     "t_quality_model_scores" -> (modelScores _),
@@ -612,6 +669,7 @@ object QualityModel {
     "t_model_calibration" -> (modelCalibration _))
 
   val oracle: Map[String, String] = Map(
+    "t_model_threshold" -> modelThresholdSql,
     "t_quality_model" -> modelWeightsSql,
     "t_quality_model_eval" -> modelEvalSql,
     "t_quality_model_scores" -> modelScoresSql,

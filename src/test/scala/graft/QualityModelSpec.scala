@@ -125,6 +125,19 @@ class QualityModelSpec extends SparkSpec {
     assert(byBin(byBin.keys.min) < 0.1)
   }
 
+  test("modelThreshold: recall monotone down, precision monotone up, real F1 peak") {
+    val rows = QualityModel.modelThreshold(spark, sf001).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.length === 9)
+    // raising the cut can only lose true positives and lose false positives
+    assert(rows.sliding(2).forall(a => a(1)._2 <= a(0)._2), "tp must be nonincreasing")
+    assert(rows.sliding(2).forall(a => a(1)._3 <= a(0)._3), "fp must be nonincreasing")
+    assert(rows.sliding(2).forall(a => a(1)._4 >= a(0)._4), "fn must be nondecreasing")
+    // tp + fn = all positives, constant across thresholds
+    assert(rows.map(r => r._2 + r._4).distinct.length === 1)
+    assert(rows.map(_._5).max > 0.9, "no usable operating point")
+  }
+
   test("label threshold splits the corpus non-degenerately at sf0.001") {
     val docs = graft.model.Tables.documents(spark, sf001)
     val pos = docs
