@@ -434,5 +434,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // HOF dot-product composition → fused native expression (see the rule's
     // scaladoc for the semantics-preservation argument)
     ext.injectOptimizerRule(_ => graft.plans.DotProductFusion)
+    // whole-operator extension: the native merge as-of join's planner
+    // strategy (graft.plans.AsOfJoinPlan — LogicalPlan + SparkPlan pair)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinPlan.AsOfJoinStrategy)
   }
 }

@@ -1,0 +1,185 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlAccess, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native AS-OF join — the one relational operator the reference domain
+  * (financial time series: "the index value in effect at time t") wants
+  * that Spark's built-in operators lack, implemented at the WHOLE-OPERATOR
+  * rung of the extension ladder (SURVEY.md build rules: compose if
+  * possible, Expression if scalar, LogicalPlan + Strategy + SparkPlan when
+  * the semantics are a join shape): for each left row, attach the matching
+  * right row with the greatest `rightTime <= leftTime` for the same key,
+  * null-extended when none exists.
+  *
+  * The repo already ships the COMPOSED form (`q_asof_join` — union +
+  * running-max window, queries/JoinQueries.scala): that is the right
+  * answer when the payload is one column. The native operator earns its
+  * keep when the right row's WHOLE payload must come along (the window
+  * composition needs one running `max(struct)` per payload column or a
+  * re-join on the matched timestamp): here it is a single co-partitioned
+  * merge — each side shuffled ONCE on the key, sorted within partitions,
+  * then a linear two-pointer scan per partition with O(1) state (the one
+  * buffered candidate row). No pair space, no re-join, no per-column
+  * windows — the plan a 100 TB tick-store join needs.
+  *
+  * Execution contract (all enforced by Spark, not by convention):
+  *   - `requiredChildDistribution` = ClusteredDistribution(key) on both
+  *     sides → EnsureRequirements co-partitions them exactly as it does
+  *     for SortMergeJoin;
+  *   - `requiredChildOrdering` = (key asc, time asc) on both sides →
+  *     EnsureRequirements inserts the per-partition sorts;
+  *   - the merge then never looks back: left (key, time) is
+  *     lexicographically nondecreasing, so the right pointer only
+  *     advances — one pass, one candidate row of state.
+  *
+  * Null semantics: a null key or time on the left yields the null-extended
+  * row; null-keyed/timed right rows match nothing (SQL comparison rules).
+  * With duplicate right (key, time) pairs the surviving candidate is the
+  * last in sort order — callers needing full determinism under such
+  * duplicates should fold a tiebreak into `rightTime` (the checked query's
+  * output is duplicate-insensitive either way).
+  */
+object AsOfJoinPlan {
+
+  /** Logical node: output = left columns + right columns (nullable). */
+  case class AsOfJoin(
+      left: LogicalPlan,
+      right: LogicalPlan,
+      leftKey: Expression,
+      rightKey: Expression,
+      leftTime: Expression,
+      rightTime: Expression)
+    extends BinaryNode {
+    override def output: Seq[Attribute] =
+      left.output ++ right.output.map(_.withNullability(true))
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Physical merge as-of join. */
+  case class AsOfJoinExec(
+      leftKey: Expression,
+      rightKey: Expression,
+      leftTime: Expression,
+      rightTime: Expression,
+      left: SparkPlan,
+      right: SparkPlan)
+    extends BinaryExecNode {
+
+    override def output: Seq[Attribute] =
+      left.output ++ right.output.map(_.withNullability(true))
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+    override def outputPartitioning: Partitioning = left.outputPartitioning
+
+    override def outputOrdering: Seq[SortOrder] =
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+      copy(left = newLeft, right = newRight)
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+      val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+      val lOut = left.output
+      val rOut = right.output
+      val out = output
+      val lk = leftKey
+      val rk = rightKey
+      val lt = leftTime
+      val rt = rightTime
+      left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+        val lKeyB = BindReferences.bindReference(lk, lOut)
+        val lTimeB = BindReferences.bindReference(lt, lOut)
+        val rKeyB = BindReferences.bindReference(rk, rOut)
+        val rTimeB = BindReferences.bindReference(rt, rOut)
+        val rBuf = rIter.buffered
+        val nullRight = new GenericInternalRow(rOut.size)
+        val joined = new JoinedRow
+        val resultProj = UnsafeProjection.create(out, out)
+        // the ONE row of cross-iteration state: the best (greatest-time)
+        // right row seen so far for its key, copied out of the reused
+        // iterator buffer, with its key re-evaluated on the stable copy
+        var candidate: InternalRow = null
+        var candidateKey: Any = null
+        new Iterator[InternalRow] {
+          override def hasNext: Boolean = lIter.hasNext
+          override def next(): InternalRow = {
+            val l = lIter.next()
+            val lkv = lKeyB.eval(l)
+            val ltv = lTimeB.eval(l)
+            if (lkv == null || ltv == null) return resultProj(joined(l, nullRight))
+            // advance right through every row at-or-before (lkv, ltv)
+            var done = false
+            while (!done && rBuf.hasNext) {
+              val rkv = rKeyB.eval(rBuf.head)
+              val rtv = rTimeB.eval(rBuf.head)
+              if (rkv == null || rtv == null) {
+                rBuf.next() // unmatched by SQL comparison rules; skip
+              } else {
+                val kc = keyOrd.compare(rkv, lkv)
+                if (kc < 0 || (kc == 0 && timeOrd.compare(rtv, ltv) <= 0)) {
+                  candidate = rBuf.next().copy()
+                  candidateKey = rKeyB.eval(candidate)
+                } else done = true
+              }
+            }
+            val matched =
+              candidate != null && keyOrd.compare(candidateKey, lkv) == 0
+            resultProj(joined(l, if (matched) candidate else nullRight))
+          }
+        }
+      }
+    }
+  }
+
+  /** Planner strategy: one custom logical node → one custom exec. */
+  object AsOfJoinStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case AsOfJoin(l, r, lk, rk, lt, rt) =>
+        AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Install the strategy on the session (idempotent) — the runtime twin
+    * of `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions
+    * wires the same object for config-driven sessions).
+    */
+  def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** User-facing builder: `asOf(left, key, t)(right, key, t)` — columns
+    * must belong to the two frames.
+    */
+  def asOf(
+      left: DataFrame, leftKey: Column, leftTime: Column,
+      right: DataFrame, rightKey: Column, rightTime: Column): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val node = AsOfJoin(
+      left.queryExecution.analyzed, right.queryExecution.analyzed,
+      GraftSqlAccess.expression(leftKey), GraftSqlAccess.expression(rightKey),
+      GraftSqlAccess.expression(leftTime), GraftSqlAccess.expression(rightTime))
+    GraftSqlAccess.ofRows(spark, node)
+  }
+}

@@ -118,6 +118,33 @@ object JoinQueries {
       |WHERE a.event_type = 'purchase'
       |ORDER BY a.event_id""".stripMargin
 
+  /** The SAME as-of semantics through the NATIVE whole-plan operator
+    * ([[graft.plans.AsOfJoinPlan]] — custom LogicalPlan + SparkStrategy +
+    * merge SparkPlan): one key-shuffle per side, per-partition sorts
+    * inserted by EnsureRequirements, then a linear two-pointer merge with
+    * O(1) state — no union, no running-max window, and the whole right
+    * payload available (this query reads the matched click's ts; a wider
+    * payload would come for free, where the window composition would need
+    * a struct-max or a re-join). Hash-checked against the identical
+    * correlated-subquery oracle as `q_asof_join`, so the two plans are
+    * pinned to agree row-for-row.
+    */
+  def asofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    graft.plans.AsOfJoinPlan
+      .asOf(purchases, purchases("user_id"), purchases("ts"),
+        clicks, clicks("c_user"), clicks("click_ts"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("click_ts").as("prev_click_ts"))
+      .orderBy("event_id")
+  }
+
   /** Bin width for the range-join decomposition. Interval endpoints are
     * deliberately NOT multiples of this (lo/hi carry odd offsets), so the
     * exact-containment refilter genuinely bites — aligned endpoints would
@@ -304,6 +331,7 @@ object JoinQueries {
     "q_topk_parts_brand" -> (topkPartsPerBrand _),
     "q_supplier_by_nation" -> (supplierByNation _),
     "q_asof_join" -> (asofClickBeforePurchase _),
+    "q_asof_native" -> (asofNative _),
     "q_range_join" -> (rangeJoinBinned _),
     "q_fuzzy_join" -> (fuzzyNameJoin _))
 
@@ -313,6 +341,7 @@ object JoinQueries {
     "q_topk_parts_brand" -> topkPartsPerBrandSql,
     "q_supplier_by_nation" -> supplierByNationSql,
     "q_asof_join" -> asofClickBeforePurchaseSql,
+    "q_asof_native" -> asofClickBeforePurchaseSql,
     "q_range_join" -> rangeJoinBinnedSql,
     "q_fuzzy_join" -> fuzzyNameJoinSql)
 }
