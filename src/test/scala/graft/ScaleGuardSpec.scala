@@ -251,4 +251,23 @@ class ScaleGuardSpec extends SparkSpec {
       assert(n > 0, s"jaccard pair check is vacuous at $sfDir")
     }
   }
+
+  test("classifier family plans: no partition-less window anywhere") {
+    // the one plan shape that cannot survive 100× is a global Window with
+    // no PARTITION BY (single-task sort of the whole relation). The model
+    // family must never reintroduce it — t_model_auc in particular gets
+    // its global rank from RangedCumsum's range-partitioned windows.
+    val qm = graft.text.QualityModel
+    for ((name, df) <- Seq(
+        "t_quality_model" -> qm.modelWeights(spark, sf001),
+        "t_model_auc" -> qm.modelAuc(spark, sf001),
+        "t_model_threshold" -> qm.modelThreshold(spark, sf001),
+        "t_model_delta" -> qm.modelDelta(spark, sf001))) {
+      val global = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty, s"$name has a partition-less window:\n${global.mkString}")
+    }
+  }
 }
