@@ -58,6 +58,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(plan.contains("Sort ["), plan)
   }
 
+  test("asOf: struct-typed time gives deterministic tiebreaks among equal timestamps") {
+    // two right rows at the same (key, time): a bare time column leaves the
+    // winner to partition-sort order; a STRUCT time (ts, id) makes it the
+    // max id — TypeUtils' interpreted ordering handles struct comparison,
+    // so composite as-of keys need no operator change
+    val left = Seq((1L, 10L, 99L)).toDF("k", "ts", "lid")
+      .select(col("k"), struct(col("ts"), col("lid")).as("t"))
+    val right = Seq((1L, 10L, 7L, "seven"), (1L, 10L, 9L, "nine"), (1L, 11L, 1L, "late"))
+      .toDF("rk", "rts", "rid", "tag")
+      .select(col("rk"), struct(col("rts"), col("rid")).as("rt"), col("tag"))
+    val got = AsOfJoinPlan.asOf(left, left("k"), left("t"), right, right("rk"), right("rt"))
+      .select("tag").collect().map(_.getString(0))
+    // (10, 99) bounds both (10,7) and (10,9) but not (11,1): winner = (10,9)
+    assert(got.toSeq === Seq("nine"))
+  }
+
   test("asOf: corpus parity with the composed window form (q_asof_join)") {
     val ev = graft.model.Tables.events(spark, sf001)
       .where(col("event_type").isin("click", "purchase"))
