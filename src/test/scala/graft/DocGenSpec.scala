@@ -1,0 +1,72 @@
+package graft
+
+import graft.sources.{DocGen, DocGenRange, DocGenScan, DocGenScanBuilder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan, StringContains}
+import org.apache.spark.sql.types.StructType
+
+/** Round-10 DataSource V2 connector: pushdown arithmetic, partition
+  * planning, and column pruning pinned at the ScanBuilder level, and the
+  * end-to-end plan pinned through the DataFrame API.
+  */
+class DocGenSpec extends SparkSpec {
+
+  private def load() = spark.read.format("graft.sources.DocGenSource")
+    .option("numDocs", "1000").option("numPartitions", "4").load()
+
+  test("pushdown: doc_id bounds tighten the scan range; residuals only for foreign filters") {
+    val b = new DocGenScanBuilder(1000L, 4)
+    val residual = b.pushFilters(Array(
+      GreaterThanOrEqual("doc_id", 100L),
+      LessThan("doc_id", 420L),
+      StringContains("body", "ab"))) // not ours — must come back
+    assert(residual.toSeq === Seq(StringContains("body", "ab")))
+    assert(b.pushedFilters().length === 2)
+    val scan = b.build().asInstanceOf[DocGenScan]
+    assert(scan.lo === 100L && scan.hi === 420L)
+    // 320 ids over 4 partitions → 4 × 80-wide contiguous ranges
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[DocGenRange])
+    assert(parts.length === 4)
+    assert(parts.head === DocGenRange(100L, 180L) && parts.last.end === 420L)
+  }
+
+  test("pushdown: contradictory bounds plan ZERO partitions (pruned before any task)") {
+    val b = new DocGenScanBuilder(1000L, 4)
+    b.pushFilters(Array(GreaterThanOrEqual("doc_id", 800L), LessThan("doc_id", 100L)))
+    assert(b.build().asInstanceOf[DocGenScan].planInputPartitions().isEmpty)
+  }
+
+  test("pushdown: EqualTo plans a single one-row range") {
+    val b = new DocGenScanBuilder(1000L, 4)
+    b.pushFilters(Array(EqualTo("doc_id", 42L)))
+    val parts = b.build().asInstanceOf[DocGenScan].planInputPartitions()
+    assert(parts.toSeq === Seq(DocGenRange(42L, 43L)))
+  }
+
+  test("column pruning reaches the reader; pruned body is never materialized") {
+    val b = new DocGenScanBuilder(10L, 1)
+    b.pruneColumns(new StructType().add("doc_id", "long"))
+    val scan = b.build().asInstanceOf[DocGenScan]
+    assert(scan.readSchema().fieldNames.toSeq === Seq("doc_id"))
+    val reader = scan.createReaderFactory()
+      .createReader(scan.planInputPartitions().head)
+    assert(reader.next())
+    assert(reader.get().numFields === 1)
+  }
+
+  test("end to end: range filter pushes into the source, no post-scan Filter survives") {
+    val df = load().where(col("doc_id") >= 100L && col("doc_id") < 420L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[100,420)"), plan)
+    assert(!plan.contains("Filter "), s"pushed filter re-evaluated post-scan:\n$plan")
+    assert(df.count() === 320L)
+  }
+
+  test("generated rows match the documented formula") {
+    val row = load().where(col("doc_id") === 7L).collect().head
+    assert(row.getLong(0) === 7L)
+    assert(row.getInt(1) === 7)
+    assert(row.getString(2) === DocGen.bodyOf(7L))
+    assert(DocGen.bodyOf(7L).length === 32)
+  }
+}
