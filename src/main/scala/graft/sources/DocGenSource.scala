@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{
   EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
@@ -49,12 +50,14 @@ class DocGenSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new DocGenTable(
       properties.getOrDefault("numDocs", DocGen.DefaultNumDocs.toString).toLong,
-      properties.getOrDefault("numPartitions", DocGen.DefaultNumPartitions.toString).toInt)
+      properties.getOrDefault("numPartitions", DocGen.DefaultNumPartitions.toString).toInt,
+      properties.getOrDefault("streamBatchSize", DocGen.DefaultStreamBatchSize.toString).toLong)
 }
 
 object DocGen {
   val DefaultNumDocs = 60000L
   val DefaultNumPartitions = 8
+  val DefaultStreamBatchSize = 5000L
 
   /** doc_id, shard = doc_id % 16, body = md5 hex of the decimal id —
     * cheap, deterministic, and byte-identical to DuckDB's
@@ -103,21 +106,68 @@ object DocGen {
       |       bit_xor(doc_id) AS xor_ids,
       |       CAST(SUM(CASE WHEN substring(body, 1, 1) = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_body_a
       |FROM g GROUP BY shard ORDER BY shard""".stripMargin
+
+  private val streamSinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Micro-batch parity for the connector's streaming mode: the SAME
+    * generated corpus drains as a 4-micro-batch stream (latestOffset
+    * advances one `streamBatchSize` per call — genuinely multi-batch,
+    * state crosses batch boundaries in the complete-mode aggregate) and
+    * the final per-shard (count, bit_xor) table must equal the batch
+    * read's — `n_diff = 0` is under the hash gate, with DuckDB
+    * re-deriving the totals from `range()`.
+    */
+  def dsv2StreamParity(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nDocs = 20000L
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("shard")).agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("xor_ids"))
+    val sink = s"graft_dsv2_stream_${streamSinkCounter.incrementAndGet()}"
+    val q = rollup(
+      spark.readStream.format("graft.sources.DocGenSource")
+        .option("numDocs", nDocs.toString)
+        .option("numPartitions", "4")
+        .option("streamBatchSize", (nDocs / 4 + 1).toString)
+        .load())
+      .writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(sink)
+    val batch = rollup(
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", nDocs.toString).option("numPartitions", "4").load())
+    val nDiff = streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
+    val totals = streamed.agg(count(lit(1)), sum(col("n_docs"))).collect().head
+    import spark.implicits._
+    Seq((totals.getLong(0), totals.getLong(1), nDiff))
+      .toDF("n_shards", "n_docs", "n_diff")
+  }
+
+  val dsv2StreamParitySql: String =
+    """WITH g AS (SELECT CAST(doc_id % 16 AS INT) AS shard FROM range(0, 20000) t(doc_id))
+      |SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(0 AS BIGINT) AS n_diff
+      |FROM g""".stripMargin
 }
 
-class DocGenTable(numDocs: Long, numPartitions: Int) extends Table with SupportsRead {
+class DocGenTable(numDocs: Long, numPartitions: Int, streamBatchSize: Long)
+  extends Table with SupportsRead {
   override def name(): String = s"docgen($numDocs)"
   override def schema(): StructType = DocGen.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocGenScanBuilder(numDocs, numPartitions)
+    new DocGenScanBuilder(numDocs, numPartitions, streamBatchSize)
 }
 
 /** Mutable planning state: the [lo, hi) interval tightened by every
   * accepted `doc_id` predicate, and the pruned schema.
   */
-class DocGenScanBuilder(numDocs: Long, numPartitions: Int)
+class DocGenScanBuilder(
+    numDocs: Long, numPartitions: Int, streamBatchSize: Long = DocGen.DefaultStreamBatchSize)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = 0L
@@ -151,12 +201,15 @@ class DocGenScanBuilder(numDocs: Long, numPartitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = DocGenScan(lo, math.max(lo, hi), numPartitions, required)
+  override def build(): Scan =
+    DocGenScan(lo, math.max(lo, hi), numPartitions, required, streamBatchSize)
 }
 
 case class DocGenRange(start: Long, end: Long) extends InputPartition
 
-case class DocGenScan(lo: Long, hi: Long, numPartitions: Int, required: StructType)
+case class DocGenScan(
+    lo: Long, hi: Long, numPartitions: Int, required: StructType,
+    streamBatchSize: Long = DocGen.DefaultStreamBatchSize)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -166,15 +219,55 @@ case class DocGenScan(lo: Long, hi: Long, numPartitions: Int, required: StructTy
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    DocGenScan.split(lo, hi, numPartitions)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocGenReaderFactory(required.fieldNames)
+
+  /** Micro-batch form: the same rows drain as a bounded stream,
+    * `streamBatchSize` ids per batch — the connector's ingest-simulation
+    * mode. Offsets are plain positions in [lo, hi]; each batch plans the
+    * same contiguous-range partitions the batch path uses.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new DocGenMicroBatchStream(lo, hi, numPartitions, streamBatchSize, required.fieldNames)
+}
+
+object DocGenScan {
+  def split(lo: Long, hi: Long, numPartitions: Int): Array[InputPartition] = {
     val n = hi - lo
     if (n <= 0) return Array.empty // fully pruned: ZERO partitions planned
     val width = math.max(1L, (n + numPartitions - 1) / numPartitions)
     (lo until hi by width).map(s => DocGenRange(s, math.min(hi, s + width))).toArray
   }
+}
 
+/** Position offset in the generated id space. */
+case class DocGenOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+class DocGenMicroBatchStream(
+    lo: Long, hi: Long, numPartitions: Int, batchSize: Long, fields: Array[String])
+  extends MicroBatchStream {
+  // latestOffset advances one batch per call (the rate-source pattern), so
+  // a drain via processAllAvailable genuinely exercises MULTI-batch
+  // execution instead of one giant batch
+  private var served = lo
+  override def initialOffset(): Offset = DocGenOffset(lo)
+  override def latestOffset(): Offset = {
+    served = math.min(hi, served + batchSize)
+    DocGenOffset(served)
+  }
+  override def deserializeOffset(json: String): Offset = DocGenOffset(json.trim.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    DocGenScan.split(
+      start.asInstanceOf[DocGenOffset].pos, end.asInstanceOf[DocGenOffset].pos, numPartitions)
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocGenReaderFactory(required.fieldNames)
+    new DocGenReaderFactory(fields)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class DocGenReaderFactory(fields: Array[String]) extends PartitionReaderFactory {

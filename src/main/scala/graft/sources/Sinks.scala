@@ -168,12 +168,14 @@ object Sinks {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_format_roundtrip" -> (formatRoundtrip _),
     "q_bucketed_join" -> (bucketedJoin _),
-    "q_dsv2_scan" -> (DocGen.dsv2Scan _))
+    "q_dsv2_scan" -> (DocGen.dsv2Scan _),
+    "s_dsv2_stream_parity" -> (DocGen.dsv2StreamParity _))
 
   val oracle: Map[String, String] = Map(
     "q_format_roundtrip" -> formatRoundtripSql,
     "q_bucketed_join" -> bucketedJoinSql,
-    "q_dsv2_scan" -> DocGen.dsv2ScanSql)
+    "q_dsv2_scan" -> DocGen.dsv2ScanSql,
+    "s_dsv2_stream_parity" -> DocGen.dsv2StreamParitySql)
 
   /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead
     * of failing the job — the source-level twin of the reference's

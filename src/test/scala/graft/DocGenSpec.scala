@@ -62,6 +62,24 @@ class DocGenSpec extends SparkSpec {
     assert(df.count() === 320L)
   }
 
+  test("micro-batch stream: multiple batches, exactly-once row totals") {
+    val q = spark.readStream.format("graft.sources.DocGenSource")
+      .option("numDocs", "100").option("numPartitions", "2").option("streamBatchSize", "30")
+      .load()
+      .writeStream.outputMode("append").format("memory").queryName("dsv2_mb").start()
+    try q.processAllAvailable() finally q.stop()
+    // 30+30+30+10: the offset advances one batch per latestOffset call,
+    // so the drain is genuinely multi-batch
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3, q.recentProgress.mkString("\n"))
+    assert(spark.table("dsv2_mb").count() === 100L)
+    assert(spark.table("dsv2_mb").select("doc_id").distinct().count() === 100L)
+  }
+
+  test("stream/batch parity rollup returns the pinned totals") {
+    val r = DocGen.dsv2StreamParity(spark, sf001).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((16L, 20000L, 0L)))
+  }
+
   test("generated rows match the documented formula") {
     val row = load().where(col("doc_id") === 7L).collect().head
     assert(row.getLong(0) === 7L)
