@@ -159,9 +159,11 @@ object AsOfJoinPlan {
     }
   }
 
-  /** Install the strategy on the session (idempotent) — the runtime twin
-    * of `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions
-    * wires the same object for config-driven sessions).
+  /** Install the strategy on `experimental.extraStrategies` (idempotent
+    * against itself; a session ALSO configured with GraftExtensions'
+    * `injectPlannerStrategy` would carry a second copy there — harmless,
+    * the strategy only matches the one custom node, but prefer one wiring
+    * per session).
     */
   def ensureStrategy(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -169,17 +171,34 @@ object AsOfJoinPlan {
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
 
   /** User-facing builder: `asOf(left, key, t)(right, key, t)` — columns
-    * must belong to the two frames.
+    * must belong to the two frames. Misuse fails HERE, not as silently
+    * wrong rows: mismatched key/time types would hash the two sides
+    * differently (equal keys land in different partitions → every row
+    * null-extends) and break the comparator, and a self-join without
+    * aliasing duplicates exprIds so the output projection would bind
+    * right columns to left ordinals.
     */
   def asOf(
       left: DataFrame, leftKey: Column, leftTime: Column,
       right: DataFrame, rightKey: Column, rightTime: Column): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
-    val node = AsOfJoin(
-      left.queryExecution.analyzed, right.queryExecution.analyzed,
-      GraftSqlAccess.expression(leftKey), GraftSqlAccess.expression(rightKey),
-      GraftSqlAccess.expression(leftTime), GraftSqlAccess.expression(rightTime))
-    GraftSqlAccess.ofRows(spark, node)
+    val (lk, rk) = (GraftSqlAccess.expression(leftKey), GraftSqlAccess.expression(rightKey))
+    val (lt, rt) = (GraftSqlAccess.expression(leftTime), GraftSqlAccess.expression(rightTime))
+    require(
+      org.apache.spark.sql.types.DataType.equalsStructurally(
+        lk.dataType, rk.dataType, ignoreNullability = true),
+      s"as-of key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(
+      org.apache.spark.sql.types.DataType.equalsStructurally(
+        lt.dataType, rt.dataType, ignoreNullability = true),
+      s"as-of time types differ: ${lt.dataType} vs ${rt.dataType}")
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    require(
+      lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
+      "as-of sides share attributes (self-join without aliasing) — " +
+        "re-select/alias one side so every output column is distinct")
+    GraftSqlAccess.ofRows(spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
   }
 }

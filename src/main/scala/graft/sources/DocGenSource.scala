@@ -68,10 +68,27 @@ object DocGen {
     .add("shard", IntegerType, nullable = false)
     .add("body", StringType, nullable = false)
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Per-row hot path: reuse one thread-local digest and a table-driven
+    * hex encoder (a fresh MessageDigest + 16 Formatter calls per row would
+    * dominate the generation cost the connector exists to benchmark).
+    */
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   def bodyOf(docId: Long): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(docId.toString.getBytes("UTF-8"))
-    d.map("%02x".format(_)).mkString
+    val md = Md5.get()
+    md.reset()
+    val d = md.digest(docId.toString.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Driver-checked exercise of the connector: a doc_id range predicate
@@ -184,12 +201,16 @@ class DocGenScanBuilder(
       case EqualTo("doc_id", _: Long) => true
       case _ => false
     }
+    // saturating +1: v = Long.MaxValue must clamp, not wrap (a wrapped
+    // bound with no residual would silently return wrong rows)
+    def succ(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     ours.foreach {
-      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThan("doc_id", v: Long) =>
+        lo = math.max(lo, succ(v)); if (v == Long.MaxValue) hi = lo // > MAX: empty
       case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v)
       case LessThan("doc_id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1)
-      case EqualTo("doc_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, succ(v))
+      case EqualTo("doc_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, succ(v))
       case _ =>
     }
     accepted = ours
@@ -253,20 +274,31 @@ class DocGenMicroBatchStream(
   extends MicroBatchStream {
   // latestOffset advances one batch per call (the rate-source pattern), so
   // a drain via processAllAvailable genuinely exercises MULTI-batch
-  // execution instead of one giant batch
+  // execution instead of one giant batch. The cursor is RESTART-SAFE: any
+  // offset Spark hands back from the checkpoint log (deserializeOffset on
+  // recovery, commit after each batch) ratchets `served` forward, so a
+  // restarted query resumes from the committed position instead of
+  // regressing the offset log and re-serving rows.
   private var served = lo
+  private def ratchet(pos: Long): Unit = synchronized {
+    served = math.max(served, math.min(hi, pos))
+  }
   override def initialOffset(): Offset = DocGenOffset(lo)
-  override def latestOffset(): Offset = {
+  override def latestOffset(): Offset = synchronized {
     served = math.min(hi, served + batchSize)
     DocGenOffset(served)
   }
-  override def deserializeOffset(json: String): Offset = DocGenOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val pos = json.trim.toLong
+    ratchet(pos)
+    DocGenOffset(pos)
+  }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     DocGenScan.split(
       start.asInstanceOf[DocGenOffset].pos, end.asInstanceOf[DocGenOffset].pos, numPartitions)
   override def createReaderFactory(): PartitionReaderFactory =
     new DocGenReaderFactory(fields)
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = ratchet(end.asInstanceOf[DocGenOffset].pos)
   override def stop(): Unit = ()
 }
 

@@ -74,6 +74,14 @@ object QualityModel {
 
   private val FeatIdx = 1 to 4
 
+  /** Display name -> weight-column pairs, ONE definition for the four
+    * sites (weights/delta queries and their generated oracles) that
+    * unpivot the coefficient row.
+    */
+  private val NamedCoefs = Seq(
+    "bias" -> "b", "w_len" -> "w1", "w_stop" -> "w2",
+    "w_punct" -> "w3", "w_wordlen" -> "w4")
+
   private def dsum(c: Column): Column = sum(c.cast("decimal(38,18)")).cast("double")
 
   /** The four raw feature expressions over a text column, 6-dp rounded —
@@ -81,17 +89,12 @@ object QualityModel {
     * path so they cannot drift.
     */
   private[graft] def featureCols(text: Column): Seq[Column] = {
-    val toks = split(text, " ")
-    val stopArr = array(TextOps.StopWords.map(lit): _*)
-    val tokCnt = size(toks).cast("bigint")
-    val stopCnt = size(filter(toks, t => array_contains(stopArr, t))).cast("bigint")
-    val charLen = length(text).cast("bigint")
-    val punctCnt = (length(text) -
-      length(regexp_replace(text, "[.,!?;:]", ""))).cast("bigint")
+    val tokCnt = TextOps.tokCntOf(text)
+    val charLen = TextOps.charLenOf(text)
     Seq(
       round(least(lit(1.0), tokCnt.cast("double") / lit(200.0)), 6),
-      round(stopCnt.cast("double") / tokCnt.cast("double"), 6),
-      round(punctCnt.cast("double") / charLen.cast("double"), 6),
+      round(TextOps.stopCntOf(text).cast("double") / tokCnt.cast("double"), 6),
+      round(TextOps.punctCntOf(text).cast("double") / charLen.cast("double"), 6),
       round(charLen.cast("double") / tokCnt.cast("double") / lit(10.0), 6))
   }
 
@@ -211,9 +214,7 @@ object QualityModel {
     */
   def modelWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val (_, _, w) = trainedModel(spark, sfDir)
-    val named = Seq(
-      "bias" -> "b", "w_len" -> "w1", "w_stop" -> "w2",
-      "w_punct" -> "w3", "w_wordlen" -> "w4")
+    val named = NamedCoefs
     w.select(explode(array(named.map { case (nm, c) =>
         struct(lit(nm).as("coef"), col(c).as("weight"))
       }: _*)).as("e"))
@@ -408,9 +409,7 @@ object QualityModel {
     for (_ <- 1 to DeltaIters) w = gdRound(zDelta, w, n1d)
     val updated = w.select(
       col("b").as("u_b") +: FeatIdx.map(j => col(s"w$j").as(s"u_w$j")): _*)
-    val named = Seq(
-      "bias" -> "b", "w_len" -> "w1", "w_stop" -> "w2",
-      "w_punct" -> "w3", "w_wordlen" -> "w4")
+    val named = NamedCoefs
     wBase.crossJoin(updated)
       .select(explode(array(named.map { case (nm, c) =>
         struct(
@@ -550,9 +549,7 @@ object QualityModel {
   private[graft] def wFinal = s"w$Iters"
 
   lazy val modelWeightsSql: String = {
-    val named = Seq(
-      "bias" -> "b", "w_len" -> "w1", "w_stop" -> "w2",
-      "w_punct" -> "w3", "w_wordlen" -> "w4")
+    val named = NamedCoefs
     val branches = named
       .map { case (nm, c) => s"SELECT '$nm' AS coef, $c AS weight FROM $wFinal" }
       .mkString("\nUNION ALL\n")
@@ -598,9 +595,7 @@ object QualityModel {
       .map(i => iterCtes(i, s" WHERE doc_id >= $split", nRel = "nd"))
       .mkString(",\n")
     val wUpd = s"w${Iters + DeltaIters}"
-    val named = Seq(
-      "bias" -> "b", "w_len" -> "w1", "w_stop" -> "w2",
-      "w_punct" -> "w3", "w_wordlen" -> "w4")
+    val named = NamedCoefs
     val branches = named.map { case (nm, c) =>
       s"SELECT '$nm' AS coef, $wFinal.$c AS w_base, $wUpd.$c AS w_updated," +
         s" ROUND($wUpd.$c - $wFinal.$c, 6) AS drift FROM $wFinal, $wUpd"

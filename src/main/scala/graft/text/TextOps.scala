@@ -135,38 +135,37 @@ object TextOps {
   /** The [0,1] quality score as a reusable Column over a text column —
     * the filter predicate [[graft.text.CorpusPipeline]] curates with.
     */
-  def qualityColumn(text: Column): Column = {
-    val toks = split(text, " ")
+  // The four surface-count sub-expressions, ONE definition each — shared
+  // by the hand-weighted score below, the t_quality_score projection, and
+  // the learned model's features (graft.text.QualityModel.featureCols), so
+  // the teacher/student/scorecard trio can never drift apart.
+  private[text] def tokCntOf(text: Column): Column = size(split(text, " ")).cast("bigint")
+  private[text] def stopCntOf(text: Column): Column = {
     val stopArr = array(StopWords.map(lit): _*)
-    val tokCnt = size(toks).cast("bigint")
-    val stopCnt = size(filter(toks, t => array_contains(stopArr, t))).cast("bigint")
-    val charLen = length(text).cast("bigint")
-    val punctCnt = (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("bigint")
-    val lenScore = least(lit(1.0), tokCnt.cast("double") / lit(200.0))
-    val stopRatio = stopCnt.cast("double") / tokCnt.cast("double")
-    val punctRatio = punctCnt.cast("double") / charLen.cast("double")
+    size(filter(split(text, " "), t => array_contains(stopArr, t))).cast("bigint")
+  }
+  private[text] def charLenOf(text: Column): Column = length(text).cast("bigint")
+  private[text] def punctCntOf(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("bigint")
+
+  def qualityColumn(text: Column): Column = {
+    val lenScore = least(lit(1.0), tokCntOf(text).cast("double") / lit(200.0))
+    val stopRatio = stopCntOf(text).cast("double") / tokCntOf(text).cast("double")
+    val punctRatio = punctCntOf(text).cast("double") / charLenOf(text).cast("double")
     round(lit(0.5) * lenScore + lit(0.3) * stopRatio + lit(0.2) * (lit(1.0) - punctRatio), 6)
   }
 
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val stopArr = array(StopWords.map(lit): _*)
-    val tokCnt = size(toks).cast("bigint")
-    val stopCnt = size(filter(toks, t => array_contains(stopArr, t))).cast("bigint")
-    val charLen = length(col("text")).cast("bigint")
-    val punctCnt = (length(col("text")) -
-      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("bigint")
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .where(col("doc_id") < 300)
       .select(
         col("doc_id"),
-        tokCnt.as("n_tokens"),
-        charLen.as("n_chars"),
-        stopCnt.as("n_stopwords"),
-        punctCnt.as("n_punct"),
+        tokCntOf(col("text")).as("n_tokens"),
+        charLenOf(col("text")).as("n_chars"),
+        stopCntOf(col("text")).as("n_stopwords"),
+        punctCntOf(col("text")).as("n_punct"),
         qualityColumn(col("text")).as("quality"))
       .orderBy("doc_id")
-  }
 
   /** DuckDB twin of [[qualityColumn]] over an arbitrary SQL text
     * expression — ONE formula shared by the t_quality_score oracle and

@@ -74,6 +74,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.toSeq === Seq("nine"))
   }
 
+  test("asOf: misuse fails fast — mismatched types and unaliased self-joins") {
+    val l = Seq((1, 10L)).toDF("k", "t") // Int key
+    val r = Seq((1L, 5L)).toDF("rk", "rt") // Long key
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asOf(l, l("k"), l("t"), r, r("rk"), r("rt"))
+    }
+    assert(e.getMessage.contains("key types differ"))
+    val same = Seq((1L, 10L)).toDF("k", "t")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asOf(same, same("k"), same("t"), same, same("k"), same("t"))
+    }
+    assert(e2.getMessage.contains("share attributes"))
+  }
+
   test("asOf: corpus parity with the composed window form (q_asof_join)") {
     val ev = graft.model.Tables.events(spark, sf001)
       .where(col("event_type").isin("click", "purchase"))

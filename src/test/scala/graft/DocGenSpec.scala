@@ -2,7 +2,7 @@ package graft
 
 import graft.sources.{DocGen, DocGenRange, DocGenScan, DocGenScanBuilder}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan, StringContains}
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringContains}
 import org.apache.spark.sql.types.StructType
 
 /** Round-10 DataSource V2 connector: pushdown arithmetic, partition
@@ -78,6 +78,28 @@ class DocGenSpec extends SparkSpec {
   test("stream/batch parity rollup returns the pinned totals") {
     val r = DocGen.dsv2StreamParity(spark, sf001).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((16L, 20000L, 0L)))
+  }
+
+  test("pushdown: Long.MaxValue bounds saturate instead of wrapping") {
+    val gt = new DocGenScanBuilder(1000L, 4)
+    gt.pushFilters(Array(org.apache.spark.sql.sources.GreaterThan("doc_id", Long.MaxValue)))
+    assert(gt.build().asInstanceOf[DocGenScan].planInputPartitions().isEmpty,
+      "doc_id > Long.MaxValue must select nothing")
+    val le = new DocGenScanBuilder(1000L, 4)
+    le.pushFilters(Array(LessThanOrEqual("doc_id", Long.MaxValue)))
+    val scan = le.build().asInstanceOf[DocGenScan]
+    assert(scan.lo === 0L && scan.hi === 1000L, "doc_id <= Long.MaxValue selects everything")
+  }
+
+  test("micro-batch offsets ratchet forward on recovery (no re-served rows)") {
+    val s = new graft.sources.DocGenMicroBatchStream(0L, 100L, 2, 30L, Array("doc_id"))
+    assert(s.latestOffset().asInstanceOf[graft.sources.DocGenOffset].pos === 30L)
+    // restart path: Spark hands back the committed offset from the log —
+    // the cursor must resume FROM it, never regress behind it
+    s.deserializeOffset("60")
+    assert(s.latestOffset().asInstanceOf[graft.sources.DocGenOffset].pos === 90L)
+    s.commit(graft.sources.DocGenOffset(90L))
+    assert(s.latestOffset().asInstanceOf[graft.sources.DocGenOffset].pos === 100L)
   }
 
   test("generated rows match the documented formula") {
