@@ -4,11 +4,10 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlAccess, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder,
-  UnsafeProjection}
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering,
+  SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Native AS-OF join — the one relational operator the reference domain
@@ -96,8 +95,6 @@ object AsOfJoinPlan {
       copy(left = newLeft, right = newRight)
 
     override protected def doExecute(): RDD[InternalRow] = {
-      val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-      val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
       val lOut = left.output
       val rOut = right.output
       val out = output
@@ -106,43 +103,53 @@ object AsOfJoinPlan {
       val lt = leftTime
       val rt = rightTime
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-        val lKeyB = BindReferences.bindReference(lk, lOut)
-        val lTimeB = BindReferences.bindReference(lt, lOut)
-        val rKeyB = BindReferences.bindReference(rk, rOut)
-        val rTimeB = BindReferences.bindReference(rt, rOut)
+        // Hot path is fully code-generated: each side's (key, time) is
+        // computed by ONE UnsafeProjection per row (no interpreted
+        // Expression.eval), and comparisons run through generated
+        // orderings over the projected 2-column rows — `ktOrd` is the
+        // lexicographic (key, time) compare driving the merge, `keyOrd`
+        // reads ordinal 0 only for the match check. Nulls never reach the
+        // comparators (checked via isNullAt below), so the generated
+        // nulls-first convention is unobservable.
+        val lKT = UnsafeProjection.create(Seq(
+          BindReferences.bindReference(lk, lOut),
+          BindReferences.bindReference(lt, lOut)))
+        val rKT = UnsafeProjection.create(Seq(
+          BindReferences.bindReference(rk, rOut),
+          BindReferences.bindReference(rt, rOut)))
+        val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lk.dataType))
+        val ktOrd =
+          RowOrdering.createNaturalAscendingOrdering(Seq(lk.dataType, lt.dataType))
         val rBuf = rIter.buffered
         val nullRight = new GenericInternalRow(rOut.size)
         val joined = new JoinedRow
         val resultProj = UnsafeProjection.create(out, out)
         // the ONE row of cross-iteration state: the best (greatest-time)
         // right row seen so far for its key, copied out of the reused
-        // iterator buffer, with its key re-evaluated on the stable copy
+        // iterator/projection buffers
         var candidate: InternalRow = null
-        var candidateKey: Any = null
+        var candidateKT: InternalRow = null
         new Iterator[InternalRow] {
           override def hasNext: Boolean = lIter.hasNext
           override def next(): InternalRow = {
             val l = lIter.next()
-            val lkv = lKeyB.eval(l)
-            val ltv = lTimeB.eval(l)
-            if (lkv == null || ltv == null) return resultProj(joined(l, nullRight))
-            // advance right through every row at-or-before (lkv, ltv)
+            val lkt = lKT(l)
+            if (lkt.isNullAt(0) || lkt.isNullAt(1))
+              return resultProj(joined(l, nullRight))
+            // advance right through every row at-or-before (key, time):
+            // lexicographic (rk < lk) ∨ (rk = lk ∧ rt ≤ lt)
             var done = false
             while (!done && rBuf.hasNext) {
-              val rkv = rKeyB.eval(rBuf.head)
-              val rtv = rTimeB.eval(rBuf.head)
-              if (rkv == null || rtv == null) {
+              val rkt = rKT(rBuf.head)
+              if (rkt.isNullAt(0) || rkt.isNullAt(1)) {
                 rBuf.next() // unmatched by SQL comparison rules; skip
-              } else {
-                val kc = keyOrd.compare(rkv, lkv)
-                if (kc < 0 || (kc == 0 && timeOrd.compare(rtv, ltv) <= 0)) {
-                  candidate = rBuf.next().copy()
-                  candidateKey = rKeyB.eval(candidate)
-                } else done = true
-              }
+              } else if (ktOrd.compare(rkt, lkt) <= 0) {
+                candidate = rBuf.next().copy()
+                candidateKT = rkt.copy()
+              } else done = true
             }
             val matched =
-              candidate != null && keyOrd.compare(candidateKey, lkv) == 0
+              candidate != null && keyOrd.compare(candidateKT, lkt) == 0
             resultProj(joined(l, if (matched) candidate else nullRight))
           }
         }
@@ -163,12 +170,15 @@ object AsOfJoinPlan {
     * against itself; a session ALSO configured with GraftExtensions'
     * `injectPlannerStrategy` would carry a second copy there — harmless,
     * the strategy only matches the one custom node, but prefer one wiring
-    * per session).
+    * per session). The check-and-append is synchronized on the session:
+    * `extraStrategies` is a plain var, so two concurrent asOf() builders
+    * could otherwise interleave read-modify-write and drop an append.
     */
-  def ensureStrategy(spark: SparkSession): Unit =
+  def ensureStrategy(spark: SparkSession): Unit = spark.synchronized {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+  }
 
   /** User-facing builder: `asOf(left, key, t)(right, key, t)` — columns
     * must belong to the two frames. Misuse fails HERE, not as silently
@@ -183,8 +193,25 @@ object AsOfJoinPlan {
       right: DataFrame, rightKey: Column, rightTime: Column): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
-    val (lk, rk) = (GraftSqlAccess.expression(leftKey), GraftSqlAccess.expression(rightKey))
-    val (lt, rt) = (GraftSqlAccess.expression(leftTime), GraftSqlAccess.expression(rightTime))
+    // Float/double keys are canonicalized (-0.0 → 0.0, NaN → one NaN) the
+    // same way NormalizeFloatingNumbers treats built-in join keys — the
+    // optimizer rule cannot see this custom node, and without it equal
+    // float keys can hash into different partitions while the merge
+    // ordering treats them as equal (rows silently null-extend). Applied
+    // to times too: ordering-only, but canonical NaN keeps the merge total.
+    val (lk, rk) = (
+      GraftSqlAccess.normalizeFloats(GraftSqlAccess.expression(leftKey)),
+      GraftSqlAccess.normalizeFloats(GraftSqlAccess.expression(rightKey)))
+    val (lt, rt) = (
+      GraftSqlAccess.normalizeFloats(GraftSqlAccess.expression(leftTime)),
+      GraftSqlAccess.normalizeFloats(GraftSqlAccess.expression(rightTime)))
+    // MapType (and anything else Spark cannot sort) has no ordering — the
+    // physical node's requiredChildOrdering would fail deep in planning;
+    // fail at the API instead.
+    for ((e, role) <- Seq(lk -> "left key", rk -> "right key",
+        lt -> "left time", rt -> "right time"))
+      require(RowOrdering.isOrderable(e.dataType),
+        s"as-of $role type ${e.dataType} is not orderable")
     require(
       org.apache.spark.sql.types.DataType.equalsStructurally(
         lk.dataType, rk.dataType, ignoreNullability = true),

@@ -145,6 +145,99 @@ object JoinQueries {
       .orderBy("event_id")
   }
 
+  /** Multi-payload as-of join — the case the NATIVE operator exists for:
+    * each purchase carries the WHOLE matched click row (match ts + 3
+    * payload columns) in one co-partitioned merge. The window composition
+    * would need a running `max(struct)` (or one window per payload column,
+    * see [[asofPayloadComposed]] — the probe twin); the native plan stays
+    * one exchange + sort per side regardless of payload width.
+    *
+    * The right side is pre-aggregated to one row per (user, ts) so the
+    * surviving payload under duplicate click timestamps is deterministic
+    * (count/min/max are order-insensitive), keeping the hash gate honest.
+    * `max_click_value` is a max of STORED doubles — value selection, not
+    * arithmetic — so it is cross-engine exact without a decimal detour.
+    */
+  private def clicksPerUserTs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .where(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        min(col("event_id")).as("first_click_id"),
+        max(col("value")).as("max_click_value"))
+
+  def asofPayloadNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val purchases = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = clicksPerUserTs(spark, sfDir)
+    graft.plans.AsOfJoinPlan
+      .asOf(purchases, purchases("user_id"), purchases("ts"),
+        clicks, clicks("c_user"), clicks("click_ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"),
+        col("n_clicks"), col("first_click_id"), col("max_click_value"))
+      .orderBy("event_id")
+  }
+
+  /** Probe-only twin of [[asofPayloadNative]] (not in the checked map; the
+    * spec pins it row-identical to the native form): the best COMPOSED
+    * multi-payload as-of — union the sides, then ONE running
+    * `max_by(struct(payload), struct(time, is_click))`-style window via
+    * `last(col, ignoreNulls)` per carried column. Payload width buys one
+    * extra window function per column over the same sort, which is the
+    * cost curve the native merge avoids; QueryProbe numbers for both live
+    * in BASELINE.md.
+    */
+  def asofPayloadComposed(spark: SparkSession, sfDir: String): DataFrame = {
+    val purchases = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        lit(null).cast("timestamp").as("click_ts"),
+        lit(null).cast("long").as("n_clicks"),
+        lit(null).cast("long").as("first_click_id"),
+        lit(null).cast("double").as("max_click_value"),
+        lit(1).as("is_purchase"))
+    val clicks = clicksPerUserTs(spark, sfDir)
+      .select(lit(null).cast("long").as("event_id"), col("c_user").as("user_id"),
+        col("click_ts").as("ts"), col("click_ts"),
+        col("n_clicks"), col("first_click_id"), col("max_click_value"),
+        lit(0).as("is_purchase"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_purchase"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .select(col("event_id"), col("user_id"), col("ts"), col("is_purchase"),
+        last(col("click_ts"), ignoreNulls = true).over(w).as("click_ts"),
+        last(col("n_clicks"), ignoreNulls = true).over(w).as("n_clicks"),
+        last(col("first_click_id"), ignoreNulls = true).over(w).as("first_click_id"),
+        last(col("max_click_value"), ignoreNulls = true).over(w).as("max_click_value"))
+      .where(col("is_purchase") === 1)
+      .drop("is_purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"),
+        col("n_clicks"), col("first_click_id"), col("max_click_value"))
+      .orderBy("event_id")
+  }
+
+  val asofPayloadSql: String =
+    """WITH c AS (
+      |  SELECT user_id AS c_user, ts AS click_ts,
+      |         CAST(COUNT(*) AS BIGINT) AS n_clicks,
+      |         MIN(event_id) AS first_click_id,
+      |         MAX(value) AS max_click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT p.event_id, p.user_id, p.ts,
+      |         (SELECT max(c2.click_ts) FROM c c2
+      |          WHERE c2.c_user = p.user_id AND c2.click_ts <= p.ts) AS click_ts
+      |  FROM p)
+      |SELECT m.event_id, m.user_id, m.ts, m.click_ts,
+      |       c.n_clicks, c.first_click_id, c.max_click_value
+      |FROM m LEFT JOIN c ON c.c_user = m.user_id AND c.click_ts = m.click_ts
+      |ORDER BY m.event_id""".stripMargin
+
   /** Bin width for the range-join decomposition. Interval endpoints are
     * deliberately NOT multiples of this (lo/hi carry odd offsets), so the
     * exact-containment refilter genuinely bites — aligned endpoints would
@@ -332,6 +425,7 @@ object JoinQueries {
     "q_supplier_by_nation" -> (supplierByNation _),
     "q_asof_join" -> (asofClickBeforePurchase _),
     "q_asof_native" -> (asofNative _),
+    "q_asof_payload" -> (asofPayloadNative _),
     "q_range_join" -> (rangeJoinBinned _),
     "q_fuzzy_join" -> (fuzzyNameJoin _))
 
@@ -342,6 +436,7 @@ object JoinQueries {
     "q_supplier_by_nation" -> supplierByNationSql,
     "q_asof_join" -> asofClickBeforePurchaseSql,
     "q_asof_native" -> asofClickBeforePurchaseSql,
+    "q_asof_payload" -> asofPayloadSql,
     "q_range_join" -> rangeJoinBinnedSql,
     "q_fuzzy_join" -> fuzzyNameJoinSql)
 }

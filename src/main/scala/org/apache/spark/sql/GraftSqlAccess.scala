@@ -17,4 +17,18 @@ object GraftSqlAccess {
     */
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Apply the same -0.0/NaN canonicalization Spark's optimizer applies to
+    * built-in join/grouping keys (`NormalizeFloatingNumbers`). Custom
+    * logical nodes (graft.plans.AsOfJoinPlan) are invisible to that rule,
+    * so their float-bearing keys must be normalized at build time or equal
+    * keys (-0.0 vs 0.0) hash to different partitions. The rule object is
+    * `private[sql]`, hence forwarded here.
+    */
+  def normalizeFloats(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    // normalize() is a no-op (returns its input) when the type carries no
+    // float/double anywhere, so no pre-check is needed
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

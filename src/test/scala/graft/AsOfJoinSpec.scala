@@ -61,8 +61,8 @@ class AsOfJoinSpec extends SparkSpec {
   test("asOf: struct-typed time gives deterministic tiebreaks among equal timestamps") {
     // two right rows at the same (key, time): a bare time column leaves the
     // winner to partition-sort order; a STRUCT time (ts, id) makes it the
-    // max id — TypeUtils' interpreted ordering handles struct comparison,
-    // so composite as-of keys need no operator change
+    // max id — the generated row ordering handles struct comparison, so
+    // composite as-of keys need no operator change
     val left = Seq((1L, 10L, 99L)).toDF("k", "ts", "lid")
       .select(col("k"), struct(col("ts"), col("lid")).as("t"))
     val right = Seq((1L, 10L, 7L, "seven"), (1L, 10L, 9L, "nine"), (1L, 11L, 1L, "late"))
@@ -86,6 +86,34 @@ class AsOfJoinSpec extends SparkSpec {
       AsOfJoinPlan.asOf(same, same("k"), same("t"), same, same("k"), same("t"))
     }
     assert(e2.getMessage.contains("share attributes"))
+  }
+
+  test("asOf: double keys are float-normalized — -0.0 and 0.0 are ONE key") {
+    // NormalizeFloatingNumbers never sees a custom logical node, so asOf()
+    // canonicalizes float keys itself; without it -0.0 and 0.0 hash into
+    // different partitions and this match silently null-extends
+    val left = Seq((-0.0d, 10L, "L")).toDF("k", "t", "ltag")
+    val right = Seq((0.0d, 5L, "match")).toDF("rk", "rt", "rtag")
+    val got = asOfNative(left, right).select("rtag").collect().map(_.getString(0))
+    assert(got.toSeq === Seq("match"))
+  }
+
+  test("asOf: unorderable (map-typed) keys fail fast at the API") {
+    val l = Seq((Map(1 -> 2), 10L)).toDF("k", "t")
+    val r = Seq((Map(1 -> 2), 5L)).toDF("rk", "rt")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asOf(l, l("k"), l("t"), r, r("rk"), r("rt"))
+    }
+    assert(e.getMessage.contains("not orderable"))
+  }
+
+  test("asOf: multi-payload corpus parity — native merge vs per-column window twin") {
+    val native = graft.queries.JoinQueries.asofPayloadNative(spark, sf001)
+    val composed = graft.queries.JoinQueries.asofPayloadComposed(spark, sf001)
+    assert(native.count() === composed.count())
+    assert(
+      native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty,
+      "native multi-payload as-of diverges from the composed window twin")
   }
 
   test("asOf: corpus parity with the composed window form (q_asof_join)") {
