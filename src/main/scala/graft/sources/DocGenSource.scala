@@ -5,11 +5,17 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{
+  Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{
-  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+  Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
+  ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{
+  KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{
   EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
@@ -51,7 +57,8 @@ class DocGenSource extends TableProvider {
     new DocGenTable(
       properties.getOrDefault("numDocs", DocGen.DefaultNumDocs.toString).toLong,
       properties.getOrDefault("numPartitions", DocGen.DefaultNumPartitions.toString).toInt,
-      properties.getOrDefault("streamBatchSize", DocGen.DefaultStreamBatchSize.toString).toLong)
+      properties.getOrDefault("streamBatchSize", DocGen.DefaultStreamBatchSize.toString).toLong,
+      properties.getOrDefault("partitionBy", "").equalsIgnoreCase("shard"))
 }
 
 object DocGen {
@@ -124,6 +131,87 @@ object DocGen {
       |       CAST(SUM(CASE WHEN substring(body, 1, 1) = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_body_a
       |FROM g GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Driver-checked aggregate pushdown: COUNT/MIN/MAX(doc_id) per shard
+    * over a pushed doc_id range. The connector answers the WHOLE
+    * aggregation in closed form (DocGenAggScan — interval arithmetic, ≤16
+    * rows, zero generated rows), so the executed plan contains NO
+    * aggregate node (SourcesSpec pins that); the DuckDB oracle re-derives
+    * the same answer by actually aggregating `range()`, which is exactly
+    * the cross-check the closed form needs.
+    */
+  def dsv2AggPushdown(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", DefaultNumDocs.toString)
+      .load()
+      .where(col("doc_id") >= 777L && col("doc_id") < 44444L)
+      .groupBy(col("shard"))
+      .agg(
+        count(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("shard")
+  }
+
+  val dsv2AggPushdownSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard
+      |  FROM range(777, 44444) t(doc_id))
+      |SELECT shard, CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+      |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM g GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Driver-checked reported partitioning: with `partitionBy=shard` each
+    * input partition is one shard (+ its key via HasPartitionKey) and the
+    * scan reports KeyGroupedPartitioning(shard), so the per-shard rollup
+    * below runs WITHOUT a shuffle exchange (SourcesSpec pins the absence
+    * of hashpartitioning; the ORDER BY's range exchange is presentation).
+    * bit_xor is deliberately NOT pushable, so the aggregation itself runs
+    * in Spark — this query isolates the partitioning contract from the
+    * aggregate-pushdown one.
+    */
+  def dsv2ShardRollup(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", DefaultNumDocs.toString)
+      .option("partitionBy", "shard")
+      .load()
+      .where(col("doc_id") >= 2000L && col("doc_id") < 35000L)
+      .groupBy(col("shard"))
+      .agg(
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        sum(when(substring(col("body"), 1, 1) === "f", 1L).otherwise(0L)).as("n_body_f"))
+      .orderBy("shard")
+  }
+
+  val dsv2ShardRollupSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |         md5(CAST(doc_id AS VARCHAR)) AS body
+      |  FROM range(2000, 35000) t(doc_id))
+      |SELECT shard, bit_xor(doc_id) AS xor_ids,
+      |       CAST(SUM(CASE WHEN substring(body, 1, 1) = 'f' THEN 1 ELSE 0 END) AS BIGINT) AS n_body_f
+      |FROM g GROUP BY shard ORDER BY shard""".stripMargin
+
+  val NumShards = 16
+
+  /** Closed-form per-shard slices of [lo, hi): shard s owns the arithmetic
+    * progression first(s), first(s)+16, … ≤ last(s). Empty shards are
+    * omitted. Requires lo ≥ 0 (doc ids are nonnegative by construction).
+    */
+  def shardRanges(lo: Long, hi: Long): Array[(Int, Long, Long)] =
+    (0 until NumShards).flatMap { s =>
+      val first = lo + ((s - (lo % NumShards) + NumShards) % NumShards)
+      if (first >= hi) None
+      else {
+        val last = (hi - 1) - ((((hi - 1) % NumShards) - s + NumShards) % NumShards)
+        Some((s, first, last))
+      }
+    }.toArray
+
   private val streamSinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Micro-batch parity for the connector's streaming mode: the SAME
@@ -170,27 +258,34 @@ object DocGen {
       |FROM g""".stripMargin
 }
 
-class DocGenTable(numDocs: Long, numPartitions: Int, streamBatchSize: Long)
+class DocGenTable(
+    numDocs: Long, numPartitions: Int, streamBatchSize: Long, shardKeyed: Boolean = false)
   extends Table with SupportsRead {
   override def name(): String = s"docgen($numDocs)"
   override def schema(): StructType = DocGen.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocGenScanBuilder(numDocs, numPartitions, streamBatchSize)
+    new DocGenScanBuilder(numDocs, numPartitions, streamBatchSize, shardKeyed)
 }
 
 /** Mutable planning state: the [lo, hi) interval tightened by every
-  * accepted `doc_id` predicate, and the pruned schema.
+  * accepted `doc_id` predicate, the pruned schema, and (when the whole
+  * aggregation is expressible in closed form over the surviving interval)
+  * the pushed aggregate spec.
   */
 class DocGenScanBuilder(
-    numDocs: Long, numPartitions: Int, streamBatchSize: Long = DocGen.DefaultStreamBatchSize)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    numDocs: Long, numPartitions: Int,
+    streamBatchSize: Long = DocGen.DefaultStreamBatchSize,
+    shardKeyed: Boolean = false)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = numDocs
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = DocGen.schema
+  private var pushedAgg: Option[DocGenAggSpec] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, residual) = filters.partition {
@@ -222,26 +317,104 @@ class DocGenScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    DocGenScan(lo, math.max(lo, hi), numPartitions, required, streamBatchSize)
+  /** Aggregate pushdown ([[SupportsPushDownAggregates]]) — the rung above
+    * filters/columns: COUNT / MIN(doc_id) / MAX(doc_id), optionally grouped
+    * by `shard`, all have CLOSED-FORM answers over the surviving [lo, hi)
+    * interval (ids ≡ s (mod 16) form an arithmetic progression), so the
+    * scan emits the final ≤16-row answer and Spark plans NO aggregate node
+    * at all — at 100 TB this is the difference between shipping 16 rows
+    * and scanning the corpus. Anything not expressible (sums over `body`,
+    * distinct, other group keys) is declined and runs as a normal scan.
+    */
+  private def translateAgg(agg: Aggregation): Option[DocGenAggSpec] = {
+    def isCol(e: org.apache.spark.sql.connector.expressions.Expression, name: String) =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array(name))
+        case _ => false
+      }
+    val groupByShard = agg.groupByExpressions() match {
+      case Array() => Some(false)
+      case Array(e) if isCol(e, "shard") => Some(true)
+      case _ => None
+    }
+    val funcs = agg.aggregateExpressions().map {
+      case _: CountStar => Some("count")
+      case c: Count if !c.isDistinct && isCol(c.column, "doc_id") => Some("count")
+      case m: Min if isCol(m.column, "doc_id") => Some("min")
+      case m: Max if isCol(m.column, "doc_id") => Some("max")
+      case _ => None
+    }
+    for (g <- groupByShard if funcs.forall(_.isDefined) && funcs.nonEmpty)
+      yield DocGenAggSpec(g, funcs.map(_.get).toSeq)
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translateAgg(agg) match {
+      case s @ Some(_) => pushedAgg = s; true
+      case None => false
+    }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(spec) => DocGenAggScan(lo, math.max(lo, hi), spec)
+    case None =>
+      DocGenScan(lo, math.max(lo, hi), numPartitions, required, streamBatchSize, shardKeyed)
+  }
 }
+
+case class DocGenAggSpec(groupByShard: Boolean, funcs: Seq[String])
 
 case class DocGenRange(start: Long, end: Long) extends InputPartition
 
+/** One shard's ids within [lo, hi): the arithmetic progression first, first
+  * +16, … ≤ last. Carries its key ([[HasPartitionKey]]) so Spark can trust
+  * the scan's reported [[KeyGroupedPartitioning]].
+  */
+case class DocGenShardPartition(shard: Int, first: Long, last: Long)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = {
+    val r = new GenericInternalRow(1)
+    r.update(0, shard)
+    r
+  }
+}
+
 case class DocGenScan(
     lo: Long, hi: Long, numPartitions: Int, required: StructType,
-    streamBatchSize: Long = DocGen.DefaultStreamBatchSize)
-  extends Scan with Batch {
+    streamBatchSize: Long = DocGen.DefaultStreamBatchSize,
+    shardKeyed: Boolean = false)
+  extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"DocGenScan[range=[$lo,$hi), partitions=$numPartitions, columns=${required.fieldNames.mkString(",")}]"
+    s"DocGenScan[range=[$lo,$hi), partitions=$numPartitions, " +
+      s"columns=${required.fieldNames.mkString(",")}" +
+      (if (shardKeyed) ", keyed=shard]" else "]")
 
   override def toBatch: Batch = this
 
+  private def shardPartitions: Array[InputPartition] =
+    DocGen.shardRanges(lo, hi).map { case (s, first, last) =>
+      DocGenShardPartition(s, first, last): InputPartition
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
-    DocGenScan.split(lo, hi, numPartitions)
+    if (shardKeyed) shardPartitions else DocGenScan.split(lo, hi, numPartitions)
+
+  /** [[SupportsReportPartitioning]]: with `partitionBy=shard` each planned
+    * partition holds exactly one shard's rows and declares its key, so the
+    * scan reports KeyGroupedPartitioning(identity(shard)) — a downstream
+    * per-shard aggregation then needs NO exchange (requires
+    * `spark.sql.sources.v2.bucketing.enabled`). The default contiguous-
+    * range split interleaves shards and honestly reports Unknown.
+    */
+  override def outputPartitioning(): Partitioning =
+    if (shardKeyed)
+      new KeyGroupedPartitioning(Array(Expressions.identity("shard")), shardPartitions.length)
+    else new UnknownPartitioning(DocGenScan.split(lo, hi, numPartitions).length)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocGenReaderFactory(required.fieldNames)
@@ -264,6 +437,70 @@ object DocGenScan {
   }
 }
 
+/** Completely-pushed aggregation: the ≤16-row final answer computed in
+  * closed form from the interval arithmetic — no row generation at all.
+  * Output schema per the [[SupportsPushDownAggregates]] contract: group-by
+  * columns first, then one column per aggregate, in pushdown order.
+  */
+case class DocGenAggScan(lo: Long, hi: Long, spec: DocGenAggSpec) extends Scan with Batch {
+
+  override def readSchema(): StructType = {
+    val base = if (spec.groupByShard) new StructType().add("shard", IntegerType, false)
+      else new StructType()
+    spec.funcs.zipWithIndex.foldLeft(base) { case (st, (f, i)) =>
+      st.add(s"${f}_$i", LongType, nullable = !spec.groupByShard && f != "count")
+    }
+  }
+
+  override def description(): String =
+    s"DocGenAggScan[range=[$lo,$hi), groupByShard=${spec.groupByShard}, " +
+      s"pushedAggregates=${spec.funcs.mkString(",")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DocGenRange(lo, hi)) // the answer is ≤16 rows: one partition
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val s = spec
+    (partition: InputPartition) => {
+      val r = partition.asInstanceOf[DocGenRange]
+      val rows: Array[InternalRow] =
+        if (s.groupByShard) {
+          DocGen.shardRanges(r.start, r.end).map { case (shard, first, last) =>
+            val row = new GenericInternalRow(1 + s.funcs.length)
+            row.update(0, shard)
+            s.funcs.zipWithIndex.foreach { case (f, i) =>
+              row.update(1 + i, f match {
+                case "count" => (last - first) / DocGen.NumShards + 1
+                case "min" => first
+                case "max" => last
+              })
+            }
+            row: InternalRow
+          }
+        } else {
+          val row = new GenericInternalRow(s.funcs.length)
+          val empty = r.end <= r.start
+          s.funcs.zipWithIndex.foreach { case (f, i) =>
+            row.update(i, f match {
+              case "count" => r.end - r.start
+              case "min" => if (empty) null else r.start
+              case "max" => if (empty) null else r.end - 1
+            })
+          }
+          Array(row: InternalRow)
+        }
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
+        override def get(): InternalRow = rows(i)
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
+
 /** Position offset in the generated id space. */
 case class DocGenOffset(pos: Long) extends Offset {
   override def json(): String = pos.toString
@@ -271,43 +508,53 @@ case class DocGenOffset(pos: Long) extends Offset {
 
 class DocGenMicroBatchStream(
     lo: Long, hi: Long, numPartitions: Int, batchSize: Long, fields: Array[String])
-  extends MicroBatchStream {
-  // latestOffset advances one batch per call (the rate-source pattern), so
-  // a drain via processAllAvailable genuinely exercises MULTI-batch
-  // execution instead of one giant batch. The cursor is RESTART-SAFE: any
-  // offset Spark hands back from the checkpoint log (deserializeOffset on
-  // recovery, commit after each batch) ratchets `served` forward, so a
-  // restarted query resumes from the committed position instead of
-  // regressing the offset log and re-serving rows.
-  private var served = lo
-  private def ratchet(pos: Long): Unit = synchronized {
-    served = math.max(served, math.min(hi, pos))
-  }
+  extends MicroBatchStream with SupportsAdmissionControl {
+  // STATELESS admission control: the next batch end is a pure function of
+  // the start offset Spark passes (min(hi, start + limit)), so there is no
+  // instance cursor to restore and restart-safety is free — a recovered
+  // query resumes from whatever offset the checkpoint log replays.
+  // deserializeOffset is a pure parse per its contract (an earlier version
+  // ratcheted a cursor there; any code path that deserializes an offset
+  // merely to INSPECT it — e.g. reading the offset log — would then have
+  // silently skipped rows). One batch-size step per call is the
+  // rate-source pattern: a processAllAvailable drain genuinely crosses
+  // multiple batch boundaries.
   override def initialOffset(): Offset = DocGenOffset(lo)
-  override def latestOffset(): Offset = synchronized {
-    served = math.min(hi, served + batchSize)
-    DocGenOffset(served)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[DocGenOffset].pos
+    val step = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => r.maxRows()
+      case _ => batchSize
+    }
+    DocGenOffset(math.min(hi, from + math.max(1L, step)))
   }
-  override def deserializeOffset(json: String): Offset = {
-    val pos = json.trim.toLong
-    ratchet(pos)
-    DocGenOffset(pos)
-  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+  override def reportLatestOffset(): Offset = DocGenOffset(hi)
+  override def deserializeOffset(json: String): Offset = DocGenOffset(json.trim.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     DocGenScan.split(
       start.asInstanceOf[DocGenOffset].pos, end.asInstanceOf[DocGenOffset].pos, numPartitions)
   override def createReaderFactory(): PartitionReaderFactory =
     new DocGenReaderFactory(fields)
-  override def commit(end: Offset): Unit = ratchet(end.asInstanceOf[DocGenOffset].pos)
+  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 class DocGenReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val r = partition.asInstanceOf[DocGenRange]
+    // (start, end, step): contiguous ranges iterate by 1 over [start, end);
+    // shard partitions iterate the shard's arithmetic progression by 16
+    // over [first, last] inclusive
+    val (start, end, step) = partition match {
+      case r: DocGenRange => (r.start, r.end, 1L)
+      case s: DocGenShardPartition => (s.first, s.last + 1, DocGen.NumShards.toLong)
+    }
     new PartitionReader[InternalRow] {
-      private var cur = r.start - 1
-      override def next(): Boolean = { cur += 1; cur < r.end }
+      private var cur = start - step
+      override def next(): Boolean = { cur += step; cur < end }
       override def get(): InternalRow = {
         val row = new GenericInternalRow(fields.length)
         var i = 0

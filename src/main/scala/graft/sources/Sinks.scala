@@ -66,7 +66,10 @@ object Sinks {
     */
   def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val sfx = Integer.toHexString(sfDir.hashCode)
+    // collision-free per-sfDir suffix: md5 of the full path (a 32-bit
+    // hashCode can collide across dirs, silently sharing tables/paths)
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_bucketed_$sfx").getPath
     val (cT, oT) = (s"graft_bkt_c_$sfx", s"graft_bkt_o_$sfx")
     spark.sql(s"DROP TABLE IF EXISTS $cT")
@@ -169,12 +172,16 @@ object Sinks {
     "q_format_roundtrip" -> (formatRoundtrip _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_dsv2_scan" -> (DocGen.dsv2Scan _),
+    "q_dsv2_agg_pushdown" -> (DocGen.dsv2AggPushdown _),
+    "q_dsv2_shard_rollup" -> (DocGen.dsv2ShardRollup _),
     "s_dsv2_stream_parity" -> (DocGen.dsv2StreamParity _))
 
   val oracle: Map[String, String] = Map(
     "q_format_roundtrip" -> formatRoundtripSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_dsv2_scan" -> DocGen.dsv2ScanSql,
+    "q_dsv2_agg_pushdown" -> DocGen.dsv2AggPushdownSql,
+    "q_dsv2_shard_rollup" -> DocGen.dsv2ShardRollupSql,
     "s_dsv2_stream_parity" -> DocGen.dsv2StreamParitySql)
 
   /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead

@@ -91,15 +91,87 @@ class DocGenSpec extends SparkSpec {
     assert(scan.lo === 0L && scan.hi === 1000L, "doc_id <= Long.MaxValue selects everything")
   }
 
-  test("micro-batch offsets ratchet forward on recovery (no re-served rows)") {
+  test("micro-batch admission control is stateless: end = f(start), parse is pure") {
     val s = new graft.sources.DocGenMicroBatchStream(0L, 100L, 2, 30L, Array("doc_id"))
-    assert(s.latestOffset().asInstanceOf[graft.sources.DocGenOffset].pos === 30L)
-    // restart path: Spark hands back the committed offset from the log —
-    // the cursor must resume FROM it, never regress behind it
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    def pos(o: org.apache.spark.sql.connector.read.streaming.Offset) =
+      o.asInstanceOf[graft.sources.DocGenOffset].pos
+    val lim = s.getDefaultReadLimit
+    // the batch end is a pure function of the start Spark passes — restart
+    // recovery needs no instance cursor, and re-asking from the same start
+    // yields the same end (no hidden advance)
+    assert(pos(s.latestOffset(graft.sources.DocGenOffset(0L), lim)) === 30L)
+    assert(pos(s.latestOffset(graft.sources.DocGenOffset(0L), lim)) === 30L)
+    assert(pos(s.latestOffset(graft.sources.DocGenOffset(60L), lim)) === 90L)
+    assert(pos(s.latestOffset(graft.sources.DocGenOffset(90L), lim)) === 100L)
+    // a smaller engine-provided limit is honored
+    assert(pos(s.latestOffset(graft.sources.DocGenOffset(0L), ReadLimit.maxRows(7L))) === 7L)
+    // deserializeOffset is a PURE parse: inspecting an offset (e.g. reading
+    // the offset log) must not move anything
     s.deserializeOffset("60")
-    assert(s.latestOffset().asInstanceOf[graft.sources.DocGenOffset].pos === 90L)
-    s.commit(graft.sources.DocGenOffset(90L))
-    assert(s.latestOffset().asInstanceOf[graft.sources.DocGenOffset].pos === 100L)
+    assert(pos(s.latestOffset(graft.sources.DocGenOffset(0L), lim)) === 30L)
+    assert(pos(s.reportLatestOffset()) === 100L)
+  }
+
+  test("shardRanges: closed-form per-shard progressions tile the interval exactly") {
+    for ((lo, hi) <- Seq((0L, 160L), (777L, 44444L), (5L, 6L), (15L, 17L), (10L, 10L))) {
+      val ranges = DocGen.shardRanges(lo, hi)
+      // every id in [lo, hi) appears in exactly one shard's progression
+      val ids = ranges.flatMap { case (s, first, last) =>
+        assert(first % 16 === s && last % 16 === s && first >= lo && last < hi)
+        first.to(last, 16)
+      }
+      assert(ids.sorted.toSeq === (lo until hi).toSeq, s"[$lo,$hi)")
+    }
+  }
+
+  test("aggregate pushdown: closed-form answer, NO aggregate node in the plan") {
+    val df = DocGen.dsv2AggPushdown(spark, sf001)
+    val aggNodes = df.queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggNodes.isEmpty,
+      s"aggregation was not completely pushed:\n${df.queryExecution.sparkPlan}")
+    assert(df.queryExecution.sparkPlan.toString.contains("pushedAggregates=count,min,max"),
+      df.queryExecution.sparkPlan.toString)
+    // cross-check the interval arithmetic against an actual row scan
+    val expected = load()
+      .where(col("doc_id") >= 100L && col("doc_id") < 420L)
+      .groupBy("shard")
+      .agg(count(col("doc_id")).as("n"), min("doc_id").as("mn"), max("doc_id").as("mx"))
+    val pushed = spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1000").load()
+      .where(col("doc_id") >= 100L && col("doc_id") < 420L)
+      .groupBy("shard")
+      .agg(count(col("doc_id")).as("n"), min("doc_id").as("mn"), max("doc_id").as("mx"))
+    assert(pushed.exceptAll(expected).isEmpty && expected.exceptAll(pushed).isEmpty)
+  }
+
+  test("aggregate pushdown declines what it cannot answer (bit_xor scans rows)") {
+    val df = spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1000").load()
+      .groupBy("shard").agg(expr("bit_xor(doc_id)").as("x"))
+    val aggNodes = df.queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggNodes.nonEmpty, "non-pushable aggregate must still plan an aggregation")
+  }
+
+  test("partitionBy=shard reports KeyGroupedPartitioning: per-shard agg has no shuffle") {
+    val df = DocGen.dsv2ShardRollup(spark, sf001)
+    val plan = df.queryExecution.sparkPlan
+    assert(!plan.toString.contains("Exchange hashpartitioning"),
+      s"shard-keyed scan still shuffled for the per-shard aggregate:\n$plan")
+    // and the result matches the contiguous-range read of the same slice
+    val expected = spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", DocGen.DefaultNumDocs.toString).load()
+      .where(col("doc_id") >= 2000L && col("doc_id") < 35000L)
+      .groupBy(col("shard"))
+      .agg(
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        sum(when(substring(col("body"), 1, 1) === "f", 1L).otherwise(0L)).as("n_body_f"))
+      .orderBy("shard")
+    assert(df.collect().toSeq === expected.collect().toSeq)
   }
 
   test("generated rows match the documented formula") {
