@@ -668,7 +668,88 @@ object TextOps {
        |       bit_xor(${md5Hash60Sql("text")}) AS content_fp
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Number of training shards for the deterministic global shuffle. */
+  val ShuffleShards = 8
+
+  /** Seeded per-doc shuffle key: a 60-bit truncated md5 of (seed, doc_id) —
+    * uniform, engine-portable, and a pure column function, so the "random"
+    * training order is fully reproducible from (seed, corpus) alone.
+    */
+  private def shuffleKey(seed: String): Column =
+    md5Hash60(concat(lit(seed + ":"), col("doc_id").cast("string")))
+
+  /** Deterministic GLOBAL training shuffle without a global sort — the op
+    * every epoch of LLM training needs over a 100 TB corpus. Each doc gets
+    * a seeded pseudo-random key; shard = key mod N (one exchange), order
+    * within shard = (key, doc_id) (a per-shard local sort — the windows
+    * are shard-partitioned, never global). The manifest pins the WHOLE
+    * permutation under the hash gate: `xor_order` folds pos×doc_id over
+    * every row, so any row in any other position changes the answer.
+    * At scale this is `repartition(shard) + sortWithinPartitions(key)`
+    * feeding the shard writer; the checked query is the same plan shape
+    * with the writer replaced by the per-shard rollup.
+    */
+  def shuffleShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("hkey"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shuffleKey("epoch1").as("hkey"))
+      .withColumn("shard", pmod(col("hkey"), lit(ShuffleShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        expr("bit_xor(pos * doc_id)").as("xor_order"),
+        min(col("hkey")).as("min_hkey"),
+        max(col("hkey")).as("max_hkey"))
+      .orderBy("shard")
+  }
+
+  val shuffleShardsSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, ${md5Hash60Sql("'epoch1:' || CAST(doc_id AS VARCHAR)")} AS hkey
+       |  FROM documents),
+       |sharded AS (
+       |  SELECT doc_id, hkey, CAST(hkey % $ShuffleShards AS INT) AS shard,
+       |         ROW_NUMBER() OVER (PARTITION BY hkey % $ShuffleShards ORDER BY hkey, doc_id) AS pos
+       |  FROM keyed)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       bit_xor(doc_id) AS xor_ids,
+       |       bit_xor(pos * doc_id) AS xor_order,
+       |       MIN(hkey) AS min_hkey, MAX(hkey) AS max_hkey
+       |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Epoch-to-epoch reshuffle independence: the shard assignment under two
+    * different seeds, cross-tabulated. A healthy seeded shuffle scatters
+    * every epoch-1 shard near-uniformly across epoch-2 shards (the N×N
+    * contingency table has no empty or dominant cells); a broken one (seed
+    * ignored, or key reused across epochs) shows up as a diagonal. Both
+    * epochs' keys are pure column functions — re-sharding an epoch is ONE
+    * exchange, never a global sort, and epochs need no stored state.
+    */
+  def shuffleEpochs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        pmod(shuffleKey("epoch1"), lit(ShuffleShards.toLong)).cast("int").as("shard1"),
+        pmod(shuffleKey("epoch2"), lit(ShuffleShards.toLong)).cast("int").as("shard2"),
+        col("doc_id"))
+      .groupBy("shard1", "shard2")
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("xor_ids"))
+      .orderBy("shard1", "shard2")
+
+  val shuffleEpochsSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |         CAST(${md5Hash60Sql("'epoch1:' || CAST(doc_id AS VARCHAR)")} % $ShuffleShards AS INT) AS shard1,
+       |         CAST(${md5Hash60Sql("'epoch2:' || CAST(doc_id AS VARCHAR)")} % $ShuffleShards AS INT) AS shard2
+       |  FROM documents)
+       |SELECT shard1, shard2, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       bit_xor(doc_id) AS xor_ids
+       |FROM keyed GROUP BY shard1, shard2 ORDER BY shard1, shard2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_shuffle_shards" -> (shuffleShards _),
+    "t_shuffle_epochs" -> (shuffleEpochs _),
     "t_token_budget" -> (tokenBudget _),
     "x5_text_stats" -> (textStats _),
     "x5_word_freq" -> (wordFreq _),
@@ -686,6 +767,8 @@ object TextOps {
     "t_corpus_checksum" -> (corpusChecksum _))
 
   val oracle: Map[String, String] = Map(
+    "t_shuffle_shards" -> shuffleShardsSql,
+    "t_shuffle_epochs" -> shuffleEpochsSql,
     "x5_text_stats" -> textStatsSql,
     "x5_word_freq" -> wordFreqSql,
     "t_quality_score" -> qualityScoreSql,

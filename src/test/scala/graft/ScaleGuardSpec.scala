@@ -270,4 +270,37 @@ class ScaleGuardSpec extends SparkSpec {
       assert(global.isEmpty, s"$name has a partition-less window:\n${global.mkString}")
     }
   }
+
+  test("t_shuffle_shards: shard-partitioned windows only, balanced shards, full coverage") {
+    val df = TextOps.shuffleShards(spark, sf001)
+    // the global-shuffle op must NEVER be a global sort/window — the
+    // per-shard row_number must ride a PARTITION BY shard
+    val global = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, s"global window in the shuffle plan:\n${global.mkString}")
+    val rows = df.collect()
+    assert(rows.length === TextOps.ShuffleShards, "every shard populated")
+    val sizes = rows.map(_.getLong(1))
+    val total = sizes.sum
+    assert(total === graft.model.Tables.documents(spark, sf001).count())
+    // a seeded uniform key keeps shards within ±40% of ideal at n≈600
+    val ideal = total.toDouble / TextOps.ShuffleShards
+    assert(sizes.forall(s => s > ideal * 0.6 && s < ideal * 1.4),
+      s"skewed shards: ${sizes.mkString(",")}")
+  }
+
+  test("t_shuffle_epochs: reshuffle is seed-independent (no diagonal, no empty cells)") {
+    val rows = TextOps.shuffleEpochs(spark, sf001).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val n = TextOps.ShuffleShards
+    // every epoch1×epoch2 cell populated at n≈600 (ideal ≈ 9+ per cell)
+    assert(rows.size === n * n, s"empty cells: ${n * n - rows.size}")
+    // the diagonal must NOT dominate: same-shard mass ≈ 1/N of total,
+    // not ~all of it (a reused key would put every doc on the diagonal)
+    val total = rows.values.sum.toDouble
+    val diag = (0 until n).map(i => rows.getOrElse((i, i), 0L)).sum.toDouble
+    assert(diag / total < 3.0 / n, s"diagonal mass ${diag / total} — seeds correlated")
+  }
 }
