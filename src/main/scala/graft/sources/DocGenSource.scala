@@ -11,13 +11,13 @@ import org.apache.spark.sql.connector.expressions.aggregate.{
 import org.apache.spark.sql.connector.read.{
   Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
   ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+  SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{
   KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{
-  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -195,6 +195,50 @@ object DocGen {
       |SELECT shard, bit_xor(doc_id) AS xor_ids,
       |       CAST(SUM(CASE WHEN substring(body, 1, 1) = 'f' THEN 1 ELSE 0 END) AS BIGINT) AS n_body_f
       |FROM g GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Test/observability hook: the shard set most recently delivered to a
+    * scan via runtime filtering — lets specs pin that DPP actually fired
+    * (the pruning itself is invisible in the final rows by design).
+    */
+  val lastRuntimeFilter = new java.util.concurrent.atomic.AtomicReference[Set[Int]](null)
+
+  /** Driver-checked runtime filtering: the docgen fact (shard-keyed) joins
+    * a 5-row dim derived from `region` on shard. The dim broadcasts; at
+    * execution Spark hands its shard values back through
+    * [[SupportsRuntimeFiltering]] and 12 of 16 shard partitions are pruned
+    * before any task launches (DocGenSpec pins the delivered filter and the
+    * pruned partition count; this query pins the SEMANTICS — the oracle
+    * joins the re-derived table against region in DuckDB).
+    */
+  def dsv2RuntimeFilter(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fact = spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", DefaultNumDocs.toString)
+      .option("partitionBy", "shard")
+      .load()
+      .where(col("doc_id") >= 4000L && col("doc_id") < 52000L)
+    // the dim-side predicate is what makes DPP fire (Spark only prunes
+    // when the build side is itself selectively filtered)
+    val dim = graft.model.Tables.region(spark, sfDir)
+      .where(col("r_regionkey") < 4)
+      .select(col("r_regionkey").cast("int").as("shard_key"), col("r_name"))
+    fact.join(broadcast(dim), fact("shard") === dim("shard_key"))
+      .groupBy(col("shard"), col("r_name"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("xor_ids"))
+      .orderBy("shard")
+  }
+
+  val dsv2RuntimeFilterSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard
+      |  FROM range(4000, 52000) t(doc_id))
+      |SELECT shard, r_name, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids
+      |FROM g JOIN region ON shard = CAST(r_regionkey AS INT) AND r_regionkey < 4
+      |GROUP BY shard, r_name ORDER BY shard""".stripMargin
 
   val NumShards = 16
 
@@ -385,7 +429,13 @@ case class DocGenScan(
     lo: Long, hi: Long, numPartitions: Int, required: StructType,
     streamBatchSize: Long = DocGen.DefaultStreamBatchSize,
     shardKeyed: Boolean = false)
-  extends Scan with Batch with SupportsReportPartitioning {
+  extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering {
+
+  // Runtime (join-driven) shard pruning state — [[SupportsRuntimeFiltering]]
+  // delivers the build side's shard values AFTER planning, at execution
+  // (Spark's DPP for v2 sources), so this is deliberately a post-planning
+  // mutable field, set once by filter() before partitions are (re)planned.
+  @volatile private var runtimeShards: Option[Set[Int]] = None
 
   override def readSchema(): StructType = required
 
@@ -397,12 +447,34 @@ case class DocGenScan(
   override def toBatch: Batch = this
 
   private def shardPartitions: Array[InputPartition] =
-    DocGen.shardRanges(lo, hi).map { case (s, first, last) =>
-      DocGenShardPartition(s, first, last): InputPartition
-    }
+    DocGen.shardRanges(lo, hi)
+      .filter { case (s, _, _) => runtimeShards.forall(_.contains(s)) }
+      .map { case (s, first, last) => DocGenShardPartition(s, first, last): InputPartition }
 
   override def planInputPartitions(): Array[InputPartition] =
     if (shardKeyed) shardPartitions else DocGenScan.split(lo, hi, numPartitions)
+
+  /** [[SupportsRuntimeFiltering]]: a broadcast-join build side joining on
+    * `shard` hands its shard values back at EXECUTION time (dynamic
+    * partition pruning for v2 sources); in shard-keyed mode whole shard
+    * partitions vanish before any task launches. In contiguous-range mode
+    * every range interleaves all 16 shards, so pruning honestly keeps all
+    * partitions (runtime filters are best-effort: the join still filters
+    * rows). The accepted filter is recorded in [[DocGen.lastRuntimeFilter]]
+    * so specs can pin that the engine actually delivered it.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("shard"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val shards = filters.collectFirst {
+      case In("shard", vs) => vs.collect { case n: Number => n.intValue }.toSet
+    }
+    shards.foreach { s =>
+      runtimeShards = Some(s)
+      DocGen.lastRuntimeFilter.set(s)
+    }
+  }
 
   /** [[SupportsReportPartitioning]]: with `partitionBy=shard` each planned
     * partition holds exactly one shard's rows and declares its key, so the

@@ -174,6 +174,7 @@ object Sinks {
     "q_dsv2_scan" -> (DocGen.dsv2Scan _),
     "q_dsv2_agg_pushdown" -> (DocGen.dsv2AggPushdown _),
     "q_dsv2_shard_rollup" -> (DocGen.dsv2ShardRollup _),
+    "q_dsv2_runtime_filter" -> (DocGen.dsv2RuntimeFilter _),
     "s_dsv2_stream_parity" -> (DocGen.dsv2StreamParity _))
 
   val oracle: Map[String, String] = Map(
@@ -182,6 +183,7 @@ object Sinks {
     "q_dsv2_scan" -> DocGen.dsv2ScanSql,
     "q_dsv2_agg_pushdown" -> DocGen.dsv2AggPushdownSql,
     "q_dsv2_shard_rollup" -> DocGen.dsv2ShardRollupSql,
+    "q_dsv2_runtime_filter" -> DocGen.dsv2RuntimeFilterSql,
     "s_dsv2_stream_parity" -> DocGen.dsv2StreamParitySql)
 
   /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead

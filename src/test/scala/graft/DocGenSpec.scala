@@ -174,6 +174,29 @@ class DocGenSpec extends SparkSpec {
     assert(df.collect().toSeq === expected.collect().toSeq)
   }
 
+  test("runtime filtering: a broadcast dim's shard values prune shard partitions at execution") {
+    DocGen.lastRuntimeFilter.set(null)
+    val df = DocGen.dsv2RuntimeFilter(spark, sf001)
+    // the optimized plan must carry the dynamic-pruning subquery on the scan
+    assert(df.queryExecution.executedPlan.toString.toLowerCase.contains("dynamicpruning"),
+      df.queryExecution.executedPlan.toString)
+    val rows = df.collect()
+    // the dim keeps region keys 0..3 → only those shards survive the join
+    assert(rows.map(_.getInt(0)).toSeq === (0 to 3))
+    // and the engine actually DELIVERED the dim's shard set to the scan —
+    // execution-time pruning, not just a planned subquery
+    assert(DocGen.lastRuntimeFilter.get() === Set(0, 1, 2, 3),
+      s"runtime filter not delivered: ${DocGen.lastRuntimeFilter.get()}")
+    // pruned partition planning: the same scan state plans 5 partitions
+    val b = new DocGenScanBuilder(1000L, 4, shardKeyed = true)
+    val scan = b.build().asInstanceOf[DocGenScan]
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("shard", Array(1, 5, 9))))
+    val parts = scan.planInputPartitions()
+    assert(parts.length === 3)
+    assert(parts.map(_.asInstanceOf[graft.sources.DocGenShardPartition].shard).toSet === Set(1, 5, 9))
+  }
+
   test("generated rows match the documented formula") {
     val row = load().where(col("doc_id") === 7L).collect().head
     assert(row.getLong(0) === 7L)
