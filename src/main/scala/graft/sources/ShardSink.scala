@@ -1,0 +1,250 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{
+  BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write,
+  WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 WRITE path — the one connector direction DocGenSource
+  * (read-side) leaves unexercised: a landing-zone sink with the
+  * manifest-commit protocol every real distributed sink uses.
+  *
+  * Transactional contract (the point of the exercise):
+  *   - each task's [[DataWriter]] streams rows to a PRIVATE temp file
+  *     (`_tmp/<query>-p<partition>-a<attempt>`) — no reader can observe it;
+  *   - task commit returns the temp path + row count as the commit
+  *     message; task abort deletes the temp file — a failed/retried task
+  *     leaves NOTHING visible (speculative duplicates die the same way:
+  *     Spark's output-commit coordinator admits one winner per partition);
+  *   - driver [[BatchWrite.commit]] renames the winners to
+  *     `part-<n>.tsv` and THEN writes `_manifest.json` naming them —
+  *     written to a temp name and renamed, so visibility of the whole job
+  *     is one atomic file move: readers either see the complete committed
+  *     file set or nothing. [[BatchWrite.abort]] deletes the temps.
+  *
+  * The READ path trusts only the manifest: unmanifested files (from a
+  * crashed job, a concurrent writer, an aborted attempt) are invisible.
+  * One InputPartition per committed file preserves write parallelism.
+  *
+  * Fixed 3-column contract (doc_id BIGINT, shard INT, body STRING — the
+  * docgen crawl's landing schema), TSV on local/Hadoop-compatible
+  * filesystems; bodies may not contain tab/newline (validated at write —
+  * the md5-hex bodies never do). `q_dsv2_write_roundtrip` drives
+  * write→manifest→read end-to-end under the DuckDB hash gate.
+  */
+class ShardSinkSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = DocGen.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "shard sink requires a 'path' option")
+    new ShardSinkTable(path)
+  }
+}
+
+class ShardSinkTable(path: String) extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"shardsink($path)"
+  override def schema(): StructType = DocGen.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(
+      info.schema().fields.map(f => (f.name, f.dataType)).sameElements(
+        DocGen.schema.fields.map(f => (f.name, f.dataType))),
+      s"shard sink expects ${DocGen.schema.simpleString}, got ${info.schema().simpleString}")
+    new WriteBuilder {
+      override def build(): Write = new ShardSinkWrite(path, info.queryId())
+    }
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new ShardSinkScan(path)
+    }
+}
+
+object ShardSink {
+  import java.io.File
+
+  def manifestFile(dir: String): File = new File(dir, "_manifest.json")
+
+  /** Driver-checked write→commit→read round trip: the generated corpus
+    * [0, 20000) flows through the V2 writer (4 task files + manifest
+    * commit), is read back through the manifest-trusting scan, and rolls
+    * up per shard — the DuckDB oracle re-derives the same totals from
+    * `range()`, so the whole write path (task files, commit renames,
+    * manifest, read-back parse) sits under the hash gate. The landing dir
+    * is wiped first: each run is its own complete job.
+    */
+  def writeRoundtrip(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new File(sys.props("java.io.tmpdir"), s"graft_shardsink_$sfx")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(dir)
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "20000").option("numPartitions", "4").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath)
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .save()
+    spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        sum(when(substring(col("body"), 1, 1) === "a", 1L).otherwise(0L)).as("n_body_a"))
+      .orderBy("shard")
+  }
+
+  val writeRoundtripSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |         md5(CAST(doc_id AS VARCHAR)) AS body
+      |  FROM range(0, 20000) t(doc_id))
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(SUM(CASE WHEN substring(body, 1, 1) = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_body_a
+      |FROM g GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Committed file names, from the manifest only. Missing manifest = no
+    * committed data (an in-flight or crashed job), never an error.
+    */
+  def committedFiles(dir: String): Seq[String] = {
+    val mf = manifestFile(dir)
+    if (!mf.exists()) Seq.empty
+    else {
+      val json = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+      // minimal parse of {"files":["a","b",...]} — names are writer-chosen
+      // (part-<n>.tsv), never user input
+      "\"([^\"]*\\.tsv)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq
+    }
+  }
+}
+
+case class ShardSinkCommit(tempPath: String, rows: Long) extends WriterCommitMessage
+
+class ShardSinkWrite(path: String, queryId: String) extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ShardSinkWriterFactory(path, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    val finals = messages.zipWithIndex.map { case (m, i) =>
+      val c = m.asInstanceOf[ShardSinkCommit]
+      val dest = new java.io.File(dir, s"part-$i.tsv")
+      if (dest.exists()) dest.delete()
+      val ok = new java.io.File(c.tempPath).renameTo(dest)
+      require(ok, s"commit rename failed: ${c.tempPath} -> $dest")
+      (dest.getName, c.rows)
+    }
+    // manifest LAST, via temp + atomic rename: the job becomes visible as
+    // one file move or not at all
+    val mTmp = new java.io.File(dir, s"_manifest.$queryId.tmp")
+    val json = finals.map { case (f, n) => s"""{"file":"$f","rows":$n}""" }
+      .mkString("""{"files":[""", ",", "]}")
+    java.nio.file.Files.write(mTmp.toPath, json.getBytes("UTF-8"))
+    java.nio.file.Files.move(
+      mTmp.toPath, ShardSink.manifestFile(path).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ShardSinkCommit(tmp, _) => new java.io.File(tmp).delete()
+      case _ =>
+    }
+}
+
+class ShardSinkWriterFactory(path: String, queryId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ShardSinkDataWriter(path, queryId, partitionId, taskId)
+}
+
+class ShardSinkDataWriter(path: String, queryId: String, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+  // attempt-unique temp name: a speculative twin or retry writes its OWN
+  // file; only the committed attempt's message reaches driver commit
+  private val tmpDir = new java.io.File(path, "_tmp")
+  tmpDir.mkdirs()
+  private val tmp = new java.io.File(tmpDir, s"$queryId-p$partitionId-a$taskId.tsv")
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    new java.io.FileOutputStream(tmp), "UTF-8"))
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val body = row.getUTF8String(2).toString
+    require(!body.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "shard sink bodies may not contain tab/newline")
+    out.write(s"${row.getLong(0)}\t${row.getInt(1)}\t$body\n")
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    ShardSinkCommit(tmp.getPath, rows)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    tmp.delete() // a failed attempt leaves nothing
+  }
+
+  override def close(): Unit = ()
+}
+
+case class ShardSinkFile(file: String) extends InputPartition
+
+class ShardSinkScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = DocGen.schema
+  override def description(): String = s"ShardSinkScan[$path, manifest-committed files only]"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    ShardSink.committedFiles(path)
+      .map(f => ShardSinkFile(new java.io.File(path, f).getPath): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val f = partition.asInstanceOf[ShardSinkFile]
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(f.file), java.nio.charset.StandardCharsets.UTF_8)
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < lines.size }
+        override def get(): InternalRow = {
+          val parts = lines.get(i).split("\t", 3)
+          val row = new GenericInternalRow(3)
+          row.update(0, parts(0).toLong)
+          row.update(1, parts(1).toInt)
+          row.update(2, UTF8String.fromString(parts(2)))
+          row
+        }
+        override def close(): Unit = ()
+      }
+    }
+}

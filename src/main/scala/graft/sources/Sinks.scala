@@ -175,6 +175,7 @@ object Sinks {
     "q_dsv2_agg_pushdown" -> (DocGen.dsv2AggPushdown _),
     "q_dsv2_shard_rollup" -> (DocGen.dsv2ShardRollup _),
     "q_dsv2_runtime_filter" -> (DocGen.dsv2RuntimeFilter _),
+    "q_dsv2_write_roundtrip" -> (ShardSink.writeRoundtrip _),
     "s_dsv2_stream_parity" -> (DocGen.dsv2StreamParity _))
 
   val oracle: Map[String, String] = Map(
@@ -184,6 +185,7 @@ object Sinks {
     "q_dsv2_agg_pushdown" -> DocGen.dsv2AggPushdownSql,
     "q_dsv2_shard_rollup" -> DocGen.dsv2ShardRollupSql,
     "q_dsv2_runtime_filter" -> DocGen.dsv2RuntimeFilterSql,
+    "q_dsv2_write_roundtrip" -> ShardSink.writeRoundtripSql,
     "s_dsv2_stream_parity" -> DocGen.dsv2StreamParitySql)
 
   /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead

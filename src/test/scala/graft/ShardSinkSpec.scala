@@ -1,0 +1,99 @@
+package graft
+
+import graft.sources.{ShardSink, ShardSinkDataWriter, ShardSinkScan}
+import org.apache.spark.sql.functions._
+
+/** Round-11 DSv2 WRITE path: the manifest-commit protocol's transactional
+  * guarantees, pinned at the writer/scan level, plus the end-to-end round
+  * trip the hash gate checks via `q_dsv2_write_roundtrip`.
+  */
+class ShardSinkSpec extends SparkSpec {
+
+  private def freshDir(): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("shardsink_spec").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  private def row(id: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+    r.update(0, id)
+    r.update(1, (id % 16).toInt)
+    r.update(2, org.apache.spark.unsafe.types.UTF8String.fromString(s"body$id"))
+    r
+  }
+
+  test("round trip: write through the V2 sink, read back identical rows") {
+    val dir = freshDir().getPath
+    val src = spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "500").option("numPartitions", "3").load()
+    src.write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    val back = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+    assert(back.count() === 500L)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // write parallelism preserved: one committed file per writer partition
+    assert(ShardSink.committedFiles(dir).size === 3)
+  }
+
+  test("task abort leaves nothing visible; uncommitted job is invisible to readers") {
+    val dir = freshDir().getPath
+    // task 1 writes and ABORTS: its temp file must vanish
+    val w1 = new ShardSinkDataWriter(dir, "q1", 0, 100L)
+    w1.write(row(1L)); w1.write(row(2L))
+    w1.abort()
+    // task 2 writes and task-commits, but the JOB never commits: no
+    // manifest → the scan plans zero partitions (reader trusts manifest only)
+    val w2 = new ShardSinkDataWriter(dir, "q1", 1, 101L)
+    w2.write(row(3L))
+    w2.commit()
+    assert(new ShardSinkScan(dir).planInputPartitions().isEmpty,
+      "reader saw data from an uncommitted job")
+    assert(!ShardSink.manifestFile(dir).exists())
+  }
+
+  test("unmanifested files are invisible (crashed concurrent writer, stale parts)") {
+    val dir = freshDir().getPath
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "100").option("numPartitions", "2").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    // a rogue file that never went through commit
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-99.tsv").toPath, "9999\t15\trogue\n".getBytes("UTF-8"))
+    val back = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+    assert(back.count() === 100L, "reader picked up an unmanifested file")
+    assert(back.where(col("doc_id") === 9999L).isEmpty)
+  }
+
+  test("schema contract and body validation fail fast") {
+    val dir = freshDir().getPath
+    import spark.implicits._
+    val bad = Seq((1L, "x")).toDF("doc_id", "body")
+    val e = intercept[Exception] {
+      bad.write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    // Spark's write analysis rejects the mismatch before our WriteBuilder
+    // backstop even runs — either message proves the contract holds
+    assert(
+      e.getMessage.contains("shard sink expects") ||
+        e.getMessage.contains("INCOMPATIBLE_DATA_FOR_TABLE"),
+      e.getMessage)
+    val w = new ShardSinkDataWriter(dir, "q2", 0, 1L)
+    val r = row(1L)
+    r.update(2, org.apache.spark.unsafe.types.UTF8String.fromString("has\ttab"))
+    val e2 = intercept[IllegalArgumentException](w.write(r))
+    assert(e2.getMessage.contains("tab/newline"))
+    w.abort()
+  }
+
+  test("q_dsv2_write_roundtrip: rerunning replaces the manifest atomically, same answer") {
+    val a = ShardSink.writeRoundtrip(spark, sf001).collect()
+    val b = ShardSink.writeRoundtrip(spark, sf001).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_.getLong(1)).sum === 20000L)
+  }
+}
