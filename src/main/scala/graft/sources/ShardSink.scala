@@ -12,6 +12,8 @@ import org.apache.spark.sql.connector.read.{
 import org.apache.spark.sql.connector.write.{
   BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write,
   WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,7 +61,9 @@ class ShardSinkTable(path: String) extends Table with SupportsRead with Supports
   override def name(): String = s"shardsink($path)"
   override def schema(): StructType = DocGen.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(
@@ -117,6 +121,53 @@ object ShardSink {
       .orderBy("shard")
   }
 
+  /** The tenth streaming lifecycle, and the connector matrix's last cell
+    * (batch read / stream read / batch write / STREAM write): the docgen
+    * corpus drains as a 4-micro-batch stream INTO the shard sink (one
+    * epoch commit per batch, manifest accumulating), is read back through
+    * the manifest-trusting batch scan, and must match the direct batch
+    * read row-for-row — n_diff = 0 under the hash gate, totals re-derived
+    * by DuckDB from range().
+    */
+  def streamWriteParity(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nDocs = 20000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_shardsink_stream").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_shardsink_ckpt").toFile
+    val q = spark.readStream.format("graft.sources.DocGenSource")
+      .option("numDocs", nDocs.toString)
+      .option("numPartitions", "4")
+      .option("streamBatchSize", (nDocs / 4 + 1).toString)
+      .load()
+      .writeStream.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath)
+      .option("checkpointLocation", ckpt.getPath)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+    val batch = spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", nDocs.toString).option("numPartitions", "4").load()
+    val nDiff = streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
+    val totals = streamed
+      .agg(countDistinct(col("shard")), count(lit(1)), expr("bit_xor(doc_id)"))
+      .collect().head
+    import spark.implicits._
+    Seq((totals.getLong(0), totals.getLong(1), totals.getLong(2), nDiff))
+      .toDF("n_shards", "n_docs", "xor_ids", "n_diff")
+  }
+
+  val streamWriteParitySql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard FROM range(0, 20000) t(doc_id))
+      |SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(0 AS BIGINT) AS n_diff
+      |FROM g""".stripMargin
+
   val writeRoundtripSql: String =
     """WITH g AS (
       |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
@@ -127,28 +178,79 @@ object ShardSink {
       |       CAST(SUM(CASE WHEN substring(body, 1, 1) = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_body_a
       |FROM g GROUP BY shard ORDER BY shard""".stripMargin
 
-  /** Committed file names, from the manifest only. Missing manifest = no
-    * committed data (an in-flight or crashed job), never an error.
+  /** Committed (file, rows) pairs, from the manifest only. Missing
+    * manifest = no committed data (an in-flight or crashed job), never an
+    * error.
     */
-  def committedFiles(dir: String): Seq[String] = {
+  def committedFilesWithRows(dir: String): Seq[(String, Long)] = {
     val mf = manifestFile(dir)
     if (!mf.exists()) Seq.empty
     else {
       val json = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
-      // minimal parse of {"files":["a","b",...]} — names are writer-chosen
-      // (part-<n>.tsv), never user input
-      "\"([^\"]*\\.tsv)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq
+      // minimal parse of {"files":[{"file":"...","rows":N},...]} — names
+      // are writer-chosen (part-*.tsv), never user input
+      """\{"file":"([^"]*\.tsv)","rows":(\d+)\}""".r.findAllMatchIn(json)
+        .map(m => (m.group(1), m.group(2).toLong)).toSeq
     }
   }
+
+  def committedFiles(dir: String): Seq[String] = committedFilesWithRows(dir).map(_._1)
 }
 
 case class ShardSinkCommit(tempPath: String, rows: Long) extends WriterCommitMessage
 
-class ShardSinkWrite(path: String, queryId: String) extends Write with BatchWrite {
+class ShardSinkWrite(path: String, queryId: String)
+  extends Write with BatchWrite with StreamingWrite {
   override def toBatch: BatchWrite = this
+  override def toStreaming: StreamingWrite = this
+  // both parent defaults return true; Scala requires an explicit pick
+  // when two traits contribute the same concrete member
+  override def useCommitCoordinator(): Boolean = true
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ShardSinkWriterFactory(path, queryId)
+
+  /** STREAMING_WRITE: the same temp-file/manifest protocol, per epoch.
+    * Final names carry the epoch (`part-e<epoch>-<i>.tsv`) and each epoch
+    * commit REPLACES its own epoch's manifest entries before appending —
+    * a replayed micro-batch (restart re-commits the last epoch) lands
+    * idempotently instead of doubling rows: exactly-once visibility on
+    * top of at-least-once delivery, which is the whole streaming-sink
+    * contract in one sentence.
+    */
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    ShardSinkStreamingFactory(path, queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    val epochFiles = messages.zipWithIndex.map { case (m, i) =>
+      val c = m.asInstanceOf[ShardSinkCommit]
+      val dest = new java.io.File(dir, s"part-e$epochId-$i.tsv")
+      if (dest.exists()) dest.delete()
+      require(new java.io.File(c.tempPath).renameTo(dest),
+        s"epoch commit rename failed: ${c.tempPath} -> $dest")
+      (dest.getName, c.rows)
+    }
+    // replace-then-append keyed on the epoch prefix = replay idempotence
+    val kept = ShardSink.committedFilesWithRows(path)
+      .filterNot { case (f, _) => f.startsWith(s"part-e$epochId-") }
+    writeManifest(dir, kept ++ epochFiles, s"$queryId-e$epochId")
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    abort(messages)
+
+  private def writeManifest(
+      dir: java.io.File, files: Seq[(String, Long)], tag: String): Unit = {
+    val mTmp = new java.io.File(dir, s"_manifest.$tag.tmp")
+    val json = files.map { case (f, n) => s"""{"file":"$f","rows":$n}""" }
+      .mkString("""{"files":[""", ",", "]}")
+    java.nio.file.Files.write(mTmp.toPath, json.getBytes("UTF-8"))
+    java.nio.file.Files.move(
+      mTmp.toPath, ShardSink.manifestFile(path).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
@@ -162,14 +264,7 @@ class ShardSinkWrite(path: String, queryId: String) extends Write with BatchWrit
     }
     // manifest LAST, via temp + atomic rename: the job becomes visible as
     // one file move or not at all
-    val mTmp = new java.io.File(dir, s"_manifest.$queryId.tmp")
-    val json = finals.map { case (f, n) => s"""{"file":"$f","rows":$n}""" }
-      .mkString("""{"files":[""", ",", "]}")
-    java.nio.file.Files.write(mTmp.toPath, json.getBytes("UTF-8"))
-    java.nio.file.Files.move(
-      mTmp.toPath, ShardSink.manifestFile(path).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    writeManifest(dir, finals.toSeq, queryId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -177,6 +272,16 @@ class ShardSinkWrite(path: String, queryId: String) extends Write with BatchWrit
       case ShardSinkCommit(tmp, _) => new java.io.File(tmp).delete()
       case _ =>
     }
+}
+
+/** Standalone (serializable) streaming factory — must not capture the
+  * driver-side ShardSinkWrite.
+  */
+case class ShardSinkStreamingFactory(path: String, queryId: String)
+  extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new ShardSinkDataWriter(path, s"$queryId-e$epochId", partitionId, taskId)
 }
 
 class ShardSinkWriterFactory(path: String, queryId: String) extends DataWriterFactory {

@@ -176,6 +176,7 @@ object Sinks {
     "q_dsv2_shard_rollup" -> (DocGen.dsv2ShardRollup _),
     "q_dsv2_runtime_filter" -> (DocGen.dsv2RuntimeFilter _),
     "q_dsv2_write_roundtrip" -> (ShardSink.writeRoundtrip _),
+    "s_shardsink_stream_parity" -> (ShardSink.streamWriteParity _),
     "s_dsv2_stream_parity" -> (DocGen.dsv2StreamParity _))
 
   val oracle: Map[String, String] = Map(
@@ -186,6 +187,7 @@ object Sinks {
     "q_dsv2_shard_rollup" -> DocGen.dsv2ShardRollupSql,
     "q_dsv2_runtime_filter" -> DocGen.dsv2RuntimeFilterSql,
     "q_dsv2_write_roundtrip" -> ShardSink.writeRoundtripSql,
+    "s_shardsink_stream_parity" -> ShardSink.streamWriteParitySql,
     "s_dsv2_stream_parity" -> DocGen.dsv2StreamParitySql)
 
   /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead

@@ -90,6 +90,26 @@ class ShardSinkSpec extends SparkSpec {
     w.abort()
   }
 
+  test("streaming write: epoch commits accumulate; replayed epoch is idempotent") {
+    val r = ShardSink.streamWriteParity(spark, sf001).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(3)) === ((16L, 20000L, 0L)))
+    // replay idempotence at the protocol level: re-committing the SAME
+    // epoch replaces its manifest entries instead of doubling them
+    val dir = freshDir().getPath
+    val w = new graft.sources.ShardSinkWrite(dir, "qs")
+    def epochMsg(id: Long, n: Int) = {
+      val dw = new ShardSinkDataWriter(dir, s"qs-e$id", 0, id * 10 + n)
+      (1 to n).foreach(i => dw.write(row(i.toLong)))
+      dw.commit()
+    }
+    w.commit(0L, Array(epochMsg(0L, 3)))
+    w.commit(1L, Array(epochMsg(1L, 2)))
+    assert(ShardSink.committedFilesWithRows(dir).map(_._2).sum === 5L)
+    w.commit(1L, Array(epochMsg(1L, 2))) // restart replays epoch 1
+    assert(ShardSink.committedFilesWithRows(dir).map(_._2).sum === 5L,
+      "replayed epoch doubled its rows")
+  }
+
   test("q_dsv2_write_roundtrip: rerunning replaces the manifest atomically, same answer") {
     val a = ShardSink.writeRoundtrip(spark, sf001).collect()
     val b = ShardSink.writeRoundtrip(spark, sf001).collect()
