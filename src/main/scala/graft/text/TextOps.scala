@@ -747,9 +747,62 @@ object TextOps {
        |       bit_xor(doc_id) AS xor_ids
        |FROM keyed GROUP BY shard1, shard2 ORDER BY shard1, shard2""".stripMargin
 
+  /** Incremental shuffle maintenance — the crawl-landing counterpart of
+    * [[shuffleShards]] (same pattern as x3_ivf_delta / t_dedup_delta): a
+    * delta batch (doc_id ≥ the shared 400 cut) slots into the EXISTING
+    * epoch-1 shards without touching the base — each delta doc takes the
+    * same seeded key/shard it would have in a full shuffle, and its
+    * position is appended AFTER the base run (base per-shard count +
+    * within-delta rank), so base training positions never move when new
+    * data lands. The manifest pins base/delta counts and both permutation
+    * folds per shard; a full re-shuffle stays the epoch-boundary op.
+    */
+  def shuffleDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = graft.text.Dedup.DeltaSplitId
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shuffleKey("epoch1").as("hkey"))
+      .withColumn("shard", pmod(col("hkey"), lit(ShuffleShards.toLong)).cast("int"))
+      .withColumn("is_delta", (col("doc_id") >= cut).cast("int"))
+    // windows are (shard, slice)-partitioned: the base ordering is the
+    // full shuffle's, the delta ordering starts fresh and OFFSETS by the
+    // base count — computed per shard in the same aggregate
+    val w = Window.partitionBy("shard", "is_delta").orderBy(col("hkey"), col("doc_id"))
+    keyed.withColumn("pos_in_slice", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(
+        sum(when(col("is_delta") === 0, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_delta") === 1, 1L).otherwise(0L)).as("n_delta"),
+        expr("bit_xor(CASE WHEN is_delta = 0 THEN pos_in_slice * doc_id ELSE 0 END)")
+          .as("xor_base_order"),
+        // delta positions are appended after the base: pos = n_base + rank
+        expr("bit_xor(CASE WHEN is_delta = 1 THEN pos_in_slice * doc_id ELSE 0 END)")
+          .as("xor_delta_order"))
+      .orderBy("shard")
+  }
+
+  val shuffleDeltaSql: String = {
+    val cut = graft.text.Dedup.DeltaSplitId
+    s"""WITH keyed AS (
+       |  SELECT doc_id, ${md5Hash60Sql("'epoch1:' || CAST(doc_id AS VARCHAR)")} AS hkey,
+       |         CASE WHEN doc_id >= $cut THEN 1 ELSE 0 END AS is_delta
+       |  FROM documents),
+       |sliced AS (
+       |  SELECT doc_id, is_delta, CAST(hkey % $ShuffleShards AS INT) AS shard,
+       |         ROW_NUMBER() OVER (PARTITION BY hkey % $ShuffleShards, is_delta
+       |                            ORDER BY hkey, doc_id) AS pos_in_slice
+       |  FROM keyed)
+       |SELECT shard,
+       |       CAST(SUM(CASE WHEN is_delta = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |       CAST(SUM(CASE WHEN is_delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+       |       bit_xor(CASE WHEN is_delta = 0 THEN pos_in_slice * doc_id ELSE 0 END) AS xor_base_order,
+       |       bit_xor(CASE WHEN is_delta = 1 THEN pos_in_slice * doc_id ELSE 0 END) AS xor_delta_order
+       |FROM sliced GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_shuffle_shards" -> (shuffleShards _),
     "t_shuffle_epochs" -> (shuffleEpochs _),
+    "t_shuffle_delta" -> (shuffleDelta _),
     "t_token_budget" -> (tokenBudget _),
     "x5_text_stats" -> (textStats _),
     "x5_word_freq" -> (wordFreq _),
@@ -769,6 +822,7 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "t_shuffle_shards" -> shuffleShardsSql,
     "t_shuffle_epochs" -> shuffleEpochsSql,
+    "t_shuffle_delta" -> shuffleDeltaSql,
     "x5_text_stats" -> textStatsSql,
     "x5_word_freq" -> wordFreqSql,
     "t_quality_score" -> qualityScoreSql,

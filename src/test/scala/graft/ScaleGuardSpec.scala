@@ -291,6 +291,30 @@ class ScaleGuardSpec extends SparkSpec {
       s"skewed shards: ${sizes.mkString(",")}")
   }
 
+  test("t_shuffle_delta: base positions are EXACTLY a base-only shuffle's (landing data never moves the base)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = TextOps.shuffleDelta(spark, sf001).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(3)))).toMap
+    // independent reimplementation: shuffle ONLY the base docs, fold the
+    // same pos×doc_id signature — must equal the incremental form's base
+    // fold, proving delta arrival leaves every base position untouched
+    val cut = graft.text.Dedup.DeltaSplitId
+    val w = Window.partitionBy("shard").orderBy(col("hkey"), col("doc_id"))
+    val baseOnly = graft.model.Tables.documents(spark, sf001)
+      .where(col("doc_id") < cut)
+      .select(col("doc_id"),
+        TextOps.md5Hash60(concat(lit("epoch1:"), col("doc_id").cast("string"))).as("hkey"))
+      .withColumn("shard", pmod(col("hkey"), lit(TextOps.ShuffleShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(pos * doc_id)").as("xor_order"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.view.mapValues(v => v).toMap.forall { case (s, (nb, xb)) =>
+      baseOnly.get(s).contains((nb, xb)) || (nb == 0L && !baseOnly.contains(s))
+    }, s"incremental base ordering diverged:\n got=$got\n exp=$baseOnly")
+  }
+
   test("t_shuffle_epochs: reshuffle is seed-independent (no diagonal, no empty cells)") {
     val rows = TextOps.shuffleEpochs(spark, sf001).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
