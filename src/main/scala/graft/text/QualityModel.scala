@@ -653,7 +653,60 @@ object QualityModel {
        |ORDER BY threshold""".stripMargin
   }
 
+  /** Quality-WEIGHTED sampling — the deployment of the trained filter
+    * (composing this family with the t_shuffle_* sampling discipline):
+    * each doc is kept with probability p(doc) — its model score — via a
+    * deterministic Bernoulli draw u(doc) < p(doc), where u is the seeded
+    * 60-bit md5 of the doc id scaled to [0, 1). No RNG state, no
+    * sampling shuffle: the kept set is a pure column predicate, so it is
+    * reproducible from (seed, corpus, weights) alone and re-derivable by
+    * the oracle (which re-trains the model in unrolled CTEs and re-draws
+    * the same u). Per-source accounting: kept counts track mean p
+    * (calibration in action), and the kept-id fold pins the exact kept
+    * SET under the hash gate, not just its size. One scan over the
+    * scored relation + a broadcast-size dim join — no extra exchange
+    * beyond the (memoized) training chain's.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = TextOps
+      .md5Hash60(concat(lit("sample:"), col("doc_id").cast("string")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    scoredDocs(spark, sfDir)
+      .join(
+        graft.model.Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .withColumn("keep", (u < col("p")).cast("int"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        expr("bit_xor(CASE WHEN keep = 1 THEN doc_id END)").as("xor_kept"),
+        round(
+          sum(col("p").cast("decimal(38,18)")).cast("double") / count(lit(1)), 6)
+          .as("avg_p"))
+      .orderBy("source")
+  }
+
+  lazy val weightedSampleSql: String = {
+    val uSql = "CAST(" +
+      TextOps.md5Hash60Sql("'sample:' || CAST(s.doc_id AS VARCHAR)") +
+      " AS DOUBLE) / 1152921504606846976.0"
+    s"""WITH $modelSqlCtes,
+       |scored AS (SELECT doc_id, $sigmoidSql AS p FROM z, $wFinal),
+       |samp AS (
+       |  SELECT s.doc_id, s.p,
+       |         CASE WHEN $uSql < s.p THEN 1 ELSE 0 END AS keep
+       |  FROM scored s)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       |       bit_xor(CASE WHEN keep = 1 THEN samp.doc_id END) AS xor_kept,
+       |       ROUND(CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS avg_p
+       |FROM samp JOIN documents d ON samp.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_weighted_sample" -> (weightedSample _),
     "t_model_threshold" -> (modelThreshold _),
     "t_quality_model" -> (modelWeights _),
     "t_quality_model_eval" -> (modelEval _),
@@ -664,6 +717,7 @@ object QualityModel {
     "t_model_calibration" -> (modelCalibration _))
 
   val oracle: Map[String, String] = Map(
+    "t_weighted_sample" -> weightedSampleSql,
     "t_model_threshold" -> modelThresholdSql,
     "t_quality_model" -> modelWeightsSql,
     "t_quality_model_eval" -> modelEvalSql,

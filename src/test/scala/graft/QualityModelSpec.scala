@@ -138,6 +138,23 @@ class QualityModelSpec extends SparkSpec {
     assert(rows.map(_._5).max > 0.9, "no usable operating point")
   }
 
+  test("weightedSample: kept mass tracks mean score; subset is proper and reproducible") {
+    val rows = QualityModel.weightedSample(spark, sf001).collect()
+    val (n, kept, pMass) = rows.foldLeft((0L, 0L, 0.0)) { case ((a, b, c), r) =>
+      (a + r.getLong(1), b + r.getLong(2), c + r.getDouble(4) * r.getLong(1))
+    }
+    assert(kept > 0 && kept < n, s"degenerate sample: $kept of $n")
+    // E[kept] = Σ p — a uniform u and a calibrated p keep them close
+    // (±20% at n≈600; the draw is deterministic so this never flakes)
+    assert(math.abs(kept - pMass) < 0.2 * pMass,
+      s"kept=$kept vs expected=${pMass.round} — sampler biased")
+    // deterministic: the same call yields the identical kept-set fold
+    // (xor_kept is null for a source with nothing kept)
+    def folds(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => if (r.isNullAt(3)) 0L else r.getLong(3)).toSeq
+    assert(folds(rows) === folds(QualityModel.weightedSample(spark, sf001).collect()))
+  }
+
   test("label threshold splits the corpus non-degenerately at sf0.001") {
     val docs = graft.model.Tables.documents(spark, sf001)
     val pos = docs
