@@ -315,6 +315,44 @@ class ScaleGuardSpec extends SparkSpec {
     }, s"incremental base ordering diverged:\n got=$got\n exp=$baseOnly")
   }
 
+  test("AQE skew join splits a hot key at runtime — the no-code alternative to salting") {
+    // SkewJoin.saltedJoin is the WRITE-TIME answer to skew; this pins the
+    // RUNTIME answer: with AQE skew handling on (and thresholds scaled to
+    // test data), a join whose left side is 90% one key gets its hot
+    // partition SPLIT after the shuffle materializes — visible as skew=true
+    // on the join in the final adaptive plan. At 100 TB both tools exist;
+    // AQE needs no key-cardinality foreknowledge.
+    import org.apache.spark.sql.functions._
+    val old = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(300000).select(
+        when(col("id") % 10 =!= 0, 1L).otherwise(col("id")).as("k"), col("id").as("payload"))
+      val right = spark.range(100).select(col("id").as("rk"), (col("id") * 2).as("rv"))
+      // execute THIS DataFrame's QueryExecution (count() would build a
+      // separate one, leaving this adaptive plan unexecuted and the skew
+      // handling invisible)
+      val j = left.join(right, col("k") === col("rk")).groupBy().count()
+      assert(j.collect().head.getLong(0) === 270010L) // 9/10 of rows hit key 1
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n$plan")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("t_shuffle_epochs: reshuffle is seed-independent (no diagonal, no empty cells)") {
     val rows = TextOps.shuffleEpochs(spark, sf001).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
