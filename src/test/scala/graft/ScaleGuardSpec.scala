@@ -353,6 +353,42 @@ class ScaleGuardSpec extends SparkSpec {
     }
   }
 
+  test("shuffle budget: no query may silently gain an exchange") {
+    // Every ShuffleExchangeExec is cluster-wide data movement; the counts
+    // below are the AUDITED plan shapes (graft.ShuffleCensus, sf0.001,
+    // AQE off so EnsureRequirements' insertions are visible statically).
+    // A future edit that adds a shuffle to any of these trips this gate
+    // and must either restore the plan or consciously re-audit the
+    // budget. Subset = queries whose DataFrame CONSTRUCTION is cheap
+    // (no driver-side training/write loops at plan time).
+    val budget = Map(
+      "q_flagship_top10" -> 0, "q_lineitem_agg" -> 2, "q_revenue_by_region" -> 2,
+      "q_orders_by_nation" -> 2, "q_supplier_by_nation" -> 2, "q_topk_per_group" -> 2,
+      "q_topk_parts_brand" -> 2, "q_semi_anti" -> 3, "q_point_lookup" -> 1,
+      "q_asof_join" -> 2, "q_asof_native" -> 3, "q_asof_payload" -> 4,
+      "q_range_join" -> 2, "q_skew_join" -> 2, "q_getorcreate_dims" -> 2,
+      "q_dsv2_scan" -> 2, "q_dsv2_agg_pushdown" -> 1, "q_dsv2_shard_rollup" -> 1,
+      "q_dsv2_runtime_filter" -> 1,
+      "q_hourly_windows" -> 2, "q_sliding_windows" -> 3, "q_session_counts" -> 2,
+      "x1_dedup_exact" -> 2, "x2_jaccard_pairs" -> 1,
+      "x5_word_freq" -> 1, "x5_bigram_freq" -> 1, "x5_text_stats" -> 3,
+      "x8_distinct_users" -> 3, "x9_percentiles" -> 2,
+      "t_shuffle_shards" -> 2, "t_shuffle_epochs" -> 2, "t_shuffle_delta" -> 3,
+      "t_quality_score" -> 1, "t_lang_id" -> 1, "t_fingerprints" -> 1)
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val over = budget.toSeq.sorted.flatMap { case (name, max) =>
+        val n = SparkEntry.queries(name)(spark, sf001)
+          .queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }.size
+        if (n > max) Some(s"$name: $n exchanges (budget $max)") else None
+      }
+      assert(over.isEmpty, s"shuffle budget exceeded:\n  ${over.mkString("\n  ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+  }
+
   test("t_shuffle_epochs: reshuffle is seed-independent (no diagonal, no empty cells)") {
     val rows = TextOps.shuffleEpochs(spark, sf001).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
