@@ -40,10 +40,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * One InputPartition per committed file preserves write parallelism.
   *
   * Fixed 3-column contract (doc_id BIGINT, shard INT, body STRING — the
-  * docgen crawl's landing schema), TSV on local/Hadoop-compatible
-  * filesystems; bodies may not contain tab/newline (validated at write —
-  * the md5-hex bodies never do). `q_dsv2_write_roundtrip` drives
-  * write→manifest→read end-to-end under the DuckDB hash gate.
+  * docgen crawl's landing schema), TSV; bodies may not contain
+  * tab/newline (validated at write — the md5-hex bodies never do).
+  * `q_dsv2_write_roundtrip` drives write→manifest→read end-to-end under
+  * the DuckDB hash gate.
+  *
+  * All IO goes through the Hadoop FileSystem API ([[SinkFs]]), so the
+  * same commit sequence runs on HDFS (atomic rename) as on the local FS
+  * used in tests. Known caveats, stated rather than hidden: on
+  * S3A-style object stores rename is copy+delete (production there would
+  * swap the final move for a conditional PUT); manifest REPLACEMENT is
+  * delete-then-rename, whose failure window degrades to "no manifest" =
+  * "no committed data" — never a partial manifest.
   */
 class ShardSinkSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = DocGen.schema
@@ -81,10 +89,52 @@ class ShardSinkTable(path: String) extends Table with SupportsRead with Supports
     }
 }
 
-object ShardSink {
-  import java.io.File
+/** Hadoop-FileSystem IO layer: every read/write/rename/delete the sink
+  * performs, resolved per-path so `file:`, `hdfs:` and compatible schemes
+  * all work; executors build their own Configuration (classpath
+  * core-site), the standard connector pattern.
+  */
+private[sources] object SinkFs {
+  import org.apache.hadoop.fs.{FileSystem, Path}
 
-  def manifestFile(dir: String): File = new File(dir, "_manifest.json")
+  def fsOf(p: Path): FileSystem =
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+
+  def exists(p: Path): Boolean = fsOf(p).exists(p)
+
+  def delete(p: Path): Unit = fsOf(p).delete(p, false)
+
+  def create(p: Path): java.io.BufferedWriter = {
+    val fs = fsOf(p)
+    fs.mkdirs(p.getParent)
+    new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(p, true), "UTF-8"))
+  }
+
+  def readString(p: Path): String = {
+    val in = fsOf(p).open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  def readLines(p: Path): Seq[String] =
+    readString(p).split("\n", -1).toSeq.filter(_.nonEmpty)
+
+  /** Move src over dest: atomic rename where the FS provides it (HDFS,
+    * POSIX); the delete-first REPLACE window degrades to "file absent",
+    * never to partial content (the src is fully written before the move).
+    */
+  def moveOver(src: Path, dest: Path): Unit = {
+    val fs = fsOf(dest)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    require(fs.rename(src, dest), s"rename failed: $src -> $dest")
+  }
+}
+
+object ShardSink {
+  import org.apache.hadoop.fs.Path
+
+  def manifestPath(dir: String): Path = new Path(dir, "_manifest.json")
 
   /** Driver-checked write→commit→read round trip: the generated corpus
     * [0, 20000) flows through the V2 writer (4 task files + manifest
@@ -99,8 +149,10 @@ object ShardSink {
     import org.apache.spark.sql.functions._
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val dir = new File(sys.props("java.io.tmpdir"), s"graft_shardsink_$sfx")
-    def rm(f: File): Unit = {
+    // driver-side temp landing dir for the checked query (local by
+    // construction; the sink itself is FS-agnostic via SinkFs)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_shardsink_$sfx")
+    def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
@@ -183,10 +235,10 @@ object ShardSink {
     * error.
     */
   def committedFilesWithRows(dir: String): Seq[(String, Long)] = {
-    val mf = manifestFile(dir)
-    if (!mf.exists()) Seq.empty
+    val mf = manifestPath(dir)
+    if (!SinkFs.exists(mf)) Seq.empty
     else {
-      val json = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+      val json = SinkFs.readString(mf)
       // minimal parse of {"files":[{"file":"...","rows":N},...]} — names
       // are writer-chosen (part-*.tsv), never user input
       """\{"file":"([^"]*\.tsv)","rows":(\d+)\}""".r.findAllMatchIn(json)
@@ -221,55 +273,48 @@ class ShardSinkWrite(path: String, queryId: String)
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     ShardSinkStreamingFactory(path, queryId)
 
+  import org.apache.hadoop.fs.Path
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new java.io.File(path)
     val epochFiles = messages.zipWithIndex.map { case (m, i) =>
       val c = m.asInstanceOf[ShardSinkCommit]
-      val dest = new java.io.File(dir, s"part-e$epochId-$i.tsv")
-      if (dest.exists()) dest.delete()
-      require(new java.io.File(c.tempPath).renameTo(dest),
-        s"epoch commit rename failed: ${c.tempPath} -> $dest")
+      val dest = new Path(path, s"part-e$epochId-$i.tsv")
+      SinkFs.moveOver(new Path(c.tempPath), dest)
       (dest.getName, c.rows)
     }
     // replace-then-append keyed on the epoch prefix = replay idempotence
     val kept = ShardSink.committedFilesWithRows(path)
       .filterNot { case (f, _) => f.startsWith(s"part-e$epochId-") }
-    writeManifest(dir, kept ++ epochFiles, s"$queryId-e$epochId")
+    writeManifest(kept ++ epochFiles, s"$queryId-e$epochId")
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     abort(messages)
 
-  private def writeManifest(
-      dir: java.io.File, files: Seq[(String, Long)], tag: String): Unit = {
-    val mTmp = new java.io.File(dir, s"_manifest.$tag.tmp")
+  private def writeManifest(files: Seq[(String, Long)], tag: String): Unit = {
+    val mTmp = new Path(path, s"_manifest.$tag.tmp")
     val json = files.map { case (f, n) => s"""{"file":"$f","rows":$n}""" }
       .mkString("""{"files":[""", ",", "]}")
-    java.nio.file.Files.write(mTmp.toPath, json.getBytes("UTF-8"))
-    java.nio.file.Files.move(
-      mTmp.toPath, ShardSink.manifestFile(path).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val w = SinkFs.create(mTmp)
+    try w.write(json) finally w.close()
+    SinkFs.moveOver(mTmp, ShardSink.manifestPath(path))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new java.io.File(path)
     val finals = messages.zipWithIndex.map { case (m, i) =>
       val c = m.asInstanceOf[ShardSinkCommit]
-      val dest = new java.io.File(dir, s"part-$i.tsv")
-      if (dest.exists()) dest.delete()
-      val ok = new java.io.File(c.tempPath).renameTo(dest)
-      require(ok, s"commit rename failed: ${c.tempPath} -> $dest")
+      val dest = new Path(path, s"part-$i.tsv")
+      SinkFs.moveOver(new Path(c.tempPath), dest)
       (dest.getName, c.rows)
     }
-    // manifest LAST, via temp + atomic rename: the job becomes visible as
-    // one file move or not at all
-    writeManifest(dir, finals.toSeq, queryId)
+    // manifest LAST, written to a temp name then moved: the job becomes
+    // visible as one file move or not at all
+    writeManifest(finals.toSeq, queryId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case ShardSinkCommit(tmp, _) => new java.io.File(tmp).delete()
+      case ShardSinkCommit(tmp, _) => SinkFs.delete(new Path(tmp))
       case _ =>
     }
 }
@@ -293,11 +338,9 @@ class ShardSinkDataWriter(path: String, queryId: String, partitionId: Int, taskI
   extends DataWriter[InternalRow] {
   // attempt-unique temp name: a speculative twin or retry writes its OWN
   // file; only the committed attempt's message reaches driver commit
-  private val tmpDir = new java.io.File(path, "_tmp")
-  tmpDir.mkdirs()
-  private val tmp = new java.io.File(tmpDir, s"$queryId-p$partitionId-a$taskId.tsv")
-  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-    new java.io.FileOutputStream(tmp), "UTF-8"))
+  private val tmp =
+    new org.apache.hadoop.fs.Path(path, s"_tmp/$queryId-p$partitionId-a$taskId.tsv")
+  private val out = SinkFs.create(tmp)
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
@@ -310,12 +353,12 @@ class ShardSinkDataWriter(path: String, queryId: String, partitionId: Int, taskI
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    ShardSinkCommit(tmp.getPath, rows)
+    ShardSinkCommit(tmp.toString, rows)
   }
 
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }
-    tmp.delete() // a failed attempt leaves nothing
+    SinkFs.delete(tmp) // a failed attempt leaves nothing
   }
 
   override def close(): Unit = ()
@@ -330,19 +373,18 @@ class ShardSinkScan(path: String) extends Scan with Batch {
 
   override def planInputPartitions(): Array[InputPartition] =
     ShardSink.committedFiles(path)
-      .map(f => ShardSinkFile(new java.io.File(path, f).getPath): InputPartition)
+      .map(f => ShardSinkFile(new org.apache.hadoop.fs.Path(path, f).toString): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
       val f = partition.asInstanceOf[ShardSinkFile]
-      val lines = java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get(f.file), java.nio.charset.StandardCharsets.UTF_8)
+      val lines = SinkFs.readLines(new org.apache.hadoop.fs.Path(f.file))
       new PartitionReader[InternalRow] {
         private var i = -1
         override def next(): Boolean = { i += 1; i < lines.size }
         override def get(): InternalRow = {
-          val parts = lines.get(i).split("\t", 3)
+          val parts = lines(i).split("\t", 3)
           val row = new GenericInternalRow(3)
           row.update(0, parts(0).toLong)
           row.update(1, parts(1).toInt)

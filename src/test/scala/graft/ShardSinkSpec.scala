@@ -50,7 +50,7 @@ class ShardSinkSpec extends SparkSpec {
     w2.commit()
     assert(new ShardSinkScan(dir).planInputPartitions().isEmpty,
       "reader saw data from an uncommitted job")
-    assert(!ShardSink.manifestFile(dir).exists())
+    assert(!new java.io.File(dir, "_manifest.json").exists())
   }
 
   test("unmanifested files are invisible (crashed concurrent writer, stale parts)") {
