@@ -10,8 +10,9 @@ import org.apache.spark.sql.connector.expressions.aggregate.{
   Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{
   Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
-  ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
+  ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics,
+  SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{
   KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{
@@ -429,7 +430,30 @@ case class DocGenScan(
     lo: Long, hi: Long, numPartitions: Int, required: StructType,
     streamBatchSize: Long = DocGen.DefaultStreamBatchSize,
     shardKeyed: Boolean = false)
-  extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering {
+  extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering
+  with SupportsReportStatistics {
+
+  /** [[SupportsReportStatistics]]: exact statistics from the surviving
+    * interval (the row count IS hi−lo; bytes = fixed per-column widths,
+    * body 32 hex chars when not pruned) — without this a V2 relation
+    * defaults to "unknown = huge" and the optimizer can never choose to
+    * broadcast a small docgen side. Reported AFTER pushdown, so a
+    * tightly-filtered scan is honestly small (spec pins a broadcast
+    * decision flipping on the filter).
+    */
+  override def estimateStatistics(): Statistics = {
+    val rows = math.max(0L, hi - lo)
+    val width = required.fieldNames.map {
+      case "doc_id" => 8L
+      case "shard" => 4L
+      case "body" => 48L // 32 hex chars + string overhead
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * math.max(1L, width))
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 
   // Runtime (join-driven) shard pruning state — [[SupportsRuntimeFiltering]]
   // delivers the build side's shard values AFTER planning, at execution

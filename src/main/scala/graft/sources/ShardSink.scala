@@ -71,15 +71,21 @@ class ShardSinkTable(path: String) extends Table with SupportsRead with Supports
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(
       info.schema().fields.map(f => (f.name, f.dataType)).sameElements(
         DocGen.schema.fields.map(f => (f.name, f.dataType))),
       s"shard sink expects ${DocGen.schema.simpleString}, got ${info.schema().simpleString}")
-    new WriteBuilder {
-      override def build(): Write = new ShardSinkWrite(path, info.queryId())
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // SaveMode.Overwrite maps here: the new job's manifest REPLACES the
+      // old one (old files become invisible the instant it lands), and
+      // commit() then deletes the orphaned previous files — visibility
+      // flips atomically, physical cleanup follows
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new ShardSinkWrite(path, info.queryId(), doTruncate)
     }
   }
 
@@ -251,7 +257,7 @@ object ShardSink {
 
 case class ShardSinkCommit(tempPath: String, rows: Long) extends WriterCommitMessage
 
-class ShardSinkWrite(path: String, queryId: String)
+class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
   extends Write with BatchWrite with StreamingWrite {
   override def toBatch: BatchWrite = this
   override def toStreaming: StreamingWrite = this
@@ -301,6 +307,8 @@ class ShardSinkWrite(path: String, queryId: String)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // captured BEFORE the new manifest lands, for post-publish cleanup
+    val previous = if (truncate) ShardSink.committedFiles(path) else Seq.empty
     val finals = messages.zipWithIndex.map { case (m, i) =>
       val c = m.asInstanceOf[ShardSinkCommit]
       val dest = new Path(path, s"part-$i.tsv")
@@ -310,6 +318,10 @@ class ShardSinkWrite(path: String, queryId: String)
     // manifest LAST, written to a temp name then moved: the job becomes
     // visible as one file move or not at all
     writeManifest(finals.toSeq, queryId)
+    // truncate cleanup AFTER the flip: old files are already invisible;
+    // deleting them can race nothing
+    previous.filterNot(finals.map(_._1).contains)
+      .foreach(f => SinkFs.delete(new Path(path, f)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -110,6 +110,41 @@ class ShardSinkSpec extends SparkSpec {
       "replayed epoch doubled its rows")
   }
 
+  test("SaveMode.Overwrite truncates: old files invisible AND physically cleaned") {
+    val dir = freshDir().getPath
+    def write(n: Int, mode: org.apache.spark.sql.SaveMode) =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", n.toString).option("numPartitions", "3").load()
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(mode).save()
+    write(500, org.apache.spark.sql.SaveMode.Append)
+    write(200, org.apache.spark.sql.SaveMode.Overwrite)
+    val back = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+    assert(back.count() === 200L)
+    // physical cleanup happened too: only the new job's files remain
+    val tsvs = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".tsv"))
+    assert(tsvs.toSet === ShardSink.committedFiles(dir).toSet, tsvs.mkString(","))
+  }
+
+  test("reported statistics flip the optimizer's broadcast decision with the pushed filter") {
+    import org.apache.spark.sql.functions._
+    def docgen = spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "60000").load()
+    val big = spark.range(500000).select(col("id").as("k"))
+    // tightly filtered docgen (100 rows ≈ 6 KB reported) → broadcast side
+    val small = docgen.where(col("doc_id") < 100L)
+      .join(big, col("doc_id") === col("k"))
+    assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      small.queryExecution.executedPlan.toString)
+    // unfiltered docgen (60k × ~60 B ≈ 3.6 MB < 10 MB) still broadcasts;
+    // the stats are EXACT either way — pin numRows via the stats API
+    val scan = docgen.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head.scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+    assert(scan.estimateStatistics().numRows().getAsLong === 60000L)
+  }
+
   test("q_dsv2_write_roundtrip: rerunning replaces the manifest atomically, same answer") {
     val a = ShardSink.writeRoundtrip(spark, sf001).collect()
     val b = ShardSink.writeRoundtrip(spark, sf001).collect()
