@@ -110,6 +110,40 @@ class ShardSinkSpec extends SparkSpec {
       "replayed epoch doubled its rows")
   }
 
+  test("streaming write survives a mid-stream restart exactly-once (checkpoint recovery)") {
+    // the end-to-end form of the replay-idempotence claim: kill the query
+    // partway, restart from the SAME checkpoint, and the sink must hold
+    // exactly the corpus — no lost epochs (offsets resume via the pure
+    // deserializeOffset) and no doubled epochs (manifest replace-by-epoch)
+    val dir = freshDir().getPath
+    val ckpt = freshDir().getPath
+    val nDocs = 40000L
+    def start() = spark.readStream.format("graft.sources.DocGenSource")
+      .option("numDocs", nDocs.toString)
+      .option("numPartitions", "2")
+      .option("streamBatchSize", "2000") // 20 batches — a stop lands midway
+      .load()
+      .writeStream.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      // wait for SOME progress, then kill mid-stream
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    } finally q1.stop()
+    val partial = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load().count()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val back = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+    assert(back.count() === nDocs, s"restart lost/duplicated rows (partial run had $partial)")
+    assert(back.select("doc_id").distinct().count() === nDocs)
+    assert(partial < nDocs, s"first run already finished ($partial) — shrink the batch size")
+  }
+
   test("SaveMode.Overwrite truncates: old files invisible AND physically cleaned") {
     val dir = freshDir().getPath
     def write(n: Int, mode: org.apache.spark.sql.SaveMode) =
