@@ -102,6 +102,9 @@ object Bench {
       // NTZ-encoded events.parquet must bench the same instants Verify
       // hashes, regardless of host zone
       .config("spark.sql.session.timeZone", "UTC")
+      // session-wide so q_dsv2_shard_rollup's no-exchange shape holds
+      // without any query function mutating shared conf mid-suite
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

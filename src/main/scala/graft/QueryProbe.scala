@@ -22,6 +22,7 @@ object QueryProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_CONF="k1=v1;k2=v2" for config experiments
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>

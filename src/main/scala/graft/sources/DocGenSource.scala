@@ -175,7 +175,12 @@ object DocGen {
   def dsv2ShardRollup(
       spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // The no-exchange shape needs spark.sql.sources.v2.bucketing.enabled,
+    // which the drivers (Bench/Verify/QueryProbe) set at session
+    // construction — NOT here: a query function mutating shared-session
+    // conf would leak plan-shape changes into whatever runs after it
+    // (round-12 ADVICE). Without the conf the query is still correct,
+    // just with a shuffle.
     spark.read.format("graft.sources.DocGenSource")
       .option("numDocs", DefaultNumDocs.toString)
       .option("partitionBy", "shard")
@@ -619,11 +624,24 @@ class DocGenMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[DocGenOffset].pos
-    val step = limit match {
-      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => r.maxRows()
-      case _ => batchSize
+    // ReadAllAvailable (Trigger.Once / AvailableNow semantics) must drain
+    // to hi in ONE batch — treating it as a single batch-size step would
+    // silently stop short. CompositeReadLimit carries its row cap inside;
+    // unwrap it rather than defaulting.
+    import org.apache.spark.sql.connector.read.streaming.{
+      CompositeReadLimit, ReadAllAvailable, ReadMaxRows}
+    def stepOf(l: ReadLimit): Option[Long] = l match {
+      case r: ReadMaxRows => Some(r.maxRows())
+      case _: ReadAllAvailable => None // no cap: everything available
+      case c: CompositeReadLimit =>
+        val steps = c.getReadLimits.flatMap(stepOf)
+        if (steps.isEmpty) None else Some(steps.min)
+      case _ => Some(batchSize)
     }
-    DocGenOffset(math.min(hi, from + math.max(1L, step)))
+    stepOf(limit) match {
+      case None => DocGenOffset(hi)
+      case Some(step) => DocGenOffset(math.min(hi, from + math.max(1L, step)))
+    }
   }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

@@ -29,11 +29,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *     message; task abort deletes the temp file — a failed/retried task
   *     leaves NOTHING visible (speculative duplicates die the same way:
   *     Spark's output-commit coordinator admits one winner per partition);
-  *   - driver [[BatchWrite.commit]] renames the winners to
-  *     `part-<n>.tsv` and THEN writes `_manifest.json` naming them —
-  *     written to a temp name and renamed, so visibility of the whole job
-  *     is one atomic file move: readers either see the complete committed
-  *     file set or nothing. [[BatchWrite.abort]] deletes the temps.
+  *   - driver [[BatchWrite.commit]] renames the winners to job-unique
+  *     `part-b<queryId>-<n>.tsv` names and THEN writes `_manifest.json`
+  *     naming them — written to a temp name and renamed, so visibility of
+  *     the whole job is one atomic file move: readers either see the
+  *     complete committed file set or nothing. Append MERGES the prior
+  *     manifest's entries (jobs accumulate); truncate replaces them and
+  *     deletes the orphans after the flip. [[BatchWrite.abort]] deletes
+  *     the temps.
   *
   * The READ path trusts only the manifest: unmanifested files (from a
   * crashed job, a concurrent writer, an aborted attempt) are invisible.
@@ -307,21 +310,30 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // captured BEFORE the new manifest lands, for post-publish cleanup
-    val previous = if (truncate) ShardSink.committedFiles(path) else Seq.empty
+    // captured BEFORE the new manifest lands: merged on Append, cleaned
+    // up after the flip on truncate
+    val previous = ShardSink.committedFilesWithRows(path)
+    // job-unique final names (`part-b<queryId>-<i>.tsv`): a second Append
+    // never overwrites a prior job's committed files, so a reader holding
+    // the old manifest keeps a consistent view right through the commit
+    // (the `b` prefix also keeps the namespace disjoint from the
+    // streaming path's `part-e<epoch>-<i>.tsv`)
     val finals = messages.zipWithIndex.map { case (m, i) =>
       val c = m.asInstanceOf[ShardSinkCommit]
-      val dest = new Path(path, s"part-$i.tsv")
+      val dest = new Path(path, s"part-b$queryId-$i.tsv")
       SinkFs.moveOver(new Path(c.tempPath), dest)
       (dest.getName, c.rows)
     }
     // manifest LAST, written to a temp name then moved: the job becomes
-    // visible as one file move or not at all
-    writeManifest(finals.toSeq, queryId)
+    // visible as one file move or not at all. Append MERGES the previous
+    // manifest (accumulating semantics); truncate replaces it.
+    val kept = if (truncate) Seq.empty else previous
+    writeManifest(kept ++ finals, queryId)
     // truncate cleanup AFTER the flip: old files are already invisible;
     // deleting them can race nothing
-    previous.filterNot(finals.map(_._1).contains)
-      .foreach(f => SinkFs.delete(new Path(path, f)))
+    if (truncate)
+      previous.map(_._1).filterNot(finals.map(_._1).contains)
+        .foreach(f => SinkFs.delete(new Path(path, f)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -671,11 +671,17 @@ object QualityModel {
     val u = TextOps
       .md5Hash60(concat(lit("sample:"), col("doc_id").cast("string")))
       .cast("double") / lit(1152921504606846976.0) // 2^60
+    // keep threshold quantized through DECIMAL(14,12) (the repo's proven
+    // cross-engine-exact primitive — see BASELINE float rules): p carries
+    // exp()'s ±1-ulp libm variance, and a raw u < p compare would flip a
+    // doc whose u lands inside that window. The decimal grid pins the
+    // boundary bit-identically on both engines (round-12 ADVICE item).
+    val pq = col("p").cast("decimal(14,12)").cast("double")
     scoredDocs(spark, sfDir)
       .join(
         graft.model.Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
         "doc_id")
-      .withColumn("keep", (u < col("p")).cast("int"))
+      .withColumn("keep", (u < pq).cast("int"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -695,7 +701,8 @@ object QualityModel {
        |scored AS (SELECT doc_id, $sigmoidSql AS p FROM z, $wFinal),
        |samp AS (
        |  SELECT s.doc_id, s.p,
-       |         CASE WHEN $uSql < s.p THEN 1 ELSE 0 END AS keep
+       |         CASE WHEN $uSql < CAST(CAST(s.p AS DECIMAL(14,12)) AS DOUBLE)
+       |              THEN 1 ELSE 0 END AS keep
        |  FROM scored s)
        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |       CAST(SUM(keep) AS BIGINT) AS n_kept,

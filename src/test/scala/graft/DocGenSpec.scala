@@ -158,20 +158,31 @@ class DocGenSpec extends SparkSpec {
   }
 
   test("partitionBy=shard reports KeyGroupedPartitioning: per-shard agg has no shuffle") {
-    val df = DocGen.dsv2ShardRollup(spark, sf001)
-    val plan = df.queryExecution.sparkPlan
-    assert(!plan.toString.contains("Exchange hashpartitioning"),
-      s"shard-keyed scan still shuffled for the per-shard aggregate:\n$plan")
-    // and the result matches the contiguous-range read of the same slice
-    val expected = spark.read.format("graft.sources.DocGenSource")
-      .option("numDocs", DocGen.DefaultNumDocs.toString).load()
-      .where(col("doc_id") >= 2000L && col("doc_id") < 35000L)
-      .groupBy(col("shard"))
-      .agg(
-        expr("bit_xor(doc_id)").as("xor_ids"),
-        sum(when(substring(col("body"), 1, 1) === "f", 1L).otherwise(0L)).as("n_body_f"))
-      .orderBy("shard")
-    assert(df.collect().toSeq === expected.collect().toSeq)
+    // the query function no longer mutates shared-session conf (round-12
+    // ADVICE: drivers set it at session construction) — scope it here the
+    // way the storage-partitioned-join test below does
+    val key = "spark.sql.sources.v2.bucketing.enabled"
+    val old = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      val df = DocGen.dsv2ShardRollup(spark, sf001)
+      val plan = df.queryExecution.sparkPlan
+      assert(!plan.toString.contains("Exchange hashpartitioning"),
+        s"shard-keyed scan still shuffled for the per-shard aggregate:\n$plan")
+      // and the result matches the contiguous-range read of the same slice
+      val expected = spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", DocGen.DefaultNumDocs.toString).load()
+        .where(col("doc_id") >= 2000L && col("doc_id") < 35000L)
+        .groupBy(col("shard"))
+        .agg(
+          expr("bit_xor(doc_id)").as("xor_ids"),
+          sum(when(substring(col("body"), 1, 1) === "f", 1L).otherwise(0L)).as("n_body_f"))
+        .orderBy("shard")
+      assert(df.collect().toSeq === expected.collect().toSeq)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("runtime filtering: a broadcast dim's shard values prune shard partitions at execution") {

@@ -376,8 +376,14 @@ class ScaleGuardSpec extends SparkSpec {
       "t_shuffle_shards" -> 2, "t_shuffle_epochs" -> 2, "t_shuffle_delta" -> 3,
       "t_quality_score" -> 1, "t_lang_id" -> 1, "t_fingerprints" -> 1)
     val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bucketKey = "spark.sql.sources.v2.bucketing.enabled"
+    val oldBucket = spark.conf.getOption(bucketKey)
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // match the driver sessions (Bench/Verify set this at construction):
+      // q_dsv2_shard_rollup's 1-exchange budget assumes the reported
+      // KeyGroupedPartitioning is honored
+      spark.conf.set(bucketKey, "true")
       val over = budget.toSeq.sorted.flatMap { case (name, max) =>
         val n = SparkEntry.queries(name)(spark, sf001)
           .queryExecution.executedPlan.collect {
@@ -386,7 +392,13 @@ class ScaleGuardSpec extends SparkSpec {
         if (n > max) Some(s"$name: $n exchanges (budget $max)") else None
       }
       assert(over.isEmpty, s"shuffle budget exceeded:\n  ${over.mkString("\n  ")}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      oldBucket match {
+        case Some(v) => spark.conf.set(bucketKey, v)
+        case None => spark.conf.unset(bucketKey)
+      }
+    }
   }
 
   test("t_shuffle_epochs: reshuffle is seed-independent (no diagonal, no empty cells)") {

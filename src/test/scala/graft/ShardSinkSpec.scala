@@ -144,6 +144,29 @@ class ShardSinkSpec extends SparkSpec {
     assert(partial < nDocs, s"first run already finished ($partial) — shrink the batch size")
   }
 
+  test("SaveMode.Append accumulates: second job merges the manifest, first job's rows survive") {
+    val dir = freshDir().getPath
+    def append(n: Int) =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", n.toString).option("numPartitions", "2").load()
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(500)
+    val firstFiles = ShardSink.committedFiles(dir).toSet
+    append(200)
+    val back = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+    // 500 + 200 rows, with doc_ids [0,200) present twice
+    assert(back.count() === 700L)
+    assert(back.where(col("doc_id") === 100L).count() === 2L)
+    // the first job's committed files are untouched (job-unique names):
+    // a reader holding the old manifest stays consistent through commit
+    val merged = ShardSink.committedFiles(dir).toSet
+    assert(firstFiles.subsetOf(merged), s"$firstFiles not in $merged")
+    assert(merged.size === 4)
+    firstFiles.foreach(f => assert(new java.io.File(dir, f).exists(), s"$f deleted by append"))
+  }
+
   test("SaveMode.Overwrite truncates: old files invisible AND physically cleaned") {
     val dir = freshDir().getPath
     def write(n: Int, mode: org.apache.spark.sql.SaveMode) =
