@@ -388,6 +388,27 @@ object GraftFunctions {
       throw new IllegalArgumentException(s"graft_nearest expects 3 arguments, got ${args.size}")
   }
 
+  val vecSumInfo: ExpressionInfo = new ExpressionInfo(classOf[VecSum].getName, "graft_vec_sum")
+
+  /** The aggregate rung: the analyzer wraps a returned AggregateFunction
+    * in its AggregateExpression, so the builder just constructs [[VecSum]].
+    * `dim` must be a foldable integer — partition-order-dependent shape
+    * discovery is exactly what the explicit argument exists to prevent.
+    */
+  val vecSumBuilder: Seq[Expression] => Expression = {
+    case Seq(e, d) if d.foldable =>
+      d.eval() match {
+        case i: Int => VecSum(e, i)
+        case l: Long => VecSum(e, l.toInt)
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_vec_sum dim must be an integer literal, got $other")
+      }
+    case args =>
+      throw new IllegalArgumentException(
+        s"graft_vec_sum expects (array<double>, dim literal), got ${args.size} args")
+  }
+
   // sessions this object has registered on — a weak map so sessions can be
   // collected; synchronized: query entry points may race from test threads
   private val registeredSessions =
@@ -409,11 +430,13 @@ object GraftFunctions {
       !registry.functionExists(FunctionIdentifier("graft_dot")) ||
       !registry.functionExists(FunctionIdentifier("graft_cosine")) ||
       !registry.functionExists(FunctionIdentifier("graft_sign")) ||
-      !registry.functionExists(FunctionIdentifier("graft_nearest"))) {
+      !registry.functionExists(FunctionIdentifier("graft_nearest")) ||
+      !registry.functionExists(FunctionIdentifier("graft_vec_sum"))) {
       registry.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
       registry.createOrReplaceTempFunction("graft_cosine", cosineBuilder, "built-in")
       registry.createOrReplaceTempFunction("graft_sign", signBuilder, "built-in")
       registry.createOrReplaceTempFunction("graft_nearest", nearestBuilder, "built-in")
+      registry.createOrReplaceTempFunction("graft_vec_sum", vecSumBuilder, "built-in")
     }
   }
 
@@ -423,6 +446,8 @@ object GraftFunctions {
   def signBits(emb: Column, planes: Column): Column = call_function("graft_sign", emb, planes)
   def nearestCell(emb: Column, cents: Column, ids: Column): Column =
     call_function("graft_nearest", emb, cents, ids)
+  def vecSum(emb: Column, dim: Int): Column =
+    call_function("graft_vec_sum", emb, org.apache.spark.sql.functions.lit(dim))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -431,6 +456,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cosine"), GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
     ext.injectFunction((FunctionIdentifier("graft_sign"), GraftFunctions.signInfo, GraftFunctions.signBuilder))
     ext.injectFunction((FunctionIdentifier("graft_nearest"), GraftFunctions.nearestInfo, GraftFunctions.nearestBuilder))
+    // the custom-AGGREGATE rung (TypedImperativeAggregate, round 12)
+    ext.injectFunction((FunctionIdentifier("graft_vec_sum"), GraftFunctions.vecSumInfo, GraftFunctions.vecSumBuilder))
     // HOF dot-product composition → fused native expression (see the rule's
     // scaladoc for the semantics-preservation argument)
     ext.injectOptimizerRule(_ => graft.plans.DotProductFusion)

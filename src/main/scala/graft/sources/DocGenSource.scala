@@ -246,6 +246,59 @@ object DocGen {
       |FROM g JOIN region ON shard = CAST(r_regionkey AS INT) AND r_regionkey < 4
       |GROUP BY shard, r_name ORDER BY shard""".stripMargin
 
+  /** Driver-checked STORAGE-PARTITIONED JOIN (the DSv2-to-DSv2
+    * co-partitioned join, promoted from spec-level in round 12): two
+    * shard-keyed docgen reads — overlapping doc_id windows — join on
+    * (shard, doc_id) and roll up per shard. Both scans report
+    * KeyGroupedPartitioning(shard) via HasPartitionKey, so with the SPJ
+    * confs the SortMergeJoin runs with ZERO hash exchanges: each shard's
+    * partition pair joins in place, exactly how two bucket-aligned 100 TB
+    * tables should join on a real cluster.
+    *
+    * The SPJ confs (requireAllClusterKeysForCoPartition=false because the
+    * join keys ⊃ the clustering key, pushPartValues, broadcast disabled so
+    * the co-partitioned SMJ is what gets planned) would distort every
+    * other query's plans if set on the shared session — so the query runs
+    * in its OWN `spark.newSession()` (same SparkContext, session-local
+    * conf), leaving the caller's session untouched. DocGenSpec pins the
+    * zero-exchange plan on this exact function.
+    */
+  def dsv2Spj(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def side(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", DefaultNumDocs.toString)
+      .option("partitionBy", "shard")
+      .load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    val a = side(0L, 30000L)
+      .select(col("shard").as("a_shard"), col("doc_id").as("a_id"), col("body").as("a_body"))
+    val b = side(20000L, 50000L)
+      .select(col("shard").as("b_shard"), col("doc_id").as("b_id"))
+    a.join(b, col("a_shard") === col("b_shard") && col("a_id") === col("b_id"))
+      .groupBy(col("a_shard").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(a_id)").as("xor_ids"),
+        sum(when(substring(col("a_body"), 1, 1) === "a", 1L).otherwise(0L)).as("n_body_a"))
+      .orderBy("shard")
+  }
+
+  val dsv2SpjSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |         md5(CAST(doc_id AS VARCHAR)) AS body
+      |  FROM range(20000, 30000) t(doc_id))
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(SUM(CASE WHEN substring(body, 1, 1) = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_body_a
+      |FROM g GROUP BY shard ORDER BY shard""".stripMargin
+
   val NumShards = 16
 
   /** Closed-form per-shard slices of [lo, hi): shard s owns the arithmetic

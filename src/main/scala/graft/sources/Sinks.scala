@@ -174,6 +174,7 @@ object Sinks {
     "q_dsv2_scan" -> (DocGen.dsv2Scan _),
     "q_dsv2_agg_pushdown" -> (DocGen.dsv2AggPushdown _),
     "q_dsv2_shard_rollup" -> (DocGen.dsv2ShardRollup _),
+    "q_dsv2_spj" -> (DocGen.dsv2Spj _),
     "q_dsv2_runtime_filter" -> (DocGen.dsv2RuntimeFilter _),
     "q_dsv2_write_roundtrip" -> (ShardSink.writeRoundtrip _),
     "s_shardsink_stream_parity" -> (ShardSink.streamWriteParity _),
@@ -185,6 +186,7 @@ object Sinks {
     "q_dsv2_scan" -> DocGen.dsv2ScanSql,
     "q_dsv2_agg_pushdown" -> DocGen.dsv2AggPushdownSql,
     "q_dsv2_shard_rollup" -> DocGen.dsv2ShardRollupSql,
+    "q_dsv2_spj" -> DocGen.dsv2SpjSql,
     "q_dsv2_runtime_filter" -> DocGen.dsv2RuntimeFilterSql,
     "q_dsv2_write_roundtrip" -> ShardSink.writeRoundtripSql,
     "s_shardsink_stream_parity" -> ShardSink.streamWriteParitySql,

@@ -695,6 +695,61 @@ object VectorOps {
       |      FROM embeddings)
       |GROUP BY label, i ORDER BY label, pos""".stripMargin
 
+  /** X-6 via the custom TypedImperativeAggregate (`graft_vec_sum`, the
+    * aggregate rung of the extension ladder): per-label mean vectors
+    * computed from ONE fixed-size (64 decimals + count) buffer per group —
+    * the scale shape — instead of `centroids`' posexplode, which pushes
+    * dim× the rows through the exchange. Exact-decimal state makes the
+    * result bit-identical under any partitioning, so unlike the
+    * double-summing Aggregator variant this sits under the full hash
+    * gate; the oracle re-derives the same sums by exploding in SQL, which
+    * is exactly the cross-check the fused buffer needs. Output long-form
+    * (label, pos, ...) to keep the compare scalar-typed. `sum_val` stays
+    * DECIMAL(38,18) end to end — the compare is decimal-to-decimal EXACT,
+    * the strongest possible check of the buffer arithmetic (DuckDB's
+    * DECIMAL→DOUBLE cast is not correctly-rounded, so a double-typed
+    * output would wobble 1–2 ulp; the mean goes through the standard
+    * round-6 discipline instead).
+    */
+  def vecsumCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, sfDir)
+      .groupBy(col("label"))
+      .agg(
+        graft.functions.GraftFunctions.vecSum(embDouble, EmbDim).as("sums"),
+        count(lit(1)).as("n_vecs"))
+      .select(
+        col("label"), col("n_vecs"),
+        posexplode(col("sums")).as(Seq("pos", "s")))
+      .select(
+        col("label"), col("pos"),
+        col("s").as("sum_val"),
+        round(col("s").cast("double") / col("n_vecs").cast("double"), 6).as("mean_val"),
+        col("n_vecs"))
+      .orderBy("label", "pos")
+  }
+
+  /** NOTE the VARCHAR hop in the element quantization: DuckDB's direct
+    * `CAST(DOUBLE AS DECIMAL(38,18))` rounds via an IEEE `x·10¹⁸`
+    * multiply, while Spark casts through the double's shortest decimal
+    * repr — they disagree in the 18th place on raw doubles (the repo's
+    * "decimal casts agree" rule holds only after round-6, where the tail
+    * is zeros). `CAST(CAST(x AS VARCHAR) AS DECIMAL)` forces DuckDB
+    * through the same shortest-repr + HALF_UP path Spark and [[VecSum]]
+    * use — verified digit-exact at all three SFs.
+    */
+  val vecsumCentroidsSql: String =
+    """WITH nv AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+      |u AS (SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+      |      FROM embeddings)
+      |SELECT u.label, i - 1 AS pos,
+      |       CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) AS VARCHAR) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sum_val,
+      |       ROUND(CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE)
+      |             / CAST(MAX(nv.n) AS DOUBLE), 6) AS mean_val,
+      |       CAST(MAX(nv.n) AS BIGINT) AS n_vecs
+      |FROM u JOIN nv ON u.label = nv.label
+      |GROUP BY u.label, i ORDER BY u.label, pos""".stripMargin
+
   // ---- LSH-bucketed ANN (scale path; no oracle — signature pruning) ----
 
   val NumPlanes = 12
@@ -2002,7 +2057,8 @@ object VectorOps {
     "x4_sim_join_lsh" -> (simJoinLsh _),
     "x4_semantic_delta" -> (semanticDelta _),
     "x4_threshold_sweep" -> (simThresholdSweep _),
-    "x6_centroids" -> (centroids _))
+    "x6_centroids" -> (centroids _),
+    "x6_vecsum_centroids" -> (vecsumCentroids _))
 
   val oracle: Map[String, String] = Map(
     "x6_dim_stats" -> dimStatsSql,
@@ -2027,5 +2083,6 @@ object VectorOps {
     "x4_sim_join_lsh" -> simJoinLshSql,
     "x4_semantic_delta" -> semanticDeltaSql,
     "x4_threshold_sweep" -> simThresholdSweepSql,
-    "x6_centroids" -> centroidsSql)
+    "x6_centroids" -> centroidsSql,
+    "x6_vecsum_centroids" -> vecsumCentroidsSql)
 }

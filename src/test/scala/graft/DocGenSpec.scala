@@ -208,40 +208,26 @@ class DocGenSpec extends SparkSpec {
     assert(parts.map(_.asInstanceOf[graft.sources.DocGenShardPartition].shard).toSet === Set(1, 5, 9))
   }
 
-  test("storage-partitioned join: two shard-keyed reads join with ZERO exchanges") {
-    // confs scoped to this test: subset-clustering co-partition must be
-    // allowed (join keys (shard, doc_id) ⊃ clustering (shard)) and the
-    // broadcast path disabled so the SMJ shape is what gets planned —
-    // globally these would distort other queries, so this stays spec-level
-    val old = Seq(
-      "spark.sql.sources.v2.bucketing.enabled",
-      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
-      "spark.sql.requireAllClusterKeysForCoPartition",
-      "spark.sql.autoBroadcastJoinThreshold")
-      .map(k => k -> spark.conf.getOption(k))
-    try {
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      def side(lo: Long, hi: Long) = spark.read.format("graft.sources.DocGenSource")
-        .option("numDocs", "60000").option("partitionBy", "shard").load()
-        .where(col("doc_id") >= lo && col("doc_id") < hi)
-      val a = side(0L, 30000L).select(col("shard").as("a_shard"), col("doc_id").as("a_id"))
-      val b = side(20000L, 50000L).select(col("shard").as("b_shard"), col("doc_id").as("b_id"))
-      val j = a.join(b, a("a_shard") === b("b_shard") && a("a_id") === b("b_id"))
-      val plan = j.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), plan)
-      assert(!plan.contains("Exchange hashpartitioning"),
-        s"storage-partitioned join still shuffled:\n$plan")
-      // constraint propagation + pushdown tightened BOTH scans to the
-      // intersection [20000, 30000) — visible in the scan description
-      assert(plan.contains("range=[20000,30000)"), plan)
-      assert(j.count() === 10000L)
-    } finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+  test("storage-partitioned join: the CHECKED q_dsv2_spj plan has ZERO hash exchanges") {
+    // round 12: promoted from an inline spec construction to the checked
+    // query itself — dsv2Spj builds in its own newSession() with the SPJ
+    // confs session-local, so this shared session's conf is untouched and
+    // the plan assert pins exactly what Verify/Bench execute
+    val df = DocGen.dsv2Spj(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"storage-partitioned join still shuffled:\n$plan")
+    // constraint propagation + pushdown tightened BOTH scans to the
+    // intersection [20000, 30000) — visible in the scan description
+    assert(plan.contains("range=[20000,30000)"), plan)
+    // per-shard totals: 10000 joined ids, 625 per shard
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).sum === 10000L)
+    assert(rows.length === 16)
+    // and the caller's session kept its conf (no leak from the query)
+    assert(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      .forall(_ != "-1"))
   }
 
   test("generated rows match the documented formula") {

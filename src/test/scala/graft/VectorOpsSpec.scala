@@ -90,6 +90,60 @@ class VectorOpsSpec extends SparkSpec {
     ext.apply(new org.apache.spark.sql.SparkSessionExtensions())
   }
 
+  test("graft_vec_sum: exact-decimal sums match the cast-and-explode composition") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.model.Tables.embeddings(spark, sf001)
+      .select($"label", $"embedding".cast("array<double>").as("e"))
+    val agg = emb.groupBy($"label")
+      .agg(graft.functions.GraftFunctions.vecSum($"e", 64).as("s"))
+      .select($"label", posexplode($"s").as(Seq("pos", "v")))
+    val composed = emb
+      .select($"label", posexplode(transform($"e", x => x.cast("decimal(38,18)"))).as(Seq("pos", "v")))
+      .groupBy($"label", $"pos").agg(sum($"v").cast("decimal(38,18)").as("v"))
+    val n = agg.join(composed, Seq("label", "pos"))
+      .where(agg("v") =!= composed("v")).count()
+    assert(n === 0L, "fused buffer sums must equal Spark's own cast+sum to the last digit")
+  }
+
+  test("graft_vec_sum: SQL surface, merge across partitions is order-invariant") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = (1 to 997).map(i => (i % 7, Seq(i * 0.1, -i * 0.25, i * 1e-7)))
+    def run(parts: Int) =
+      rows.toDF("g", "v").repartition(parts)
+        .createOrReplaceTempView(s"vs_$parts")
+    run(1); run(13)
+    def res(parts: Int) =
+      spark.sql(s"SELECT g, graft_vec_sum(v, 3) AS s FROM vs_$parts GROUP BY g ORDER BY g")
+        .collect().map(r => (r.getInt(0), r.getSeq[java.math.BigDecimal](1)))
+    val (a, b) = (res(1), res(13))
+    assert(a.toSeq === b.toSeq, "exact-decimal merge must be partitioning-invariant")
+  }
+
+  test("graft_vec_sum: null/ragged/null-element vectors contribute nothing; empty group is null") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (0, Some(Seq(Option(1.5), Option(2.5)))),
+      (0, None), // null array: skipped
+      (0, Some(Seq(Option(9.0)))), // ragged: skipped
+      (0, Some(Seq(Option(1.0), Option.empty[Double]))), // null element: skipped
+      (1, Option.empty[Seq[Option[Double]]])) // all-null group
+      .toDF("g", "v")
+    val out = df.groupBy($"g")
+      .agg(graft.functions.GraftFunctions.vecSum($"v", 2).as("s"))
+      .orderBy($"g").collect()
+    val s0 = out(0).getSeq[java.math.BigDecimal](1)
+    assert(s0.map(_.toString) === Seq("1.500000000000000000", "2.500000000000000000"))
+    assert(out(1).isNullAt(1), "empty group must be NULL like avg, never a zero vector")
+    // non-literal dim is rejected at analysis
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_vec_sum(array(1.0), CAST(rand() * 4 AS INT))").collect())
+    assert(err.getMessage.toLowerCase.contains("dim") ||
+      err.getMessage.toLowerCase.contains("foldable") ||
+      err.getMessage.toLowerCase.contains("literal"), err.getMessage)
+  }
+
   test("DotProductFusion rewrites the HOF composition into graft_dot on a real scan") {
     spark.experimental.extraOptimizations = Seq(graft.plans.DotProductFusion)
     try {
