@@ -328,6 +328,10 @@ object DocGen {
   def dsv2StreamParity(
       spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    // complete-mode aggregate = one state store per shuffle partition per
+    // micro-batch: run the lifecycle in the tuned session (8 partitions,
+    // session-local) — see graft.streaming.StreamTune
+    val sparkTuned = graft.streaming.StreamTune.session(spark)
     val nDocs = 20000L
     def rollup(df: org.apache.spark.sql.DataFrame) =
       df.groupBy(col("shard")).agg(
@@ -335,16 +339,18 @@ object DocGen {
         expr("bit_xor(doc_id)").as("xor_ids"))
     val sink = s"graft_dsv2_stream_${streamSinkCounter.incrementAndGet()}"
     val q = rollup(
-      spark.readStream.format("graft.sources.DocGenSource")
+      sparkTuned.readStream.format("graft.sources.DocGenSource")
         .option("numDocs", nDocs.toString)
         .option("numPartitions", "4")
         .option("streamBatchSize", (nDocs / 4 + 1).toString)
         .load())
       .writeStream.outputMode("complete").format("memory").queryName(sink).start()
     try q.processAllAvailable() finally q.stop()
-    val streamed = spark.table(sink)
+    // parity math stays in the tuned session too — cross-session frames
+    // cannot be combined
+    val streamed = sparkTuned.table(sink)
     val batch = rollup(
-      spark.read.format("graft.sources.DocGenSource")
+      sparkTuned.read.format("graft.sources.DocGenSource")
         .option("numDocs", nDocs.toString).option("numPartitions", "4").load())
     val nDiff = streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
     val totals = streamed.agg(count(lit(1)), sum(col("n_docs"))).collect().head

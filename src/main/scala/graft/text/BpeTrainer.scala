@@ -92,6 +92,87 @@ object BpeTrainer {
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
     train(spark, Tables.documents(spark, sfDir).where(col("doc_id") < 300))
 
+  /** Candidate window per batched pass: the driver pulls at most this many
+    * (pair, freq) rows per pass — a fixed-size control-plane collect, like
+    * every other bounded driver pull in the repo.
+    */
+  val PassCandidates = 32
+
+  /** BATCHED merge learning (round-12 VERDICT #4): learn up to
+    * `nMerges - learned` TOKEN-DISJOINT merges per pass instead of one —
+    * the schedule that turns a 32k-merge production train from 32k Spark
+    * jobs into ~hundreds (one pair-stats job per PASS, not per merge).
+    *
+    * Admission rule, chosen because it is exact and oracle-expressible:
+    * scan the top-[[PassCandidates]] pairs in (freq DESC, pair ASC) order
+    * and admit a pair iff neither of its tokens was used by an
+    * earlier-admitted pair in the same pass. Token-disjointness makes the
+    * batch ORDER-INDEPENDENT (merging `a b` cannot create, destroy, or
+    * recount any `c d` adjacency when {a,b} ∩ {c,d} = ∅), so applying the
+    * admitted set in one vocab update equals applying them sequentially —
+    * and when the sequential learner's next k picks happen to be pairwise
+    * disjoint, the two schedules coincide exactly (BpeTrainerSpec pins
+    * both: coincidence on a disjoint-by-construction corpus, and the
+    * ≥8-merges-in-≤2-passes bound on the real one). Where they differ —
+    * a merge CREATING a token whose new pairs outrank the next candidate —
+    * the batched learner defers that pair to the next pass: the standard
+    * batched-BPE trade (one pass of staleness) accepted by every scalable
+    * trainer, documented rather than hidden.
+    */
+  def trainBatched(spark: SparkSession, docs: DataFrame, nMerges: Int = DefaultMerges): DataFrame = {
+    import spark.implicits._
+    var vocab = vocabOf(docs).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Int)]
+    var pass = 0
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val toks = split(trim(col("rep")), "  ")
+      val cands = vocab
+        .select(col("cnt"), toks.as("t"))
+        .where(size(col("t")) >= 2)
+        .select(
+          col("cnt"),
+          explode(expr(
+            "transform(sequence(1, size(t) - 1), j -> concat(element_at(t, j), ' ', element_at(t, j + 1)))"))
+            .as("pair"))
+        .groupBy("pair")
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(desc("freq"), asc("pair"))
+        .limit(PassCandidates)
+        .collect()
+      if (cands.isEmpty) exhausted = true
+      else {
+        pass += 1
+        val cap = nMerges - merges.size
+        val taken = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        cands.foreach { row =>
+          if (taken.size < cap) {
+            val Array(l, r) = row.getString(0).split(" ", 2)
+            if (!used(l) && !used(r)) {
+              taken += ((l, r, row.getLong(1)))
+              used += l; used += r
+            }
+          }
+        }
+        taken.foreach { case (l, r, f) =>
+          merges += ((merges.size + 1L, l, r, f, pass))
+        }
+        // one vocab update for the whole batch — disjointness makes the
+        // chained replaces order-independent; tokens are [a-z]+ only, safe
+        // to inline
+        val repSql = taken.foldLeft("rep") { case (s, (l, r, _)) =>
+          s"replace($s, ' $l  $r ', ' $l$r ')"
+        }
+        vocab = vocab.select(expr(repSql).as("rep"), col("cnt")).localCheckpoint(true)
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "freq", "pass").orderBy("rank")
+  }
+
+  def bpeBatched(spark: SparkSession, sfDir: String): DataFrame =
+    trainBatched(spark, Tables.documents(spark, sfDir).where(col("doc_id") < 300))
+
   /** DuckDB twin: the SAME [[DefaultMerges]] rounds unrolled as CTEs —
     * vocab v0, then per round: pair stats p_i from v_{i-1}, best b_i
     * (max freq, ascending pair string), vocab update v_i via the identical
@@ -132,9 +213,75 @@ object BpeTrainer {
        |ORDER BY rank""".stripMargin
   }
 
+  /** DuckDB twin of the BATCHED schedule — same unrolled-CTE discipline as
+    * [[bpeMergesSql]], with the per-pass greedy admission expressed as a
+    * LINEAR recursive CTE over the ranked candidate window (one row per
+    * candidate index, state = (used-token list, taken-pair list)) and the
+    * batch vocab update as a second recursion over the admitted list. Two
+    * passes unrolled; BpeTrainerSpec pins that two passes suffice for the
+    * 8-merge run on this corpus (the oracle would go red, not silently
+    * wrong, if a regeneration ever needed a third — bx2's ranks would be
+    * missing).
+    */
+  val bpeBatchedSql: String = {
+    def passBlock(i: Int, capExpr: String, prevV: String): String =
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+         |    SELECT cnt,
+         |           unnest(list_transform(generate_series(1, len(t) - 1),
+         |                                 j -> t[j] || ' ' || t[j + 1])) AS pair
+         |    FROM (SELECT cnt, string_split(trim(rep), '  ') AS t FROM $prevV)
+         |    WHERE len(t) >= 2)
+         |  GROUP BY pair),
+         |c$i AS MATERIALIZED (
+         |  SELECT pair, string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r, freq,
+         |         row_number() OVER (ORDER BY freq DESC, pair) AS rn
+         |  FROM p$i QUALIFY rn <= $PassCandidates),
+         |s$i(rn, used, taken) AS (
+         |  SELECT 0, []::VARCHAR[], []::VARCHAR[]
+         |  UNION ALL
+         |  SELECT c.rn,
+         |         CASE WHEN list_contains(s.used, c.l) OR list_contains(s.used, c.r)
+         |                   OR len(s.taken) >= $capExpr
+         |              THEN s.used ELSE list_append(list_append(s.used, c.l), c.r) END,
+         |         CASE WHEN list_contains(s.used, c.l) OR list_contains(s.used, c.r)
+         |                   OR len(s.taken) >= $capExpr
+         |              THEN s.taken ELSE list_append(s.taken, c.pair) END
+         |  FROM s$i s JOIN c$i c ON c.rn = s.rn + 1),
+         |a$i AS MATERIALIZED (SELECT taken FROM s$i ORDER BY rn DESC LIMIT 1),
+         |bx$i AS MATERIALIZED (
+         |  SELECT u.pair, string_split(u.pair, ' ')[1] AS l, string_split(u.pair, ' ')[2] AS r,
+         |         u.ord, p.freq
+         |  FROM (SELECT unnest(taken) AS pair, generate_subscripts(taken, 1) AS ord FROM a$i) u
+         |  JOIN p$i p ON u.pair = p.pair),
+         |w$i(ord, rep, cnt) AS (
+         |  SELECT 0, rep, cnt FROM $prevV
+         |  UNION ALL
+         |  SELECT w.ord + 1, replace(w.rep, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' '), w.cnt
+         |  FROM w$i w JOIN bx$i b ON b.ord = w.ord + 1),
+         |v$i AS MATERIALIZED (
+         |  SELECT rep, cnt FROM w$i
+         |  WHERE ord = (SELECT COALESCE(MAX(ord), 0) FROM bx$i))""".stripMargin
+    s"""WITH RECURSIVE v0 AS MATERIALIZED (
+       |  SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS rep,
+       |         CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |        FROM documents WHERE doc_id < 300)
+       |  GROUP BY 1),
+       |${passBlock(1, DefaultMerges.toString, "v0")},
+       |${passBlock(2, s"$DefaultMerges - (SELECT len(taken) FROM a1)", "v1")}
+       |SELECT CAST(ord AS BIGINT) AS rank, l AS "left", r AS "right", freq,
+       |       1 AS pass FROM bx1
+       |UNION ALL
+       |SELECT CAST((SELECT len(taken) FROM a1) + ord AS BIGINT), l, r, freq, 2 FROM bx2
+       |ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t_bpe_merges" -> (bpeMerges _))
+    "t_bpe_merges" -> (bpeMerges _),
+    "t_bpe_batched" -> (bpeBatched _))
 
   val oracle: Map[String, String] = Map(
-    "t_bpe_merges" -> bpeMergesSql)
+    "t_bpe_merges" -> bpeMergesSql,
+    "t_bpe_batched" -> bpeBatchedSql)
 }
