@@ -409,6 +409,22 @@ object GraftFunctions {
         s"graft_vec_sum expects (array<double>, dim literal), got ${args.size} args")
   }
 
+  val topKInfo: ExpressionInfo = new ExpressionInfo(classOf[TopK].getName, "graft_top_k")
+
+  val topKBuilder: Seq[Expression] => Expression = {
+    case Seq(s, i, kExpr) if kExpr.foldable =>
+      kExpr.eval() match {
+        case k: Int => TopK(s, i, k)
+        case k: Long => TopK(s, i, k.toInt)
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_top_k k must be an integer literal, got $other")
+      }
+    case args =>
+      throw new IllegalArgumentException(
+        s"graft_top_k expects (score, id, k literal), got ${args.size} args")
+  }
+
   // sessions this object has registered on — a weak map so sessions can be
   // collected; synchronized: query entry points may race from test threads
   private val registeredSessions =
@@ -431,12 +447,14 @@ object GraftFunctions {
       !registry.functionExists(FunctionIdentifier("graft_cosine")) ||
       !registry.functionExists(FunctionIdentifier("graft_sign")) ||
       !registry.functionExists(FunctionIdentifier("graft_nearest")) ||
-      !registry.functionExists(FunctionIdentifier("graft_vec_sum"))) {
+      !registry.functionExists(FunctionIdentifier("graft_vec_sum")) ||
+      !registry.functionExists(FunctionIdentifier("graft_top_k"))) {
       registry.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
       registry.createOrReplaceTempFunction("graft_cosine", cosineBuilder, "built-in")
       registry.createOrReplaceTempFunction("graft_sign", signBuilder, "built-in")
       registry.createOrReplaceTempFunction("graft_nearest", nearestBuilder, "built-in")
       registry.createOrReplaceTempFunction("graft_vec_sum", vecSumBuilder, "built-in")
+      registry.createOrReplaceTempFunction("graft_top_k", topKBuilder, "built-in")
     }
   }
 
@@ -448,6 +466,8 @@ object GraftFunctions {
     call_function("graft_nearest", emb, cents, ids)
   def vecSum(emb: Column, dim: Int): Column =
     call_function("graft_vec_sum", emb, org.apache.spark.sql.functions.lit(dim))
+  def topK(score: Column, id: Column, k: Int): Column =
+    call_function("graft_top_k", score, id, org.apache.spark.sql.functions.lit(k))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -458,6 +478,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_nearest"), GraftFunctions.nearestInfo, GraftFunctions.nearestBuilder))
     // the custom-AGGREGATE rung (TypedImperativeAggregate, round 12)
     ext.injectFunction((FunctionIdentifier("graft_vec_sum"), GraftFunctions.vecSumInfo, GraftFunctions.vecSumBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_top_k"), GraftFunctions.topKInfo, GraftFunctions.topKBuilder))
     // HOF dot-product composition → fused native expression (see the rule's
     // scaladoc for the semantics-preservation argument)
     ext.injectOptimizerRule(_ => graft.plans.DotProductFusion)

@@ -799,7 +799,43 @@ object TextOps {
        |FROM sliced GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** Top-k quality docs per source via the bounded-state
+    * [[graft.functions.TopK]] aggregate (round 12) — the combiner-form
+    * top-k-per-group: partial buffers of ≤ k entries reduce each
+    * partition's contribution BEFORE the exchange, vs the window-rank
+    * form (`q_topk_per_group`) which shuffles and sorts every row to
+    * discard all but k. Selection under the total (quality DESC, doc_id
+    * ASC) order is arrival-order-independent → hash-checkable; the oracle
+    * is the ROW_NUMBER form over the shared quality formula, which is
+    * exactly the equivalence the aggregate claims.
+    */
+  def topkQualityAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), qualityColumn(col("text")).as("q"))
+      .groupBy("source")
+      .agg(
+        graft.functions.GraftFunctions.topK(col("q"), col("doc_id"), 3).as("ids"),
+        count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"), posexplode(col("ids")).as(Seq("r0", "doc_id")))
+      .select(
+        col("source"), (col("r0") + 1).as("rank"), col("doc_id"), col("n_docs"))
+      .orderBy("source", "rank")
+  }
+
+  val topkQualityAggSql: String =
+    s"""WITH q AS (
+       |  SELECT source, doc_id, ${qualitySqlExpr("text")} AS q FROM documents),
+       |r AS (
+       |  SELECT source, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rnk,
+       |         COUNT(*) OVER (PARTITION BY source) AS n_docs
+       |  FROM q)
+       |SELECT source, CAST(rnk AS INT) AS rank, doc_id, CAST(n_docs AS BIGINT) AS n_docs
+       |FROM r WHERE rnk <= 3 ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_topk_quality_agg" -> (topkQualityAgg _),
     "t_shuffle_shards" -> (shuffleShards _),
     "t_shuffle_epochs" -> (shuffleEpochs _),
     "t_shuffle_delta" -> (shuffleDelta _),
@@ -820,6 +856,7 @@ object TextOps {
     "t_corpus_checksum" -> (corpusChecksum _))
 
   val oracle: Map[String, String] = Map(
+    "t_topk_quality_agg" -> topkQualityAggSql,
     "t_shuffle_shards" -> shuffleShardsSql,
     "t_shuffle_epochs" -> shuffleEpochsSql,
     "t_shuffle_delta" -> shuffleDeltaSql,

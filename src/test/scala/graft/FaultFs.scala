@@ -1,0 +1,32 @@
+package graft
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+
+/** Test-only fault-injecting FileSystem (round-12 VERDICT #7): a local FS
+  * under the `faultfs:` scheme (registered via the Hadoop ServiceLoader
+  * manifest in test resources) whose `rename` can be made to throw when
+  * the destination matches a trigger name — simulating a crash inside the
+  * ShardSink manifest REPLACE window (delete of the old `_manifest.json`
+  * succeeded, rename of the new one never happened: the exact
+  * object-store degradation the sink's class doc promises is safe).
+  */
+class FaultFs extends RawLocalFileSystem {
+  override def getScheme: String = "faultfs"
+  override def getUri: URI = URI.create("faultfs:///")
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val trigger = FaultFs.failRenameTo.get()
+    if (trigger != null && dst.getName == trigger)
+      throw new java.io.IOException(s"FaultFs injected crash: rename $src -> $dst")
+    super.rename(src, dst)
+  }
+}
+
+object FaultFs {
+  /** When non-null, any rename whose DESTINATION file name equals this
+    * value throws (driver and executors share the JVM in local mode).
+    */
+  val failRenameTo = new java.util.concurrent.atomic.AtomicReference[String](null)
+}

@@ -374,7 +374,25 @@ class ScaleGuardSpec extends SparkSpec {
       "x5_word_freq" -> 1, "x5_bigram_freq" -> 1, "x5_text_stats" -> 3,
       "x8_distinct_users" -> 3, "x9_percentiles" -> 2,
       "t_shuffle_shards" -> 2, "t_shuffle_epochs" -> 2, "t_shuffle_delta" -> 3,
-      "t_quality_score" -> 1, "t_lang_id" -> 1, "t_fingerprints" -> 1)
+      "t_quality_score" -> 1, "t_lang_id" -> 1, "t_fingerprints" -> 1,
+      // round-12 widening (VERDICT r11 #6): DSv2 write path, curate-funnel
+      // heads, the full model family, and the round's new queries. Counts
+      // audited via graft.ShuffleCensus at sf0.001, AQE off. Model-family
+      // budgets are the MAX over memo states: on a freshly-checkpointed
+      // qmodel chain the plans are exchange-free (training is a
+      // driver-sequenced control loop over 1-row aggregates), but when the
+      // memoized base was built under a different conf the consumer plan
+      // keeps 1–3 small exchanges — both are fine; the gate exists to
+      // catch a silently-added corpus-sized shuffle, not memo noise.
+      "q_dsv2_write_roundtrip" -> 2, "q_format_roundtrip" -> 3,
+      "t_curate" -> 3, "t_curate_attrition" -> 1,
+      "t_quality_model" -> 1, "t_quality_model_eval" -> 1,
+      "t_quality_model_scores" -> 1, "t_quality_model_holdout" -> 1,
+      "t_model_delta" -> 1, "t_model_auc" -> 3, "t_model_calibration" -> 2,
+      "t_model_threshold" -> 1, "t_weighted_sample" -> 2,
+      "t_data_mixture" -> 9, "t_token_budget" -> 2, "t_ingest_decision" -> 11,
+      "t_dedup_delta" -> 4, "t_bpe_batched" -> 1, "x6_vecsum_centroids" -> 2,
+      "t_topk_quality_agg" -> 2)
     val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val bucketKey = "spark.sql.sources.v2.bucketing.enabled"
     val oldBucket = spark.conf.getOption(bucketKey)

@@ -184,6 +184,48 @@ class ShardSinkSpec extends SparkSpec {
     assert(tsvs.toSet === ShardSink.committedFiles(dir).toSet, tsvs.mkString(","))
   }
 
+  test("manifest replace crash window degrades to manifest-absent, never partial (FaultFs)") {
+    // the class doc's object-store claim, now executed instead of stated:
+    // a crash between delete(old manifest) and rename(new manifest) must
+    // leave NO manifest — readers see "no committed data", never a torn
+    // or partial manifest. FaultFs is a local FS whose rename throws when
+    // the destination is _manifest.json.
+    val local = freshDir().getPath
+    val dir = "faultfs://" + local
+    def write(n: Int) =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", n.toString).option("numPartitions", "2").load()
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    // job 1 commits cleanly THROUGH the faultfs scheme (whole IO stack on
+    // the Hadoop FileSystem API — the HDFS-portability claim)
+    write(300)
+    def readBack() = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+    assert(readBack().count() === 300L)
+    // job 2 crashes INSIDE the replace window
+    FaultFs.failRenameTo.set("_manifest.json")
+    try {
+      val e = intercept[Exception](write(200))
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+      assert(causes(e).exists(m => m != null && m.contains("injected crash")),
+        s"expected the injected crash, got: $e")
+    } finally FaultFs.failRenameTo.set(null)
+    // degradation contract: manifest ABSENT (old one was deleted, new one
+    // never landed) → zero committed data, and the reader does not error
+    assert(!new java.io.File(local, "_manifest.json").exists())
+    assert(ShardSink.committedFiles(dir).isEmpty)
+    assert(readBack().count() === 0L, "reader must see nothing, never a partial manifest")
+    // the new manifest body survives as an ignored temp alongside the old
+    // job's (now invisible) data files — garbage, not corruption
+    val leftovers = new java.io.File(local).listFiles().map(_.getName)
+    assert(leftovers.exists(_.startsWith("_manifest.")), leftovers.mkString(","))
+    // recovery: a clean rewrite re-establishes a complete committed view
+    write(100)
+    assert(readBack().count() === 100L)
+  }
+
   test("reported statistics flip the optimizer's broadcast decision with the pushed filter") {
     import org.apache.spark.sql.functions._
     def docgen = spark.read.format("graft.sources.DocGenSource")

@@ -272,6 +272,25 @@ class SourcesSpec extends SparkSpec {
     assert(rows === Seq(1L -> None, 2L -> Some(9.5))) // old files null-fill new columns
   }
 
+  test("DocGen stream under Trigger.AvailableNow drains the WHOLE corpus, not one batch") {
+    // round-12 ADVICE fix: latestOffset used to treat ReadAllAvailable as
+    // a single batch-size step, so a run-once trigger silently stopped at
+    // 5000 of 20000 rows. ReadAllAvailable must jump to hi.
+    val sink = s"docgen_avail_${System.nanoTime()}"
+    val q = spark.readStream.format("graft.sources.DocGenSource")
+      .option("numDocs", "20000")
+      .option("numPartitions", "2")
+      .option("streamBatchSize", "5000")
+      .load()
+      .groupBy($"shard").count()
+      .writeStream.outputMode("complete").format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val total = spark.table(sink).agg(sum($"count")).collect().head.getLong(0)
+    assert(total === 20000L, s"AvailableNow drained only $total of 20000 rows")
+  }
+
   test("file-based event stream produces the same hourly windows as batch") {
     val streamDir = tmp("evstream")
     Files.copy(

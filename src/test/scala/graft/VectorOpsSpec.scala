@@ -120,6 +120,57 @@ class VectorOpsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq, "exact-decimal merge must be partitioning-invariant")
   }
 
+  test("graft_top_k: equals the window-rank form; no WindowExec; partitioning-invariant") {
+    graft.functions.GraftFunctions.register(spark)
+    val agg = graft.text.TextOps.topkQualityAgg(spark, sf001)
+    // the combiner form must contain NO window operator — that is its
+    // entire reason to exist
+    assert(agg.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "top-k aggregate must not plan a window")
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      graft.model.Tables.documents(spark, sf001)
+        .select($"source", $"doc_id", graft.text.TextOps.qualityColumn($"text").as("q"))
+        .withColumn("rank",
+          row_number().over(Window.partitionBy($"source").orderBy($"q".desc, $"doc_id")))
+        .where($"rank" <= 3)
+        .join(
+          graft.model.Tables.documents(spark, sf001).groupBy("source")
+            .agg(count(lit(1)).as("n_docs")),
+          "source")
+        .select($"source", $"rank", $"doc_id", $"n_docs")
+        .orderBy("source", "rank")
+    }
+    assert(agg.collect().toSeq === viaWindow.collect().toSeq)
+    // arrival order cannot matter: selection under a total order
+    import spark.implicits._
+    val rows = (1 to 500).map(i => ((i % 5).toString, i.toLong, (i % 17) * 1.0))
+    def top(parts: Int) = rows.toDF("g", "id", "s").repartition(parts)
+      .groupBy($"g").agg(graft.functions.GraftFunctions.topK($"s", $"id", 4).as("ids"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+    assert(top(1) === top(13))
+  }
+
+  test("graft_top_k: null inputs skipped, empty group null, non-literal k rejected") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (0, Some(5.0), Some(10L)),
+      (0, None, Some(11L)), // null score: skipped
+      (0, Some(7.0), None), // null id: skipped
+      (1, Option.empty[Double], Option.empty[Long]))
+      .toDF("g", "s", "id")
+    val out = df.groupBy($"g")
+      .agg(graft.functions.GraftFunctions.topK($"s", $"id", 2).as("ids"))
+      .orderBy($"g").collect()
+    assert(out(0).getSeq[Long](1) === Seq(10L))
+    assert(out(1).isNullAt(1), "empty group must be NULL")
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_top_k(1.0, 2, CAST(rand() * 4 AS INT))").collect())
+    assert(err.getMessage.toLowerCase.matches("(?s).*(literal|foldable|k ).*"), err.getMessage)
+  }
+
   test("graft_vec_sum: null/ragged/null-element vectors contribute nothing; empty group is null") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
