@@ -59,7 +59,8 @@ class DocGenSource extends TableProvider {
       properties.getOrDefault("numDocs", DocGen.DefaultNumDocs.toString).toLong,
       properties.getOrDefault("numPartitions", DocGen.DefaultNumPartitions.toString).toInt,
       properties.getOrDefault("streamBatchSize", DocGen.DefaultStreamBatchSize.toString).toLong,
-      properties.getOrDefault("partitionBy", "").equalsIgnoreCase("shard"))
+      properties.getOrDefault("partitionBy", "").equalsIgnoreCase("shard"),
+      properties.getOrDefault("columnar", "false").toBoolean)
 }
 
 object DocGen {
@@ -130,6 +131,41 @@ object DocGen {
       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |       bit_xor(doc_id) AS xor_ids,
       |       CAST(SUM(CASE WHEN substring(body, 1, 1) = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_body_a
+      |FROM g GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Driver-checked COLUMNAR read (round 12 — the vectorized-source rung):
+    * the same generated corpus delivered as ColumnarBatches of
+    * OnHeapColumnVectors; Spark plans the ColumnarToRow transition and
+    * downstream codegen consumes vectors, exactly how the built-in
+    * parquet reader feeds a scan. Same pushdown (the range reaches the
+    * generator), same rollup shape as dsv2Scan over a different window so
+    * the two checked queries cannot be confused; DocGenSpec additionally
+    * pins the ColumnarToRow node and row-vs-columnar equality.
+    */
+  def dsv2Columnar(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", DefaultNumDocs.toString)
+      .option("columnar", "true")
+      .load()
+      .where(col("doc_id") >= 3000L && col("doc_id") < 41000L)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        sum(when(substring(col("body"), 1, 1) === "b", 1L).otherwise(0L)).as("n_body_b"))
+      .orderBy("shard")
+  }
+
+  val dsv2ColumnarSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |         md5(CAST(doc_id AS VARCHAR)) AS body
+      |  FROM range(3000, 41000) t(doc_id))
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(SUM(CASE WHEN substring(body, 1, 1) = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_body_b
       |FROM g GROUP BY shard ORDER BY shard""".stripMargin
 
   /** Driver-checked aggregate pushdown: COUNT/MIN/MAX(doc_id) per shard
@@ -368,14 +404,15 @@ object DocGen {
 }
 
 class DocGenTable(
-    numDocs: Long, numPartitions: Int, streamBatchSize: Long, shardKeyed: Boolean = false)
+    numDocs: Long, numPartitions: Int, streamBatchSize: Long,
+    shardKeyed: Boolean = false, columnar: Boolean = false)
   extends Table with SupportsRead {
   override def name(): String = s"docgen($numDocs)"
   override def schema(): StructType = DocGen.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocGenScanBuilder(numDocs, numPartitions, streamBatchSize, shardKeyed)
+    new DocGenScanBuilder(numDocs, numPartitions, streamBatchSize, shardKeyed, columnar)
 }
 
 /** Mutable planning state: the [lo, hi) interval tightened by every
@@ -386,7 +423,8 @@ class DocGenTable(
 class DocGenScanBuilder(
     numDocs: Long, numPartitions: Int,
     streamBatchSize: Long = DocGen.DefaultStreamBatchSize,
-    shardKeyed: Boolean = false)
+    shardKeyed: Boolean = false,
+    columnar: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates {
 
@@ -469,7 +507,8 @@ class DocGenScanBuilder(
   override def build(): Scan = pushedAgg match {
     case Some(spec) => DocGenAggScan(lo, math.max(lo, hi), spec)
     case None =>
-      DocGenScan(lo, math.max(lo, hi), numPartitions, required, streamBatchSize, shardKeyed)
+      DocGenScan(
+        lo, math.max(lo, hi), numPartitions, required, streamBatchSize, shardKeyed, columnar)
   }
 }
 
@@ -493,7 +532,8 @@ case class DocGenShardPartition(shard: Int, first: Long, last: Long)
 case class DocGenScan(
     lo: Long, hi: Long, numPartitions: Int, required: StructType,
     streamBatchSize: Long = DocGen.DefaultStreamBatchSize,
-    shardKeyed: Boolean = false)
+    shardKeyed: Boolean = false,
+    columnar: Boolean = false)
   extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering
   with SupportsReportStatistics {
 
@@ -577,7 +617,7 @@ case class DocGenScan(
     else new UnknownPartitioning(DocGenScan.split(lo, hi, numPartitions).length)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocGenReaderFactory(required.fieldNames)
+    new DocGenReaderFactory(required.fieldNames, columnar)
 
   /** Micro-batch form: the same rows drain as a bounded stream,
     * `streamBatchSize` ids per batch — the connector's ingest-simulation
@@ -716,15 +756,76 @@ class DocGenMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-class DocGenReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+/** Row- or COLUMNAR-mode reader factory. Columnar (round 12): the
+  * vectorized-source rung — `supportColumnarReads` makes Spark plan the
+  * scan as ColumnarBatch flow + one ColumnarToRow transition (the same
+  * shape the built-in parquet reader uses), so downstream whole-stage
+  * codegen consumes column vectors instead of per-row iterators. The
+  * generator fills OnHeapColumnVectors in 4096-row batches; results are
+  * byte-identical to the row reader (same id walk, same md5), which the
+  * checked query's hash gate and the spec's row-vs-columnar diff pin.
+  */
+class DocGenReaderFactory(fields: Array[String], columnar: Boolean = false)
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  private def bounds(partition: InputPartition): (Long, Long, Long) = partition match {
+    case r: DocGenRange => (r.start, r.end, 1L)
+    case s: DocGenShardPartition => (s.first, s.last + 1, DocGen.NumShards.toLong)
+  }
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (start, end, step) = bounds(partition)
+    val schema = fields.foldLeft(new StructType()) { (st, f) =>
+      f match {
+        case "doc_id" => st.add("doc_id", LongType, nullable = false)
+        case "shard" => st.add("shard", IntegerType, nullable = false)
+        case "body" => st.add("body", StringType, nullable = false)
+      }
+    }
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private val Cap = 4096
+      private val vectors =
+        org.apache.spark.sql.execution.vectorized.OnHeapColumnVector.allocateColumns(Cap, schema)
+      private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+        vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+      private var cur = start
+
+      override def next(): Boolean = {
+        if (cur >= end) return false
+        var i = 0
+        while (i < vectors.length) { vectors(i).reset(); i += 1 }
+        var n = 0
+        while (n < Cap && cur < end) {
+          var c = 0
+          while (c < fields.length) {
+            fields(c) match {
+              case "doc_id" => vectors(c).putLong(n, cur)
+              case "shard" => vectors(c).putInt(n, (cur % 16).toInt)
+              case "body" =>
+                val b = DocGen.bodyOf(cur).getBytes("UTF-8")
+                vectors(c).putByteArray(n, b, 0, b.length)
+            }
+            c += 1
+          }
+          cur += step
+          n += 1
+        }
+        batch.setNumRows(n)
+        true
+      }
+
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit = batch.close()
+    }
+  }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     // (start, end, step): contiguous ranges iterate by 1 over [start, end);
     // shard partitions iterate the shard's arithmetic progression by 16
     // over [first, last] inclusive
-    val (start, end, step) = partition match {
-      case r: DocGenRange => (r.start, r.end, 1L)
-      case s: DocGenShardPartition => (s.first, s.last + 1, DocGen.NumShards.toLong)
-    }
+    val (start, end, step) = bounds(partition)
     new PartitionReader[InternalRow] {
       private var cur = start - step
       override def next(): Boolean = { cur += step; cur < end }

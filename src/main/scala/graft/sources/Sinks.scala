@@ -172,6 +172,7 @@ object Sinks {
     "q_format_roundtrip" -> (formatRoundtrip _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_dsv2_scan" -> (DocGen.dsv2Scan _),
+    "q_dsv2_columnar" -> (DocGen.dsv2Columnar _),
     "q_dsv2_agg_pushdown" -> (DocGen.dsv2AggPushdown _),
     "q_dsv2_shard_rollup" -> (DocGen.dsv2ShardRollup _),
     "q_dsv2_spj" -> (DocGen.dsv2Spj _),
@@ -184,6 +185,7 @@ object Sinks {
     "q_format_roundtrip" -> formatRoundtripSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_dsv2_scan" -> DocGen.dsv2ScanSql,
+    "q_dsv2_columnar" -> DocGen.dsv2ColumnarSql,
     "q_dsv2_agg_pushdown" -> DocGen.dsv2AggPushdownSql,
     "q_dsv2_shard_rollup" -> DocGen.dsv2ShardRollupSql,
     "q_dsv2_spj" -> DocGen.dsv2SpjSql,

@@ -185,6 +185,30 @@ class DocGenSpec extends SparkSpec {
     }
   }
 
+  test("columnar read: plan carries ColumnarToRow; rows identical to the row reader") {
+    def read(columnar: Boolean) = spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "5000").option("columnar", columnar.toString).load()
+      .where(col("doc_id") >= 100L && col("doc_id") < 4600L)
+    val colDf = read(columnar = true)
+    val plan = colDf.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"columnar scan must plan the vectorized transition:\n$plan")
+    assert(!read(columnar = false).queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"), "row mode must not claim columnar support")
+    // byte-identical output incl. the md5 bodies, and pushdown still works
+    // (pruned range visible in the scan description either way)
+    assert(plan.contains("range=[100,4600)"), plan)
+    assert(colDf.exceptAll(read(columnar = false)).isEmpty)
+    assert(read(columnar = false).exceptAll(colDf).isEmpty)
+    // column pruning reaches the columnar reader too: a 1-column project
+    // never computes bodies (same contract as the row path)
+    val pruned = read(columnar = true).select("doc_id")
+    val desc = pruned.queryExecution.executedPlan.toString
+    assert(desc.contains("columns=doc_id"), desc)
+    assert(pruned.agg(expr("bit_xor(doc_id)")).head.getLong(0) ===
+      read(columnar = false).select("doc_id").agg(expr("bit_xor(doc_id)")).head.getLong(0))
+  }
+
   test("runtime filtering: a broadcast dim's shard values prune shard partitions at execution") {
     DocGen.lastRuntimeFilter.set(null)
     val df = DocGen.dsv2RuntimeFilter(spark, sf001)
