@@ -728,10 +728,14 @@ class DocGenMicroBatchStream(
     // silently stop short. CompositeReadLimit carries its row cap inside;
     // unwrap it rather than defaulting.
     import org.apache.spark.sql.connector.read.streaming.{
-      CompositeReadLimit, ReadAllAvailable, ReadMaxRows}
+      CompositeReadLimit, ReadAllAvailable, ReadMaxRows, ReadMinRows}
     def stepOf(l: ReadLimit): Option[Long] = l match {
       case r: ReadMaxRows => Some(r.maxRows())
       case _: ReadAllAvailable => None // no cap: everything available
+      // minRows is a TRIGGER threshold (when to start a batch), not a cap
+      // on how much to read — inside a CompositeReadLimit mapping it to
+      // batchSize would shrink the min() below an explicit maxRows cap
+      case _: ReadMinRows => None
       case c: CompositeReadLimit =>
         val steps = c.getReadLimits.flatMap(stepOf)
         if (steps.isEmpty) None else Some(steps.min)

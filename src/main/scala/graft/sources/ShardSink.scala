@@ -327,6 +327,22 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
     // manifest LAST, written to a temp name then moved: the job becomes
     // visible as one file move or not at all. Append MERGES the previous
     // manifest (accumulating semantics); truncate replaces it.
+    //
+    // CONCURRENCY: the merge is a read-modify-write of _manifest.json.
+    // Readers-vs-one-writer is safe (the flip is atomic); concurrent
+    // WRITERS are not — a second Append committing in the window would
+    // have its files silently dropped by this flip. Detect that at flip
+    // time and fail THIS commit loudly instead (the caller can retry;
+    // its temp files were already moved under job-unique names, so the
+    // retry re-reads a manifest that now includes the winner).
+    if (!truncate) {
+      val now = ShardSink.committedFilesWithRows(path)
+      if (now.toSet != previous.toSet)
+        throw new IllegalStateException(
+          s"ShardSink concurrent-writer conflict at $path: manifest changed " +
+            s"during commit (${previous.size} -> ${now.size} files); " +
+            "this sink supports a single writer at a time")
+    }
     val kept = if (truncate) Seq.empty else previous
     writeManifest(kept ++ finals, queryId)
     // truncate cleanup AFTER the flip: old files are already invisible;

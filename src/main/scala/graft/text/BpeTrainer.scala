@@ -106,7 +106,10 @@ object BpeTrainer {
     * Admission rule, chosen because it is exact and oracle-expressible:
     * scan the top-[[PassCandidates]] pairs in (freq DESC, pair ASC) order
     * and admit a pair iff neither of its tokens was used by an
-    * earlier-admitted pair in the same pass. Token-disjointness makes the
+    * earlier-admitted pair in the same pass — where "used" includes the
+    * CREATED token l+r of every admitted pair, so a candidate touching a
+    * token an earlier same-pass merge creates is deferred (its adjacency
+    * counts would otherwise be stale). Token-disjointness makes the
     * batch ORDER-INDEPENDENT (merging `a b` cannot create, destroy, or
     * recount any `c d` adjacency when {a,b} ∩ {c,d} = ∅), so applying the
     * admitted set in one vocab update equals applying them sequentially —
@@ -149,9 +152,12 @@ object BpeTrainer {
         cands.foreach { row =>
           if (taken.size < cap) {
             val Array(l, r) = row.getString(0).split(" ", 2)
+            // the CREATED token l+r is used too: a later same-pass candidate
+            // touching it would see adjacencies the earlier merge creates,
+            // breaking the order-independence the batch relies on
             if (!used(l) && !used(r)) {
               taken += ((l, r, row.getLong(1)))
-              used += l; used += r
+              used += l; used += r; used += (l + r)
             }
           }
         }
@@ -243,7 +249,8 @@ object BpeTrainer {
          |  SELECT c.rn,
          |         CASE WHEN list_contains(s.used, c.l) OR list_contains(s.used, c.r)
          |                   OR len(s.taken) >= $capExpr
-         |              THEN s.used ELSE list_append(list_append(s.used, c.l), c.r) END,
+         |              THEN s.used
+         |              ELSE list_append(list_append(list_append(s.used, c.l), c.r), c.l || c.r) END,
          |         CASE WHEN list_contains(s.used, c.l) OR list_contains(s.used, c.r)
          |                   OR len(s.taken) >= $capExpr
          |              THEN s.taken ELSE list_append(s.taken, c.pair) END

@@ -701,7 +701,7 @@ object QualityModel {
        |scored AS (SELECT doc_id, $sigmoidSql AS p FROM z, $wFinal),
        |samp AS (
        |  SELECT s.doc_id, s.p,
-       |         CASE WHEN $uSql < CAST(CAST(s.p AS DECIMAL(14,12)) AS DOUBLE)
+       |         CASE WHEN $uSql < CAST(CAST(CAST(s.p AS VARCHAR) AS DECIMAL(14,12)) AS DOUBLE)
        |              THEN 1 ELSE 0 END AS keep
        |  FROM scored s)
        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,

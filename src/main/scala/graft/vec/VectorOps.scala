@@ -704,12 +704,27 @@ object VectorOps {
     * double-summing Aggregator variant this sits under the full hash
     * gate; the oracle re-derives the same sums by exploding in SQL, which
     * is exactly the cross-check the fused buffer needs. Output long-form
-    * (label, pos, ...) to keep the compare scalar-typed. `sum_val` stays
-    * DECIMAL(38,18) end to end — the compare is decimal-to-decimal EXACT,
-    * the strongest possible check of the buffer arithmetic (DuckDB's
-    * DECIMAL→DOUBLE cast is not correctly-rounded, so a double-typed
-    * output would wobble 1–2 ulp; the mean goes through the standard
-    * round-6 discipline instead).
+    * (label, pos, ...) to keep the compare scalar-typed.
+    *
+    * The CHECKED projection goes through the repo's round-6 discipline
+    * (`sum_val` and `mean_val` rounded to 6 dp as doubles). The mean is
+    * derived from the FULL-precision sum, not the rounded one: a 6-dp
+    * sum divided by a small integer count lands on EXACT ties at the 7th
+    * digit (hit at sf0.001: -1.808884/56 = -0.0323015), where the two
+    * engines' ROUND disagree — full-precision quotients are generic
+    * doubles with ~1e-10 tie probability, the same footing as every
+    * other green round-6 query. A full-precision DECIMAL(38,18) compare
+    * is checker-fragile:
+    * it passes only under DuckDB builds whose DECIMAL→DOUBLE/VARCHAR
+    * formatting agrees in the 18th place (round-12 verdict adjudication).
+    * The 18-digit exactness claim lives where it is actually testable —
+    * the local[1]-vs-local[13] bit-identity spec in `VectorOpsSpec`.
+    *
+    * NOTE: `mean_val` divides by `count(*)` of all rows, while
+    * `graft_vec_sum` excludes null/ragged/null-element vectors from the
+    * sums — the query assumes a clean fixed-dim corpus (which the
+    * generated `embeddings` table is). On a dirty corpus, divide by a
+    * contributing count instead.
     */
   def vecsumCentroids(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -723,8 +738,9 @@ object VectorOps {
         posexplode(col("sums")).as(Seq("pos", "s")))
       .select(
         col("label"), col("pos"),
-        col("s").as("sum_val"),
-        round(col("s").cast("double") / col("n_vecs").cast("double"), 6).as("mean_val"),
+        round(col("s").cast("double"), 6).as("sum_val"),
+        round(col("s").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("mean_val"),
         col("n_vecs"))
       .orderBy("label", "pos")
   }
@@ -736,19 +752,26 @@ object VectorOps {
     * "decimal casts agree" rule holds only after round-6, where the tail
     * is zeros). `CAST(CAST(x AS VARCHAR) AS DECIMAL)` forces DuckDB
     * through the same shortest-repr + HALF_UP path Spark and [[VecSum]]
-    * use — verified digit-exact at all three SFs.
+    * use — verified digit-exact at all three SFs. The OUTBOUND cast gets
+    * the same treatment: `CAST(CAST(sum AS VARCHAR) AS DOUBLE)` is a
+    * correctly-rounded strtod over the exact digit string (DuckDB's
+    * direct DECIMAL→DOUBLE is 1–2 ulp off), so both engines divide
+    * bit-identical doubles before the final round-6.
     */
   val vecsumCentroidsSql: String =
     """WITH nv AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
       |u AS (SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
-      |      FROM embeddings)
-      |SELECT u.label, i - 1 AS pos,
-      |       CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) AS VARCHAR) AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sum_val,
-      |       ROUND(CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE)
-      |             / CAST(MAX(nv.n) AS DOUBLE), 6) AS mean_val,
-      |       CAST(MAX(nv.n) AS BIGINT) AS n_vecs
-      |FROM u JOIN nv ON u.label = nv.label
-      |GROUP BY u.label, i ORDER BY u.label, pos""".stripMargin
+      |      FROM embeddings),
+      |s AS (SELECT u.label, i - 1 AS pos,
+      |             CAST(CAST(SUM(CAST(CAST(CAST(e AS DOUBLE) AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sum_d,
+      |             CAST(MAX(nv.n) AS BIGINT) AS n_vecs
+      |      FROM u JOIN nv ON u.label = nv.label
+      |      GROUP BY u.label, i)
+      |SELECT label, pos,
+      |       ROUND(sum_d, 6) AS sum_val,
+      |       ROUND(sum_d / CAST(n_vecs AS DOUBLE), 6) AS mean_val,
+      |       n_vecs
+      |FROM s ORDER BY label, pos""".stripMargin
 
   // ---- LSH-bucketed ANN (scale path; no oracle — signature pruning) ----
 
