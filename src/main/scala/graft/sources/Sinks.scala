@@ -176,6 +176,7 @@ object Sinks {
     "q_dsv2_agg_pushdown" -> (DocGen.dsv2AggPushdown _),
     "q_dsv2_shard_rollup" -> (DocGen.dsv2ShardRollup _),
     "q_dsv2_spj" -> (DocGen.dsv2Spj _),
+    "q_dsv2_spj_bucket" -> (DocGen.dsv2SpjBucket _),
     "q_dsv2_runtime_filter" -> (DocGen.dsv2RuntimeFilter _),
     "q_dsv2_write_roundtrip" -> (ShardSink.writeRoundtrip _),
     "s_shardsink_stream_parity" -> (ShardSink.streamWriteParity _),
@@ -189,6 +190,7 @@ object Sinks {
     "q_dsv2_agg_pushdown" -> DocGen.dsv2AggPushdownSql,
     "q_dsv2_shard_rollup" -> DocGen.dsv2ShardRollupSql,
     "q_dsv2_spj" -> DocGen.dsv2SpjSql,
+    "q_dsv2_spj_bucket" -> DocGen.dsv2SpjBucketSql,
     "q_dsv2_runtime_filter" -> DocGen.dsv2RuntimeFilterSql,
     "q_dsv2_write_roundtrip" -> ShardSink.writeRoundtripSql,
     "s_shardsink_stream_parity" -> ShardSink.streamWriteParitySql,

@@ -254,6 +254,38 @@ class DocGenSpec extends SparkSpec {
       .forall(_ != "-1"))
   }
 
+  test("bucket-transform SPJ: catalog-resolved bucket(8, doc_id), zero exchanges below the join") {
+    val df = DocGen.dsv2SpjBucket(spark, sf001)
+    // the inner newSession keeps AQE at its default, so the executed plan
+    // is an AdaptiveSparkPlanExec whose subtree collect() cannot see —
+    // assert on the printed initial plan, as the identity-SPJ test does
+    // (tree prints top-down: "above the join" = smaller string index)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    val hashIdx = plan.indexOf("Exchange hashpartitioning")
+    val smjIdx = plan.indexOf("SortMergeJoin")
+    // exactly ONE hash exchange — the ≤8-group rollup above the join; the
+    // SPJ claim is no exchange anywhere BELOW the join (each bucket's
+    // partition pair joins in place)
+    assert(hashIdx >= 0 && plan.indexOf("Exchange hashpartitioning", hashIdx + 1) < 0,
+      s"expected exactly one hash exchange (the final rollup):\n$plan")
+    assert(hashIdx < smjIdx,
+      s"bucket-transform storage-partitioned join still shuffled below the join:\n$plan")
+    // both scans went through the catalog's bucket transform and were
+    // tightened to the window intersection by constraint propagation
+    assert(plan.sliding("keyed=bucket(8,doc_id)".length).count(_ == "keyed=bucket(8,doc_id)") === 2, plan)
+    assert(plan.sliding("range=[20000,30000)".length).count(_ == "range=[20000,30000)") === 2, plan)
+    // 10000 joined ids over 8 buckets, 1250 each
+    val rows = df.collect()
+    assert(rows.length === 8)
+    assert(rows.map(_.getLong(1)).sum === 10000L)
+    // the catalog's canonical bucket function itself: literal-first
+    // argument order per the V2 transform convention
+    assert(graft.sources.DocGenBucketFunction.produceResult(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](8, 20003L))) === 3)
+  }
+
   test("generated rows match the documented formula") {
     val row = load().where(col("doc_id") === 7L).collect().head
     assert(row.getLong(0) === 7L)

@@ -368,7 +368,7 @@ class ScaleGuardSpec extends SparkSpec {
       "q_asof_join" -> 2, "q_asof_native" -> 3, "q_asof_payload" -> 4,
       "q_range_join" -> 2, "q_skew_join" -> 2, "q_getorcreate_dims" -> 2,
       "q_dsv2_scan" -> 2, "q_dsv2_agg_pushdown" -> 1, "q_dsv2_shard_rollup" -> 1,
-      "q_dsv2_spj" -> 1, "q_dsv2_runtime_filter" -> 1,
+      "q_dsv2_spj" -> 1, "q_dsv2_spj_bucket" -> 2, "q_dsv2_runtime_filter" -> 1,
       "q_hourly_windows" -> 2, "q_sliding_windows" -> 3, "q_session_counts" -> 2,
       "x1_dedup_exact" -> 2, "x2_jaccard_pairs" -> 1,
       "x5_word_freq" -> 1, "x5_bigram_freq" -> 1, "x5_text_stats" -> 3,
