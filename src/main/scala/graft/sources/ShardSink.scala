@@ -129,6 +129,12 @@ private[sources] object SinkFs {
   def readLines(p: Path): Seq[String] =
     readString(p).split("\n", -1).toSeq.filter(_.nonEmpty)
 
+  def listFileNames(dir: Path): Seq[String] = {
+    val fs = fsOf(dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.getName)
+  }
+
   /** Move src over dest: atomic rename where the FS provides it (HDFS,
     * POSIX); the delete-first REPLACE window degrades to "file absent",
     * never to partial content (the src is fully written before the move).
@@ -318,9 +324,36 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
       (dest.getName, c.rows)
     }
     // replace-then-append keyed on the epoch prefix = replay idempotence
-    val kept = ShardSink.committedFilesWithRows(path)
-      .filterNot { case (f, _) => f.startsWith(s"part-e$epochId-") }
+    val manifest = ShardSink.committedFilesWithRows(path)
+    val kept =
+      if (manifest.nonEmpty)
+        manifest.filterNot { case (f, _) => f.startsWith(s"part-e$epochId-") }
+      else recoverPriorEpochs(epochId)
     writeManifest(kept ++ epochFiles, s"$queryId-e$epochId")
+  }
+
+  /** Crash recovery for the streaming path: a prior epoch's commit can die
+    * INSIDE the manifest replace window (old `_manifest.json` deleted, new
+    * one never renamed). For a batch job that degradation is the contract
+    * ("job never committed"); for streaming it would silently LOSE every
+    * epoch the checkpoint already recorded as done — the restart replays
+    * only the last epoch and would rebuild the manifest from nothing.
+    * Epoch files are safe to recover from disk: their names are
+    * deterministic (`part-e<epoch>-<i>.tsv`) and every one of them was
+    * fully renamed BEFORE any manifest flip was attempted, so on a
+    * manifest-absent replay we rebuild prior epochs' entries from the
+    * directory listing (recounting rows — the rare-path cost of losing the
+    * manifest). The replayed epoch's own files are excluded: its fresh
+    * commit replaces them. Batch (`part-b*`) files stay unrecovered — a
+    * batch job with no manifest never committed.
+    */
+  private def recoverPriorEpochs(replayEpoch: Long): Seq[(String, Long)] = {
+    val EpochFile = """part-e(\d+)-\d+\.tsv""".r
+    SinkFs.listFileNames(new Path(path)).sorted.flatMap {
+      case f @ EpochFile(e) if e.toLong != replayEpoch =>
+        Some((f, SinkFs.readLines(new Path(path, f)).size.toLong))
+      case _ => None
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -171,6 +171,33 @@ class VectorOpsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.matches("(?s).*(literal|foldable|k ).*"), err.getMessage)
   }
 
+  test("spill path: sort-based ObjectHashAggregate fallback is bit-identical for vec_sum and top_k") {
+    // the shape a 100 TB grouping actually takes under memory pressure:
+    // ObjectHashAggregate falls back to sort-based aggregation after
+    // `fallbackThreshold` distinct keys, exercising serialize/deserialize
+    // on every buffer and merging in sorted-key order. Threshold 1 forces
+    // the fallback from the first key; results must be bit-identical to
+    // the in-memory hash path (the exact-decimal / total-order designs
+    // make merge order irrelevant — this proves it on the spill path too)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1")
+    graft.functions.GraftFunctions.register(s)
+
+    val spillVec = graft.vec.VectorOps.vecsumCentroids(s, sf001)
+    assert(spillVec.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
+      "vec_sum no longer plans as ObjectHashAggregate — the fallback conf tests nothing")
+    val hashVec = graft.vec.VectorOps.vecsumCentroids(spark, sf001)
+    assert(spillVec.collect().toSeq === hashVec.collect().toSeq,
+      "sort-based fallback changed graft_vec_sum results")
+
+    val spillTop = graft.text.TextOps.topkQualityAgg(s, sf001)
+    assert(spillTop.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
+      "top_k no longer plans as ObjectHashAggregate — the fallback conf tests nothing")
+    val hashTop = graft.text.TextOps.topkQualityAgg(spark, sf001)
+    assert(spillTop.collect().toSeq === hashTop.collect().toSeq,
+      "sort-based fallback changed graft_top_k results")
+  }
+
   test("graft_vec_sum: null/ragged/null-element vectors contribute nothing; empty group is null") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
