@@ -383,6 +383,69 @@ object DocGen {
       |       CAST(SUM(CASE WHEN substring(body, 1, 1) = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_body_a
       |FROM g GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Driver-checked METADATA COLUMN read (round 13): `_range_start` is
+    * provenance metadata (which input partition generated the row), never
+    * part of the table schema — referenced explicitly it flows through
+    * pruneColumns like any required field, and the rollup groups the
+    * corpus by its 8 generating partitions. The oracle re-derives the
+    * partition start in closed form (width 7500 over [0, 60000)), so the
+    * split arithmetic the metadata column exposes is itself hash-checked.
+    */
+  def dsv2MetadataCols(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", DefaultNumDocs.toString)
+      .option("numPartitions", DefaultNumPartitions.toString)
+      .load()
+      .select(col("doc_id"), col("_range_start").as("range_start"))
+      .groupBy(col("range_start"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("range_start")
+  }
+
+  val dsv2MetadataColsSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, (doc_id // 7500) * 7500 AS range_start
+      |  FROM range(0, 60000) t(doc_id))
+      |SELECT range_start, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM g GROUP BY range_start ORDER BY range_start""".stripMargin
+
+  /** Driver-checked SQL invocation of the V2 catalog function (round 13):
+    * `graft_docgen.bucket(5, doc_id)` resolves through
+    * [[DocGenCatalog.loadFunction]] and runs row-level via the typed
+    * `invoke` magic method — the same canonical function SPJ planning
+    * uses, now exercised as an ordinary scalar over a catalog-loaded
+    * table with the usual pushdown (the WHERE range reaches the source).
+    * The 5-bucket modulus is deliberately NOT the table's partition
+    * modulus, so the result can't accidentally ride partition keys.
+    */
+  def dsv2CatalogFunction(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_docgen", classOf[DocGenCatalog].getName)
+    s.sql(
+      """SELECT graft_docgen.bucket(5, doc_id) AS b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       bit_xor(doc_id) AS xor_ids
+        |FROM graft_docgen.docs
+        |WHERE doc_id >= 10000 AND doc_id < 50000
+        |GROUP BY graft_docgen.bucket(5, doc_id)
+        |ORDER BY b""".stripMargin)
+  }
+
+  val dsv2CatalogFunctionSql: String =
+    """SELECT CAST(doc_id % 5 AS INT) AS b, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids
+      |FROM range(10000, 50000) t(doc_id)
+      |GROUP BY 1 ORDER BY b""".stripMargin
+
   val NumShards = 16
 
   /** Closed-form per-residue slices of [lo, hi) under an arbitrary modulus:
@@ -460,9 +523,26 @@ class DocGenTable(
     numDocs: Long, numPartitions: Int, streamBatchSize: Long,
     shardKeyed: Boolean = false, columnar: Boolean = false,
     bucketN: Option[Int] = None)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"docgen($numDocs)"
   override def schema(): StructType = DocGen.schema
+
+  /** [[org.apache.spark.sql.connector.catalog.SupportsMetadataColumns]]:
+    * `_range_start` = the first doc_id of the generating input partition —
+    * the docgen analogue of a file source's `_metadata.file_path`
+    * (provenance: WHICH physical split produced this row). Materialized
+    * only when referenced: pruneColumns sees it as one more required
+    * field, so an ordinary scan never pays for it.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_range_start"
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "first doc_id of the generating input partition"
+    })
   /** DDL-visible layout: identity(shard) in shard-keyed mode,
     * bucket(N, doc_id) in bucket mode — what the scan's reported
     * [[KeyGroupedPartitioning]] mirrors.
@@ -632,6 +712,7 @@ case class DocGenScan(
       case "doc_id" => 8L
       case "shard" => 4L
       case "body" => 48L // 32 hex chars + string overhead
+      case "_range_start" => 8L
     }.sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -888,6 +969,7 @@ class DocGenReaderFactory(fields: Array[String], columnar: Boolean = false)
         case "doc_id" => st.add("doc_id", LongType, nullable = false)
         case "shard" => st.add("shard", IntegerType, nullable = false)
         case "body" => st.add("body", StringType, nullable = false)
+        case "_range_start" => st.add("_range_start", LongType, nullable = false)
       }
     }
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
@@ -912,6 +994,7 @@ class DocGenReaderFactory(fields: Array[String], columnar: Boolean = false)
               case "body" =>
                 val b = DocGen.bodyOf(cur).getBytes("UTF-8")
                 vectors(c).putByteArray(n, b, 0, b.length)
+              case "_range_start" => vectors(c).putLong(n, start)
             }
             c += 1
           }
@@ -942,6 +1025,7 @@ class DocGenReaderFactory(fields: Array[String], columnar: Boolean = false)
             case "doc_id" => row.update(i, cur)
             case "shard" => row.update(i, (cur % 16).toInt)
             case "body" => row.update(i, UTF8String.fromString(DocGen.bodyOf(cur)))
+            case "_range_start" => row.update(i, start)
           }
           i += 1
         }
@@ -971,6 +1055,13 @@ object DocGenBucketFunction
     val n = input.getInt(0)
     (((input.getLong(1) % n) + n) % n).toInt
   }
+  /** The ScalarFunction MAGIC method: Spark's function resolution prefers
+    * a typed `invoke` over the boxing `produceResult` path — row-level SQL
+    * calls of `graft_docgen.bucket(...)` compile to a direct method call
+    * inside codegen instead of building an InternalRow per row.
+    */
+  def invoke(numBuckets: Int, value: Long): Int =
+    (((value % numBuckets) + numBuckets) % numBuckets).toInt
 }
 
 object DocGenBucketUnbound

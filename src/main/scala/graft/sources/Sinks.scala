@@ -177,8 +177,11 @@ object Sinks {
     "q_dsv2_shard_rollup" -> (DocGen.dsv2ShardRollup _),
     "q_dsv2_spj" -> (DocGen.dsv2Spj _),
     "q_dsv2_spj_bucket" -> (DocGen.dsv2SpjBucket _),
+    "q_dsv2_metadata_cols" -> (DocGen.dsv2MetadataCols _),
+    "q_dsv2_catalog_function" -> (DocGen.dsv2CatalogFunction _),
     "q_dsv2_runtime_filter" -> (DocGen.dsv2RuntimeFilter _),
     "q_dsv2_write_roundtrip" -> (ShardSink.writeRoundtrip _),
+    "q_dsv2_delete" -> (ShardSink.deleteRoundtrip _),
     "s_shardsink_stream_parity" -> (ShardSink.streamWriteParity _),
     "s_dsv2_stream_parity" -> (DocGen.dsv2StreamParity _))
 
@@ -191,8 +194,11 @@ object Sinks {
     "q_dsv2_shard_rollup" -> DocGen.dsv2ShardRollupSql,
     "q_dsv2_spj" -> DocGen.dsv2SpjSql,
     "q_dsv2_spj_bucket" -> DocGen.dsv2SpjBucketSql,
+    "q_dsv2_metadata_cols" -> DocGen.dsv2MetadataColsSql,
+    "q_dsv2_catalog_function" -> DocGen.dsv2CatalogFunctionSql,
     "q_dsv2_runtime_filter" -> DocGen.dsv2RuntimeFilterSql,
     "q_dsv2_write_roundtrip" -> ShardSink.writeRoundtripSql,
+    "q_dsv2_delete" -> ShardSink.deleteRoundtripSql,
     "s_shardsink_stream_parity" -> ShardSink.streamWriteParitySql,
     "s_dsv2_stream_parity" -> DocGen.dsv2StreamParitySql)
 

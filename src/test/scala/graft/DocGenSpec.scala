@@ -286,6 +286,36 @@ class DocGenSpec extends SparkSpec {
         Array[Any](8, 20003L))) === 3)
   }
 
+  test("bucket SPJ with MISMATCHED partition values: pushPartValues fills missing buckets, no shuffle") {
+    // side B (5 docs) plans only buckets 0–4; side A (60000 docs) has all
+    // 8 — without pushPartValues the grouped partitionings are
+    // incompatible and Spark would shuffle. With it, A's extra buckets
+    // pair against injected EMPTY partitions and the join stays in place.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_docgen", classOf[graft.sources.DocGenCatalog].getName)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val a = s.read.table("graft_docgen.docs_60000_b8").select(col("doc_id").as("a_id"))
+    val b = s.read.table("graft_docgen.docs_5_b8").select(col("doc_id").as("b_id"))
+    val df = a.join(b, col("a_id") === col("b_id")).orderBy("a_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"mismatched-value SPJ still shuffled:\n$plan")
+    assert(df.collect().map(_.getLong(0)).toSeq === (0L until 5L).toSeq)
+    // catalog hygiene: unknown identifiers fail cleanly
+    val cat = new graft.sources.DocGenCatalog()
+    cat.initialize("c", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.emptyMap()))
+    import org.apache.spark.sql.connector.catalog.Identifier
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException](
+      cat.loadTable(Identifier.of(Array.empty, "nope")))
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException](
+      cat.loadFunction(Identifier.of(Array.empty, "nope")))
+  }
+
   test("generated rows match the documented formula") {
     val row = load().where(col("doc_id") === 7L).collect().head
     assert(row.getLong(0) === 7L)

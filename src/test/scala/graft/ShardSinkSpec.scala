@@ -326,6 +326,49 @@ class ShardSinkSpec extends SparkSpec {
       .option("path", dir).load().count() === 5L)
   }
 
+  test("SQL DELETE: shard-aligned predicates drop whole files as metadata; others rewrite; body rejected") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false") // deterministic 4-file clustered layout
+    val root = freshDir().getPath
+    s.conf.set("spark.sql.catalog.graft_sink", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sink.root", root)
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2000").option("numPartitions", "3").load()
+      .writeTo("graft_sink.t").append()
+    val dir = new java.io.File(root, "t").getPath
+    val before = ShardSink.committedFilesWithRows(dir)
+    assert(before.size > 1, before.toString)
+    // pick one committed file's (whole) shard set and DELETE exactly it:
+    // the clustered layout makes this pure metadata — the entry vanishes,
+    // nothing is rewritten
+    val victim = before.head._1
+    val victimShards = java.nio.file.Files.readAllLines(new java.io.File(dir, victim).toPath)
+      .toArray(Array.empty[String]).map(_.split("\t")(1).toInt).toSet
+    s.sql(s"DELETE FROM graft_sink.t WHERE shard IN (${victimShards.mkString(",")})")
+    val afterMeta = ShardSink.committedFilesWithRows(dir)
+    assert(!afterMeta.map(_._1).contains(victim), afterMeta.toString)
+    assert(afterMeta.forall(!_._1.startsWith("part-d")),
+      s"shard-aligned delete should not rewrite any file: $afterMeta")
+    assert(!new java.io.File(dir, victim).exists(), "dropped file not cleaned up")
+    // a doc_id predicate straddles files: survivors rewritten under part-d
+    // names, untouched files keep their entries
+    // modulo is outside the supported predicate class — the DELETE must
+    // FAIL loudly (canDeleteWhere=false), leaving the data intact; same
+    // for body predicates
+    intercept[Exception](s.sql("DELETE FROM graft_sink.t WHERE doc_id % 2 = 0 AND doc_id < 100"))
+    assert(ShardSink.committedFilesWithRows(dir).toSet === afterMeta.toSet)
+    intercept[Exception](s.sql("DELETE FROM graft_sink.t WHERE body LIKE 'a%'"))
+    s.sql("DELETE FROM graft_sink.t WHERE doc_id < 100")
+    val afterRewrite = ShardSink.committedFilesWithRows(dir)
+    assert(afterRewrite.exists(_._1.startsWith("part-d")), afterRewrite.toString)
+    // remaining rows: everything except the victim shards and ids < 100
+    val expect = (0L until 2000L)
+      .filterNot(d => victimShards.contains((d % 16).toInt)).count(_ >= 100L)
+    assert(s.read.table("graft_sink.t").count() === expect.toLong)
+    // reader still sees a consistent manifest-only view
+    assert(afterRewrite.map(_._2).sum === expect.toLong)
+  }
+
   test("reported statistics flip the optimizer's broadcast decision with the pushed filter") {
     import org.apache.spark.sql.functions._
     def docgen = spark.read.format("graft.sources.DocGenSource")
