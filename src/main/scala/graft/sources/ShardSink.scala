@@ -70,8 +70,21 @@ class ShardSinkSource extends TableProvider {
 }
 
 class ShardSinkTable(path: String) extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"shardsink($path)"
+
+  /** [[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]:
+    * SQL UPDATE / MERGE INTO (and the copy-on-write fallback for DELETEs
+    * outside the metadata-only predicate class) via
+    * [[ShardSinkRowLevelOperation]]. With both interfaces present Spark
+    * picks the cheaper path per statement: metadata delete when
+    * `canDeleteWhere` accepts, group-based rewrite otherwise.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new ShardSinkRowLevelOperation(path, info.command())
   override def schema(): StructType = DocGen.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
@@ -308,6 +321,70 @@ object ShardSink {
       |       CAST(SUM(CASE WHEN substring(body, 1, 1) = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_body_a
       |FROM g WHERE NOT (shard < 4 OR doc_id >= 18000)
       |GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Driver-checked SQL UPDATE + MERGE INTO through the group-based
+    * row-level operation (round 13): the corpus lands via the catalog,
+    * an UPDATE upper-cases every shard ≥ 12 body, then a three-clause
+    * MERGE against a crawl delta deletes matched ids < 19000, rewrites
+    * the remaining matched bodies (suffix `!`), and inserts the
+    * not-matched tail. Every rewrite is copy-on-write through
+    * [[ShardSinkReplaceDataWrite]] (replacement files swap in under one
+    * manifest flip) and the final per-shard rollup — including how many
+    * bodies are upper-cased and how many carry the merge suffix — must
+    * match DuckDB re-deriving the whole edit history from `range()`.
+    */
+  def mergeRoundtrip(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("merge:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcat_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_sink", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sink.root", root.getPath)
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "20000").option("numPartitions", "4").load()
+      .writeTo("graft_sink.docs_m").append()
+    s.sql("UPDATE graft_sink.docs_m SET body = upper(body) WHERE shard >= 12")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "22000").option("numPartitions", "4").load()
+      .where(col("doc_id") >= 18000L)
+      .createOrReplaceTempView("graft_merge_src")
+    s.sql(
+      """MERGE INTO graft_sink.docs_m t USING graft_merge_src s ON t.doc_id = s.doc_id
+        |WHEN MATCHED AND s.doc_id < 19000 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET body = concat(s.body, '!')
+        |WHEN NOT MATCHED THEN INSERT (doc_id, shard, body) VALUES (s.doc_id, s.shard, s.body)
+        |""".stripMargin)
+    s.read.table("graft_sink.docs_m")
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        sum(when(col("body") =!= lower(col("body")), 1L).otherwise(0L)).as("n_upper"),
+        sum(when(col("body").endsWith("!"), 1L).otherwise(0L)).as("n_merged"))
+      .orderBy("shard")
+  }
+
+  val mergeRoundtripSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |         CASE WHEN doc_id >= 20000 THEN md5(CAST(doc_id AS VARCHAR))
+      |              WHEN doc_id >= 19000 THEN md5(CAST(doc_id AS VARCHAR)) || '!'
+      |              WHEN doc_id % 16 >= 12 THEN upper(md5(CAST(doc_id AS VARCHAR)))
+      |              ELSE md5(CAST(doc_id AS VARCHAR)) END AS body
+      |  FROM range(0, 22000) t(doc_id)
+      |  WHERE doc_id < 18000 OR doc_id >= 19000)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(SUM(CASE WHEN body <> lower(body) THEN 1 ELSE 0 END) AS BIGINT) AS n_upper,
+      |       CAST(SUM(CASE WHEN body LIKE '%!' THEN 1 ELSE 0 END) AS BIGINT) AS n_merged
+      |FROM g GROUP BY shard ORDER BY shard""".stripMargin
 
   /** Committed (file, rows) pairs, from the manifest only. Missing
     * manifest = no committed data (an in-flight or crashed job), never an
@@ -588,12 +665,27 @@ case class ShardSinkStreamingFactory(path: String, queryId: String)
     new ShardSinkDataWriter(path, s"$queryId-e$epochId", partitionId, taskId)
 }
 
-class ShardSinkWriterFactory(path: String, queryId: String) extends DataWriterFactory {
+/** `trailingCols`: the plain batch/stream writes receive exactly the
+  * 3-column table schema; a GROUP-BASED replacement plan (SQL UPDATE /
+  * MERGE / rewrite-DELETE) PREPENDS Spark's `__row_operation` marker
+  * column to the physical rows while `LogicalWriteInfo.schema()` still
+  * reports the bare row schema — the connector contract (decoded from
+  * `ReplaceDataExec.writingTask`: the marker is only projected away when
+  * the operation declares metadata attributes). With `trailingCols` the
+  * writer reads (doc_id, shard, body) as the LAST three fields, which is
+  * correct in both shapes; assuming ordinals (0,1,2) silently wrote the
+  * marker as doc_id (found the hard way).
+  */
+class ShardSinkWriterFactory(
+    path: String, queryId: String, trailingCols: Boolean = false)
+  extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ShardSinkDataWriter(path, queryId, partitionId, taskId)
+    new ShardSinkDataWriter(path, queryId, partitionId, taskId, trailingCols)
 }
 
-class ShardSinkDataWriter(path: String, queryId: String, partitionId: Int, taskId: Long)
+class ShardSinkDataWriter(
+    path: String, queryId: String, partitionId: Int, taskId: Long,
+    trailingCols: Boolean = false)
   extends DataWriter[InternalRow] {
   // attempt-unique temp name: a speculative twin or retry writes its OWN
   // file; only the committed attempt's message reaches driver commit
@@ -603,10 +695,11 @@ class ShardSinkDataWriter(path: String, queryId: String, partitionId: Int, taskI
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
-    val body = row.getUTF8String(2).toString
+    val base = if (trailingCols) row.numFields - 3 else 0
+    val body = row.getUTF8String(base + 2).toString
     require(!body.exists(c => c == '\t' || c == '\n' || c == '\r'),
       "shard sink bodies may not contain tab/newline")
-    out.write(s"${row.getLong(0)}\t${row.getInt(1)}\t$body\n")
+    out.write(s"${row.getLong(base)}\t${row.getInt(base + 1)}\t$body\n")
     rows += 1
   }
 
@@ -710,4 +803,111 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
   }
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("rename not supported")
+}
+
+/** GROUP-BASED row-level operations (round 13 — the copy-on-write DML
+  * rung: SQL `UPDATE` and `MERGE INTO`, plus the rewrite fallback for
+  * DELETEs whose predicate is outside [[ShardSink.deletePredicate]]'s
+  * metadata-only class). Spark's rewrite plans read the table through
+  * THIS operation's scan, compute the full replacement rows for every
+  * group the scan produced, and write them through this operation's
+  * write — commit then atomically swaps the read files for the new ones
+  * in the manifest. The scan and write are linked by the operation
+  * instance: [[ShardSinkRowLevelScan.planInputPartitions]] records the
+  * file set it planned, and the replacement commit replaces exactly that
+  * set (a thunk, so late runtime pruning is honored). Without per-file
+  * statistics the affected-group set is every committed file — a
+  * whole-table copy-on-write, correct and honestly coarse; a 100 TB
+  * deployment adds min/max stats per manifest entry and prunes groups at
+  * planning, which the shard-whole layout from
+  * [[ShardSinkWrite.requiredDistribution]] makes precise for shard-keyed
+  * predicates.
+  */
+class ShardSinkRowLevelOperation(
+    path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  @volatile private var planned: Seq[String] = Seq.empty
+  private[sources] def recordPlanned(files: Seq[String]): Unit = planned = files
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"ShardSinkRowLevelOperation[$cmd, $path]"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new ShardSinkRowLevelScan(path, ShardSinkRowLevelOperation.this)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new ShardSinkReplaceDataWrite(path, info.queryId(), () => planned)
+    }
+}
+
+/** The operation's read side: the ordinary manifest-trusting scan, plus
+  * bookkeeping — the planned file set IS the affected-group set the
+  * replacement commit will swap out.
+  */
+class ShardSinkRowLevelScan(path: String, op: ShardSinkRowLevelOperation)
+  extends ShardSinkScan(path) {
+  override def description(): String = s"ShardSinkRowLevelScan[$path]"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = super.planInputPartitions()
+    op.recordPlanned(parts.map(p =>
+      new org.apache.hadoop.fs.Path(p.asInstanceOf[ShardSinkFile].file).getName).toSeq)
+    parts
+  }
+}
+
+/** The operation's write side: same temp-file/task-commit protocol as the
+  * batch write, same declared clustered-by-shard distribution (replacement
+  * files stay shard-whole and id-ordered), but commit REPLACES the
+  * affected files instead of appending — old entries minus the files the
+  * operation scan read, plus the replacement files, one atomic manifest
+  * flip, physical cleanup after.
+  */
+class ShardSinkReplaceDataWrite(path: String, queryId: String, affected: () => Seq[String])
+  extends Write with BatchWrite
+  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.hadoop.fs.Path
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(Expressions.identity("shard")))
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array(
+      Expressions.sort(
+        Expressions.column("shard"),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING),
+      Expressions.sort(
+        Expressions.column("doc_id"),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ShardSinkWriterFactory(path, s"rlo-$queryId", trailingCols = true)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val replaced = affected().toSet
+    val finals = messages.zipWithIndex.map { case (m, i) =>
+      val c = m.asInstanceOf[ShardSinkCommit]
+      val dest = new Path(path, s"part-r$queryId-$i.tsv")
+      SinkFs.moveOver(new Path(c.tempPath), dest)
+      (dest.getName, c.rows)
+    }
+    val kept = ShardSink.committedFilesWithRows(path)
+      .filterNot { case (f, _) => replaced.contains(f) }
+    ShardSink.writeManifest(path, kept ++ finals, s"r$queryId")
+    replaced.foreach(f => SinkFs.delete(new Path(path, f)))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ShardSinkCommit(tmp, _) => SinkFs.delete(new Path(tmp))
+      case _ =>
+    }
 }

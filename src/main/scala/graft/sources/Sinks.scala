@@ -182,6 +182,7 @@ object Sinks {
     "q_dsv2_runtime_filter" -> (DocGen.dsv2RuntimeFilter _),
     "q_dsv2_write_roundtrip" -> (ShardSink.writeRoundtrip _),
     "q_dsv2_delete" -> (ShardSink.deleteRoundtrip _),
+    "q_dsv2_merge" -> (ShardSink.mergeRoundtrip _),
     "s_shardsink_stream_parity" -> (ShardSink.streamWriteParity _),
     "s_dsv2_stream_parity" -> (DocGen.dsv2StreamParity _))
 
@@ -199,6 +200,7 @@ object Sinks {
     "q_dsv2_runtime_filter" -> DocGen.dsv2RuntimeFilterSql,
     "q_dsv2_write_roundtrip" -> ShardSink.writeRoundtripSql,
     "q_dsv2_delete" -> ShardSink.deleteRoundtripSql,
+    "q_dsv2_merge" -> ShardSink.mergeRoundtripSql,
     "s_shardsink_stream_parity" -> ShardSink.streamWriteParitySql,
     "s_dsv2_stream_parity" -> DocGen.dsv2StreamParitySql)
 

@@ -352,12 +352,16 @@ class ShardSinkSpec extends SparkSpec {
     assert(!new java.io.File(dir, victim).exists(), "dropped file not cleaned up")
     // a doc_id predicate straddles files: survivors rewritten under part-d
     // names, untouched files keep their entries
-    // modulo is outside the supported predicate class — the DELETE must
-    // FAIL loudly (canDeleteWhere=false), leaving the data intact; same
-    // for body predicates
-    intercept[Exception](s.sql("DELETE FROM graft_sink.t WHERE doc_id % 2 = 0 AND doc_id < 100"))
-    assert(ShardSink.committedFilesWithRows(dir).toSet === afterMeta.toSet)
-    intercept[Exception](s.sql("DELETE FROM graft_sink.t WHERE body LIKE 'a%'"))
+    // modulo is outside the metadata-only predicate class — the DELETE
+    // falls back to the GROUP-BASED rewrite (SupportsRowLevelOperations):
+    // correct answer, copy-on-write cost, replacement files under part-r
+    val beforeFallback = s.read.table("graft_sink.t").count()
+    val fallbackMatches = s.read.table("graft_sink.t")
+      .where("doc_id % 2 = 0 AND doc_id < 100").count()
+    s.sql("DELETE FROM graft_sink.t WHERE doc_id % 2 = 0 AND doc_id < 100")
+    assert(s.read.table("graft_sink.t").count() === beforeFallback - fallbackMatches)
+    assert(ShardSink.committedFiles(dir).exists(_.startsWith("part-r")),
+      ShardSink.committedFiles(dir).toString)
     s.sql("DELETE FROM graft_sink.t WHERE doc_id < 100")
     val afterRewrite = ShardSink.committedFilesWithRows(dir)
     assert(afterRewrite.exists(_._1.startsWith("part-d")), afterRewrite.toString)
