@@ -174,6 +174,18 @@ private[sources] object SinkFs {
   }
 }
 
+/** One committed file's manifest entry: name, rows, and (when known) the
+  * shard range its rows span — written by every commit path since round
+  * 13 and absent from older manifests (parse degrades to stats-unknown,
+  * which every consumer must treat as "may contain anything").
+  */
+case class SinkEntry(file: String, rows: Long, shardMin: Int = -1, shardMax: Int = -1) {
+  def hasStats: Boolean = shardMin >= 0
+  /** Conservative: unknown stats always intersect. */
+  def mayContainShard(shards: Set[Int]): Boolean =
+    !hasStats || shards.exists(v => v >= shardMin && v <= shardMax)
+}
+
 object ShardSink {
   import org.apache.hadoop.fs.Path
 
@@ -390,31 +402,57 @@ object ShardSink {
     * manifest = no committed data (an in-flight or crashed job), never an
     * error.
     */
-  def committedFilesWithRows(dir: String): Seq[(String, Long)] = {
+  def committedFilesWithRows(dir: String): Seq[(String, Long)] =
+    committedEntries(dir).map(e => (e.file, e.rows))
+
+  /** Full manifest entries incl. per-file shard statistics. Missing
+    * stats (pre-stats manifests, recovered entries) parse as unknown.
+    */
+  def committedEntries(dir: String): Seq[SinkEntry] = {
     val mf = manifestPath(dir)
     if (!SinkFs.exists(mf)) Seq.empty
     else {
       val json = SinkFs.readString(mf)
-      // minimal parse of {"files":[{"file":"...","rows":N},...]} — names
-      // are writer-chosen (part-*.tsv), never user input
-      """\{"file":"([^"]*\.tsv)","rows":(\d+)\}""".r.findAllMatchIn(json)
-        .map(m => (m.group(1), m.group(2).toLong)).toSeq
+      // minimal parse of {"files":[{"file":"...","rows":N[,"s0":M,"s1":K]},...]}
+      // — names are writer-chosen (part-*.tsv), never user input
+      """\{"file":"([^"]*\.tsv)","rows":(\d+)(?:,"s0":(-?\d+),"s1":(-?\d+))?\}""".r
+        .findAllMatchIn(json)
+        .map { m =>
+          val (s0, s1) =
+            if (m.group(3) == null) (-1, -1) else (m.group(3).toInt, m.group(4).toInt)
+          SinkEntry(m.group(1), m.group(2).toLong, s0, s1)
+        }.toSeq
     }
   }
 
   def committedFiles(dir: String): Seq[String] = committedFilesWithRows(dir).map(_._1)
 
-  /** Shared manifest flip (batch commit, epoch commit, DELETE rewrite):
-    * body to a temp name, then one atomic move — visibility is all or
-    * nothing.
+  /** Shared manifest flip (batch commit, epoch commit, DELETE rewrite,
+    * replace-data commit): body to a temp name, then one atomic move —
+    * visibility is all or nothing. Entries carry shard stats when known.
     */
-  private[sources] def writeManifest(dir: String, files: Seq[(String, Long)], tag: String): Unit = {
+  private[sources] def writeManifest(dir: String, files: Seq[SinkEntry], tag: String): Unit = {
     val mTmp = new Path(dir, s"_manifest.$tag.tmp")
-    val json = files.map { case (f, n) => s"""{"file":"$f","rows":$n}""" }
-      .mkString("""{"files":[""", ",", "]}")
+    val json = files.map { e =>
+      val stats = if (e.hasStats) s""","s0":${e.shardMin},"s1":${e.shardMax}""" else ""
+      s"""{"file":"${e.file}","rows":${e.rows}$stats}"""
+    }.mkString("""{"files":[""", ",", "]}")
     val w = SinkFs.create(mTmp)
     try w.write(json) finally w.close()
     SinkFs.moveOver(mTmp, manifestPath(dir))
+  }
+
+  /** Scan a TSV file to rebuild its manifest entry (recovery / rewrite
+    * paths — the rare cases where stats must be recomputed from data).
+    */
+  private[sources] def entryFromLines(file: String, lines: Seq[String]): SinkEntry = {
+    var (mn, mx) = (Int.MaxValue, -1)
+    lines.foreach { l =>
+      val s = l.split("\t", 3)(1).toInt
+      if (s < mn) mn = s
+      if (s > mx) mx = s
+    }
+    SinkEntry(file, lines.size.toLong, if (mx < 0) -1 else mn, mx)
   }
 
   /** Compile a conjunctive source-Filter array over the (doc_id, shard)
@@ -461,6 +499,40 @@ object ShardSink {
 
   private val deleteCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Drop zero-row task messages at commit (deleting their temp files):
+    * a clustered write can leave empty shuffle partitions, and an empty
+    * committed file is manifest noise every later operation re-reads.
+    */
+  private[sources] def nonEmpty(messages: Array[WriterCommitMessage]): Array[WriterCommitMessage] =
+    messages.filter {
+      case c: ShardSinkCommit if c.rows == 0L =>
+        SinkFs.delete(new Path(c.tempPath)); false
+      case _ => true
+    }
+
+  /** If every filter constrains ONLY `shard`, the union of shard values
+    * that could match — enabling the stats-only file skip. Conservative
+    * None for anything else.
+    */
+  private def shardOnlySet(filters: Array[Filter]): Option[Set[Int]] = {
+    import org.apache.spark.sql.sources._
+    val all = (0 until DocGen.NumShards.toInt).toSet
+    def one(f: Filter): Option[Set[Int]] = f match {
+      case EqualTo("shard", v: Number) => Some(Set(v.intValue))
+      case In("shard", vs) => Some(vs.collect { case n: Number => n.intValue }.toSet)
+      case LessThan("shard", v: Number) => Some(all.filter(_ < v.intValue))
+      case LessThanOrEqual("shard", v: Number) => Some(all.filter(_ <= v.intValue))
+      case GreaterThan("shard", v: Number) => Some(all.filter(_ > v.intValue))
+      case GreaterThanOrEqual("shard", v: Number) => Some(all.filter(_ >= v.intValue))
+      case And(l, r) => for (a <- one(l); b <- one(r)) yield a.intersect(b)
+      case Or(l, r) => for (a <- one(l); b <- one(r)) yield a.union(b)
+      case _ => None
+    }
+    val parts = filters.map(one)
+    if (parts.isEmpty || parts.exists(_.isEmpty)) None
+    else Some(parts.flatten.reduce(_ intersect _))
+  }
+
   /** DELETE WHERE over the committed view — metadata-first, rewrite only
     * what must be rewritten:
     *   - a file with NO matching rows keeps its manifest entry untouched;
@@ -481,24 +553,31 @@ object ShardSink {
     val drop = deletePredicate(filters).getOrElse(
       throw new IllegalArgumentException(
         s"unsupported DELETE predicate for shard sink: ${filters.mkString(", ")}"))
+    // shard-stats fast path: a pure-shard predicate can skip READING any
+    // file whose recorded shard range cannot match (the metadata-only
+    // case the clustered layout exists for)
+    val shardOnly = shardOnlySet(filters)
     val obsolete = scala.collection.mutable.ArrayBuffer.empty[String]
-    val entries = committedFilesWithRows(dir).flatMap { case (f, rows) =>
-      val p = new Path(dir, f)
-      val lines = SinkFs.readLines(p)
-      val kept = lines.filterNot { l =>
-        val c = l.split("\t", 3)
-        drop(c(0).toLong, c(1).toInt)
-      }
-      if (kept.size == lines.size) Some((f, rows))
-      else if (kept.isEmpty) { obsolete += f; None }
+    val entries = committedEntries(dir).flatMap { e =>
+      if (shardOnly.exists(ss => !e.mayContainShard(ss))) Some(e) // untouched, unread
       else {
-        val nf = s"part-d${deleteCounter.incrementAndGet()}.tsv"
-        val tmp = new Path(dir, s"_tmp/$nf")
-        val w = SinkFs.create(tmp)
-        try kept.foreach { l => w.write(l); w.write("\n") } finally w.close()
-        SinkFs.moveOver(tmp, new Path(dir, nf))
-        obsolete += f
-        Some((nf, kept.size.toLong))
+        val p = new Path(dir, e.file)
+        val lines = SinkFs.readLines(p)
+        val kept = lines.filterNot { l =>
+          val c = l.split("\t", 3)
+          drop(c(0).toLong, c(1).toInt)
+        }
+        if (kept.size == lines.size) Some(e)
+        else if (kept.isEmpty) { obsolete += e.file; None }
+        else {
+          val nf = s"part-d${deleteCounter.incrementAndGet()}.tsv"
+          val tmp = new Path(dir, s"_tmp/$nf")
+          val w = SinkFs.create(tmp)
+          try kept.foreach { l => w.write(l); w.write("\n") } finally w.close()
+          SinkFs.moveOver(tmp, new Path(dir, nf))
+          obsolete += e.file
+          Some(entryFromLines(nf, kept))
+        }
       }
     }
     writeManifest(dir, entries, s"d${deleteCounter.incrementAndGet()}")
@@ -507,7 +586,14 @@ object ShardSink {
   }
 }
 
-case class ShardSinkCommit(tempPath: String, rows: Long) extends WriterCommitMessage
+/** Task-commit message: temp path, row count, and the file's observed
+  * shard range (−1/−1 when empty) — the per-file statistics the manifest
+  * records so group-scoped operations can prune files without reading
+  * them.
+  */
+case class ShardSinkCommit(
+    tempPath: String, rows: Long, shardMin: Int = -1, shardMax: Int = -1)
+  extends WriterCommitMessage
 
 class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
   extends Write with BatchWrite with StreamingWrite
@@ -560,17 +646,18 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
   import org.apache.hadoop.fs.Path
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val epochFiles = messages.zipWithIndex.map { case (m, i) =>
+    // zero-row task files are dropped at commit (a clustered replacement
+    // can leave empty shuffle partitions): delete the temp, manifest nothing
+    val epochFiles = ShardSink.nonEmpty(messages).zipWithIndex.map { case (m, i) =>
       val c = m.asInstanceOf[ShardSinkCommit]
       val dest = new Path(path, s"part-e$epochId-$i.tsv")
       SinkFs.moveOver(new Path(c.tempPath), dest)
-      (dest.getName, c.rows)
+      SinkEntry(dest.getName, c.rows, c.shardMin, c.shardMax)
     }
     // replace-then-append keyed on the epoch prefix = replay idempotence
-    val manifest = ShardSink.committedFilesWithRows(path)
+    val manifest = ShardSink.committedEntries(path)
     val kept =
-      if (manifest.nonEmpty)
-        manifest.filterNot { case (f, _) => f.startsWith(s"part-e$epochId-") }
+      if (manifest.nonEmpty) manifest.filterNot(_.file.startsWith(s"part-e$epochId-"))
       else recoverPriorEpochs(epochId)
     writeManifest(kept ++ epochFiles, s"$queryId-e$epochId")
   }
@@ -590,11 +677,11 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
     * commit replaces them. Batch (`part-b*`) files stay unrecovered — a
     * batch job with no manifest never committed.
     */
-  private def recoverPriorEpochs(replayEpoch: Long): Seq[(String, Long)] = {
+  private def recoverPriorEpochs(replayEpoch: Long): Seq[SinkEntry] = {
     val EpochFile = """part-e(\d+)-\d+\.tsv""".r
     SinkFs.listFileNames(new Path(path)).sorted.flatMap {
       case f @ EpochFile(e) if e.toLong != replayEpoch =>
-        Some((f, SinkFs.readLines(new Path(path, f)).size.toLong))
+        Some(ShardSink.entryFromLines(f, SinkFs.readLines(new Path(path, f))))
       case _ => None
     }
   }
@@ -602,23 +689,23 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     abort(messages)
 
-  private def writeManifest(files: Seq[(String, Long)], tag: String): Unit =
+  private def writeManifest(files: Seq[SinkEntry], tag: String): Unit =
     ShardSink.writeManifest(path, files, tag)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // captured BEFORE the new manifest lands: merged on Append, cleaned
     // up after the flip on truncate
-    val previous = ShardSink.committedFilesWithRows(path)
+    val previous = ShardSink.committedEntries(path)
     // job-unique final names (`part-b<queryId>-<i>.tsv`): a second Append
     // never overwrites a prior job's committed files, so a reader holding
     // the old manifest keeps a consistent view right through the commit
     // (the `b` prefix also keeps the namespace disjoint from the
     // streaming path's `part-e<epoch>-<i>.tsv`)
-    val finals = messages.zipWithIndex.map { case (m, i) =>
+    val finals = ShardSink.nonEmpty(messages).zipWithIndex.map { case (m, i) =>
       val c = m.asInstanceOf[ShardSinkCommit]
       val dest = new Path(path, s"part-b$queryId-$i.tsv")
       SinkFs.moveOver(new Path(c.tempPath), dest)
-      (dest.getName, c.rows)
+      SinkEntry(dest.getName, c.rows, c.shardMin, c.shardMax)
     }
     // manifest LAST, written to a temp name then moved: the job becomes
     // visible as one file move or not at all. Append MERGES the previous
@@ -632,7 +719,7 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
     // its temp files were already moved under job-unique names, so the
     // retry re-reads a manifest that now includes the winner).
     if (!truncate) {
-      val now = ShardSink.committedFilesWithRows(path)
+      val now = ShardSink.committedEntries(path)
       if (now.toSet != previous.toSet)
         throw new IllegalStateException(
           s"ShardSink concurrent-writer conflict at $path: manifest changed " +
@@ -644,13 +731,13 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
     // truncate cleanup AFTER the flip: old files are already invisible;
     // deleting them can race nothing
     if (truncate)
-      previous.map(_._1).filterNot(finals.map(_._1).contains)
+      previous.map(_.file).filterNot(finals.map(_.file).contains)
         .foreach(f => SinkFs.delete(new Path(path, f)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case ShardSinkCommit(tmp, _) => SinkFs.delete(new Path(tmp))
+      case c: ShardSinkCommit => SinkFs.delete(new Path(c.tempPath))
       case _ =>
     }
 }
@@ -693,19 +780,24 @@ class ShardSinkDataWriter(
     new org.apache.hadoop.fs.Path(path, s"_tmp/$queryId-p$partitionId-a$taskId.tsv")
   private val out = SinkFs.create(tmp)
   private var rows = 0L
+  private var sMin = Int.MaxValue
+  private var sMax = -1
 
   override def write(row: InternalRow): Unit = {
     val base = if (trailingCols) row.numFields - 3 else 0
     val body = row.getUTF8String(base + 2).toString
     require(!body.exists(c => c == '\t' || c == '\n' || c == '\r'),
       "shard sink bodies may not contain tab/newline")
-    out.write(s"${row.getLong(base)}\t${row.getInt(base + 1)}\t$body\n")
+    val shard = row.getInt(base + 1)
+    if (shard < sMin) sMin = shard
+    if (shard > sMax) sMax = shard
+    out.write(s"${row.getLong(base)}\t$shard\t$body\n")
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    ShardSinkCommit(tmp.toString, rows)
+    ShardSinkCommit(tmp.toString, rows, if (sMax < 0) -1 else sMin, sMax)
   }
 
   override def abort(): Unit = {
@@ -847,17 +939,44 @@ class ShardSinkRowLevelOperation(
 }
 
 /** The operation's read side: the ordinary manifest-trusting scan, plus
-  * bookkeeping — the planned file set IS the affected-group set the
-  * replacement commit will swap out.
+  * two jobs — (1) RUNTIME GROUP FILTERING: Spark's
+  * `RowLevelOperationRuntimeGroupFiltering` rule runs a matching-groups
+  * subquery over the DML condition and hands the matching `shard` values
+  * back through [[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]];
+  * files whose manifest shard range cannot intersect are pruned BEFORE
+  * the rewrite reads anything, so a shard-scoped UPDATE/MERGE/DELETE
+  * rewrites only the affected files instead of the whole table (the
+  * statistics-pruned copy-on-write every table format runs at scale);
+  * (2) bookkeeping — the file set it ultimately plans IS the
+  * affected-group set the replacement commit swaps out.
   */
 class ShardSinkRowLevelScan(path: String, op: ShardSinkRowLevelOperation)
-  extends ShardSinkScan(path) {
+  extends ShardSinkScan(path)
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  @volatile private var shardFilter: Option[Set[Int]] = None
+
   override def description(): String = s"ShardSinkRowLevelScan[$path]"
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("shard"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    filters.collectFirst {
+      case In("shard", vs) => vs.collect { case n: Number => n.intValue }.toSet
+      case EqualTo("shard", v: Number) => Set(v.intValue)
+    }.foreach(s => shardFilter = Some(s))
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val parts = super.planInputPartitions()
-    op.recordPlanned(parts.map(p =>
-      new org.apache.hadoop.fs.Path(p.asInstanceOf[ShardSinkFile].file).getName).toSeq)
-    parts
+    val entries = ShardSink.committedEntries(path)
+      .filter(e => shardFilter.forall(e.mayContainShard))
+    op.recordPlanned(entries.map(_.file))
+    entries
+      .map(e => ShardSinkFile(
+        new org.apache.hadoop.fs.Path(path, e.file).toString): InputPartition)
+      .toArray
   }
 }
 
@@ -893,21 +1012,20 @@ class ShardSinkReplaceDataWrite(path: String, queryId: String, affected: () => S
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val replaced = affected().toSet
-    val finals = messages.zipWithIndex.map { case (m, i) =>
+    val finals = ShardSink.nonEmpty(messages).zipWithIndex.map { case (m, i) =>
       val c = m.asInstanceOf[ShardSinkCommit]
       val dest = new Path(path, s"part-r$queryId-$i.tsv")
       SinkFs.moveOver(new Path(c.tempPath), dest)
-      (dest.getName, c.rows)
+      SinkEntry(dest.getName, c.rows, c.shardMin, c.shardMax)
     }
-    val kept = ShardSink.committedFilesWithRows(path)
-      .filterNot { case (f, _) => replaced.contains(f) }
+    val kept = ShardSink.committedEntries(path).filterNot(e => replaced.contains(e.file))
     ShardSink.writeManifest(path, kept ++ finals, s"r$queryId")
     replaced.foreach(f => SinkFs.delete(new Path(path, f)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case ShardSinkCommit(tmp, _) => SinkFs.delete(new Path(tmp))
+      case c: ShardSinkCommit => SinkFs.delete(new Path(c.tempPath))
       case _ =>
     }
 }

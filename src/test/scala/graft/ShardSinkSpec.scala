@@ -373,6 +373,39 @@ class ShardSinkSpec extends SparkSpec {
     assert(afterRewrite.map(_._2).sum === expect.toLong)
   }
 
+  test("row-level ops prune by manifest shard stats: shard-scoped UPDATE rewrites only affected files") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false") // deterministic 4-file layout
+    val root = freshDir().getPath
+    s.conf.set("spark.sql.catalog.graft_sink", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sink.root", root)
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2000").option("numPartitions", "3").load()
+      .writeTo("graft_sink.p").append()
+    val dir = new java.io.File(root, "p").getPath
+    val before = ShardSink.committedEntries(dir)
+    assert(before.size > 1)
+    // every committed entry carries its shard range (the clustered write
+    // computes it for free on the sorted stream)
+    before.foreach(e => assert(e.hasStats, e.toString))
+    // pick a shard only SOME files can contain
+    val target = 3
+    val canContain = before.count(_.mayContainShard(Set(target)))
+    assert(canContain < before.size,
+      s"layout degenerate — every file may contain shard $target: $before")
+    s.sql(s"UPDATE graft_sink.p SET body = upper(body) WHERE shard = $target")
+    val after = ShardSink.committedEntries(dir)
+    // untouched files keep their names; only candidates were rewritten
+    val untouched = before.map(_.file).toSet.intersect(after.map(_.file).toSet)
+    assert(untouched.size === before.size - canContain,
+      s"expected ${before.size - canContain} untouched, got $untouched of $before -> $after")
+    // and the rewrite is still exactly right
+    assert(s.read.table("graft_sink.p").where("body <> lower(body)").count() === 125L)
+    assert(s.read.table("graft_sink.p").count() === 2000L)
+    // no empty replacement files manifested
+    after.foreach(e => assert(e.rows > 0L, e.toString))
+  }
+
   test("reported statistics flip the optimizer's broadcast decision with the pushed filter") {
     import org.apache.spark.sql.functions._
     def docgen = spark.read.format("graft.sources.DocGenSource")
