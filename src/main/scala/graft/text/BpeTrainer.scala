@@ -185,10 +185,15 @@ object BpeTrainer {
     * boundary-preserving replace. No values cross from the Spark side; the
     * oracle re-trains from the raw table and must land on the same table.
     */
-  val bpeMergesSql: String = {
+  /** The shared training CTE chain (v0, then p_i/b_i/v_i per round) —
+    * MATERIALIZED throughout per the repo's iterated-CTE rule: the encode
+    * oracle references each b_i FOUR times per replace level, and inlined
+    * evaluation of an 8-deep chain re-referenced 32× is exponential.
+    */
+  private val mergesCtes: String = {
     val iters = (1 to DefaultMerges).map { i =>
       val prev = s"v${i - 1}"
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
          |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
          |    SELECT cnt,
          |           unnest(list_transform(generate_series(1, len(t) - 1),
@@ -196,25 +201,29 @@ object BpeTrainer {
          |    FROM (SELECT cnt, string_split(trim(rep), '  ') AS t FROM $prev)
          |    WHERE len(t) >= 2)
          |  GROUP BY pair),
-         |b$i AS (
+         |b$i AS MATERIALIZED (
          |  SELECT string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r, freq
          |  FROM p$i ORDER BY freq DESC, pair LIMIT 1),
-         |v$i AS (
+         |v$i AS MATERIALIZED (
          |  SELECT replace(rep, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS rep,
          |         cnt
          |  FROM $prev CROSS JOIN b$i b)"""
     }.mkString(",\n")
-    val out = (1 to DefaultMerges)
-      .map(i =>
-        s"SELECT CAST($i AS BIGINT) AS rank, l AS \"left\", r AS \"right\", freq FROM b$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH v0 AS (
+    s"""v0 AS MATERIALIZED (
        |  SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS rep,
        |         CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
        |        FROM documents WHERE doc_id < 300)
        |  GROUP BY 1),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  val bpeMergesSql: String = {
+    val out = (1 to DefaultMerges)
+      .map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, l AS \"left\", r AS \"right\", freq FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $mergesCtes
        |$out
        |ORDER BY rank""".stripMargin
   }
@@ -284,11 +293,91 @@ object BpeTrainer {
        |ORDER BY rank""".stripMargin
   }
 
+  /** Learned merges for the pinned training slice, memoized per
+    * (context, sfDir): ≤8 (left, right) pairs — driver-tiny control
+    * plane, exactly like the quantizer/codebook memos.
+    */
+  private def learnedMerges(spark: SparkSession, sfDir: String): Seq[(String, String)] =
+    graft.util.Memo.cached("bpeMerges", spark, sfDir) {
+      bpeMerges(spark, sfDir).collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    }
+
+  /** TOKENIZATION APPLY — the other half of the trainer's story and the
+    * op a training pipeline actually runs over the whole corpus: encode
+    * every document with the learned merge table. Pure scan-side: each
+    * word's spaced symbol string goes through the 8 literal `replace`
+    * calls in rank order (classic BPE application; the merges are
+    * broadcast as literals inside one codegen'd projection — no join, no
+    * shuffle beyond the final per-source rollup), and the per-source
+    * report carries word/char/BPE-token totals plus the chars-per-token
+    * compression ratio a tokenizer eval reads. The oracle re-trains the
+    * merge table from scratch through the shared MATERIALIZED CTE chain
+    * and re-encodes every word in SQL, so training AND application sit
+    * under one hash gate.
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = learnedMerges(spark, sfDir)
+    val spaced = "concat(' ', rtrim(regexp_replace(w, '(.)', '$1  ')), ' ')"
+    val chain = merges.foldLeft(spaced) { case (s, (l, r)) =>
+      s"replace($s, ' $l  $r ', ' $l$r ')"
+    }
+    Tables.documents(spark, sfDir)
+      .select(
+        col("source"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .select(
+        col("source"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("n_chars"),
+        expr(s"aggregate(ws, 0L, (a, w) -> a + size(split(trim($chain), '  ')))").as("n_bpe"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bpe")).as("n_bpe"),
+        round(sum(col("n_chars")).cast("double") / sum(col("n_bpe")).cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy("source")
+  }
+
+  val bpeEncodeSql: String = {
+    val spaced = "' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '"
+    val chain = (1 to DefaultMerges).foldLeft(spaced) { (s, i) =>
+      s"replace($s, ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' '," +
+        s" ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ')"
+    }
+    s"""WITH $mergesCtes,
+       |docs AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id, source, w,
+       |         len(string_split(trim($chain), '  ')) AS bpe_toks,
+       |         len(w) AS chars
+       |  FROM (SELECT doc_id, source, unnest(ws) AS w FROM docs)),
+       |per_doc AS (
+       |  SELECT d.doc_id, d.source, len(d.ws) AS n_words,
+       |         COALESCE(e.chars, 0) AS n_chars, COALESCE(e.bpe, 0) AS n_bpe
+       |  FROM docs d LEFT JOIN (
+       |    SELECT doc_id, SUM(chars) AS chars, SUM(bpe_toks) AS bpe
+       |    FROM enc GROUP BY doc_id) e ON d.doc_id = e.doc_id)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |       CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
+       |       ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_bpe) AS DOUBLE), 6)
+       |         AS chars_per_token
+       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bpe_merges" -> (bpeMerges _),
-    "t_bpe_batched" -> (bpeBatched _))
+    "t_bpe_batched" -> (bpeBatched _),
+    "t_bpe_encode" -> (bpeEncode _))
 
   val oracle: Map[String, String] = Map(
     "t_bpe_merges" -> bpeMergesSql,
-    "t_bpe_batched" -> bpeBatchedSql)
+    "t_bpe_batched" -> bpeBatchedSql,
+    "t_bpe_encode" -> bpeEncodeSql)
 }

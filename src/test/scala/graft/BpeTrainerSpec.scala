@@ -80,4 +80,19 @@ class BpeTrainerSpec extends SparkSpec {
       }
     }
   }
+
+  test("encode: token totals sit between words and chars; merges strictly compress") {
+    val rows = graft.text.BpeTrainer.bpeEncode(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (words, chars, bpe) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // every word is >= 1 token; no token can be shorter than a char
+      assert(bpe >= words, r.toString)
+      assert(bpe <= chars, r.toString)
+      assert(r.getDouble(5) >= 1.0, r.toString)
+    }
+    // the learned merges actually bite on the corpus as a whole
+    assert(rows.map(_.getLong(4)).sum < rows.map(_.getLong(3)).sum,
+      "encoding with 8 learned merges must compress below character count")
+  }
 }
