@@ -31,10 +31,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     leaves NOTHING visible (speculative duplicates die the same way:
   *     Spark's output-commit coordinator admits one winner per partition);
   *   - driver [[BatchWrite.commit]] renames the winners to job-unique
-  *     `part-b<queryId>-<n>.tsv` names and THEN writes `_manifest.json`
-  *     naming them — written to a temp name and renamed, so visibility of
-  *     the whole job is one atomic file move: readers either see the
-  *     complete committed file set or nothing. Append MERGES the prior
+  *     `part-b<queryId>-<n>.tsv` names and THEN writes the next VERSIONED
+  *     manifest (`_manifest.v<N>.json`, highest N wins — see
+  *     [[ShardSink.writeManifest]]): visibility of the whole job is one
+  *     atomic rename to a fresh name, so readers either see the complete
+  *     committed file set or the previous version — a crash mid-commit
+  *     can never make committed data invisible. Append MERGES the prior
   *     manifest's entries (jobs accumulate); truncate replaces them and
   *     deletes the orphans after the flip. [[BatchWrite.abort]] deletes
   *     the temps.
@@ -51,11 +53,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * All IO goes through the Hadoop FileSystem API ([[SinkFs]]), so the
   * same commit sequence runs on HDFS (atomic rename) as on the local FS
-  * used in tests. Known caveats, stated rather than hidden: on
-  * S3A-style object stores rename is copy+delete (production there would
-  * swap the final move for a conditional PUT); manifest REPLACEMENT is
-  * delete-then-rename, whose failure window degrades to "no manifest" =
-  * "no committed data" — never a partial manifest.
+  * used in tests. Known caveat, stated rather than hidden: on S3A-style
+  * object stores rename is copy+delete (production there would swap the
+  * final move for a conditional PUT). The round-12 delete-then-rename
+  * manifest replacement — whose crash window degraded the whole table to
+  * invisible — was retired in round 13 for version-numbered manifests
+  * with fresh-name renames: no replace window exists at all.
   */
 class ShardSinkSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = DocGen.schema
@@ -166,11 +169,23 @@ private[sources] object SinkFs {
   /** Move src over dest: atomic rename where the FS provides it (HDFS,
     * POSIX); the delete-first REPLACE window degrades to "file absent",
     * never to partial content (the src is fully written before the move).
+    * Used for DATA files, whose destination names are job-unique — the
+    * manifest flip uses [[moveFresh]] so it never opens this window.
     */
   def moveOver(src: Path, dest: Path): Unit = {
     val fs = fsOf(dest)
     if (fs.exists(dest)) fs.delete(dest, false)
     require(fs.rename(src, dest), s"rename failed: $src -> $dest")
+  }
+
+  /** Rename to a name that must NOT exist: pure atomic rename, no delete
+    * — a collision (concurrent writer racing to the same manifest
+    * version) fails the rename and surfaces loudly.
+    */
+  def moveFresh(src: Path, dest: Path): Unit = {
+    val fs = fsOf(dest)
+    require(!fs.exists(dest) && fs.rename(src, dest),
+      s"rename to fresh name failed (concurrent writer?): $src -> $dest")
   }
 }
 
@@ -189,7 +204,30 @@ case class SinkEntry(file: String, rows: Long, shardMin: Int = -1, shardMax: Int
 object ShardSink {
   import org.apache.hadoop.fs.Path
 
-  def manifestPath(dir: String): Path = new Path(dir, "_manifest.json")
+  /** VERSIONED manifests (round 13): the committed view is the
+    * HIGHEST-numbered `_manifest.v<N>.json`. Every flip writes a body to
+    * a temp name and renames it to a FRESH version name — plain atomic
+    * rename, no delete, so the old delete-then-rename replace window
+    * (whose crash degraded the WHOLE table to invisible) no longer
+    * exists: a crash mid-flip leaves the previous version intact and the
+    * operation simply never happened. Version-hint discovery is how real
+    * table formats (Iceberg et al.) solve the same problem. Older
+    * versions are deleted best-effort AFTER the new one lands; a legacy
+    * unversioned `_manifest.json` is still read when no versioned file
+    * exists (pre-round-13 dirs).
+    */
+  private val ManifestV = """_manifest\.v(\d+)\.json""".r
+
+  def currentManifestVersion(dir: String): Long =
+    SinkFs.listFileNames(new Path(dir))
+      .collect { case ManifestV(n) => n.toLong }
+      .foldLeft(0L)(math.max)
+
+  def manifestPath(dir: String): Path = {
+    val v = currentManifestVersion(dir)
+    if (v > 0L) new Path(dir, s"_manifest.v$v.json")
+    else new Path(dir, "_manifest.json") // legacy fallback (may not exist)
+  }
 
   /** Driver-checked write→commit→read round trip: the generated corpus
     * [0, 20000) flows through the V2 writer (4 task files + manifest
@@ -408,7 +446,13 @@ object ShardSink {
   /** Full manifest entries incl. per-file shard statistics. Missing
     * stats (pre-stats manifests, recovered entries) parse as unknown.
     */
-  def committedEntries(dir: String): Seq[SinkEntry] = {
+  def committedEntries(dir: String): Seq[SinkEntry] =
+    // one retry: a writer's post-flip cleanup can delete the version we
+    // just resolved — re-listing finds the newer one
+    try committedEntriesOnce(dir)
+    catch { case _: java.io.FileNotFoundException => committedEntriesOnce(dir) }
+
+  private def committedEntriesOnce(dir: String): Seq[SinkEntry] = {
     val mf = manifestPath(dir)
     if (!SinkFs.exists(mf)) Seq.empty
     else {
@@ -428,8 +472,13 @@ object ShardSink {
   def committedFiles(dir: String): Seq[String] = committedFilesWithRows(dir).map(_._1)
 
   /** Shared manifest flip (batch commit, epoch commit, DELETE rewrite,
-    * replace-data commit): body to a temp name, then one atomic move —
-    * visibility is all or nothing. Entries carry shard stats when known.
+    * replace-data commit): body to a temp name, then ONE atomic rename to
+    * the NEXT fresh version name — visibility is all or nothing, and a
+    * crash anywhere leaves the previous version (and therefore the whole
+    * committed table) intact. A concurrent writer racing to the same
+    * version loses the rename (dst exists) and fails LOUDLY instead of
+    * silently dropping the winner's files. Superseded versions and any
+    * legacy unversioned manifest are deleted best-effort after the flip.
     */
   private[sources] def writeManifest(dir: String, files: Seq[SinkEntry], tag: String): Unit = {
     val mTmp = new Path(dir, s"_manifest.$tag.tmp")
@@ -439,7 +488,13 @@ object ShardSink {
     }.mkString("""{"files":[""", ",", "]}")
     val w = SinkFs.create(mTmp)
     try w.write(json) finally w.close()
-    SinkFs.moveOver(mTmp, manifestPath(dir))
+    val prev = currentManifestVersion(dir)
+    val dest = new Path(dir, s"_manifest.v${prev + 1}.json")
+    SinkFs.moveFresh(mTmp, dest)
+    // cleanup AFTER the new version is durable: readers resolving the old
+    // version mid-cleanup re-list and find the new one
+    (1L to prev).foreach(v => SinkFs.delete(new Path(dir, s"_manifest.v$v.json")))
+    SinkFs.delete(new Path(dir, "_manifest.json"))
   }
 
   /** Scan a TSV file to rebuild its manifest entry (recovery / rewrite
@@ -662,20 +717,19 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
     writeManifest(kept ++ epochFiles, s"$queryId-e$epochId")
   }
 
-  /** Crash recovery for the streaming path: a prior epoch's commit can die
-    * INSIDE the manifest replace window (old `_manifest.json` deleted, new
-    * one never renamed). For a batch job that degradation is the contract
-    * ("job never committed"); for streaming it would silently LOSE every
-    * epoch the checkpoint already recorded as done — the restart replays
-    * only the last epoch and would rebuild the manifest from nothing.
-    * Epoch files are safe to recover from disk: their names are
-    * deterministic (`part-e<epoch>-<i>.tsv`) and every one of them was
-    * fully renamed BEFORE any manifest flip was attempted, so on a
-    * manifest-absent replay we rebuild prior epochs' entries from the
-    * directory listing (recounting rows — the rare-path cost of losing the
-    * manifest). The replayed epoch's own files are excluded: its fresh
-    * commit replaces them. Batch (`part-b*`) files stay unrecovered — a
-    * batch job with no manifest never committed.
+  /** DEFENSE-IN-DEPTH recovery for the streaming path: with versioned
+    * manifests a crash mid-flip leaves the previous version intact, so
+    * this path should never fire on a healthy dir — but a replayed epoch
+    * landing on a manifest-ABSENT directory (operator deleted the
+    * manifests, legacy dir, total manifest loss) must still not lose the
+    * epochs the checkpoint recorded as done. Epoch files are safe to
+    * recover from disk: their names are deterministic
+    * (`part-e<epoch>-<i>.tsv`) and every one was fully renamed BEFORE any
+    * manifest flip was attempted, so we rebuild prior epochs' entries
+    * from the directory listing (recounting rows). The replayed epoch's
+    * own files are excluded: its fresh commit replaces them. Batch
+    * (`part-b*`) files stay unrecovered — a batch job with no manifest
+    * never committed.
     */
   private def recoverPriorEpochs(replayEpoch: Long): Seq[SinkEntry] = {
     val EpochFile = """part-e(\d+)-\d+\.tsv""".r

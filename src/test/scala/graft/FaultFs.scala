@@ -7,10 +7,10 @@ import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
 /** Test-only fault-injecting FileSystem (round-12 VERDICT #7): a local FS
   * under the `faultfs:` scheme (registered via the Hadoop ServiceLoader
   * manifest in test resources) whose `rename` can be made to throw when
-  * the destination matches a trigger name — simulating a crash inside the
-  * ShardSink manifest REPLACE window (delete of the old `_manifest.json`
-  * succeeded, rename of the new one never happened: the exact
-  * object-store degradation the sink's class doc promises is safe).
+  * the destination matches a trigger name — simulating a crash at the
+  * ShardSink manifest flip (since round 13 a rename to the next
+  * `_manifest.v<N>.json`; the specs pin that the PREVIOUS version — and
+  * therefore all committed data — stays visible through the crash).
   */
 class FaultFs extends RawLocalFileSystem {
   override def getScheme: String = "faultfs"

@@ -53,7 +53,8 @@ class ShardSinkSpec extends SparkSpec {
     w2.commit()
     assert(new ShardSinkScan(dir).planInputPartitions().isEmpty,
       "reader saw data from an uncommitted job")
-    assert(!new java.io.File(dir, "_manifest.json").exists())
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".json")),
+      "no manifest of any version may exist for an uncommitted job")
   }
 
   test("unmanifested files are invisible (crashed concurrent writer, stale parts)") {
@@ -244,12 +245,12 @@ class ShardSinkSpec extends SparkSpec {
     assert(tsvs.toSet === ShardSink.committedFiles(dir).toSet, tsvs.mkString(","))
   }
 
-  test("manifest replace crash window degrades to manifest-absent, never partial (FaultFs)") {
-    // the class doc's object-store claim, now executed instead of stated:
-    // a crash between delete(old manifest) and rename(new manifest) must
-    // leave NO manifest — readers see "no committed data", never a torn
-    // or partial manifest. FaultFs is a local FS whose rename throws when
-    // the destination is _manifest.json.
+  test("manifest flip crash leaves the PREVIOUS version fully visible (FaultFs, versioned manifests)") {
+    // round-13 upgrade executed under fault injection: the old
+    // delete-then-rename replace window degraded the whole table to
+    // invisible on a crash; versioned manifests rename to a FRESH name,
+    // so a crash mid-flip simply means "the new job never committed" —
+    // the previous version (and all committed data) stays readable.
     val local = freshDir().getPath
     val dir = "faultfs://" + local
     def write(n: Int) =
@@ -263,8 +264,9 @@ class ShardSinkSpec extends SparkSpec {
     def readBack() = spark.read.format("graft.sources.ShardSinkSource")
       .option("path", dir).load()
     assert(readBack().count() === 300L)
-    // job 2 crashes INSIDE the replace window
-    FaultFs.failRenameTo.set("_manifest.json")
+    assert(new java.io.File(local, "_manifest.v1.json").exists())
+    // job 2 crashes at the flip (rename of the NEXT version)
+    FaultFs.failRenameTo.set("_manifest.v2.json")
     try {
       val e = intercept[Exception](write(200))
       def causes(t: Throwable): Seq[String] =
@@ -272,27 +274,28 @@ class ShardSinkSpec extends SparkSpec {
       assert(causes(e).exists(m => m != null && m.contains("injected crash")),
         s"expected the injected crash, got: $e")
     } finally FaultFs.failRenameTo.set(null)
-    // degradation contract: manifest ABSENT (old one was deleted, new one
-    // never landed) → zero committed data, and the reader does not error
-    assert(!new java.io.File(local, "_manifest.json").exists())
-    assert(ShardSink.committedFiles(dir).isEmpty)
-    assert(readBack().count() === 0L, "reader must see nothing, never a partial manifest")
-    // the new manifest body survives as an ignored temp alongside the old
-    // job's (now invisible) data files — garbage, not corruption
+    // the whole point: job 1's data is STILL committed and readable; the
+    // crashed job is simply absent — never a torn manifest, never a
+    // vanished table
+    assert(readBack().count() === 300L, "crash mid-flip must not hide committed data")
+    assert(ShardSink.committedFilesWithRows(dir).map(_._2).sum === 300L)
+    // the crashed job's manifest body survives only as an ignored temp
     val leftovers = new java.io.File(local).listFiles().map(_.getName)
-    assert(leftovers.exists(_.startsWith("_manifest.")), leftovers.mkString(","))
-    // recovery: a clean rewrite re-establishes a complete committed view
+    assert(leftovers.exists(f => f.startsWith("_manifest.") && f.endsWith(".tmp")),
+      leftovers.mkString(","))
+    // a clean retry lands v2 and ACCUMULATES (Append semantics)
     write(100)
-    assert(readBack().count() === 100L)
+    assert(readBack().count() === 400L)
+    assert(new java.io.File(local, "_manifest.v2.json").exists())
+    assert(!new java.io.File(local, "_manifest.v1.json").exists(),
+      "superseded version not cleaned up")
   }
 
-  test("streaming epoch crash inside manifest replace: replay recovers prior epochs, stays idempotent") {
-    // round-13 VERDICT #8: the streaming twin of the batch crash-window
-    // test. Epoch 1's commit dies between delete(old manifest) and
-    // rename(new manifest); the restart replays epoch 1 and the merge
-    // must (a) RECOVER epoch 0's committed files from their deterministic
-    // names — the checkpoint says epoch 0 is done, losing it would break
-    // exactly-once — and (b) not double epoch 1 on a second replay.
+  test("streaming epoch crash at the flip: prior epochs stay visible; replay is idempotent") {
+    // the streaming twin: epoch 1's commit dies at the version flip. With
+    // versioned manifests epoch 0's manifest is UNTOUCHED (the checkpoint
+    // says epoch 0 is done, and it still is); the replayed epoch 1 then
+    // lands normally and a second replay does not double it.
     val local = freshDir().getPath
     val dir = "faultfs://" + local
     val w = new graft.sources.ShardSinkWrite(dir, "qf")
@@ -303,27 +306,50 @@ class ShardSinkSpec extends SparkSpec {
     }
     w.commit(0L, Array(epochMsg(0L, 3)))
     assert(ShardSink.committedFilesWithRows(dir).map(_._2).sum === 3L)
-    FaultFs.failRenameTo.set("_manifest.json")
+    FaultFs.failRenameTo.set("_manifest.v2.json")
     try {
       val e = intercept[Exception](w.commit(1L, Array(epochMsg(1L, 2))))
       assert(e.getMessage != null)
     } finally FaultFs.failRenameTo.set(null)
-    // the degradation window: manifest absent, nothing visible
-    assert(!new java.io.File(local, "_manifest.json").exists())
-    assert(ShardSink.committedFiles(dir).isEmpty)
+    // epoch 0 still committed — the crash affected only the in-flight epoch
+    assert(ShardSink.committedFilesWithRows(dir).map(_._2).sum === 3L)
     // restart replays epoch 1
     w.commit(1L, Array(epochMsg(1L, 2)))
     val after = ShardSink.committedFilesWithRows(dir)
-    assert(after.map(_._2).sum === 5L, s"recovered manifest wrong: $after")
+    assert(after.map(_._2).sum === 5L, s"post-replay manifest wrong: $after")
     assert(after.map(_._1).count(_.startsWith("part-e0-")) === 1, after.toString)
     assert(after.map(_._1).count(_.startsWith("part-e1-")) === 1, after.toString)
-    // a second replay of the SAME epoch (manifest now present) is the
-    // ordinary replace-then-append path — still 5 rows
+    // a second replay of the SAME epoch is the ordinary
+    // replace-then-append path — still 5 rows
     w.commit(1L, Array(epochMsg(1L, 2)))
     assert(ShardSink.committedFilesWithRows(dir).map(_._2).sum === 5L)
     // the read path agrees end to end
     assert(spark.read.format("graft.sources.ShardSinkSource")
       .option("path", dir).load().count() === 5L)
+  }
+
+  test("manifest-ABSENT replay recovers prior epochs from deterministic file names (defense in depth)") {
+    // total manifest loss (operator wipe, legacy dir): a replayed epoch
+    // must rebuild prior epochs' entries from their part-e names instead
+    // of silently dropping them
+    val dir = freshDir().getPath
+    val w = new graft.sources.ShardSinkWrite(dir, "qr")
+    def epochMsg(id: Long, n: Int) = {
+      val dw = new ShardSinkDataWriter(dir, s"qr-e$id", 0, id * 10 + n)
+      (1 to n).foreach(i => dw.write(row(i.toLong)))
+      dw.commit()
+    }
+    w.commit(0L, Array(epochMsg(0L, 3)))
+    w.commit(1L, Array(epochMsg(1L, 2)))
+    // wipe every manifest version
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_manifest")).foreach(_.delete())
+    assert(ShardSink.committedFiles(dir).isEmpty)
+    // replay the LAST epoch: epoch 0 must come back from its file name
+    w.commit(1L, Array(epochMsg(1L, 2)))
+    val after = ShardSink.committedFilesWithRows(dir)
+    assert(after.map(_._2).sum === 5L, s"recovery lost an epoch: $after")
+    assert(after.map(_._1).count(_.startsWith("part-e0-")) === 1, after.toString)
   }
 
   test("SQL DELETE: shard-aligned predicates drop whole files as metadata; others rewrite; body rejected") {
