@@ -542,7 +542,62 @@ object CurationOps {
        |  GROUP BY source)
        |ORDER BY source""".stripMargin
 
+  /** Bigram-LM document scoring — the conditional upgrade of
+    * [[surprisal]]: score(doc) = mean over its bigrams of
+    * bitlen(c(w1·)) − bitlen(c(w1,w2)) ≈ −log₂ P(w2|w1) in the same
+    * engine-portable integer-bit-length currency the unigram scorer uses
+    * (no `ln`, no libm). The LM is trained on the corpus itself (every
+    * doc bigram therefore has c₁₂ ≥ 1 — no smoothing needed), and the
+    * doc scan joins the LM on the bigram key: one (w1,w2)-keyed
+    * aggregate + one keyed join, the shape per-doc perplexity filters
+    * (CCNet-style, one n-gram up) run at corpus scale. Docs with < 2
+    * tokens carry no bigram and are excluded by both engines alike.
+    */
+  def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigr = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "j -> struct(element_at(t, j) AS w1, element_at(t, j + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    def bitlen(c: Column): Column =
+      length(conv(c.cast("string"), 10, 2)).cast("bigint")
+    val c12 = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val lm = c12.join(c1, "w1")
+      .select(col("w1"), col("w2"), (bitlen(col("c1")) - bitlen(col("c12"))).as("surp"))
+    bigr.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(col("surp")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("bits_per_bigram"))
+      .orderBy("doc_id")
+  }
+
+  val bigramSurprisalSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[j] AS w1, t[j + 1] AS w2
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS j
+      |        FROM tk WHERE len(t) >= 2)),
+      |c12 AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+      |c1 AS (
+      |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+      |lm AS (
+      |  SELECT w1, w2,
+      |         CAST(length(format('{:b}', c1)) - length(format('{:b}', c12)) AS BIGINT) AS surp
+      |  FROM c12 JOIN c1 USING (w1))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |       ROUND(CAST(SUM(surp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS bits_per_bigram
+      |FROM bg JOIN lm USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bigram_surprisal" -> (bigramSurprisal _),
     "t_doc_scorecard" -> (docScorecard _),
     "t_source_scorecard" -> (sourceScorecard _),
     "t_dup_rate_by_source" -> (dupRateBySource _),
@@ -554,6 +609,7 @@ object CurationOps {
     "t_source_cap" -> (sourceCap _))
 
   val oracle: Map[String, String] = Map(
+    "t_bigram_surprisal" -> bigramSurprisalSql,
     "t_doc_scorecard" -> docScorecardSql,
     "t_source_scorecard" -> sourceScorecardSql,
     "t_dup_rate_by_source" -> dupRateBySourceSql,
