@@ -614,7 +614,46 @@ object RelQueries {
       |UNION ALL SELECT bucket, 'P', n_p FROM wide
       |ORDER BY bucket, status""".stripMargin
 
+  /** Spark 4 VARIANT round trip — the semi-structured column type a log /
+    * event lake actually stores: each order serialized to JSON, parsed
+    * into a VARIANT, and the typed fields pulled back out with
+    * `variant_get` JSON-path extraction, then rolled up by an extracted
+    * field. Exercises the full encode→parse→path→cast pipeline (all
+    * scan-side, codegen'd); the oracle reads the ORIGINAL columns in
+    * DuckDB, so any loss or coercion anywhere in the variant round trip
+    * breaks the hash. Integer/string fields only by design — JSON float
+    * formatting is engine-specific and belongs nowhere near a hash gate.
+    */
+  def variantJson(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .select(to_json(struct(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"))).as("j"))
+      .select(expr("parse_json(j)").as("v"))
+      .select(
+        expr("variant_get(v, '$.o_orderkey', 'long')").as("okey"),
+        expr("variant_get(v, '$.o_custkey', 'long')").as("ckey"),
+        expr("variant_get(v, '$.o_orderstatus', 'string')").as("status"),
+        expr("variant_get(v, '$.o_orderpriority', 'string')").as("prio"))
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("bit_xor(okey)").as("xor_keys"),
+        sum(col("ckey")).as("sum_cust"),
+        min(col("prio")).as("min_prio"),
+        max(col("prio")).as("max_prio"))
+      .orderBy("status")
+  }
+
+  val variantJsonSql: String =
+    """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       bit_xor(o_orderkey) AS xor_keys,
+      |       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+      |       MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio
+      |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_variant_json" -> (variantJson _),
     "q_cdc_upsert" -> (cdcUpsert _),
     "q_rank_functions" -> (rankFunctions _),
     "q_unpivot" -> (unpivotStatus _),
@@ -634,6 +673,7 @@ object RelQueries {
     "q_window_frames" -> (windowFrames _))
 
   val oracle: Map[String, String] = Map(
+    "q_variant_json" -> variantJsonSql,
     "q_cdc_upsert" -> cdcUpsertSql,
     "q_rank_functions" -> rankFunctionsSql,
     "q_unpivot" -> unpivotStatusSql,
