@@ -184,6 +184,7 @@ object Sinks {
     "q_dsv2_delete" -> (ShardSink.deleteRoundtrip _),
     "q_dsv2_merge" -> (ShardSink.mergeRoundtrip _),
     "s_shardsink_stream_parity" -> (ShardSink.streamWriteParity _),
+    "s_shardsink_tail_parity" -> (ShardSink.tailParity _),
     "s_dsv2_stream_parity" -> (DocGen.dsv2StreamParity _))
 
   val oracle: Map[String, String] = Map(
@@ -202,6 +203,7 @@ object Sinks {
     "q_dsv2_delete" -> ShardSink.deleteRoundtripSql,
     "q_dsv2_merge" -> ShardSink.mergeRoundtripSql,
     "s_shardsink_stream_parity" -> ShardSink.streamWriteParitySql,
+    "s_shardsink_tail_parity" -> ShardSink.tailParitySql,
     "s_dsv2_stream_parity" -> DocGen.dsv2StreamParitySql)
 
   /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead

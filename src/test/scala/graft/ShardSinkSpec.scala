@@ -283,12 +283,13 @@ class ShardSinkSpec extends SparkSpec {
     val leftovers = new java.io.File(local).listFiles().map(_.getName)
     assert(leftovers.exists(f => f.startsWith("_manifest.") && f.endsWith(".tmp")),
       leftovers.mkString(","))
-    // a clean retry lands v2 and ACCUMULATES (Append semantics)
+    // a clean retry lands v2 and ACCUMULATES (Append semantics); v1 is
+    // RETAINED — the version sequence is the commit log tail reads diff
     write(100)
     assert(readBack().count() === 400L)
     assert(new java.io.File(local, "_manifest.v2.json").exists())
-    assert(!new java.io.File(local, "_manifest.v1.json").exists(),
-      "superseded version not cleaned up")
+    assert(new java.io.File(local, "_manifest.v1.json").exists(),
+      "version log must be retained for tailing")
   }
 
   test("streaming epoch crash at the flip: prior epochs stay visible; replay is idempotent") {
@@ -430,6 +431,51 @@ class ShardSinkSpec extends SparkSpec {
     assert(s.read.table("graft_sink.p").count() === 2000L)
     // no empty replacement files manifested
     after.foreach(e => assert(e.rows > 0L, e.toString))
+  }
+
+  test("version-tail stream: one version per trigger, consecutive-manifest diffs, append-only scope") {
+    val dir = freshDir().getPath
+    def append(lo: Long, hi: Long) =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "600").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0, 200); append(200, 350); append(350, 600)
+    assert(ShardSink.currentManifestVersion(dir) === 3L)
+    val s = new graft.sources.ShardSinkTailStream(dir)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    def v(o: org.apache.spark.sql.connector.read.streaming.Offset) =
+      o.asInstanceOf[graft.sources.SinkVersionOffset].v
+    // admission: one manifest version per trigger; drain jumps to current
+    assert(v(s.initialOffset()) === 0L)
+    assert(v(s.latestOffset(graft.sources.SinkVersionOffset(0L), s.getDefaultReadLimit)) === 1L)
+    assert(v(s.latestOffset(graft.sources.SinkVersionOffset(1L), s.getDefaultReadLimit)) === 2L)
+    assert(v(s.latestOffset(graft.sources.SinkVersionOffset(3L), s.getDefaultReadLimit)) === 3L)
+    assert(v(s.latestOffset(graft.sources.SinkVersionOffset(0L), ReadLimit.allAvailable())) === 3L)
+    // each batch is exactly the file delta between consecutive manifests
+    def files(a: Long, b: Long) = s.planInputPartitions(
+      graft.sources.SinkVersionOffset(a), graft.sources.SinkVersionOffset(b))
+      .map(p => new org.apache.hadoop.fs.Path(
+        p.asInstanceOf[graft.sources.ShardSinkFile].file).getName).toSet
+    val v1 = ShardSink.entriesAtVersion(dir, 1L).map(_.file).toSet
+    val v2 = ShardSink.entriesAtVersion(dir, 2L).map(_.file).toSet
+    val v3 = ShardSink.entriesAtVersion(dir, 3L).map(_.file).toSet
+    assert(files(0L, 1L) === v1)
+    assert(files(1L, 2L) === v2 -- v1)
+    assert(files(2L, 3L) === v3 -- v2)
+    assert(files(0L, 3L) === v3)
+    // a replayed offset range re-plans the same immutable files (exactly-once)
+    assert(files(1L, 2L) === files(1L, 2L))
+    // DML rewrites are out of tailing scope: a rewrite lands version 4
+    // whose delta contains only part-r files, which the tailer skips
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.catalog.graft_sink", classOf[graft.sources.ShardSinkCatalog].getName)
+    sess.conf.set("spark.sql.catalog.graft_sink.root", new java.io.File(dir).getParent)
+    val ident = new java.io.File(dir).getName
+    sess.sql(s"UPDATE graft_sink.`$ident` SET body = upper(body) WHERE doc_id < 50")
+    assert(ShardSink.currentManifestVersion(dir) === 4L)
+    assert(files(3L, 4L).isEmpty, "rewritten part-r files must not re-emit to a tailer")
   }
 
   test("reported statistics flip the optimizer's broadcast decision with the pushed filter") {
