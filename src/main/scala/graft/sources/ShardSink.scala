@@ -73,7 +73,8 @@ class ShardSinkSource extends TableProvider {
   }
 }
 
-class ShardSinkTable(path: String) extends Table with SupportsRead with SupportsWrite
+class ShardSinkTable(path: String, asOf: Option[Long] = None)
+  extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"shardsink($path)"
@@ -125,10 +126,15 @@ class ShardSinkTable(path: String) extends Table with SupportsRead with Supports
     }
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // time travel, both spellings: SQL `VERSION AS OF n` arrives via
+    // [[ShardSinkCatalog.loadTable(ident, version)]] (the table-level
+    // asOf); `spark.read.option("versionAsOf", n)` arrives here
+    val v = Option(options.get("versionAsOf")).map(_.toLong).orElse(asOf)
     new ScanBuilder {
-      override def build(): Scan = new ShardSinkScan(path)
+      override def build(): Scan = new ShardSinkScan(path, v)
     }
+  }
 }
 
 /** Hadoop-FileSystem IO layer: every read/write/rename/delete the sink
@@ -490,6 +496,47 @@ object ShardSink {
   }
 
   private val streamSinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Driver-checked TIME TRAVEL (round 13): three Appends land manifest
+    * versions 1–3; `VERSION AS OF 2` (SQL, resolved via
+    * [[ShardSinkCatalog.loadTable(ident, version)]]) must read EXACTLY
+    * the snapshot after the second commit — rows appended later are
+    * invisible, rows present then are all there. The oracle re-derives
+    * the v2 window from `range()`; a spec additionally pins the
+    * `versionAsOf` read-option spelling and the out-of-range failure.
+    */
+  def timeTravel(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("travel:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcat_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_sink", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sink.root", root.getPath)
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2000").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .writeTo("graft_sink.docs_tt").append()
+    append(0L, 500L); append(500L, 1200L); append(1200L, 2000L)
+    s.sql(
+      """SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       bit_xor(doc_id) AS xor_ids
+        |FROM graft_sink.docs_tt VERSION AS OF 2
+        |GROUP BY shard ORDER BY shard""".stripMargin)
+  }
+
+  val timeTravelSql: String =
+    """SELECT CAST(doc_id % 16 AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids
+      |FROM range(0, 1200) t(doc_id)
+      |GROUP BY 1 ORDER BY shard""".stripMargin
 
   val tailParitySql: String =
     """WITH g AS (SELECT CAST(doc_id % 16 AS INT) AS shard FROM range(0, 2000) t(doc_id))
@@ -940,15 +987,31 @@ class ShardSinkDataWriter(
 
 case class ShardSinkFile(file: String) extends InputPartition
 
-class ShardSinkScan(path: String) extends Scan with Batch {
+class ShardSinkScan(path: String, asOf: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = DocGen.schema
-  override def description(): String = s"ShardSinkScan[$path, manifest-committed files only]"
+  override def description(): String =
+    s"ShardSinkScan[$path, manifest-committed files only" +
+      asOf.map(v => s", versionAsOf=$v]").getOrElse("]")
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    ShardSink.committedFiles(path)
+  /** TIME TRAVEL (round 13): `asOf` pins the scan to a specific retained
+    * manifest version — the snapshot-isolation read the version log makes
+    * free. A version beyond the current one fails loudly (typo'd travel
+    * must not silently read latest).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = asOf match {
+      case None => ShardSink.committedFiles(path)
+      case Some(v) =>
+        val current = ShardSink.currentManifestVersion(path)
+        require(v >= 0 && v <= current,
+          s"versionAsOf=$v out of range: table at $path has versions 1..$current")
+        ShardSink.entriesAtVersion(path, v).map(_.file)
+    }
+    files
       .map(f => ShardSinkFile(new org.apache.hadoop.fs.Path(path, f).toString): InputPartition)
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = ShardSinkReaderFactory(path)
 
@@ -1075,6 +1138,11 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
     new java.io.File(root, (ident.namespace() :+ ident.name()).mkString("_")).getPath
 
   override def loadTable(ident: Identifier): Table = new ShardSinkTable(dirOf(ident))
+  /** SQL time travel: `SELECT … FROM <cat>.<t> VERSION AS OF n` resolves
+    * here — the table is pinned to retained manifest version n.
+    */
+  override def loadTable(ident: Identifier, version: String): Table =
+    new ShardSinkTable(dirOf(ident), Some(version.toLong))
   override def tableExists(ident: Identifier): Boolean = true // implicit, empty until written
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)

@@ -185,6 +185,7 @@ object Sinks {
     "q_dsv2_merge" -> (ShardSink.mergeRoundtrip _),
     "s_shardsink_stream_parity" -> (ShardSink.streamWriteParity _),
     "s_shardsink_tail_parity" -> (ShardSink.tailParity _),
+    "q_dsv2_time_travel" -> (ShardSink.timeTravel _),
     "s_dsv2_stream_parity" -> (DocGen.dsv2StreamParity _))
 
   val oracle: Map[String, String] = Map(
@@ -204,6 +205,7 @@ object Sinks {
     "q_dsv2_merge" -> ShardSink.mergeRoundtripSql,
     "s_shardsink_stream_parity" -> ShardSink.streamWriteParitySql,
     "s_shardsink_tail_parity" -> ShardSink.tailParitySql,
+    "q_dsv2_time_travel" -> ShardSink.timeTravelSql,
     "s_dsv2_stream_parity" -> DocGen.dsv2StreamParitySql)
 
   /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead

@@ -478,6 +478,27 @@ class ShardSinkSpec extends SparkSpec {
     assert(files(3L, 4L).isEmpty, "rewritten part-r files must not re-emit to a tailer")
   }
 
+  test("time travel: versionAsOf option reads the pinned snapshot; out-of-range fails loudly") {
+    val dir = freshDir().getPath
+    def append(lo: Long, hi: Long) =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "600").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0, 200); append(200, 500)
+    def readV(v: Long) = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("versionAsOf", v.toString).load()
+    assert(readV(1L).count() === 200L)
+    assert(readV(2L).count() === 500L)
+    assert(readV(0L).count() === 0L, "version 0 is the empty pre-commit snapshot")
+    // the old snapshot is EXACT, not just a count: no id from the second
+    // append leaks backward
+    assert(readV(1L).where(col("doc_id") >= 200L).isEmpty)
+    val e = intercept[Exception](readV(9L).count())
+    assert(e.getMessage.contains("out of range"), e.getMessage)
+  }
+
   test("reported statistics flip the optimizer's broadcast decision with the pushed filter") {
     import org.apache.spark.sql.functions._
     def docgen = spark.read.format("graft.sources.DocGenSource")
