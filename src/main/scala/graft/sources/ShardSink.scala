@@ -546,6 +546,103 @@ object ShardSink {
       |       CAST(3 AS BIGINT) AS n_versions
       |FROM g""".stripMargin
 
+  private val compactCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** COMPACTION — the small-files maintenance op every landing zone
+    * accumulates toward: many small committed files (one per append job ×
+    * write partition) consolidate into ONE shard-pure, id-sorted file per
+    * shard, published as a new manifest version. Row content is untouched
+    * (values are the oracle's business); the layout becomes the best case
+    * for every later operation — shard stats exact per file, shard-keyed
+    * deletes pure metadata, reads one partition per shard. Output names
+    * use the `part-c` prefix, which the version-tail stream does NOT
+    * treat as appended data — a tailer sees compaction as a no-op instead
+    * of a full re-emit. Runs driver-side like the DELETE rewrite (a
+    * control-plane op; a 100 TB deployment submits the per-shard merges
+    * as a job — the manifest protocol is identical).
+    *
+    * RETENTION semantics, stated plainly: compaction deletes the files it
+    * consolidated, which EXPIRES (a) time-travel snapshots older than the
+    * compaction — they fail loudly with "snapshot expired", never read
+    * wrong data — and (b) tail positions that had not yet consumed the
+    * pre-compaction appends (their file delta is gone). A production
+    * deployment coordinates compaction with snapshot/consumer retention
+    * horizons (Iceberg's expire-snapshots); here the horizon is zero and
+    * documented.
+    */
+  def compact(dir: String): Unit = {
+    val entries = committedEntries(dir)
+    if (entries.isEmpty) return
+    val byShard = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, String)]]
+    entries.foreach { e =>
+      SinkFs.readLines(new Path(dir, e.file)).foreach { l =>
+        val c = l.split("\t", 3)
+        byShard.getOrElseUpdate(c(1).toInt, scala.collection.mutable.ArrayBuffer.empty)
+          .append((c(0).toLong, l))
+      }
+    }
+    val gen = compactCounter.incrementAndGet()
+    val newEntries = byShard.toSeq.sortBy(_._1).map { case (shard, rows) =>
+      val nf = s"part-c$gen-s$shard.tsv"
+      val tmp = new Path(dir, s"_tmp/$nf")
+      val w = SinkFs.create(tmp)
+      try rows.sortBy(_._1).foreach { case (_, l) => w.write(l); w.write("\n") }
+      finally w.close()
+      SinkFs.moveOver(tmp, new Path(dir, nf))
+      SinkEntry(nf, rows.size.toLong, shard, shard)
+    }
+    writeManifest(dir, newEntries, s"c$gen")
+    entries.map(_.file).foreach(f => SinkFs.delete(new Path(dir, f)))
+  }
+
+  /** Driver-checked COMPACTION (round 13): three fragmented Appends,
+    * compact, read back — the rollup must be BYTE-IDENTICAL to the
+    * uncompacted oracle (compaction may touch layout, never values), and
+    * the emitted layout report pins one-file-per-shard with exact stats.
+    */
+  def compactRoundtrip(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("compact:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcompact_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(dir)
+    def append(lo: Long, hi: Long): Unit =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2000").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir.getPath)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0L, 500L); append(500L, 1200L); append(1200L, 2000L)
+    compact(dir.getPath)
+    val entries = committedEntries(dir.getPath)
+    // layout invariants folded into the CHECKED row: every file shard-pure
+    // with exact stats, one file per shard
+    val shardPure = entries.forall(e => e.hasStats && e.shardMin == e.shardMax)
+    spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("xor_ids"))
+      .withColumn("n_files", lit(entries.size.toLong))
+      .withColumn("shard_pure", lit(shardPure))
+      .orderBy("shard")
+  }
+
+  val compactRoundtripSql: String =
+    """SELECT CAST(doc_id % 16 AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(16 AS BIGINT) AS n_files, TRUE AS shard_pure
+      |FROM range(0, 2000) t(doc_id)
+      |GROUP BY 1 ORDER BY shard""".stripMargin
+
   /** Committed (file, rows) pairs, from the manifest only. Missing
     * manifest = no committed data (an in-flight or crashed job), never an
     * error.
@@ -1006,7 +1103,14 @@ class ShardSinkScan(path: String, asOf: Option[Long] = None) extends Scan with B
         val current = ShardSink.currentManifestVersion(path)
         require(v >= 0 && v <= current,
           s"versionAsOf=$v out of range: table at $path has versions 1..$current")
-        ShardSink.entriesAtVersion(path, v).map(_.file)
+        val fs = ShardSink.entriesAtVersion(path, v).map(_.file)
+        // a compaction may have expired this snapshot's files — fail with
+        // the real reason, never a raw FileNotFound mid-job
+        val missing = fs.filterNot(f =>
+          SinkFs.exists(new org.apache.hadoop.fs.Path(path, f)))
+        require(missing.isEmpty,
+          s"snapshot versionAsOf=$v expired: compaction removed ${missing.mkString(", ")}")
+        fs
     }
     files
       .map(f => ShardSinkFile(new org.apache.hadoop.fs.Path(path, f).toString): InputPartition)

@@ -186,6 +186,7 @@ object Sinks {
     "s_shardsink_stream_parity" -> (ShardSink.streamWriteParity _),
     "s_shardsink_tail_parity" -> (ShardSink.tailParity _),
     "q_dsv2_time_travel" -> (ShardSink.timeTravel _),
+    "q_dsv2_compact" -> (ShardSink.compactRoundtrip _),
     "s_dsv2_stream_parity" -> (DocGen.dsv2StreamParity _))
 
   val oracle: Map[String, String] = Map(
@@ -206,6 +207,7 @@ object Sinks {
     "s_shardsink_stream_parity" -> ShardSink.streamWriteParitySql,
     "s_shardsink_tail_parity" -> ShardSink.tailParitySql,
     "q_dsv2_time_travel" -> ShardSink.timeTravelSql,
+    "q_dsv2_compact" -> ShardSink.compactRoundtripSql,
     "s_dsv2_stream_parity" -> DocGen.dsv2StreamParitySql)
 
   /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead

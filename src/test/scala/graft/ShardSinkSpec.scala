@@ -499,6 +499,48 @@ class ShardSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("out of range"), e.getMessage)
   }
 
+  test("compaction: one shard-pure sorted file per shard; values untouched; old snapshots expire loudly") {
+    val dir = freshDir().getPath
+    // AQE off so each append lands its full 4-partition clustered split —
+    // genuine small-files fragmentation for compaction to clean up
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    def append(lo: Long, hi: Long) =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "600").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0, 120); append(120, 250); append(250, 380); append(380, 500); append(500, 600)
+    val beforeFiles = ShardSink.committedFiles(dir).size
+    val beforeRows = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load().orderBy("doc_id").collect()
+    ShardSink.compact(dir)
+    val entries = ShardSink.committedEntries(dir)
+    assert(entries.size === 16, entries.toString)
+    assert(entries.size < beforeFiles, s"compaction grew the file count: $beforeFiles -> ${entries.size}")
+    entries.foreach { e =>
+      assert(e.hasStats && e.shardMin === e.shardMax, e.toString)
+      assert(e.file.startsWith("part-c"), e.toString)
+      // rows inside each file are doc_id-sorted
+      val ids = java.nio.file.Files.readAllLines(new java.io.File(dir, e.file).toPath)
+        .toArray(Array.empty[String]).map(_.split("\t")(0).toLong).toSeq
+      assert(ids === ids.sorted, s"${e.file} not id-sorted")
+    }
+    val afterRows = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load().orderBy("doc_id").collect()
+    assert(afterRows.toSeq === beforeRows.toSeq, "compaction changed row content")
+    // pre-compaction snapshots are expired, and say so
+    val e = intercept[Exception](
+      spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("versionAsOf", "2").load().count())
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    // the current version still time-travels fine
+    val cur = ShardSink.currentManifestVersion(dir)
+    assert(spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("versionAsOf", cur.toString).load().count() === 600L)
+  }
+
   test("reported statistics flip the optimizer's broadcast decision with the pushed filter") {
     import org.apache.spark.sql.functions._
     def docgen = spark.read.format("graft.sources.DocGenSource")
