@@ -194,13 +194,89 @@ object Sampling {
       |FROM per LEFT JOIN kept USING (source)
       |ORDER BY per.source""".stripMargin
 
+  /** TEMPERATURE-flattened mixture (α = 0.5, the Llama-style `T^α`
+    * source re-weighting): sampling mass ∝ T_s^α means per-doc keep rate
+    * ∝ T_s^(α−1) = 1/√T_s — big sources are downsampled hard, scarce
+    * sources kept whole. Anchoring the rate at the SCARCEST source
+    * (rate_s = √(T_min/T_s) ≤ 1, no oversampling) removes every
+    * cross-source FLOAT aggregate from the derivation: T_min is an
+    * integer MIN, and each source's threshold is one division + one
+    * `sqrt` + one multiply on identical operands in identical order —
+    * IEEE-exact cross-engine per the repo float rules, so the kept SET
+    * (not just its size) sits under the hash gate with no rounding
+    * boundary anywhere (the b16-vs-threshold compare is between
+    * bit-identical doubles). Keep rule: b16(doc) < √(T_min/T_s)·65536,
+    * b16 the 16-bit md5 bucket — deterministic, no RNG state, same
+    * hash-not-RNG rule as every sampler here.
+    */
+  def mixtureTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long").as("b16"))
+    val per = docs.groupBy("source").agg(sum(col("n_tokens")).as("t"))
+    val tmin = per.agg(min(col("t")).as("tmin"))
+    val rates = per.crossJoin(broadcast(tmin))
+      .withColumn("thr",
+        sqrt(col("tmin").cast("double") / col("t").cast("double")) * lit(65536.0))
+    val kept = docs
+      .join(broadcast(rates.select(col("source"), col("thr"))), "source")
+      .where(col("b16").cast("double") < col("thr"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tokens")).as("n_tokens_kept"),
+        expr("bit_xor(doc_id)").as("xor_kept"))
+    rates
+      .select(
+        col("source"), col("t").as("n_tokens_in"),
+        round(sqrt(col("tmin").cast("double") / col("t").cast("double")), 6).as("rate"))
+      .join(kept, Seq("source"), "left")
+      .select(
+        col("source"), col("n_tokens_in"), col("rate"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        col("xor_kept"))
+      .orderBy("source")
+  }
+
+  val mixtureTemperatureSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS b16
+      |  FROM documents),
+      |per AS (SELECT source, SUM(n_tokens)::BIGINT AS t FROM d GROUP BY source),
+      |tm AS (SELECT MIN(t)::BIGINT AS tmin FROM per),
+      |rates AS (
+      |  SELECT source, t,
+      |         sqrt(CAST(tmin AS DOUBLE) / CAST(t AS DOUBLE)) * 65536.0 AS thr,
+      |         ROUND(sqrt(CAST(tmin AS DOUBLE) / CAST(t AS DOUBLE)), 6) AS rate
+      |  FROM per, tm),
+      |kept AS (
+      |  SELECT d.source, COUNT(*)::BIGINT AS n_docs_kept,
+      |         SUM(d.n_tokens)::BIGINT AS n_tokens_kept,
+      |         bit_xor(d.doc_id) AS xor_kept
+      |  FROM d JOIN rates USING (source)
+      |  WHERE CAST(d.b16 AS DOUBLE) < rates.thr
+      |  GROUP BY d.source)
+      |SELECT rates.source, rates.t AS n_tokens_in, rates.rate,
+      |       COALESCE(kept.n_docs_kept, 0)::BIGINT AS n_docs_kept,
+      |       COALESCE(kept.n_tokens_kept, 0)::BIGINT AS n_tokens_kept,
+      |       kept.xor_kept
+      |FROM rates LEFT JOIN kept USING (source)
+      |ORDER BY rates.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_split_counts" -> (splitCounts _),
     "t_sample_per_group" -> (samplePerSegment _),
-    "t_data_mixture" -> (dataMixture _))
+    "t_data_mixture" -> (dataMixture _),
+    "t_mixture_temperature" -> (mixtureTemperature _))
 
   val oracle: Map[String, String] = Map(
     "t_split_counts" -> splitCountsSql,
     "t_sample_per_group" -> samplePerSegmentSql,
-    "t_data_mixture" -> dataMixtureSql)
+    "t_data_mixture" -> dataMixtureSql,
+    "t_mixture_temperature" -> mixtureTemperatureSql)
 }

@@ -143,6 +143,38 @@ class QualitySpec extends SparkSpec {
       s"binding source ${binding.getString(0)} should keep every token")
   }
 
+  test("mixtureTemperature: scarcest source kept whole; kept shares flatter than input shares") {
+    val rows = graft.etl.Sampling.mixtureTemperature(spark, sf001).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1), s"${r.getString(0)} oversampled")
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0, r.toString)
+    }
+    // the anchor (min input tokens) has rate 1.0: every doc kept (b16 max
+    // is 65535 < 65536.0)
+    val anchor = rows.minBy(_.getLong(1))
+    assert(anchor.getDouble(2) === 1.0)
+    assert(anchor.getLong(4) === anchor.getLong(1),
+      s"anchor ${anchor.getString(0)} should keep every token")
+    // the α=0.5 point, in its NOISE-FREE form: the keep rate is strictly
+    // monotone-decreasing in source size (1/√T), so bigger sources are
+    // always downsampled harder — the aggregate share ratio itself is
+    // sampling-noisy at this SF (16-bit buckets over small counts) and
+    // is NOT a stable assertion
+    val bySize = rows.sortBy(_.getLong(1))
+    bySize.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) >= b.getDouble(2),
+        s"rate not monotone: ${a.getString(0)}=${a.getDouble(2)} vs ${b.getString(0)}=${b.getDouble(2)}")
+    }
+    // and the EXPECTED kept mass tracks rate·input within binomial noise
+    rows.foreach { r =>
+      val expected = r.getDouble(2) * r.getLong(1)
+      val sd = 4 * math.sqrt(math.max(1.0, expected)) * 60 // ~60 tokens/doc
+      assert(math.abs(r.getLong(4) - expected) < math.max(sd, 0.25 * r.getLong(1)),
+        s"${r.getString(0)}: kept=${r.getLong(4)} far from expected=$expected")
+    }
+  }
+
   test("cohortRetention: offset-0 cells cover every distinct user exactly once") {
     val df = EventQueries.cohortRetention(spark, sf001)
     val rows = df.collect()
