@@ -131,8 +131,22 @@ class ShardSinkTable(path: String, asOf: Option[Long] = None)
     // [[ShardSinkCatalog.loadTable(ident, version)]] (the table-level
     // asOf); `spark.read.option("versionAsOf", n)` arrives here
     val v = Option(options.get("versionAsOf")).map(_.toLong).orElse(asOf)
-    new ScanBuilder {
-      override def build(): Scan = new ShardSinkScan(path, v)
+    // STATS-BASED FILE SKIPPING (round 13): shard-constraining conjuncts
+    // prune whole files against the manifest's per-file shard range before
+    // any data IO — file-granular only, so every filter is also returned
+    // as a residual for Spark to re-apply row-level (pruning can keep a
+    // file that still contains non-matching rows).
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      private var prune: Option[Set[Int]] = None
+      private var used: Array[Filter] = Array.empty
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        prune = ShardSink.shardPruneSet(filters)
+        used = filters.filter(f => ShardSink.oneShardSet(f).isDefined)
+        filters // all residual: skipping decides which FILES to read
+      }
+      override def pushedFilters(): Array[Filter] = used
+      override def build(): Scan = new ShardSinkScan(path, v, prune)
     }
   }
 }
@@ -643,6 +657,109 @@ object ShardSink {
       |FROM range(0, 2000) t(doc_id)
       |GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** Driver-checked TABLE HISTORY (round 13): the lakehouse
+    * `DESCRIBE HISTORY` analogue over the retained version log — one row
+    * per manifest version with its committed row total and the row DELTA
+    * vs the previous version (the per-commit audit an ingest dashboard
+    * reads). Three Appends of known windows make every cell
+    * deterministic; the oracle re-derives the cumulative totals from the
+    * same windows.
+    */
+  def historyReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("history:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkhist_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(dir)
+    def append(lo: Long, hi: Long): Unit =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2000").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir.getPath)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0L, 500L); append(500L, 1200L); append(1200L, 2000L)
+    import spark.implicits._
+    history(dir.getPath).toDF("version", "n_rows", "rows_added").orderBy("version")
+  }
+
+  /** (version, total rows, rows added vs previous version) per retained
+    * manifest — driver-tiny (one row per commit).
+    */
+  def history(dir: String): Seq[(Long, Long, Long)] = {
+    val current = currentManifestVersion(dir)
+    (1L to current).map { v =>
+      val rows = entriesAtVersion(dir, v).map(_.rows).sum
+      val prev = if (v == 1L) 0L else entriesAtVersion(dir, v - 1).map(_.rows).sum
+      (v, rows, rows - prev)
+    }
+  }
+
+  val historyReportSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), CAST(500 AS BIGINT), CAST(500 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), CAST(1200 AS BIGINT), CAST(700 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), CAST(2000 AS BIGINT), CAST(800 AS BIGINT)))
+      |  t(version, n_rows, rows_added)
+      |ORDER BY version""".stripMargin
+
+  /** Driver-checked STATS-BASED FILE SKIPPING (round 13): four Appends
+    * land narrow shard windows (the per-source ingest layout a landing
+    * zone actually has), then a read filtered on `shard IN (…) AND
+    * doc_id < …` goes through the pushed-filter prune — the shard
+    * conjunct drops every file whose manifest shard range cannot match
+    * BEFORE any data IO, the doc_id conjunct is residual and applied
+    * row-level by Spark. Values re-derived by DuckDB from `range()`;
+    * the pruning itself (planned-partition counts, conservative
+    * stats-unknown behavior) is pinned in ShardSinkSpec where the
+    * session's partition count is controlled.
+    */
+  def statsPrune(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("statsprune:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkprune_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(dir)
+    def append(loShard: Int, hiShard: Int): Unit =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "20000").option("numPartitions", "4").load()
+        .where(col("shard") >= loShard && col("shard") < hiShard)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir.getPath)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0, 4); append(4, 8); append(8, 12); append(12, 16)
+    spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+      .where(col("shard").isin(2, 7, 13) && col("doc_id") < 18000)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        sum(when(substring(col("body"), 1, 1) === "a", 1L).otherwise(0L)).as("n_body_a"))
+      .orderBy("shard")
+  }
+
+  val statsPruneSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |         md5(CAST(doc_id AS VARCHAR)) AS body
+      |  FROM range(0, 20000) t(doc_id))
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(SUM(CASE WHEN substring(body, 1, 1) = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_body_a
+      |FROM g WHERE shard IN (2, 7, 13) AND doc_id < 18000
+      |GROUP BY shard ORDER BY shard""".stripMargin
+
   /** Committed (file, rows) pairs, from the manifest only. Missing
     * manifest = no committed data (an in-flight or crashed job), never an
     * error.
@@ -785,27 +902,46 @@ object ShardSink {
       case _ => true
     }
 
-  /** If every filter constrains ONLY `shard`, the union of shard values
-    * that could match — enabling the stats-only file skip. Conservative
-    * None for anything else.
+  /** The set of `shard` values a single filter could match, when the
+    * filter constrains ONLY `shard`; None for anything else (then it
+    * cannot participate in a stats-only decision).
     */
-  private def shardOnlySet(filters: Array[Filter]): Option[Set[Int]] = {
+  private[sources] def oneShardSet(f: Filter): Option[Set[Int]] = {
     import org.apache.spark.sql.sources._
     val all = (0 until DocGen.NumShards.toInt).toSet
-    def one(f: Filter): Option[Set[Int]] = f match {
+    f match {
       case EqualTo("shard", v: Number) => Some(Set(v.intValue))
       case In("shard", vs) => Some(vs.collect { case n: Number => n.intValue }.toSet)
       case LessThan("shard", v: Number) => Some(all.filter(_ < v.intValue))
       case LessThanOrEqual("shard", v: Number) => Some(all.filter(_ <= v.intValue))
       case GreaterThan("shard", v: Number) => Some(all.filter(_ > v.intValue))
       case GreaterThanOrEqual("shard", v: Number) => Some(all.filter(_ >= v.intValue))
-      case And(l, r) => for (a <- one(l); b <- one(r)) yield a.intersect(b)
-      case Or(l, r) => for (a <- one(l); b <- one(r)) yield a.union(b)
+      case And(l, r) => for (a <- oneShardSet(l); b <- oneShardSet(r)) yield a.intersect(b)
+      case Or(l, r) => for (a <- oneShardSet(l); b <- oneShardSet(r)) yield a.union(b)
       case _ => None
     }
-    val parts = filters.map(one)
+  }
+
+  /** If every filter constrains ONLY `shard`, the union of shard values
+    * that could match — enabling the stats-only file skip. Conservative
+    * None for anything else.
+    */
+  private def shardOnlySet(filters: Array[Filter]): Option[Set[Int]] = {
+    val parts = filters.map(oneShardSet)
     if (parts.isEmpty || parts.exists(_.isEmpty)) None
     else Some(parts.flatten.reduce(_ intersect _))
+  }
+
+  /** READ-side data skipping (round 13): the intersection of the shard
+    * sets implied by the shard-only CONJUNCTS of a pushed filter array —
+    * unlike [[shardOnlySet]] (DELETE semantics: ALL filters must be
+    * shard-only or nothing happens), any conjunct that mentions other
+    * columns is simply ignored here, because skipping a file is sound
+    * whenever ANY conjunct alone rules it out. None = no conjunct prunes.
+    */
+  private[sources] def shardPruneSet(filters: Array[Filter]): Option[Set[Int]] = {
+    val parts = filters.flatMap(oneShardSet)
+    if (parts.isEmpty) None else Some(parts.reduce(_ intersect _))
   }
 
   /** DELETE WHERE over the committed view — metadata-first, rewrite only
@@ -1084,36 +1220,50 @@ class ShardSinkDataWriter(
 
 case class ShardSinkFile(file: String) extends InputPartition
 
-class ShardSinkScan(path: String, asOf: Option[Long] = None) extends Scan with Batch {
+class ShardSinkScan(
+    path: String,
+    asOf: Option[Long] = None,
+    pruneShards: Option[Set[Int]] = None) extends Scan with Batch {
   override def readSchema(): StructType = DocGen.schema
   override def description(): String =
     s"ShardSinkScan[$path, manifest-committed files only" +
-      asOf.map(v => s", versionAsOf=$v]").getOrElse("]")
+      asOf.map(v => s", versionAsOf=$v").getOrElse("") +
+      pruneShards.map(s => s", pruneShards=${s.toSeq.sorted.mkString("{", ",", "}")}")
+        .getOrElse("") + "]"
   override def toBatch: Batch = this
 
   /** TIME TRAVEL (round 13): `asOf` pins the scan to a specific retained
     * manifest version — the snapshot-isolation read the version log makes
     * free. A version beyond the current one fails loudly (typo'd travel
-    * must not silently read latest).
+    * must not silently read latest). `pruneShards` (pushed-filter data
+    * skipping) then drops every file whose manifest shard range cannot
+    * match — stats-unknown entries always read (conservative).
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = asOf match {
-      case None => ShardSink.committedFiles(path)
+    val entries = asOf match {
+      case None => ShardSink.committedEntries(path)
       case Some(v) =>
         val current = ShardSink.currentManifestVersion(path)
         require(v >= 0 && v <= current,
           s"versionAsOf=$v out of range: table at $path has versions 1..$current")
-        val fs = ShardSink.entriesAtVersion(path, v).map(_.file)
-        // a compaction may have expired this snapshot's files — fail with
-        // the real reason, never a raw FileNotFound mid-job
-        val missing = fs.filterNot(f =>
-          SinkFs.exists(new org.apache.hadoop.fs.Path(path, f)))
-        require(missing.isEmpty,
-          s"snapshot versionAsOf=$v expired: compaction removed ${missing.mkString(", ")}")
-        fs
+        ShardSink.entriesAtVersion(path, v)
     }
-    files
-      .map(f => ShardSinkFile(new org.apache.hadoop.fs.Path(path, f).toString): InputPartition)
+    val kept = pruneShards match {
+      case Some(s) => entries.filter(_.mayContainShard(s))
+      case None => entries
+    }
+    // a compaction may have expired a travelled snapshot's files — fail
+    // with the real reason, never a raw FileNotFound mid-job (pruned-away
+    // files are exempt: they will not be read)
+    if (asOf.isDefined) {
+      val missing = kept.map(_.file).filterNot(f =>
+        SinkFs.exists(new org.apache.hadoop.fs.Path(path, f)))
+      require(missing.isEmpty,
+        s"snapshot versionAsOf=${asOf.get} expired: compaction removed ${missing.mkString(", ")}")
+    }
+    kept
+      .map(e =>
+        ShardSinkFile(new org.apache.hadoop.fs.Path(path, e.file).toString): InputPartition)
       .toArray
   }
 

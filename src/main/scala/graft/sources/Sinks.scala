@@ -187,6 +187,8 @@ object Sinks {
     "s_shardsink_tail_parity" -> (ShardSink.tailParity _),
     "q_dsv2_time_travel" -> (ShardSink.timeTravel _),
     "q_dsv2_compact" -> (ShardSink.compactRoundtrip _),
+    "q_dsv2_history" -> (ShardSink.historyReport _),
+    "q_dsv2_stats_prune" -> (ShardSink.statsPrune _),
     "s_dsv2_stream_parity" -> (DocGen.dsv2StreamParity _))
 
   val oracle: Map[String, String] = Map(
@@ -208,6 +210,8 @@ object Sinks {
     "s_shardsink_tail_parity" -> ShardSink.tailParitySql,
     "q_dsv2_time_travel" -> ShardSink.timeTravelSql,
     "q_dsv2_compact" -> ShardSink.compactRoundtripSql,
+    "q_dsv2_history" -> ShardSink.historyReportSql,
+    "q_dsv2_stats_prune" -> ShardSink.statsPruneSql,
     "s_dsv2_stream_parity" -> DocGen.dsv2StreamParitySql)
 
   /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead

@@ -559,6 +559,53 @@ class ShardSinkSpec extends SparkSpec {
     assert(scan.estimateStatistics().numRows().getAsLong === 60000L)
   }
 
+  test("read-side stats pruning: shard filters skip whole files; stats-unknown files always read") {
+    val dir = freshDir().getPath
+    // AQE off so the clustered appends land their full multi-file split
+    // and .rdd partition counts equal planned input files (one file = one
+    // partition, filters are narrow)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    def append(lo: Int, hi: Int) =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "1600").option("numPartitions", "2").load()
+        .where(col("shard") >= lo && col("shard") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0, 4); append(4, 8); append(8, 12); append(12, 16)
+    val total = ShardSink.committedEntries(dir).size
+    assert(total >= 4, s"expected fragmented layout, got $total files")
+    def read = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+    // a single shard lives in ONE append window → at most a quarter of
+    // the files survive pruning
+    val one = read.where(col("shard") === 2)
+    assert(one.rdd.getNumPartitions <= total / 4,
+      s"shard=2 planned ${one.rdd.getNumPartitions} of $total files")
+    assert(one.count() === 100L) // 1600 docs / 16 shards
+    // mixed conjunction: the shard leg prunes to two windows, the doc_id
+    // leg is residual and applied row-level
+    val mixed = read.where(col("shard").isin(2, 13) && col("doc_id") < 800L)
+    assert(mixed.rdd.getNumPartitions <= total / 2,
+      s"shard IN (2,13) planned ${mixed.rdd.getNumPartitions} of $total files")
+    assert(mixed.count() === 100L) // 50 matching ids in each of the two shards
+    // a value outside every file's range reads NOTHING
+    val none = read.where(col("shard") === 20)
+    assert(none.rdd.getNumPartitions === 0, "impossible shard still planned files")
+    // stats-unknown manifest entries (pre-stats layout) are conservatively
+    // read in full — strip the stats by publishing a new manifest version
+    val cur = ShardSink.currentManifestVersion(dir)
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, s"_manifest.v$cur.json")), "UTF-8")
+    val stripped = txt.replaceAll(""","s0":-?\d+,"s1":-?\d+""", "")
+    assert(stripped != txt, "manifest had no stats to strip")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, s"_manifest.v${cur + 1}.json"),
+      stripped.getBytes("UTF-8"))
+    val blind = read.where(col("shard") === 2)
+    assert(blind.rdd.getNumPartitions === total, "stats-unknown files must all be read")
+    assert(blind.count() === 100L)
+  }
+
   test("q_dsv2_write_roundtrip: rerunning replaces the manifest atomically, same answer") {
     val a = ShardSink.writeRoundtrip(spark, sf001).collect()
     val b = ShardSink.writeRoundtrip(spark, sf001).collect()
