@@ -69,11 +69,18 @@ class ShardSinkSource extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "shard sink requires a 'path' option")
-    new ShardSinkTable(path)
+    new ShardSinkTable(path,
+      deleteMode = Option(properties.get("delete.mode")).getOrElse("copy-on-write"))
   }
 }
 
-class ShardSinkTable(path: String, asOf: Option[Long] = None)
+/** @param deleteMode `copy-on-write` (default: straddling files are
+  *   rewritten, [[ShardSink.deleteWhereImpl]]) or `merge-on-read`
+  *   (delete vectors, [[ShardSink.morDeleteImpl]]) — the same knob
+  *   Iceberg spells `write.delete.mode`, here a table/catalog option.
+  */
+class ShardSinkTable(
+    path: String, asOf: Option[Long] = None, deleteMode: String = "copy-on-write")
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -108,7 +115,12 @@ class ShardSinkTable(path: String, asOf: Option[Long] = None)
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     ShardSink.deletePredicate(filters).isDefined
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    ShardSink.deleteWhereImpl(path, filters)
+    deleteMode match {
+      case "merge-on-read" => ShardSink.morDeleteImpl(path, filters)
+      case "copy-on-write" => ShardSink.deleteWhereImpl(path, filters)
+      case other => throw new IllegalArgumentException(
+        s"unknown delete.mode '$other' (copy-on-write | merge-on-read)")
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(
@@ -211,14 +223,24 @@ private[sources] object SinkFs {
   }
 }
 
-/** One committed file's manifest entry: name, rows, and (when known) the
+/** One committed file's manifest entry: name, LIVE rows, (when known) the
   * shard range its rows span — written by every commit path since round
   * 13 and absent from older manifests (parse degrades to stats-unknown,
-  * which every consumer must treat as "may contain anything").
+  * which every consumer must treat as "may contain anything") — and
+  * (merge-on-read deletes) the file's current delete vector: a tiny
+  * sidecar file of 0-based row positions every reader must skip. `rows`
+  * counts LIVE rows (physical minus deleted), so statistics, history
+  * deltas and admission decisions all see the table a reader sees.
   */
-case class SinkEntry(file: String, rows: Long, shardMin: Int = -1, shardMax: Int = -1) {
+case class SinkEntry(
+    file: String, rows: Long, shardMin: Int = -1, shardMax: Int = -1,
+    dv: String = "") {
   def hasStats: Boolean = shardMin >= 0
-  /** Conservative: unknown stats always intersect. */
+  def hasDeletes: Boolean = dv.nonEmpty
+  /** Conservative: unknown stats always intersect. (A delete vector can
+    * only narrow the true range — the recorded superset stays sound for
+    * may-contain pruning.)
+    */
   def mayContainShard(shards: Set[Int]): Boolean =
     !hasStats || shards.exists(v => v >= shardMin && v <= shardMax)
 }
@@ -392,6 +414,58 @@ object ShardSink {
       |       bit_xor(doc_id) AS xor_ids,
       |       CAST(SUM(CASE WHEN substring(body, 1, 1) = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_body_a
       |FROM g WHERE NOT (shard < 4 OR doc_id >= 18000)
+      |GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Driver-checked MERGE-ON-READ DELETE (round 13 —
+    * [[ShardSink.morDeleteImpl]]): the same corpus lands via a catalog
+    * configured `delete.mode=merge-on-read`, then TWO successive DELETEs
+    * run — the first marks a tail window, the second (an OR of a doc_id
+    * window and a whole shard) lands on files that already carry vectors,
+    * exercising the union path. No data file is written or removed: each
+    * DELETE is one manifest flip plus tiny position sidecars, and the
+    * read-back rollup (vector subtraction at scan time) must match DuckDB
+    * re-deriving the survivors from `range()`. The MOR-specific layout
+    * invariants (data files byte-identical, vectors present, snapshots
+    * before the delete still readable) are pinned in ShardSinkSpec.
+    */
+  def morDeleteRoundtrip(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mor:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmor_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_mor", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mor.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mor.delete.mode", "merge-on-read")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "20000").option("numPartitions", "4").load()
+      .writeTo("graft_mor.docs_mor").append()
+    s.sql("DELETE FROM graft_mor.docs_mor WHERE doc_id >= 15000")
+    s.sql("DELETE FROM graft_mor.docs_mor WHERE doc_id < 2000 OR shard = 11")
+    s.read.table("graft_mor.docs_mor")
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        sum(when(substring(col("body"), 1, 1) === "a", 1L).otherwise(0L)).as("n_body_a"))
+      .orderBy("shard")
+  }
+
+  val morDeleteRoundtripSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |         md5(CAST(doc_id AS VARCHAR)) AS body
+      |  FROM range(0, 20000) t(doc_id))
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(SUM(CASE WHEN substring(body, 1, 1) = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_body_a
+      |FROM g WHERE NOT (doc_id >= 15000) AND NOT (doc_id < 2000 OR shard = 11)
       |GROUP BY shard ORDER BY shard""".stripMargin
 
   /** Driver-checked SQL UPDATE + MERGE INTO through the group-based
@@ -590,7 +664,9 @@ object ShardSink {
     val byShard = scala.collection.mutable.Map
       .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, String)]]
     entries.foreach { e =>
-      SinkFs.readLines(new Path(dir, e.file)).foreach { l =>
+      // live view: compaction FOLDS merge-on-read delete vectors — the
+      // consolidated files carry only surviving rows and no vectors
+      liveLines(dir, e).foreach { l =>
         val c = l.split("\t", 3)
         byShard.getOrElseUpdate(c(1).toInt, scala.collection.mutable.ArrayBuffer.empty)
           .append((c(0).toLong, l))
@@ -608,6 +684,13 @@ object ShardSink {
     }
     writeManifest(dir, newEntries, s"c$gen")
     entries.map(_.file).foreach(f => SinkFs.delete(new Path(dir, f)))
+    // every delete vector is dead now — current entries' vectors were
+    // folded into the consolidated files, and superseded vectors (kept
+    // for pre-delete snapshots) reference data files this compaction just
+    // expired
+    SinkFs.listFileNames(new Path(dir)).filter(f =>
+      f.startsWith("del-") && f.endsWith(".pos"))
+      .foreach(f => SinkFs.delete(new Path(dir, f)))
   }
 
   /** Driver-checked COMPACTION (round 13): three fragmented Appends,
@@ -782,15 +865,17 @@ object ShardSink {
     else parseEntries(SinkFs.readString(mf))
   }
 
-  // minimal parse of {"files":[{"file":"...","rows":N[,"s0":M,"s1":K]},...]}
-  // — names are writer-chosen (part-*.tsv), never user input
+  // minimal parse of
+  // {"files":[{"file":"...","rows":N[,"s0":M,"s1":K][,"dv":"..."]},...]}
+  // — names are writer-chosen (part-*.tsv / del-*.pos), never user input
   private def parseEntries(json: String): Seq[SinkEntry] =
-    """\{"file":"([^"]*\.tsv)","rows":(\d+)(?:,"s0":(-?\d+),"s1":(-?\d+))?\}""".r
+    """\{"file":"([^"]*\.tsv)","rows":(\d+)(?:,"s0":(-?\d+),"s1":(-?\d+))?(?:,"dv":"([^"]*)")?\}""".r
       .findAllMatchIn(json)
       .map { m =>
         val (s0, s1) =
           if (m.group(3) == null) (-1, -1) else (m.group(3).toInt, m.group(4).toInt)
-        SinkEntry(m.group(1), m.group(2).toLong, s0, s1)
+        SinkEntry(m.group(1), m.group(2).toLong, s0, s1,
+          if (m.group(5) == null) "" else m.group(5))
       }.toSeq
 
   def committedFiles(dir: String): Seq[String] = committedFilesWithRows(dir).map(_._1)
@@ -808,7 +893,8 @@ object ShardSink {
     val mTmp = new Path(dir, s"_manifest.$tag.tmp")
     val json = files.map { e =>
       val stats = if (e.hasStats) s""","s0":${e.shardMin},"s1":${e.shardMax}""" else ""
-      s"""{"file":"${e.file}","rows":${e.rows}$stats}"""
+      val dv = if (e.hasDeletes) s""","dv":"${e.dv}"""" else ""
+      s"""{"file":"${e.file}","rows":${e.rows}$stats$dv}"""
     }.mkString("""{"files":[""", ",", "]}")
     val w = SinkFs.create(mTmp)
     try w.write(json) finally w.close()
@@ -972,21 +1058,24 @@ object ShardSink {
     val entries = committedEntries(dir).flatMap { e =>
       if (shardOnly.exists(ss => !e.mayContainShard(ss))) Some(e) // untouched, unread
       else {
-        val p = new Path(dir, e.file)
-        val lines = SinkFs.readLines(p)
+        // live view: a prior merge-on-read delete's vector must not be
+        // resurrected by this rewrite
+        val lines = liveLines(dir, e)
         val kept = lines.filterNot { l =>
           val c = l.split("\t", 3)
           drop(c(0).toLong, c(1).toInt)
         }
         if (kept.size == lines.size) Some(e)
-        else if (kept.isEmpty) { obsolete += e.file; None }
-        else {
+        else if (kept.isEmpty) {
+          obsolete += e.file; if (e.hasDeletes) obsolete += e.dv; None
+        } else {
           val nf = s"part-d${deleteCounter.incrementAndGet()}.tsv"
           val tmp = new Path(dir, s"_tmp/$nf")
           val w = SinkFs.create(tmp)
           try kept.foreach { l => w.write(l); w.write("\n") } finally w.close()
           SinkFs.moveOver(tmp, new Path(dir, nf))
           obsolete += e.file
+          if (e.hasDeletes) obsolete += e.dv
           Some(entryFromLines(nf, kept))
         }
       }
@@ -994,6 +1083,97 @@ object ShardSink {
     writeManifest(dir, entries, s"d${deleteCounter.incrementAndGet()}")
     // physical cleanup AFTER the flip, same as truncate
     obsolete.foreach(f => SinkFs.delete(new Path(dir, f)))
+  }
+
+  /** The input partition for a manifest entry: data file plus its delete
+    * vector (both resolved to full paths) — the ONE place entry→partition
+    * mapping lives, so no read path can forget the vector.
+    */
+  private[sources] def partitionOf(dir: String, e: SinkEntry): InputPartition =
+    ShardSinkFile(
+      new Path(dir, e.file).toString,
+      if (e.hasDeletes) new Path(dir, e.dv).toString else "")
+
+  /** A delete vector: 0-based row positions, one per line, sorted. */
+  private[sources] def readDeleteVector(p: Path): Set[Int] =
+    SinkFs.readLines(p).map(_.toInt).toSet
+
+  private def writeDeleteVector(dir: String, name: String, positions: Seq[Int]): Unit = {
+    val tmp = new Path(dir, s"_tmp/$name")
+    val w = SinkFs.create(tmp)
+    try positions.sorted.foreach { p => w.write(p.toString); w.write("\n") }
+    finally w.close()
+    SinkFs.moveOver(tmp, new Path(dir, name))
+  }
+
+  /** An entry's LIVE lines: physical TSV lines minus its delete vector.
+    * Every driver-side path that reads committed data (copy-on-write
+    * rewrite, compaction, MOR re-delete) goes through this.
+    */
+  private[sources] def liveLines(dir: String, e: SinkEntry): Seq[String] = {
+    val all = SinkFs.readLines(new Path(dir, e.file))
+    if (!e.hasDeletes) all
+    else {
+      val dead = readDeleteVector(new Path(dir, e.dv))
+      all.zipWithIndex.collect { case (l, i) if !dead.contains(i) => l }
+    }
+  }
+
+  private val morCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** MERGE-ON-READ DELETE (round 13) — the write-cheap half of the DML
+    * trade every table format exposes (Iceberg `write.delete.mode`):
+    * instead of rewriting straddling files ([[deleteWhereImpl]]), the
+    * commit writes a tiny DELETE VECTOR per affected file — the 0-based
+    * row positions to skip, sound even on tables with duplicate doc_ids
+    * because positions, not keys, identify rows (the reason a row-id
+    * delta design was rejected) — and flips a manifest version whose
+    * entries point at the vectors. NO data file is written, moved or
+    * deleted; readers subtract the vector at scan time
+    * ([[ShardSinkReaderFactory]]), and [[compact]] folds vectors away.
+    * Re-deleting a file with an existing vector writes the UNION under a
+    * fresh vector name (old vectors stay for time travel — a snapshot
+    * before the delete references the same data file without, or with an
+    * older, vector and still reads exactly its rows). A file whose every
+    * live row matches keeps no entry but KEEPS its data file — MOR never
+    * destroys data, so pre-delete snapshots stay readable; only
+    * compaction/rewrite/truncate expire snapshots. Entry `rows` stays the
+    * LIVE count; shard stats stay the (sound) superset.
+    */
+  private[sources] def morDeleteImpl(dir: String, filters: Array[Filter]): Unit = {
+    val drop = deletePredicate(filters).getOrElse(
+      throw new IllegalArgumentException(
+        s"unsupported DELETE predicate for shard sink: ${filters.mkString(", ")}"))
+    // any shard-only conjunct alone soundly skips a file (same reasoning
+    // as the read-side prune): if no row of the file can satisfy that
+    // conjunct, none satisfies the whole conjunction
+    val prune = shardPruneSet(filters)
+    val gen = morCounter.incrementAndGet()
+    var k = 0
+    val entries = committedEntries(dir).flatMap { e =>
+      if (prune.exists(ss => !e.mayContainShard(ss))) Some(e) // untouched, unread
+      else {
+        val all = SinkFs.readLines(new Path(dir, e.file))
+        val dead: Set[Int] =
+          if (e.hasDeletes) readDeleteVector(new Path(dir, e.dv)) else Set.empty
+        val hit = all.zipWithIndex.collect {
+          case (l, i) if !dead.contains(i) && {
+            val c = l.split("\t", 3); drop(c(0).toLong, c(1).toInt)
+          } => i
+        }
+        if (hit.isEmpty) Some(e)
+        else if (dead.size + hit.size == all.size) None // fully dead: drop entry, keep file
+        else {
+          k += 1
+          val nv = s"del-m$gen-$k.pos"
+          writeDeleteVector(dir, nv, (dead ++ hit).toSeq)
+          Some(e.copy(rows = e.rows - hit.size, dv = nv))
+        }
+      }
+    }
+    writeManifest(dir, entries, s"m$gen")
+    // no physical cleanup: MOR leaves every data file (and superseded
+    // vector) in place — prior snapshots keep reading their exact rows
   }
 }
 
@@ -1141,7 +1321,8 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
     // truncate cleanup AFTER the flip: old files are already invisible;
     // deleting them can race nothing
     if (truncate)
-      previous.map(_.file).filterNot(finals.map(_.file).contains)
+      previous.flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil))
+        .filterNot(finals.map(_.file).contains)
         .foreach(f => SinkFs.delete(new Path(path, f)))
   }
 
@@ -1218,7 +1399,11 @@ class ShardSinkDataWriter(
   override def close(): Unit = ()
 }
 
-case class ShardSinkFile(file: String) extends InputPartition
+/** One committed file plus (merge-on-read deletes) the full path of its
+  * delete vector, "" when none — every reader of the file must skip the
+  * vector's 0-based row positions.
+  */
+case class ShardSinkFile(file: String, dv: String = "") extends InputPartition
 
 class ShardSinkScan(
     path: String,
@@ -1262,8 +1447,7 @@ class ShardSinkScan(
         s"snapshot versionAsOf=${asOf.get} expired: compaction removed ${missing.mkString(", ")}")
     }
     kept
-      .map(e =>
-        ShardSinkFile(new org.apache.hadoop.fs.Path(path, e.file).toString): InputPartition)
+      .map(e => ShardSink.partitionOf(path, e))
       .toArray
   }
 
@@ -1280,7 +1464,15 @@ class ShardSinkScan(
 case class ShardSinkReaderFactory(path: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val f = partition.asInstanceOf[ShardSinkFile]
-    val lines = SinkFs.readLines(new org.apache.hadoop.fs.Path(f.file))
+    val all = SinkFs.readLines(new org.apache.hadoop.fs.Path(f.file))
+    // merge-on-read: drop the delete vector's positions at read time —
+    // TSV line index IS the stable row position the vector records
+    val lines =
+      if (f.dv.isEmpty) all
+      else {
+        val dead = ShardSink.readDeleteVector(new org.apache.hadoop.fs.Path(f.dv))
+        all.zipWithIndex.collect { case (l, i) if !dead.contains(i) => l }
+      }
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < lines.size }
@@ -1352,10 +1544,8 @@ class ShardSinkTailStream(path: String)
     val b = end.asInstanceOf[SinkVersionOffset].v
     val prior = ShardSink.entriesAtVersion(path, a).map(_.file).toSet
     ShardSink.entriesAtVersion(path, b)
-      .map(_.file)
-      .filter(f => appendOnly(f) && !prior.contains(f))
-      .map(f => ShardSinkFile(
-        new org.apache.hadoop.fs.Path(path, f).toString): InputPartition)
+      .filter(e => appendOnly(e.file) && !prior.contains(e.file))
+      .map(e => ShardSink.partitionOf(path, e))
       .toArray
   }
 
@@ -1380,23 +1570,28 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
 
   private var catalogName = "graft_sink"
   private var root = ""
+  private var deleteMode = "copy-on-write"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = Option(options.get("root")).getOrElse(
       new java.io.File(sys.props("java.io.tmpdir"), "graft_sink_cat").getPath)
+    // catalog-level default for SQL DELETE strategy (Iceberg's
+    // write.delete.mode as a catalog option): copy-on-write | merge-on-read
+    deleteMode = Option(options.get("delete.mode")).getOrElse("copy-on-write")
   }
   override def name(): String = catalogName
 
   private def dirOf(ident: Identifier): String =
     new java.io.File(root, (ident.namespace() :+ ident.name()).mkString("_")).getPath
 
-  override def loadTable(ident: Identifier): Table = new ShardSinkTable(dirOf(ident))
+  override def loadTable(ident: Identifier): Table =
+    new ShardSinkTable(dirOf(ident), deleteMode = deleteMode)
   /** SQL time travel: `SELECT … FROM <cat>.<t> VERSION AS OF n` resolves
     * here — the table is pinned to retained manifest version n.
     */
   override def loadTable(ident: Identifier, version: String): Table =
-    new ShardSinkTable(dirOf(ident), Some(version.toLong))
+    new ShardSinkTable(dirOf(ident), Some(version.toLong), deleteMode)
   override def tableExists(ident: Identifier): Boolean = true // implicit, empty until written
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
@@ -1502,9 +1697,10 @@ class ShardSinkRowLevelScan(path: String, op: ShardSinkRowLevelOperation)
     val entries = ShardSink.committedEntries(path)
       .filter(e => shardFilter.forall(e.mayContainShard))
     op.recordPlanned(entries.map(_.file))
+    // dv passed through: a copy-on-write rewrite over a file carrying a
+    // merge-on-read delete vector must NOT resurrect the deleted rows
     entries
-      .map(e => ShardSinkFile(
-        new org.apache.hadoop.fs.Path(path, e.file).toString): InputPartition)
+      .map(e => ShardSink.partitionOf(path, e))
       .toArray
   }
 }
@@ -1547,9 +1743,12 @@ class ShardSinkReplaceDataWrite(path: String, queryId: String, affected: () => S
       SinkFs.moveOver(new Path(c.tempPath), dest)
       SinkEntry(dest.getName, c.rows, c.shardMin, c.shardMax)
     }
-    val kept = ShardSink.committedEntries(path).filterNot(e => replaced.contains(e.file))
+    val (swapped, kept) =
+      ShardSink.committedEntries(path).partition(e => replaced.contains(e.file))
     ShardSink.writeManifest(path, kept ++ finals, s"r$queryId")
-    replaced.foreach(f => SinkFs.delete(new Path(path, f)))
+    // replaced data files AND their (now folded-in) delete vectors
+    swapped.flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil))
+      .foreach(f => SinkFs.delete(new Path(path, f)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

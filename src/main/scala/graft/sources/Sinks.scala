@@ -182,6 +182,7 @@ object Sinks {
     "q_dsv2_runtime_filter" -> (DocGen.dsv2RuntimeFilter _),
     "q_dsv2_write_roundtrip" -> (ShardSink.writeRoundtrip _),
     "q_dsv2_delete" -> (ShardSink.deleteRoundtrip _),
+    "q_dsv2_delete_mor" -> (ShardSink.morDeleteRoundtrip _),
     "q_dsv2_merge" -> (ShardSink.mergeRoundtrip _),
     "s_shardsink_stream_parity" -> (ShardSink.streamWriteParity _),
     "s_shardsink_tail_parity" -> (ShardSink.tailParity _),
@@ -205,6 +206,7 @@ object Sinks {
     "q_dsv2_runtime_filter" -> DocGen.dsv2RuntimeFilterSql,
     "q_dsv2_write_roundtrip" -> ShardSink.writeRoundtripSql,
     "q_dsv2_delete" -> ShardSink.deleteRoundtripSql,
+    "q_dsv2_delete_mor" -> ShardSink.morDeleteRoundtripSql,
     "q_dsv2_merge" -> ShardSink.mergeRoundtripSql,
     "s_shardsink_stream_parity" -> ShardSink.streamWriteParitySql,
     "s_shardsink_tail_parity" -> ShardSink.tailParitySql,

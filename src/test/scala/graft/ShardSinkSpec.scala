@@ -606,6 +606,93 @@ class ShardSinkSpec extends SparkSpec {
     assert(blind.count() === 100L)
   }
 
+  test("merge-on-read delete: vectors not rewrites — union, time travel, compaction fold") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.mor_t", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.mor_t.root", root)
+    s.conf.set("spark.sql.catalog.mor_t.delete.mode", "merge-on-read")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1600").option("numPartitions", "2").load()
+      .writeTo("mor_t.docs").append()
+    val dir = new java.io.File(root, "docs").getPath
+    def dataFiles: Map[String, String] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".tsv")).map { f =>
+          f.getName -> java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    def vectors: Seq[String] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".pos")).map(_.getName).toSeq
+    val before = dataFiles
+    val v1 = ShardSink.currentManifestVersion(dir)
+    def read = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+
+    s.sql("DELETE FROM mor_t.docs WHERE doc_id >= 1200")
+    assert(dataFiles === before, "MOR delete must not write/remove any data file")
+    assert(vectors.nonEmpty, "expected delete-vector sidecars")
+    val e1 = ShardSink.committedEntries(dir)
+    assert(e1.exists(_.hasDeletes) && e1.map(_.rows).sum === 1200L)
+    assert(read.count() === 1200L)
+
+    // second delete lands on files that already carry vectors: union path
+    s.sql("DELETE FROM mor_t.docs WHERE doc_id < 200")
+    assert(dataFiles === before, "second MOR delete still rewrote nothing")
+    assert(read.count() === 1000L)
+    assert(read.agg(min(col("doc_id")), max(col("doc_id"))).collect().head
+      .toSeq === Seq(200L, 1199L))
+
+    // time travel: pre-delete and between-deletes snapshots read their
+    // exact rows (same data files, no/older vectors)
+    def travel(v: Long) = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("versionAsOf", v.toString).load()
+    assert(travel(v1).count() === 1600L)
+    assert(travel(v1 + 1).count() === 1200L)
+
+    // compaction folds the vectors away: shard-pure files, no dv entries,
+    // sidecars cleaned up, values unchanged
+    ShardSink.compact(dir)
+    val e2 = ShardSink.committedEntries(dir)
+    assert(e2.forall(e => !e.hasDeletes && e.shardMin === e.shardMax))
+    assert(vectors.isEmpty, "compaction must delete folded vector files")
+    assert(read.count() === 1000L)
+
+    // fully-dead entries drop from the manifest but the data files stay:
+    // MOR never destroys data, so the pre-delete snapshot is still live
+    val vPre = ShardSink.currentManifestVersion(dir)
+    val compacted = dataFiles
+    s.sql("DELETE FROM mor_t.docs WHERE doc_id >= 0")
+    assert(ShardSink.committedEntries(dir).isEmpty && read.count() === 0L)
+    assert(dataFiles === compacted, "delete-all must retain every data file")
+    assert(travel(vPre).count() === 1000L)
+  }
+
+  test("copy-on-write rewrite after a MOR delete does not resurrect the deleted rows") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    for ((cat, mode) <- Seq(("mor_a", "merge-on-read"), ("cow_a", "copy-on-write"))) {
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.ShardSinkCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.delete.mode", mode)
+    }
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "800").option("numPartitions", "2").load()
+      .writeTo("mor_a.docs").append()
+    s.sql("DELETE FROM mor_a.docs WHERE doc_id >= 600")
+    // same directory through the copy-on-write catalog: the rewrite reads
+    // the LIVE view of vector-carrying files
+    s.sql("DELETE FROM cow_a.docs WHERE shard < 8")
+    val back = s.read.table("cow_a.docs")
+    assert(back.count() === 296L) // doc_id < 600 ∧ shard ≥ 8: 37 full 16-blocks × 8
+    assert(back.agg(max(col("doc_id"))).collect().head.getLong(0) < 600L)
+    // files the rewrite DID touch carry no vector anymore (folded in);
+    // untouched files legitimately keep theirs
+    val live = ShardSink.committedEntries(new java.io.File(root, "docs").getPath)
+    assert(live.filter(_.file.startsWith("part-d")).forall(!_.hasDeletes))
+  }
+
   test("q_dsv2_write_roundtrip: rerunning replaces the manifest atomically, same answer") {
     val a = ShardSink.writeRoundtrip(spark, sf001).collect()
     val b = ShardSink.writeRoundtrip(spark, sf001).collect()
