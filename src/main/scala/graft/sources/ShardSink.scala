@@ -11,7 +11,8 @@ import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
 import org.apache.spark.sql.connector.write.{
-  BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write,
+  BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder,
+  DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsDelta, Write,
   WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{
   StreamingDataWriterFactory, StreamingWrite}
@@ -70,7 +71,8 @@ class ShardSinkSource extends TableProvider {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "shard sink requires a 'path' option")
     new ShardSinkTable(path,
-      deleteMode = Option(properties.get("delete.mode")).getOrElse("copy-on-write"))
+      deleteMode = Option(properties.get("delete.mode")).getOrElse("copy-on-write"),
+      rloMode = Option(properties.get("rlo.mode")).getOrElse("copy-on-write"))
   }
 }
 
@@ -78,25 +80,66 @@ class ShardSinkSource extends TableProvider {
   *   rewritten, [[ShardSink.deleteWhereImpl]]) or `merge-on-read`
   *   (delete vectors, [[ShardSink.morDeleteImpl]]) — the same knob
   *   Iceberg spells `write.delete.mode`, here a table/catalog option.
+  * @param rloMode strategy for SQL UPDATE / MERGE (and rewrite-DELETE):
+  *   `copy-on-write` (default: group-based
+  *   [[ShardSinkRowLevelOperation]], affected files rewritten whole) or
+  *   `merge-on-read` (delta-based [[ShardSinkDeltaOperation]]: deletes
+  *   and updates land as positional delete vectors plus an append of the
+  *   new rows — Iceberg's `write.update.mode`/`write.merge.mode`).
   */
 class ShardSinkTable(
-    path: String, asOf: Option[Long] = None, deleteMode: String = "copy-on-write")
+    path: String, asOf: Option[Long] = None, deleteMode: String = "copy-on-write",
+    rloMode: String = "copy-on-write")
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
-  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"shardsink($path)"
 
   /** [[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]:
     * SQL UPDATE / MERGE INTO (and the copy-on-write fallback for DELETEs
-    * outside the metadata-only predicate class) via
-    * [[ShardSinkRowLevelOperation]]. With both interfaces present Spark
-    * picks the cheaper path per statement: metadata delete when
-    * `canDeleteWhere` accepts, group-based rewrite otherwise.
+    * outside the metadata-only predicate class). `rlo.mode` picks the
+    * strategy: group-based copy-on-write ([[ShardSinkRowLevelOperation]])
+    * or delta-based merge-on-read ([[ShardSinkDeltaOperation]]). With
+    * SupportsDelete also present Spark picks the cheaper path per
+    * statement: metadata delete when `canDeleteWhere` accepts, row-level
+    * rewrite otherwise.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new ShardSinkRowLevelOperation(path, info.command())
+    rloMode match {
+      case "merge-on-read" => () => new ShardSinkDeltaOperation(path, info.command())
+      case "copy-on-write" => () => new ShardSinkRowLevelOperation(path, info.command())
+      case other => throw new IllegalArgumentException(
+        s"unknown rlo.mode '$other' (copy-on-write | merge-on-read)")
+    }
+
+  /** [[org.apache.spark.sql.connector.catalog.SupportsMetadataColumns]]:
+    * the positional row identity of the lakehouse formats — `_file` (the
+    * committed file's manifest name) and `_pos` (the physical 0-based row
+    * position inside it, stable under merge-on-read vectors because
+    * vector positions are physical too). The delta operation's
+    * [[ShardSinkDeltaOperation.rowId]] keys on exactly these, and any
+    * read can project them for provenance.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "committed file (manifest name)"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "physical 0-based row position in _file"
+      })
   override def schema(): StructType = DocGen.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
@@ -149,16 +192,22 @@ class ShardSinkTable(
     // as a residual for Spark to re-apply row-level (pruning can keep a
     // file that still contains non-matching rows).
     new ScanBuilder
-      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       private var prune: Option[Set[Int]] = None
       private var used: Array[Filter] = Array.empty
+      private var required: StructType = DocGen.schema
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         prune = ShardSink.shardPruneSet(filters)
         used = filters.filter(f => ShardSink.oneShardSet(f).isDefined)
         filters // all residual: skipping decides which FILES to read
       }
       override def pushedFilters(): Array[Filter] = used
-      override def build(): Scan = new ShardSinkScan(path, v, prune)
+      // column pruning doubles as the metadata-column channel: a read
+      // projecting `_file`/`_pos` arrives here with them appended
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new ShardSinkScan(path, v, prune, required)
     }
   }
 }
@@ -531,6 +580,59 @@ object ShardSink {
       |       CAST(SUM(CASE WHEN body <> lower(body) THEN 1 ELSE 0 END) AS BIGINT) AS n_upper,
       |       CAST(SUM(CASE WHEN body LIKE '%!' THEN 1 ELSE 0 END) AS BIGINT) AS n_merged
       |FROM g GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Driver-checked DELTA-BASED UPDATE + MERGE (round 13 —
+    * [[ShardSinkDeltaOperation]], `rlo.mode=merge-on-read`): the SAME
+    * edit script as [[mergeRoundtrip]] — upper-case UPDATE, three-clause
+    * MERGE with delete/update/insert legs — but every edit lands as
+    * positional delete vectors plus appended `part-u` files; no original
+    * file is rewritten (pinned in ShardSinkSpec). The rollup must equal
+    * the copy-on-write run's oracle exactly: strategy changes the
+    * physical layout, never the answer.
+    */
+  def mergeMorRoundtrip(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mergemor:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkdmor_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_dmor", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_dmor.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_dmor.rlo.mode", "merge-on-read")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "20000").option("numPartitions", "4").load()
+      .writeTo("graft_dmor.docs_dm").append()
+    s.sql("UPDATE graft_dmor.docs_dm SET body = upper(body) WHERE shard >= 12")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "22000").option("numPartitions", "4").load()
+      .where(col("doc_id") >= 18000L)
+      .createOrReplaceTempView("graft_dmerge_src")
+    s.sql(
+      """MERGE INTO graft_dmor.docs_dm t USING graft_dmerge_src s ON t.doc_id = s.doc_id
+        |WHEN MATCHED AND s.doc_id < 19000 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET body = concat(s.body, '!')
+        |WHEN NOT MATCHED THEN INSERT (doc_id, shard, body) VALUES (s.doc_id, s.shard, s.body)
+        |""".stripMargin)
+    s.read.table("graft_dmor.docs_dm")
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        sum(when(col("body") =!= lower(col("body")), 1L).otherwise(0L)).as("n_upper"),
+        sum(when(col("body").endsWith("!"), 1L).otherwise(0L)).as("n_merged"))
+      .orderBy("shard")
+  }
+
+  /** Same derivation as [[mergeRoundtripSql]]: the strategy (delta vs
+    * group rewrite) must be answer-invariant.
+    */
+  val mergeMorRoundtripSql: String = mergeRoundtripSql
 
   /** Driver-checked VERSION-TAIL streaming read (round 13 — the last
     * connector matrix cell: the sink as a streaming SOURCE): three Append
@@ -1098,7 +1200,7 @@ object ShardSink {
   private[sources] def readDeleteVector(p: Path): Set[Int] =
     SinkFs.readLines(p).map(_.toInt).toSet
 
-  private def writeDeleteVector(dir: String, name: String, positions: Seq[Int]): Unit = {
+  private[sources] def writeDeleteVector(dir: String, name: String, positions: Seq[Int]): Unit = {
     val tmp = new Path(dir, s"_tmp/$name")
     val w = SinkFs.create(tmp)
     try positions.sorted.foreach { p => w.write(p.toString); w.write("\n") }
@@ -1120,6 +1222,12 @@ object ShardSink {
   }
 
   private val morCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Fresh generation number for merge-on-read artifacts (delete vectors,
+    * manifest tags) — shared by the metadata DELETE path and the delta
+    * write commit so names never collide within a JVM.
+    */
+  private[sources] def nextMorGen(): Long = morCounter.incrementAndGet()
 
   /** MERGE-ON-READ DELETE (round 13) — the write-cheap half of the DML
     * trade every table format exposes (Iceberg `write.delete.mode`):
@@ -1408,8 +1516,9 @@ case class ShardSinkFile(file: String, dv: String = "") extends InputPartition
 class ShardSinkScan(
     path: String,
     asOf: Option[Long] = None,
-    pruneShards: Option[Set[Int]] = None) extends Scan with Batch {
-  override def readSchema(): StructType = DocGen.schema
+    pruneShards: Option[Set[Int]] = None,
+    required: StructType = DocGen.schema) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def description(): String =
     s"ShardSinkScan[$path, manifest-committed files only" +
       asOf.map(v => s", versionAsOf=$v").getOrElse("") +
@@ -1451,37 +1560,56 @@ class ShardSinkScan(
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = ShardSinkReaderFactory(path)
+  override def createReaderFactory(): PartitionReaderFactory =
+    ShardSinkReaderFactory(path, required)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ShardSinkTailStream(path)
 }
 
-/** Standalone serializable reader factory shared by the batch scan and
-  * the version-tail stream: one partition = one committed TSV file.
+/** Standalone serializable reader factory shared by the batch scan, the
+  * version-tail stream and the row-level-operation scans: one partition =
+  * one committed TSV file. `required` is the (possibly pruned, possibly
+  * metadata-extended) output schema — data columns by name, plus the
+  * positional row identity every merge-on-read write keys on:
+  * `_file` = the committed file's manifest name, `_pos` = the PHYSICAL
+  * 0-based line index (vector positions are physical, so `_pos` stays
+  * stable no matter how many rows a vector already hides).
   */
-case class ShardSinkReaderFactory(path: String) extends PartitionReaderFactory {
+case class ShardSinkReaderFactory(
+    path: String, required: StructType = DocGen.schema) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val f = partition.asInstanceOf[ShardSinkFile]
-    val all = SinkFs.readLines(new org.apache.hadoop.fs.Path(f.file))
+    val fp = new org.apache.hadoop.fs.Path(f.file)
+    val all = SinkFs.readLines(fp)
     // merge-on-read: drop the delete vector's positions at read time —
     // TSV line index IS the stable row position the vector records
-    val lines =
-      if (f.dv.isEmpty) all
-      else {
-        val dead = ShardSink.readDeleteVector(new org.apache.hadoop.fs.Path(f.dv))
-        all.zipWithIndex.collect { case (l, i) if !dead.contains(i) => l }
-      }
+    val dead: Set[Int] =
+      if (f.dv.isEmpty) Set.empty
+      else ShardSink.readDeleteVector(new org.apache.hadoop.fs.Path(f.dv))
+    val live = all.zipWithIndex.filter { case (_, i) => !dead.contains(i) }
+    val fileName = UTF8String.fromString(fp.getName)
+    val cols = required.fieldNames
     new PartitionReader[InternalRow] {
       private var i = -1
-      override def next(): Boolean = { i += 1; i < lines.size }
+      override def next(): Boolean = { i += 1; i < live.size }
       override def get(): InternalRow = {
-        val parts = lines(i).split("\t", 3)
-        val row = new GenericInternalRow(3)
-        row.update(0, parts(0).toLong)
-        row.update(1, parts(1).toInt)
-        row.update(2, UTF8String.fromString(parts(2)))
+        val (line, pos) = live(i)
+        val parts = line.split("\t", 3)
+        val row = new GenericInternalRow(cols.length)
+        var c = 0
+        while (c < cols.length) {
+          cols(c) match {
+            case "doc_id" => row.update(c, parts(0).toLong)
+            case "shard" => row.update(c, parts(1).toInt)
+            case "body" => row.update(c, UTF8String.fromString(parts(2)))
+            case "_file" => row.update(c, fileName)
+            case "_pos" => row.update(c, pos.toLong)
+            case other => throw new IllegalArgumentException(s"unknown column $other")
+          }
+          c += 1
+        }
         row
       }
       override def close(): Unit = ()
@@ -1571,14 +1699,19 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
   private var catalogName = "graft_sink"
   private var root = ""
   private var deleteMode = "copy-on-write"
+  private var rloMode = "copy-on-write"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = Option(options.get("root")).getOrElse(
       new java.io.File(sys.props("java.io.tmpdir"), "graft_sink_cat").getPath)
-    // catalog-level default for SQL DELETE strategy (Iceberg's
-    // write.delete.mode as a catalog option): copy-on-write | merge-on-read
+    // catalog-level defaults for the DML strategies (Iceberg's
+    // write.delete.mode / write.update.mode / write.merge.mode as catalog
+    // options): copy-on-write | merge-on-read. `delete.mode` governs the
+    // metadata DELETE path, `rlo.mode` the UPDATE/MERGE/rewrite-DELETE
+    // row-level operations.
     deleteMode = Option(options.get("delete.mode")).getOrElse("copy-on-write")
+    rloMode = Option(options.get("rlo.mode")).getOrElse("copy-on-write")
   }
   override def name(): String = catalogName
 
@@ -1586,12 +1719,12 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
     new java.io.File(root, (ident.namespace() :+ ident.name()).mkString("_")).getPath
 
   override def loadTable(ident: Identifier): Table =
-    new ShardSinkTable(dirOf(ident), deleteMode = deleteMode)
+    new ShardSinkTable(dirOf(ident), deleteMode = deleteMode, rloMode = rloMode)
   /** SQL time travel: `SELECT … FROM <cat>.<t> VERSION AS OF n` resolves
     * here — the table is pinned to retained manifest version n.
     */
   override def loadTable(ident: Identifier, version: String): Table =
-    new ShardSinkTable(dirOf(ident), Some(version.toLong), deleteMode)
+    new ShardSinkTable(dirOf(ident), Some(version.toLong), deleteMode, rloMode)
   override def tableExists(ident: Identifier): Boolean = true // implicit, empty until written
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
@@ -1756,4 +1889,189 @@ class ShardSinkReplaceDataWrite(path: String, queryId: String, affected: () => S
       case c: ShardSinkCommit => SinkFs.delete(new Path(c.tempPath))
       case _ =>
     }
+}
+
+/** DELTA-BASED row-level operations (round 13 — the merge-on-read rung
+  * for SQL UPDATE / MERGE / rewrite-DELETE, Spark's
+  * [[org.apache.spark.sql.connector.write.SupportsDelta]]): instead of
+  * rewriting every affected file whole
+  * ([[ShardSinkRowLevelOperation]]'s group-based copy-on-write), the
+  * rewrite plan feeds the writer individual row DELTAS — delete(rowId)
+  * and insert(row), with updates represented as delete+insert
+  * ([[representUpdateAsDeleteAndInsert]]) — and the commit lands as
+  * positional delete vectors over the untouched originals plus one
+  * appended file of new rows. The row identity is PURELY POSITIONAL:
+  * `rowId = (_file, _pos)` over the table's metadata columns, the same
+  * design Iceberg's position deltas use, sound on duplicate-id tables
+  * where a key-based row id is not. At 100 TB this is the
+  * write-amplification trade every format documents: an UPDATE touching
+  * 0.1% of rows writes ~0.1% of the data instead of every straddled
+  * file, at the cost of read-side vector subtraction until
+  * [[ShardSink.compact]] folds it.
+  */
+class ShardSinkDeltaOperation(
+    path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation with SupportsDelta {
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"ShardSinkDeltaOperation[$cmd, $path]"
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var prune: Option[Set[Int]] = None
+      private var required: StructType = DocGen.schema
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        prune = ShardSink.shardPruneSet(filters)
+        filters // residual — skipping is file-granular
+      }
+      override def pushedFilters(): Array[Filter] = Array.empty
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema // data columns + the (_file, _pos) rowId
+      override def build(): Scan = new ShardSinkScan(path, None, prune, required)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new ShardSinkDeltaWrite(path, info)
+    }
+}
+
+/** Task commit for a delta write: per-file deleted positions observed by
+  * this task, plus the task's appended-rows temp file (same protocol as
+  * the batch write).
+  */
+case class ShardSinkDeltaCommit(
+    deletes: Map[String, Seq[Long]],
+    tempPath: String, rows: Long, shardMin: Int = -1, shardMax: Int = -1)
+  extends WriterCommitMessage
+
+class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo)
+  extends Write with DeltaWrite with DeltaBatchWrite {
+  import org.apache.hadoop.fs.Path
+
+  override def toBatch: DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DeltaWriterFactory = {
+    val idSchema = info.rowIdSchema().orElseThrow(() =>
+      new IllegalStateException("delta write without a rowId schema"))
+    ShardSinkDeltaWriterFactory(
+      path, info.queryId(),
+      idSchema.fieldIndex("_file"), idSchema.fieldIndex("_pos"),
+      info.schema().fieldIndex("doc_id"), info.schema().fieldIndex("shard"),
+      info.schema().fieldIndex("body"))
+  }
+
+  /** Driver commit: union each file's deleted positions into its (new)
+    * delete vector, drop entries whose every live row died (data files
+    * stay — MOR never destroys data), append the insert files, ONE
+    * manifest flip. Entry `rows` stays the live count throughout.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: ShardSinkDeltaCommit => m }
+    val allDel = scala.collection.mutable.Map.empty[String, Set[Int]]
+    msgs.foreach(_.deletes.foreach { case (f, ps) =>
+      allDel(f) = allDel.getOrElse(f, Set.empty) ++ ps.map(_.toInt)
+    })
+    val inserts = msgs.filter(_.rows > 0L).zipWithIndex.map { case (m, i) =>
+      val dest = new Path(path, s"part-u${info.queryId()}-$i.tsv")
+      SinkFs.moveOver(new Path(m.tempPath), dest)
+      SinkEntry(dest.getName, m.rows, m.shardMin, m.shardMax)
+    }
+    msgs.filter(_.rows == 0L).foreach(m => SinkFs.delete(new Path(m.tempPath)))
+    val gen = ShardSink.nextMorGen()
+    var k = 0
+    val updated = ShardSink.committedEntries(path).flatMap { e =>
+      allDel.get(e.file) match {
+        case None => Some(e)
+        case Some(ps) =>
+          val dead: Set[Int] =
+            if (e.hasDeletes) ShardSink.readDeleteVector(new Path(path, e.dv))
+            else Set.empty
+          val fresh = ps -- dead
+          if (fresh.isEmpty) Some(e)
+          else if (fresh.size >= e.rows) None // all live rows died: entry drops, file stays
+          else {
+            k += 1
+            val nv = s"del-m$gen-$k.pos"
+            ShardSink.writeDeleteVector(path, nv, (dead ++ fresh).toSeq)
+            Some(e.copy(rows = e.rows - fresh.size, dv = nv))
+          }
+      }
+    }
+    ShardSink.writeManifest(path, updated ++ inserts, s"u$gen")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case c: ShardSinkDeltaCommit => SinkFs.delete(new Path(c.tempPath))
+      case _ =>
+    }
+}
+
+case class ShardSinkDeltaWriterFactory(
+    path: String, queryId: String,
+    fileIdx: Int, posIdx: Int, docIdx: Int, shardIdx: Int, bodyIdx: Int)
+  extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new ShardSinkDeltaWriter(path, queryId, partitionId, taskId,
+      fileIdx, posIdx, docIdx, shardIdx, bodyIdx)
+}
+
+/** Accumulates this task's deltas: deleted (file → physical positions)
+  * in memory — vectors are tiny relative to data — and inserted rows
+  * streamed to the same attempt-unique temp file the batch writer uses.
+  */
+class ShardSinkDeltaWriter(
+    path: String, queryId: String, partitionId: Int, taskId: Long,
+    fileIdx: Int, posIdx: Int, docIdx: Int, shardIdx: Int, bodyIdx: Int)
+  extends DeltaWriter[InternalRow] {
+  private val deletes =
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+  private val tmp =
+    new org.apache.hadoop.fs.Path(path, s"_tmp/delta-$queryId-p$partitionId-a$taskId.tsv")
+  private var out: java.io.BufferedWriter = null
+  private var rows = 0L
+  private var sMin = Int.MaxValue
+  private var sMax = -1
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    deletes.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
+      scala.collection.mutable.ArrayBuffer.empty) += id.getLong(posIdx)
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "updates are represented as delete+insert (representUpdateAsDeleteAndInsert)")
+
+  override def insert(row: InternalRow): Unit = {
+    val body = row.getUTF8String(bodyIdx).toString
+    require(!body.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "shard sink bodies may not contain tab/newline")
+    val shard = row.getInt(shardIdx)
+    if (shard < sMin) sMin = shard
+    if (shard > sMax) sMax = shard
+    if (out == null) out = SinkFs.create(tmp)
+    out.write(s"${row.getLong(docIdx)}\t$shard\t$body\n")
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    ShardSinkDeltaCommit(
+      deletes.map { case (f, ps) => f -> ps.toSeq }.toMap,
+      tmp.toString, rows, if (sMax < 0) -1 else sMin, sMax)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { try out.close() catch { case _: Throwable => () } }
+    SinkFs.delete(tmp)
+  }
+
+  override def close(): Unit = ()
 }

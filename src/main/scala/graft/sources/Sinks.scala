@@ -183,6 +183,7 @@ object Sinks {
     "q_dsv2_write_roundtrip" -> (ShardSink.writeRoundtrip _),
     "q_dsv2_delete" -> (ShardSink.deleteRoundtrip _),
     "q_dsv2_delete_mor" -> (ShardSink.morDeleteRoundtrip _),
+    "q_dsv2_merge_mor" -> (ShardSink.mergeMorRoundtrip _),
     "q_dsv2_merge" -> (ShardSink.mergeRoundtrip _),
     "s_shardsink_stream_parity" -> (ShardSink.streamWriteParity _),
     "s_shardsink_tail_parity" -> (ShardSink.tailParity _),
@@ -207,6 +208,7 @@ object Sinks {
     "q_dsv2_write_roundtrip" -> ShardSink.writeRoundtripSql,
     "q_dsv2_delete" -> ShardSink.deleteRoundtripSql,
     "q_dsv2_delete_mor" -> ShardSink.morDeleteRoundtripSql,
+    "q_dsv2_merge_mor" -> ShardSink.mergeMorRoundtripSql,
     "q_dsv2_merge" -> ShardSink.mergeRoundtripSql,
     "s_shardsink_stream_parity" -> ShardSink.streamWriteParitySql,
     "s_shardsink_tail_parity" -> ShardSink.tailParitySql,

@@ -370,6 +370,7 @@ class ScaleGuardSpec extends SparkSpec {
       "q_dsv2_scan" -> 2, "q_dsv2_agg_pushdown" -> 1, "q_dsv2_shard_rollup" -> 1,
       "q_dsv2_spj" -> 1, "q_dsv2_spj_bucket" -> 2, "q_dsv2_runtime_filter" -> 1,
       "q_dsv2_delete" -> 2, "q_dsv2_delete_mor" -> 2, "q_dsv2_merge" -> 2,
+      "q_dsv2_merge_mor" -> 2,
       "q_dsv2_metadata_cols" -> 2, "q_dsv2_catalog_function" -> 2,
       "q_hourly_windows" -> 2, "q_sliding_windows" -> 3, "q_session_counts" -> 2,
       "x1_dedup_exact" -> 2, "x2_jaccard_pairs" -> 1,

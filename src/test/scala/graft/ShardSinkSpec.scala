@@ -669,6 +669,61 @@ class ShardSinkSpec extends SparkSpec {
     assert(travel(vPre).count() === 1000L)
   }
 
+  test("delta-based UPDATE and MERGE (merge-on-read): vectors + appended rows, originals untouched") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.dmor", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.dmor.root", root)
+    s.conf.set("spark.sql.catalog.dmor.rlo.mode", "merge-on-read")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "800").option("numPartitions", "2").load()
+      .writeTo("dmor.docs").append()
+    val dir = new java.io.File(root, "docs").getPath
+    def fileHashes(pred: String => Boolean): Map[String, String] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && pred(f.getName)).map { f =>
+          f.getName -> java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    val originals = fileHashes(_.startsWith("part-b"))
+    def read = s.read.table("dmor.docs")
+
+    // UPDATE = delete vector over the old rows + appended new rows
+    s.sql("UPDATE dmor.docs SET body = upper(body) WHERE shard = 5")
+    assert(fileHashes(_.startsWith("part-b")) === originals,
+      "delta UPDATE must not rewrite any original file")
+    assert(fileHashes(_.startsWith("part-u")).nonEmpty, "expected appended delta files")
+    assert(read.count() === 800L)
+    val shard5 = read.where(col("shard") === 5).collect()
+    assert(shard5.length === 50)
+    assert(shard5.forall(r => r.getString(2) == r.getString(2).toUpperCase))
+    assert(read.where(col("shard") =!= 5)
+      .where(col("body") =!= lower(col("body"))).count() === 0L)
+
+    // three-clause MERGE through the same delta path
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "900").option("numPartitions", "2").load()
+      .where(col("doc_id") >= 700)
+      .selectExpr("doc_id", "shard", "upper(body) AS body")
+      .createOrReplaceTempView("src")
+    s.sql(
+      """MERGE INTO dmor.docs t USING src
+        |ON t.doc_id = src.doc_id
+        |WHEN MATCHED AND src.doc_id < 750 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET body = src.body
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(fileHashes(_.startsWith("part-b")) === originals,
+      "delta MERGE must not rewrite any original file")
+    assert(read.count() === 850L) // 800 - 50 deleted + 100 inserted
+    assert(read.where(col("doc_id") >= 700L && col("doc_id") < 750L).count() === 0L)
+    val upperTail = read.where(col("doc_id") >= 750L).collect()
+    assert(upperTail.length === 150)
+    assert(upperTail.forall(r => r.getString(2) == r.getString(2).toUpperCase))
+    // manifest live counts stay honest
+    assert(ShardSink.committedEntries(dir).map(_.rows).sum === 850L)
+  }
+
   test("copy-on-write rewrite after a MOR delete does not resurrect the deleted rows") {
     val root = freshDir().getPath
     val s = spark.newSession()
