@@ -102,6 +102,56 @@ object EventStreaming {
       }
   }
 
+  case class UserProfile(user_id: Long, n_events: Long, n_types: Long)
+
+  /** Spark 4 ARBITRARY-STATE API v2 ([[StatefulProcessor]] /
+    * `transformWithState` — the successor to mapGroupsWithState, and the
+    * reason the parity session pins the RocksDB state store provider:
+    * the API only runs on it): a per-user profile maintained in TYPED
+    * state primitives — a ValueState running event count and a MapState
+    * of per-type counts (each map ENTRY is its own state-store key, so a
+    * high-cardinality map never serializes whole per update, the thing
+    * the old API's single-blob state could not avoid). Emitted profile:
+    * running totals, both monotone, so the final state is the max over
+    * the update stream. TTLConfig.NONE keeps state for the stream's
+    * lifetime; a production ingest monitor would pass a TTL and let the
+    * store expire idle users.
+    */
+  class UserStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserProfile] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var count: ValueState[Long] = _
+    @transient private var types: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long](
+        "n_events", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      types = getHandle.getMapState[String, Long](
+        "type_counts", org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserProfile] = {
+      var c = if (count.exists()) count.get() else 0L
+      rows.foreach { e =>
+        c += 1
+        val prev = if (types.containsKey(e.event_type)) types.getValue(e.event_type) else 0L
+        types.updateValue(e.event_type, prev + 1L)
+      }
+      count.update(c)
+      Iterator.single(UserProfile(key, c, types.keys().size.toLong))
+    }
+  }
+
+  def userStats(events: Dataset[Event]): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Streaming exact dedup — the streaming twin of X-1. State is bounded
     * by the watermark: an event_id is remembered only until its event time
     * falls behind the watermark, so state size tracks the late-data window
@@ -335,6 +385,54 @@ object EventStreaming {
       .toDF("n_windows", "total_events", "n_diff")
   }
 
+  /** Driver-visible [[userStats]] parity — the `transformWithState`
+    * rung's hash row. Counts and distinct-type counts are commutative
+    * across any chunking; the final per-user profile is the max of the
+    * monotone update stream, diffed exceptAll against the batch
+    * count/countDistinct twin, with DuckDB re-deriving the totals. The
+    * session pins the RocksDB state store provider (the v2 API's
+    * requirement — also the 100 TB posture: per-entry MapState keys land
+    * as individual RocksDB keys, so state scales with active entries,
+    * not serialized-blob size).
+    */
+  def twsStreamParity(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val slice = graft.model.Tables.events(s, sfDir)
+      .where(col("user_id") < SessionParityUsers)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val streamed = CorpusStreaming.runBoundedStream(
+      s, slice.grouped(math.max(1, slice.length / 3 + 1)).map(_.toSeq).toSeq,
+      outputMode = "update")(in => userStats(in.as[Event]).toDF())
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"), max(col("n_types")).as("n_types"))
+    val batch = graft.model.Tables.events(s, sfDir)
+      .where(col("user_id") < SessionParityUsers)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("event_type")).as("n_types"))
+    val nDiff = streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
+    val totals = streamed
+      .agg(count(lit(1)), sum(col("n_events")), sum(col("n_types")))
+      .collect().head
+    Seq((totals.getLong(0), totals.getLong(1), totals.getLong(2), nDiff))
+      .toDF("n_users", "total_events", "total_types", "n_diff")
+  }
+
+  lazy val twsStreamParitySql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id, COUNT(*) AS n_events,
+       |         COUNT(DISTINCT event_type) AS n_types
+       |  FROM events WHERE user_id < $SessionParityUsers GROUP BY user_id)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       |       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       |       CAST(SUM(n_types) AS BIGINT) AS total_types,
+       |       CAST(0 AS BIGINT) AS n_diff
+       |FROM pu""".stripMargin
+
   lazy val slidingStreamParitySql: String =
     s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
        |       CAST(SUM(n) AS BIGINT) AS total_events,
@@ -372,10 +470,12 @@ object EventStreaming {
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "s_session_stream_parity" -> (sessionStreamParity _),
     "s_window_stream_parity" -> (windowStreamParity _),
-    "s_sliding_stream_parity" -> (slidingStreamParity _))
+    "s_sliding_stream_parity" -> (slidingStreamParity _),
+    "s_tws_stream_parity" -> (twsStreamParity _))
 
   val oracle: Map[String, String] = Map(
     "s_session_stream_parity" -> sessionStreamParitySql,
     "s_window_stream_parity" -> windowStreamParitySql,
-    "s_sliding_stream_parity" -> slidingStreamParitySql)
+    "s_sliding_stream_parity" -> slidingStreamParitySql,
+    "s_tws_stream_parity" -> twsStreamParitySql)
 }

@@ -111,6 +111,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState userStats: typed ValueState+MapState carry across batches (RocksDB)") {
+    val s = spark.newSession()
+    // the arbitrary-state v2 API runs only on the RocksDB provider
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreaming.userStats(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("tws").start()
+    try {
+      input.addData(Event(1, ts(0), 7, "a", 0), Event(2, ts(1), 7, "b", 0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(2), 7, "a", 0), Event(4, ts(3), 8, "c", 0))
+      q.processAllAvailable()
+      val rows = s.table("tws").as[EventStreaming.UserProfile].collect()
+      // count carried in ValueState, distinct types in per-entry MapState:
+      // batch 2 sees user 7's prior (2 events, {a,b}) state
+      assert(rows.filter(_.user_id == 7L).maxBy(_.n_events)
+        === EventStreaming.UserProfile(7L, 3L, 2L))
+      assert(rows.filter(_.user_id == 8L).maxBy(_.n_events)
+        === EventStreaming.UserProfile(8L, 1L, 1L))
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate event_ids within the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
