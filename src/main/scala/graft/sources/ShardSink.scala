@@ -63,17 +63,44 @@ import org.apache.spark.unsafe.types.UTF8String
   * with fresh-name renames: no replace window exists at all.
   */
 class ShardSinkSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = DocGen.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    if (options.getBoolean("readChangeFeed", false)) ShardSink.changeSchema
+    else DocGen.schema
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "shard sink requires a 'path' option")
-    new ShardSinkTable(path,
+    // Delta's readChangeFeed spelling: the CDF is a DIFFERENT table shape
+    // (change metadata columns), so it gets its own Table incarnation
+    if ("true".equalsIgnoreCase(properties.get("readChangeFeed")))
+      new ShardSinkChangeTable(path)
+    else new ShardSinkTable(path,
       deleteMode = Option(properties.get("delete.mode")).getOrElse("copy-on-write"),
       rloMode = Option(properties.get("rlo.mode")).getOrElse("copy-on-write"))
   }
+}
+
+/** The change-feed incarnation of a landing zone
+  * (`option("readChangeFeed", "true")`): batch reads versions
+  * (`changeFeedFrom`, `changeFeedTo`] (defaults 0, current); streaming
+  * tails one commit's changes per trigger. See
+  * [[ShardSink.changePartitions]] for exactly which commits are change
+  * events.
+  */
+class ShardSinkChangeTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"shardsink_changes($path)"
+  override def schema(): StructType = ShardSink.changeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new ShardSinkChangeScan(
+        path,
+        Option(options.get("changeFeedFrom")).map(_.toLong).getOrElse(0L),
+        Option(options.get("changeFeedTo")).map(_.toLong))
+    }
 }
 
 /** @param deleteMode `copy-on-write` (default: straddling files are
@@ -736,6 +763,124 @@ object ShardSink {
       |       CAST(3 AS BIGINT) AS n_versions
       |FROM g""".stripMargin
 
+  /** Driver-checked CHANGE DATA FEED (round 13 — the Delta-CDF analogue
+    * [[changePartitions]] makes exact): two Appends land insert commits,
+    * two merge-on-read DELETEs land delete commits (the second also
+    * exercising the vector-diff and possible fully-dead-entry paths),
+    * then `option("readChangeFeed","true")` reads the full change log
+    * and rolls it up by (commit version, change type). Every cell —
+    * including the per-commit xor of changed doc_ids — is re-derived by
+    * DuckDB from the same windows, so which ROWS changed in which COMMIT
+    * sits under the hash gate, not just final state.
+    */
+  def changeFeedReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("cdf:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcdf_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_cdf", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_cdf.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_cdf.delete.mode", "merge-on-read")
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2000").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .writeTo("graft_cdf.docs_cdf").append()
+    append(0L, 800L); append(800L, 2000L)
+    s.sql("DELETE FROM graft_cdf.docs_cdf WHERE doc_id >= 1500")
+    s.sql("DELETE FROM graft_cdf.docs_cdf WHERE shard = 3")
+    s.read.format("graft.sources.ShardSinkSource")
+      .option("path", new java.io.File(root, "docs_cdf").getPath)
+      .option("readChangeFeed", "true").load()
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(doc_id)").as("xor_ids"))
+      .orderBy("_commit_version", "_change_type")
+  }
+
+  val changeFeedReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard FROM range(0, 2000) t(doc_id)),
+      |ch AS (
+      |  SELECT 1 AS v, 'insert' AS ct, doc_id FROM g WHERE doc_id < 800
+      |  UNION ALL SELECT 2, 'insert', doc_id FROM g WHERE doc_id >= 800
+      |  UNION ALL SELECT 3, 'delete', doc_id FROM g WHERE doc_id >= 1500
+      |  UNION ALL SELECT 4, 'delete', doc_id FROM g WHERE shard = 3 AND doc_id < 1500)
+      |SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows, bit_xor(doc_id) AS xor_ids
+      |FROM ch GROUP BY 1, 2 ORDER BY _commit_version, _change_type""".stripMargin
+
+  /** Driver-checked STREAMING CDC tail (round 13): the same 4-commit
+    * history, tailed via `readStream` + `readChangeFeed` one commit per
+    * trigger over the durable version offsets; the drained change rows
+    * must equal the batch change feed row-for-row (n_diff = 0), with
+    * totals re-derived by DuckDB. This is the CDC consumption loop a
+    * downstream index/aggregate maintains itself from — inserts AND
+    * merge-on-read deletes, exactly once per commit.
+    */
+  def cdcStreamParity(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("cdcs:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcdcs_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = graft.streaming.StreamTune.session(spark)
+    s.conf.set("spark.sql.catalog.graft_cdc", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_cdc.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_cdc.delete.mode", "merge-on-read")
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2000").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .writeTo("graft_cdc.docs_cdc").append()
+    append(0L, 800L); append(800L, 2000L)
+    s.sql("DELETE FROM graft_cdc.docs_cdc WHERE doc_id >= 1500")
+    s.sql("DELETE FROM graft_cdc.docs_cdc WHERE shard = 3")
+    val dir = new java.io.File(root, "docs_cdc").getPath
+    val sink = s"graft_cdc_${streamSinkCounter.incrementAndGet()}"
+    val q = s.readStream.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("readChangeFeed", "true").load()
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = s.table(sink)
+    val batch = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("readChangeFeed", "true").load()
+    val nDiff = streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
+    val totals = streamed.agg(
+      count(lit(1)),
+      sum(when(col("_change_type") === "insert", 1L).otherwise(0L)),
+      sum(when(col("_change_type") === "delete", 1L).otherwise(0L)),
+      countDistinct(col("_commit_version"))).collect().head
+    import spark.implicits._
+    Seq((totals.getLong(0), totals.getLong(1), totals.getLong(2), totals.getLong(3), nDiff))
+      .toDF("n_changes", "n_inserts", "n_deletes", "n_commits", "n_diff")
+  }
+
+  val cdcStreamParitySql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard FROM range(0, 2000) t(doc_id)),
+      |ch AS (
+      |  SELECT 'insert' AS ct FROM g
+      |  UNION ALL SELECT 'delete' FROM g WHERE doc_id >= 1500
+      |  UNION ALL SELECT 'delete' FROM g WHERE shard = 3 AND doc_id < 1500)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_changes,
+      |       CAST(SUM(CASE WHEN ct = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+      |       CAST(SUM(CASE WHEN ct = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+      |       CAST(4 AS BIGINT) AS n_commits,
+      |       CAST(0 AS BIGINT) AS n_diff
+      |FROM ch""".stripMargin
+
   private val compactCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** COMPACTION — the small-files maintenance op every landing zone
@@ -1187,6 +1332,68 @@ object ShardSink {
     obsolete.foreach(f => SinkFs.delete(new Path(dir, f)))
   }
 
+  /** CHANGE DATA FEED (round 13 — the Delta-CDF analogue the versioned
+    * manifests + positional delete vectors make exact): the row-level
+    * changes committed in versions (fromV, toV], derived purely from
+    * manifest diffs —
+    *   - a file NEW in version v (append `part-b`/epoch `part-e`/delta
+    *     `part-u` namespaces) emits its live-at-v rows as `insert`;
+    *   - a file whose delete vector GREW in v emits exactly the newly
+    *     dead positions as `delete` (rows recovered from the retained
+    *     data file);
+    *   - a fully-dead entry REMOVED in v (the MOR drop — data file
+    *     retained) emits its live-at-(v−1) rows as `delete`.
+    * Physical rewrites (`part-d`/`part-r` copy-on-write, `part-c`
+    * compaction) are NOT change events — the rows they carry were
+    * already emitted at their original commit — so their file swaps are
+    * skipped on both sides of the diff; a delta UPDATE surfaces as
+    * delete+insert in one commit version (CDF's preimage/postimage,
+    * collapsed). Positions ride the partition (driver-resolved);
+    * production would reference vector files instead of inlining, same
+    * protocol.
+    */
+  private[sources] def changePartitions(
+      dir: String, fromV: Long, toV: Long): Seq[InputPartition] = {
+    def cdcScope(f: String): Boolean =
+      f.startsWith("part-b") || f.startsWith("part-e") || f.startsWith("part-u")
+    def dvOf(e: SinkEntry): Set[Int] =
+      if (e.hasDeletes) readDeleteVector(new Path(dir, e.dv)) else Set.empty
+    (fromV + 1 to toV).flatMap { v =>
+      val prev = entriesAtVersion(dir, v - 1).map(e => e.file -> e).toMap
+      val cur = entriesAtVersion(dir, v).map(e => e.file -> e).toMap
+      val inserts = cur.valuesIterator
+        .filter(e => cdcScope(e.file) && !prev.contains(e.file))
+        .map(e => ShardSinkChangeFile(
+          new Path(dir, e.file).toString, "insert", v,
+          only = None, skip = dvOf(e).toSeq): InputPartition)
+      val deletes = prev.valuesIterator.filter(e => cdcScope(e.file)).flatMap { pe =>
+        cur.get(pe.file) match {
+          case Some(ce) if ce.dv != pe.dv =>
+            val fresh = dvOf(ce) -- dvOf(pe)
+            if (fresh.isEmpty) None
+            else Some(ShardSinkChangeFile(
+              new Path(dir, pe.file).toString, "delete", v,
+              only = Some(fresh.toSeq.sorted), skip = Seq.empty): InputPartition)
+          case Some(_) => None
+          case None if SinkFs.exists(new Path(dir, pe.file)) =>
+            // fully-dead MOR drop: every live-at-(v-1) row died
+            Some(ShardSinkChangeFile(
+              new Path(dir, pe.file).toString, "delete", v,
+              only = None, skip = dvOf(pe).toSeq): InputPartition)
+          case None => None // physical rewrite/compaction swap: not a change event
+        }
+      }
+      inserts ++ deletes
+    }
+  }
+
+  /** CDF output schema: the table columns plus the change metadata. */
+  val changeSchema: StructType = {
+    var st = DocGen.schema
+    st = st.add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+    st.add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
+  }
+
   /** The input partition for a manifest entry: data file plus its delete
     * vector (both resolved to full paths) — the ONE place entry→partition
     * mapping lives, so no read path can forget the vector.
@@ -1617,6 +1824,68 @@ case class ShardSinkReaderFactory(
   }
 }
 
+/** One file's contribution to a change-feed batch: `only` = emit exactly
+  * these physical positions (delete events); otherwise emit all lines
+  * except `skip` (insert events, skipping the commit's own vector).
+  */
+case class ShardSinkChangeFile(
+    file: String, changeType: String, version: Long,
+    only: Option[Seq[Int]], skip: Seq[Int]) extends InputPartition
+
+case class ShardSinkChangeReaderFactory(path: String) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val f = partition.asInstanceOf[ShardSinkChangeFile]
+    val all = SinkFs.readLines(new org.apache.hadoop.fs.Path(f.file))
+    val picked = f.only match {
+      case Some(ps) => ps.filter(_ < all.size).map(all)
+      case None =>
+        val dead = f.skip.toSet
+        all.zipWithIndex.collect { case (l, i) if !dead.contains(i) => l }
+    }
+    val ct = UTF8String.fromString(f.changeType)
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < picked.size }
+      override def get(): InternalRow = {
+        val parts = picked(i).split("\t", 3)
+        val row = new GenericInternalRow(5)
+        row.update(0, parts(0).toLong)
+        row.update(1, parts(1).toInt)
+        row.update(2, UTF8String.fromString(parts(2)))
+        row.update(3, ct)
+        row.update(4, f.version)
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The change-feed scan (`readChangeFeed=true`): batch reads the changes
+  * of versions (changeFeedFrom, changeFeedTo] (defaults: 0, current);
+  * streaming tails the table one COMMIT's changes per micro-batch over
+  * the same durable version offsets as the plain tail.
+  */
+class ShardSinkChangeScan(path: String, fromV: Long, toV: Option[Long])
+  extends Scan with Batch {
+  override def readSchema(): StructType = ShardSink.changeSchema
+  override def description(): String =
+    s"ShardSinkChangeScan[$path, versions ($fromV, ${toV.getOrElse("current")}]]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val to = toV.getOrElse(ShardSink.currentManifestVersion(path))
+    val current = ShardSink.currentManifestVersion(path)
+    require(fromV >= 0 && to <= current,
+      s"change feed ($fromV, $to] out of range: table at $path has versions 1..$current")
+    ShardSink.changePartitions(path, fromV, to).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    ShardSinkChangeReaderFactory(path)
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ShardSinkTailStream(path, cdc = true)
+}
+
 /** Offset for the sink's version-tail stream: a manifest version number. */
 case class SinkVersionOffset(v: Long)
   extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -1637,7 +1906,7 @@ case class SinkVersionOffset(v: Long)
   * rows a tailer already saw; CDC-style delta events would need the
   * delta-based write path. Documented, not hidden.
   */
-class ShardSinkTailStream(path: String)
+class ShardSinkTailStream(path: String, cdc: Boolean = false)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -1670,6 +1939,9 @@ class ShardSinkTailStream(path: String)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val a = start.asInstanceOf[SinkVersionOffset].v
     val b = end.asInstanceOf[SinkVersionOffset].v
+    // CDC mode: the full change feed of versions (a, b] — inserts AND
+    // merge-on-read deletes (the vector diffs the plain tail cannot see)
+    if (cdc) return ShardSink.changePartitions(path, a, b).toArray
     val prior = ShardSink.entriesAtVersion(path, a).map(_.file).toSet
     ShardSink.entriesAtVersion(path, b)
       .filter(e => appendOnly(e.file) && !prior.contains(e.file))
@@ -1677,7 +1949,8 @@ class ShardSinkTailStream(path: String)
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = ShardSinkReaderFactory(path)
+  override def createReaderFactory(): PartitionReaderFactory =
+    if (cdc) ShardSinkChangeReaderFactory(path) else ShardSinkReaderFactory(path)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -184,6 +184,8 @@ object Sinks {
     "q_dsv2_delete" -> (ShardSink.deleteRoundtrip _),
     "q_dsv2_delete_mor" -> (ShardSink.morDeleteRoundtrip _),
     "q_dsv2_merge_mor" -> (ShardSink.mergeMorRoundtrip _),
+    "q_dsv2_cdf" -> (ShardSink.changeFeedReport _),
+    "s_dsv2_cdc_parity" -> (ShardSink.cdcStreamParity _),
     "q_dsv2_merge" -> (ShardSink.mergeRoundtrip _),
     "s_shardsink_stream_parity" -> (ShardSink.streamWriteParity _),
     "s_shardsink_tail_parity" -> (ShardSink.tailParity _),
@@ -209,6 +211,8 @@ object Sinks {
     "q_dsv2_delete" -> ShardSink.deleteRoundtripSql,
     "q_dsv2_delete_mor" -> ShardSink.morDeleteRoundtripSql,
     "q_dsv2_merge_mor" -> ShardSink.mergeMorRoundtripSql,
+    "q_dsv2_cdf" -> ShardSink.changeFeedReportSql,
+    "s_dsv2_cdc_parity" -> ShardSink.cdcStreamParitySql,
     "q_dsv2_merge" -> ShardSink.mergeRoundtripSql,
     "s_shardsink_stream_parity" -> ShardSink.streamWriteParitySql,
     "s_shardsink_tail_parity" -> ShardSink.tailParitySql,

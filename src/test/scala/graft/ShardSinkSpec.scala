@@ -748,6 +748,47 @@ class ShardSinkSpec extends SparkSpec {
     assert(live.filter(_.file.startsWith("part-d")).forall(!_.hasDeletes))
   }
 
+  test("change feed: version slicing, rewrite/compaction silence, out-of-range rejection") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    for ((cat, mode) <- Seq(("cdf_m", "merge-on-read"), ("cdf_c", "copy-on-write"))) {
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.ShardSinkCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.delete.mode", mode)
+    }
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "800").option("numPartitions", "2").load()
+      .writeTo("cdf_m.docs").append() // v1: 800 inserts
+    s.sql("DELETE FROM cdf_m.docs WHERE doc_id >= 600") // v2: 200 MOR deletes
+    val dir = new java.io.File(root, "docs").getPath
+    def feed(opts: (String, String)*) = {
+      val r = s.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load()
+    }
+    // full feed: 800 inserts @v1 + 200 deletes @v2
+    assert(feed().groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      === Set((1L, "insert", 800L), (2L, "delete", 200L)))
+    // version slicing: only the delete commit
+    assert(feed("changeFeedFrom" -> "1").select("_change_type").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("delete"))
+    assert(feed("changeFeedTo" -> "1").count() === 800L)
+    // a COPY-ON-WRITE delete (file swap) is NOT a change event: the rows
+    // it drops were rewritten, not logically changed — documented scope
+    s.sql("DELETE FROM cdf_c.docs WHERE doc_id >= 500") // v3: rewrites
+    assert(feed("changeFeedFrom" -> "2").count() === 0L)
+    // compaction is silent too
+    ShardSink.compact(dir)
+    assert(feed("changeFeedFrom" -> "3").count() === 0L)
+    // beyond-current range fails loudly
+    val e = intercept[Exception] {
+      feed("changeFeedTo" -> "99").count()
+    }
+    assert(e.getMessage.contains("out of range"))
+  }
+
   test("q_dsv2_write_roundtrip: rerunning replaces the manifest atomically, same answer") {
     val a = ShardSink.writeRoundtrip(spark, sf001).collect()
     val b = ShardSink.writeRoundtrip(spark, sf001).collect()
