@@ -220,13 +220,19 @@ class ShardSinkTable(
     // file that still contains non-matching rows).
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var prune: Option[Set[Int]] = None
+      private var pruneDocs: Option[(Long, Long)] = None
       private var used: Array[Filter] = Array.empty
-      private var required: StructType = DocGen.schema
+      private var sawFilters = false
+      private var countCols = 0
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        sawFilters = filters.nonEmpty
         prune = ShardSink.shardPruneSet(filters)
-        used = filters.filter(f => ShardSink.oneShardSet(f).isDefined)
+        pruneDocs = ShardSink.docPruneRange(filters)
+        used = filters.filter(f =>
+          ShardSink.oneShardSet(f).isDefined || ShardSink.oneDocInterval(f).isDefined)
         filters // all residual: skipping decides which FILES to read
       }
       override def pushedFilters(): Array[Filter] = used
@@ -234,10 +240,85 @@ class ShardSinkTable(
       // projecting `_file`/`_pos` arrives here with them appended
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def build(): Scan = new ShardSinkScan(path, v, prune, required)
+      private var required: StructType = DocGen.schema
+      /** METADATA-ONLY COUNT (round 13): an unfiltered, ungrouped
+        * `COUNT(*)` (or COUNT of a non-nullable column) is answered
+        * straight from the manifest's live-row bookkeeping — zero data
+        * IO, the `SELECT COUNT(*)` every table format special-cases.
+        * Filters disqualify (this scan applies none itself); Spark only
+        * attempts the push when no post-scan filter remains, and the
+        * guard keeps the contract local.
+        */
+      private def countOnly(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        !sawFilters && agg.groupByExpressions().isEmpty &&
+          agg.aggregateExpressions().nonEmpty &&
+          agg.aggregateExpressions().forall {
+            case _: org.apache.spark.sql.connector.expressions.aggregate.CountStar => true
+            case c: org.apache.spark.sql.connector.expressions.aggregate.Count =>
+              !c.isDistinct && (c.column match {
+                case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+                  val n = r.fieldNames
+                  n.sameElements(Array("doc_id")) || n.sameElements(Array("shard")) ||
+                    n.sameElements(Array("body"))
+                case _ => false
+              })
+            case _ => false
+          }
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        countOnly(agg)
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        if (countOnly(agg)) { countCols = agg.aggregateExpressions().length; true }
+        else false
+      override def build(): Scan =
+        if (countCols > 0) new ShardSinkCountScan(path, v, countCols)
+        else new ShardSinkScan(path, v, prune, required, pruneDocs)
     }
   }
 }
+
+/** The manifest-count scan: one partition, one row, the summed live-row
+  * counts of the (possibly version-pinned) manifest — resolved at plan
+  * time on the driver.
+  */
+class ShardSinkCountScan(path: String, asOf: Option[Long], cols: Int)
+  extends Scan with Batch {
+  override def readSchema(): StructType =
+    (0 until cols).foldLeft(new StructType()) { (st, i) =>
+      st.add(s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)
+    }
+  override def description(): String =
+    s"ShardSinkCountScan[$path, manifest-only count" +
+      asOf.map(v => s", versionAsOf=$v").getOrElse("") + "]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val entries = asOf match {
+      case None => ShardSink.committedEntries(path)
+      case Some(v) => ShardSink.entriesAtVersion(path, v)
+    }
+    Array(ShardSinkCountPartition(entries.map(_.rows).sum))
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val n = cols
+    (partition: InputPartition) => {
+      val c = partition.asInstanceOf[ShardSinkCountPartition].count
+      new PartitionReader[InternalRow] {
+        private var done = false
+        override def next(): Boolean = { val r = !done; done = true; r }
+        override def get(): InternalRow = {
+          val row = new GenericInternalRow(n)
+          (0 until n).foreach(i => row.update(i, c))
+          row
+        }
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
+
+case class ShardSinkCountPartition(count: Long) extends InputPartition
 
 /** Hadoop-FileSystem IO layer: every read/write/rename/delete the sink
   * performs, resolved per-path so `file:`, `hdfs:` and compatible schemes
@@ -310,8 +391,9 @@ private[sources] object SinkFs {
   */
 case class SinkEntry(
     file: String, rows: Long, shardMin: Int = -1, shardMax: Int = -1,
-    dv: String = "") {
+    dv: String = "", docMin: Long = -1L, docMax: Long = -1L) {
   def hasStats: Boolean = shardMin >= 0
+  def hasDocStats: Boolean = docMax >= 0L
   def hasDeletes: Boolean = dv.nonEmpty
   /** Conservative: unknown stats always intersect. (A delete vector can
     * only narrow the true range — the recorded superset stays sound for
@@ -319,6 +401,12 @@ case class SinkEntry(
     */
   def mayContainShard(shards: Set[Int]): Boolean =
     !hasStats || shards.exists(v => v >= shardMin && v <= shardMax)
+  /** Same conservatism for the doc_id range stats ("d0"/"d1"): unknown
+    * always intersects; a recorded range is a sound superset under
+    * merge-on-read vectors.
+    */
+  def mayContainDocRange(lo: Long, hi: Long): Boolean =
+    !hasDocStats || (docMin <= hi && docMax >= lo)
 }
 
 object ShardSink {
@@ -924,10 +1012,12 @@ object ShardSink {
       val nf = s"part-c$gen-s$shard.tsv"
       val tmp = new Path(dir, s"_tmp/$nf")
       val w = SinkFs.create(tmp)
-      try rows.sortBy(_._1).foreach { case (_, l) => w.write(l); w.write("\n") }
+      val sorted = rows.sortBy(_._1)
+      try sorted.foreach { case (_, l) => w.write(l); w.write("\n") }
       finally w.close()
       SinkFs.moveOver(tmp, new Path(dir, nf))
-      SinkEntry(nf, rows.size.toLong, shard, shard)
+      SinkEntry(nf, rows.size.toLong, shard, shard, "",
+        sorted.head._1, sorted.last._1)
     }
     writeManifest(dir, newEntries, s"c$gen")
     entries.map(_.file).foreach(f => SinkFs.delete(new Path(dir, f)))
@@ -1090,6 +1180,95 @@ object ShardSink {
       |FROM g WHERE shard IN (2, 7, 13) AND doc_id < 18000
       |GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Driver-checked DOC-RANGE FILE SKIPPING (round 13): four Appends
+    * land consecutive doc_id windows (the time-ordered crawl-batch
+    * layout a landing zone naturally has), then a read filtered on a
+    * doc_id interval AND a shard set goes through BOTH prunes — files
+    * outside the interval hull or the shard set are dropped before any
+    * data IO; values re-derived by DuckDB from `range()`. Partition
+    * counts and the statistics report are pinned in ShardSinkSpec.
+    */
+  def rangePrune(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("rangeprune:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkrange_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(dir)
+    def append(lo: Long, hi: Long): Unit =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "20000").option("numPartitions", "4").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir.getPath)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0L, 5000L); append(5000L, 10000L); append(10000L, 15000L); append(15000L, 20000L)
+    spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+      .where(col("doc_id") >= 6000L && col("doc_id") < 13000L && col("shard") < 8)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("xor_ids"))
+      .orderBy("shard")
+  }
+
+  val rangePruneSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard FROM range(0, 20000) t(doc_id))
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids
+      |FROM g WHERE doc_id >= 6000 AND doc_id < 13000 AND shard < 8
+      |GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Driver-checked METADATA-ONLY COUNT (round 13): `SELECT COUNT(*)`
+    * answered from the manifest's live-row bookkeeping with ZERO data IO
+    * ([[ShardSinkCountScan]]) — including after a merge-on-read DELETE
+    * (the live counts must be maintained, not the physical ones) and
+    * against a time-travelled version. The plan shape (count scan, one
+    * partition, no data files) is pinned in ShardSinkSpec.
+    */
+  def countMeta(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("countmeta:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcount_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_cnt", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_cnt.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_cnt.delete.mode", "merge-on-read")
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2000").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .writeTo("graft_cnt.docs_cnt").append()
+    append(0L, 800L); append(800L, 2000L)
+    s.sql("DELETE FROM graft_cnt.docs_cnt WHERE doc_id >= 1500")
+    val dir = new java.io.File(root, "docs_cnt").getPath
+    val live = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+      .agg(expr("count(*)").as("n_live"))
+    val atV2 = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("versionAsOf", "2").load()
+      .agg(expr("count(*)").as("n_v2"))
+    live.crossJoin(atV2)
+  }
+
+  val countMetaSql: String =
+    """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM range(0, 2000) t(doc_id)
+      |        WHERE NOT doc_id >= 1500) AS n_live,
+      |       CAST(2000 AS BIGINT) AS n_v2""".stripMargin
+
   /** Committed (file, rows) pairs, from the manifest only. Missing
     * manifest = no committed data (an in-flight or crashed job), never an
     * error.
@@ -1112,17 +1291,20 @@ object ShardSink {
     else parseEntries(SinkFs.readString(mf))
   }
 
-  // minimal parse of
-  // {"files":[{"file":"...","rows":N[,"s0":M,"s1":K][,"dv":"..."]},...]}
-  // — names are writer-chosen (part-*.tsv / del-*.pos), never user input
+  // minimal parse of {"files":[{"file":"...","rows":N[,"s0":M,"s1":K]
+  // [,"d0":A,"d1":B][,"dv":"..."]},...]} — names are writer-chosen
+  // (part-*.tsv / del-*.pos), never user input
   private def parseEntries(json: String): Seq[SinkEntry] =
-    """\{"file":"([^"]*\.tsv)","rows":(\d+)(?:,"s0":(-?\d+),"s1":(-?\d+))?(?:,"dv":"([^"]*)")?\}""".r
+    ("""\{"file":"([^"]*\.tsv)","rows":(\d+)(?:,"s0":(-?\d+),"s1":(-?\d+))?""" +
+      """(?:,"d0":(-?\d+),"d1":(-?\d+))?(?:,"dv":"([^"]*)")?\}""").r
       .findAllMatchIn(json)
       .map { m =>
         val (s0, s1) =
           if (m.group(3) == null) (-1, -1) else (m.group(3).toInt, m.group(4).toInt)
+        val (d0, d1) =
+          if (m.group(5) == null) (-1L, -1L) else (m.group(5).toLong, m.group(6).toLong)
         SinkEntry(m.group(1), m.group(2).toLong, s0, s1,
-          if (m.group(5) == null) "" else m.group(5))
+          if (m.group(7) == null) "" else m.group(7), d0, d1)
       }.toSeq
 
   def committedFiles(dir: String): Seq[String] = committedFilesWithRows(dir).map(_._1)
@@ -1140,8 +1322,9 @@ object ShardSink {
     val mTmp = new Path(dir, s"_manifest.$tag.tmp")
     val json = files.map { e =>
       val stats = if (e.hasStats) s""","s0":${e.shardMin},"s1":${e.shardMax}""" else ""
+      val docs = if (e.hasDocStats) s""","d0":${e.docMin},"d1":${e.docMax}""" else ""
       val dv = if (e.hasDeletes) s""","dv":"${e.dv}"""" else ""
-      s"""{"file":"${e.file}","rows":${e.rows}$stats$dv}"""
+      s"""{"file":"${e.file}","rows":${e.rows}$stats$docs$dv}"""
     }.mkString("""{"files":[""", ",", "]}")
     val w = SinkFs.create(mTmp)
     try w.write(json) finally w.close()
@@ -1172,12 +1355,18 @@ object ShardSink {
     */
   private[sources] def entryFromLines(file: String, lines: Seq[String]): SinkEntry = {
     var (mn, mx) = (Int.MaxValue, -1)
+    var (dn, dx) = (Long.MaxValue, -1L)
     lines.foreach { l =>
-      val s = l.split("\t", 3)(1).toInt
+      val c = l.split("\t", 3)
+      val s = c(1).toInt
       if (s < mn) mn = s
       if (s > mx) mx = s
+      val d = c(0).toLong
+      if (d < dn) dn = d
+      if (d > dx) dx = d
     }
-    SinkEntry(file, lines.size.toLong, if (mx < 0) -1 else mn, mx)
+    SinkEntry(file, lines.size.toLong, if (mx < 0) -1 else mn, mx, "",
+      if (dx < 0L) -1L else dn, dx)
   }
 
   /** Compile a conjunctive source-Filter array over the (doc_id, shard)
@@ -1263,6 +1452,46 @@ object ShardSink {
     val parts = filters.map(oneShardSet)
     if (parts.isEmpty || parts.exists(_.isEmpty)) None
     else Some(parts.flatten.reduce(_ intersect _))
+  }
+
+  /** The doc_id interval HULL a single filter could match, when it
+    * constrains ONLY `doc_id`; None for anything else. `Or` takes the
+    * conservative hull (superset — sound for skipping), `And` the
+    * intersection.
+    */
+  private[sources] def oneDocInterval(f: Filter): Option[(Long, Long)] = {
+    import org.apache.spark.sql.sources._
+    def lit(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue)
+      case _ => None
+    }
+    f match {
+      case EqualTo("doc_id", v) => lit(v).map(x => (x, x))
+      case In("doc_id", vs) =>
+        val xs = vs.flatMap(lit(_))
+        if (xs.length == vs.length && xs.nonEmpty) Some((xs.min, xs.max)) else None
+      case LessThan("doc_id", v) => lit(v).map(x => (Long.MinValue, x - 1))
+      case LessThanOrEqual("doc_id", v) => lit(v).map(x => (Long.MinValue, x))
+      case GreaterThan("doc_id", v) => lit(v).map(x => (x + 1, Long.MaxValue))
+      case GreaterThanOrEqual("doc_id", v) => lit(v).map(x => (x, Long.MaxValue))
+      case And(l, r) =>
+        for (a <- oneDocInterval(l); b <- oneDocInterval(r))
+          yield (math.max(a._1, b._1), math.min(a._2, b._2))
+      case Or(l, r) =>
+        for (a <- oneDocInterval(l); b <- oneDocInterval(r))
+          yield (math.min(a._1, b._1), math.max(a._2, b._2))
+      case _ => None
+    }
+  }
+
+  /** READ-side doc_id range skipping: the intersection of the interval
+    * hulls implied by the doc-only CONJUNCTS — any conjunct alone soundly
+    * skips a file whose recorded `d0`/`d1` range cannot overlap it.
+    */
+  private[sources] def docPruneRange(filters: Array[Filter]): Option[(Long, Long)] = {
+    val parts = filters.flatMap(oneDocInterval)
+    if (parts.isEmpty) None
+    else Some((parts.map(_._1).max, parts.map(_._2).min))
   }
 
   /** READ-side data skipping (round 13): the intersection of the shard
@@ -1498,8 +1727,12 @@ object ShardSink {
   * them.
   */
 case class ShardSinkCommit(
-    tempPath: String, rows: Long, shardMin: Int = -1, shardMax: Int = -1)
-  extends WriterCommitMessage
+    tempPath: String, rows: Long, shardMin: Int = -1, shardMax: Int = -1,
+    docMin: Long = -1L, docMax: Long = -1L)
+  extends WriterCommitMessage {
+  def toEntry(name: String): SinkEntry =
+    SinkEntry(name, rows, shardMin, shardMax, "", docMin, docMax)
+}
 
 class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
   extends Write with BatchWrite with StreamingWrite
@@ -1558,7 +1791,7 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
       val c = m.asInstanceOf[ShardSinkCommit]
       val dest = new Path(path, s"part-e$epochId-$i.tsv")
       SinkFs.moveOver(new Path(c.tempPath), dest)
-      SinkEntry(dest.getName, c.rows, c.shardMin, c.shardMax)
+      c.toEntry(dest.getName)
     }
     // replace-then-append keyed on the epoch prefix = replay idempotence
     val manifest = ShardSink.committedEntries(path)
@@ -1610,7 +1843,7 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
       val c = m.asInstanceOf[ShardSinkCommit]
       val dest = new Path(path, s"part-b$queryId-$i.tsv")
       SinkFs.moveOver(new Path(c.tempPath), dest)
-      SinkEntry(dest.getName, c.rows, c.shardMin, c.shardMax)
+      c.toEntry(dest.getName)
     }
     // manifest LAST, written to a temp name then moved: the job becomes
     // visible as one file move or not at all. Append MERGES the previous
@@ -1688,6 +1921,8 @@ class ShardSinkDataWriter(
   private var rows = 0L
   private var sMin = Int.MaxValue
   private var sMax = -1
+  private var dMin = Long.MaxValue
+  private var dMax = -1L
 
   override def write(row: InternalRow): Unit = {
     val base = if (trailingCols) row.numFields - 3 else 0
@@ -1697,13 +1932,17 @@ class ShardSinkDataWriter(
     val shard = row.getInt(base + 1)
     if (shard < sMin) sMin = shard
     if (shard > sMax) sMax = shard
-    out.write(s"${row.getLong(base)}\t$shard\t$body\n")
+    val doc = row.getLong(base)
+    if (doc < dMin) dMin = doc
+    if (doc > dMax) dMax = doc
+    out.write(s"$doc\t$shard\t$body\n")
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    ShardSinkCommit(tmp.toString, rows, if (sMax < 0) -1 else sMin, sMax)
+    ShardSinkCommit(tmp.toString, rows, if (sMax < 0) -1 else sMin, sMax,
+      if (dMax < 0L) -1L else dMin, dMax)
   }
 
   override def abort(): Unit = {
@@ -1724,23 +1963,24 @@ class ShardSinkScan(
     path: String,
     asOf: Option[Long] = None,
     pruneShards: Option[Set[Int]] = None,
-    required: StructType = DocGen.schema) extends Scan with Batch {
+    required: StructType = DocGen.schema,
+    pruneDocs: Option[(Long, Long)] = None) extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"ShardSinkScan[$path, manifest-committed files only" +
       asOf.map(v => s", versionAsOf=$v").getOrElse("") +
       pruneShards.map(s => s", pruneShards=${s.toSeq.sorted.mkString("{", ",", "}")}")
-        .getOrElse("") + "]"
+        .getOrElse("") +
+      pruneDocs.map { case (lo, hi) => s", pruneDocs=[$lo,$hi]" }.getOrElse("") + "]"
   override def toBatch: Batch = this
 
-  /** TIME TRAVEL (round 13): `asOf` pins the scan to a specific retained
-    * manifest version — the snapshot-isolation read the version log makes
-    * free. A version beyond the current one fails loudly (typo'd travel
-    * must not silently read latest). `pruneShards` (pushed-filter data
-    * skipping) then drops every file whose manifest shard range cannot
-    * match — stats-unknown entries always read (conservative).
+  /** The entries this scan will read: the pinned (or current) version's
+    * manifest minus every file whose shard/doc_id stats rule it out —
+    * shared by partition planning and the reported statistics so the
+    * optimizer sees exactly what will be read.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def keptEntries(): Seq[SinkEntry] = {
     val entries = asOf match {
       case None => ShardSink.committedEntries(path)
       case Some(v) =>
@@ -1749,10 +1989,37 @@ class ShardSinkScan(
           s"versionAsOf=$v out of range: table at $path has versions 1..$current")
         ShardSink.entriesAtVersion(path, v)
     }
-    val kept = pruneShards match {
-      case Some(s) => entries.filter(_.mayContainShard(s))
-      case None => entries
+    entries
+      .filter(e => pruneShards.forall(e.mayContainShard))
+      .filter(e => pruneDocs.forall { case (lo, hi) => e.mayContainDocRange(lo, hi) })
+  }
+
+  /** [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]:
+    * EXACT post-prune live-row counts straight from the manifest (`rows`
+    * is maintained as the live count through every DML path), sized at
+    * the TSV row estimate — a pruned read of a big landing zone reports
+    * small and becomes the optimizer's broadcast side, same as the
+    * DocGen scan's spec-pinned behavior.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val rows = keptEntries().map(_.rows).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * 45L)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
     }
+  }
+
+  /** TIME TRAVEL (round 13): `asOf` pins the scan to a specific retained
+    * manifest version — the snapshot-isolation read the version log makes
+    * free. A version beyond the current one fails loudly (typo'd travel
+    * must not silently read latest). `pruneShards`/`pruneDocs`
+    * (pushed-filter data skipping) then drop every file whose manifest
+    * stats cannot match — stats-unknown entries always read
+    * (conservative).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kept = keptEntries()
     // a compaction may have expired a travelled snapshot's files — fail
     // with the real reason, never a raw FileNotFound mid-job (pruned-away
     // files are exempt: they will not be read)
@@ -2147,7 +2414,7 @@ class ShardSinkReplaceDataWrite(path: String, queryId: String, affected: () => S
       val c = m.asInstanceOf[ShardSinkCommit]
       val dest = new Path(path, s"part-r$queryId-$i.tsv")
       SinkFs.moveOver(new Path(c.tempPath), dest)
-      SinkEntry(dest.getName, c.rows, c.shardMin, c.shardMax)
+      c.toEntry(dest.getName)
     }
     val (swapped, kept) =
       ShardSink.committedEntries(path).partition(e => replaced.contains(e.file))
@@ -2199,15 +2466,18 @@ class ShardSinkDeltaOperation(
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       private var prune: Option[Set[Int]] = None
+      private var pruneDocs: Option[(Long, Long)] = None
       private var required: StructType = DocGen.schema
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         prune = ShardSink.shardPruneSet(filters)
+        pruneDocs = ShardSink.docPruneRange(filters)
         filters // residual — skipping is file-granular
       }
       override def pushedFilters(): Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema // data columns + the (_file, _pos) rowId
-      override def build(): Scan = new ShardSinkScan(path, None, prune, required)
+      override def build(): Scan =
+        new ShardSinkScan(path, None, prune, required, pruneDocs)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
@@ -2222,7 +2492,8 @@ class ShardSinkDeltaOperation(
   */
 case class ShardSinkDeltaCommit(
     deletes: Map[String, Seq[Long]],
-    tempPath: String, rows: Long, shardMin: Int = -1, shardMax: Int = -1)
+    tempPath: String, rows: Long, shardMin: Int = -1, shardMax: Int = -1,
+    docMin: Long = -1L, docMax: Long = -1L)
   extends WriterCommitMessage
 
 class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo)
@@ -2255,7 +2526,7 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo)
     val inserts = msgs.filter(_.rows > 0L).zipWithIndex.map { case (m, i) =>
       val dest = new Path(path, s"part-u${info.queryId()}-$i.tsv")
       SinkFs.moveOver(new Path(m.tempPath), dest)
-      SinkEntry(dest.getName, m.rows, m.shardMin, m.shardMax)
+      SinkEntry(dest.getName, m.rows, m.shardMin, m.shardMax, "", m.docMin, m.docMax)
     }
     msgs.filter(_.rows == 0L).foreach(m => SinkFs.delete(new Path(m.tempPath)))
     val gen = ShardSink.nextMorGen()
@@ -2313,6 +2584,8 @@ class ShardSinkDeltaWriter(
   private var rows = 0L
   private var sMin = Int.MaxValue
   private var sMax = -1
+  private var dMin = Long.MaxValue
+  private var dMax = -1L
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit =
     deletes.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
@@ -2329,8 +2602,11 @@ class ShardSinkDeltaWriter(
     val shard = row.getInt(shardIdx)
     if (shard < sMin) sMin = shard
     if (shard > sMax) sMax = shard
+    val doc = row.getLong(docIdx)
+    if (doc < dMin) dMin = doc
+    if (doc > dMax) dMax = doc
     if (out == null) out = SinkFs.create(tmp)
-    out.write(s"${row.getLong(docIdx)}\t$shard\t$body\n")
+    out.write(s"$doc\t$shard\t$body\n")
     rows += 1
   }
 
@@ -2338,7 +2614,8 @@ class ShardSinkDeltaWriter(
     if (out != null) out.close()
     ShardSinkDeltaCommit(
       deletes.map { case (f, ps) => f -> ps.toSeq }.toMap,
-      tmp.toString, rows, if (sMax < 0) -1 else sMin, sMax)
+      tmp.toString, rows, if (sMax < 0) -1 else sMin, sMax,
+      if (dMax < 0L) -1L else dMin, dMax)
   }
 
   override def abort(): Unit = {

@@ -193,6 +193,8 @@ object Sinks {
     "q_dsv2_compact" -> (ShardSink.compactRoundtrip _),
     "q_dsv2_history" -> (ShardSink.historyReport _),
     "q_dsv2_stats_prune" -> (ShardSink.statsPrune _),
+    "q_dsv2_range_prune" -> (ShardSink.rangePrune _),
+    "q_dsv2_count_meta" -> (ShardSink.countMeta _),
     "s_dsv2_stream_parity" -> (DocGen.dsv2StreamParity _))
 
   val oracle: Map[String, String] = Map(
@@ -220,6 +222,8 @@ object Sinks {
     "q_dsv2_compact" -> ShardSink.compactRoundtripSql,
     "q_dsv2_history" -> ShardSink.historyReportSql,
     "q_dsv2_stats_prune" -> ShardSink.statsPruneSql,
+    "q_dsv2_range_prune" -> ShardSink.rangePruneSql,
+    "q_dsv2_count_meta" -> ShardSink.countMetaSql,
     "s_dsv2_stream_parity" -> DocGen.dsv2StreamParitySql)
 
   /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead

@@ -394,7 +394,7 @@ class ScaleGuardSpec extends SparkSpec {
       "t_model_delta" -> 1, "t_model_auc" -> 3, "t_model_calibration" -> 2,
       "t_model_threshold" -> 1, "t_weighted_sample" -> 2,
       "t_data_mixture" -> 9, "t_mixture_temperature" -> 5, "t_token_budget" -> 2, "t_ingest_decision" -> 11,
-      "t_dedup_delta" -> 4, "t_bpe_batched" -> 1, "t_bpe_encode" -> 2, "t_bigram_surprisal" -> 5, "q_variant_json" -> 2, "q_dsv2_time_travel" -> 2, "q_dsv2_compact" -> 2, "q_dsv2_history" -> 1, "q_dsv2_stats_prune" -> 2, "x6_vecsum_centroids" -> 2,
+      "t_dedup_delta" -> 4, "t_bpe_batched" -> 1, "t_bpe_encode" -> 2, "t_bigram_surprisal" -> 5, "q_variant_json" -> 2, "q_dsv2_time_travel" -> 2, "q_dsv2_compact" -> 2, "q_dsv2_history" -> 1, "q_dsv2_stats_prune" -> 2, "q_dsv2_range_prune" -> 2, "q_dsv2_count_meta" -> 1, "x6_vecsum_centroids" -> 2,
       "t_topk_quality_agg" -> 2)
     val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val bucketKey = "spark.sql.sources.v2.bucketing.enabled"

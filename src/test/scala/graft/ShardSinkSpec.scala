@@ -789,6 +789,47 @@ class ShardSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("out of range"))
   }
 
+  test("doc-range pruning, manifest-only count, and reported statistics") {
+    val dir = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    def append(lo: Long, hi: Long) =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "1600").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0, 400); append(400, 800); append(800, 1200); append(1200, 1600)
+    val total = ShardSink.committedEntries(dir).size
+    assert(ShardSink.committedEntries(dir).forall(_.hasDocStats))
+    def read = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+    // a doc_id window inside ONE append prunes to a quarter of the files
+    val one = read.where(col("doc_id") >= 500L && col("doc_id") < 700L)
+    assert(one.rdd.getNumPartitions <= total / 4,
+      s"window planned ${one.rdd.getNumPartitions} of $total files")
+    assert(one.count() === 200L)
+    // an impossible window plans nothing
+    assert(read.where(col("doc_id") >= 5000L).rdd.getNumPartitions === 0)
+    // reported statistics are the post-prune LIVE rows
+    def statsOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head.scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics().numRows().getAsLong
+    assert(statsOf(read) === 1600L)
+    assert(statsOf(read.where(col("doc_id") < 400L)) === 400L)
+    // COUNT(*) with no filter is answered from the manifest: the plan
+    // carries the count scan and exactly one 1-row partition
+    val cnt = read.agg(expr("count(*)"))
+    assert(cnt.queryExecution.executedPlan.toString.contains("ShardSinkCountScan"),
+      cnt.queryExecution.executedPlan.toString)
+    assert(cnt.collect().head.getLong(0) === 1600L)
+    // a filtered count falls back to the data scan
+    val fcnt = read.where(col("doc_id") < 100L).agg(expr("count(*)"))
+    assert(!fcnt.queryExecution.executedPlan.toString.contains("ShardSinkCountScan"))
+    assert(fcnt.collect().head.getLong(0) === 100L)
+  }
+
   test("q_dsv2_write_roundtrip: rerunning replaces the manifest atomically, same answer") {
     val a = ShardSink.writeRoundtrip(spark, sf001).collect()
     val b = ShardSink.writeRoundtrip(spark, sf001).collect()
