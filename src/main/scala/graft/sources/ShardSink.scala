@@ -35,7 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - driver [[BatchWrite.commit]] renames the winners to job-unique
   *     `part-b<queryId>-<n>.tsv` names and THEN writes the next VERSIONED
   *     manifest (`_manifest.v<N>.json`, highest N wins — see
-  *     [[ShardSink.writeManifest]]): visibility of the whole job is one
+  *     [[ShardSink.writeManifestAt]]): visibility of the whole job is one
   *     atomic rename to a fresh name, so readers either see the complete
   *     committed file set or the previous version — a crash mid-commit
   *     can never make committed data invisible. Append MERGES the prior
@@ -294,10 +294,12 @@ class ShardSinkCountScan(path: String, asOf: Option[Long], cols: Int)
       asOf.map(v => s", versionAsOf=$v").getOrElse("") + "]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    val entries = asOf match {
-      case None => ShardSink.committedEntries(path)
-      case Some(v) => ShardSink.entriesAtVersion(path, v)
-    }
+    // the SAME validation the row scan applies: out-of-range fails
+    // loudly, and an expired snapshot's count is an error even though
+    // the manifest alone could "answer" it — count and collect must
+    // agree on validity (spec-pinned)
+    val entries = ShardSink.entriesAsOf(path, asOf)
+    asOf.foreach(v => ShardSink.requireSnapshotLive(path, v, entries))
     Array(ShardSinkCountPartition(entries.map(_.rows).sum))
   }
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -419,10 +421,11 @@ object ShardSink {
     * (whose crash degraded the WHOLE table to invisible) no longer
     * exists: a crash mid-flip leaves the previous version intact and the
     * operation simply never happened. Version-hint discovery is how real
-    * table formats (Iceberg et al.) solve the same problem. Older
-    * versions are deleted best-effort AFTER the new one lands; a legacy
-    * unversioned `_manifest.json` is still read when no versioned file
-    * exists (pre-round-13 dirs).
+    * table formats (Iceberg et al.) solve the same problem. Superseded
+    * versions are RETAINED as the table's commit log (time travel, the
+    * version-tail stream, CDF and history all read them); only a legacy
+    * unversioned `_manifest.json` (pre-round-13 dirs, still read when no
+    * versioned file exists) is cleaned up after a flip.
     */
   private val ManifestV = """_manifest\.v(\d+)\.json""".r
 
@@ -994,7 +997,10 @@ object ShardSink {
     * documented.
     */
   def compact(dir: String): Unit = {
-    val entries = committedEntries(dir)
+    // base pinned at read; a commit landing mid-compaction (whose rows
+    // would be silently un-compacted away) collides at the flip and
+    // aborts THIS compaction loudly — maintenance retries, data wins
+    val (baseV, entries) = resolveBase(dir)
     if (entries.isEmpty) return
     val byShard = scala.collection.mutable.Map
       .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, String)]]
@@ -1019,7 +1025,7 @@ object ShardSink {
       SinkEntry(nf, rows.size.toLong, shard, shard, "",
         sorted.head._1, sorted.last._1)
     }
-    writeManifest(dir, newEntries, s"c$gen")
+    flipFromBase(dir, baseV, newEntries, s"c$gen")
     entries.map(_.file).foreach(f => SinkFs.delete(new Path(dir, f)))
     // every delete vector is dead now — current entries' vectors were
     // folded into the consolidated files, and superseded vectors (kept
@@ -1280,8 +1286,10 @@ object ShardSink {
     * stats (pre-stats manifests, recovered entries) parse as unknown.
     */
   def committedEntries(dir: String): Seq[SinkEntry] =
-    // one retry: a writer's post-flip cleanup can delete the version we
-    // just resolved — re-listing finds the newer one
+    // one retry, for the LEGACY file only: versioned manifests are
+    // retained forever, but a writer's post-flip cleanup deletes a legacy
+    // unversioned `_manifest.json` we may have just resolved —
+    // re-listing finds the versioned successor
     try committedEntriesOnce(dir)
     catch { case _: java.io.FileNotFoundException => committedEntriesOnce(dir) }
 
@@ -1309,16 +1317,39 @@ object ShardSink {
 
   def committedFiles(dir: String): Seq[String] = committedFilesWithRows(dir).map(_._1)
 
-  /** Shared manifest flip (batch commit, epoch commit, DELETE rewrite,
-    * replace-data commit): body to a temp name, then ONE atomic rename to
-    * the NEXT fresh version name — visibility is all or nothing, and a
-    * crash anywhere leaves the previous version (and therefore the whole
-    * committed table) intact. A concurrent writer racing to the same
-    * version loses the rename (dst exists) and fails LOUDLY instead of
-    * silently dropping the winner's files. Superseded versions and any
-    * legacy unversioned manifest are deleted best-effort after the flip.
+  /** The base a commit builds on: the current version, resolved ONCE,
+    * with the entries of exactly that version. Every flip path pins this
+    * pair at read time and renames to base+1 — any interleaved commit is
+    * then GUARANTEED to collide on the fresh-name rename ([[moveFresh]]),
+    * closing the old TOCTOU window where a re-list between the
+    * conflict check and the rename could land a stale entry list one
+    * version past the interloper and silently drop its files.
     */
-  private[sources] def writeManifest(dir: String, files: Seq[SinkEntry], tag: String): Unit = {
+  private[sources] def resolveBase(dir: String): (Long, Seq[SinkEntry]) = {
+    val v = currentManifestVersion(dir)
+    (v, if (v > 0L) entriesAtVersion(dir, v) else committedEntries(dir))
+  }
+
+  /** A lost manifest-version race: some other commit renamed `version`
+    * into place first. Blind appends catch this and retry on a re-read
+    * base (they commute with every commit — Delta's append-only conflict
+    * rule); read-modify-write commits (DML, truncate, compaction) abort
+    * loudly instead, because their read set may no longer hold.
+    */
+  private[sources] final case class ShardSinkConflict(dir: String, version: Long)
+    extends RuntimeException(
+      s"manifest version $version at $dir was committed by a concurrent writer")
+
+  /** Shared manifest flip core: body to a temp name, then ONE atomic
+    * rename to the CALLER-PINNED fresh version name — visibility is all
+    * or nothing, a crash anywhere leaves the previous version (and
+    * therefore the whole committed table) intact, and a concurrent
+    * writer racing to the same version loses the rename (dst exists) and
+    * surfaces as [[ShardSinkConflict]]. Superseded versions are retained
+    * as the commit log; only a legacy unversioned manifest is cleaned up.
+    */
+  private[sources] def writeManifestAt(
+      dir: String, files: Seq[SinkEntry], tag: String, version: Long): Unit = {
     val mTmp = new Path(dir, s"_manifest.$tag.tmp")
     val json = files.map { e =>
       val stats = if (e.hasStats) s""","s0":${e.shardMin},"s1":${e.shardMax}""" else ""
@@ -1328,19 +1359,39 @@ object ShardSink {
     }.mkString("""{"files":[""", ",", "]}")
     val w = SinkFs.create(mTmp)
     try w.write(json) finally w.close()
-    val prev = currentManifestVersion(dir)
-    val dest = new Path(dir, s"_manifest.v${prev + 1}.json")
-    SinkFs.moveFresh(mTmp, dest)
-    // superseded versions are RETAINED: the version sequence is the
-    // table's commit log — streaming tail reads diff consecutive versions
-    // (ShardSinkTailStream), and the tiny JSON files cost nothing a
-    // landing zone notices (production would add a retention horizon).
-    // Only a legacy unversioned manifest is cleaned up.
+    val dest = new Path(dir, s"_manifest.v$version.json")
+    try SinkFs.moveFresh(mTmp, dest)
+    catch {
+      case _: IllegalArgumentException =>
+        SinkFs.delete(mTmp)
+        throw ShardSinkConflict(dir, version)
+    }
     SinkFs.delete(new Path(dir, "_manifest.json"))
   }
 
+  /** Read-modify-write flip for callers that pinned their base with
+    * [[resolveBase]]: renames to exactly base+1 and converts a lost race
+    * into a loud abort — the conservative default for DML, truncate and
+    * compaction, whose rewritten content was derived from the pinned
+    * base and may be stale under the interloper's version. No files are
+    * lost either way: the interloper's commit is untouched, and this
+    * commit's artifacts stay invisible (never manifested).
+    */
+  private[sources] def flipFromBase(
+      dir: String, baseVersion: Long, files: Seq[SinkEntry], tag: String): Unit =
+    try writeManifestAt(dir, files, tag, baseVersion + 1)
+    catch {
+      case ShardSinkConflict(_, v) =>
+        throw new IllegalStateException(
+          s"ShardSink concurrent-writer conflict at $dir: version $v was " +
+            s"committed while this operation (base version $baseVersion) was " +
+            "in flight; the operation aborted loudly and the concurrent " +
+            "commit is intact — re-run against the new table state")
+    }
+
+
   /** The committed file entries AS OF a specific manifest version (0 =
-    * before any commit). Versions are retained (see [[writeManifest]]),
+    * before any commit). Versions are retained (see [[writeManifestAt]]),
     * so the diff of consecutive versions is the commit's file delta.
     */
   def entriesAtVersion(dir: String, version: Long): Seq[SinkEntry] =
@@ -1349,6 +1400,39 @@ object ShardSink {
       val p = new Path(dir, s"_manifest.v$version.json")
       if (!SinkFs.exists(p)) Seq.empty else parseEntries(SinkFs.readString(p))
     }
+
+  /** The ONE version-pinned entry resolution every read path (row scan
+    * AND metadata-only count) must go through: an out-of-range
+    * `versionAsOf` fails loudly here, so no scan shape can silently
+    * answer from an empty `entriesAtVersion` result (the round-13 count
+    * pushdown bypassed this and returned 0 for a typo'd version — the
+    * exact silent-wrong-answer the validation exists to prevent).
+    */
+  def entriesAsOf(dir: String, asOf: Option[Long]): Seq[SinkEntry] = asOf match {
+    case None => committedEntries(dir)
+    case Some(v) =>
+      val current = currentManifestVersion(dir)
+      require(v >= 0 && v <= current,
+        s"versionAsOf=$v out of range: table at $dir has versions 1..$current")
+      entriesAtVersion(dir, v)
+  }
+
+  /** A travelled snapshot may be compaction-expired: every entry that
+    * will be read must still have its data file AND (merge-on-read) its
+    * delete-vector sidecar on disk — a missing sidecar would otherwise
+    * surface as a raw FileNotFound mid-job (or worse, rows the snapshot
+    * had deleted would resurrect). Applies to the metadata-only COUNT
+    * too: the manifest could answer an expired snapshot's count
+    * "correctly", but count and collect of the same version must agree
+    * on validity, so both fail with the same loud error.
+    */
+  def requireSnapshotLive(dir: String, asOf: Long, kept: Seq[SinkEntry]): Unit = {
+    val missing = kept
+      .flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil))
+      .filterNot(f => SinkFs.exists(new Path(dir, f)))
+    require(missing.isEmpty,
+      s"snapshot versionAsOf=$asOf expired: compaction removed ${missing.mkString(", ")}")
+  }
 
   /** Scan a TSV file to rebuild its manifest entry (recovery / rewrite
     * paths — the rare cases where stats must be recomputed from data).
@@ -1531,7 +1615,11 @@ object ShardSink {
     // case the clustered layout exists for)
     val shardOnly = shardOnlySet(filters)
     val obsolete = scala.collection.mutable.ArrayBuffer.empty[String]
-    val entries = committedEntries(dir).flatMap { e =>
+    // base pinned at read: the flip goes to exactly base+1, so any
+    // interleaved commit collides there and this rewrite aborts loudly
+    // instead of silently dropping the interloper's files
+    val (baseV, base) = resolveBase(dir)
+    val entries = base.flatMap { e =>
       if (shardOnly.exists(ss => !e.mayContainShard(ss))) Some(e) // untouched, unread
       else {
         // live view: a prior merge-on-read delete's vector must not be
@@ -1556,7 +1644,7 @@ object ShardSink {
         }
       }
     }
-    writeManifest(dir, entries, s"d${deleteCounter.incrementAndGet()}")
+    flipFromBase(dir, baseV, entries, s"d${deleteCounter.incrementAndGet()}")
     // physical cleanup AFTER the flip, same as truncate
     obsolete.foreach(f => SinkFs.delete(new Path(dir, f)))
   }
@@ -1585,15 +1673,24 @@ object ShardSink {
       dir: String, fromV: Long, toV: Long): Seq[InputPartition] = {
     def cdcScope(f: String): Boolean =
       f.startsWith("part-b") || f.startsWith("part-e") || f.startsWith("part-u")
+    // every file/vector a change partition will read must still exist —
+    // compaction may have expired the range; fail with the real reason,
+    // never a raw FileNotFound (driver-side here, executor-side for data)
+    def live(f: String): Path = {
+      val p = new Path(dir, f)
+      require(SinkFs.exists(p),
+        s"change feed range ($fromV, $toV] expired: compaction removed $f")
+      p
+    }
     def dvOf(e: SinkEntry): Set[Int] =
-      if (e.hasDeletes) readDeleteVector(new Path(dir, e.dv)) else Set.empty
+      if (e.hasDeletes) readDeleteVector(live(e.dv)) else Set.empty
     (fromV + 1 to toV).flatMap { v =>
       val prev = entriesAtVersion(dir, v - 1).map(e => e.file -> e).toMap
       val cur = entriesAtVersion(dir, v).map(e => e.file -> e).toMap
       val inserts = cur.valuesIterator
         .filter(e => cdcScope(e.file) && !prev.contains(e.file))
         .map(e => ShardSinkChangeFile(
-          new Path(dir, e.file).toString, "insert", v,
+          live(e.file).toString, "insert", v,
           only = None, skip = dvOf(e).toSeq): InputPartition)
       val deletes = prev.valuesIterator.filter(e => cdcScope(e.file)).flatMap { pe =>
         cur.get(pe.file) match {
@@ -1601,7 +1698,7 @@ object ShardSink {
             val fresh = dvOf(ce) -- dvOf(pe)
             if (fresh.isEmpty) None
             else Some(ShardSinkChangeFile(
-              new Path(dir, pe.file).toString, "delete", v,
+              live(pe.file).toString, "delete", v,
               only = Some(fresh.toSeq.sorted), skip = Seq.empty): InputPartition)
           case Some(_) => None
           case None if SinkFs.exists(new Path(dir, pe.file)) =>
@@ -1694,7 +1791,9 @@ object ShardSink {
     val prune = shardPruneSet(filters)
     val gen = morCounter.incrementAndGet()
     var k = 0
-    val entries = committedEntries(dir).flatMap { e =>
+    // base pinned at read; lost race → loud abort (read-modify-write)
+    val (baseV, base) = resolveBase(dir)
+    val entries = base.flatMap { e =>
       if (prune.exists(ss => !e.mayContainShard(ss))) Some(e) // untouched, unread
       else {
         val all = SinkFs.readLines(new Path(dir, e.file))
@@ -1715,7 +1814,7 @@ object ShardSink {
         }
       }
     }
-    writeManifest(dir, entries, s"m$gen")
+    flipFromBase(dir, baseV, entries, s"m$gen")
     // no physical cleanup: MOR leaves every data file (and superseded
     // vector) in place — prior snapshots keep reading their exact rows
   }
@@ -1793,12 +1892,30 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
       SinkFs.moveOver(new Path(c.tempPath), dest)
       c.toEntry(dest.getName)
     }
-    // replace-then-append keyed on the epoch prefix = replay idempotence
-    val manifest = ShardSink.committedEntries(path)
-    val kept =
-      if (manifest.nonEmpty) manifest.filterNot(_.file.startsWith(s"part-e$epochId-"))
-      else recoverPriorEpochs(epochId)
-    writeManifest(kept ++ epochFiles, s"$queryId-e$epochId")
+    // replace-then-append keyed on the epoch prefix = replay idempotence.
+    // Same optimistic protocol as the batch Append: pin the base, flip to
+    // base+1, and on a lost race re-apply the epoch transform on the
+    // winner's manifest (the transform is idempotent, so re-application
+    // is exactly correct — a concurrent appender's files are preserved).
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val (baseV, base) = ShardSink.resolveBase(path)
+      val kept =
+        if (base.nonEmpty) base.filterNot(_.file.startsWith(s"part-e$epochId-"))
+        else recoverPriorEpochs(epochId)
+      try {
+        ShardSink.writeManifestAt(
+          path, kept ++ epochFiles, s"$queryId-e$epochId-a$attempt", baseV + 1)
+        committed = true
+      } catch {
+        case ShardSink.ShardSinkConflict(_, _) if attempt < 20 => attempt += 1
+        case c: ShardSink.ShardSinkConflict =>
+          throw new IllegalStateException(
+            s"ShardSink epoch $epochId commit at $path lost the manifest race " +
+              s"$attempt times (last: version ${c.version}); giving up loudly", c)
+      }
+    }
   }
 
   /** DEFENSE-IN-DEPTH recovery for the streaming path: with versioned
@@ -1827,13 +1944,7 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     abort(messages)
 
-  private def writeManifest(files: Seq[SinkEntry], tag: String): Unit =
-    ShardSink.writeManifest(path, files, tag)
-
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // captured BEFORE the new manifest lands: merged on Append, cleaned
-    // up after the flip on truncate
-    val previous = ShardSink.committedEntries(path)
     // job-unique final names (`part-b<queryId>-<i>.tsv`): a second Append
     // never overwrites a prior job's committed files, so a reader holding
     // the old manifest keeps a consistent view right through the commit
@@ -1845,33 +1956,44 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
       SinkFs.moveOver(new Path(c.tempPath), dest)
       c.toEntry(dest.getName)
     }
-    // manifest LAST, written to a temp name then moved: the job becomes
-    // visible as one file move or not at all. Append MERGES the previous
-    // manifest (accumulating semantics); truncate replaces it.
+    // manifest LAST, written to a temp name then renamed to the next
+    // fresh version: the job becomes visible as one rename or not at all.
     //
-    // CONCURRENCY: the merge is a read-modify-write of _manifest.json.
-    // Readers-vs-one-writer is safe (the flip is atomic); concurrent
-    // WRITERS are not — a second Append committing in the window would
-    // have its files silently dropped by this flip. Detect that at flip
-    // time and fail THIS commit loudly instead (the caller can retry;
-    // its temp files were already moved under job-unique names, so the
-    // retry re-reads a manifest that now includes the winner).
-    if (!truncate) {
-      val now = ShardSink.committedEntries(path)
-      if (now.toSet != previous.toSet)
-        throw new IllegalStateException(
-          s"ShardSink concurrent-writer conflict at $path: manifest changed " +
-            s"during commit (${previous.size} -> ${now.size} files); " +
-            "this sink supports a single writer at a time")
-    }
-    val kept = if (truncate) Seq.empty else previous
-    writeManifest(kept ++ finals, queryId)
-    // truncate cleanup AFTER the flip: old files are already invisible;
-    // deleting them can race nothing
-    if (truncate)
+    // CONCURRENCY (optimistic, Delta's append-only rule): a blind Append
+    // commutes with EVERY other commit — its files are brand-new and
+    // job-unique, and no concurrent operation can have read them — so a
+    // lost version race is not a conflict: re-read the winner's manifest
+    // as the new base, merge, and flip at the next version. The pin-at-
+    // read + rename-to-base+1 protocol guarantees the loser of any
+    // interleaving is detected (no re-list between resolve and rename),
+    // so no interleaved commit's files can ever be silently dropped.
+    // Truncate is read-modify-write (it REPLACES the table): it pins its
+    // base once and aborts loudly on a lost race.
+    if (truncate) {
+      val (baseV, previous) = ShardSink.resolveBase(path)
+      ShardSink.flipFromBase(path, baseV, finals, queryId)
+      // cleanup AFTER the flip: old files are already invisible;
+      // deleting them can race nothing
       previous.flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil))
         .filterNot(finals.map(_.file).contains)
         .foreach(f => SinkFs.delete(new Path(path, f)))
+    } else {
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        val (baseV, base) = ShardSink.resolveBase(path)
+        try {
+          ShardSink.writeManifestAt(path, base ++ finals, s"$queryId-a$attempt", baseV + 1)
+          committed = true
+        } catch {
+          case ShardSink.ShardSinkConflict(_, _) if attempt < 20 => attempt += 1
+          case c: ShardSink.ShardSinkConflict =>
+            throw new IllegalStateException(
+              s"ShardSink append at $path lost the manifest race $attempt times " +
+                s"(last: version ${c.version}); giving up loudly", c)
+        }
+      }
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1980,19 +2102,10 @@ class ShardSinkScan(
     * shared by partition planning and the reported statistics so the
     * optimizer sees exactly what will be read.
     */
-  private def keptEntries(): Seq[SinkEntry] = {
-    val entries = asOf match {
-      case None => ShardSink.committedEntries(path)
-      case Some(v) =>
-        val current = ShardSink.currentManifestVersion(path)
-        require(v >= 0 && v <= current,
-          s"versionAsOf=$v out of range: table at $path has versions 1..$current")
-        ShardSink.entriesAtVersion(path, v)
-    }
-    entries
+  private def keptEntries(): Seq[SinkEntry] =
+    ShardSink.entriesAsOf(path, asOf)
       .filter(e => pruneShards.forall(e.mayContainShard))
       .filter(e => pruneDocs.forall { case (lo, hi) => e.mayContainDocRange(lo, hi) })
-  }
 
   /** [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]:
     * EXACT post-prune live-row counts straight from the manifest (`rows`
@@ -2023,12 +2136,7 @@ class ShardSinkScan(
     // a compaction may have expired a travelled snapshot's files — fail
     // with the real reason, never a raw FileNotFound mid-job (pruned-away
     // files are exempt: they will not be read)
-    if (asOf.isDefined) {
-      val missing = kept.map(_.file).filterNot(f =>
-        SinkFs.exists(new org.apache.hadoop.fs.Path(path, f)))
-      require(missing.isEmpty,
-        s"snapshot versionAsOf=${asOf.get} expired: compaction removed ${missing.mkString(", ")}")
-    }
+    asOf.foreach(v => ShardSink.requireSnapshotLive(path, v, kept))
     kept
       .map(e => ShardSink.partitionOf(path, e))
       .toArray
@@ -2416,9 +2524,20 @@ class ShardSinkReplaceDataWrite(path: String, queryId: String, affected: () => S
       SinkFs.moveOver(new Path(c.tempPath), dest)
       c.toEntry(dest.getName)
     }
-    val (swapped, kept) =
-      ShardSink.committedEntries(path).partition(e => replaced.contains(e.file))
-    ShardSink.writeManifest(path, kept ++ finals, s"r$queryId")
+    // base pinned at commit-read; additionally every file the operation
+    // SCAN read must still be in the base — a concurrent DML/compaction
+    // that rewrote one of them between scan and commit invalidates the
+    // replacement rows, so this commit aborts loudly instead of
+    // resurrecting superseded data
+    val (baseV, base) = ShardSink.resolveBase(path)
+    val (swapped, kept) = base.partition(e => replaced.contains(e.file))
+    val vanished = replaced -- swapped.map(_.file).toSet
+    if (vanished.nonEmpty)
+      throw new IllegalStateException(
+        s"ShardSink row-level operation at $path conflicts with a concurrent " +
+          s"commit: files read by the operation are no longer current " +
+          s"(${vanished.toSeq.sorted.mkString(", ")}); aborted loudly — re-run")
+    ShardSink.flipFromBase(path, baseV, kept ++ finals, s"r$queryId")
     // replaced data files AND their (now folded-in) delete vectors
     swapped.flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil))
       .foreach(f => SinkFs.delete(new Path(path, f)))
@@ -2531,7 +2650,18 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo)
     msgs.filter(_.rows == 0L).foreach(m => SinkFs.delete(new Path(m.tempPath)))
     val gen = ShardSink.nextMorGen()
     var k = 0
-    val updated = ShardSink.committedEntries(path).flatMap { e =>
+    // base pinned at commit-read; a delete targeting a file no longer in
+    // the base means a concurrent commit rewrote rows this operation's
+    // positions were resolved against — positional deletes against the
+    // rewritten layout would hit the WRONG rows, so abort loudly
+    val (baseV, base) = ShardSink.resolveBase(path)
+    val vanished = allDel.keySet -- base.map(_.file).toSet
+    if (vanished.nonEmpty)
+      throw new IllegalStateException(
+        s"ShardSink delta commit at $path conflicts with a concurrent commit: " +
+          s"positional deletes target files no longer current " +
+          s"(${vanished.toSeq.sorted.mkString(", ")}); aborted loudly — re-run")
+    val updated = base.flatMap { e =>
       allDel.get(e.file) match {
         case None => Some(e)
         case Some(ps) =>
@@ -2549,7 +2679,7 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo)
           }
       }
     }
-    ShardSink.writeManifest(path, updated ++ inserts, s"u$gen")
+    ShardSink.flipFromBase(path, baseV, updated ++ inserts, s"u$gen")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

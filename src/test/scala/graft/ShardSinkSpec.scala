@@ -836,4 +836,60 @@ class ShardSinkSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
     assert(a.map(_.getLong(1)).sum === 20000L)
   }
+
+  test("optimistic concurrency: parallel blind Appends ALL commit; every file set visible") {
+    val dir = freshDir().getPath
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // four writers race the same table: the optimistic retry (re-read
+    // base, flip at next version) must land all four — the old
+    // single-writer detection threw away whichever lost the window
+    val jobs = (0 until 4).map { i =>
+      Future {
+        spark.read.format("graft.sources.DocGenSource")
+          .option("numDocs", "800").option("numPartitions", "2").load()
+          .where(col("doc_id") >= i * 200L && col("doc_id") < (i + 1) * 200L)
+          .write.format("graft.sources.ShardSinkSource")
+          .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+      }
+    }
+    Await.result(Future.sequence(jobs), 120.seconds)
+    val back = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+    assert(back.count() === 800L, "a concurrent append's files were dropped")
+    assert(back.select("doc_id").distinct().count() === 800L)
+    // one manifest version per commit, in an unbroken sequence
+    assert(ShardSink.currentManifestVersion(dir) === 4L)
+  }
+
+  test("optimistic concurrency: a stale flip is GUARANTEED to collide (pin-at-read protocol)") {
+    val dir = freshDir().getPath
+    def append(lo: Long, hi: Long) =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "400").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0, 100)
+    // pin a base at v1, then let an interloper land v2 — the formerly
+    // racy shape (stale entry list flipped one past the interloper)
+    val (baseV, base) = graft.sources.SinkTestAccess.resolveBase(dir)
+    assert(baseV === 1L)
+    append(100, 300)
+    // the stale writer targets v2 = base+1, which now EXISTS: the fresh-
+    // name rename collides and surfaces as a conflict — it can never
+    // silently drop the interloper's files
+    val e1 = intercept[Exception](
+      graft.sources.SinkTestAccess.writeManifestAt(dir, base, "stale", baseV + 1))
+    assert(graft.sources.SinkTestAccess.isConflict(e1), e1.toString)
+    // the read-modify-write wrapper (DML, truncate, compaction) converts
+    // the same lost race into a loud abort naming both versions
+    val e2 = intercept[IllegalStateException](
+      graft.sources.SinkTestAccess.flipFromBase(dir, baseV, base, "staledml"))
+    assert(e2.getMessage.contains("concurrent-writer conflict"), e2.getMessage)
+    // the interloper's commit is intact either way
+    assert(spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load().count() === 300L)
+  }
 }

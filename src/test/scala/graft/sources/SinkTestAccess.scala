@@ -1,0 +1,19 @@
+package graft.sources
+
+/** Test-only bridge into the `private[sources]` commit protocol so the
+  * concurrency specs (in package `graft`) can interleave commits
+  * DETERMINISTICALLY: pin a base, let an interloper commit, then attempt
+  * the stale flip — the exact TOCTOU shape the optimistic protocol must
+  * catch, impossible to schedule reliably with threads alone.
+  */
+object SinkTestAccess {
+  def resolveBase(dir: String): (Long, Seq[SinkEntry]) = ShardSink.resolveBase(dir)
+
+  def writeManifestAt(dir: String, files: Seq[SinkEntry], tag: String, version: Long): Unit =
+    ShardSink.writeManifestAt(dir, files, tag, version)
+
+  def flipFromBase(dir: String, baseVersion: Long, files: Seq[SinkEntry], tag: String): Unit =
+    ShardSink.flipFromBase(dir, baseVersion, files, tag)
+
+  def isConflict(t: Throwable): Boolean = t.isInstanceOf[ShardSink.ShardSinkConflict]
+}
