@@ -209,10 +209,18 @@ class ShardSinkTable(
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // time travel, both spellings: SQL `VERSION AS OF n` arrives via
-    // [[ShardSinkCatalog.loadTable(ident, version)]] (the table-level
-    // asOf); `spark.read.option("versionAsOf", n)` arrives here
-    val v = Option(options.get("versionAsOf")).map(_.toLong).orElse(asOf)
+    // time travel, all four spellings: SQL `VERSION AS OF n` /
+    // `TIMESTAMP AS OF ts` arrive via [[ShardSinkCatalog.loadTable]]
+    // overloads (the table-level asOf); the `versionAsOf` /
+    // `timestampAsOf` read options arrive here. Timestamps resolve to
+    // the newest version committed at-or-before the instant.
+    val vOpt = Option(options.get("versionAsOf")).map(_.toLong)
+    val tsOpt = Option(options.get("timestampAsOf"))
+    require(vOpt.isEmpty || tsOpt.isEmpty,
+      "specify versionAsOf or timestampAsOf, not both")
+    val v = vOpt
+      .orElse(tsOpt.map(s => ShardSink.versionAtTimestamp(path, ShardSink.parseTsMillis(s))))
+      .orElse(asOf)
     // STATS-BASED FILE SKIPPING (round 13): shard-constraining conjuncts
     // prune whole files against the manifest's per-file shard range before
     // any data IO — file-granular only, so every filter is also returned
@@ -428,6 +436,17 @@ object ShardSink {
     * versioned file exists) is cleaned up after a flip.
     */
   private val ManifestV = """_manifest\.v(\d+)\.json""".r
+
+  /** Commit clock: every manifest version records its commit timestamp
+    * (epoch millis, `"ts"` key) for `TIMESTAMP AS OF` resolution.
+    * Injectable for deterministic tests and oracle-checked queries — the
+    * same frozen-literal discipline F-6 uses for `current_timestamp`
+    * (SURVEY §7.5): wall-clock values never reach an oracle compare.
+    */
+  @volatile private var clockOverride: Option[() => Long] = None
+  def setCommitClock(c: Option[() => Long]): Unit = clockOverride = c
+  private def commitTimeMillis(): Long =
+    clockOverride.map(_()).getOrElse(System.currentTimeMillis())
 
   def currentManifestVersion(dir: String): Long =
     SinkFs.listFileNames(new Path(dir))
@@ -845,6 +864,51 @@ object ShardSink {
       |       bit_xor(doc_id) AS xor_ids
       |FROM range(0, 1200) t(doc_id)
       |GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** Driver-checked `TIMESTAMP AS OF` (round 14): three Appends commit
+    * under an INJECTED deterministic clock (one minute apart — the
+    * frozen-literal discipline, so the oracle never sees wall clock),
+    * then SQL `TIMESTAMP AS OF timestamp_millis(…)` pointing between the
+    * second and third commits must resolve to version 2 exactly
+    * ([[versionAtTimestamp]]: newest commit at-or-before the instant).
+    * `timestamp_millis` keeps the resolution timezone-free; the
+    * read-option spelling, the before-first-commit loud failure and the
+    * past-last-commit latest-read are spec-pinned.
+    */
+  def timeTravelTs(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("travelts:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinktts_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_tts", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_tts.root", root.getPath)
+    val base = 1700000000000L
+    val tick = new java.util.concurrent.atomic.AtomicLong(base)
+    setCommitClock(Some(() => tick.addAndGet(60000L)))
+    try {
+      def append(lo: Long, hi: Long): Unit =
+        s.read.format("graft.sources.DocGenSource")
+          .option("numDocs", "2000").option("numPartitions", "2").load()
+          .where(col("doc_id") >= lo && col("doc_id") < hi)
+          .writeTo("graft_tts.docs_tts").append()
+      append(0L, 500L); append(500L, 1200L); append(1200L, 2000L)
+      // commits at base+60s/+120s/+180s; +150s lands between v2 and v3
+      s.sql(
+        s"""SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       bit_xor(doc_id) AS xor_ids
+           |FROM graft_tts.docs_tts TIMESTAMP AS OF timestamp_millis(${base + 150000L})
+           |GROUP BY shard ORDER BY shard""".stripMargin)
+    } finally setCommitClock(None)
+  }
+
+  val timeTravelTsSql: String = timeTravelSql
 
   val tailParitySql: String =
     """WITH g AS (SELECT CAST(doc_id % 16 AS INT) AS shard FROM range(0, 2000) t(doc_id))
@@ -1356,7 +1420,7 @@ object ShardSink {
       val docs = if (e.hasDocStats) s""","d0":${e.docMin},"d1":${e.docMax}""" else ""
       val dv = if (e.hasDeletes) s""","dv":"${e.dv}"""" else ""
       s"""{"file":"${e.file}","rows":${e.rows}$stats$docs$dv}"""
-    }.mkString("""{"files":[""", ",", "]}")
+    }.mkString(s"""{"ts":${commitTimeMillis()},"files":[""", ",", "]}")
     val w = SinkFs.create(mTmp)
     try w.write(json) finally w.close()
     val dest = new Path(dir, s"_manifest.v$version.json")
@@ -1400,6 +1464,47 @@ object ShardSink {
       val p = new Path(dir, s"_manifest.v$version.json")
       if (!SinkFs.exists(p)) Seq.empty else parseEntries(SinkFs.readString(p))
     }
+
+  private val ManifestTs = """^\{"ts":(\d+)""".r
+
+  /** The commit timestamp (epoch millis) a manifest version recorded, if
+    * any — pre-round-14 manifests carry none.
+    */
+  def manifestTsAt(dir: String, version: Long): Option[Long] = {
+    val p = new Path(dir, s"_manifest.v$version.json")
+    if (!SinkFs.exists(p)) None
+    else ManifestTs.findFirstMatchIn(SinkFs.readString(p)).map(_.group(1).toLong)
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the NEWEST version whose commit
+    * timestamp is ≤ the requested instant (Delta/Iceberg semantics). A
+    * timestamp before the first commit fails loudly — same stance as an
+    * out-of-range `versionAsOf`; a timestamp past the last commit reads
+    * the latest version. Versions scan driver-side — one tiny JSON head
+    * per commit; a production catalog binary-searches its metadata.
+    */
+  def versionAtTimestamp(dir: String, tsMillis: Long): Long = {
+    val current = currentManifestVersion(dir)
+    require(current > 0L, s"timestampAsOf on $dir: table has no commits")
+    val stamped = (1L to current).flatMap(v => manifestTsAt(dir, v).map(v -> _))
+    require(stamped.nonEmpty,
+      s"timestampAsOf on $dir: no commit timestamps recorded " +
+        "(table predates timestamped manifests — use versionAsOf)")
+    require(tsMillis >= stamped.head._2,
+      s"timestampAsOf=$tsMillis is before the first commit " +
+        s"(version ${stamped.head._1} at ts ${stamped.head._2})")
+    stamped.filter(_._2 <= tsMillis).map(_._1).max
+  }
+
+  /** A `timestampAsOf` read-option value: epoch-millis digits (the
+    * deterministic spelling the checked queries use) or a
+    * `yyyy-MM-dd[ HH:mm:ss[.f]]` timestamp string (JVM-local, like
+    * Delta's option).
+    */
+  private[sources] def parseTsMillis(s: String): Long =
+    if (s.forall(_.isDigit)) s.toLong
+    else if (s.length == 10) java.sql.Timestamp.valueOf(s + " 00:00:00").getTime
+    else java.sql.Timestamp.valueOf(s).getTime
 
   /** The ONE version-pinned entry resolution every read path (row scan
     * AND metadata-only count) must go through: an out-of-range
@@ -2373,6 +2478,15 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
     */
   override def loadTable(ident: Identifier, version: String): Table =
     new ShardSinkTable(dirOf(ident), Some(version.toLong), deleteMode, rloMode)
+  /** SQL `TIMESTAMP AS OF ts`: Spark hands the evaluated instant in
+    * MICROseconds; resolve it to the newest manifest version committed
+    * at-or-before it ([[ShardSink.versionAtTimestamp]]) and pin.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    val v = ShardSink.versionAtTimestamp(dir, Math.floorDiv(timestampMicros, 1000L))
+    new ShardSinkTable(dir, Some(v), deleteMode, rloMode)
+  }
   override def tableExists(ident: Identifier): Boolean = true // implicit, empty until written
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)

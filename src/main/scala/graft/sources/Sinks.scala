@@ -190,6 +190,7 @@ object Sinks {
     "s_shardsink_stream_parity" -> (ShardSink.streamWriteParity _),
     "s_shardsink_tail_parity" -> (ShardSink.tailParity _),
     "q_dsv2_time_travel" -> (ShardSink.timeTravel _),
+    "q_dsv2_time_travel_ts" -> (ShardSink.timeTravelTs _),
     "q_dsv2_compact" -> (ShardSink.compactRoundtrip _),
     "q_dsv2_history" -> (ShardSink.historyReport _),
     "q_dsv2_stats_prune" -> (ShardSink.statsPrune _),
@@ -219,6 +220,7 @@ object Sinks {
     "s_shardsink_stream_parity" -> ShardSink.streamWriteParitySql,
     "s_shardsink_tail_parity" -> ShardSink.tailParitySql,
     "q_dsv2_time_travel" -> ShardSink.timeTravelSql,
+    "q_dsv2_time_travel_ts" -> ShardSink.timeTravelTsSql,
     "q_dsv2_compact" -> ShardSink.compactRoundtripSql,
     "q_dsv2_history" -> ShardSink.historyReportSql,
     "q_dsv2_stats_prune" -> ShardSink.statsPruneSql,

@@ -499,6 +499,41 @@ class ShardSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("out of range"), e.getMessage)
   }
 
+  test("time travel: timestampAsOf resolves to the newest commit at-or-before the instant") {
+    val dir = freshDir().getPath
+    val base = 1700000000000L
+    val tick = new java.util.concurrent.atomic.AtomicLong(base)
+    ShardSink.setCommitClock(Some(() => tick.addAndGet(60000L)))
+    try {
+      def append(lo: Long, hi: Long) =
+        spark.read.format("graft.sources.DocGenSource")
+          .option("numDocs", "600").option("numPartitions", "2").load()
+          .where(col("doc_id") >= lo && col("doc_id") < hi)
+          .write.format("graft.sources.ShardSinkSource")
+          .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+      append(0, 200); append(200, 500) // commits at base+60s, base+120s
+      def readTs(ts: Long) = spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("timestampAsOf", ts.toString).load()
+      // between the commits → v1; exactly at a commit → that commit;
+      // past the last commit → latest
+      assert(readTs(base + 90000L).count() === 200L)
+      assert(readTs(base + 60000L).count() === 200L)
+      assert(readTs(base + 120000L).count() === 500L)
+      assert(readTs(base + 999999L).count() === 500L)
+      // count-pushdown shape agrees with the row read (no silent bypass)
+      assert(readTs(base + 90000L).where(col("doc_id") >= 200L).isEmpty)
+      // before the first commit: loud failure, not an empty read
+      val e = intercept[Exception](readTs(base + 1000L).count())
+      assert(e.getMessage.contains("before the first commit"), e.getMessage)
+      // both pins at once is a user error
+      val e2 = intercept[Exception](
+        spark.read.format("graft.sources.ShardSinkSource")
+          .option("path", dir).option("versionAsOf", "1")
+          .option("timestampAsOf", (base + 90000L).toString).load().count())
+      assert(e2.getMessage.contains("not both"), e2.getMessage)
+    } finally ShardSink.setCommitClock(None)
+  }
+
   test("compaction: one shard-pure sorted file per shard; values untouched; old snapshots expire loudly") {
     val dir = freshDir().getPath
     // AQE off so each append lands its full 4-partition clustered split —
