@@ -771,6 +771,80 @@ object ShardSink {
     */
   val mergeMorRoundtripSql: String = mergeRoundtripSql
 
+  /** Driver-checked FULL-SYNC MERGE (round 14): all FOUR clause kinds —
+    * matched-delete, matched-update, not-matched-insert, and the
+    * round-13-missing `WHEN NOT MATCHED BY SOURCE` delete+update pair
+    * (the standard "make target mirror source" shape). Target rows the
+    * source no longer carries are deleted below 2000 and upper-case
+    * flagged below 4000; the oracle re-derives the complete edit script
+    * from `range()`. Runs through the strategy given by `rlo` so the
+    * copy-on-write and merge-on-read twins share one derivation.
+    */
+  private def mergeFullSync(
+      spark: org.apache.spark.sql.SparkSession, rlo: String, tag: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest((tag + ":fullsync").getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkfs_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    val cat = s"graft_fs_$tag"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[ShardSinkCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root.getPath)
+    s.conf.set(s"spark.sql.catalog.$cat.rlo.mode", rlo)
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "20000").option("numPartitions", "4").load()
+      .writeTo(s"$cat.docs_fs").append()
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "25000").option("numPartitions", "4").load()
+      .where(col("doc_id") >= 10000L)
+      .createOrReplaceTempView(s"graft_fs_src_$tag")
+    s.sql(
+      s"""MERGE INTO $cat.docs_fs t USING graft_fs_src_$tag s ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND s.doc_id < 12000 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET body = concat(s.body, '!')
+         |WHEN NOT MATCHED THEN INSERT (doc_id, shard, body) VALUES (s.doc_id, s.shard, s.body)
+         |WHEN NOT MATCHED BY SOURCE AND t.doc_id < 2000 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND t.doc_id < 4000 THEN UPDATE SET body = upper(t.body)
+         |""".stripMargin)
+    s.read.table(s"$cat.docs_fs")
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        sum(when(col("body") =!= lower(col("body")), 1L).otherwise(0L)).as("n_upper"),
+        sum(when(col("body").endsWith("!"), 1L).otherwise(0L)).as("n_merged"))
+      .orderBy("shard")
+  }
+
+  def mergeFullSyncCow(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame =
+    mergeFullSync(spark, "copy-on-write", "cow")
+
+  def mergeFullSyncMor(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame =
+    mergeFullSync(spark, "merge-on-read", "mor")
+
+  val mergeFullSyncSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |         CASE WHEN doc_id >= 12000 AND doc_id < 20000
+      |                THEN md5(CAST(doc_id AS VARCHAR)) || '!'
+      |              WHEN doc_id < 4000 THEN upper(md5(CAST(doc_id AS VARCHAR)))
+      |              ELSE md5(CAST(doc_id AS VARCHAR)) END AS body
+      |  FROM range(0, 25000) t(doc_id)
+      |  WHERE doc_id >= 2000 AND (doc_id < 10000 OR doc_id >= 12000))
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(SUM(CASE WHEN body <> lower(body) THEN 1 ELSE 0 END) AS BIGINT) AS n_upper,
+      |       CAST(SUM(CASE WHEN body LIKE '%!' THEN 1 ELSE 0 END) AS BIGINT) AS n_merged
+      |FROM g GROUP BY shard ORDER BY shard""".stripMargin
+
   /** Driver-checked VERSION-TAIL streaming read (round 13 — the last
     * connector matrix cell: the sink as a streaming SOURCE): three Append
     * jobs land three manifest versions, then a micro-batch stream tails
@@ -1035,6 +1109,61 @@ object ShardSink {
       |       CAST(4 AS BIGINT) AS n_commits,
       |       CAST(0 AS BIGINT) AS n_diff
       |FROM ch""".stripMargin
+
+  /** Driver-checked CDF UPDATE PRE/POST-IMAGES (round 14 — the Delta CDF
+    * update shape the round-13 feed collapsed to delete+insert): a
+    * merge-on-read UPDATE commits its change record with exact
+    * `update_preimage`/`update_postimage` pairs (recorded by the delta
+    * writer's native update path), followed by a MOR DELETE that stays
+    * derivation-only. The rollup pins, per (commit, change type), the row
+    * count, the doc_id xor AND how many rows carry the post-update body —
+    * so preimages carrying old bodies and postimages new ones sits under
+    * the hash gate, not just the counts.
+    */
+  def changeFeedUpdate(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("cdfu:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcdfu_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_cdfu", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_cdfu.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_cdfu.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_cdfu.delete.mode", "merge-on-read")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2000").option("numPartitions", "2").load()
+      .writeTo("graft_cdfu.docs_cu").append() // v1: 2000 inserts
+    s.sql("UPDATE graft_cdfu.docs_cu SET body = upper(body) WHERE doc_id < 300") // v2
+    s.sql("DELETE FROM graft_cdfu.docs_cu WHERE doc_id >= 1800") // v3
+    s.read.format("graft.sources.ShardSinkSource")
+      .option("path", new java.io.File(root, "docs_cu").getPath)
+      .option("readChangeFeed", "true").load()
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        sum(when(col("body") =!= lower(col("body")), 1L).otherwise(0L)).as("n_upper"))
+      .orderBy("_commit_version", "_change_type")
+  }
+
+  val changeFeedUpdateSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard FROM range(0, 2000) t(doc_id)),
+      |ch AS (
+      |  SELECT 1 AS v, 'insert' AS ct, doc_id, 0 AS up FROM g
+      |  UNION ALL SELECT 2, 'update_preimage', doc_id, 0 FROM g WHERE doc_id < 300
+      |  UNION ALL SELECT 2, 'update_postimage', doc_id, 1 FROM g WHERE doc_id < 300
+      |  UNION ALL SELECT 3, 'delete', doc_id, 0 FROM g WHERE doc_id >= 1800)
+      |SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows, bit_xor(doc_id) AS xor_ids,
+      |       CAST(SUM(up) AS BIGINT) AS n_upper
+      |FROM ch GROUP BY 1, 2 ORDER BY _commit_version, _change_type""".stripMargin
 
   private val compactCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -1413,14 +1542,16 @@ object ShardSink {
     * as the commit log; only a legacy unversioned manifest is cleaned up.
     */
   private[sources] def writeManifestAt(
-      dir: String, files: Seq[SinkEntry], tag: String, version: Long): Unit = {
+      dir: String, files: Seq[SinkEntry], tag: String, version: Long,
+      cdc: Option[String] = None): Unit = {
     val mTmp = new Path(dir, s"_manifest.$tag.tmp")
+    val cdcKey = cdc.map(f => s""""cdc":"$f",""").getOrElse("")
     val json = files.map { e =>
       val stats = if (e.hasStats) s""","s0":${e.shardMin},"s1":${e.shardMax}""" else ""
       val docs = if (e.hasDocStats) s""","d0":${e.docMin},"d1":${e.docMax}""" else ""
       val dv = if (e.hasDeletes) s""","dv":"${e.dv}"""" else ""
       s"""{"file":"${e.file}","rows":${e.rows}$stats$docs$dv}"""
-    }.mkString(s"""{"ts":${commitTimeMillis()},"files":[""", ",", "]}")
+    }.mkString(s"""{"ts":${commitTimeMillis()},$cdcKey"files":[""", ",", "]}")
     val w = SinkFs.create(mTmp)
     try w.write(json) finally w.close()
     val dest = new Path(dir, s"_manifest.v$version.json")
@@ -1442,8 +1573,9 @@ object ShardSink {
     * commit's artifacts stay invisible (never manifested).
     */
   private[sources] def flipFromBase(
-      dir: String, baseVersion: Long, files: Seq[SinkEntry], tag: String): Unit =
-    try writeManifestAt(dir, files, tag, baseVersion + 1)
+      dir: String, baseVersion: Long, files: Seq[SinkEntry], tag: String,
+      cdc: Option[String] = None): Unit =
+    try writeManifestAt(dir, files, tag, baseVersion + 1, cdc)
     catch {
       case ShardSinkConflict(_, v) =>
         throw new IllegalStateException(
@@ -1474,6 +1606,44 @@ object ShardSink {
     val p = new Path(dir, s"_manifest.v$version.json")
     if (!SinkFs.exists(p)) None
     else ManifestTs.findFirstMatchIn(SinkFs.readString(p)).map(_.group(1).toLong)
+  }
+
+  private val ManifestCdc = """"cdc":"([^"]+)"""".r
+
+  /** The CHANGE-RECORD sidecar a manifest version references, if any —
+    * Delta's `_change_data` analogue. Commits whose row-level changes
+    * cannot be derived from the manifest diff (copy-on-write DELETE and
+    * UPDATE/MERGE rewrites, delta commits carrying update pre/post
+    * images) write their complete change record to a `cdc-*.tsv` sidecar
+    * (lines `change_type\tdoc\tshard\tbody`) and reference it here;
+    * blind appends and pure merge-on-read deletes stay derivation-only —
+    * zero write amplification on the commits a landing zone is made of.
+    * Visibility rides the manifest flip: an unreferenced sidecar (crash
+    * before the flip) is invisible, exactly like an unmanifested part.
+    */
+  def manifestCdcAt(dir: String, version: Long): Option[String] = {
+    val p = new Path(dir, s"_manifest.v$version.json")
+    if (!SinkFs.exists(p)) None
+    else ManifestCdc.findFirstMatchIn(SinkFs.readString(p)).map(_.group(1))
+  }
+
+  /** Write a commit's change record to a temp name and move it into
+    * place (the same two-step every data file uses — the sidecar only
+    * becomes meaningful when the manifest referencing it lands). Returns
+    * None for an empty record: the commit changed nothing row-level.
+    */
+  private[sources] def writeCdcSidecar(
+      dir: String, tag: String, records: Seq[(String, String)]): Option[String] = {
+    // an EMPTY record is still written: it states "this commit changed no
+    // rows" — without it, a file-swapping no-op DML would look like an
+    // unrepresentable truncate to the feed's derivation
+    val name = s"cdc-$tag.tsv"
+    val tmp = new Path(dir, s"_tmp/$name")
+    val w = SinkFs.create(tmp)
+    try records.foreach { case (ct, line) => w.write(s"$ct\t$line\n") }
+    finally w.close()
+    SinkFs.moveOver(tmp, new Path(dir, name))
+    Some(name)
   }
 
   /** `TIMESTAMP AS OF` resolution: the NEWEST version whose commit
@@ -1720,6 +1890,11 @@ object ShardSink {
     // case the clustered layout exists for)
     val shardOnly = shardOnlySet(filters)
     val obsolete = scala.collection.mutable.ArrayBuffer.empty[String]
+    // the rows this DELETE removes, recorded as the commit's change
+    // record: a copy-on-write swap destroys the evidence (the old file is
+    // physically cleaned below), so the change feed reads the sidecar
+    // instead of diffing manifests — Delta's CDF does exactly this
+    val removed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     // base pinned at read: the flip goes to exactly base+1, so any
     // interleaved commit collides there and this rewrite aborts loudly
     // instead of silently dropping the interloper's files
@@ -1732,7 +1907,9 @@ object ShardSink {
         val lines = liveLines(dir, e)
         val kept = lines.filterNot { l =>
           val c = l.split("\t", 3)
-          drop(c(0).toLong, c(1).toInt)
+          val dead = drop(c(0).toLong, c(1).toInt)
+          if (dead) removed += (("delete", l))
+          dead
         }
         if (kept.size == lines.size) Some(e)
         else if (kept.isEmpty) {
@@ -1749,30 +1926,41 @@ object ShardSink {
         }
       }
     }
-    flipFromBase(dir, baseV, entries, s"d${deleteCounter.incrementAndGet()}")
+    val gen = deleteCounter.incrementAndGet()
+    flipFromBase(dir, baseV, entries, s"d$gen",
+      cdc = writeCdcSidecar(dir, s"d$gen", removed.toSeq))
     // physical cleanup AFTER the flip, same as truncate
     obsolete.foreach(f => SinkFs.delete(new Path(dir, f)))
   }
 
-  /** CHANGE DATA FEED (round 13 — the Delta-CDF analogue the versioned
-    * manifests + positional delete vectors make exact): the row-level
-    * changes committed in versions (fromV, toV], derived purely from
-    * manifest diffs —
+  /** CHANGE DATA FEED (rounds 13/14 — the Delta-CDF analogue the
+    * versioned manifests + delete vectors + change-record sidecars make
+    * exact): the row-level changes committed in versions (fromV, toV].
+    *
+    * A version that references a CDC SIDECAR ([[manifestCdcAt]]) reads
+    * it verbatim as the commit's COMPLETE change record — that is how
+    * copy-on-write DELETE (`part-d` swaps), copy-on-write UPDATE/MERGE
+    * (`part-r` swaps) and delta commits carrying update
+    * `update_preimage`/`update_postimage` pairs are represented, since
+    * none of those derive from the manifest diff alone.
+    *
+    * Every other version derives, paying zero write amplification at
+    * commit time:
     *   - a file NEW in version v (append `part-b`/epoch `part-e`/delta
     *     `part-u` namespaces) emits its live-at-v rows as `insert`;
     *   - a file whose delete vector GREW in v emits exactly the newly
     *     dead positions as `delete` (rows recovered from the retained
     *     data file);
     *   - a fully-dead entry REMOVED in v (the MOR drop — data file
-    *     retained) emits its live-at-(v−1) rows as `delete`.
-    * Physical rewrites (`part-d`/`part-r` copy-on-write, `part-c`
-    * compaction) are NOT change events — the rows they carry were
-    * already emitted at their original commit — so their file swaps are
-    * skipped on both sides of the diff; a delta UPDATE surfaces as
-    * delete+insert in one commit version (CDF's preimage/postimage,
-    * collapsed). Positions ride the partition (driver-resolved);
-    * production would reference vector files instead of inlining, same
-    * protocol.
+    *     retained) emits its live-at-(v−1) rows as `delete`;
+    *   - a compaction swap (`part-c`) is NOT a change event — the rows
+    *     it carries were already emitted at their original commits;
+    *   - a derivation-only version whose swapped-out files are GONE
+    *     (a truncate/overwrite, or pre-round-14 copy-on-write DML with
+    *     no recorded sidecar) FAILS LOUDLY: the removed rows cannot be
+    *     reconstructed, and a consumer must never silently miss them.
+    * Positions ride the partition (driver-resolved); production would
+    * reference vector files instead of inlining, same protocol.
     */
   private[sources] def changePartitions(
       dir: String, fromV: Long, toV: Long): Seq[InputPartition] = {
@@ -1790,31 +1978,50 @@ object ShardSink {
     def dvOf(e: SinkEntry): Set[Int] =
       if (e.hasDeletes) readDeleteVector(live(e.dv)) else Set.empty
     (fromV + 1 to toV).flatMap { v =>
-      val prev = entriesAtVersion(dir, v - 1).map(e => e.file -> e).toMap
-      val cur = entriesAtVersion(dir, v).map(e => e.file -> e).toMap
-      val inserts = cur.valuesIterator
-        .filter(e => cdcScope(e.file) && !prev.contains(e.file))
-        .map(e => ShardSinkChangeFile(
-          live(e.file).toString, "insert", v,
-          only = None, skip = dvOf(e).toSeq): InputPartition)
-      val deletes = prev.valuesIterator.filter(e => cdcScope(e.file)).flatMap { pe =>
-        cur.get(pe.file) match {
-          case Some(ce) if ce.dv != pe.dv =>
-            val fresh = dvOf(ce) -- dvOf(pe)
-            if (fresh.isEmpty) None
-            else Some(ShardSinkChangeFile(
-              live(pe.file).toString, "delete", v,
-              only = Some(fresh.toSeq.sorted), skip = Seq.empty): InputPartition)
-          case Some(_) => None
-          case None if SinkFs.exists(new Path(dir, pe.file)) =>
-            // fully-dead MOR drop: every live-at-(v-1) row died
-            Some(ShardSinkChangeFile(
-              new Path(dir, pe.file).toString, "delete", v,
-              only = None, skip = dvOf(pe).toSeq): InputPartition)
-          case None => None // physical rewrite/compaction swap: not a change event
-        }
+      manifestCdcAt(dir, v) match {
+        case Some(sidecar) =>
+          Seq(ShardSinkChangeSidecar(live(sidecar).toString, v): InputPartition)
+        case None =>
+          val prev = entriesAtVersion(dir, v - 1).map(e => e.file -> e).toMap
+          val cur = entriesAtVersion(dir, v).map(e => e.file -> e).toMap
+          val inserts = cur.valuesIterator
+            .filter(e => cdcScope(e.file) && !prev.contains(e.file))
+            .map(e => ShardSinkChangeFile(
+              live(e.file).toString, "insert", v,
+              only = None, skip = dvOf(e).toSeq): InputPartition)
+          // ALL removed/vector-grown entries considered, whatever their
+          // name prefix — a vector can grow on a rewritten or compacted
+          // file too, and an unexplained removal must never pass silently
+          val deletes = prev.valuesIterator.flatMap { pe =>
+            cur.get(pe.file) match {
+              case Some(ce) if ce.dv != pe.dv =>
+                val fresh = dvOf(ce) -- dvOf(pe)
+                if (fresh.isEmpty) None
+                else Some(ShardSinkChangeFile(
+                  live(pe.file).toString, "delete", v,
+                  only = Some(fresh.toSeq.sorted), skip = Seq.empty): InputPartition)
+              case Some(_) => None
+              case None if SinkFs.exists(new Path(dir, pe.file)) =>
+                // fully-dead MOR drop: every live-at-(v-1) row died
+                Some(ShardSinkChangeFile(
+                  new Path(dir, pe.file).toString, "delete", v,
+                  only = None, skip = dvOf(pe).toSeq): InputPartition)
+              case None if cur.keysIterator.exists(f =>
+                  f.startsWith("part-c") && !prev.contains(f)) =>
+                None // compaction swap: rows already emitted at their commits
+              case None =>
+                // the swapped-out rows are unrecoverable AND unrecorded —
+                // a truncate/overwrite, or pre-sidecar CoW DML. Refusing
+                // beats a consumer silently missing deleted rows.
+                throw new IllegalStateException(
+                  s"change feed cannot represent version $v at $dir: commit " +
+                    s"replaced ${pe.file} without a change record (truncate/" +
+                    "overwrite or pre-round-14 copy-on-write DML) — read from " +
+                    s"a later changeFeedFrom or re-run the DML on this version")
+            }
+          }
+          inserts ++ deletes
       }
-      inserts ++ deletes
     }
   }
 
@@ -2312,33 +2519,50 @@ case class ShardSinkChangeFile(
     file: String, changeType: String, version: Long,
     only: Option[Seq[Int]], skip: Seq[Int]) extends InputPartition
 
+/** A commit's recorded change sidecar (`cdc-*.tsv`): each line carries
+  * its OWN change type (`change_type\tdoc\tshard\tbody`) — the complete
+  * change record of version `version`.
+  */
+case class ShardSinkChangeSidecar(file: String, version: Long) extends InputPartition
+
 case class ShardSinkChangeReaderFactory(path: String) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val f = partition.asInstanceOf[ShardSinkChangeFile]
-    val all = SinkFs.readLines(new org.apache.hadoop.fs.Path(f.file))
-    val picked = f.only match {
-      case Some(ps) => ps.filter(_ < all.size).map(all)
-      case None =>
-        val dead = f.skip.toSet
-        all.zipWithIndex.collect { case (l, i) if !dead.contains(i) => l }
-    }
-    val ct = UTF8String.fromString(f.changeType)
+  private def reader(rows: IndexedSeq[(String, String)], version: Long)
+      : PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var i = -1
-      override def next(): Boolean = { i += 1; i < picked.size }
+      override def next(): Boolean = { i += 1; i < rows.size }
       override def get(): InternalRow = {
-        val parts = picked(i).split("\t", 3)
+        val (ct, line) = rows(i)
+        val parts = line.split("\t", 3)
         val row = new GenericInternalRow(5)
         row.update(0, parts(0).toLong)
         row.update(1, parts(1).toInt)
         row.update(2, UTF8String.fromString(parts(2)))
-        row.update(3, ct)
-        row.update(4, f.version)
+        row.update(3, UTF8String.fromString(ct))
+        row.update(4, version)
         row
       }
       override def close(): Unit = ()
     }
-  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case s: ShardSinkChangeSidecar =>
+        val rows = SinkFs.readLines(new org.apache.hadoop.fs.Path(s.file)).map { l =>
+          val cut = l.indexOf('\t')
+          (l.substring(0, cut), l.substring(cut + 1))
+        }
+        reader(rows.toIndexedSeq, s.version)
+      case f: ShardSinkChangeFile =>
+        val all = SinkFs.readLines(new org.apache.hadoop.fs.Path(f.file))
+        val picked = f.only match {
+          case Some(ps) => ps.filter(_ < all.size).map(all)
+          case None =>
+            val dead = f.skip.toSet
+            all.zipWithIndex.collect { case (l, i) if !dead.contains(i) => l }
+        }
+        reader(picked.map(l => (f.changeType, l)).toIndexedSeq, f.version)
+    }
 }
 
 /** The change-feed scan (`readChangeFeed=true`): batch reads the changes
@@ -2651,7 +2875,29 @@ class ShardSinkReplaceDataWrite(path: String, queryId: String, affected: () => S
         s"ShardSink row-level operation at $path conflicts with a concurrent " +
           s"commit: files read by the operation are no longer current " +
           s"(${vanished.toSeq.sorted.mkString(", ")}); aborted loudly — re-run")
-    ShardSink.flipFromBase(path, baseV, kept ++ finals, s"r$queryId")
+    // CHANGE RECORD: a group-based rewrite replaces whole files, most of
+    // whose rows are carried over verbatim — the commit's actual changes
+    // are the multiset difference between the swapped-out live rows and
+    // the swapped-in rows. Rows that vanished are `delete` events, rows
+    // that appeared are `insert` events (an UPDATE surfaces as the pair;
+    // Spark's group-based plan does not tell the connector which carried
+    // rows were modified, so exact pre/post pairing is the delta path's
+    // job — rlo.mode=merge-on-read). Computed driver-side over data the
+    // rewrite already materialized; a 100 TB deployment runs the same
+    // diff inside the rewrite job.
+    val before = scala.collection.mutable.Map.empty[String, Int]
+    swapped.foreach(e => ShardSink.liveLines(path, e).foreach { l =>
+      before(l) = before.getOrElse(l, 0) + 1
+    })
+    val inserted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    finals.foreach(e => SinkFs.readLines(new Path(path, e.file)).foreach { l =>
+      val n = before.getOrElse(l, 0)
+      if (n > 0) before(l) = n - 1 else inserted += (("insert", l))
+    })
+    val removed = before.iterator
+      .flatMap { case (l, n) => Iterator.fill(n)(("delete", l)) }.toSeq
+    ShardSink.flipFromBase(path, baseV, kept ++ finals, s"r$queryId",
+      cdc = ShardSink.writeCdcSidecar(path, s"r$queryId", removed ++ inserted.toSeq))
     // replaced data files AND their (now folded-in) delete vectors
     swapped.flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil))
       .foreach(f => SinkFs.delete(new Path(path, f)))
@@ -2692,7 +2938,11 @@ class ShardSinkDeltaOperation(
 
   override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(Expressions.column("_file"), Expressions.column("_pos"))
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  // native update rows (round 14): Spark hands UPDATE operations to
+  // DeltaWriter.update with the row id AND the new row, which is what
+  // lets the change feed emit exact update_preimage/update_postimage
+  // pairs instead of collapsing every update to delete+insert
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
@@ -2726,7 +2976,13 @@ class ShardSinkDeltaOperation(
 case class ShardSinkDeltaCommit(
     deletes: Map[String, Seq[Long]],
     tempPath: String, rows: Long, shardMin: Int = -1, shardMax: Int = -1,
-    docMin: Long = -1L, docMax: Long = -1L)
+    docMin: Long = -1L, docMax: Long = -1L,
+    // UPDATE operations: file → (physical position of the old row, the
+    // new row's TSV line). The position also folds into the file's
+    // delete vector; the line also landed in this task's appended file —
+    // this pairing exists so the commit can record exact
+    // update_preimage/update_postimage change events.
+    updates: Map[String, Seq[(Long, String)]] = Map.empty)
   extends WriterCommitMessage
 
 class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo)
@@ -2752,10 +3008,19 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo)
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: ShardSinkDeltaCommit => m }
+    val allUpd = scala.collection.mutable.Map.empty[String, Seq[(Long, String)]]
+    msgs.foreach(_.updates.foreach { case (f, us) =>
+      allUpd(f) = allUpd.getOrElse(f, Seq.empty) ++ us
+    })
+    // update positions are deletions of the old row versions: fold them
+    // into the vectors alongside the pure deletes
     val allDel = scala.collection.mutable.Map.empty[String, Set[Int]]
     msgs.foreach(_.deletes.foreach { case (f, ps) =>
       allDel(f) = allDel.getOrElse(f, Set.empty) ++ ps.map(_.toInt)
     })
+    allUpd.foreach { case (f, us) =>
+      allDel(f) = allDel.getOrElse(f, Set.empty) ++ us.map(_._1.toInt)
+    }
     val inserts = msgs.filter(_.rows > 0L).zipWithIndex.map { case (m, i) =>
       val dest = new Path(path, s"part-u${info.queryId()}-$i.tsv")
       SinkFs.moveOver(new Path(m.tempPath), dest)
@@ -2793,7 +3058,36 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo)
           }
       }
     }
-    ShardSink.flipFromBase(path, baseV, updated ++ inserts, s"u$gen")
+    // CHANGE RECORD, only when updates rode this commit: a pure
+    // delete/insert delta derives exactly from the manifest diff (vector
+    // growth / new part-u files — zero write amplification), but updates
+    // need their pre/post PAIRING recorded, and once a sidecar exists it
+    // is the version's complete record — so it also carries the commit's
+    // plain deletes (preimages resolved from the retained originals) and
+    // the appended rows that were NOT update postimages, as inserts.
+    val cdc = if (allUpd.isEmpty) None else {
+      val recs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val lineCache = scala.collection.mutable.Map.empty[String, IndexedSeq[String]]
+      def lineAt(f: String, pos: Long): String =
+        lineCache.getOrElseUpdate(f, SinkFs.readLines(new Path(path, f)).toIndexedSeq)(pos.toInt)
+      msgs.foreach(_.deletes.foreach { case (f, ps) =>
+        ps.foreach(p => recs += (("delete", lineAt(f, p))))
+      })
+      val postCount = scala.collection.mutable.Map.empty[String, Int]
+      allUpd.foreach { case (f, us) =>
+        us.foreach { case (pos, post) =>
+          recs += (("update_preimage", lineAt(f, pos)))
+          recs += (("update_postimage", post))
+          postCount(post) = postCount.getOrElse(post, 0) + 1
+        }
+      }
+      inserts.foreach(e => SinkFs.readLines(new Path(path, e.file)).foreach { l =>
+        val n = postCount.getOrElse(l, 0)
+        if (n > 0) postCount(l) = n - 1 else recs += (("insert", l))
+      })
+      ShardSink.writeCdcSidecar(path, s"u$gen", recs.toSeq)
+    }
+    ShardSink.flipFromBase(path, baseV, updated ++ inserts, s"u$gen", cdc = cdc)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2831,15 +3125,27 @@ class ShardSinkDeltaWriter(
   private var dMin = Long.MaxValue
   private var dMax = -1L
 
+  private val updates = scala.collection.mutable
+    .Map.empty[String, scala.collection.mutable.ArrayBuffer[(Long, String)]]
+
   override def delete(metadata: InternalRow, id: InternalRow): Unit =
     deletes.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
       scala.collection.mutable.ArrayBuffer.empty) += id.getLong(posIdx)
 
-  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
-    throw new IllegalStateException(
-      "updates are represented as delete+insert (representUpdateAsDeleteAndInsert)")
+  /** An UPDATE is physically a positional delete of the old row plus an
+    * append of the new one — but the PAIRING is recorded too, so the
+    * change feed can emit exact `update_preimage`/`update_postimage`
+    * events (Delta CDF's update shape) instead of delete+insert.
+    */
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    val line = writeLine(row)
+    updates.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
+      scala.collection.mutable.ArrayBuffer.empty) += ((id.getLong(posIdx), line))
+  }
 
-  override def insert(row: InternalRow): Unit = {
+  override def insert(row: InternalRow): Unit = { writeLine(row); () }
+
+  private def writeLine(row: InternalRow): String = {
     val body = row.getUTF8String(bodyIdx).toString
     require(!body.exists(c => c == '\t' || c == '\n' || c == '\r'),
       "shard sink bodies may not contain tab/newline")
@@ -2850,8 +3156,10 @@ class ShardSinkDeltaWriter(
     if (doc < dMin) dMin = doc
     if (doc > dMax) dMax = doc
     if (out == null) out = SinkFs.create(tmp)
-    out.write(s"$doc\t$shard\t$body\n")
+    val line = s"$doc\t$shard\t$body"
+    out.write(line); out.write("\n")
     rows += 1
+    line
   }
 
   override def commit(): WriterCommitMessage = {
@@ -2859,7 +3167,8 @@ class ShardSinkDeltaWriter(
     ShardSinkDeltaCommit(
       deletes.map { case (f, ps) => f -> ps.toSeq }.toMap,
       tmp.toString, rows, if (sMax < 0) -1 else sMin, sMax,
-      if (dMax < 0L) -1L else dMin, dMax)
+      if (dMax < 0L) -1L else dMin, dMax,
+      updates.map { case (f, us) => f -> us.toSeq }.toMap)
   }
 
   override def abort(): Unit = {

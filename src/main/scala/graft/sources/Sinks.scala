@@ -185,6 +185,9 @@ object Sinks {
     "q_dsv2_delete_mor" -> (ShardSink.morDeleteRoundtrip _),
     "q_dsv2_merge_mor" -> (ShardSink.mergeMorRoundtrip _),
     "q_dsv2_cdf" -> (ShardSink.changeFeedReport _),
+    "q_dsv2_cdf_update" -> (ShardSink.changeFeedUpdate _),
+    "q_dsv2_merge_full" -> (ShardSink.mergeFullSyncCow _),
+    "q_dsv2_merge_full_mor" -> (ShardSink.mergeFullSyncMor _),
     "s_dsv2_cdc_parity" -> (ShardSink.cdcStreamParity _),
     "q_dsv2_merge" -> (ShardSink.mergeRoundtrip _),
     "s_shardsink_stream_parity" -> (ShardSink.streamWriteParity _),
@@ -215,6 +218,9 @@ object Sinks {
     "q_dsv2_delete_mor" -> ShardSink.morDeleteRoundtripSql,
     "q_dsv2_merge_mor" -> ShardSink.mergeMorRoundtripSql,
     "q_dsv2_cdf" -> ShardSink.changeFeedReportSql,
+    "q_dsv2_cdf_update" -> ShardSink.changeFeedUpdateSql,
+    "q_dsv2_merge_full" -> ShardSink.mergeFullSyncSql,
+    "q_dsv2_merge_full_mor" -> ShardSink.mergeFullSyncSql,
     "s_dsv2_cdc_parity" -> ShardSink.cdcStreamParitySql,
     "q_dsv2_merge" -> ShardSink.mergeRoundtripSql,
     "s_shardsink_stream_parity" -> ShardSink.streamWriteParitySql,

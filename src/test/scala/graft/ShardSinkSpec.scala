@@ -810,11 +810,17 @@ class ShardSinkSpec extends SparkSpec {
     assert(feed("changeFeedFrom" -> "1").select("_change_type").distinct()
       .collect().map(_.getString(0)).toSeq === Seq("delete"))
     assert(feed("changeFeedTo" -> "1").count() === 800L)
-    // a COPY-ON-WRITE delete (file swap) is NOT a change event: the rows
-    // it drops were rewritten, not logically changed — documented scope
+    // a COPY-ON-WRITE delete swaps files, destroying the manifest-diff
+    // evidence — the commit records its change sidecar instead, and the
+    // feed emits EXACTLY the dropped rows (500 ≤ doc_id < 600 still live)
     s.sql("DELETE FROM cdf_c.docs WHERE doc_id >= 500") // v3: rewrites
-    assert(feed("changeFeedFrom" -> "2").count() === 0L)
-    // compaction is silent too
+    val cow = feed("changeFeedFrom" -> "2")
+    assert(cow.select("_change_type").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("delete"))
+    assert(cow.count() === 100L)
+    assert(cow.agg(min(col("doc_id")), max(col("doc_id"))).collect().head
+      .toSeq === Seq(500L, 599L))
+    // compaction IS silent: a layout swap changes no rows
     ShardSink.compact(dir)
     assert(feed("changeFeedFrom" -> "3").count() === 0L)
     // beyond-current range fails loudly
@@ -822,6 +828,98 @@ class ShardSinkSpec extends SparkSpec {
       feed("changeFeedTo" -> "99").count()
     }
     assert(e.getMessage.contains("out of range"))
+  }
+
+  test("change feed: delta UPDATE emits exact update_preimage/update_postimage pairs") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.cdfu", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.cdfu.root", root)
+    s.conf.set("spark.sql.catalog.cdfu.rlo.mode", "merge-on-read")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "2").load()
+      .writeTo("cdfu.docs").append() // v1
+    s.sql("UPDATE cdfu.docs SET body = concat(body, '!') WHERE doc_id < 50") // v2
+    val dir = new java.io.File(root, "docs").getPath
+    val feed = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("changeFeedFrom", "1").load()
+    val byType = feed.groupBy("_change_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byType === Map("update_preimage" -> 50L, "update_postimage" -> 50L))
+    // pre/post images pair up per doc_id, old body vs new body
+    val pre = feed.where(col("_change_type") === "update_preimage")
+      .select("doc_id", "body").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val post = feed.where(col("_change_type") === "update_postimage")
+      .select("doc_id", "body").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pre.keySet === post.keySet)
+    pre.foreach { case (id, b) => assert(post(id) === b + "!", s"doc $id") }
+    // a mixed MERGE commit: matched-update + matched-delete + insert —
+    // one version, complete record, all three shapes
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "500").option("numPartitions", "1").load()
+      .where(col("doc_id") >= 380L)
+      .createOrReplaceTempView("merge_src")
+    s.sql(
+      """MERGE INTO cdfu.docs t USING merge_src s ON t.doc_id = s.doc_id
+        |WHEN MATCHED AND t.doc_id < 390 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET body = concat(t.body, '?')
+        |WHEN NOT MATCHED THEN INSERT (doc_id, shard, body) VALUES (s.doc_id, s.shard, s.body)
+        |""".stripMargin) // v3
+    val m = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("changeFeedFrom", "2").load()
+      .groupBy("_change_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(m === Map(
+      "delete" -> 10L, // 380..389
+      "update_preimage" -> 10L, "update_postimage" -> 10L, // 390..399
+      "insert" -> 100L)) // 400..499
+    // final state agrees with the recorded changes
+    assert(s.read.table("cdfu.docs").count() === 490L)
+  }
+
+  test("change feed: copy-on-write UPDATE/MERGE records delete+insert; truncate refuses loudly") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.cdfc", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.cdfc.root", root)
+    // default rlo.mode = copy-on-write: whole affected files rewritten
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "2").load()
+      .writeTo("cdfc.docs").append() // v1
+    s.sql("UPDATE cdfc.docs SET body = concat(body, '*') WHERE doc_id < 40") // v2
+    val dir = new java.io.File(root, "docs").getPath
+    val feed = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("changeFeedFrom", "1").load()
+    // group-based rewrite can't attribute WHICH carried rows changed, so
+    // the update surfaces as its complete delete+insert multiset — the
+    // consumer misses nothing (the ADVICE gap this closes)
+    val byType = feed.groupBy("_change_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byType === Map("delete" -> 40L, "insert" -> 40L))
+    val oldB = feed.where(col("_change_type") === "delete")
+      .select("doc_id", "body").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val newB = feed.where(col("_change_type") === "insert")
+      .select("doc_id", "body").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(oldB.keySet === newB.keySet)
+    oldB.foreach { case (id, b) => assert(newB(id) === b + "*", s"doc $id") }
+    // truncate/overwrite destroys rows without a record: CDF over that
+    // version must refuse, not silently emit only the new inserts
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "100").option("numPartitions", "1").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Overwrite).save() // v3
+    val e = intercept[Exception](
+      s.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("readChangeFeed", "true")
+        .option("changeFeedFrom", "2").load().count())
+    assert(e.getMessage.contains("cannot represent"), e.getMessage)
+    // reading from AFTER the truncate works fine
+    assert(s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("changeFeedFrom", "3").load().count() === 0L)
   }
 
   test("doc-range pruning, manifest-only count, and reported statistics") {
