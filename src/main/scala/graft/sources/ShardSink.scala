@@ -1180,16 +1180,17 @@ object ShardSink {
     * control-plane op; a 100 TB deployment submits the per-shard merges
     * as a job — the manifest protocol is identical).
     *
-    * RETENTION semantics, stated plainly: compaction deletes the files it
-    * consolidated, which EXPIRES (a) time-travel snapshots older than the
-    * compaction — they fail loudly with "snapshot expired", never read
-    * wrong data — and (b) tail positions that had not yet consumed the
-    * pre-compaction appends (their file delta is gone). A production
-    * deployment coordinates compaction with snapshot/consumer retention
-    * horizons (Iceberg's expire-snapshots); here the horizon is zero and
-    * documented.
+    * RETENTION semantics (round 14 — the configurable horizon Iceberg
+    * spells expire-snapshots): `retainVersions = N` keeps the last N
+    * pre-compaction snapshots fully readable — their files, delete
+    * vectors and change sidecars survive the sweep, and the new manifest
+    * records the moved horizon (`"hz"`, [[horizonOf]]). Time travel,
+    * change-feed ranges and tail positions OLDER than the horizon fail
+    * loudly with the horizon in the message — never a raw FileNotFound
+    * mid-job, never silently-wrong data. The default N = 0 is the
+    * round-13 behavior: only the compacted snapshot remains.
     */
-  def compact(dir: String): Unit = {
+  def compact(dir: String, retainVersions: Int = 0): Unit = {
     // base pinned at read; a commit landing mid-compaction (whose rows
     // would be silently un-compacted away) collides at the flip and
     // aborts THIS compaction loudly — maintenance retries, data wins
@@ -1218,14 +1219,23 @@ object ShardSink {
       SinkEntry(nf, rows.size.toLong, shard, shard, "",
         sorted.head._1, sorted.last._1)
     }
-    flipFromBase(dir, baseV, newEntries, s"c$gen")
-    entries.map(_.file).foreach(f => SinkFs.delete(new Path(dir, f)))
-    // every delete vector is dead now — current entries' vectors were
-    // folded into the consolidated files, and superseded vectors (kept
-    // for pre-delete snapshots) reference data files this compaction just
-    // expired
+    val newV = baseV + 1
+    val newHz = math.max(horizonOf(dir), math.max(1L, newV - retainVersions))
+    flipFromBase(dir, baseV, newEntries, s"c$gen", horizon = Some(newHz))
+    // sweep ONLY what no retained version references: data files, delete
+    // vectors and change sidecars of versions at-or-above the horizon all
+    // survive, so every promised snapshot/feed range stays exactly
+    // readable — expiry below the horizon is enforced by the readers
+    val keep: Set[String] = (newHz to newV).flatMap { v =>
+      entriesAtVersion(dir, v)
+        .flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil)) ++
+        manifestCdcAt(dir, v)
+    }.toSet
+    entries.map(_.file).filterNot(keep).foreach(f => SinkFs.delete(new Path(dir, f)))
     SinkFs.listFileNames(new Path(dir)).filter(f =>
-      f.startsWith("del-") && f.endsWith(".pos"))
+      (f.startsWith("del-") && f.endsWith(".pos")) ||
+        (f.startsWith("cdc-") && f.endsWith(".tsv")))
+      .filterNot(keep)
       .foreach(f => SinkFs.delete(new Path(dir, f)))
   }
 
@@ -1543,15 +1553,19 @@ object ShardSink {
     */
   private[sources] def writeManifestAt(
       dir: String, files: Seq[SinkEntry], tag: String, version: Long,
-      cdc: Option[String] = None): Unit = {
+      cdc: Option[String] = None, horizon: Option[Long] = None): Unit = {
     val mTmp = new Path(dir, s"_manifest.$tag.tmp")
     val cdcKey = cdc.map(f => s""""cdc":"$f",""").getOrElse("")
+    // the retention horizon is table state: carried forward from the
+    // previous version unless this commit (a retaining compaction) moves it
+    val hz = horizon.orElse(manifestHzAt(dir, version - 1))
+    val hzKey = hz.map(h => s""""hz":$h,""").getOrElse("")
     val json = files.map { e =>
       val stats = if (e.hasStats) s""","s0":${e.shardMin},"s1":${e.shardMax}""" else ""
       val docs = if (e.hasDocStats) s""","d0":${e.docMin},"d1":${e.docMax}""" else ""
       val dv = if (e.hasDeletes) s""","dv":"${e.dv}"""" else ""
       s"""{"file":"${e.file}","rows":${e.rows}$stats$docs$dv}"""
-    }.mkString(s"""{"ts":${commitTimeMillis()},$cdcKey"files":[""", ",", "]}")
+    }.mkString(s"""{"ts":${commitTimeMillis()},$hzKey$cdcKey"files":[""", ",", "]}")
     val w = SinkFs.create(mTmp)
     try w.write(json) finally w.close()
     val dest = new Path(dir, s"_manifest.v$version.json")
@@ -1574,8 +1588,8 @@ object ShardSink {
     */
   private[sources] def flipFromBase(
       dir: String, baseVersion: Long, files: Seq[SinkEntry], tag: String,
-      cdc: Option[String] = None): Unit =
-    try writeManifestAt(dir, files, tag, baseVersion + 1, cdc)
+      cdc: Option[String] = None, horizon: Option[Long] = None): Unit =
+    try writeManifestAt(dir, files, tag, baseVersion + 1, cdc, horizon)
     catch {
       case ShardSinkConflict(_, v) =>
         throw new IllegalStateException(
@@ -1607,6 +1621,25 @@ object ShardSink {
     if (!SinkFs.exists(p)) None
     else ManifestTs.findFirstMatchIn(SinkFs.readString(p)).map(_.group(1).toLong)
   }
+
+  private val ManifestHz = """"hz":(\d+)""".r
+
+  /** The RETENTION HORIZON a manifest version records: the oldest
+    * version still readable (time travel, change feed, tail). Moved only
+    * by a retaining [[compact]]; carried forward by every other commit;
+    * absent (= 1, everything readable) until the first compaction.
+    */
+  def manifestHzAt(dir: String, version: Long): Option[Long] = {
+    val p = new Path(dir, s"_manifest.v$version.json")
+    if (!SinkFs.exists(p)) None
+    else ManifestHz.findFirstMatchIn(SinkFs.readString(p)).map(_.group(1).toLong)
+  }
+
+  /** The CURRENT retention horizon: reads older than this version must
+    * fail loudly instead of hitting missing files mid-job.
+    */
+  def horizonOf(dir: String): Long =
+    manifestHzAt(dir, currentManifestVersion(dir)).getOrElse(1L)
 
   private val ManifestCdc = """"cdc":"([^"]+)"""".r
 
@@ -1689,6 +1722,13 @@ object ShardSink {
       val current = currentManifestVersion(dir)
       require(v >= 0 && v <= current,
         s"versionAsOf=$v out of range: table at $dir has versions 1..$current")
+      // v = 0 is the empty pre-commit snapshot — always safe; anything
+      // below the retention horizon has (or may have) swept files, and
+      // the horizon error beats an incidental missing-file one
+      val hz = horizonOf(dir)
+      require(v == 0L || v >= hz,
+        s"snapshot versionAsOf=$v expired: the retention horizon is $hz " +
+          s"(versions below it were released by compaction)")
       entriesAtVersion(dir, v)
   }
 
@@ -1964,6 +2004,13 @@ object ShardSink {
     */
   private[sources] def changePartitions(
       dir: String, fromV: Long, toV: Long): Seq[InputPartition] = {
+    // the range's versions must all sit at-or-above the retention
+    // horizon (the diff of (fromV, fromV+1] also reads fromV's manifest,
+    // which is always retained — only FILES expire)
+    val hz = horizonOf(dir)
+    require(toV <= fromV || fromV + 1 >= hz,
+      s"change feed range ($fromV, $toV] expired: the retention horizon is " +
+        s"$hz (versions below it were released by compaction)")
     def cdcScope(f: String): Boolean =
       f.startsWith("part-b") || f.startsWith("part-e") || f.startsWith("part-u")
     // every file/vector a change partition will read must still exist —
@@ -2001,14 +2048,19 @@ object ShardSink {
                   live(pe.file).toString, "delete", v,
                   only = Some(fresh.toSeq.sorted), skip = Seq.empty): InputPartition)
               case Some(_) => None
+              case None if cur.keysIterator.exists(f =>
+                  f.startsWith("part-c") && !prev.contains(f)) =>
+                // compaction swap: rows already emitted at their commits.
+                // Checked BEFORE the exists-based MOR-drop branch — with
+                // a retention horizon the swapped-out files legitimately
+                // survive on disk, and a compaction commit is only ever a
+                // compaction (single-operation commits)
+                None
               case None if SinkFs.exists(new Path(dir, pe.file)) =>
                 // fully-dead MOR drop: every live-at-(v-1) row died
                 Some(ShardSinkChangeFile(
                   new Path(dir, pe.file).toString, "delete", v,
                   only = None, skip = dvOf(pe).toSeq): InputPartition)
-              case None if cur.keysIterator.exists(f =>
-                  f.startsWith("part-c") && !prev.contains(f)) =>
-                None // compaction swap: rows already emitted at their commits
               case None =>
                 // the swapped-out rows are unrecoverable AND unrecorded —
                 // a truncate/overwrite, or pre-sidecar CoW DML. Refusing
@@ -2618,7 +2670,13 @@ class ShardSinkTailStream(path: String, cdc: Boolean = false)
   private def appendOnly(f: String): Boolean =
     f.startsWith("part-b") || f.startsWith("part-e")
 
-  override def initialOffset(): Offset = SinkVersionOffset(0L)
+  /** A FRESH tail starts at the retention horizon, not version 0: on a
+    * compacted table the pre-horizon file deltas are gone, and the
+    * horizon snapshot is exactly what retention still promises a new
+    * consumer. Uncompacted tables start at 0 — the full history.
+    */
+  override def initialOffset(): Offset =
+    SinkVersionOffset(ShardSink.horizonOf(path) - 1L)
   // the admission unit is a manifest VERSION (one commit per trigger —
   // the rate-source pattern); maxFiles(1) is the closest ReadLimit
   // vocabulary Spark has for "one commit's worth"
@@ -2643,6 +2701,14 @@ class ShardSinkTailStream(path: String, cdc: Boolean = false)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val a = start.asInstanceOf[SinkVersionOffset].v
     val b = end.asInstanceOf[SinkVersionOffset].v
+    // a checkpointed position older than the retention horizon cannot be
+    // resumed — its file deltas were released by compaction. Refuse with
+    // the horizon named, never a raw FileNotFound mid-stream (the CDC
+    // path enforces the same inside changePartitions).
+    val hz = ShardSink.horizonOf(path)
+    require(b <= a || a + 1 >= hz,
+      s"tail position $a at $path expired: the retention horizon is $hz — " +
+        "restart the stream from a fresh checkpoint to resume at the horizon")
     // CDC mode: the full change feed of versions (a, b] — inserts AND
     // merge-on-read deletes (the vector diffs the plain tail cannot see)
     if (cdc) return ShardSink.changePartitions(path, a, b).toArray

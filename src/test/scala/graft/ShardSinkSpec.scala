@@ -576,6 +576,56 @@ class ShardSinkSpec extends SparkSpec {
       .option("path", dir).option("versionAsOf", cur.toString).load().count() === 600L)
   }
 
+  test("retention horizon: compact(retain=N) keeps the last N snapshots readable; older expire loudly") {
+    val dir = freshDir().getPath
+    def append(lo: Long, hi: Long) =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "1000").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0, 200); append(200, 400); append(400, 600); append(600, 800); append(800, 1000)
+    ShardSink.compact(dir, retainVersions = 2) // v6; horizon = 4
+    assert(ShardSink.horizonOf(dir) === 4L)
+    def readV(v: Long) = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("versionAsOf", v.toString).load()
+    // within the horizon: exact snapshots, data intact
+    assert(readV(6L).count() === 1000L)
+    assert(readV(5L).count() === 1000L)
+    assert(readV(4L).count() === 800L)
+    assert(readV(4L).where(col("doc_id") >= 800L).isEmpty)
+    // below the horizon: loud expiry naming the horizon, for row reads
+    // AND the metadata-only count
+    val e1 = intercept[Exception](readV(3L).collect())
+    assert(e1.getMessage.contains("horizon is 4"), e1.getMessage)
+    val e2 = intercept[Exception](readV(3L).count())
+    assert(e2.getMessage.contains("horizon is 4"), e2.getMessage)
+    // change feed: readable from the horizon boundary, expired below
+    def feed(from: Long) = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("changeFeedFrom", from.toString).load()
+    assert(feed(3L).count() === 400L) // v4 + v5 inserts; v6 compaction silent
+    val e3 = intercept[Exception](feed(2L).count())
+    assert(e3.getMessage.contains("horizon"), e3.getMessage)
+    // the horizon is carried forward by later commits
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1100").option("numPartitions", "2").load()
+      .where(col("doc_id") >= 1000L)
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save() // v7: 100 rows
+    assert(ShardSink.horizonOf(dir) === 4L)
+    // a fresh tail starts AT the horizon: it sees exactly the append
+    // deltas retention still promises (v4 200 + v5 200 + v7 100; v6 is
+    // the compaction, silent), not a FileNotFound from swept v1-v3 deltas
+    val s = graft.streaming.StreamTune.session(spark)
+    val sink = s"retention_tail_${System.nanoTime()}"
+    val q = s.readStream.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(s.table(sink).count() === 500L)
+  }
+
   test("reported statistics flip the optimizer's broadcast decision with the pushed filter") {
     import org.apache.spark.sql.functions._
     def docgen = spark.read.format("graft.sources.DocGenSource")
