@@ -63,9 +63,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * with fresh-name renames: no replace window exists at all.
   */
 class ShardSinkSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (options.getBoolean("readChangeFeed", false)) ShardSink.changeSchema
-    else DocGen.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("shard sink requires a 'path' option"))
+    if (options.getBoolean("readChangeFeed", false)) ShardSink.changeSchemaOf(path)
+    else ShardSink.tableSchema(path)
+  }
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -91,7 +94,7 @@ class ShardSinkSource extends TableProvider {
   */
 class ShardSinkChangeTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"shardsink_changes($path)"
-  override def schema(): StructType = ShardSink.changeSchema
+  override def schema(): StructType = ShardSink.changeSchemaOf(path)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -167,7 +170,14 @@ class ShardSinkTable(
         override def isNullable: Boolean = false
         override def comment(): String = "physical 0-based row position in _file"
       })
-  override def schema(): StructType = DocGen.schema
+  /** The version-pinned schema: a time-travelled table reads under the
+    * schema AS OF that version (rows appended post-evolution are
+    * invisible there anyway, so the old shape is the truthful one).
+    */
+  override def schema(): StructType = asOf match {
+    case Some(v) => ShardSink.schemaAtVersion(path, v)
+    case None => ShardSink.tableSchema(path)
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -193,10 +203,11 @@ class ShardSinkTable(
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val expect = ShardSink.tableSchema(path)
     require(
       info.schema().fields.map(f => (f.name, f.dataType)).sameElements(
-        DocGen.schema.fields.map(f => (f.name, f.dataType))),
-      s"shard sink expects ${DocGen.schema.simpleString}, got ${info.schema().simpleString}")
+        expect.fields.map(f => (f.name, f.dataType))),
+      s"shard sink expects ${expect.simpleString}, got ${info.schema().simpleString}")
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       // SaveMode.Overwrite maps here: the new job's manifest REPLACES the
       // old one (old files become invisible the instant it lands), and
@@ -204,7 +215,7 @@ class ShardSinkTable(
       // flips atomically, physical cleanup follows
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
-      override def build(): Write = new ShardSinkWrite(path, info.queryId(), doTruncate)
+      override def build(): Write = new ShardSinkWrite(path, info.queryId(), doTruncate, expect)
     }
   }
 
@@ -248,7 +259,13 @@ class ShardSinkTable(
       // projecting `_file`/`_pos` arrives here with them appended
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      private var required: StructType = DocGen.schema
+      // the version-pinned schema: positional layout for the reader AND
+      // the unpruned default projection
+      private val table: StructType = v match {
+        case Some(ver) => ShardSink.schemaAtVersion(path, ver)
+        case None => ShardSink.tableSchema(path)
+      }
+      private var required: StructType = table
       /** METADATA-ONLY COUNT (round 13): an unfiltered, ungrouped
         * `COUNT(*)` (or COUNT of a non-nullable column) is answered
         * straight from the manifest's live-row bookkeeping — zero data
@@ -282,7 +299,7 @@ class ShardSinkTable(
         else false
       override def build(): Scan =
         if (countCols > 0) new ShardSinkCountScan(path, v, countCols)
-        else new ShardSinkScan(path, v, prune, required, pruneDocs)
+        else new ShardSinkScan(path, v, prune, required, pruneDocs, table)
     }
   }
 }
@@ -379,14 +396,35 @@ private[sources] object SinkFs {
     require(fs.rename(src, dest), s"rename failed: $src -> $dest")
   }
 
-  /** Rename to a name that must NOT exist: pure atomic rename, no delete
-    * — a collision (concurrent writer racing to the same manifest
-    * version) fails the rename and surfaces loudly.
+  /** Move to a name that must NOT exist — the winner-election primitive
+    * of the whole commit protocol: of N writers racing the same manifest
+    * version, exactly ONE must land and the rest must fail loudly.
+    * On HDFS-like stores a plain rename IS that primitive (rename fails
+    * when the destination exists, atomically). POSIX rename REPLACES the
+    * destination, so on local paths an exists-check + rename is a TOCTOU
+    * hole (two racers can both "win", the second silently burying the
+    * first commit — caught by the 4-way concurrent append spec); there
+    * the election is a hard LINK to the destination, which the kernel
+    * fails with EEXIST atomically, followed by deleting the source.
     */
   def moveFresh(src: Path, dest: Path): Unit = {
-    val fs = fsOf(dest)
-    require(!fs.exists(dest) && fs.rename(src, dest),
-      s"rename to fresh name failed (concurrent writer?): $src -> $dest")
+    val scheme = dest.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val s = java.nio.file.Paths.get(src.toUri.getPath)
+      val d = java.nio.file.Paths.get(dest.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(d, s)
+        java.nio.file.Files.delete(s)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalArgumentException(
+            s"rename to fresh name failed (concurrent writer?): $src -> $dest")
+      }
+    } else {
+      val fs = fsOf(dest)
+      require(!fs.exists(dest) && fs.rename(src, dest),
+        s"rename to fresh name failed (concurrent writer?): $src -> $dest")
+    }
   }
 }
 
@@ -1165,6 +1203,66 @@ object ShardSink {
       |       CAST(SUM(up) AS BIGINT) AS n_upper
       |FROM ch GROUP BY 1, 2 ORDER BY _commit_version, _change_type""".stripMargin
 
+  /** Driver-checked SCHEMA EVOLUTION (round 14): the first thing a real
+    * landing-zone user does after a month — add columns. v1 lands the
+    * 3-column corpus; two `ALTER TABLE … ADD COLUMN`s widen the schema
+    * (pure metadata flips — no data file touched); a post-evolution
+    * append writes 5-column rows. The merged read must null-fill the
+    * added columns for pre-evolution rows and carry real values for new
+    * ones — the rollup groups by the added `lang` (nulls coalesced for
+    * cross-engine ordering) and sums the added `score`, so the
+    * null-fill boundary and both added-column payloads sit under the
+    * hash gate. Old-snapshot-under-old-schema is spec-pinned.
+    */
+  def schemaEvolution(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("evolve:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkev_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_ev", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_ev.root", root.getPath)
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2000").option("numPartitions", "2").load()
+      .where(col("doc_id") < 1200L)
+      .writeTo("graft_ev.docs_ev").append() // v1: 3 columns
+    s.sql("ALTER TABLE graft_ev.docs_ev ADD COLUMN lang STRING")  // v2
+    s.sql("ALTER TABLE graft_ev.docs_ev ADD COLUMN score BIGINT") // v3
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2000").option("numPartitions", "2").load()
+      .where(col("doc_id") >= 1200L)
+      .withColumn("lang", when(col("shard") < 8, "pt").otherwise("en"))
+      .withColumn("score", col("doc_id") % 100L)
+      .writeTo("graft_ev.docs_ev").append() // v4: 5 columns
+    s.read.table("graft_ev.docs_ev")
+      .groupBy(coalesce(col("lang"), lit("-")).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        sum(col("score")).as("sum_score"),
+        sum(when(col("score").isNull, 1L).otherwise(0L)).as("n_null_score"))
+      .orderBy("lang")
+  }
+
+  val schemaEvolutionSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |         CASE WHEN doc_id >= 1200
+      |              THEN (CASE WHEN doc_id % 16 < 8 THEN 'pt' ELSE 'en' END) END AS lang,
+      |         CASE WHEN doc_id >= 1200 THEN doc_id % 100 END AS score
+      |  FROM range(0, 2000) t(doc_id))
+      |SELECT COALESCE(lang, '-') AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(SUM(score) AS BIGINT) AS sum_score,
+      |       CAST(SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_score
+      |FROM g GROUP BY 1 ORDER BY lang""".stripMargin
+
   private val compactCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** COMPACTION — the small-files maintenance op every landing zone
@@ -1553,19 +1651,23 @@ object ShardSink {
     */
   private[sources] def writeManifestAt(
       dir: String, files: Seq[SinkEntry], tag: String, version: Long,
-      cdc: Option[String] = None, horizon: Option[Long] = None): Unit = {
+      cdc: Option[String] = None, horizon: Option[Long] = None,
+      schema: Option[String] = None): Unit = {
     val mTmp = new Path(dir, s"_manifest.$tag.tmp")
     val cdcKey = cdc.map(f => s""""cdc":"$f",""").getOrElse("")
-    // the retention horizon is table state: carried forward from the
-    // previous version unless this commit (a retaining compaction) moves it
+    // retention horizon and schema are table state: carried forward from
+    // the previous version unless this commit moves them (a retaining
+    // compaction / an ALTER TABLE)
     val hz = horizon.orElse(manifestHzAt(dir, version - 1))
     val hzKey = hz.map(h => s""""hz":$h,""").getOrElse("")
+    val sch = schema.orElse(manifestSchemaAt(dir, version - 1))
+    val schKey = sch.map(s => s""""schema":"$s",""").getOrElse("")
     val json = files.map { e =>
       val stats = if (e.hasStats) s""","s0":${e.shardMin},"s1":${e.shardMax}""" else ""
       val docs = if (e.hasDocStats) s""","d0":${e.docMin},"d1":${e.docMax}""" else ""
       val dv = if (e.hasDeletes) s""","dv":"${e.dv}"""" else ""
       s"""{"file":"${e.file}","rows":${e.rows}$stats$docs$dv}"""
-    }.mkString(s"""{"ts":${commitTimeMillis()},$hzKey$cdcKey"files":[""", ",", "]}")
+    }.mkString(s"""{"ts":${commitTimeMillis()},$hzKey$schKey$cdcKey"files":[""", ",", "]}")
     val w = SinkFs.create(mTmp)
     try w.write(json) finally w.close()
     val dest = new Path(dir, s"_manifest.v$version.json")
@@ -1588,8 +1690,9 @@ object ShardSink {
     */
   private[sources] def flipFromBase(
       dir: String, baseVersion: Long, files: Seq[SinkEntry], tag: String,
-      cdc: Option[String] = None, horizon: Option[Long] = None): Unit =
-    try writeManifestAt(dir, files, tag, baseVersion + 1, cdc, horizon)
+      cdc: Option[String] = None, horizon: Option[Long] = None,
+      schema: Option[String] = None): Unit =
+    try writeManifestAt(dir, files, tag, baseVersion + 1, cdc, horizon, schema)
     catch {
       case ShardSinkConflict(_, v) =>
         throw new IllegalStateException(
@@ -1640,6 +1743,133 @@ object ShardSink {
     */
   def horizonOf(dir: String): Long =
     manifestHzAt(dir, currentManifestVersion(dir)).getOrElse(1L)
+
+  /** SCHEMA EVOLUTION (round 14): the table schema is PER-VERSION state,
+    * recorded in the manifest (`"schema":"name:type,…"`) and carried
+    * forward by every commit; absent = the original 3-column layout.
+    * Columns map to TSV positions by schema order, so evolution is pure
+    * metadata: `ALTER TABLE … ADD COLUMN` flips a manifest with the
+    * widened schema and touches NO data file — pre-evolution files are
+    * simply shorter rows, null-filled at read time; a literal `\N` cell
+    * is an explicit null in post-evolution files. The first three
+    * columns (doc_id, shard, body) are load-bearing (sharding, stats,
+    * delete predicates) and cannot be renamed or retyped; added columns
+    * can be renamed (positional mapping is unaffected). Iceberg does the
+    * same thing with field IDs; positions suffice here because columns
+    * are never dropped or reordered.
+    */
+  private val ManifestSchema = """"schema":"([^"]+)"""".r
+  private[sources] val NullCell = "\\N"
+
+  private def typeNameOf(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.LongType => "long"
+    case org.apache.spark.sql.types.IntegerType => "int"
+    case org.apache.spark.sql.types.DoubleType => "double"
+    case org.apache.spark.sql.types.StringType => "string"
+    case other => throw new IllegalArgumentException(
+      s"unsupported shard sink column type ${other.simpleString} " +
+        "(supported: bigint, int, double, string)")
+  }
+
+  private def typeOfName(s: String): org.apache.spark.sql.types.DataType = s match {
+    case "long" => org.apache.spark.sql.types.LongType
+    case "int" => org.apache.spark.sql.types.IntegerType
+    case "double" => org.apache.spark.sql.types.DoubleType
+    case "string" => org.apache.spark.sql.types.StringType
+    case other => throw new IllegalArgumentException(s"unknown shard sink column type $other")
+  }
+
+  private[sources] def schemaString(st: StructType): String =
+    st.fields.map(f => s"${f.name}:${typeNameOf(f.dataType)}").mkString(",")
+
+  /** Serialize one row to its TSV line in TABLE-schema column order;
+    * `idx(i)` is the physical position of table column i in the incoming
+    * row. Null added-column cells write the `\N` sentinel; string values
+    * are tab/newline-guarded (and must not BE the sentinel).
+    */
+  private[sources] def serializeRow(
+      row: org.apache.spark.sql.catalyst.InternalRow,
+      idx: Array[Int], table: StructType): String = {
+    val sb = new java.lang.StringBuilder(48)
+    var i = 0
+    while (i < idx.length) {
+      if (i > 0) sb.append('\t')
+      val f = table.fields(i)
+      if (i >= 3 && row.isNullAt(idx(i))) sb.append(NullCell)
+      else f.dataType match {
+        case org.apache.spark.sql.types.LongType => sb.append(row.getLong(idx(i)))
+        case org.apache.spark.sql.types.IntegerType => sb.append(row.getInt(idx(i)))
+        case org.apache.spark.sql.types.DoubleType => sb.append(row.getDouble(idx(i)))
+        case _ =>
+          val s = row.getUTF8String(idx(i)).toString
+          require(!s.exists(c => c == '\t' || c == '\n' || c == '\r'),
+            s"shard sink ${f.name} values may not contain tab/newline")
+          require(s != NullCell,
+            s"shard sink ${f.name} values may not be the literal null sentinel $NullCell")
+          sb.append(s)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def parseSchemaString(s: String): StructType =
+    StructType(s.split(",").zipWithIndex.map { case (c, i) =>
+      val Array(n, t) = c.split(":")
+      org.apache.spark.sql.types.StructField(n, typeOfName(t), nullable = i >= 3)
+    })
+
+  def manifestSchemaAt(dir: String, version: Long): Option[String] = {
+    val p = new Path(dir, s"_manifest.v$version.json")
+    if (!SinkFs.exists(p)) None
+    else ManifestSchema.findFirstMatchIn(SinkFs.readString(p)).map(_.group(1))
+  }
+
+  /** The table schema AS OF a manifest version (pre-commit/legacy = the
+    * original 3-column layout) — time travel reads old snapshots under
+    * their OLD schema, spec-pinned.
+    */
+  def schemaAtVersion(dir: String, version: Long): StructType =
+    if (version <= 0L) DocGen.schema
+    else manifestSchemaAt(dir, version).map(parseSchemaString).getOrElse(DocGen.schema)
+
+  def tableSchema(dir: String): StructType =
+    schemaAtVersion(dir, currentManifestVersion(dir))
+
+  private val alterCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** `ALTER TABLE … ADD COLUMN`: pure metadata — the widened schema flips
+    * in on the same entries; no data file is touched. New columns are
+    * nullable (pre-evolution rows read as null) and append after the
+    * existing ones.
+    */
+  private[sources] def addColumn(
+      dir: String, name: String, dt: org.apache.spark.sql.types.DataType): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid column name '$name'")
+    typeNameOf(dt) // reject unsupported types before touching anything
+    val (baseV, entries) = resolveBase(dir)
+    val cur = schemaAtVersion(dir, baseV)
+    require(!cur.fieldNames.contains(name), s"column $name already exists")
+    flipFromBase(dir, baseV, entries, s"alter${alterCounter.incrementAndGet()}",
+      schema = Some(schemaString(cur.add(name, dt, nullable = true))))
+  }
+
+  /** Rename an ADDED column (pure metadata; positional mapping
+    * unaffected). The original three columns are load-bearing — sharding,
+    * stats, delete predicates key on them — and refuse to move.
+    */
+  private[sources] def renameColumn(dir: String, from: String, to: String): Unit = {
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid column name '$to'")
+    val (baseV, entries) = resolveBase(dir)
+    val cur = schemaAtVersion(dir, baseV)
+    val idx = cur.fieldIndex(from) // throws a clear error when absent
+    require(idx >= 3,
+      s"column $from is part of the fixed (doc_id, shard, body) core and cannot be renamed")
+    require(!cur.fieldNames.contains(to), s"column $to already exists")
+    val renamed = StructType(cur.fields.updated(idx, cur.fields(idx).copy(name = to)))
+    flipFromBase(dir, baseV, entries, s"alter${alterCounter.incrementAndGet()}",
+      schema = Some(schemaString(renamed)))
+  }
 
   private val ManifestCdc = """"cdc":"([^"]+)"""".r
 
@@ -2077,12 +2307,14 @@ object ShardSink {
     }
   }
 
-  /** CDF output schema: the table columns plus the change metadata. */
-  val changeSchema: StructType = {
-    var st = DocGen.schema
-    st = st.add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
-    st.add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
-  }
+  /** CDF output schema: the table's CURRENT columns plus the change
+    * metadata — change rows from pre-evolution commits null-fill the
+    * added columns, same as ordinary reads.
+    */
+  def changeSchemaOf(dir: String): StructType =
+    tableSchema(dir)
+      .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+      .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
 
   /** The input partition for a manifest entry: data file plus its delete
     * vector (both resolved to full paths) — the ONE place entry→partition
@@ -2197,7 +2429,9 @@ case class ShardSinkCommit(
     SinkEntry(name, rows, shardMin, shardMax, "", docMin, docMax)
 }
 
-class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
+class ShardSinkWrite(
+    path: String, queryId: String, truncate: Boolean = false,
+    tableSchema: StructType = DocGen.schema)
   extends Write with BatchWrite with StreamingWrite
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -2232,7 +2466,7 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
   override def useCommitCoordinator(): Boolean = true
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ShardSinkWriterFactory(path, queryId)
+    new ShardSinkWriterFactory(path, queryId, table = tableSchema)
 
   /** STREAMING_WRITE: the same temp-file/manifest protocol, per epoch.
     * Final names carry the epoch (`part-e<epoch>-<i>.tsv`) and each epoch
@@ -2243,7 +2477,7 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
     * contract in one sentence.
     */
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    ShardSinkStreamingFactory(path, queryId)
+    ShardSinkStreamingFactory(path, queryId, tableSchema)
 
   import org.apache.hadoop.fs.Path
 
@@ -2370,11 +2604,12 @@ class ShardSinkWrite(path: String, queryId: String, truncate: Boolean = false)
 /** Standalone (serializable) streaming factory — must not capture the
   * driver-side ShardSinkWrite.
   */
-case class ShardSinkStreamingFactory(path: String, queryId: String)
+case class ShardSinkStreamingFactory(
+    path: String, queryId: String, table: StructType = DocGen.schema)
   extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new ShardSinkDataWriter(path, s"$queryId-e$epochId", partitionId, taskId)
+    new ShardSinkDataWriter(path, s"$queryId-e$epochId", partitionId, taskId, table = table)
 }
 
 /** `trailingCols`: the plain batch/stream writes receive exactly the
@@ -2389,15 +2624,16 @@ case class ShardSinkStreamingFactory(path: String, queryId: String)
   * marker as doc_id (found the hard way).
   */
 class ShardSinkWriterFactory(
-    path: String, queryId: String, trailingCols: Boolean = false)
+    path: String, queryId: String, trailingCols: Boolean = false,
+    table: StructType = DocGen.schema)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ShardSinkDataWriter(path, queryId, partitionId, taskId, trailingCols)
+    new ShardSinkDataWriter(path, queryId, partitionId, taskId, trailingCols, table)
 }
 
 class ShardSinkDataWriter(
     path: String, queryId: String, partitionId: Int, taskId: Long,
-    trailingCols: Boolean = false)
+    trailingCols: Boolean = false, table: StructType = DocGen.schema)
   extends DataWriter[InternalRow] {
   // attempt-unique temp name: a speculative twin or retry writes its OWN
   // file; only the committed attempt's message reaches driver commit
@@ -2409,19 +2645,22 @@ class ShardSinkDataWriter(
   private var sMax = -1
   private var dMin = Long.MaxValue
   private var dMax = -1L
+  // row width is fixed per write job: the column mapping is computed once
+  private var colIdx: Array[Int] = null
 
   override def write(row: InternalRow): Unit = {
-    val base = if (trailingCols) row.numFields - 3 else 0
-    val body = row.getUTF8String(base + 2).toString
-    require(!body.exists(c => c == '\t' || c == '\n' || c == '\r'),
-      "shard sink bodies may not contain tab/newline")
-    val shard = row.getInt(base + 1)
+    if (colIdx == null) {
+      val base = if (trailingCols) row.numFields - table.length else 0
+      colIdx = Array.tabulate(table.length)(base + _)
+    }
+    val shard = row.getInt(colIdx(1))
     if (shard < sMin) sMin = shard
     if (shard > sMax) sMax = shard
-    val doc = row.getLong(base)
+    val doc = row.getLong(colIdx(0))
     if (doc < dMin) dMin = doc
     if (doc > dMax) dMax = doc
-    out.write(s"$doc\t$shard\t$body\n")
+    out.write(ShardSink.serializeRow(row, colIdx, table))
+    out.write("\n")
     rows += 1
   }
 
@@ -2450,7 +2689,8 @@ class ShardSinkScan(
     asOf: Option[Long] = None,
     pruneShards: Option[Set[Int]] = None,
     required: StructType = DocGen.schema,
-    pruneDocs: Option[(Long, Long)] = None) extends Scan with Batch
+    pruneDocs: Option[(Long, Long)] = None,
+    table: StructType = DocGen.schema) extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
@@ -2507,7 +2747,7 @@ class ShardSinkScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ShardSinkReaderFactory(path, required)
+    ShardSinkReaderFactory(path, required, table)
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -2524,7 +2764,8 @@ class ShardSinkScan(
   * stable no matter how many rows a vector already hides).
   */
 case class ShardSinkReaderFactory(
-    path: String, required: StructType = DocGen.schema) extends PartitionReaderFactory {
+    path: String, required: StructType = DocGen.schema,
+    table: StructType = DocGen.schema) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val f = partition.asInstanceOf[ShardSinkFile]
     val fp = new org.apache.hadoop.fs.Path(f.file)
@@ -2536,23 +2777,35 @@ case class ShardSinkReaderFactory(
       else ShardSink.readDeleteVector(new org.apache.hadoop.fs.Path(f.dv))
     val live = all.zipWithIndex.filter { case (_, i) => !dead.contains(i) }
     val fileName = UTF8String.fromString(fp.getName)
-    val cols = required.fieldNames
+    // required column → (TSV position by the table's schema order, type);
+    // -1 = metadata column. Pre-evolution files are simply SHORTER rows:
+    // a position past the line's width (or an explicit \N cell) is null.
+    val cols: Array[(Int, org.apache.spark.sql.types.DataType)] =
+      required.fields.map { fld =>
+        fld.name match {
+          case "_file" => (-1, fld.dataType)
+          case "_pos" => (-2, fld.dataType)
+          case n => (table.fieldIndex(n), fld.dataType)
+        }
+      }
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < live.size }
       override def get(): InternalRow = {
         val (line, pos) = live(i)
-        val parts = line.split("\t", 3)
+        val parts = line.split("\t", -1)
         val row = new GenericInternalRow(cols.length)
         var c = 0
         while (c < cols.length) {
           cols(c) match {
-            case "doc_id" => row.update(c, parts(0).toLong)
-            case "shard" => row.update(c, parts(1).toInt)
-            case "body" => row.update(c, UTF8String.fromString(parts(2)))
-            case "_file" => row.update(c, fileName)
-            case "_pos" => row.update(c, pos.toLong)
-            case other => throw new IllegalArgumentException(s"unknown column $other")
+            case (-1, _) => row.update(c, fileName)
+            case (-2, _) => row.update(c, pos.toLong)
+            case (p, _) if p >= parts.length => row.update(c, null)
+            case (p, _) if parts(p) == ShardSink.NullCell => row.update(c, null)
+            case (p, org.apache.spark.sql.types.LongType) => row.update(c, parts(p).toLong)
+            case (p, org.apache.spark.sql.types.IntegerType) => row.update(c, parts(p).toInt)
+            case (p, org.apache.spark.sql.types.DoubleType) => row.update(c, parts(p).toDouble)
+            case (p, _) => row.update(c, UTF8String.fromString(parts(p)))
           }
           c += 1
         }
@@ -2577,21 +2830,32 @@ case class ShardSinkChangeFile(
   */
 case class ShardSinkChangeSidecar(file: String, version: Long) extends InputPartition
 
-case class ShardSinkChangeReaderFactory(path: String) extends PartitionReaderFactory {
+case class ShardSinkChangeReaderFactory(
+    path: String, table: StructType = DocGen.schema) extends PartitionReaderFactory {
   private def reader(rows: IndexedSeq[(String, String)], version: Long)
       : PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
+      private val n = table.length
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.size }
       override def get(): InternalRow = {
         val (ct, line) = rows(i)
-        val parts = line.split("\t", 3)
-        val row = new GenericInternalRow(5)
-        row.update(0, parts(0).toLong)
-        row.update(1, parts(1).toInt)
-        row.update(2, UTF8String.fromString(parts(2)))
-        row.update(3, UTF8String.fromString(ct))
-        row.update(4, version)
+        val parts = line.split("\t", -1)
+        val row = new GenericInternalRow(n + 2)
+        var c = 0
+        while (c < n) {
+          // pre-evolution change rows are shorter: null-fill, like reads
+          if (c >= parts.length || parts(c) == ShardSink.NullCell) row.update(c, null)
+          else table.fields(c).dataType match {
+            case org.apache.spark.sql.types.LongType => row.update(c, parts(c).toLong)
+            case org.apache.spark.sql.types.IntegerType => row.update(c, parts(c).toInt)
+            case org.apache.spark.sql.types.DoubleType => row.update(c, parts(c).toDouble)
+            case _ => row.update(c, UTF8String.fromString(parts(c)))
+          }
+          c += 1
+        }
+        row.update(n, UTF8String.fromString(ct))
+        row.update(n + 1, version)
         row
       }
       override def close(): Unit = ()
@@ -2624,7 +2888,7 @@ case class ShardSinkChangeReaderFactory(path: String) extends PartitionReaderFac
   */
 class ShardSinkChangeScan(path: String, fromV: Long, toV: Option[Long])
   extends Scan with Batch {
-  override def readSchema(): StructType = ShardSink.changeSchema
+  override def readSchema(): StructType = ShardSink.changeSchemaOf(path)
   override def description(): String =
     s"ShardSinkChangeScan[$path, versions ($fromV, ${toV.getOrElse("current")}]]"
   override def toBatch: Batch = this
@@ -2636,7 +2900,7 @@ class ShardSinkChangeScan(path: String, fromV: Long, toV: Option[Long])
     ShardSink.changePartitions(path, fromV, to).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    ShardSinkChangeReaderFactory(path)
+    ShardSinkChangeReaderFactory(path, ShardSink.tableSchema(path))
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ShardSinkTailStream(path, cdc = true)
@@ -2719,8 +2983,11 @@ class ShardSinkTailStream(path: String, cdc: Boolean = false)
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    if (cdc) ShardSinkChangeReaderFactory(path) else ShardSinkReaderFactory(path)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val table = ShardSink.tableSchema(path)
+    if (cdc) ShardSinkChangeReaderFactory(path, table)
+    else ShardSinkReaderFactory(path, table, table)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -2787,11 +3054,32 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
     require(
       schema.isEmpty || schema.fields.map(f => (f.name, f.dataType)).sameElements(
         DocGen.schema.fields.map(f => (f.name, f.dataType))),
-      s"shard sink tables have a fixed schema ${DocGen.schema.simpleString}")
+      s"shard sink tables start with the ${DocGen.schema.simpleString} core " +
+        "(add columns with ALTER TABLE … ADD COLUMN)")
     loadTable(ident)
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("shard sink tables have a fixed schema")
+  /** SCHEMA EVOLUTION (round 14): `ALTER TABLE … ADD COLUMN` (appends a
+    * nullable column; pure metadata — see [[ShardSink.addColumn]]) and
+    * `RENAME COLUMN` on added columns. Drops, reorders and retypes are
+    * refused loudly: columns map to TSV positions, and the (doc_id,
+    * shard, body) core is load-bearing.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"shard sink columns are top-level, got ${add.fieldNames.mkString(".")}")
+        ShardSink.addColumn(dir, add.fieldNames.head, add.dataType)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          s"shard sink columns are top-level, got ${rn.fieldNames.mkString(".")}")
+        ShardSink.renameColumn(dir, rn.fieldNames.head, rn.newName)
+      case other => throw new UnsupportedOperationException(
+        s"shard sink supports ADD COLUMN and RENAME COLUMN only, got $other")
+    }
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = {
     val d = new java.io.File(dirOf(ident))
     def rm(f: java.io.File): Unit = {
@@ -2860,7 +3148,8 @@ class ShardSinkRowLevelOperation(
   * affected-group set the replacement commit swaps out.
   */
 class ShardSinkRowLevelScan(path: String, op: ShardSinkRowLevelOperation)
-  extends ShardSinkScan(path)
+  extends ShardSinkScan(path,
+    required = ShardSink.tableSchema(path), table = ShardSink.tableSchema(path))
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   @volatile private var shardFilter: Option[Set[Int]] = None
 
@@ -2918,7 +3207,8 @@ class ShardSinkReplaceDataWrite(path: String, queryId: String, affected: () => S
 
   override def toBatch: BatchWrite = this
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ShardSinkWriterFactory(path, s"rlo-$queryId", trailingCols = true)
+    new ShardSinkWriterFactory(path, s"rlo-$queryId", trailingCols = true,
+      table = ShardSink.tableSchema(path))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val replaced = affected().toSet
@@ -3014,9 +3304,10 @@ class ShardSinkDeltaOperation(
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private val table: StructType = ShardSink.tableSchema(path)
       private var prune: Option[Set[Int]] = None
       private var pruneDocs: Option[(Long, Long)] = None
-      private var required: StructType = DocGen.schema
+      private var required: StructType = table
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         prune = ShardSink.shardPruneSet(filters)
         pruneDocs = ShardSink.docPruneRange(filters)
@@ -3026,7 +3317,7 @@ class ShardSinkDeltaOperation(
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema // data columns + the (_file, _pos) rowId
       override def build(): Scan =
-        new ShardSinkScan(path, None, prune, required, pruneDocs)
+        new ShardSinkScan(path, None, prune, required, pruneDocs, table)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
@@ -3060,11 +3351,12 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo)
   override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DeltaWriterFactory = {
     val idSchema = info.rowIdSchema().orElseThrow(() =>
       new IllegalStateException("delta write without a rowId schema"))
+    val table = ShardSink.tableSchema(path)
     ShardSinkDeltaWriterFactory(
       path, info.queryId(),
       idSchema.fieldIndex("_file"), idSchema.fieldIndex("_pos"),
-      info.schema().fieldIndex("doc_id"), info.schema().fieldIndex("shard"),
-      info.schema().fieldIndex("body"))
+      // table column i → its physical position in the incoming data row
+      table.fields.map(f => info.schema().fieldIndex(f.name)), table)
   }
 
   /** Driver commit: union each file's deleted positions into its (new)
@@ -3165,11 +3457,11 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo)
 
 case class ShardSinkDeltaWriterFactory(
     path: String, queryId: String,
-    fileIdx: Int, posIdx: Int, docIdx: Int, shardIdx: Int, bodyIdx: Int)
+    fileIdx: Int, posIdx: Int, colIdx: Array[Int], table: StructType)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new ShardSinkDeltaWriter(path, queryId, partitionId, taskId,
-      fileIdx, posIdx, docIdx, shardIdx, bodyIdx)
+      fileIdx, posIdx, colIdx, table)
 }
 
 /** Accumulates this task's deltas: deleted (file → physical positions)
@@ -3178,7 +3470,7 @@ case class ShardSinkDeltaWriterFactory(
   */
 class ShardSinkDeltaWriter(
     path: String, queryId: String, partitionId: Int, taskId: Long,
-    fileIdx: Int, posIdx: Int, docIdx: Int, shardIdx: Int, bodyIdx: Int)
+    fileIdx: Int, posIdx: Int, colIdx: Array[Int], table: StructType)
   extends DeltaWriter[InternalRow] {
   private val deletes =
     scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
@@ -3212,17 +3504,14 @@ class ShardSinkDeltaWriter(
   override def insert(row: InternalRow): Unit = { writeLine(row); () }
 
   private def writeLine(row: InternalRow): String = {
-    val body = row.getUTF8String(bodyIdx).toString
-    require(!body.exists(c => c == '\t' || c == '\n' || c == '\r'),
-      "shard sink bodies may not contain tab/newline")
-    val shard = row.getInt(shardIdx)
+    val shard = row.getInt(colIdx(1))
     if (shard < sMin) sMin = shard
     if (shard > sMax) sMax = shard
-    val doc = row.getLong(docIdx)
+    val doc = row.getLong(colIdx(0))
     if (doc < dMin) dMin = doc
     if (doc > dMax) dMax = doc
     if (out == null) out = SinkFs.create(tmp)
-    val line = s"$doc\t$shard\t$body"
+    val line = ShardSink.serializeRow(row, colIdx, table)
     out.write(line); out.write("\n")
     rows += 1
     line

@@ -626,6 +626,72 @@ class ShardSinkSpec extends SparkSpec {
     assert(s.table(sink).count() === 500L)
   }
 
+  test("schema evolution: ADD COLUMN null-fills old rows; snapshots keep their old schema; DML spans the boundary") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.ev", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.ev.root", root)
+    s.conf.set("spark.sql.catalog.ev.rlo.mode", "merge-on-read")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "2").load()
+      .writeTo("ev.docs").append() // v1: 3 columns
+    s.sql("ALTER TABLE ev.docs ADD COLUMN score BIGINT") // v2: metadata only
+    val dir = new java.io.File(root, "docs").getPath
+    assert(ShardSink.tableSchema(dir).fieldNames.toSeq ===
+      Seq("doc_id", "shard", "body", "score"))
+    // the ALTER touched no data file
+    assert(ShardSink.committedEntries(dir).forall(_.file.startsWith("part-b")))
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "600").option("numPartitions", "2").load()
+      .where(col("doc_id") >= 400L)
+      .withColumn("score", col("doc_id") * 2L)
+      .writeTo("ev.docs").append() // v3: 4-column rows
+    val merged = s.read.table("ev.docs")
+    assert(merged.schema.fieldNames.toSeq === Seq("doc_id", "shard", "body", "score"))
+    assert(merged.count() === 600L)
+    assert(merged.where(col("score").isNull).count() === 400L) // pre-evolution rows
+    assert(merged.where(col("score") === col("doc_id") * 2L).count() === 200L)
+    // time travel reads OLD snapshots under their OLD schema
+    val v1 = s.sql("SELECT * FROM ev.docs VERSION AS OF 1")
+    assert(v1.schema.fieldNames.toSeq === Seq("doc_id", "shard", "body"))
+    assert(v1.count() === 400L)
+    // post-alter, pre-data snapshot: wide schema, all added cells null
+    val v2 = s.sql("SELECT * FROM ev.docs VERSION AS OF 2")
+    assert(v2.schema.fieldNames.toSeq === Seq("doc_id", "shard", "body", "score"))
+    assert(v2.where(col("score").isNotNull).count() === 0L)
+    // delta UPDATE across the evolution boundary: sets the added column
+    // on PRE-evolution rows (their files stay 3-column; the update lands
+    // as vector + 4-column part-u rows)
+    s.sql("UPDATE ev.docs SET score = 7 WHERE doc_id < 50")
+    val after = s.read.table("ev.docs")
+    assert(after.where(col("score") === 7L).count() === 50L)
+    assert(after.where(col("score").isNull).count() === 350L)
+    assert(after.count() === 600L)
+    // compaction folds the mixed-width files and keeps the schema
+    ShardSink.compact(dir)
+    val compacted = s.read.table("ev.docs")
+    assert(compacted.schema.fieldNames.length === 4)
+    assert(compacted.where(col("score") === 7L).count() === 50L)
+    assert(compacted.count() === 600L)
+    // rename an ADDED column: pure metadata, values survive
+    s.sql("ALTER TABLE ev.docs RENAME COLUMN score TO points")
+    assert(s.read.table("ev.docs").where(col("points") === 7L).count() === 50L)
+    // the load-bearing core refuses to move; drops refuse loudly
+    val e1 = intercept[Exception](s.sql("ALTER TABLE ev.docs RENAME COLUMN body TO text"))
+    assert(e1.getMessage.contains("cannot be renamed"), e1.getMessage)
+    val e2 = intercept[Exception](s.sql("ALTER TABLE ev.docs DROP COLUMN points"))
+    assert(e2.getMessage.contains("ADD COLUMN and RENAME COLUMN"), e2.getMessage)
+    // an append MISSING the added (nullable) column: Spark's by-name
+    // resolution fills null, the writer lands the \N sentinel
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "610").option("numPartitions", "1").load()
+      .where(col("doc_id") >= 600L)
+      .writeTo("ev.docs").append()
+    val fin = s.read.table("ev.docs")
+    assert(fin.count() === 610L)
+    assert(fin.where(col("doc_id") >= 600L && col("points").isNull).count() === 10L)
+  }
+
   test("reported statistics flip the optimizer's broadcast decision with the pushed filter") {
     import org.apache.spark.sql.functions._
     def docgen = spark.read.format("graft.sources.DocGenSource")
