@@ -228,8 +228,16 @@ object Bench {
     val r1Hit = retried.filter { case (k, v) => R1Surface(k) && v >= 0 }
     val r1Json =
       s"""{"value":${f(r1Hit.map(_._2).sum)},"n":${r1Hit.size},"baseline_sec":$R1BaselineSec,"baseline_n":${R1Surface.size}}"""
+    // the streaming-lifecycle subtotal (s_* full lifecycles): their cost
+    // is STRUCTURAL fixed overhead (stream start + per-micro-batch
+    // commit-log/state-store IO — StreamCostProbe decomposition in
+    // BASELINE.md), ≈30 s of every run that amortizes to zero on a real
+    // continuous stream. Emitted as its own field so lifecycle fixed cost
+    // stays separately visible from the batch engine's trend.
+    val sHit = retried.filter { case (k, v) => k.startsWith("s_") && v >= 0 }
+    val sJson = s"""{"value":${f(sHit.map(_._2).sum)},"n":${sHit.size}}"""
     val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"n_failed":${retried.count(_._2 < 0)},"sf":"$sfDir","r1_surface":$r1Json,"calib":$calib,"retried":$retryJson,"cache_builds":$cacheJson,"wall":${f(wall)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"n_failed":${retried.count(_._2 < 0)},"sf":"$sfDir","r1_surface":$r1Json,"s_surface":$sJson,"calib":$calib,"retried":$retryJson,"cache_builds":$cacheJson,"wall":${f(wall)}}"""
     // file copy survives any stdout tail-clipping by the harness
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))
@@ -246,7 +254,7 @@ object Bench {
     val failed = retried.collect { case (k, v) if v < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val short =
-      s"""{"metric":"total_short","value":${f(total)},"unit":"sec","n_queries":${retried.count(_._2 >= 0)},"n_failed":${failed.size},"failed":$failedJson,"r1_surface":$r1Json,"sf":"$sfDir","wall":${f(wall)}}"""
+      s"""{"metric":"total_short","value":${f(total)},"unit":"sec","n_queries":${retried.count(_._2 >= 0)},"n_failed":${failed.size},"failed":$failedJson,"r1_surface":$r1Json,"s_surface":$sJson,"sf":"$sfDir","wall":${f(wall)}}"""
     println(short)
     println(json)
     println(short)

@@ -81,7 +81,8 @@ class ShardSinkSource extends TableProvider {
       new ShardSinkChangeTable(path)
     else new ShardSinkTable(path,
       deleteMode = Option(properties.get("delete.mode")).getOrElse("copy-on-write"),
-      rloMode = Option(properties.get("rlo.mode")).getOrElse("copy-on-write"))
+      rloMode = Option(properties.get("rlo.mode")).getOrElse("copy-on-write"),
+      cdfEnabled = "true".equalsIgnoreCase(properties.get("cdf.enabled")))
   }
 }
 
@@ -116,10 +117,19 @@ class ShardSinkChangeTable(path: String) extends Table with SupportsRead {
   *   `merge-on-read` (delta-based [[ShardSinkDeltaOperation]]: deletes
   *   and updates land as positional delete vectors plus an append of the
   *   new rows — Iceberg's `write.update.mode`/`write.merge.mode`).
+  * @param cdfEnabled Delta's `enableChangeDataFeed` as a table/catalog
+  *   option, default OFF like Delta's: when on, commits whose row-level
+  *   changes cannot be derived from the manifest diff (CoW DML, delta
+  *   updates) write their change record at commit time
+  *   ([[ShardSink.writeCdcSidecar]]) so `readChangeFeed` is exact — CoW
+  *   rewrites pay the extra driver-side diff ONLY when the table opts
+  *   in. When off, a later change-feed read over a CoW-DML version
+  *   fails loudly (never silently misses rows), and delta updates
+  *   surface collapsed as delete+insert (complete, just unpaired).
   */
 class ShardSinkTable(
     path: String, asOf: Option[Long] = None, deleteMode: String = "copy-on-write",
-    rloMode: String = "copy-on-write")
+    rloMode: String = "copy-on-write", cdfEnabled: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -139,8 +149,8 @@ class ShardSinkTable(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     rloMode match {
-      case "merge-on-read" => () => new ShardSinkDeltaOperation(path, info.command())
-      case "copy-on-write" => () => new ShardSinkRowLevelOperation(path, info.command())
+      case "merge-on-read" => () => new ShardSinkDeltaOperation(path, info.command(), cdfEnabled)
+      case "copy-on-write" => () => new ShardSinkRowLevelOperation(path, info.command(), cdfEnabled)
       case other => throw new IllegalArgumentException(
         s"unknown rlo.mode '$other' (copy-on-write | merge-on-read)")
     }
@@ -197,7 +207,7 @@ class ShardSinkTable(
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     deleteMode match {
       case "merge-on-read" => ShardSink.morDeleteImpl(path, filters)
-      case "copy-on-write" => ShardSink.deleteWhereImpl(path, filters)
+      case "copy-on-write" => ShardSink.deleteWhereImpl(path, filters, cdfEnabled)
       case other => throw new IllegalArgumentException(
         s"unknown delete.mode '$other' (copy-on-write | merge-on-read)")
     }
@@ -1174,6 +1184,7 @@ object ShardSink {
     s.conf.set("spark.sql.catalog.graft_cdfu.root", root.getPath)
     s.conf.set("spark.sql.catalog.graft_cdfu.rlo.mode", "merge-on-read")
     s.conf.set("spark.sql.catalog.graft_cdfu.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_cdfu.cdf.enabled", "true")
     s.read.format("graft.sources.DocGenSource")
       .option("numDocs", "2000").option("numPartitions", "2").load()
       .writeTo("graft_cdfu.docs_cu").append() // v1: 2000 inserts
@@ -1854,6 +1865,32 @@ object ShardSink {
       schema = Some(schemaString(cur.add(name, dt, nullable = true))))
   }
 
+  /** Widen an ADDED column's type (pure metadata): int→bigint,
+    * int/bigint→double. Old cells reparse under the wider type — "5" is
+    * a valid long and a valid double — so no data file is touched.
+    * Narrowing and core-column retypes refuse loudly.
+    */
+  private[sources] def widenColumn(
+      dir: String, name: String, to: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val (baseV, entries) = resolveBase(dir)
+    val cur = schemaAtVersion(dir, baseV)
+    val idx = cur.fieldIndex(name)
+    require(idx >= 3,
+      s"column $name is part of the fixed (doc_id, shard, body) core and cannot be retyped")
+    val ok = (cur.fields(idx).dataType, to) match {
+      case (IntegerType, LongType) | (IntegerType, DoubleType)
+           | (LongType, DoubleType) => true
+      case (a, b) => a == b
+    }
+    require(ok,
+      s"unsupported type change for $name: ${cur.fields(idx).dataType.simpleString} -> " +
+        s"${to.simpleString} (only widenings int->bigint, int/bigint->double)")
+    val widened = StructType(cur.fields.updated(idx, cur.fields(idx).copy(dataType = to)))
+    flipFromBase(dir, baseV, entries, s"alter${alterCounter.incrementAndGet()}",
+      schema = Some(schemaString(widened)))
+  }
+
   /** Rename an ADDED column (pure metadata; positional mapping
     * unaffected). The original three columns are load-bearing — sharding,
     * stats, delete predicates key on them — and refuse to move.
@@ -2151,7 +2188,8 @@ object ShardSink {
     * files as a job; the manifest protocol — the part under test — is
     * identical.
     */
-  private[sources] def deleteWhereImpl(dir: String, filters: Array[Filter]): Unit = {
+  private[sources] def deleteWhereImpl(
+      dir: String, filters: Array[Filter], cdf: Boolean = false): Unit = {
     val drop = deletePredicate(filters).getOrElse(
       throw new IllegalArgumentException(
         s"unsupported DELETE predicate for shard sink: ${filters.mkString(", ")}"))
@@ -2178,7 +2216,7 @@ object ShardSink {
         val kept = lines.filterNot { l =>
           val c = l.split("\t", 3)
           val dead = drop(c(0).toLong, c(1).toInt)
-          if (dead) removed += (("delete", l))
+          if (dead && cdf) removed += (("delete", l))
           dead
         }
         if (kept.size == lines.size) Some(e)
@@ -2198,7 +2236,7 @@ object ShardSink {
     }
     val gen = deleteCounter.incrementAndGet()
     flipFromBase(dir, baseV, entries, s"d$gen",
-      cdc = writeCdcSidecar(dir, s"d$gen", removed.toSeq))
+      cdc = if (cdf) writeCdcSidecar(dir, s"d$gen", removed.toSeq) else None)
     // physical cleanup AFTER the flip, same as truncate
     obsolete.foreach(f => SinkFs.delete(new Path(dir, f)))
   }
@@ -2249,7 +2287,10 @@ object ShardSink {
     def live(f: String): Path = {
       val p = new Path(dir, f)
       require(SinkFs.exists(p),
-        s"change feed range ($fromV, $toV] expired: compaction removed $f")
+        s"change feed range ($fromV, $toV] expired: $f was released by a " +
+          "later rewrite or compaction (retention horizon 0 sweeps replaced " +
+          "files immediately — compact with retainVersions to keep feed " +
+          "history readable)")
       p
     }
     def dvOf(e: SinkEntry): Set[Int] =
@@ -2298,8 +2339,9 @@ object ShardSink {
                 throw new IllegalStateException(
                   s"change feed cannot represent version $v at $dir: commit " +
                     s"replaced ${pe.file} without a change record (truncate/" +
-                    "overwrite or pre-round-14 copy-on-write DML) — read from " +
-                    s"a later changeFeedFrom or re-run the DML on this version")
+                    "overwrite, or copy-on-write DML on a table without " +
+                    "cdf.enabled=true) — enable cdf.enabled before the DML, " +
+                    "or read from a later changeFeedFrom")
             }
           }
           inserts ++ deletes
@@ -3010,6 +3052,7 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
   private var root = ""
   private var deleteMode = "copy-on-write"
   private var rloMode = "copy-on-write"
+  private var cdfEnabled = false
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -3019,9 +3062,13 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
     // write.delete.mode / write.update.mode / write.merge.mode as catalog
     // options): copy-on-write | merge-on-read. `delete.mode` governs the
     // metadata DELETE path, `rlo.mode` the UPDATE/MERGE/rewrite-DELETE
-    // row-level operations.
+    // row-level operations. `cdf.enabled` (default false, Delta's
+    // enableChangeDataFeed) makes DML commits record their change
+    // sidecars so readChangeFeed is exact over CoW rewrites and delta
+    // updates carry pre/post images.
     deleteMode = Option(options.get("delete.mode")).getOrElse("copy-on-write")
     rloMode = Option(options.get("rlo.mode")).getOrElse("copy-on-write")
+    cdfEnabled = options.getBoolean("cdf.enabled", false)
   }
   override def name(): String = catalogName
 
@@ -3029,12 +3076,13 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
     new java.io.File(root, (ident.namespace() :+ ident.name()).mkString("_")).getPath
 
   override def loadTable(ident: Identifier): Table =
-    new ShardSinkTable(dirOf(ident), deleteMode = deleteMode, rloMode = rloMode)
+    new ShardSinkTable(dirOf(ident),
+      deleteMode = deleteMode, rloMode = rloMode, cdfEnabled = cdfEnabled)
   /** SQL time travel: `SELECT … FROM <cat>.<t> VERSION AS OF n` resolves
     * here — the table is pinned to retained manifest version n.
     */
   override def loadTable(ident: Identifier, version: String): Table =
-    new ShardSinkTable(dirOf(ident), Some(version.toLong), deleteMode, rloMode)
+    new ShardSinkTable(dirOf(ident), Some(version.toLong), deleteMode, rloMode, cdfEnabled)
   /** SQL `TIMESTAMP AS OF ts`: Spark hands the evaluated instant in
     * MICROseconds; resolve it to the newest manifest version committed
     * at-or-before it ([[ShardSink.versionAtTimestamp]]) and pin.
@@ -3042,7 +3090,7 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val dir = dirOf(ident)
     val v = ShardSink.versionAtTimestamp(dir, Math.floorDiv(timestampMicros, 1000L))
-    new ShardSinkTable(dir, Some(v), deleteMode, rloMode)
+    new ShardSinkTable(dir, Some(v), deleteMode, rloMode, cdfEnabled)
   }
   override def tableExists(ident: Identifier): Boolean = true // implicit, empty until written
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -3059,10 +3107,11 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
     loadTable(ident)
   }
   /** SCHEMA EVOLUTION (round 14): `ALTER TABLE … ADD COLUMN` (appends a
-    * nullable column; pure metadata — see [[ShardSink.addColumn]]) and
-    * `RENAME COLUMN` on added columns. Drops, reorders and retypes are
-    * refused loudly: columns map to TSV positions, and the (doc_id,
-    * shard, body) core is load-bearing.
+    * nullable column; pure metadata — see [[ShardSink.addColumn]]),
+    * `RENAME COLUMN` and type WIDENING (int→bigint, int/bigint→double)
+    * on added columns. Drops, reorders and narrowings are refused
+    * loudly: columns map to TSV positions, and the (doc_id, shard, body)
+    * core is load-bearing.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
@@ -3075,8 +3124,12 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
         require(rn.fieldNames.length == 1,
           s"shard sink columns are top-level, got ${rn.fieldNames.mkString(".")}")
         ShardSink.renameColumn(dir, rn.fieldNames.head, rn.newName)
+      case up: TableChange.UpdateColumnType =>
+        require(up.fieldNames.length == 1,
+          s"shard sink columns are top-level, got ${up.fieldNames.mkString(".")}")
+        ShardSink.widenColumn(dir, up.fieldNames.head, up.newDataType)
       case other => throw new UnsupportedOperationException(
-        s"shard sink supports ADD COLUMN and RENAME COLUMN only, got $other")
+        s"shard sink supports ADD COLUMN, RENAME COLUMN and type widening only, got $other")
     }
     loadTable(ident)
   }
@@ -3114,7 +3167,8 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
   */
 class ShardSinkRowLevelOperation(
     path: String,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    cdf: Boolean = false)
   extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   @volatile private var planned: Seq[String] = Seq.empty
@@ -3131,7 +3185,7 @@ class ShardSinkRowLevelOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
-        new ShardSinkReplaceDataWrite(path, info.queryId(), () => planned)
+        new ShardSinkReplaceDataWrite(path, info.queryId(), () => planned, cdf)
     }
 }
 
@@ -3186,7 +3240,8 @@ class ShardSinkRowLevelScan(path: String, op: ShardSinkRowLevelOperation)
   * operation scan read, plus the replacement files, one atomic manifest
   * flip, physical cleanup after.
   */
-class ShardSinkReplaceDataWrite(path: String, queryId: String, affected: () => Seq[String])
+class ShardSinkReplaceDataWrite(
+    path: String, queryId: String, affected: () => Seq[String], cdf: Boolean = false)
   extends Write with BatchWrite
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.hadoop.fs.Path
@@ -3231,29 +3286,34 @@ class ShardSinkReplaceDataWrite(path: String, queryId: String, affected: () => S
         s"ShardSink row-level operation at $path conflicts with a concurrent " +
           s"commit: files read by the operation are no longer current " +
           s"(${vanished.toSeq.sorted.mkString(", ")}); aborted loudly — re-run")
-    // CHANGE RECORD: a group-based rewrite replaces whole files, most of
-    // whose rows are carried over verbatim — the commit's actual changes
-    // are the multiset difference between the swapped-out live rows and
-    // the swapped-in rows. Rows that vanished are `delete` events, rows
-    // that appeared are `insert` events (an UPDATE surfaces as the pair;
-    // Spark's group-based plan does not tell the connector which carried
-    // rows were modified, so exact pre/post pairing is the delta path's
-    // job — rlo.mode=merge-on-read). Computed driver-side over data the
-    // rewrite already materialized; a 100 TB deployment runs the same
-    // diff inside the rewrite job.
-    val before = scala.collection.mutable.Map.empty[String, Int]
-    swapped.foreach(e => ShardSink.liveLines(path, e).foreach { l =>
-      before(l) = before.getOrElse(l, 0) + 1
-    })
-    val inserted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    finals.foreach(e => SinkFs.readLines(new Path(path, e.file)).foreach { l =>
-      val n = before.getOrElse(l, 0)
-      if (n > 0) before(l) = n - 1 else inserted += (("insert", l))
-    })
-    val removed = before.iterator
-      .flatMap { case (l, n) => Iterator.fill(n)(("delete", l)) }.toSeq
-    ShardSink.flipFromBase(path, baseV, kept ++ finals, s"r$queryId",
-      cdc = ShardSink.writeCdcSidecar(path, s"r$queryId", removed ++ inserted.toSeq))
+    // CHANGE RECORD (only when the table opted into CDF — Delta's
+    // enableChangeDataFeed): a group-based rewrite replaces whole files,
+    // most of whose rows are carried over verbatim — the commit's actual
+    // changes are the multiset difference between the swapped-out live
+    // rows and the swapped-in rows. Rows that vanished are `delete`
+    // events, rows that appeared are `insert` events (an UPDATE surfaces
+    // as the pair; Spark's group-based plan does not tell the connector
+    // which carried rows were modified, so exact pre/post pairing is the
+    // delta path's job — rlo.mode=merge-on-read). Computed driver-side
+    // over data the rewrite already materialized; a 100 TB deployment
+    // runs the same diff inside the rewrite job. Without CDF the diff is
+    // skipped entirely and a later change-feed read over this version
+    // fails loudly instead of missing rows.
+    val cdc = if (!cdf) None else {
+      val before = scala.collection.mutable.Map.empty[String, Int]
+      swapped.foreach(e => ShardSink.liveLines(path, e).foreach { l =>
+        before(l) = before.getOrElse(l, 0) + 1
+      })
+      val inserted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      finals.foreach(e => SinkFs.readLines(new Path(path, e.file)).foreach { l =>
+        val n = before.getOrElse(l, 0)
+        if (n > 0) before(l) = n - 1 else inserted += (("insert", l))
+      })
+      val removed = before.iterator
+        .flatMap { case (l, n) => Iterator.fill(n)(("delete", l)) }.toSeq
+      ShardSink.writeCdcSidecar(path, s"r$queryId", removed ++ inserted.toSeq)
+    }
+    ShardSink.flipFromBase(path, baseV, kept ++ finals, s"r$queryId", cdc = cdc)
     // replaced data files AND their (now folded-in) delete vectors
     swapped.flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil))
       .foreach(f => SinkFs.delete(new Path(path, f)))
@@ -3286,7 +3346,8 @@ class ShardSinkReplaceDataWrite(path: String, queryId: String, affected: () => S
   */
 class ShardSinkDeltaOperation(
     path: String,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    cdf: Boolean = false)
   extends org.apache.spark.sql.connector.write.RowLevelOperation with SupportsDelta {
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
@@ -3322,7 +3383,7 @@ class ShardSinkDeltaOperation(
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new ShardSinkDeltaWrite(path, info)
+      override def build(): DeltaWrite = new ShardSinkDeltaWrite(path, info, cdf)
     }
 }
 
@@ -3342,7 +3403,7 @@ case class ShardSinkDeltaCommit(
     updates: Map[String, Seq[(Long, String)]] = Map.empty)
   extends WriterCommitMessage
 
-class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo)
+class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo, cdf: Boolean = false)
   extends Write with DeltaWrite with DeltaBatchWrite {
   import org.apache.hadoop.fs.Path
 
@@ -3356,7 +3417,7 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo)
       path, info.queryId(),
       idSchema.fieldIndex("_file"), idSchema.fieldIndex("_pos"),
       // table column i → its physical position in the incoming data row
-      table.fields.map(f => info.schema().fieldIndex(f.name)), table)
+      table.fields.map(f => info.schema().fieldIndex(f.name)), table, cdf)
   }
 
   /** Driver commit: union each file's deleted positions into its (new)
@@ -3416,14 +3477,17 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo)
           }
       }
     }
-    // CHANGE RECORD, only when updates rode this commit: a pure
-    // delete/insert delta derives exactly from the manifest diff (vector
-    // growth / new part-u files — zero write amplification), but updates
-    // need their pre/post PAIRING recorded, and once a sidecar exists it
-    // is the version's complete record — so it also carries the commit's
-    // plain deletes (preimages resolved from the retained originals) and
-    // the appended rows that were NOT update postimages, as inserts.
-    val cdc = if (allUpd.isEmpty) None else {
+    // CHANGE RECORD, only when the table opted into CDF AND updates rode
+    // this commit: a pure delete/insert delta derives exactly from the
+    // manifest diff (vector growth / new part-u files — zero write
+    // amplification), but updates need their pre/post PAIRING recorded,
+    // and once a sidecar exists it is the version's complete record — so
+    // it also carries the commit's plain deletes (preimages resolved
+    // from the retained originals) and the appended rows that were NOT
+    // update postimages, as inserts. Without CDF an update-carrying
+    // commit stays derivation-only and the feed later shows it as
+    // delete+insert — complete, just unpaired (Delta does the same).
+    val cdc = if (!cdf || allUpd.isEmpty) None else {
       val recs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       val lineCache = scala.collection.mutable.Map.empty[String, IndexedSeq[String]]
       def lineAt(f: String, pos: Long): String =
@@ -3457,11 +3521,12 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo)
 
 case class ShardSinkDeltaWriterFactory(
     path: String, queryId: String,
-    fileIdx: Int, posIdx: Int, colIdx: Array[Int], table: StructType)
+    fileIdx: Int, posIdx: Int, colIdx: Array[Int], table: StructType,
+    cdf: Boolean = false)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new ShardSinkDeltaWriter(path, queryId, partitionId, taskId,
-      fileIdx, posIdx, colIdx, table)
+      fileIdx, posIdx, colIdx, table, cdf)
 }
 
 /** Accumulates this task's deltas: deleted (file → physical positions)
@@ -3470,7 +3535,8 @@ case class ShardSinkDeltaWriterFactory(
   */
 class ShardSinkDeltaWriter(
     path: String, queryId: String, partitionId: Int, taskId: Long,
-    fileIdx: Int, posIdx: Int, colIdx: Array[Int], table: StructType)
+    fileIdx: Int, posIdx: Int, colIdx: Array[Int], table: StructType,
+    cdf: Boolean = false)
   extends DeltaWriter[InternalRow] {
   private val deletes =
     scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
@@ -3491,14 +3557,20 @@ class ShardSinkDeltaWriter(
       scala.collection.mutable.ArrayBuffer.empty) += id.getLong(posIdx)
 
   /** An UPDATE is physically a positional delete of the old row plus an
-    * append of the new one — but the PAIRING is recorded too, so the
-    * change feed can emit exact `update_preimage`/`update_postimage`
-    * events (Delta CDF's update shape) instead of delete+insert.
+    * append of the new one — and when the table opted into CDF, the
+    * PAIRING is recorded too, so the change feed can emit exact
+    * `update_preimage`/`update_postimage` events (Delta CDF's update
+    * shape) instead of delete+insert. Without CDF nothing is buffered:
+    * the position folds into the vector like any delete.
     */
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     val line = writeLine(row)
-    updates.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
-      scala.collection.mutable.ArrayBuffer.empty) += ((id.getLong(posIdx), line))
+    if (cdf)
+      updates.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
+        scala.collection.mutable.ArrayBuffer.empty) += ((id.getLong(posIdx), line))
+    else
+      deletes.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
+        scala.collection.mutable.ArrayBuffer.empty) += id.getLong(posIdx)
   }
 
   override def insert(row: InternalRow): Unit = { writeLine(row); () }

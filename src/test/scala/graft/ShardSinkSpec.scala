@@ -676,11 +676,26 @@ class ShardSinkSpec extends SparkSpec {
     // rename an ADDED column: pure metadata, values survive
     s.sql("ALTER TABLE ev.docs RENAME COLUMN score TO points")
     assert(s.read.table("ev.docs").where(col("points") === 7L).count() === 50L)
-    // the load-bearing core refuses to move; drops refuse loudly
+    // widening an added column is pure metadata: old long cells reparse
+    // as double, values preserved
+    s.sql("ALTER TABLE ev.docs ALTER COLUMN points TYPE DOUBLE")
+    assert(s.read.table("ev.docs").schema("points").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(s.read.table("ev.docs").where(col("points") === 7.0d).count() === 50L)
+    // the load-bearing core refuses to move; drops and narrowings refuse
     val e1 = intercept[Exception](s.sql("ALTER TABLE ev.docs RENAME COLUMN body TO text"))
     assert(e1.getMessage.contains("cannot be renamed"), e1.getMessage)
     val e2 = intercept[Exception](s.sql("ALTER TABLE ev.docs DROP COLUMN points"))
-    assert(e2.getMessage.contains("ADD COLUMN and RENAME COLUMN"), e2.getMessage)
+    assert(e2.getMessage.contains("type widening only"), e2.getMessage)
+    // Spark's analyzer already rejects the narrowing (upcast check); the
+    // connector keeps its own guard for direct-API callers
+    val e4 = intercept[Exception](s.sql("ALTER TABLE ev.docs ALTER COLUMN points TYPE INT"))
+    assert(e4.getMessage.contains("only widenings")
+      || e4.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e4.getMessage)
+    val e5 = intercept[Exception](
+      graft.sources.SinkTestAccess.widenColumn(dir,
+        "points", org.apache.spark.sql.types.IntegerType))
+    assert(e5.getMessage.contains("only widenings"), e5.getMessage)
     // an append MISSING the added (nullable) column: Spark's by-name
     // resolution fills null, the writer lands the \N sentinel
     s.read.format("graft.sources.DocGenSource")
@@ -906,6 +921,7 @@ class ShardSinkSpec extends SparkSpec {
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.ShardSinkCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
       s.conf.set(s"spark.sql.catalog.$cat.delete.mode", mode)
+      s.conf.set(s"spark.sql.catalog.$cat.cdf.enabled", "true")
     }
     s.read.format("graft.sources.DocGenSource")
       .option("numDocs", "800").option("numPartitions", "2").load()
@@ -952,6 +968,7 @@ class ShardSinkSpec extends SparkSpec {
     s.conf.set("spark.sql.catalog.cdfu", classOf[graft.sources.ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.cdfu.root", root)
     s.conf.set("spark.sql.catalog.cdfu.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.cdfu.cdf.enabled", "true")
     s.read.format("graft.sources.DocGenSource")
       .option("numDocs", "400").option("numPartitions", "2").load()
       .writeTo("cdfu.docs").append() // v1
@@ -1000,6 +1017,7 @@ class ShardSinkSpec extends SparkSpec {
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.cdfc", classOf[graft.sources.ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.cdfc.root", root)
+    s.conf.set("spark.sql.catalog.cdfc.cdf.enabled", "true")
     // default rlo.mode = copy-on-write: whole affected files rewritten
     s.read.format("graft.sources.DocGenSource")
       .option("numDocs", "400").option("numPartitions", "2").load()
@@ -1036,6 +1054,42 @@ class ShardSinkSpec extends SparkSpec {
     assert(s.read.format("graft.sources.ShardSinkSource")
       .option("path", dir).option("readChangeFeed", "true")
       .option("changeFeedFrom", "3").load().count() === 0L)
+  }
+
+  test("change feed: CoW DML without cdf.enabled refuses loudly, never silently misses rows") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    // cdf.enabled NOT set — the default-off posture (Delta's): DML pays
+    // no change-record cost, and the feed must refuse rather than emit
+    // a feed with the deleted rows missing
+    s.conf.set("spark.sql.catalog.cdfd", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.cdfd.root", root)
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "2").load()
+      .writeTo("cdfd.docs").append() // v1
+    s.sql("DELETE FROM cdfd.docs WHERE doc_id >= 300") // v2: CoW rewrite, no record
+    val dir = new java.io.File(root, "docs").getPath
+    // no sidecar was written
+    assert(ShardSink.manifestCdcAt(dir, 2L).isEmpty)
+    // the range that reads v2's diff hits the unrecorded rewrite: refuse
+    // with guidance, never emit a feed missing the deleted rows
+    val e = intercept[Exception](
+      s.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("readChangeFeed", "true")
+        .option("changeFeedFrom", "1").load().count())
+    assert(e.getMessage.contains("cdf.enabled"), e.getMessage)
+    // replaying v1's inserts needs the pre-DML file the CoW cleanup
+    // released (retention 0 = Delta-after-vacuum): loudly expired, with
+    // the retention pointer — NOT a raw FileNotFound
+    val e2 = intercept[Exception](
+      s.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("readChangeFeed", "true")
+        .option("changeFeedTo", "1").load().count())
+    assert(e2.getMessage.contains("released by a later rewrite"), e2.getMessage)
+    // the range past the unrecorded commit reads fine (empty here)
+    assert(s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("changeFeedFrom", "2").load().count() === 0L)
   }
 
   test("doc-range pruning, manifest-only count, and reported statistics") {

@@ -16,4 +16,7 @@ object SinkTestAccess {
     ShardSink.flipFromBase(dir, baseVersion, files, tag)
 
   def isConflict(t: Throwable): Boolean = t.isInstanceOf[ShardSink.ShardSinkConflict]
+
+  def widenColumn(dir: String, name: String, to: org.apache.spark.sql.types.DataType): Unit =
+    ShardSink.widenColumn(dir, name, to)
 }
