@@ -1214,6 +1214,64 @@ object ShardSink {
       |       CAST(SUM(up) AS BIGINT) AS n_upper
       |FROM ch GROUP BY 1, 2 ORDER BY _commit_version, _change_type""".stripMargin
 
+  /** Driver-checked RESTORE (round 14): Delta `RESTORE TABLE` / Iceberg
+    * rollback as a NEW commit — the bad-deploy undo button. Two appends,
+    * a merge-on-read DELETE, a restore to the pre-delete snapshot
+    * (SQL spelling `SET TBLPROPERTIES ('graft.restore'='2')`), then a
+    * second DELETE on the restored state. The change feed is read across
+    * ALL five commits and rolled up by (version, change type) — so the
+    * restore's exact CDC semantics sit under the hash gate: the shrunk
+    * delete vectors surface the resurrected rows as `insert` events at
+    * the restore version (positions only — zero write amplification),
+    * and the post-restore DELETE applies to the restored live set.
+    * Every cell re-derived by DuckDB from the known windows.
+    */
+  def restoreReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("rst:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkrst_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_rst", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_rst.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_rst.delete.mode", "merge-on-read")
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2000").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .writeTo("graft_rst.docs_rst").append()
+    append(0L, 800L)    // v1
+    append(800L, 2000L) // v2
+    s.sql("DELETE FROM graft_rst.docs_rst WHERE doc_id >= 1500") // v3: MOR vectors
+    s.sql("ALTER TABLE graft_rst.docs_rst SET TBLPROPERTIES ('graft.restore' = '2')") // v4
+    s.sql("DELETE FROM graft_rst.docs_rst WHERE shard = 3") // v5: on restored state
+    s.read.format("graft.sources.ShardSinkSource")
+      .option("path", new java.io.File(root, "docs_rst").getPath)
+      .option("readChangeFeed", "true").load()
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(doc_id)").as("xor_ids"))
+      .orderBy("_commit_version", "_change_type")
+  }
+
+  val restoreReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard FROM range(0, 2000) t(doc_id)),
+      |ch AS (
+      |  SELECT 1 AS v, 'insert' AS ct, doc_id FROM g WHERE doc_id < 800
+      |  UNION ALL SELECT 2, 'insert', doc_id FROM g WHERE doc_id >= 800
+      |  UNION ALL SELECT 3, 'delete', doc_id FROM g WHERE doc_id >= 1500
+      |  UNION ALL SELECT 4, 'insert', doc_id FROM g WHERE doc_id >= 1500
+      |  UNION ALL SELECT 5, 'delete', doc_id FROM g WHERE shard = 3)
+      |SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows, bit_xor(doc_id) AS xor_ids
+      |FROM ch GROUP BY 1, 2 ORDER BY _commit_version, _change_type""".stripMargin
+
   /** Driver-checked SCHEMA EVOLUTION (round 14): the first thing a real
     * landing-zone user does after a month — add columns. v1 lands the
     * 3-column corpus; two `ALTER TABLE … ADD COLUMN`s widen the schema
@@ -1663,9 +1721,14 @@ object ShardSink {
   private[sources] def writeManifestAt(
       dir: String, files: Seq[SinkEntry], tag: String, version: Long,
       cdc: Option[String] = None, horizon: Option[Long] = None,
-      schema: Option[String] = None): Unit = {
+      schema: Option[String] = None, op: Option[String] = None): Unit = {
     val mTmp = new Path(dir, s"_manifest.$tag.tmp")
     val cdcKey = cdc.map(f => s""""cdc":"$f",""").getOrElse("")
+    // per-commit operation marker (NOT table state — never carried
+    // forward): a RESTORE commit's file-set diff is all genuine row
+    // change (no physical rewrites ride a restore), so the change feed
+    // derives it with plain-diff semantics
+    val opKey = op.map(o => s""""op":"$o",""").getOrElse("")
     // retention horizon and schema are table state: carried forward from
     // the previous version unless this commit moves them (a retaining
     // compaction / an ALTER TABLE)
@@ -1678,7 +1741,7 @@ object ShardSink {
       val docs = if (e.hasDocStats) s""","d0":${e.docMin},"d1":${e.docMax}""" else ""
       val dv = if (e.hasDeletes) s""","dv":"${e.dv}"""" else ""
       s"""{"file":"${e.file}","rows":${e.rows}$stats$docs$dv}"""
-    }.mkString(s"""{"ts":${commitTimeMillis()},$hzKey$schKey$cdcKey"files":[""", ",", "]}")
+    }.mkString(s"""{"ts":${commitTimeMillis()},$opKey$hzKey$schKey$cdcKey"files":[""", ",", "]}")
     val w = SinkFs.create(mTmp)
     try w.write(json) finally w.close()
     val dest = new Path(dir, s"_manifest.v$version.json")
@@ -1702,8 +1765,8 @@ object ShardSink {
   private[sources] def flipFromBase(
       dir: String, baseVersion: Long, files: Seq[SinkEntry], tag: String,
       cdc: Option[String] = None, horizon: Option[Long] = None,
-      schema: Option[String] = None): Unit =
-    try writeManifestAt(dir, files, tag, baseVersion + 1, cdc, horizon, schema)
+      schema: Option[String] = None, op: Option[String] = None): Unit =
+    try writeManifestAt(dir, files, tag, baseVersion + 1, cdc, horizon, schema, op)
     catch {
       case ShardSinkConflict(_, v) =>
         throw new IllegalStateException(
@@ -1906,6 +1969,56 @@ object ShardSink {
     val renamed = StructType(cur.fields.updated(idx, cur.fields(idx).copy(name = to)))
     flipFromBase(dir, baseV, entries, s"alter${alterCounter.incrementAndGet()}",
       schema = Some(schemaString(renamed)))
+  }
+
+  private val ManifestOp = """"op":"([^"]+)"""".r
+
+  /** The per-commit operation marker a manifest version recorded
+    * ("restore" today), if any. Unlike hz/schema this is NOT table
+    * state and is never carried forward.
+    */
+  def manifestOpAt(dir: String, version: Long): Option[String] = {
+    val p = new Path(dir, s"_manifest.v$version.json")
+    if (!SinkFs.exists(p)) None
+    else ManifestOp.findFirstMatchIn(SinkFs.readString(p)).map(_.group(1))
+  }
+
+  private val restoreCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** RESTORE the table to an earlier snapshot (Delta `RESTORE TABLE …
+    * VERSION AS OF`, Iceberg rollback): a NEW commit whose entry list
+    * and schema are the target version's — history is preserved, so a
+    * restore is itself undoable and shows in the version log (marked
+    * `"op":"restore"`, which also lets the change feed derive its row
+    * changes exactly: a restore performs no physical rewrites, so every
+    * file-set difference is genuine row change). Read-modify-write:
+    * pins its base and aborts loudly on a concurrent commit. Refuses
+    * below the retention horizon, and refuses when any restored file or
+    * delete vector was already released by a later copy-on-write
+    * rewrite / compaction (retention 0 sweeps replaced files at commit)
+    * — never manifests dangling entries. SQL spelling:
+    * `ALTER TABLE t SET TBLPROPERTIES ('graft.restore' = '<version>')`.
+    */
+  private[sources] def restore(dir: String, toVersion: Long): Unit = {
+    val (baseV, _) = resolveBase(dir)
+    require(toVersion >= 1L && toVersion <= baseV,
+      s"cannot restore $dir to version $toVersion: the table is at version " +
+        s"$baseV (restorable range is 1..$baseV)")
+    val hz = horizonOf(dir)
+    require(toVersion >= hz,
+      s"cannot restore $dir to version $toVersion: the retention horizon is " +
+        s"$hz (versions below it were released by compaction)")
+    val entries = entriesAtVersion(dir, toVersion)
+    val missing = entries
+      .flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil))
+      .filterNot(f => SinkFs.exists(new Path(dir, f)))
+    require(missing.isEmpty,
+      s"cannot restore $dir to version $toVersion: ${missing.sorted.mkString(", ")} " +
+        "released by a later rewrite or compaction (compact with retainVersions " +
+        "to keep snapshots restorable)")
+    flipFromBase(dir, baseV, entries, s"restore${restoreCounter.incrementAndGet()}",
+      schema = Some(schemaString(schemaAtVersion(dir, toVersion))),
+      op = Some("restore"))
   }
 
   private val ManifestCdc = """"cdc":"([^"]+)"""".r
@@ -2302,8 +2415,14 @@ object ShardSink {
         case None =>
           val prev = entriesAtVersion(dir, v - 1).map(e => e.file -> e).toMap
           val cur = entriesAtVersion(dir, v).map(e => e.file -> e).toMap
+          // a RESTORE commit performs no physical rewrites — every
+          // file-set difference is genuine row change, so plain-diff
+          // semantics apply: ANY re-added file's live rows are inserts
+          // (not just cdcScope appends), and a SHRUNK delete vector is a
+          // resurrection (the restore un-deleted those positions)
+          val isRestore = manifestOpAt(dir, v).contains("restore")
           val inserts = cur.valuesIterator
-            .filter(e => cdcScope(e.file) && !prev.contains(e.file))
+            .filter(e => (cdcScope(e.file) || isRestore) && !prev.contains(e.file))
             .map(e => ShardSinkChangeFile(
               live(e.file).toString, "insert", v,
               only = None, skip = dvOf(e).toSeq): InputPartition)
@@ -2313,23 +2432,36 @@ object ShardSink {
           val deletes = prev.valuesIterator.flatMap { pe =>
             cur.get(pe.file) match {
               case Some(ce) if ce.dv != pe.dv =>
-                val fresh = dvOf(ce) -- dvOf(pe)
-                if (fresh.isEmpty) None
-                else Some(ShardSinkChangeFile(
-                  live(pe.file).toString, "delete", v,
-                  only = Some(fresh.toSeq.sorted), skip = Seq.empty): InputPartition)
-              case Some(_) => None
-              case None if cur.keysIterator.exists(f =>
+                val before = dvOf(pe)
+                val after = dvOf(ce)
+                val fresh = after -- before
+                val resurrected = before -- after
+                val grow: Option[InputPartition] =
+                  if (fresh.isEmpty) None
+                  else Some(ShardSinkChangeFile(
+                    live(pe.file).toString, "delete", v,
+                    only = Some(fresh.toSeq.sorted), skip = Seq.empty))
+                val shrink: Option[InputPartition] =
+                  if (resurrected.isEmpty) None
+                  else Some(ShardSinkChangeFile(
+                    live(pe.file).toString, "insert", v,
+                    only = Some(resurrected.toSeq.sorted), skip = Seq.empty))
+                grow.toSeq ++ shrink.toSeq
+              case Some(_) => Seq.empty[InputPartition]
+              case None if !isRestore && cur.keysIterator.exists(f =>
                   f.startsWith("part-c") && !prev.contains(f)) =>
                 // compaction swap: rows already emitted at their commits.
                 // Checked BEFORE the exists-based MOR-drop branch — with
                 // a retention horizon the swapped-out files legitimately
                 // survive on disk, and a compaction commit is only ever a
-                // compaction (single-operation commits)
-                None
+                // compaction (single-operation commits). A restore that
+                // re-adds an old part-c file must NOT take this branch:
+                // its removed files carry genuinely deleted rows
+                Seq.empty[InputPartition]
               case None if SinkFs.exists(new Path(dir, pe.file)) =>
-                // fully-dead MOR drop: every live-at-(v-1) row died
-                Some(ShardSinkChangeFile(
+                // fully-dead MOR drop (or a restore dropping a
+                // later-appended file): every live-at-(v-1) row died
+                Seq(ShardSinkChangeFile(
                   new Path(dir, pe.file).toString, "delete", v,
                   only = None, skip = dvOf(pe).toSeq): InputPartition)
               case None =>
@@ -3128,8 +3260,15 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
         require(up.fieldNames.length == 1,
           s"shard sink columns are top-level, got ${up.fieldNames.mkString(".")}")
         ShardSink.widenColumn(dir, up.fieldNames.head, up.newDataType)
+      // RESTORE's SQL spelling (Spark has no RESTORE statement; Delta
+      // ships one via a parser extension): SET TBLPROPERTIES
+      // ('graft.restore' = '<version>') rolls the table back to that
+      // snapshot as a new commit — see [[ShardSink.restore]]
+      case sp: TableChange.SetProperty if sp.property == "graft.restore" =>
+        ShardSink.restore(dir, sp.value.toLong)
       case other => throw new UnsupportedOperationException(
-        s"shard sink supports ADD COLUMN, RENAME COLUMN and type widening only, got $other")
+        "shard sink supports ADD COLUMN, RENAME COLUMN, type widening and " +
+          s"'graft.restore' only, got $other")
     }
     loadTable(ident)
   }

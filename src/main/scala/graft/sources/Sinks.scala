@@ -200,6 +200,7 @@ object Sinks {
     "q_dsv2_range_prune" -> (ShardSink.rangePrune _),
     "q_dsv2_count_meta" -> (ShardSink.countMeta _),
     "q_dsv2_evolve" -> (ShardSink.schemaEvolution _),
+    "q_dsv2_restore" -> (ShardSink.restoreReport _),
     "s_dsv2_stream_parity" -> (DocGen.dsv2StreamParity _))
 
   val oracle: Map[String, String] = Map(
@@ -234,6 +235,7 @@ object Sinks {
     "q_dsv2_range_prune" -> ShardSink.rangePruneSql,
     "q_dsv2_count_meta" -> ShardSink.countMetaSql,
     "q_dsv2_evolve" -> ShardSink.schemaEvolutionSql,
+    "q_dsv2_restore" -> ShardSink.restoreReportSql,
     "s_dsv2_stream_parity" -> DocGen.dsv2StreamParitySql)
 
   /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead

@@ -686,7 +686,7 @@ class ShardSinkSpec extends SparkSpec {
     val e1 = intercept[Exception](s.sql("ALTER TABLE ev.docs RENAME COLUMN body TO text"))
     assert(e1.getMessage.contains("cannot be renamed"), e1.getMessage)
     val e2 = intercept[Exception](s.sql("ALTER TABLE ev.docs DROP COLUMN points"))
-    assert(e2.getMessage.contains("type widening only"), e2.getMessage)
+    assert(e2.getMessage.contains("type widening"), e2.getMessage)
     // Spark's analyzer already rejects the narrowing (upcast check); the
     // connector keeps its own guard for direct-API callers
     val e4 = intercept[Exception](s.sql("ALTER TABLE ev.docs ALTER COLUMN points TYPE INT"))
@@ -705,6 +705,82 @@ class ShardSinkSpec extends SparkSpec {
     val fin = s.read.table("ev.docs")
     assert(fin.count() === 610L)
     assert(fin.where(col("doc_id") >= 600L && col("points").isNull).count() === 10L)
+  }
+
+  test("restore: rollback as a new commit — reads, feed resurrection, schema, refusals") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.rs", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.rs.root", root)
+    s.conf.set("spark.sql.catalog.rs.delete.mode", "merge-on-read")
+    def docs(lo: Long, hi: Long) =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "600").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 400L).writeTo("rs.docs").append()               // v1: 400 rows
+    s.sql("DELETE FROM rs.docs WHERE doc_id >= 300")          // v2: MOR, 100 dead
+    assert(s.read.table("rs.docs").count() === 300L)
+    s.sql("ALTER TABLE rs.docs SET TBLPROPERTIES ('graft.restore' = '1')") // v3
+    assert(s.read.table("rs.docs").count() === 400L)
+    // history preserved: the pre-restore snapshot still travels
+    val dir = new java.io.File(root, "docs").getPath
+    assert(s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("versionAsOf", "2").load().count() === 300L)
+    assert(ShardSink.manifestOpAt(dir, 3L) === Some("restore"))
+    docs(400L, 500L).writeTo("rs.docs").append()              // v4: +100
+    assert(s.read.table("rs.docs").count() === 500L)
+    s.sql("ALTER TABLE rs.docs SET TBLPROPERTIES ('graft.restore' = '3')") // v5
+    // the restore DROPPED v4's file: table back to 400, v4 still travels
+    assert(s.read.table("rs.docs").count() === 400L)
+    assert(s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("versionAsOf", "4").load().count() === 500L)
+    // change feed across the restores: v3 resurrects the 100 deleted
+    // rows as inserts (shrunk vectors, position-granular), v4 inserts
+    // 100, v5 deletes the 100 it un-appended
+    val feed = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("changeFeedFrom", "2").load()
+    val byVt = feed.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(byVt === Map((3L, "insert") -> 100L, (4L, "insert") -> 100L,
+      (5L, "delete") -> 100L))
+    assert(feed.where(col("_commit_version") === 3L)
+      .agg(min(col("doc_id")), max(col("doc_id"))).collect().head match {
+        case r => r.getLong(0) === 300L && r.getLong(1) === 399L
+      })
+    // refusals: out-of-range versions
+    val e1 = intercept[Exception](
+      s.sql("ALTER TABLE rs.docs SET TBLPROPERTIES ('graft.restore' = '9')"))
+    assert(e1.getMessage.contains("restorable range"), e1.getMessage)
+    val e2 = intercept[Exception](
+      s.sql("ALTER TABLE rs.docs SET TBLPROPERTIES ('graft.restore' = '0')"))
+    assert(e2.getMessage.contains("restorable range"), e2.getMessage)
+    // schema evolution interplay: restore also restores the SCHEMA
+    s.sql("ALTER TABLE rs.docs ADD COLUMN lang STRING")        // v6: 4 cols
+    assert(s.read.table("rs.docs").schema.fieldNames.length === 4)
+    s.sql("ALTER TABLE rs.docs SET TBLPROPERTIES ('graft.restore' = '5')") // v7
+    assert(s.read.table("rs.docs").schema.fieldNames.toSeq ===
+      Seq("doc_id", "shard", "body"))
+    assert(s.read.table("rs.docs").count() === 400L)
+  }
+
+  test("restore: refuses when a later copy-on-write rewrite released the snapshot's files") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    // default delete.mode = copy-on-write: the DELETE rewrites the
+    // partially-hit file and releases the original at commit
+    s.conf.set("spark.sql.catalog.rc", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.rc.root", root)
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "2").load()
+      .writeTo("rc.docs").append()                            // v1
+    s.sql("DELETE FROM rc.docs WHERE doc_id >= 300")           // v2: CoW rewrite
+    val e = intercept[Exception](
+      s.sql("ALTER TABLE rc.docs SET TBLPROPERTIES ('graft.restore' = '1')"))
+    assert(e.getMessage.contains("released by a later rewrite"), e.getMessage)
+    // the table is untouched by the refusal
+    assert(s.read.table("rc.docs").count() === 300L)
+    assert(ShardSink.currentManifestVersion(new java.io.File(root, "docs").getPath) === 2L)
   }
 
   test("reported statistics flip the optimizer's broadcast decision with the pushed filter") {
