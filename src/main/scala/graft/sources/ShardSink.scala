@@ -192,7 +192,8 @@ class ShardSinkTable(
     util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE)
 
   /** [[org.apache.spark.sql.connector.catalog.SupportsDelete]]: SQL
     * `DELETE FROM <catalog>.<table> WHERE …` handled by the connector —
@@ -218,14 +219,36 @@ class ShardSinkTable(
       info.schema().fields.map(f => (f.name, f.dataType)).sameElements(
         expect.fields.map(f => (f.name, f.dataType))),
       s"shard sink expects ${expect.simpleString}, got ${info.schema().simpleString}")
-    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
       // SaveMode.Overwrite maps here: the new job's manifest REPLACES the
       // old one (old files become invisible the instant it lands), and
       // commit() then deletes the orphaned previous files — visibility
       // flips atomically, physical cleanup follows
       private var doTruncate = false
+      // FILTERED OVERWRITE (Delta's replaceWhere / dynamic-partition
+      // backfill): `writeTo(t).overwrite(cond)` atomically replaces the
+      // rows matching `cond` with the incoming data in ONE commit —
+      // drop side via the DELETE WHERE copy-on-write core (metadata-only
+      // for shard-aligned predicates), insert side the ordinary
+      // clustered append, one manifest flip covering both
+      private var replaceFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None
       override def truncate(): WriteBuilder = { doTruncate = true; this }
-      override def build(): Write = new ShardSinkWrite(path, info.queryId(), doTruncate, expect)
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        if (filters.exists(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          doTruncate = true // overwrite(true) IS a truncate
+        else {
+          // fail at PLAN time on unsupported predicates, not mid-commit
+          require(ShardSink.deletePredicate(filters).isDefined,
+            s"unsupported overwrite predicate for shard sink: ${filters.mkString(", ")} " +
+              "(supported: doc_id/shard comparisons and conjunctions)")
+          replaceFilters = Some(filters)
+        }
+        this
+      }
+      override def build(): Write =
+        new ShardSinkWrite(path, info.queryId(), doTruncate, expect,
+          replaceFilters, cdfEnabled)
     }
   }
 
@@ -1272,6 +1295,66 @@ object ShardSink {
       |       CAST(COUNT(*) AS BIGINT) AS n_rows, bit_xor(doc_id) AS xor_ids
       |FROM ch GROUP BY 1, 2 ORDER BY _commit_version, _change_type""".stripMargin
 
+  /** Driver-checked FILTERED OVERWRITE (round 14): Delta's
+    * `replaceWhere` — the partition-backfill idiom a landing zone lives
+    * on (re-ingest one source/day atomically). `writeTo(t).overwrite
+    * (cond)` drops the rows matching `cond` and lands the incoming data
+    * in ONE commit: the drop side is the DELETE WHERE copy-on-write core
+    * (metadata-only for shard-aligned predicates over the shard-whole
+    * clustered files), the insert side the ordinary clustered append,
+    * one manifest flip covering both. Delta's constraint holds too:
+    * inserted rows must match the predicate, or the commit refuses. The
+    * query re-ingests shard 3 with transformed bodies, then shrinks the
+    * doc_id>=1800 window to [1800,1900) — the final per-shard rollup
+    * (counts, id xors, transformed-body counts) pins both replaces and
+    * their interaction under the hash gate.
+    */
+  def replaceWhereReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("ow:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkow_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_ow", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_ow.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_ow.cdf.enabled", "true")
+    def src = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2000").option("numPartitions", "2").load()
+    src.writeTo("graft_ow.docs_ow").append() // v1
+    src.where(col("shard") === 3)
+      .select(col("doc_id"), col("shard"), upper(col("body")).as("body"))
+      .writeTo("graft_ow.docs_ow").overwrite(col("shard") === 3) // v2: re-ingest shard 3
+    src.where(col("doc_id") >= 1800L && col("doc_id") < 1900L)
+      .writeTo("graft_ow.docs_ow").overwrite(col("doc_id") >= 1800L) // v3: shrink the tail
+    s.read.table("graft_ow.docs_ow")
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        sum(when(col("body") =!= lower(col("body")), 1L).otherwise(0L)).as("n_upper"))
+      .orderBy("shard")
+  }
+
+  /** Shard-3 bodies are upper ONLY below 1800: the v3 window replace
+    * re-ingested [1800,1900) with original-case bodies.
+    */
+  val replaceWhereReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard FROM range(0, 2000) t(doc_id)),
+      |fin AS (
+      |  SELECT doc_id, shard,
+      |         CASE WHEN shard = 3 AND doc_id < 1800 THEN 1 ELSE 0 END AS up
+      |  FROM g WHERE doc_id < 1900)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows, bit_xor(doc_id) AS xor_ids,
+      |       CAST(SUM(up) AS BIGINT) AS n_upper
+      |FROM fin GROUP BY shard ORDER BY shard""".stripMargin
+
   /** Driver-checked SCHEMA EVOLUTION (round 14): the first thing a real
     * landing-zone user does after a month — add columns. v1 lands the
     * 3-column corpus; two `ALTER TABLE … ADD COLUMN`s widen the schema
@@ -1405,6 +1488,91 @@ object ShardSink {
       .filterNot(keep)
       .foreach(f => SinkFs.delete(new Path(dir, f)))
   }
+
+  /** VACUUM — sweep files NO manifest version references: the garbage a
+    * crashed or aborted job leaves (data files renamed into place whose
+    * manifest flip never happened are invisible forever — correct, but
+    * they hold disk). The reference set is every data file, delete
+    * vector and change sidecar of EVERY manifest version still on disk
+    * (compaction already swept what expired below the horizon), so
+    * nothing any reader was promised can ever be vacuumed. Delta's
+    * retention guard applies: only files whose modification time is at
+    * least `olderThanMillis` old are candidates — a concurrent writer's
+    * renamed-but-not-yet-committed files are younger and survive (7-day
+    * default, Delta's; 0 sweeps everything and is only safe with no
+    * write in flight — offline maintenance and tests). `_`-prefixed
+    * names (manifests, `_tmp/`) are never candidates: temps are
+    * attempt-unique and cleaned by their own writers/aborts. Returns the
+    * swept names, oldest-lexicographic order.
+    */
+  def vacuum(dir: String, olderThanMillis: Long = 7L * 24 * 3600 * 1000L): Seq[String] = {
+    val p = new Path(dir)
+    val fs = SinkFs.fsOf(p)
+    if (!fs.exists(p)) return Seq.empty
+    val statuses = fs.listStatus(p).toSeq.filter(_.isFile)
+    val versions = statuses.map(_.getPath.getName).collect { case ManifestV(n) => n.toLong }
+    val refd: Set[String] = versions.flatMap { v =>
+      entriesAtVersion(dir, v)
+        .flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil)) ++
+        manifestCdcAt(dir, v)
+    }.toSet
+    val now = System.currentTimeMillis()
+    val swept = statuses.filter { st =>
+      val f = st.getPath.getName
+      !f.startsWith("_") && !refd.contains(f) &&
+        now - st.getModificationTime >= olderThanMillis
+    }.map(_.getPath.getName).sorted
+    swept.foreach(f => SinkFs.delete(new Path(dir, f)))
+    swept
+  }
+
+  /** Driver-checked VACUUM (round 14): two Appends, then two planted
+    * orphans impersonating a crashed job's leftovers (a renamed data
+    * file whose manifest flip never happened, and its delete vector).
+    * `vacuum(dir, 0)` must sweep exactly the two orphans and nothing
+    * else — the live rollup afterwards is byte-identical to the
+    * committed windows, with the sweep count and the remaining-orphan
+    * count pinned in the same checked row.
+    */
+  def vacuumReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("vac:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkvac_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(dir)
+    def append(lo: Long, hi: Long): Unit =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2000").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir.getPath)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0L, 1200L); append(1200L, 2000L)
+    // a crashed job's trace: renamed into place, never manifested
+    Seq("part-bcrashed-0.tsv" -> "9999\t9\torphan row", "del-crashed.pos" -> "0")
+      .foreach { case (n, content) =>
+        val w = SinkFs.create(new Path(dir.getPath, n))
+        try { w.write(content); w.write("\n") } finally w.close()
+      }
+    val swept = vacuum(dir.getPath, olderThanMillis = 0L)
+    val left = SinkFs.listFileNames(new Path(dir.getPath))
+      .count(f => f.contains("crashed"))
+    spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(doc_id)").as("xor_ids"))
+      .withColumn("n_swept", lit(swept.size.toLong))
+      .withColumn("n_orphans_left", lit(left.toLong))
+  }
+
+  val vacuumReportSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, bit_xor(doc_id) AS xor_ids,
+      |       CAST(2 AS BIGINT) AS n_swept, CAST(0 AS BIGINT) AS n_orphans_left
+      |FROM range(0, 2000) t(doc_id)""".stripMargin
 
   /** Driver-checked COMPACTION (round 13): three fragmented Appends,
     * compact, read back — the rollup must be BYTE-IDENTICAL to the
@@ -2303,23 +2471,39 @@ object ShardSink {
     */
   private[sources] def deleteWhereImpl(
       dir: String, filters: Array[Filter], cdf: Boolean = false): Unit = {
+    // base pinned at read: the flip goes to exactly base+1, so any
+    // interleaved commit collides there and this rewrite aborts loudly
+    // instead of silently dropping the interloper's files
+    val (baseV, base) = resolveBase(dir)
+    val (entries, obsolete, removed) = cowDrop(dir, base, filters, recordRemoved = cdf)
+    val gen = deleteCounter.incrementAndGet()
+    flipFromBase(dir, baseV, entries, s"d$gen",
+      cdc = if (cdf) writeCdcSidecar(dir, s"d$gen", removed) else None)
+    // physical cleanup AFTER the flip, same as truncate
+    obsolete.foreach(f => SinkFs.delete(new Path(dir, f)))
+  }
+
+  /** The copy-on-write drop core shared by DELETE WHERE and the filtered
+    * OVERWRITE: removes the rows matching `filters` from `base`,
+    * returning (kept/rewritten entries, files to delete AFTER the flip,
+    * and — when `recordRemoved` — the dropped rows as `delete` change
+    * records, because a copy-on-write swap destroys the evidence: the
+    * old file is physically cleaned after the commit, so the change feed
+    * must read a sidecar instead of diffing manifests — Delta's CDF does
+    * exactly this).
+    */
+  private[sources] def cowDrop(
+      dir: String, base: Seq[SinkEntry], filters: Array[Filter],
+      recordRemoved: Boolean): (Seq[SinkEntry], Seq[String], Seq[(String, String)]) = {
     val drop = deletePredicate(filters).getOrElse(
       throw new IllegalArgumentException(
-        s"unsupported DELETE predicate for shard sink: ${filters.mkString(", ")}"))
+        s"unsupported predicate for shard sink: ${filters.mkString(", ")}"))
     // shard-stats fast path: a pure-shard predicate can skip READING any
     // file whose recorded shard range cannot match (the metadata-only
     // case the clustered layout exists for)
     val shardOnly = shardOnlySet(filters)
     val obsolete = scala.collection.mutable.ArrayBuffer.empty[String]
-    // the rows this DELETE removes, recorded as the commit's change
-    // record: a copy-on-write swap destroys the evidence (the old file is
-    // physically cleaned below), so the change feed reads the sidecar
-    // instead of diffing manifests — Delta's CDF does exactly this
     val removed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    // base pinned at read: the flip goes to exactly base+1, so any
-    // interleaved commit collides there and this rewrite aborts loudly
-    // instead of silently dropping the interloper's files
-    val (baseV, base) = resolveBase(dir)
     val entries = base.flatMap { e =>
       if (shardOnly.exists(ss => !e.mayContainShard(ss))) Some(e) // untouched, unread
       else {
@@ -2329,7 +2513,7 @@ object ShardSink {
         val kept = lines.filterNot { l =>
           val c = l.split("\t", 3)
           val dead = drop(c(0).toLong, c(1).toInt)
-          if (dead && cdf) removed += (("delete", l))
+          if (dead && recordRemoved) removed += (("delete", l))
           dead
         }
         if (kept.size == lines.size) Some(e)
@@ -2347,11 +2531,7 @@ object ShardSink {
         }
       }
     }
-    val gen = deleteCounter.incrementAndGet()
-    flipFromBase(dir, baseV, entries, s"d$gen",
-      cdc = if (cdf) writeCdcSidecar(dir, s"d$gen", removed.toSeq) else None)
-    // physical cleanup AFTER the flip, same as truncate
-    obsolete.foreach(f => SinkFs.delete(new Path(dir, f)))
+    (entries, obsolete.toSeq, removed.toSeq)
   }
 
   /** CHANGE DATA FEED (rounds 13/14 — the Delta-CDF analogue the
@@ -2605,7 +2785,9 @@ case class ShardSinkCommit(
 
 class ShardSinkWrite(
     path: String, queryId: String, truncate: Boolean = false,
-    tableSchema: StructType = DocGen.schema)
+    tableSchema: StructType = DocGen.schema,
+    replaceFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
+    cdf: Boolean = false)
   extends Write with BatchWrite with StreamingWrite
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -2749,6 +2931,48 @@ class ShardSinkWrite(
       previous.flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil))
         .filterNot(finals.map(_.file).contains)
         .foreach(f => SinkFs.delete(new Path(path, f)))
+    } else if (replaceFilters.isDefined) {
+      // FILTERED OVERWRITE (replaceWhere): ONE commit that drops the
+      // rows matching the predicate (DELETE WHERE's copy-on-write core —
+      // metadata-only for shard-aligned predicates) and lands the new
+      // files. Read-modify-write: base pinned once, flip to base+1,
+      // loud abort on a lost race.
+      val filters = replaceFilters.get
+      val drop = ShardSink.deletePredicate(filters).get // validated at build()
+      // Delta's replaceWhere constraint: every INSERTED row must fall
+      // inside the replaced region, otherwise the "overwrite" silently
+      // appends outside its own predicate. Checked before any flip; on
+      // violation the landed files are removed (they were never
+      // manifested — invisible throughout).
+      try finals.foreach { e =>
+        SinkFs.readLines(new Path(path, e.file)).foreach { l =>
+          val c = l.split("\t", 3)
+          require(drop(c(0).toLong, c(1).toInt),
+            s"overwrite constraint violation at $path: inserted row " +
+              s"(doc_id=${c(0)}, shard=${c(1)}) does not match the replace " +
+              s"predicate ${filters.mkString(", ")}")
+        }
+      } catch {
+        case t: Throwable =>
+          finals.foreach(e => SinkFs.delete(new Path(path, e.file)))
+          throw t
+      }
+      val (baseV, base) = ShardSink.resolveBase(path)
+      val (kept, obsolete, removed) = ShardSink.cowDrop(path, base, filters,
+        recordRemoved = cdf)
+      // change record only when the table opted into CDF: the dropped
+      // rows' evidence dies with the cleanup below, and once a sidecar
+      // exists it must be the version's COMPLETE record — so the
+      // inserted rows ride it too (driver-side over files the commit
+      // just wrote; a 100 TB deployment records them in the write job)
+      val cdc = if (!cdf) None else {
+        val inserted = finals.flatMap(e =>
+          SinkFs.readLines(new Path(path, e.file)).map(("insert", _)))
+        ShardSink.writeCdcSidecar(path, s"o$queryId", removed ++ inserted)
+      }
+      ShardSink.flipFromBase(path, baseV, kept ++ finals, s"o$queryId", cdc = cdc)
+      // physical cleanup AFTER the flip, same as DELETE
+      obsolete.foreach(f => SinkFs.delete(new Path(path, f)))
     } else {
       var attempt = 0
       var committed = false

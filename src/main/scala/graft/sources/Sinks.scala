@@ -201,6 +201,8 @@ object Sinks {
     "q_dsv2_count_meta" -> (ShardSink.countMeta _),
     "q_dsv2_evolve" -> (ShardSink.schemaEvolution _),
     "q_dsv2_restore" -> (ShardSink.restoreReport _),
+    "q_dsv2_replace_where" -> (ShardSink.replaceWhereReport _),
+    "q_dsv2_vacuum" -> (ShardSink.vacuumReport _),
     "s_dsv2_stream_parity" -> (DocGen.dsv2StreamParity _))
 
   val oracle: Map[String, String] = Map(
@@ -236,6 +238,8 @@ object Sinks {
     "q_dsv2_count_meta" -> ShardSink.countMetaSql,
     "q_dsv2_evolve" -> ShardSink.schemaEvolutionSql,
     "q_dsv2_restore" -> ShardSink.restoreReportSql,
+    "q_dsv2_replace_where" -> ShardSink.replaceWhereReportSql,
+    "q_dsv2_vacuum" -> ShardSink.vacuumReportSql,
     "s_dsv2_stream_parity" -> DocGen.dsv2StreamParitySql)
 
   /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead

@@ -764,6 +764,107 @@ class ShardSinkSpec extends SparkSpec {
     assert(s.read.table("rs.docs").count() === 400L)
   }
 
+  test("filtered overwrite: one-commit replace, Delta's insert constraint, CDF record") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.ow", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.ow.root", root)
+    s.conf.set("spark.sql.catalog.ow.cdf.enabled", "true")
+    def src = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "2").load()
+    src.writeTo("ow.docs").append() // v1
+    src.where(col("shard") === 3)
+      .select(col("doc_id"), col("shard"), upper(col("body")).as("body"))
+      .writeTo("ow.docs").overwrite(col("shard") === 3) // v2: ONE commit
+    val dir = new java.io.File(root, "docs").getPath
+    assert(ShardSink.currentManifestVersion(dir) === 2L)
+    val t = s.read.table("ow.docs")
+    assert(t.count() === 400L) // 25 dropped, 25 landed
+    assert(t.where(col("body") =!= lower(col("body"))).count() === 25L)
+    assert(t.where(col("shard") === 3 && col("body") === lower(col("body"))).count() === 0L)
+    // retention 0: the CoW rewrite released v1's touched file at commit,
+    // so travel to the pre-overwrite snapshot expires LOUDLY (same
+    // posture as CoW DELETE; compact with retainVersions to keep it)
+    val eT = intercept[Exception](
+      s.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("versionAsOf", "1").load().count())
+    assert(eT.getMessage.contains("expired"), eT.getMessage)
+    // cdf.enabled: the commit recorded its complete change sidecar
+    val feed = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("changeFeedFrom", "1").load()
+    val byType = feed.groupBy("_change_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byType === Map("delete" -> 25L, "insert" -> 25L))
+    assert(feed.where(col("_change_type") === "insert"
+      && col("body") === lower(col("body"))).count() === 0L)
+    // Delta's replaceWhere constraint: inserted rows outside the
+    // predicate refuse loudly, and the failed commit left no trace
+    val e1 = intercept[Exception](
+      src.where(col("shard") === 3)
+        .writeTo("ow.docs").overwrite(col("shard") === 5))
+    assert(e1.getMessage.contains("constraint violation")
+      || Option(e1.getCause).exists(_.getMessage.contains("constraint violation")),
+      e1.getMessage)
+    assert(ShardSink.currentManifestVersion(dir) === 2L)
+    assert(s.read.table("ow.docs").count() === 400L)
+    // unsupported predicates refuse at PLAN time
+    val e2 = intercept[Exception](
+      src.limit(1).writeTo("ow.docs").overwrite(col("body") === "x"))
+    assert(e2.getMessage.contains("unsupported overwrite predicate")
+      || Option(e2.getCause).exists(_.getMessage.contains("unsupported overwrite predicate")),
+      e2.getMessage)
+  }
+
+  test("filtered overwrite without cdf.enabled: commits fine, feed over it refuses") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.ow2", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.ow2.root", root)
+    def src = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "2").load()
+    src.writeTo("ow2.docs").append() // v1
+    src.where(col("doc_id") >= 300L && col("doc_id") < 350L)
+      .writeTo("ow2.docs").overwrite(col("doc_id") >= 300L) // v2: 100 -> 50
+    assert(s.read.table("ow2.docs").count() === 350L)
+    val dir = new java.io.File(root, "docs").getPath
+    assert(ShardSink.manifestCdcAt(dir, 2L).isEmpty) // no sidecar cost paid
+    val e = intercept[Exception](
+      s.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("readChangeFeed", "true")
+        .option("changeFeedFrom", "1").load().count())
+    assert(e.getMessage.contains("cdf.enabled"), e.getMessage)
+  }
+
+  test("vacuum: sweeps only unreferenced files, age guard protects in-flight commits") {
+    val dir = freshDir().getPath
+    val s = spark.newSession()
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "400").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0L, 200L); append(200L, 400L) // v1, v2
+    // orphans: a crashed job's renamed data file, vector and sidecar
+    Seq("part-bdead-0.tsv", "del-dead.pos", "cdc-dead.tsv").foreach { n =>
+      val w = graft.sources.SinkTestAccess.createFile(dir, n)
+      try w.write("x\n") finally w.close()
+    }
+    // the age guard: everything is younger than a day — nothing sweeps
+    assert(ShardSink.vacuum(dir, olderThanMillis = 24L * 3600 * 1000) === Seq.empty)
+    // age 0: exactly the three orphans go, in sorted order
+    assert(ShardSink.vacuum(dir, olderThanMillis = 0L) ===
+      Seq("cdc-dead.tsv", "del-dead.pos", "part-bdead-0.tsv"))
+    // committed state fully intact: reads, travel, manifests
+    assert(s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load().count() === 400L)
+    assert(s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("versionAsOf", "1").load().count() === 200L)
+    // idempotent: a second vacuum finds nothing
+    assert(ShardSink.vacuum(dir, olderThanMillis = 0L) === Seq.empty)
+  }
+
   test("restore: refuses when a later copy-on-write rewrite released the snapshot's files") {
     val root = freshDir().getPath
     val s = spark.newSession()

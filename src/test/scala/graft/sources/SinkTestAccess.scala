@@ -19,4 +19,7 @@ object SinkTestAccess {
 
   def widenColumn(dir: String, name: String, to: org.apache.spark.sql.types.DataType): Unit =
     ShardSink.widenColumn(dir, name, to)
+
+  def createFile(dir: String, name: String): java.io.BufferedWriter =
+    SinkFs.create(new org.apache.hadoop.fs.Path(dir, name))
 }
