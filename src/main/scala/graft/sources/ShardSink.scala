@@ -1469,24 +1469,89 @@ object ShardSink {
       SinkEntry(nf, rows.size.toLong, shard, shard, "",
         sorted.head._1, sorted.last._1)
     }
+    publishCompaction(dir, baseV, entries, newEntries, gen, retainVersions)
+  }
+
+  /** The shared publish tail of [[compact]] and [[compactZOrder]]: flip
+    * the consolidated entries in with the moved horizon, then sweep ONLY
+    * what no retained version references — data files, delete vectors
+    * and change sidecars of versions at-or-above the horizon all
+    * survive, so every promised snapshot/feed range stays exactly
+    * readable (expiry below the horizon is enforced by the readers).
+    */
+  private def publishCompaction(
+      dir: String, baseV: Long, priorEntries: Seq[SinkEntry],
+      newEntries: Seq[SinkEntry], gen: Long, retainVersions: Int): Unit = {
     val newV = baseV + 1
     val newHz = math.max(horizonOf(dir), math.max(1L, newV - retainVersions))
     flipFromBase(dir, baseV, newEntries, s"c$gen", horizon = Some(newHz))
-    // sweep ONLY what no retained version references: data files, delete
-    // vectors and change sidecars of versions at-or-above the horizon all
-    // survive, so every promised snapshot/feed range stays exactly
-    // readable — expiry below the horizon is enforced by the readers
     val keep: Set[String] = (newHz to newV).flatMap { v =>
       entriesAtVersion(dir, v)
         .flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil)) ++
         manifestCdcAt(dir, v)
     }.toSet
-    entries.map(_.file).filterNot(keep).foreach(f => SinkFs.delete(new Path(dir, f)))
+    priorEntries.map(_.file).filterNot(keep).foreach(f => SinkFs.delete(new Path(dir, f)))
     SinkFs.listFileNames(new Path(dir)).filter(f =>
       (f.startsWith("del-") && f.endsWith(".pos")) ||
         (f.startsWith("cdc-") && f.endsWith(".tsv")))
       .filterNot(keep)
       .foreach(f => SinkFs.delete(new Path(dir, f)))
+  }
+
+  /** Z-ORDER compaction (round 14): Delta's `OPTIMIZE … ZORDER BY
+    * (shard, doc_id)` — MULTI-dimensional clustering so BOTH filter
+    * dimensions prune files. Plain [[compact]] makes shard-pure files:
+    * shard filters prune perfectly, but a doc_id range must read every
+    * shard's file. Here rows sort by the Morton interleave of the shard
+    * with the doc_id's position in its value range — both normalized to
+    * 4 bits so neither dimension dominates the order (the classic
+    * zero-padded interleave would let the wider doc_id drown the shard
+    * bits) — then chunk into `rowsPerFile` files. Each file covers a
+    * small shard-range × doc-range rectangle with exact per-file stats,
+    * so a filter on EITHER column skips most files and a conjunction
+    * skips multiplicatively. Same commit protocol, vector folding and
+    * retention semantics as [[compact]]; `part-c` names keep the
+    * tail/CDF no-op semantics. Runs driver-side like every maintenance
+    * rewrite — a 100 TB deployment submits the sort as a job (one range
+    * exchange over z-values); the manifest protocol is identical.
+    */
+  def compactZOrder(
+      dir: String, rowsPerFile: Int, retainVersions: Int = 0): Unit = {
+    val (baseV, entries) = resolveBase(dir)
+    if (entries.isEmpty) return
+    val rows = entries.flatMap { e =>
+      liveLines(dir, e).map { l =>
+        val c = l.split("\t", 3); (c(0).toLong, c(1).toInt, l)
+      }
+    }
+    val minDoc = rows.iterator.map(_._1).min
+    val span = math.max(1L, rows.iterator.map(_._1).max - minDoc + 1L)
+    def morton(doc: Long, shard: Int): Int = {
+      val db = (((doc - minDoc) << 4) / span).toInt // doc quantile, 0..15
+      var z = 0
+      var i = 0
+      while (i < 4) {
+        z |= ((db >> i) & 1) << (2 * i + 1)
+        z |= ((shard >> i) & 1) << (2 * i)
+        i += 1
+      }
+      z
+    }
+    val gen = compactCounter.incrementAndGet()
+    val sorted = rows.sortBy { case (d, s, _) => (morton(d, s), d) }
+    val newEntries = sorted.grouped(math.max(1, rowsPerFile)).zipWithIndex.map {
+      case (chunk, i) =>
+        val nf = s"part-c$gen-z$i.tsv"
+        val tmp = new Path(dir, s"_tmp/$nf")
+        val w = SinkFs.create(tmp)
+        try chunk.foreach { case (_, _, l) => w.write(l); w.write("\n") }
+        finally w.close()
+        SinkFs.moveOver(tmp, new Path(dir, nf))
+        SinkEntry(nf, chunk.size.toLong,
+          chunk.iterator.map(_._2).min, chunk.iterator.map(_._2).max, "",
+          chunk.iterator.map(_._1).min, chunk.iterator.map(_._1).max)
+    }.toSeq
+    publishCompaction(dir, baseV, entries, newEntries, gen, retainVersions)
   }
 
   /** VACUUM — sweep files NO manifest version references: the garbage a
@@ -1618,6 +1683,63 @@ object ShardSink {
     """SELECT CAST(doc_id % 16 AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |       bit_xor(doc_id) AS xor_ids,
       |       CAST(16 AS BIGINT) AS n_files, TRUE AS shard_pure
+      |FROM range(0, 2000) t(doc_id)
+      |GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** Driver-checked Z-ORDER compaction (round 14): three fragmented
+    * Appends, `compactZOrder` into 16 rectangle files, read back — the
+    * per-shard rollup must be BYTE-IDENTICAL to the uncompacted oracle
+    * (layout may change, values never), and the pruning contract is
+    * folded into the checked row as booleans: a shard-only filter, a
+    * doc-range-only filter AND their conjunction must each plan at most
+    * half / half / a quarter of the files — the multi-dimensional
+    * skipping plain shard-pure compaction cannot give (its doc_id
+    * filters read every shard's file).
+    */
+  def zorderRoundtrip(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("zorder:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkzord_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(dir)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false") // planned files == rdd partitions
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2000").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir.getPath)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0L, 500L); append(500L, 1200L); append(1200L, 2000L)
+    compactZOrder(dir.getPath, rowsPerFile = 125) // 2000 rows -> 16 files
+    val nFiles = committedEntries(dir.getPath).size
+    def read = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+    val shardPlanned = read.where(col("shard") === 2).rdd.getNumPartitions
+    val docPlanned = read.where(col("doc_id") >= 500L && col("doc_id") < 1000L)
+      .rdd.getNumPartitions
+    val bothPlanned = read.where(col("shard") === 2
+      && col("doc_id") >= 500L && col("doc_id") < 1000L).rdd.getNumPartitions
+    read
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("xor_ids"))
+      .withColumn("n_files", lit(nFiles.toLong))
+      .withColumn("shard_prunes", lit(shardPlanned * 2 <= nFiles))
+      .withColumn("doc_prunes", lit(docPlanned * 2 <= nFiles))
+      .withColumn("both_prune_more", lit(bothPlanned * 4 <= nFiles))
+      .orderBy("shard")
+  }
+
+  val zorderRoundtripSql: String =
+    """SELECT CAST(doc_id % 16 AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids, CAST(16 AS BIGINT) AS n_files,
+      |       TRUE AS shard_prunes, TRUE AS doc_prunes, TRUE AS both_prune_more
       |FROM range(0, 2000) t(doc_id)
       |GROUP BY 1 ORDER BY shard""".stripMargin
 

@@ -203,6 +203,7 @@ object Sinks {
     "q_dsv2_restore" -> (ShardSink.restoreReport _),
     "q_dsv2_replace_where" -> (ShardSink.replaceWhereReport _),
     "q_dsv2_vacuum" -> (ShardSink.vacuumReport _),
+    "q_dsv2_zorder" -> (ShardSink.zorderRoundtrip _),
     "s_dsv2_stream_parity" -> (DocGen.dsv2StreamParity _))
 
   val oracle: Map[String, String] = Map(
@@ -240,6 +241,7 @@ object Sinks {
     "q_dsv2_restore" -> ShardSink.restoreReportSql,
     "q_dsv2_replace_where" -> ShardSink.replaceWhereReportSql,
     "q_dsv2_vacuum" -> ShardSink.vacuumReportSql,
+    "q_dsv2_zorder" -> ShardSink.zorderRoundtripSql,
     "s_dsv2_stream_parity" -> DocGen.dsv2StreamParitySql)
 
   /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead

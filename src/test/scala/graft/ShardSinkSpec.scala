@@ -836,6 +836,52 @@ class ShardSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("cdf.enabled"), e.getMessage)
   }
 
+  test("z-order compaction: rectangle files prune on BOTH dimensions; values untouched") {
+    val dir = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "1600").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0L, 600L); append(600L, 1600L)
+    def read = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+    val before = read.groupBy("shard").agg(expr("bit_xor(doc_id)").as("x"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // a MOR vector must FOLD (not resurrect) through the rewrite
+    graft.sources.SinkTestAccess.morDelete(dir, 1590L)
+    ShardSink.compactZOrder(dir, rowsPerFile = 100) // 1599 live rows -> 16 files
+    val entries = ShardSink.committedEntries(dir)
+    assert(entries.size === 16)
+    assert(entries.forall(e => e.hasStats && e.hasDocStats))
+    assert(read.count() === 1599L)
+    // every file is a small rectangle: no file spans more than half of
+    // either dimension (the whole point vs shard-pure compaction)
+    assert(entries.forall(e => e.shardMax - e.shardMin <= 7),
+      entries.map(e => (e.file, e.shardMin, e.shardMax)).mkString(", "))
+    assert(entries.forall(e => e.docMax - e.docMin <= 800L),
+      entries.map(e => (e.file, e.docMin, e.docMax)).mkString(", "))
+    // both single-dimension filters prune to at most half the files, the
+    // conjunction to at most a quarter
+    val shardN = read.where(col("shard") === 2).rdd.getNumPartitions
+    val docN = read.where(col("doc_id") >= 400L && col("doc_id") < 800L)
+      .rdd.getNumPartitions
+    val bothN = read.where(col("shard") === 2
+      && col("doc_id") >= 400L && col("doc_id") < 800L).rdd.getNumPartitions
+    assert(shardN * 2 <= 16, s"shard filter planned $shardN of 16")
+    assert(docN * 2 <= 16, s"doc filter planned $docN of 16")
+    assert(bothN * 4 <= 16, s"conjunction planned $bothN of 16")
+    // values byte-identical (minus the folded delete)
+    val after = read.groupBy("shard").agg(expr("bit_xor(doc_id)").as("x"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val deletedShard = (1590L % 16L).toInt
+    assert(after.filter(_._1 != deletedShard) === before.filter(_._1 != deletedShard))
+    assert(after(deletedShard) === (before(deletedShard) ^ 1590L))
+  }
+
   test("vacuum: sweeps only unreferenced files, age guard protects in-flight commits") {
     val dir = freshDir().getPath
     val s = spark.newSession()
