@@ -278,7 +278,6 @@ class ShardSinkTable(
       private var pruneDocs: Option[(Long, Long)] = None
       private var used: Array[Filter] = Array.empty
       private var sawFilters = false
-      private var countCols = 0
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         sawFilters = filters.nonEmpty
         prune = ShardSink.shardPruneSet(filters)
@@ -307,48 +306,109 @@ class ShardSinkTable(
         * attempts the push when no post-scan filter remains, and the
         * guard keeps the contract local.
         */
-      private def countOnly(
-          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-        !sawFilters && agg.groupByExpressions().isEmpty &&
-          agg.aggregateExpressions().nonEmpty &&
-          agg.aggregateExpressions().forall {
-            case _: org.apache.spark.sql.connector.expressions.aggregate.CountStar => true
-            case c: org.apache.spark.sql.connector.expressions.aggregate.Count =>
-              !c.isDistinct && (c.column match {
-                case r: org.apache.spark.sql.connector.expressions.NamedReference =>
-                  val n = r.fieldNames
-                  n.sameElements(Array("doc_id")) || n.sameElements(Array("shard")) ||
-                    n.sameElements(Array("body"))
-                case _ => false
-              })
-            case _ => false
+      /** METADATA-ONLY AGGREGATES (rounds 13/14): an unfiltered,
+        * ungrouped COUNT(*) / COUNT(non-nullable col) answers from the
+        * manifest's live-row bookkeeping, and MIN/MAX over the stats
+        * columns (doc_id, shard) answer from the per-file ranges — zero
+        * data IO either way, the `SELECT COUNT(*)/MIN/MAX` every table
+        * format special-cases. Filters disqualify (this scan applies
+        * none itself). MIN/MAX additionally require every entry to carry
+        * the stat AND no delete vectors anywhere: a vector may have
+        * killed exactly the extreme row, making the file-level range an
+        * over-approximation — COUNT stays eligible because live-row
+        * counts are maintained through vector growth.
+        */
+      private def metaAggs(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Option[Seq[ShardSinkMetaAgg]] = {
+        import org.apache.spark.sql.connector.expressions.NamedReference
+        import org.apache.spark.sql.connector.expressions.aggregate._
+        def col1(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+          e match {
+            case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+            case _ => None
           }
+        if (sawFilters || agg.groupByExpressions().nonEmpty ||
+            agg.aggregateExpressions().isEmpty) None
+        else {
+          val specs = agg.aggregateExpressions().toSeq.map {
+            case _: CountStar => Some(MetaCount)
+            case c: Count if !c.isDistinct =>
+              col1(c.column).collect {
+                case "doc_id" | "shard" | "body" => MetaCount
+              }
+            case m: Min => col1(m.column).collect {
+              case "doc_id" => MetaMinDoc
+              case "shard" => MetaMinShard
+            }
+            case m: Max => col1(m.column).collect {
+              case "doc_id" => MetaMaxDoc
+              case "shard" => MetaMaxShard
+            }
+            case _ => None
+          }
+          if (specs.exists(_.isEmpty)) None
+          else {
+            val out = specs.flatten
+            // MIN/MAX soundness gate, resolved against the pinned version
+            if (out.forall(_ == MetaCount)) Some(out)
+            else {
+              val entries = ShardSink.entriesAsOf(path, v)
+              val ok = entries.forall(e =>
+                e.hasStats && e.hasDocStats && !e.hasDeletes)
+              if (ok) Some(out) else None
+            }
+          }
+        }
+      }
+      private var pushedMeta: Option[Seq[ShardSinkMetaAgg]] = None
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-        countOnly(agg)
+        metaAggs(agg).isDefined
       override def pushAggregation(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-        if (countOnly(agg)) { countCols = agg.aggregateExpressions().length; true }
-        else false
-      override def build(): Scan =
-        if (countCols > 0) new ShardSinkCountScan(path, v, countCols)
-        else new ShardSinkScan(path, v, prune, required, pruneDocs, table)
+        metaAggs(agg) match {
+          case some @ Some(_) => pushedMeta = some; true
+          case None => false
+        }
+      override def build(): Scan = pushedMeta match {
+        case Some(specs) => new ShardSinkCountScan(path, v, specs)
+        case None => new ShardSinkScan(path, v, prune, required, pruneDocs, table)
+      }
     }
   }
 }
 
-/** The manifest-count scan: one partition, one row, the summed live-row
-  * counts of the (possibly version-pinned) manifest — resolved at plan
-  * time on the driver.
+/** The pushed metadata-only aggregate shapes ([[ShardSinkCountScan]]):
+  * live-row COUNT from the manifest bookkeeping; MIN/MAX over the stats
+  * columns from the per-file ranges (eligibility — full stats, zero
+  * delete vectors — is decided at push time).
   */
-class ShardSinkCountScan(path: String, asOf: Option[Long], cols: Int)
+sealed trait ShardSinkMetaAgg extends Serializable
+case object MetaCount extends ShardSinkMetaAgg
+case object MetaMinDoc extends ShardSinkMetaAgg
+case object MetaMaxDoc extends ShardSinkMetaAgg
+case object MetaMinShard extends ShardSinkMetaAgg
+case object MetaMaxShard extends ShardSinkMetaAgg
+
+/** The manifest-aggregate scan: one partition, one row, every value
+  * resolved at plan time on the driver from the (possibly
+  * version-pinned) manifest — COUNTs from live-row bookkeeping, MIN/MAX
+  * from per-file stat ranges. Empty table: COUNT 0, MIN/MAX null.
+  */
+class ShardSinkCountScan(path: String, asOf: Option[Long], specs: Seq[ShardSinkMetaAgg])
   extends Scan with Batch {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
   override def readSchema(): StructType =
-    (0 until cols).foldLeft(new StructType()) { (st, i) =>
-      st.add(s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)
+    specs.zipWithIndex.foldLeft(new StructType()) { case (st, (sp, i)) =>
+      sp match {
+        case MetaCount => st.add(s"count_$i", LongType, nullable = false)
+        case MetaMinDoc | MetaMaxDoc => st.add(s"agg_$i", LongType, nullable = true)
+        case MetaMinShard | MetaMaxShard => st.add(s"agg_$i", IntegerType, nullable = true)
+      }
     }
   override def description(): String =
-    s"ShardSinkCountScan[$path, manifest-only count" +
+    s"ShardSinkCountScan[$path, manifest-only count/minmax" +
       asOf.map(v => s", versionAsOf=$v").getOrElse("") + "]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
@@ -358,27 +418,32 @@ class ShardSinkCountScan(path: String, asOf: Option[Long], cols: Int)
     // agree on validity (spec-pinned)
     val entries = ShardSink.entriesAsOf(path, asOf)
     asOf.foreach(v => ShardSink.requireSnapshotLive(path, v, entries))
-    Array(ShardSinkCountPartition(entries.map(_.rows).sum))
+    val values: Array[Any] = specs.map {
+      case MetaCount => entries.map(_.rows).sum: Any
+      case MetaMinDoc => if (entries.isEmpty) null else entries.map(_.docMin).min
+      case MetaMaxDoc => if (entries.isEmpty) null else entries.map(_.docMax).max
+      case MetaMinShard => if (entries.isEmpty) null else entries.map(_.shardMin).min
+      case MetaMaxShard => if (entries.isEmpty) null else entries.map(_.shardMax).max
+    }.toArray
+    Array(ShardSinkCountPartition(values))
   }
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val n = cols
+  override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
-      val c = partition.asInstanceOf[ShardSinkCountPartition].count
+      val vs = partition.asInstanceOf[ShardSinkCountPartition].values
       new PartitionReader[InternalRow] {
         private var done = false
         override def next(): Boolean = { val r = !done; done = true; r }
         override def get(): InternalRow = {
-          val row = new GenericInternalRow(n)
-          (0 until n).foreach(i => row.update(i, c))
+          val row = new GenericInternalRow(vs.length)
+          vs.zipWithIndex.foreach { case (v, i) => row.update(i, v) }
           row
         }
         override def close(): Unit = ()
       }
     }
-  }
 }
 
-case class ShardSinkCountPartition(count: Long) extends InputPartition
+case class ShardSinkCountPartition(values: Array[Any]) extends InputPartition
 
 /** Hadoop-FileSystem IO layer: every read/write/rename/delete the sink
   * performs, resolved per-path so `file:`, `hdfs:` and compatible schemes
@@ -1934,6 +1999,50 @@ object ShardSink {
     """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM range(0, 2000) t(doc_id)
       |        WHERE NOT doc_id >= 1500) AS n_live,
       |       CAST(2000 AS BIGINT) AS n_v2""".stripMargin
+
+  /** Driver-checked metadata-only MIN/MAX (round 14): the companion to
+    * `q_dsv2_count_meta` — an unfiltered, ungrouped
+    * COUNT/MIN/MAX(doc_id, shard) rollup answers straight from the
+    * manifest's per-file stat ranges, ZERO data IO (Iceberg answers
+    * these from its manifests the same way). Eligibility is conservative
+    * — any delete vector anywhere refuses the MIN/MAX push (the vector
+    * may have killed exactly the extreme row) and the plan falls back to
+    * the row scan, spec-pinned. Two appends of known windows make every
+    * cell a literal for the oracle.
+    */
+  def minMaxMeta(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("minmax:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmm_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(dir)
+    def append(lo: Long, hi: Long): Unit =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2000").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir.getPath)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(100L, 900L); append(900L, 1700L)
+    spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        min(col("shard")).as("min_shard"), max(col("shard")).as("max_shard"))
+  }
+
+  val minMaxMetaSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+      |       CAST(MIN(doc_id % 16) AS INT) AS min_shard,
+      |       CAST(MAX(doc_id % 16) AS INT) AS max_shard
+      |FROM range(100, 1700) t(doc_id)""".stripMargin
 
   /** Committed (file, rows) pairs, from the manifest only. Missing
     * manifest = no committed data (an in-flight or crashed job), never an

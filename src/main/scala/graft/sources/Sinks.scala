@@ -199,6 +199,7 @@ object Sinks {
     "q_dsv2_stats_prune" -> (ShardSink.statsPrune _),
     "q_dsv2_range_prune" -> (ShardSink.rangePrune _),
     "q_dsv2_count_meta" -> (ShardSink.countMeta _),
+    "q_dsv2_minmax_meta" -> (ShardSink.minMaxMeta _),
     "q_dsv2_evolve" -> (ShardSink.schemaEvolution _),
     "q_dsv2_restore" -> (ShardSink.restoreReport _),
     "q_dsv2_replace_where" -> (ShardSink.replaceWhereReport _),
@@ -237,6 +238,7 @@ object Sinks {
     "q_dsv2_stats_prune" -> ShardSink.statsPruneSql,
     "q_dsv2_range_prune" -> ShardSink.rangePruneSql,
     "q_dsv2_count_meta" -> ShardSink.countMetaSql,
+    "q_dsv2_minmax_meta" -> ShardSink.minMaxMetaSql,
     "q_dsv2_evolve" -> ShardSink.schemaEvolutionSql,
     "q_dsv2_restore" -> ShardSink.restoreReportSql,
     "q_dsv2_replace_where" -> ShardSink.replaceWhereReportSql,

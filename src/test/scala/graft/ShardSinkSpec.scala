@@ -836,6 +836,44 @@ class ShardSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("cdf.enabled"), e.getMessage)
   }
 
+  test("metadata-only MIN/MAX: answers from stats, refuses with vectors and filters") {
+    val dir = freshDir().getPath
+    val s = spark.newSession()
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "1600").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(100L, 900L); append(900L, 1500L)
+    def read = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // the whole rollup answers from the manifest: the plan is the
+    // one-row metadata scan, no data file is opened
+    val agg = read.agg(
+      count(lit(1)).as("n"), min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+      min(col("shard")).as("slo"), max(col("shard")).as("shi"))
+    assert(planOf(agg).contains("manifest-only count/minmax"), planOf(agg))
+    val r = agg.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)) ===
+      ((1400L, 100L, 1499L, 0, 15)))
+    // a filter disqualifies the push — row scan, same answer
+    val filtered = read.where(col("doc_id") >= 900L).agg(min(col("doc_id")).as("lo"))
+    assert(!planOf(filtered).contains("manifest-only"), planOf(filtered))
+    assert(filtered.collect().head.getLong(0) === 900L)
+    // a delete vector anywhere refuses MIN/MAX (the vector may have
+    // killed the extreme row) but plain COUNT stays manifest-only
+    graft.sources.SinkTestAccess.morDelete(dir, 1499L)
+    val mm = read.agg(max(col("doc_id")).as("hi"))
+    assert(!planOf(mm).contains("manifest-only"), planOf(mm))
+    assert(mm.collect().head.getLong(0) === 1498L) // the row scan is exact
+    val cnt = read.agg(count(lit(1)).as("n"))
+    assert(planOf(cnt).contains("manifest-only"), planOf(cnt))
+    assert(cnt.collect().head.getLong(0) === 1399L)
+  }
+
   test("z-order compaction: rectangle files prune on BOTH dimensions; values untouched") {
     val dir = freshDir().getPath
     val s = spark.newSession()
