@@ -1302,6 +1302,85 @@ object ShardSink {
       |       CAST(SUM(up) AS BIGINT) AS n_upper
       |FROM ch GROUP BY 1, 2 ORDER BY _commit_version, _change_type""".stripMargin
 
+  /** Driver-checked CDC REPLICA SYNC (round 14): the downstream loop the
+    * change feed EXISTS for — tail table A's feed one commit per
+    * trigger and maintain replica B with one MERGE per micro-batch
+    * (Delta documents exactly this CDF-apply recipe): postimages and
+    * inserts upsert, deletes delete, preimages drop. This is also WHY
+    * update pre/post PAIRING matters: collapsed delete+insert of the
+    * same doc in one batch would hit MERGE's multiple-source-rows error
+    * — the paired feed applies cleanly. History: two appends, a
+    * merge-on-read DELETE, a delta UPDATE; the final replica must equal
+    * the source row-for-row (n_diff = 0, exceptAll both ways) with the
+    * rollup re-derived by DuckDB.
+    */
+  def replicaSyncParity(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("rsync:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkrsync_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = graft.streaming.StreamTune.session(spark)
+    Seq("graft_rsrc", "graft_rdst").foreach { cat =>
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[ShardSinkCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.getPath)
+      s.conf.set(s"spark.sql.catalog.$cat.delete.mode", "merge-on-read")
+      s.conf.set(s"spark.sql.catalog.$cat.rlo.mode", "merge-on-read")
+      s.conf.set(s"spark.sql.catalog.$cat.cdf.enabled", "true")
+    }
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2000").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .writeTo("graft_rsrc.docs_src").append()
+    append(0L, 800L); append(800L, 2000L)                           // v1, v2
+    s.sql("DELETE FROM graft_rsrc.docs_src WHERE doc_id >= 1500")    // v3
+    s.sql("UPDATE graft_rsrc.docs_src SET body = upper(body) WHERE doc_id < 300") // v4
+    val srcDir = new java.io.File(root, "docs_src").getPath
+    val q = s.readStream.format("graft.sources.ShardSinkSource")
+      .option("path", srcDir).option("readChangeFeed", "true").load()
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.createOrReplaceTempView("ch_sync")
+        batch.sparkSession.sql(
+          """MERGE INTO graft_rdst.docs_dst d
+            |USING (SELECT doc_id, shard, body, _change_type FROM ch_sync
+            |       WHERE _change_type != 'update_preimage') c
+            |ON d.doc_id = c.doc_id
+            |WHEN MATCHED AND c._change_type = 'delete' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET d.shard = c.shard, d.body = c.body
+            |WHEN NOT MATCHED AND c._change_type != 'delete'
+            |  THEN INSERT (doc_id, shard, body) VALUES (c.doc_id, c.shard, c.body)
+            |""".stripMargin)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val src = s.read.table("graft_rsrc.docs_src")
+    val dst = s.read.table("graft_rdst.docs_dst")
+    val nDiff = dst.exceptAll(src).union(src.exceptAll(dst)).count()
+    val totals = dst.agg(
+      count(lit(1)),
+      expr("bit_xor(doc_id)"),
+      sum(when(col("body") =!= lower(col("body")), 1L).otherwise(0L))).collect().head
+    import spark.implicits._
+    Seq((totals.getLong(0), totals.getLong(1), totals.getLong(2), nDiff))
+      .toDF("n_docs", "xor_ids", "n_upper", "n_diff")
+  }
+
+  val replicaSyncParitySql: String =
+    """WITH fin AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id < 300 THEN 1 ELSE 0 END AS up
+      |  FROM range(0, 2000) t(doc_id) WHERE doc_id < 1500)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, bit_xor(doc_id) AS xor_ids,
+      |       CAST(SUM(up) AS BIGINT) AS n_upper, CAST(0 AS BIGINT) AS n_diff
+      |FROM fin""".stripMargin
+
   /** Driver-checked RESTORE (round 14): Delta `RESTORE TABLE` / Iceberg
     * rollback as a NEW commit — the bad-deploy undo button. Two appends,
     * a merge-on-read DELETE, a restore to the pre-delete snapshot

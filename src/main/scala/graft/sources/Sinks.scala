@@ -189,6 +189,7 @@ object Sinks {
     "q_dsv2_merge_full" -> (ShardSink.mergeFullSyncCow _),
     "q_dsv2_merge_full_mor" -> (ShardSink.mergeFullSyncMor _),
     "s_dsv2_cdc_parity" -> (ShardSink.cdcStreamParity _),
+    "s_dsv2_replica_sync" -> (ShardSink.replicaSyncParity _),
     "q_dsv2_merge" -> (ShardSink.mergeRoundtrip _),
     "s_shardsink_stream_parity" -> (ShardSink.streamWriteParity _),
     "s_shardsink_tail_parity" -> (ShardSink.tailParity _),
@@ -228,6 +229,7 @@ object Sinks {
     "q_dsv2_merge_full" -> ShardSink.mergeFullSyncSql,
     "q_dsv2_merge_full_mor" -> ShardSink.mergeFullSyncSql,
     "s_dsv2_cdc_parity" -> ShardSink.cdcStreamParitySql,
+    "s_dsv2_replica_sync" -> ShardSink.replicaSyncParitySql,
     "q_dsv2_merge" -> ShardSink.mergeRoundtripSql,
     "s_shardsink_stream_parity" -> ShardSink.streamWriteParitySql,
     "s_shardsink_tail_parity" -> ShardSink.tailParitySql,
