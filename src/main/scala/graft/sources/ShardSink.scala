@@ -253,17 +253,20 @@ class ShardSinkTable(
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // time travel, all four spellings: SQL `VERSION AS OF n` /
-    // `TIMESTAMP AS OF ts` arrive via [[ShardSinkCatalog.loadTable]]
-    // overloads (the table-level asOf); the `versionAsOf` /
-    // `timestampAsOf` read options arrive here. Timestamps resolve to
-    // the newest version committed at-or-before the instant.
+    // time travel, all the spellings: SQL `VERSION AS OF n` /
+    // `VERSION AS OF 'tag'` / `TIMESTAMP AS OF ts` arrive via
+    // [[ShardSinkCatalog.loadTable]] overloads (the table-level asOf);
+    // the `versionAsOf` / `timestampAsOf` / `tag` read options arrive
+    // here. Timestamps resolve to the newest version committed
+    // at-or-before the instant; tags resolve through their ref file.
     val vOpt = Option(options.get("versionAsOf")).map(_.toLong)
     val tsOpt = Option(options.get("timestampAsOf"))
-    require(vOpt.isEmpty || tsOpt.isEmpty,
-      "specify versionAsOf or timestampAsOf, not both")
+    val tagOpt = Option(options.get("tag"))
+    require(Seq(vOpt, tsOpt, tagOpt).count(_.isDefined) <= 1,
+      "specify at most one of versionAsOf, timestampAsOf, tag")
     val v = vOpt
       .orElse(tsOpt.map(s => ShardSink.versionAtTimestamp(path, ShardSink.parseTsMillis(s))))
+      .orElse(tagOpt.map(t => ShardSink.resolveTag(path, t)))
       .orElse(asOf)
     // STATS-BASED FILE SKIPPING (round 13): shard-constraining conjuncts
     // prune whole files against the manifest's per-file shard range before
@@ -1302,6 +1305,56 @@ object ShardSink {
       |       CAST(SUM(up) AS BIGINT) AS n_upper
       |FROM ch GROUP BY 1, 2 ORDER BY _commit_version, _change_type""".stripMargin
 
+  /** Driver-checked TAGS (round 14): Iceberg named refs — tag the
+    * post-ingest snapshot (`SET TBLPROPERTIES ('graft.tag.x'='v')`),
+    * DELETE, then compact with ZERO retained versions: the tag must
+    * hold the retention horizon so the tagged snapshot stays exactly
+    * readable through `VERSION AS OF 'tag'` while the current rollup
+    * reflects the delete — both rollups and the held horizon under one
+    * hash gate.
+    */
+  def tagsReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("tags:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinktag_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_tag", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_tag.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_tag.delete.mode", "merge-on-read")
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2000").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .writeTo("graft_tag.docs_tag").append()
+    append(0L, 800L) // v1
+    s.sql("ALTER TABLE graft_tag.docs_tag SET TBLPROPERTIES ('graft.tag.ingest_v1' = '1')")
+    append(800L, 2000L) // v2
+    s.sql("DELETE FROM graft_tag.docs_tag WHERE doc_id >= 1500") // v3
+    val dir = new java.io.File(root, "docs_tag").getPath
+    compact(dir) // v4, retain 0 — but the tag holds the horizon at 1
+    val tagged = s.sql(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_tag, bit_xor(doc_id) AS xor_tag
+        |FROM graft_tag.docs_tag VERSION AS OF 'ingest_v1'""".stripMargin)
+    val cur = s.sql(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_cur, bit_xor(doc_id) AS xor_cur
+        |FROM graft_tag.docs_tag""".stripMargin)
+    tagged.crossJoin(cur).withColumn("hz", lit(horizonOf(dir)))
+  }
+
+  val tagsReportSql: String =
+    """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM range(0, 800)) AS n_tag,
+      |       (SELECT bit_xor(doc_id) FROM range(0, 800) t(doc_id)) AS xor_tag,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM range(0, 1500)) AS n_cur,
+      |       (SELECT bit_xor(doc_id) FROM range(0, 1500) t(doc_id)) AS xor_cur,
+      |       CAST(1 AS BIGINT) AS hz""".stripMargin
+
   /** Driver-checked CDC REPLICA SYNC (round 14): the downstream loop the
     * change feed EXISTS for — tail table A's feed one commit per
     * trigger and maintain replica B with one MERGE per micro-batch
@@ -1627,7 +1680,12 @@ object ShardSink {
       dir: String, baseV: Long, priorEntries: Seq[SinkEntry],
       newEntries: Seq[SinkEntry], gen: Long, retainVersions: Int): Unit = {
     val newV = baseV + 1
-    val newHz = math.max(horizonOf(dir), math.max(1L, newV - retainVersions))
+    // tags HOLD the horizon (Iceberg refs pin snapshots against
+    // expiration): the horizon never moves past the oldest tagged
+    // version, so tagged snapshots stay readable until dropped
+    val tagFloor = listTags(dir).map(_._2).minOption.getOrElse(Long.MaxValue)
+    val newHz = math.min(tagFloor,
+      math.max(horizonOf(dir), math.max(1L, newV - retainVersions)))
     flipFromBase(dir, baseV, newEntries, s"c$gen", horizon = Some(newHz))
     val keep: Set[String] = (newHz to newV).flatMap { v =>
       entriesAtVersion(dir, v)
@@ -2498,6 +2556,65 @@ object ShardSink {
       schema = Some(schemaString(schemaAtVersion(dir, toVersion))),
       op = Some("restore"))
   }
+
+  /** TAGS (round 14) — Iceberg's named snapshot refs: a tag is an
+    * immutable name → version pin stored as its own `_tag.<name>` file
+    * (created with the fresh-name primitive, so two racers creating the
+    * same tag elect one winner; re-tagging requires an explicit drop).
+    * Like Iceberg refs pin snapshots against expiration, a tag HOLDS
+    * the retention horizon: compaction never moves the horizon past the
+    * oldest tagged version, so every tagged snapshot stays exactly
+    * readable until its tag is dropped. Readable via
+    * `VERSION AS OF 'name'` (string refs share Spark's version-travel
+    * spelling) and `option("tag", name)`; `graft.restore` accepts a tag
+    * name too. Names must not be all digits (that spelling is a version
+    * number).
+    */
+  private[sources] def createTag(dir: String, name: String, version: Long): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+") && !name.forall(_.isDigit),
+      s"invalid tag name '$name' (letters/digits/_/- and not all digits)")
+    val current = currentManifestVersion(dir)
+    require(version >= 1L && version <= current,
+      s"cannot tag version $version at $dir: the table is at version $current")
+    require(version >= horizonOf(dir),
+      s"cannot tag version $version at $dir: below the retention horizon " +
+        s"${horizonOf(dir)} (already released by compaction)")
+    val tmp = new Path(dir, s"_tag.$name.tmp")
+    val w = SinkFs.create(tmp)
+    try w.write(s"""{"v":$version}""") finally w.close()
+    try SinkFs.moveFresh(tmp, new Path(dir, s"_tag.$name"))
+    catch {
+      case _: IllegalArgumentException =>
+        SinkFs.delete(tmp)
+        throw new IllegalStateException(
+          s"tag '$name' already exists at $dir (tags are immutable — drop it first)")
+    }
+  }
+
+  private[sources] def dropTag(dir: String, name: String): Unit = {
+    val p = new Path(dir, s"_tag.$name")
+    require(SinkFs.exists(p), s"no tag '$name' at $dir")
+    SinkFs.delete(p)
+  }
+
+  private val TagV = """"v":(\d+)""".r
+
+  def tagVersion(dir: String, name: String): Option[Long] = {
+    val p = new Path(dir, s"_tag.$name")
+    if (!SinkFs.exists(p)) None
+    else TagV.findFirstMatchIn(SinkFs.readString(p)).map(_.group(1).toLong)
+  }
+
+  def listTags(dir: String): Seq[(String, Long)] = {
+    val Tag = """_tag\.(.+)""".r
+    SinkFs.listFileNames(new Path(dir)).collect {
+      case f @ Tag(n) if !f.endsWith(".tmp") => n -> tagVersion(dir, n)
+    }.collect { case (n, Some(v)) => n -> v }.sortBy(_._1)
+  }
+
+  def resolveTag(dir: String, name: String): Long =
+    tagVersion(dir, name).getOrElse(throw new IllegalArgumentException(
+      s"no tag '$name' at $dir (tags: ${listTags(dir).map(_._1).mkString(", ")})"))
 
   private val ManifestCdc = """"cdc":"([^"]+)"""".r
 
@@ -3745,10 +3862,17 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
     new ShardSinkTable(dirOf(ident),
       deleteMode = deleteMode, rloMode = rloMode, cdfEnabled = cdfEnabled)
   /** SQL time travel: `SELECT … FROM <cat>.<t> VERSION AS OF n` resolves
-    * here — the table is pinned to retained manifest version n.
+    * here — the table is pinned to retained manifest version n. A
+    * non-numeric version is a TAG name (`VERSION AS OF 'prod'` — string
+    * refs share the version-travel spelling, Iceberg-style).
     */
-  override def loadTable(ident: Identifier, version: String): Table =
-    new ShardSinkTable(dirOf(ident), Some(version.toLong), deleteMode, rloMode, cdfEnabled)
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    val v =
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      else ShardSink.resolveTag(dir, version)
+    new ShardSinkTable(dir, Some(v), deleteMode, rloMode, cdfEnabled)
+  }
   /** SQL `TIMESTAMP AS OF ts`: Spark hands the evaluated instant in
     * MICROseconds; resolve it to the newest manifest version committed
     * at-or-before it ([[ShardSink.versionAtTimestamp]]) and pin.
@@ -3796,13 +3920,22 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
         ShardSink.widenColumn(dir, up.fieldNames.head, up.newDataType)
       // RESTORE's SQL spelling (Spark has no RESTORE statement; Delta
       // ships one via a parser extension): SET TBLPROPERTIES
-      // ('graft.restore' = '<version>') rolls the table back to that
-      // snapshot as a new commit — see [[ShardSink.restore]]
+      // ('graft.restore' = '<version-or-tag>') rolls the table back to
+      // that snapshot as a new commit — see [[ShardSink.restore]]
       case sp: TableChange.SetProperty if sp.property == "graft.restore" =>
-        ShardSink.restore(dir, sp.value.toLong)
+        ShardSink.restore(dir,
+          if (sp.value.nonEmpty && sp.value.forall(_.isDigit)) sp.value.toLong
+          else ShardSink.resolveTag(dir, sp.value))
+      // TAG management (Iceberg refs): SET TBLPROPERTIES
+      // ('graft.tag.<name>' = '<version>') creates an immutable tag,
+      // UNSET TBLPROPERTIES ('graft.tag.<name>') drops it
+      case sp: TableChange.SetProperty if sp.property.startsWith("graft.tag.") =>
+        ShardSink.createTag(dir, sp.property.stripPrefix("graft.tag."), sp.value.toLong)
+      case rp: TableChange.RemoveProperty if rp.property.startsWith("graft.tag.") =>
+        ShardSink.dropTag(dir, rp.property.stripPrefix("graft.tag."))
       case other => throw new UnsupportedOperationException(
-        "shard sink supports ADD COLUMN, RENAME COLUMN, type widening and " +
-          s"'graft.restore' only, got $other")
+        "shard sink supports ADD COLUMN, RENAME COLUMN, type widening, " +
+          s"'graft.restore' and 'graft.tag.*' only, got $other")
     }
     loadTable(ident)
   }

@@ -206,6 +206,7 @@ object Sinks {
     "q_dsv2_replace_where" -> (ShardSink.replaceWhereReport _),
     "q_dsv2_vacuum" -> (ShardSink.vacuumReport _),
     "q_dsv2_zorder" -> (ShardSink.zorderRoundtrip _),
+    "q_dsv2_tags" -> (ShardSink.tagsReport _),
     "s_dsv2_stream_parity" -> (DocGen.dsv2StreamParity _))
 
   val oracle: Map[String, String] = Map(
@@ -246,6 +247,7 @@ object Sinks {
     "q_dsv2_replace_where" -> ShardSink.replaceWhereReportSql,
     "q_dsv2_vacuum" -> ShardSink.vacuumReportSql,
     "q_dsv2_zorder" -> ShardSink.zorderRoundtripSql,
+    "q_dsv2_tags" -> ShardSink.tagsReportSql,
     "s_dsv2_stream_parity" -> DocGen.dsv2StreamParitySql)
 
   /** PERMISSIVE CSV read: malformed lines land in `_corrupt_record` instead

@@ -836,6 +836,55 @@ class ShardSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("cdf.enabled"), e.getMessage)
   }
 
+  test("tags: immutable named refs that hold the retention horizon") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.tg", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.tg.root", root)
+    s.conf.set("spark.sql.catalog.tg.delete.mode", "merge-on-read")
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "600").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .writeTo("tg.docs").append()
+    append(0L, 400L)  // v1
+    s.sql("ALTER TABLE tg.docs SET TBLPROPERTIES ('graft.tag.stable' = '1')")
+    append(400L, 600L) // v2
+    val dir = new java.io.File(root, "docs").getPath
+    assert(ShardSink.listTags(dir) === Seq("stable" -> 1L))
+    // both read spellings resolve the ref
+    assert(s.sql("SELECT * FROM tg.docs VERSION AS OF 'stable'").count() === 400L)
+    assert(s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("tag", "stable").load().count() === 400L)
+    // immutable: re-tagging refuses; unknown tags and bad names refuse
+    val e1 = intercept[Exception](
+      s.sql("ALTER TABLE tg.docs SET TBLPROPERTIES ('graft.tag.stable' = '2')"))
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    val e2 = intercept[Exception](
+      s.sql("SELECT * FROM tg.docs VERSION AS OF 'nope'").count())
+    assert(e2.getMessage.contains("no tag 'nope'"), e2.getMessage)
+    val e3 = intercept[Exception](
+      graft.sources.SinkTestAccess.createTag(dir, "123", 1L))
+    assert(e3.getMessage.contains("invalid tag name"), e3.getMessage)
+    // zero-retention compaction CANNOT expire the tagged snapshot: the
+    // tag holds the horizon, the ref stays exactly readable
+    ShardSink.compact(dir) // v3
+    assert(ShardSink.horizonOf(dir) === 1L)
+    assert(s.sql("SELECT * FROM tg.docs VERSION AS OF 'stable'").count() === 400L)
+    // restore accepts the tag name
+    s.sql("ALTER TABLE tg.docs SET TBLPROPERTIES ('graft.restore' = 'stable')") // v4
+    assert(s.read.table("tg.docs").count() === 400L)
+    // drop releases the hold: the next compaction expires below it
+    s.sql("ALTER TABLE tg.docs UNSET TBLPROPERTIES ('graft.tag.stable')")
+    assert(ShardSink.listTags(dir) === Seq.empty)
+    ShardSink.compact(dir) // v5, horizon moves to 5
+    assert(ShardSink.horizonOf(dir) === 5L)
+    val e4 = intercept[Exception](
+      s.sql("SELECT * FROM tg.docs VERSION AS OF '1'").count())
+    assert(e4.getMessage.contains("retention horizon"), e4.getMessage)
+    assert(s.read.table("tg.docs").count() === 400L)
+  }
+
   test("metadata-only MIN/MAX: answers from stats, refuses with vectors and filters") {
     val dir = freshDir().getPath
     val s = spark.newSession()

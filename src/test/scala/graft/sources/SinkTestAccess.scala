@@ -23,6 +23,9 @@ object SinkTestAccess {
   def createFile(dir: String, name: String): java.io.BufferedWriter =
     SinkFs.create(new org.apache.hadoop.fs.Path(dir, name))
 
+  def createTag(dir: String, name: String, version: Long): Unit =
+    ShardSink.createTag(dir, name, version)
+
   def morDelete(dir: String, docId: Long): Unit =
     ShardSink.morDeleteImpl(dir,
       Array(org.apache.spark.sql.sources.EqualTo("doc_id", docId)))
