@@ -1612,6 +1612,93 @@ object ShardSink {
       |       CAST(SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_score
       |FROM g GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** CHECK-constraint lifecycle under the hash gate: ADD validates
+    * existing rows (a violated ADD refuses), admitted constraints are
+    * enforced on appends and UPDATE postimages (violating jobs abort with
+    * nothing committed), NULL passes (ANSI), UNSET lifts exactly one
+    * constraint while the rest stay in force. `n_rejected` counts the
+    * refusals the run OBSERVED — if enforcement ever goes quiet the
+    * counter drops and the hash breaks, and if a rejected write leaks
+    * rows the content aggregates break.
+    */
+  def constraintsReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("constraints:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkck_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_ck", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_ck.root", root.getPath)
+    def docs(lo: Long, hi: Long): org.apache.spark.sql.DataFrame =
+      s.range(lo, hi).select(
+        col("id").as("doc_id"),
+        (col("id") % 16L).cast("int").as("shard"),
+        concat(lit("body"), col("id")).as("body"))
+    def chain(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    var rejected = 0L
+    def expectRefused(frag: String)(op: => Unit): Unit =
+      try { op; () } catch {
+        case t: Throwable if chain(t).contains(frag) => rejected += 1L
+      }
+    docs(0L, 2000L).writeTo("graft_ck.docs_ck").append() // v1
+    s.sql("ALTER TABLE graft_ck.docs_ck SET TBLPROPERTIES " +
+      "('graft.constraint.valid_shard' = 'shard >= 0 AND shard < 16')") // v2
+    // refused: rows 0..499 violate — the DDL never lands
+    expectRefused("existing rows violate")(s.sql(
+      "ALTER TABLE graft_ck.docs_ck SET TBLPROPERTIES " +
+        "('graft.constraint.big_ids' = 'doc_id >= 500')"))
+    docs(2000L, 2400L).writeTo("graft_ck.docs_ck").append() // v3: passes
+    // violating append: every row lands shard -1 — job aborts, no commit
+    expectRefused("CHECK constraint valid_shard")(
+      docs(5000L, 5010L).withColumn("shard", lit(-1))
+        .writeTo("graft_ck.docs_ck").append())
+    s.sql("ALTER TABLE graft_ck.docs_ck ADD COLUMN score BIGINT") // v4
+    s.sql("ALTER TABLE graft_ck.docs_ck SET TBLPROPERTIES " +
+      "('graft.constraint.pos_score' = 'score > 0')") // v5
+    docs(2400L, 2500L).writeTo("graft_ck.docs_ck").append() // v6: null score PASSES
+    // copy-on-write UPDATE: violating postimage aborts the whole rewrite
+    expectRefused("CHECK constraint pos_score")(
+      s.sql("UPDATE graft_ck.docs_ck SET score = -5 WHERE doc_id = 200"))
+    s.sql("UPDATE graft_ck.docs_ck SET score = 50 WHERE doc_id < 100") // valid
+    // UNSET lifts valid_shard only: a negative shard now lands while
+    // pos_score is still enforced on the same row (null score → passes)
+    s.sql("ALTER TABLE graft_ck.docs_ck UNSET TBLPROPERTIES ('graft.constraint.valid_shard')")
+    docs(9000L, 9001L).withColumn("shard", lit(-2))
+      .writeTo("graft_ck.docs_ck").append()
+    s.read.table("graft_ck.docs_ck").agg(
+      count(lit(1)).as("n_docs"),
+      expr("bit_xor(doc_id)").as("xor_ids"),
+      sum(when(col("shard") < 0, 1L).otherwise(0L)).as("n_neg_shard"),
+      sum(when(col("score") === 50L, 1L).otherwise(0L)).as("n_score50"),
+      sum(when(col("score").isNull, 1L).otherwise(0L)).as("n_null_score"))
+      .withColumn("n_rejected", lit(rejected))
+  }
+
+  val constraintsReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |         CASE WHEN doc_id < 100 THEN 50 END AS score
+      |  FROM range(0, 2500) t(doc_id)
+      |  UNION ALL SELECT 9000, -2, NULL)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(SUM(CASE WHEN shard < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_shard,
+      |       CAST(SUM(CASE WHEN score = 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_score50,
+      |       CAST(SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_score,
+      |       CAST(3 AS BIGINT) AS n_rejected
+      |FROM g""".stripMargin
+
   private val compactCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** COMPACTION — the small-files maintenance op every landing zone
@@ -2257,7 +2344,8 @@ object ShardSink {
   private[sources] def writeManifestAt(
       dir: String, files: Seq[SinkEntry], tag: String, version: Long,
       cdc: Option[String] = None, horizon: Option[Long] = None,
-      schema: Option[String] = None, op: Option[String] = None): Unit = {
+      schema: Option[String] = None, op: Option[String] = None,
+      constraints: Option[String] = None): Unit = {
     val mTmp = new Path(dir, s"_manifest.$tag.tmp")
     val cdcKey = cdc.map(f => s""""cdc":"$f",""").getOrElse("")
     // per-commit operation marker (NOT table state — never carried
@@ -2265,19 +2353,21 @@ object ShardSink {
     // change (no physical rewrites ride a restore), so the change feed
     // derives it with plain-diff semantics
     val opKey = op.map(o => s""""op":"$o",""").getOrElse("")
-    // retention horizon and schema are table state: carried forward from
-    // the previous version unless this commit moves them (a retaining
-    // compaction / an ALTER TABLE)
+    // retention horizon, schema and CHECK constraints are table state:
+    // carried forward from the previous version unless this commit moves
+    // them (a retaining compaction / an ALTER TABLE)
     val hz = horizon.orElse(manifestHzAt(dir, version - 1))
     val hzKey = hz.map(h => s""""hz":$h,""").getOrElse("")
     val sch = schema.orElse(manifestSchemaAt(dir, version - 1))
     val schKey = sch.map(s => s""""schema":"$s",""").getOrElse("")
+    val ck = constraints.orElse(manifestCkAt(dir, version - 1))
+    val ckKey = ck.map(c => s""""ck":"$c",""").getOrElse("")
     val json = files.map { e =>
       val stats = if (e.hasStats) s""","s0":${e.shardMin},"s1":${e.shardMax}""" else ""
       val docs = if (e.hasDocStats) s""","d0":${e.docMin},"d1":${e.docMax}""" else ""
       val dv = if (e.hasDeletes) s""","dv":"${e.dv}"""" else ""
       s"""{"file":"${e.file}","rows":${e.rows}$stats$docs$dv}"""
-    }.mkString(s"""{"ts":${commitTimeMillis()},$opKey$hzKey$schKey$cdcKey"files":[""", ",", "]}")
+    }.mkString(s"""{"ts":${commitTimeMillis()},$opKey$hzKey$schKey$ckKey$cdcKey"files":[""", ",", "]}")
     val w = SinkFs.create(mTmp)
     try w.write(json) finally w.close()
     val dest = new Path(dir, s"_manifest.v$version.json")
@@ -2301,8 +2391,10 @@ object ShardSink {
   private[sources] def flipFromBase(
       dir: String, baseVersion: Long, files: Seq[SinkEntry], tag: String,
       cdc: Option[String] = None, horizon: Option[Long] = None,
-      schema: Option[String] = None, op: Option[String] = None): Unit =
-    try writeManifestAt(dir, files, tag, baseVersion + 1, cdc, horizon, schema, op)
+      schema: Option[String] = None, op: Option[String] = None,
+      constraints: Option[String] = None): Unit =
+    try writeManifestAt(dir, files, tag, baseVersion + 1, cdc, horizon, schema, op,
+      constraints)
     catch {
       case ShardSinkConflict(_, v) =>
         throw new IllegalStateException(
@@ -2370,6 +2462,78 @@ object ShardSink {
     */
   private val ManifestSchema = """"schema":"([^"]+)"""".r
   private[sources] val NullCell = "\\N"
+
+  /** CHECK constraints (round 14 — Delta ADD CONSTRAINT semantics, see
+    * [[SinkConstraint]]): table state in the manifest, `"ck":"name=pred
+    * [;name=pred…]"`, carried forward by every commit like schema and
+    * the retention horizon. Names are identifiers; predicates are split
+    * at the FIRST `=` so comparison `=`s inside them are safe, and may
+    * not contain `;`, `"`, `\` or control characters (validated at ADD).
+    * An empty value (all constraints dropped) writes `"ck":""`, which
+    * parses as no constraints while still overriding the carry-forward.
+    */
+  private val ManifestCk = """"ck":"([^"]+)"""".r
+
+  def manifestCkAt(dir: String, version: Long): Option[String] = {
+    val p = new Path(dir, s"_manifest.v$version.json")
+    if (!SinkFs.exists(p)) None
+    else ManifestCk.findFirstMatchIn(SinkFs.readString(p)).map(_.group(1))
+  }
+
+  /** The named CHECK constraints in force AS OF a manifest version. */
+  def constraintsAt(dir: String, version: Long): Seq[(String, String)] =
+    if (version <= 0L) Seq.empty
+    else manifestCkAt(dir, version).toSeq.flatMap(_.split(";").toSeq.map { c =>
+      val cut = c.indexOf('=')
+      (c.substring(0, cut), c.substring(cut + 1))
+    })
+
+  def currentConstraints(dir: String): Seq[(String, String)] =
+    constraintsAt(dir, currentManifestVersion(dir))
+
+  private def ckString(cks: Seq[(String, String)]): String =
+    cks.map { case (n, p) => s"$n=$p" }.mkString(";")
+
+  /** `ALTER TABLE … SET TBLPROPERTIES ('graft.constraint.<name>' =
+    * '<pred>')`: admit the predicate (grammar + column/type resolution,
+    * [[SinkConstraint.compile]]), then VALIDATE EXISTING ROWS with a
+    * distributed Spark job over the connector scan — Delta's ADD
+    * CONSTRAINT runs exactly this full-table check — refusing the DDL if
+    * any live row violates (predicate IS FALSE; NULL passes). The flip
+    * is read-modify-write on the pinned base: a concurrent commit aborts
+    * it loudly, so a row landing mid-validation can never slip under the
+    * new constraint.
+    */
+  private[sources] def addConstraint(dir: String, name: String, pred: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid constraint name '$name'")
+    require(!pred.exists(c => c == ';' || c == '"' || c == '\\' || c.isControl),
+      s"""constraint predicates may not contain ';', '"', '\\' or control chars""")
+    val (baseV, entries) = resolveBase(dir)
+    val table = schemaAtVersion(dir, baseV)
+    SinkConstraint.compile(pred, table) // admit grammar + refs before any IO
+    val cur = constraintsAt(dir, baseV)
+    require(!cur.exists(_._1 == name),
+      s"CHECK constraint $name already exists on $dir (UNSET it first)")
+    if (entries.nonEmpty) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val violations = spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("versionAsOf", baseV.toString).load()
+        .where(org.apache.spark.sql.functions.expr(s"NOT ($pred)"))
+        .limit(1).count()
+      require(violations == 0L,
+        s"cannot add CHECK constraint $name: existing rows violate ($pred)")
+    }
+    flipFromBase(dir, baseV, entries, s"ckadd${alterCounter.incrementAndGet()}",
+      constraints = Some(ckString(cur :+ ((name, pred)))))
+  }
+
+  private[sources] def dropConstraint(dir: String, name: String): Unit = {
+    val (baseV, entries) = resolveBase(dir)
+    val cur = constraintsAt(dir, baseV)
+    require(cur.exists(_._1 == name), s"no CHECK constraint $name on $dir")
+    flipFromBase(dir, baseV, entries, s"ckdrop${alterCounter.incrementAndGet()}",
+      constraints = Some(ckString(cur.filterNot(_._1 == name))))
+  }
 
   private def typeNameOf(dt: org.apache.spark.sql.types.DataType): String = dt match {
     case org.apache.spark.sql.types.LongType => "long"
@@ -2502,6 +2666,12 @@ object ShardSink {
     require(idx >= 3,
       s"column $from is part of the fixed (doc_id, shard, body) core and cannot be renamed")
     require(!cur.fieldNames.contains(to), s"column $to already exists")
+    // Delta blocks renaming a column a CHECK constraint references: the
+    // stored predicate names it, so the rename would break enforcement
+    constraintsAt(dir, baseV).foreach { case (n, p) =>
+      require(!SinkConstraint.references(p).contains(from),
+        s"column $from is referenced by CHECK constraint $n; drop it first")
+    }
     val renamed = StructType(cur.fields.updated(idx, cur.fields(idx).copy(name = to)))
     flipFromBase(dir, baseV, entries, s"alter${alterCounter.incrementAndGet()}",
       schema = Some(schemaString(renamed)))
@@ -2554,7 +2724,11 @@ object ShardSink {
         "to keep snapshots restorable)")
     flipFromBase(dir, baseV, entries, s"restore${restoreCounter.incrementAndGet()}",
       schema = Some(schemaString(schemaAtVersion(dir, toVersion))),
-      op = Some("restore"))
+      op = Some("restore"),
+      // Delta RESTORE reverts table METADATA with the data: the CHECK
+      // constraint set becomes the target version's (an empty set writes
+      // the "" override, not a carry-forward of the pre-restore set)
+      constraints = Some(ckString(constraintsAt(dir, toVersion))))
   }
 
   /** TAGS (round 14) — Iceberg's named snapshot refs: a tag is an
@@ -3248,8 +3422,25 @@ class ShardSinkWrite(
   // when two traits contribute the same concrete member
   override def useCommitCoordinator(): Boolean = true
 
+  // CHECK constraints pinned at write-build (driver): every task enforces
+  // this set per row. If an ADD CONSTRAINT lands between build and commit,
+  // the commit-side guard aborts rather than flip rows that were never
+  // validated against the newcomer (Delta resolves the same race as a
+  // transaction conflict).
+  private val pinnedCks = ShardSink.currentConstraints(path)
+
+  private def requireNoNewConstraints(baseV: Long): Unit = {
+    val added = ShardSink.constraintsAt(path, baseV).filterNot(pinnedCks.contains)
+    if (added.nonEmpty)
+      throw new IllegalStateException(
+        s"ShardSink write at $path conflicts with a concurrent ADD CONSTRAINT " +
+          s"(${added.map(_._1).mkString(", ")}): written rows were not validated " +
+          "against it; aborted loudly — re-run")
+  }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ShardSinkWriterFactory(path, queryId, table = tableSchema)
+    new ShardSinkWriterFactory(path, queryId, table = tableSchema,
+      constraints = pinnedCks)
 
   /** STREAMING_WRITE: the same temp-file/manifest protocol, per epoch.
     * Final names carry the epoch (`part-e<epoch>-<i>.tsv`) and each epoch
@@ -3260,7 +3451,7 @@ class ShardSinkWrite(
     * contract in one sentence.
     */
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    ShardSinkStreamingFactory(path, queryId, tableSchema)
+    ShardSinkStreamingFactory(path, queryId, tableSchema, pinnedCks)
 
   import org.apache.hadoop.fs.Path
 
@@ -3282,6 +3473,7 @@ class ShardSinkWrite(
     var committed = false
     while (!committed) {
       val (baseV, base) = ShardSink.resolveBase(path)
+      requireNoNewConstraints(baseV)
       val kept =
         if (base.nonEmpty) base.filterNot(_.file.startsWith(s"part-e$epochId-"))
         else recoverPriorEpochs(epochId)
@@ -3352,6 +3544,7 @@ class ShardSinkWrite(
     // base once and aborts loudly on a lost race.
     if (truncate) {
       val (baseV, previous) = ShardSink.resolveBase(path)
+      requireNoNewConstraints(baseV)
       ShardSink.flipFromBase(path, baseV, finals, queryId)
       // cleanup AFTER the flip: old files are already invisible;
       // deleting them can race nothing
@@ -3385,6 +3578,7 @@ class ShardSinkWrite(
           throw t
       }
       val (baseV, base) = ShardSink.resolveBase(path)
+      requireNoNewConstraints(baseV)
       val (kept, obsolete, removed) = ShardSink.cowDrop(path, base, filters,
         recordRemoved = cdf)
       // change record only when the table opted into CDF: the dropped
@@ -3405,6 +3599,7 @@ class ShardSinkWrite(
       var committed = false
       while (!committed) {
         val (baseV, base) = ShardSink.resolveBase(path)
+        requireNoNewConstraints(baseV)
         try {
           ShardSink.writeManifestAt(path, base ++ finals, s"$queryId-a$attempt", baseV + 1)
           committed = true
@@ -3430,11 +3625,13 @@ class ShardSinkWrite(
   * driver-side ShardSinkWrite.
   */
 case class ShardSinkStreamingFactory(
-    path: String, queryId: String, table: StructType = DocGen.schema)
+    path: String, queryId: String, table: StructType = DocGen.schema,
+    constraints: Seq[(String, String)] = Nil)
   extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new ShardSinkDataWriter(path, s"$queryId-e$epochId", partitionId, taskId, table = table)
+    new ShardSinkDataWriter(path, s"$queryId-e$epochId", partitionId, taskId,
+      table = table, constraints = constraints)
 }
 
 /** `trailingCols`: the plain batch/stream writes receive exactly the
@@ -3450,16 +3647,22 @@ case class ShardSinkStreamingFactory(
   */
 class ShardSinkWriterFactory(
     path: String, queryId: String, trailingCols: Boolean = false,
-    table: StructType = DocGen.schema)
+    table: StructType = DocGen.schema,
+    constraints: Seq[(String, String)] = Nil)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ShardSinkDataWriter(path, queryId, partitionId, taskId, trailingCols, table)
+    new ShardSinkDataWriter(path, queryId, partitionId, taskId, trailingCols, table,
+      constraints)
 }
 
 class ShardSinkDataWriter(
     path: String, queryId: String, partitionId: Int, taskId: Long,
-    trailingCols: Boolean = false, table: StructType = DocGen.schema)
+    trailingCols: Boolean = false, table: StructType = DocGen.schema,
+    constraints: Seq[(String, String)] = Nil)
   extends DataWriter[InternalRow] {
+  // compiled ON the executor from the pinned predicate strings; throws on
+  // the first violating row, failing the task before any commit
+  private lazy val checkRow = SinkConstraint.enforcer(constraints, table)
   // attempt-unique temp name: a speculative twin or retry writes its OWN
   // file; only the committed attempt's message reaches driver commit
   private val tmp =
@@ -3484,6 +3687,7 @@ class ShardSinkDataWriter(
     val doc = row.getLong(colIdx(0))
     if (doc < dMin) dMin = doc
     if (doc > dMax) dMax = doc
+    checkRow(row, colIdx)
     out.write(ShardSink.serializeRow(row, colIdx, table))
     out.write("\n")
     rows += 1
@@ -3933,9 +4137,16 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
         ShardSink.createTag(dir, sp.property.stripPrefix("graft.tag."), sp.value.toLong)
       case rp: TableChange.RemoveProperty if rp.property.startsWith("graft.tag.") =>
         ShardSink.dropTag(dir, rp.property.stripPrefix("graft.tag."))
+      // CHECK constraints (Delta ADD/DROP CONSTRAINT): SET TBLPROPERTIES
+      // ('graft.constraint.<name>' = '<pred>') adds one (validating
+      // existing rows), UNSET drops it — see [[SinkConstraint]]
+      case sp: TableChange.SetProperty if sp.property.startsWith("graft.constraint.") =>
+        ShardSink.addConstraint(dir, sp.property.stripPrefix("graft.constraint."), sp.value)
+      case rp: TableChange.RemoveProperty if rp.property.startsWith("graft.constraint.") =>
+        ShardSink.dropConstraint(dir, rp.property.stripPrefix("graft.constraint."))
       case other => throw new UnsupportedOperationException(
         "shard sink supports ADD COLUMN, RENAME COLUMN, type widening, " +
-          s"'graft.restore' and 'graft.tag.*' only, got $other")
+          s"'graft.restore', 'graft.tag.*' and 'graft.constraint.*' only, got $other")
     }
     loadTable(ident)
   }
@@ -4067,9 +4278,14 @@ class ShardSinkReplaceDataWrite(
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
 
   override def toBatch: BatchWrite = this
+
+  // pinned at factory-build: rewritten rows (UPDATE/MERGE can set any
+  // value) re-validate against every CHECK constraint in force
+  private val pinnedCks = ShardSink.currentConstraints(path)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ShardSinkWriterFactory(path, s"rlo-$queryId", trailingCols = true,
-      table = ShardSink.tableSchema(path))
+      table = ShardSink.tableSchema(path), constraints = pinnedCks)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val replaced = affected().toSet
@@ -4085,6 +4301,11 @@ class ShardSinkReplaceDataWrite(
     // replacement rows, so this commit aborts loudly instead of
     // resurrecting superseded data
     val (baseV, base) = ShardSink.resolveBase(path)
+    val addedCks = ShardSink.constraintsAt(path, baseV).filterNot(pinnedCks.contains)
+    if (addedCks.nonEmpty)
+      throw new IllegalStateException(
+        s"ShardSink row-level operation at $path conflicts with a concurrent " +
+          s"ADD CONSTRAINT (${addedCks.map(_._1).mkString(", ")}); aborted loudly — re-run")
     val (swapped, kept) = base.partition(e => replaced.contains(e.file))
     val vanished = replaced -- swapped.map(_.file).toSet
     if (vanished.nonEmpty)
@@ -4215,6 +4436,8 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo, cdf: Boolean = f
 
   override def toBatch: DeltaBatchWrite = this
 
+  private val pinnedCks = ShardSink.currentConstraints(path)
+
   override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DeltaWriterFactory = {
     val idSchema = info.rowIdSchema().orElseThrow(() =>
       new IllegalStateException("delta write without a rowId schema"))
@@ -4223,7 +4446,8 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo, cdf: Boolean = f
       path, info.queryId(),
       idSchema.fieldIndex("_file"), idSchema.fieldIndex("_pos"),
       // table column i → its physical position in the incoming data row
-      table.fields.map(f => info.schema().fieldIndex(f.name)), table, cdf)
+      table.fields.map(f => info.schema().fieldIndex(f.name)), table, cdf,
+      pinnedCks)
   }
 
   /** Driver commit: union each file's deleted positions into its (new)
@@ -4259,6 +4483,11 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo, cdf: Boolean = f
     // positions were resolved against — positional deletes against the
     // rewritten layout would hit the WRONG rows, so abort loudly
     val (baseV, base) = ShardSink.resolveBase(path)
+    val addedCks = ShardSink.constraintsAt(path, baseV).filterNot(pinnedCks.contains)
+    if (addedCks.nonEmpty)
+      throw new IllegalStateException(
+        s"ShardSink delta commit at $path conflicts with a concurrent " +
+          s"ADD CONSTRAINT (${addedCks.map(_._1).mkString(", ")}); aborted loudly — re-run")
     val vanished = allDel.keySet -- base.map(_.file).toSet
     if (vanished.nonEmpty)
       throw new IllegalStateException(
@@ -4328,11 +4557,11 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo, cdf: Boolean = f
 case class ShardSinkDeltaWriterFactory(
     path: String, queryId: String,
     fileIdx: Int, posIdx: Int, colIdx: Array[Int], table: StructType,
-    cdf: Boolean = false)
+    cdf: Boolean = false, constraints: Seq[(String, String)] = Nil)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new ShardSinkDeltaWriter(path, queryId, partitionId, taskId,
-      fileIdx, posIdx, colIdx, table, cdf)
+      fileIdx, posIdx, colIdx, table, cdf, constraints)
 }
 
 /** Accumulates this task's deltas: deleted (file → physical positions)
@@ -4342,8 +4571,11 @@ case class ShardSinkDeltaWriterFactory(
 class ShardSinkDeltaWriter(
     path: String, queryId: String, partitionId: Int, taskId: Long,
     fileIdx: Int, posIdx: Int, colIdx: Array[Int], table: StructType,
-    cdf: Boolean = false)
+    cdf: Boolean = false, constraints: Seq[(String, String)] = Nil)
   extends DeltaWriter[InternalRow] {
+  // UPDATE postimages and MERGE inserts both land through writeLine:
+  // one enforcement point covers every row this delta can introduce
+  private lazy val checkRow = SinkConstraint.enforcer(constraints, table)
   private val deletes =
     scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
   private val tmp =
@@ -4382,6 +4614,7 @@ class ShardSinkDeltaWriter(
   override def insert(row: InternalRow): Unit = { writeLine(row); () }
 
   private def writeLine(row: InternalRow): String = {
+    checkRow(row, colIdx)
     val shard = row.getInt(colIdx(1))
     if (shard < sMin) sMin = shard
     if (shard > sMax) sMax = shard

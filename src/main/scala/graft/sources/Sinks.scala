@@ -202,6 +202,7 @@ object Sinks {
     "q_dsv2_count_meta" -> (ShardSink.countMeta _),
     "q_dsv2_minmax_meta" -> (ShardSink.minMaxMeta _),
     "q_dsv2_evolve" -> (ShardSink.schemaEvolution _),
+    "q_dsv2_constraints" -> (ShardSink.constraintsReport _),
     "q_dsv2_restore" -> (ShardSink.restoreReport _),
     "q_dsv2_replace_where" -> (ShardSink.replaceWhereReport _),
     "q_dsv2_vacuum" -> (ShardSink.vacuumReport _),
@@ -243,6 +244,7 @@ object Sinks {
     "q_dsv2_count_meta" -> ShardSink.countMetaSql,
     "q_dsv2_minmax_meta" -> ShardSink.minMaxMetaSql,
     "q_dsv2_evolve" -> ShardSink.schemaEvolutionSql,
+    "q_dsv2_constraints" -> ShardSink.constraintsReportSql,
     "q_dsv2_restore" -> ShardSink.restoreReportSql,
     "q_dsv2_replace_where" -> ShardSink.replaceWhereReportSql,
     "q_dsv2_vacuum" -> ShardSink.vacuumReportSql,

@@ -530,7 +530,7 @@ class ShardSinkSpec extends SparkSpec {
         spark.read.format("graft.sources.ShardSinkSource")
           .option("path", dir).option("versionAsOf", "1")
           .option("timestampAsOf", (base + 90000L).toString).load().count())
-      assert(e2.getMessage.contains("not both"), e2.getMessage)
+      assert(e2.getMessage.contains("at most one"), e2.getMessage)
     } finally ShardSink.setCommitClock(None)
   }
 
@@ -1504,5 +1504,163 @@ class ShardSinkSpec extends SparkSpec {
     // the interloper's commit is intact either way
     assert(spark.read.format("graft.sources.ShardSinkSource")
       .option("path", dir).load().count() === 300L)
+  }
+
+  private def messageChain(t: Throwable): String = {
+    val sb = new StringBuilder
+    var c: Throwable = t
+    while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+    sb.toString
+  }
+
+  test("CHECK constraints: ADD validates existing rows, every write path enforces, UNSET lifts") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.ck", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.ck.root", root)
+    import s.implicits._
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "200").option("numPartitions", "2").load()
+      .writeTo("ck.docs").append() // v1
+    val dir = new java.io.File(root, "docs").getPath
+
+    // ADD runs Delta's full-table validation: existing violators refuse the DDL
+    val e0 = intercept[Exception](s.sql(
+      "ALTER TABLE ck.docs SET TBLPROPERTIES ('graft.constraint.big_ids' = 'doc_id >= 100')"))
+    assert(e0.getMessage.contains("existing rows violate"), e0.getMessage)
+    assert(ShardSink.currentConstraints(dir).isEmpty)
+
+    // admitted constraint: metadata-only commit, carried forward by data commits
+    s.sql("ALTER TABLE ck.docs SET TBLPROPERTIES " +
+      "('graft.constraint.valid_shard' = 'shard >= 0 AND shard < 16')")
+    assert(ShardSink.currentConstraints(dir) ===
+      Seq(("valid_shard", "shard >= 0 AND shard < 16")))
+    Seq((500L, 3, "ok")).toDF("doc_id", "shard", "body").writeTo("ck.docs").append() // v3
+    assert(ShardSink.currentConstraints(dir).map(_._1) === Seq("valid_shard"))
+
+    // violating append fails in the task, BEFORE any manifest flip
+    val before = s.read.table("ck.docs").count()
+    val e1 = intercept[Exception](
+      Seq((501L, -2, "bad")).toDF("doc_id", "shard", "body").writeTo("ck.docs").append())
+    assert(messageChain(e1).contains("CHECK constraint valid_shard"), messageChain(e1))
+    assert(s.read.table("ck.docs").count() === before)
+
+    // NULL passes (ANSI/Delta): constraint over an evolved nullable column
+    // admits rows whose cell is null-filled
+    s.sql("ALTER TABLE ck.docs ADD COLUMN score BIGINT")
+    s.sql("ALTER TABLE ck.docs SET TBLPROPERTIES ('graft.constraint.pos_score' = 'score > 0')")
+    Seq((502L, 4, "nullscore")).toDF("doc_id", "shard", "body").writeTo("ck.docs").append()
+    assert(s.read.table("ck.docs").where(col("doc_id") === 502L).count() === 1L)
+
+    // copy-on-write UPDATE: postimages re-validate; a violating SET aborts
+    // the whole rewrite and the table is untouched
+    val e2 = intercept[Exception](s.sql("UPDATE ck.docs SET score = -1 WHERE doc_id = 500"))
+    assert(messageChain(e2).contains("CHECK constraint pos_score"), messageChain(e2))
+    assert(s.read.table("ck.docs").where(col("score") === -1L).count() === 0L)
+    s.sql("UPDATE ck.docs SET score = 9 WHERE doc_id = 500")
+    assert(s.read.table("ck.docs").where(col("score") === 9L).count() === 1L)
+
+    // DDL guards: rename-under-constraint, duplicate names, bad predicates
+    val e3 = intercept[Exception](s.sql("ALTER TABLE ck.docs RENAME COLUMN score TO points"))
+    assert(e3.getMessage.contains("referenced by CHECK constraint pos_score"), e3.getMessage)
+    val e4 = intercept[Exception](s.sql(
+      "ALTER TABLE ck.docs SET TBLPROPERTIES ('graft.constraint.pos_score' = 'score > 10')"))
+    assert(e4.getMessage.contains("already exists"), e4.getMessage)
+    val e5 = intercept[Exception](s.sql(
+      "ALTER TABLE ck.docs SET TBLPROPERTIES ('graft.constraint.oops' = 'missing > 0')"))
+    assert(e5.getMessage.contains("unknown column"), e5.getMessage)
+    val e6 = intercept[Exception](s.sql(
+      "ALTER TABLE ck.docs SET TBLPROPERTIES ('graft.constraint.oops' = 'body > 3')"))
+    assert(e6.getMessage.contains("string column"), e6.getMessage)
+
+    // UNSET lifts enforcement, and LATER commits do not resurrect the
+    // dropped set from older manifests
+    s.sql("ALTER TABLE ck.docs UNSET TBLPROPERTIES ('graft.constraint.valid_shard')")
+    s.sql("ALTER TABLE ck.docs UNSET TBLPROPERTIES ('graft.constraint.pos_score')")
+    assert(ShardSink.currentConstraints(dir).isEmpty)
+    val e7 = intercept[Exception](s.sql(
+      "ALTER TABLE ck.docs UNSET TBLPROPERTIES ('graft.constraint.valid_shard')"))
+    assert(e7.getMessage.contains("no CHECK constraint"), e7.getMessage)
+    Seq((501L, -2, "now ok")).toDF("doc_id", "shard", "body").writeTo("ck.docs").append()
+    assert(s.read.table("ck.docs").where(col("shard") === -2).count() === 1L)
+    Seq((503L, -3, "still ok")).toDF("doc_id", "shard", "body").writeTo("ck.docs").append()
+    assert(ShardSink.currentConstraints(dir).isEmpty)
+    assert(s.read.table("ck.docs").where(col("shard") === -3).count() === 1L)
+  }
+
+  test("CHECK constraints: IS NOT NULL lifecycle; RESTORE reverts the constraint set with the data") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.ckn", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.ckn.root", root)
+    import s.implicits._
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "50").option("numPartitions", "1").load()
+      .writeTo("ckn.docs").append() // v1
+    val dir = new java.io.File(root, "docs").getPath
+    s.sql("ALTER TABLE ckn.docs ADD COLUMN score BIGINT") // v2
+    // NOT NULL (spelled IS NOT NULL) is DEFINITE: the existing null cells
+    // are violations, not UNKNOWN-passes — the ADD refuses until backfill
+    val e1 = intercept[Exception](s.sql(
+      "ALTER TABLE ckn.docs SET TBLPROPERTIES ('graft.constraint.score_nn' = 'score IS NOT NULL')"))
+    assert(e1.getMessage.contains("existing rows violate"), e1.getMessage)
+    s.sql("UPDATE ckn.docs SET score = doc_id") // v3: backfill
+    s.sql("ALTER TABLE ckn.docs SET TBLPROPERTIES " +
+      "('graft.constraint.score_nn' = 'score IS NOT NULL')") // v4
+    // Spark null-fills the missing column by name — and NOT NULL rejects it
+    val e2 = intercept[Exception](
+      Seq((100L, 4, "x")).toDF("doc_id", "shard", "body").writeTo("ckn.docs").append())
+    assert(messageChain(e2).contains("CHECK constraint score_nn"), messageChain(e2))
+    Seq((100L, 4, "x", 5L)).toDF("doc_id", "shard", "body", "score")
+      .writeTo("ckn.docs").append() // v5
+    assert(s.read.table("ckn.docs").count() === 51L)
+    // RESTORE reverts table METADATA with the data (Delta semantics): at
+    // the pre-constraint version the set is empty and the null append lands
+    s.sql("ALTER TABLE ckn.docs SET TBLPROPERTIES ('graft.restore' = '3')") // v6
+    assert(ShardSink.currentConstraints(dir).isEmpty)
+    Seq((200L, 5, "y")).toDF("doc_id", "shard", "body").writeTo("ckn.docs").append() // v7
+    assert(s.read.table("ckn.docs").where(col("doc_id") === 200L).count() === 1L)
+    // restoring forward to the constrained snapshot re-arms enforcement
+    s.sql("ALTER TABLE ckn.docs SET TBLPROPERTIES ('graft.restore' = '5')") // v8
+    assert(ShardSink.currentConstraints(dir).map(_._1) === Seq("score_nn"))
+    val e3 = intercept[Exception](
+      Seq((300L, 6, "z")).toDF("doc_id", "shard", "body").writeTo("ckn.docs").append())
+    assert(messageChain(e3).contains("CHECK constraint score_nn"), messageChain(e3))
+    assert(s.read.table("ckn.docs").count() === 51L) // v5's snapshot exactly
+  }
+
+  test("CHECK constraints: merge-on-read delta writer enforces on UPDATE postimages and MERGE inserts") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.ckm", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.ckm.root", root)
+    s.conf.set("spark.sql.catalog.ckm.rlo.mode", "merge-on-read")
+    import s.implicits._
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "100").option("numPartitions", "2").load()
+      .writeTo("ckm.docs").append()
+    val dir = new java.io.File(root, "docs").getPath
+    s.sql("ALTER TABLE ckm.docs SET TBLPROPERTIES ('graft.constraint.small_ids' = 'doc_id < 1000')")
+
+    // delta UPDATE postimage violating → task failure, no vector, no part-u
+    val e1 = intercept[Exception](
+      s.sql("UPDATE ckm.docs SET doc_id = 5000 WHERE doc_id = 7"))
+    assert(messageChain(e1).contains("CHECK constraint small_ids"), messageChain(e1))
+    assert(s.read.table("ckm.docs").where(col("doc_id") === 7L).count() === 1L)
+    assert(s.read.table("ckm.docs").count() === 100L)
+
+    // MERGE insert branch violating → same enforcement point
+    Seq((2000L, 1, "too big")).toDF("doc_id", "shard", "body")
+      .createOrReplaceTempView("ckm_updates")
+    val e2 = intercept[Exception](s.sql(
+      """MERGE INTO ckm.docs t USING ckm_updates u ON t.doc_id = u.doc_id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(messageChain(e2).contains("CHECK constraint small_ids"), messageChain(e2))
+    assert(s.read.table("ckm.docs").count() === 100L)
+
+    // valid delta UPDATE still lands
+    s.sql("UPDATE ckm.docs SET doc_id = 900 WHERE doc_id = 7")
+    assert(s.read.table("ckm.docs").where(col("doc_id") === 900L).count() === 1L)
+    assert(ShardSink.currentConstraints(dir).map(_._1) === Seq("small_ids"))
   }
 }
