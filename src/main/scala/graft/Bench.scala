@@ -143,8 +143,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // sorted for a deterministic execution order (Map order is arbitrary)
+    // sorted for a deterministic execution order (Map order is arbitrary).
+    // SPARK_GRAFT_ONLY (dev isolation, never set by the driver): "r1" =
+    // the round-1 surface subset in a lean JVM — distinguishes suite
+    // crowding (GC/code-cache pressure from 200 queries sharing the JVM)
+    // from genuine per-query regression; or a comma-separated name list.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY").map {
+      case "r1" => R1Surface
+      case list => list.split(",").toSet
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.zipWithIndex.map { case (name, idx) =>
       if (idx > 0 && idx % CalibEvery == 0) during += calibBurn()
       val fn = SparkEntry.queries(name)

