@@ -424,6 +424,9 @@ class ShardSinkCountScan(path: String, asOf: Option[Long], specs: Seq[ShardSinkM
     // agree on validity (spec-pinned)
     val entries = ShardSink.entriesAsOf(path, asOf)
     asOf.foreach(v => ShardSink.requireSnapshotLive(path, v, entries))
+    // a clone whose source was vacuumed must not answer a stale
+    // manifest-only count — same count/collect validity agreement
+    ShardSink.requireForeignLive(path, entries)
     val values: Array[Any] = specs.map {
       case MetaCount => entries.map(_.rows).sum: Any
       case MetaMinDoc => if (entries.isEmpty) null else entries.map(_.docMin).min
@@ -1768,6 +1771,69 @@ object ShardSink {
       |       CAST(SUM(CASE WHEN substring(body, 1, 1) = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_body_a
       |FROM g GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** SHALLOW CLONE under the hash gate: clone the source AT VERSION 1
+    * through the SQL spelling, diverge BOTH tables (merge-on-read
+    * deletes + a source append — MOR divergence never deletes data
+    * files, so it is clone-safe; CoW rewrites / compaction / vacuum on
+    * the source are the documented clone-breaking hazard, spec-pinned),
+    * and report both tables' final rollups PLUS the zero-copy proof: the
+    * clone's directory holds ZERO local data files even after its own
+    * vector-based DML (`n_local_data_files` — a copied clone or a
+    * rewriting delete would make it jump).
+    */
+  def cloneReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("clone:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcl_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_cl", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_cl.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_cl.delete.mode", "merge-on-read")
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2100").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .writeTo("graft_cl.docs_src").append()
+    append(0L, 1200L)    // src v1
+    append(1200L, 2000L) // src v2
+    val srcDir = new java.io.File(root, "docs_src").getPath
+    s.sql("ALTER TABLE graft_cl.docs_clone SET TBLPROPERTIES " +
+      s"('graft.clone' = '$srcDir@1')") // the v1 snapshot: docs 0..1199
+    val cloneDir = new java.io.File(root, "docs_clone").getPath
+    // divergence, all clone-safe MOR: the clone vectors rows out of the
+    // source's files (local .pos, foreign .tsv untouched), the source
+    // vectors + appends without deleting anything the clone references
+    s.sql("DELETE FROM graft_cl.docs_clone WHERE doc_id < 100")
+    s.sql("DELETE FROM graft_cl.docs_src WHERE doc_id >= 1000")
+    append(2000L, 2100L) // src v4: invisible to the clone
+    val localData = SinkFs.listFileNames(new org.apache.hadoop.fs.Path(cloneDir))
+      .count(_.endsWith(".tsv"))
+    val srcAgg = s.read.table("graft_cl.docs_src").agg(
+      count(lit(1)).as("n_src"), expr("bit_xor(doc_id)").as("xor_src"))
+    val clAgg = s.read.table("graft_cl.docs_clone").agg(
+      count(lit(1)).as("n_clone"), expr("bit_xor(doc_id)").as("xor_clone"))
+    srcAgg.crossJoin(clAgg)
+      .withColumn("n_local_data_files", lit(localData.toLong))
+  }
+
+  val cloneReportSql: String =
+    """WITH src AS (
+      |  SELECT doc_id FROM range(0, 1000) t(doc_id)
+      |  UNION ALL SELECT doc_id FROM range(2000, 2100) t(doc_id)),
+      |cl AS (SELECT doc_id FROM range(100, 1200) t(doc_id))
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS n_src,
+      |       (SELECT bit_xor(doc_id) FROM src) AS xor_src,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM cl) AS n_clone,
+      |       (SELECT bit_xor(doc_id) FROM cl) AS xor_clone,
+      |       CAST(0 AS BIGINT) AS n_local_data_files""".stripMargin
+
   private val compactCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** COMPACTION — the small-files maintenance op every landing zone
@@ -1848,7 +1914,9 @@ object ShardSink {
         .flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil)) ++
         manifestCdcAt(dir, v)
     }.toSet
-    priorEntries.map(_.file).filterNot(keep).foreach(f => SinkFs.delete(new Path(dir, f)))
+    // foreign (cloned-in) files are the SOURCE's property: dropping the
+    // entry is the whole removal — compacting a clone MATERIALIZES it
+    deleteOwned(dir, priorEntries.map(_.file).filterNot(keep))
     SinkFs.listFileNames(new Path(dir)).filter(f =>
       (f.startsWith("del-") && f.endsWith(".pos")) ||
         (f.startsWith("cdc-") && f.endsWith(".tsv")))
@@ -2800,6 +2868,98 @@ object ShardSink {
       constraints = Some(ckString(constraintsAt(dir, toVersion))))
   }
 
+  /** A manifest entry naming a file OUTSIDE this table's directory — the
+    * mark of a SHALLOW CLONE ([[cloneShallow]]): clone entries carry the
+    * source's files as absolute paths, which every read site resolves
+    * correctly because `new Path(dir, child)` ignores `dir` for an
+    * absolute child. Foreign files are the SOURCE's property: physical
+    * cleanup (compaction sweeps, CoW/truncate/replaceWhere obsolete
+    * deletion) must drop them from the manifest WITHOUT deleting bytes —
+    * Delta's shallow-clone remove semantics.
+    */
+  private[sources] def isForeign(name: String): Boolean =
+    name.startsWith("/") || name.contains("://")
+
+  /** Physical deletion that respects clone boundaries: never touches a
+    * foreign (cloned-in) file.
+    */
+  private[sources] def deleteOwned(dir: String, names: Iterable[String]): Unit =
+    names.filterNot(isForeign).foreach(f => SinkFs.delete(new Path(dir, f)))
+
+  /** A CLONED-IN file must still exist at plan time: the source table's
+    * VACUUM or zero-retention compaction can release files a shallow
+    * clone references (the documented shallow-clone hazard — Delta's
+    * too). Local manifest-committed files are trusted (this table's own
+    * retention controls them); foreign ones get an explicit existence
+    * check so the failure is a named error, never a raw FileNotFound
+    * mid-job. Driver-side, clones only, a stat per foreign file.
+    */
+  private[sources] def requireForeignLive(dir: String, entries: Seq[SinkEntry]): Unit = {
+    val missing = entries
+      .flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil))
+      .filter(isForeign)
+      .filterNot(f => SinkFs.exists(new Path(f)))
+    require(missing.isEmpty,
+      s"shallow clone at $dir references source files that no longer exist " +
+        s"(${missing.sorted.mkString(", ")}) — the source was VACUUMed or " +
+        "compacted; re-clone, or compact the clone right after cloning to " +
+        "materialize it")
+  }
+
+  private val cloneCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** SHALLOW CLONE (round 14) — Delta `CREATE TABLE … SHALLOW CLONE src
+    * [VERSION AS OF v]`: a NEW table whose first commit references the
+    * source snapshot's data files (and delete vectors) by absolute path —
+    * ZERO data copied, metadata only. From then on the tables diverge
+    * independently: DML on the clone copies-on-writes or vectors locally
+    * (new files land in the CLONE's directory; dropped foreign entries
+    * are manifest-only removals — the source's bytes are never touched),
+    * and commits to the source are invisible to the clone (it pinned a
+    * version, not a reference). Compacting the clone MATERIALIZES it
+    * (all entries become local; the source dependency ends). The clone
+    * starts its OWN history at v1 (op = "clone"): its time travel,
+    * retention and tags are independent of the source's. Schema and
+    * CHECK constraints come from the cloned snapshot, like RESTORE.
+    * SQL spelling (Spark has no CLONE statement; Delta ships one via a
+    * parser extension; this catalog's tables exist implicitly, so the
+    * spelling is property-DDL like restore/tags): `ALTER TABLE <cat>.<t>
+    * SET TBLPROPERTIES ('graft.clone' = '<src-dir>[@<version-or-tag>]')`
+    * on an EMPTY table. Documented hazard (Delta's too): VACUUM,
+    * compaction or copy-on-write rewrites on the SOURCE release files
+    * the clone references (this sink has no tombstone-retention window —
+    * replaced files delete at commit) — clone reads then fail with a
+    * named error ([[requireForeignLive]]); merge-on-read DML and appends
+    * on the source are clone-safe. Compact the clone to end the
+    * dependency.
+    */
+  private[sources] def cloneShallow(
+      src: String, dst: String, version: Option[Long] = None): Unit = {
+    require(new Path(src).toString != new Path(dst).toString,
+      s"cannot clone $src onto itself")
+    require(currentManifestVersion(dst) == 0L,
+      s"clone target $dst already has commits (shallow clone creates a NEW table)")
+    val srcCur = currentManifestVersion(src)
+    require(srcCur >= 1L, s"cannot clone $src: the source has no committed version")
+    val srcV = version.getOrElse(srcCur)
+    require(srcV >= 1L && srcV <= srcCur,
+      s"cannot clone $src at version $srcV: the source is at version $srcCur")
+    require(srcV >= horizonOf(src),
+      s"cannot clone $src at version $srcV: the source's retention horizon is " +
+        s"${horizonOf(src)} (versions below it were released by compaction)")
+    val entries = entriesAtVersion(src, srcV)
+    requireSnapshotLive(src, srcV, entries)
+    val cloned = entries.map { e =>
+      e.copy(
+        file = new Path(src, e.file).toString,
+        dv = if (e.hasDeletes) new Path(src, e.dv).toString else "")
+    }
+    writeManifestAt(dst, cloned, s"clone${cloneCounter.incrementAndGet()}", 1L,
+      schema = Some(schemaString(schemaAtVersion(src, srcV))),
+      constraints = Some(ckString(constraintsAt(src, srcV))),
+      op = Some("clone"))
+  }
+
   /** TAGS (round 14) — Iceberg's named snapshot refs: a tag is an
     * immutable name → version pin stored as its own `_tag.<name>` file
     * (created with the fresh-name primitive, so two racers creating the
@@ -3149,8 +3309,9 @@ object ShardSink {
     val gen = deleteCounter.incrementAndGet()
     flipFromBase(dir, baseV, entries, s"d$gen",
       cdc = if (cdf) writeCdcSidecar(dir, s"d$gen", removed) else None)
-    // physical cleanup AFTER the flip, same as truncate
-    obsolete.foreach(f => SinkFs.delete(new Path(dir, f)))
+    // physical cleanup AFTER the flip, same as truncate; cloned-in files
+    // stay on the source's disk
+    deleteOwned(dir, obsolete)
   }
 
   /** The copy-on-write drop core shared by DELETE WHERE and the filtered
@@ -3269,8 +3430,12 @@ object ShardSink {
           // file-set difference is genuine row change, so plain-diff
           // semantics apply: ANY re-added file's live rows are inserts
           // (not just cdcScope appends), and a SHRUNK delete vector is a
-          // resurrection (the restore un-deleted those positions)
-          val isRestore = manifestOpAt(dir, v).contains("restore")
+          // resurrection (the restore un-deleted those positions). A
+          // CLONE-creation commit is the same shape: its referenced
+          // (foreign-named) files' live rows are all genuine inserts to
+          // THIS table, read zero-copy from the source at feed time.
+          val isRestore =
+            manifestOpAt(dir, v).exists(o => o == "restore" || o == "clone")
           val inserts = cur.valuesIterator
             .filter(e => (cdcScope(e.file) || isRestore) && !prev.contains(e.file))
             .map(e => ShardSinkChangeFile(
@@ -3347,7 +3512,8 @@ object ShardSink {
   private[sources] def partitionOf(dir: String, e: SinkEntry): InputPartition =
     ShardSinkFile(
       new Path(dir, e.file).toString,
-      if (e.hasDeletes) new Path(dir, e.dv).toString else "")
+      if (e.hasDeletes) new Path(dir, e.dv).toString else "",
+      e.file)
 
   /** A delete vector: 0-based row positions, one per line, sorted. */
   private[sources] def readDeleteVector(p: Path): Set[Int] =
@@ -3617,9 +3783,9 @@ class ShardSinkWrite(
       ShardSink.flipFromBase(path, baseV, finals, queryId)
       // cleanup AFTER the flip: old files are already invisible;
       // deleting them can race nothing
-      previous.flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil))
-        .filterNot(finals.map(_.file).contains)
-        .foreach(f => SinkFs.delete(new Path(path, f)))
+      ShardSink.deleteOwned(path,
+        previous.flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil))
+          .filterNot(finals.map(_.file).contains))
     } else if (replaceFilters.isDefined) {
       // FILTERED OVERWRITE (replaceWhere): ONE commit that drops the
       // rows matching the predicate (DELETE WHERE's copy-on-write core —
@@ -3662,7 +3828,7 @@ class ShardSinkWrite(
       }
       ShardSink.flipFromBase(path, baseV, kept ++ finals, s"o$queryId", cdc = cdc)
       // physical cleanup AFTER the flip, same as DELETE
-      obsolete.foreach(f => SinkFs.delete(new Path(path, f)))
+      ShardSink.deleteOwned(path, obsolete)
     } else {
       var attempt = 0
       var committed = false
@@ -3778,16 +3944,20 @@ class ShardSinkDataWriter(
 
 /** One committed file plus (merge-on-read deletes) the full path of its
   * delete vector, "" when none — every reader of the file must skip the
-  * vector's 0-based row positions.
+  * vector's 0-based row positions. `name` is the file's MANIFEST entry
+  * name (what the `_file` row-id metadata column must carry so delta
+  * commits can match positions back to entries): the basename for local
+  * files, the absolute path for cloned-in foreign files.
   */
-case class ShardSinkFile(file: String, dv: String = "") extends InputPartition
+case class ShardSinkFile(file: String, dv: String = "", name: String = "")
+  extends InputPartition
 
 /** A SHARD-PURE committed file (manifest stats prove s0 == s1): carries
   * its shard as the partition key so Spark can trust the scan's reported
   * [[KeyGroupedPartitioning]] — several files of the same shard group
   * into one task under the V2 bucketing machinery.
   */
-case class ShardSinkShardFile(file: String, dv: String, shard: Int)
+case class ShardSinkShardFile(file: String, dv: String, shard: Int, name: String = "")
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = {
     val r = new GenericInternalRow(1)
@@ -3882,6 +4052,8 @@ class ShardSinkScan(
     // with the real reason, never a raw FileNotFound mid-job (pruned-away
     // files are exempt: they will not be read)
     asOf.foreach(v => ShardSink.requireSnapshotLive(path, v, kept))
+    // cloned-in files can be released by the SOURCE's vacuum/compaction
+    ShardSink.requireForeignLive(path, kept)
     if (shardGrouped)
       // every partition must carry its key when KeyGroupedPartitioning
       // was reported — same snapshot, so eligibility cannot have flipped
@@ -3889,7 +4061,7 @@ class ShardSinkScan(
         ShardSinkShardFile(
           new org.apache.hadoop.fs.Path(path, e.file).toString,
           if (e.hasDeletes) new org.apache.hadoop.fs.Path(path, e.dv).toString else "",
-          e.shardMin): InputPartition
+          e.shardMin, e.file): InputPartition
       }.toArray
     else kept.map(e => ShardSink.partitionOf(path, e)).toArray
   }
@@ -3915,9 +4087,9 @@ case class ShardSinkReaderFactory(
     path: String, required: StructType = DocGen.schema,
     table: StructType = DocGen.schema) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val (file, dv) = partition match {
-      case f: ShardSinkFile => (f.file, f.dv)
-      case f: ShardSinkShardFile => (f.file, f.dv)
+    val (file, dv, name) = partition match {
+      case f: ShardSinkFile => (f.file, f.dv, f.name)
+      case f: ShardSinkShardFile => (f.file, f.dv, f.name)
     }
     val fp = new org.apache.hadoop.fs.Path(file)
     val all = SinkFs.readLines(fp)
@@ -3927,7 +4099,9 @@ case class ShardSinkReaderFactory(
       if (dv.isEmpty) Set.empty
       else ShardSink.readDeleteVector(new org.apache.hadoop.fs.Path(dv))
     val live = all.zipWithIndex.filter { case (_, i) => !dead.contains(i) }
-    val fileName = UTF8String.fromString(fp.getName)
+    // _file must carry the MANIFEST entry name (delta commits match it
+    // back to entries): a cloned-in file's name is its absolute path
+    val fileName = UTF8String.fromString(if (name.nonEmpty) name else fp.getName)
     // required column → (TSV position by the table's schema order, type);
     // -1 = metadata column. Pre-evolution files are simply SHORTER rows:
     // a position past the line's width (or an explicit \N cell) is null.
@@ -4128,8 +4302,13 @@ class ShardSinkTailStream(path: String, cdc: Boolean = false)
     // merge-on-read deletes (the vector diffs the plain tail cannot see)
     if (cdc) return ShardSink.changePartitions(path, a, b).toArray
     val prior = ShardSink.entriesAtVersion(path, a).map(_.file).toSet
+    // foreign (cloned-in) entries count as appends: they only ever enter
+    // via a clone-creation commit, whose rows are bulk-loaded new data
+    // for THIS table — a fresh tail of a clone must emit them, not
+    // silently skip on the name prefix
     ShardSink.entriesAtVersion(path, b)
-      .filter(e => appendOnly(e.file) && !prior.contains(e.file))
+      .filter(e => (appendOnly(e.file) || ShardSink.isForeign(e.file)) &&
+        !prior.contains(e.file))
       .map(e => ShardSink.partitionOf(path, e))
       .toArray
   }
@@ -4264,6 +4443,25 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
       // existing rows), UNSET drops it — see [[SinkConstraint]]
       case sp: TableChange.SetProperty if sp.property.startsWith("graft.constraint.") =>
         ShardSink.addConstraint(dir, sp.property.stripPrefix("graft.constraint."), sp.value)
+      // SHALLOW CLONE's SQL spelling (tables exist implicitly in this
+      // catalog, so CREATE TABLE never fires — property-DDL like restore
+      // and tags): ALTER TABLE <cat>.<t> SET TBLPROPERTIES
+      // ('graft.clone' = '<src-dir>[@<version-or-tag>]') turns the EMPTY
+      // table <t> into a zero-copy clone of the source snapshot —
+      // schema, CHECK constraints and referenced files all come from it
+      // (see [[ShardSink.cloneShallow]])
+      case sp: TableChange.SetProperty if sp.property == "graft.clone" =>
+        val spec = sp.value
+        val (src, version) = spec.lastIndexOf('@') match {
+          case -1 => (spec, None)
+          case at =>
+            val ref = spec.substring(at + 1)
+            val v =
+              if (ref.nonEmpty && ref.forall(_.isDigit)) ref.toLong
+              else ShardSink.resolveTag(spec.substring(0, at), ref)
+            (spec.substring(0, at), Some(v))
+        }
+        ShardSink.cloneShallow(src, dir, version)
       case rp: TableChange.RemoveProperty if rp.property.startsWith("graft.constraint.") =>
         ShardSink.dropConstraint(dir, rp.property.stripPrefix("graft.constraint."))
       case other => throw new UnsupportedOperationException(
@@ -4463,9 +4661,10 @@ class ShardSinkReplaceDataWrite(
       ShardSink.writeCdcSidecar(path, s"r$queryId", removed ++ inserted.toSeq)
     }
     ShardSink.flipFromBase(path, baseV, kept ++ finals, s"r$queryId", cdc = cdc)
-    // replaced data files AND their (now folded-in) delete vectors
-    swapped.flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil))
-      .foreach(f => SinkFs.delete(new Path(path, f)))
+    // replaced data files AND their (now folded-in) delete vectors;
+    // cloned-in files are manifest-only removals (the source keeps them)
+    ShardSink.deleteOwned(path,
+      swapped.flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -204,6 +204,7 @@ object Sinks {
     "q_dsv2_evolve" -> (ShardSink.schemaEvolution _),
     "q_dsv2_constraints" -> (ShardSink.constraintsReport _),
     "q_dsv2_sink_spj" -> (ShardSink.sinkSpj _),
+    "q_dsv2_clone" -> (ShardSink.cloneReport _),
     "q_dsv2_restore" -> (ShardSink.restoreReport _),
     "q_dsv2_replace_where" -> (ShardSink.replaceWhereReport _),
     "q_dsv2_vacuum" -> (ShardSink.vacuumReport _),
@@ -247,6 +248,7 @@ object Sinks {
     "q_dsv2_evolve" -> ShardSink.schemaEvolutionSql,
     "q_dsv2_constraints" -> ShardSink.constraintsReportSql,
     "q_dsv2_sink_spj" -> ShardSink.sinkSpjSql,
+    "q_dsv2_clone" -> ShardSink.cloneReportSql,
     "q_dsv2_restore" -> ShardSink.restoreReportSql,
     "q_dsv2_replace_where" -> ShardSink.replaceWhereReportSql,
     "q_dsv2_vacuum" -> ShardSink.vacuumReportSql,

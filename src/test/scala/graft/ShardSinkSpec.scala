@@ -1636,6 +1636,105 @@ class ShardSinkSpec extends SparkSpec {
       (0 until 16).toSet)
   }
 
+  test("shallow clone: zero-copy create, independent divergence, own history, CDF plain-diff, compact materializes") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.cl", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.cl.root", root)
+    s.conf.set("spark.sql.catalog.cl.delete.mode", "merge-on-read")
+    import s.implicits._
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "400").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .writeTo("cl.src").append()
+    append(0L, 300L)   // v1
+    append(300L, 400L) // v2
+    val srcDir = new java.io.File(root, "src").getPath
+    val cloneDir = new java.io.File(root, "c1").getPath
+    // clone AT A TAG (string refs work like version travel)
+    s.sql("ALTER TABLE cl.src SET TBLPROPERTIES ('graft.tag.snap' = '1')")
+    s.sql(s"ALTER TABLE cl.c1 SET TBLPROPERTIES ('graft.clone' = '$srcDir@snap')")
+    assert(s.read.table("cl.c1").count() === 300L)
+    // ZERO COPY: the clone dir holds no data files, only its manifest
+    def localTsv() = Option(new java.io.File(cloneDir).listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".tsv"))
+    assert(localTsv() === 0, s"clone copied data: ${localTsv()} local files")
+    // change feed read NOW, while v1 is the whole history: the
+    // clone-creation commit is plain-diff — 300 inserts, read zero-copy
+    // from the source's files (later CoW DML folds the MOR vector and
+    // sweeps it — retention-0 feed history expires like any table's)
+    val feed = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", cloneDir).option("readChangeFeed", "true").load()
+    val v1 = feed.where(col("_commit_version") === 1L)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v1 === Map("insert" -> 300L), v1.toString)
+    // MOR delete on the clone: a LOCAL vector over the FOREIGN file —
+    // still zero local data files, source untouched
+    s.sql("DELETE FROM cl.c1 WHERE doc_id < 50")
+    assert(s.read.table("cl.c1").count() === 250L)
+    assert(s.read.table("cl.src").count() === 400L)
+    assert(localTsv() === 0)
+    // append to the clone lands locally; the source never sees it
+    Seq((5000L, 3, "local")).toDF("doc_id", "shard", "body").writeTo("cl.c1").append()
+    assert(s.read.table("cl.c1").count() === 251L)
+    assert(s.read.table("cl.src").count() === 400L)
+    // CoW UPDATE on the clone rewrites the affected foreign file into a
+    // LOCAL replacement; the source's bytes survive (manifest-only drop)
+    s.sql("UPDATE cl.c1 SET body = 'zz' WHERE doc_id = 100")
+    assert(s.read.table("cl.c1").where(col("body") === "zz").count() === 1L)
+    assert(s.read.table("cl.src").count() === 400L)
+    assert(s.read.table("cl.src").where(col("body") === "zz").count() === 0L)
+    // the clone's OWN history: v1 is the cloned snapshot
+    assert(s.sql("SELECT * FROM cl.c1 VERSION AS OF 1").count() === 300L)
+    // compaction MATERIALIZES the clone: every entry becomes local, and
+    // the source dependency ends — destroying the source's files no
+    // longer touches the clone
+    ShardSink.compact(cloneDir)
+    assert(ShardSink.committedEntries(cloneDir).forall(e => !e.file.startsWith("/")),
+      ShardSink.committedEntries(cloneDir).map(_.file).mkString(", "))
+    ShardSink.compact(srcDir) // rewrites + sweeps the source's originals
+    assert(s.read.table("cl.c1").count() === 251L)
+  }
+
+  test("shallow clone: source rewrites break the clone loudly; refusals; clone of clone") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.cl2", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.cl2.root", root)
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "200").option("numPartitions", "2").load()
+      .writeTo("cl2.src").append()
+    val srcDir = new java.io.File(root, "src").getPath
+    val c1Dir = new java.io.File(root, "c1").getPath
+    s.sql(s"ALTER TABLE cl2.c1 SET TBLPROPERTIES ('graft.clone' = '$srcDir')") // latest
+    assert(s.read.table("cl2.c1").count() === 200L)
+    // clone OF a clone: entries stay absolute against the ORIGINAL files
+    s.sql(s"ALTER TABLE cl2.c2 SET TBLPROPERTIES ('graft.clone' = '$c1Dir')")
+    assert(s.read.table("cl2.c2").count() === 200L)
+    // refusals: re-clone onto a table with commits; out-of-range version;
+    // empty source
+    val e1 = intercept[Exception](
+      s.sql(s"ALTER TABLE cl2.c1 SET TBLPROPERTIES ('graft.clone' = '$srcDir')"))
+    assert(e1.getMessage.contains("already has commits"), e1.getMessage)
+    val e2 = intercept[Exception](
+      s.sql(s"ALTER TABLE cl2.c3 SET TBLPROPERTIES ('graft.clone' = '$srcDir@9')"))
+    assert(e2.getMessage.contains("source is at version"), e2.getMessage)
+    val e3 = intercept[Exception](
+      s.sql(s"ALTER TABLE cl2.c4 SET TBLPROPERTIES " +
+        s"('graft.clone' = '${new java.io.File(root, "nothing").getPath}')"))
+    assert(e3.getMessage.contains("no committed version"), e3.getMessage)
+    // THE documented hazard: compaction on the SOURCE releases the files
+    // both clones reference — reads AND metadata-only counts fail with
+    // the named error, never a raw FileNotFound or a silently-stale count
+    ShardSink.compact(srcDir)
+    val e4 = intercept[Exception](s.read.table("cl2.c1").collect())
+    assert(e4.getMessage.contains("source files that no longer exist"), e4.getMessage)
+    val e5 = intercept[Exception](s.read.table("cl2.c2").count())
+    assert(e5.getMessage.contains("source files that no longer exist"), e5.getMessage)
+  }
+
   test("CHECK constraints: IS NOT NULL lifecycle; RESTORE reverts the constraint set with the data") {
     val root = freshDir().getPath
     val s = spark.newSession()
