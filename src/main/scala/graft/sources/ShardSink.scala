@@ -191,6 +191,28 @@ class ShardSinkTable(
     case Some(v) => ShardSink.schemaAtVersion(path, v)
     case None => ShardSink.tableSchema(path)
   }
+
+  /** `SHOW TBLPROPERTIES <cat>.<t>` surface: the table state the
+    * manifest carries — current version, retention horizon, CHECK
+    * constraints (under the same `graft.constraint.<name>` keys the DDL
+    * uses, so SHOW output is re-runnable DDL), tags, and the DML modes
+    * in force. Driver-tiny, manifest-only.
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("graft.version", ShardSink.currentManifestVersion(path).toString)
+    m.put("graft.horizon", ShardSink.horizonOf(path).toString)
+    m.put("delete.mode", deleteMode)
+    m.put("rlo.mode", rloMode)
+    m.put("cdf.enabled", cdfEnabled.toString)
+    ShardSink.currentConstraints(path).foreach { case (n, p) =>
+      m.put(s"graft.constraint.$n", p)
+    }
+    ShardSink.listTags(path).foreach { case (n, v) =>
+      m.put(s"graft.tag.$n", v.toString)
+    }
+    m
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -1900,7 +1922,8 @@ object ShardSink {
     */
   private def publishCompaction(
       dir: String, baseV: Long, priorEntries: Seq[SinkEntry],
-      newEntries: Seq[SinkEntry], gen: Long, retainVersions: Int): Unit = {
+      newEntries: Seq[SinkEntry], gen: Long, retainVersions: Int,
+      opName: String = "compact"): Unit = {
     val newV = baseV + 1
     // tags HOLD the horizon (Iceberg refs pin snapshots against
     // expiration): the horizon never moves past the oldest tagged
@@ -1908,7 +1931,8 @@ object ShardSink {
     val tagFloor = listTags(dir).map(_._2).minOption.getOrElse(Long.MaxValue)
     val newHz = math.min(tagFloor,
       math.max(horizonOf(dir), math.max(1L, newV - retainVersions)))
-    flipFromBase(dir, baseV, newEntries, s"c$gen", horizon = Some(newHz))
+    flipFromBase(dir, baseV, newEntries, s"c$gen", horizon = Some(newHz),
+      op = Some(opName))
     val keep: Set[String] = (newHz to newV).flatMap { v =>
       entriesAtVersion(dir, v)
         .flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil)) ++
@@ -1977,7 +2001,8 @@ object ShardSink {
           chunk.iterator.map(_._2).min, chunk.iterator.map(_._2).max, "",
           chunk.iterator.map(_._1).min, chunk.iterator.map(_._1).max)
     }.toSeq
-    publishCompaction(dir, baseV, entries, newEntries, gen, retainVersions)
+    publishCompaction(dir, baseV, entries, newEntries, gen, retainVersions,
+      opName = "zorder")
   }
 
   /** VACUUM — sweep files NO manifest version references: the garbage a
@@ -2177,47 +2202,68 @@ object ShardSink {
     * deterministic; the oracle re-derives the cumulative totals from the
     * same windows.
     */
+  /** DESCRIBE HISTORY under the hash gate (extended round 14 with the
+    * per-commit OPERATION column — Delta's `operation` field): every
+    * commit path now stamps its `"op"` marker, so the version log reads
+    * as an audit trail — append, delete, alter, restore, compact here;
+    * truncate/replaceWhere/rewrite/delta/streamingUpdate/clone/
+    * addConstraint/dropConstraint/zorder on their paths. Rows stay
+    * manifest-derived (no data IO): a restore's +200 and a compaction's
+    * ±0 are visible next to their operation names.
+    */
   def historyReport(
       spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("history:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkhist_$sfx")
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkhist_$sfx")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete()
     }
-    rm(dir)
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_h", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_h.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_h.delete.mode", "merge-on-read")
     def append(lo: Long, hi: Long): Unit =
-      spark.read.format("graft.sources.DocGenSource")
+      s.read.format("graft.sources.DocGenSource")
         .option("numDocs", "2000").option("numPartitions", "2").load()
         .where(col("doc_id") >= lo && col("doc_id") < hi)
-        .write.format("graft.sources.ShardSinkSource")
-        .option("path", dir.getPath)
-        .mode(org.apache.spark.sql.SaveMode.Append).save()
-    append(0L, 500L); append(500L, 1200L); append(1200L, 2000L)
-    import spark.implicits._
-    history(dir.getPath).toDF("version", "n_rows", "rows_added").orderBy("version")
+        .writeTo("graft_h.docs_h").append()
+    append(0L, 500L)     // v1 append  +500
+    append(500L, 1200L)  // v2 append  +700
+    s.sql("DELETE FROM graft_h.docs_h WHERE doc_id >= 1000") // v3 delete -200
+    s.sql("ALTER TABLE graft_h.docs_h ADD COLUMN note STRING") // v4 alter ±0
+    s.sql("ALTER TABLE graft_h.docs_h SET TBLPROPERTIES ('graft.restore' = '2')") // v5 +200
+    val dir = new java.io.File(root, "docs_h").getPath
+    compact(dir, retainVersions = 9) // v6 compact ±0
+    import s.implicits._
+    history(dir).toDF("version", "op", "n_rows", "rows_added").orderBy("version")
   }
 
-  /** (version, total rows, rows added vs previous version) per retained
-    * manifest — driver-tiny (one row per commit).
+  /** (version, operation, total rows, rows added vs previous version)
+    * per retained manifest — driver-tiny (one row per commit); pre-op
+    * manifests read as "write".
     */
-  def history(dir: String): Seq[(Long, Long, Long)] = {
+  def history(dir: String): Seq[(Long, String, Long, Long)] = {
     val current = currentManifestVersion(dir)
     (1L to current).map { v =>
       val rows = entriesAtVersion(dir, v).map(_.rows).sum
       val prev = if (v == 1L) 0L else entriesAtVersion(dir, v - 1).map(_.rows).sum
-      (v, rows, rows - prev)
+      (v, manifestOpAt(dir, v).getOrElse("write"), rows, rows - prev)
     }
   }
 
   val historyReportSql: String =
     """SELECT * FROM (VALUES
-      |  (CAST(1 AS BIGINT), CAST(500 AS BIGINT), CAST(500 AS BIGINT)),
-      |  (CAST(2 AS BIGINT), CAST(1200 AS BIGINT), CAST(700 AS BIGINT)),
-      |  (CAST(3 AS BIGINT), CAST(2000 AS BIGINT), CAST(800 AS BIGINT)))
-      |  t(version, n_rows, rows_added)
+      |  (CAST(1 AS BIGINT), 'append',  CAST(500 AS BIGINT),  CAST(500 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 'append',  CAST(1200 AS BIGINT), CAST(700 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 'delete',  CAST(1000 AS BIGINT), CAST(-200 AS BIGINT)),
+      |  (CAST(4 AS BIGINT), 'alter',   CAST(1000 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(5 AS BIGINT), 'restore', CAST(1200 AS BIGINT), CAST(200 AS BIGINT)),
+      |  (CAST(6 AS BIGINT), 'compact', CAST(1200 AS BIGINT), CAST(0 AS BIGINT)))
+      |  t(version, op, n_rows, rows_added)
       |ORDER BY version""".stripMargin
 
   /** Driver-checked STATS-BASED FILE SKIPPING (round 13): four Appends
@@ -2661,7 +2707,7 @@ object ShardSink {
         s"cannot add CHECK constraint $name: existing rows violate ($pred)")
     }
     flipFromBase(dir, baseV, entries, s"ckadd${alterCounter.incrementAndGet()}",
-      constraints = Some(ckString(cur :+ ((name, pred)))))
+      constraints = Some(ckString(cur :+ ((name, pred)))), op = Some("addConstraint"))
   }
 
   private[sources] def dropConstraint(dir: String, name: String): Unit = {
@@ -2669,7 +2715,7 @@ object ShardSink {
     val cur = constraintsAt(dir, baseV)
     require(cur.exists(_._1 == name), s"no CHECK constraint $name on $dir")
     flipFromBase(dir, baseV, entries, s"ckdrop${alterCounter.incrementAndGet()}",
-      constraints = Some(ckString(cur.filterNot(_._1 == name))))
+      constraints = Some(ckString(cur.filterNot(_._1 == name))), op = Some("dropConstraint"))
   }
 
   private def typeNameOf(dt: org.apache.spark.sql.types.DataType): String = dt match {
@@ -2762,7 +2808,7 @@ object ShardSink {
     val cur = schemaAtVersion(dir, baseV)
     require(!cur.fieldNames.contains(name), s"column $name already exists")
     flipFromBase(dir, baseV, entries, s"alter${alterCounter.incrementAndGet()}",
-      schema = Some(schemaString(cur.add(name, dt, nullable = true))))
+      op = Some("alter"), schema = Some(schemaString(cur.add(name, dt, nullable = true))))
   }
 
   /** Widen an ADDED column's type (pure metadata): int→bigint,
@@ -2788,7 +2834,7 @@ object ShardSink {
         s"${to.simpleString} (only widenings int->bigint, int/bigint->double)")
     val widened = StructType(cur.fields.updated(idx, cur.fields(idx).copy(dataType = to)))
     flipFromBase(dir, baseV, entries, s"alter${alterCounter.incrementAndGet()}",
-      schema = Some(schemaString(widened)))
+      op = Some("alter"), schema = Some(schemaString(widened)))
   }
 
   /** Rename an ADDED column (pure metadata; positional mapping
@@ -2811,7 +2857,7 @@ object ShardSink {
     }
     val renamed = StructType(cur.fields.updated(idx, cur.fields(idx).copy(name = to)))
     flipFromBase(dir, baseV, entries, s"alter${alterCounter.incrementAndGet()}",
-      schema = Some(schemaString(renamed)))
+      op = Some("alter"), schema = Some(schemaString(renamed)))
   }
 
   private val ManifestOp = """"op":"([^"]+)"""".r
@@ -3308,7 +3354,8 @@ object ShardSink {
     val (entries, obsolete, removed) = cowDrop(dir, base, filters, recordRemoved = cdf)
     val gen = deleteCounter.incrementAndGet()
     flipFromBase(dir, baseV, entries, s"d$gen",
-      cdc = if (cdf) writeCdcSidecar(dir, s"d$gen", removed) else None)
+      cdc = if (cdf) writeCdcSidecar(dir, s"d$gen", removed) else None,
+      op = Some("delete"))
     // physical cleanup AFTER the flip, same as truncate; cloned-in files
     // stay on the source's disk
     deleteOwned(dir, obsolete)
@@ -3600,7 +3647,7 @@ object ShardSink {
         }
       }
     }
-    flipFromBase(dir, baseV, entries, s"m$gen")
+    flipFromBase(dir, baseV, entries, s"m$gen", op = Some("delete"))
     // no physical cleanup: MOR leaves every data file (and superseded
     // vector) in place — prior snapshots keep reading their exact rows
   }
@@ -3714,7 +3761,8 @@ class ShardSinkWrite(
         else recoverPriorEpochs(epochId)
       try {
         ShardSink.writeManifestAt(
-          path, kept ++ epochFiles, s"$queryId-e$epochId-a$attempt", baseV + 1)
+          path, kept ++ epochFiles, s"$queryId-e$epochId-a$attempt", baseV + 1,
+          op = Some("streamingUpdate"))
         committed = true
       } catch {
         case ShardSink.ShardSinkConflict(_, _) if attempt < 20 => attempt += 1
@@ -3780,7 +3828,7 @@ class ShardSinkWrite(
     if (truncate) {
       val (baseV, previous) = ShardSink.resolveBase(path)
       requireNoNewConstraints(baseV)
-      ShardSink.flipFromBase(path, baseV, finals, queryId)
+      ShardSink.flipFromBase(path, baseV, finals, queryId, op = Some("truncate"))
       // cleanup AFTER the flip: old files are already invisible;
       // deleting them can race nothing
       ShardSink.deleteOwned(path,
@@ -3826,7 +3874,8 @@ class ShardSinkWrite(
           SinkFs.readLines(new Path(path, e.file)).map(("insert", _)))
         ShardSink.writeCdcSidecar(path, s"o$queryId", removed ++ inserted)
       }
-      ShardSink.flipFromBase(path, baseV, kept ++ finals, s"o$queryId", cdc = cdc)
+      ShardSink.flipFromBase(path, baseV, kept ++ finals, s"o$queryId", cdc = cdc,
+        op = Some("replaceWhere"))
       // physical cleanup AFTER the flip, same as DELETE
       ShardSink.deleteOwned(path, obsolete)
     } else {
@@ -3836,7 +3885,8 @@ class ShardSinkWrite(
         val (baseV, base) = ShardSink.resolveBase(path)
         requireNoNewConstraints(baseV)
         try {
-          ShardSink.writeManifestAt(path, base ++ finals, s"$queryId-a$attempt", baseV + 1)
+          ShardSink.writeManifestAt(path, base ++ finals, s"$queryId-a$attempt",
+            baseV + 1, op = Some("append"))
           committed = true
         } catch {
           case ShardSink.ShardSinkConflict(_, _) if attempt < 20 => attempt += 1
@@ -4660,7 +4710,8 @@ class ShardSinkReplaceDataWrite(
         .flatMap { case (l, n) => Iterator.fill(n)(("delete", l)) }.toSeq
       ShardSink.writeCdcSidecar(path, s"r$queryId", removed ++ inserted.toSeq)
     }
-    ShardSink.flipFromBase(path, baseV, kept ++ finals, s"r$queryId", cdc = cdc)
+    ShardSink.flipFromBase(path, baseV, kept ++ finals, s"r$queryId", cdc = cdc,
+      op = Some("rewrite"))
     // replaced data files AND their (now folded-in) delete vectors;
     // cloned-in files are manifest-only removals (the source keeps them)
     ShardSink.deleteOwned(path,
@@ -4865,7 +4916,8 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo, cdf: Boolean = f
       })
       ShardSink.writeCdcSidecar(path, s"u$gen", recs.toSeq)
     }
-    ShardSink.flipFromBase(path, baseV, updated ++ inserts, s"u$gen", cdc = cdc)
+    ShardSink.flipFromBase(path, baseV, updated ++ inserts, s"u$gen", cdc = cdc,
+      op = Some("delta"))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

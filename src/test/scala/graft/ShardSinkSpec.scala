@@ -1636,6 +1636,32 @@ class ShardSinkSpec extends SparkSpec {
       (0 until 16).toSet)
   }
 
+  test("operation markers + SHOW TBLPROPERTIES surface the manifest state") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.pr", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.pr.root", root)
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "100").option("numPartitions", "1").load()
+      .writeTo("pr.docs").append() // v1: append
+    s.sql("ALTER TABLE pr.docs SET TBLPROPERTIES ('graft.constraint.ok' = 'shard >= 0')") // v2
+    s.sql("ALTER TABLE pr.docs ADD COLUMN note STRING") // v3: alter
+    s.sql("DELETE FROM pr.docs WHERE doc_id < 10") // v4: delete (CoW)
+    val dir = new java.io.File(root, "docs").getPath
+    s.sql("ALTER TABLE pr.docs SET TBLPROPERTIES ('graft.tag.base' = '1')") // tag, no commit
+    assert(ShardSink.history(dir).map(t => (t._1, t._2)) ===
+      Seq((1L, "append"), (2L, "addConstraint"), (3L, "alter"), (4L, "delete")))
+    // SHOW TBLPROPERTIES: constraint rows come back under the SAME keys
+    // the DDL uses (re-runnable), alongside version/horizon/tags/modes
+    val props = s.sql("SHOW TBLPROPERTIES pr.docs").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.constraint.ok") === "shard >= 0", props.toString)
+    assert(props("graft.tag.base") === "1")
+    assert(props("graft.version") === "4")
+    assert(props("graft.horizon") === "1")
+    assert(props("delete.mode") === "copy-on-write")
+  }
+
   test("shallow clone: zero-copy create, independent divergence, own history, CDF plain-diff, compact materializes") {
     val root = freshDir().getPath
     val s = spark.newSession()
