@@ -1881,7 +1881,18 @@ object ShardSink {
     * mid-job, never silently-wrong data. The default N = 0 is the
     * round-13 behavior: only the compacted snapshot remains.
     */
-  def compact(dir: String, retainVersions: Int = 0): Unit = {
+  /** `targetRowsPerFile`: 0 (default) keeps the one-file-per-shard
+    * layout — right at harness sizes, WRONG at 100 TB, where a single
+    * shard's consolidated file would be terabytes and one task would
+    * read it. A positive target chunks each shard's id-sorted rows into
+    * ≤target files, every chunk still shard-pure with exact doc-range
+    * stats, so shard-grouped reads stay eligible (the V2 bucketing
+    * machinery groups a shard's chunks into one task) and doc-range
+    * pruning gets FINER — a point lookup reads one chunk, not the whole
+    * shard. A production deployment always sets this (it is Delta
+    * OPTIMIZE's maxFileSize, in rows).
+    */
+  def compact(dir: String, retainVersions: Int = 0, targetRowsPerFile: Long = 0L): Unit = {
     // base pinned at read; a commit landing mid-compaction (whose rows
     // would be silently un-compacted away) collides at the flip and
     // aborts THIS compaction loudly — maintenance retries, data wins
@@ -1899,16 +1910,23 @@ object ShardSink {
       }
     }
     val gen = compactCounter.incrementAndGet()
-    val newEntries = byShard.toSeq.sortBy(_._1).map { case (shard, rows) =>
-      val nf = s"part-c$gen-s$shard.tsv"
-      val tmp = new Path(dir, s"_tmp/$nf")
-      val w = SinkFs.create(tmp)
+    val newEntries = byShard.toSeq.sortBy(_._1).flatMap { case (shard, rows) =>
       val sorted = rows.sortBy(_._1)
-      try sorted.foreach { case (_, l) => w.write(l); w.write("\n") }
-      finally w.close()
-      SinkFs.moveOver(tmp, new Path(dir, nf))
-      SinkEntry(nf, rows.size.toLong, shard, shard, "",
-        sorted.head._1, sorted.last._1)
+      val chunks =
+        if (targetRowsPerFile <= 0L) Seq(sorted.toSeq)
+        else sorted.grouped(targetRowsPerFile.toInt).map(_.toSeq).toSeq
+      chunks.zipWithIndex.map { case (chunk, k) =>
+        val nf =
+          if (chunks.size == 1) s"part-c$gen-s$shard.tsv"
+          else s"part-c$gen-s$shard-$k.tsv"
+        val tmp = new Path(dir, s"_tmp/$nf")
+        val w = SinkFs.create(tmp)
+        try chunk.foreach { case (_, l) => w.write(l); w.write("\n") }
+        finally w.close()
+        SinkFs.moveOver(tmp, new Path(dir, nf))
+        SinkEntry(nf, chunk.size.toLong, shard, shard, "",
+          chunk.head._1, chunk.last._1)
+      }
     }
     publishCompaction(dir, baseV, entries, newEntries, gen, retainVersions)
   }
@@ -4356,11 +4374,11 @@ class ShardSinkTailStream(path: String, cdc: Boolean = false)
     // via a clone-creation commit, whose rows are bulk-loaded new data
     // for THIS table — a fresh tail of a clone must emit them, not
     // silently skip on the name prefix
-    ShardSink.entriesAtVersion(path, b)
+    val delta = ShardSink.entriesAtVersion(path, b)
       .filter(e => (appendOnly(e.file) || ShardSink.isForeign(e.file)) &&
         !prior.contains(e.file))
-      .map(e => ShardSink.partitionOf(path, e))
-      .toArray
+    ShardSink.requireForeignLive(path, delta)
+    delta.map(e => ShardSink.partitionOf(path, e)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -4611,6 +4629,9 @@ class ShardSinkRowLevelScan(path: String, op: ShardSinkRowLevelOperation)
   override def planInputPartitions(): Array[InputPartition] = {
     val entries = ShardSink.committedEntries(path)
       .filter(e => shardFilter.forall(e.mayContainShard))
+    // a CoW rewrite over a clone reads foreign files: same named error
+    // as the batch scan when the source released them
+    ShardSink.requireForeignLive(path, entries)
     op.recordPlanned(entries.map(_.file))
     // dv passed through: a copy-on-write rewrite over a file carrying a
     // merge-on-read delete vector must NOT resurrect the deleted rows

@@ -1636,6 +1636,88 @@ class ShardSinkSpec extends SparkSpec {
       (0 until 16).toSet)
   }
 
+  test("chunked compaction: targetRowsPerFile splits shards into shard-pure chunks; grouped reads stay exchange-free; doc pruning gets finer") {
+    val dir = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "800").option("numPartitions", "2").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    // 800 docs / 16 shards = 50 rows per shard → target 20 ⇒ 3 chunks each
+    ShardSink.compact(dir, targetRowsPerFile = 20L)
+    val entries = ShardSink.committedEntries(dir)
+    assert(entries.length === 48, entries.map(_.file).mkString(", "))
+    assert(entries.forall(e => e.hasStats && e.shardMin == e.shardMax))
+    assert(entries.forall(_.rows <= 20L))
+    // chunks are id-ordered partitions of the shard: doc ranges nest
+    // without overlap inside each shard
+    entries.groupBy(_.shardMin).foreach { case (_, es) =>
+      val ranges = es.sortBy(_.docMin).map(e => (e.docMin, e.docMax))
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(hi < lo2, ranges.toString)
+        case _ =>
+      }
+    }
+    def read() = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+    // STILL shard-grouped: multiple chunks per shard carry the same key,
+    // the V2 bucketing machinery groups them — rollup plans no exchange
+    val rollup = read().groupBy("shard").agg(sum("doc_id").as("sum_ids"))
+    assert(!rollup.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+      rollup.queryExecution.executedPlan.toString)
+    assert(rollup.collect().map(_.getLong(1)).sum === (0L until 800L).sum)
+    // finer pruning: a narrow doc_id window plans a fraction of the 48
+    // chunks (one chunk per shard at most for a ≤1/3-shard window)
+    val pruned = read().where(col("doc_id") >= 100L && col("doc_id") < 110L)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.inputPartitions.size <= 16, s"${scan.inputPartitions.size} partitions planned")
+    assert(pruned.count() === 10L)
+  }
+
+  test("CHECK constraints: streaming epochs enforce like batch writes") {
+    val root = freshDir().getPath
+    val s0 = spark.newSession()
+    s0.conf.set("spark.sql.catalog.cks", classOf[graft.sources.ShardSinkCatalog].getName)
+    s0.conf.set("spark.sql.catalog.cks.root", root)
+    import s0.implicits._
+    Seq((1L, 1, "seed")).toDF("doc_id", "shard", "body").writeTo("cks.docs").append()
+    s0.sql("ALTER TABLE cks.docs SET TBLPROPERTIES ('graft.constraint.pos_ids' = 'doc_id > 0')")
+    val dir = new java.io.File(root, "docs").getPath
+    val st = graft.streaming.StreamTune.session(spark)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = st.sqlContext
+    val input = MemoryStream[(Long, Int, String)]
+    val q = input.toDF().toDF("doc_id", "shard", "body")
+      .writeStream.format("graft.sources.ShardSinkSource")
+      .option("path", dir)
+      .option("checkpointLocation", freshDir().getPath)
+      .start()
+    try {
+      input.addData((10L, 2, "ok"))
+      q.processAllAvailable() // valid epoch lands
+      assert(spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).load().count() === 2L)
+      input.addData((-5L, 3, "bad"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        if (q.exception.isDefined) throw q.exception.get
+      }
+      def chain(t: Throwable): String = {
+        val sb = new StringBuilder
+        var c: Throwable = t
+        while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+        sb.toString
+      }
+      assert(chain(e).contains("CHECK constraint pos_ids"), chain(e))
+    } finally q.stop()
+    // the failed epoch committed nothing
+    assert(spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load().count() === 2L)
+  }
+
   test("operation markers + SHOW TBLPROPERTIES surface the manifest state") {
     val root = freshDir().getPath
     val s = spark.newSession()
