@@ -1856,6 +1856,75 @@ object ShardSink {
       |       (SELECT bit_xor(doc_id) FROM cl) AS xor_clone,
       |       CAST(0 AS BIGINT) AS n_local_data_files""".stripMargin
 
+  /** METADATA TABLES under the hash gate: a lifecycle (append → MOR
+    * delete → ADD CONSTRAINT validated over the vectored live rows →
+    * chunked compaction) audited ENTIRELY through the SQL metadata
+    * surface — `<cat>.<t>.files` proves the chunked layout (file count =
+    * Σ ceil(liveRowsPerShard / target), all shard-pure, live row total
+    * and doc extremes match the range math), `.history` proves the
+    * op-stamped commit trail, `.tags` / `.constraints` the governance
+    * state. The oracle re-derives the file math from range() — a wrong
+    * chunk split, a lost vector fold or a missed op marker all break the
+    * hash.
+    */
+  def metaTablesReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("meta:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmt_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_mt", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mt.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mt.delete.mode", "merge-on-read")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "800").option("numPartitions", "2").load()
+      .writeTo("graft_mt.docs_mt").append() // v1 append
+    s.sql("DELETE FROM graft_mt.docs_mt WHERE doc_id < 40") // v2 delete (MOR)
+    // validated over the LIVE (vector-subtracted) rows: passes post-delete
+    s.sql("ALTER TABLE graft_mt.docs_mt SET TBLPROPERTIES " +
+      "('graft.constraint.live_ids' = 'doc_id >= 40')") // v3 addConstraint
+    val dir = new java.io.File(root, "docs_mt").getPath
+    compact(dir, retainVersions = 9, targetRowsPerFile = 25L) // v4 compact
+    s.sql("ALTER TABLE graft_mt.docs_mt SET TBLPROPERTIES ('graft.tag.audited' = '4')")
+    val files = s.read.table("graft_mt.docs_mt.files").agg(
+      count(lit(1)).as("n_files"),
+      sum(col("n_rows")).as("n_file_rows"),
+      countDistinct(col("shard_min")).as("n_shards"),
+      min(col("doc_min")).as("min_doc"),
+      max(col("doc_max")).as("max_doc"))
+    val hist = s.read.table("graft_mt.docs_mt.history").agg(
+      count(lit(1)).as("n_versions"),
+      concat_ws(",", sort_array(collect_set(col("op")))).as("ops"))
+    val tags = s.read.table("graft_mt.docs_mt.tags")
+      .agg(count(lit(1)).as("n_tags"))
+    val cks = s.read.table("graft_mt.docs_mt.constraints").agg(
+      count(lit(1)).as("n_constraints"),
+      concat_ws(",", sort_array(collect_set(col("predicate")))).as("predicates"))
+    files.crossJoin(hist).crossJoin(tags).crossJoin(cks)
+  }
+
+  val metaTablesReportSql: String =
+    """WITH live AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard
+      |  FROM range(40, 800) t(doc_id)),
+      |per_shard AS (SELECT shard, COUNT(*) AS n FROM live GROUP BY shard)
+      |SELECT (SELECT CAST(SUM(CAST(CEIL(n / 25.0) AS BIGINT)) AS BIGINT) FROM per_shard) AS n_files,
+      |       (SELECT CAST(SUM(n) AS BIGINT) FROM per_shard) AS n_file_rows,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM per_shard) AS n_shards,
+      |       (SELECT MIN(doc_id) FROM live) AS min_doc,
+      |       (SELECT MAX(doc_id) FROM live) AS max_doc,
+      |       CAST(4 AS BIGINT) AS n_versions,
+      |       'addConstraint,append,compact,delete' AS ops,
+      |       CAST(1 AS BIGINT) AS n_tags,
+      |       CAST(1 AS BIGINT) AS n_constraints,
+      |       'doc_id >= 40' AS predicates""".stripMargin
+
   private val compactCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** COMPACTION — the small-files maintenance op every landing zone
@@ -4431,9 +4500,21 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
   private def dirOf(ident: Identifier): String =
     new java.io.File(root, (ident.namespace() :+ ident.name()).mkString("_")).getPath
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style METADATA TABLES: `<cat>.<table>.files` / `.history`
+    // / `.tags` / `.constraints` — the extra identifier level serves the
+    // manifest state as a SQL-queryable table ([[ShardSinkMetaTable]]).
+    // Only when the PARENT table has commits: a genuinely empty landing
+    // zone keeps the plain-table resolution (same shadowing rule as
+    // Iceberg's metadata suffixes).
+    if (ident.namespace().nonEmpty && ShardSinkMetaTable.Kinds(ident.name())) {
+      val parent = new java.io.File(root, ident.namespace().mkString("_")).getPath
+      if (ShardSink.currentManifestVersion(parent) >= 1L)
+        return new ShardSinkMetaTable(parent, ident.name())
+    }
     new ShardSinkTable(dirOf(ident),
       deleteMode = deleteMode, rloMode = rloMode, cdfEnabled = cdfEnabled)
+  }
   /** SQL time travel: `SELECT … FROM <cat>.<t> VERSION AS OF n` resolves
     * here — the table is pinned to retained manifest version n. A
     * non-numeric version is a TAG name (`VERSION AS OF 'prod'` — string

@@ -1718,6 +1718,42 @@ class ShardSinkSpec extends SparkSpec {
       .option("path", dir).load().count() === 2L)
   }
 
+  test("metadata tables: files/history/tags/constraints via the extra identifier level") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.mt2", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.mt2.root", root)
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "100").option("numPartitions", "1").load()
+      .writeTo("mt2.docs").append() // v1
+    s.sql("ALTER TABLE mt2.docs SET TBLPROPERTIES ('graft.constraint.ok' = 'shard < 16')") // v2
+    s.sql("ALTER TABLE mt2.docs SET TBLPROPERTIES ('graft.tag.base' = '1')")
+    val files = s.sql("SELECT * FROM mt2.docs.files")
+    assert(files.columns.toSeq === Seq(
+      "file", "n_rows", "shard_min", "shard_max", "doc_min", "doc_max",
+      "has_deletes", "foreign"))
+    assert(files.agg(sum("n_rows")).head.getLong(0) === 100L)
+    assert(files.where(col("foreign") || col("has_deletes")).count() === 0L)
+    val hist = s.sql("SELECT version, op FROM mt2.docs.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist === Seq((1L, "append"), (2L, "addConstraint")), hist.toString)
+    assert(s.sql("SELECT name, predicate FROM mt2.docs.constraints").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("ok", "shard < 16")))
+    assert(s.sql("SELECT name, version FROM mt2.docs.tags").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("base", 1L)))
+    // no shadowing at the top level: `mt2.files` (empty namespace) is a
+    // plain — empty — table, and a commitless parent keeps plain
+    // resolution for `parent.files` too
+    assert(s.read.table("mt2.files").count() === 0L)
+    assert(s.read.table("mt2.nocommits.files").count() === 0L)
+    // a shallow clone's files table flags every entry foreign
+    val srcDir = new java.io.File(root, "docs").getPath
+    s.sql(s"ALTER TABLE mt2.c SET TBLPROPERTIES ('graft.clone' = '$srcDir')")
+    assert(s.sql("SELECT * FROM mt2.c.files").where(!col("foreign")).count() === 0L)
+    assert(s.sql("SELECT op FROM mt2.c.history").collect().map(_.getString(0)).toSeq ===
+      Seq("clone"))
+  }
+
   test("operation markers + SHOW TBLPROPERTIES surface the manifest state") {
     val root = freshDir().getPath
     val s = spark.newSession()
