@@ -4168,11 +4168,47 @@ class ShardSinkScan(
     * DocGen scan's spec-pinned behavior.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    import java.util.{Optional, OptionalLong}
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
     val rows = keptEntries().map(_.rows).sum
+    // COLUMN-LEVEL statistics for the cost-based optimizer, straight
+    // from the manifest's per-file ranges — the join-reorder /
+    // build-side-choice inputs Iceberg and Delta feed Spark from their
+    // manifests. min/max are exact over live files (delete vectors only
+    // narrow them — sound for estimation); ndv is the conservative
+    // estimate the ranges support (doc_id ≈ one per row on this ingest
+    // layout, shard = the covered range width); null counts are 0 (the
+    // core columns are non-null by construction). Reported only when
+    // EVERY kept file carries the stat — partial coverage stays silent
+    // rather than claiming extremes the unknown files could exceed.
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+    val k = kept
+    if (k.nonEmpty && k.forall(_.hasDocStats)) {
+      val (lo, hi) = (k.map(_.docMin).min, k.map(_.docMax).max)
+      colStats.put(Expressions.column("doc_id"), new ColumnStatistics {
+        override def distinctCount(): OptionalLong = OptionalLong.of(rows)
+        override def min(): Optional[Object] = Optional.of(Long.box(lo))
+        override def max(): Optional[Object] = Optional.of(Long.box(hi))
+        override def nullCount(): OptionalLong = OptionalLong.of(0L)
+      })
+    }
+    if (k.nonEmpty && k.forall(_.hasStats)) {
+      val (lo, hi) = (k.map(_.shardMin).min, k.map(_.shardMax).max)
+      colStats.put(Expressions.column("shard"), new ColumnStatistics {
+        override def distinctCount(): OptionalLong = OptionalLong.of((hi - lo + 1).toLong)
+        override def min(): Optional[Object] = Optional.of(Int.box(lo))
+        override def max(): Optional[Object] = Optional.of(Int.box(hi))
+        override def nullCount(): OptionalLong = OptionalLong.of(0L)
+      })
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows * 45L)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics] =
+        colStats
     }
   }
 

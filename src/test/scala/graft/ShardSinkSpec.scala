@@ -1718,6 +1718,31 @@ class ShardSinkSpec extends SparkSpec {
       .option("path", dir).load().count() === 2L)
   }
 
+  test("column statistics: manifest min/max/ndv reach the cost-based optimizer") {
+    val dir = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "320").option("numPartitions", "1").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    val df = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load().where(col("doc_id") >= 0L)
+    val rel = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head
+    val stats = rel.stats
+    assert(stats.rowCount.contains(BigInt(320)), stats.toString)
+    val byName = stats.attributeStats.map { case (a, cs) => a.name -> cs }
+    assert(byName.contains("doc_id"), s"no doc_id column stats: $stats")
+    val doc = byName("doc_id")
+    assert(doc.min.contains(0L) && doc.max.contains(319L), doc.toString)
+    assert(doc.distinctCount.contains(BigInt(320)), doc.toString)
+    val shard = byName("shard")
+    assert(shard.min.contains(0) && shard.max.contains(15), shard.toString)
+    assert(shard.nullCount.contains(BigInt(0)), shard.toString)
+  }
+
   test("metadata tables: files/history/tags/constraints via the extra identifier level") {
     val root = freshDir().getPath
     val s = spark.newSession()
