@@ -188,4 +188,65 @@ class PropertySpec extends SparkSpec {
       assert(buckets === ntiles, s"NTILE parity, descending=$descending")
     }
   }
+
+  test("property: CHECK predicate eval matches Spark SQL three-valued semantics (batched)") {
+    import graft.sources.SinkConstraint
+    import org.apache.spark.sql.types._
+    // the constraint feature's load-bearing claim: the write-path
+    // evaluator (per-InternalRow, executor-side) and Spark SQL agree on
+    // VIOLATED (predicate IS FALSE) for every predicate in the grammar —
+    // including NULL propagation, Kleene NOT/AND/OR, cross-type numeric
+    // coercion (bigint/int/double vs integer and decimal literals) and
+    // binary string comparison
+    val table = StructType(Seq(
+      StructField("doc_id", LongType), StructField("shard", IntegerType),
+      StructField("body", StringType), StructField("score", DoubleType)))
+    val ops = Gen.oneOf("=", "<>", "!=", "<", "<=", ">", ">=")
+    val numLit = Gen.oneOf(
+      Gen.chooseNum(-5L, 5L).map(_.toString),
+      Gen.chooseNum(-50, 50).map(n => (n / 10.0).toString))
+    val strLit = Gen.oneOf("a", "b", "ab", "ba", "").map(s => s"'$s'")
+    val leaf: Gen[String] = Gen.frequency(
+      5 -> (for { c <- Gen.oneOf("doc_id", "shard", "score"); o <- ops; l <- numLit }
+        yield s"$c $o $l"),
+      3 -> (for { o <- ops; l <- strLit } yield s"body $o $l"),
+      2 -> Gen.oneOf("score IS NULL", "score IS NOT NULL", "body IS NOT NULL"))
+    def tree(depth: Int): Gen[String] =
+      if (depth == 0) leaf
+      else Gen.frequency(
+        3 -> leaf,
+        2 -> (for { a <- tree(depth - 1); b <- tree(depth - 1)
+                    j <- Gen.oneOf("AND", "OR") } yield s"($a $j $b)"),
+        1 -> tree(depth - 1).map(p => s"NOT ($p)"))
+    val preds = Gen.listOfN(60, tree(2)).sample.get.distinct
+    val rowGen = for {
+      id <- Gen.chooseNum(-5L, 5L)
+      sh <- Gen.chooseNum(-2, 17)
+      b <- Gen.oneOf("a", "b", "ab", "ba", "", "c")
+      sc <- Gen.option(Gen.chooseNum(-50, 50).map(_ / 10.0))
+    } yield (id, sh, b, sc)
+    val rows = Gen.listOfN(80, rowGen).sample.get
+    val df = rows.toDF("doc_id", "shard", "body", "score")
+    // ONE Spark pass: every predicate as a violated-iff-FALSE column
+    val sparkViolated = df.select(
+      preds.zipWithIndex.map { case (p, i) =>
+        (expr(s"($p)") <=> lit(false)).as(s"p$i")
+      }: _*).collect()
+    val local = preds.map(p => SinkConstraint.compile(p, table))
+    rows.zipWithIndex.foreach { case ((id, sh, b, sc), r) =>
+      val get: Int => Any = {
+        case 0 => id
+        case 1 => sh
+        case 2 => b
+        case 3 => sc.map(Double.box).orNull
+      }
+      preds.indices.foreach { i =>
+        val mine = local(i)(get).contains(false)
+        val theirs = sparkViolated(r).getBoolean(i)
+        assert(mine === theirs,
+          s"predicate '${preds(i)}' on row (doc_id=$id, shard=$sh, body='$b', " +
+            s"score=$sc): write-path violated=$mine, Spark SQL violated=$theirs")
+      }
+    }
+  }
 }
