@@ -1743,6 +1743,40 @@ class ShardSinkSpec extends SparkSpec {
     assert(shard.nullCount.contains(BigInt(0)), shard.toString)
   }
 
+  test("CHECK constraints: a constraint landing mid-write aborts the stale commit loudly") {
+    val dir = freshDir().getPath
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "50").option("numPartitions", "1").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    // a write pins its (empty) constraint set at construction...
+    val stale = new graft.sources.ShardSinkWrite(dir, "stalew")
+    // ...an interloper's ADD CONSTRAINT lands (validating only EXISTING
+    // rows — it cannot see the in-flight write's)...
+    graft.sources.SinkTestAccess.addConstraint(dir, "neg_free", "doc_id >= 0")
+    // ...so the stale commit, whose rows were never validated against
+    // the newcomer, must abort instead of flipping them in
+    val w = graft.sources.SinkTestAccess.createFile(dir, "_tmp/stale-race.tsv")
+    try { w.write("-7\t3\tunchecked\n") } finally w.close()
+    val e = intercept[IllegalStateException](stale.commit(Array(
+      graft.sources.ShardSinkCommit(
+        new java.io.File(dir, "_tmp/stale-race.tsv").getPath, 1L, 3, 3, -7L, -7L))))
+    assert(e.getMessage.contains("concurrent ADD CONSTRAINT"), e.getMessage)
+    assert(e.getMessage.contains("neg_free"), e.getMessage)
+    // nothing flipped: the violating row is invisible
+    assert(spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load().where(col("doc_id") < 0L).count() === 0L)
+    // a FRESH write (pinning the new set) enforces it normally
+    val e2 = intercept[Exception] {
+      val s2 = spark.newSession()
+      import s2.implicits._
+      Seq((-8L, 3, "bad")).toDF("doc_id", "shard", "body")
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    assert(messageChain(e2).contains("CHECK constraint neg_free"), messageChain(e2))
+  }
+
   test("metadata tables: files/history/tags/constraints via the extra identifier level") {
     val root = freshDir().getPath
     val s = spark.newSession()
@@ -1867,18 +1901,25 @@ class ShardSinkSpec extends SparkSpec {
     assert(s.read.table("cl.c1").count() === 251L)
   }
 
-  test("shallow clone: source rewrites break the clone loudly; refusals; clone of clone") {
+  test("shallow clone: source rewrites break the clone loudly; refusals; clone of clone; constraints inherit") {
     val root = freshDir().getPath
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.cl2", classOf[graft.sources.ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.cl2.root", root)
+    import s.implicits._
     s.read.format("graft.sources.DocGenSource")
       .option("numDocs", "200").option("numPartitions", "2").load()
       .writeTo("cl2.src").append()
+    s.sql("ALTER TABLE cl2.src SET TBLPROPERTIES ('graft.constraint.small' = 'doc_id < 1000')")
     val srcDir = new java.io.File(root, "src").getPath
     val c1Dir = new java.io.File(root, "c1").getPath
     s.sql(s"ALTER TABLE cl2.c1 SET TBLPROPERTIES ('graft.clone' = '$srcDir')") // latest
     assert(s.read.table("cl2.c1").count() === 200L)
+    // the cloned snapshot's CHECK constraints are in force on the clone
+    assert(ShardSink.currentConstraints(c1Dir) === Seq(("small", "doc_id < 1000")))
+    val e0 = intercept[Exception](
+      Seq((5000L, 1, "big")).toDF("doc_id", "shard", "body").writeTo("cl2.c1").append())
+    assert(messageChain(e0).contains("CHECK constraint small"), messageChain(e0))
     // clone OF a clone: entries stay absolute against the ORIGINAL files
     s.sql(s"ALTER TABLE cl2.c2 SET TBLPROPERTIES ('graft.clone' = '$c1Dir')")
     assert(s.read.table("cl2.c2").count() === 200L)

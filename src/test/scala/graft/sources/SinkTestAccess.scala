@@ -26,6 +26,9 @@ object SinkTestAccess {
   def createTag(dir: String, name: String, version: Long): Unit =
     ShardSink.createTag(dir, name, version)
 
+  def addConstraint(dir: String, name: String, pred: String): Unit =
+    ShardSink.addConstraint(dir, name, pred)
+
   def morDelete(dir: String, docId: Long): Unit =
     ShardSink.morDeleteImpl(dir,
       Array(org.apache.spark.sql.sources.EqualTo("doc_id", docId)))
