@@ -1925,6 +1925,60 @@ object ShardSink {
       |       CAST(1 AS BIGINT) AS n_constraints,
       |       'doc_id >= 40' AS predicates""".stripMargin
 
+  /** CTAS/RTAS under the hash gate: `CREATE TABLE … AS SELECT` derives a
+    * new landing zone (with an EVOLVED extra column persisted through
+    * the fresh table's schema flips) from an existing one, the derived
+    * table is a full citizen (CoW DELETE runs on it), and
+    * `REPLACE TABLE … AS SELECT` swaps a table's content wholesale —
+    * the analyzer's existence gate rides the directory-based
+    * [[ShardSinkCatalog.tableExists]].
+    */
+  def ctasReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("ctas:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkct_$sfx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_ct", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_ct.root", root.getPath)
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1500").option("numPartitions", "2").load()
+      .writeTo("graft_ct.docs_src").append()
+    s.sql("CREATE TABLE graft_ct.docs_scored AS " +
+      "SELECT doc_id, shard, body, doc_id % 97 AS score " +
+      "FROM graft_ct.docs_src WHERE doc_id < 1000")
+    s.sql("DELETE FROM graft_ct.docs_scored WHERE score >= 90")
+    s.sql("CREATE TABLE graft_ct.docs_swap AS " +
+      "SELECT * FROM graft_ct.docs_src WHERE doc_id < 200")
+    s.sql("REPLACE TABLE graft_ct.docs_swap AS " +
+      "SELECT * FROM graft_ct.docs_src WHERE doc_id >= 1300")
+    val scored = s.read.table("graft_ct.docs_scored").agg(
+      count(lit(1)).as("n_docs"),
+      expr("bit_xor(doc_id)").as("xor_ids"),
+      sum(col("score")).as("sum_score"))
+    val swap = s.read.table("graft_ct.docs_swap").agg(
+      count(lit(1)).as("n_swap"),
+      expr("bit_xor(doc_id)").as("xor_swap"))
+    scored.crossJoin(swap)
+  }
+
+  val ctasReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 97 AS score FROM range(0, 1000) t(doc_id)
+      |  WHERE doc_id % 97 < 90),
+      |r AS (SELECT doc_id FROM range(1300, 1500) t(doc_id))
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_docs,
+      |       (SELECT bit_xor(doc_id) FROM g) AS xor_ids,
+      |       (SELECT CAST(SUM(score) AS BIGINT) FROM g) AS sum_score,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_swap,
+      |       (SELECT bit_xor(doc_id) FROM r) AS xor_swap""".stripMargin
+
   private val compactCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** COMPACTION — the small-files maintenance op every landing zone
@@ -4572,18 +4626,37 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
     val v = ShardSink.versionAtTimestamp(dir, Math.floorDiv(timestampMicros, 1000L))
     new ShardSinkTable(dir, Some(v), deleteMode, rloMode, cdfEnabled)
   }
-  override def tableExists(ident: Identifier): Boolean = true // implicit, empty until written
+  /** A table EXISTS when its directory does (a created-empty or written
+    * landing zone); a never-touched identifier does not — which is what
+    * lets `CREATE TABLE … AS SELECT` through the analyzer's existence
+    * check. Reads and writes still resolve ANY identifier ([[loadTable]]
+    * never throws): a fresh identifier is an empty landing zone, the
+    * manifest protocol's manifest-absent = no-data state.
+    */
+  override def tableExists(ident: Identifier): Boolean =
+    new java.io.File(dirOf(ident)).exists()
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).map(d => Identifier.of(namespace, d.getName))
+  /** CREATE TABLE (incl. the CTAS path — the analyzer routes here after
+    * [[tableExists]] says no): the (doc_id, shard, body) core is
+    * required as the schema PREFIX; any FURTHER columns are persisted as
+    * schema-evolution flips on the fresh table, so
+    * `CREATE TABLE t AS SELECT … extra columns` round-trips the evolved
+    * shape exactly (the CTAS write then lands against it by name).
+    */
   override def createTable(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val core = DocGen.schema.fields.map(f => (f.name, f.dataType))
     require(
-      schema.isEmpty || schema.fields.map(f => (f.name, f.dataType)).sameElements(
-        DocGen.schema.fields.map(f => (f.name, f.dataType))),
+      schema.isEmpty ||
+        schema.fields.take(core.length).map(f => (f.name, f.dataType)).sameElements(core),
       s"shard sink tables start with the ${DocGen.schema.simpleString} core " +
-        "(add columns with ALTER TABLE … ADD COLUMN)")
+        "(further columns evolve; reorders/renames of the core do not)")
+    val dir = dirOf(ident)
+    new java.io.File(dir).mkdirs()
+    schema.fields.drop(core.length).foreach(f => ShardSink.addColumn(dir, f.name, f.dataType))
     loadTable(ident)
   }
   /** SCHEMA EVOLUTION (round 14): `ALTER TABLE … ADD COLUMN` (appends a
