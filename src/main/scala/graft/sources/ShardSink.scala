@@ -4560,8 +4560,9 @@ class ShardSinkTailStream(path: String, cdc: Boolean = false)
   * zone — the manifest protocol already treats manifest-absent as
   * no-data), so create/drop are trivial metadata ops.
   */
-class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog {
-  import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+  import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, TableChange, TableInfo}
 
   private var catalogName = "graft_sink"
   private var root = ""
@@ -4728,6 +4729,71 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
     }
     loadTable(ident)
   }
+  /** ATOMIC CTAS / RTAS ([[org.apache.spark.sql.connector.catalog.StagingTableCatalog]]):
+    * with staging, Spark routes CREATE/REPLACE TABLE AS SELECT through a
+    * staged handle instead of drop-create-write. The payoff is on
+    * REPLACE: the swap is ONE truncate-flip on the existing version log
+    * — readers see the old content or the new, never an empty window,
+    * and the LOG SURVIVES (version numbering and the op trail continue,
+    * vs the non-staged drop+recreate which zeroes them; pre-replace
+    * snapshot FILES follow the sink's immediate-cleanup retention like
+    * any truncate — travel to them fails loudly as expired, never
+    * silently empty). Columns beyond the current
+    * schema evolve at stage time; previously-evolved columns absent from
+    * the replacement query stay (null-filled) — the log keeps reading
+    * old snapshots under their true shapes. A failed staged CTAS drops
+    * the half-created table; a failed staged REPLACE leaves the previous
+    * version fully visible (the flip never happened).
+    */
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(name()) ++ ident.namespace() :+ ident.name())
+    createTable(ident, info.schema(), info.partitions(), info.properties())
+    staged(ident, forceTruncate = false, dropOnAbort = true)
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    val dir = dirOf(ident)
+    val core = DocGen.schema.fields.map(f => (f.name, f.dataType))
+    require(
+      info.schema().fields.take(core.length).map(f => (f.name, f.dataType))
+        .sameElements(core),
+      s"shard sink tables start with the ${DocGen.schema.simpleString} core")
+    val cur = ShardSink.tableSchema(dir).fieldNames.toSet
+    info.schema().fields.drop(core.length)
+      .filterNot(f => cur.contains(f.name))
+      .foreach(f => ShardSink.addColumn(dir, f.name, f.dataType))
+    staged(ident, forceTruncate = true, dropOnAbort = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    if (tableExists(ident)) stageReplace(ident, info) else stageCreate(ident, info)
+
+  private def staged(
+      ident: Identifier, forceTruncate: Boolean, dropOnAbort: Boolean): StagedTable = {
+    val t = loadTable(ident)
+    new StagedTable with SupportsRead with SupportsWrite {
+      override def name(): String = t.name()
+      override def schema(): StructType = t.schema()
+      override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+        t.capabilities()
+      override def properties(): util.Map[String, String] = t.properties()
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        t.asInstanceOf[SupportsRead].newScanBuilder(options)
+      override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+        val b = t.asInstanceOf[SupportsWrite].newWriteBuilder(info)
+        if (forceTruncate)
+          b.asInstanceOf[org.apache.spark.sql.connector.write.SupportsTruncate].truncate()
+        else b
+      }
+      // the write's own manifest flip IS the atomic publication: staged
+      // commit has nothing left to do, staged abort undoes the CREATE
+      override def commitStagedChanges(): Unit = ()
+      override def abortStagedChanges(): Unit = if (dropOnAbort) { dropTable(ident); () }
+    }
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     val d = new java.io.File(dirOf(ident))
     def rm(f: java.io.File): Unit = {

@@ -37,10 +37,30 @@ class CtasSpec extends SparkSpec {
     val e2 = intercept[Exception](
       s.sql("CREATE TABLE ct.bad AS SELECT doc_id, body FROM ct.src"))
     assert(e2.getMessage.contains("core"), e2.getMessage)
-    // RTAS replaces content wholesale
+    // RTAS replaces content wholesale — ATOMICALLY, on the same version
+    // log (StagingTableCatalog: the swap is one truncate flip, not
+    // drop+recreate): the version numbering and op trail CONTINUE, and
+    // a reader never sees an empty window. Pre-replace snapshot FILES
+    // follow the sink's immediate-cleanup retention, exactly like a
+    // plain truncate: travelling to them fails LOUDLY as expired —
+    // never a silently-empty result
+    val derivedDir = new java.io.File(root, "derived").getPath
+    val preReplaceV = ShardSink.currentManifestVersion(derivedDir)
     s.sql("REPLACE TABLE ct.derived AS SELECT * FROM ct.src WHERE doc_id >= 40")
     assert(s.read.table("ct.derived").count() === 60L)
     assert(s.read.table("ct.derived").where(col("doc_id") < 40L).count() === 0L)
+    assert(ShardSink.currentManifestVersion(derivedDir) === preReplaceV + 1)
+    assert(ShardSink.history(derivedDir).last._2 === "truncate")
+    val eExp = intercept[Exception](
+      s.sql(s"SELECT * FROM ct.derived VERSION AS OF $preReplaceV").count())
+    assert(eExp.getMessage.contains("expired"), eExp.getMessage)
+    // staged REPLACE with a NEW column evolves the schema; the evolved
+    // write lands by name
+    s.sql("REPLACE TABLE ct.derived AS " +
+      "SELECT doc_id, shard, body, doc_id % 7 AS bucket FROM ct.src WHERE doc_id < 20")
+    val rep = s.read.table("ct.derived")
+    assert(rep.schema.fieldNames.contains("bucket"))
+    assert(rep.where(col("bucket") === col("doc_id") % 7).count() === 20L)
     // DROP frees the name; a fresh CTAS recreates from scratch
     s.sql("DROP TABLE ct.derived")
     val dir = new java.io.File(root, "derived").getPath
