@@ -513,6 +513,16 @@ private[sources] object SinkFs {
     else fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.getName)
   }
 
+  /** Recursive local delete — the one copy of the helper every
+    * fixture-building query used to inline.
+    */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   /** Move src over dest: atomic rename where the FS provides it (HDFS,
     * POSIX); the delete-first REPLACE window degrades to "file absent",
     * never to partial content (the src is fully written before the move).
@@ -642,11 +652,7 @@ object ShardSink {
     // driver-side temp landing dir for the checked query (local by
     // construction; the sink itself is FS-agnostic via SinkFs)
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_shardsink_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(dir)
+    SinkFs.deleteRecursively(dir)
     spark.read.format("graft.sources.DocGenSource")
       .option("numDocs", "20000").option("numPartitions", "4").load()
       .write.format("graft.sources.ShardSinkSource")
@@ -737,11 +743,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcat_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_sink", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_sink.root", root.getPath)
@@ -787,11 +789,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("mor:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmor_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_mor", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_mor.root", root.getPath)
@@ -838,11 +836,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("merge:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcat_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_sink", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_sink.root", root.getPath)
@@ -900,11 +894,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("mergemor:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkdmor_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_dmor", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_dmor.root", root.getPath)
@@ -954,11 +944,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest((tag + ":fullsync").getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkfs_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     val cat = s"graft_fs_$tag"
     s.conf.set(s"spark.sql.catalog.$cat", classOf[ShardSinkCatalog].getName)
@@ -1028,11 +1014,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("tail:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinktail_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(dir)
+    SinkFs.deleteRecursively(dir)
     val sparkTuned = graft.streaming.StreamTune.session(spark)
     def append(lo: Long, hi: Long): Unit =
       sparkTuned.read.format("graft.sources.DocGenSource")
@@ -1079,11 +1061,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("travel:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcat_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_sink", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_sink.root", root.getPath)
@@ -1122,11 +1100,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("travelts:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinktts_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_tts", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_tts.root", root.getPath)
@@ -1175,11 +1149,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("cdf:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcdf_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_cdf", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_cdf.root", root.getPath)
@@ -1226,11 +1196,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("cdcs:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcdcs_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = graft.streaming.StreamTune.session(spark)
     s.conf.set("spark.sql.catalog.graft_cdc", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_cdc.root", root.getPath)
@@ -1293,11 +1259,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("cdfu:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcdfu_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_cdfu", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_cdfu.root", root.getPath)
@@ -1347,11 +1309,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("tags:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinktag_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_tag", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_tag.root", root.getPath)
@@ -1401,11 +1359,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("rsync:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkrsync_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = graft.streaming.StreamTune.session(spark)
     Seq("graft_rsrc", "graft_rdst").foreach { cat =>
       s.conf.set(s"spark.sql.catalog.$cat", classOf[ShardSinkCatalog].getName)
@@ -1480,11 +1434,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("rst:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkrst_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_rst", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_rst.root", root.getPath)
@@ -1540,11 +1490,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("ow:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkow_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_ow", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_ow.root", root.getPath)
@@ -1597,11 +1543,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("evolve:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkev_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_ev", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_ev.root", root.getPath)
@@ -1655,11 +1597,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("constraints:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkck_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_ck", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_ck.root", root.getPath)
@@ -1747,13 +1685,9 @@ object ShardSink {
     val (dirA, dirB) = graft.util.Memo.cached("sinkSpjTables", spark, sfDir) {
       val sfx = java.security.MessageDigest.getInstance("MD5")
         .digest(("sinkspj:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
       def build(tag: String, lo: Long, hi: Long): String = {
         val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkspj_${tag}_$sfx")
-        rm(root)
+        SinkFs.deleteRecursively(root)
         spark.read.format("graft.sources.DocGenSource")
           .option("numDocs", "4500").option("numPartitions", "2").load()
           .where(col("doc_id") >= lo && col("doc_id") < hi)
@@ -1809,11 +1743,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("clone:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcl_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_cl", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_cl.root", root.getPath)
@@ -1873,11 +1803,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("meta:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmt_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_mt", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_mt.root", root.getPath)
@@ -1939,11 +1865,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("ctas:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkct_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_ct", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_ct.root", root.getPath)
@@ -2016,11 +1938,14 @@ object ShardSink {
     * OPTIMIZE's maxFileSize, in rows).
     */
   def compact(dir: String, retainVersions: Int = 0, targetRowsPerFile: Long = 0L): Unit = {
+    require(targetRowsPerFile <= Int.MaxValue.toLong,
+      s"targetRowsPerFile $targetRowsPerFile exceeds the per-file row ceiling (2^31-1)")
     // base pinned at read; a commit landing mid-compaction (whose rows
     // would be silently un-compacted away) collides at the flip and
     // aborts THIS compaction loudly — maintenance retries, data wins
     val (baseV, entries) = resolveBase(dir)
     if (entries.isEmpty) return
+    requireForeignLive(dir, entries)
     val byShard = scala.collection.mutable.Map
       .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, String)]]
     entries.foreach { e =>
@@ -2197,11 +2122,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("vac:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkvac_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(dir)
+    SinkFs.deleteRecursively(dir)
     def append(lo: Long, hi: Long): Unit =
       spark.read.format("graft.sources.DocGenSource")
         .option("numDocs", "2000").option("numPartitions", "2").load()
@@ -2242,11 +2163,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("compact:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcompact_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(dir)
+    SinkFs.deleteRecursively(dir)
     def append(lo: Long, hi: Long): Unit =
       spark.read.format("graft.sources.DocGenSource")
         .option("numDocs", "2000").option("numPartitions", "2").load()
@@ -2294,11 +2211,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("zorder:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkzord_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(dir)
+    SinkFs.deleteRecursively(dir)
     val s = spark.newSession()
     s.conf.set("spark.sql.adaptive.enabled", "false") // planned files == rdd partitions
     def append(lo: Long, hi: Long): Unit =
@@ -2358,11 +2271,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("history:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkhist_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_h", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_h.root", root.getPath)
@@ -2389,10 +2298,13 @@ object ShardSink {
     */
   def history(dir: String): Seq[(Long, String, Long, Long)] = {
     val current = currentManifestVersion(dir)
+    // ONE manifest parse per version: the previous total folds forward
+    var prev = 0L
     (1L to current).map { v =>
       val rows = entriesAtVersion(dir, v).map(_.rows).sum
-      val prev = if (v == 1L) 0L else entriesAtVersion(dir, v - 1).map(_.rows).sum
-      (v, manifestOpAt(dir, v).getOrElse("write"), rows, rows - prev)
+      val row = (v, manifestOpAt(dir, v).getOrElse("write"), rows, rows - prev)
+      prev = rows
+      row
     }
   }
 
@@ -2424,11 +2336,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("statsprune:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkprune_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(dir)
+    SinkFs.deleteRecursively(dir)
     def append(loShard: Int, hiShard: Int): Unit =
       spark.read.format("graft.sources.DocGenSource")
         .option("numDocs", "20000").option("numPartitions", "4").load()
@@ -2473,11 +2381,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("rangeprune:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkrange_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(dir)
+    SinkFs.deleteRecursively(dir)
     def append(lo: Long, hi: Long): Unit =
       spark.read.format("graft.sources.DocGenSource")
         .option("numDocs", "20000").option("numPartitions", "4").load()
@@ -2517,11 +2421,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("countmeta:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcount_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(root)
+    SinkFs.deleteRecursively(root)
     val s = spark.newSession()
     s.conf.set("spark.sql.catalog.graft_cnt", classOf[ShardSinkCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_cnt.root", root.getPath)
@@ -2564,11 +2464,7 @@ object ShardSink {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(("minmax:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmm_$sfx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(dir)
+    SinkFs.deleteRecursively(dir)
     def append(lo: Long, hi: Long): Unit =
       spark.read.format("graft.sources.DocGenSource")
         .option("numDocs", "2000").option("numPartitions", "2").load()
@@ -3120,8 +3016,42 @@ object ShardSink {
     * on the source are clone-safe. Compact the clone to end the
     * dependency.
     */
+  /** Resolve a `graft.clone` spec to (source dir, pinned version). The
+    * explicit companion property `graft.clone.version` wins and leaves
+    * the whole spec as the path (immune to '@' in directory names);
+    * otherwise the `<path>@<version-or-tag>` shorthand applies ONLY when
+    * the prefix before the last '@' is a real (committed) table — a
+    * path that merely CONTAINS '@' clones at latest.
+    */
+  private[sources] def parseCloneSpec(
+      spec: String, explicit: Option[String]): (String, Option[Long]) = {
+    def abs(p: String) = if (p.contains("://")) p else new java.io.File(p).getAbsolutePath
+    explicit match {
+      case Some(v) =>
+        val src = abs(spec)
+        (src, Some(if (v.nonEmpty && v.forall(_.isDigit)) v.toLong else resolveTag(src, v)))
+      case None =>
+        spec.lastIndexOf('@') match {
+          case -1 => (spec, None)
+          case at =>
+            val prefix = abs(spec.substring(0, at))
+            val ref = spec.substring(at + 1)
+            if (ref.nonEmpty && currentManifestVersion(prefix) >= 1L)
+              (prefix, Some(
+                if (ref.forall(_.isDigit)) ref.toLong else resolveTag(prefix, ref)))
+            else (spec, None) // the '@' belongs to the path itself
+        }
+    }
+  }
+
   private[sources] def cloneShallow(
-      src: String, dst: String, version: Option[Long] = None): Unit = {
+      srcSpec: String, dst: String, version: Option[Long] = None): Unit = {
+    // a RELATIVE source would manifest entries that are neither foreign
+    // (no leading '/') nor valid local names — normalize local paths to
+    // absolute so isForeign/deleteOwned/requireForeignLive classify them
+    val src =
+      if (srcSpec.contains("://")) srcSpec
+      else new java.io.File(srcSpec).getAbsolutePath
     require(new Path(src).toString != new Path(dst).toString,
       s"cannot clone $src onto itself")
     require(currentManifestVersion(dst) == 0L,
@@ -3492,6 +3422,7 @@ object ShardSink {
     // interleaved commit collides there and this rewrite aborts loudly
     // instead of silently dropping the interloper's files
     val (baseV, base) = resolveBase(dir)
+    requireForeignLive(dir, base)
     val (entries, obsolete, removed) = cowDrop(dir, base, filters, recordRemoved = cdf)
     val gen = deleteCounter.incrementAndGet()
     flipFromBase(dir, baseV, entries, s"d$gen",
@@ -3767,6 +3698,8 @@ object ShardSink {
     var k = 0
     // base pinned at read; lost race → loud abort (read-modify-write)
     val (baseV, base) = resolveBase(dir)
+    // DML over a clone reads foreign files: same named error as reads
+    requireForeignLive(dir, base)
     val entries = base.flatMap { e =>
       if (prune.exists(ss => !e.mayContainShard(ss))) Some(e) // untouched, unread
       else {
@@ -4656,7 +4589,18 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
       s"shard sink tables start with the ${DocGen.schema.simpleString} core " +
         "(further columns evolve; reorders/renames of the core do not)")
     val dir = dirOf(ident)
-    new java.io.File(dir).mkdirs()
+    // the directory IS the existence marker, so its creation must be the
+    // election: two concurrent CTAS of one identifier race the atomic
+    // createDirectory and exactly one proceeds — the same no-TOCTOU
+    // discipline as the manifest flip's fresh-name rename
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d.getParent)
+    try java.nio.file.Files.createDirectory(d)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+          Array(name()) ++ ident.namespace() :+ ident.name())
+    }
     schema.fields.drop(core.length).foreach(f => ShardSink.addColumn(dir, f.name, f.dataType))
     loadTable(ident)
   }
@@ -4709,17 +4653,14 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
       // table <t> into a zero-copy clone of the source snapshot —
       // schema, CHECK constraints and referenced files all come from it
       // (see [[ShardSink.cloneShallow]])
+      case sp: TableChange.SetProperty if sp.property == "graft.clone.version" =>
+        () // consumed by the graft.clone change in the same statement
       case sp: TableChange.SetProperty if sp.property == "graft.clone" =>
-        val spec = sp.value
-        val (src, version) = spec.lastIndexOf('@') match {
-          case -1 => (spec, None)
-          case at =>
-            val ref = spec.substring(at + 1)
-            val v =
-              if (ref.nonEmpty && ref.forall(_.isDigit)) ref.toLong
-              else ShardSink.resolveTag(spec.substring(0, at), ref)
-            (spec.substring(0, at), Some(v))
+        val explicit = changes.collectFirst {
+          case vp: TableChange.SetProperty if vp.property == "graft.clone.version" =>
+            vp.value
         }
+        val (src, version) = ShardSink.parseCloneSpec(sp.value, explicit)
         ShardSink.cloneShallow(src, dir, version)
       case rp: TableChange.RemoveProperty if rp.property.startsWith("graft.constraint.") =>
         ShardSink.dropConstraint(dir, rp.property.stripPrefix("graft.constraint."))
@@ -4743,7 +4684,11 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
     * the replacement query stay (null-filled) — the log keeps reading
     * old snapshots under their true shapes. A failed staged CTAS drops
     * the half-created table; a failed staged REPLACE leaves the previous
-    * version fully visible (the flip never happened).
+    * CONTENT fully visible (the truncate flip never happened) — but any
+    * schema-evolution flips the stage performed remain: added columns
+    * are nullable metadata (readers see them null-filled) and column
+    * drops are unsupported by design, so they cannot be rolled back.
+    * Documented rather than hidden.
     */
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
     if (tableExists(ident))
@@ -4796,12 +4741,8 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = new java.io.File(dirOf(ident))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
     val existed = d.exists()
-    rm(d)
+    SinkFs.deleteRecursively(d)
     existed
   }
   override def renameTable(from: Identifier, to: Identifier): Unit =

@@ -70,5 +70,20 @@ class CtasSpec extends SparkSpec {
     // fresh identifiers still read as empty landing zones (no existence
     // gate on the read path)
     assert(s.read.table("ct.never_written").count() === 0L)
+    // the directory creation IS the creation election: of two racers
+    // calling createTable for one identifier, exactly one wins
+    val cat = new graft.sources.ShardSinkCatalog()
+    cat.initialize("ct2", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", root)))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty[String], "elect")
+    val empty = new org.apache.spark.sql.types.StructType()
+    cat.createTable(ident, empty,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      java.util.Map.of[String, String]())
+    val eRace = intercept[Exception](cat.createTable(ident, empty,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      java.util.Map.of[String, String]()))
+    assert(eRace.getMessage.contains("already exists"), eRace.getMessage)
   }
 }

@@ -1943,6 +1943,30 @@ class ShardSinkSpec extends SparkSpec {
     assert(e4.getMessage.contains("source files that no longer exist"), e4.getMessage)
     val e5 = intercept[Exception](s.read.table("cl2.c2").count())
     assert(e5.getMessage.contains("source files that no longer exist"), e5.getMessage)
+    // DML over the broken clone gets the same named error, not a raw
+    // FileNotFound mid-rewrite
+    val e6 = intercept[Exception](s.sql("DELETE FROM cl2.c1 WHERE shard = 1"))
+    assert(messageChain(e6).contains("source files that no longer exist"), messageChain(e6))
+    // a source PATH containing '@' clones at latest when the prefix is
+    // NOT a table (the '@' shorthand only applies to real-table
+    // prefixes — a sibling table named like the prefix takes the
+    // shorthand reading, which is why the explicit graft.clone.version
+    // property exists: it is immune to '@' entirely)
+    val atDir = new java.io.File(root, "ingest@host").getPath
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "30").option("numPartitions", "1").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", atDir).mode(org.apache.spark.sql.SaveMode.Append).save() // v1
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "40").option("numPartitions", "1").load()
+      .where(col("doc_id") >= 30L)
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", atDir).mode(org.apache.spark.sql.SaveMode.Append).save() // v2
+    s.sql(s"ALTER TABLE cl2.cat1 SET TBLPROPERTIES ('graft.clone' = '$atDir')")
+    assert(s.read.table("cl2.cat1").count() === 40L) // latest, not 'version 2 of src'
+    s.sql(s"ALTER TABLE cl2.cat2 SET TBLPROPERTIES " +
+      s"('graft.clone' = '$atDir', 'graft.clone.version' = '1')")
+    assert(s.read.table("cl2.cat2").count() === 30L)
   }
 
   test("CHECK constraints: IS NOT NULL lifecycle; RESTORE reverts the constraint set with the data") {
