@@ -2509,8 +2509,111 @@ object ShardSink {
   private def committedEntriesOnce(dir: String): Seq[SinkEntry] = {
     val mf = manifestPath(dir)
     if (!SinkFs.exists(mf)) Seq.empty
-    else parseEntries(SinkFs.readString(mf))
+    else parseManifestBlob(dir, SinkFs.readString(mf))
   }
+
+  /** TWO-LEVEL MANIFESTS (round 14) — the layout that survives millions
+    * of files: above [[segmentTarget]] entries, a version's blob stops
+    * inlining the file list and instead references immutable SEGMENT
+    * files (`"segs":[{"f":"_manifest.seg-<tag>-<k>.json","n":N},…]`,
+    * Iceberg's manifest-list shape). Commit cost becomes O(changed):
+    * [[writeSegments]] REUSES every previous segment whose entry set is
+    * untouched (a blind append rewrites nothing — it adds one new
+    * segment; a vector growth rewrites exactly the segment holding that
+    * entry), so a million-file table's append writes a few KB, not the
+    * whole census. Segments are `_`-prefixed (exempt from vacuum and
+    * data-file classification), written BEFORE the list flip (a lost
+    * race orphans only invisible litter), immutable once referenced
+    * (cacheable forever — [[segmentCache]]), and format-mixable per
+    * version: a table crosses the threshold whenever a commit does,
+    * and old single-blob versions keep reading. The default target
+    * keeps harness-scale tables single-blob; [[setSegmentTarget]] is
+    * both the production tuning knob and the test hook.
+    */
+  private val segmentTargetRef = new java.util.concurrent.atomic.AtomicInteger(512)
+  def setSegmentTarget(n: Int): Unit = {
+    require(n >= 1, s"segment target must be >= 1, got $n")
+    segmentTargetRef.set(n)
+  }
+  def segmentTarget: Int = segmentTargetRef.get()
+
+  private val SegRef = """\{"f":"([^"]+)","n":(\d+)\}""".r
+
+  private[sources] def segmentRefsAt(dir: String, version: Long): Seq[String] =
+    if (version <= 0L) Seq.empty
+    else {
+      val p = new Path(dir, s"_manifest.v$version.json")
+      if (!SinkFs.exists(p)) Seq.empty
+      else {
+        val blob = SinkFs.readString(p)
+        if (!blob.contains("\"segs\":[")) Seq.empty
+        else SegRef.findAllMatchIn(blob).map(_.group(1)).toSeq
+      }
+    }
+
+  // immutable-once-referenced: safe to cache across the JVM. Crude cap —
+  // a full clear at 4096 names keeps the map bounded without LRU
+  // bookkeeping (re-reads are one small file each).
+  private val segmentCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[SinkEntry]]()
+  private def readSegment(dir: String, name: String): Seq[SinkEntry] = {
+    if (segmentCache.size > 4096) segmentCache.clear()
+    segmentCache.computeIfAbsent((dir, name),
+      _ => parseEntries(SinkFs.readString(new Path(dir, name))))
+  }
+
+  private def entryJson(e: SinkEntry): String = {
+    val stats = if (e.hasStats) s""","s0":${e.shardMin},"s1":${e.shardMax}""" else ""
+    val docs = if (e.hasDocStats) s""","d0":${e.docMin},"d1":${e.docMax}""" else ""
+    val dv = if (e.hasDeletes) s""","dv":"${e.dv}"""" else ""
+    s"""{"file":"${e.file}","rows":${e.rows}$stats$docs$dv}"""
+  }
+
+  private def writeSegmentFile(
+      dir: String, tag: String, k: Int, entries: Seq[SinkEntry]): (String, Int) = {
+    val name = s"_manifest.seg-$tag-$k.json"
+    val w = SinkFs.create(new Path(dir, name))
+    try w.write(entries.map(entryJson).mkString("""{"files":[""", ",", "]}"))
+    finally w.close()
+    (name, entries.size)
+  }
+
+  /** The O(changed) commit core: previous segments whose entries are ALL
+    * still wanted are referenced as-is; partially-surviving segments
+    * rewrite with just their survivors; entries no previous segment
+    * covers (the commit's additions) chunk into fresh segments.
+    */
+  private def writeSegments(
+      dir: String, desired: Seq[SinkEntry], tag: String,
+      version: Long): Seq[(String, Int)] = {
+    val target = segmentTargetRef.get()
+    val desiredSet = desired.toSet
+    val covered = scala.collection.mutable.Set.empty[SinkEntry]
+    val out = Seq.newBuilder[(String, Int)]
+    var k = 0
+    segmentRefsAt(dir, version - 1).foreach { name =>
+      val es = readSegment(dir, name)
+      val kept = es.filter(e => desiredSet.contains(e) && !covered.contains(e))
+      if (kept.nonEmpty) {
+        if (kept.size == es.size) out += ((name, es.size))
+        else { k += 1; out += writeSegmentFile(dir, tag, k, kept) }
+        covered ++= kept
+      }
+    }
+    desired.filterNot(covered.contains).grouped(target).foreach { chunk =>
+      k += 1
+      out += writeSegmentFile(dir, tag, k, chunk)
+    }
+    out.result()
+  }
+
+  /** Parse a version blob in EITHER format: inline `"files"` or
+    * segment-referencing `"segs"`.
+    */
+  private def parseManifestBlob(dir: String, blob: String): Seq[SinkEntry] =
+    if (blob.contains("\"segs\":["))
+      SegRef.findAllMatchIn(blob).map(_.group(1)).toSeq.flatMap(readSegment(dir, _))
+    else parseEntries(blob)
 
   // minimal parse of {"files":[{"file":"...","rows":N[,"s0":M,"s1":K]
   // [,"d0":A,"d1":B][,"dv":"..."]},...]} — names are writer-chosen
@@ -2596,12 +2699,17 @@ object ShardSink {
     val schKey = sch.map(s => s""""schema":"$s",""").getOrElse("")
     val ck = constraints.orElse(manifestCkAt(dir, version - 1))
     val ckKey = ck.map(c => s""""ck":"$c",""").getOrElse("")
-    val json = files.map { e =>
-      val stats = if (e.hasStats) s""","s0":${e.shardMin},"s1":${e.shardMax}""" else ""
-      val docs = if (e.hasDocStats) s""","d0":${e.docMin},"d1":${e.docMax}""" else ""
-      val dv = if (e.hasDeletes) s""","dv":"${e.dv}"""" else ""
-      s"""{"file":"${e.file}","rows":${e.rows}$stats$docs$dv}"""
-    }.mkString(s"""{"ts":${commitTimeMillis()},$opKey$hzKey$schKey$ckKey$cdcKey"files":[""", ",", "]}")
+    val head = s"""{"ts":${commitTimeMillis()},$opKey$hzKey$schKey$ckKey$cdcKey"""
+    // above the segment target the blob references immutable segment
+    // files instead of inlining the census — commit cost O(changed),
+    // see the TWO-LEVEL MANIFESTS scaladoc
+    val json =
+      if (files.size <= segmentTargetRef.get())
+        files.map(entryJson).mkString(head + """"files":[""", ",", "]}")
+      else
+        writeSegments(dir, files, tag, version)
+          .map { case (n, c) => s"""{"f":"$n","n":$c}""" }
+          .mkString(head + """"segs":[""", ",", "]}")
     val w = SinkFs.create(mTmp)
     try w.write(json) finally w.close()
     val dest = new Path(dir, s"_manifest.v$version.json")
@@ -2647,7 +2755,8 @@ object ShardSink {
     if (version <= 0L) Seq.empty
     else {
       val p = new Path(dir, s"_manifest.v$version.json")
-      if (!SinkFs.exists(p)) Seq.empty else parseEntries(SinkFs.readString(p))
+      if (!SinkFs.exists(p)) Seq.empty
+      else parseManifestBlob(dir, SinkFs.readString(p))
     }
 
   private val ManifestTs = """^\{"ts":(\d+)""".r

@@ -1777,6 +1777,75 @@ class ShardSinkSpec extends SparkSpec {
     assert(messageChain(e2).contains("CHECK constraint neg_free"), messageChain(e2))
   }
 
+  test("two-level manifests: segment reuse makes commits O(changed); mixed-format history reads exactly") {
+    import graft.sources.SinkTestAccess
+    val dir = freshDir().getPath
+    val twin = freshDir().getPath // same data, default single-blob format
+    // AQE coalescing would land each append as ONE file; disable it so
+    // appends produce several entries and segmentation has something to
+    // segment
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    def append(d: String, lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "400").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", d).mode(org.apache.spark.sql.SaveMode.Append).save()
+    ShardSink.setSegmentTarget(1)
+    try {
+      append(dir, 0L, 200L)   // v1: one file per shuffle partition → two-level
+      assert(ShardSink.committedEntries(dir).size > 1)
+      val v1Segs = SinkTestAccess.segmentRefs(dir, 1L)
+      assert(v1Segs.nonEmpty, "v1 did not segment")
+      val v1Bytes = v1Segs.map(n =>
+        n -> java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, n)).toSeq).toMap
+      // BLIND APPEND reuses every prior segment untouched: v2 references
+      // all of v1's segment files, byte-identical, plus fresh ones for
+      // the new entries only
+      append(dir, 200L, 400L) // v2
+      val v2Segs = SinkTestAccess.segmentRefs(dir, 2L)
+      assert(v1Segs.forall(v2Segs.contains), s"v1 $v1Segs not reused in v2 $v2Segs")
+      v1Bytes.foreach { case (n, bytes) =>
+        assert(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, n)).toSeq === bytes, s"$n mutated")
+      }
+      assert((v2Segs.toSet -- v1Segs).nonEmpty)
+      // a MERGE-ON-READ delete touches ONE entry (its dv): exactly the
+      // segment holding it rewrites; every other segment is reused
+      graft.sources.SinkTestAccess.morDelete(dir, 7L)
+      val v3Segs = SinkTestAccess.segmentRefs(dir, 3L)
+      assert(v3Segs.nonEmpty)
+      val reused = v3Segs.toSet.intersect(v2Segs.toSet)
+      assert(reused.size === v2Segs.size - 1,
+        s"expected all-but-one segment reused: v2=$v2Segs v3=$v3Segs")
+      // every read surface agrees with a single-blob twin of the same data
+      append(twin, 0L, 200L); append(twin, 200L, 400L)
+      graft.sources.SinkTestAccess.morDelete(twin, 7L)
+      def read(d: String) = spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", d).load()
+      assert(read(dir).count() === 399L)
+      assert(read(dir).exceptAll(read(twin)).isEmpty)
+      assert(read(twin).exceptAll(read(dir)).isEmpty)
+      // time travel across two-level versions
+      assert(spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("versionAsOf", "1").load().count() === 200L)
+      // change feed derives across segmented versions (vector diff at v3)
+      val feed = spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("readChangeFeed", "true").load()
+      assert(feed.where(col("_commit_version") === 3L &&
+        col("_change_type") === "delete").count() === 1L)
+      // back under the target the NEXT commit inlines again — mixed
+      // format history keeps reading end to end
+      ShardSink.setSegmentTarget(100000)
+      graft.sources.SinkTestAccess.morDelete(dir, 8L)
+      assert(SinkTestAccess.segmentRefs(dir, 4L).isEmpty) // v4 is single-blob
+      assert(read(dir).count() === 398L)
+      assert(spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("versionAsOf", "2").load().count() === 400L)
+    } finally ShardSink.setSegmentTarget(512)
+  }
+
   test("metadata tables: files/history/tags/constraints via the extra identifier level") {
     val root = freshDir().getPath
     val s = spark.newSession()

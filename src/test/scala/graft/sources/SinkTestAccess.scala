@@ -29,6 +29,9 @@ object SinkTestAccess {
   def addConstraint(dir: String, name: String, pred: String): Unit =
     ShardSink.addConstraint(dir, name, pred)
 
+  def segmentRefs(dir: String, version: Long): Seq[String] =
+    ShardSink.segmentRefsAt(dir, version)
+
   def morDelete(dir: String, docId: Long): Unit =
     ShardSink.morDeleteImpl(dir,
       Array(org.apache.spark.sql.sources.EqualTo("doc_id", docId)))
