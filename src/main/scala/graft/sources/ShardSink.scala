@@ -1901,6 +1901,60 @@ object ShardSink {
       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_swap,
       |       (SELECT bit_xor(doc_id) FROM r) AS xor_swap""".stripMargin
 
+  /** TWO-LEVEL MANIFESTS under the driver's hash gate (the specs pin
+    * the mechanics; this puts the layout itself under DuckDB): the whole
+    * append/append/MOR-delete lifecycle runs with segmentTarget = 1 —
+    * every version a manifest list over single-entry segments — and the
+    * content aggregates must match the same range() math the
+    * single-blob layout produces, plus structural booleans: v2 is
+    * two-level and references EVERY v1 segment unchanged (append reuse).
+    * The target is restored in a finally: the rest of the suite keeps
+    * the default layout.
+    */
+  def manifestSegmentsReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("segs:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinksg_$sfx")
+    SinkFs.deleteRecursively(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_sg", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sg.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_sg.delete.mode", "merge-on-read")
+    val prevTarget = segmentTarget
+    setSegmentTarget(1)
+    try {
+      def append(lo: Long, hi: Long): Unit =
+        s.read.format("graft.sources.DocGenSource")
+          .option("numDocs", "1600").option("numPartitions", "2").load()
+          .where(col("doc_id") >= lo && col("doc_id") < hi)
+          .writeTo("graft_sg.docs_sg").append()
+      append(0L, 500L)     // v1: may stay inline (one coalesced file)
+      append(500L, 1100L)  // v2: ≥2 entries → two-level
+      append(1100L, 1600L) // v3: blind append — v2's segments all reuse
+      s.sql("DELETE FROM graft_sg.docs_sg WHERE doc_id < 50") // v4: vector
+      val dir = new java.io.File(root, "docs_sg").getPath
+      val v2 = segmentRefsAt(dir, 2L)
+      val v3 = segmentRefsAt(dir, 3L)
+      val v4 = segmentRefsAt(dir, 4L)
+      val twoLevel = v2.nonEmpty && v3.nonEmpty && v4.nonEmpty
+      val appendReused = v2.nonEmpty && v2.forall(v3.contains)
+      s.read.table("graft_sg.docs_sg").agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("xor_ids"))
+        .withColumn("two_level", lit(if (twoLevel) 1L else 0L))
+        .withColumn("append_reused_all_v1_segments", lit(if (appendReused) 1L else 0L))
+    } finally setSegmentTarget(prevTarget)
+  }
+
+  val manifestSegmentsReportSql: String =
+    """WITH g AS (SELECT doc_id FROM range(50, 1600) t(doc_id))
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, bit_xor(doc_id) AS xor_ids,
+      |       CAST(1 AS BIGINT) AS two_level,
+      |       CAST(1 AS BIGINT) AS append_reused_all_v1_segments
+      |FROM g""".stripMargin
+
   private val compactCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** COMPACTION — the small-files maintenance op every landing zone
@@ -2664,19 +2718,14 @@ object ShardSink {
     * surfaces as [[ShardSinkConflict]]. Superseded versions are retained
     * as the commit log; only a legacy unversioned manifest is cleaned up.
     *
-    * SCALE NOTE, stated rather than hidden: each version here is ONE
-    * JSON blob enumerating every live file — right at harness file
-    * counts (tens to thousands), a driver bottleneck at 100 TB with
-    * millions of files. The production mapping is Iceberg's two-level
-    * layout: the version flip writes a tiny manifest LIST whose entries
-    * point at immutable per-ingest manifest FILES (each carrying its
-    * file-range stats), so a commit rewrites O(changed manifests), not
-    * O(table), and planning prunes whole manifest files by their range
-    * envelopes before touching entries. Nothing in the PROTOCOL changes
-    * — pin-base, fresh-name rename, carried-forward table state — only
-    * the body layout; every reader in this file already goes through
-    * entriesAtVersion/entriesAsOf, the single seam where that layout
-    * swap would land.
+    * SCALE: below [[segmentTarget]] entries the version is ONE JSON
+    * blob enumerating every live file — right at harness counts. Above
+    * it, the blob becomes a manifest LIST referencing immutable SEGMENT
+    * files with per-commit reuse (Iceberg's two-level layout,
+    * implemented in [[writeSegments]]), so a million-file table's
+    * append writes O(changed), not O(table). The protocol — pin-base,
+    * fresh-name rename, carried-forward table state — is identical in
+    * both layouts; state keys always live in the list blob.
     */
   private[sources] def writeManifestAt(
       dir: String, files: Seq[SinkEntry], tag: String, version: Long,

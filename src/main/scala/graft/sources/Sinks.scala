@@ -207,6 +207,7 @@ object Sinks {
     "q_dsv2_clone" -> (ShardSink.cloneReport _),
     "q_dsv2_meta_tables" -> (ShardSink.metaTablesReport _),
     "q_dsv2_ctas" -> (ShardSink.ctasReport _),
+    "q_dsv2_manifest_segments" -> (ShardSink.manifestSegmentsReport _),
     "q_dsv2_restore" -> (ShardSink.restoreReport _),
     "q_dsv2_replace_where" -> (ShardSink.replaceWhereReport _),
     "q_dsv2_vacuum" -> (ShardSink.vacuumReport _),
@@ -253,6 +254,7 @@ object Sinks {
     "q_dsv2_clone" -> ShardSink.cloneReportSql,
     "q_dsv2_meta_tables" -> ShardSink.metaTablesReportSql,
     "q_dsv2_ctas" -> ShardSink.ctasReportSql,
+    "q_dsv2_manifest_segments" -> ShardSink.manifestSegmentsReportSql,
     "q_dsv2_restore" -> ShardSink.restoreReportSql,
     "q_dsv2_replace_where" -> ShardSink.replaceWhereReportSql,
     "q_dsv2_vacuum" -> ShardSink.vacuumReportSql,
