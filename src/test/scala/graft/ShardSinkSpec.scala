@@ -1835,6 +1835,13 @@ class ShardSinkSpec extends SparkSpec {
         .option("path", dir).option("readChangeFeed", "true").load()
       assert(feed.where(col("_commit_version") === 3L &&
         col("_change_type") === "delete").count() === 1L)
+      // a shallow clone FROM a segmented source: entriesAtVersion is the
+      // shared seam, so the clone absolutizes the same entries whatever
+      // the source's layout (and the clone's own v1 segments too)
+      val cloneDir = freshDir().getPath + "/c"
+      graft.sources.SinkTestAccess.cloneShallow(dir, cloneDir)
+      assert(read(cloneDir).count() === 399L)
+      assert(ShardSink.committedEntries(cloneDir).forall(e => e.file.startsWith("/")))
       // back under the target the NEXT commit inlines again — mixed
       // format history keeps reading end to end
       ShardSink.setSegmentTarget(100000)

@@ -32,6 +32,9 @@ object SinkTestAccess {
   def segmentRefs(dir: String, version: Long): Seq[String] =
     ShardSink.segmentRefsAt(dir, version)
 
+  def cloneShallow(src: String, dst: String, version: Option[Long] = None): Unit =
+    ShardSink.cloneShallow(src, dst, version)
+
   def morDelete(dir: String, docId: Long): Unit =
     ShardSink.morDeleteImpl(dir,
       Array(org.apache.spark.sql.sources.EqualTo("doc_id", docId)))
