@@ -1935,9 +1935,9 @@ object ShardSink {
       append(1100L, 1600L) // v3: blind append — v2's segments all reuse
       s.sql("DELETE FROM graft_sg.docs_sg WHERE doc_id < 50") // v4: vector
       val dir = new java.io.File(root, "docs_sg").getPath
-      val v2 = segmentRefsAt(dir, 2L)
-      val v3 = segmentRefsAt(dir, 3L)
-      val v4 = segmentRefsAt(dir, 4L)
+      val v2 = segmentRefsAt(dir, 2L).map(_.name)
+      val v3 = segmentRefsAt(dir, 3L).map(_.name)
+      val v4 = segmentRefsAt(dir, 4L).map(_.name)
       val twoLevel = v2.nonEmpty && v3.nonEmpty && v4.nonEmpty
       val appendReused = v2.nonEmpty && v2.forall(v3.contains)
       s.read.table("graft_sg.docs_sg").agg(
@@ -2089,6 +2089,9 @@ object ShardSink {
       dir: String, rowsPerFile: Int, retainVersions: Int = 0): Unit = {
     val (baseV, entries) = resolveBase(dir)
     if (entries.isEmpty) return
+    // same shallow-clone guard as plain compact: a vacuumed source must
+    // surface as the named error, not a raw FileNotFound mid-rewrite
+    requireForeignLive(dir, entries)
     val rows = entries.flatMap { e =>
       liveLines(dir, e).map { l =>
         val c = l.split("\t", 3); (c(0).toLong, c(1).toInt, l)
@@ -2152,11 +2155,22 @@ object ShardSink {
         .flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil)) ++
         manifestCdcAt(dir, v)
     }.toSet
+    // segment files NO version's manifest list references — a crashed
+    // writer's orphans (written before the list flip that never
+    // happened), or a conflict loser whose in-handler cleanup died. The
+    // age guard protects an IN-FLIGHT commit's fresh segments exactly as
+    // it protects its renamed data files. `.tmp` siblings of a crashed
+    // mid-segment write are never referenced either, so the same rule
+    // sweeps them.
+    val refdSegs: Set[String] =
+      versions.flatMap(v => segmentRefsAt(dir, v).map(_.name)).toSet
     val now = System.currentTimeMillis()
     val swept = statuses.filter { st =>
       val f = st.getPath.getName
-      !f.startsWith("_") && !refd.contains(f) &&
-        now - st.getModificationTime >= olderThanMillis
+      val sweepable =
+        if (f.startsWith("_manifest.seg-")) !refdSegs.contains(f)
+        else !f.startsWith("_") && !refd.contains(f)
+      sweepable && now - st.getModificationTime >= olderThanMillis
     }.map(_.getPath.getName).sorted
     swept.foreach(f => SinkFs.delete(new Path(dir, f)))
     swept
@@ -2591,9 +2605,47 @@ object ShardSink {
   }
   def segmentTarget: Int = segmentTargetRef.get()
 
-  private val SegRef = """\{"f":"([^"]+)","n":(\d+)\}""".r
+  /** A manifest-list entry: the segment's file name, its entry count,
+    * and an ENVELOPE — the min/max of the per-file shard/doc stats over
+    * every entry inside (Iceberg's manifest-list partition summaries).
+    * The envelope lets [[entriesAsOfPruned]] skip reading WHOLE segments
+    * a pushed filter rules out: a 2,000-segment table answers a pruned
+    * scan by opening the handful of matching segments, not the census —
+    * O(matching) driver IO instead of O(files/segmentTarget). Sentinels
+    * (-1) mean unknown (an entry without stats inside, or a pre-envelope
+    * manifest): unknown always reads — conservative, same contract as
+    * [[SinkEntry]].
+    */
+  private[sources] final case class SegmentRef(
+      name: String, n: Int, shardMin: Int = -1, shardMax: Int = -1,
+      docMin: Long = -1L, docMax: Long = -1L) {
+    def hasStats: Boolean = shardMin >= 0
+    def hasDocStats: Boolean = docMax >= 0L
+    def mayContainShard(shards: Set[Int]): Boolean =
+      !hasStats || shards.exists(v => v >= shardMin && v <= shardMax)
+    def mayContainDocRange(lo: Long, hi: Long): Boolean =
+      !hasDocStats || (docMin <= hi && docMax >= lo)
+    def json: String = {
+      val stats = if (hasStats) s""","s0":$shardMin,"s1":$shardMax""" else ""
+      val docs = if (hasDocStats) s""","d0":$docMin,"d1":$docMax""" else ""
+      s"""{"f":"$name","n":$n$stats$docs}"""
+    }
+  }
 
-  private[sources] def segmentRefsAt(dir: String, version: Long): Seq[String] =
+  private val SegRef =
+    ("""\{"f":"([^"]+)","n":(\d+)(?:,"s0":(-?\d+),"s1":(-?\d+))?""" +
+      """(?:,"d0":(-?\d+),"d1":(-?\d+))?\}""").r
+
+  private def parseSegRefs(blob: String): Seq[SegmentRef] =
+    SegRef.findAllMatchIn(blob).map { m =>
+      val (s0, s1) =
+        if (m.group(3) == null) (-1, -1) else (m.group(3).toInt, m.group(4).toInt)
+      val (d0, d1) =
+        if (m.group(5) == null) (-1L, -1L) else (m.group(5).toLong, m.group(6).toLong)
+      SegmentRef(m.group(1), m.group(2).toInt, s0, s1, d0, d1)
+    }.toSeq
+
+  private[sources] def segmentRefsAt(dir: String, version: Long): Seq[SegmentRef] =
     if (version <= 0L) Seq.empty
     else {
       val p = new Path(dir, s"_manifest.v$version.json")
@@ -2601,19 +2653,37 @@ object ShardSink {
       else {
         val blob = SinkFs.readString(p)
         if (!blob.contains("\"segs\":[")) Seq.empty
-        else SegRef.findAllMatchIn(blob).map(_.group(1)).toSeq
+        else parseSegRefs(blob)
       }
     }
 
-  // immutable-once-referenced: safe to cache across the JVM. Crude cap —
-  // a full clear at 4096 names keeps the map bounded without LRU
-  // bookkeeping (re-reads are one small file each).
-  private val segmentCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[SinkEntry]]()
+  // immutable-once-referenced: safe to cache across the JVM. LRU at the
+  // cap (access-ordered LinkedHashMap) — a full clear would force a
+  // re-read STORM on the next query of a table sitting just above the
+  // cap, which is exactly the design-point table the layout exists for.
+  private val segmentCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), Seq[SinkEntry]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Seq[SinkEntry]]): Boolean =
+        size() > 4096
+    })
+  /** Physical segment-file reads (cache misses) — the observability hook
+    * the envelope-pruning spec pins its "whole segments were skipped"
+    * assertion on.
+    */
+  private[sources] val segmentReadCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[sources] def clearSegmentCacheForTest(): Unit = segmentCache.clear()
   private def readSegment(dir: String, name: String): Seq[SinkEntry] = {
-    if (segmentCache.size > 4096) segmentCache.clear()
-    segmentCache.computeIfAbsent((dir, name),
-      _ => parseEntries(SinkFs.readString(new Path(dir, name))))
+    val key = (dir, name)
+    val cached = segmentCache.get(key)
+    if (cached != null) cached
+    else {
+      // racing reads of the same immutable file are idempotent — no lock
+      segmentReadCount.incrementAndGet()
+      val es = parseEntries(SinkFs.readString(new Path(dir, name)))
+      segmentCache.put(key, es)
+      es
+    }
   }
 
   private def entryJson(e: SinkEntry): String = {
@@ -2623,51 +2693,119 @@ object ShardSink {
     s"""{"file":"${e.file}","rows":${e.rows}$stats$docs$dv}"""
   }
 
+  /** The envelope of a segment's entries: set only when EVERY entry
+    * carries the stat (a partial envelope could claim a range an
+    * unknown entry exceeds — same all-or-silent rule as the reported
+    * column statistics).
+    */
+  private def envelopeOf(es: Seq[SinkEntry]): (Int, Int, Long, Long) = {
+    val (s0, s1) =
+      if (es.nonEmpty && es.forall(_.hasStats))
+        (es.map(_.shardMin).min, es.map(_.shardMax).max)
+      else (-1, -1)
+    val (d0, d1) =
+      if (es.nonEmpty && es.forall(_.hasDocStats))
+        (es.map(_.docMin).min, es.map(_.docMax).max)
+      else (-1L, -1L)
+    (s0, s1, d0, d1)
+  }
+
+  /** Write one fresh segment: body to a `.tmp` sibling, then a
+    * [[SinkFs.moveFresh]] ELECTION into the final name — never an
+    * overwrite-create. Combined with the per-attempt nonce in the name
+    * this makes "immutable once referenced" a guarantee, not a
+    * convention: a colliding writer (two JVMs whose per-process counters
+    * generated the same tag) fails its link with EEXIST instead of
+    * silently clobbering a segment a committed version already
+    * references.
+    */
   private def writeSegmentFile(
-      dir: String, tag: String, k: Int, entries: Seq[SinkEntry]): (String, Int) = {
-    val name = s"_manifest.seg-$tag-$k.json"
-    val w = SinkFs.create(new Path(dir, name))
+      dir: String, tag: String, nonce: String, k: Int,
+      entries: Seq[SinkEntry]): SegmentRef = {
+    val name = s"_manifest.seg-$tag-$nonce-$k.json"
+    val tmp = new Path(dir, s"$name.tmp")
+    val w = SinkFs.create(tmp)
     try w.write(entries.map(entryJson).mkString("""{"files":[""", ",", "]}"))
     finally w.close()
-    (name, entries.size)
+    SinkFs.moveFresh(tmp, new Path(dir, name))
+    val (s0, s1, d0, d1) = envelopeOf(entries)
+    SegmentRef(name, entries.size, s0, s1, d0, d1)
   }
 
   /** The O(changed) commit core: previous segments whose entries are ALL
     * still wanted are referenced as-is; partially-surviving segments
     * rewrite with just their survivors; entries no previous segment
     * covers (the commit's additions) chunk into fresh segments.
+    * Returns the refs (reused + fresh, with envelopes) AND the fresh
+    * names alone — a lost manifest race must delete exactly the fresh
+    * ones (they are attempt-unique and referenced by nothing; the reused
+    * names belong to committed history).
     */
   private def writeSegments(
       dir: String, desired: Seq[SinkEntry], tag: String,
-      version: Long): Seq[(String, Int)] = {
+      version: Long): (Seq[SegmentRef], Seq[String]) = {
     val target = segmentTargetRef.get()
+    // attempt-unique nonce: segment names must be collision-proof across
+    // JVMs/restarts (compaction/DDL tags come from per-process counters)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
     val desiredSet = desired.toSet
     val covered = scala.collection.mutable.Set.empty[SinkEntry]
-    val out = Seq.newBuilder[(String, Int)]
+    val out = Seq.newBuilder[SegmentRef]
+    val fresh = Seq.newBuilder[String]
     var k = 0
-    segmentRefsAt(dir, version - 1).foreach { name =>
-      val es = readSegment(dir, name)
+    segmentRefsAt(dir, version - 1).foreach { ref =>
+      val es = readSegment(dir, ref.name)
       val kept = es.filter(e => desiredSet.contains(e) && !covered.contains(e))
       if (kept.nonEmpty) {
-        if (kept.size == es.size) out += ((name, es.size))
-        else { k += 1; out += writeSegmentFile(dir, tag, k, kept) }
+        if (kept.size == es.size) {
+          // reuse as-is; recompute the envelope so pre-envelope segments
+          // gain one the first time any commit re-references them
+          val (s0, s1, d0, d1) = envelopeOf(es)
+          out += SegmentRef(ref.name, es.size, s0, s1, d0, d1)
+        } else {
+          k += 1
+          val r = writeSegmentFile(dir, tag, nonce, k, kept)
+          out += r
+          fresh += r.name
+        }
         covered ++= kept
       }
     }
     desired.filterNot(covered.contains).grouped(target).foreach { chunk =>
       k += 1
-      out += writeSegmentFile(dir, tag, k, chunk)
+      val r = writeSegmentFile(dir, tag, nonce, k, chunk)
+      out += r
+      fresh += r.name
     }
-    out.result()
+    (out.result(), fresh.result())
   }
 
   /** Parse a version blob in EITHER format: inline `"files"` or
     * segment-referencing `"segs"`.
     */
   private def parseManifestBlob(dir: String, blob: String): Seq[SinkEntry] =
+    parseManifestBlobPruned(dir, blob, None, None)
+
+  /** Blob parse with ENVELOPE PRUNING: a segment whose ref-level
+    * envelope cannot intersect the pushed shard/doc predicates is
+    * skipped WITHOUT being read — the scale payoff of the two-level
+    * layout (see [[SegmentRef]]). Surviving segments' entries (and
+    * inline blobs) then prune per-entry as before, so the result is
+    * byte-identical to filtering the full census.
+    */
+  private def parseManifestBlobPruned(
+      dir: String, blob: String,
+      pruneShards: Option[Set[Int]], pruneDocs: Option[(Long, Long)]): Seq[SinkEntry] = {
+    def perEntry(es: Seq[SinkEntry]): Seq[SinkEntry] = es
+      .filter(e => pruneShards.forall(e.mayContainShard))
+      .filter(e => pruneDocs.forall { case (lo, hi) => e.mayContainDocRange(lo, hi) })
     if (blob.contains("\"segs\":["))
-      SegRef.findAllMatchIn(blob).map(_.group(1)).toSeq.flatMap(readSegment(dir, _))
-    else parseEntries(blob)
+      perEntry(parseSegRefs(blob)
+        .filter(r => pruneShards.forall(r.mayContainShard))
+        .filter(r => pruneDocs.forall { case (lo, hi) => r.mayContainDocRange(lo, hi) })
+        .flatMap(r => readSegment(dir, r.name)))
+    else perEntry(parseEntries(blob))
+  }
 
   // minimal parse of {"files":[{"file":"...","rows":N[,"s0":M,"s1":K]
   // [,"d0":A,"d1":B][,"dv":"..."]},...]} — names are writer-chosen
@@ -2752,13 +2890,15 @@ object ShardSink {
     // above the segment target the blob references immutable segment
     // files instead of inlining the census — commit cost O(changed),
     // see the TWO-LEVEL MANIFESTS scaladoc
+    var freshSegs: Seq[String] = Nil
     val json =
       if (files.size <= segmentTargetRef.get())
         files.map(entryJson).mkString(head + """"files":[""", ",", "]}")
-      else
-        writeSegments(dir, files, tag, version)
-          .map { case (n, c) => s"""{"f":"$n","n":$c}""" }
-          .mkString(head + """"segs":[""", ",", "]}")
+      else {
+        val (refs, fresh) = writeSegments(dir, files, tag, version)
+        freshSegs = fresh
+        refs.map(_.json).mkString(head + """"segs":[""", ",", "]}")
+      }
     val w = SinkFs.create(mTmp)
     try w.write(json) finally w.close()
     val dest = new Path(dir, s"_manifest.v$version.json")
@@ -2766,6 +2906,12 @@ object ShardSink {
     catch {
       case _: IllegalArgumentException =>
         SinkFs.delete(mTmp)
+        // this attempt's fresh segments are attempt-unique and referenced
+        // by nothing — delete them here, or a conflict-heavy workload
+        // (the 20-retry append loop at segment scale) accumulates
+        // unreclaimable litter (vacuum also sweeps unreferenced segments
+        // as a backstop, for the crash case this handler can't see)
+        freshSegs.foreach(n => SinkFs.delete(new Path(dir, n)))
         throw ShardSinkConflict(dir, version)
     }
     SinkFs.delete(new Path(dir, "_manifest.json"))
@@ -3383,21 +3529,48 @@ object ShardSink {
     * pushdown bypassed this and returned 0 for a typo'd version — the
     * exact silent-wrong-answer the validation exists to prevent).
     */
-  def entriesAsOf(dir: String, asOf: Option[Long]): Seq[SinkEntry] = asOf match {
-    case None => committedEntries(dir)
-    case Some(v) =>
-      val current = currentManifestVersion(dir)
-      require(v >= 0 && v <= current,
-        s"versionAsOf=$v out of range: table at $dir has versions 1..$current")
-      // v = 0 is the empty pre-commit snapshot — always safe; anything
-      // below the retention horizon has (or may have) swept files, and
-      // the horizon error beats an incidental missing-file one
-      val hz = horizonOf(dir)
-      require(v == 0L || v >= hz,
-        s"snapshot versionAsOf=$v expired: the retention horizon is $hz " +
-          s"(versions below it were released by compaction)")
-      entriesAtVersion(dir, v)
-  }
+  def entriesAsOf(dir: String, asOf: Option[Long]): Seq[SinkEntry] =
+    entriesAsOfPruned(dir, asOf, None, None)
+
+  /** [[entriesAsOf]] with the scan's pushed shard/doc predicates applied
+    * DURING manifest resolution: on a segmented manifest, whole segments
+    * the ref envelopes rule out are skipped unread
+    * ([[parseManifestBlobPruned]]); surviving entries prune per-entry as
+    * always. Same validation, same result as filtering the full census —
+    * just O(matching) metadata IO instead of O(files/segmentTarget).
+    */
+  def entriesAsOfPruned(
+      dir: String, asOf: Option[Long],
+      pruneShards: Option[Set[Int]], pruneDocs: Option[(Long, Long)]): Seq[SinkEntry] =
+    asOf match {
+      case None =>
+        // same one-retry rule as committedEntries: a legacy unversioned
+        // manifest can be cleaned up between resolution and read
+        def once(): Seq[SinkEntry] = {
+          val mf = manifestPath(dir)
+          if (!SinkFs.exists(mf)) Seq.empty
+          else parseManifestBlobPruned(dir, SinkFs.readString(mf), pruneShards, pruneDocs)
+        }
+        try once()
+        catch { case _: java.io.FileNotFoundException => once() }
+      case Some(v) =>
+        val current = currentManifestVersion(dir)
+        require(v >= 0 && v <= current,
+          s"versionAsOf=$v out of range: table at $dir has versions 1..$current")
+        // v = 0 is the empty pre-commit snapshot — always safe; anything
+        // below the retention horizon has (or may have) swept files, and
+        // the horizon error beats an incidental missing-file one
+        val hz = horizonOf(dir)
+        require(v == 0L || v >= hz,
+          s"snapshot versionAsOf=$v expired: the retention horizon is $hz " +
+            s"(versions below it were released by compaction)")
+        if (v <= 0L) Seq.empty
+        else {
+          val p = new Path(dir, s"_manifest.v$v.json")
+          if (!SinkFs.exists(p)) Seq.empty
+          else parseManifestBlobPruned(dir, SinkFs.readString(p), pruneShards, pruneDocs)
+        }
+    }
 
   /** A travelled snapshot may be compaction-expired: every entry that
     * will be read must still have its data file AND (merge-on-read) its
@@ -4289,9 +4462,10 @@ class ShardSinkScan(
     * no longer carry keys).
     */
   private lazy val kept: Seq[SinkEntry] =
-    ShardSink.entriesAsOf(path, asOf)
-      .filter(e => pruneShards.forall(e.mayContainShard))
-      .filter(e => pruneDocs.forall { case (lo, hi) => e.mayContainDocRange(lo, hi) })
+    // pruning happens DURING manifest resolution: on a segmented
+    // manifest, ref envelopes skip whole segments unread (per-entry
+    // filtering inside surviving segments is included)
+    ShardSink.entriesAsOfPruned(path, asOf, pruneShards, pruneDocs)
 
   private def keptEntries(): Seq[SinkEntry] = kept
 

@@ -86,16 +86,23 @@ object SinkConstraint {
           case (true, _) => throw new IllegalArgumentException(
             s"CHECK constraint compares string column '$col' to a numeric literal")
           case (false, n) =>
-            val d = n match { case l: Long => l.toDouble; case x: Double => x }
+            // integral column vs integral literal compares with EXACT Long
+            // ordering: coercing both sides to Double loses precision above
+            // 2^53 and would let the executor write path disagree with the
+            // ADD-time Spark-SQL validation (which is exact) — the two
+            // enforcement points must evaluate identically
             get => Option(get(i)).map { v =>
-              val x = v match {
-                case l: Long => l.toDouble
-                case ii: Int => ii.toDouble
-                case dd: Double => dd
-                case other => throw new IllegalStateException(
+              val c = (v, n) match {
+                case (l: Long, m: Long) => java.lang.Long.compare(l, m)
+                case (ii: Int, m: Long) => java.lang.Long.compare(ii.toLong, m)
+                case (l: Long, d: Double) => java.lang.Double.compare(l.toDouble, d)
+                case (ii: Int, d: Double) => java.lang.Double.compare(ii.toDouble, d)
+                case (dd: Double, m: Long) => java.lang.Double.compare(dd, m.toDouble)
+                case (dd: Double, d: Double) => java.lang.Double.compare(dd, d)
+                case (other, _) => throw new IllegalStateException(
                   s"unexpected value $other for numeric column '$col'")
               }
-              applyOp(op, java.lang.Double.compare(x, d))
+              applyOp(op, c)
             }
         }
       case And(l, r) =>

@@ -100,6 +100,19 @@ class SinkConstraintSpec extends AnyFunSuite {
     assert(eval("NOT (shard = 3 AND doc_id = 1)", 9L, 3, "", 0.0) === Some(true))
   }
 
+  test("eval: integral-vs-integral compares with EXACT Long ordering above 2^53") {
+    // 2^53 and 2^53+1 collapse to the same Double; the write path must
+    // agree with the ADD-time Spark-SQL validation, which is exact
+    val p53 = 9007199254740992L // 2^53
+    assert(eval(s"doc_id >= ${p53 + 1}", p53, 0, "", 0.0) === Some(false))
+    assert(eval(s"doc_id = ${p53 + 1}", p53, 0, "", 0.0) === Some(false))
+    assert(eval(s"doc_id = ${p53 + 1}", p53 + 1, 0, "", 0.0) === Some(true))
+    assert(eval(s"doc_id < ${p53 + 1}", p53, 0, "", 0.0) === Some(true))
+    // mixed double/long still compares on the double axis (Spark's rule)
+    assert(eval("score >= 2.5", 0L, 0, "", 2.5) === Some(true))
+    assert(eval(s"score > $p53", 0L, 0, "", p53.toDouble) === Some(false))
+  }
+
   test("eval: three-valued Kleene logic — NULL passes a CHECK unless forced FALSE") {
     // NULL comparison → UNKNOWN
     assert(eval("score > 0", 0L, 0, "", null) === None)

@@ -30,7 +30,15 @@ object SinkTestAccess {
     ShardSink.addConstraint(dir, name, pred)
 
   def segmentRefs(dir: String, version: Long): Seq[String] =
+    ShardSink.segmentRefsAt(dir, version).map(_.name)
+
+  def segmentRefsFull(dir: String, version: Long): Seq[(String, Int, Int, Int, Long, Long)] =
     ShardSink.segmentRefsAt(dir, version)
+      .map(r => (r.name, r.n, r.shardMin, r.shardMax, r.docMin, r.docMax))
+
+  def segmentReadCount: Long = ShardSink.segmentReadCount.get()
+
+  def clearSegmentCache(): Unit = ShardSink.clearSegmentCacheForTest()
 
   def cloneShallow(src: String, dst: String, version: Option[Long] = None): Unit =
     ShardSink.cloneShallow(src, dst, version)
