@@ -66,11 +66,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * with fresh-name renames: no replace window exists at all.
   */
 class ShardSinkSource extends TableProvider {
+  // a time-travel read option pins the TABLE to that version, so the
+  // reported schema is the per-version one (evolution-aware travel, same
+  // contract as the catalog's VERSION AS OF path)
+  private def asOfOf(path: String, get: String => String): Option[Long] = {
+    val picked = Seq(get("versionAsOf"), get("timestampAsOf"), get("tag"))
+    require(picked.count(_ != null) <= 1,
+      "specify at most one of versionAsOf, timestampAsOf, tag")
+    Option(get("versionAsOf")).map(_.toLong)
+      .orElse(Option(get("timestampAsOf"))
+        .map(s => ShardSink.versionAtTimestamp(path, ShardSink.parseTsMillis(s))))
+      .orElse(Option(get("tag")).map(t => ShardSink.resolveTag(path, t)))
+  }
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("shard sink requires a 'path' option"))
     if (options.getBoolean("readChangeFeed", false)) ShardSink.changeSchemaOf(path)
-    else ShardSink.tableSchema(path)
+    else asOfOf(path, options.get).map(ShardSink.schemaAtVersion(path, _))
+      .getOrElse(ShardSink.tableSchema(path))
   }
   override def getTable(
       schema: StructType,
@@ -83,9 +96,14 @@ class ShardSinkSource extends TableProvider {
     if ("true".equalsIgnoreCase(properties.get("readChangeFeed")))
       new ShardSinkChangeTable(path)
     else new ShardSinkTable(path,
+      asOf = asOfOf(path, properties.get),
       deleteMode = Option(properties.get("delete.mode")).getOrElse("copy-on-write"),
       rloMode = Option(properties.get("rlo.mode")).getOrElse("copy-on-write"),
-      cdfEnabled = "true".equalsIgnoreCase(properties.get("cdf.enabled")))
+      cdfEnabled = "true".equalsIgnoreCase(properties.get("cdf.enabled")),
+      // Delta's writer option: `.option("mergeSchema", "true")` lets an
+      // append/overwrite carry NEW columns — resolved by name, persisted
+      // in the same commit as the rows (see ShardSinkTable.newWriteBuilder)
+      acceptAnySchema = "true".equalsIgnoreCase(properties.get("mergeSchema")))
   }
 }
 
@@ -132,7 +150,8 @@ class ShardSinkChangeTable(path: String) extends Table with SupportsRead {
   */
 class ShardSinkTable(
     path: String, asOf: Option[Long] = None, deleteMode: String = "copy-on-write",
-    rloMode: String = "copy-on-write", cdfEnabled: Boolean = false)
+    rloMode: String = "copy-on-write", cdfEnabled: Boolean = false,
+    acceptAnySchema: Boolean = false, pendingSchema: Option[StructType] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -186,11 +205,15 @@ class ShardSinkTable(
   /** The version-pinned schema: a time-travelled table reads under the
     * schema AS OF that version (rows appended post-evolution are
     * invisible there anyway, so the old shape is the truthful one).
+    * `pendingSchema` (a staged REPLACE that evolves columns) overrides:
+    * the stage must report the TARGET shape so Spark projects the
+    * replacement query into it — the evolution itself is persisted only
+    * by the staged write's own commit (see [[ShardSinkWrite]]).
     */
-  override def schema(): StructType = asOf match {
+  override def schema(): StructType = pendingSchema.getOrElse(asOf match {
     case Some(v) => ShardSink.schemaAtVersion(path, v)
     case None => ShardSink.tableSchema(path)
-  }
+  })
 
   /** `SHOW TBLPROPERTIES <cat>.<t>` surface: the table state the
     * manifest carries — current version, retention horizon, CHECK
@@ -213,12 +236,19 @@ class ShardSinkTable(
     }
     m
   }
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE)
+    // mergeSchema writes: Spark's by-position output check would reject
+    // the wider frame before the connector ever saw it — declare
+    // ACCEPT_ANY_SCHEMA (Delta's approach) and do NAME-based resolution
+    // + evolution admission in newWriteBuilder instead
+    if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
   /** [[org.apache.spark.sql.connector.catalog.SupportsDelete]]: SQL
     * `DELETE FROM <catalog>.<table> WHERE …` handled by the connector —
@@ -239,11 +269,29 @@ class ShardSinkTable(
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val expect = ShardSink.tableSchema(path)
-    require(
-      info.schema().fields.map(f => (f.name, f.dataType)).sameElements(
-        expect.fields.map(f => (f.name, f.dataType))),
-      s"shard sink expects ${expect.simpleString}, got ${info.schema().simpleString}")
+    val expect = pendingSchema.getOrElse(ShardSink.tableSchema(path))
+    val incoming = info.schema()
+    val exact = incoming.fields.map(f => (f.name, f.dataType)).sameElements(
+      expect.fields.map(f => (f.name, f.dataType)))
+    // WRITE-SIDE AUTO SCHEMA EVOLUTION (round 15 — Delta's mergeSchema):
+    // under ACCEPT_ANY_SCHEMA the incoming frame resolves by NAME — new
+    // columns are admitted as nullable evolution, missing evolved
+    // columns null-fill, and the widened schema is persisted IN THE SAME
+    // manifest flip as the rows (never a separate ALTER commit a crash
+    // could strand). Without the option the exact-schema contract holds.
+    val (target, colMap) =
+      if (exact) (expect, null: Array[Int])
+      else {
+        require(acceptAnySchema,
+          s"shard sink expects ${expect.simpleString}, got ${incoming.simpleString}")
+        ShardSink.resolveWriteSchema(expect, incoming)
+      }
+    // the evolution (or a staged REPLACE's pending schema) rides the
+    // write's own commit — compare against what is PERSISTED now
+    val evolveTo = {
+      val t = ShardSink.schemaString(target)
+      if (t == ShardSink.schemaString(ShardSink.tableSchema(path))) None else Some(t)
+    }
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
       // SaveMode.Overwrite maps here: the new job's manifest REPLACES the
       // old one (old files become invisible the instant it lands), and
@@ -272,8 +320,8 @@ class ShardSinkTable(
         this
       }
       override def build(): Write =
-        new ShardSinkWrite(path, info.queryId(), doTruncate, expect,
-          replaceFilters, cdfEnabled)
+        new ShardSinkWrite(path, info.queryId(), doTruncate, target,
+          replaceFilters, cdfEnabled, colMap = colMap, evolveTo = evolveTo)
     }
   }
 
@@ -306,12 +354,49 @@ class ShardSinkTable(
       private var pruneDocs: Option[(Long, Long)] = None
       private var used: Array[Filter] = Array.empty
       private var sawFilters = false
+      // FILE-EXACT FILTER CONSUMPTION (round 15): when every pushed
+      // filter is in the shard/doc class AND the manifest proves every
+      // kept file is ALL-match (stats fully inside the predicate — the
+      // shard-pure compacted layout makes this the common case for
+      // shard-keyed predicates), the filters are consumed here: no
+      // residual, the row scan reads exactly the matching rows, and —
+      // the point — a COUNT/MIN/MAX on top stays eligible for the
+      // manifest-only push. `SELECT count(*) WHERE shard IN (…)` on a
+      // compacted landing zone is then zero data IO, the
+      // partition-pruned count every table format special-cases. The
+      // scan pins the version resolved HERE so the claim cannot rot
+      // under a concurrent commit (snapshot isolation, like Delta).
+      private var pinnedV: Option[Long] = v
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         sawFilters = filters.nonEmpty
         prune = ShardSink.shardPruneSet(filters)
         pruneDocs = ShardSink.docPruneRange(filters)
         used = filters.filter(f =>
           ShardSink.oneShardSet(f).isDefined || ShardSink.oneDocInterval(f).isDefined)
+        // consumption eligibility: every filter understood (IsNotNull on
+        // the non-nullable core columns is trivially true), and every
+        // kept entry full-match under the pinned snapshot
+        val understood = filters.forall {
+          case org.apache.spark.sql.sources.IsNotNull("doc_id" | "shard" | "body") => true
+          case f => ShardSink.oneShardSet(f).isDefined ||
+            ShardSink.oneDocInterval(f).isDefined
+        }
+        if (sawFilters && understood) {
+          val pv = v.orElse(Some(ShardSink.currentManifestVersion(path)))
+          val kept = ShardSink.entriesAsOfPruned(path, pv, prune, pruneDocs)
+          val exact = kept.forall { e =>
+            prune.forall(s => e.hasStats &&
+              (e.shardMin to e.shardMax).forall(s.contains)) &&
+              pruneDocs.forall { case (lo, hi) =>
+                e.hasDocStats && e.docMin >= lo && e.docMax <= hi }
+          }
+          if (exact) {
+            pinnedV = pv
+            used = filters
+            sawFilters = false // fully applied by file pruning
+            return Array.empty
+          }
+        }
         filters // all residual: skipping decides which FILES to read
       }
       override def pushedFilters(): Array[Filter] = used
@@ -334,17 +419,20 @@ class ShardSinkTable(
         * attempts the push when no post-scan filter remains, and the
         * guard keeps the contract local.
         */
-      /** METADATA-ONLY AGGREGATES (rounds 13/14): an unfiltered,
-        * ungrouped COUNT(*) / COUNT(non-nullable col) answers from the
-        * manifest's live-row bookkeeping, and MIN/MAX over the stats
-        * columns (doc_id, shard) answer from the per-file ranges — zero
-        * data IO either way, the `SELECT COUNT(*)/MIN/MAX` every table
-        * format special-cases. Filters disqualify (this scan applies
-        * none itself). MIN/MAX additionally require every entry to carry
-        * the stat AND no delete vectors anywhere: a vector may have
-        * killed exactly the extreme row, making the file-level range an
-        * over-approximation — COUNT stays eligible because live-row
-        * counts are maintained through vector growth.
+      /** METADATA-ONLY AGGREGATES (rounds 13/14/15): an ungrouped
+        * COUNT(*) / COUNT(non-nullable col) answers from the manifest's
+        * live-row bookkeeping, and MIN/MAX over the stats columns
+        * (doc_id, shard) answer from the per-file ranges — zero data IO
+        * either way, the `SELECT COUNT(*)/MIN/MAX` every table format
+        * special-cases. Residual filters disqualify (this scan applies
+        * none itself) — but filters CONSUMED by the file-exact pruning
+        * path above stay eligible: the builder proved every kept file is
+        * all-match, so the pruned entries' bookkeeping IS the filtered
+        * answer. MIN/MAX additionally require every (kept) entry to
+        * carry the stat AND no delete vectors anywhere: a vector may
+        * have killed exactly the extreme row, making the file-level
+        * range an over-approximation — COUNT stays eligible because
+        * live-row counts are maintained through vector growth.
         */
       private def metaAggs(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -381,7 +469,7 @@ class ShardSinkTable(
             // MIN/MAX soundness gate, resolved against the pinned version
             if (out.forall(_ == MetaCount)) Some(out)
             else {
-              val entries = ShardSink.entriesAsOf(path, v)
+              val entries = ShardSink.entriesAsOfPruned(path, pinnedV, prune, pruneDocs)
               val ok = entries.forall(e =>
                 e.hasStats && e.hasDocStats && !e.hasDeletes)
               if (ok) Some(out) else None
@@ -400,8 +488,8 @@ class ShardSinkTable(
           case None => false
         }
       override def build(): Scan = pushedMeta match {
-        case Some(specs) => new ShardSinkCountScan(path, v, specs)
-        case None => new ShardSinkScan(path, v, prune, required, pruneDocs, table)
+        case Some(specs) => new ShardSinkCountScan(path, pinnedV, specs, prune, pruneDocs)
+        case None => new ShardSinkScan(path, pinnedV, prune, required, pruneDocs, table)
       }
     }
   }
@@ -424,7 +512,10 @@ case object MetaMaxShard extends ShardSinkMetaAgg
   * version-pinned) manifest — COUNTs from live-row bookkeeping, MIN/MAX
   * from per-file stat ranges. Empty table: COUNT 0, MIN/MAX null.
   */
-class ShardSinkCountScan(path: String, asOf: Option[Long], specs: Seq[ShardSinkMetaAgg])
+class ShardSinkCountScan(
+    path: String, asOf: Option[Long], specs: Seq[ShardSinkMetaAgg],
+    pruneShards: Option[Set[Int]] = None,
+    pruneDocs: Option[(Long, Long)] = None)
   extends Scan with Batch {
   import org.apache.spark.sql.types.{IntegerType, LongType}
   override def readSchema(): StructType =
@@ -437,14 +528,20 @@ class ShardSinkCountScan(path: String, asOf: Option[Long], specs: Seq[ShardSinkM
     }
   override def description(): String =
     s"ShardSinkCountScan[$path, manifest-only count/minmax" +
-      asOf.map(v => s", versionAsOf=$v").getOrElse("") + "]"
+      asOf.map(v => s", versionAsOf=$v").getOrElse("") +
+      pruneShards.map(s => s", pruneShards=${s.toSeq.sorted.mkString("{", ",", "}")}")
+        .getOrElse("") +
+      pruneDocs.map { case (lo, hi) => s", pruneDocs=[$lo,$hi]" }.getOrElse("") + "]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     // the SAME validation the row scan applies: out-of-range fails
     // loudly, and an expired snapshot's count is an error even though
     // the manifest alone could "answer" it — count and collect must
-    // agree on validity (spec-pinned)
-    val entries = ShardSink.entriesAsOf(path, asOf)
+    // agree on validity (spec-pinned). Prune args arrive only from the
+    // file-exact filter-consumption path, where the builder proved every
+    // kept entry is ALL-match — summing their live rows IS the filtered
+    // count.
+    val entries = ShardSink.entriesAsOfPruned(path, asOf, pruneShards, pruneDocs)
     asOf.foreach(v => ShardSink.requireSnapshotLive(path, v, entries))
     // a clone whose source was vacuumed must not answer a stale
     // manifest-only count — same count/collect validity agreement
@@ -1955,6 +2052,161 @@ object ShardSink {
       |       CAST(1 AS BIGINT) AS append_reused_all_v1_segments
       |FROM g""".stripMargin
 
+  /** WRITE-SIDE AUTO SCHEMA EVOLUTION under the driver's hash gate
+    * (round 15): a `mergeSchema` append adds a `lang` column — schema
+    * and rows land in ONE commit (no separate ALTER version) — then a
+    * narrower REORDERED frame appends by name-resolution with the
+    * evolved column null-filled. The aggregates must match the same
+    * range() math in DuckDB; `evolve_rode_commits` pins the structural
+    * claim (exactly one manifest version per append).
+    */
+  def autoEvolveReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("aev:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkaev_$sfx")
+    SinkFs.deleteRecursively(dir)
+    def docs(lo: Long, hi: Long) = spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1500").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 600L).write.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath)
+      .mode(org.apache.spark.sql.SaveMode.Append).save() // v1: 3-column
+    docs(600L, 1200L)
+      .withColumn("lang", concat(lit("l"), (col("doc_id") % 3).cast("string")))
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).option("mergeSchema", "true")
+      .mode(org.apache.spark.sql.SaveMode.Append).save() // v2: evolves lang
+    docs(1200L, 1500L).select("body", "shard", "doc_id") // reordered, no lang
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).option("mergeSchema", "true")
+      .mode(org.apache.spark.sql.SaveMode.Append).save() // v3: null-fills
+    val oneCommitPerAppend = currentManifestVersion(dir.getPath) == 3L &&
+      tableSchema(dir.getPath).fieldNames.sameElements(
+        Array("doc_id", "shard", "body", "lang"))
+    spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_null_lang"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("evolve_rode_commits", lit(if (oneCommitPerAppend) 1L else 0L))
+  }
+
+  val autoEvolveReportSql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id >= 600 AND doc_id < 1200
+      |              THEN 'l' || CAST(doc_id % 3 AS VARCHAR) END AS lang
+      |  FROM range(0, 1500) t(doc_id))
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, bit_xor(doc_id) AS xor_ids,
+      |       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang,
+      |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(1 AS BIGINT) AS evolve_rode_commits
+      |FROM l""".stripMargin
+
+  /** SEGMENT-ENVELOPE PRUNING under the driver's hash gate (round 15):
+    * compaction into shard-pure chunks makes every segment ref carry a
+    * tight envelope; a pushed `shard = 3` scan must then read only the
+    * matching segments — `pruned_whole_segments` pins that the physical
+    * segment reads stayed below the census while the row aggregates
+    * match DuckDB exactly.
+    */
+  def segEnvelopeReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("env:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkenv_$sfx")
+    SinkFs.deleteRecursively(dir)
+    val prevTarget = segmentTarget
+    setSegmentTarget(1)
+    try {
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "400").option("numPartitions", "2").load()
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir.getPath)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+      compact(dir.getPath, targetRowsPerFile = 25L) // 16 shard-pure segments
+      val total = segmentRefsAt(dir.getPath, currentManifestVersion(dir.getPath)).size
+      clearSegmentCacheForTest()
+      val before = segmentReadCount.get()
+      val r = spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir.getPath).load()
+        .where(col("shard") === 3)
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("xor_ids"))
+        .head()
+      val misses = segmentReadCount.get() - before
+      val pruned = total >= 16 && misses >= 1L && misses < total.toLong
+      spark.range(1).select(
+        lit(r.getLong(0)).as("n_docs"),
+        lit(r.getLong(1)).as("xor_ids"),
+        lit(if (pruned) 1L else 0L).as("pruned_whole_segments"))
+    } finally setSegmentTarget(prevTarget)
+  }
+
+  val segEnvelopeReportSql: String =
+    """WITH g AS (SELECT doc_id FROM range(0, 400) t(doc_id) WHERE doc_id % 16 = 3)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, bit_xor(doc_id) AS xor_ids,
+      |       CAST(1 AS BIGINT) AS pruned_whole_segments
+      |FROM g""".stripMargin
+
+  /** FILTERED METADATA-ONLY AGGREGATES under the driver's hash gate
+    * (round 15): on the shard-pure compacted layout a `shard IN (…)`
+    * (or chunk-aligned doc-range) predicate is FILE-exact, so COUNT /
+    * MIN / MAX answer straight from the pruned manifest entries — zero
+    * data IO, Iceberg/Delta's partition-pruned count. `meta_only` pins
+    * the structural claim: both filtered aggregations planned as the
+    * manifest-only [[ShardSinkCountScan]].
+    */
+  def countPrunedReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("cpr:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcpr_$sfx")
+    SinkFs.deleteRecursively(dir)
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "2").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath)
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    compact(dir.getPath, targetRowsPerFile = 10L) // shard-pure 10-row chunks
+    def table = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+    val byShard = table.where(col("shard").isin(2, 3))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+    // chunk ranges per shard s: [s, s+144] [s+160, s+304] [s+320, s+384]
+    // — doc_id >= 160 prunes every first chunk whole and full-matches
+    // the rest, so the count stays metadata-only
+    val tail = table.where(col("doc_id") >= 160L).agg(count(lit(1)).as("n_tail"))
+    val metaOnly =
+      byShard.queryExecution.executedPlan.toString.contains("ShardSinkCountScan") &&
+        tail.queryExecution.executedPlan.toString.contains("ShardSinkCountScan")
+    val r1 = byShard.head()
+    val r2 = tail.head()
+    spark.range(1).select(
+      lit(r1.getLong(0)).as("n_docs"),
+      lit(r1.getLong(1)).as("min_doc"),
+      lit(r1.getLong(2)).as("max_doc"),
+      lit(r2.getLong(0)).as("n_tail"),
+      lit(if (metaOnly) 1L else 0L).as("meta_only"))
+  }
+
+  val countPrunedReportSql: String =
+    """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM range(0, 400) t(doc_id)
+      |        WHERE doc_id % 16 IN (2, 3)) AS n_docs,
+      |       (SELECT MIN(doc_id) FROM range(0, 400) t(doc_id)
+      |        WHERE doc_id % 16 IN (2, 3)) AS min_doc,
+      |       (SELECT MAX(doc_id) FROM range(0, 400) t(doc_id)
+      |        WHERE doc_id % 16 IN (2, 3)) AS max_doc,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM range(0, 400) t(doc_id)
+      |        WHERE doc_id >= 160) AS n_tail,
+      |       CAST(1 AS BIGINT) AS meta_only""".stripMargin
+
   private val compactCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** COMPACTION — the small-files maintenance op every landing zone
@@ -3094,6 +3346,44 @@ object ShardSink {
   private[sources] def schemaString(st: StructType): String =
     st.fields.map(f => s"${f.name}:${typeNameOf(f.dataType)}").mkString(",")
 
+  /** NAME-based write resolution for mergeSchema writes: every `expect`
+    * column maps to its position in the incoming frame (or -1 =
+    * null-fill, legal because evolved columns are nullable); incoming
+    * columns beyond `expect` are admitted as nullable evolution. Core
+    * columns must be present with exact types; known columns must match
+    * their declared type exactly (type WIDENING stays an explicit ALTER —
+    * a write that silently widened the table would invert the
+    * reader/writer contract). Returns the TARGET schema and the
+    * per-target-column source index.
+    */
+  private[sources] def resolveWriteSchema(
+      expect: StructType, incoming: StructType): (StructType, Array[Int]) = {
+    val inIdx = incoming.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
+    require(inIdx.size == incoming.fields.length,
+      s"duplicate column names in write schema ${incoming.simpleString}")
+    DocGen.schema.fields.foreach { cf =>
+      val i = inIdx.getOrElse(cf.name, -1)
+      require(i >= 0, s"shard sink write must include core column '${cf.name}'")
+      require(incoming.fields(i).dataType == cf.dataType,
+        s"core column '${cf.name}' must be ${cf.dataType.simpleString}, " +
+          s"got ${incoming.fields(i).dataType.simpleString}")
+    }
+    expect.fields.foreach { f =>
+      inIdx.get(f.name).foreach { i =>
+        require(incoming.fields(i).dataType == f.dataType,
+          s"write column '${f.name}': ${incoming.fields(i).dataType.simpleString} " +
+            s"does not match table type ${f.dataType.simpleString} " +
+            "(type widening is an explicit ALTER TABLE)")
+      }
+    }
+    val known = expect.fieldNames.toSet
+    val extras = incoming.fields.filterNot(f => known.contains(f.name))
+    extras.foreach(f => typeNameOf(f.dataType)) // admission: supported types only
+    val target = StructType(expect.fields ++ extras.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)))
+    (target, target.fields.map(f => inIdx.getOrElse(f.name, -1)))
+  }
+
   /** Serialize one row to its TSV line in TABLE-schema column order;
     * `idx(i)` is the physical position of table column i in the incoming
     * row. Null added-column cells write the `\N` sentinel; string values
@@ -3107,7 +3397,9 @@ object ShardSink {
     while (i < idx.length) {
       if (i > 0) sb.append('\t')
       val f = table.fields(i)
-      if (i >= 3 && row.isNullAt(idx(i))) sb.append(NullCell)
+      // idx(i) < 0 = column absent from the incoming frame (a mergeSchema
+      // write missing an evolved column): null-fill, legal for i >= 3
+      if (i >= 3 && (idx(i) < 0 || row.isNullAt(idx(i)))) sb.append(NullCell)
       else f.dataType match {
         case org.apache.spark.sql.types.LongType => sb.append(row.getLong(idx(i)))
         case org.apache.spark.sql.types.IntegerType => sb.append(row.getInt(idx(i)))
@@ -4089,7 +4381,9 @@ class ShardSinkWrite(
     path: String, queryId: String, truncate: Boolean = false,
     tableSchema: StructType = DocGen.schema,
     replaceFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
-    cdf: Boolean = false)
+    cdf: Boolean = false,
+    colMap: Array[Int] = null,
+    evolveTo: Option[String] = None)
   extends Write with BatchWrite with StreamingWrite
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -4139,9 +4433,23 @@ class ShardSinkWrite(
           "against it; aborted loudly — re-run")
   }
 
+  // an EVOLVING commit pins the schema it derived its target from: if a
+  // concurrent ALTER landed a different shape in between, overwriting the
+  // schema key would silently drop that evolution — abort loudly instead
+  private val pinnedSchema =
+    if (evolveTo.isDefined) ShardSink.schemaString(ShardSink.tableSchema(path)) else null
+  private def requireSchemaUnchanged(baseV: Long): Unit =
+    if (evolveTo.isDefined) {
+      val cur = ShardSink.schemaString(ShardSink.schemaAtVersion(path, baseV))
+      if (cur != pinnedSchema)
+        throw new IllegalStateException(
+          s"ShardSink schema-evolving write at $path conflicts with a concurrent " +
+            s"schema change ($pinnedSchema -> $cur); aborted loudly — re-run")
+    }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ShardSinkWriterFactory(path, queryId, table = tableSchema,
-      constraints = pinnedCks)
+      constraints = pinnedCks, colMap = colMap)
 
   /** STREAMING_WRITE: the same temp-file/manifest protocol, per epoch.
     * Final names carry the epoch (`part-e<epoch>-<i>.tsv`) and each epoch
@@ -4247,7 +4555,11 @@ class ShardSinkWrite(
     if (truncate) {
       val (baseV, previous) = ShardSink.resolveBase(path)
       requireNoNewConstraints(baseV)
-      ShardSink.flipFromBase(path, baseV, finals, queryId, op = Some("truncate"))
+      requireSchemaUnchanged(baseV)
+      // a pending/merged schema flips IN this commit — the one atomic
+      // publication a staged REPLACE (or mergeSchema overwrite) gets
+      ShardSink.flipFromBase(path, baseV, finals, queryId, op = Some("truncate"),
+        schema = evolveTo)
       // cleanup AFTER the flip: old files are already invisible;
       // deleting them can race nothing
       ShardSink.deleteOwned(path,
@@ -4281,6 +4593,7 @@ class ShardSinkWrite(
       }
       val (baseV, base) = ShardSink.resolveBase(path)
       requireNoNewConstraints(baseV)
+      requireSchemaUnchanged(baseV)
       val (kept, obsolete, removed) = ShardSink.cowDrop(path, base, filters,
         recordRemoved = cdf)
       // change record only when the table opted into CDF: the dropped
@@ -4294,7 +4607,7 @@ class ShardSinkWrite(
         ShardSink.writeCdcSidecar(path, s"o$queryId", removed ++ inserted)
       }
       ShardSink.flipFromBase(path, baseV, kept ++ finals, s"o$queryId", cdc = cdc,
-        op = Some("replaceWhere"))
+        op = Some("replaceWhere"), schema = evolveTo)
       // physical cleanup AFTER the flip, same as DELETE
       ShardSink.deleteOwned(path, obsolete)
     } else {
@@ -4303,9 +4616,10 @@ class ShardSinkWrite(
       while (!committed) {
         val (baseV, base) = ShardSink.resolveBase(path)
         requireNoNewConstraints(baseV)
+        requireSchemaUnchanged(baseV)
         try {
           ShardSink.writeManifestAt(path, base ++ finals, s"$queryId-a$attempt",
-            baseV + 1, op = Some("append"))
+            baseV + 1, op = Some("append"), schema = evolveTo)
           committed = true
         } catch {
           case ShardSink.ShardSinkConflict(_, _) if attempt < 20 => attempt += 1
@@ -4352,17 +4666,19 @@ case class ShardSinkStreamingFactory(
 class ShardSinkWriterFactory(
     path: String, queryId: String, trailingCols: Boolean = false,
     table: StructType = DocGen.schema,
-    constraints: Seq[(String, String)] = Nil)
+    constraints: Seq[(String, String)] = Nil,
+    colMap: Array[Int] = null)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ShardSinkDataWriter(path, queryId, partitionId, taskId, trailingCols, table,
-      constraints)
+      constraints, colMap)
 }
 
 class ShardSinkDataWriter(
     path: String, queryId: String, partitionId: Int, taskId: Long,
     trailingCols: Boolean = false, table: StructType = DocGen.schema,
-    constraints: Seq[(String, String)] = Nil)
+    constraints: Seq[(String, String)] = Nil,
+    colMap: Array[Int] = null)
   extends DataWriter[InternalRow] {
   // compiled ON the executor from the pinned predicate strings; throws on
   // the first violating row, failing the task before any commit
@@ -4382,8 +4698,15 @@ class ShardSinkDataWriter(
 
   override def write(row: InternalRow): Unit = {
     if (colIdx == null) {
-      val base = if (trailingCols) row.numFields - table.length else 0
-      colIdx = Array.tabulate(table.length)(base + _)
+      // an explicit NAME-resolved mapping (mergeSchema writes) wins; the
+      // default is the contiguous layout (optionally offset past the
+      // row-operation marker a group-based replacement plan prepends)
+      colIdx =
+        if (colMap != null) colMap
+        else {
+          val base = if (trailingCols) row.numFields - table.length else 0
+          Array.tabulate(table.length)(base + _)
+        }
     }
     val shard = row.getInt(colIdx(1))
     if (shard < sMin) sMin = shard
@@ -5025,16 +5348,16 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
     * vs the non-staged drop+recreate which zeroes them; pre-replace
     * snapshot FILES follow the sink's immediate-cleanup retention like
     * any truncate — travel to them fails loudly as expired, never
-    * silently empty). Columns beyond the current
-    * schema evolve at stage time; previously-evolved columns absent from
-    * the replacement query stay (null-filled) — the log keeps reading
-    * old snapshots under their true shapes. A failed staged CTAS drops
-    * the half-created table; a failed staged REPLACE leaves the previous
-    * CONTENT fully visible (the truncate flip never happened) — but any
-    * schema-evolution flips the stage performed remain: added columns
-    * are nullable metadata (readers see them null-filled) and column
-    * drops are unsupported by design, so they cannot be rolled back.
-    * Documented rather than hidden.
+    * silently empty). Columns beyond the current schema evolve INSIDE
+    * the staged write's truncate commit (the stage reports the merged
+    * shape as a PENDING schema; nothing is persisted at stage time);
+    * previously-evolved columns absent from the replacement query stay
+    * (null-filled) — the log keeps reading old snapshots under their
+    * true shapes. A failed staged CTAS drops the half-created table; a
+    * failed staged REPLACE leaves the previous content AND schema fully
+    * intact — the truncate flip that would have carried both never
+    * happened (round 15; previously alter flips persisted at stage time
+    * and survived an aborted stage).
     */
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
     if (tableExists(ident))
@@ -5051,19 +5374,35 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
       info.schema().fields.take(core.length).map(f => (f.name, f.dataType))
         .sameElements(core),
       s"shard sink tables start with the ${DocGen.schema.simpleString} core")
-    val cur = ShardSink.tableSchema(dir).fieldNames.toSet
-    info.schema().fields.drop(core.length)
-      .filterNot(f => cur.contains(f.name))
-      .foreach(f => ShardSink.addColumn(dir, f.name, f.dataType))
-    staged(ident, forceTruncate = true, dropOnAbort = false)
+    // schema evolution rides the staged write's OWN truncate commit (the
+    // table is built with the merged schema as PENDING): a failed staged
+    // REPLACE leaves both the previous content AND the previous schema
+    // untouched — the r14 rollback gap (alter flips persisted at stage
+    // time) is closed. Previously-evolved columns absent from the
+    // replacement query stay (Spark null-fills them by name against the
+    // staged shape), so the log keeps reading old snapshots truthfully.
+    val cur = ShardSink.tableSchema(dir)
+    val curNames = cur.fieldNames.toSet
+    val merged = StructType(cur.fields ++
+      info.schema().fields.drop(core.length)
+        .filterNot(f => curNames.contains(f.name))
+        .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType,
+          nullable = true)))
+    staged(ident, forceTruncate = true, dropOnAbort = false,
+      pendingSchema = Some(merged))
   }
 
   override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
     if (tableExists(ident)) stageReplace(ident, info) else stageCreate(ident, info)
 
   private def staged(
-      ident: Identifier, forceTruncate: Boolean, dropOnAbort: Boolean): StagedTable = {
-    val t = loadTable(ident)
+      ident: Identifier, forceTruncate: Boolean, dropOnAbort: Boolean,
+      pendingSchema: Option[StructType] = None): StagedTable = {
+    val t =
+      if (pendingSchema.isDefined)
+        new ShardSinkTable(dirOf(ident), deleteMode = deleteMode, rloMode = rloMode,
+          cdfEnabled = cdfEnabled, pendingSchema = pendingSchema)
+      else loadTable(ident)
     new StagedTable with SupportsRead with SupportsWrite {
       override def name(): String = t.name()
       override def schema(): StructType = t.schema()

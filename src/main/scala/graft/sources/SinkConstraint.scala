@@ -155,7 +155,9 @@ object SinkConstraint {
       (row, colIdx) => {
         val get: Int => Any = i => {
           val ord = colIdx(i)
-          if (ord >= row.numFields || row.isNullAt(ord)) null
+          // ord < 0 = column absent from the incoming frame (mergeSchema
+          // write null-fills it) — evaluates as NULL, same as the cell
+          if (ord < 0 || ord >= row.numFields || row.isNullAt(ord)) null
           else types(i) match {
             case LongType => row.getLong(ord)
             case IntegerType => row.getInt(ord)

@@ -208,6 +208,9 @@ object Sinks {
     "q_dsv2_meta_tables" -> (ShardSink.metaTablesReport _),
     "q_dsv2_ctas" -> (ShardSink.ctasReport _),
     "q_dsv2_manifest_segments" -> (ShardSink.manifestSegmentsReport _),
+    "q_dsv2_auto_evolve" -> (ShardSink.autoEvolveReport _),
+    "q_dsv2_seg_envelope" -> (ShardSink.segEnvelopeReport _),
+    "q_dsv2_count_pruned" -> (ShardSink.countPrunedReport _),
     "q_dsv2_restore" -> (ShardSink.restoreReport _),
     "q_dsv2_replace_where" -> (ShardSink.replaceWhereReport _),
     "q_dsv2_vacuum" -> (ShardSink.vacuumReport _),
@@ -255,6 +258,9 @@ object Sinks {
     "q_dsv2_meta_tables" -> ShardSink.metaTablesReportSql,
     "q_dsv2_ctas" -> ShardSink.ctasReportSql,
     "q_dsv2_manifest_segments" -> ShardSink.manifestSegmentsReportSql,
+    "q_dsv2_auto_evolve" -> ShardSink.autoEvolveReportSql,
+    "q_dsv2_seg_envelope" -> ShardSink.segEnvelopeReportSql,
+    "q_dsv2_count_pruned" -> ShardSink.countPrunedReportSql,
     "q_dsv2_restore" -> ShardSink.restoreReportSql,
     "q_dsv2_replace_where" -> ShardSink.replaceWhereReportSql,
     "q_dsv2_vacuum" -> ShardSink.vacuumReportSql,

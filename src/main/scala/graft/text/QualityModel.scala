@@ -144,15 +144,11 @@ object QualityModel {
       variantKey: String,
       trainPop: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) =
     Memo.cached("qmodel", spark, sfDir, variant = variantKey) {
-      // Materialize the FEATURE relation once: ~50 bytes/doc vs the raw
-      // text, so the 8 GD rounds iterate over the feature matrix instead
-      // of re-tokenizing the corpus per round — at 100 TB that is the
-      // difference between 8 corpus scans and 1 corpus scan + 8 passes
-      // over a few hundred GB of features (the shape MLlib's iterative
-      // optimizers use: extract once, cache, iterate).
-      val f = featsOf(spark, sfDir)
-        .withColumn("split", graft.etl.Sampling.splitColumn(col("doc_id"), TrainPct, 0))
-        .localCheckpoint(true)
+      // Feature extraction is shared ACROSS variants (see
+      // [[featsCheckpointed]]): the base fit, the holdout fit and the
+      // delta fine-tune all train over the same checkpointed matrix —
+      // one corpus scan total, not one per variant.
+      val f = featsCheckpointed(spark, sfDir)
       val base = trainPop(f)
       val nCol = count(lit(1)).cast("double")
       val st = base.agg(
@@ -422,7 +418,25 @@ object QualityModel {
       .orderBy("coef")
   }
 
-  def clearModelCache(): Unit = Memo.clear("qmodel")
+  /** Materialize the FEATURE relation once per corpus: ~50 bytes/doc vs
+    * the raw text, so the 8 GD rounds iterate over the feature matrix
+    * instead of re-tokenizing the corpus per round — at 100 TB that is
+    * the difference between 8 corpus scans and 1 corpus scan + 8 passes
+    * over a few hundred GB of features (the shape MLlib's iterative
+    * optimizers use: extract once, cache, iterate). Memoized under its
+    * OWN tag: every training variant (plain, holdout, delta base) reuses
+    * the same checkpointed matrix — the corpus is tokenized once, not
+    * once per variant (the r14 bench showed the 3 variants paying the
+    * extraction pass 3×).
+    */
+  private def featsCheckpointed(spark: SparkSession, sfDir: String): DataFrame =
+    Memo.cached("qfeats", spark, sfDir) {
+      featsOf(spark, sfDir)
+        .withColumn("split", graft.etl.Sampling.splitColumn(col("doc_id"), TrainPct, 0))
+        .localCheckpoint(true)
+    }
+
+  def clearModelCache(): Unit = { Memo.clear("qmodel"); Memo.clear("qfeats") }
 
   /** The deployed model as driver-side scalars — 9 doubles (4 means,
     * 4 scales, 4 weights + bias): the bounded control plane a serving

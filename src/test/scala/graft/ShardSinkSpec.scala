@@ -908,10 +908,15 @@ class ShardSinkSpec extends SparkSpec {
     val r = agg.collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)) ===
       ((1400L, 100L, 1499L, 0, 15)))
-    // a filter disqualifies the push — row scan, same answer
+    // a FILE-EXACT filter (>= 900 keeps exactly the second file) is
+    // consumed by pruning — the filtered min stays manifest-only (r15)
     val filtered = read.where(col("doc_id") >= 900L).agg(min(col("doc_id")).as("lo"))
-    assert(!planOf(filtered).contains("manifest-only"), planOf(filtered))
+    assert(planOf(filtered).contains("manifest-only"), planOf(filtered))
     assert(filtered.collect().head.getLong(0) === 900L)
+    // a STRADDLING filter disqualifies the push — row scan, same answer
+    val strad = read.where(col("doc_id") >= 500L).agg(min(col("doc_id")).as("lo"))
+    assert(!planOf(strad).contains("manifest-only"), planOf(strad))
+    assert(strad.collect().head.getLong(0) === 500L)
     // a delete vector anywhere refuses MIN/MAX (the vector may have
     // killed the extreme row) but plain COUNT stays manifest-only
     graft.sources.SinkTestAccess.morDelete(dir, 1499L)
@@ -1441,6 +1446,53 @@ class ShardSinkSpec extends SparkSpec {
     val fcnt = read.where(col("doc_id") < 100L).agg(expr("count(*)"))
     assert(!fcnt.queryExecution.executedPlan.toString.contains("ShardSinkCountScan"))
     assert(fcnt.collect().head.getLong(0) === 100L)
+  }
+
+  test("filtered metadata-only aggregates: file-exact predicates answer from the pruned manifest") {
+    val dir = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "2").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    // shard-pure 10-row chunks: shard predicates and chunk-aligned doc
+    // ranges become FILE-exact
+    ShardSink.compact(dir, targetRowsPerFile = 10L)
+    def read = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // shard IN (…): every kept chunk is shard-pure → consumed → the
+    // count/min/max plan is the manifest-only scan, zero data IO
+    val byShard = read.where(col("shard").isin(2, 3))
+      .agg(expr("count(*)"), min("doc_id"), max("doc_id"))
+    assert(planOf(byShard).contains("ShardSinkCountScan"), planOf(byShard))
+    val r = byShard.collect().head
+    assert(r.getLong(0) === 50L)
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === 387L)
+    // chunk-aligned doc range (chunks per shard s: [s, s+144],
+    // [s+160, s+304], [s+320, s+384]): >= 160 full-matches or prunes
+    // every chunk
+    val tail = read.where(col("doc_id") >= 160L).agg(expr("count(*)"))
+    assert(planOf(tail).contains("ShardSinkCountScan"), planOf(tail))
+    assert(tail.collect().head.getLong(0) === 240L)
+    // a straddling doc range falls back to the row scan — and agrees
+    val strad = read.where(col("doc_id") < 150L).agg(expr("count(*)"))
+    assert(!planOf(strad).contains("ShardSinkCountScan"))
+    assert(strad.collect().head.getLong(0) === 150L)
+    // the consumed-filter ROW scan reads exactly the matching rows
+    val rows = read.where(col("shard") === 5).collect()
+    assert(rows.length === 25 && rows.forall(_.getAs[Int]("shard") === 5))
+    // a merge-on-read delete keeps filtered COUNT exact (live-row
+    // bookkeeping) but disqualifies MIN/MAX (vector may hide extremes)
+    graft.sources.SinkTestAccess.morDelete(dir, 2L) // doc 2, shard 2
+    val afterDel = read.where(col("shard").isin(2, 3)).agg(expr("count(*)"))
+    assert(planOf(afterDel).contains("ShardSinkCountScan"), planOf(afterDel))
+    assert(afterDel.collect().head.getLong(0) === 49L)
+    val mm = read.where(col("shard").isin(2, 3)).agg(min("doc_id"))
+    assert(!planOf(mm).contains("ShardSinkCountScan"))
+    assert(mm.collect().head.getLong(0) === 3L, "doc 3 (shard 3) survives the delete of doc 2")
   }
 
   test("q_dsv2_write_roundtrip: rerunning replaces the manifest atomically, same answer") {
