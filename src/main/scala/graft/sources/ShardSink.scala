@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{
   Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
-  ScanBuilder, SupportsReportPartitioning}
+  ScanBuilder, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{
   KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
@@ -352,6 +352,7 @@ class ShardSinkTable(
       with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var prune: Option[Set[Int]] = None
       private var pruneDocs: Option[(Long, Long)] = None
+      private var prunePoints: Option[Set[Long]] = None
       private var used: Array[Filter] = Array.empty
       private var sawFilters = false
       // FILE-EXACT FILTER CONSUMPTION (round 15): when every pushed
@@ -371,6 +372,7 @@ class ShardSinkTable(
         sawFilters = filters.nonEmpty
         prune = ShardSink.shardPruneSet(filters)
         pruneDocs = ShardSink.docPruneRange(filters)
+        prunePoints = ShardSink.docPointSet(filters)
         used = filters.filter(f =>
           ShardSink.oneShardSet(f).isDefined || ShardSink.oneDocInterval(f).isDefined)
         // consumption eligibility: every filter understood (IsNotNull on
@@ -433,10 +435,21 @@ class ShardSinkTable(
         * have killed exactly the extreme row, making the file-level
         * range an over-approximation — COUNT stays eligible because
         * live-row counts are maintained through vector growth.
+        *
+        * GROUP BY shard (round 15): on a compacted layout where EVERY
+        * kept entry is shard-PURE (s0 == s1 — rows never cross files
+        * within a shard), the per-shard rollup is exactly the per-file
+        * bookkeeping summed by shard: `SELECT shard, count(*) GROUP BY
+        * shard` answers from the manifest with zero data IO, the
+        * partition-level rollup a 100 TB landing zone is asked for
+        * hourly. Straddling entries disqualify (a file's rows cannot be
+        * attributed to one group), and a shard whose live rows all died
+        * to vectors emits NO group row — group-by over zero rows has no
+        * group.
         */
       private def metaAggs(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-          : Option[Seq[ShardSinkMetaAgg]] = {
+          : Option[(Boolean, Seq[ShardSinkMetaAgg])] = {
         import org.apache.spark.sql.connector.expressions.NamedReference
         import org.apache.spark.sql.connector.expressions.aggregate._
         def col1(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -444,8 +457,12 @@ class ShardSinkTable(
             case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
             case _ => None
           }
-        if (sawFilters || agg.groupByExpressions().nonEmpty ||
-            agg.aggregateExpressions().isEmpty) None
+        val grouped = agg.groupByExpressions() match {
+          case Array() => Some(false)
+          case Array(e) if col1(e).contains("shard") => Some(true)
+          case _ => None
+        }
+        if (sawFilters || grouped.isEmpty || agg.aggregateExpressions().isEmpty) None
         else {
           val specs = agg.aggregateExpressions().toSeq.map {
             case _: CountStar => Some(MetaCount)
@@ -466,18 +483,23 @@ class ShardSinkTable(
           if (specs.exists(_.isEmpty)) None
           else {
             val out = specs.flatten
-            // MIN/MAX soundness gate, resolved against the pinned version
-            if (out.forall(_ == MetaCount)) Some(out)
+            val g = grouped.get
+            // soundness gates, resolved against the pinned version:
+            // grouped pushes need shard-pure entries, MIN/MAX need full
+            // stats and zero delete vectors
+            if (!g && out.forall(_ == MetaCount)) Some((g, out))
             else {
               val entries = ShardSink.entriesAsOfPruned(path, pinnedV, prune, pruneDocs)
-              val ok = entries.forall(e =>
-                e.hasStats && e.hasDocStats && !e.hasDeletes)
-              if (ok) Some(out) else None
+              val pure = !g ||
+                entries.forall(e => e.hasStats && e.shardMin == e.shardMax)
+              val minmaxOk = out.forall(_ == MetaCount) ||
+                entries.forall(e => e.hasStats && e.hasDocStats && !e.hasDeletes)
+              if (pure && minmaxOk) Some((g, out)) else None
             }
           }
         }
       }
-      private var pushedMeta: Option[Seq[ShardSinkMetaAgg]] = None
+      private var pushedMeta: Option[(Boolean, Seq[ShardSinkMetaAgg])] = None
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
         metaAggs(agg).isDefined
@@ -488,8 +510,10 @@ class ShardSinkTable(
           case None => false
         }
       override def build(): Scan = pushedMeta match {
-        case Some(specs) => new ShardSinkCountScan(path, pinnedV, specs, prune, pruneDocs)
-        case None => new ShardSinkScan(path, pinnedV, prune, required, pruneDocs, table)
+        case Some((g, specs)) =>
+          new ShardSinkCountScan(path, pinnedV, specs, prune, pruneDocs, groupByShard = g)
+        case None =>
+          new ShardSinkScan(path, pinnedV, prune, required, pruneDocs, table, prunePoints)
       }
     }
   }
@@ -507,27 +531,39 @@ case object MetaMaxDoc extends ShardSinkMetaAgg
 case object MetaMinShard extends ShardSinkMetaAgg
 case object MetaMaxShard extends ShardSinkMetaAgg
 
-/** The manifest-aggregate scan: one partition, one row, every value
-  * resolved at plan time on the driver from the (possibly
-  * version-pinned) manifest — COUNTs from live-row bookkeeping, MIN/MAX
-  * from per-file stat ranges. Empty table: COUNT 0, MIN/MAX null.
+/** The manifest-aggregate scan: one partition, every value resolved at
+  * plan time on the driver from the (possibly version-pinned) manifest —
+  * COUNTs from live-row bookkeeping, MIN/MAX from per-file stat ranges.
+  * Ungrouped: one row (empty table: COUNT 0, MIN/MAX null). Grouped by
+  * shard (builder proved every kept entry shard-pure): one row per shard
+  * with live rows, the per-group values summed/min'd/max'd over that
+  * shard's entries — a shard whose rows all died emits no group row.
   */
 class ShardSinkCountScan(
     path: String, asOf: Option[Long], specs: Seq[ShardSinkMetaAgg],
     pruneShards: Option[Set[Int]] = None,
-    pruneDocs: Option[(Long, Long)] = None)
+    pruneDocs: Option[(Long, Long)] = None,
+    groupByShard: Boolean = false)
   extends Scan with Batch {
   import org.apache.spark.sql.types.{IntegerType, LongType}
-  override def readSchema(): StructType =
-    specs.zipWithIndex.foldLeft(new StructType()) { case (st, (sp, i)) =>
+  override def readSchema(): StructType = {
+    // contract: group-by columns first, then one column per aggregate
+    val base =
+      if (groupByShard) new StructType().add("shard", IntegerType, nullable = false)
+      else new StructType()
+    specs.zipWithIndex.foldLeft(base) { case (st, (sp, i)) =>
       sp match {
         case MetaCount => st.add(s"count_$i", LongType, nullable = false)
-        case MetaMinDoc | MetaMaxDoc => st.add(s"agg_$i", LongType, nullable = true)
-        case MetaMinShard | MetaMaxShard => st.add(s"agg_$i", IntegerType, nullable = true)
+        case MetaMinDoc | MetaMaxDoc =>
+          st.add(s"agg_$i", LongType, nullable = !groupByShard)
+        case MetaMinShard | MetaMaxShard =>
+          st.add(s"agg_$i", IntegerType, nullable = !groupByShard)
       }
     }
+  }
   override def description(): String =
     s"ShardSinkCountScan[$path, manifest-only count/minmax" +
+      (if (groupByShard) ", groupBy=shard" else "") +
       asOf.map(v => s", versionAsOf=$v").getOrElse("") +
       pruneShards.map(s => s", pruneShards=${s.toSeq.sorted.mkString("{", ",", "}")}")
         .getOrElse("") +
@@ -546,24 +582,32 @@ class ShardSinkCountScan(
     // a clone whose source was vacuumed must not answer a stale
     // manifest-only count — same count/collect validity agreement
     ShardSink.requireForeignLive(path, entries)
-    val values: Array[Any] = specs.map {
-      case MetaCount => entries.map(_.rows).sum: Any
-      case MetaMinDoc => if (entries.isEmpty) null else entries.map(_.docMin).min
-      case MetaMaxDoc => if (entries.isEmpty) null else entries.map(_.docMax).max
-      case MetaMinShard => if (entries.isEmpty) null else entries.map(_.shardMin).min
-      case MetaMaxShard => if (entries.isEmpty) null else entries.map(_.shardMax).max
-    }.toArray
-    Array(ShardSinkCountPartition(values))
+    def aggsOf(es: Seq[SinkEntry]): Seq[Any] = specs.map {
+      case MetaCount => es.map(_.rows).sum: Any
+      case MetaMinDoc => if (es.isEmpty) null else es.map(_.docMin).min
+      case MetaMaxDoc => if (es.isEmpty) null else es.map(_.docMax).max
+      case MetaMinShard => if (es.isEmpty) null else es.map(_.shardMin).min
+      case MetaMaxShard => if (es.isEmpty) null else es.map(_.shardMax).max
+    }
+    val rows: Array[Array[Any]] =
+      if (groupByShard)
+        entries.groupBy(_.shardMin).toSeq.sortBy(_._1)
+          .filter { case (_, es) => es.map(_.rows).sum > 0L } // no rows, no group
+          .map { case (s, es) => ((s: Any) +: aggsOf(es)).toArray }
+          .toArray
+      else Array(aggsOf(entries).toArray)
+    Array(ShardSinkCountPartition(rows))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
-      val vs = partition.asInstanceOf[ShardSinkCountPartition].values
+      val rows = partition.asInstanceOf[ShardSinkCountPartition].rows
       new PartitionReader[InternalRow] {
-        private var done = false
-        override def next(): Boolean = { val r = !done; done = true; r }
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
         override def get(): InternalRow = {
+          val vs = rows(i)
           val row = new GenericInternalRow(vs.length)
-          vs.zipWithIndex.foreach { case (v, i) => row.update(i, v) }
+          vs.zipWithIndex.foreach { case (v, j) => row.update(j, v) }
           row
         }
         override def close(): Unit = ()
@@ -571,7 +615,7 @@ class ShardSinkCountScan(
     }
 }
 
-case class ShardSinkCountPartition(values: Array[Any]) extends InputPartition
+case class ShardSinkCountPartition(rows: Array[Array[Any]]) extends InputPartition
 
 /** Hadoop-FileSystem IO layer: every read/write/rename/delete the sink
   * performs, resolved per-path so `file:`, `hdfs:` and compatible schemes
@@ -675,7 +719,8 @@ private[sources] object SinkFs {
   */
 case class SinkEntry(
     file: String, rows: Long, shardMin: Int = -1, shardMax: Int = -1,
-    dv: String = "", docMin: Long = -1L, docMax: Long = -1L) {
+    dv: String = "", docMin: Long = -1L, docMax: Long = -1L,
+    bf: String = "") {
   def hasStats: Boolean = shardMin >= 0
   def hasDocStats: Boolean = docMax >= 0L
   def hasDeletes: Boolean = dv.nonEmpty
@@ -691,6 +736,14 @@ case class SinkEntry(
     */
   def mayContainDocRange(lo: Long, hi: Long): Boolean =
     !hasDocStats || (docMin <= hi && docMax >= lo)
+  /** Point-lookup skipping via the per-file doc_id bloom ("bf"): an
+    * absent bloom always reads; a present one skips the file only when
+    * EVERY sought id is definitely absent. Sound under delete vectors
+    * (they only remove rows) — false positives cost a read, a false
+    * skip is impossible.
+    */
+  def mayContainDocPoints(points: Set[Long]): Boolean =
+    bf.isEmpty || points.exists(v => DocBloom.mayContain(bf, v))
 }
 
 object ShardSink {
@@ -2207,6 +2260,151 @@ object ShardSink {
       |        WHERE doc_id >= 160) AS n_tail,
       |       CAST(1 AS BIGINT) AS meta_only""".stripMargin
 
+  /** BLOOM POINT-LOOKUP SKIPPING under the driver's hash gate (round
+    * 15): an UNCLUSTERED landing zone (hash-partitioned writes, every
+    * file's doc range spans the whole table, so range stats prune
+    * nothing) answers `doc_id = K` and `doc_id IN (…)` touching only the
+    * files whose per-entry bloom can't rule the ids out.
+    * `bloom_pruned` pins the physical claim: fewer data files opened
+    * than the census, on a layout where ranges alone would read all.
+    */
+  def bloomLookupReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("blm:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkblm_$sfx")
+    SinkFs.deleteRecursively(dir)
+    // 8 ingest batches of interleaved residue slices: every file's doc
+    // range spans ~the whole table, so range stats cannot prune a point
+    // lookup — exactly the ingest-ordered landing zone shape
+    (0 until 8).foreach { i =>
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2000").option("numPartitions", "1").load()
+        .where(col("doc_id") % 8 === i.toLong)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir.getPath)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    val census = committedEntries(dir.getPath).size
+    def table = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+    val before = dataFileReadCount.get()
+    val hit = table.where(col("doc_id") === 1337L).collect()
+    val openedEq = dataFileReadCount.get() - before
+    val b4in = dataFileReadCount.get()
+    val nIn = table.where(col("doc_id").isin(3L, 777L, 1999L)).count()
+    val openedIn = dataFileReadCount.get() - b4in
+    val pruned = census >= 8 &&
+      openedEq >= 1L && openedEq < census.toLong &&
+      openedIn >= 1L && openedIn < census.toLong
+    spark.range(1).select(
+      lit(hit.head.getLong(0)).as("doc_id"),
+      lit(hit.head.getInt(1)).as("shard"),
+      lit(hit.head.getString(2)).as("body"),
+      lit(nIn).as("n_in"),
+      lit(if (pruned && hit.length == 1) 1L else 0L).as("bloom_pruned"))
+  }
+
+  val bloomLookupReportSql: String =
+    """SELECT CAST(1337 AS BIGINT) AS doc_id, CAST(1337 % 16 AS INT) AS shard,
+      |       md5('1337') AS body, CAST(3 AS BIGINT) AS n_in,
+      |       CAST(1 AS BIGINT) AS bloom_pruned""".stripMargin
+
+  /** GROUPED METADATA-ONLY AGGREGATES under the driver's hash gate
+    * (round 15): on a compacted shard-pure layout `SELECT shard,
+    * count(*), min(doc_id), max(doc_id) GROUP BY shard` answers entirely
+    * from the manifest's per-file bookkeeping — the hourly
+    * partition-level rollup of a 100 TB landing zone with zero data IO.
+    * `meta_only` pins the structural claim (the grouped plan is the
+    * manifest scan, no aggregate node reads rows).
+    */
+  def groupByMetaReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("gbm:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkgbm_$sfx")
+    SinkFs.deleteRecursively(dir)
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "2").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath)
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    compact(dir.getPath, targetRowsPerFile = 10L) // several shard-pure files per shard
+    val grouped = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+    val metaOnly =
+      grouped.queryExecution.executedPlan.toString.contains("ShardSinkCountScan")
+    grouped.withColumn("meta_only", lit(if (metaOnly) 1L else 0L)).orderBy("shard")
+  }
+
+  val groupByMetaReportSql: String =
+    """SELECT CAST(doc_id % 16 AS INT) AS shard,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+      |       CAST(1 AS BIGINT) AS meta_only
+      |FROM range(0, 400) t(doc_id)
+      |GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** RUNTIME FILE PRUNING (DPP on the lakehouse table) under the
+    * driver's hash gate (round 15): the compacted sink fact joins a
+    * selectively-filtered small dim on `shard`; the dim broadcasts, and
+    * at execution Spark hands its shard values back through
+    * `SupportsRuntimeFiltering` — whole manifest files for the other 12
+    * shards vanish before any task launches. `dpp_pruned` pins the
+    * physical claim: the delivered filter was exactly the dim's shard
+    * set AND the scan opened fewer data files than the census.
+    */
+  def sinkDppReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("dpp:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkdpp_$sfx")
+    SinkFs.deleteRecursively(dir)
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "4000").option("numPartitions", "4").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath)
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    compact(dir.getPath, targetRowsPerFile = 250L) // 16 shard-pure files
+    val census = committedEntries(dir.getPath).size
+    val fact = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+    // the dim-side predicate is what makes DPP fire (Spark only prunes
+    // when the build side is itself selectively filtered)
+    val dim = graft.model.Tables.region(spark, sfDir)
+      .where(col("r_regionkey") < 4)
+      .select(col("r_regionkey").cast("int").as("shard_key"), col("r_name"))
+    val joined = fact.join(broadcast(dim), fact("shard") === dim("shard_key"))
+      .groupBy(col("shard"), col("r_name"))
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("xor_ids"))
+    lastRuntimeFilter.set(null)
+    val before = dataFileReadCount.get()
+    val rows = joined.collect()
+    val opened = dataFileReadCount.get() - before
+    val pruned = lastRuntimeFilter.get() == Set(0, 1, 2, 3) &&
+      opened >= 4L && opened < census.toLong
+    import spark.implicits._
+    rows.map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (pruned) 1L else 0L))
+      .toSeq.sortBy(_._1)
+      .toDF("shard", "r_name", "n_docs", "xor_ids", "dpp_pruned")
+  }
+
+  val sinkDppReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard
+      |  FROM range(0, 4000) t(doc_id))
+      |SELECT shard, r_name, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       bit_xor(doc_id) AS xor_ids, CAST(1 AS BIGINT) AS dpp_pruned
+      |FROM g JOIN region ON shard = CAST(r_regionkey AS INT) AND r_regionkey < 4
+      |GROUP BY shard, r_name ORDER BY shard""".stripMargin
+
   private val compactCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** COMPACTION — the small-files maintenance op every landing zone
@@ -2275,15 +2473,26 @@ object ShardSink {
           else s"part-c$gen-s$shard-$k.tsv"
         val tmp = new Path(dir, s"_tmp/$nf")
         val w = SinkFs.create(tmp)
-        try chunk.foreach { case (_, l) => w.write(l); w.write("\n") }
+        val bloom = DocBloom.empty()
+        try chunk.foreach { case (d, l) =>
+          DocBloom.insert(bloom, d); w.write(l); w.write("\n")
+        }
         finally w.close()
         SinkFs.moveOver(tmp, new Path(dir, nf))
         SinkEntry(nf, chunk.size.toLong, shard, shard, "",
-          chunk.head._1, chunk.last._1)
+          chunk.head._1, chunk.last._1, bf = DocBloom.encode(bloom))
       }
     }
     publishCompaction(dir, baseV, entries, newEntries, gen, retainVersions)
   }
+
+  /** Deterministic interleave hook for the re-base specs: runs ONCE just
+    * before the publish flip (after inputs were read and rewritten) —
+    * the window a concurrent commit would land in on a real deployment,
+    * impossible to schedule reliably with threads alone.
+    */
+  private[sources] val compactBarrier =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](null)
 
   /** The shared publish tail of [[compact]] and [[compactZOrder]]: flip
     * the consolidated entries in with the moved horizon, then sweep ONLY
@@ -2291,20 +2500,66 @@ object ShardSink {
     * and change sidecars of versions at-or-above the horizon all
     * survive, so every promised snapshot/feed range stays exactly
     * readable (expiry below the horizon is enforced by the readers).
+    *
+    * CONFLICT RE-BASE (round 15): at 100 TB a compaction runs minutes to
+    * hours — aborting it because a blind append landed mid-flight would
+    * make maintenance unschedulable, so a lost flip race resolves like
+    * Iceberg/Delta commit conflicts: re-read the current census, and if
+    * every pinned INPUT entry is still present byte-identical (no DML
+    * touched what this rewrite consolidated), the interloper commits are
+    * pure additions — carry their entries forward verbatim and retry the
+    * flip one version up. Anything that changed an input (vector growth,
+    * CoW rewrite, truncate, restore, another compaction) still aborts
+    * loudly: the consolidated files were derived from a snapshot that no
+    * longer tells the truth. Data wins; maintenance adapts.
     */
   private def publishCompaction(
       dir: String, baseV: Long, priorEntries: Seq[SinkEntry],
       newEntries: Seq[SinkEntry], gen: Long, retainVersions: Int,
       opName: String = "compact"): Unit = {
-    val newV = baseV + 1
+    Option(compactBarrier.getAndSet(null)).foreach(_.apply())
     // tags HOLD the horizon (Iceberg refs pin snapshots against
     // expiration): the horizon never moves past the oldest tagged
     // version, so tagged snapshots stay readable until dropped
     val tagFloor = listTags(dir).map(_._2).minOption.getOrElse(Long.MaxValue)
-    val newHz = math.min(tagFloor,
-      math.max(horizonOf(dir), math.max(1L, newV - retainVersions)))
-    flipFromBase(dir, baseV, newEntries, s"c$gen", horizon = Some(newHz),
-      op = Some(opName))
+    val inputFiles = priorEntries.map(_.file).toSet
+    var curBase = baseV
+    var carried: Seq[SinkEntry] = Nil
+    var attempt = 0
+    var committed = false
+    var newV = 0L
+    var newHz = 0L
+    while (!committed) {
+      newV = curBase + 1
+      newHz = math.min(tagFloor,
+        math.max(horizonOf(dir), math.max(1L, newV - retainVersions)))
+      try {
+        writeManifestAt(dir, newEntries ++ carried,
+          if (attempt == 0) s"c$gen" else s"c$gen-r$attempt", newV,
+          horizon = Some(newHz), op = Some(opName))
+        committed = true
+      } catch {
+        case ShardSinkConflict(_, v) =>
+          attempt += 1
+          val (nv, cur) = resolveBase(dir)
+          val curByFile = cur.map(e => e.file -> e).toMap
+          val inputsIntact =
+            priorEntries.forall(e => curByFile.get(e.file).contains(e))
+          if (!inputsIntact || attempt > 20)
+            throw new IllegalStateException(
+              s"ShardSink concurrent-writer conflict at $dir: version $v was " +
+                s"committed while this $opName (base version $baseV) was in " +
+                (if (!inputsIntact)
+                  "flight and changed the operation's input files; the " +
+                    "operation aborted loudly and the concurrent commit is " +
+                    "intact — re-run against the new table state"
+                 else "flight and kept conflicting through 20 re-base " +
+                   "attempts; aborted loudly — re-run"))
+          // pure additions: carry the interlopers' entries forward
+          carried = cur.filterNot(e => inputFiles.contains(e.file))
+          curBase = nv
+      }
+    }
     val keep: Set[String] = (newHz to newV).flatMap { v =>
       entriesAtVersion(dir, v)
         .flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil)) ++
@@ -2369,12 +2624,16 @@ object ShardSink {
         val nf = s"part-c$gen-z$i.tsv"
         val tmp = new Path(dir, s"_tmp/$nf")
         val w = SinkFs.create(tmp)
-        try chunk.foreach { case (_, _, l) => w.write(l); w.write("\n") }
+        val bloom = DocBloom.empty()
+        try chunk.foreach { case (d, _, l) =>
+          DocBloom.insert(bloom, d); w.write(l); w.write("\n")
+        }
         finally w.close()
         SinkFs.moveOver(tmp, new Path(dir, nf))
         SinkEntry(nf, chunk.size.toLong,
           chunk.iterator.map(_._2).min, chunk.iterator.map(_._2).max, "",
-          chunk.iterator.map(_._1).min, chunk.iterator.map(_._1).max)
+          chunk.iterator.map(_._1).min, chunk.iterator.map(_._1).max,
+          bf = DocBloom.encode(bloom))
     }.toSeq
     publishCompaction(dir, baseV, entries, newEntries, gen, retainVersions,
       opName = "zorder")
@@ -2924,6 +3183,20 @@ object ShardSink {
     * assertion on.
     */
   private[sources] val segmentReadCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Test/observability hook: the shard set most recently delivered to a
+    * sink scan via [[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]]
+    * — lets specs and the checked query pin that DPP actually fired (the
+    * pruning is invisible in the final rows by design).
+    */
+  val lastRuntimeFilter = new java.util.concurrent.atomic.AtomicReference[Set[Int]](null)
+
+  /** Data TSV files physically opened by sink readers — the "how many
+    * files did this query actually read" proof runtime pruning and
+    * point-lookup skipping assertions pin (local-mode observability; on
+    * a cluster the same signal is the scan's input-file metrics).
+    */
+  val dataFileReadCount = new java.util.concurrent.atomic.AtomicLong(0L)
   private[sources] def clearSegmentCacheForTest(): Unit = segmentCache.clear()
   private def readSegment(dir: String, name: String): Seq[SinkEntry] = {
     val key = (dir, name)
@@ -2942,7 +3215,8 @@ object ShardSink {
     val stats = if (e.hasStats) s""","s0":${e.shardMin},"s1":${e.shardMax}""" else ""
     val docs = if (e.hasDocStats) s""","d0":${e.docMin},"d1":${e.docMax}""" else ""
     val dv = if (e.hasDeletes) s""","dv":"${e.dv}"""" else ""
-    s"""{"file":"${e.file}","rows":${e.rows}$stats$docs$dv}"""
+    val bf = if (e.bf.nonEmpty) s""","bf":"${e.bf}"""" else ""
+    s"""{"file":"${e.file}","rows":${e.rows}$stats$docs$dv$bf}"""
   }
 
   /** The envelope of a segment's entries: set only when EVERY entry
@@ -3064,7 +3338,7 @@ object ShardSink {
   // (part-*.tsv / del-*.pos), never user input
   private def parseEntries(json: String): Seq[SinkEntry] =
     ("""\{"file":"([^"]*\.tsv)","rows":(\d+)(?:,"s0":(-?\d+),"s1":(-?\d+))?""" +
-      """(?:,"d0":(-?\d+),"d1":(-?\d+))?(?:,"dv":"([^"]*)")?\}""").r
+      """(?:,"d0":(-?\d+),"d1":(-?\d+))?(?:,"dv":"([^"]*)")?(?:,"bf":"([^"]*)")?\}""").r
       .findAllMatchIn(json)
       .map { m =>
         val (s0, s1) =
@@ -3072,7 +3346,8 @@ object ShardSink {
         val (d0, d1) =
           if (m.group(5) == null) (-1L, -1L) else (m.group(5).toLong, m.group(6).toLong)
         SinkEntry(m.group(1), m.group(2).toLong, s0, s1,
-          if (m.group(7) == null) "" else m.group(7), d0, d1)
+          if (m.group(7) == null) "" else m.group(7), d0, d1,
+          if (m.group(8) == null) "" else m.group(8))
       }.toSeq
 
   def committedFiles(dir: String): Seq[String] = committedFilesWithRows(dir).map(_._1)
@@ -4025,6 +4300,21 @@ object ShardSink {
     else Some((parts.map(_._1).max, parts.map(_._2).min))
   }
 
+  /** POINT-lookup value set: the doc_id values a conjunct pins exactly
+    * (`doc_id = K` / `doc_id IN (…)`) — the shape the per-file blooms
+    * ("bf") can skip on. Range conjuncts don't qualify (a bloom answers
+    * membership, not intervals); several point conjuncts intersect.
+    */
+  private[sources] def docPointSet(filters: Array[Filter]): Option[Set[Long]] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val parts = filters.collect {
+      case EqualTo("doc_id", v: Long) => Set(v)
+      case In("doc_id", vs) if vs.forall(_.isInstanceOf[Long]) =>
+        vs.collect { case v: Long => v }.toSet
+    }
+    if (parts.isEmpty) None else Some(parts.reduce(_ intersect _))
+  }
+
   /** READ-side data skipping (round 13): the intersection of the shard
     * sets implied by the shard-only CONJUNCTS of a pushed filter array —
     * unlike [[shardOnlySet]] (DELETE semantics: ALL filters must be
@@ -4371,10 +4661,10 @@ object ShardSink {
   */
 case class ShardSinkCommit(
     tempPath: String, rows: Long, shardMin: Int = -1, shardMax: Int = -1,
-    docMin: Long = -1L, docMax: Long = -1L)
+    docMin: Long = -1L, docMax: Long = -1L, bf: String = "")
   extends WriterCommitMessage {
   def toEntry(name: String): SinkEntry =
-    SinkEntry(name, rows, shardMin, shardMax, "", docMin, docMax)
+    SinkEntry(name, rows, shardMin, shardMax, "", docMin, docMax, bf)
 }
 
 class ShardSinkWrite(
@@ -4693,6 +4983,8 @@ class ShardSinkDataWriter(
   private var sMax = -1
   private var dMin = Long.MaxValue
   private var dMax = -1L
+  // per-file doc_id bloom — manifest-level point-lookup skipping
+  private val bloom = DocBloom.empty()
   // row width is fixed per write job: the column mapping is computed once
   private var colIdx: Array[Int] = null
 
@@ -4714,6 +5006,7 @@ class ShardSinkDataWriter(
     val doc = row.getLong(colIdx(0))
     if (doc < dMin) dMin = doc
     if (doc > dMax) dMax = doc
+    DocBloom.insert(bloom, doc)
     checkRow(row, colIdx)
     out.write(ShardSink.serializeRow(row, colIdx, table))
     out.write("\n")
@@ -4723,7 +5016,8 @@ class ShardSinkDataWriter(
   override def commit(): WriterCommitMessage = {
     out.close()
     ShardSinkCommit(tmp.toString, rows, if (sMax < 0) -1 else sMin, sMax,
-      if (dMax < 0L) -1L else dMin, dMax)
+      if (dMax < 0L) -1L else dMin, dMax,
+      if (rows == 0L) "" else DocBloom.encode(bloom))
   }
 
   override def abort(): Unit = {
@@ -4764,16 +5058,18 @@ class ShardSinkScan(
     pruneShards: Option[Set[Int]] = None,
     required: StructType = DocGen.schema,
     pruneDocs: Option[(Long, Long)] = None,
-    table: StructType = DocGen.schema) extends Scan with Batch
+    table: StructType = DocGen.schema,
+    prunePoints: Option[Set[Long]] = None) extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
-  with SupportsReportPartitioning {
+  with SupportsReportPartitioning with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def description(): String =
     s"ShardSinkScan[$path, manifest-committed files only" +
       asOf.map(v => s", versionAsOf=$v").getOrElse("") +
       pruneShards.map(s => s", pruneShards=${s.toSeq.sorted.mkString("{", ",", "}")}")
         .getOrElse("") +
-      pruneDocs.map { case (lo, hi) => s", pruneDocs=[$lo,$hi]" }.getOrElse("") + "]"
+      pruneDocs.map { case (lo, hi) => s", pruneDocs=[$lo,$hi]" }.getOrElse("") +
+      prunePoints.map(p => s", bloomPoints=${p.size}").getOrElse("") + "]"
   override def toBatch: Batch = this
 
   /** The entries this scan will read: the pinned (or current) version's
@@ -4787,10 +5083,59 @@ class ShardSinkScan(
   private lazy val kept: Seq[SinkEntry] =
     // pruning happens DURING manifest resolution: on a segmented
     // manifest, ref envelopes skip whole segments unread (per-entry
-    // filtering inside surviving segments is included)
+    // filtering inside surviving segments is included); point lookups
+    // additionally consult each surviving entry's doc_id BLOOM — on an
+    // unclustered ingest layout where every file's range contains every
+    // id, this is what turns `doc_id = K` into an O(1 file) read
     ShardSink.entriesAsOfPruned(path, asOf, pruneShards, pruneDocs)
+      .filter(e => prunePoints.forall(e.mayContainDocPoints))
 
   private def keptEntries(): Seq[SinkEntry] = kept
+
+  /** RUNTIME (join-driven) file pruning — [[SupportsRuntimeFiltering]],
+    * DPP for the lakehouse table (round 15): a broadcast-join build side
+    * joining on `shard` hands its shard values back at EXECUTION time,
+    * after planning; whole manifest entries whose shard range misses the
+    * delivered set vanish before any task launches. File-granular and
+    * best-effort like the planning-time skip: stats-unknown entries
+    * always read (the join still filters rows), so the kept set only
+    * shrinks to files that provably cannot match. On a compacted
+    * shard-pure snapshot this drops whole KeyGrouped partitions — a dim
+    * that selects 2 of 16 shards reads 1/8th of the landing zone with no
+    * change to the query.
+    */
+  @volatile private var runtimeShards: Option[Set[Int]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // Spark resolves these against the scan OUTPUT — a pruned projection
+    // without `shard` (e.g. a delta writer's row-id scan) must not
+    // advertise it, or analysis dies unresolved
+    if (required.fieldNames.contains("shard")) Array(Expressions.column("shard"))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val shards = filters.collectFirst {
+      case org.apache.spark.sql.sources.In("shard", vs) =>
+        vs.collect { case n: Number => n.intValue }.toSet
+    }
+    shards.foreach { s =>
+      runtimeShards = Some(s)
+      ShardSink.lastRuntimeFilter.set(s)
+    }
+  }
+
+  /** `kept` minus entries the runtime filter rules out — the set
+    * planInputPartitions actually reads. Planning-time reports
+    * (statistics, partitioning eligibility) use the pre-filter snapshot:
+    * runtime filters arrive after those are consumed, and shrinking the
+    * read set can only keep them conservative.
+    */
+  private def effectiveEntries(): Seq[SinkEntry] = runtimeShards match {
+    case None => kept
+    case Some(s) =>
+      kept.filter(e => !e.hasStats || (e.shardMin to e.shardMax).exists(s.contains))
+  }
 
   /** SHARD-GROUPED READS (round 14): after compaction every committed
     * file is shard-PURE with exact stats (s0 == s1) — the manifest
@@ -4880,19 +5225,21 @@ class ShardSinkScan(
     // a compaction may have expired a travelled snapshot's files — fail
     // with the real reason, never a raw FileNotFound mid-job (pruned-away
     // files are exempt: they will not be read)
-    asOf.foreach(v => ShardSink.requireSnapshotLive(path, v, kept))
+    val toRead = effectiveEntries()
+    asOf.foreach(v => ShardSink.requireSnapshotLive(path, v, toRead))
     // cloned-in files can be released by the SOURCE's vacuum/compaction
-    ShardSink.requireForeignLive(path, kept)
+    ShardSink.requireForeignLive(path, toRead)
     if (shardGrouped)
       // every partition must carry its key when KeyGroupedPartitioning
       // was reported — same snapshot, so eligibility cannot have flipped
-      kept.map { e =>
+      // (a runtime filter only REMOVES whole keyed partitions)
+      toRead.map { e =>
         ShardSinkShardFile(
           new org.apache.hadoop.fs.Path(path, e.file).toString,
           if (e.hasDeletes) new org.apache.hadoop.fs.Path(path, e.dv).toString else "",
           e.shardMin, e.file): InputPartition
       }.toArray
-    else kept.map(e => ShardSink.partitionOf(path, e)).toArray
+    else toRead.map(e => ShardSink.partitionOf(path, e)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -4921,6 +5268,7 @@ case class ShardSinkReaderFactory(
       case f: ShardSinkShardFile => (f.file, f.dv, f.name)
     }
     val fp = new org.apache.hadoop.fs.Path(file)
+    ShardSink.dataFileReadCount.incrementAndGet()
     val all = SinkFs.readLines(fp)
     // merge-on-read: drop the delete vector's positions at read time —
     // TSV line index IS the stable row position the vector records

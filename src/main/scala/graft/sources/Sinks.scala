@@ -211,6 +211,9 @@ object Sinks {
     "q_dsv2_auto_evolve" -> (ShardSink.autoEvolveReport _),
     "q_dsv2_seg_envelope" -> (ShardSink.segEnvelopeReport _),
     "q_dsv2_count_pruned" -> (ShardSink.countPrunedReport _),
+    "q_dsv2_groupby_meta" -> (ShardSink.groupByMetaReport _),
+    "q_dsv2_sink_dpp" -> (ShardSink.sinkDppReport _),
+    "q_dsv2_bloom_lookup" -> (ShardSink.bloomLookupReport _),
     "q_dsv2_restore" -> (ShardSink.restoreReport _),
     "q_dsv2_replace_where" -> (ShardSink.replaceWhereReport _),
     "q_dsv2_vacuum" -> (ShardSink.vacuumReport _),
@@ -261,6 +264,9 @@ object Sinks {
     "q_dsv2_auto_evolve" -> ShardSink.autoEvolveReportSql,
     "q_dsv2_seg_envelope" -> ShardSink.segEnvelopeReportSql,
     "q_dsv2_count_pruned" -> ShardSink.countPrunedReportSql,
+    "q_dsv2_groupby_meta" -> ShardSink.groupByMetaReportSql,
+    "q_dsv2_sink_dpp" -> ShardSink.sinkDppReportSql,
+    "q_dsv2_bloom_lookup" -> ShardSink.bloomLookupReportSql,
     "q_dsv2_restore" -> ShardSink.restoreReportSql,
     "q_dsv2_replace_where" -> ShardSink.replaceWhereReportSql,
     "q_dsv2_vacuum" -> ShardSink.vacuumReportSql,

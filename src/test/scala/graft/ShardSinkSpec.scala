@@ -1495,6 +1495,93 @@ class ShardSinkSpec extends SparkSpec {
     assert(mm.collect().head.getLong(0) === 3L, "doc 3 (shard 3) survives the delete of doc 2")
   }
 
+  test("grouped metadata-only aggregates: GROUP BY shard answers from shard-pure manifest entries") {
+    val dir = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "2").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    def read = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // uncompacted files straddle shards: rows cannot be attributed to one
+    // group — the push refuses, the row scan answers
+    val pre = read.groupBy(col("shard")).agg(expr("count(*)"))
+    assert(!planOf(pre).contains("ShardSinkCountScan"), planOf(pre))
+    ShardSink.compact(dir, targetRowsPerFile = 10L) // shard-pure, ~3 files/shard
+    val g = read.groupBy(col("shard"))
+      .agg(expr("count(*)"), min("doc_id"), max("doc_id"))
+    assert(planOf(g).contains("groupBy=shard"), planOf(g))
+    val rows = g.collect().sortBy(_.getInt(0))
+    assert(rows.length === 16)
+    rows.foreach { r =>
+      val sh = r.getInt(0)
+      assert(r.getLong(1) === 25L)
+      assert(r.getLong(2) === sh.toLong, "min doc per shard")
+      assert(r.getLong(3) === (384 + sh).toLong, "max doc per shard")
+    }
+    // grouped + a consumed file-exact filter: the pruned entries' grouped
+    // bookkeeping is still the whole answer
+    val gf = read.where(col("shard").isin(2, 3)).groupBy(col("shard")).agg(expr("count(*)"))
+    assert(planOf(gf).contains("ShardSinkCountScan"), planOf(gf))
+    assert(gf.collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq ===
+      Seq((2, 25L), (3, 25L)))
+    // a MOR delete keeps grouped COUNT exact (live-row bookkeeping) but
+    // disqualifies grouped MIN/MAX (the vector may hide the extreme)
+    graft.sources.SinkTestAccess.morDelete(dir, 2L)
+    val gd = read.groupBy(col("shard")).agg(expr("count(*)"))
+    assert(planOf(gd).contains("ShardSinkCountScan"), planOf(gd))
+    val byShard = gd.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byShard(2) === 24L && byShard(3) === 25L)
+    val gm = read.groupBy(col("shard")).agg(min("doc_id"))
+    assert(!planOf(gm).contains("ShardSinkCountScan"), planOf(gm))
+    assert(gm.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap.apply(2) === 18L)
+  }
+
+  test("grouped metadata-only count: a shard whose rows all died emits NO group row") {
+    val dir = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "16").option("numPartitions", "1").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    ShardSink.compact(dir, targetRowsPerFile = 1L) // one 1-row file per shard
+    graft.sources.SinkTestAccess.morDelete(dir, 5L) // shard 5's only row
+    val g = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+      .groupBy(col("shard")).agg(expr("count(*)"))
+    assert(g.queryExecution.executedPlan.toString.contains("ShardSinkCountScan"))
+    val shards = g.collect().map(_.getInt(0)).toSet
+    assert(shards.size === 15 && !shards.contains(5),
+      "group-by over zero rows has no group")
+  }
+
+  test("runtime filtering: a broadcast dim's shard values prune sink files at execution") {
+    // the checked query's own structural booleans prove delivery + pruning
+    val df = ShardSink.sinkDppReport(spark, sf001)
+    val rows = df.collect()
+    assert(rows.map(_.getInt(0)).toSeq === (0 to 3))
+    rows.foreach { r =>
+      assert(r.getLong(2) === 250L, "250 docs per shard in range(0,4000)")
+      assert(r.getLong(4) === 1L,
+        "runtime filter must be delivered and files pruned below the census")
+    }
+    // direct partition-planning contract: a delivered In(shard, …) keeps
+    // exactly the matching shard-pure files
+    val dir = freshDir().getPath
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "160").option("numPartitions", "2").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    ShardSink.compact(dir, targetRowsPerFile = 10L) // 16 shard-pure files
+    val scan = new graft.sources.ShardSinkScan(dir)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("shard", Array(1, 5, 9))))
+    assert(scan.planInputPartitions().length === 3)
+  }
+
   test("q_dsv2_write_roundtrip: rerunning replaces the manifest atomically, same answer") {
     val a = ShardSink.writeRoundtrip(spark, sf001).collect()
     val b = ShardSink.writeRoundtrip(spark, sf001).collect()
@@ -1526,6 +1613,82 @@ class ShardSinkSpec extends SparkSpec {
     assert(back.select("doc_id").distinct().count() === 800L)
     // one manifest version per commit, in an unbroken sequence
     assert(ShardSink.currentManifestVersion(dir) === 4L)
+  }
+
+  test("bloom point-lookup skipping: doc_id = K opens only bloom-positive files on an unclustered layout") {
+    // the filter itself: no false negatives, deterministic encoding
+    val bits = graft.sources.DocBloom.empty()
+    (0L until 500L).foreach(graft.sources.DocBloom.insert(bits, _))
+    val enc = graft.sources.DocBloom.encode(bits)
+    assert((0L until 500L).forall(graft.sources.DocBloom.mayContain(enc, _)),
+      "a bloom may never false-negative an inserted id")
+    assert(graft.sources.DocBloom.encode({
+      val b2 = graft.sources.DocBloom.empty()
+      (0L until 500L).foreach(graft.sources.DocBloom.insert(b2, _))
+      b2
+    }) === enc, "deterministic across builds — manifest bytes must be stable")
+    assert(graft.sources.DocBloom.mayContain("not-base64!!", 1L),
+      "malformed payloads read the file, never skip")
+    // the checked query's own structural boolean proves the skip
+    val r = ShardSink.bloomLookupReport(spark, sf001).collect().head
+    assert(r.getAs[Long]("doc_id") === 1337L)
+    assert(r.getAs[Int]("shard") === (1337 % 16))
+    assert(r.getAs[Long]("n_in") === 3L)
+    assert(r.getAs[Long]("bloom_pruned") === 1L,
+      "point lookups must open fewer files than the census")
+    // plan surface: the scan advertises the bloom-point prune
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("blm:" + sf001).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkblm_$sfx")
+    val d = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load().where(col("doc_id") === 7L)
+    assert(d.queryExecution.executedPlan.toString.contains("bloomPoints=1"),
+      d.queryExecution.executedPlan.toString)
+    // delete vectors keep the bloom a sound superset: the id still
+    // resolves to its file, and the row is gone
+    graft.sources.SinkTestAccess.morDelete(dir.getPath, 1337L)
+    assert(spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load().where(col("doc_id") === 1337L).count() === 0L)
+  }
+
+  test("compaction RE-BASES over concurrent blind appends instead of aborting") {
+    val dir = freshDir().getPath
+    def append(lo: Long, hi: Long) =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "400").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0, 200) // v1
+    // an interloper append lands INSIDE the compaction, between its input
+    // read and its publish flip — the lost race must re-base, not abort
+    graft.sources.SinkTestAccess.onNextCompactPublish(() => append(200, 300)) // v2
+    ShardSink.compact(dir, targetRowsPerFile = 25L) // v3, carries the append
+    assert(ShardSink.currentManifestVersion(dir) === 3L)
+    val back = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+    assert(back.count() === 300L, "the interleaved append's rows must survive")
+    assert(back.where(col("doc_id") >= 200L).count() === 100L)
+    // the census is the compacted snapshot PLUS the carried append files
+    val entries = ShardSink.committedEntries(dir)
+    val (compacted, carriedF) = entries.partition(_.file.startsWith("part-c"))
+    assert(compacted.forall(e => e.shardMin == e.shardMax), "compacted files shard-pure")
+    assert(compacted.map(_.rows).sum === 200L)
+    assert(carriedF.nonEmpty && carriedF.map(_.rows).sum === 100L,
+      "carried entries are the interloper's, verbatim")
+    // an interloper that CHANGES an input file (vector growth) still
+    // aborts loudly — the rewrite was derived from a stale snapshot
+    graft.sources.SinkTestAccess.onNextCompactPublish(() =>
+      graft.sources.SinkTestAccess.morDelete(dir, 5L))
+    val e = intercept[IllegalStateException](ShardSink.compact(dir))
+    assert(e.getMessage.contains("changed the operation's input files"), e.getMessage)
+    // the interloper's delete is intact; the aborted compaction changed nothing
+    assert(spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load().count() === 299L)
+    // and a plain re-run (no interloper) now succeeds over the new state
+    ShardSink.compact(dir)
+    assert(spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load().count() === 299L)
   }
 
   test("optimistic concurrency: a stale flip is GUARANTEED to collide (pin-at-read protocol)") {

@@ -46,4 +46,10 @@ object SinkTestAccess {
   def morDelete(dir: String, docId: Long): Unit =
     ShardSink.morDeleteImpl(dir,
       Array(org.apache.spark.sql.sources.EqualTo("doc_id", docId)))
+
+  /** One-shot interleave: `f` runs inside the next compaction, after its
+    * inputs were read and rewritten but before the publish flip.
+    */
+  def onNextCompactPublish(f: () => Unit): Unit =
+    ShardSink.compactBarrier.set(f)
 }
