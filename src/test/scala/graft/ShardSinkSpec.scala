@@ -1615,6 +1615,45 @@ class ShardSinkSpec extends SparkSpec {
     assert(ShardSink.currentManifestVersion(dir) === 4L)
   }
 
+  test("version-hint discovery: O(1) forward probe; the hint is never load-bearing") {
+    val dir = freshDir().getPath
+    def append(lo: Long, hi: Long) =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "400").option("numPartitions", "1").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0, 100); append(100, 200) // v1, v2 — each flip rewrites the hint
+    val hint = new java.io.File(dir, "_manifest.hint")
+    assert(hint.exists())
+    assert(new String(java.nio.file.Files.readAllBytes(hint.toPath), "UTF-8").trim === "2")
+    // hinted discovery lists NOTHING
+    val before = graft.sources.SinkTestAccess.manifestListCount
+    assert(ShardSink.currentManifestVersion(dir) === 2L)
+    assert(graft.sources.SinkTestAccess.manifestListCount === before,
+      "hinted discovery must not enumerate the table directory")
+    // a STALE hint (racing writers, crash between flip and hint) is a
+    // lower bound: the forward probe self-heals, still without a listing
+    def overwriteHint(s: String): Unit = {
+      val w = graft.sources.SinkTestAccess.createFile(dir, "_manifest.hint")
+      try w.write(s) finally w.close()
+    }
+    overwriteHint("1")
+    assert(ShardSink.currentManifestVersion(dir) === 2L)
+    assert(graft.sources.SinkTestAccess.manifestListCount === before)
+    // a torn/corrupt hint falls back to the full listing — sound
+    overwriteHint("not-a-number")
+    assert(ShardSink.currentManifestVersion(dir) === 2L)
+    assert(graft.sources.SinkTestAccess.manifestListCount === before + 1)
+    // a missing hint falls back too; the next commit restores it
+    java.nio.file.Files.delete(hint.toPath)
+    assert(ShardSink.currentManifestVersion(dir) === 2L)
+    append(200, 300)
+    assert(new String(java.nio.file.Files.readAllBytes(hint.toPath), "UTF-8").trim === "3")
+    assert(spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load().count() === 300L)
+  }
+
   test("bloom point-lookup skipping: doc_id = K opens only bloom-positive files on an unclustered layout") {
     // the filter itself: no false negatives, deterministic encoding
     val bits = graft.sources.DocBloom.empty()

@@ -52,4 +52,6 @@ object SinkTestAccess {
     */
   def onNextCompactPublish(f: () => Unit): Unit =
     ShardSink.compactBarrier.set(f)
+
+  def manifestListCount: Long = ShardSink.manifestListCount.get()
 }
