@@ -2358,6 +2358,49 @@ object ShardSink {
       |       md5('1337') AS body, CAST(3 AS BIGINT) AS n_in,
       |       CAST(1 AS BIGINT) AS bloom_pruned""".stripMargin
 
+  /** BIN-PACKING COMPACTION under the driver's hash gate (round 15):
+    * Delta's `OPTIMIZE` shape — a second maintenance pass on a table
+    * whose first pass already produced in-band shard-pure chunks must
+    * rewrite ONLY the fresh ingest, keeping yesterday's chunks verbatim.
+    * `kept_verbatim` pins the physical claim (every first-pass chunk's
+    * entry name survives the second pass) while the row aggregates match
+    * the same range() math in DuckDB.
+    */
+  def binPackReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("bpk:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkbpk_$sfx")
+    SinkFs.deleteRecursively(dir)
+    def append(lo: Long, hi: Long): Unit =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "1000").option("numPartitions", "1").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir.getPath)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0L, 800L)
+    compact(dir.getPath, targetRowsPerFile = 50L) // 16 in-band 50-row chunks
+    val firstPass = committedEntries(dir.getPath).map(_.file).toSet
+    append(800L, 1000L) // the day's ingest: one small straddling file
+    compact(dir.getPath, targetRowsPerFile = 50L, binPack = true)
+    val after = committedEntries(dir.getPath)
+    val keptVerbatim = firstPass.subsetOf(after.map(_.file).toSet) &&
+      after.forall(e => e.hasStats && e.shardMin == e.shardMax)
+    spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("xor_ids"),
+        countDistinct(col("shard")).as("n_shards"))
+      .withColumn("kept_verbatim", lit(if (keptVerbatim) 1L else 0L))
+  }
+
+  val binPackReportSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, bit_xor(doc_id) AS xor_ids,
+      |       CAST(COUNT(DISTINCT doc_id % 16) AS BIGINT) AS n_shards,
+      |       CAST(1 AS BIGINT) AS kept_verbatim
+      |FROM range(0, 1000) t(doc_id)""".stripMargin
+
   /** GROUPED METADATA-ONLY AGGREGATES under the driver's hash gate
     * (round 15): on a compacted shard-pure layout `SELECT shard,
     * count(*), min(doc_id), max(doc_id) GROUP BY shard` answers entirely
@@ -2488,18 +2531,43 @@ object ShardSink {
     * shard. A production deployment always sets this (it is Delta
     * OPTIMIZE's maxFileSize, in rows).
     */
-  def compact(dir: String, retainVersions: Int = 0, targetRowsPerFile: Long = 0L): Unit = {
+  /** Consolidate the table's files into shard-pure, doc-sorted chunks,
+    * folding delete vectors. `binPack = false` (default) rewrites the
+    * WHOLE live census — total clustering, the behavior every earlier
+    * round pinned. `binPack = true` is Delta's `OPTIMIZE` shape: a file
+    * that is already shard-pure, vector-free and WELL-SIZED (rows in
+    * [⌈target/2⌉, target], the bin-packing band) — and locally owned —
+    * is kept VERBATIM, name and bytes untouched; only the small, the
+    * straddling, the vectored and the cloned-in files read and rewrite.
+    * At 100 TB this is the difference between a maintenance pass that
+    * rewrites the table and one that rewrites the day's ingest: cost is
+    * O(unoptimized), and the steady state converges (yesterday's chunks
+    * are all in-band, today's appends are not). Rewritten output smaller
+    * than the band (a shard's ingest tail) packs again on a later pass —
+    * Delta behaves the same way.
+    */
+  def compact(
+      dir: String, retainVersions: Int = 0, targetRowsPerFile: Long = 0L,
+      binPack: Boolean = false): Unit = {
     require(targetRowsPerFile <= Int.MaxValue.toLong,
       s"targetRowsPerFile $targetRowsPerFile exceeds the per-file row ceiling (2^31-1)")
+    require(!binPack || targetRowsPerFile > 0L,
+      "binPack compaction needs a targetRowsPerFile band")
     // base pinned at read; a commit landing mid-compaction (whose rows
-    // would be silently un-compacted away) collides at the flip and
-    // aborts THIS compaction loudly — maintenance retries, data wins
+    // would be silently un-compacted away) re-bases over blind appends
+    // and aborts loudly on conflicting DML — data wins
     val (baseV, entries) = resolveBase(dir)
     if (entries.isEmpty) return
     requireForeignLive(dir, entries)
+    val minKeep = if (binPack) (targetRowsPerFile + 1L) / 2L else Long.MaxValue
+    val (kept, toRewrite) = entries.partition(e =>
+      binPack && e.hasStats && e.shardMin == e.shardMax && !e.hasDeletes &&
+        e.rows >= minKeep && e.rows <= targetRowsPerFile &&
+        !isForeign(e.file))
+    if (toRewrite.isEmpty) return // everything in band: nothing to do
     val byShard = scala.collection.mutable.Map
       .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, String)]]
-    entries.foreach { e =>
+    toRewrite.foreach { e =>
       // live view: compaction FOLDS merge-on-read delete vectors — the
       // consolidated files carry only surviving rows and no vectors
       liveLines(dir, e).foreach { l =>
@@ -2530,7 +2598,11 @@ object ShardSink {
           chunk.head._1, chunk.last._1, bf = DocBloom.encode(bloom))
       }
     }
-    publishCompaction(dir, baseV, entries, newEntries, gen, retainVersions)
+    // priorEntries = the FULL pinned base: the re-base intact check must
+    // cover kept files too (an interloper's vector on a kept file would
+    // otherwise be silently dropped by the carried-verbatim entry), and
+    // the sweep spares them because the new manifest references them
+    publishCompaction(dir, baseV, entries, kept ++ newEntries, gen, retainVersions)
   }
 
   /** Deterministic interleave hook for the re-base specs: runs ONCE just

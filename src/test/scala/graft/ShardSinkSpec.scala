@@ -1615,6 +1615,38 @@ class ShardSinkSpec extends SparkSpec {
     assert(ShardSink.currentManifestVersion(dir) === 4L)
   }
 
+  test("bin-packing compaction: in-band files keep their bytes, only fresh ingest rewrites") {
+    // the checked query's own structural boolean: every first-pass chunk
+    // name survives the second (binPack) pass verbatim
+    val r = ShardSink.binPackReport(spark, sf001).collect().head
+    assert(r.getAs[Long]("kept_verbatim") === 1L)
+    assert(r.getAs[Long]("n_docs") === 1000L)
+    assert(r.getAs[Long]("n_shards") === 16L)
+    // a fully in-band table: the binPack pass is a NO-OP (no commit)
+    val dir = freshDir().getPath
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "800").option("numPartitions", "1").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    ShardSink.compact(dir, targetRowsPerFile = 50L) // v2: 16 × 50-row chunks
+    assert(ShardSink.currentManifestVersion(dir) === 2L)
+    ShardSink.compact(dir, targetRowsPerFile = 50L, binPack = true)
+    assert(ShardSink.currentManifestVersion(dir) === 2L, "in-band: nothing to do")
+    // a delete vector takes exactly ONE chunk out of band: the next pass
+    // rewrites that chunk alone, folding the vector
+    graft.sources.SinkTestAccess.morDelete(dir, 3L) // v3: vector on shard 3
+    val beforeNames = ShardSink.committedEntries(dir).map(_.file).toSet
+    ShardSink.compact(dir, targetRowsPerFile = 50L, binPack = true) // v4
+    val after = ShardSink.committedEntries(dir)
+    assert(after.size === 16)
+    assert((beforeNames -- after.map(_.file).toSet).size === 1,
+      "exactly the vectored chunk was rewritten")
+    val sh3 = after.find(e => e.shardMin == 3).get
+    assert(!sh3.hasDeletes && sh3.rows === 49L, "the vector folded")
+    assert(spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load().count() === 799L)
+  }
+
   test("version-hint discovery: O(1) forward probe; the hint is never load-bearing") {
     val dir = freshDir().getPath
     def append(lo: Long, hi: Long) =
