@@ -4285,6 +4285,7 @@ object ShardSink {
   private[sources] def entryFromLines(file: String, lines: Seq[String]): SinkEntry = {
     var (mn, mx) = (Int.MaxValue, -1)
     var (dn, dx) = (Long.MaxValue, -1L)
+    val bloom = DocBloom.empty() // rewrites keep point-lookup skipping
     lines.foreach { l =>
       val c = l.split("\t", 3)
       val s = c(1).toInt
@@ -4293,9 +4294,11 @@ object ShardSink {
       val d = c(0).toLong
       if (d < dn) dn = d
       if (d > dx) dx = d
+      DocBloom.insert(bloom, d)
     }
     SinkEntry(file, lines.size.toLong, if (mx < 0) -1 else mn, mx, "",
-      if (dx < 0L) -1L else dn, dx)
+      if (dx < 0L) -1L else dn, dx,
+      bf = if (lines.isEmpty) "" else DocBloom.encode(bloom))
   }
 
   /** Compile a conjunctive source-Filter array over the (doc_id, shard)
@@ -6167,7 +6170,7 @@ class ShardSinkDeltaOperation(
 case class ShardSinkDeltaCommit(
     deletes: Map[String, Seq[Long]],
     tempPath: String, rows: Long, shardMin: Int = -1, shardMax: Int = -1,
-    docMin: Long = -1L, docMax: Long = -1L,
+    docMin: Long = -1L, docMax: Long = -1L, bf: String = "",
     // UPDATE operations: file → (physical position of the old row, the
     // new row's TSV line). The position also folds into the file's
     // delete vector; the line also landed in this task's appended file —
@@ -6219,7 +6222,8 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo, cdf: Boolean = f
     val inserts = msgs.filter(_.rows > 0L).zipWithIndex.map { case (m, i) =>
       val dest = new Path(path, s"part-u${info.queryId()}-$i.tsv")
       SinkFs.moveOver(new Path(m.tempPath), dest)
-      SinkEntry(dest.getName, m.rows, m.shardMin, m.shardMax, "", m.docMin, m.docMax)
+      SinkEntry(dest.getName, m.rows, m.shardMin, m.shardMax, "", m.docMin, m.docMax,
+        bf = m.bf)
     }
     msgs.filter(_.rows == 0L).foreach(m => SinkFs.delete(new Path(m.tempPath)))
     val gen = ShardSink.nextMorGen()
@@ -6333,6 +6337,8 @@ class ShardSinkDeltaWriter(
   private var sMax = -1
   private var dMin = Long.MaxValue
   private var dMax = -1L
+  // per-file doc_id bloom — manifest-level point-lookup skipping
+  private val bloom = DocBloom.empty()
 
   private val updates = scala.collection.mutable
     .Map.empty[String, scala.collection.mutable.ArrayBuffer[(Long, String)]]
@@ -6368,6 +6374,7 @@ class ShardSinkDeltaWriter(
     val doc = row.getLong(colIdx(0))
     if (doc < dMin) dMin = doc
     if (doc > dMax) dMax = doc
+    DocBloom.insert(bloom, doc)
     if (out == null) out = SinkFs.create(tmp)
     val line = ShardSink.serializeRow(row, colIdx, table)
     out.write(line); out.write("\n")
@@ -6381,6 +6388,7 @@ class ShardSinkDeltaWriter(
       deletes.map { case (f, ps) => f -> ps.toSeq }.toMap,
       tmp.toString, rows, if (sMax < 0) -1 else sMin, sMax,
       if (dMax < 0L) -1L else dMin, dMax,
+      if (rows == 0L) "" else DocBloom.encode(bloom),
       updates.map { case (f, us) => f -> us.toSeq }.toMap)
   }
 
