@@ -69,15 +69,9 @@ class ShardSinkSource extends TableProvider {
   // a time-travel read option pins the TABLE to that version, so the
   // reported schema is the per-version one (evolution-aware travel, same
   // contract as the catalog's VERSION AS OF path)
-  private def asOfOf(path: String, get: String => String): Option[Long] = {
-    val picked = Seq(get("versionAsOf"), get("timestampAsOf"), get("tag"))
-    require(picked.count(_ != null) <= 1,
-      "specify at most one of versionAsOf, timestampAsOf, tag")
-    Option(get("versionAsOf")).map(_.toLong)
-      .orElse(Option(get("timestampAsOf"))
-        .map(s => ShardSink.versionAtTimestamp(path, ShardSink.parseTsMillis(s))))
-      .orElse(Option(get("tag")).map(t => ShardSink.resolveTag(path, t)))
-  }
+  private def asOfOf(path: String, get: String => String): Option[Long] =
+    ShardSink.resolveAsOfOpts(path, Option(get("versionAsOf")),
+      Option(get("timestampAsOf")), Option(get("tag")))
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("shard sink requires a 'path' option"))
@@ -151,7 +145,11 @@ class ShardSinkChangeTable(path: String) extends Table with SupportsRead {
 class ShardSinkTable(
     path: String, asOf: Option[Long] = None, deleteMode: String = "copy-on-write",
     rloMode: String = "copy-on-write", cdfEnabled: Boolean = false,
-    acceptAnySchema: Boolean = false, pendingSchema: Option[StructType] = None)
+    acceptAnySchema: Boolean = false, pendingSchema: Option[StructType] = None,
+    // the persisted schema the PENDING shape was merged from (staged
+    // REPLACE): the write's concurrent-ALTER guard pins THIS, not a
+    // re-read — see the basisSchema note in newWriteBuilder
+    pendingBasis: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -269,7 +267,13 @@ class ShardSinkTable(
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val expect = pendingSchema.getOrElse(ShardSink.tableSchema(path))
+    // ONE persisted-schema read feeds expect, evolveTo AND the write's
+    // concurrent-ALTER pin (review fix: three separate reads left a
+    // window where an ALTER landing between them made the guard compare
+    // against the post-ALTER schema and pass — the evolving commit then
+    // silently reverted the concurrent evolution)
+    val persisted = ShardSink.tableSchema(path)
+    val expect = pendingSchema.getOrElse(persisted)
     val incoming = info.schema()
     val exact = incoming.fields.map(f => (f.name, f.dataType)).sameElements(
       expect.fields.map(f => (f.name, f.dataType)))
@@ -290,8 +294,11 @@ class ShardSinkTable(
     // write's own commit — compare against what is PERSISTED now
     val evolveTo = {
       val t = ShardSink.schemaString(target)
-      if (t == ShardSink.schemaString(ShardSink.tableSchema(path))) None else Some(t)
+      if (t == ShardSink.schemaString(persisted)) None else Some(t)
     }
+    // what the target was DERIVED from: the stage-time schema for a
+    // staged REPLACE's merge, the just-read persisted schema otherwise
+    val basis = pendingBasis.getOrElse(ShardSink.schemaString(persisted))
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
       // SaveMode.Overwrite maps here: the new job's manifest REPLACES the
       // old one (old files become invisible the instant it lands), and
@@ -321,7 +328,8 @@ class ShardSinkTable(
       }
       override def build(): Write =
         new ShardSinkWrite(path, info.queryId(), doTruncate, target,
-          replaceFilters, cdfEnabled, colMap = colMap, evolveTo = evolveTo)
+          replaceFilters, cdfEnabled, colMap = colMap, evolveTo = evolveTo,
+          basisSchema = basis)
     }
   }
 
@@ -332,14 +340,8 @@ class ShardSinkTable(
     // the `versionAsOf` / `timestampAsOf` / `tag` read options arrive
     // here. Timestamps resolve to the newest version committed
     // at-or-before the instant; tags resolve through their ref file.
-    val vOpt = Option(options.get("versionAsOf")).map(_.toLong)
-    val tsOpt = Option(options.get("timestampAsOf"))
-    val tagOpt = Option(options.get("tag"))
-    require(Seq(vOpt, tsOpt, tagOpt).count(_.isDefined) <= 1,
-      "specify at most one of versionAsOf, timestampAsOf, tag")
-    val v = vOpt
-      .orElse(tsOpt.map(s => ShardSink.versionAtTimestamp(path, ShardSink.parseTsMillis(s))))
-      .orElse(tagOpt.map(t => ShardSink.resolveTag(path, t)))
+    val v = ShardSink.resolveAsOfOpts(path, Option(options.get("versionAsOf")),
+      Option(options.get("timestampAsOf")), Option(options.get("tag")))
       .orElse(asOf)
     // STATS-BASED FILE SKIPPING (round 13): shard-constraining conjuncts
     // prune whole files against the manifest's per-file shard range before
@@ -368,6 +370,20 @@ class ShardSinkTable(
       // scan pins the version resolved HERE so the claim cannot rot
       // under a concurrent commit (snapshot isolation, like Delta).
       private var pinnedV: Option[Long] = v
+      // ONE manifest resolution shared by the consumption proof and the
+      // aggregate soundness gates (review fix: this was resolved up to
+      // three times per planned query — and the gates validated against
+      // a version the unpinned scan would NOT read, letting the purity
+      // claim rot under a concurrent commit). prune/pruneDocs are set by
+      // pushFilters before any aggregate call, so caching is safe.
+      private var resolvedOnce: Option[(Option[Long], Seq[SinkEntry])] = None
+      private def resolveForProof(): (Option[Long], Seq[SinkEntry]) =
+        resolvedOnce.getOrElse {
+          val pv = v.orElse(Some(ShardSink.currentManifestVersion(path)))
+          val r = (pv, ShardSink.entriesAsOfPruned(path, pv, prune, pruneDocs))
+          resolvedOnce = Some(r)
+          r
+        }
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         sawFilters = filters.nonEmpty
         prune = ShardSink.shardPruneSet(filters)
@@ -375,17 +391,20 @@ class ShardSinkTable(
         prunePoints = ShardSink.docPointSet(filters)
         used = filters.filter(f =>
           ShardSink.oneShardSet(f).isDefined || ShardSink.oneDocInterval(f).isDefined)
-        // consumption eligibility: every filter understood (IsNotNull on
-        // the non-nullable core columns is trivially true), and every
-        // kept entry full-match under the pinned snapshot
+        // consumption eligibility: every filter understood EXACTLY —
+        // shard filters are exact by construction (value sets, not
+        // hulls), doc filters only in the convex class (review fix:
+        // `oneDocInterval` HULLS In/Or — sound for skipping, WRONG for
+        // consumption: `doc_id IN (0, 399)` hulls to [0,399] and a file
+        // fully inside the hull is NOT all-match). IsNotNull on the
+        // non-nullable core columns is trivially true.
         val understood = filters.forall {
           case org.apache.spark.sql.sources.IsNotNull("doc_id" | "shard" | "body") => true
           case f => ShardSink.oneShardSet(f).isDefined ||
-            ShardSink.oneDocInterval(f).isDefined
+            ShardSink.exactDocInterval(f)
         }
         if (sawFilters && understood) {
-          val pv = v.orElse(Some(ShardSink.currentManifestVersion(path)))
-          val kept = ShardSink.entriesAsOfPruned(path, pv, prune, pruneDocs)
+          val (pv, kept) = resolveForProof()
           val exact = kept.forall { e =>
             prune.forall(s => e.hasStats &&
               (e.shardMin to e.shardMax).forall(s.contains)) &&
@@ -484,12 +503,15 @@ class ShardSinkTable(
           else {
             val out = specs.flatten
             val g = grouped.get
-            // soundness gates, resolved against the pinned version:
-            // grouped pushes need shard-pure entries, MIN/MAX need full
-            // stats and zero delete vectors
+            // soundness gates, resolved ONCE and version-PINNED (review
+            // fix: validating purity/no-deletes against the current
+            // version and then executing unpinned let a concurrent
+            // commit rot the claim between plan and run): grouped pushes
+            // need shard-pure entries, MIN/MAX need full stats and zero
+            // delete vectors
             if (!g && out.forall(_ == MetaCount)) Some((g, out))
             else {
-              val entries = ShardSink.entriesAsOfPruned(path, pinnedV, prune, pruneDocs)
+              val (_, entries) = resolveForProof()
               val pure = !g ||
                 entries.forall(e => e.hasStats && e.shardMin == e.shardMax)
               val minmaxOk = out.forall(_ == MetaCount) ||
@@ -506,7 +528,12 @@ class ShardSinkTable(
       override def pushAggregation(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
         metaAggs(agg) match {
-          case some @ Some(_) => pushedMeta = some; true
+          case some @ Some((g, out)) =>
+            pushedMeta = some
+            // pin the gated pushes to the version the gate validated —
+            // the scan then reads exactly the proven snapshot
+            if (g || out.exists(_ != MetaCount)) pinnedV = resolveForProof()._1
+            true
           case None => false
         }
       override def build(): Scan = pushedMeta match {
@@ -792,6 +819,21 @@ object ShardSink {
     * for a single number. With the hint it is one small read + O(commits
     * since the hint) existence probes.
     */
+  /** The ONE resolution of the three time-travel read options —
+    * `versionAsOf` / `timestampAsOf` / `tag`, at most one — shared by the
+    * path-based source (schema + table pinning) and the scan builder, so
+    * the spellings and errors can never diverge between the surfaces.
+    */
+  private[sources] def resolveAsOfOpts(
+      path: String, vOpt: Option[String], tsOpt: Option[String],
+      tagOpt: Option[String]): Option[Long] = {
+    require(Seq(vOpt, tsOpt, tagOpt).count(_.isDefined) <= 1,
+      "specify at most one of versionAsOf, timestampAsOf, tag")
+    vOpt.map(_.toLong)
+      .orElse(tsOpt.map(s => versionAtTimestamp(path, parseTsMillis(s))))
+      .orElse(tagOpt.map(t => resolveTag(path, t)))
+  }
+
   def currentManifestVersion(dir: String): Long = {
     val hinted = try {
       val hp = new Path(dir, "_manifest.hint")
@@ -2564,7 +2606,34 @@ object ShardSink {
       binPack && e.hasStats && e.shardMin == e.shardMax && !e.hasDeletes &&
         e.rows >= minKeep && e.rows <= targetRowsPerFile &&
         !isForeign(e.file))
-    if (toRewrite.isEmpty) return // everything in band: nothing to do
+    if (toRewrite.isEmpty) {
+      // everything in band: no rewrite — but the caller's retention
+      // request still stands (review fix: a steady-state table's nightly
+      // `compact(retainVersions = N, binPack = true)` must still expire
+      // old versions, or the files a previous pass superseded are held
+      // forever). Publish a horizon-only commit (census unchanged)
+      // exactly when advancing the horizon would RELEASE at least one
+      // file — anything weaker leaks, anything stronger never converges
+      // (each horizon commit is itself a version, so an idle table would
+      // commit forever chasing its own tail).
+      val hz = horizonOf(dir)
+      val tagFloor = listTags(dir).map(_._2).minOption.getOrElse(Long.MaxValue)
+      val wouldHz = math.min(tagFloor,
+        math.max(hz, math.max(1L, (baseV + 1L) - retainVersions)))
+      if (wouldHz > hz) {
+        def refsOf(v: Long): Set[String] =
+          (entriesAtVersion(dir, v)
+            .flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil)) ++
+            manifestCdcAt(dir, v)).toSet
+        val keepAfter = (wouldHz to baseV).flatMap(refsOf).toSet ++
+          entries.flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil))
+        val releasable = (math.max(1L, hz) until wouldHz).flatMap(refsOf).toSet -- keepAfter
+        if (releasable.nonEmpty)
+          publishCompaction(dir, baseV, entries, kept,
+            compactCounter.incrementAndGet(), retainVersions)
+      }
+      return
+    }
     val byShard = scala.collection.mutable.Map
       .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, String)]]
     toRewrite.foreach { e =>
@@ -2637,6 +2706,7 @@ object ShardSink {
       newEntries: Seq[SinkEntry], gen: Long, retainVersions: Int,
       opName: String = "compact"): Unit = {
     Option(compactBarrier.getAndSet(null)).foreach(_.apply())
+    val oldHz = horizonOf(dir)
     // tags HOLD the horizon (Iceberg refs pin snapshots against
     // expiration): the horizon never moves past the oldest tagged
     // version, so tagged snapshots stay readable until dropped
@@ -2684,9 +2754,20 @@ object ShardSink {
         .flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil)) ++
         manifestCdcAt(dir, v)
     }.toSet
+    // EVERYTHING the newly-expired versions referenced is releasable,
+    // not just the rewritten census (review follow-up: a file superseded
+    // in an EARLIER retained version — a MOR-dropped data file, a
+    // pre-compaction append a previous retaining pass held — leaked
+    // forever once the horizon finally moved past it, because only
+    // priorEntries were swept)
+    val expiredRefs: Set[String] = (math.max(1L, oldHz) until newHz).flatMap { v =>
+      entriesAtVersion(dir, v)
+        .flatMap(e => e.file +: (if (e.hasDeletes) Seq(e.dv) else Nil))
+    }.toSet
     // foreign (cloned-in) files are the SOURCE's property: dropping the
     // entry is the whole removal — compacting a clone MATERIALIZES it
-    deleteOwned(dir, priorEntries.map(_.file).filterNot(keep))
+    deleteOwned(dir,
+      (priorEntries.map(_.file).toSet ++ expiredRefs).toSeq.filterNot(keep))
     SinkFs.listFileNames(new Path(dir)).filter(f =>
       (f.startsWith("del-") && f.endsWith(".pos")) ||
         (f.startsWith("cdc-") && f.endsWith(".tsv")))
@@ -3596,12 +3677,15 @@ object ShardSink {
     * before any commit). Versions are retained (see [[writeManifestAt]]),
     * so the diff of consecutive versions is the commit's file delta.
     */
-  def entriesAtVersion(dir: String, version: Long): Seq[SinkEntry] =
+  def entriesAtVersion(
+      dir: String, version: Long,
+      pruneShards: Option[Set[Int]] = None,
+      pruneDocs: Option[(Long, Long)] = None): Seq[SinkEntry] =
     if (version <= 0L) Seq.empty
     else {
       val p = new Path(dir, s"_manifest.v$version.json")
       if (!SinkFs.exists(p)) Seq.empty
-      else parseManifestBlob(dir, SinkFs.readString(p))
+      else parseManifestBlobPruned(dir, SinkFs.readString(p), pruneShards, pruneDocs)
     }
 
   private val ManifestTs = """^\{"ts":(\d+)""".r
@@ -4254,12 +4338,7 @@ object ShardSink {
         require(v == 0L || v >= hz,
           s"snapshot versionAsOf=$v expired: the retention horizon is $hz " +
             s"(versions below it were released by compaction)")
-        if (v <= 0L) Seq.empty
-        else {
-          val p = new Path(dir, s"_manifest.v$v.json")
-          if (!SinkFs.exists(p)) Seq.empty
-          else parseManifestBlobPruned(dir, SinkFs.readString(p), pruneShards, pruneDocs)
-        }
+        entriesAtVersion(dir, v, pruneShards, pruneDocs)
     }
 
   /** A travelled snapshot may be compaction-expired: every entry that
@@ -4413,6 +4492,28 @@ object ShardSink {
         for (a <- oneDocInterval(l); b <- oneDocInterval(r))
           yield (math.min(a._1, b._1), math.max(a._2, b._2))
       case _ => None
+    }
+  }
+
+  /** Is this doc-only filter's matching set EXACTLY its interval hull?
+    * True only for the convex class — equality, range bounds, And of
+    * convex (interval intersection is an interval). `In` with several
+    * values and `Or` are NOT convex: their hull admits ids the predicate
+    * rejects, so a hull-based all-match proof would consume a filter the
+    * file does not actually satisfy row-for-row (the review-caught
+    * `doc_id IN (0, 399)` wrong-count bug). Sound for the consumption
+    * gate only — skipping keeps using the hull.
+    */
+  private[sources] def exactDocInterval(f: Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo("doc_id", _) => oneDocInterval(f).isDefined
+      case In("doc_id", vs) => vs.distinct.length == 1 && oneDocInterval(f).isDefined
+      case LessThan("doc_id", _) | LessThanOrEqual("doc_id", _) |
+           GreaterThan("doc_id", _) | GreaterThanOrEqual("doc_id", _) =>
+        oneDocInterval(f).isDefined
+      case And(l, r) => exactDocInterval(l) && exactDocInterval(r)
+      case _ => false
     }
   }
 
@@ -4799,7 +4900,8 @@ class ShardSinkWrite(
     replaceFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
     cdf: Boolean = false,
     colMap: Array[Int] = null,
-    evolveTo: Option[String] = None)
+    evolveTo: Option[String] = None,
+    basisSchema: String = null)
   extends Write with BatchWrite with StreamingWrite
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -4853,7 +4955,13 @@ class ShardSinkWrite(
   // concurrent ALTER landed a different shape in between, overwriting the
   // schema key would silently drop that evolution — abort loudly instead
   private val pinnedSchema =
-    if (evolveTo.isDefined) ShardSink.schemaString(ShardSink.tableSchema(path)) else null
+    if (evolveTo.isDefined)
+      // the schema the write target was DERIVED from — never a re-read
+      // (review fix: re-reading here raced a concurrent ALTER past the
+      // guard); null basis only on legacy constructions, which never
+      // evolve
+      Option(basisSchema).getOrElse(ShardSink.schemaString(ShardSink.tableSchema(path)))
+    else null
   private def requireSchemaUnchanged(baseV: Long): Unit =
     if (evolveTo.isDefined) {
       val cur = ShardSink.schemaString(ShardSink.schemaAtVersion(path, baseV))
@@ -5863,7 +5971,7 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
         .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType,
           nullable = true)))
     staged(ident, forceTruncate = true, dropOnAbort = false,
-      pendingSchema = Some(merged))
+      pendingSchema = Some(merged), pendingBasis = Some(ShardSink.schemaString(cur)))
   }
 
   override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
@@ -5871,11 +5979,13 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
 
   private def staged(
       ident: Identifier, forceTruncate: Boolean, dropOnAbort: Boolean,
-      pendingSchema: Option[StructType] = None): StagedTable = {
+      pendingSchema: Option[StructType] = None,
+      pendingBasis: Option[String] = None): StagedTable = {
     val t =
       if (pendingSchema.isDefined)
         new ShardSinkTable(dirOf(ident), deleteMode = deleteMode, rloMode = rloMode,
-          cdfEnabled = cdfEnabled, pendingSchema = pendingSchema)
+          cdfEnabled = cdfEnabled, pendingSchema = pendingSchema,
+          pendingBasis = pendingBasis)
       else loadTable(ident)
     new StagedTable with SupportsRead with SupportsWrite {
       override def name(): String = t.name()

@@ -1647,6 +1647,53 @@ class ShardSinkSpec extends SparkSpec {
       .option("path", dir).load().count() === 799L)
   }
 
+  test("file-exact consumption rejects non-convex doc predicates: IN/OR hulls stay residual") {
+    val dir = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    // ONE file spanning [0,399]: any hull-contained predicate would have
+    // been wrongly consumed as all-match before the fix
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "1").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    def read = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+    // IN: hull [0,399] contains the file — the count was 400 with the bug
+    assert(read.where(col("doc_id").isin(0L, 399L)).count() === 2L)
+    assert(read.where(col("doc_id").isin(0L, 399L)).agg(expr("count(*)"))
+      .collect().head.getLong(0) === 2L)
+    // OR of disjoint ranges: hull = everything
+    assert(read.where(col("doc_id") < 10L || col("doc_id") > 389L).count() === 20L)
+    // a SINGLE-value IN is convex — still consumed on a file-exact layout
+    ShardSink.compact(dir, targetRowsPerFile = 25L)
+    val one = read.where(col("doc_id").isin(5L)).agg(expr("count(*)"))
+    assert(one.collect().head.getLong(0) === 1L)
+  }
+
+  test("binPack retention: an all-in-band pass still releases below-horizon files, then converges") {
+    val dir = freshDir().getPath
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "800").option("numPartitions", "1").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save() // v1
+    val v1File = ShardSink.committedEntries(dir).head.file
+    // a RETAINING pass: horizon stays 1, the superseded v1 append is held
+    ShardSink.compact(dir, retainVersions = 3, targetRowsPerFile = 50L) // v2
+    assert(ShardSink.horizonOf(dir) === 1L)
+    assert(new java.io.File(dir, v1File).exists(), "retention holds the superseded file")
+    // everything is now in-band — but the retention request must still
+    // move the horizon and RELEASE the held file (was: silent no-op)
+    ShardSink.compact(dir, retainVersions = 0, targetRowsPerFile = 50L, binPack = true) // v3
+    assert(ShardSink.currentManifestVersion(dir) === 3L)
+    assert(ShardSink.horizonOf(dir) === 3L)
+    assert(!new java.io.File(dir, v1File).exists(), "the expired append releases")
+    // and the next identical pass has nothing to release: a true no-op
+    ShardSink.compact(dir, retainVersions = 0, targetRowsPerFile = 50L, binPack = true)
+    assert(ShardSink.currentManifestVersion(dir) === 3L, "converged — no commit churn")
+    assert(spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load().count() === 800L)
+  }
+
   test("version-hint discovery: O(1) forward probe; the hint is never load-bearing") {
     val dir = freshDir().getPath
     def append(lo: Long, hi: Long) =
