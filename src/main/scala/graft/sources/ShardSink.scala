@@ -97,7 +97,11 @@ class ShardSinkSource extends TableProvider {
       // Delta's writer option: `.option("mergeSchema", "true")` lets an
       // append/overwrite carry NEW columns — resolved by name, persisted
       // in the same commit as the rows (see ShardSinkTable.newWriteBuilder)
-      acceptAnySchema = "true".equalsIgnoreCase(properties.get("mergeSchema")))
+      acceptAnySchema = "true".equalsIgnoreCase(properties.get("mergeSchema")),
+      // Delta's autoOptimize: `.option("autoCompact", "<rowsPerFile>")`
+      // runs a binPack pass after each successful append — a no-op when
+      // everything is already in band, so steady-state appends pay once
+      autoCompact = Option(properties.get("autoCompact")).map(_.toLong))
   }
 }
 
@@ -149,7 +153,8 @@ class ShardSinkTable(
     // the persisted schema the PENDING shape was merged from (staged
     // REPLACE): the write's concurrent-ALTER guard pins THIS, not a
     // re-read — see the basisSchema note in newWriteBuilder
-    pendingBasis: Option[String] = None)
+    pendingBasis: Option[String] = None,
+    autoCompact: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -329,7 +334,7 @@ class ShardSinkTable(
       override def build(): Write =
         new ShardSinkWrite(path, info.queryId(), doTruncate, target,
           replaceFilters, cdfEnabled, colMap = colMap, evolveTo = evolveTo,
-          basisSchema = basis)
+          basisSchema = basis, autoCompact = autoCompact)
     }
   }
 
@@ -4901,7 +4906,8 @@ class ShardSinkWrite(
     cdf: Boolean = false,
     colMap: Array[Int] = null,
     evolveTo: Option[String] = None,
-    basisSchema: String = null)
+    basisSchema: String = null,
+    autoCompact: Option[Long] = None)
   extends Write with BatchWrite with StreamingWrite
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -5152,6 +5158,14 @@ class ShardSinkWrite(
               s"ShardSink append at $path lost the manifest race $attempt times " +
                 s"(last: version ${c.version}); giving up loudly", c)
         }
+      }
+      // AUTO-COMPACT (Delta autoOptimize, round 15): the append itself is
+      // already durable — this maintenance pass runs binPack AFTER it, a
+      // no-op when everything is in band. A lost race with concurrent DML
+      // yields silently: data wins, the next append's pass catches up.
+      autoCompact.foreach { t =>
+        try ShardSink.compact(path, targetRowsPerFile = t, binPack = true)
+        catch { case _: IllegalStateException => () }
       }
     }
   }
