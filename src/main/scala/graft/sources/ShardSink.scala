@@ -2448,6 +2448,43 @@ object ShardSink {
       |       CAST(1 AS BIGINT) AS kept_verbatim
       |FROM range(0, 1000) t(doc_id)""".stripMargin
 
+  /** AUTO-COMPACT under the driver's hash gate (round 15): three
+    * appends with `.option("autoCompact", "50")` — each append's own
+    * maintenance pass re-packs whatever fell out of band, so the table
+    * never accumulates straddling ingest files. `auto_packed` pins the
+    * structural claim: after the third append every committed file is
+    * shard-pure with no operator ever calling compact() explicitly, and
+    * the version log shows one maintenance commit riding each append.
+    */
+  def autoCompactReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("acp:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkacp_$sfx")
+    SinkFs.deleteRecursively(dir)
+    def append(lo: Long, hi: Long): Unit =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "1000").option("numPartitions", "1").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir.getPath).option("autoCompact", "50")
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0L, 800L); append(800L, 900L); append(900L, 1000L)
+    val entries = committedEntries(dir.getPath)
+    val packed = entries.forall(e => e.hasStats && e.shardMin == e.shardMax) &&
+      currentManifestVersion(dir.getPath) == 6L // 3 appends + 3 maintenance
+    spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("xor_ids"))
+      .withColumn("auto_packed", lit(if (packed) 1L else 0L))
+  }
+
+  val autoCompactReportSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, bit_xor(doc_id) AS xor_ids,
+      |       CAST(1 AS BIGINT) AS auto_packed
+      |FROM range(0, 1000) t(doc_id)""".stripMargin
+
   /** GROUPED METADATA-ONLY AGGREGATES under the driver's hash gate
     * (round 15): on a compacted shard-pure layout `SELECT shard,
     * count(*), min(doc_id), max(doc_id) GROUP BY shard` answers entirely

@@ -215,6 +215,7 @@ object Sinks {
     "q_dsv2_sink_dpp" -> (ShardSink.sinkDppReport _),
     "q_dsv2_bloom_lookup" -> (ShardSink.bloomLookupReport _),
     "q_dsv2_optimize_binpack" -> (ShardSink.binPackReport _),
+    "q_dsv2_auto_compact" -> (ShardSink.autoCompactReport _),
     "q_dsv2_restore" -> (ShardSink.restoreReport _),
     "q_dsv2_replace_where" -> (ShardSink.replaceWhereReport _),
     "q_dsv2_vacuum" -> (ShardSink.vacuumReport _),
@@ -269,6 +270,7 @@ object Sinks {
     "q_dsv2_sink_dpp" -> ShardSink.sinkDppReportSql,
     "q_dsv2_bloom_lookup" -> ShardSink.bloomLookupReportSql,
     "q_dsv2_optimize_binpack" -> ShardSink.binPackReportSql,
+    "q_dsv2_auto_compact" -> ShardSink.autoCompactReportSql,
     "q_dsv2_restore" -> ShardSink.restoreReportSql,
     "q_dsv2_replace_where" -> ShardSink.replaceWhereReportSql,
     "q_dsv2_vacuum" -> ShardSink.vacuumReportSql,

@@ -1670,6 +1670,22 @@ class ShardSinkSpec extends SparkSpec {
     assert(one.collect().head.getLong(0) === 1L)
   }
 
+  test("autoCompact writer option: each append re-packs its own ingest") {
+    val r = ShardSink.autoCompactReport(spark, sf001).collect().head
+    assert(r.getAs[Long]("auto_packed") === 1L,
+      "every file shard-pure, one maintenance commit per append")
+    assert(r.getAs[Long]("n_docs") === 1000L)
+    // without the option nothing auto-runs (the default is untouched)
+    val dir = freshDir().getPath
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "100").option("numPartitions", "1").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    assert(ShardSink.currentManifestVersion(dir) === 1L)
+    assert(ShardSink.committedEntries(dir).exists(e => e.shardMin != e.shardMax),
+      "plain appends keep their straddling ingest file")
+  }
+
   test("binPack retention: an all-in-band pass still releases below-horizon files, then converges") {
     val dir = freshDir().getPath
     spark.read.format("graft.sources.DocGenSource")
