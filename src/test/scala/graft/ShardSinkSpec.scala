@@ -1670,6 +1670,44 @@ class ShardSinkSpec extends SparkSpec {
     assert(one.collect().head.getLong(0) === 1L)
   }
 
+  test("exactDocInterval soundness: an exact filter's hull admits NO rejected id") {
+    import org.apache.spark.sql.sources._
+    import graft.sources.SinkTestAccess
+    val candidates: Seq[Filter] = Seq(
+      EqualTo("doc_id", 7L), In("doc_id", Array[Any](7L)),
+      In("doc_id", Array[Any](3L, 9L)), In("doc_id", Array[Any](7L, 7L)),
+      LessThan("doc_id", 10L), LessThanOrEqual("doc_id", 10L),
+      GreaterThan("doc_id", 5L), GreaterThanOrEqual("doc_id", 5L),
+      And(GreaterThan("doc_id", 2L), LessThanOrEqual("doc_id", 8L)),
+      And(In("doc_id", Array[Any](5L)), LessThan("doc_id", 9L)),
+      Or(LessThan("doc_id", 3L), GreaterThan("doc_id", 8L)),
+      Or(EqualTo("doc_id", 1L), EqualTo("doc_id", 5L)),
+      And(Or(LessThan("doc_id", 3L), GreaterThan("doc_id", 8L)), LessThan("doc_id", 20L)))
+    // the consumption invariant: whenever a filter claims exactness,
+    // EVERY id inside its interval satisfies the row predicate — a
+    // violation is precisely the class of wrong-results bug the review
+    // caught for IN/OR hulls
+    candidates.filter(SinkTestAccess.exactDoc).foreach { f =>
+      val (lo, hi) = SinkTestAccess.docInterval(f).get
+      val pred = SinkTestAccess.rowPredicate(Array(f)).get
+      (math.max(lo, -50L) to math.min(hi, 50L)).foreach { x =>
+        assert(pred(x, (math.floorMod(x, 16L)).toInt),
+          s"$f claims exact but its hull [$lo,$hi] contains rejected id $x")
+      }
+    }
+    // the known non-convex shapes must refuse exactness outright
+    assert(!SinkTestAccess.exactDoc(In("doc_id", Array[Any](3L, 9L))))
+    assert(!SinkTestAccess.exactDoc(
+      Or(LessThan("doc_id", 3L), GreaterThan("doc_id", 8L))))
+    assert(!SinkTestAccess.exactDoc(
+      Or(EqualTo("doc_id", 1L), EqualTo("doc_id", 5L))))
+    // and the convex core must still be accepted (no over-refusal)
+    assert(SinkTestAccess.exactDoc(EqualTo("doc_id", 7L)))
+    assert(SinkTestAccess.exactDoc(In("doc_id", Array[Any](7L, 7L))))
+    assert(SinkTestAccess.exactDoc(
+      And(GreaterThan("doc_id", 2L), LessThanOrEqual("doc_id", 8L))))
+  }
+
   test("autoCompact writer option: each append re-packs its own ingest") {
     val r = ShardSink.autoCompactReport(spark, sf001).collect().head
     assert(r.getAs[Long]("auto_packed") === 1L,

@@ -54,4 +54,13 @@ object SinkTestAccess {
     ShardSink.compactBarrier.set(f)
 
   def manifestListCount: Long = ShardSink.manifestListCount.get()
+
+  def exactDoc(f: org.apache.spark.sql.sources.Filter): Boolean =
+    ShardSink.exactDocInterval(f)
+
+  def docInterval(f: org.apache.spark.sql.sources.Filter): Option[(Long, Long)] =
+    ShardSink.oneDocInterval(f)
+
+  def rowPredicate(fs: Array[org.apache.spark.sql.sources.Filter])
+      : Option[(Long, Int) => Boolean] = ShardSink.deletePredicate(fs)
 }
