@@ -56,6 +56,26 @@ object DocBloom {
   def encode(bits: Array[Byte]): String =
     java.util.Base64.getEncoder.encodeToString(bits)
 
+  /** Bitwise-OR union of member blooms — a segment-level bloom. Empty
+    * ("" = compute nothing) when any member lacks a valid bloom: a
+    * partial union could skip a segment whose bloom-less member holds
+    * the id (same all-or-silent rule as envelopes).
+    */
+  def union(blooms: Seq[String]): String = {
+    if (blooms.isEmpty) return ""
+    val acc = empty()
+    blooms.foreach { b64 =>
+      if (b64.isEmpty) return ""
+      val bits =
+        try java.util.Base64.getDecoder.decode(b64)
+        catch { case _: IllegalArgumentException => return "" }
+      if (bits.length != Bytes) return ""
+      var i = 0
+      while (i < Bytes) { acc(i) = (acc(i) | bits(i)).toByte; i += 1 }
+    }
+    encode(acc)
+  }
+
   /** May the encoded bloom contain `v`? Malformed payloads answer true
     * (read the file — never skip on a parse doubt).
     */

@@ -385,7 +385,13 @@ class ShardSinkTable(
       private def resolveForProof(): (Option[Long], Seq[SinkEntry]) =
         resolvedOnce.getOrElse {
           val pv = v.orElse(Some(ShardSink.currentManifestVersion(path)))
-          val r = (pv, ShardSink.entriesAsOfPruned(path, pv, prune, pruneDocs))
+          // prunePoints rides the proof too: a bloom-pruned file contains
+          // NO sought id, so excluding it from the all-match set (and
+          // from a consumed count/min/max) is exact — and it keeps the
+          // PLANNING read at O(bloom-positive segments), which is the
+          // whole point on a point lookup over a segmented manifest
+          val r = (pv, ShardSink.entriesAsOfPruned(path, pv, prune, pruneDocs,
+            prunePoints))
           resolvedOnce = Some(r)
           r
         }
@@ -543,7 +549,8 @@ class ShardSinkTable(
         }
       override def build(): Scan = pushedMeta match {
         case Some((g, specs)) =>
-          new ShardSinkCountScan(path, pinnedV, specs, prune, pruneDocs, groupByShard = g)
+          new ShardSinkCountScan(path, pinnedV, specs, prune, pruneDocs,
+            prunePoints = prunePoints, groupByShard = g)
         case None =>
           new ShardSinkScan(path, pinnedV, prune, required, pruneDocs, table, prunePoints)
       }
@@ -575,6 +582,7 @@ class ShardSinkCountScan(
     path: String, asOf: Option[Long], specs: Seq[ShardSinkMetaAgg],
     pruneShards: Option[Set[Int]] = None,
     pruneDocs: Option[(Long, Long)] = None,
+    prunePoints: Option[Set[Long]] = None,
     groupByShard: Boolean = false)
   extends Scan with Batch {
   import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -609,7 +617,8 @@ class ShardSinkCountScan(
     // file-exact filter-consumption path, where the builder proved every
     // kept entry is ALL-match — summing their live rows IS the filtered
     // count.
-    val entries = ShardSink.entriesAsOfPruned(path, asOf, pruneShards, pruneDocs)
+    val entries =
+      ShardSink.entriesAsOfPruned(path, asOf, pruneShards, pruneDocs, prunePoints)
     asOf.foreach(v => ShardSink.requireSnapshotLive(path, v, entries))
     // a clone whose source was vacuumed must not answer a stale
     // manifest-only count — same count/collect validity agreement
@@ -3371,23 +3380,33 @@ object ShardSink {
     */
   private[sources] final case class SegmentRef(
       name: String, n: Int, shardMin: Int = -1, shardMax: Int = -1,
-      docMin: Long = -1L, docMax: Long = -1L) {
+      docMin: Long = -1L, docMax: Long = -1L, bf: String = "") {
     def hasStats: Boolean = shardMin >= 0
     def hasDocStats: Boolean = docMax >= 0L
     def mayContainShard(shards: Set[Int]): Boolean =
       !hasStats || shards.exists(v => v >= shardMin && v <= shardMax)
     def mayContainDocRange(lo: Long, hi: Long): Boolean =
       !hasDocStats || (docMin <= hi && docMax >= lo)
+    /** Whole-SEGMENT point skipping: the ref bloom is the bitwise OR of
+      * the member files' blooms — a sought id definitely absent from the
+      * union is absent from every member, so the segment goes unread.
+      * On a compacted stripe layout (every segment's doc RANGE overlaps
+      * every other's) this is what keeps `doc_id = K` at O(1 segment)
+      * driver IO instead of O(segments). Absent = read, as everywhere.
+      */
+    def mayContainDocPoints(points: Set[Long]): Boolean =
+      bf.isEmpty || points.exists(v => DocBloom.mayContain(bf, v))
     def json: String = {
       val stats = if (hasStats) s""","s0":$shardMin,"s1":$shardMax""" else ""
       val docs = if (hasDocStats) s""","d0":$docMin,"d1":$docMax""" else ""
-      s"""{"f":"$name","n":$n$stats$docs}"""
+      val bloom = if (bf.nonEmpty) s""","b":"$bf"""" else ""
+      s"""{"f":"$name","n":$n$stats$docs$bloom}"""
     }
   }
 
   private val SegRef =
     ("""\{"f":"([^"]+)","n":(\d+)(?:,"s0":(-?\d+),"s1":(-?\d+))?""" +
-      """(?:,"d0":(-?\d+),"d1":(-?\d+))?\}""").r
+      """(?:,"d0":(-?\d+),"d1":(-?\d+))?(?:,"b":"([^"]*)")?\}""").r
 
   private def parseSegRefs(blob: String): Seq[SegmentRef] =
     SegRef.findAllMatchIn(blob).map { m =>
@@ -3395,7 +3414,8 @@ object ShardSink {
         if (m.group(3) == null) (-1, -1) else (m.group(3).toInt, m.group(4).toInt)
       val (d0, d1) =
         if (m.group(5) == null) (-1L, -1L) else (m.group(5).toLong, m.group(6).toLong)
-      SegmentRef(m.group(1), m.group(2).toInt, s0, s1, d0, d1)
+      SegmentRef(m.group(1), m.group(2).toInt, s0, s1, d0, d1,
+        if (m.group(7) == null) "" else m.group(7))
     }.toSeq
 
   private[sources] def segmentRefsAt(dir: String, version: Long): Seq[SegmentRef] =
@@ -3497,7 +3517,7 @@ object ShardSink {
     finally w.close()
     SinkFs.moveFresh(tmp, new Path(dir, name))
     val (s0, s1, d0, d1) = envelopeOf(entries)
-    SegmentRef(name, entries.size, s0, s1, d0, d1)
+    SegmentRef(name, entries.size, s0, s1, d0, d1, DocBloom.union(entries.map(_.bf)))
   }
 
   /** The O(changed) commit core: previous segments whose entries are ALL
@@ -3526,10 +3546,12 @@ object ShardSink {
       val kept = es.filter(e => desiredSet.contains(e) && !covered.contains(e))
       if (kept.nonEmpty) {
         if (kept.size == es.size) {
-          // reuse as-is; recompute the envelope so pre-envelope segments
-          // gain one the first time any commit re-references them
+          // reuse as-is; recompute the envelope (and the union bloom) so
+          // pre-envelope segments gain them the first time any commit
+          // re-references them
           val (s0, s1, d0, d1) = envelopeOf(es)
-          out += SegmentRef(ref.name, es.size, s0, s1, d0, d1)
+          out += SegmentRef(ref.name, es.size, s0, s1, d0, d1,
+            DocBloom.union(es.map(_.bf)))
         } else {
           k += 1
           val r = writeSegmentFile(dir, tag, nonce, k, kept)
@@ -3563,14 +3585,20 @@ object ShardSink {
     */
   private def parseManifestBlobPruned(
       dir: String, blob: String,
-      pruneShards: Option[Set[Int]], pruneDocs: Option[(Long, Long)]): Seq[SinkEntry] = {
+      pruneShards: Option[Set[Int]], pruneDocs: Option[(Long, Long)],
+      prunePoints: Option[Set[Long]] = None): Seq[SinkEntry] = {
     def perEntry(es: Seq[SinkEntry]): Seq[SinkEntry] = es
       .filter(e => pruneShards.forall(e.mayContainShard))
       .filter(e => pruneDocs.forall { case (lo, hi) => e.mayContainDocRange(lo, hi) })
+      .filter(e => prunePoints.forall(e.mayContainDocPoints))
     if (blob.contains("\"segs\":["))
       perEntry(parseSegRefs(blob)
         .filter(r => pruneShards.forall(r.mayContainShard))
         .filter(r => pruneDocs.forall { case (lo, hi) => r.mayContainDocRange(lo, hi) })
+        // union-bloom segment skipping: on stripe layouts whose doc
+        // RANGES all overlap, this is the level that makes a point
+        // lookup O(matching segments) driver IO
+        .filter(r => prunePoints.forall(r.mayContainDocPoints))
         .flatMap(r => readSegment(dir, r.name)))
     else perEntry(parseEntries(blob))
   }
@@ -3722,12 +3750,14 @@ object ShardSink {
   def entriesAtVersion(
       dir: String, version: Long,
       pruneShards: Option[Set[Int]] = None,
-      pruneDocs: Option[(Long, Long)] = None): Seq[SinkEntry] =
+      pruneDocs: Option[(Long, Long)] = None,
+      prunePoints: Option[Set[Long]] = None): Seq[SinkEntry] =
     if (version <= 0L) Seq.empty
     else {
       val p = new Path(dir, s"_manifest.v$version.json")
       if (!SinkFs.exists(p)) Seq.empty
-      else parseManifestBlobPruned(dir, SinkFs.readString(p), pruneShards, pruneDocs)
+      else parseManifestBlobPruned(dir, SinkFs.readString(p), pruneShards, pruneDocs,
+        prunePoints)
     }
 
   private val ManifestTs = """^\{"ts":(\d+)""".r
@@ -4357,7 +4387,8 @@ object ShardSink {
     */
   def entriesAsOfPruned(
       dir: String, asOf: Option[Long],
-      pruneShards: Option[Set[Int]], pruneDocs: Option[(Long, Long)]): Seq[SinkEntry] =
+      pruneShards: Option[Set[Int]], pruneDocs: Option[(Long, Long)],
+      prunePoints: Option[Set[Long]] = None): Seq[SinkEntry] =
     asOf match {
       case None =>
         // same one-retry rule as committedEntries: a legacy unversioned
@@ -4365,7 +4396,8 @@ object ShardSink {
         def once(): Seq[SinkEntry] = {
           val mf = manifestPath(dir)
           if (!SinkFs.exists(mf)) Seq.empty
-          else parseManifestBlobPruned(dir, SinkFs.readString(mf), pruneShards, pruneDocs)
+          else parseManifestBlobPruned(dir, SinkFs.readString(mf), pruneShards, pruneDocs,
+            prunePoints)
         }
         try once()
         catch { case _: java.io.FileNotFoundException => once() }
@@ -4380,7 +4412,7 @@ object ShardSink {
         require(v == 0L || v >= hz,
           s"snapshot versionAsOf=$v expired: the retention horizon is $hz " +
             s"(versions below it were released by compaction)")
-        entriesAtVersion(dir, v, pruneShards, pruneDocs)
+        entriesAtVersion(dir, v, pruneShards, pruneDocs, prunePoints)
     }
 
   /** A travelled snapshot may be compaction-expired: every entry that
@@ -5367,13 +5399,13 @@ class ShardSinkScan(
     */
   private lazy val kept: Seq[SinkEntry] =
     // pruning happens DURING manifest resolution: on a segmented
-    // manifest, ref envelopes skip whole segments unread (per-entry
-    // filtering inside surviving segments is included); point lookups
-    // additionally consult each surviving entry's doc_id BLOOM — on an
-    // unclustered ingest layout where every file's range contains every
-    // id, this is what turns `doc_id = K` into an O(1 file) read
-    ShardSink.entriesAsOfPruned(path, asOf, pruneShards, pruneDocs)
-      .filter(e => prunePoints.forall(e.mayContainDocPoints))
+    // manifest, ref envelopes AND ref union-blooms skip whole segments
+    // unread; point lookups then consult each surviving entry's doc_id
+    // BLOOM — on an unclustered ingest layout where every file's range
+    // contains every id, this is what turns `doc_id = K` into an O(1
+    // file) read (and O(matching segments) driver IO at million-file
+    // counts)
+    ShardSink.entriesAsOfPruned(path, asOf, pruneShards, pruneDocs, prunePoints)
 
   private def keptEntries(): Seq[SinkEntry] = kept
 

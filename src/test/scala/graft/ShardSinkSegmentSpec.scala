@@ -196,4 +196,34 @@ class ShardSinkSegmentSpec extends SparkSpec {
       assert(readBack(dir).count() === 400L)
     } finally ShardSink.setSegmentTarget(512)
   }
+
+  test("union-bloom pruning: a point lookup reads only bloom-positive segments") {
+    val dir = freshDir().getPath
+    ShardSink.setSegmentTarget(1)
+    try {
+      append(dir, 0L, 400L)
+      // shard-pure 25-row chunks → 16 single-entry segments whose doc
+      // RANGES all overlap (stripes [s, s+384]): the envelope cannot
+      // prune a point lookup here — only the ref's union bloom can
+      ShardSink.compact(dir, targetRowsPerFile = 25L)
+      val refs = SinkTestAccess.segmentRefsFull(dir, 2L)
+      assert(refs.size === 16)
+      val envMatching = refs.count { case (_, _, _, _, d0, d1) => d0 <= 37L && 37L <= d1 }
+      assert(envMatching >= 14, s"stripes must overlap doc 37: $envMatching")
+      SinkTestAccess.clearSegmentCache()
+      val before = SinkTestAccess.segmentReadCount
+      val rows = readBack(dir).where(col("doc_id") === 37L).collect()
+      val misses = SinkTestAccess.segmentReadCount - before
+      assert(rows.length === 1 && rows.head.getAs[Long]("doc_id") === 37L)
+      assert(misses >= 1L && misses <= 3L,
+        s"union blooms must skip envelope-positive segments: read $misses of 16")
+      // an id the table never held: zero rows, and (fp aside) zero reads
+      SinkTestAccess.clearSegmentCache()
+      val b2 = SinkTestAccess.segmentReadCount
+      assert(readBack(dir).where(col("doc_id") === 4040L).collect().isEmpty)
+      assert(SinkTestAccess.segmentReadCount - b2 <= 1L)
+      // the unpruned read still sees everything
+      assert(readBack(dir).count() === 400L)
+    } finally ShardSink.setSegmentTarget(512)
+  }
 }
