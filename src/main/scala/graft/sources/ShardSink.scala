@@ -3742,6 +3742,99 @@ object ShardSink {
             "commit is intact — re-run against the new table state")
     }
 
+  /** Deterministic interleave hook for the DML re-base specs: runs ONCE
+    * just before the flip attempt — same pattern as [[compactBarrier]].
+    */
+  private[sources] val dmlBarrier =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](null)
+
+  /** DML CONFLICT RE-BASE (round 15): the row-level twin of
+    * [[publishCompaction]]'s resolution — Delta/Iceberg conflict
+    * semantics for copy-on-write DELETE, merge-on-read DELETE and
+    * filtered OVERWRITE. A lost flip race re-reads the census and
+    * commits one version up iff the interleaved commits provably
+    * commute with this operation:
+    *
+    *   1. every pinned BASE entry is still present byte-identical (no
+    *      interloper touched a file this operation read, kept, rewrote
+    *      or vectored — a vector on a kept file would be silently
+    *      resurrected by the carried entry otherwise);
+    *   2. every ADDED entry is PROVABLY DISJOINT from the DML predicate
+    *      by manifest statistics — its shard range, doc envelope or
+    *      doc-id bloom rules out every row the predicate matches (the
+    *      same sound-superset derivations the read-side prune uses, so
+    *      "pruned" ⇒ "no row matches"). A serial execution (append
+    *      first, then this DML) would have left the appended rows
+    *      untouched, so carrying them forward verbatim IS the serial
+    *      result. Stats-less or possibly-matching files abort loudly:
+    *      the appended rows might have been deleted in the serial
+    *      order, and silently keeping them would un-serialize history;
+    *   3. the CHECK-constraint set is unchanged (a constraint added
+    *      mid-flight validated existing rows only — rows this commit
+    *      lands escaped both that scan and this writer's pinned
+    *      enforcement) and, when this commit carries a schema change,
+    *      nobody else changed the schema meanwhile.
+    *
+    * Anything else aborts loudly with the conservative message — data
+    * wins, the DML re-runs against the new state.
+    */
+  private[sources] def flipDmlRebase(
+      dir: String, baseV: Long, baseEntries: Seq[SinkEntry],
+      out: Seq[SinkEntry], tag: String, filters: Array[Filter],
+      cdc: Option[String] = None, op: Option[String] = None,
+      schema: Option[String] = None): Unit = {
+    Option(dmlBarrier.getAndSet(null)).foreach(_.apply())
+    val ps = shardPruneSet(filters)
+    val pd = docPruneRange(filters)
+    val pp = docPointSet(filters)
+    val baseFiles = baseEntries.map(_.file).toSet
+    var curBase = baseV
+    var carried: Seq[SinkEntry] = Nil
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      try {
+        writeManifestAt(dir, out ++ carried,
+          if (attempt == 0) tag else s"$tag-r$attempt", curBase + 1,
+          cdc, schema = schema, op = op)
+        committed = true
+      } catch {
+        case ShardSinkConflict(_, v) =>
+          attempt += 1
+          val (nv, cur) = resolveBase(dir)
+          val curByFile = cur.map(e => e.file -> e).toMap
+          val inputsIntact =
+            baseEntries.forall(e => curByFile.get(e.file).contains(e))
+          val added = cur.filterNot(e => baseFiles.contains(e.file))
+          // disjointness must be PROVEN per added file; an entry no
+          // dimension can rule out may hold matching rows — abort
+          val disjoint = added.forall(e =>
+            ps.exists(ss => !e.mayContainShard(ss)) ||
+              pd.exists { case (lo, hi) => !e.mayContainDocRange(lo, hi) } ||
+              pp.exists(s => !e.mayContainDocPoints(s)))
+          val ckSame = constraintsAt(dir, nv) == constraintsAt(dir, baseV)
+          val schemaSafe = schema.isEmpty ||
+            manifestSchemaAt(dir, nv) == manifestSchemaAt(dir, baseV)
+          if (!inputsIntact || !disjoint || !ckSame || !schemaSafe || attempt > 20)
+            throw new IllegalStateException(
+              s"ShardSink concurrent-writer conflict at $dir: version $v was " +
+                s"committed while this ${op.getOrElse("DML")} (base version " +
+                s"$baseV) was in flight and " +
+                (if (!inputsIntact) "changed the operation's input files"
+                 else if (!disjoint)
+                   "added files that may match the operation's predicate " +
+                     "(manifest statistics cannot prove them disjoint)"
+                 else if (!ckSame) "changed the table's CHECK constraints"
+                 else if (!schemaSafe) "changed the table schema"
+                 else "kept conflicting through 20 re-base attempts") +
+                "; the operation aborted loudly and the concurrent commit " +
+                "is intact — re-run against the new table state")
+          carried = added
+          curBase = nv
+      }
+    }
+  }
+
 
   /** The committed file entries AS OF a specific manifest version (0 =
     * before any commit). Versions are retained (see [[writeManifestAt]]),
@@ -4653,7 +4746,7 @@ object ShardSink {
     requireForeignLive(dir, base)
     val (entries, obsolete, removed) = cowDrop(dir, base, filters, recordRemoved = cdf)
     val gen = deleteCounter.incrementAndGet()
-    flipFromBase(dir, baseV, entries, s"d$gen",
+    flipDmlRebase(dir, baseV, base, entries, s"d$gen", filters,
       cdc = if (cdf) writeCdcSidecar(dir, s"d$gen", removed) else None,
       op = Some("delete"))
     // physical cleanup AFTER the flip, same as truncate; cloned-in files
@@ -4949,7 +5042,7 @@ object ShardSink {
         }
       }
     }
-    flipFromBase(dir, baseV, entries, s"m$gen", op = Some("delete"))
+    flipDmlRebase(dir, baseV, base, entries, s"m$gen", filters, op = Some("delete"))
     // no physical cleanup: MOR leaves every data file (and superseded
     // vector) in place — prior snapshots keep reading their exact rows
   }
@@ -5205,8 +5298,8 @@ class ShardSinkWrite(
           SinkFs.readLines(new Path(path, e.file)).map(("insert", _)))
         ShardSink.writeCdcSidecar(path, s"o$queryId", removed ++ inserted)
       }
-      ShardSink.flipFromBase(path, baseV, kept ++ finals, s"o$queryId", cdc = cdc,
-        op = Some("replaceWhere"), schema = evolveTo)
+      ShardSink.flipDmlRebase(path, baseV, base, kept ++ finals, s"o$queryId",
+        filters, cdc = cdc, op = Some("replaceWhere"), schema = evolveTo)
       // physical cleanup AFTER the flip, same as DELETE
       ShardSink.deleteOwned(path, obsolete)
     } else {

@@ -1863,6 +1863,61 @@ class ShardSinkSpec extends SparkSpec {
       .option("path", dir).load().count() === 299L)
   }
 
+  test("DML RE-BASES over provably-disjoint concurrent appends; possible matches abort") {
+    import org.apache.spark.sql.sources.{EqualTo, LessThan}
+    val dir = freshDir().getPath
+    def append(lo: Long, hi: Long) =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "600").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    def total: Long = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load().count()
+    append(0, 200) // v1
+    // copy-on-write DELETE doc_id < 100; interloper appends [300, 400) —
+    // every added entry's doc envelope is disjoint from the predicate,
+    // so the serial order (append, then delete) leaves them untouched:
+    // the lost race must re-base, carrying the append verbatim
+    graft.sources.SinkTestAccess.onNextDmlFlip(() => append(300, 400)) // v2
+    graft.sources.SinkTestAccess.cowDelete(dir, Array(LessThan("doc_id", 100L))) // v3
+    assert(ShardSink.currentManifestVersion(dir) === 3L)
+    assert(total === 200L, "100 survivors of the delete + the carried 100")
+    assert(spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load().where(col("doc_id") >= 300L).count() === 100L,
+      "the interleaved append's rows survive the re-based delete")
+    // merge-on-read DELETE of one doc id; a disjoint append re-bases too
+    graft.sources.SinkTestAccess.onNextDmlFlip(() => append(400, 500)) // v4
+    graft.sources.SinkTestAccess.morDeleteWhere(dir, Array(EqualTo("doc_id", 150L))) // v5
+    assert(ShardSink.currentManifestVersion(dir) === 5L)
+    assert(total === 299L)
+    // an interloper whose rows MAY match the predicate aborts loudly:
+    // stats cannot prove [500, 600) disjoint from doc_id >= 550
+    graft.sources.SinkTestAccess.onNextDmlFlip(() => append(500, 600))
+    val e1 = intercept[IllegalStateException](graft.sources.SinkTestAccess.cowDelete(
+      dir, Array(org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 550L))))
+    assert(e1.getMessage.contains("may match"), e1.getMessage)
+    assert(total === 399L, "the aborted delete changed nothing; the append is intact")
+    // an interloper that TOUCHES a base entry (vector growth on a file
+    // the delete kept) aborts: the carried entry would resurrect the row
+    graft.sources.SinkTestAccess.onNextDmlFlip(() =>
+      graft.sources.SinkTestAccess.morDelete(dir, 350L))
+    val e2 = intercept[IllegalStateException](
+      graft.sources.SinkTestAccess.cowDelete(dir, Array(LessThan("doc_id", 120L))))
+    assert(e2.getMessage.contains("changed the operation's input files"), e2.getMessage)
+    assert(total === 398L, "the interloper's vector delete is intact")
+    // a CHECK constraint added mid-flight aborts: rows this commit lands
+    // escaped the ADD-time validation scan
+    graft.sources.SinkTestAccess.onNextDmlFlip(() =>
+      graft.sources.SinkTestAccess.addConstraint(dir, "pos", "doc_id >= 0"))
+    val e3 = intercept[IllegalStateException](graft.sources.SinkTestAccess.cowDelete(
+      dir, Array(LessThan("doc_id", 120L))))
+    assert(e3.getMessage.contains("CHECK constraints"), e3.getMessage)
+    // and with no interloper the same delete now succeeds over the new state
+    graft.sources.SinkTestAccess.cowDelete(dir, Array(LessThan("doc_id", 120L)))
+    assert(total === 378L)
+  }
+
   test("optimistic concurrency: a stale flip is GUARANTEED to collide (pin-at-read protocol)") {
     val dir = freshDir().getPath
     def append(lo: Long, hi: Long) =

@@ -53,6 +53,19 @@ object SinkTestAccess {
   def onNextCompactPublish(f: () => Unit): Unit =
     ShardSink.compactBarrier.set(f)
 
+  /** One-shot interleave for the DML re-base specs: `f` runs inside the
+    * next copy-on-write/merge-on-read DML, after its rewrites/vectors
+    * were computed but before the manifest flip.
+    */
+  def onNextDmlFlip(f: () => Unit): Unit =
+    ShardSink.dmlBarrier.set(f)
+
+  def cowDelete(dir: String, filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    ShardSink.deleteWhereImpl(dir, filters)
+
+  def morDeleteWhere(dir: String, filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    ShardSink.morDeleteImpl(dir, filters)
+
   def manifestListCount: Long = ShardSink.manifestListCount.get()
 
   def exactDoc(f: org.apache.spark.sql.sources.Filter): Boolean =
