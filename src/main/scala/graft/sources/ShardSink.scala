@@ -5776,12 +5776,16 @@ case class ShardSinkChangeReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case s: ShardSinkChangeSidecar =>
+        // counted like data reads: the MV spec proves refresh IO is
+        // O(changed files), and change partitions are that IO
+        ShardSink.dataFileReadCount.incrementAndGet()
         val rows = SinkFs.readLines(new org.apache.hadoop.fs.Path(s.file)).map { l =>
           val cut = l.indexOf('\t')
           (l.substring(0, cut), l.substring(cut + 1))
         }
         reader(rows.toIndexedSeq, s.version)
       case f: ShardSinkChangeFile =>
+        ShardSink.dataFileReadCount.incrementAndGet()
         val all = SinkFs.readLines(new org.apache.hadoop.fs.Path(f.file))
         val picked = f.only match {
           case Some(ps) => ps.filter(_ < all.size).map(all)

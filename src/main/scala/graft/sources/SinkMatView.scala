@@ -1,0 +1,587 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** INCREMENTALLY-MAINTAINED MATERIALIZED VIEWS over a ShardSink table,
+  * driven by the table's exact change feed — the Delta/Snowflake
+  * "incremental MV refresh" shape (Delta documents the same recipe as a
+  * hand-rolled CDF-apply loop; here it is a first-class primitive).
+  *
+  * An MV is `SELECT <group>, agg1, agg2, … FROM t GROUP BY <group>` for a
+  * declared list of aggregates over integral expressions:
+  * `count` / `sum(e)` / `bit_xor(e)` / `min(e)` / `max(e)`. `create`
+  * computes it once with a FULL distributed scan pinned at the source's
+  * current manifest version; every later `refresh` reads ONLY the change
+  * feed of the commits since the last refresh — `(lastV, currentV]` via
+  * the `changeFeedFrom`/`changeFeedTo` options — and folds the signed
+  * delta into the stored state. Refresh cost is O(changed rows), never
+  * O(table): at the 100 TB design point the nightly rollup of a landing
+  * zone that appended 0.1% re-reads 0.1%.
+  *
+  * Incremental math, per group:
+  *   - count:  n' = n + Σ sign        (sign = +1 insert/update_postimage,
+  *                                            -1 delete/update_preimage)
+  *   - sum:    s' = s + Σ sign·v      (nulls absent on both sides, exactly
+  *                                     SQL's sum-ignores-null)
+  *   - bit_xor: x' = x ⊕ xor(all change values) — xor is its own inverse,
+  *             so inserts add and deletes retract with the SAME fold
+  *   - min/max: inserts extend directly (min(state, posMin)); a DELETE of
+  *             the current extreme is NOT invertible from the aggregate
+  *             alone, so such groups go DIRTY and their extremes are
+  *             recomputed by ONE pruned scan at the target version,
+  *             filtered to the dirty groups (shard-clustered tables prune
+  *             that scan to the dirty groups' files). An update whose
+  *             pre- and post-image carry the same extreme value does NOT
+  *             dirty the group (posMin ≤ negMin ⇒ the floor cannot rise).
+  *
+  * State is a versioned blob in the MV's own directory: `_mv.v<N>.json`,
+  * flipped with the SAME fresh-name election the table's manifest commit
+  * uses ([[SinkFs.moveFresh]]) — a crash mid-refresh leaves the previous
+  * state intact and a lost race re-reads and retries (idempotent: the
+  * delta is re-derived from the immutable commit log). State size is
+  * O(|groups|) — the MV's own result cardinality, small by definition for
+  * a reporting rollup; the per-refresh `collect()` is the same bounded
+  * control-plane shape as the table's 1-row agg heads.
+  *
+  * Exactness inherits the change feed's contract: merge-on-read DML and
+  * appends derive exactly from the manifest diff; copy-on-write DML needs
+  * `cdf.enabled` on the table (a refresh over a non-derivable commit
+  * fails loudly, never silently drifts). All aggregate expressions are
+  * cast to BIGINT — integer math only, no float drift under the oracle's
+  * hash gate.
+  */
+object SinkMatView {
+
+  /** One declared aggregate: result column `name`, `kind` ∈
+    * count|sum|xor|min|max, `e` a Spark-SQL expression over the table's
+    * columns (ignored for count). Expressions must be deterministic and
+    * integral-valued (they are cast to BIGINT).
+    */
+  final case class MvAgg(name: String, kind: String, e: String = "")
+
+  final case class RefreshStats(
+      fromV: Long, toV: Long, changeRows: Long, dirtyGroups: Long,
+      mvVersion: Long, applied: Boolean)
+
+  private val Kinds = Set("count", "sum", "xor", "min", "max")
+  private val StateV = """_mv\.v(\d+)\.json""".r
+
+  // ---- state model -------------------------------------------------------
+
+  /** `rows`: group-value (serialized) → one Option[Long] per agg (None =
+    * SQL NULL, e.g. sum/min over an all-null expression).
+    */
+  private final case class MvState(
+      src: String, group: String, gtype: String, srcV: Long,
+      aggs: Seq[MvAgg], rows: Map[String, Array[Option[Long]]])
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '%' => "%25"
+      case '\t' => "%09"
+      case '\n' => "%0A"
+      case c => c.toString
+    }
+  private def unescape(s: String): String =
+    s.replace("%09", "\t").replace("%0A", "\n").replace("%25", "%")
+
+  private def headerJson(st: MvState): String = {
+    val aggs = st.aggs
+      .map(a => s"""{"n":"${a.name}","k":"${a.kind}","e":"${a.e}"}""")
+      .mkString("[", ",", "]")
+    s"""{"src":"${st.src}","group":"${st.group}","gtype":"${st.gtype}",""" +
+      s""""srcV":${st.srcV},"aggs":$aggs}"""
+  }
+
+  private val HeaderRe =
+    ("""\{"src":"([^"]*)","group":"([^"]*)","gtype":"([^"]*)",""" +
+      """"srcV":(\d+),"aggs":\[(.*)\]\}""").r
+  private val AggRe = """\{"n":"([^"]*)","k":"([^"]*)","e":"([^"]*)"\}""".r
+
+  private def cell(v: Option[Long]): String = v.map(_.toString).getOrElse("")
+  private def uncell(s: String): Option[Long] =
+    if (s.isEmpty) None else Some(s.toLong)
+
+  private def writeState(mvDir: String, version: Long, st: MvState): Unit = {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(mvDir, s"_mv.tmp-$nonce")
+    val w = SinkFs.create(tmp)
+    try {
+      w.write(headerJson(st)); w.write("\n")
+      // deterministic row order: the blob's bytes are a function of the
+      // state, not of HashMap iteration — diffable, digest-stable
+      st.rows.toSeq.sortBy(_._1).foreach { case (g, vs) =>
+        w.write((escape(g) +: vs.map(cell)).mkString("\t")); w.write("\n")
+      }
+    } finally w.close()
+    val dest = new Path(mvDir, s"_mv.v$version.json")
+    try SinkFs.moveFresh(tmp, dest)
+    catch {
+      case e: IllegalArgumentException =>
+        SinkFs.delete(tmp)
+        throw MvConflict(mvDir, version, e.getMessage)
+    }
+  }
+
+  final case class MvConflict(mvDir: String, version: Long, msg: String)
+    extends RuntimeException(
+      s"concurrent MV refresh lost the flip to _mv.v$version.json at $mvDir: $msg")
+
+  /** Highest committed state version, 0 when the MV does not exist. The
+    * MV directory is tiny (one blob per refresh) — a listing is fine.
+    */
+  def currentVersion(mvDir: String): Long =
+    SinkFs.listFileNames(new Path(mvDir)).collect {
+      case StateV(n) => n.toLong
+    }.foldLeft(0L)(math.max)
+
+  private def readState(mvDir: String): MvState = {
+    val v = currentVersion(mvDir)
+    require(v > 0L, s"no materialized view at $mvDir (create it first)")
+    readStateAt(mvDir, v)
+  }
+
+  private def readStateAt(mvDir: String, v: Long): MvState = {
+    val lines = SinkFs.readLines(new Path(mvDir, s"_mv.v$v.json"))
+    val (src, group, gtype, srcV, aggs) = lines.head match {
+      case HeaderRe(s, g, t, sv, as) =>
+        val parsed = AggRe.findAllMatchIn(as)
+          .map(m => MvAgg(m.group(1), m.group(2), m.group(3))).toSeq
+        (s, g, t, sv.toLong, parsed)
+      case other => sys.error(s"unparseable MV state header at $mvDir: $other")
+    }
+    val rows = lines.tail.map { l =>
+      val cs = l.split("\t", -1)
+      require(cs.length == aggs.length + 1, s"torn MV state row at $mvDir: $l")
+      unescape(cs.head) -> cs.tail.map(uncell)
+    }.toMap
+    MvState(src, group, gtype, srcV, aggs, rows)
+  }
+
+  /** Source-version watermark of the MV's current state — what the MV
+    * provably reflects (reads at or before this version agree with a
+    * full recompute there).
+    */
+  def lastSourceVersion(mvDir: String): Long = readState(mvDir).srcV
+
+  // ---- plumbing ----------------------------------------------------------
+
+  private def srcAt(spark: SparkSession, srcDir: String, v: Long): DataFrame =
+    spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", srcDir).option("versionAsOf", v).load()
+
+  private def changes(
+      spark: SparkSession, srcDir: String, fromV: Long, toV: Long): DataFrame =
+    spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", srcDir).option("readChangeFeed", "true")
+      .option("changeFeedFrom", fromV).option("changeFeedTo", toV).load()
+
+  private def gtypeOf(dt: DataType): String = dt match {
+    case IntegerType => "int"
+    case LongType => "long"
+    case StringType => "string"
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported MV group column type $other (int/long/string)")
+  }
+  private def gvalue(gtype: String, s: String): Any = gtype match {
+    case "int" => s.toInt
+    case "long" => s.toLong
+    case _ => s
+  }
+  private def gdt(gtype: String): DataType = gtype match {
+    case "int" => IntegerType
+    case "long" => LongType
+    case _ => StringType
+  }
+
+  private def aggColumn(a: MvAgg): org.apache.spark.sql.Column = a.kind match {
+    case "count" => count(lit(1)).as(a.name)
+    case "sum" => sum(expr(a.e).cast(LongType)).as(a.name)
+    case "xor" => expr(s"bit_xor(cast((${a.e}) as bigint))").as(a.name)
+    case "min" => min(expr(a.e).cast(LongType)).as(a.name)
+    case "max" => max(expr(a.e).cast(LongType)).as(a.name)
+  }
+
+  private def validate(group: String, aggs: Seq[MvAgg]): Unit = {
+    require(aggs.nonEmpty, "an MV needs at least one aggregate")
+    val names = aggs.map(_.name)
+    require(names.distinct.length == names.length, s"duplicate agg names: $names")
+    aggs.foreach { a =>
+      require(Kinds(a.kind), s"unknown MV agg kind '${a.kind}' (${Kinds.mkString("/")})")
+      require(a.name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid agg name '${a.name}'")
+      require(a.kind == "count" || a.e.nonEmpty, s"agg ${a.name}: ${a.kind} needs an expression")
+      require(!a.e.contains("\""), s"agg ${a.name}: expression must not contain '\"'")
+      require(a.name != group, s"agg ${a.name} collides with the group column")
+    }
+  }
+
+  // ---- create ------------------------------------------------------------
+
+  /** Full-scan creation, pinned at the source's CURRENT manifest version
+    * (the scan reads `versionAsOf` that pin, so commits racing the create
+    * are cleanly excluded and picked up by the first refresh). Returns
+    * the pinned source version.
+    */
+  def create(
+      spark: SparkSession, srcDir: String, mvDir: String,
+      group: String, aggs: Seq[MvAgg]): Long = {
+    validate(group, aggs)
+    require(currentVersion(mvDir) == 0L, s"materialized view already exists at $mvDir")
+    val srcV = ShardSink.currentManifestVersion(srcDir)
+    require(srcV > 0L, s"no committed version at $srcDir — create the MV after the first commit")
+    val schema = ShardSink.schemaAtVersion(srcDir, srcV)
+    require(schema.fieldNames.contains(group), s"group column '$group' not in ${schema.fieldNames.mkString(",")}")
+    val gtype = gtypeOf(schema(group).dataType)
+    val full = srcAt(spark, srcDir, srcV)
+      .groupBy(col(group)).agg(aggColumn(aggs.head), aggs.tail.map(aggColumn): _*)
+      .collect() // bounded: the MV's result cardinality
+    val rows = full.map { r =>
+      val g = r.get(0).toString
+      g -> aggs.indices.map(i => if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1))).toArray
+    }.toMap
+    writeState(mvDir, 1L, MvState(srcDir, group, gtype, srcV, aggs, rows))
+    srcV
+  }
+
+  // ---- refresh -----------------------------------------------------------
+
+  /** Incremental refresh to the source's current version. Reads ONLY the
+    * change feed of `(state.srcV, currentV]`; recomputes min/max for the
+    * (usually few) groups whose recorded extreme was removed, via one
+    * scan pruned to those groups. Retries a lost state-flip race by
+    * re-reading (the winner may already have covered the window).
+    */
+  def refresh(spark: SparkSession, srcDir: String): RefreshStats =
+    refresh(spark, srcDir, mvDirOf(srcDir))
+
+  def refresh(spark: SparkSession, srcDir: String, mvDir: String): RefreshStats = {
+    var attempt = 0
+    while (true) {
+      // pin the state version NOW: the flip targets stateV+1, so a
+      // competing refresh that lands first surfaces as MvConflict (and a
+      // re-read shows its coverage) — never a silently regressed
+      // watermark written over a newer state
+      val stateV = currentVersion(mvDir)
+      require(stateV > 0L, s"no materialized view at $mvDir (create it first)")
+      val st = readStateAt(mvDir, stateV)
+      require(st.src == srcDir,
+        s"MV at $mvDir materializes ${st.src}, not $srcDir")
+      val toV = ShardSink.currentManifestVersion(srcDir)
+      if (toV <= st.srcV)
+        return RefreshStats(st.srcV, st.srcV, 0L, 0L, stateV, applied = false)
+      try return refreshOnce(spark, srcDir, mvDir, st, stateV, toV)
+      catch {
+        case _: MvConflict if attempt < 5 => attempt += 1 // re-read, re-derive
+        case c: MvConflict => throw c
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** One-shot interleave for the concurrency spec: runs after the delta
+    * is derived but before the state flip — the window a competing
+    * refresh can win (the spec runs a REAL refresh inside it and asserts
+    * the loser retries into a no-op instead of double-applying).
+    */
+  private[sources] val refreshBarrier =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](null)
+
+  /** Default MV location: a sibling directory — keeps the MV's blobs out
+    * of the table directory (whose listings and vacuum sweeps must stay
+    * table-only).
+    */
+  def mvDirOf(srcDir: String): String = srcDir.stripSuffix("/") + ".mv"
+
+  private def refreshOnce(
+      spark: SparkSession, srcDir: String, mvDir: String,
+      st: MvState, stateV: Long, toV: Long): RefreshStats = {
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    // the delta is read ONCE from disk and cached: the row-grain fold and
+    // each extreme's value-grain fold are separate aggregations over it
+    val ch = changes(spark, srcDir, st.srcV, toV).persist()
+    try refreshFolds(spark, srcDir, mvDir, st, stateV, toV, ch, sign)
+    finally { ch.unpersist(); () }
+  }
+
+  private def refreshFolds(
+      spark: SparkSession, srcDir: String, mvDir: String,
+      st: MvState, stateV: Long, toV: Long,
+      ch: DataFrame, sign: org.apache.spark.sql.Column): RefreshStats = {
+    // row-grain pass: count/sum/xor are LINEAR — every change row folds
+    // independently of any other
+    val deltaCols = st.aggs.zipWithIndex.flatMap { case (a, i) =>
+      a.kind match {
+        case "count" => Seq(sum(sign).as(s"d$i"))
+        case "sum" => Seq(sum(sign * expr(a.e).cast(LongType)).as(s"d$i"))
+        case "xor" => Seq(expr(s"bit_xor(cast((${a.e}) as bigint))").as(s"d$i"))
+        case _ => Seq.empty // extremes fold at value grain below
+      }
+    }
+    val countIdx = st.aggs.indexWhere(_.kind == "count")
+    val deltaRows = ch
+      .groupBy(col(st.group))
+      .agg(sum(sign).as("_dn"), count(lit(1)).as("_rows") +: deltaCols: _*)
+      .collect() // bounded: groups TOUCHED by the window, ≤ MV cardinality
+    // value-grain pass, one per distinct extreme expression: net(g, v) =
+    // Σ sign over rows with that value — an in-window insert+delete of
+    // the same value (and an in-place update's pre/post pair) cancels to
+    // net 0 and VANISHES, so `pos` (net additions) are values that
+    // genuinely survive the window and `neg` (net removals) genuinely
+    // left. That makes the extreme fold exact where row-grain min/max
+    // candidates could not distinguish "inserted then deleted" from
+    // "inserted and kept".
+    val extremeExprs = st.aggs.filter(a => a.kind == "min" || a.kind == "max")
+      .map(_.e).distinct
+    // expr → group key → (posMin, posMax, negMin, negMax)
+    val extremes: Map[String, Map[String, (Option[Long], Option[Long], Option[Long], Option[Long])]] =
+      extremeExprs.map { e =>
+        val per = ch
+          .groupBy(col(st.group), expr(e).cast(LongType).as("_mv_v"))
+          .agg(sum(sign).as("_mv_net"))
+          .groupBy(col(st.group))
+          .agg(
+            min(when(col("_mv_net") > 0L, col("_mv_v"))).as("_pos_min"),
+            max(when(col("_mv_net") > 0L, col("_mv_v"))).as("_pos_max"),
+            min(when(col("_mv_net") < 0L, col("_mv_v"))).as("_neg_min"),
+            max(when(col("_mv_net") < 0L, col("_mv_v"))).as("_neg_max"))
+          .collect()
+        def opt(r: Row, c: String): Option[Long] =
+          if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+        e -> per.map(r => r.get(0).toString ->
+          (opt(r, "_pos_min"), opt(r, "_pos_max"), opt(r, "_neg_min"), opt(r, "_neg_max"))).toMap
+      }.toMap
+    var changeRows = 0L
+    val merged = scala.collection.mutable.Map[String, Array[Option[Long]]]()
+    st.rows.foreach { case (g, vs) => merged(g) = vs.clone() }
+    // groups whose min/max can no longer be derived incrementally → one
+    // pruned recompute scan below; (groupKey → set of dirty agg indices)
+    val dirty = scala.collection.mutable.Map[String, Set[Int]]()
+    deltaRows.foreach { r =>
+      val g = r.get(0).toString
+      changeRows += r.getAs[Long]("_rows")
+      val dn = r.getAs[Long]("_dn")
+      val had = merged.contains(g)
+      val state = merged.getOrElseUpdate(g, Array.fill(st.aggs.length)(None))
+      val oldN = if (countIdx >= 0 && had) state(countIdx).getOrElse(0L) else -1L
+      st.aggs.zipWithIndex.foreach { case (a, i) =>
+        def opt(c: String): Option[Long] =
+          if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+        a.kind match {
+          case "count" =>
+            state(i) = Some(state(i).getOrElse(0L) + dn)
+          case "sum" =>
+            val d = opt(s"d$i")
+            state(i) = (state(i), d) match {
+              case (None, None) => None
+              case (s0, d0) => Some(s0.getOrElse(0L) + d0.getOrElse(0L))
+            }
+          case "xor" =>
+            val d = opt(s"d$i")
+            state(i) = (state(i), d) match {
+              case (None, None) => None
+              case (s0, d0) => Some(s0.getOrElse(0L) ^ d0.getOrElse(0L))
+            }
+          case "min" | "max" =>
+            val (pMin, pMax, nMin, nMax) =
+              extremes(a.e).getOrElse(g, (None, None, None, None))
+            val (pos, neg) =
+              if (a.kind == "min") (pMin, nMin) else (pMax, nMax)
+            state(i) = foldExtreme(state(i), pos, neg, had, g, i, dirty,
+              isMin = a.kind == "min")
+        }
+      }
+      // sanity of the signed fold: a group that existed and whose count
+      // reaches zero has had every row retracted — it leaves the view
+      val newN = if (countIdx >= 0) state(countIdx).getOrElse(0L) else 1L
+      if (countIdx >= 0 && newN == 0L) { merged.remove(g); dirty.remove(g) }
+      else if (countIdx >= 0) require(newN > 0L,
+        s"MV fold drove group '$g' count negative ($oldN -> $newN): change feed incomplete?")
+    }
+    // recompute extremes for dirty surviving groups with ONE scan pruned
+    // to exactly those groups (shard-clustered files make this cheap)
+    val dirtyKeys = dirty.keys.toSeq.sorted
+    if (dirtyKeys.nonEmpty) {
+      val dirtyAggIdx = dirty.values.flatten.toSet.toSeq.sorted
+      val aggsToFix = dirtyAggIdx.map(i => aggColumn(st.aggs(i)))
+      val fixed = srcAt(spark, srcDir, toV)
+        .where(col(st.group).isin(dirtyKeys.map(gvalue(st.gtype, _)): _*))
+        .groupBy(col(st.group))
+        .agg(aggsToFix.head, aggsToFix.tail: _*)
+        .collect() // bounded: |dirty groups|
+      fixed.foreach { r =>
+        val g = r.get(0).toString
+        val state = merged(g)
+        dirtyAggIdx.zipWithIndex.foreach { case (ai, k) =>
+          if (dirty(g).contains(ai))
+            state(ai) = if (r.isNullAt(k + 1)) None else Some(r.getLong(k + 1))
+        }
+      }
+    }
+    val barrier = refreshBarrier.getAndSet(null)
+    if (barrier != null) barrier()
+    val next = stateV + 1L
+    writeState(mvDir, next,
+      st.copy(srcV = toV, rows = merged.toMap))
+    RefreshStats(st.srcV, toV, changeRows, dirtyKeys.length.toLong, next, applied = true)
+  }
+
+  /** The extreme-fold decision table over NET-grain window extremes
+    * (`pos` = best net-ADDED value, `neg` = best net-REMOVED value; an
+    * in-window insert+delete of the same value — including an in-place
+    * update's pre/post pair — nets to zero and appears in neither).
+    * Min shown; max is the mirror:
+    *   - group unseen by the state: every surviving row is a net
+    *     addition, so `pos` IS the extreme — exact, never dirty
+    *   - no net removal → the floor can only fall: min(state, pos)
+    *   - net removal strictly ABOVE the recorded floor → the recorded
+    *     row's value survives: min(state, pos) stays exact
+    *   - net removal AT/BELOW the recorded floor, but a net addition at
+    *     or below the removed value (`pos ≤ neg`) establishes the new
+    *     exact floor: pos ≤ neg ≤ state and everything else ≥ state →
+    *     min = pos
+    *   - otherwise the true floor is unknowable from aggregates alone
+    *     (the removed value may or may not have had surviving twins) →
+    *     DIRTY, recomputed by the pruned per-group scan
+    */
+  private def foldExtreme(
+      state: Option[Long], pos: Option[Long], neg: Option[Long],
+      had: Boolean, g: String, i: Int,
+      dirty: scala.collection.mutable.Map[String, Set[Int]],
+      isMin: Boolean): Option[Long] = {
+    def better(a: Long, b: Long): Long = if (isMin) math.min(a, b) else math.max(a, b)
+    def touches(s: Long, n: Long): Boolean = if (isMin) n <= s else n >= s
+    def covers(p: Long, n: Long): Boolean = if (isMin) p <= n else p >= n
+    val clean: Option[Long] = (state, pos) match {
+      case (Some(s), Some(p)) => Some(better(s, p))
+      case (Some(s), None) => Some(s)
+      case (None, p) => p
+    }
+    val isDirty =
+      if (!had) false // window-local group: pos is exact by construction
+      else (state, neg) match {
+        case (Some(s), Some(n)) if touches(s, n) =>
+          !pos.exists(p => covers(p, n)) // a net addition re-covers the floor?
+        case (None, Some(_)) => true // extreme unknown (all-null state), rows retracted
+        case _ => false
+      }
+    if (isDirty) { dirty(g) = dirty.getOrElse(g, Set.empty) + i; state }
+    else clean
+  }
+
+  // ---- read --------------------------------------------------------------
+
+  /** The MV contents as a DataFrame: `(group, agg1, agg2, …)`. Reads the
+    * state blob only — NEVER the source table; this is the whole point.
+    * `asOf` time-travels the MV itself (state versions are retained like
+    * manifest versions).
+    */
+  def read(spark: SparkSession, mvDir: String, asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.getOrElse(currentVersion(mvDir))
+    require(v > 0L, s"no materialized view at $mvDir")
+    val st = readStateAt(mvDir, v)
+    val schema = StructType(
+      StructField(st.group, gdt(st.gtype), nullable = false) +:
+        st.aggs.map(a => StructField(a.name, LongType, nullable = true)))
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    st.rows.toSeq.sortBy(_._1).foreach { case (g, vs) =>
+      rows.add(Row.fromSeq(gvalue(st.gtype, g) +: vs.map(_.map(Long.box).orNull).toSeq))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // ---- driver-checked query ----------------------------------------------
+
+  /** Driver-checked INCREMENTAL MV REFRESH (round 15): create a per-shard
+    * rollup MV (count / sum / xor / min / max of doc_id, sum of body
+    * length) after two ingest commits, then drive the source through an
+    * in-place UPDATE (pre/post images; min/max must NOT dirty — the
+    * fast-path), a tail DELETE (every shard's recorded max removed → the
+    * pruned dirty-recompute path), a whole-shard DELETE (group-drop), and
+    * a late APPEND (direct extreme extension + group resurrection) — one
+    * incremental refresh after each. The final result is the MV state
+    * crossed with the refresh bookkeeping (refresh count, change rows
+    * consumed, dirty recomputes, MV/source versions), every cell
+    * re-derived by DuckDB from the same windows — so the INCREMENTAL fold
+    * equals the full recompute under the hash gate, not just row counts.
+    */
+  def mvRefreshReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mv:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmv_$sfx")
+    SinkFs.deleteRecursively(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_mv", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mv.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mv.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mv.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mv.cdf.enabled", "true")
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2400").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .writeTo("graft_mv.docs_mv").append()
+    val dir = new java.io.File(root, "docs_mv").getPath
+    val mvDir = mvDirOf(dir)
+    append(0L, 800L) // v1
+    append(800L, 2000L) // v2
+    create(s, dir, mvDir, "shard", Seq(
+      MvAgg("n_docs", "count"),
+      MvAgg("sum_ids", "sum", "doc_id"),
+      MvAgg("xor_ids", "xor", "doc_id"),
+      MvAgg("min_doc", "min", "doc_id"),
+      MvAgg("max_doc", "max", "doc_id"),
+      MvAgg("sum_len", "sum", "length(body)")))
+    // v3: in-place update (600 change rows, 0 dirty — doc_id unchanged)
+    s.sql("UPDATE graft_mv.docs_mv SET body = concat(body, '!') WHERE doc_id < 300")
+    val r1 = refresh(s, dir, mvDir)
+    // v4: tail delete (500 rows) — every shard's max is in [1500,2000) → 16 dirty
+    s.sql("DELETE FROM graft_mv.docs_mv WHERE doc_id >= 1500")
+    val r2 = refresh(s, dir, mvDir)
+    // v5: whole-shard delete — shard 3 empties and leaves the view
+    s.sql("DELETE FROM graft_mv.docs_mv WHERE shard = 3")
+    val r3 = refresh(s, dir, mvDir)
+    // v6: late append — maxes extend in-place, shard 3 resurrects
+    append(2000L, 2400L)
+    val r4 = refresh(s, dir, mvDir)
+    val stats = Seq(r1, r2, r3, r4)
+    read(s, mvDir)
+      .withColumn("n_refreshes", lit(stats.count(_.applied).toLong))
+      .withColumn("change_rows", lit(stats.map(_.changeRows).sum))
+      .withColumn("dirty_groups", lit(stats.map(_.dirtyGroups).sum))
+      .withColumn("mv_version", lit(currentVersion(mvDir)))
+      .withColumn("src_version", lit(lastSourceVersion(mvDir)))
+      .orderBy("shard")
+  }
+
+  /** DuckDB re-derivation: the final live set is
+    * `(doc_id < 1500 AND shard <> 3) OR doc_id >= 2000` with bodies
+    * `md5(id) || '!'` below 300 — the MV per-shard rollup over exactly
+    * that, plus the lifecycle constants (4 refreshes; 600+500+94+400
+    * change rows — 94 = |{id < 1500 : id ≡ 3 (mod 16)}|; 16 dirty
+    * max-recomputes from the tail delete; MV v5 = create + 4 refreshes;
+    * source v6).
+    */
+  val mvRefreshReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |         CAST(CASE WHEN doc_id < 300 THEN 33 ELSE 32 END AS BIGINT) AS blen
+      |  FROM range(0, 2400) t(doc_id)
+      |  WHERE (doc_id < 1500 AND doc_id % 16 <> 3) OR doc_id >= 2000)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+      |       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+      |       CAST(SUM(blen) AS BIGINT) AS sum_len,
+      |       CAST(4 AS BIGINT) AS n_refreshes,
+      |       CAST(1594 AS BIGINT) AS change_rows,
+      |       CAST(16 AS BIGINT) AS dirty_groups,
+      |       CAST(5 AS BIGINT) AS mv_version,
+      |       CAST(6 AS BIGINT) AS src_version
+      |FROM g GROUP BY shard ORDER BY shard""".stripMargin
+}

@@ -1,0 +1,211 @@
+package graft
+
+import graft.sources.{ShardSink, SinkMatView, SinkTestAccess}
+import graft.sources.SinkMatView.MvAgg
+import org.apache.spark.sql.functions._
+
+/** Round-15 INCREMENTAL MATERIALIZED VIEWS ([[SinkMatView]]): the refresh
+  * must be O(changed files) — proven with the read counter, not claimed —
+  * exact against a full recompute through mixed DML, crash-safe at the
+  * state flip, and race-safe under concurrent refreshes. The end-to-end
+  * lifecycle (update fast-path, pruned dirty recompute, group drop and
+  * resurrection) additionally sits under the driver's hash gate as
+  * `q_dsv2_mv_refresh`.
+  */
+class SinkMatViewSpec extends SparkSpec {
+
+  private def freshDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    new java.io.File(d, "t").getPath
+  }
+
+  private def append(dir: String, lo: Long, hi: Long, n: Int = 1600): Unit =
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", n.toString).option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+
+  private def sourceRollup(dir: String): Set[(Int, Long, Long, Long, Long)] =
+    spark.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("s"),
+        min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+  private def mvRollup(mvDir: String): Set[(Int, Long, Long, Long, Long)] =
+    SinkMatView.read(spark, mvDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+  private val rollupAggs = Seq(
+    MvAgg("n", "count"), MvAgg("s", "sum", "doc_id"),
+    MvAgg("lo", "min", "doc_id"), MvAgg("hi", "max", "doc_id"))
+
+  private def entryCount(dir: String): Int = SinkTestAccess.resolveBase(dir)._2.length
+
+  test("refresh IO is O(changed files): an insert-only refresh opens exactly the new commit") {
+    val dir = freshDir("mv_inc")
+    val mvDir = SinkMatView.mvDirOf(dir)
+    append(dir, 0L, 1600L) // v1
+    SinkMatView.create(spark, dir, mvDir, "shard", rollupAggs)
+    val filesBefore = entryCount(dir)
+    append(dir, 1600L, 1700L, n = 1700) // v2: the delta
+    val newFiles = entryCount(dir) - filesBefore
+    assert(newFiles >= 1)
+    val c0 = ShardSink.dataFileReadCount.get()
+    val stats = SinkMatView.refresh(spark, dir, mvDir)
+    val opened = ShardSink.dataFileReadCount.get() - c0
+    assert(stats.applied && stats.fromV === 1L && stats.toV === 2L)
+    // new maxes extend in-place (1600.. sits above every recorded hi):
+    // no dirty recompute, so the ONLY data IO is the new commit's files
+    assert(stats.dirtyGroups === 0L)
+    assert(opened === newFiles.toLong,
+      s"refresh opened $opened files; the delta commit has $newFiles (census ${entryCount(dir)})")
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+  }
+
+  test("incremental fold equals full recompute through appends, deletes, drop and resurrection") {
+    val dir = freshDir("mv_full")
+    val mvDir = SinkMatView.mvDirOf(dir)
+    append(dir, 0L, 800L) // v1
+    SinkMatView.create(spark, dir, mvDir, "shard", rollupAggs)
+    append(dir, 800L, 1600L) // v2
+    SinkTestAccess.morDeleteWhere(dir,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 1200L))) // v3
+    SinkMatView.refresh(spark, dir, mvDir)
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+    // drop shard 7 entirely, refresh: the group must LEAVE the view
+    SinkTestAccess.morDeleteWhere(dir,
+      Array(org.apache.spark.sql.sources.EqualTo("shard", 7))) // v4
+    SinkMatView.refresh(spark, dir, mvDir)
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+    assert(!mvRollup(mvDir).exists(_._1 == 7))
+    // resurrect it with a late append
+    append(dir, 1600L, 1640L, n = 1700) // v5
+    SinkMatView.refresh(spark, dir, mvDir)
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+    assert(mvRollup(mvDir).exists(_._1 == 7))
+    assert(SinkMatView.lastSourceVersion(mvDir) === 5L)
+  }
+
+  test("dirty extreme recompute is pruned to the dirty group's files") {
+    val dir = freshDir("mv_dirty")
+    val mvDir = SinkMatView.mvDirOf(dir)
+    append(dir, 0L, 1600L) // v1
+    ShardSink.compact(dir) // v2: shard-pure files — the pruning substrate
+    val census = entryCount(dir)
+    assert(census >= 16, s"expected one file per shard, got $census")
+    SinkMatView.create(spark, dir, mvDir, "shard", rollupAggs)
+    // remove shard 5's recorded max (1589 = largest id ≡ 5 mod 16 < 1600):
+    // the extreme is no longer derivable → ONE group recomputes
+    SinkTestAccess.morDeleteWhere(dir,
+      Array(org.apache.spark.sql.sources.EqualTo("doc_id", 1589L))) // v3
+    val c0 = ShardSink.dataFileReadCount.get()
+    val stats = SinkMatView.refresh(spark, dir, mvDir)
+    val opened = ShardSink.dataFileReadCount.get() - c0
+    assert(stats.dirtyGroups === 1L)
+    // IO = the delete's one change partition + the recompute scan pruned
+    // to shard 5's single compacted file — never the census
+    assert(opened <= 3L, s"dirty recompute opened $opened files (census $census)")
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+    assert(mvRollup(mvDir).find(_._1 == 5).get._5 === 1573L)
+  }
+
+  test("no-op refresh performs zero data IO") {
+    val dir = freshDir("mv_noop")
+    val mvDir = SinkMatView.mvDirOf(dir)
+    append(dir, 0L, 200L, n = 200)
+    SinkMatView.create(spark, dir, mvDir, "shard", rollupAggs)
+    val v = SinkMatView.currentVersion(mvDir)
+    val c0 = ShardSink.dataFileReadCount.get()
+    val stats = SinkMatView.refresh(spark, dir, mvDir)
+    assert(!stats.applied && stats.changeRows === 0L)
+    assert(ShardSink.dataFileReadCount.get() === c0)
+    assert(SinkMatView.currentVersion(mvDir) === v)
+  }
+
+  test("crash at the state flip: previous state intact, retry converges") {
+    val dir = freshDir("mv_crash")
+    val local = java.nio.file.Files.createTempDirectory("mv_crash_state").toString
+    val mvDir = "faultfs://" + local
+    append(dir, 0L, 400L, n = 400)
+    SinkMatView.create(spark, dir, mvDir, "shard", rollupAggs)
+    append(dir, 400L, 500L, n = 500)
+    // crash 1: the state BODY write dies mid-create
+    FaultFs.failCreateContaining.set("_mv.tmp")
+    try intercept[Exception](SinkMatView.refresh(spark, dir, mvDir))
+    finally FaultFs.failCreateContaining.set(null)
+    assert(SinkMatView.currentVersion(mvDir) === 1L)
+    assert(SinkMatView.lastSourceVersion(mvDir) === 1L)
+    // crash 2: the body wrote, the flip rename dies
+    FaultFs.failRenameTo.set("_mv.v2.json")
+    try intercept[Exception](SinkMatView.refresh(spark, dir, mvDir))
+    finally FaultFs.failRenameTo.set(null)
+    assert(SinkMatView.currentVersion(mvDir) === 1L)
+    assert(SinkMatView.lastSourceVersion(mvDir) === 1L)
+    // both windows re-derive from the immutable commit log: retry is exact
+    val stats = SinkMatView.refresh(spark, dir, mvDir)
+    assert(stats.applied && SinkMatView.currentVersion(mvDir) === 2L)
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+  }
+
+  test("concurrent refresh: the loser retries into a no-op, never a double-apply") {
+    val dir = freshDir("mv_race")
+    val mvDir = SinkMatView.mvDirOf(dir)
+    append(dir, 0L, 400L, n = 400)
+    SinkMatView.create(spark, dir, mvDir, "shard", rollupAggs)
+    append(dir, 400L, 500L, n = 500)
+    // a REAL competing refresh lands inside the loser's read→flip window
+    var innerApplied = false
+    SinkTestAccess.onNextMvFlip(() => {
+      innerApplied = SinkMatView.refresh(spark, dir, mvDir).applied
+    })
+    val outer = SinkMatView.refresh(spark, dir, mvDir)
+    assert(innerApplied, "the interposed refresh must win")
+    assert(!outer.applied, "the loser must observe coverage and no-op")
+    assert(SinkMatView.currentVersion(mvDir) === 2L)
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+  }
+
+  test("copy-on-write DML without cdf.enabled fails the refresh loudly") {
+    val dir = freshDir("mv_cow")
+    val mvDir = SinkMatView.mvDirOf(dir)
+    append(dir, 0L, 400L, n = 400)
+    SinkMatView.create(spark, dir, mvDir, "shard", rollupAggs)
+    SinkTestAccess.cowDelete(dir,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 300L)))
+    val e = intercept[Exception](SinkMatView.refresh(spark, dir, mvDir))
+    assert(e.getMessage.contains("change feed") || e.getMessage.contains("change record"),
+      s"expected the named CDF-gap error, got: ${e.getMessage}")
+    // the MV stays at its last consistent watermark
+    assert(SinkMatView.lastSourceVersion(mvDir) === 1L)
+  }
+
+  test("definition validation and misuse are rejected up front") {
+    val dir = freshDir("mv_valid")
+    val mvDir = SinkMatView.mvDirOf(dir)
+    append(dir, 0L, 100L, n = 100)
+    intercept[IllegalArgumentException](
+      SinkMatView.create(spark, dir, mvDir, "shard", Seq.empty))
+    intercept[IllegalArgumentException](
+      SinkMatView.create(spark, dir, mvDir, "shard",
+        Seq(MvAgg("n", "count"), MvAgg("n", "sum", "doc_id"))))
+    intercept[IllegalArgumentException](
+      SinkMatView.create(spark, dir, mvDir, "shard", Seq(MvAgg("m", "median", "doc_id"))))
+    intercept[IllegalArgumentException](
+      SinkMatView.create(spark, dir, mvDir, "shard", Seq(MvAgg("s", "sum"))))
+    intercept[IllegalArgumentException](
+      SinkMatView.create(spark, dir, mvDir, "no_such_col", Seq(MvAgg("n", "count"))))
+    SinkMatView.create(spark, dir, mvDir, "shard", Seq(MvAgg("n", "count")))
+    intercept[IllegalArgumentException](
+      SinkMatView.create(spark, dir, mvDir, "shard", Seq(MvAgg("n", "count"))))
+    val other = freshDir("mv_valid_other")
+    append(other, 0L, 50L, n = 50)
+    intercept[IllegalArgumentException](
+      SinkMatView.refresh(spark, other, mvDir)) // MV materializes `dir`
+  }
+}

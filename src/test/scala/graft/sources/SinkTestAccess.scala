@@ -76,4 +76,9 @@ object SinkTestAccess {
 
   def rowPredicate(fs: Array[org.apache.spark.sql.sources.Filter])
       : Option[(Long, Int) => Boolean] = ShardSink.deletePredicate(fs)
+
+  /** One-shot interleave for the MV concurrency spec: `f` runs inside the
+    * next refresh, after its delta is derived but before the state flip.
+    */
+  def onNextMvFlip(f: () => Unit): Unit = SinkMatView.refreshBarrier.set(f)
 }
