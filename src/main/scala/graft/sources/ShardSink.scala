@@ -360,6 +360,10 @@ class ShardSinkTable(
       private var prune: Option[Set[Int]] = None
       private var pruneDocs: Option[(Long, Long)] = None
       private var prunePoints: Option[Set[Long]] = None
+      // generic per-column envelope predicates ([[SinkColStats]]) — file
+      // skipping on ANY eligible payload column; always residual (a kept
+      // file may still hold non-matching rows), never consumption-eligible
+      private var pruneColPreds: Seq[SinkColStats.ColPred] = Nil
       private var used: Array[Filter] = Array.empty
       private var sawFilters = false
       // FILE-EXACT FILTER CONSUMPTION (round 15): when every pushed
@@ -400,8 +404,10 @@ class ShardSinkTable(
         prune = ShardSink.shardPruneSet(filters)
         pruneDocs = ShardSink.docPruneRange(filters)
         prunePoints = ShardSink.docPointSet(filters)
+        pruneColPreds = SinkColStats.predsOf(filters, table)
         used = filters.filter(f =>
-          ShardSink.oneShardSet(f).isDefined || ShardSink.oneDocInterval(f).isDefined)
+          ShardSink.oneShardSet(f).isDefined || ShardSink.oneDocInterval(f).isDefined ||
+            SinkColStats.predsOf(Array(f), table).nonEmpty)
         // consumption eligibility: every filter understood EXACTLY —
         // shard filters are exact by construction (value sets, not
         // hulls), doc filters only in the convex class (review fix:
@@ -552,7 +558,8 @@ class ShardSinkTable(
           new ShardSinkCountScan(path, pinnedV, specs, prune, pruneDocs,
             prunePoints = prunePoints, groupByShard = g)
         case None =>
-          new ShardSinkScan(path, pinnedV, prune, required, pruneDocs, table, prunePoints)
+          new ShardSinkScan(path, pinnedV, prune, required, pruneDocs, table, prunePoints,
+            pruneColPreds)
       }
     }
   }
@@ -761,7 +768,7 @@ private[sources] object SinkFs {
 case class SinkEntry(
     file: String, rows: Long, shardMin: Int = -1, shardMax: Int = -1,
     dv: String = "", docMin: Long = -1L, docMax: Long = -1L,
-    bf: String = "") {
+    bf: String = "", cs: String = "") {
   def hasStats: Boolean = shardMin >= 0
   def hasDocStats: Boolean = docMax >= 0L
   def hasDeletes: Boolean = dv.nonEmpty
@@ -785,6 +792,15 @@ case class SinkEntry(
     */
   def mayContainDocPoints(points: Set[Long]): Boolean =
     bf.isEmpty || points.exists(v => DocBloom.mayContain(bf, v))
+  /** Per-COLUMN envelope skipping ("cs", round 15 — see [[SinkColStats]]):
+    * a file whose recorded min/max for some predicate column cannot
+    * intersect the pushed predicate is skipped. Absent stats (whole
+    * entry or per column) always read; under delete vectors the recorded
+    * envelope is a live-superset — sound for may-contain, like the
+    * shard range.
+    */
+  def mayMatchCols(preds: Seq[SinkColStats.ColPred]): Boolean =
+    SinkColStats.mayMatch(cs, preds)
 }
 
 object ShardSink {
@@ -2697,6 +2713,10 @@ object ShardSink {
       }
     }
     val gen = compactCounter.incrementAndGet()
+    // rewrites re-derive the per-column envelopes from the surviving
+    // rows (schema pinned at the compaction base — older files simply
+    // have shorter rows, whose missing cells the accumulator skips)
+    val csTable = schemaAtVersion(dir, baseV)
     val newEntries = byShard.toSeq.sortBy(_._1).flatMap { case (shard, rows) =>
       val sorted = rows.sortBy(_._1)
       val chunks =
@@ -2709,13 +2729,15 @@ object ShardSink {
         val tmp = new Path(dir, s"_tmp/$nf")
         val w = SinkFs.create(tmp)
         val bloom = DocBloom.empty()
+        val csAcc = new SinkColStats.LineAcc(csTable)
         try chunk.foreach { case (d, l) =>
-          DocBloom.insert(bloom, d); w.write(l); w.write("\n")
+          DocBloom.insert(bloom, d); csAcc.addLine(l); w.write(l); w.write("\n")
         }
         finally w.close()
         SinkFs.moveOver(tmp, new Path(dir, nf))
         SinkEntry(nf, chunk.size.toLong, shard, shard, "",
-          chunk.head._1, chunk.last._1, bf = DocBloom.encode(bloom))
+          chunk.head._1, chunk.last._1, bf = DocBloom.encode(bloom),
+          cs = csAcc.encode())
       }
     }
     // priorEntries = the FULL pinned base: the re-base intact check must
@@ -2869,6 +2891,7 @@ object ShardSink {
       z
     }
     val gen = compactCounter.incrementAndGet()
+    val csTable = schemaAtVersion(dir, baseV)
     val sorted = rows.sortBy { case (d, s, _) => (morton(d, s), d) }
     val newEntries = sorted.grouped(math.max(1, rowsPerFile)).zipWithIndex.map {
       case (chunk, i) =>
@@ -2876,15 +2899,16 @@ object ShardSink {
         val tmp = new Path(dir, s"_tmp/$nf")
         val w = SinkFs.create(tmp)
         val bloom = DocBloom.empty()
+        val csAcc = new SinkColStats.LineAcc(csTable)
         try chunk.foreach { case (d, _, l) =>
-          DocBloom.insert(bloom, d); w.write(l); w.write("\n")
+          DocBloom.insert(bloom, d); csAcc.addLine(l); w.write(l); w.write("\n")
         }
         finally w.close()
         SinkFs.moveOver(tmp, new Path(dir, nf))
         SinkEntry(nf, chunk.size.toLong,
           chunk.iterator.map(_._2).min, chunk.iterator.map(_._2).max, "",
           chunk.iterator.map(_._1).min, chunk.iterator.map(_._1).max,
-          bf = DocBloom.encode(bloom))
+          bf = DocBloom.encode(bloom), cs = csAcc.encode())
     }.toSeq
     publishCompaction(dir, baseV, entries, newEntries, gen, retainVersions,
       opName = "zorder")
@@ -3478,7 +3502,10 @@ object ShardSink {
     val docs = if (e.hasDocStats) s""","d0":${e.docMin},"d1":${e.docMax}""" else ""
     val dv = if (e.hasDeletes) s""","dv":"${e.dv}"""" else ""
     val bf = if (e.bf.nonEmpty) s""","bf":"${e.bf}"""" else ""
-    s"""{"file":"${e.file}","rows":${e.rows}$stats$docs$dv$bf}"""
+    // per-column envelopes ([[SinkColStats]]): string bounds are base64
+    // inside the token, so the value is regex-safe by construction
+    val cs = if (e.cs.nonEmpty) s""","cs":"${e.cs}"""" else ""
+    s"""{"file":"${e.file}","rows":${e.rows}$stats$docs$dv$bf$cs}"""
   }
 
   /** The envelope of a segment's entries: set only when EVERY entry
@@ -3586,11 +3613,16 @@ object ShardSink {
   private def parseManifestBlobPruned(
       dir: String, blob: String,
       pruneShards: Option[Set[Int]], pruneDocs: Option[(Long, Long)],
-      prunePoints: Option[Set[Long]] = None): Seq[SinkEntry] = {
+      prunePoints: Option[Set[Long]] = None,
+      pruneCols: Seq[SinkColStats.ColPred] = Nil): Seq[SinkEntry] = {
     def perEntry(es: Seq[SinkEntry]): Seq[SinkEntry] = es
       .filter(e => pruneShards.forall(e.mayContainShard))
       .filter(e => pruneDocs.forall { case (lo, hi) => e.mayContainDocRange(lo, hi) })
       .filter(e => prunePoints.forall(e.mayContainDocPoints))
+      // generic per-column envelopes ([[SinkColStats]]): entry-level only
+      // (segment refs keep their shard/doc envelope; surviving segments'
+      // entries prune here, after the segment read)
+      .filter(e => e.mayMatchCols(pruneCols))
     if (blob.contains("\"segs\":["))
       perEntry(parseSegRefs(blob)
         .filter(r => pruneShards.forall(r.mayContainShard))
@@ -3608,7 +3640,8 @@ object ShardSink {
   // (part-*.tsv / del-*.pos), never user input
   private def parseEntries(json: String): Seq[SinkEntry] =
     ("""\{"file":"([^"]*\.tsv)","rows":(\d+)(?:,"s0":(-?\d+),"s1":(-?\d+))?""" +
-      """(?:,"d0":(-?\d+),"d1":(-?\d+))?(?:,"dv":"([^"]*)")?(?:,"bf":"([^"]*)")?\}""").r
+      """(?:,"d0":(-?\d+),"d1":(-?\d+))?(?:,"dv":"([^"]*)")?(?:,"bf":"([^"]*)")?""" +
+      """(?:,"cs":"([^"]*)")?\}""").r
       .findAllMatchIn(json)
       .map { m =>
         val (s0, s1) =
@@ -3617,7 +3650,8 @@ object ShardSink {
           if (m.group(5) == null) (-1L, -1L) else (m.group(5).toLong, m.group(6).toLong)
         SinkEntry(m.group(1), m.group(2).toLong, s0, s1,
           if (m.group(7) == null) "" else m.group(7), d0, d1,
-          if (m.group(8) == null) "" else m.group(8))
+          if (m.group(8) == null) "" else m.group(8),
+          if (m.group(9) == null) "" else m.group(9))
       }.toSeq
 
   def committedFiles(dir: String): Seq[String] = committedFilesWithRows(dir).map(_._1)
@@ -3844,13 +3878,14 @@ object ShardSink {
       dir: String, version: Long,
       pruneShards: Option[Set[Int]] = None,
       pruneDocs: Option[(Long, Long)] = None,
-      prunePoints: Option[Set[Long]] = None): Seq[SinkEntry] =
+      prunePoints: Option[Set[Long]] = None,
+      pruneCols: Seq[SinkColStats.ColPred] = Nil): Seq[SinkEntry] =
     if (version <= 0L) Seq.empty
     else {
       val p = new Path(dir, s"_manifest.v$version.json")
       if (!SinkFs.exists(p)) Seq.empty
       else parseManifestBlobPruned(dir, SinkFs.readString(p), pruneShards, pruneDocs,
-        prunePoints)
+        prunePoints, pruneCols)
     }
 
   private val ManifestTs = """^\{"ts":(\d+)""".r
@@ -4481,7 +4516,8 @@ object ShardSink {
   def entriesAsOfPruned(
       dir: String, asOf: Option[Long],
       pruneShards: Option[Set[Int]], pruneDocs: Option[(Long, Long)],
-      prunePoints: Option[Set[Long]] = None): Seq[SinkEntry] =
+      prunePoints: Option[Set[Long]] = None,
+      pruneCols: Seq[SinkColStats.ColPred] = Nil): Seq[SinkEntry] =
     asOf match {
       case None =>
         // same one-retry rule as committedEntries: a legacy unversioned
@@ -4490,7 +4526,7 @@ object ShardSink {
           val mf = manifestPath(dir)
           if (!SinkFs.exists(mf)) Seq.empty
           else parseManifestBlobPruned(dir, SinkFs.readString(mf), pruneShards, pruneDocs,
-            prunePoints)
+            prunePoints, pruneCols)
         }
         try once()
         catch { case _: java.io.FileNotFoundException => once() }
@@ -4505,7 +4541,7 @@ object ShardSink {
         require(v == 0L || v >= hz,
           s"snapshot versionAsOf=$v expired: the retention horizon is $hz " +
             s"(versions below it were released by compaction)")
-        entriesAtVersion(dir, v, pruneShards, pruneDocs, prunePoints)
+        entriesAtVersion(dir, v, pruneShards, pruneDocs, prunePoints, pruneCols)
     }
 
   /** A travelled snapshot may be compaction-expired: every entry that
@@ -4528,10 +4564,15 @@ object ShardSink {
   /** Scan a TSV file to rebuild its manifest entry (recovery / rewrite
     * paths — the rare cases where stats must be recomputed from data).
     */
-  private[sources] def entryFromLines(file: String, lines: Seq[String]): SinkEntry = {
+  private[sources] def entryFromLines(
+      file: String, lines: Seq[String],
+      table: Option[StructType] = None): SinkEntry = {
     var (mn, mx) = (Int.MaxValue, -1)
     var (dn, dx) = (Long.MaxValue, -1L)
     val bloom = DocBloom.empty() // rewrites keep point-lookup skipping
+    // per-column envelopes only when the caller KNOWS the lines' schema —
+    // stats computed against a guessed schema would prune unsoundly
+    val csAcc = table.map(t => new SinkColStats.LineAcc(t))
     lines.foreach { l =>
       val c = l.split("\t", 3)
       val s = c(1).toInt
@@ -4541,10 +4582,12 @@ object ShardSink {
       if (d < dn) dn = d
       if (d > dx) dx = d
       DocBloom.insert(bloom, d)
+      csAcc.foreach(_.addLine(l))
     }
     SinkEntry(file, lines.size.toLong, if (mx < 0) -1 else mn, mx, "",
       if (dx < 0L) -1L else dn, dx,
-      bf = if (lines.isEmpty) "" else DocBloom.encode(bloom))
+      bf = if (lines.isEmpty) "" else DocBloom.encode(bloom),
+      cs = if (lines.isEmpty) "" else csAcc.map(_.encode()).getOrElse(""))
   }
 
   /** Compile a conjunctive source-Filter array over the (doc_id, shard)
@@ -4769,6 +4812,9 @@ object ShardSink {
     val drop = deletePredicate(filters).getOrElse(
       throw new IllegalArgumentException(
         s"unsupported predicate for shard sink: ${filters.mkString(", ")}"))
+    // rewritten survivors re-derive per-column envelopes under the
+    // CURRENT schema (the lines' physical layout: evolution only appends)
+    val csTable = Some(tableSchema(dir))
     // shard-stats fast path: a pure-shard predicate can skip READING any
     // file whose recorded shard range cannot match (the metadata-only
     // case the clustered layout exists for)
@@ -4798,7 +4844,7 @@ object ShardSink {
           SinkFs.moveOver(tmp, new Path(dir, nf))
           obsolete += e.file
           if (e.hasDeletes) obsolete += e.dv
-          Some(entryFromLines(nf, kept))
+          Some(entryFromLines(nf, kept, csTable))
         }
       }
     }
@@ -5055,10 +5101,10 @@ object ShardSink {
   */
 case class ShardSinkCommit(
     tempPath: String, rows: Long, shardMin: Int = -1, shardMax: Int = -1,
-    docMin: Long = -1L, docMax: Long = -1L, bf: String = "")
+    docMin: Long = -1L, docMax: Long = -1L, bf: String = "", cs: String = "")
   extends WriterCommitMessage {
   def toEntry(name: String): SinkEntry =
-    SinkEntry(name, rows, shardMin, shardMax, "", docMin, docMax, bf)
+    SinkEntry(name, rows, shardMin, shardMax, "", docMin, docMax, bf, cs)
 }
 
 class ShardSinkWrite(
@@ -5395,6 +5441,10 @@ class ShardSinkDataWriter(
   private var dMax = -1L
   // per-file doc_id bloom — manifest-level point-lookup skipping
   private val bloom = DocBloom.empty()
+  // per-column min/max envelopes over the file's payload columns — the
+  // generic data-skipping stats ([[SinkColStats]]); fed the SERIALIZED
+  // line, whose cell layout IS this write's pinned table schema
+  private val csAcc = new SinkColStats.LineAcc(table)
   // row width is fixed per write job: the column mapping is computed once
   private var colIdx: Array[Int] = null
 
@@ -5418,7 +5468,9 @@ class ShardSinkDataWriter(
     if (doc > dMax) dMax = doc
     DocBloom.insert(bloom, doc)
     checkRow(row, colIdx)
-    out.write(ShardSink.serializeRow(row, colIdx, table))
+    val line = ShardSink.serializeRow(row, colIdx, table)
+    csAcc.addLine(line)
+    out.write(line)
     out.write("\n")
     rows += 1
   }
@@ -5427,7 +5479,8 @@ class ShardSinkDataWriter(
     out.close()
     ShardSinkCommit(tmp.toString, rows, if (sMax < 0) -1 else sMin, sMax,
       if (dMax < 0L) -1L else dMin, dMax,
-      if (rows == 0L) "" else DocBloom.encode(bloom))
+      if (rows == 0L) "" else DocBloom.encode(bloom),
+      cs = if (rows == 0L) "" else csAcc.encode())
   }
 
   override def abort(): Unit = {
@@ -5469,7 +5522,8 @@ class ShardSinkScan(
     required: StructType = DocGen.schema,
     pruneDocs: Option[(Long, Long)] = None,
     table: StructType = DocGen.schema,
-    prunePoints: Option[Set[Long]] = None) extends Scan with Batch
+    prunePoints: Option[Set[Long]] = None,
+    pruneCols: Seq[SinkColStats.ColPred] = Nil) extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with SupportsReportPartitioning with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -5479,7 +5533,9 @@ class ShardSinkScan(
       pruneShards.map(s => s", pruneShards=${s.toSeq.sorted.mkString("{", ",", "}")}")
         .getOrElse("") +
       pruneDocs.map { case (lo, hi) => s", pruneDocs=[$lo,$hi]" }.getOrElse("") +
-      prunePoints.map(p => s", bloomPoints=${p.size}").getOrElse("") + "]"
+      prunePoints.map(p => s", bloomPoints=${p.size}").getOrElse("") +
+      (if (pruneCols.isEmpty) ""
+       else s", pruneCols=[${pruneCols.map(_.describe).mkString("; ")}]") + "]"
   override def toBatch: Batch = this
 
   /** The entries this scan will read: the pinned (or current) version's
@@ -5498,7 +5554,8 @@ class ShardSinkScan(
     // contains every id, this is what turns `doc_id = K` into an O(1
     // file) read (and O(matching segments) driver IO at million-file
     // counts)
-    ShardSink.entriesAsOfPruned(path, asOf, pruneShards, pruneDocs, prunePoints)
+    ShardSink.entriesAsOfPruned(path, asOf, pruneShards, pruneDocs, prunePoints,
+      pruneCols)
 
   private def keptEntries(): Seq[SinkEntry] = kept
 
@@ -6434,17 +6491,23 @@ class ShardSinkDeltaOperation(
       private val table: StructType = ShardSink.tableSchema(path)
       private var prune: Option[Set[Int]] = None
       private var pruneDocs: Option[(Long, Long)] = None
+      private var pruneColPreds: Seq[SinkColStats.ColPred] = Nil
       private var required: StructType = table
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         prune = ShardSink.shardPruneSet(filters)
         pruneDocs = ShardSink.docPruneRange(filters)
+        // a DML condition on a payload column (`WHERE lang = 'x'`) skips
+        // whole files here: a pruned file holds no row the operation
+        // could touch, so excluding it from the rewrite read is exact
+        pruneColPreds = SinkColStats.predsOf(filters, table)
         filters // residual — skipping is file-granular
       }
       override def pushedFilters(): Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema // data columns + the (_file, _pos) rowId
       override def build(): Scan =
-        new ShardSinkScan(path, None, prune, required, pruneDocs, table)
+        new ShardSinkScan(path, None, prune, required, pruneDocs, table,
+          pruneCols = pruneColPreds)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
@@ -6466,7 +6529,8 @@ case class ShardSinkDeltaCommit(
     // delete vector; the line also landed in this task's appended file —
     // this pairing exists so the commit can record exact
     // update_preimage/update_postimage change events.
-    updates: Map[String, Seq[(Long, String)]] = Map.empty)
+    updates: Map[String, Seq[(Long, String)]] = Map.empty,
+    cs: String = "")
   extends WriterCommitMessage
 
 class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo, cdf: Boolean = false)
@@ -6513,7 +6577,7 @@ class ShardSinkDeltaWrite(path: String, info: LogicalWriteInfo, cdf: Boolean = f
       val dest = new Path(path, s"part-u${info.queryId()}-$i.tsv")
       SinkFs.moveOver(new Path(m.tempPath), dest)
       SinkEntry(dest.getName, m.rows, m.shardMin, m.shardMax, "", m.docMin, m.docMax,
-        bf = m.bf)
+        bf = m.bf, cs = m.cs)
     }
     msgs.filter(_.rows == 0L).foreach(m => SinkFs.delete(new Path(m.tempPath)))
     val gen = ShardSink.nextMorGen()
@@ -6629,6 +6693,8 @@ class ShardSinkDeltaWriter(
   private var dMax = -1L
   // per-file doc_id bloom — manifest-level point-lookup skipping
   private val bloom = DocBloom.empty()
+  // per-column envelopes for the appended file ([[SinkColStats]])
+  private val csAcc = new SinkColStats.LineAcc(table)
 
   private val updates = scala.collection.mutable
     .Map.empty[String, scala.collection.mutable.ArrayBuffer[(Long, String)]]
@@ -6667,6 +6733,7 @@ class ShardSinkDeltaWriter(
     DocBloom.insert(bloom, doc)
     if (out == null) out = SinkFs.create(tmp)
     val line = ShardSink.serializeRow(row, colIdx, table)
+    csAcc.addLine(line)
     out.write(line); out.write("\n")
     rows += 1
     line
@@ -6679,7 +6746,8 @@ class ShardSinkDeltaWriter(
       tmp.toString, rows, if (sMax < 0) -1 else sMin, sMax,
       if (dMax < 0L) -1L else dMin, dMax,
       if (rows == 0L) "" else DocBloom.encode(bloom),
-      updates.map { case (f, us) => f -> us.toSeq }.toMap)
+      updates.map { case (f, us) => f -> us.toSeq }.toMap,
+      cs = if (rows == 0L) "" else csAcc.encode())
   }
 
   override def abort(): Unit = {

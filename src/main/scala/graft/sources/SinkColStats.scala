@@ -1,0 +1,366 @@
+package graft.sources
+
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
+
+/** PER-COLUMN DATA-SKIPPING STATISTICS (round 15) — the Delta-style
+  * min/max envelope for ARBITRARY data columns, beyond the dedicated
+  * shard/doc_id machinery: every committed file's manifest entry can
+  * carry, per eligible column, the column's min and max over the file's
+  * rows, and the scan prunes whole files whose envelope cannot intersect
+  * a pushed predicate on that column. `WHERE lang = 'pt'` over a landing
+  * zone whose ingests batch by language then reads the pt files and
+  * nothing else — at the 100 TB design point this is the difference
+  * between scanning the table and scanning the slice, for predicates the
+  * shard/doc layout knows nothing about.
+  *
+  * Eligibility: every table column past the (doc_id, shard) pair — body
+  * and all evolved columns — of long/int/double/string type. Strings
+  * longer than [[MaxTracked]] chars poison their column's stats for that
+  * file (a truncated maximum is not an upper bound; dropping the stat is
+  * the sound alternative — Delta truncates WITH a successor fix-up, we
+  * keep the simpler all-or-nothing rule). A double column that observes
+  * NaN is likewise dropped for that file (NaN breaks the order the
+  * envelope relies on). Missing stats ALWAYS read — pruning is only ever
+  * an optimization, exactly like the shard/doc stats.
+  *
+  * SOUNDNESS under NULLs: the envelope tracks non-null values only, and
+  * pruning applies only to NULL-REJECTING predicates (comparisons, IN,
+  * prefix match) — a row where the column is NULL cannot satisfy them,
+  * so a file whose non-null envelope misses the predicate has NO
+  * matching row, nulls included. `IS NULL` / `IS NOT NULL` never prune.
+  * Under merge-on-read delete vectors the recorded envelope is a
+  * superset of the live rows' — sound for may-contain pruning, same
+  * argument as the shard range.
+  *
+  * Encoding (one JSON-string-safe token per column, `|`-joined):
+  * `name:t:lo:hi` with `t` ∈ `l`(integral) `d`(double) `s`(string);
+  * string bounds are base64(UTF-8) so the manifest's regex parse never
+  * meets a quote or brace; numeric bounds are their exact decimal forms.
+  */
+object SinkColStats {
+
+  /** Longest string value tracked exactly; anything longer poisons the
+    * column's stats for the file.
+    */
+  val MaxTracked = 64
+
+  final case class ColStat(t: Char, lo: String, hi: String)
+
+  /** Eligible columns of a table schema: (TSV/cell position, name, tag). */
+  def eligible(table: StructType): Array[(Int, String, Char)] =
+    table.fields.zipWithIndex.drop(2).flatMap { case (f, i) =>
+      tagOf(f.dataType).map(t => (i, f.name, t))
+    }
+
+  def tagOf(dt: DataType): Option[Char] = dt match {
+    case LongType | IntegerType => Some('l')
+    case DoubleType => Some('d')
+    case StringType => Some('s')
+    case _ => None
+  }
+
+  private def b64e(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def b64d(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** Per-file accumulator. `update` takes the column's slot in
+    * [[eligible]]'s order and the typed non-null value ('l' → Long,
+    * 'd' → Double, 's' → String).
+    */
+  final class Acc(cols: Array[(Int, String, Char)]) {
+    private val lo = new Array[Any](cols.length)
+    private val hi = new Array[Any](cols.length)
+    private val poisoned = new Array[Boolean](cols.length)
+    def update(k: Int, v: Any): Unit = {
+      if (poisoned(k)) return
+      cols(k)._3 match {
+        case 'l' =>
+          val x = v.asInstanceOf[Long]
+          if (lo(k) == null || x < lo(k).asInstanceOf[Long]) lo(k) = x
+          if (hi(k) == null || x > hi(k).asInstanceOf[Long]) hi(k) = x
+        case 'd' =>
+          val x = v.asInstanceOf[Double]
+          if (x.isNaN) { poisoned(k) = true; return }
+          if (lo(k) == null || x < lo(k).asInstanceOf[Double]) lo(k) = x
+          if (hi(k) == null || x > hi(k).asInstanceOf[Double]) hi(k) = x
+        case 's' =>
+          val x = v.asInstanceOf[String]
+          if (x.length > MaxTracked) { poisoned(k) = true; return }
+          if (lo(k) == null || x < lo(k).asInstanceOf[String]) lo(k) = x
+          if (hi(k) == null || x > hi(k).asInstanceOf[String]) hi(k) = x
+      }
+    }
+    /** The encoded stats string ("" when nothing was tracked). */
+    def encode(): String =
+      cols.indices.flatMap { k =>
+        if (poisoned(k) || lo(k) == null) None
+        else {
+          val (_, name, t) = cols(k)
+          val (l, h) = t match {
+            case 's' => (b64e(lo(k).asInstanceOf[String]), b64e(hi(k).asInstanceOf[String]))
+            case _ => (lo(k).toString, hi(k).toString)
+          }
+          Some(s"$name:$t:$l:$h")
+        }
+      }.mkString("|")
+  }
+
+  /** Line-grain accumulator for the rewrite paths (compaction, CoW):
+    * feed each TSV line's cells; pre-evolution short rows and the null
+    * sentinel skip, exactly like the row-grain writer skips nulls.
+    */
+  final class LineAcc(table: StructType) {
+    private val cols = eligible(table)
+    private val acc = new Acc(cols)
+    def add(cells: Array[String]): Unit = {
+      var k = 0
+      while (k < cols.length) {
+        val (i, _, t) = cols(k)
+        if (i < cells.length && cells(i) != ShardSink.NullCell) {
+          t match {
+            case 'l' => acc.update(k, cells(i).toLong)
+            case 'd' => acc.update(k, cells(i).toDouble)
+            case 's' => acc.update(k, cells(i))
+          }
+        }
+        k += 1
+      }
+    }
+    def addLine(line: String): Unit = add(line.split("\t", -1))
+    def encode(): String = acc.encode()
+  }
+
+  def rowAcc(table: StructType): Acc = new Acc(eligible(table))
+
+  def decode(cs: String): Map[String, ColStat] =
+    if (cs.isEmpty) Map.empty
+    else cs.split("\\|", -1).iterator.flatMap { tok =>
+      tok.split(":", -1) match {
+        case Array(name, t, l, h) if t.length == 1 =>
+          val stat =
+            if (t.charAt(0) == 's') ColStat('s', b64d(l), b64d(h))
+            else ColStat(t.charAt(0), l, h)
+          Some(name -> stat)
+        case _ => None // unparseable token: no stats, never prunes
+      }
+    }.toMap
+
+  // ---- pruning predicates --------------------------------------------------
+
+  /** A file-prunable conjunct over one column. All implementations are
+    * NULL-REJECTING by construction (see the soundness note above).
+    */
+  sealed trait ColPred {
+    def col: String
+    /** May a file with this recorded envelope contain a matching row? */
+    def mayMatch(st: ColStat): Boolean
+    def describe: String
+  }
+
+  private def cmp(t: Char, a: String, b: String): Int = t match {
+    case 'l' => java.lang.Long.compare(a.toLong, b.toLong)
+    case 'd' => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _ => a.compareTo(b)
+  }
+
+  /** lo/hi are the predicate's bounds in the literal's own type `t`;
+    * None = unbounded on that side.
+    */
+  final case class ColRange(
+      col: String, t: Char, lo: Option[String], loInc: Boolean,
+      hi: Option[String], hiInc: Boolean) extends ColPred {
+    def mayMatch(st: ColStat): Boolean = {
+      if (st.t != t) return true // cross-type: never prune
+      val okLo = lo.forall(l =>
+        if (loInc) cmp(t, st.hi, l) >= 0 else cmp(t, st.hi, l) > 0)
+      val okHi = hi.forall(h =>
+        if (hiInc) cmp(t, st.lo, h) <= 0 else cmp(t, st.lo, h) < 0)
+      okLo && okHi
+    }
+    def describe: String =
+      col + lo.map(l => s" ${if (loInc) ">=" else ">"} $l").getOrElse("") +
+        hi.map(h => s" ${if (hiInc) "<=" else "<"} $h").getOrElse("")
+  }
+
+  /** IN-list / equality: value-exact, not a hull — each sought value is
+    * tested against the envelope individually.
+    */
+  final case class ColIn(col: String, t: Char, values: Seq[String]) extends ColPred {
+    def mayMatch(st: ColStat): Boolean =
+      st.t != t ||
+        values.exists(v => cmp(t, v, st.lo) >= 0 && cmp(t, v, st.hi) <= 0)
+    def describe: String = s"$col IN (${values.mkString(",")})"
+  }
+
+  /** `col LIKE 'p%'`: matching values lie in [p, succ(p)) — prune when
+    * the envelope misses that interval. No successor exists when the
+    * prefix is all ￿; the upper test is then skipped.
+    */
+  final case class ColPrefix(col: String, p: String) extends ColPred {
+    private val succ: Option[String] = {
+      var i = p.length - 1
+      while (i >= 0 && p.charAt(i) == Char.MaxValue) i -= 1
+      if (i < 0) None
+      else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+    }
+    def mayMatch(st: ColStat): Boolean =
+      st.t != 's' ||
+        (st.hi.compareTo(p) >= 0 && succ.forall(sc => st.lo.compareTo(sc) < 0))
+    def describe: String = s"$col LIKE '$p%'"
+  }
+
+  private def litOf(v: Any): Option[(Char, String)] = v match {
+    case null => None
+    case x: Long => Some(('l', x.toString))
+    case x: Int => Some(('l', x.toString))
+    case x: Short => Some(('l', x.toString))
+    case x: Byte => Some(('l', x.toString))
+    case x: Double => if (x.isNaN) None else Some(('d', x.toString))
+    case x: Float => if (x.isNaN) None else Some(('d', x.toDouble.toString))
+    case x: String => Some(('s', x))
+    case x: org.apache.spark.unsafe.types.UTF8String => Some(('s', x.toString))
+    case _ => None
+  }
+
+  /** Compile the pushed conjunctive filter array into per-column prune
+    * predicates. Only columns the table can carry stats for (and that
+    * are NOT doc_id/shard — those have dedicated exact machinery)
+    * contribute; everything else is simply not prunable here. `Or` and
+    * any unrecognized shape contribute nothing (the filter stays a
+    * row-level residual regardless).
+    */
+  def predsOf(
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      table: StructType): Seq[ColPred] = {
+    import org.apache.spark.sql.sources._
+    val statable: Set[String] = eligible(table).map(_._2).toSet
+    def ok(col: String) = statable.contains(col)
+    filters.toSeq.flatMap {
+      case And(a, b) => predsOf(Array(a, b), table)
+      case EqualTo(c, v) if ok(c) =>
+        litOf(v).map { case (t, s) => ColIn(c, t, Seq(s)) }
+      case In(c, vs) if ok(c) && vs != null && vs.nonEmpty =>
+        val lits = vs.toSeq.map(litOf)
+        // a NULL in the list matches nothing (null-rejecting); an
+        // untypeable literal keeps the filter un-prunable
+        if (lits.exists(l => l.isEmpty)) None
+        else {
+          val typed = lits.flatten
+          if (typed.map(_._1).distinct.length == 1)
+            Some(ColIn(c, typed.head._1, typed.map(_._2)))
+          else None
+        }
+      case GreaterThan(c, v) if ok(c) =>
+        litOf(v).map { case (t, s) => ColRange(c, t, Some(s), loInc = false, None, hiInc = false) }
+      case GreaterThanOrEqual(c, v) if ok(c) =>
+        litOf(v).map { case (t, s) => ColRange(c, t, Some(s), loInc = true, None, hiInc = false) }
+      case LessThan(c, v) if ok(c) =>
+        litOf(v).map { case (t, s) => ColRange(c, t, None, loInc = false, Some(s), hiInc = false) }
+      case LessThanOrEqual(c, v) if ok(c) =>
+        litOf(v).map { case (t, s) => ColRange(c, t, None, loInc = false, Some(s), hiInc = true) }
+      case StringStartsWith(c, p) if ok(c) && p != null =>
+        Some(ColPrefix(c, p))
+      case _ => None
+    }
+  }
+
+  /** The entry-level skip test: every predicate must be satisfiable by
+    * the recorded envelope; a column with no recorded stat never prunes.
+    */
+  def mayMatch(cs: String, preds: Seq[ColPred]): Boolean = {
+    if (preds.isEmpty) return true
+    if (cs.isEmpty) return true
+    val stats = decode(cs)
+    preds.forall(p => stats.get(p.col).forall(p.mayMatch))
+  }
+
+  // ---- driver-checked query ------------------------------------------------
+
+  /** Driver-checked PER-COLUMN DATA SKIPPING (round 15): a landing zone
+    * evolves `lang` (string) and `score` (bigint) columns via mergeSchema
+    * appends whose batches are lang-homogeneous — the ingest pattern the
+    * envelopes exist for. Equality, range, prefix and IS NULL predicates
+    * then read back: the row aggregates sit under DuckDB's hash gate, and
+    * the `pruned_*` cells pin — via the physical read counter — that the
+    * equality and range scans opened FEWER files than the census (the
+    * envelopes actually skipped), while IS NULL (never prunable from a
+    * non-null envelope) still returned every pre-evolution row.
+    */
+  def colSkippingReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("cs:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcs_$sfx")
+    SinkFs.deleteRecursively(dir)
+    def docs(lo: Long, hi: Long) = spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1800").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 600L).write.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath)
+      .mode(org.apache.spark.sql.SaveMode.Append).save() // v1: 3-column, no statsable payload predicate
+    def ingest(lo: Long, hi: Long, lang: String): Unit =
+      docs(lo, hi)
+        .withColumn("lang", lit(lang))
+        .withColumn("score", (col("doc_id") * 2L).cast("long"))
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir.getPath).option("mergeSchema", "true")
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    ingest(600L, 1000L, "pt") // v2
+    ingest(1000L, 1400L, "en") // v3
+    ingest(1400L, 1800L, "de") // v4
+    val census = ShardSink.committedFiles(dir.getPath).count(_.endsWith(".tsv")).toLong
+    def read() = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+    def counted(df: => org.apache.spark.sql.DataFrame): (Array[org.apache.spark.sql.Row], Long) = {
+      val before = ShardSink.dataFileReadCount.get()
+      val rows = df.collect()
+      (rows, ShardSink.dataFileReadCount.get() - before)
+    }
+    val (pt, openedPt) = counted(read().where(col("lang") === "pt")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)").as("x")))
+    val (hi, openedHi) = counted(read().where(col("score") >= 3200L)
+      .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)").as("x")))
+    val (de, _) = counted(read().where(col("lang").startsWith("d"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)").as("x")))
+    val (nu, openedNull) = counted(read().where(col("lang").isNull)
+      .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)").as("x")))
+    import spark.implicits._
+    Seq((
+      pt.head.getLong(0), pt.head.getLong(1),
+      hi.head.getLong(0), hi.head.getLong(1),
+      de.head.getLong(0), de.head.getLong(1),
+      nu.head.getLong(0), nu.head.getLong(1),
+      if (openedPt < census) 1L else 0L,
+      if (openedHi < census) 1L else 0L,
+      // IS NULL must NOT have pruned: the envelope knows nothing about
+      // nulls, so every file reads
+      if (openedNull == census) 1L else 0L)).toDF(
+      "n_pt", "xor_pt", "n_hi", "xor_hi", "n_de", "xor_de",
+      "n_null", "xor_null", "pruned_lang", "pruned_score", "unpruned_null")
+  }
+
+  val colSkippingReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id < 600 THEN NULL
+      |              WHEN doc_id < 1000 THEN 'pt'
+      |              WHEN doc_id < 1400 THEN 'en'
+      |              ELSE 'de' END AS lang,
+      |         CASE WHEN doc_id < 600 THEN NULL
+      |              ELSE doc_id * 2 END AS score
+      |  FROM range(0, 1800) t(doc_id))
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE lang = 'pt') AS n_pt,
+      |  (SELECT bit_xor(doc_id) FROM g WHERE lang = 'pt') AS xor_pt,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE score >= 3200) AS n_hi,
+      |  (SELECT bit_xor(doc_id) FROM g WHERE score >= 3200) AS xor_hi,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE lang LIKE 'd%') AS n_de,
+      |  (SELECT bit_xor(doc_id) FROM g WHERE lang LIKE 'd%') AS xor_de,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE lang IS NULL) AS n_null,
+      |  (SELECT bit_xor(doc_id) FROM g WHERE lang IS NULL) AS xor_null,
+      |  CAST(1 AS BIGINT) AS pruned_lang,
+      |  CAST(1 AS BIGINT) AS pruned_score,
+      |  CAST(1 AS BIGINT) AS unpruned_null""".stripMargin
+}

@@ -217,6 +217,7 @@ object Sinks {
     "q_dsv2_optimize_binpack" -> (ShardSink.binPackReport _),
     "q_dsv2_auto_compact" -> (ShardSink.autoCompactReport _),
     "q_dsv2_mv_refresh" -> (SinkMatView.mvRefreshReport _),
+    "q_dsv2_col_skipping" -> (SinkColStats.colSkippingReport _),
     "q_dsv2_restore" -> (ShardSink.restoreReport _),
     "q_dsv2_replace_where" -> (ShardSink.replaceWhereReport _),
     "q_dsv2_vacuum" -> (ShardSink.vacuumReport _),
@@ -273,6 +274,7 @@ object Sinks {
     "q_dsv2_optimize_binpack" -> ShardSink.binPackReportSql,
     "q_dsv2_auto_compact" -> ShardSink.autoCompactReportSql,
     "q_dsv2_mv_refresh" -> SinkMatView.mvRefreshReportSql,
+    "q_dsv2_col_skipping" -> SinkColStats.colSkippingReportSql,
     "q_dsv2_restore" -> ShardSink.restoreReportSql,
     "q_dsv2_replace_where" -> ShardSink.replaceWhereReportSql,
     "q_dsv2_vacuum" -> ShardSink.vacuumReportSql,

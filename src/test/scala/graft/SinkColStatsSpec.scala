@@ -1,0 +1,229 @@
+package graft
+
+import graft.sources.{ShardSink, SinkColStats, SinkTestAccess}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** Round-15 PER-COLUMN DATA SKIPPING ([[SinkColStats]]): envelope codec
+  * soundness (poisoning, cross-type, prefix successor), file pruning
+  * proven with the physical read counter on the append path, envelope
+  * carry-through on every rewrite path (compaction, CoW, MOR), and the
+  * NULL-rejection rule that keeps skipping sound under evolution nulls.
+  * The end-to-end lifecycle also sits under the driver's hash gate as
+  * `q_dsv2_col_skipping`.
+  */
+class SinkColStatsSpec extends SparkSpec {
+
+  private def freshDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    new java.io.File(d, "t").getPath
+  }
+
+  private def docs(lo: Long, hi: Long, n: Int = 1800) =
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", n.toString).option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+
+  private def ingest(dir: String, lo: Long, hi: Long, lang: String): Unit =
+    docs(lo, hi)
+      .withColumn("lang", lit(lang))
+      .withColumn("score", (col("doc_id") * 2L).cast("long"))
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("mergeSchema", "true")
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+
+  private def read(dir: String) =
+    spark.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+
+  private def entryCount(dir: String): Int = SinkTestAccess.resolveBase(dir)._2.length
+
+  private def counted(df: => org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val before = ShardSink.dataFileReadCount.get()
+    val n = df.count()
+    (n, ShardSink.dataFileReadCount.get() - before)
+  }
+
+  // ---- codec ---------------------------------------------------------------
+
+  test("codec: round-trip, string base64, poison on long strings and NaN") {
+    val table = new StructType()
+      .add("doc_id", LongType).add("shard", org.apache.spark.sql.types.IntegerType)
+      .add("s", StringType).add("l", LongType)
+      .add("d", org.apache.spark.sql.types.DoubleType)
+    val acc = new SinkColStats.LineAcc(table)
+    acc.add(Array("1", "0", "héllo:|\"wor}ld", "42", "1.5"))
+    acc.add(Array("2", "1", "aa", "-7", "2.5"))
+    val enc = acc.encode()
+    val st = SinkColStats.decode(enc)
+    assert(st("s") === SinkColStats.ColStat('s', "aa", "héllo:|\"wor}ld"))
+    assert(st("l") === SinkColStats.ColStat('l', "-7", "42"))
+    assert(st("d") === SinkColStats.ColStat('d', "1.5", "2.5"))
+    // the encoded token must be manifest-regex-safe: no quote, no brace
+    assert(!enc.exists(c => c == '"' || c == '{' || c == '}' || c == '\\'))
+    // a >MaxTracked string poisons ONLY its column
+    val acc2 = new SinkColStats.LineAcc(table)
+    acc2.add(Array("1", "0", "x" * (SinkColStats.MaxTracked + 1), "5", "1.0"))
+    val st2 = SinkColStats.decode(acc2.encode())
+    assert(!st2.contains("s") && st2.contains("l"))
+    // NaN poisons the double column (order-based pruning would be wrong)
+    val acc3 = new SinkColStats.LineAcc(table)
+    acc3.add(Array("1", "0", "ok", "5", "NaN"))
+    acc3.add(Array("2", "1", "ok", "6", "1.0"))
+    val st3 = SinkColStats.decode(acc3.encode())
+    assert(!st3.contains("d") && st3.contains("l"))
+    // null sentinel and short (pre-evolution) rows skip, not crash
+    val acc4 = new SinkColStats.LineAcc(table)
+    acc4.add(Array("1", "0", "\\N", "5")) // the writer's null sentinel
+    acc4.add(Array("2", "1"))
+    val st4 = SinkColStats.decode(acc4.encode())
+    assert(!st4.contains("s") && st4("l") === SinkColStats.ColStat('l', "5", "5"))
+  }
+
+  test("predicates: ranges, IN exactness, prefix successor, cross-type never prunes") {
+    import SinkColStats._
+    val lng = ColStat('l', "10", "20")
+    assert(!ColIn("c", 'l', Seq("5", "25")).mayMatch(lng))
+    assert(ColIn("c", 'l', Seq("5", "15")).mayMatch(lng))
+    // IN is value-exact, not a hull: {5, 25} straddles but misses
+    assert(!ColRange("c", 'l', Some("21"), loInc = true, None, hiInc = false).mayMatch(lng))
+    assert(ColRange("c", 'l', Some("20"), loInc = true, None, hiInc = false).mayMatch(lng))
+    assert(!ColRange("c", 'l', Some("20"), loInc = false, None, hiInc = false).mayMatch(lng))
+    assert(!ColRange("c", 'l', None, loInc = false, Some("10"), hiInc = false).mayMatch(lng))
+    assert(ColRange("c", 'l', None, loInc = false, Some("10"), hiInc = true).mayMatch(lng))
+    // numeric order, not lexicographic: "9" < "10" would prune wrongly
+    assert(ColIn("c", 'l', Seq("9")).mayMatch(ColStat('l', "9", "100")))
+    val s = ColStat('s', "en", "en")
+    assert(!ColPrefix("c", "d").mayMatch(s)) // "en" ≥ succ("d") = "e"
+    assert(ColPrefix("c", "e").mayMatch(s))
+    assert(ColPrefix("c", "en").mayMatch(s))
+    assert(!ColPrefix("c", "enx").mayMatch(s))
+    // cross-type (stat recorded as long, predicate typed string): keep
+    assert(ColIn("c", 's', Seq("zz")).mayMatch(lng))
+    // unknown column in the entry: keep
+    assert(mayMatch("other:l:1:2", Seq(ColIn("c", 'l', Seq("99")))))
+  }
+
+  // ---- file pruning on the write paths --------------------------------------
+
+  test("append path: an equality read opens only the matching ingest's files") {
+    val dir = freshDir("cs_append")
+    ingest(dir, 0L, 600L, "pt") // v1: scores 0..1198
+    val ptFiles = entryCount(dir)
+    ingest(dir, 600L, 1200L, "en") // v2: scores 1200..2398
+    val afterEn = entryCount(dir)
+    ingest(dir, 1200L, 1800L, "de") // v3: scores 2400..3598
+    val census = entryCount(dir)
+    val deFiles = census - afterEn
+    assert(census > ptFiles)
+    val (n, opened) = counted(read(dir).where(col("lang") === "pt"))
+    assert(n === 600L)
+    assert(opened === ptFiles.toLong,
+      s"lang=pt opened $opened files, expected the pt ingest's $ptFiles (census $census)")
+    // numeric range: only the de ingest's files carry score >= 2400
+    val (nHi, openedHi) = counted(read(dir).where(col("score") >= 2400L))
+    assert(nHi === 600L)
+    assert(openedHi === deFiles.toLong,
+      s"score>=2400 opened $openedHi files, expected the de ingest's $deFiles (census $census)")
+  }
+
+  test("compaction re-derives envelopes; chunked files keep pruning effective") {
+    val dir = freshDir("cs_compact")
+    ingest(dir, 0L, 600L, "pt")
+    ingest(dir, 600L, 1200L, "en")
+    ShardSink.compact(dir, targetRowsPerFile = 40L) // shard-pure doc-run chunks
+    val census = entryCount(dir)
+    // per shard: 75 docs → a 40-row chunk spanning both langs and a
+    // 35-row chunk that is pure 'en' — the pt read must skip the latter
+    val (n, opened) = counted(read(dir).where(col("lang") === "pt"))
+    assert(n === 600L)
+    assert(opened < census.toLong, s"opened $opened of census $census after compaction")
+    assert(opened <= (census / 2 + 1).toLong)
+  }
+
+  test("copy-on-write rewrite re-derives envelopes from the surviving rows") {
+    val dir = freshDir("cs_cow")
+    ingest(dir, 0L, 600L, "pt")
+    ingest(dir, 600L, 1200L, "en")
+    // CoW delete rewrites every straddling file (doc predicate): the
+    // rewritten survivors must re-carry lang/score envelopes
+    SinkTestAccess.cowDelete(dir,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 900L)))
+    val census = entryCount(dir)
+    val (n, opened) = counted(read(dir).where(col("lang") === "en"))
+    assert(n === 300L)
+    assert(opened < census.toLong,
+      s"rewritten files lost their envelopes: opened $opened of $census")
+    // and the envelope reflects the SURVIVORS: score now tops out below
+    // 1800, so a read above that prunes everything
+    val (nHi, openedHi) = counted(read(dir).where(col("score") >= 1800L))
+    assert(nHi === 0L && openedHi === 0L)
+  }
+
+  test("merge-on-read delete keeps the (superset) envelope: pruning stays sound") {
+    val dir = freshDir("cs_mor")
+    ingest(dir, 0L, 600L, "pt")
+    ingest(dir, 600L, 1200L, "en")
+    SinkTestAccess.morDeleteWhere(dir,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 1000L)))
+    val census = entryCount(dir)
+    // the recorded 'en' envelope still names the dead rows' scores — a
+    // SUPERSET, so the pruned read is correct, merely less selective
+    val (n, opened) = counted(read(dir).where(col("lang") === "en"))
+    assert(n === 400L)
+    assert(opened < census.toLong)
+    val (nGone, _) = counted(read(dir).where(col("score") >= 2000L))
+    assert(nGone === 0L) // rows are gone even though envelopes may keep the files
+  }
+
+  test("IS NULL never prunes: pre-evolution rows always read") {
+    val dir = freshDir("cs_null")
+    docs(0L, 400L).write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    ingest(dir, 400L, 800L, "pt")
+    val census = entryCount(dir)
+    val (n, opened) = counted(read(dir).where(col("lang").isNull))
+    assert(n === 400L)
+    assert(opened === census.toLong, "IS NULL must read every file (envelopes are non-null-only)")
+    // and a null-rejecting predicate on the same column still prunes the
+    // stats-less pre-evolution files IN (they carry no envelope) while
+    // answering correctly
+    val (nPt, _) = counted(read(dir).where(col("lang") === "pt"))
+    assert(nPt === 400L)
+  }
+
+  test("row-level DML reads prune on payload predicates") {
+    val sfx = java.util.UUID.randomUUID().toString.take(8)
+    val root = java.nio.file.Files.createTempDirectory("cs_dml").toFile
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_cs", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_cs.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_cs.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_cs.delete.mode", "merge-on-read")
+    def ing(lo: Long, hi: Long, lang: String): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "1200").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .withColumn("lang", lit(lang))
+        .writeTo(s"graft_cs.t_$sfx").append()
+    // bootstrap the 3-column table, widen it, then land lang-pure ingests
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1200").option("numPartitions", "2").load()
+      .where(col("doc_id") < 0L) // empty seed: creates the table
+      .writeTo(s"graft_cs.t_$sfx").append()
+    s.sql(s"ALTER TABLE graft_cs.t_$sfx ADD COLUMN lang STRING")
+    ing(0L, 600L, "pt")
+    ing(600L, 1200L, "en")
+    val dir = new java.io.File(root, s"t_$sfx").getPath
+    val census = entryCount(dir)
+    val before = ShardSink.dataFileReadCount.get()
+    s.sql(s"UPDATE graft_cs.t_$sfx SET body = upper(body) WHERE lang = 'en'")
+    val opened = ShardSink.dataFileReadCount.get() - before
+    assert(opened < census.toLong,
+      s"the UPDATE's rewrite read opened $opened of $census files — payload pruning missing")
+    import s.implicits._
+    val upd = s.read.table(s"graft_cs.t_$sfx")
+      .where(col("body") =!= lower(col("body"))).count()
+    assert(upd === 600L)
+  }
+}
