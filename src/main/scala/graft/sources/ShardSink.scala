@@ -2914,6 +2914,101 @@ object ShardSink {
       opName = "zorder")
   }
 
+  /** GENERALIZED Z-ORDER — `OPTIMIZE … ZORDER BY (c1, c2, …)` for
+    * ARBITRARY columns (round 15): interleaves 4-bit EXACT-RANK quantiles
+    * of each key column (long/int/double/string; doc_id and shard
+    * included) into a Morton code and rewrites the table into chunks
+    * sorted by it. The payoff is the per-column envelopes
+    * ([[SinkColStats]]): after clustering, every chunk's min/max for
+    * each key column is TIGHT, so pushed predicates on ANY of them prune
+    * files — the multi-dimensional locality Delta's ZORDER BY buys, here
+    * feeding the manifest skip instead of parquet row groups. Rank
+    * quantiles (not linear interpolation) make the bucketing skew-proof:
+    * 16 equal-POPULATION buckets per dimension regardless of value
+    * distribution. NULLs sort into bucket 0 (they reach no envelope, but
+    * they cluster together so non-null chunks stay tight). Runs
+    * driver-side like [[compactZOrder]] — a cluster deployment would
+    * sample ranks and range-partition the rewrite as a job; the manifest
+    * protocol under test is identical.
+    */
+  def compactZOrderBy(
+      dir: String, rowsPerFile: Int, cols: Seq[String],
+      retainVersions: Int = 0): Unit = {
+    require(cols.nonEmpty && cols.size <= 8,
+      s"ZORDER BY takes 1..8 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, s"duplicate ZORDER BY columns: $cols")
+    val (baseV, entries) = resolveBase(dir)
+    if (entries.isEmpty) return
+    requireForeignLive(dir, entries)
+    val table = schemaAtVersion(dir, baseV)
+    val keyCols: Seq[(Int, Char)] = cols.map { c =>
+      require(table.fieldNames.contains(c),
+        s"ZORDER BY column '$c' not in ${table.fieldNames.mkString(",")}")
+      val i = table.fieldIndex(c)
+      val tag = SinkColStats.tagOf(table.fields(i).dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"ZORDER BY column '$c' has unsupported type ${table.fields(i).dataType}"))
+      (i, tag)
+    }
+    val rows: Seq[(Array[String], String)] = entries.flatMap { e =>
+      liveLines(dir, e).map(l => (l.split("\t", -1), l))
+    }
+    def cellOf(cells: Array[String], i: Int): String =
+      if (i < cells.length && cells(i) != NullCell) cells(i) else null
+    def ordOf(tag: Char): Ordering[String] = tag match {
+      case 'l' => Ordering.by(_.toLong)
+      case 'd' => Ordering.by(_.toDouble)
+      case _ => Ordering.String
+    }
+    // exact rank → 16 equal-population buckets per dimension
+    val bucketMaps: Seq[scala.collection.Map[String, Int]] = keyCols.map { case (i, tag) =>
+      val ds = rows.iterator.map(r => cellOf(r._1, i)).filter(_ != null)
+        .toArray.distinct.sorted(ordOf(tag))
+      ds.iterator.zipWithIndex
+        .map { case (v, k) => v -> (k * 16 / math.max(1, ds.length)) }
+        .toMap
+    }
+    val n = keyCols.length
+    def zOf(cells: Array[String]): Int = {
+      var z = 0
+      var c = 0
+      while (c < n) {
+        val cell = cellOf(cells, keyCols(c)._1)
+        val b = if (cell == null) 0 else bucketMaps(c)(cell)
+        var bit = 0
+        while (bit < 4) {
+          z |= ((b >> bit) & 1) << (bit * n + c)
+          bit += 1
+        }
+        c += 1
+      }
+      z
+    }
+    val gen = compactCounter.incrementAndGet()
+    // doc_id tie-break keeps the layout deterministic (ids are unique)
+    val sorted = rows.sortBy { case (cells, _) => (zOf(cells), cells(0).toLong) }
+    val newEntries = sorted.grouped(math.max(1, rowsPerFile)).zipWithIndex.map {
+      case (chunk, i) =>
+        val nf = s"part-c$gen-z$i.tsv"
+        val tmp = new Path(dir, s"_tmp/$nf")
+        val w = SinkFs.create(tmp)
+        val bloom = DocBloom.empty()
+        val csAcc = new SinkColStats.LineAcc(table)
+        try chunk.foreach { case (cells, l) =>
+          DocBloom.insert(bloom, cells(0).toLong); csAcc.addLine(l)
+          w.write(l); w.write("\n")
+        }
+        finally w.close()
+        SinkFs.moveOver(tmp, new Path(dir, nf))
+        SinkEntry(nf, chunk.size.toLong,
+          chunk.iterator.map(_._1(1).toInt).min, chunk.iterator.map(_._1(1).toInt).max, "",
+          chunk.iterator.map(_._1(0).toLong).min, chunk.iterator.map(_._1(0).toLong).max,
+          bf = DocBloom.encode(bloom), cs = csAcc.encode())
+    }.toSeq
+    publishCompaction(dir, baseV, entries, newEntries, gen, retainVersions,
+      opName = "zorder")
+  }
+
   /** VACUUM — sweep files NO manifest version references: the garbage a
     * crashed or aborted job leaves (data files renamed into place whose
     * manifest flip never happened are invisible forever — correct, but

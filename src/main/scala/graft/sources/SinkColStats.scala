@@ -341,6 +341,79 @@ object SinkColStats {
       "n_null", "xor_null", "pruned_lang", "pruned_score", "unpruned_null")
   }
 
+  /** Driver-checked GENERALIZED Z-ORDER (round 15,
+    * [[ShardSink.compactZOrderBy]]): ONE interleaved ingest (every file
+    * spans every lang and score — the per-column envelopes prune
+    * nothing, pinned by `unclustered_full`), then `ZORDER BY (lang)`
+    * makes the lang envelopes tight — the `lang = 'l3'` read opens
+    * EXACTLY the 4 chunks the 400 matching rows occupy (pinned as a
+    * value: the rank-quantile layout is deterministic) — then a second
+    * rewrite `ZORDER BY (lang, score)` clusters both dimensions and the
+    * box predicate `lang = 'l3' AND score ∈ [600, 680)` opens a strict
+    * subset (`pruned_box`). Row aggregates for every read sit under the
+    * DuckDB hash gate; the flags pin the physical IO story.
+    */
+  def zorderColsReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("zc:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkzc_$sfx")
+    SinkFs.deleteRecursively(dir)
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2000").option("numPartitions", "2").load()
+      .withColumn("lang", concat(lit("l"), (col("doc_id") % 5).cast("string")))
+      .withColumn("score", ((col("doc_id") * 7L) % 1000L).cast("long"))
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).option("mergeSchema", "true")
+      .mode(org.apache.spark.sql.SaveMode.Append).save() // v1: interleaved
+    def read() = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+    def counted(df: => org.apache.spark.sql.DataFrame): (org.apache.spark.sql.Row, Long) = {
+      val before = ShardSink.dataFileReadCount.get()
+      val r = df.agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)").as("x")).collect().head
+      (r, ShardSink.dataFileReadCount.get() - before)
+    }
+    def census = ShardSink.committedFiles(dir.getPath).count(_.endsWith(".tsv")).toLong
+    val (l3Before, openedBefore) = counted(read().where(col("lang") === "l3"))
+    val fullCensus = census
+    ShardSink.compactZOrderBy(dir.getPath, rowsPerFile = 125, cols = Seq("lang")) // v2
+    val (l3After, openedLang) = counted(read().where(col("lang") === "l3"))
+    ShardSink.compactZOrderBy(dir.getPath, rowsPerFile = 125,
+      cols = Seq("lang", "score")) // v3
+    val (box, openedBox) = counted(read()
+      .where(col("lang") === "l3" && col("score") >= 600L && col("score") < 680L))
+    val boxCensus = census
+    import spark.implicits._
+    Seq((
+      l3Before.getLong(0), l3Before.getLong(1),
+      l3After.getLong(0), l3After.getLong(1),
+      box.getLong(0), box.getLong(1),
+      if (openedBefore == fullCensus) 1L else 0L, // interleaved: nothing prunable
+      openedLang, // deterministic: rows 1200..1599 of the 16×125 layout
+      if (openedBox < boxCensus) 1L else 0L)).toDF(
+      "n_l3_pre", "xor_l3_pre", "n_l3", "xor_l3", "n_box", "xor_box",
+      "unclustered_full", "opened_lang", "pruned_box")
+  }
+
+  val zorderColsReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, 'l' || CAST(doc_id % 5 AS VARCHAR) AS lang,
+      |         (doc_id * 7) % 1000 AS score
+      |  FROM range(0, 2000) t(doc_id))
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE lang = 'l3') AS n_l3_pre,
+      |  (SELECT bit_xor(doc_id) FROM g WHERE lang = 'l3') AS xor_l3_pre,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE lang = 'l3') AS n_l3,
+      |  (SELECT bit_xor(doc_id) FROM g WHERE lang = 'l3') AS xor_l3,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g
+      |     WHERE lang = 'l3' AND score >= 600 AND score < 680) AS n_box,
+      |  (SELECT bit_xor(doc_id) FROM g
+      |     WHERE lang = 'l3' AND score >= 600 AND score < 680) AS xor_box,
+      |  CAST(1 AS BIGINT) AS unclustered_full,
+      |  CAST(4 AS BIGINT) AS opened_lang,
+      |  CAST(1 AS BIGINT) AS pruned_box""".stripMargin
+
   val colSkippingReportSql: String =
     """WITH g AS (
       |  SELECT doc_id,

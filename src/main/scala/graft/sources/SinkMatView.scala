@@ -296,6 +296,42 @@ object SinkMatView {
     */
   def mvDirOf(srcDir: String): String = srcDir.stripSuffix("/") + ".mv"
 
+  /** STREAMING maintenance: apply ONE micro-batch of change rows (the
+    * CDF stream delivers one commit per trigger) to the MV — the
+    * `foreachBatch` body of a continuously-maintained rollup. Exactly
+    * once across replays by the state's own watermark: a batch at or
+    * below `srcV` is a recorded no-op (the flip that covered it already
+    * committed), a batch more than one commit ahead fails loudly (the
+    * stream delivers versions in order; a gap means a skipped commit and
+    * a silently wrong view). The fold itself is the batch refresh's —
+    * same net-grain extremes, same pruned dirty recompute at `toV`.
+    */
+  def refreshFromChanges(
+      spark: SparkSession, srcDir: String, mvDir: String,
+      ch: DataFrame, toV: Long): RefreshStats = {
+    var attempt = 0
+    while (true) {
+      val stateV = currentVersion(mvDir)
+      require(stateV > 0L, s"no materialized view at $mvDir (create it first)")
+      val st = readStateAt(mvDir, stateV)
+      require(st.src == srcDir, s"MV at $mvDir materializes ${st.src}, not $srcDir")
+      if (toV <= st.srcV) // replayed or pre-create commit: already covered
+        return RefreshStats(st.srcV, st.srcV, 0L, 0L, stateV, applied = false)
+      require(toV == st.srcV + 1L,
+        s"streaming MV gap at $mvDir: batch carries commit $toV but the view " +
+          s"reflects ${st.srcV} — commits must apply in order")
+      val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L)
+      val cached = ch.persist()
+      try return refreshFolds(spark, srcDir, mvDir, st, stateV, toV, cached, sign)
+      catch {
+        case _: MvConflict if attempt < 5 => attempt += 1
+        case c: MvConflict => throw c
+      } finally { cached.unpersist(); () }
+    }
+    sys.error("unreachable")
+  }
+
   private def refreshOnce(
       spark: SparkSession, srcDir: String, mvDir: String,
       st: MvState, stateV: Long, toV: Long): RefreshStats = {
@@ -557,6 +593,98 @@ object SinkMatView {
       .withColumn("src_version", lit(lastSourceVersion(mvDir)))
       .orderBy("shard")
   }
+
+  /** Driver-checked STREAMING MV MAINTENANCE (round 15): the same
+    * 6-commit lifecycle, maintained CONTINUOUSLY — the change feed is
+    * tailed one commit per trigger and every micro-batch lands through
+    * [[refreshFromChanges]] in a `foreachBatch` loop, the recipe Delta
+    * documents for streaming aggregate maintenance. The create-time
+    * watermark (source v2) makes the first two streamed commits recorded
+    * NO-OPS (already covered by the full build) — the exactly-once
+    * dedup a replayed batch takes too — and the last four fold
+    * incrementally, dirty recomputes included. The final view, the
+    * applied/skipped split, the version ladder AND a zero row-diff
+    * against a from-scratch aggregate of the source all sit under the
+    * hash gate.
+    */
+  def mvStreamParity(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mvs:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmvs_$sfx")
+    SinkFs.deleteRecursively(root)
+    val s = graft.streaming.StreamTune.session(spark)
+    s.conf.set("spark.sql.catalog.graft_mvs", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mvs.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mvs.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvs.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvs.cdf.enabled", "true")
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2400").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .writeTo("graft_mvs.docs_mvs").append()
+    val dir = new java.io.File(root, "docs_mvs").getPath
+    val mvDir = mvDirOf(dir)
+    append(0L, 800L) // v1
+    append(800L, 2000L) // v2
+    create(s, dir, mvDir, "shard", Seq(
+      MvAgg("n_docs", "count"),
+      MvAgg("sum_ids", "sum", "doc_id"),
+      MvAgg("xor_ids", "xor", "doc_id"),
+      MvAgg("min_doc", "min", "doc_id"),
+      MvAgg("max_doc", "max", "doc_id")))
+    s.sql("UPDATE graft_mvs.docs_mvs SET body = concat(body, '!') WHERE doc_id < 300") // v3
+    s.sql("DELETE FROM graft_mvs.docs_mvs WHERE doc_id >= 1500") // v4
+    s.sql("DELETE FROM graft_mvs.docs_mvs WHERE shard = 3") // v5
+    append(2000L, 2400L) // v6
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
+    val skipped = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = s.readStream.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("readChangeFeed", "true").load()
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val vs = batch.agg(
+          min(col("_commit_version")), max(col("_commit_version"))).collect().head
+        if (!vs.isNullAt(0)) {
+          require(vs.getLong(0) == vs.getLong(1),
+            "the CDF stream delivers one commit per trigger")
+          val st = refreshFromChanges(s, dir, mvDir, batch, vs.getLong(0))
+          (if (st.applied) applied else skipped).incrementAndGet()
+          ()
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val full = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+        expr("bit_xor(doc_id)").as("xor_ids"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    val mv = read(s, mvDir)
+    val nDiff = mv.exceptAll(full).union(full.exceptAll(mv)).count()
+    mv.withColumn("n_applied", lit(applied.get()))
+      .withColumn("n_skipped", lit(skipped.get()))
+      .withColumn("mv_version", lit(currentVersion(mvDir)))
+      .withColumn("src_version", lit(lastSourceVersion(mvDir)))
+      .withColumn("n_diff", lit(nDiff))
+      .orderBy("shard")
+  }
+
+  val mvStreamParitySql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard
+      |  FROM range(0, 2400) t(doc_id)
+      |  WHERE (doc_id < 1500 AND doc_id % 16 <> 3) OR doc_id >= 2000)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+      |       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+      |       CAST(4 AS BIGINT) AS n_applied,
+      |       CAST(2 AS BIGINT) AS n_skipped,
+      |       CAST(5 AS BIGINT) AS mv_version,
+      |       CAST(6 AS BIGINT) AS src_version,
+      |       CAST(0 AS BIGINT) AS n_diff
+      |FROM g GROUP BY shard ORDER BY shard""".stripMargin
 
   /** DuckDB re-derivation: the final live set is
     * `(doc_id < 1500 AND shard <> 3) OR doc_id >= 2000` with bodies

@@ -218,6 +218,8 @@ object Sinks {
     "q_dsv2_auto_compact" -> (ShardSink.autoCompactReport _),
     "q_dsv2_mv_refresh" -> (SinkMatView.mvRefreshReport _),
     "q_dsv2_col_skipping" -> (SinkColStats.colSkippingReport _),
+    "s_mv_stream_parity" -> (SinkMatView.mvStreamParity _),
+    "q_dsv2_zorder_cols" -> (SinkColStats.zorderColsReport _),
     "q_dsv2_restore" -> (ShardSink.restoreReport _),
     "q_dsv2_replace_where" -> (ShardSink.replaceWhereReport _),
     "q_dsv2_vacuum" -> (ShardSink.vacuumReport _),
@@ -275,6 +277,8 @@ object Sinks {
     "q_dsv2_auto_compact" -> ShardSink.autoCompactReportSql,
     "q_dsv2_mv_refresh" -> SinkMatView.mvRefreshReportSql,
     "q_dsv2_col_skipping" -> SinkColStats.colSkippingReportSql,
+    "s_mv_stream_parity" -> SinkMatView.mvStreamParitySql,
+    "q_dsv2_zorder_cols" -> SinkColStats.zorderColsReportSql,
     "q_dsv2_restore" -> ShardSink.restoreReportSql,
     "q_dsv2_replace_where" -> ShardSink.replaceWhereReportSql,
     "q_dsv2_vacuum" -> ShardSink.vacuumReportSql,

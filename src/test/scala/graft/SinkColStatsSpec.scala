@@ -192,6 +192,45 @@ class SinkColStatsSpec extends SparkSpec {
     assert(nPt === 400L)
   }
 
+  test("generalized Z-order: clustering makes payload envelopes selective; content identical") {
+    val dir = freshDir("cs_zorder")
+    // ONE interleaved ingest: every file spans every lang
+    docs(0L, 1000L, n = 1000)
+      .withColumn("lang", concat(lit("l"), (col("doc_id") % 4).cast("string")))
+      .withColumn("score", ((col("doc_id") * 3L) % 500L).cast("long"))
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("mergeSchema", "true")
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    val preRows = read(dir).collect().toSet
+    val censusBefore = entryCount(dir)
+    val (n0, opened0) = counted(read(dir).where(col("lang") === "l2"))
+    assert(n0 === 250L && opened0 === censusBefore.toLong, "interleaved: nothing prunable")
+    ShardSink.compactZOrderBy(dir, rowsPerFile = 125, cols = Seq("lang"))
+    // rewrite preserves content exactly
+    assert(read(dir).collect().toSet === preRows)
+    val census = entryCount(dir)
+    assert(census === 8)
+    // 250 l2 rows sorted to positions 500..749 → chunks 4 and 5 only
+    val (n1, opened1) = counted(read(dir).where(col("lang") === "l2"))
+    assert(n1 === 250L && opened1 === 2L, s"lang read opened $opened1 of $census")
+    // multi-column curve: a box predicate prunes on both dimensions
+    ShardSink.compactZOrderBy(dir, rowsPerFile = 125, cols = Seq("lang", "score"))
+    assert(read(dir).collect().toSet === preRows)
+    val (nb, openedBox) = counted(read(dir)
+      .where(col("lang") === "l2" && col("score") >= 200L && col("score") < 260L))
+    val expected = (0L until 1000L).count(id =>
+      id % 4 == 2 && { val s = (id * 3) % 500; s >= 200 && s < 260 }).toLong
+    assert(nb === expected)
+    assert(openedBox < census.toLong, s"box read opened $openedBox of $census")
+    // validation
+    intercept[IllegalArgumentException](
+      ShardSink.compactZOrderBy(dir, 125, Seq.empty))
+    intercept[IllegalArgumentException](
+      ShardSink.compactZOrderBy(dir, 125, Seq("lang", "lang")))
+    intercept[IllegalArgumentException](
+      ShardSink.compactZOrderBy(dir, 125, Seq("no_such")))
+  }
+
   test("row-level DML reads prune on payload predicates") {
     val sfx = java.util.UUID.randomUUID().toString.take(8)
     val root = java.nio.file.Files.createTempDirectory("cs_dml").toFile

@@ -185,6 +185,34 @@ class SinkMatViewSpec extends SparkSpec {
     assert(SinkMatView.lastSourceVersion(mvDir) === 1L)
   }
 
+  test("streaming apply: replays are no-ops, gaps fail loudly") {
+    val dir = freshDir("mv_stream")
+    val mvDir = SinkMatView.mvDirOf(dir)
+    append(dir, 0L, 400L, n = 600) // v1
+    SinkMatView.create(spark, dir, mvDir, "shard", rollupAggs)
+    append(dir, 400L, 500L, n = 600) // v2
+    append(dir, 500L, 600L, n = 600) // v3
+    def changesOf(v: Long) =
+      spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("readChangeFeed", "true")
+        .option("changeFeedFrom", v - 1).option("changeFeedTo", v).load()
+    val first = SinkMatView.refreshFromChanges(spark, dir, mvDir, changesOf(2L), 2L)
+    assert(first.applied && SinkMatView.lastSourceVersion(mvDir) === 2L)
+    // exactly-once on replay: the watermark records the covered commit
+    val replay = SinkMatView.refreshFromChanges(spark, dir, mvDir, changesOf(2L), 2L)
+    assert(!replay.applied && SinkMatView.currentVersion(mvDir) === 2L)
+    // a gap (v4 applied over a view at v2... simulate by appending v4 and
+    // skipping v3) must fail loudly, never silently drift
+    append(dir, 600L, 700L, n = 700) // v4
+    val e = intercept[IllegalArgumentException](
+      SinkMatView.refreshFromChanges(spark, dir, mvDir, changesOf(4L), 4L))
+    assert(e.getMessage.contains("gap"))
+    // in-order catch-up converges to the batch answer
+    SinkMatView.refreshFromChanges(spark, dir, mvDir, changesOf(3L), 3L)
+    SinkMatView.refreshFromChanges(spark, dir, mvDir, changesOf(4L), 4L)
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+  }
+
   test("definition validation and misuse are rejected up front") {
     val dir = freshDir("mv_valid")
     val mvDir = SinkMatView.mvDirOf(dir)
