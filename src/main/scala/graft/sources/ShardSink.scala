@@ -3499,7 +3499,8 @@ object ShardSink {
     */
   private[sources] final case class SegmentRef(
       name: String, n: Int, shardMin: Int = -1, shardMax: Int = -1,
-      docMin: Long = -1L, docMax: Long = -1L, bf: String = "") {
+      docMin: Long = -1L, docMax: Long = -1L, bf: String = "",
+      cs: String = "") {
     def hasStats: Boolean = shardMin >= 0
     def hasDocStats: Boolean = docMax >= 0L
     def mayContainShard(shards: Set[Int]): Boolean =
@@ -3515,17 +3516,27 @@ object ShardSink {
       */
     def mayContainDocPoints(points: Set[Long]): Boolean =
       bf.isEmpty || points.exists(v => DocBloom.mayContain(bf, v))
+    /** Whole-SEGMENT per-column skipping: the ref's merged envelope
+      * ([[SinkColStats.mergeEnvelopes]], all-or-silent) answers pushed
+      * payload predicates before the segment is even read — the same
+      * driver-IO win the shard/doc envelope buys, for `lang = 'pt'`
+      * instead of `shard = 3`. Absent = read, as everywhere.
+      */
+    def mayMatchCols(preds: Seq[SinkColStats.ColPred]): Boolean =
+      SinkColStats.mayMatch(cs, preds)
     def json: String = {
       val stats = if (hasStats) s""","s0":$shardMin,"s1":$shardMax""" else ""
       val docs = if (hasDocStats) s""","d0":$docMin,"d1":$docMax""" else ""
       val bloom = if (bf.nonEmpty) s""","b":"$bf"""" else ""
-      s"""{"f":"$name","n":$n$stats$docs$bloom}"""
+      val cse = if (cs.nonEmpty) s""","cs":"$cs"""" else ""
+      s"""{"f":"$name","n":$n$stats$docs$bloom$cse}"""
     }
   }
 
   private val SegRef =
     ("""\{"f":"([^"]+)","n":(\d+)(?:,"s0":(-?\d+),"s1":(-?\d+))?""" +
-      """(?:,"d0":(-?\d+),"d1":(-?\d+))?(?:,"b":"([^"]*)")?\}""").r
+      """(?:,"d0":(-?\d+),"d1":(-?\d+))?(?:,"b":"([^"]*)")?""" +
+      """(?:,"cs":"([^"]*)")?\}""").r
 
   private def parseSegRefs(blob: String): Seq[SegmentRef] =
     SegRef.findAllMatchIn(blob).map { m =>
@@ -3534,7 +3545,8 @@ object ShardSink {
       val (d0, d1) =
         if (m.group(5) == null) (-1L, -1L) else (m.group(5).toLong, m.group(6).toLong)
       SegmentRef(m.group(1), m.group(2).toInt, s0, s1, d0, d1,
-        if (m.group(7) == null) "" else m.group(7))
+        if (m.group(7) == null) "" else m.group(7),
+        if (m.group(8) == null) "" else m.group(8))
     }.toSeq
 
   private[sources] def segmentRefsAt(dir: String, version: Long): Seq[SegmentRef] =
@@ -3639,7 +3651,8 @@ object ShardSink {
     finally w.close()
     SinkFs.moveFresh(tmp, new Path(dir, name))
     val (s0, s1, d0, d1) = envelopeOf(entries)
-    SegmentRef(name, entries.size, s0, s1, d0, d1, DocBloom.union(entries.map(_.bf)))
+    SegmentRef(name, entries.size, s0, s1, d0, d1, DocBloom.union(entries.map(_.bf)),
+      SinkColStats.mergeEnvelopes(entries.map(_.cs)))
   }
 
   /** The O(changed) commit core: previous segments whose entries are ALL
@@ -3668,12 +3681,13 @@ object ShardSink {
       val kept = es.filter(e => desiredSet.contains(e) && !covered.contains(e))
       if (kept.nonEmpty) {
         if (kept.size == es.size) {
-          // reuse as-is; recompute the envelope (and the union bloom) so
-          // pre-envelope segments gain them the first time any commit
-          // re-references them
+          // reuse as-is; recompute the envelope (and the union bloom,
+          // and the per-column envelope) so pre-envelope segments gain
+          // them the first time any commit re-references them
           val (s0, s1, d0, d1) = envelopeOf(es)
           out += SegmentRef(ref.name, es.size, s0, s1, d0, d1,
-            DocBloom.union(es.map(_.bf)))
+            DocBloom.union(es.map(_.bf)),
+            SinkColStats.mergeEnvelopes(es.map(_.cs)))
         } else {
           k += 1
           val r = writeSegmentFile(dir, tag, nonce, k, kept)
@@ -3726,6 +3740,8 @@ object ShardSink {
         // RANGES all overlap, this is the level that makes a point
         // lookup O(matching segments) driver IO
         .filter(r => prunePoints.forall(r.mayContainDocPoints))
+        // per-column envelope: `lang = 'pt'` skips whole segments too
+        .filter(r => r.mayMatchCols(pruneCols))
         .flatMap(r => readSegment(dir, r.name)))
     else perEntry(parseEntries(blob))
   }
@@ -5764,6 +5780,25 @@ class ShardSinkScan(
         override def max(): Optional[Object] = Optional.of(Int.box(hi))
         override def nullCount(): OptionalLong = OptionalLong.of(0L)
       })
+    }
+    // payload columns (round 15): fold the per-entry column envelopes
+    // into CBO min/max — all-or-silent like everything envelope-shaped
+    // (a stat-less entry blanks the column). No distinct/null counts:
+    // the envelope doesn't know them, and a wrong guess misleads the
+    // optimizer worse than absence.
+    if (k.nonEmpty && k.forall(_.cs.nonEmpty)) {
+      SinkColStats.decode(SinkColStats.mergeEnvelopes(k.map(_.cs))).foreach {
+        case (name, st) =>
+          def box(v: String): Object = st.t match {
+            case 'l' => Long.box(v.toLong)
+            case 'd' => Double.box(v.toDouble)
+            case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+          }
+          colStats.put(Expressions.column(name), new ColumnStatistics {
+            override def min(): Optional[Object] = Optional.of(box(st.lo))
+            override def max(): Optional[Object] = Optional.of(box(st.hi))
+          })
+      }
     }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =

@@ -146,6 +146,38 @@ object SinkColStats {
       }
     }.toMap
 
+  /** The SEGMENT-level envelope: the union of the member entries'
+    * per-column envelopes, kept ONLY for columns EVERY member carries
+    * with the SAME type tag (all-or-silent, like the shard/doc segment
+    * envelope — a partial union could claim a range a stat-less member
+    * exceeds; a cross-type union has no single order). An empty member
+    * cs blanks the whole result. Encoded deterministically (columns
+    * sorted by name) so segment bytes stay stable for reuse.
+    */
+  def mergeEnvelopes(csList: Seq[String]): String = {
+    if (csList.isEmpty || csList.exists(_.isEmpty)) return ""
+    val maps = csList.map(decode)
+    val common = maps.map(_.keySet).reduce(_ intersect _)
+    common.toSeq.sorted.flatMap { c =>
+      val stats = maps.map(_(c))
+      val t = stats.head.t
+      if (!stats.forall(_.t == t)) None
+      else {
+        val lo = stats.map(_.lo).min(orderFor(t))
+        val hi = stats.map(_.hi).max(orderFor(t))
+        val (l, h) =
+          if (t == 's') (b64e(lo), b64e(hi)) else (lo, hi)
+        Some(s"$c:$t:$l:$h")
+      }
+    }.mkString("|")
+  }
+
+  private def orderFor(t: Char): Ordering[String] = t match {
+    case 'l' => Ordering.by(_.toLong)
+    case 'd' => Ordering.by(_.toDouble)
+    case _ => Ordering.String
+  }
+
   // ---- pruning predicates --------------------------------------------------
 
   /** A file-prunable conjunct over one column. All implementations are

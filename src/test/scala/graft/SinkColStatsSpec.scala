@@ -192,6 +192,28 @@ class SinkColStatsSpec extends SparkSpec {
     assert(nPt === 400L)
   }
 
+  test("segment refs carry merged column envelopes: payload predicates skip whole segments") {
+    val dir = freshDir("cs_seg")
+    ShardSink.setSegmentTarget(1) // one entry per segment: maximal ref count
+    try {
+      ingest(dir, 0L, 600L, "pt")
+      ingest(dir, 600L, 1200L, "en")
+      ingest(dir, 1200L, 1800L, "de")
+      val refs = SinkTestAccess.segmentRefsFull(dir, 3L)
+      assert(refs.size >= 3, s"expected a multi-segment manifest, got ${refs.size}")
+      SinkTestAccess.clearSegmentCache()
+      val segBefore = SinkTestAccess.segmentReadCount
+      val (n, opened) = counted(read(dir).where(col("lang") === "en"))
+      val segRead = SinkTestAccess.segmentReadCount - segBefore
+      assert(n === 600L)
+      // the lang predicate prunes at BOTH levels: whole segments unread
+      // (driver IO) and member files unopened (executor IO)
+      assert(segRead < refs.size.toLong,
+        s"read $segRead of ${refs.size} segments — segment-level cs envelope missing")
+      assert(opened < entryCount(dir).toLong)
+    } finally ShardSink.setSegmentTarget(512)
+  }
+
   test("generalized Z-order: clustering makes payload envelopes selective; content identical") {
     val dir = freshDir("cs_zorder")
     // ONE interleaved ingest: every file spans every lang
@@ -229,6 +251,27 @@ class SinkColStatsSpec extends SparkSpec {
       ShardSink.compactZOrderBy(dir, 125, Seq("lang", "lang")))
     intercept[IllegalArgumentException](
       ShardSink.compactZOrderBy(dir, 125, Seq("no_such")))
+  }
+
+  test("CBO column statistics: payload envelopes reach the optimizer's stats API") {
+    val dir = freshDir("cs_cbo")
+    ingest(dir, 0L, 600L, "aa")
+    ingest(dir, 600L, 1200L, "zz")
+    val scan = read(dir).queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head.scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+    val cols = scan.estimateStatistics().columnStats()
+    val byName = cols.entrySet().iterator()
+    var found = Map.empty[String, (Object, Object)]
+    while (byName.hasNext) {
+      val e = byName.next()
+      if (e.getValue.min().isPresent)
+        found += e.getKey.describe() -> (e.getValue.min().get(), e.getValue.max().get())
+    }
+    assert(found.contains("score"), s"score stats missing: ${found.keySet}")
+    assert(found("score") === (Long.box(0L), Long.box(2398L)))
+    assert(found.contains("lang"))
+    assert(found("lang")._1.toString === "aa" && found("lang")._2.toString === "zz")
   }
 
   test("row-level DML reads prune on payload predicates") {
