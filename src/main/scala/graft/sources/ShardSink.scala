@@ -506,13 +506,15 @@ class ShardSinkTable(
               col1(c.column).collect {
                 case "doc_id" | "shard" | "body" => MetaCount
               }
-            case m: Min => col1(m.column).collect {
-              case "doc_id" => MetaMinDoc
-              case "shard" => MetaMinShard
+            case m: Min => col1(m.column).flatMap {
+              case "doc_id" => Some(MetaMinDoc)
+              case "shard" => Some(MetaMinShard)
+              case n => payloadStatCol(n).map { dt => MetaMinCol(n, dt) }
             }
-            case m: Max => col1(m.column).collect {
-              case "doc_id" => MetaMaxDoc
-              case "shard" => MetaMaxShard
+            case m: Max => col1(m.column).flatMap {
+              case "doc_id" => Some(MetaMaxDoc)
+              case "shard" => Some(MetaMaxShard)
+              case n => payloadStatCol(n).map { dt => MetaMaxCol(n, dt) }
             }
             case _ => None
           }
@@ -531,13 +533,39 @@ class ShardSinkTable(
               val (_, entries) = resolveForProof()
               val pure = !g ||
                 entries.forall(e => e.hasStats && e.shardMin == e.shardMax)
-              val minmaxOk = out.forall(_ == MetaCount) ||
+              val docShard = out.exists(a =>
+                a == MetaMinDoc || a == MetaMaxDoc ||
+                  a == MetaMinShard || a == MetaMaxShard)
+              val minmaxOk = !docShard ||
                 entries.forall(e => e.hasStats && e.hasDocStats && !e.hasDeletes)
-              if (pure && minmaxOk) Some((g, out)) else None
+              // payload MIN/MAX: every entry must carry the column's
+              // envelope under the column's own tag, vectors-free —
+              // the same over-approximation argument as doc/shard
+              val payloadCols = out.collect {
+                case MetaMinCol(n, dt) => (n, SinkColStats.tagOf(dt).get)
+                case MetaMaxCol(n, dt) => (n, SinkColStats.tagOf(dt).get)
+              }.distinct
+              val payloadOk = payloadCols.isEmpty || entries.forall { e =>
+                !e.hasDeletes && e.cs.nonEmpty && {
+                  val m = SinkColStats.decode(e.cs)
+                  payloadCols.forall { case (n, t) => m.get(n).exists(_.t == t) }
+                }
+              }
+              if (pure && minmaxOk && payloadOk) Some((g, out)) else None
             }
           }
         }
       }
+      /** A payload column eligible for envelope-answered MIN/MAX: in the
+        * pinned schema, stat-typed. doc_id/shard use the dedicated specs.
+        */
+      private def payloadStatCol(n: String)
+          : Option[org.apache.spark.sql.types.DataType] =
+        if (!table.fieldNames.contains(n)) None
+        else {
+          val dt = table(n).dataType
+          SinkColStats.tagOf(dt).map(_ => dt)
+        }
       private var pushedMeta: Option[(Boolean, Seq[ShardSinkMetaAgg])] = None
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -576,6 +604,18 @@ case object MetaMinDoc extends ShardSinkMetaAgg
 case object MetaMaxDoc extends ShardSinkMetaAgg
 case object MetaMinShard extends ShardSinkMetaAgg
 case object MetaMaxShard extends ShardSinkMetaAgg
+/** MIN/MAX over a PAYLOAD column, answered from the per-entry column
+  * envelopes ([[SinkColStats]]) — eligible only when every kept entry
+  * carries the column's stat with the column's own type tag and no
+  * delete vectors exist (a vector may have killed exactly the extreme
+  * row; an envelope min over non-null values IS SQL's null-ignoring
+  * MIN). `dt` is the column's catalyst type: the pushed aggregate's
+  * output schema must match it exactly.
+  */
+case class MetaMinCol(name: String, dt: org.apache.spark.sql.types.DataType)
+  extends ShardSinkMetaAgg
+case class MetaMaxCol(name: String, dt: org.apache.spark.sql.types.DataType)
+  extends ShardSinkMetaAgg
 
 /** The manifest-aggregate scan: one partition, every value resolved at
   * plan time on the driver from the (possibly version-pinned) manifest —
@@ -605,6 +645,8 @@ class ShardSinkCountScan(
           st.add(s"agg_$i", LongType, nullable = !groupByShard)
         case MetaMinShard | MetaMaxShard =>
           st.add(s"agg_$i", IntegerType, nullable = !groupByShard)
+        case MetaMinCol(_, dt) => st.add(s"agg_$i", dt, nullable = !groupByShard)
+        case MetaMaxCol(_, dt) => st.add(s"agg_$i", dt, nullable = !groupByShard)
       }
     }
   }
@@ -630,12 +672,34 @@ class ShardSinkCountScan(
     // a clone whose source was vacuumed must not answer a stale
     // manifest-only count — same count/collect validity agreement
     ShardSink.requireForeignLive(path, entries)
+    // the pushed payload MIN/MAX fold: per entry, the envelope's bound
+    // for the column (push-time gating proved every entry carries it);
+    // typed exactly as the output schema demands (strings → UTF8String)
+    def colBound(es: Seq[SinkEntry], n: String,
+        dt: org.apache.spark.sql.types.DataType, isMin: Boolean): Any = {
+      if (es.isEmpty) return null
+      val t = SinkColStats.tagOf(dt).get
+      val raws = es.map(e => {
+        val st = SinkColStats.decode(e.cs)(n)
+        if (isMin) st.lo else st.hi
+      })
+      val raw = if (isMin) raws.min(SinkColStats.orderFor(t))
+        else raws.max(SinkColStats.orderFor(t))
+      dt match {
+        case org.apache.spark.sql.types.IntegerType => raw.toInt
+        case org.apache.spark.sql.types.LongType => raw.toLong
+        case org.apache.spark.sql.types.DoubleType => raw.toDouble
+        case _ => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+      }
+    }
     def aggsOf(es: Seq[SinkEntry]): Seq[Any] = specs.map {
       case MetaCount => es.map(_.rows).sum: Any
       case MetaMinDoc => if (es.isEmpty) null else es.map(_.docMin).min
       case MetaMaxDoc => if (es.isEmpty) null else es.map(_.docMax).max
       case MetaMinShard => if (es.isEmpty) null else es.map(_.shardMin).min
       case MetaMaxShard => if (es.isEmpty) null else es.map(_.shardMax).max
+      case MetaMinCol(n, dt) => colBound(es, n, dt, isMin = true)
+      case MetaMaxCol(n, dt) => colBound(es, n, dt, isMin = false)
     }
     val rows: Array[Array[Any]] =
       if (groupByShard)

@@ -172,7 +172,7 @@ object SinkColStats {
     }.mkString("|")
   }
 
-  private def orderFor(t: Char): Ordering[String] = t match {
+  private[sources] def orderFor(t: Char): Ordering[String] = t match {
     case 'l' => Ordering.by(_.toLong)
     case 'd' => Ordering.by(_.toDouble)
     case _ => Ordering.String
@@ -427,6 +427,55 @@ object SinkColStats {
       "n_l3_pre", "xor_l3_pre", "n_l3", "xor_l3", "n_box", "xor_box",
       "unclustered_full", "opened_lang", "pruned_box")
   }
+
+  /** Driver-checked MANIFEST-ONLY PAYLOAD MIN/MAX (round 15): with the
+    * per-column envelopes in every entry, `SELECT min(score), max(score),
+    * min(lang), max(lang), count(*)` answers COMPLETELY from the
+    * manifest — zero data IO, the same push the doc_id/shard aggregates
+    * earned in rounds 13–15, now for columns the layout knows nothing
+    * about. `meta_answered` pins the plan shape (the count-scan surface
+    * planned, no aggregate node re-reading data) AND that the read
+    * counter did not move; the values sit under the DuckDB hash gate.
+    */
+  def metaColMinMaxReport(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mcm:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmcm_$sfx")
+    SinkFs.deleteRecursively(dir)
+    def ingest(lo: Long, hi: Long, lang: String): Unit =
+      spark.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "1800").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .withColumn("lang", lit(lang))
+        .withColumn("score", (col("doc_id") * 2L).cast("long"))
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir.getPath).option("mergeSchema", "true")
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    ingest(0L, 600L, "pt"); ingest(600L, 1200L, "en"); ingest(1200L, 1800L, "de")
+    val df = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir.getPath).load()
+      .agg(
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"),
+        min(col("lang")).as("min_lang"), max(col("lang")).as("max_lang"),
+        count(lit(1)).as("n_docs"))
+    val planned = df.queryExecution.executedPlan.toString
+    val before = ShardSink.dataFileReadCount.get()
+    val row = df.collect().head
+    val opened = ShardSink.dataFileReadCount.get() - before
+    import spark.implicits._
+    Seq((
+      row.getLong(0), row.getLong(1), row.getString(2), row.getString(3),
+      row.getLong(4),
+      if (planned.contains("ShardSinkCountScan") && opened == 0L) 1L else 0L)).toDF(
+      "min_score", "max_score", "min_lang", "max_lang", "n_docs", "meta_answered")
+  }
+
+  val metaColMinMaxReportSql: String =
+    """SELECT CAST(0 AS BIGINT) AS min_score, CAST(3598 AS BIGINT) AS max_score,
+      |       'de' AS min_lang, 'pt' AS max_lang,
+      |       CAST(1800 AS BIGINT) AS n_docs, CAST(1 AS BIGINT) AS meta_answered""".stripMargin
 
   val zorderColsReportSql: String =
     """WITH g AS (

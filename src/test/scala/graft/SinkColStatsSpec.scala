@@ -274,6 +274,37 @@ class SinkColStatsSpec extends SparkSpec {
     assert(found("lang")._1.toString === "aa" && found("lang")._2.toString === "zz")
   }
 
+  test("payload MIN/MAX answers manifest-only; vectors and stat-less files disqualify") {
+    val dir = freshDir("cs_meta")
+    ingest(dir, 0L, 600L, "pt")
+    ingest(dir, 600L, 1200L, "en")
+    def aggDf = read(dir).agg(
+      min(col("score")).as("mn"), max(col("score")).as("mx"), max(col("lang")).as("ml"))
+    val pushed = aggDf
+    assert(pushed.queryExecution.executedPlan.toString.contains("ShardSinkCountScan"),
+      pushed.queryExecution.executedPlan.toString)
+    val before = ShardSink.dataFileReadCount.get()
+    val r = pushed.collect().head
+    assert(ShardSink.dataFileReadCount.get() === before, "manifest-only means zero data IO")
+    assert((r.getLong(0), r.getLong(1), r.getString(2)) === ((0L, 2398L, "pt")))
+    // a delete vector may have killed the extreme: the push must refuse
+    SinkTestAccess.morDeleteWhere(dir,
+      Array(org.apache.spark.sql.sources.EqualTo("doc_id", 1199L)))
+    val fallback = aggDf
+    assert(!fallback.queryExecution.executedPlan.toString.contains("ShardSinkCountScan"))
+    val r2 = fallback.collect().head
+    assert((r2.getLong(0), r2.getLong(1)) === ((0L, 2396L))) // 1199's score is gone
+    // a stat-less (pre-evolution) file disqualifies too — and the data
+    // answer it falls back to is the null-ignoring SQL MIN
+    val dir2 = freshDir("cs_meta2")
+    docs(0L, 100L, n = 100).write.format("graft.sources.ShardSinkSource")
+      .option("path", dir2).mode(org.apache.spark.sql.SaveMode.Append).save()
+    ingest(dir2, 100L, 200L, "xx")
+    val f2 = read(dir2).agg(min(col("score")).as("mn"))
+    assert(!f2.queryExecution.executedPlan.toString.contains("ShardSinkCountScan"))
+    assert(f2.collect().head.getLong(0) === 200L)
+  }
+
   test("row-level DML reads prune on payload predicates") {
     val sfx = java.util.UUID.randomUUID().toString.take(8)
     val root = java.nio.file.Files.createTempDirectory("cs_dml").toFile
