@@ -71,12 +71,17 @@ object SinkMatView {
 
   // ---- state model -------------------------------------------------------
 
-  /** `rows`: group-value (serialized) → one Option[Long] per agg (None =
-    * SQL NULL, e.g. sum/min over an all-null expression).
+  /** `rows`: group-value tuple (raw value strings; null = SQL NULL
+    * group) → one Option[Long] per agg (None = SQL NULL, e.g. sum/min
+    * over an all-null expression). `pred` ("" = none) is the MV's WHERE
+    * clause: only rows satisfying it contribute, on the full build AND
+    * on every change row (an update whose pre-image matched and whose
+    * post-image does not is a net retraction — filtered-MV semantics
+    * fall out of the signed fold).
     */
   private final case class MvState(
-      src: String, group: String, gtype: String, srcV: Long,
-      aggs: Seq[MvAgg], rows: Map[String, Array[Option[Long]]])
+      src: String, groups: Seq[String], gtypes: Seq[String], pred: String,
+      srcV: Long, aggs: Seq[MvAgg], rows: Map[List[String], Array[Option[Long]]])
 
   private def escape(s: String): String =
     s.flatMap {
@@ -92,18 +97,25 @@ object SinkMatView {
     val aggs = st.aggs
       .map(a => s"""{"n":"${a.name}","k":"${a.kind}","e":"${a.e}"}""")
       .mkString("[", ",", "]")
-    s"""{"src":"${st.src}","group":"${st.group}","gtype":"${st.gtype}",""" +
+    s"""{"src":"${st.src}","group":"${st.groups.mkString(",")}",""" +
+      s""""gtype":"${st.gtypes.mkString(",")}","pred":"${st.pred}",""" +
       s""""srcV":${st.srcV},"aggs":$aggs}"""
   }
 
   private val HeaderRe =
     ("""\{"src":"([^"]*)","group":"([^"]*)","gtype":"([^"]*)",""" +
-      """"srcV":(\d+),"aggs":\[(.*)\]\}""").r
+      """"pred":"([^"]*)","srcV":(\d+),"aggs":\[(.*)\]\}""").r
   private val AggRe = """\{"n":"([^"]*)","k":"([^"]*)","e":"([^"]*)"\}""".r
 
   private def cell(v: Option[Long]): String = v.map(_.toString).getOrElse("")
   private def uncell(s: String): Option[Long] =
     if (s.isEmpty) None else Some(s.toLong)
+
+  /** Group cells: escaped value, or the unambiguous null marker ("%N"
+    * cannot collide — escape() rewrites a literal '%' to "%25").
+    */
+  private def gcell(v: String): String = if (v == null) "%N" else escape(v)
+  private def ungcell(s: String): String = if (s == "%N") null else unescape(s)
 
   private def writeState(mvDir: String, version: Long, st: MvState): Unit = {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
@@ -113,8 +125,8 @@ object SinkMatView {
       w.write(headerJson(st)); w.write("\n")
       // deterministic row order: the blob's bytes are a function of the
       // state, not of HashMap iteration — diffable, digest-stable
-      st.rows.toSeq.sortBy(_._1).foreach { case (g, vs) =>
-        w.write((escape(g) +: vs.map(cell)).mkString("\t")); w.write("\n")
+      st.rows.toSeq.sortBy(_._1.map(gcell).mkString("\t")).foreach { case (g, vs) =>
+        w.write((g.map(gcell) ++ vs.map(cell)).mkString("\t")); w.write("\n")
       }
     } finally w.close()
     val dest = new Path(mvDir, s"_mv.v$version.json")
@@ -146,19 +158,20 @@ object SinkMatView {
 
   private def readStateAt(mvDir: String, v: Long): MvState = {
     val lines = SinkFs.readLines(new Path(mvDir, s"_mv.v$v.json"))
-    val (src, group, gtype, srcV, aggs) = lines.head match {
-      case HeaderRe(s, g, t, sv, as) =>
+    val (src, groups, gtypes, pred, srcV, aggs) = lines.head match {
+      case HeaderRe(s, g, t, pr, sv, as) =>
         val parsed = AggRe.findAllMatchIn(as)
           .map(m => MvAgg(m.group(1), m.group(2), m.group(3))).toSeq
-        (s, g, t, sv.toLong, parsed)
+        (s, g.split(",", -1).toSeq, t.split(",", -1).toSeq, pr, sv.toLong, parsed)
       case other => sys.error(s"unparseable MV state header at $mvDir: $other")
     }
+    val g = groups.length
     val rows = lines.tail.map { l =>
       val cs = l.split("\t", -1)
-      require(cs.length == aggs.length + 1, s"torn MV state row at $mvDir: $l")
-      unescape(cs.head) -> cs.tail.map(uncell)
+      require(cs.length == aggs.length + g, s"torn MV state row at $mvDir: $l")
+      cs.take(g).map(ungcell).toList -> cs.drop(g).map(uncell)
     }.toMap
-    MvState(src, group, gtype, srcV, aggs, rows)
+    MvState(src, groups, gtypes, pred, srcV, aggs, rows)
   }
 
   /** Source-version watermark of the MV's current state — what the MV
@@ -206,18 +219,45 @@ object SinkMatView {
     case "max" => max(expr(a.e).cast(LongType)).as(a.name)
   }
 
-  private def validate(group: String, aggs: Seq[MvAgg]): Unit = {
+  private def validate(groups: Seq[String], aggs: Seq[MvAgg], pred: String): Unit = {
+    require(groups.nonEmpty, "an MV needs at least one group column")
+    require(groups.distinct.length == groups.length, s"duplicate group columns: $groups")
     require(aggs.nonEmpty, "an MV needs at least one aggregate")
     val names = aggs.map(_.name)
     require(names.distinct.length == names.length, s"duplicate agg names: $names")
+    require(!pred.contains("\""), "the MV predicate must not contain '\"'")
     aggs.foreach { a =>
       require(Kinds(a.kind), s"unknown MV agg kind '${a.kind}' (${Kinds.mkString("/")})")
       require(a.name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid agg name '${a.name}'")
       require(a.kind == "count" || a.e.nonEmpty, s"agg ${a.name}: ${a.kind} needs an expression")
       require(!a.e.contains("\""), s"agg ${a.name}: expression must not contain '\"'")
-      require(a.name != group, s"agg ${a.name} collides with the group column")
+      require(!groups.contains(a.name), s"agg ${a.name} collides with a group column")
     }
   }
+
+  /** The MV's WHERE clause applied to any frame with the source's data
+    * columns — the full build, the change rows, the dirty recompute.
+    */
+  private def filtered(df: DataFrame, pred: String): DataFrame =
+    if (pred.isEmpty) df else df.where(expr(pred))
+
+  /** Group-key extraction from a collected aggregation row whose first
+    * `g` columns are the group columns (null group values stay null).
+    */
+  private def keyOf(r: Row, g: Int): List[String] =
+    (0 until g).map(i => if (r.isNullAt(i)) null else r.get(i).toString).toList
+
+  /** The dirty-group recompute filter: OR of per-group conjunctions,
+    * typed literals so source pruning (shard stats, column envelopes)
+    * still engages on the recompute scan.
+    */
+  private def groupFilter(
+      st: MvState, keys: Seq[List[String]]): org.apache.spark.sql.Column =
+    keys.map { parts =>
+      st.groups.zip(st.gtypes).zip(parts).map { case ((c, t), p) =>
+        if (p == null) col(c).isNull else col(c) === lit(gvalue(t, p))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
 
   // ---- create ------------------------------------------------------------
 
@@ -228,22 +268,34 @@ object SinkMatView {
     */
   def create(
       spark: SparkSession, srcDir: String, mvDir: String,
-      group: String, aggs: Seq[MvAgg]): Long = {
-    validate(group, aggs)
+      group: String, aggs: Seq[MvAgg]): Long =
+    create(spark, srcDir, mvDir, Seq(group), aggs, where = "")
+
+  /** Generalized creation: `SELECT g1, …, gk, aggs… FROM src [WHERE
+    * pred] GROUP BY g1, …, gk`. NULL group values form their own group,
+    * SQL-style.
+    */
+  def create(
+      spark: SparkSession, srcDir: String, mvDir: String,
+      groups: Seq[String], aggs: Seq[MvAgg], where: String): Long = {
+    validate(groups, aggs, where)
     require(currentVersion(mvDir) == 0L, s"materialized view already exists at $mvDir")
     val srcV = ShardSink.currentManifestVersion(srcDir)
     require(srcV > 0L, s"no committed version at $srcDir — create the MV after the first commit")
     val schema = ShardSink.schemaAtVersion(srcDir, srcV)
-    require(schema.fieldNames.contains(group), s"group column '$group' not in ${schema.fieldNames.mkString(",")}")
-    val gtype = gtypeOf(schema(group).dataType)
-    val full = srcAt(spark, srcDir, srcV)
-      .groupBy(col(group)).agg(aggColumn(aggs.head), aggs.tail.map(aggColumn): _*)
+    groups.foreach(g => require(schema.fieldNames.contains(g),
+      s"group column '$g' not in ${schema.fieldNames.mkString(",")}"))
+    val gtypes = groups.map(g => gtypeOf(schema(g).dataType))
+    val g = groups.length
+    val full = filtered(srcAt(spark, srcDir, srcV), where)
+      .groupBy(groups.map(col): _*)
+      .agg(aggColumn(aggs.head), aggs.tail.map(aggColumn): _*)
       .collect() // bounded: the MV's result cardinality
     val rows = full.map { r =>
-      val g = r.get(0).toString
-      g -> aggs.indices.map(i => if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1))).toArray
+      keyOf(r, g) -> aggs.indices
+        .map(i => if (r.isNullAt(i + g)) None else Some(r.getLong(i + g))).toArray
     }.toMap
-    writeState(mvDir, 1L, MvState(srcDir, group, gtype, srcV, aggs, rows))
+    writeState(mvDir, 1L, MvState(srcDir, groups, gtypes, where, srcV, aggs, rows))
     srcV
   }
 
@@ -359,8 +411,10 @@ object SinkMatView {
       }
     }
     val countIdx = st.aggs.indexWhere(_.kind == "count")
-    val deltaRows = ch
-      .groupBy(col(st.group))
+    val g = st.groups.length
+    val chF = filtered(ch, st.pred) // the MV's WHERE, on every change row
+    val deltaRows = chF
+      .groupBy(st.groups.map(col): _*)
       .agg(sum(sign).as("_dn"), count(lit(1)).as("_rows") +: deltaCols: _*)
       .collect() // bounded: groups TOUCHED by the window, ≤ MV cardinality
     // value-grain pass, one per distinct extreme expression: net(g, v) =
@@ -374,12 +428,12 @@ object SinkMatView {
     val extremeExprs = st.aggs.filter(a => a.kind == "min" || a.kind == "max")
       .map(_.e).distinct
     // expr → group key → (posMin, posMax, negMin, negMax)
-    val extremes: Map[String, Map[String, (Option[Long], Option[Long], Option[Long], Option[Long])]] =
+    val extremes: Map[String, Map[List[String], (Option[Long], Option[Long], Option[Long], Option[Long])]] =
       extremeExprs.map { e =>
-        val per = ch
-          .groupBy(col(st.group), expr(e).cast(LongType).as("_mv_v"))
+        val per = chF
+          .groupBy(st.groups.map(col) :+ expr(e).cast(LongType).as("_mv_v"): _*)
           .agg(sum(sign).as("_mv_net"))
-          .groupBy(col(st.group))
+          .groupBy(st.groups.map(col): _*)
           .agg(
             min(when(col("_mv_net") > 0L, col("_mv_v"))).as("_pos_min"),
             max(when(col("_mv_net") > 0L, col("_mv_v"))).as("_pos_max"),
@@ -388,21 +442,21 @@ object SinkMatView {
           .collect()
         def opt(r: Row, c: String): Option[Long] =
           if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
-        e -> per.map(r => r.get(0).toString ->
+        e -> per.map(r => keyOf(r, g) ->
           (opt(r, "_pos_min"), opt(r, "_pos_max"), opt(r, "_neg_min"), opt(r, "_neg_max"))).toMap
       }.toMap
     var changeRows = 0L
-    val merged = scala.collection.mutable.Map[String, Array[Option[Long]]]()
-    st.rows.foreach { case (g, vs) => merged(g) = vs.clone() }
+    val merged = scala.collection.mutable.Map[List[String], Array[Option[Long]]]()
+    st.rows.foreach { case (k, vs) => merged(k) = vs.clone() }
     // groups whose min/max can no longer be derived incrementally → one
     // pruned recompute scan below; (groupKey → set of dirty agg indices)
-    val dirty = scala.collection.mutable.Map[String, Set[Int]]()
+    val dirty = scala.collection.mutable.Map[List[String], Set[Int]]()
     deltaRows.foreach { r =>
-      val g = r.get(0).toString
+      val gk = keyOf(r, g)
       changeRows += r.getAs[Long]("_rows")
       val dn = r.getAs[Long]("_dn")
-      val had = merged.contains(g)
-      val state = merged.getOrElseUpdate(g, Array.fill(st.aggs.length)(None))
+      val had = merged.contains(gk)
+      val state = merged.getOrElseUpdate(gk, Array.fill(st.aggs.length)(None))
       val oldN = if (countIdx >= 0 && had) state(countIdx).getOrElse(0L) else -1L
       st.aggs.zipWithIndex.foreach { case (a, i) =>
         def opt(c: String): Option[Long] =
@@ -424,37 +478,37 @@ object SinkMatView {
             }
           case "min" | "max" =>
             val (pMin, pMax, nMin, nMax) =
-              extremes(a.e).getOrElse(g, (None, None, None, None))
+              extremes(a.e).getOrElse(gk, (None, None, None, None))
             val (pos, neg) =
               if (a.kind == "min") (pMin, nMin) else (pMax, nMax)
-            state(i) = foldExtreme(state(i), pos, neg, had, g, i, dirty,
+            state(i) = foldExtreme(state(i), pos, neg, had, gk, i, dirty,
               isMin = a.kind == "min")
         }
       }
       // sanity of the signed fold: a group that existed and whose count
       // reaches zero has had every row retracted — it leaves the view
       val newN = if (countIdx >= 0) state(countIdx).getOrElse(0L) else 1L
-      if (countIdx >= 0 && newN == 0L) { merged.remove(g); dirty.remove(g) }
+      if (countIdx >= 0 && newN == 0L) { merged.remove(gk); dirty.remove(gk) }
       else if (countIdx >= 0) require(newN > 0L,
-        s"MV fold drove group '$g' count negative ($oldN -> $newN): change feed incomplete?")
+        s"MV fold drove group '$gk' count negative ($oldN -> $newN): change feed incomplete?")
     }
     // recompute extremes for dirty surviving groups with ONE scan pruned
     // to exactly those groups (shard-clustered files make this cheap)
-    val dirtyKeys = dirty.keys.toSeq.sorted
+    val dirtyKeys = dirty.keys.toSeq.sortBy(_.map(gcell).mkString("\t"))
     if (dirtyKeys.nonEmpty) {
       val dirtyAggIdx = dirty.values.flatten.toSet.toSeq.sorted
       val aggsToFix = dirtyAggIdx.map(i => aggColumn(st.aggs(i)))
-      val fixed = srcAt(spark, srcDir, toV)
-        .where(col(st.group).isin(dirtyKeys.map(gvalue(st.gtype, _)): _*))
-        .groupBy(col(st.group))
+      val fixed = filtered(srcAt(spark, srcDir, toV), st.pred)
+        .where(groupFilter(st, dirtyKeys))
+        .groupBy(st.groups.map(col): _*)
         .agg(aggsToFix.head, aggsToFix.tail: _*)
         .collect() // bounded: |dirty groups|
       fixed.foreach { r =>
-        val g = r.get(0).toString
-        val state = merged(g)
+        val gk = keyOf(r, g)
+        val state = merged(gk)
         dirtyAggIdx.zipWithIndex.foreach { case (ai, k) =>
-          if (dirty(g).contains(ai))
-            state(ai) = if (r.isNullAt(k + 1)) None else Some(r.getLong(k + 1))
+          if (dirty(gk).contains(ai))
+            state(ai) = if (r.isNullAt(k + g)) None else Some(r.getLong(k + g))
         }
       }
     }
@@ -486,8 +540,8 @@ object SinkMatView {
     */
   private def foldExtreme(
       state: Option[Long], pos: Option[Long], neg: Option[Long],
-      had: Boolean, g: String, i: Int,
-      dirty: scala.collection.mutable.Map[String, Set[Int]],
+      had: Boolean, g: List[String], i: Int,
+      dirty: scala.collection.mutable.Map[List[String], Set[Int]],
       isMin: Boolean): Option[Long] = {
     def better(a: Long, b: Long): Long = if (isMin) math.min(a, b) else math.max(a, b)
     def touches(s: Long, n: Long): Boolean = if (isMin) n <= s else n >= s
@@ -521,11 +575,15 @@ object SinkMatView {
     require(v > 0L, s"no materialized view at $mvDir")
     val st = readStateAt(mvDir, v)
     val schema = StructType(
-      StructField(st.group, gdt(st.gtype), nullable = false) +:
-        st.aggs.map(a => StructField(a.name, LongType, nullable = true)))
+      st.groups.zip(st.gtypes).map { case (gName, t) =>
+        StructField(gName, gdt(t), nullable = true)
+      } ++ st.aggs.map(a => StructField(a.name, LongType, nullable = true)))
     val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
-    st.rows.toSeq.sortBy(_._1).foreach { case (g, vs) =>
-      rows.add(Row.fromSeq(gvalue(st.gtype, g) +: vs.map(_.map(Long.box).orNull).toSeq))
+    st.rows.toSeq.sortBy(_._1.map(gcell).mkString("\t")).foreach { case (k, vs) =>
+      val gs = st.gtypes.zip(k).map { case (t, p) =>
+        if (p == null) null else gvalue(t, p)
+      }
+      rows.add(Row.fromSeq(gs ++ vs.map(_.map(Long.box).orNull).toSeq))
     }
     spark.createDataFrame(rows, schema)
   }
@@ -593,6 +651,97 @@ object SinkMatView {
       .withColumn("src_version", lit(lastSourceVersion(mvDir)))
       .orderBy("shard")
   }
+
+  /** Driver-checked MULTI-COLUMN + PREDICATE MV (round 15): the
+    * generalized definition — `GROUP BY (lang, shard)` (48 groups, an
+    * evolved string column composed with the layout column) under a
+    * WHERE clause (`length(body) = 32`). The UPDATE commit is the
+    * predicate-CROSSING case filtered MVs exist for: its pre-images
+    * match the predicate and its post-images (33-char bodies) do not, so
+    * the signed fold nets to a pure retraction and the updated rows
+    * LEAVE the view while staying in the table. The MOR delete then
+    * dirties every group's max (the pruned recompute also runs under the
+    * predicate). Final view + lifecycle constants under the hash gate;
+    * the watermark/currency cells are derived, not wall-clock.
+    */
+  def mvGroupsReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mvg:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmvg_$sfx")
+    SinkFs.deleteRecursively(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_mvg", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mvg.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mvg.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvg.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvg.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2000").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("graft_mvg.docs_mvg").append() // bootstrap the table
+    s.sql("ALTER TABLE graft_mvg.docs_mvg ADD COLUMN lang STRING")
+    def ingest(lo: Long, hi: Long): Unit =
+      docs(lo, hi)
+        .withColumn("lang", concat(lit("l"), (col("doc_id") % 3).cast("string")))
+        .writeTo("graft_mvg.docs_mvg").append()
+    ingest(0L, 800L)
+    ingest(800L, 2000L)
+    val dir = new java.io.File(root, "docs_mvg").getPath
+    val mvDir = mvDirOf(dir)
+    create(s, dir, mvDir, Seq("lang", "shard"), Seq(
+      MvAgg("n_docs", "count"),
+      MvAgg("sum_ids", "sum", "doc_id"),
+      MvAgg("xor_ids", "xor", "doc_id"),
+      MvAgg("max_doc", "max", "doc_id")),
+      where = "length(body) = 32")
+    // predicate-crossing update: rows stay in the TABLE, leave the VIEW
+    s.sql("UPDATE graft_mvg.docs_mvg SET body = concat(body, '!') WHERE doc_id < 300")
+    val r1 = refresh(s, dir, mvDir)
+    s.sql("DELETE FROM graft_mvg.docs_mvg WHERE doc_id >= 1500")
+    val r2 = refresh(s, dir, mvDir)
+    val stats = Seq(r1, r2)
+    read(s, mvDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_ids")).as("sum_ids"), expr("bit_xor(xor_ids)").as("xor_ids"),
+        max(col("max_doc")).as("max_doc"))
+      .withColumn("n_refreshes", lit(stats.count(_.applied).toLong))
+      .withColumn("change_rows", lit(stats.map(_.changeRows).sum))
+      .withColumn("dirty_groups", lit(stats.map(_.dirtyGroups).sum))
+      .withColumn("mv_version", lit(currentVersion(mvDir)))
+      .withColumn("watermark_current",
+        lit(if (lastSourceVersion(mvDir) ==
+          ShardSink.currentManifestVersion(dir)) 1L else 0L))
+      .orderBy("lang")
+  }
+
+  /** DuckDB re-derivation: the view's final rows are docs in [300, 1500)
+    * (0..299 crossed out of the predicate via the body update; ≥1500
+    * deleted), grouped by (lang, shard) — rolled up per lang for a
+    * compact 3-row gate. Constants: 2 refreshes; 300 pre-image rows (the
+    * post-images are predicate-filtered) + 500 deletes = 800 change
+    * rows; all 48 groups' maxes sat in the deleted tail → 48 dirty; MV
+    * v3 = create + 2 refreshes; watermark current.
+    */
+  val mvGroupsReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |         'l' || CAST(doc_id % 3 AS VARCHAR) AS lang
+      |  FROM range(300, 1500) t(doc_id)),
+      |pg AS (
+      |  SELECT lang, shard, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(doc_id) AS BIGINT) AS s, bit_xor(doc_id) AS x,
+      |         CAST(MAX(doc_id) AS BIGINT) AS m
+      |  FROM g GROUP BY lang, shard)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |       CAST(SUM(n) AS BIGINT) AS n_docs, CAST(SUM(s) AS BIGINT) AS sum_ids,
+      |       bit_xor(x) AS xor_ids, CAST(MAX(m) AS BIGINT) AS max_doc,
+      |       CAST(2 AS BIGINT) AS n_refreshes,
+      |       CAST(800 AS BIGINT) AS change_rows,
+      |       CAST(48 AS BIGINT) AS dirty_groups,
+      |       CAST(3 AS BIGINT) AS mv_version,
+      |       CAST(1 AS BIGINT) AS watermark_current
+      |FROM pg GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Driver-checked STREAMING MV MAINTENANCE (round 15): the same
     * 6-commit lifecycle, maintained CONTINUOUSLY — the change feed is

@@ -213,6 +213,45 @@ class SinkMatViewSpec extends SparkSpec {
     assert(mvRollup(mvDir) === sourceRollup(dir))
   }
 
+  test("multi-column groups, WHERE predicate, and NULL group values fold correctly") {
+    val dir = freshDir("mv_multi")
+    // pre-evolution rows: lang is NULL → they form their own group
+    append(dir, 0L, 200L, n = 1000)
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1000").option("numPartitions", "2").load()
+      .where(col("doc_id") >= 200L && col("doc_id") < 800L)
+      .withColumn("lang", concat(lit("l"), (col("doc_id") % 2).cast("string")))
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("mergeSchema", "true")
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    val mvDir = SinkMatView.mvDirOf(dir)
+    // predicate excludes the doc_id % 7 == 0 rows from the view entirely
+    SinkMatView.create(spark, dir, mvDir, Seq("lang", "shard"),
+      Seq(MvAgg("n", "count"), MvAgg("s", "sum", "doc_id"),
+        MvAgg("hi", "max", "doc_id")),
+      where = "doc_id % 7 <> 0")
+    def expected = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+      .where(expr("doc_id % 7 <> 0"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("s"), max("doc_id").as("hi"))
+    def viewDf = SinkMatView.read(spark, mvDir)
+    def diff = viewDf.exceptAll(expected).union(expected.exceptAll(viewDf)).count()
+    assert(diff === 0L)
+    assert(viewDf.where(col("lang").isNull).count() > 0L, "NULL lang must form groups")
+    // deletes touching null-group rows and the predicate-excluded rows
+    SinkTestAccess.morDeleteWhere(dir,
+      Array(org.apache.spark.sql.sources.LessThan("doc_id", 100L)))
+    SinkTestAccess.morDeleteWhere(dir,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 700L)))
+    val st = SinkMatView.refresh(spark, dir, mvDir)
+    assert(st.applied)
+    assert(diff === 0L)
+    // predicate-excluded rows never contributed: deleting doc 700 (a
+    // multiple of 7) must not have driven any group negative — covered
+    // by the fold's own count guard having not thrown above
+  }
+
   test("definition validation and misuse are rejected up front") {
     val dir = freshDir("mv_valid")
     val mvDir = SinkMatView.mvDirOf(dir)
