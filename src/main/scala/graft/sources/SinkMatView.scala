@@ -180,6 +180,30 @@ object SinkMatView {
     */
   def lastSourceVersion(mvDir: String): Long = readState(mvDir).srcV
 
+  /** Retention for the MV's own version ladder: every refresh writes a
+    * new state blob and a long-lived continuously-maintained view would
+    * otherwise accumulate one file per refresh FOREVER (the same
+    * unbounded-litter class the sink's vacuum closed for segments).
+    * Keeps the newest `retainVersions` states (min 1 — the current state
+    * is never a candidate) and deletes the rest plus any orphaned
+    * `_mv.tmp-*` bodies from crashed flips. Time travel below the swept
+    * horizon then fails with the ordinary missing-version error. Returns
+    * the swept file names.
+    */
+  def vacuum(mvDir: String, retainVersions: Int = 1): Seq[String] = {
+    require(retainVersions >= 1, "an MV must retain at least its current state")
+    val cur = currentVersion(mvDir)
+    require(cur > 0L, s"no materialized view at $mvDir")
+    val floor = math.max(1L, cur - retainVersions + 1L)
+    val names = SinkFs.listFileNames(new Path(mvDir))
+    val swept = names.filter {
+      case StateV(n) => n.toLong < floor
+      case n => n.startsWith("_mv.tmp-") // crashed-flip litter
+    }.sorted
+    swept.foreach(n => SinkFs.delete(new Path(mvDir, n)))
+    swept
+  }
+
   // ---- plumbing ----------------------------------------------------------
 
   private def srcAt(spark: SparkSession, srcDir: String, v: Long): DataFrame =

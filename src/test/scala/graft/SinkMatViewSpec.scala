@@ -252,6 +252,30 @@ class SinkMatViewSpec extends SparkSpec {
     // by the fold's own count guard having not thrown above
   }
 
+  test("MV vacuum: superseded states and tmp litter sweep; current state survives") {
+    val dir = freshDir("mv_vac")
+    val mvDir = SinkMatView.mvDirOf(dir)
+    append(dir, 0L, 200L, n = 400) // v1
+    SinkMatView.create(spark, dir, mvDir, "shard", rollupAggs) // mv v1
+    append(dir, 200L, 300L, n = 400)
+    SinkMatView.refresh(spark, dir, mvDir) // mv v2
+    append(dir, 300L, 400L, n = 400)
+    SinkMatView.refresh(spark, dir, mvDir) // mv v3
+    // crashed-flip litter, as a crashed writeState would leave it
+    val w = SinkTestAccess.createFile(mvDir, "_mv.tmp-deadbeef")
+    w.write("torn"); w.close()
+    val swept = SinkMatView.vacuum(mvDir, retainVersions = 1)
+    assert(swept.toSet === Set("_mv.v1.json", "_mv.v2.json", "_mv.tmp-deadbeef"))
+    assert(SinkMatView.currentVersion(mvDir) === 3L)
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+    intercept[Exception](SinkMatView.read(spark, mvDir, asOf = Some(1L)))
+    // maintenance continues over the swept ladder
+    append(dir, 400L, 450L, n = 450)
+    assert(SinkMatView.refresh(spark, dir, mvDir).applied)
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+    intercept[IllegalArgumentException](SinkMatView.vacuum(mvDir, retainVersions = 0))
+  }
+
   test("definition validation and misuse are rejected up front") {
     val dir = freshDir("mv_valid")
     val mvDir = SinkMatView.mvDirOf(dir)
