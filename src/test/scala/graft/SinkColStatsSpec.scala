@@ -305,6 +305,35 @@ class SinkColStatsSpec extends SparkSpec {
     assert(f2.collect().head.getLong(0) === 200L)
   }
 
+  test("type widening: stale 'l' envelopes never prune the widened column, reads stay exact") {
+    val dir = freshDir("cs_widen")
+    ingest(dir, 0L, 600L, "pt") // score recorded under tag 'l'
+    SinkTestAccess.widenColumn(dir, "score", org.apache.spark.sql.types.DoubleType)
+    // the predicate now types as 'd'; the recorded 'l' stats are
+    // cross-type → no file prunes, and no file is WRONGLY pruned
+    val census = entryCount(dir)
+    val (n, opened) = counted(read(dir).where(col("score") >= 600.0))
+    assert(n === 300L)
+    assert(opened === census.toLong, "cross-type envelopes must read, never skip")
+    // post-widening ingests write doubles; the UNTOUCHED lang envelope
+    // keeps pruning (widening one column must not blank the others)
+    docs(600L, 1200L)
+      .withColumn("lang", lit("en"))
+      .withColumn("score", (col("doc_id") * 2L).cast("double"))
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("mergeSchema", "true")
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    val (n2, opened2) = counted(
+      read(dir).where(col("lang") === "en" && col("score") >= 2000.0))
+    assert(n2 === 200L)
+    assert(opened2 < entryCount(dir).toLong,
+      "the lang envelope must still prune the pt files after the score widening")
+    // and the manifest-only MIN/MAX refuses on the mixed-tag census
+    val agg = read(dir).agg(max(col("score")).as("mx"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("ShardSinkCountScan"))
+    assert(agg.collect().head.getDouble(0) === 2398.0)
+  }
+
   test("row-level DML reads prune on payload predicates") {
     val sfx = java.util.UUID.randomUUID().toString.take(8)
     val root = java.nio.file.Files.createTempDirectory("cs_dml").toFile

@@ -252,6 +252,33 @@ class SinkMatViewSpec extends SparkSpec {
     // by the fold's own count guard having not thrown above
   }
 
+  test("MV aggregates over an evolved column: null-filled change rows fold like SQL") {
+    val dir = freshDir("mv_evolve")
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "600").option("numPartitions", "2").load()
+      .where(col("doc_id") < 300L)
+      .withColumn("lang", concat(lit("x"), (col("doc_id") % 2).cast("string")))
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("mergeSchema", "true")
+      .mode(org.apache.spark.sql.SaveMode.Append).save() // v1: lang present
+    val mvDir = SinkMatView.mvDirOf(dir)
+    SinkMatView.create(spark, dir, mvDir, "shard", Seq(
+      MvAgg("n", "count"), MvAgg("sl", "sum", "length(lang)")))
+    // v2: an ingest MISSING the evolved column — its rows (and its
+    // change rows) null-fill lang; sum must ignore them, count must not
+    append(dir, 300L, 600L, n = 600)
+    val st = SinkMatView.refresh(spark, dir, mvDir)
+    assert(st.applied)
+    val expected = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load()
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum(length(col("lang"))).as("sl"))
+    val view = SinkMatView.read(spark, mvDir)
+    assert(view.exceptAll(expected).union(expected.exceptAll(view)).count() === 0L)
+    // the evolved-null rows contributed to n but not to sl
+    assert(view.agg(sum("n"), sum("sl")).collect().head.getLong(0) === 600L)
+  }
+
   test("MV vacuum: superseded states and tmp litter sweep; current state survives") {
     val dir = freshDir("mv_vac")
     val mvDir = SinkMatView.mvDirOf(dir)
