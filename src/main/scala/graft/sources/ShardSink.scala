@@ -404,10 +404,14 @@ class ShardSinkTable(
         prune = ShardSink.shardPruneSet(filters)
         pruneDocs = ShardSink.docPruneRange(filters)
         prunePoints = ShardSink.docPointSet(filters)
-        pruneColPreds = SinkColStats.predsOf(filters, table)
-        used = filters.filter(f =>
-          ShardSink.oneShardSet(f).isDefined || ShardSink.oneDocInterval(f).isDefined ||
-            SinkColStats.predsOf(Array(f), table).nonEmpty)
+        // compiled once per filter: the flattened preds drive pruning and
+        // the per-filter view drives the pushed-filter report
+        val colPredsPerFilter = filters.map(f => SinkColStats.predsOf(Array(f), table))
+        pruneColPreds = colPredsPerFilter.toSeq.flatten
+        used = filters.zip(colPredsPerFilter).collect {
+          case (f, ps) if ShardSink.oneShardSet(f).isDefined ||
+            ShardSink.oneDocInterval(f).isDefined || ps.nonEmpty => f
+        }
         // consumption eligibility: every filter understood EXACTLY —
         // shard filters are exact by construction (value sets, not
         // hulls), doc filters only in the convex class (review fix:
@@ -674,13 +678,16 @@ class ShardSinkCountScan(
     ShardSink.requireForeignLive(path, entries)
     // the pushed payload MIN/MAX fold: per entry, the envelope's bound
     // for the column (push-time gating proved every entry carries it);
-    // typed exactly as the output schema demands (strings → UTF8String)
+    // typed exactly as the output schema demands (strings → UTF8String).
+    // Each entry's cs decodes ONCE per plan, shared across specs/groups.
+    lazy val csDecoded: Map[String, Map[String, SinkColStats.ColStat]] =
+      entries.map(e => e.file -> SinkColStats.decode(e.cs)).toMap
     def colBound(es: Seq[SinkEntry], n: String,
         dt: org.apache.spark.sql.types.DataType, isMin: Boolean): Any = {
       if (es.isEmpty) return null
       val t = SinkColStats.tagOf(dt).get
       val raws = es.map(e => {
-        val st = SinkColStats.decode(e.cs)(n)
+        val st = csDecoded(e.file)(n)
         if (isMin) st.lo else st.hi
       })
       val raw = if (isMin) raws.min(SinkColStats.orderFor(t))
@@ -3033,15 +3040,17 @@ object ShardSink {
         .toMap
     }
     val n = keyCols.length
-    def zOf(cells: Array[String]): Int = {
-      var z = 0
+    // Long-typed Morton code: 8 columns × 4 bits reaches bit 31, which
+    // would be an Int's sign bit and invert the curve's upper half
+    def zOf(cells: Array[String]): Long = {
+      var z = 0L
       var c = 0
       while (c < n) {
         val cell = cellOf(cells, keyCols(c)._1)
         val b = if (cell == null) 0 else bucketMaps(c)(cell)
         var bit = 0
         while (bit < 4) {
-          z |= ((b >> bit) & 1) << (bit * n + c)
+          z |= ((b >> bit) & 1).toLong << (bit * n + c)
           bit += 1
         }
         c += 1
@@ -4311,7 +4320,11 @@ object ShardSink {
     val (baseV, entries) = resolveBase(dir)
     val cur = schemaAtVersion(dir, baseV)
     require(!cur.fieldNames.contains(name), s"column $name already exists")
-    flipFromBase(dir, baseV, entries, s"alter${alterCounter.incrementAndGet()}",
+    // a re-used name (rename-then-re-add) must not inherit the old
+    // column's envelopes: the new column is all-null for existing rows
+    val scrubbed = entries.map(e =>
+      if (e.cs.isEmpty) e else e.copy(cs = SinkColStats.dropIn(e.cs, name)))
+    flipFromBase(dir, baseV, scrubbed, s"alter${alterCounter.incrementAndGet()}",
       op = Some("alter"), schema = Some(schemaString(cur.add(name, dt, nullable = true))))
   }
 
@@ -4360,7 +4373,11 @@ object ShardSink {
         s"column $from is referenced by CHECK constraint $n; drop it first")
     }
     val renamed = StructType(cur.fields.updated(idx, cur.fields(idx).copy(name = to)))
-    flipFromBase(dir, baseV, entries, s"alter${alterCounter.incrementAndGet()}",
+    // the envelopes describe POSITIONS; carry them to the new name so a
+    // renamed column keeps pruning and the old name carries nothing
+    val carried = entries.map(e =>
+      if (e.cs.isEmpty) e else e.copy(cs = SinkColStats.renameIn(e.cs, from, to)))
+    flipFromBase(dir, baseV, carried, s"alter${alterCounter.incrementAndGet()}",
       op = Some("alter"), schema = Some(schemaString(renamed)))
   }
 
@@ -5851,17 +5868,33 @@ class ShardSinkScan(
     // the envelope doesn't know them, and a wrong guess misleads the
     // optimizer worse than absence.
     if (k.nonEmpty && k.forall(_.cs.nonEmpty)) {
+      import org.apache.spark.sql.types.{DoubleType => DT, IntegerType => IT, LongType => LT, StringType => ST}
       SinkColStats.decode(SinkColStats.mergeEnvelopes(k.map(_.cs))).foreach {
         case (name, st) =>
-          def box(v: String): Object = st.t match {
-            case 'l' => Long.box(v.toLong)
-            case 'd' => Double.box(v.toDouble)
-            case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+          // boxed as the COLUMN's catalyst type (Spark interprets the
+          // stat against the schema): an int column gets Integer, a
+          // widened column's integral stats convert numerically, and a
+          // tag/type mismatch (rename-era stats) publishes nothing
+          val boxed: Option[(Object, Object)] =
+            table.fields.find(_.name == name).map(_.dataType).flatMap {
+              case IT if st.t == 'l' =>
+                Some((Int.box(st.lo.toInt), Int.box(st.hi.toInt)))
+              case LT if st.t == 'l' =>
+                Some((Long.box(st.lo.toLong), Long.box(st.hi.toLong)))
+              case DT if st.t == 'l' || st.t == 'd' =>
+                Some((Double.box(st.lo.toDouble), Double.box(st.hi.toDouble)))
+              case ST if st.t == 's' =>
+                Some((
+                  org.apache.spark.unsafe.types.UTF8String.fromString(st.lo),
+                  org.apache.spark.unsafe.types.UTF8String.fromString(st.hi)))
+              case _ => None
+            }
+          boxed.foreach { case (lo, hi) =>
+            colStats.put(Expressions.column(name), new ColumnStatistics {
+              override def min(): Optional[Object] = Optional.of(lo)
+              override def max(): Optional[Object] = Optional.of(hi)
+            })
           }
-          colStats.put(Expressions.column(name), new ColumnStatistics {
-            override def min(): Optional[Object] = Optional.of(box(st.lo))
-            override def max(): Optional[Object] = Optional.of(box(st.hi))
-          })
       }
     }
     new org.apache.spark.sql.connector.read.Statistics {

@@ -131,7 +131,24 @@ object SinkColStats {
     def encode(): String = acc.encode()
   }
 
-  def rowAcc(table: StructType): Acc = new Acc(eligible(table))
+  /** Column-DDL fix-ups for recorded envelopes (both pure string
+    * surgery on the token list — no values re-read):
+    *   - RENAME COLUMN carries the stats to the new name (the data
+    *     cells are positional; the envelope still describes them), and
+    *   - ADD COLUMN drops any token under the (re-used) name: without
+    *     this, rename-then-re-add would leave the NEW all-null column
+    *     answering prunes and manifest-only MIN/MAX from the OLD
+    *     column's values — a silent wrong-result class.
+    */
+  def renameIn(cs: String, from: String, to: String): String =
+    if (cs.isEmpty) cs
+    else cs.split("\\|", -1).map { tok =>
+      if (tok.startsWith(from + ":")) to + tok.substring(from.length) else tok
+    }.mkString("|")
+
+  def dropIn(cs: String, name: String): String =
+    if (cs.isEmpty) cs
+    else cs.split("\\|", -1).filterNot(_.startsWith(name + ":")).mkString("|")
 
   def decode(cs: String): Map[String, ColStat] =
     if (cs.isEmpty) Map.empty

@@ -72,12 +72,18 @@ object SinkMatView {
   // ---- state model -------------------------------------------------------
 
   /** `rows`: group-value tuple (raw value strings; null = SQL NULL
-    * group) → one Option[Long] per agg (None = SQL NULL, e.g. sum/min
-    * over an all-null expression). `pred` ("" = none) is the MV's WHERE
-    * clause: only rows satisfying it contribute, on the full build AND
-    * on every change row (an update whose pre-image matched and whose
-    * post-image does not is a net retraction — filtered-MV semantics
-    * fall out of the signed fold).
+    * group) → `2 × |aggs|` cells: one VALUE per agg (None = SQL NULL)
+    * followed by one NON-NULL COUNTER per agg. The counters exist for
+    * sum/xor exactness: SQL's `sum(e)` is NULL exactly when no non-null
+    * value remains, and that is not derivable from the running value
+    * (retracting the last non-null contribution leaves 0, not NULL) —
+    * so the fold maintains `nn` alongside and nulls the value when it
+    * reaches zero. min/max re-derive NULL-ness through their dirty
+    * recompute; count is never NULL. `pred` ("" = none) is the MV's
+    * WHERE clause: only rows satisfying it contribute, on the full
+    * build AND on every change row (an update whose pre-image matched
+    * and whose post-image does not is a net retraction — filtered-MV
+    * semantics fall out of the signed fold).
     */
   private final case class MvState(
       src: String, groups: Seq[String], gtypes: Seq[String], pred: String,
@@ -168,7 +174,7 @@ object SinkMatView {
     val g = groups.length
     val rows = lines.tail.map { l =>
       val cs = l.split("\t", -1)
-      require(cs.length == aggs.length + g, s"torn MV state row at $mvDir: $l")
+      require(cs.length == 2 * aggs.length + g, s"torn MV state row at $mvDir: $l")
       cs.take(g).map(ungcell).toList -> cs.drop(g).map(uncell)
     }.toMap
     MvState(src, groups, gtypes, pred, srcV, aggs, rows)
@@ -190,15 +196,23 @@ object SinkMatView {
     * horizon then fails with the ordinary missing-version error. Returns
     * the swept file names.
     */
-  def vacuum(mvDir: String, retainVersions: Int = 1): Seq[String] = {
+  def vacuum(
+      mvDir: String, retainVersions: Int = 1,
+      olderThanMillis: Long = 7L * 24 * 3600 * 1000L): Seq[String] = {
     require(retainVersions >= 1, "an MV must retain at least its current state")
     val cur = currentVersion(mvDir)
     require(cur > 0L, s"no materialized view at $mvDir")
     val floor = math.max(1L, cur - retainVersions + 1L)
-    val names = SinkFs.listFileNames(new Path(mvDir))
-    val swept = names.filter {
+    val dirPath = new Path(mvDir)
+    val fs = SinkFs.fsOf(dirPath)
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val swept = SinkFs.listFileNames(dirPath).filter {
       case StateV(n) => n.toLong < floor
-      case n => n.startsWith("_mv.tmp-") // crashed-flip litter
+      // crashed-flip litter — AGE-GATED like the table vacuum: a
+      // concurrent refresh's in-flight tmp body is younger and survives
+      // (0 sweeps everything and is only safe with no refresh in flight)
+      case n => n.startsWith("_mv.tmp-") &&
+        fs.getFileStatus(new Path(mvDir, n)).getModificationTime <= cutoff
     }.sorted
     swept.foreach(n => SinkFs.delete(new Path(mvDir, n)))
     swept
@@ -243,18 +257,29 @@ object SinkMatView {
     case "max" => max(expr(a.e).cast(LongType)).as(a.name)
   }
 
+  private def badChars(e: String): Boolean =
+    e.exists(c => c == '"' || c == '\n' || c == '\r' || c == '\t')
+
   private def validate(groups: Seq[String], aggs: Seq[MvAgg], pred: String): Unit = {
     require(groups.nonEmpty, "an MV needs at least one group column")
     require(groups.distinct.length == groups.length, s"duplicate group columns: $groups")
     require(aggs.nonEmpty, "an MV needs at least one aggregate")
+    // group liveness (drop at zero, resurrect on re-insert) derives from
+    // the count — a count-less view could keep phantom groups whose
+    // every row was retracted
+    require(aggs.exists(_.kind == "count"),
+      "an MV must include a count aggregate (group liveness derives from it)")
     val names = aggs.map(_.name)
     require(names.distinct.length == names.length, s"duplicate agg names: $names")
-    require(!pred.contains("\""), "the MV predicate must not contain '\"'")
+    // quotes break the header JSON; control characters break the
+    // line-oriented state blob — reject at definition time, not at the
+    // first unreadable refresh
+    require(!badChars(pred), "the MV predicate must not contain quotes/newlines/tabs")
     aggs.foreach { a =>
       require(Kinds(a.kind), s"unknown MV agg kind '${a.kind}' (${Kinds.mkString("/")})")
       require(a.name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid agg name '${a.name}'")
       require(a.kind == "count" || a.e.nonEmpty, s"agg ${a.name}: ${a.kind} needs an expression")
-      require(!a.e.contains("\""), s"agg ${a.name}: expression must not contain '\"'")
+      require(!badChars(a.e), s"agg ${a.name}: expression must not contain quotes/newlines/tabs")
       require(!groups.contains(a.name), s"agg ${a.name} collides with a group column")
     }
   }
@@ -311,12 +336,18 @@ object SinkMatView {
       s"group column '$g' not in ${schema.fieldNames.mkString(",")}"))
     val gtypes = groups.map(g => gtypeOf(schema(g).dataType))
     val g = groups.length
+    val nnCols = aggs.map { a =>
+      if (a.kind == "sum" || a.kind == "xor")
+        count(when(expr(a.e).isNotNull, 1)).as(s"_nn_${a.name}")
+      else lit(0L).as(s"_nn_${a.name}")
+    }
     val full = filtered(srcAt(spark, srcDir, srcV), where)
       .groupBy(groups.map(col): _*)
-      .agg(aggColumn(aggs.head), aggs.tail.map(aggColumn): _*)
+      .agg(aggColumn(aggs.head), aggs.tail.map(aggColumn) ++ nnCols: _*)
       .collect() // bounded: the MV's result cardinality
+    val na = aggs.length
     val rows = full.map { r =>
-      keyOf(r, g) -> aggs.indices
+      keyOf(r, g) -> (0 until 2 * na)
         .map(i => if (r.isNullAt(i + g)) None else Some(r.getLong(i + g))).toArray
     }.toMap
     writeState(mvDir, 1L, MvState(srcDir, groups, gtypes, where, srcV, aggs, rows))
@@ -429,8 +460,14 @@ object SinkMatView {
     val deltaCols = st.aggs.zipWithIndex.flatMap { case (a, i) =>
       a.kind match {
         case "count" => Seq(sum(sign).as(s"d$i"))
-        case "sum" => Seq(sum(sign * expr(a.e).cast(LongType)).as(s"d$i"))
-        case "xor" => Seq(expr(s"bit_xor(cast((${a.e}) as bigint))").as(s"d$i"))
+        case "sum" => Seq(
+          sum(sign * expr(a.e).cast(LongType)).as(s"d$i"),
+          // signed count of NON-NULL contributions: SQL's sum/xor are
+          // NULL exactly when this reaches zero
+          sum(sign * when(expr(a.e).isNotNull, 1L).otherwise(0L)).as(s"d${i}_nn"))
+        case "xor" => Seq(
+          expr(s"bit_xor(cast((${a.e}) as bigint))").as(s"d$i"),
+          sum(sign * when(expr(a.e).isNotNull, 1L).otherwise(0L)).as(s"d${i}_nn"))
         case _ => Seq.empty // extremes fold at value grain below
       }
     }
@@ -470,6 +507,7 @@ object SinkMatView {
           (opt(r, "_pos_min"), opt(r, "_pos_max"), opt(r, "_neg_min"), opt(r, "_neg_max"))).toMap
       }.toMap
     var changeRows = 0L
+    val na = st.aggs.length
     val merged = scala.collection.mutable.Map[List[String], Array[Option[Long]]]()
     st.rows.foreach { case (k, vs) => merged(k) = vs.clone() }
     // groups whose min/max can no longer be derived incrementally → one
@@ -480,7 +518,7 @@ object SinkMatView {
       changeRows += r.getAs[Long]("_rows")
       val dn = r.getAs[Long]("_dn")
       val had = merged.contains(gk)
-      val state = merged.getOrElseUpdate(gk, Array.fill(st.aggs.length)(None))
+      val state = merged.getOrElseUpdate(gk, Array.fill(2 * na)(None))
       val oldN = if (countIdx >= 0 && had) state(countIdx).getOrElse(0L) else -1L
       st.aggs.zipWithIndex.foreach { case (a, i) =>
         def opt(c: String): Option[Long] =
@@ -489,17 +527,17 @@ object SinkMatView {
           case "count" =>
             state(i) = Some(state(i).getOrElse(0L) + dn)
           case "sum" =>
-            val d = opt(s"d$i")
-            state(i) = (state(i), d) match {
-              case (None, None) => None
-              case (s0, d0) => Some(s0.getOrElse(0L) + d0.getOrElse(0L))
-            }
+            val nn = state(na + i).getOrElse(0L) + opt(s"d${i}_nn").getOrElse(0L)
+            state(na + i) = Some(nn)
+            state(i) =
+              if (nn == 0L) None // SQL: sum over no non-null values is NULL
+              else Some(state(i).getOrElse(0L) + opt(s"d$i").getOrElse(0L))
           case "xor" =>
-            val d = opt(s"d$i")
-            state(i) = (state(i), d) match {
-              case (None, None) => None
-              case (s0, d0) => Some(s0.getOrElse(0L) ^ d0.getOrElse(0L))
-            }
+            val nn = state(na + i).getOrElse(0L) + opt(s"d${i}_nn").getOrElse(0L)
+            state(na + i) = Some(nn)
+            state(i) =
+              if (nn == 0L) None
+              else Some(state(i).getOrElse(0L) ^ opt(s"d$i").getOrElse(0L))
           case "min" | "max" =>
             val (pMin, pMax, nMin, nMax) =
               extremes(a.e).getOrElse(gk, (None, None, None, None))
@@ -607,7 +645,9 @@ object SinkMatView {
       val gs = st.gtypes.zip(k).map { case (t, p) =>
         if (p == null) null else gvalue(t, p)
       }
-      rows.add(Row.fromSeq(gs ++ vs.map(_.map(Long.box).orNull).toSeq))
+      // first |aggs| cells are the values; the rest are the fold's
+      // internal non-null counters
+      rows.add(Row.fromSeq(gs ++ vs.take(st.aggs.length).map(_.map(Long.box).orNull).toSeq))
     }
     spark.createDataFrame(rows, schema)
   }

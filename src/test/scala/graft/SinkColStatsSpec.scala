@@ -334,6 +334,36 @@ class SinkColStatsSpec extends SparkSpec {
     assert(agg.collect().head.getDouble(0) === 2398.0)
   }
 
+  test("rename-then-re-add: the new column inherits NO envelope; the renamed one keeps its own") {
+    val sfx = java.util.UUID.randomUUID().toString.take(8)
+    val root = java.nio.file.Files.createTempDirectory("cs_rename").toFile
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_csr", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_csr.root", root.getPath)
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "2").load()
+      .where(col("doc_id") < 0L)
+      .writeTo(s"graft_csr.t_$sfx").append() // bootstrap the 3-col table
+    s.sql(s"ALTER TABLE graft_csr.t_$sfx ADD COLUMN lang STRING")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "2").load()
+      .withColumn("lang", lit("pt"))
+      .writeTo(s"graft_csr.t_$sfx").append()
+    val dir = new java.io.File(root, s"t_$sfx").getPath
+    s.sql(s"ALTER TABLE graft_csr.t_$sfx RENAME COLUMN lang TO lang_old")
+    s.sql(s"ALTER TABLE graft_csr.t_$sfx ADD COLUMN lang STRING")
+    // the NEW lang is all-null: stale envelopes must not answer for it —
+    // neither as a manifest-only MIN (would say 'pt') nor as a prune
+    val mx = s.read.table(s"graft_csr.t_$sfx").agg(max(col("lang"))).collect().head
+    assert(mx.isNullAt(0), s"stale envelope answered for the re-added column: $mx")
+    assert(s.read.table(s"graft_csr.t_$sfx").where(col("lang") === "pt").count() === 0L)
+    assert(s.read.table(s"graft_csr.t_$sfx").where(col("lang").isNull).count() === 400L)
+    // the RENAMED column carried its envelope: equality on it still
+    // prunes nothing away wrongly and answers exactly
+    assert(s.read.table(s"graft_csr.t_$sfx").where(col("lang_old") === "pt").count() === 400L)
+    assert(s.read.table(s"graft_csr.t_$sfx").where(col("lang_old") === "zz").count() === 0L)
+  }
+
   test("row-level DML reads prune on payload predicates") {
     val sfx = java.util.UUID.randomUUID().toString.take(8)
     val root = java.nio.file.Files.createTempDirectory("cs_dml").toFile

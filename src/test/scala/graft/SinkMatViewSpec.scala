@@ -279,6 +279,39 @@ class SinkMatViewSpec extends SparkSpec {
     assert(view.agg(sum("n"), sum("sl")).collect().head.getLong(0) === 600L)
   }
 
+  test("sum/xor return to SQL NULL when the last non-null contribution is retracted") {
+    val dir = freshDir("mv_nullsum")
+    // shard-0 group: doc 0 carries the ONLY non-null lang; docs 16/32 null
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "48").option("numPartitions", "1").load()
+      .where(col("shard") === 0)
+      .withColumn("lang", when(col("doc_id") === 0L, lit("xx")))
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("mergeSchema", "true")
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    val mvDir = SinkMatView.mvDirOf(dir)
+    SinkMatView.create(spark, dir, mvDir, "shard", Seq(
+      MvAgg("n", "count"), MvAgg("sl", "sum", "length(lang)"),
+      MvAgg("xl", "xor", "length(lang)")))
+    def cells = SinkMatView.read(spark, mvDir).collect().head
+    assert(cells.getLong(1) === 3L && cells.getLong(2) === 2L && cells.getLong(3) === 2L)
+    // retract the one non-null contribution: SQL's sum/xor over the
+    // surviving all-null group are NULL, not 0
+    SinkTestAccess.morDeleteWhere(dir,
+      Array(org.apache.spark.sql.sources.EqualTo("doc_id", 0L)))
+    assert(SinkMatView.refresh(spark, dir, mvDir).applied)
+    val after = cells
+    assert(after.getLong(1) === 2L)
+    assert(after.isNullAt(2) && after.isNullAt(3),
+      s"sum/xor must be SQL NULL over an all-null group, got $after")
+    val expected = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", dir).load().groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum(length(col("lang"))).as("sl"),
+        expr("bit_xor(cast(length(lang) as bigint))").as("xl"))
+    val view = SinkMatView.read(spark, mvDir)
+    assert(view.exceptAll(expected).union(expected.exceptAll(view)).count() === 0L)
+  }
+
   test("MV vacuum: superseded states and tmp litter sweep; current state survives") {
     val dir = freshDir("mv_vac")
     val mvDir = SinkMatView.mvDirOf(dir)
@@ -291,7 +324,7 @@ class SinkMatViewSpec extends SparkSpec {
     // crashed-flip litter, as a crashed writeState would leave it
     val w = SinkTestAccess.createFile(mvDir, "_mv.tmp-deadbeef")
     w.write("torn"); w.close()
-    val swept = SinkMatView.vacuum(mvDir, retainVersions = 1)
+    val swept = SinkMatView.vacuum(mvDir, retainVersions = 1, olderThanMillis = 0L)
     assert(swept.toSet === Set("_mv.v1.json", "_mv.v2.json", "_mv.tmp-deadbeef"))
     assert(SinkMatView.currentVersion(mvDir) === 3L)
     assert(mvRollup(mvDir) === sourceRollup(dir))
