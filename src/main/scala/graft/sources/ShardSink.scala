@@ -3026,11 +3026,7 @@ object ShardSink {
     }
     def cellOf(cells: Array[String], i: Int): String =
       if (i < cells.length && cells(i) != NullCell) cells(i) else null
-    def ordOf(tag: Char): Ordering[String] = tag match {
-      case 'l' => Ordering.by(_.toLong)
-      case 'd' => Ordering.by(_.toDouble)
-      case _ => Ordering.String
-    }
+    def ordOf(tag: Char): Ordering[String] = SinkColStats.orderFor(tag)
     // exact rank → 16 equal-population buckets per dimension
     val bucketMaps: Seq[scala.collection.Map[String, Int]] = keyCols.map { case (i, tag) =>
       val ds = rows.iterator.map(r => cellOf(r._1, i)).filter(_ != null)

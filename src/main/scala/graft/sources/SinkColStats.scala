@@ -44,6 +44,31 @@ object SinkColStats {
     */
   val MaxTracked = 64
 
+  /** String comparison in SPARK's order. Spark compares StringType as
+    * UTF8String — unsigned UTF-8 bytes, i.e. code-point order — while
+    * Java's String.compareTo compares UTF-16 code units. The two DISAGREE
+    * exactly when a supplementary-plane character (a surrogate pair —
+    * emoji, rare CJK) meets a BMP character in [U+E000, U+FFFF]
+    * (fullwidth forms, PUA): the pair's lead unit (0xD800–0xDBFF) sorts
+    * BELOW those chars in UTF-16 but the code point (> 0xFFFF) sorts
+    * ABOVE them. An envelope ordered the Java way could then skip a file
+    * whose true Spark-order range intersects the predicate — a silent
+    * wrong result — and a manifest-answered MIN/MAX could return a value
+    * Spark's own aggregate would not. Every string comparison the
+    * envelope machinery makes (write-side fold, segment union, prune
+    * test, manifest MIN/MAX fold, CHECK evaluation) goes through here so
+    * it matches Spark's evaluation order BY CONSTRUCTION — including the
+    * lone-surrogate edge, where fromString applies the same replacement
+    * Spark's execution applies.
+    */
+  private[graft] def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  private[graft] val Utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = utf8Cmp(a, b)
+  }
+
   final case class ColStat(t: Char, lo: String, hi: String)
 
   /** Eligible columns of a table schema: (TSV/cell position, name, tag). */
@@ -87,8 +112,8 @@ object SinkColStats {
         case 's' =>
           val x = v.asInstanceOf[String]
           if (x.length > MaxTracked) { poisoned(k) = true; return }
-          if (lo(k) == null || x < lo(k).asInstanceOf[String]) lo(k) = x
-          if (hi(k) == null || x > hi(k).asInstanceOf[String]) hi(k) = x
+          if (lo(k) == null || utf8Cmp(x, lo(k).asInstanceOf[String]) < 0) lo(k) = x
+          if (hi(k) == null || utf8Cmp(x, hi(k).asInstanceOf[String]) > 0) hi(k) = x
       }
     }
     /** The encoded stats string ("" when nothing was tracked). */
@@ -192,7 +217,7 @@ object SinkColStats {
   private[sources] def orderFor(t: Char): Ordering[String] = t match {
     case 'l' => Ordering.by(_.toLong)
     case 'd' => Ordering.by(_.toDouble)
-    case _ => Ordering.String
+    case _ => Utf8Ordering // Spark's string order, never Java's
   }
 
   // ---- pruning predicates --------------------------------------------------
@@ -210,7 +235,7 @@ object SinkColStats {
   private def cmp(t: Char, a: String, b: String): Int = t match {
     case 'l' => java.lang.Long.compare(a.toLong, b.toLong)
     case 'd' => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case _ => a.compareTo(b)
+    case _ => utf8Cmp(a, b) // Spark's string order, never Java's
   }
 
   /** lo/hi are the predicate's bounds in the literal's own type `t`;
@@ -242,20 +267,35 @@ object SinkColStats {
     def describe: String = s"$col IN (${values.mkString(",")})"
   }
 
-  /** `col LIKE 'p%'`: matching values lie in [p, succ(p)) — prune when
-    * the envelope misses that interval. No successor exists when the
-    * prefix is all ￿; the upper test is then skipped.
+  /** `col LIKE 'p%'`: in UTF-8 (code-point) order, matching values lie
+    * in [p, succ(p)) — prune when the envelope misses that interval.
+    * succ increments p's last code unit whose +1 stays a valid
+    * NON-SURROGATE code point (U+FFFF has no in-plane successor and
+    * U+D7FF's successor is a surrogate — both drop from the tail, which
+    * stays sound: a string with prefix p still sorts below the shortened
+    * bound, exactly the all-￿ argument). A prefix CONTAINING a surrogate
+    * skips the upper test entirely: incrementing half a pair does not
+    * produce the next code point, and a lone lead unit can combine with
+    * the value's continuation into one supplementary char whose bytes
+    * have no prefix relationship to succ's. The LOWER test stays exact
+    * even then — the combined character's UTF-8 bytes (>= 0xF0) sort
+    * above the replacement byte a lone surrogate maps to, so any value
+    * with UTF-16 prefix p is still >= p in UTF-8 order.
     */
   final case class ColPrefix(col: String, p: String) extends ColPred {
     private val succ: Option[String] = {
-      var i = p.length - 1
-      while (i >= 0 && p.charAt(i) == Char.MaxValue) i -= 1
-      if (i < 0) None
-      else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+      if (p.exists(Character.isSurrogate)) None
+      else {
+        def bumpable(c: Char): Boolean = c != 0xFFFF.toChar && c != 0xD7FF.toChar
+        var i = p.length - 1
+        while (i >= 0 && !bumpable(p.charAt(i))) i -= 1
+        if (i < 0) None
+        else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+      }
     }
     def mayMatch(st: ColStat): Boolean =
       st.t != 's' ||
-        (st.hi.compareTo(p) >= 0 && succ.forall(sc => st.lo.compareTo(sc) < 0))
+        (utf8Cmp(st.hi, p) >= 0 && succ.forall(sc => utf8Cmp(st.lo, sc) < 0))
     def describe: String = s"$col LIKE '$p%'"
   }
 

@@ -77,8 +77,13 @@ object SinkConstraint {
         val isStr = table.fields(i).dataType == StringType
         (isStr, lit) match {
           case (true, s: String) =>
+            // string comparison in SPARK's order (UTF-8 bytes), not
+            // Java's (UTF-16 units): the ADD-time validation of existing
+            // rows runs through Spark SQL, and the two enforcement
+            // points must evaluate identically on supplementary-plane
+            // data — same discipline as the envelope comparisons
             get => Option(get(i)).map { v =>
-              val c = v.asInstanceOf[String].compareTo(s)
+              val c = SinkColStats.utf8Cmp(v.asInstanceOf[String], s)
               applyOp(op, c)
             }
           case (false, _: String) => throw new IllegalArgumentException(

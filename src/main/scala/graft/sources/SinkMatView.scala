@@ -220,17 +220,17 @@ object SinkMatView {
 
   // ---- plumbing ----------------------------------------------------------
 
-  private def srcAt(spark: SparkSession, srcDir: String, v: Long): DataFrame =
+  private[sources] def srcAt(spark: SparkSession, srcDir: String, v: Long): DataFrame =
     spark.read.format("graft.sources.ShardSinkSource")
       .option("path", srcDir).option("versionAsOf", v).load()
 
-  private def changes(
+  private[sources] def changes(
       spark: SparkSession, srcDir: String, fromV: Long, toV: Long): DataFrame =
     spark.read.format("graft.sources.ShardSinkSource")
       .option("path", srcDir).option("readChangeFeed", "true")
       .option("changeFeedFrom", fromV).option("changeFeedTo", toV).load()
 
-  private def gtypeOf(dt: DataType): String = dt match {
+  private[sources] def gtypeOf(dt: DataType): String = dt match {
     case IntegerType => "int"
     case LongType => "long"
     case StringType => "string"
@@ -238,18 +238,18 @@ object SinkMatView {
       throw new IllegalArgumentException(
         s"unsupported MV group column type $other (int/long/string)")
   }
-  private def gvalue(gtype: String, s: String): Any = gtype match {
+  private[sources] def gvalue(gtype: String, s: String): Any = gtype match {
     case "int" => s.toInt
     case "long" => s.toLong
     case _ => s
   }
-  private def gdt(gtype: String): DataType = gtype match {
+  private[sources] def gdt(gtype: String): DataType = gtype match {
     case "int" => IntegerType
     case "long" => LongType
     case _ => StringType
   }
 
-  private def aggColumn(a: MvAgg): org.apache.spark.sql.Column = a.kind match {
+  private[sources] def aggColumn(a: MvAgg): org.apache.spark.sql.Column = a.kind match {
     case "count" => count(lit(1)).as(a.name)
     case "sum" => sum(expr(a.e).cast(LongType)).as(a.name)
     case "xor" => expr(s"bit_xor(cast((${a.e}) as bigint))").as(a.name)
@@ -260,7 +260,7 @@ object SinkMatView {
   private def badChars(e: String): Boolean =
     e.exists(c => c == '"' || c == '\n' || c == '\r' || c == '\t')
 
-  private def validate(groups: Seq[String], aggs: Seq[MvAgg], pred: String): Unit = {
+  private[sources] def validate(groups: Seq[String], aggs: Seq[MvAgg], pred: String): Unit = {
     require(groups.nonEmpty, "an MV needs at least one group column")
     require(groups.distinct.length == groups.length, s"duplicate group columns: $groups")
     require(aggs.nonEmpty, "an MV needs at least one aggregate")
@@ -287,7 +287,7 @@ object SinkMatView {
   /** The MV's WHERE clause applied to any frame with the source's data
     * columns — the full build, the change rows, the dirty recompute.
     */
-  private def filtered(df: DataFrame, pred: String): DataFrame =
+  private[sources] def filtered(df: DataFrame, pred: String): DataFrame =
     if (pred.isEmpty) df else df.where(expr(pred))
 
   /** Group-key extraction from a collected aggregation row whose first
@@ -424,9 +424,23 @@ object SinkMatView {
       require(st.src == srcDir, s"MV at $mvDir materializes ${st.src}, not $srcDir")
       if (toV <= st.srcV) // replayed or pre-create commit: already covered
         return RefreshStats(st.srcV, st.srcV, 0L, 0L, stateV, applied = false)
-      require(toV == st.srcV + 1L,
-        s"streaming MV gap at $mvDir: batch carries commit $toV but the view " +
-          s"reflects ${st.srcV} — commits must apply in order")
+      if (toV > st.srcV + 1L) {
+        // a NO-DATA commit (OPTIMIZE / ZORDER / ALTER / constraint DDL)
+        // derives an EMPTY change feed, so it never arrives as a
+        // micro-batch and the stream jumps from the last data commit
+        // straight to this one. Fast-forwarding the watermark across the
+        // gap is safe exactly when the skipped window is PROVABLY
+        // change-free: re-derive it from the immutable commit log and
+        // require zero rows. Anything else is a genuinely skipped data
+        // commit and still fails loudly — the alternative is a silently
+        // wrong view.
+        val gapRows =
+          changes(spark, srcDir, st.srcV, toV - 1L).limit(1).count()
+        require(gapRows == 0L,
+          s"streaming MV gap at $mvDir: batch carries commit $toV but the " +
+            s"view reflects ${st.srcV} and commits (${st.srcV}, ${toV - 1L}] " +
+            "carry change rows — commits must apply in order")
+      }
       val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
         .otherwise(-1L)
       val cached = ch.persist()

@@ -398,4 +398,77 @@ class SinkColStatsSpec extends SparkSpec {
       .where(col("body") =!= lower(col("body"))).count()
     assert(upd === 600L)
   }
+
+  // ---- UTF-8 (code-point) string order — round 16 --------------------------
+
+  test("string envelopes order by UTF-8 bytes, not UTF-16 units") {
+    val emoji = "😀" // U+1F600 (supplementary plane)
+    val wide = "Ａ" // U+FF21 fullwidth A (BMP above the surrogates)
+    // the premise: Java's UTF-16 unit order INVERTS Spark's UTF-8 order
+    // for exactly this pair — an envelope folded the Java way records an
+    // upper bound below a value the file contains
+    assert(emoji.compareTo(wide) < 0)
+    assert(SinkColStats.utf8Cmp(emoji, wide) > 0)
+    val table = new StructType()
+      .add("doc_id", LongType).add("shard", org.apache.spark.sql.types.IntegerType)
+      .add("s", StringType)
+    val acc = new SinkColStats.LineAcc(table)
+    acc.add(Array("1", "0", emoji))
+    acc.add(Array("2", "1", wide))
+    val st = SinkColStats.decode(acc.encode())("s")
+    assert(st === SinkColStats.ColStat('s', wide, emoji), st.toString)
+    // the segment-level union folds with the same order
+    val a1 = new SinkColStats.LineAcc(table); a1.add(Array("1", "0", emoji))
+    val a2 = new SinkColStats.LineAcc(table); a2.add(Array("2", "1", wide))
+    val merged = SinkColStats.decode(
+      SinkColStats.mergeEnvelopes(Seq(a1.encode(), a2.encode())))("s")
+    assert(merged === SinkColStats.ColStat('s', wide, emoji), merged.toString)
+    // and the prune test agrees with Spark's evaluation: `s > 'Ａ'`
+    // matches the emoji row, so the envelope may NOT prune
+    val pred = SinkColStats.ColRange("s", 's', Some(wide), loInc = false, None, hiInc = false)
+    assert(pred.mayMatch(st))
+  }
+
+  test("prefix pruning is surrogate-safe and still prunes ASCII prefixes") {
+    import SinkColStats.{ColPrefix, ColStat}
+    val emoji = "😀"
+    // a prefix ending in a lone lead surrogate: the value's continuation
+    // combines into one supplementary char whose bytes have no prefix
+    // relationship to any UTF-16 successor — the upper test must yield,
+    // never prune a file holding a genuine match
+    assert(ColPrefix("c", "a" + emoji.charAt(0))
+      .mayMatch(ColStat('s', "a" + emoji, "a" + emoji)))
+    // supplementary chars INSIDE a fully-paired prefix also skip the
+    // upper bound (conservative), and the lower test stays exact
+    assert(ColPrefix("c", "a" + emoji).mayMatch(ColStat('s', "a" + emoji + "x", "a" + emoji + "x")))
+    assert(!ColPrefix("c", "b").mayMatch(ColStat('s', "c", "d")))
+    assert(!ColPrefix("c", "b").mayMatch(ColStat('s', "a", "ax")))
+    assert(ColPrefix("c", "b").mayMatch(ColStat('s', "b1", "b2")))
+    // U+D7FF (successor would be a surrogate) drops from the tail like ￿
+    assert(ColPrefix("c", "b퟿").mayMatch(ColStat('s', "b퟿z", "b퟿z")))
+    assert(!ColPrefix("c", "b퟿").mayMatch(ColStat('s', "a", "a")))
+  }
+
+  test("no false prune and Spark-exact manifest MIN/MAX on supplementary-plane data") {
+    val dir = freshDir("cs_utf8")
+    val emoji = "😀"
+    val wide = "Ａ"
+    ingest(dir, 0L, 100L, "seed") // v1 establishes the evolved column
+    docs(100L, 200L)
+      .withColumn("lang",
+        when(col("doc_id") % 2 === 0, lit(emoji)).otherwise(lit(wide)))
+      .withColumn("score", (col("doc_id") * 2L).cast("long"))
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("mergeSchema", "true")
+      .mode(org.apache.spark.sql.SaveMode.Append).save() // v2: mixed-plane
+    // Spark evaluates U+1F600 > U+FF21 (code points): the 50 emoji rows
+    // match; a UTF-16-ordered envelope records hi = Ａ and would have
+    // pruned the very files that hold them → silent zero
+    val (n, _) = counted(read(dir).where(col("lang") > lit(wide)))
+    assert(n === 50L)
+    // manifest-answered extremes agree with Spark's own aggregate order
+    val row = read(dir).where(col("doc_id") >= 100L)
+      .agg(min("lang").as("lo"), max("lang").as("hi")).collect().head
+    assert(row.getString(0) === wide && row.getString(1) === emoji, row.toString)
+  }
 }

@@ -213,6 +213,38 @@ class SinkMatViewSpec extends SparkSpec {
     assert(mvRollup(mvDir) === sourceRollup(dir))
   }
 
+  test("streaming apply fast-forwards over verified no-data commits instead of wedging") {
+    val dir = freshDir("mv_ffwd")
+    val mvDir = SinkMatView.mvDirOf(dir)
+    append(dir, 0L, 400L, n = 800) // v1
+    SinkMatView.create(spark, dir, mvDir, "shard", rollupAggs)
+    // v2: OPTIMIZE — derives an EMPTY change feed, so the CDF stream
+    // never delivers a micro-batch for it and the next data batch
+    // arrives with a version gap
+    ShardSink.compact(dir)
+    append(dir, 400L, 600L, n = 800) // v3: the next data commit
+    def changesOf(fromV: Long, toV: Long) =
+      spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("readChangeFeed", "true")
+        .option("changeFeedFrom", fromV).option("changeFeedTo", toV).load()
+    // before round 16 this require(toV == srcV + 1) wedged the MV
+    // permanently; the gap (1, 2] is provably change-free, so the fold
+    // applies and the watermark fast-forwards
+    val st = SinkMatView.refreshFromChanges(spark, dir, mvDir, changesOf(2L, 3L), 3L)
+    assert(st.applied && SinkMatView.lastSourceVersion(mvDir) === 3L)
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+    // a gap that HIDES a data commit still fails loudly
+    append(dir, 600L, 700L, n = 800) // v4 (data — about to be skipped)
+    append(dir, 700L, 800L, n = 800) // v5
+    val e = intercept[IllegalArgumentException](
+      SinkMatView.refreshFromChanges(spark, dir, mvDir, changesOf(4L, 5L), 5L))
+    assert(e.getMessage.contains("gap"))
+    // in-order catch-up still converges
+    SinkMatView.refreshFromChanges(spark, dir, mvDir, changesOf(3L, 4L), 4L)
+    SinkMatView.refreshFromChanges(spark, dir, mvDir, changesOf(4L, 5L), 5L)
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+  }
+
   test("multi-column groups, WHERE predicate, and NULL group values fold correctly") {
     val dir = freshDir("mv_multi")
     // pre-evolution rows: lang is NULL → they form their own group
