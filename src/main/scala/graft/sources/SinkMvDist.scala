@@ -1,0 +1,602 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DISTRIBUTED materialized-view state (round 16) — the scale rung above
+  * [[SinkMatView]]'s driver-resident blob. Same definition surface
+  * (`SELECT g1..gk, count/sum/xor/min/max… FROM t [WHERE pred] GROUP BY`),
+  * same change-feed-driven incremental fold, same signed net-grain
+  * extreme math — but the state lives as BUCKETED TSV SEGMENTS in the
+  * MV directory and every refresh is a DISTRIBUTED plan:
+  *
+  *   state(touched buckets)  FULL OUTER JOIN (null-safe)  Δ(change feed)
+  *     → fold columns (count/sum/xor linear; min/max clean-or-dirty)
+  *     → dirty groups re-aggregated by ONE pruned source join
+  *     → rewritten bucket segments;  untouched buckets CARRY FORWARD
+  *       by reference into the new header
+  *
+  * Driver involvement per refresh is O(buckets), never O(groups): the
+  * only rows ever collected are the ≤ `buckets` distinct bucket ids the
+  * delta touches (pinned by [[driverRowsCollected]] and its spec). A
+  * per-user or per-document grain MV over a 100 TB events table — the
+  * case the blob design could not serve — keeps its millions of groups
+  * on the executors end to end; the driver moves a handful of files and
+  * flips a header whose size is O(segment files).
+  *
+  * Commit protocol: segment files are written under job-unique names
+  * FIRST, then the tiny versioned header `_mvd.v<N>.json` (definition +
+  * watermark + file refs) flips with the same fresh-name election the
+  * table manifest uses — a crash leaves the previous version intact plus
+  * sweepable orphans, a lost race retries against the winner's state
+  * ([[SinkMatView.MvConflict]] semantics). Exactness inherits the change
+  * feed's contract, identically to the blob MV.
+  */
+object SinkMvDist {
+  import SinkMatView.{MvAgg, MvConflict, RefreshStats}
+
+  private val StateV = """_mvd\.v(\d+)\.json""".r
+  private val HeaderRe =
+    ("""\{"src":"([^"]*)","group":"([^"]*)","gtype":"([^"]*)",""" +
+      """"pred":"([^"]*)","srcV":(\d+),"buckets":(\d+),"aggs":\[(.*)\]\}""").r
+  private val AggRe = """\{"n":"([^"]*)","k":"([^"]*)","e":"([^"]*)"\}""".r
+
+  /** Total rows materialized on the driver by create/refresh control
+    * flow — the observability hook for the scale contract: its growth is
+    * bounded by `buckets` per refresh, independent of group cardinality
+    * (spec-pinned at two grains).
+    */
+  val driverRowsCollected = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private final case class MvdState(
+      src: String, groups: Seq[String], gtypes: Seq[String], pred: String,
+      srcV: Long, buckets: Int, aggs: Seq[MvAgg], refs: Seq[(Int, String)])
+
+  // ---- header ------------------------------------------------------------
+
+  private def headerJson(st: MvdState): String = {
+    val aggs = st.aggs
+      .map(a => s"""{"n":"${a.name}","k":"${a.kind}","e":"${a.e}"}""")
+      .mkString("[", ",", "]")
+    s"""{"src":"${st.src}","group":"${st.groups.mkString(",")}",""" +
+      s""""gtype":"${st.gtypes.mkString(",")}","pred":"${st.pred}",""" +
+      s""""srcV":${st.srcV},"buckets":${st.buckets},"aggs":$aggs}"""
+  }
+
+  private def writeHeader(mvDir: String, version: Long, st: MvdState): Unit = {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(mvDir, s"_mvd.tmp-$nonce")
+    val w = SinkFs.create(tmp)
+    try {
+      w.write(headerJson(st)); w.write("\n")
+      st.refs.sortBy(r => (r._1, r._2)).foreach { case (b, f) =>
+        w.write(s"$b\t$f"); w.write("\n")
+      }
+    } finally w.close()
+    val dest = new Path(mvDir, s"_mvd.v$version.json")
+    try SinkFs.moveFresh(tmp, dest)
+    catch {
+      case e: IllegalArgumentException =>
+        SinkFs.delete(tmp)
+        throw MvConflict(mvDir, version, e.getMessage)
+    }
+  }
+
+  def currentVersion(mvDir: String): Long =
+    SinkFs.listFileNames(new Path(mvDir)).collect {
+      case StateV(n) => n.toLong
+    }.foldLeft(0L)(math.max)
+
+  private def readHeaderAt(mvDir: String, v: Long): MvdState = {
+    val lines = SinkFs.readLines(new Path(mvDir, s"_mvd.v$v.json"))
+    lines.head match {
+      case HeaderRe(s, g, t, pr, sv, b, as) =>
+        val parsed = AggRe.findAllMatchIn(as)
+          .map(m => MvAgg(m.group(1), m.group(2), m.group(3))).toSeq
+        val refs = lines.tail.map { l =>
+          val i = l.indexOf('\t')
+          (l.substring(0, i).toInt, l.substring(i + 1))
+        }
+        MvdState(s, g.split(",", -1).toSeq, t.split(",", -1).toSeq, pr,
+          sv.toLong, b.toInt, parsed, refs)
+      case other => sys.error(s"unparseable distributed-MV header at $mvDir: $other")
+    }
+  }
+
+  def lastSourceVersion(mvDir: String): Long = {
+    val v = currentVersion(mvDir)
+    require(v > 0L, s"no distributed materialized view at $mvDir (create it first)")
+    readHeaderAt(mvDir, v).srcV
+  }
+
+  /** The state segment files of a version — (bucket, file) refs; exposed
+    * the way table formats expose their manifests (carry-forward and
+    * vacuum behavior is observable, not implied).
+    */
+  def stateFiles(mvDir: String, v: Long): Seq[(Int, String)] =
+    readHeaderAt(mvDir, v).refs
+
+  // ---- row codec (Spark-expression twins of the blob's escape/gcell) ------
+
+  private def escCol(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c, "%", "%25"), "\t", "%09"), "\n", "%0A")
+  private def unescCol(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c, "%09", "\t"), "%0A", "\n"), "%25", "%")
+  private def gcellCol(c: Column): Column =
+    when(c.isNull, lit("%N")).otherwise(escCol(c.cast(StringType)))
+  private def ungcellCol(c: Column, gtype: String): Column =
+    when(c === "%N", lit(null).cast(StringType)).otherwise(unescCol(c))
+      .cast(SinkMatView.gdt(gtype))
+  /** Long-or-empty value cell, ANSI-safe in both directions. */
+  private def cellCol(c: Column): Column =
+    coalesce(c.cast(StringType), lit(""))
+  private def uncellCol(c: Column): Column =
+    when(c === "", lit(null).cast(StringType)).otherwise(c).cast(LongType)
+
+  /** The deterministic group→bucket map, computable on ANY frame carrying
+    * the group columns (state rows, delta rows, source rows): xxhash64 of
+    * the null-marked, escaped key string. Both sides of every join derive
+    * it the same way, so bucket-pruned reads can never miss a group.
+    */
+  private def bucketCol(st: MvdState, keys: Seq[Column]): Column =
+    pmod(xxhash64(concat_ws("", keys.map(gcellCol): _*)), lit(st.buckets))
+      .cast(IntegerType)
+
+  private def slotV(i: Int) = s"_v$i"
+  private def slotC(i: Int) = s"_c$i"
+
+  private def stateSchema(st: MvdState): StructType =
+    StructType(
+      st.groups.zip(st.gtypes).map { case (n, t) =>
+        StructField(n, SinkMatView.gdt(t), nullable = true)
+      } ++ (0 until st.aggs.length).flatMap(i => Seq(
+        StructField(slotV(i), LongType, nullable = true),
+        StructField(slotC(i), LongType, nullable = true))))
+
+  /** Distributed scan of the state segments (optionally bucket-pruned —
+    * file = bucket, so the prune is a file-list filter, zero data IO for
+    * untouched buckets).
+    */
+  private def stateDf(
+      spark: SparkSession, mvDir: String, st: MvdState,
+      onlyBuckets: Option[Set[Int]]): DataFrame = {
+    val refs = onlyBuckets match {
+      case Some(bs) => st.refs.filter(r => bs.contains(r._1))
+      case None => st.refs
+    }
+    val schema = stateSchema(st)
+    if (refs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val paths = refs.map { case (_, f) => new Path(mvDir, f).toString }
+    val cells = split(col("value"), "\t", -1)
+    val g = st.groups.length
+    val gcols = st.groups.zip(st.gtypes).zipWithIndex.map { case ((n, t), i) =>
+      ungcellCol(element_at(cells, i + 1), t).as(n)
+    }
+    val vcols = (0 until 2 * st.aggs.length).map { j =>
+      val name = if (j < st.aggs.length) slotV(j) else slotC(j - st.aggs.length)
+      uncellCol(element_at(cells, g + j + 1)).as(name)
+    }
+    spark.read.text(paths: _*).select(gcols ++ vcols: _*)
+  }
+
+  /** Write a state frame's rows as bucket-pure segment files: a
+    * partitioned text write to a job-unique staging dir, then a driver
+    * move of O(files) parts into the MV dir under version-unique names.
+    * Returns the (bucket, file) refs. The frame must carry the group
+    * columns and the 2×|aggs| slots.
+    */
+  private def writeSegments(
+      mvDir: String, version: Long, st: MvdState, state: DataFrame): Seq[(Int, String)] = {
+    val na = st.aggs.length
+    val lineCells =
+      st.groups.map(n => gcellCol(col(n))) ++
+        (0 until na).map(i => cellCol(col(slotV(i)))) ++
+        (0 until na).map(i => cellCol(col(slotC(i))))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(mvDir, s"_mvd.stage-$nonce")
+    state
+      .withColumn("_b", bucketCol(st, st.groups.map(col)))
+      .select(concat_ws("\t", lineCells: _*).as("value"), col("_b"))
+      .write.partitionBy("_b").mode("overwrite").text(staging.toString)
+    val fs = SinkFs.fsOf(staging)
+    val refs = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    try {
+      fs.listStatus(staging).filter(_.isDirectory).foreach { d =>
+        val b = d.getPath.getName.stripPrefix("_b=").toInt
+        fs.listStatus(d.getPath).filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .zipWithIndex.foreach { case (p, k) =>
+            val name = s"state-v$version-b$b-$nonce-$k.tsv"
+            SinkFs.moveOver(p.getPath, new Path(mvDir, name))
+            refs += ((b, name))
+          }
+      }
+    } finally { fs.delete(staging, true); () }
+    refs.toSeq
+  }
+
+  // ---- create --------------------------------------------------------------
+
+  /** Full-scan creation pinned at the source's current version — the
+    * blob MV's contract, but the aggregation result is WRITTEN
+    * DISTRIBUTED, never collected.
+    */
+  def create(
+      spark: SparkSession, srcDir: String, mvDir: String,
+      groups: Seq[String], aggs: Seq[MvAgg], where: String = "",
+      buckets: Int = 16): Long = {
+    SinkMatView.validate(groups, aggs, where)
+    require(buckets >= 1 && buckets <= 4096, s"buckets out of range: $buckets")
+    require(currentVersion(mvDir) == 0L,
+      s"distributed materialized view already exists at $mvDir")
+    val srcV = ShardSink.currentManifestVersion(srcDir)
+    require(srcV > 0L, s"no committed version at $srcDir — create the MV after the first commit")
+    val schema = ShardSink.schemaAtVersion(srcDir, srcV)
+    groups.foreach(g => require(schema.fieldNames.contains(g),
+      s"group column '$g' not in ${schema.fieldNames.mkString(",")}"))
+    val gtypes = groups.map(g => SinkMatView.gtypeOf(schema(g).dataType))
+    val st = MvdState(srcDir, groups, gtypes, where, srcV, buckets, aggs, Nil)
+    val aggCols = aggs.zipWithIndex.map { case (a, i) =>
+      SinkMatView.aggColumn(a).as(slotV(i))
+    }
+    val nnCols = aggs.zipWithIndex.map { case (a, i) =>
+      if (a.kind == "sum" || a.kind == "xor")
+        count(when(expr(a.e).isNotNull, 1)).as(slotC(i))
+      else lit(0L).as(slotC(i))
+    }
+    val full = SinkMatView.filtered(SinkMatView.srcAt(spark, srcDir, srcV), where)
+      .groupBy(groups.map(col): _*)
+      .agg(aggCols.head, aggCols.tail ++ nnCols: _*)
+    val refs = writeSegments(mvDir, 1L, st, full)
+    writeHeader(mvDir, 1L, st.copy(refs = refs))
+    srcV
+  }
+
+  // ---- refresh ---------------------------------------------------------------
+
+  def refresh(spark: SparkSession, srcDir: String, mvDir: String): RefreshStats = {
+    var attempt = 0
+    while (true) {
+      val stateV = currentVersion(mvDir)
+      require(stateV > 0L, s"no distributed materialized view at $mvDir (create it first)")
+      val st = readHeaderAt(mvDir, stateV)
+      require(st.src == srcDir, s"MV at $mvDir materializes ${st.src}, not $srcDir")
+      val toV = ShardSink.currentManifestVersion(srcDir)
+      if (toV <= st.srcV)
+        return RefreshStats(st.srcV, st.srcV, 0L, 0L, stateV, applied = false)
+      try return refreshOnce(spark, srcDir, mvDir, st, stateV, toV)
+      catch {
+        case _: MvConflict if attempt < 5 => attempt += 1 // re-read, re-derive
+        case c: MvConflict => throw c
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Null-safe equi-join on the group columns: the right side's keys are
+    * renamed `_r_<k>` (caller reads them back under that name). NULL
+    * group values match NULL — SQL's grouping identity, not its equality.
+    */
+  private def nsJoin(
+      l: DataFrame, r: DataFrame, keys: Seq[String], how: String): DataFrame = {
+    val rr = keys.foldLeft(r)((df, k) => df.withColumnRenamed(k, s"_r_$k"))
+    val cond = keys.map(k => l(k) <=> rr(s"_r_$k")).reduce(_ && _)
+    l.join(rr, cond, how)
+  }
+
+  private def refreshOnce(
+      spark: SparkSession, srcDir: String, mvDir: String,
+      st: MvdState, stateV: Long, toV: Long): RefreshStats = {
+    val na = st.aggs.length
+    val keys = st.groups
+    val next = stateV + 1L
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val ch = SinkMatView.changes(spark, srcDir, st.srcV, toV).persist()
+    try {
+      val chF = SinkMatView.filtered(ch, st.pred)
+      // ---- the linear (row-grain) delta: one distributed aggregation
+      val deltaCols = st.aggs.zipWithIndex.flatMap { case (a, i) =>
+        a.kind match {
+          case "count" => Seq(sum(sign).as(s"_d$i"))
+          case "sum" => Seq(
+            sum(sign * expr(a.e).cast(LongType)).as(s"_d$i"),
+            sum(sign * when(expr(a.e).isNotNull, 1L).otherwise(0L)).as(s"_dn$i"))
+          case "xor" => Seq(
+            expr(s"bit_xor(cast((${a.e}) as bigint))").as(s"_d$i"),
+            sum(sign * when(expr(a.e).isNotNull, 1L).otherwise(0L)).as(s"_dn$i"))
+          case _ => Seq.empty
+        }
+      }
+      var delta = chF
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_chrows"), deltaCols: _*)
+      // ---- the value-grain extreme deltas, one per distinct expression
+      val extremeExprs = st.aggs.filter(a => a.kind == "min" || a.kind == "max")
+        .map(_.e).distinct
+      extremeExprs.zipWithIndex.foreach { case (e, j) =>
+        val per = chF
+          .groupBy(keys.map(col) :+ expr(e).cast(LongType).as("_mv_v"): _*)
+          .agg(sum(sign).as("_net"))
+          .groupBy(keys.map(col): _*)
+          .agg(
+            min(when(col("_net") > 0L, col("_mv_v"))).as(s"_pmin$j"),
+            max(when(col("_net") > 0L, col("_mv_v"))).as(s"_pmax$j"),
+            min(when(col("_net") < 0L, col("_mv_v"))).as(s"_nmin$j"),
+            max(when(col("_net") < 0L, col("_mv_v"))).as(s"_nmax$j"))
+        val joined = nsJoin(delta, per, keys, "left")
+        delta = joined.select(
+          keys.map(joined(_)) ++ delta.columns.filterNot(keys.contains).map(joined(_)) ++
+            Seq(s"_pmin$j", s"_pmax$j", s"_nmin$j", s"_nmax$j").map(joined(_)): _*)
+      }
+      val deltaC = delta.persist()
+      try {
+        // the ONLY driver materializations: bucket ids (≤ buckets) and
+        // two scalar job results — never rows proportional to groups
+        val touched = deltaC
+          .select(bucketCol(st, keys.map(col)).as("_b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        driverRowsCollected.addAndGet(touched.size.toLong)
+        if (touched.isEmpty) {
+          // change-free window (no-data commits / everything
+          // predicate-filtered): advance the watermark, carry all refs
+          writeHeader(mvDir, next, st.copy(srcV = toV))
+          return RefreshStats(st.srcV, toV, 0L, 0L, next, applied = true)
+        }
+        val changeRows = deltaC.agg(sum("_chrows")).collect().head.getLong(0)
+        driverRowsCollected.incrementAndGet()
+
+        // ---- fold: state(touched) ⟗ delta, null-safe on the group key
+        val state = stateDf(spark, mvDir, st, Some(touched))
+          .withColumn("_present", lit(1))
+        val j = nsJoin(state, deltaC.withColumn("_dpresent", lit(1)), keys, "full_outer")
+        val had = j("_present").isNotNull
+        def keyOut(k: String, i: Int): Column = coalesce(j(k), j(s"_r_$k")).as(k)
+        val exprIdx = extremeExprs.zipWithIndex.toMap
+        val countIdx = st.aggs.indexWhere(_.kind == "count")
+        val foldCols = scala.collection.mutable.ArrayBuffer[Column]()
+        val dirtyFlags = scala.collection.mutable.ArrayBuffer[Column]()
+        st.aggs.zipWithIndex.foreach { case (a, i) =>
+          val sv = j(slotV(i)); val sc = j(slotC(i))
+          a.kind match {
+            case "count" =>
+              val n = coalesce(sv, lit(0L)) + coalesce(j(s"_d$i"), lit(0L))
+              // the blob fold's incomplete-feed sentinel, distributed:
+              // a negative count means retractions for rows the state
+              // never saw — fail the refresh, never write the drift
+              foldCols += when(n < 0L, expr(
+                "raise_error('MV fold drove a group count negative: change feed incomplete?')")
+                .cast(LongType)).otherwise(n).as(slotV(i))
+              foldCols += lit(0L).as(slotC(i))
+            case "sum" =>
+              val nn = coalesce(sc, lit(0L)) + coalesce(j(s"_dn$i"), lit(0L))
+              foldCols += when(nn === 0L, lit(null).cast(LongType))
+                .otherwise(coalesce(sv, lit(0L)) + coalesce(j(s"_d$i"), lit(0L)))
+                .as(slotV(i))
+              foldCols += nn.as(slotC(i))
+            case "xor" =>
+              val nn = coalesce(sc, lit(0L)) + coalesce(j(s"_dn$i"), lit(0L))
+              foldCols += when(nn === 0L, lit(null).cast(LongType))
+                .otherwise(coalesce(sv, lit(0L)).bitwiseXOR(coalesce(j(s"_d$i"), lit(0L))))
+                .as(slotV(i))
+              foldCols += nn.as(slotC(i))
+            case "min" | "max" =>
+              val ji = exprIdx(a.e)
+              val isMin = a.kind == "min"
+              val pos = if (isMin) j(s"_pmin$ji") else j(s"_pmax$ji")
+              val neg = if (isMin) j(s"_nmin$ji") else j(s"_nmax$ji")
+              val clean = if (isMin) least(sv, pos) else greatest(sv, pos)
+              def touches(s: Column, n: Column) = if (isMin) n <= s else n >= s
+              def covers(p: Column, n: Column) = if (isMin) p <= n else p >= n
+              // the blob's foldExtreme decision table, column-for-column
+              val dirty = had && (
+                (sv.isNotNull && neg.isNotNull && touches(sv, neg) &&
+                  !(pos.isNotNull && covers(pos, neg))) ||
+                  (sv.isNull && neg.isNotNull))
+              foldCols += clean.as(slotV(i))
+              foldCols += lit(0L).as(slotC(i))
+              dirtyFlags += coalesce(dirty, lit(false)).as(s"_dirty$i")
+          }
+        }
+        val folded0 = j.select(
+          keys.zipWithIndex.map { case (k, i) => keyOut(k, i) } ++
+            foldCols ++ dirtyFlags: _*)
+        // liveness: a group whose count reached zero leaves the view
+        val folded = folded0.where(col(slotV(countIdx)) > 0L).persist()
+        try {
+          val dirtyAggIdx = st.aggs.zipWithIndex
+            .filter { case (a, _) => a.kind == "min" || a.kind == "max" }.map(_._2)
+          val anyDirty =
+            if (dirtyAggIdx.isEmpty) lit(false)
+            else dirtyAggIdx.map(i => col(s"_dirty$i")).reduce(_ || _)
+          val dirtyKeys = folded.where(anyDirty).select(keys.map(col): _*)
+          val nDirty = dirtyKeys.count()
+          driverRowsCollected.incrementAndGet()
+          // ---- dirty extremes: ONE pruned recompute join at toV — the
+          // source scan keeps its file skipping (the dirty keys arrive as
+          // a join side, typically broadcast), and only dirty groups
+          // re-aggregate
+          val fixed: Option[DataFrame] =
+            if (nDirty == 0L) None
+            else {
+              val src = SinkMatView.filtered(
+                SinkMatView.srcAt(spark, srcDir, toV), st.pred)
+              val jj = nsJoin(src, dirtyKeys.distinct(), keys, "inner")
+              Some(jj
+                .groupBy(keys.map(jj(_)): _*)
+                .agg(
+                  dirtyAggIdx.map(i =>
+                    SinkMatView.aggColumn(st.aggs(i)).as(s"_fx$i")).head,
+                  dirtyAggIdx.drop(1).map(i =>
+                    SinkMatView.aggColumn(st.aggs(i)).as(s"_fx$i")): _*))
+            }
+          val finalState = fixed match {
+            case None => folded.select(
+              (keys.map(col) ++
+                (0 until na).map(i => col(slotV(i))) ++
+                (0 until na).map(i => col(slotC(i)))): _*)
+            case Some(fx) =>
+              val jf = nsJoin(folded, fx, keys, "left")
+              jf.select(
+                (keys.map(jf(_)) ++
+                  (0 until na).map { i =>
+                    if (dirtyAggIdx.contains(i))
+                      when(jf(s"_dirty$i"), jf(s"_fx$i")).otherwise(jf(slotV(i)))
+                        .as(slotV(i))
+                    else jf(slotV(i)).as(slotV(i))
+                  } ++
+                  (0 until na).map(i => jf(slotC(i)).as(slotC(i)))): _*)
+          }
+          // ---- write touched buckets, carry the rest by reference
+          val written = writeSegments(mvDir, next, st, finalState)
+          val carried = st.refs.filterNot(r => touched.contains(r._1))
+          writeHeader(mvDir, next, st.copy(srcV = toV, refs = written ++ carried))
+          RefreshStats(st.srcV, toV, changeRows, nDirty, next, applied = true)
+        } finally { folded.unpersist(); () }
+      } finally { deltaC.unpersist(); () }
+    } finally { ch.unpersist(); () }
+  }
+
+  // ---- read / vacuum -------------------------------------------------------
+
+  /** The MV contents as a DISTRIBUTED DataFrame `(groups…, aggs…)` —
+    * reads the state segments only, never the source.
+    */
+  def read(spark: SparkSession, mvDir: String, asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.getOrElse(currentVersion(mvDir))
+    require(v > 0L, s"no distributed materialized view at $mvDir")
+    val st = readHeaderAt(mvDir, v)
+    stateDf(spark, mvDir, st, None).select(
+      (st.groups.map(col) ++
+        st.aggs.zipWithIndex.map { case (a, i) => col(slotV(i)).as(a.name) }): _*)
+  }
+
+  // ---- driver-checked query ------------------------------------------------
+
+  /** Driver-checked DISTRIBUTED MV STATE (round 16): a per-`uid` grain
+    * rollup (1200 groups — the cardinality class the blob MV keeps on
+    * the driver; here every group lives in bucketed state segments and
+    * the driver only ever collects bucket ids). Lifecycle: two ingests,
+    * create, an in-place UPDATE whose net extremes dirty every updated
+    * group's `min_len` (300-group distributed recompute), a tail DELETE
+    * that removes 500 groups' recorded `max_doc` (500 more), and a late
+    * append that extends extremes on the clean fast-path. The final
+    * 1200-row view plus the refresh bookkeeping sits under the DuckDB
+    * hash gate — the incremental distributed fold equals a full
+    * recompute, value for value.
+    */
+  def mvDistReport(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mvd:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmvd_$sfx")
+    SinkFs.deleteRecursively(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_mvd", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mvd.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mvd.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvd.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvd.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2400").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("graft_mvd.docs_mvd").append() // v1: bootstrap
+    s.sql("ALTER TABLE graft_mvd.docs_mvd ADD COLUMN uid BIGINT") // v2
+    def ingest(lo: Long, hi: Long): Unit =
+      docs(lo, hi)
+        .withColumn("uid", (col("doc_id") % 1200L).cast("long"))
+        .writeTo("graft_mvd.docs_mvd").append()
+    ingest(0L, 800L) // v3
+    ingest(800L, 2000L) // v4
+    val dir = new java.io.File(root, "docs_mvd").getPath
+    val mvDir = dir + ".mvd"
+    create(s, dir, mvDir, Seq("uid"), Seq(
+      MvAgg("n_docs", "count"),
+      MvAgg("sum_ids", "sum", "doc_id"),
+      MvAgg("xor_ids", "xor", "doc_id"),
+      MvAgg("max_doc", "max", "doc_id"),
+      MvAgg("sum_len", "sum", "length(body)"),
+      MvAgg("min_len", "min", "length(body)")), buckets = 8)
+    // v5: min_len's 32 is net-removed, 33 does not re-cover → 300 dirty
+    s.sql("UPDATE graft_mvd.docs_mvd SET body = concat(body, '!') WHERE doc_id < 300")
+    val r1 = refresh(s, dir, mvDir)
+    // v6: uids 300..799 lose doc uid+1200 — their recorded max → 500 dirty
+    s.sql("DELETE FROM graft_mvd.docs_mvd WHERE doc_id >= 1500")
+    val r2 = refresh(s, dir, mvDir)
+    // v7: uids 800..1199 regain a row; extremes extend on the fast path
+    ingest(2000L, 2400L)
+    val r3 = refresh(s, dir, mvDir)
+    val stats = Seq(r1, r2, r3)
+    read(s, mvDir)
+      .withColumn("n_refreshes", lit(stats.count(_.applied).toLong))
+      .withColumn("change_rows", lit(stats.map(_.changeRows).sum))
+      .withColumn("dirty_groups", lit(stats.map(_.dirtyGroups).sum))
+      .withColumn("mv_version", lit(currentVersion(mvDir)))
+      .withColumn("src_version", lit(lastSourceVersion(mvDir)))
+      .orderBy("uid")
+  }
+
+  /** DuckDB re-derivation: the live set is `doc_id < 1500 OR doc_id >=
+    * 2000` with 33-char bodies below 300, grouped per uid = doc_id %
+    * 1200 — plus the lifecycle constants (3 refreshes; 600 + 500 + 400
+    * change rows; 300 + 500 dirty recomputes; MV v4 = create + 3; source
+    * v7 = bootstrap + ALTER + 2 ingests + UPDATE + DELETE + append).
+    */
+  val mvDistReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 1200 AS uid,
+      |         CAST(CASE WHEN doc_id < 300 THEN 33 ELSE 32 END AS BIGINT) AS blen
+      |  FROM range(0, 2400) t(doc_id)
+      |  WHERE doc_id < 1500 OR doc_id >= 2000)
+      |SELECT uid, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+      |       CAST(SUM(blen) AS BIGINT) AS sum_len,
+      |       CAST(MIN(blen) AS BIGINT) AS min_len,
+      |       CAST(3 AS BIGINT) AS n_refreshes,
+      |       CAST(1500 AS BIGINT) AS change_rows,
+      |       CAST(800 AS BIGINT) AS dirty_groups,
+      |       CAST(4 AS BIGINT) AS mv_version,
+      |       CAST(7 AS BIGINT) AS src_version
+      |FROM g GROUP BY uid ORDER BY uid""".stripMargin
+
+  /** Sweep superseded headers and every state segment no RETAINED header
+    * references, plus aged staging/tmp litter from crashed flips. Carried
+    * (shared) segments survive as long as any retained version lists
+    * them. Age-gating protects an in-flight refresh's already-moved
+    * segments, exactly like the table vacuum's tmp rule.
+    */
+  def vacuum(
+      mvDir: String, retainVersions: Int = 1,
+      olderThanMillis: Long = 7L * 24 * 3600 * 1000L): Seq[String] = {
+    require(retainVersions >= 1, "an MV must retain at least its current state")
+    val cur = currentVersion(mvDir)
+    require(cur > 0L, s"no distributed materialized view at $mvDir")
+    val floor = math.max(1L, cur - retainVersions + 1L)
+    val dirPath = new Path(mvDir)
+    val fs = SinkFs.fsOf(dirPath)
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val referenced: Set[String] =
+      (floor to cur).flatMap(v => readHeaderAt(mvDir, v).refs.map(_._2)).toSet
+    val names = SinkFs.listFileNames(dirPath)
+    val swept = names.filter {
+      case StateV(n) => n.toLong < floor
+      case n if n.startsWith("state-") =>
+        !referenced.contains(n) &&
+          fs.getFileStatus(new Path(mvDir, n)).getModificationTime <= cutoff
+      case n => n.startsWith("_mvd.tmp-") &&
+        fs.getFileStatus(new Path(mvDir, n)).getModificationTime <= cutoff
+    }.sorted
+    swept.foreach(n => SinkFs.delete(new Path(mvDir, n)))
+    // crashed staging DIRECTORIES (listFileNames sees files only)
+    val stages = fs.listStatus(dirPath).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("_mvd.stage-") &&
+      s.getModificationTime <= cutoff)
+    stages.foreach(s => fs.delete(s.getPath, true))
+    swept ++ stages.map(_.getPath.getName).sorted
+  }
+}

@@ -220,6 +220,7 @@ object Sinks {
     "q_dsv2_col_skipping" -> (SinkColStats.colSkippingReport _),
     "s_mv_stream_parity" -> (SinkMatView.mvStreamParity _),
     "q_dsv2_mv_groups" -> (SinkMatView.mvGroupsReport _),
+    "q_dsv2_mv_dist" -> (SinkMvDist.mvDistReport _),
     "q_dsv2_zorder_cols" -> (SinkColStats.zorderColsReport _),
     "q_dsv2_meta_col_minmax" -> (SinkColStats.metaColMinMaxReport _),
     "q_dsv2_restore" -> (ShardSink.restoreReport _),
@@ -281,6 +282,7 @@ object Sinks {
     "q_dsv2_col_skipping" -> SinkColStats.colSkippingReportSql,
     "s_mv_stream_parity" -> SinkMatView.mvStreamParitySql,
     "q_dsv2_mv_groups" -> SinkMatView.mvGroupsReportSql,
+    "q_dsv2_mv_dist" -> SinkMvDist.mvDistReportSql,
     "q_dsv2_zorder_cols" -> SinkColStats.zorderColsReportSql,
     "q_dsv2_meta_col_minmax" -> SinkColStats.metaColMinMaxReportSql,
     "q_dsv2_restore" -> ShardSink.restoreReportSql,

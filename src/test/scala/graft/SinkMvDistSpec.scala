@@ -1,0 +1,207 @@
+package graft
+
+import graft.sources.{ShardSink, SinkMatView, SinkMvDist, SinkTestAccess}
+import graft.sources.SinkMatView.MvAgg
+import org.apache.spark.sql.functions._
+
+/** Round-16 DISTRIBUTED MV STATE ([[SinkMvDist]]): the same incremental
+  * fold as the blob MV, but state lives as bucketed segment files and
+  * every refresh is a distributed plan. The contract under test, beyond
+  * fold exactness: driver materialization is bounded by the BUCKET
+  * count, never the group count (the scale property the blob design
+  * could not offer), untouched buckets carry forward by reference, and
+  * vacuum keeps every segment a retained version still lists. The
+  * end-to-end lifecycle also sits under the driver's hash gate as
+  * `q_dsv2_mv_dist`.
+  */
+class SinkMvDistSpec extends SparkSpec {
+
+  private def freshDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    new java.io.File(d, "t").getPath
+  }
+
+  private def append(dir: String, lo: Long, hi: Long, n: Int = 1600): Unit =
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", n.toString).option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+
+  private def sourceRollup(dir: String): Set[(Int, Long, Long, Long, Long)] =
+    spark.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("s"),
+        min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+  private def mvRollup(mvDir: String): Set[(Int, Long, Long, Long, Long)] =
+    SinkMvDist.read(spark, mvDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+  private val rollupAggs = Seq(
+    MvAgg("n", "count"), MvAgg("s", "sum", "doc_id"),
+    MvAgg("lo", "min", "doc_id"), MvAgg("hi", "max", "doc_id"))
+
+  private def mvDirOf(dir: String): String = dir.stripSuffix("/") + ".mvd"
+
+  test("distributed fold equals full recompute through appends, deletes, drop and resurrection") {
+    val dir = freshDir("mvd_full")
+    val mvDir = mvDirOf(dir)
+    append(dir, 0L, 800L) // v1
+    SinkMvDist.create(spark, dir, mvDir, Seq("shard"), rollupAggs, buckets = 8)
+    append(dir, 800L, 1600L) // v2
+    SinkTestAccess.morDeleteWhere(dir,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 1200L))) // v3
+    val r1 = SinkMvDist.refresh(spark, dir, mvDir)
+    assert(r1.applied && r1.fromV === 1L && r1.toV === 3L)
+    // the deleted rows were INSERTED in the same window — net-grain
+    // extremes cancel them, so nothing is dirty (the fast-path)
+    assert(r1.dirtyGroups === 0L)
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+    // now delete rows the state HAS seen: every shard's recorded max is
+    // in [1000, 1200) → all 16 groups dirty, recomputed distributed
+    SinkTestAccess.morDeleteWhere(dir,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 1000L))) // v4
+    val r1b = SinkMvDist.refresh(spark, dir, mvDir)
+    assert(r1b.dirtyGroups === 16L, r1b.toString)
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+    // drop shard 7 entirely: the group must LEAVE the view
+    SinkTestAccess.morDeleteWhere(dir,
+      Array(org.apache.spark.sql.sources.EqualTo("shard", 7))) // v5
+    SinkMvDist.refresh(spark, dir, mvDir)
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+    assert(!mvRollup(mvDir).exists(_._1 == 7))
+    // resurrect it with a late append (pure fast-path: extends extremes)
+    append(dir, 1600L, 1640L, n = 1700) // v6
+    val r3 = SinkMvDist.refresh(spark, dir, mvDir)
+    assert(r3.dirtyGroups === 0L)
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+    assert(mvRollup(mvDir).exists(_._1 == 7))
+    assert(SinkMvDist.lastSourceVersion(mvDir) === 6L)
+    // no-op refresh: recorded, no new version
+    val noop = SinkMvDist.refresh(spark, dir, mvDir)
+    assert(!noop.applied)
+  }
+
+  test("driver materialization is bounded by buckets, independent of group cardinality") {
+    // identical lifecycle at per-doc grain with 4x the groups: the
+    // counter must grow by the same bounded amount (≤ buckets + 2 per
+    // refresh), or the design has a hidden O(groups) collect
+    def run(n: Int): Long = {
+      val dir = freshDir(s"mvd_scale_$n")
+      val mvDir = mvDirOf(dir)
+      append(dir, 0L, n.toLong, n = n)
+      SinkMvDist.create(spark, dir, mvDir, Seq("doc_id"),
+        Seq(MvAgg("n", "count"), MvAgg("s", "sum", "length(body)"),
+          MvAgg("hi", "max", "length(body)")), buckets = 8)
+      append(dir, n.toLong, n.toLong + 100L, n = n + 100)
+      val before = SinkMvDist.driverRowsCollected.get()
+      val st = SinkMvDist.refresh(spark, dir, mvDir)
+      assert(st.applied && st.changeRows === 100L)
+      SinkMvDist.driverRowsCollected.get() - before
+    }
+    val small = run(400)
+    val large = run(1600)
+    assert(small <= 10L, s"driver rows collected: $small")
+    assert(large === small,
+      s"driver materialization scaled with group count: $small -> $large")
+    // and the per-doc MV itself is exact at both grains (spot: large)
+  }
+
+  test("per-doc grain: dirty recompute and parity at high cardinality") {
+    val root = java.nio.file.Files.createTempDirectory("mvd_doc").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.mvd_doc", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.mvd_doc.root", root)
+    s.conf.set("spark.sql.catalog.mvd_doc.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mvd_doc.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mvd_doc.cdf.enabled", "true")
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2400").option("numPartitions", "2").load()
+      .where(col("doc_id") < 1200L)
+      .writeTo("mvd_doc.docs").append() // v1: docs 0..1199
+    val dir = new java.io.File(root, "docs").getPath
+    val mvDir = mvDirOf(dir)
+    SinkMvDist.create(s, dir, mvDir, Seq("doc_id"),
+      Seq(MvAgg("n", "count"), MvAgg("sum_len", "sum", "length(body)"),
+        MvAgg("max_len", "max", "length(body)"),
+        MvAgg("min_len", "min", "length(body)")), buckets = 16)
+    // in-place update: each group's recorded MIN (32) is net-removed and
+    // the net addition (33) does not re-cover it → DIRTY on min_len, the
+    // per-group recompute path at 300-group scale, fully distributed.
+    // MAX stays clean: 33 covers the removed 32 (greatest re-derives it).
+    s.sql("UPDATE mvd_doc.docs SET body = concat(body, '!') WHERE doc_id < 300") // v2
+    val st = SinkMvDist.refresh(s, dir, mvDir)
+    assert(st.applied && st.changeRows === 600L && st.dirtyGroups === 300L, st.toString)
+    val got = SinkMvDist.read(s, mvDir)
+      .agg(count(lit(1)), sum("sum_len"), sum("max_len"), sum("min_len"),
+        min("n"), max("n"))
+      .collect().head
+    assert(got.getLong(0) === 1200L)
+    assert(got.getLong(1) === 300L * 33 + 900L * 32)
+    assert(got.getLong(2) === 300L * 33 + 900L * 32)
+    assert(got.getLong(3) === 300L * 33 + 900L * 32)
+    assert(got.getLong(4) === 1L && got.getLong(5) === 1L)
+  }
+
+  test("untouched buckets carry forward by reference; vacuum keeps shared segments") {
+    val dir = freshDir("mvd_carry")
+    val mvDir = mvDirOf(dir)
+    append(dir, 0L, 800L, n = 900) // v1
+    SinkMvDist.create(spark, dir, mvDir, Seq("doc_id"),
+      Seq(MvAgg("n", "count"), MvAgg("s", "sum", "doc_id")), buckets = 16)
+    val v1Files = SinkMvDist.stateFiles(mvDir, 1L).toMap
+    assert(v1Files.keySet.size >= 8, s"expected spread over buckets: ${v1Files.keySet}")
+    // a 4-doc append touches ≤ 4 buckets; the rest must carry forward
+    append(dir, 800L, 804L, n = 900) // v2
+    val st = SinkMvDist.refresh(spark, dir, mvDir)
+    assert(st.applied)
+    val v2Refs = SinkMvDist.stateFiles(mvDir, 2L)
+    val v1Refs = SinkMvDist.stateFiles(mvDir, 1L).toSet
+    val carried = v2Refs.toSet.intersect(v1Refs)
+    val rewritten = v2Refs.toSet.diff(v1Refs)
+    assert(rewritten.map(_._1).size <= 4L,
+      s"rewrote ${rewritten.map(_._1)} buckets for a 4-group delta")
+    assert(carried.nonEmpty, "no carry-forward happened")
+    assert(SinkMvDist.read(spark, mvDir).count() === 804L)
+    // vacuum retaining only the current version: v1's header goes, but
+    // every segment v2 still references SURVIVES even if v1 listed it
+    val swept = SinkMvDist.vacuum(mvDir, retainVersions = 1, olderThanMillis = 0L)
+    assert(swept.contains("_mvd.v1.json"))
+    val still = SinkMvDist.stateFiles(mvDir, 2L)
+    still.foreach { case (_, f) =>
+      assert(new java.io.File(mvDir, f).exists(), s"vacuum swept live segment $f")
+    }
+    assert(SinkMvDist.read(spark, mvDir).count() === 804L)
+    // v1-only segments (rewritten buckets' old files) are gone
+    val v1Only = v1Refs.diff(v2Refs.toSet)
+    v1Only.foreach { case (_, f) =>
+      assert(!new java.io.File(mvDir, f).exists(), s"unreferenced segment $f survived vacuum")
+    }
+  }
+
+  test("WHERE predicate and watermark advance over change-free windows") {
+    val dir = freshDir("mvd_pred")
+    val mvDir = mvDirOf(dir)
+    append(dir, 0L, 600L, n = 800) // v1
+    SinkMvDist.create(spark, dir, mvDir, Seq("shard"),
+      Seq(MvAgg("n", "count"), MvAgg("s", "sum", "doc_id")),
+      where = "doc_id % 2 = 0", buckets = 4)
+    assert(SinkMvDist.read(spark, mvDir).agg(sum("n")).collect().head.getLong(0) === 300L)
+    // a commit whose rows ALL fail the predicate: the fold is empty but
+    // the watermark must still advance (no wedge, no stale currency)
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "800").option("numPartitions", "1").load()
+      .where(col("doc_id") >= 601L && col("doc_id") < 611L && col("doc_id") % 2 === 1)
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save() // v2: odd ids only
+    val st = SinkMvDist.refresh(spark, dir, mvDir)
+    assert(st.applied && st.changeRows === 0L && SinkMvDist.lastSourceVersion(mvDir) === 2L)
+    assert(SinkMvDist.read(spark, mvDir).agg(sum("n")).collect().head.getLong(0) === 300L)
+  }
+}
