@@ -113,15 +113,15 @@ object SinkMatView {
       """"pred":"([^"]*)","srcV":(\d+),"aggs":\[(.*)\]\}""").r
   private val AggRe = """\{"n":"([^"]*)","k":"([^"]*)","e":"([^"]*)"\}""".r
 
-  private def cell(v: Option[Long]): String = v.map(_.toString).getOrElse("")
-  private def uncell(s: String): Option[Long] =
+  private[sources] def cell(v: Option[Long]): String = v.map(_.toString).getOrElse("")
+  private[sources] def uncell(s: String): Option[Long] =
     if (s.isEmpty) None else Some(s.toLong)
 
   /** Group cells: escaped value, or the unambiguous null marker ("%N"
     * cannot collide — escape() rewrites a literal '%' to "%25").
     */
-  private def gcell(v: String): String = if (v == null) "%N" else escape(v)
-  private def ungcell(s: String): String = if (s == "%N") null else unescape(s)
+  private[sources] def gcell(v: String): String = if (v == null) "%N" else escape(v)
+  private[sources] def ungcell(s: String): String = if (s == "%N") null else unescape(s)
 
   private def writeState(mvDir: String, version: Long, st: MvState): Unit = {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
@@ -293,17 +293,18 @@ object SinkMatView {
   /** Group-key extraction from a collected aggregation row whose first
     * `g` columns are the group columns (null group values stay null).
     */
-  private def keyOf(r: Row, g: Int): List[String] =
+  private[sources] def keyOf(r: Row, g: Int): List[String] =
     (0 until g).map(i => if (r.isNullAt(i)) null else r.get(i).toString).toList
 
   /** The dirty-group recompute filter: OR of per-group conjunctions,
     * typed literals so source pruning (shard stats, column envelopes)
     * still engages on the recompute scan.
     */
-  private def groupFilter(
-      st: MvState, keys: Seq[List[String]]): org.apache.spark.sql.Column =
+  private[sources] def groupFilter(
+      groups: Seq[String], gtypes: Seq[String],
+      keys: Seq[List[String]]): org.apache.spark.sql.Column =
     keys.map { parts =>
-      st.groups.zip(st.gtypes).zip(parts).map { case ((c, t), p) =>
+      groups.zip(gtypes).zip(parts).map { case ((c, t), p) =>
         if (p == null) col(c).isNull else col(c) === lit(gvalue(t, p))
       }.reduce(_ && _)
     }.reduce(_ || _)
@@ -469,9 +470,47 @@ object SinkMatView {
       spark: SparkSession, srcDir: String, mvDir: String,
       st: MvState, stateV: Long, toV: Long,
       ch: DataFrame, sign: org.apache.spark.sql.Column): RefreshStats = {
+    val outcome = foldChanges(
+      st.groups, st.aggs, filtered(ch, st.pred), sign, st.rows,
+      // dirty-group recompute: ONE scan at the target version, pruned to
+      // exactly those groups (shard-clustered files make this cheap)
+      (dirtyKeys, dirtyAggIdx) => {
+        val aggsToFix = dirtyAggIdx.map(i => aggColumn(st.aggs(i)))
+        filtered(srcAt(spark, srcDir, toV), st.pred)
+          .where(groupFilter(st.groups, st.gtypes, dirtyKeys))
+          .groupBy(st.groups.map(col): _*)
+          .agg(aggsToFix.head, aggsToFix.tail: _*)
+          .collect() // bounded: |dirty groups|
+      })
+    val barrier = refreshBarrier.getAndSet(null)
+    if (barrier != null) barrier()
+    val next = stateV + 1L
+    writeState(mvDir, next, st.copy(srcV = toV, rows = outcome.rows))
+    RefreshStats(st.srcV, toV, outcome.changeRows, outcome.dirtyGroups, next,
+      applied = true)
+  }
+
+  private[sources] final case class FoldOutcome(
+      rows: Map[List[String], Array[Option[Long]]],
+      changeRows: Long, dirtyGroups: Long)
+
+  /** The MV fold core, definition-agnostic: takes the PRE-FILTERED,
+    * signed change frame (any frame carrying the group columns and the
+    * aggregate expressions' inputs — a table's change feed, or a join
+    * MV's delta⋈dim contribution rows), the prior state rows, and a
+    * recompute callback `(dirtyKeys, dirtyAggIdx) => rows` that
+    * re-aggregates exactly the dirty groups at the refresh target
+    * (single-table scan or join — the caller knows). Returns the folded
+    * rows; the caller owns state layout, watermarks, and the flip.
+    */
+  private[sources] def foldChanges(
+      groups: Seq[String], aggs: Seq[MvAgg],
+      chF: DataFrame, sign: org.apache.spark.sql.Column,
+      prior: Map[List[String], Array[Option[Long]]],
+      recompute: (Seq[List[String]], Seq[Int]) => Array[Row]): FoldOutcome = {
     // row-grain pass: count/sum/xor are LINEAR — every change row folds
     // independently of any other
-    val deltaCols = st.aggs.zipWithIndex.flatMap { case (a, i) =>
+    val deltaCols = aggs.zipWithIndex.flatMap { case (a, i) =>
       a.kind match {
         case "count" => Seq(sum(sign).as(s"d$i"))
         case "sum" => Seq(
@@ -485,11 +524,10 @@ object SinkMatView {
         case _ => Seq.empty // extremes fold at value grain below
       }
     }
-    val countIdx = st.aggs.indexWhere(_.kind == "count")
-    val g = st.groups.length
-    val chF = filtered(ch, st.pred) // the MV's WHERE, on every change row
+    val countIdx = aggs.indexWhere(_.kind == "count")
+    val g = groups.length
     val deltaRows = chF
-      .groupBy(st.groups.map(col): _*)
+      .groupBy(groups.map(col): _*)
       .agg(sum(sign).as("_dn"), count(lit(1)).as("_rows") +: deltaCols: _*)
       .collect() // bounded: groups TOUCHED by the window, ≤ MV cardinality
     // value-grain pass, one per distinct extreme expression: net(g, v) =
@@ -500,15 +538,15 @@ object SinkMatView {
     // left. That makes the extreme fold exact where row-grain min/max
     // candidates could not distinguish "inserted then deleted" from
     // "inserted and kept".
-    val extremeExprs = st.aggs.filter(a => a.kind == "min" || a.kind == "max")
+    val extremeExprs = aggs.filter(a => a.kind == "min" || a.kind == "max")
       .map(_.e).distinct
     // expr → group key → (posMin, posMax, negMin, negMax)
     val extremes: Map[String, Map[List[String], (Option[Long], Option[Long], Option[Long], Option[Long])]] =
       extremeExprs.map { e =>
         val per = chF
-          .groupBy(st.groups.map(col) :+ expr(e).cast(LongType).as("_mv_v"): _*)
+          .groupBy(groups.map(col) :+ expr(e).cast(LongType).as("_mv_v"): _*)
           .agg(sum(sign).as("_mv_net"))
-          .groupBy(st.groups.map(col): _*)
+          .groupBy(groups.map(col): _*)
           .agg(
             min(when(col("_mv_net") > 0L, col("_mv_v"))).as("_pos_min"),
             max(when(col("_mv_net") > 0L, col("_mv_v"))).as("_pos_max"),
@@ -521,9 +559,9 @@ object SinkMatView {
           (opt(r, "_pos_min"), opt(r, "_pos_max"), opt(r, "_neg_min"), opt(r, "_neg_max"))).toMap
       }.toMap
     var changeRows = 0L
-    val na = st.aggs.length
+    val na = aggs.length
     val merged = scala.collection.mutable.Map[List[String], Array[Option[Long]]]()
-    st.rows.foreach { case (k, vs) => merged(k) = vs.clone() }
+    prior.foreach { case (k, vs) => merged(k) = vs.clone() }
     // groups whose min/max can no longer be derived incrementally → one
     // pruned recompute scan below; (groupKey → set of dirty agg indices)
     val dirty = scala.collection.mutable.Map[List[String], Set[Int]]()
@@ -534,7 +572,7 @@ object SinkMatView {
       val had = merged.contains(gk)
       val state = merged.getOrElseUpdate(gk, Array.fill(2 * na)(None))
       val oldN = if (countIdx >= 0 && had) state(countIdx).getOrElse(0L) else -1L
-      st.aggs.zipWithIndex.foreach { case (a, i) =>
+      aggs.zipWithIndex.foreach { case (a, i) =>
         def opt(c: String): Option[Long] =
           if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
         a.kind match {
@@ -568,17 +606,12 @@ object SinkMatView {
       else if (countIdx >= 0) require(newN > 0L,
         s"MV fold drove group '$gk' count negative ($oldN -> $newN): change feed incomplete?")
     }
-    // recompute extremes for dirty surviving groups with ONE scan pruned
-    // to exactly those groups (shard-clustered files make this cheap)
+    // recompute extremes for dirty surviving groups with ONE pruned pass
+    // supplied by the caller (single-table scan or join)
     val dirtyKeys = dirty.keys.toSeq.sortBy(_.map(gcell).mkString("\t"))
     if (dirtyKeys.nonEmpty) {
       val dirtyAggIdx = dirty.values.flatten.toSet.toSeq.sorted
-      val aggsToFix = dirtyAggIdx.map(i => aggColumn(st.aggs(i)))
-      val fixed = filtered(srcAt(spark, srcDir, toV), st.pred)
-        .where(groupFilter(st, dirtyKeys))
-        .groupBy(st.groups.map(col): _*)
-        .agg(aggsToFix.head, aggsToFix.tail: _*)
-        .collect() // bounded: |dirty groups|
+      val fixed = recompute(dirtyKeys, dirtyAggIdx)
       fixed.foreach { r =>
         val gk = keyOf(r, g)
         val state = merged(gk)
@@ -588,12 +621,7 @@ object SinkMatView {
         }
       }
     }
-    val barrier = refreshBarrier.getAndSet(null)
-    if (barrier != null) barrier()
-    val next = stateV + 1L
-    writeState(mvDir, next,
-      st.copy(srcV = toV, rows = merged.toMap))
-    RefreshStats(st.srcV, toV, changeRows, dirtyKeys.length.toLong, next, applied = true)
+    FoldOutcome(merged.toMap, changeRows, dirtyKeys.length.toLong)
   }
 
   /** The extreme-fold decision table over NET-grain window extremes
