@@ -157,16 +157,24 @@ object Bench {
     val results = names.zipWithIndex.map { case (name, idx) =>
       if (idx > 0 && idx % CalibEvery == 0) during += calibBurn()
       val fn = SparkEntry.queries(name)
+      // q_dsv2_* LIFECYCLES (multi-commit create/DML/refresh sequences):
+      // their cost is commit-count-structural, like the s_* streams — the
+      // convergence rule would burn a third full lifecycle chasing fsync
+      // noise that never converges. Best-of-2, always, and no post-suite
+      // retry (r15 verdict #6: the +19 s shared-surface drift was
+      // retry-shaped; the family subtotal is pinned in BASELINE.md).
+      val lifecycle = name.startsWith("q_dsv2_")
+      val repCap = if (lifecycle) 2 else MaxReps
       val sec =
         try {
           var times = List(once(fn))
           // converged = evidently quiet, or the two best reps agree within
           // 25 % (steady state reached; a burst cannot fake agreement low)
-          def converged: Boolean = times.min <= QuietSec || {
+          def converged: Boolean = !lifecycle && (times.min <= QuietSec || {
             val s = times.sorted
             times.size >= 2 && (s(1) - s(0)) <= 0.25 * s(0)
-          }
-          while (times.size < MaxReps && !converged) times ::= once(fn)
+          })
+          while (times.size < repCap && !converged) times ::= once(fn)
           times.min
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -191,7 +199,8 @@ object Bench {
       // is not burst evidence and retries just burn minutes of wall clock
       // re-running full lifecycles whose minima they almost never improve
       // (BENCH_r11 "retried": 6 lifecycles, 0 improved >30%)
-      case (name, sec) if sec > RetrySec && !name.startsWith("s_") =>
+      case (name, sec) if sec > RetrySec && !name.startsWith("s_") &&
+        !name.startsWith("q_dsv2_") =>
         var attempts = List.empty[Double]
         var best = sec
         var improving = true
@@ -245,8 +254,14 @@ object Bench {
     // stays separately visible from the batch engine's trend.
     val sHit = retried.filter { case (k, v) => k.startsWith("s_") && v >= 0 }
     val sJson = s"""{"value":${f(sHit.map(_._2).sum)},"n":${sHit.size}}"""
+    // the DSv2 lifecycle subtotal (q_dsv2_* multi-commit sequences):
+    // commit-count-structural cost, measured best-of-2 with no retries —
+    // its own field so lifecycle growth never reads as engine drift
+    // (BASELINE.md pins the family subtotal per round)
+    val dHit = retried.filter { case (k, v) => k.startsWith("q_dsv2_") && v >= 0 }
+    val dJson = s"""{"value":${f(dHit.map(_._2).sum)},"n":${dHit.size}}"""
     val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"n_failed":${retried.count(_._2 < 0)},"sf":"$sfDir","r1_surface":$r1Json,"s_surface":$sJson,"calib":$calib,"retried":$retryJson,"cache_builds":$cacheJson,"wall":${f(wall)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"n_failed":${retried.count(_._2 < 0)},"sf":"$sfDir","r1_surface":$r1Json,"s_surface":$sJson,"dsv2_surface":$dJson,"calib":$calib,"retried":$retryJson,"cache_builds":$cacheJson,"wall":${f(wall)}}"""
     // file copy survives any stdout tail-clipping by the harness
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes("UTF-8"))
@@ -263,7 +278,7 @@ object Bench {
     val failed = retried.collect { case (k, v) if v < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val short =
-      s"""{"metric":"total_short","value":${f(total)},"unit":"sec","n_queries":${retried.count(_._2 >= 0)},"n_failed":${failed.size},"failed":$failedJson,"r1_surface":$r1Json,"s_surface":$sJson,"sf":"$sfDir","wall":${f(wall)}}"""
+      s"""{"metric":"total_short","value":${f(total)},"unit":"sec","n_queries":${retried.count(_._2 >= 0)},"n_failed":${failed.size},"failed":$failedJson,"r1_surface":$r1Json,"s_surface":$sJson,"dsv2_surface":$dJson,"sf":"$sfDir","wall":${f(wall)}}"""
     println(short)
     println(json)
     println(short)

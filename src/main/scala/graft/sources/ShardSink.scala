@@ -507,8 +507,9 @@ class ShardSinkTable(
           val specs = agg.aggregateExpressions().toSeq.map {
             case _: CountStar => Some(MetaCount)
             case c: Count if !c.isDistinct =>
-              col1(c.column).collect {
-                case "doc_id" | "shard" | "body" => MetaCount
+              col1(c.column).flatMap {
+                case "doc_id" | "shard" | "body" => Some(MetaCount) // non-null core
+                case n => payloadStatCol(n).map(_ => MetaCountCol(n))
               }
             case m: Min => col1(m.column).flatMap {
               case "doc_id" => Some(MetaMinDoc)
@@ -549,12 +550,17 @@ class ShardSinkTable(
                 case MetaMinCol(n, dt) => (n, SinkColStats.tagOf(dt).get)
                 case MetaMaxCol(n, dt) => (n, SinkColStats.tagOf(dt).get)
               }.distinct
-              val payloadOk = payloadCols.isEmpty || entries.forall { e =>
-                !e.hasDeletes && e.cs.nonEmpty && {
-                  val m = SinkColStats.decode(e.cs)
-                  payloadCols.forall { case (n, t) => m.get(n).exists(_.t == t) }
+              // COUNT(col) additionally needs the null count in every
+              // entry (round-16 tokens; legacy envelopes stay min/max-only)
+              val countCols = out.collect { case MetaCountCol(n) => n }.distinct
+              val payloadOk = (payloadCols.isEmpty && countCols.isEmpty) ||
+                entries.forall { e =>
+                  !e.hasDeletes && e.cs.nonEmpty && {
+                    val m = SinkColStats.decode(e.cs)
+                    payloadCols.forall { case (n, t) => m.get(n).exists(_.t == t) } &&
+                      countCols.forall(n => m.get(n).exists(_.nc.isDefined))
+                  }
                 }
-              }
               if (pure && minmaxOk && payloadOk) Some((g, out)) else None
             }
           }
@@ -620,6 +626,13 @@ case class MetaMinCol(name: String, dt: org.apache.spark.sql.types.DataType)
   extends ShardSinkMetaAgg
 case class MetaMaxCol(name: String, dt: org.apache.spark.sql.types.DataType)
   extends ShardSinkMetaAgg
+/** COUNT over a nullable PAYLOAD column (round 16): live rows minus the
+  * recorded per-file null counts — eligible only when every kept entry
+  * carries the column's null count and no delete vectors exist (a
+  * vector shrinks `rows` but not the write-time `nc`, so the
+  * subtraction would drift; the gate keeps it exact).
+  */
+case class MetaCountCol(name: String) extends ShardSinkMetaAgg
 
 /** The manifest-aggregate scan: one partition, every value resolved at
   * plan time on the driver from the (possibly version-pinned) manifest —
@@ -651,6 +664,7 @@ class ShardSinkCountScan(
           st.add(s"agg_$i", IntegerType, nullable = !groupByShard)
         case MetaMinCol(_, dt) => st.add(s"agg_$i", dt, nullable = !groupByShard)
         case MetaMaxCol(_, dt) => st.add(s"agg_$i", dt, nullable = !groupByShard)
+        case MetaCountCol(_) => st.add(s"count_$i", LongType, nullable = false)
       }
     }
   }
@@ -686,10 +700,13 @@ class ShardSinkCountScan(
         dt: org.apache.spark.sql.types.DataType, isMin: Boolean): Any = {
       if (es.isEmpty) return null
       val t = SinkColStats.tagOf(dt).get
-      val raws = es.map(e => {
+      // boundless (all-null) entries contribute no values — exactly
+      // SQL's null-ignoring MIN/MAX; every entry boundless → NULL
+      val raws = es.flatMap(e => {
         val st = csDecoded(e.file)(n)
-        if (isMin) st.lo else st.hi
+        Option(if (isMin) st.lo else st.hi)
       })
+      if (raws.isEmpty) return null
       val raw = if (isMin) raws.min(SinkColStats.orderFor(t))
         else raws.max(SinkColStats.orderFor(t))
       dt match {
@@ -707,6 +724,11 @@ class ShardSinkCountScan(
       case MetaMaxShard => if (es.isEmpty) null else es.map(_.shardMax).max
       case MetaMinCol(n, dt) => colBound(es, n, dt, isMin = true)
       case MetaMaxCol(n, dt) => colBound(es, n, dt, isMin = false)
+      // push-time gating proved: no delete vectors (rows == written) and
+      // every entry carries the column's null count — COUNT(col) is the
+      // live rows minus the recorded nulls, zero data IO
+      case MetaCountCol(n) =>
+        es.map(e => e.rows - csDecoded(e.file)(n).nc.get).sum: Any
     }
     val rows: Array[Array[Any]] =
       if (groupByShard)
@@ -3660,6 +3682,13 @@ object ShardSink {
     */
   val dataFileReadCount = new java.util.concurrent.atomic.AtomicLong(0L)
   private[sources] def clearSegmentCacheForTest(): Unit = segmentCache.clear()
+  /** Executor-callable segment read for the DISTRIBUTED metadata-table
+    * scan (round 16): segments are immutable once referenced, so a
+    * reader on any host sees exactly the snapshot the driver planned.
+    */
+  private[sources] def readSegmentEntries(dir: String, name: String): Seq[SinkEntry] =
+    readSegment(dir, name)
+
   private def readSegment(dir: String, name: String): Seq[SinkEntry] = {
     val key = (dir, name)
     val cached = segmentCache.get(key)
@@ -5870,9 +5899,11 @@ class ShardSinkScan(
           // boxed as the COLUMN's catalyst type (Spark interprets the
           // stat against the schema): an int column gets Integer, a
           // widened column's integral stats convert numerically, and a
-          // tag/type mismatch (rename-era stats) publishes nothing
+          // tag/type mismatch (rename-era stats) publishes nothing.
+          // A boundless (all-null) envelope has no min/max to publish.
           val boxed: Option[(Object, Object)] =
-            table.fields.find(_.name == name).map(_.dataType).flatMap {
+            if (st.lo == null) None
+            else table.fields.find(_.name == name).map(_.dataType).flatMap {
               case IT if st.t == 'l' =>
                 Some((Int.box(st.lo.toInt), Int.box(st.hi.toInt)))
               case LT if st.t == 'l' =>
@@ -5885,12 +5916,18 @@ class ShardSinkScan(
                   org.apache.spark.unsafe.types.UTF8String.fromString(st.hi)))
               case _ => None
             }
-          boxed.foreach { case (lo, hi) =>
+          // null count (round 16): the merged sum, a write-time upper
+          // bound on live nulls — the estimator's input, not a proof
+          val nc: Option[Long] = st.nc
+          if (boxed.isDefined || nc.isDefined)
             colStats.put(Expressions.column(name), new ColumnStatistics {
-              override def min(): Optional[Object] = Optional.of(lo)
-              override def max(): Optional[Object] = Optional.of(hi)
+              override def min(): Optional[Object] =
+                boxed.fold(Optional.empty[Object]())(b => Optional.of(b._1))
+              override def max(): Optional[Object] =
+                boxed.fold(Optional.empty[Object]())(b => Optional.of(b._2))
+              override def nullCount(): OptionalLong =
+                nc.fold(OptionalLong.empty())(OptionalLong.of)
             })
-          }
       }
     }
     new org.apache.spark.sql.connector.read.Statistics {

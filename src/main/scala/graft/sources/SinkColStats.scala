@@ -23,19 +23,26 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, 
   * envelope relies on). Missing stats ALWAYS read — pruning is only ever
   * an optimization, exactly like the shard/doc stats.
   *
-  * SOUNDNESS under NULLs: the envelope tracks non-null values only, and
-  * pruning applies only to NULL-REJECTING predicates (comparisons, IN,
-  * prefix match) — a row where the column is NULL cannot satisfy them,
-  * so a file whose non-null envelope misses the predicate has NO
-  * matching row, nulls included. `IS NULL` / `IS NOT NULL` never prune.
-  * Under merge-on-read delete vectors the recorded envelope is a
-  * superset of the live rows' — sound for may-contain pruning, same
-  * argument as the shard range.
+  * SOUNDNESS under NULLs: the envelope tracks non-null values, and for
+  * NULL-REJECTING predicates (comparisons, IN, prefix match) a row where
+  * the column is NULL cannot satisfy them — a file whose non-null
+  * envelope misses the predicate has NO matching row, nulls included.
+  * Since round 16 each token ALSO carries the file's write-time NULL
+  * COUNT (Delta's dataSkipping nullCount): `IS NULL` prunes files whose
+  * count is zero, `IS NOT NULL` (which Spark pushes implicitly with
+  * every comparison) prunes ALL-NULL files (boundless `!` envelopes),
+  * and `COUNT(col)` becomes manifest-answerable where no delete vectors
+  * exist. Under merge-on-read delete vectors the recorded envelope is a
+  * superset of the live rows' and the null count an upper bound that
+  * zero still proves — sound for may-contain pruning, same argument as
+  * the shard range.
   *
   * Encoding (one JSON-string-safe token per column, `|`-joined):
-  * `name:t:lo:hi` with `t` ∈ `l`(integral) `d`(double) `s`(string);
+  * `name:t:lo:hi:nc` with `t` ∈ `l`(integral) `d`(double) `s`(string);
   * string bounds are base64(UTF-8) so the manifest's regex parse never
-  * meets a quote or brace; numeric bounds are their exact decimal forms.
+  * meets a quote or brace; numeric bounds are their exact decimal forms;
+  * `!` bounds mark an all-null file; `nc` is the null count (absent on
+  * legacy 4-field tokens, which still decode and prune by bounds).
   */
 object SinkColStats {
 
@@ -69,7 +76,15 @@ object SinkColStats {
     def compare(a: String, b: String): Int = utf8Cmp(a, b)
   }
 
-  final case class ColStat(t: Char, lo: String, hi: String)
+  /** One column's recorded file statistics. `lo`/`hi` are the non-null
+    * envelope (null = the file has NO non-null values for the column —
+    * encoded `!`); `nc` is the file's WRITE-TIME null count (None on
+    * legacy 4-field tokens). Under merge-on-read delete vectors both
+    * stay sound over-approximations: deletes can only remove rows, so
+    * nc == 0 still proves "no nulls" and boundless still proves "no
+    * values" — the two prune directions IS NULL / IS NOT NULL need.
+    */
+  final case class ColStat(t: Char, lo: String, hi: String, nc: Option[Long] = None)
 
   /** Eligible columns of a table schema: (TSV/cell position, name, tag). */
   def eligible(table: StructType): Array[(Int, String, Char)] =
@@ -97,6 +112,11 @@ object SinkColStats {
     private val lo = new Array[Any](cols.length)
     private val hi = new Array[Any](cols.length)
     private val poisoned = new Array[Boolean](cols.length)
+    private val nulls = new Array[Long](cols.length)
+    /** A NULL observation (null cell, or the column absent from a
+      * pre-evolution row — the reader surfaces both as SQL NULL).
+      */
+    def noteNull(k: Int): Unit = nulls(k) += 1L
     def update(k: Int, v: Any): Unit = {
       if (poisoned(k)) return
       cols(k)._3 match {
@@ -116,17 +136,25 @@ object SinkColStats {
           if (hi(k) == null || utf8Cmp(x, hi(k).asInstanceOf[String]) > 0) hi(k) = x
       }
     }
-    /** The encoded stats string ("" when nothing was tracked). */
+    /** The encoded stats string ("" when nothing was tracked). Poisoned
+      * columns emit nothing (their null count would survive, but a
+      * half-token per poison reason is not worth the decode surface);
+      * all-null columns emit boundless `!` tokens so IS NOT NULL (and
+      * every value predicate) can skip the file; a column with values
+      * carries its envelope plus the null count.
+      */
     def encode(): String =
       cols.indices.flatMap { k =>
-        if (poisoned(k) || lo(k) == null) None
+        if (poisoned(k) || (lo(k) == null && nulls(k) == 0L)) None
         else {
           val (_, name, t) = cols(k)
-          val (l, h) = t match {
-            case 's' => (b64e(lo(k).asInstanceOf[String]), b64e(hi(k).asInstanceOf[String]))
-            case _ => (lo(k).toString, hi(k).toString)
-          }
-          Some(s"$name:$t:$l:$h")
+          val (l, h) =
+            if (lo(k) == null) ("!", "!")
+            else t match {
+              case 's' => (b64e(lo(k).asInstanceOf[String]), b64e(hi(k).asInstanceOf[String]))
+              case _ => (lo(k).toString, hi(k).toString)
+            }
+          Some(s"$name:$t:$l:$h:${nulls(k)}")
         }
       }.mkString("|")
   }
@@ -148,7 +176,7 @@ object SinkColStats {
             case 'd' => acc.update(k, cells(i).toDouble)
             case 's' => acc.update(k, cells(i))
           }
-        }
+        } else acc.noteNull(k) // null sentinel or pre-evolution short row
         k += 1
       }
     }
@@ -178,12 +206,15 @@ object SinkColStats {
   def decode(cs: String): Map[String, ColStat] =
     if (cs.isEmpty) Map.empty
     else cs.split("\\|", -1).iterator.flatMap { tok =>
+      def bounds(t: Char, l: String, h: String, nc: Option[Long]): ColStat =
+        if (l == "!") ColStat(t, null, null, nc)
+        else if (t == 's') ColStat('s', b64d(l), b64d(h), nc)
+        else ColStat(t, l, h, nc)
       tok.split(":", -1) match {
-        case Array(name, t, l, h) if t.length == 1 =>
-          val stat =
-            if (t.charAt(0) == 's') ColStat('s', b64d(l), b64d(h))
-            else ColStat(t.charAt(0), l, h)
-          Some(name -> stat)
+        case Array(name, t, l, h) if t.length == 1 => // legacy: no null count
+          Some(name -> bounds(t.charAt(0), l, h, None))
+        case Array(name, t, l, h, nc) if t.length == 1 && nc.forall(_.isDigit) =>
+          Some(name -> bounds(t.charAt(0), l, h, Some(nc.toLong)))
         case _ => None // unparseable token: no stats, never prunes
       }
     }.toMap
@@ -205,11 +236,24 @@ object SinkColStats {
       val t = stats.head.t
       if (!stats.forall(_.t == t)) None
       else {
-        val lo = stats.map(_.lo).min(orderFor(t))
-        val hi = stats.map(_.hi).max(orderFor(t))
-        val (l, h) =
-          if (t == 's') (b64e(lo), b64e(hi)) else (lo, hi)
-        Some(s"$c:$t:$l:$h")
+        // bounds union over members WITH values (a boundless member
+        // contributes none); null counts SUM — but only when every
+        // member carries one (a legacy member blanks the union's count,
+        // never under-counts it)
+        val bounded = stats.filter(_.lo != null)
+        val nc: Option[Long] =
+          if (stats.forall(_.nc.isDefined)) Some(stats.map(_.nc.get).sum) else None
+        if (bounded.isEmpty && nc.isEmpty) None
+        else {
+          val (l, h) =
+            if (bounded.isEmpty) ("!", "!")
+            else {
+              val lo = bounded.map(_.lo).min(orderFor(t))
+              val hi = bounded.map(_.hi).max(orderFor(t))
+              if (t == 's') (b64e(lo), b64e(hi)) else (lo, hi)
+            }
+          Some(nc.fold(s"$c:$t:$l:$h")(n => s"$c:$t:$l:$h:$n"))
+        }
       }
     }.mkString("|")
   }
@@ -246,6 +290,7 @@ object SinkColStats {
       hi: Option[String], hiInc: Boolean) extends ColPred {
     def mayMatch(st: ColStat): Boolean = {
       if (st.t != t) return true // cross-type: never prune
+      if (st.lo == null) return false // no non-null values: null-rejecting
       val okLo = lo.forall(l =>
         if (loInc) cmp(t, st.hi, l) >= 0 else cmp(t, st.hi, l) > 0)
       val okHi = hi.forall(h =>
@@ -263,7 +308,8 @@ object SinkColStats {
   final case class ColIn(col: String, t: Char, values: Seq[String]) extends ColPred {
     def mayMatch(st: ColStat): Boolean =
       st.t != t ||
-        values.exists(v => cmp(t, v, st.lo) >= 0 && cmp(t, v, st.hi) <= 0)
+        (st.lo != null && // boundless: no value can match
+          values.exists(v => cmp(t, v, st.lo) >= 0 && cmp(t, v, st.hi) <= 0))
     def describe: String = s"$col IN (${values.mkString(",")})"
   }
 
@@ -295,8 +341,28 @@ object SinkColStats {
     }
     def mayMatch(st: ColStat): Boolean =
       st.t != 's' ||
-        (utf8Cmp(st.hi, p) >= 0 && succ.forall(sc => utf8Cmp(st.lo, sc) < 0))
+        (st.lo != null && // boundless: no value can match
+          utf8Cmp(st.hi, p) >= 0 && succ.forall(sc => utf8Cmp(st.lo, sc) < 0))
     def describe: String = s"$col LIKE '$p%'"
+  }
+
+  /** `col IS NULL` — prunes a file whose recorded null count is ZERO
+    * (sound under delete vectors: deletes never add nulls). Legacy
+    * envelopes (no count) always read.
+    */
+  final case class ColIsNull(col: String) extends ColPred {
+    def mayMatch(st: ColStat): Boolean = st.nc.forall(_ > 0L)
+    def describe: String = s"$col IS NULL"
+  }
+
+  /** `col IS NOT NULL` — prunes a file with NO recorded non-null values
+    * (a boundless `!` envelope; again delete-vector-proof). Spark pushes
+    * this implicitly with every comparison, so all-null files vanish
+    * from ordinary predicate reads too.
+    */
+  final case class ColNotNull(col: String) extends ColPred {
+    def mayMatch(st: ColStat): Boolean = st.lo != null
+    def describe: String = s"$col IS NOT NULL"
   }
 
   private def litOf(v: Any): Option[(Char, String)] = v match {
@@ -350,6 +416,8 @@ object SinkColStats {
         litOf(v).map { case (t, s) => ColRange(c, t, None, loInc = false, Some(s), hiInc = true) }
       case StringStartsWith(c, p) if ok(c) && p != null =>
         Some(ColPrefix(c, p))
+      case IsNull(c) if ok(c) => Some(ColIsNull(c))
+      case IsNotNull(c) if ok(c) => Some(ColNotNull(c))
       case _ => None
     }
   }
@@ -366,15 +434,19 @@ object SinkColStats {
 
   // ---- driver-checked query ------------------------------------------------
 
-  /** Driver-checked PER-COLUMN DATA SKIPPING (round 15): a landing zone
-    * evolves `lang` (string) and `score` (bigint) columns via mergeSchema
-    * appends whose batches are lang-homogeneous — the ingest pattern the
-    * envelopes exist for. Equality, range, prefix and IS NULL predicates
-    * then read back: the row aggregates sit under DuckDB's hash gate, and
-    * the `pruned_*` cells pin — via the physical read counter — that the
-    * equality and range scans opened FEWER files than the census (the
-    * envelopes actually skipped), while IS NULL (never prunable from a
-    * non-null envelope) still returned every pre-evolution row.
+  /** Driver-checked PER-COLUMN DATA SKIPPING (rounds 15–16): a landing
+    * zone evolves `lang` (string) and `score` (bigint) columns via
+    * mergeSchema appends whose batches are lang-homogeneous — the ingest
+    * pattern the envelopes exist for — plus an ALL-NULL lang batch.
+    * Equality, range, prefix, IS NULL and IS NOT NULL predicates then
+    * read back: the row aggregates sit under DuckDB's hash gate, and the
+    * `pruned_*` cells pin — via the physical read counter — that every
+    * scan opened FEWER files than the census: values prune by envelope,
+    * IS NULL by the round-16 null counts (zero-null files skip), IS NOT
+    * NULL by the boundless all-null envelopes. After an OPTIMIZE gives
+    * every file a null count, `COUNT(lang)` answers from the manifest
+    * with zero data IO (`meta_count` pins plan shape + the unmoved read
+    * counter).
     */
   def colSkippingReport(
       spark: org.apache.spark.sql.SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
@@ -384,21 +456,22 @@ object SinkColStats {
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkcs_$sfx")
     SinkFs.deleteRecursively(dir)
     def docs(lo: Long, hi: Long) = spark.read.format("graft.sources.DocGenSource")
-      .option("numDocs", "1800").option("numPartitions", "2").load()
+      .option("numDocs", "2200").option("numPartitions", "2").load()
       .where(col("doc_id") >= lo && col("doc_id") < hi)
     docs(0L, 600L).write.format("graft.sources.ShardSinkSource")
       .option("path", dir.getPath)
       .mode(org.apache.spark.sql.SaveMode.Append).save() // v1: 3-column, no statsable payload predicate
-    def ingest(lo: Long, hi: Long, lang: String): Unit =
+    def ingest(lo: Long, hi: Long, lang: Option[String]): Unit =
       docs(lo, hi)
-        .withColumn("lang", lit(lang))
+        .withColumn("lang", lang.map(lit).getOrElse(lit(null).cast("string")))
         .withColumn("score", (col("doc_id") * 2L).cast("long"))
         .write.format("graft.sources.ShardSinkSource")
         .option("path", dir.getPath).option("mergeSchema", "true")
         .mode(org.apache.spark.sql.SaveMode.Append).save()
-    ingest(600L, 1000L, "pt") // v2
-    ingest(1000L, 1400L, "en") // v3
-    ingest(1400L, 1800L, "de") // v4
+    ingest(600L, 1000L, Some("pt")) // v2
+    ingest(1000L, 1400L, Some("en")) // v3
+    ingest(1400L, 1800L, Some("de")) // v4
+    ingest(1800L, 2200L, None) // v5: all-null lang — boundless envelopes
     val census = ShardSink.committedFiles(dir.getPath).count(_.endsWith(".tsv")).toLong
     def read() = spark.read.format("graft.sources.ShardSinkSource")
       .option("path", dir.getPath).load()
@@ -415,19 +488,35 @@ object SinkColStats {
       .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)").as("x")))
     val (nu, openedNull) = counted(read().where(col("lang").isNull)
       .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)").as("x")))
+    val (nn, openedNotNull) = counted(read().where(col("lang").isNotNull)
+      .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)").as("x")))
+    // OPTIMIZE rewrites every row under the evolved schema: all files now
+    // carry lang null counts, no delete vectors → COUNT(lang) from the
+    // manifest alone
+    ShardSink.compact(dir.getPath)
+    val metaDf = read().agg(count(col("lang")).as("n"))
+    val metaPlanned = metaDf.queryExecution.executedPlan.toString
+    val beforeMeta = ShardSink.dataFileReadCount.get()
+    val nLang = metaDf.collect().head.getLong(0)
+    val metaOpened = ShardSink.dataFileReadCount.get() - beforeMeta
     import spark.implicits._
     Seq((
       pt.head.getLong(0), pt.head.getLong(1),
       hi.head.getLong(0), hi.head.getLong(1),
       de.head.getLong(0), de.head.getLong(1),
       nu.head.getLong(0), nu.head.getLong(1),
+      nn.head.getLong(0), nn.head.getLong(1),
+      nLang,
       if (openedPt < census) 1L else 0L,
       if (openedHi < census) 1L else 0L,
-      // IS NULL must NOT have pruned: the envelope knows nothing about
-      // nulls, so every file reads
-      if (openedNull == census) 1L else 0L)).toDF(
+      // round 16: the zero-null ingests' files skip the IS NULL read...
+      if (openedNull < census) 1L else 0L,
+      // ...and the all-null ingest's files skip the IS NOT NULL read
+      if (openedNotNull < census) 1L else 0L,
+      if (metaPlanned.contains("ShardSinkCountScan") && metaOpened == 0L) 1L else 0L)).toDF(
       "n_pt", "xor_pt", "n_hi", "xor_hi", "n_de", "xor_de",
-      "n_null", "xor_null", "pruned_lang", "pruned_score", "unpruned_null")
+      "n_null", "xor_null", "n_notnull", "xor_notnull", "n_lang_meta",
+      "pruned_lang", "pruned_score", "pruned_null", "pruned_notnull", "meta_count")
   }
 
   /** Driver-checked GENERALIZED Z-ORDER (round 15,
@@ -558,10 +647,11 @@ object SinkColStats {
       |         CASE WHEN doc_id < 600 THEN NULL
       |              WHEN doc_id < 1000 THEN 'pt'
       |              WHEN doc_id < 1400 THEN 'en'
-      |              ELSE 'de' END AS lang,
+      |              WHEN doc_id < 1800 THEN 'de'
+      |              ELSE NULL END AS lang,
       |         CASE WHEN doc_id < 600 THEN NULL
       |              ELSE doc_id * 2 END AS score
-      |  FROM range(0, 1800) t(doc_id))
+      |  FROM range(0, 2200) t(doc_id))
       |SELECT
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE lang = 'pt') AS n_pt,
       |  (SELECT bit_xor(doc_id) FROM g WHERE lang = 'pt') AS xor_pt,
@@ -571,7 +661,12 @@ object SinkColStats {
       |  (SELECT bit_xor(doc_id) FROM g WHERE lang LIKE 'd%') AS xor_de,
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE lang IS NULL) AS n_null,
       |  (SELECT bit_xor(doc_id) FROM g WHERE lang IS NULL) AS xor_null,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE lang IS NOT NULL) AS n_notnull,
+      |  (SELECT bit_xor(doc_id) FROM g WHERE lang IS NOT NULL) AS xor_notnull,
+      |  (SELECT CAST(COUNT(lang) AS BIGINT) FROM g) AS n_lang_meta,
       |  CAST(1 AS BIGINT) AS pruned_lang,
       |  CAST(1 AS BIGINT) AS pruned_score,
-      |  CAST(1 AS BIGINT) AS unpruned_null""".stripMargin
+      |  CAST(1 AS BIGINT) AS pruned_null,
+      |  CAST(1 AS BIGINT) AS pruned_notnull,
+      |  CAST(1 AS BIGINT) AS meta_count""".stripMargin
 }

@@ -758,6 +758,78 @@ object SinkMatView {
       .orderBy("shard")
   }
 
+  /** Driver-checked MV ACROSS RESTORE + replaceWhere (round 16): the two
+    * history-bending commit kinds a reporting MV must survive. A tail
+    * MOR DELETE dirties every shard's max (pruned recompute); RESTORE to
+    * v1 surfaces the resurrected rows as plain inserts in the feed (the
+    * r14 exact-through-restore contract) and the fold re-extends the
+    * extremes on the fast path; a `replaceWhere` on shard 3 drops the
+    * shard and re-lands a third of it in ONE commit — net retractions
+    * including the recorded max, one dirty group. Final per-shard view +
+    * bookkeeping under the DuckDB hash gate.
+    */
+  def mvRestoreReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mvr:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmvr_$sfx")
+    SinkFs.deleteRecursively(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_mvr", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mvr.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mvr.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvr.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvr.cdf.enabled", "true")
+    def src = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1200").option("numPartitions", "2").load()
+    src.writeTo("graft_mvr.docs_mvr").append() // v1
+    val dir = new java.io.File(root, "docs_mvr").getPath
+    val mvDir = mvDirOf(dir)
+    create(s, dir, mvDir, "shard", Seq(
+      MvAgg("n_docs", "count"),
+      MvAgg("sum_ids", "sum", "doc_id"),
+      MvAgg("xor_ids", "xor", "doc_id"),
+      MvAgg("min_doc", "min", "doc_id"),
+      MvAgg("max_doc", "max", "doc_id")))
+    s.sql("DELETE FROM graft_mvr.docs_mvr WHERE doc_id >= 900") // v2
+    val r1 = refresh(s, dir, mvDir)
+    s.sql("ALTER TABLE graft_mvr.docs_mvr SET TBLPROPERTIES ('graft.restore' = '1')") // v3
+    val r2 = refresh(s, dir, mvDir)
+    src.where(col("shard") === 3 && ((col("doc_id") - 3L) / 16L) % 3L === 0L)
+      .writeTo("graft_mvr.docs_mvr").overwrite(col("shard") === 3) // v4
+    val r3 = refresh(s, dir, mvDir)
+    val stats = Seq(r1, r2, r3)
+    read(s, mvDir)
+      .withColumn("n_refreshes", lit(stats.count(_.applied).toLong))
+      .withColumn("change_rows", lit(stats.map(_.changeRows).sum))
+      .withColumn("dirty_groups", lit(stats.map(_.dirtyGroups).sum))
+      .withColumn("mv_version", lit(currentVersion(mvDir)))
+      .withColumn("src_version", lit(lastSourceVersion(mvDir)))
+      .orderBy("shard")
+  }
+
+  /** DuckDB re-derivation: after restore the table is v1's 0..1199; the
+    * replaceWhere keeps only every third shard-3 row (k ≡ 0 mod 3 of
+    * doc = 3 + 16k). Constants: 3 refreshes; 300 (tail delete) + 300
+    * (restore resurrections) + 100 (75 drops + 25 re-inserts) = 700
+    * change rows; 16 + 0 + 1 dirty; MV v4 = create + 3; source v4.
+    */
+  val mvRestoreReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard
+      |  FROM range(0, 1200) t(doc_id)
+      |  WHERE doc_id % 16 <> 3 OR ((doc_id - 3) / 16) % 3 = 0)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+      |       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+      |       CAST(3 AS BIGINT) AS n_refreshes,
+      |       CAST(700 AS BIGINT) AS change_rows,
+      |       CAST(17 AS BIGINT) AS dirty_groups,
+      |       CAST(4 AS BIGINT) AS mv_version,
+      |       CAST(4 AS BIGINT) AS src_version
+      |FROM g GROUP BY shard ORDER BY shard""".stripMargin
+
   /** Driver-checked MULTI-COLUMN + PREDICATE MV (round 15): the
     * generalized definition — `GROUP BY (lang, shard)` (48 groups, an
     * evolved string column composed with the layout column) under a

@@ -20,11 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * commit trail, and the governance state (tags, CHECK constraints)
   * with plain SQL — no API, no driver code.
   *
-  * Everything is manifest-derived, driver-tiny (one row per file /
-  * commit / tag / constraint — control-plane cardinality even at
-  * 100 TB, where the same query over millions of files would be a real
-  * distributed scan of the manifest store; the one-partition shape here
-  * matches the harness's single-JSON manifests).
+  * Everything is manifest-derived. history/tags/constraints are
+  * control-plane cardinality even at 100 TB and materialize at plan
+  * time; `files` — one row per DATA file, which IS table-scale at
+  * million-file counts — plans one InputPartition per manifest segment
+  * and parses entries on the EXECUTORS (round 16, the way Iceberg
+  * serves `db.table.files`), falling back to the plan-time shape only
+  * for single-blob manifests where the census is small by construction.
   */
 object ShardSinkMetaTable {
   val Kinds: Set[String] = Set("files", "history", "tags", "constraints")
@@ -55,17 +57,21 @@ object ShardSinkMetaTable {
 
   private def u(s: String): UTF8String = UTF8String.fromString(s)
 
+  /** One `files` row from a manifest entry — shared by the plan-time
+    * (single-blob) and executor-side (per-segment) paths.
+    */
+  def fileRow(e: SinkEntry): Array[Any] =
+    Array[Any](
+      u(e.file), e.rows,
+      if (e.hasStats) e.shardMin else null,
+      if (e.hasStats) e.shardMax else null,
+      if (e.hasDocStats) e.docMin else null,
+      if (e.hasDocStats) e.docMax else null,
+      e.hasDeletes, ShardSink.isForeign(e.file))
+
   def rowsOf(dir: String, kind: String): Seq[Array[Any]] = kind match {
     case "files" =>
-      ShardSink.committedEntries(dir).map { e =>
-        Array[Any](
-          u(e.file), e.rows,
-          if (e.hasStats) e.shardMin else null,
-          if (e.hasStats) e.shardMax else null,
-          if (e.hasDocStats) e.docMin else null,
-          if (e.hasDocStats) e.docMax else null,
-          e.hasDeletes, ShardSink.isForeign(e.file))
-      }
+      ShardSink.committedEntries(dir).map(fileRow)
     case "history" =>
       ShardSink.history(dir).map { case (v, op, rows, added) =>
         Array[Any](v, u(op), rows, added,
@@ -82,6 +88,15 @@ object ShardSinkMetaTable {
 
 case class ShardSinkMetaRows(rows: Seq[Array[Any]]) extends InputPartition
 
+/** One manifest SEGMENT of the `files` metadata table — read on the
+  * EXECUTOR (round 16): at the million-file counts the two-level
+  * manifests target, `cat.t.files` is itself a real distributed scan
+  * (one task per segment, the way Iceberg serves its metadata tables),
+  * not a driver materialization. Segments are immutable once referenced,
+  * so the snapshot the driver planned is exactly what each task reads.
+  */
+case class ShardSinkMetaSegment(dir: String, segment: String) extends InputPartition
+
 class ShardSinkMetaTable(dir: String, kind: String) extends Table with SupportsRead {
   override def name(): String = s"shardsink_meta($dir, $kind)"
   override def schema(): StructType = ShardSinkMetaTable.schemaOf(kind)
@@ -92,13 +107,28 @@ class ShardSinkMetaTable(dir: String, kind: String) extends Table with SupportsR
       override def readSchema(): StructType = ShardSinkMetaTable.schemaOf(kind)
       override def description(): String = s"ShardSinkMetaScan[$dir, $kind]"
       override def toBatch: Batch = this
-      // rows materialize at PLAN time (driver, manifest-only): the scan
-      // snapshot is consistent even if a commit lands mid-query
+      /** `files` over a SEGMENTED manifest: one partition per segment,
+        * entries parsed executor-side. Everything else (single-blob
+        * `files`, history/tags/constraints — control-plane cardinality
+        * by construction) materializes at PLAN time as before; either
+        * way the snapshot is pinned here, consistent under concurrent
+        * commits.
+        */
       override def planInputPartitions(): Array[InputPartition] =
-        Array(ShardSinkMetaRows(ShardSinkMetaTable.rowsOf(dir, kind)))
+        if (kind == "files") {
+          val v = ShardSink.currentManifestVersion(dir)
+          val segs = ShardSink.segmentRefsAt(dir, v)
+          if (segs.nonEmpty)
+            segs.map(r => ShardSinkMetaSegment(dir, r.name): InputPartition).toArray
+          else Array(ShardSinkMetaRows(ShardSinkMetaTable.rowsOf(dir, kind)))
+        } else Array(ShardSinkMetaRows(ShardSinkMetaTable.rowsOf(dir, kind)))
       override def createReaderFactory(): PartitionReaderFactory =
         (partition: InputPartition) => {
-          val rs = partition.asInstanceOf[ShardSinkMetaRows].rows
+          val rs: Seq[Array[Any]] = partition match {
+            case ShardSinkMetaRows(rows) => rows
+            case ShardSinkMetaSegment(d, seg) =>
+              ShardSink.readSegmentEntries(d, seg).map(ShardSinkMetaTable.fileRow)
+          }
           new PartitionReader[InternalRow] {
             private var i = -1
             override def next(): Boolean = { i += 1; i < rs.size }

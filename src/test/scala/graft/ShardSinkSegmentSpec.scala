@@ -226,4 +226,42 @@ class ShardSinkSegmentSpec extends SparkSpec {
       assert(readBack(dir).count() === 400L)
     } finally ShardSink.setSegmentTarget(512)
   }
+
+  test("the files metadata table is a DISTRIBUTED scan: one partition per manifest segment") {
+    val local = freshDir().getPath
+    ShardSink.setSegmentTarget(1)
+    try {
+      val ms = spark.newSession()
+      ms.conf.set("spark.sql.adaptive.enabled", "false")
+      ms.conf.set("spark.sql.catalog.segmeta", classOf[graft.sources.ShardSinkCatalog].getName)
+      ms.conf.set("spark.sql.catalog.segmeta.root", local)
+      def app(lo: Long, hi: Long): Unit =
+        ms.read.format("graft.sources.DocGenSource")
+          .option("numDocs", "400").option("numPartitions", "2").load()
+          .where(col("doc_id") >= lo && col("doc_id") < hi)
+          .writeTo("segmeta.docs").append()
+      app(0L, 150L); app(150L, 300L); app(300L, 400L)
+      val dir = new java.io.File(local, "docs").getPath
+      val segs = SinkTestAccess.segmentRefs(dir, ShardSink.currentManifestVersion(dir))
+      assert(segs.size >= 3, s"expected a segmented manifest, got $segs")
+      val files = ms.sql("SELECT * FROM segmeta.docs.files")
+      // one task per segment — the metadata table scales with the
+      // manifest store, not with the driver
+      assert(files.rdd.getNumPartitions === segs.size,
+        s"files scan planned ${files.rdd.getNumPartitions} partitions for ${segs.size} segments")
+      // and the distributed rows equal the driver-resolved census
+      val got = files.select("file", "n_rows").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val want = SinkTestAccess.resolveBase(dir)._2.map(e => (e.file, e.rows)).toSet
+      assert(got === want)
+      // a single-blob table keeps the plan-time shape (one partition)
+      ShardSink.setSegmentTarget(512)
+      ms.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "50").option("numPartitions", "1").load()
+        .writeTo("segmeta.blob").append()
+      val blobFiles = ms.sql("SELECT * FROM segmeta.blob.files")
+      assert(blobFiles.rdd.getNumPartitions === 1)
+      assert(blobFiles.count() >= 1L)
+    } finally ShardSink.setSegmentTarget(512)
+  }
 }

@@ -1022,6 +1022,30 @@ class ShardSinkSpec extends SparkSpec {
     assert(ShardSink.currentManifestVersion(new java.io.File(root, "docs").getPath) === 2L)
   }
 
+  test("sink post-prune statistics flip the broadcast decision a census estimate would miss") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir().getPath
+    spark.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "16000").option("numPartitions", "2").load()
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    graft.sources.ShardSink.compact(dir) // shard-pure files: the prune substrate
+    val s = spark.newSession()
+    // census estimate 16000 × 45 B ≈ 720 KB sits ABOVE this threshold;
+    // the shard-pruned estimate (1/16th ≈ 45 KB) falls below — the
+    // broadcast decision depends on the scan REPORTING post-prune rows
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "102400")
+    def sink = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+    val big = s.range(200000).select(col("id").as("k"))
+    val pruned = sink.where(col("shard") === 3)
+      .join(big, col("doc_id") === col("k"))
+    assert(pruned.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      pruned.queryExecution.executedPlan.toString)
+    val unfiltered = sink.join(big, col("doc_id") === col("k"))
+    assert(!unfiltered.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the census-sized side must NOT broadcast under the same threshold")
+  }
+
   test("reported statistics flip the optimizer's broadcast decision with the pushed filter") {
     import org.apache.spark.sql.functions._
     def docgen = spark.read.format("graft.sources.DocGenSource")

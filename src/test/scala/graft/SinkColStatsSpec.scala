@@ -56,9 +56,9 @@ class SinkColStatsSpec extends SparkSpec {
     acc.add(Array("2", "1", "aa", "-7", "2.5"))
     val enc = acc.encode()
     val st = SinkColStats.decode(enc)
-    assert(st("s") === SinkColStats.ColStat('s', "aa", "héllo:|\"wor}ld"))
-    assert(st("l") === SinkColStats.ColStat('l', "-7", "42"))
-    assert(st("d") === SinkColStats.ColStat('d', "1.5", "2.5"))
+    assert(st("s") === SinkColStats.ColStat('s', "aa", "héllo:|\"wor}ld", Some(0L)))
+    assert(st("l") === SinkColStats.ColStat('l', "-7", "42", Some(0L)))
+    assert(st("d") === SinkColStats.ColStat('d', "1.5", "2.5", Some(0L)))
     // the encoded token must be manifest-regex-safe: no quote, no brace
     assert(!enc.exists(c => c == '"' || c == '{' || c == '}' || c == '\\'))
     // a >MaxTracked string poisons ONLY its column
@@ -77,7 +77,10 @@ class SinkColStatsSpec extends SparkSpec {
     acc4.add(Array("1", "0", "\\N", "5")) // the writer's null sentinel
     acc4.add(Array("2", "1"))
     val st4 = SinkColStats.decode(acc4.encode())
-    assert(!st4.contains("s") && st4("l") === SinkColStats.ColStat('l', "5", "5"))
+    // the all-null string column records a BOUNDLESS token with its null
+    // count (round 16); the short row null-counts into BOTH columns
+    assert(st4("s") === SinkColStats.ColStat('s', null, null, Some(2L)))
+    assert(st4("l") === SinkColStats.ColStat('l', "5", "5", Some(1L)))
   }
 
   test("predicates: ranges, IN exactness, prefix successor, cross-type never prunes") {
@@ -176,20 +179,48 @@ class SinkColStatsSpec extends SparkSpec {
     assert(nGone === 0L) // rows are gone even though envelopes may keep the files
   }
 
-  test("IS NULL never prunes: pre-evolution rows always read") {
+  test("IS NULL prunes zero-null files; IS NOT NULL prunes all-null files; pre-evolution reads") {
     val dir = freshDir("cs_null")
     docs(0L, 400L).write.format("graft.sources.ShardSinkSource")
       .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    val preFiles = entryCount(dir)
     ingest(dir, 400L, 800L, "pt")
+    val midFiles = entryCount(dir)
+    // v3: an ALL-NULL lang ingest — a boundless `!` envelope per file
+    docs(800L, 1200L, n = 1200)
+      .withColumn("lang", lit(null).cast("string"))
+      .withColumn("score", (col("doc_id") * 2L).cast("long"))
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).option("mergeSchema", "true")
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
     val census = entryCount(dir)
+    val ptFiles = midFiles - preFiles
+    val nullFiles = census - midFiles
+    // IS NULL: the pt files record nc = 0 and SKIP; the pre-evolution
+    // files (no lang token) and the all-null files read
     val (n, opened) = counted(read(dir).where(col("lang").isNull))
-    assert(n === 400L)
-    assert(opened === census.toLong, "IS NULL must read every file (envelopes are non-null-only)")
-    // and a null-rejecting predicate on the same column still prunes the
-    // stats-less pre-evolution files IN (they carry no envelope) while
-    // answering correctly
-    val (nPt, _) = counted(read(dir).where(col("lang") === "pt"))
+    assert(n === 800L)
+    assert(opened === (census - ptFiles).toLong, s"IS NULL opened $opened of $census")
+    // IS NOT NULL: the all-null files' boundless envelopes SKIP; the
+    // stats-less pre-evolution files still read (conservative)
+    val (nn, openedNn) = counted(read(dir).where(col("lang").isNotNull))
+    assert(nn === 400L)
+    assert(openedNn === (census - nullFiles).toLong,
+      s"IS NOT NULL opened $openedNn of $census")
+    // a null-rejecting VALUE predicate also skips the all-null files
+    val (nPt, openedPt) = counted(read(dir).where(col("lang") === "pt"))
     assert(nPt === 400L)
+    assert(openedPt === (census - nullFiles).toLong)
+    // manifest-only COUNT(col): after compaction every file carries the
+    // null count, no delete vectors — zero data IO
+    ShardSink.compact(dir)
+    val cdf = read(dir).agg(count(col("lang")).as("n"))
+    val planned = cdf.queryExecution.executedPlan.toString
+    val c0 = ShardSink.dataFileReadCount.get()
+    assert(cdf.collect().head.getLong(0) === 400L)
+    assert(planned.contains("ShardSinkCountScan") &&
+      ShardSink.dataFileReadCount.get() === c0,
+      s"COUNT(lang) not manifest-answered:\n$planned")
   }
 
   test("segment refs carry merged column envelopes: payload predicates skip whole segments") {
@@ -416,13 +447,13 @@ class SinkColStatsSpec extends SparkSpec {
     acc.add(Array("1", "0", emoji))
     acc.add(Array("2", "1", wide))
     val st = SinkColStats.decode(acc.encode())("s")
-    assert(st === SinkColStats.ColStat('s', wide, emoji), st.toString)
+    assert(st === SinkColStats.ColStat('s', wide, emoji, Some(0L)), st.toString)
     // the segment-level union folds with the same order
     val a1 = new SinkColStats.LineAcc(table); a1.add(Array("1", "0", emoji))
     val a2 = new SinkColStats.LineAcc(table); a2.add(Array("2", "1", wide))
     val merged = SinkColStats.decode(
       SinkColStats.mergeEnvelopes(Seq(a1.encode(), a2.encode())))("s")
-    assert(merged === SinkColStats.ColStat('s', wide, emoji), merged.toString)
+    assert(merged === SinkColStats.ColStat('s', wide, emoji, Some(0L)), merged.toString)
     // and the prune test agrees with Spark's evaluation: `s > 'Ａ'`
     // matches the emoji row, so the envelope may NOT prune
     val pred = SinkColStats.ColRange("s", 's', Some(wide), loInc = false, None, hiInc = false)

@@ -245,6 +245,50 @@ class SinkMatViewSpec extends SparkSpec {
     assert(mvRollup(mvDir) === sourceRollup(dir))
   }
 
+  test("refresh folds exactly across RESTORE and replaceWhere source commits") {
+    val root = java.nio.file.Files.createTempDirectory("mv_rst").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.mv_rst", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.mv_rst.root", root)
+    s.conf.set("spark.sql.catalog.mv_rst.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mv_rst.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mv_rst.cdf.enabled", "true")
+    def src = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1200").option("numPartitions", "2").load()
+    src.writeTo("mv_rst.docs").append() // v1
+    val dir = new java.io.File(root, "docs").getPath
+    val mvDir = SinkMatView.mvDirOf(dir)
+    SinkMatView.create(s, dir, mvDir, "shard", rollupAggs)
+    def parity(): Unit = {
+      val got = SinkMatView.read(s, mvDir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val want = s.read.table("mv_rst.docs").groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("s"),
+          min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got === want)
+    }
+    s.sql("DELETE FROM mv_rst.docs WHERE doc_id >= 900") // v2
+    val r1 = SinkMatView.refresh(s, dir, mvDir)
+    assert(r1.dirtyGroups === 16L) // every shard's max in the tail
+    parity()
+    // RESTORE to v1: the feed surfaces the resurrected rows as inserts —
+    // the fold extends extremes back on the fast path
+    s.sql("ALTER TABLE mv_rst.docs SET TBLPROPERTIES ('graft.restore' = '1')") // v3
+    val r2 = SinkMatView.refresh(s, dir, mvDir)
+    assert(r2.applied && r2.changeRows === 300L && r2.dirtyGroups === 0L, r2.toString)
+    parity()
+    // replaceWhere shard 3: ONE commit dropping the shard and re-landing
+    // a SUBSET — net retractions including the recorded max → dirty
+    src.where(col("shard") === 3 && ((col("doc_id") - 3L) / 16L) % 3L === 0L)
+      .writeTo("mv_rst.docs").overwrite(col("shard") === 3) // v4
+    val r3 = SinkMatView.refresh(s, dir, mvDir)
+    assert(r3.applied && r3.dirtyGroups === 1L, r3.toString)
+    parity()
+    assert(SinkMatView.lastSourceVersion(mvDir) === 4L)
+  }
+
   test("multi-column groups, WHERE predicate, and NULL group values fold correctly") {
     val dir = freshDir("mv_multi")
     // pre-evolution rows: lang is NULL → they form their own group
