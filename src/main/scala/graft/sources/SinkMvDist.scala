@@ -43,6 +43,13 @@ object SinkMvDist {
       """"pred":"([^"]*)","srcV":(\d+),"buckets":(\d+),"aggs":\[(.*)\]\}""").r
   private val AggRe = """\{"n":"([^"]*)","k":"([^"]*)","e":"([^"]*)"\}""".r
 
+  /** One-shot interleave hook: runs after the fold is derived but before
+    * the segment write + header flip — the window a competing refresh
+    * can win (the spec asserts the loser retries into a no-op).
+    */
+  private[sources] val refreshBarrier =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](null)
+
   /** Total rows materialized on the driver by create/refresh control
     * flow — the observability hook for the scale contract: its growth is
     * bounded by `buckets` per refresh, independent of group cardinality
@@ -201,6 +208,11 @@ object SinkMvDist {
     state
       .withColumn("_b", bucketCol(st, st.groups.map(col)))
       .select(concat_ws("\t", lineCells: _*).as("value"), col("_b"))
+      // cluster by bucket BEFORE the dynamic-partition write: one task
+      // per bucket writes one file, instead of every upstream partition
+      // opening a file per bucket (≤ tasks × buckets small files and a
+      // committer pass over all of them)
+      .repartition(math.max(1, st.buckets), col("_b"))
       .write.partitionBy("_b").mode("overwrite").text(staging.toString)
     val fs = SinkFs.fsOf(staging)
     val refs = scala.collection.mutable.ArrayBuffer[(Int, String)]()
@@ -287,16 +299,59 @@ object SinkMvDist {
     l.join(rr, cond, how)
   }
 
+  /** STREAMING maintenance for the distributed MV — the `foreachBatch`
+    * body, exactly-once by the header watermark like the blob MV's:
+    * replayed batches are recorded no-ops, a gap fast-forwards only
+    * after the skipped window is PROVEN change-free (no-data commits:
+    * OPTIMIZE/ZORDER/ALTER), and a gap hiding a data commit fails
+    * loudly. The fold itself is the batch refresh's distributed plan.
+    */
+  def refreshFromChanges(
+      spark: SparkSession, srcDir: String, mvDir: String,
+      ch: DataFrame, toV: Long): RefreshStats = {
+    var attempt = 0
+    while (true) {
+      val stateV = currentVersion(mvDir)
+      require(stateV > 0L, s"no distributed materialized view at $mvDir (create it first)")
+      val st = readHeaderAt(mvDir, stateV)
+      require(st.src == srcDir, s"MV at $mvDir materializes ${st.src}, not $srcDir")
+      if (toV <= st.srcV) // replayed or pre-create commit: already covered
+        return RefreshStats(st.srcV, st.srcV, 0L, 0L, stateV, applied = false)
+      if (toV > st.srcV + 1L) {
+        val gapRows =
+          SinkMatView.changes(spark, srcDir, st.srcV, toV - 1L).limit(1).count()
+        require(gapRows == 0L,
+          s"streaming MV gap at $mvDir: batch carries commit $toV but the " +
+            s"view reflects ${st.srcV} and commits (${st.srcV}, ${toV - 1L}] " +
+            "carry change rows — commits must apply in order")
+      }
+      val cached = ch.persist()
+      try return foldBatch(spark, srcDir, mvDir, st, stateV, toV, cached)
+      catch {
+        case _: MvConflict if attempt < 5 => attempt += 1
+        case c: MvConflict => throw c
+      } finally { cached.unpersist(); () }
+    }
+    sys.error("unreachable")
+  }
+
   private def refreshOnce(
       spark: SparkSession, srcDir: String, mvDir: String,
       st: MvdState, stateV: Long, toV: Long): RefreshStats = {
+    val ch = SinkMatView.changes(spark, srcDir, st.srcV, toV).persist()
+    try foldBatch(spark, srcDir, mvDir, st, stateV, toV, ch)
+    finally { ch.unpersist(); () }
+  }
+
+  private def foldBatch(
+      spark: SparkSession, srcDir: String, mvDir: String,
+      st: MvdState, stateV: Long, toV: Long, ch: DataFrame): RefreshStats = {
     val na = st.aggs.length
     val keys = st.groups
     val next = stateV + 1L
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
-    val ch = SinkMatView.changes(spark, srcDir, st.srcV, toV).persist()
-    try {
+    locally {
       val chF = SinkMatView.filtered(ch, st.pred)
       // ---- the linear (row-grain) delta: one distributed aggregation
       val deltaCols = st.aggs.zipWithIndex.flatMap { case (a, i) =>
@@ -334,11 +389,14 @@ object SinkMvDist {
       }
       val deltaC = delta.persist()
       try {
-        // the ONLY driver materializations: bucket ids (≤ buckets) and
-        // two scalar job results — never rows proportional to groups
-        val touched = deltaC
-          .select(bucketCol(st, keys.map(col)).as("_b")).distinct()
-          .collect().map(_.getInt(0)).toSet
+        // the ONLY driver materializations: per-bucket rollups (≤ buckets
+        // rows — touched ids and the window's change-row total in ONE
+        // job) and one scalar — never rows proportional to groups
+        val perBucket = deltaC
+          .groupBy(bucketCol(st, keys.map(col)).as("_b"))
+          .agg(sum("_chrows").as("_n"))
+          .collect()
+        val touched = perBucket.map(_.getInt(0)).toSet
         driverRowsCollected.addAndGet(touched.size.toLong)
         if (touched.isEmpty) {
           // change-free window (no-data commits / everything
@@ -346,8 +404,7 @@ object SinkMvDist {
           writeHeader(mvDir, next, st.copy(srcV = toV))
           return RefreshStats(st.srcV, toV, 0L, 0L, next, applied = true)
         }
-        val changeRows = deltaC.agg(sum("_chrows")).collect().head.getLong(0)
-        driverRowsCollected.incrementAndGet()
+        val changeRows = perBucket.map(_.getLong(1)).sum
 
         // ---- fold: state(touched) ⟗ delta, null-safe on the group key
         val state = stateDf(spark, mvDir, st, Some(touched))
@@ -450,6 +507,10 @@ object SinkMvDist {
                   } ++
                   (0 until na).map(i => jf(slotC(i)).as(slotC(i)))): _*)
           }
+          // one-shot interleave for the concurrency spec — the window a
+          // competing refresh can win (same hook as the blob MV's)
+          val barrier = refreshBarrier.getAndSet(null)
+          if (barrier != null) barrier()
           // ---- write touched buckets, carry the rest by reference
           val written = writeSegments(mvDir, next, st, finalState)
           val carried = st.refs.filterNot(r => touched.contains(r._1))
@@ -457,7 +518,7 @@ object SinkMvDist {
           RefreshStats(st.srcV, toV, changeRows, nDirty, next, applied = true)
         } finally { folded.unpersist(); () }
       } finally { deltaC.unpersist(); () }
-    } finally { ch.unpersist(); () }
+    }
   }
 
   // ---- read / vacuum -------------------------------------------------------
@@ -522,14 +583,15 @@ object SinkMvDist {
       MvAgg("min_len", "min", "length(body)")), buckets = 8)
     // v5: min_len's 32 is net-removed, 33 does not re-cover → 300 dirty
     s.sql("UPDATE graft_mvd.docs_mvd SET body = concat(body, '!') WHERE doc_id < 300")
-    val r1 = refresh(s, dir, mvDir)
     // v6: uids 300..799 lose doc uid+1200 — their recorded max → 500 dirty
     s.sql("DELETE FROM graft_mvd.docs_mvd WHERE doc_id >= 1500")
-    val r2 = refresh(s, dir, mvDir)
+    // ONE refresh covers BOTH commits: the multi-commit window folds the
+    // two dirty classes (min via update, max via delete) in one pass
+    val r1 = refresh(s, dir, mvDir)
     // v7: uids 800..1199 regain a row; extremes extend on the fast path
     ingest(2000L, 2400L)
-    val r3 = refresh(s, dir, mvDir)
-    val stats = Seq(r1, r2, r3)
+    val r2 = refresh(s, dir, mvDir)
+    val stats = Seq(r1, r2)
     read(s, mvDir)
       .withColumn("n_refreshes", lit(stats.count(_.applied).toLong))
       .withColumn("change_rows", lit(stats.map(_.changeRows).sum))
@@ -541,9 +603,11 @@ object SinkMvDist {
 
   /** DuckDB re-derivation: the live set is `doc_id < 1500 OR doc_id >=
     * 2000` with 33-char bodies below 300, grouped per uid = doc_id %
-    * 1200 — plus the lifecycle constants (3 refreshes; 600 + 500 + 400
-    * change rows; 300 + 500 dirty recomputes; MV v4 = create + 3; source
-    * v7 = bootstrap + ALTER + 2 ingests + UPDATE + DELETE + append).
+    * 1200 — plus the lifecycle constants (2 refreshes — the first covers
+    * the UPDATE + DELETE window in one fold; 1100 + 400 change rows;
+    * 300 + 500 dirty recomputes in that one pass; MV v3 = create + 2;
+    * source v7 = bootstrap + ALTER + 2 ingests + UPDATE + DELETE +
+    * append).
     */
   val mvDistReportSql: String =
     """WITH g AS (
@@ -557,10 +621,10 @@ object SinkMvDist {
       |       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
       |       CAST(SUM(blen) AS BIGINT) AS sum_len,
       |       CAST(MIN(blen) AS BIGINT) AS min_len,
-      |       CAST(3 AS BIGINT) AS n_refreshes,
+      |       CAST(2 AS BIGINT) AS n_refreshes,
       |       CAST(1500 AS BIGINT) AS change_rows,
       |       CAST(800 AS BIGINT) AS dirty_groups,
-      |       CAST(4 AS BIGINT) AS mv_version,
+      |       CAST(3 AS BIGINT) AS mv_version,
       |       CAST(7 AS BIGINT) AS src_version
       |FROM g GROUP BY uid ORDER BY uid""".stripMargin
 

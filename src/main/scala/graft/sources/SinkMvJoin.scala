@@ -360,16 +360,17 @@ object SinkMvJoin {
     // d4: dim update — shard 7 moves r1 → r9; the moved rows' max (1495)
     // sits BELOW r1's surviving max (1498): clean fast-path, 0 dirty
     s.sql("UPDATE graft_mvj.dim_mvj SET region = 'r9' WHERE doc_id = 7")
-    val r2 = refresh(s, mvDir)
     // d5: dim insert — key 15 joins shard-15 fact rows INTO the view
     docs(15L, 16L)
       .withColumn("region", lit("r0"))
       .writeTo("graft_mvj.dim_mvj").append()
-    val r3 = refresh(s, mvDir)
+    // ONE refresh covers BOTH dim commits — group-move and join-in fold
+    // in the same [Δd ⋈ f] pass
+    val r2 = refresh(s, mvDir)
     // f4: late fact append against the NOW-COMPLETE dim
     docs(2000L, 2400L).writeTo("graft_mvj.fact_mvj").append()
-    val r4 = refresh(s, mvDir)
-    val stats = Seq(r1, r2, r3, r4)
+    val r3 = refresh(s, mvDir)
+    val stats = Seq(r1, r2, r3)
     val (fv, dv) = lastSourceVersions(mvDir)
     read(s, mvDir)
       .withColumn("n_refreshes", lit(stats.count(_.applied).toLong))
@@ -385,10 +386,10 @@ object SinkMvJoin {
     * >= 2000`; the final region of shard s is r9 for 7, r0 for 15 (the
     * late insert), else r(s%3). Constants: 4 refreshes; contribution
     * rows 468 (500 tail-deletes minus the 32 unjoined shard-15 rows) +
-    * 188 (dim update: 94 shard-7 rows × ±) + 93 (insert: shard-15 rows
-    * then live) + 400 (append, fully joined) = 1149; 3 dirty groups
-    * (every region's max in the deleted tail — the dim update and the
-    * inserts stay clean); MV v5 = create + 4; fact v4, dim v5.
+    * 281 (one dim window: 94 shard-7 rows × ± for the update plus the
+    * 93 shard-15 rows the insert joins in) + 400 (append, fully joined)
+    * = 1149; 3 dirty groups (every region's max in the deleted tail —
+    * the dim window stays clean); MV v4 = create + 3; fact v4, dim v5.
     */
   val mvJoinReportSql: String =
     """WITH g AS (
@@ -402,10 +403,10 @@ object SinkMvJoin {
       |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
       |       bit_xor(doc_id) AS xor_ids,
       |       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
-      |       CAST(4 AS BIGINT) AS n_refreshes,
+      |       CAST(3 AS BIGINT) AS n_refreshes,
       |       CAST(1149 AS BIGINT) AS change_rows,
       |       CAST(3 AS BIGINT) AS dirty_groups,
-      |       CAST(5 AS BIGINT) AS mv_version,
+      |       CAST(4 AS BIGINT) AS mv_version,
       |       CAST(4 AS BIGINT) AS fact_version,
       |       CAST(5 AS BIGINT) AS dim_version
       |FROM g GROUP BY d_region ORDER BY d_region""".stripMargin

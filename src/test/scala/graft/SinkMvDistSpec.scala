@@ -185,6 +185,55 @@ class SinkMvDistSpec extends SparkSpec {
     }
   }
 
+  test("streaming maintenance: replays no-op, no-data commits fast-forward, final parity") {
+    val dir = freshDir("mvd_stream")
+    val mvDir = mvDirOf(dir)
+    append(dir, 0L, 600L, n = 1000) // v1
+    SinkMvDist.create(spark, dir, mvDir, Seq("shard"), rollupAggs, buckets = 8)
+    ShardSink.compact(dir) // v2: no-data commit — never delivered as a batch
+    append(dir, 600L, 800L, n = 1000) // v3
+    append(dir, 800L, 1000L, n = 1000) // v4
+    def changesOf(fromV: Long, toV: Long) =
+      spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("readChangeFeed", "true")
+        .option("changeFeedFrom", fromV).option("changeFeedTo", toV).load()
+    // v3 arrives over the (1, 2] gap — provably change-free, fast-forward
+    val st3 = SinkMvDist.refreshFromChanges(spark, dir, mvDir, changesOf(2L, 3L), 3L)
+    assert(st3.applied && SinkMvDist.lastSourceVersion(mvDir) === 3L)
+    // replay of v3 is a recorded no-op
+    val replay = SinkMvDist.refreshFromChanges(spark, dir, mvDir, changesOf(2L, 3L), 3L)
+    assert(!replay.applied)
+    // in-order v4 folds; final parity against the source rollup
+    SinkMvDist.refreshFromChanges(spark, dir, mvDir, changesOf(3L, 4L), 4L)
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+    // a gap HIDING a data commit still fails loudly
+    append(dir, 1000L, 1100L, n = 1100) // v5 (data, skipped)
+    append(dir, 1100L, 1200L, n = 1200) // v6
+    val e = intercept[IllegalArgumentException](
+      SinkMvDist.refreshFromChanges(spark, dir, mvDir, changesOf(5L, 6L), 6L))
+    assert(e.getMessage.contains("gap"))
+  }
+
+  test("concurrent refresh: the loser retries into a no-op, never a double-apply") {
+    val dir = freshDir("mvd_race")
+    val mvDir = mvDirOf(dir)
+    append(dir, 0L, 400L, n = 600)
+    SinkMvDist.create(spark, dir, mvDir, Seq("shard"), rollupAggs, buckets = 4)
+    append(dir, 400L, 600L, n = 600) // the delta both refreshes race for
+    // the barrier fires inside the first refresh AFTER its fold is
+    // derived; the interloper's refresh covers the window and flips v2,
+    // so the original's flip loses and its retry must see srcV == toV
+    SinkTestAccess.onNextMvdFlip(() => {
+      val won = SinkMvDist.refresh(spark, dir, mvDir)
+      assert(won.applied)
+      ()
+    })
+    val lost = SinkMvDist.refresh(spark, dir, mvDir)
+    assert(!lost.applied, "the loser must converge to a no-op, not re-apply")
+    assert(SinkMvDist.currentVersion(mvDir) === 2L)
+    assert(mvRollup(mvDir) === sourceRollup(dir))
+  }
+
   test("WHERE predicate and watermark advance over change-free windows") {
     val dir = freshDir("mvd_pred")
     val mvDir = mvDirOf(dir)

@@ -81,4 +81,9 @@ object SinkTestAccess {
     * next refresh, after its delta is derived but before the state flip.
     */
   def onNextMvFlip(f: () => Unit): Unit = SinkMatView.refreshBarrier.set(f)
+
+  /** Same interleave for the DISTRIBUTED MV's refresh. */
+  def onNextMvdFlip(f: () => Unit): Unit = SinkMvDist.refreshBarrier.set(f)
+
+  def deleteRecursively(f: java.io.File): Unit = SinkFs.deleteRecursively(f)
 }
