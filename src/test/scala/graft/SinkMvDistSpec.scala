@@ -234,6 +234,42 @@ class SinkMvDistSpec extends SparkSpec {
     assert(mvRollup(mvDir) === sourceRollup(dir))
   }
 
+  test("string group values round-trip the segment codec: %, the %N marker, NULL groups") {
+    val root = java.nio.file.Files.createTempDirectory("mvd_esc").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.mvd_esc", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.mvd_esc.root", root)
+    s.conf.set("spark.sql.catalog.mvd_esc.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("mvd_esc.docs").append()
+    s.sql("ALTER TABLE mvd_esc.docs ADD COLUMN lang STRING")
+    // group values chosen to attack the TSV codec: a literal '%', the
+    // escaped forms themselves, the null MARKER as a real value, and
+    // SQL NULL — each must stay a distinct group through write+read
+    def langOf = when(col("doc_id") % 5 === 0, lit("a%b"))
+      .when(col("doc_id") % 5 === 1, lit("%N"))
+      .when(col("doc_id") % 5 === 2, lit("%25"))
+      .when(col("doc_id") % 5 === 3, lit(null).cast("string"))
+      .otherwise(lit("plain"))
+    docs(0L, 300L).withColumn("lang", langOf).writeTo("mvd_esc.docs").append()
+    val dir = new java.io.File(root, "docs").getPath
+    val mvDir = mvDirOf(dir)
+    SinkMvDist.create(s, dir, mvDir, Seq("lang"),
+      Seq(MvAgg("n", "count"), MvAgg("x", "xor", "doc_id")), buckets = 4)
+    docs(300L, 400L).withColumn("lang", langOf).writeTo("mvd_esc.docs").append()
+    SinkMvDist.refresh(s, dir, mvDir)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.collect().map(r =>
+        (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = canon(SinkMvDist.read(s, mvDir))
+    val want = canon(s.read.table("mvd_esc.docs").groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)").as("x")))
+    assert(got === want)
+    assert(got.size === 5 && got.exists(_._1 == null) && got.exists(_._1 == "%N"))
+  }
+
   test("WHERE predicate and watermark advance over change-free windows") {
     val dir = freshDir("mvd_pred")
     val mvDir = mvDirOf(dir)
