@@ -41,6 +41,10 @@ object SinkMvDist {
   private val HeaderRe =
     ("""\{"src":"([^"]*)","group":"([^"]*)","gtype":"([^"]*)",""" +
       """"pred":"([^"]*)","srcV":(\d+),"buckets":(\d+),"aggs":\[(.*)\]\}""").r
+  private val HeaderJoinRe =
+    ("""\{"src":"([^"]*)","group":"([^"]*)","gtype":"([^"]*)",""" +
+      """"pred":"([^"]*)","srcV":(\d+),"buckets":(\d+),""" +
+      """"dim":"([^"]*)","fk":"([^"]*)","pk":"([^"]*)","dimV":(\d+),"aggs":\[(.*)\]\}""").r
   private val AggRe = """\{"n":"([^"]*)","k":"([^"]*)","e":"([^"]*)"\}""".r
 
   /** One-shot interleave hook: runs after the fold is derived but before
@@ -57,9 +61,18 @@ object SinkMvDist {
     */
   val driverRowsCollected = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** A JOIN definition (round 16): the MV materializes
+    * `fact ⋈ dim ON fk = pk` with dim columns under the `d_` prefix —
+    * [[SinkMvJoin]]'s delta-join decomposition over [[SinkMvDist]]'s
+    * distributed bucketed state, so a per-user-grain star-schema rollup
+    * needs neither a driver-resident view nor a full rescan.
+    */
+  private[sources] final case class MvdJoin(dim: String, fk: String, pk: String, dimV: Long)
+
   private final case class MvdState(
       src: String, groups: Seq[String], gtypes: Seq[String], pred: String,
-      srcV: Long, buckets: Int, aggs: Seq[MvAgg], refs: Seq[(Int, String)])
+      srcV: Long, buckets: Int, aggs: Seq[MvAgg], refs: Seq[(Int, String)],
+      join: Option[MvdJoin] = None)
 
   // ---- header ------------------------------------------------------------
 
@@ -67,9 +80,11 @@ object SinkMvDist {
     val aggs = st.aggs
       .map(a => s"""{"n":"${a.name}","k":"${a.kind}","e":"${a.e}"}""")
       .mkString("[", ",", "]")
+    val join = st.join.map(j =>
+      s""""dim":"${j.dim}","fk":"${j.fk}","pk":"${j.pk}","dimV":${j.dimV},""").getOrElse("")
     s"""{"src":"${st.src}","group":"${st.groups.mkString(",")}",""" +
       s""""gtype":"${st.gtypes.mkString(",")}","pred":"${st.pred}",""" +
-      s""""srcV":${st.srcV},"buckets":${st.buckets},"aggs":$aggs}"""
+      s""""srcV":${st.srcV},"buckets":${st.buckets},$join"aggs":$aggs}"""
   }
 
   private def writeHeader(mvDir: String, version: Long, st: MvdState): Unit = {
@@ -98,16 +113,20 @@ object SinkMvDist {
 
   private def readHeaderAt(mvDir: String, v: Long): MvdState = {
     val lines = SinkFs.readLines(new Path(mvDir, s"_mvd.v$v.json"))
+    def refsOf: Seq[(Int, String)] = lines.tail.map { l =>
+      val i = l.indexOf('\t')
+      (l.substring(0, i).toInt, l.substring(i + 1))
+    }
+    def aggsOf(as: String): Seq[MvAgg] = AggRe.findAllMatchIn(as)
+      .map(m => MvAgg(m.group(1), m.group(2), m.group(3))).toSeq
     lines.head match {
-      case HeaderRe(s, g, t, pr, sv, b, as) =>
-        val parsed = AggRe.findAllMatchIn(as)
-          .map(m => MvAgg(m.group(1), m.group(2), m.group(3))).toSeq
-        val refs = lines.tail.map { l =>
-          val i = l.indexOf('\t')
-          (l.substring(0, i).toInt, l.substring(i + 1))
-        }
+      case HeaderJoinRe(s, g, t, pr, sv, b, dim, fk, pk, dv, as) =>
         MvdState(s, g.split(",", -1).toSeq, t.split(",", -1).toSeq, pr,
-          sv.toLong, b.toInt, parsed, refs)
+          sv.toLong, b.toInt, aggsOf(as), refsOf,
+          Some(MvdJoin(dim, fk, pk, dv.toLong)))
+      case HeaderRe(s, g, t, pr, sv, b, as) =>
+        MvdState(s, g.split(",", -1).toSeq, t.split(",", -1).toSeq, pr,
+          sv.toLong, b.toInt, aggsOf(as), refsOf)
       case other => sys.error(s"unparseable distributed-MV header at $mvDir: $other")
     }
   }
@@ -267,6 +286,70 @@ object SinkMvDist {
     srcV
   }
 
+  /** JOIN-MV creation over DISTRIBUTED state: `SELECT groups, aggs FROM
+    * fact ⋈ dim ON fk = pk [WHERE pred] GROUP BY`, dim columns under the
+    * `d_` prefix ([[SinkMvJoin]]'s definition surface, this object's
+    * bucketed-segment state) — the per-user-grain star-schema rollup
+    * neither feature alone could serve. Returns (factV, dimV).
+    */
+  def createJoin(
+      spark: SparkSession, factDir: String, dimDir: String, mvDir: String,
+      fk: String, pk: String, groups: Seq[String], aggs: Seq[MvAgg],
+      where: String = "", buckets: Int = 16): (Long, Long) = {
+    SinkMatView.validate(groups, aggs, where)
+    require(buckets >= 1 && buckets <= 4096, s"buckets out of range: $buckets")
+    require(currentVersion(mvDir) == 0L,
+      s"distributed materialized view already exists at $mvDir")
+    val factV = ShardSink.currentManifestVersion(factDir)
+    val dimV = ShardSink.currentManifestVersion(dimDir)
+    require(factV > 0L && dimV > 0L,
+      s"create the join MV after both tables' first commits ($factDir v$factV, $dimDir v$dimV)")
+    val fSchema = ShardSink.schemaAtVersion(factDir, factV)
+    val dSchema = ShardSink.schemaAtVersion(dimDir, dimV)
+    require(fSchema.fieldNames.contains(fk), s"join key '$fk' not in fact ${fSchema.fieldNames.mkString(",")}")
+    require(dSchema.fieldNames.contains(pk), s"join key '$pk' not in dim ${dSchema.fieldNames.mkString(",")}")
+    val gtypes = groups.map { g =>
+      if (g.startsWith("d_") && dSchema.fieldNames.contains(g.stripPrefix("d_")))
+        SinkMatView.gtypeOf(dSchema(g.stripPrefix("d_")).dataType)
+      else {
+        require(fSchema.fieldNames.contains(g),
+          s"group column '$g' resolves in neither fact (${fSchema.fieldNames.mkString(",")}) " +
+            s"nor dim under d_ (${dSchema.fieldNames.map("d_" + _).mkString(",")})")
+        SinkMatView.gtypeOf(fSchema(g).dataType)
+      }
+    }
+    val dim = SinkMatView.srcAt(spark, dimDir, dimV)
+    SinkMvJoin.requireUniqueKeys(dim, pk, dim.select(col(pk)))
+    val st = MvdState(factDir, groups, gtypes, where, factV, buckets, aggs, Nil,
+      Some(MvdJoin(dimDir, fk, pk, dimV)))
+    val aggCols = aggs.zipWithIndex.map { case (a, i) =>
+      SinkMatView.aggColumn(a).as(slotV(i))
+    }
+    val nnCols = aggs.zipWithIndex.map { case (a, i) =>
+      if (a.kind == "sum" || a.kind == "xor")
+        count(when(expr(a.e).isNotNull, 1)).as(slotC(i))
+      else lit(0L).as(slotC(i))
+    }
+    val full = SinkMatView.filtered(
+      SinkMvJoin.joinedFrame(
+        SinkMatView.srcAt(spark, factDir, factV), SinkMvJoin.dimView(dim), fk, pk), where)
+      .groupBy(groups.map(col): _*)
+      .agg(aggCols.head, aggCols.tail ++ nnCols: _*)
+    val refs = writeSegments(mvDir, 1L, st, full)
+    writeHeader(mvDir, 1L, st.copy(refs = refs))
+    (factV, dimV)
+  }
+
+  /** (fact watermark, dim watermark) of a distributed JOIN MV. */
+  def lastSourceVersions(mvDir: String): (Long, Long) = {
+    val v = currentVersion(mvDir)
+    require(v > 0L, s"no distributed materialized view at $mvDir")
+    val st = readHeaderAt(mvDir, v)
+    val j = st.join.getOrElse(
+      throw new IllegalArgumentException(s"the MV at $mvDir is single-table"))
+    (st.srcV, j.dimV)
+  }
+
   // ---- refresh ---------------------------------------------------------------
 
   def refresh(spark: SparkSession, srcDir: String, mvDir: String): RefreshStats = {
@@ -277,9 +360,13 @@ object SinkMvDist {
       val st = readHeaderAt(mvDir, stateV)
       require(st.src == srcDir, s"MV at $mvDir materializes ${st.src}, not $srcDir")
       val toV = ShardSink.currentManifestVersion(srcDir)
-      if (toV <= st.srcV)
+      val dimTo = st.join.map(j => ShardSink.currentManifestVersion(j.dim))
+      if (toV <= st.srcV && st.join.zip(dimTo).forall { case (j, dv) => dv <= j.dimV })
         return RefreshStats(st.srcV, st.srcV, 0L, 0L, stateV, applied = false)
-      try return refreshOnce(spark, srcDir, mvDir, st, stateV, toV)
+      try return st.join match {
+        case Some(j) => joinRefreshOnce(spark, mvDir, st, j, stateV, toV, dimTo.get)
+        case None => refreshOnce(spark, srcDir, mvDir, st, stateV, toV)
+      }
       catch {
         case _: MvConflict if attempt < 5 => attempt += 1 // re-read, re-derive
         case c: MvConflict => throw c
@@ -315,6 +402,9 @@ object SinkMvDist {
       require(stateV > 0L, s"no distributed materialized view at $mvDir (create it first)")
       val st = readHeaderAt(mvDir, stateV)
       require(st.src == srcDir, s"MV at $mvDir materializes ${st.src}, not $srcDir")
+      require(st.join.isEmpty,
+        "streaming maintenance drives a SINGLE table's change feed; a join MV " +
+          "refreshes from both tables via refresh()")
       if (toV <= st.srcV) // replayed or pre-create commit: already covered
         return RefreshStats(st.srcV, st.srcV, 0L, 0L, stateV, applied = false)
       if (toV > st.srcV + 1L) {
@@ -326,7 +416,10 @@ object SinkMvDist {
             "carry change rows — commits must apply in order")
       }
       val cached = ch.persist()
-      try return foldBatch(spark, srcDir, mvDir, st, stateV, toV, cached)
+      try return foldBatch(spark, mvDir, st, stateV, cached,
+        SinkMvJoin.signOf(col("_change_type")),
+        () => SinkMatView.filtered(SinkMatView.srcAt(spark, srcDir, toV), st.pred),
+        st.copy(srcV = toV), st.srcV, toV)
       catch {
         case _: MvConflict if attempt < 5 => attempt += 1
         case c: MvConflict => throw c
@@ -339,18 +432,71 @@ object SinkMvDist {
       spark: SparkSession, srcDir: String, mvDir: String,
       st: MvdState, stateV: Long, toV: Long): RefreshStats = {
     val ch = SinkMatView.changes(spark, srcDir, st.srcV, toV).persist()
-    try foldBatch(spark, srcDir, mvDir, st, stateV, toV, ch)
+    try foldBatch(spark, mvDir, st, stateV, ch,
+      SinkMvJoin.signOf(col("_change_type")),
+      () => SinkMatView.filtered(SinkMatView.srcAt(spark, srcDir, toV), st.pred),
+      st.copy(srcV = toV), st.srcV, toV)
     finally { ch.unpersist(); () }
   }
 
+  /** The JOIN refresh (round 16): the same delta-join decomposition as
+    * [[SinkMvJoin]] — [Δd ⋈ f@old] ∪ [Δf ⋈ d'@new], signed — feeding
+    * the DISTRIBUTED fold; the dirty recompute is a fact⋈dim join at
+    * the target versions. Uniqueness of changed dim keys is re-checked
+    * per window, as in the blob join MV.
+    */
+  private def joinRefreshOnce(
+      spark: SparkSession, mvDir: String, st: MvdState, j: MvdJoin,
+      stateV: Long, factTo: Long, dimTo: Long): RefreshStats = {
+    val fSchema = ShardSink.schemaAtVersion(st.src, factTo)
+    val dSchema = ShardSink.schemaAtVersion(j.dim, dimTo)
+    val outCols: Seq[String] =
+      fSchema.fieldNames.toSeq ++ dSchema.fieldNames.toSeq.map("d_" + _) ++ Seq("_sign")
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (dimTo > j.dimV) {
+      val dCh = SinkMatView.changes(spark, j.dim, j.dimV, dimTo)
+        .withColumn("_sign", SinkMvJoin.signOf(col("_change_type")))
+      val dChPrefixed = SinkMvJoin.dimView(dCh, extra = Seq("_sign"))
+      SinkMvJoin.requireUniqueKeys(
+        SinkMatView.srcAt(spark, j.dim, dimTo), j.pk,
+        dChPrefixed.select(col(s"d_${j.pk}").as(j.pk)))
+      parts += SinkMvJoin.joinedFrame(
+        SinkMatView.srcAt(spark, st.src, st.srcV), dChPrefixed, j.fk, j.pk)
+        .select(outCols.map(col): _*)
+    }
+    if (factTo > st.srcV) {
+      val fCh = SinkMatView.changes(spark, st.src, st.srcV, factTo)
+        .withColumn("_sign", SinkMvJoin.signOf(col("_change_type")))
+        .drop("_change_type", "_commit_version")
+      parts += SinkMvJoin.joinedFrame(
+        fCh, SinkMvJoin.dimView(SinkMatView.srcAt(spark, j.dim, dimTo)), j.fk, j.pk)
+        .select(outCols.map(col): _*)
+    }
+    val ch = parts.reduce(_ unionByName _).persist()
+    try foldBatch(spark, mvDir, st, stateV, ch, col("_sign"),
+      () => SinkMatView.filtered(
+        SinkMvJoin.joinedFrame(
+          SinkMatView.srcAt(spark, st.src, factTo),
+          SinkMvJoin.dimView(SinkMatView.srcAt(spark, j.dim, dimTo)),
+          j.fk, j.pk), st.pred),
+      st.copy(srcV = factTo, join = Some(j.copy(dimV = dimTo))), st.srcV, factTo)
+    finally { ch.unpersist(); () }
+  }
+
+  /** The distributed fold over ONE pre-signed change frame. `sign` and
+    * the dirty-recompute source are injected so the single-table path
+    * (change feed + table scan) and the join path (delta-join
+    * contributions + fact⋈dim scan) share every line of the fold;
+    * `nextSt` carries the advanced watermark(s) into the header flip.
+    */
   private def foldBatch(
-      spark: SparkSession, srcDir: String, mvDir: String,
-      st: MvdState, stateV: Long, toV: Long, ch: DataFrame): RefreshStats = {
+      spark: SparkSession, mvDir: String,
+      st: MvdState, stateV: Long, ch: DataFrame,
+      sign: Column, recomputeSrc: () => DataFrame,
+      nextSt: MvdState, fromV: Long, toV: Long): RefreshStats = {
     val na = st.aggs.length
     val keys = st.groups
     val next = stateV + 1L
-    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
-      .otherwise(-1L)
     locally {
       val chF = SinkMatView.filtered(ch, st.pred)
       // ---- the linear (row-grain) delta: one distributed aggregation
@@ -401,8 +547,8 @@ object SinkMvDist {
         if (touched.isEmpty) {
           // change-free window (no-data commits / everything
           // predicate-filtered): advance the watermark, carry all refs
-          writeHeader(mvDir, next, st.copy(srcV = toV))
-          return RefreshStats(st.srcV, toV, 0L, 0L, next, applied = true)
+          writeHeader(mvDir, next, nextSt)
+          return RefreshStats(fromV, toV, 0L, 0L, next, applied = true)
         }
         val changeRows = perBucket.map(_.getLong(1)).sum
 
@@ -479,8 +625,7 @@ object SinkMvDist {
           val fixed: Option[DataFrame] =
             if (nDirty == 0L) None
             else {
-              val src = SinkMatView.filtered(
-                SinkMatView.srcAt(spark, srcDir, toV), st.pred)
+              val src = recomputeSrc()
               val jj = nsJoin(src, dirtyKeys.distinct(), keys, "inner")
               Some(jj
                 .groupBy(keys.map(jj(_)): _*)
@@ -514,8 +659,8 @@ object SinkMvDist {
           // ---- write touched buckets, carry the rest by reference
           val written = writeSegments(mvDir, next, st, finalState)
           val carried = st.refs.filterNot(r => touched.contains(r._1))
-          writeHeader(mvDir, next, st.copy(srcV = toV, refs = written ++ carried))
-          RefreshStats(st.srcV, toV, changeRows, nDirty, next, applied = true)
+          writeHeader(mvDir, next, nextSt.copy(refs = written ++ carried))
+          RefreshStats(fromV, toV, changeRows, nDirty, next, applied = true)
         } finally { folded.unpersist(); () }
       } finally { deltaC.unpersist(); () }
     }
@@ -627,6 +772,93 @@ object SinkMvDist {
       |       CAST(3 AS BIGINT) AS mv_version,
       |       CAST(7 AS BIGINT) AS src_version
       |FROM g GROUP BY uid ORDER BY uid""".stripMargin
+
+  /** Driver-checked DISTRIBUTED JOIN MV (round 16): the round's two MV
+    * features composed — `fact ⋈ dim GROUP BY (d_region, uid)` at
+    * per-uid grain (hundreds of groups across region splits) with state
+    * in bucketed segments and BOTH change feeds folding distributed: a
+    * fact tail-DELETE (dirty extremes recomputed through a pruned
+    * fact⋈dim join), a dim UPDATE that moves every shard-5 row between
+    * region groups with no rescan, and a late fact append against the
+    * updated dim. The full group table plus lifecycle bookkeeping sits
+    * under the DuckDB hash gate.
+    */
+  def mvJoinDistReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mvjd:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmvjd_$sfx")
+    SinkFs.deleteRecursively(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_mvjd", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mvjd.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mvjd.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvjd.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvjd.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2400").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("graft_mvjd.dim_mvjd").append() // d1
+    s.sql("ALTER TABLE graft_mvjd.dim_mvjd ADD COLUMN region STRING") // d2
+    docs(0L, 16L)
+      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
+      .writeTo("graft_mvjd.dim_mvjd").append() // d3: all 16 keys mapped
+    docs(0L, 0L).writeTo("graft_mvjd.fact_mvjd").append() // f1
+    s.sql("ALTER TABLE graft_mvjd.fact_mvjd ADD COLUMN uid BIGINT") // f2
+    def ingest(lo: Long, hi: Long): Unit =
+      docs(lo, hi).withColumn("uid", (col("doc_id") % 300L).cast("long"))
+        .writeTo("graft_mvjd.fact_mvjd").append()
+    ingest(0L, 1200L) // f3
+    val factDir = new java.io.File(root, "fact_mvjd").getPath
+    val dimDir = new java.io.File(root, "dim_mvjd").getPath
+    val mvDir = factDir + ".mvjd"
+    createJoin(s, factDir, dimDir, mvDir, fk = "shard", pk = "doc_id",
+      groups = Seq("d_region", "uid"), aggs = Seq(
+        MvAgg("n_docs", "count"),
+        MvAgg("sum_ids", "sum", "doc_id"),
+        MvAgg("xor_ids", "xor", "doc_id"),
+        MvAgg("max_doc", "max", "doc_id")), buckets = 8)
+    s.sql("DELETE FROM graft_mvjd.fact_mvjd WHERE doc_id >= 900") // f4
+    val r1 = refresh(s, factDir, mvDir)
+    s.sql("UPDATE graft_mvjd.dim_mvjd SET region = 'rX' WHERE doc_id = 5") // d4
+    val r2 = refresh(s, factDir, mvDir)
+    ingest(1200L, 1500L) // f5
+    val r3 = refresh(s, factDir, mvDir)
+    val stats = Seq(r1, r2, r3)
+    val (fv, dv) = lastSourceVersions(mvDir)
+    read(s, mvDir)
+      .withColumn("n_refreshes", lit(stats.count(_.applied).toLong))
+      .withColumn("change_rows", lit(stats.map(_.changeRows).sum))
+      .withColumn("mv_version", lit(currentVersion(mvDir)))
+      .withColumn("fact_version", lit(fv))
+      .withColumn("dim_version", lit(dv))
+      .orderBy("d_region", "uid")
+  }
+
+  /** DuckDB re-derivation: live fact rows are `doc_id < 900 OR 1200 <=
+    * doc_id < 1500`; uid = doc % 300; the region of shard s is rX for 5
+    * (the dim update — applied to pre-existing AND late-appended rows
+    * alike), else r(s % 3). Constants: 3 refreshes; 300 (tail delete,
+    * all shards dim-mapped) + 112 (dim update: 56 live shard-5 rows × ±)
+    * + 300 (append) = 712 change rows; MV v4 = create + 3; fact v5, dim
+    * v4.
+    */
+  val mvJoinDistReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 300 AS uid,
+      |         CASE WHEN doc_id % 16 = 5 THEN 'rX'
+      |              ELSE 'r' || CAST((doc_id % 16) % 3 AS VARCHAR) END AS d_region
+      |  FROM range(0, 1500) t(doc_id)
+      |  WHERE doc_id < 900 OR doc_id >= 1200)
+      |SELECT d_region, uid, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+      |       CAST(3 AS BIGINT) AS n_refreshes,
+      |       CAST(712 AS BIGINT) AS change_rows,
+      |       CAST(4 AS BIGINT) AS mv_version,
+      |       CAST(5 AS BIGINT) AS fact_version,
+      |       CAST(4 AS BIGINT) AS dim_version
+      |FROM g GROUP BY d_region, uid ORDER BY d_region, uid""".stripMargin
 
   /** Sweep superseded headers and every state segment no RETAINED header
     * references, plus aged staging/tmp litter from crashed flips. Carried

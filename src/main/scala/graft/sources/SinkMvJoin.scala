@@ -126,12 +126,12 @@ object SinkMvJoin {
   /** The dim side under its `d_` prefix. `extra` columns (a sign computed
     * from the dim change feed) ride along un-prefixed.
     */
-  private def dimView(df: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+  private[sources] def dimView(df: DataFrame, extra: Seq[String] = Nil): DataFrame = {
     val dataCols = df.columns.filterNot(c => c.startsWith("_") || extra.contains(c))
     df.select(extra.map(col) ++ dataCols.map(c => col(c).as(s"d_$c")): _*)
   }
 
-  private def joinedFrame(fact: DataFrame, dimPrefixed: DataFrame, fk: String, pk: String): DataFrame =
+  private[sources] def joinedFrame(fact: DataFrame, dimPrefixed: DataFrame, fk: String, pk: String): DataFrame =
     fact.join(dimPrefixed, fact(fk) === dimPrefixed(s"d_$pk"), "inner")
 
   private def factAt(spark: SparkSession, st: MvjState, v: Long): DataFrame =
@@ -139,13 +139,13 @@ object SinkMvJoin {
   private def dimAt(spark: SparkSession, st: MvjState, v: Long): DataFrame =
     SinkMatView.srcAt(spark, st.dim, v)
 
-  private def signOf(changeType: Column): Column =
+  private[sources] def signOf(changeType: Column): Column =
     when(changeType.isin("insert", "update_postimage"), 1L).otherwise(-1L)
 
   /** Fail loudly if any CHANGED dim key now maps to more than one live
     * dim row — the uniqueness the delta-join decomposition requires.
     */
-  private def requireUniqueKeys(
+  private[sources] def requireUniqueKeys(
       dimLive: DataFrame, pk: String, changedKeys: DataFrame): Unit = {
     val dup = dimLive.join(changedKeys.distinct(), Seq(pk), "left_semi")
       .groupBy(col(pk)).count().where(col("count") > 1L).limit(1).count()

@@ -223,6 +223,7 @@ object Sinks {
     "q_dsv2_mv_dist" -> (SinkMvDist.mvDistReport _),
     "q_dsv2_mv_join" -> (SinkMvJoin.mvJoinReport _),
     "q_dsv2_mv_restore" -> (SinkMatView.mvRestoreReport _),
+    "q_dsv2_mv_join_dist" -> (SinkMvDist.mvJoinDistReport _),
     "q_dsv2_zorder_cols" -> (SinkColStats.zorderColsReport _),
     "q_dsv2_meta_col_minmax" -> (SinkColStats.metaColMinMaxReport _),
     "q_dsv2_restore" -> (ShardSink.restoreReport _),
@@ -287,6 +288,7 @@ object Sinks {
     "q_dsv2_mv_dist" -> SinkMvDist.mvDistReportSql,
     "q_dsv2_mv_join" -> SinkMvJoin.mvJoinReportSql,
     "q_dsv2_mv_restore" -> SinkMatView.mvRestoreReportSql,
+    "q_dsv2_mv_join_dist" -> SinkMvDist.mvJoinDistReportSql,
     "q_dsv2_zorder_cols" -> SinkColStats.zorderColsReportSql,
     "q_dsv2_meta_col_minmax" -> SinkColStats.metaColMinMaxReportSql,
     "q_dsv2_restore" -> ShardSink.restoreReportSql,

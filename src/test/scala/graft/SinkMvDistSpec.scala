@@ -234,6 +234,73 @@ class SinkMvDistSpec extends SparkSpec {
     assert(mvRollup(mvDir) === sourceRollup(dir))
   }
 
+  test("distributed JOIN MV: per-(region, uid) grain folds from both feeds, driver bounded") {
+    val root = java.nio.file.Files.createTempDirectory("mvd_join").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.mvdj", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.mvdj.root", root)
+    s.conf.set("spark.sql.catalog.mvdj.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mvdj.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mvdj.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2400").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    // dim: keys 0..15, region = r(k % 3)
+    docs(0L, 0L).writeTo("mvdj.dim").append()
+    s.sql("ALTER TABLE mvdj.dim ADD COLUMN region STRING")
+    docs(0L, 16L)
+      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
+      .writeTo("mvdj.dim").append()
+    // fact: per-uid grain (uid = doc % 600 — 600 groups × regions)
+    docs(0L, 0L).writeTo("mvdj.fact").append()
+    s.sql("ALTER TABLE mvdj.fact ADD COLUMN uid BIGINT")
+    def ingest(lo: Long, hi: Long): Unit =
+      docs(lo, hi).withColumn("uid", (col("doc_id") % 600L).cast("long"))
+        .writeTo("mvdj.fact").append()
+    ingest(0L, 1200L)
+    val factDir = new java.io.File(root, "fact").getPath
+    val dimDir = new java.io.File(root, "dim").getPath
+    val mvDir = factDir + ".mvdj"
+    SinkMvDist.createJoin(s, factDir, dimDir, mvDir, "shard", "doc_id",
+      Seq("d_region", "uid"),
+      Seq(MvAgg("n", "count"), MvAgg("sd", "sum", "doc_id"),
+        MvAgg("hi", "max", "doc_id")), buckets = 8)
+    def parity(): Unit = {
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val got = canon(SinkMvDist.read(s, mvDir))
+      val d = s.read.table("mvdj.dim")
+        .select(col("doc_id").as("pk"), col("region").as("d_region"))
+      val want = canon(s.read.table("mvdj.fact")
+        .join(d, col("shard") === col("pk"))
+        .groupBy(col("d_region"), col("uid"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"), max("doc_id").as("hi")))
+      assert(got === want)
+    }
+    parity()
+    // fact delta path: a tail delete dirties high-doc groups
+    val before = SinkMvDist.driverRowsCollected.get()
+    s.sql("DELETE FROM mvdj.fact WHERE doc_id >= 900")
+    val r1 = SinkMvDist.refresh(s, factDir, mvDir)
+    assert(r1.applied && r1.changeRows === 300L)
+    assert(SinkMvDist.driverRowsCollected.get() - before <= 10L,
+      "driver materialization must stay bucket-bounded for the join fold too")
+    parity()
+    // dim delta path: key 5 moves r2 -> rX — fact rows change group
+    s.sql("UPDATE mvdj.dim SET region = 'rX' WHERE doc_id = 5")
+    val r2 = SinkMvDist.refresh(s, factDir, mvDir)
+    assert(r2.applied)
+    parity()
+    // fact append against the updated dim; watermarks both current
+    ingest(1200L, 1400L)
+    SinkMvDist.refresh(s, factDir, mvDir)
+    parity()
+    val (fv, dv) = SinkMvDist.lastSourceVersions(mvDir)
+    assert(fv === ShardSink.currentManifestVersion(factDir))
+    assert(dv === ShardSink.currentManifestVersion(dimDir))
+    assert(!SinkMvDist.refresh(s, factDir, mvDir).applied)
+  }
+
   test("string group values round-trip the segment codec: %, the %N marker, NULL groups") {
     val root = java.nio.file.Files.createTempDirectory("mvd_esc").toString
     val s = spark.newSession()
