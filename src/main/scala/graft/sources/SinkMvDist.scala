@@ -860,6 +860,37 @@ object SinkMvDist {
       |       CAST(4 AS BIGINT) AS dim_version
       |FROM g GROUP BY d_region, uid ORDER BY d_region, uid""".stripMargin
 
+  /** Re-bucket the state into `newBuckets` segments — the maintenance op
+    * for a view whose group cardinality outgrew its bucket count (fat
+    * buckets make every refresh rewrite outsized files) or shrank below
+    * it (needless small files). ONE distributed rewrite of the whole
+    * state under the new bucket function, flipped as a new version with
+    * UNCHANGED watermarks — refreshes before and after see the same
+    * view; only the carry-forward granularity changes. Races with a
+    * concurrent refresh resolve by the ordinary flip election.
+    */
+  def rebucket(spark: SparkSession, mvDir: String, newBuckets: Int): Unit = {
+    require(newBuckets >= 1 && newBuckets <= 4096, s"buckets out of range: $newBuckets")
+    var attempt = 0
+    while (true) {
+      val stateV = currentVersion(mvDir)
+      require(stateV > 0L, s"no distributed materialized view at $mvDir")
+      val st = readHeaderAt(mvDir, stateV)
+      require(st.buckets != newBuckets,
+        s"the MV at $mvDir already has $newBuckets buckets")
+      val newSt = st.copy(buckets = newBuckets)
+      val full = stateDf(spark, mvDir, st, None)
+      try {
+        val refs = writeSegments(mvDir, stateV + 1L, newSt, full)
+        writeHeader(mvDir, stateV + 1L, newSt.copy(refs = refs))
+        return
+      } catch {
+        case _: MvConflict if attempt < 5 => attempt += 1
+        case c: MvConflict => throw c
+      }
+    }
+  }
+
   /** Sweep superseded headers and every state segment no RETAINED header
     * references, plus aged staging/tmp litter from crashed flips. Carried
     * (shared) segments survive as long as any retained version lists

@@ -305,6 +305,29 @@ object SinkMvJoin {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Retention for the join MV's version ladder — the same rule as
+    * [[SinkMatView.vacuum]]: keep the newest `retainVersions` states,
+    * sweep the rest plus aged `_mvj.tmp-*` litter from crashed flips.
+    */
+  def vacuum(
+      mvDir: String, retainVersions: Int = 1,
+      olderThanMillis: Long = 7L * 24 * 3600 * 1000L): Seq[String] = {
+    require(retainVersions >= 1, "an MV must retain at least its current state")
+    val cur = currentVersion(mvDir)
+    require(cur > 0L, s"no join materialized view at $mvDir")
+    val floor = math.max(1L, cur - retainVersions + 1L)
+    val dirPath = new Path(mvDir)
+    val fs = SinkFs.fsOf(dirPath)
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val swept = SinkFs.listFileNames(dirPath).filter {
+      case StateV(n) => n.toLong < floor
+      case n => n.startsWith("_mvj.tmp-") &&
+        fs.getFileStatus(new Path(mvDir, n)).getModificationTime <= cutoff
+    }.sorted
+    swept.foreach(n => SinkFs.delete(new Path(mvDir, n)))
+    swept
+  }
+
   // ---- driver-checked query -----------------------------------------------------
 
   /** Driver-checked JOIN MV (round 16): a per-`d_region` rollup of a

@@ -301,6 +301,32 @@ class SinkMvDistSpec extends SparkSpec {
     assert(!SinkMvDist.refresh(s, factDir, mvDir).applied)
   }
 
+  test("rebucket rewrites the state under a new bucket function; refreshes keep folding") {
+    val dir = freshDir("mvd_rebucket")
+    val mvDir = mvDirOf(dir)
+    append(dir, 0L, 600L, n = 1000)
+    SinkMvDist.create(spark, dir, mvDir, Seq("doc_id"),
+      Seq(MvAgg("n", "count"), MvAgg("s", "sum", "doc_id")), buckets = 2)
+    assert(SinkMvDist.stateFiles(mvDir, 1L).map(_._1).toSet.size <= 2)
+    SinkMvDist.rebucket(spark, mvDir, 16)
+    val spread = SinkMvDist.stateFiles(mvDir, 2L).map(_._1).toSet
+    assert(spread.size >= 8, s"rebucket left groups in $spread")
+    assert(SinkMvDist.read(spark, mvDir).count() === 600L)
+    assert(SinkMvDist.lastSourceVersion(mvDir) === 1L) // watermark untouched
+    // a post-rebucket refresh folds against the NEW layout and carries
+    // untouched new-granularity buckets forward
+    append(dir, 600L, 604L, n = 1000)
+    val st = SinkMvDist.refresh(spark, dir, mvDir)
+    assert(st.applied && st.changeRows === 4L)
+    val v3 = SinkMvDist.stateFiles(mvDir, 3L).toSet
+    val v2 = SinkMvDist.stateFiles(mvDir, 2L).toSet
+    assert(v3.intersect(v2).nonEmpty, "no carry-forward after rebucket")
+    assert(SinkMvDist.read(spark, mvDir)
+      .agg(sum("n")).collect().head.getLong(0) === 604L)
+    val e = intercept[IllegalArgumentException](SinkMvDist.rebucket(spark, mvDir, 16))
+    assert(e.getMessage.contains("already has"))
+  }
+
   test("string group values round-trip the segment codec: %, the %N marker, NULL groups") {
     val root = java.nio.file.Files.createTempDirectory("mvd_esc").toString
     val s = spark.newSession()

@@ -129,6 +129,19 @@ class SinkMvJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("not unique"), e.getMessage)
   }
 
+  test("join-MV vacuum: superseded states sweep, the current state survives") {
+    val (s, factDir, dimDir, tag) = fixture("vac")
+    val mvDir = factDir + ".mvj"
+    SinkMvJoin.create(s, factDir, dimDir, mvDir, "shard", "doc_id", Seq("d_region"), aggs)
+    s.sql(s"DELETE FROM mvj_$tag.fact WHERE doc_id >= 1000")
+    SinkMvJoin.refresh(s, mvDir)
+    assert(SinkMvJoin.currentVersion(mvDir) === 2L)
+    val swept = SinkMvJoin.vacuum(mvDir, retainVersions = 1, olderThanMillis = 0L)
+    assert(swept === Seq("_mvj.v1.json"))
+    assert(mvRollup(s, mvDir) === joinRollup(s, factDir, dimDir))
+    intercept[Exception](SinkMvJoin.read(s, mvDir, asOf = Some(1L)))
+  }
+
   test("create rejects unresolvable group columns and duplicate dim keys") {
     val (s, factDir, dimDir, _) = fixture("val")
     val e1 = intercept[IllegalArgumentException](
