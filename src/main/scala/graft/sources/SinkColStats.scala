@@ -213,7 +213,8 @@ object SinkColStats {
       tok.split(":", -1) match {
         case Array(name, t, l, h) if t.length == 1 => // legacy: no null count
           Some(name -> bounds(t.charAt(0), l, h, None))
-        case Array(name, t, l, h, nc) if t.length == 1 && nc.forall(_.isDigit) =>
+        case Array(name, t, l, h, nc) if t.length == 1 && nc.nonEmpty &&
+          nc.length <= 18 && nc.forall(_.isDigit) =>
           Some(name -> bounds(t.charAt(0), l, h, Some(nc.toLong)))
         case _ => None // unparseable token: no stats, never prunes
       }

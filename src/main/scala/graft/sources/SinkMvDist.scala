@@ -249,6 +249,19 @@ object SinkMvDist {
     refs.toSeq
   }
 
+  /** The state slot columns a full build aggregates into: per agg, its
+    * VALUE slot and its non-null COUNTER slot (sum/xor need the counter
+    * for SQL NULL-ness; the rest carry 0) — one builder shared by the
+    * single-table and join creates.
+    */
+  private def aggSlots(aggs: Seq[MvAgg]): (Seq[Column], Seq[Column]) = (
+    aggs.zipWithIndex.map { case (a, i) => SinkMatView.aggColumn(a).as(slotV(i)) },
+    aggs.zipWithIndex.map { case (a, i) =>
+      if (a.kind == "sum" || a.kind == "xor")
+        count(when(expr(a.e).isNotNull, 1)).as(slotC(i))
+      else lit(0L).as(slotC(i))
+    })
+
   // ---- create --------------------------------------------------------------
 
   /** Full-scan creation pinned at the source's current version — the
@@ -270,14 +283,7 @@ object SinkMvDist {
       s"group column '$g' not in ${schema.fieldNames.mkString(",")}"))
     val gtypes = groups.map(g => SinkMatView.gtypeOf(schema(g).dataType))
     val st = MvdState(srcDir, groups, gtypes, where, srcV, buckets, aggs, Nil)
-    val aggCols = aggs.zipWithIndex.map { case (a, i) =>
-      SinkMatView.aggColumn(a).as(slotV(i))
-    }
-    val nnCols = aggs.zipWithIndex.map { case (a, i) =>
-      if (a.kind == "sum" || a.kind == "xor")
-        count(when(expr(a.e).isNotNull, 1)).as(slotC(i))
-      else lit(0L).as(slotC(i))
-    }
+    val (aggCols, nnCols) = aggSlots(aggs)
     val full = SinkMatView.filtered(SinkMatView.srcAt(spark, srcDir, srcV), where)
       .groupBy(groups.map(col): _*)
       .agg(aggCols.head, aggCols.tail ++ nnCols: _*)
@@ -308,28 +314,12 @@ object SinkMvDist {
     val dSchema = ShardSink.schemaAtVersion(dimDir, dimV)
     require(fSchema.fieldNames.contains(fk), s"join key '$fk' not in fact ${fSchema.fieldNames.mkString(",")}")
     require(dSchema.fieldNames.contains(pk), s"join key '$pk' not in dim ${dSchema.fieldNames.mkString(",")}")
-    val gtypes = groups.map { g =>
-      if (g.startsWith("d_") && dSchema.fieldNames.contains(g.stripPrefix("d_")))
-        SinkMatView.gtypeOf(dSchema(g.stripPrefix("d_")).dataType)
-      else {
-        require(fSchema.fieldNames.contains(g),
-          s"group column '$g' resolves in neither fact (${fSchema.fieldNames.mkString(",")}) " +
-            s"nor dim under d_ (${dSchema.fieldNames.map("d_" + _).mkString(",")})")
-        SinkMatView.gtypeOf(fSchema(g).dataType)
-      }
-    }
+    val gtypes = SinkMvJoin.resolveJoinGtypes(fSchema, dSchema, groups)
     val dim = SinkMatView.srcAt(spark, dimDir, dimV)
     SinkMvJoin.requireUniqueKeys(dim, pk, dim.select(col(pk)))
     val st = MvdState(factDir, groups, gtypes, where, factV, buckets, aggs, Nil,
       Some(MvdJoin(dimDir, fk, pk, dimV)))
-    val aggCols = aggs.zipWithIndex.map { case (a, i) =>
-      SinkMatView.aggColumn(a).as(slotV(i))
-    }
-    val nnCols = aggs.zipWithIndex.map { case (a, i) =>
-      if (a.kind == "sum" || a.kind == "xor")
-        count(when(expr(a.e).isNotNull, 1)).as(slotC(i))
-      else lit(0L).as(slotC(i))
-    }
+    val (aggCols, nnCols) = aggSlots(aggs)
     val full = SinkMatView.filtered(
       SinkMvJoin.joinedFrame(
         SinkMatView.srcAt(spark, factDir, factV), SinkMvJoin.dimView(dim), fk, pk), where)
@@ -448,10 +438,11 @@ object SinkMvDist {
   private def joinRefreshOnce(
       spark: SparkSession, mvDir: String, st: MvdState, j: MvdJoin,
       stateV: Long, factTo: Long, dimTo: Long): RefreshStats = {
-    val fSchema = ShardSink.schemaAtVersion(st.src, factTo)
-    val dSchema = ShardSink.schemaAtVersion(j.dim, dimTo)
-    val outCols: Seq[String] =
-      fSchema.fieldNames.toSeq ++ dSchema.fieldNames.toSeq.map("d_" + _) ++ Seq("_sign")
+    // parts expose their snapshots' OWN columns and union by name with
+    // null-fill — a column added between the watermarks is NULL in the
+    // old-snapshot part, which is what those rows held there (a fixed
+    // newest-schema column list would fail to resolve on the pinned old
+    // snapshot and wedge the refresh — review fix, same as SinkMvJoin)
     val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     if (dimTo > j.dimV) {
       val dCh = SinkMatView.changes(spark, j.dim, j.dimV, dimTo)
@@ -462,7 +453,6 @@ object SinkMvDist {
         dChPrefixed.select(col(s"d_${j.pk}").as(j.pk)))
       parts += SinkMvJoin.joinedFrame(
         SinkMatView.srcAt(spark, st.src, st.srcV), dChPrefixed, j.fk, j.pk)
-        .select(outCols.map(col): _*)
     }
     if (factTo > st.srcV) {
       val fCh = SinkMatView.changes(spark, st.src, st.srcV, factTo)
@@ -470,9 +460,8 @@ object SinkMvDist {
         .drop("_change_type", "_commit_version")
       parts += SinkMvJoin.joinedFrame(
         fCh, SinkMvJoin.dimView(SinkMatView.srcAt(spark, j.dim, dimTo)), j.fk, j.pk)
-        .select(outCols.map(col): _*)
     }
-    val ch = parts.reduce(_ unionByName _).persist()
+    val ch = parts.reduce(_.unionByName(_, allowMissingColumns = true)).persist()
     try foldBatch(spark, mvDir, st, stateV, ch, col("_sign"),
       () => SinkMatView.filtered(
         SinkMvJoin.joinedFrame(
@@ -876,8 +865,14 @@ object SinkMvDist {
       val stateV = currentVersion(mvDir)
       require(stateV > 0L, s"no distributed materialized view at $mvDir")
       val st = readHeaderAt(mvDir, stateV)
-      require(st.buckets != newBuckets,
-        s"the MV at $mvDir already has $newBuckets buckets")
+      if (st.buckets == newBuckets) {
+        // a lost race against a concurrent rebucket to the SAME count is
+        // the desired state, not an error (review fix); only a first
+        // attempt on an already-matching MV refuses as a misuse signal
+        if (attempt > 0) return
+        throw new IllegalArgumentException(
+          s"the MV at $mvDir already has $newBuckets buckets")
+      }
       val newSt = st.copy(buckets = newBuckets)
       val full = stateDf(spark, mvDir, st, None)
       try {
@@ -907,9 +902,14 @@ object SinkMvDist {
     val dirPath = new Path(mvDir)
     val fs = SinkFs.fsOf(dirPath)
     val cutoff = System.currentTimeMillis() - olderThanMillis
-    val referenced: Set[String] =
-      (floor to cur).flatMap(v => readHeaderAt(mvDir, v).refs.map(_._2)).toSet
     val names = SinkFs.listFileNames(dirPath)
+    // a prior tighter vacuum may have swept versions above today's floor:
+    // only read headers that still EXIST (review fix — a missing header
+    // is already-swept history, not an error)
+    val present: Set[Long] = names.collect { case StateV(n) => n.toLong }.toSet
+    val referenced: Set[String] =
+      (floor to cur).filter(present)
+        .flatMap(v => readHeaderAt(mvDir, v).refs.map(_._2)).toSet
     val swept = names.filter {
       case StateV(n) => n.toLong < floor
       case n if n.startsWith("state-") =>

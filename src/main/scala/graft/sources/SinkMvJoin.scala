@@ -142,6 +142,23 @@ object SinkMvJoin {
   private[sources] def signOf(changeType: Column): Column =
     when(changeType.isin("insert", "update_postimage"), 1L).otherwise(-1L)
 
+  /** Group-type resolution for a join definition: `d_`-prefixed names
+    * resolve against the dim schema, everything else against the fact —
+    * ONE rule shared by the blob and distributed join MVs.
+    */
+  private[sources] def resolveJoinGtypes(
+      fSchema: StructType, dSchema: StructType, groups: Seq[String]): Seq[String] =
+    groups.map { g =>
+      if (g.startsWith("d_") && dSchema.fieldNames.contains(g.stripPrefix("d_")))
+        SinkMatView.gtypeOf(dSchema(g.stripPrefix("d_")).dataType)
+      else {
+        require(fSchema.fieldNames.contains(g),
+          s"group column '$g' resolves in neither fact (${fSchema.fieldNames.mkString(",")}) " +
+            s"nor dim under d_ (${dSchema.fieldNames.map("d_" + _).mkString(",")})")
+        SinkMatView.gtypeOf(fSchema(g).dataType)
+      }
+    }
+
   /** Fail loudly if any CHANGED dim key now maps to more than one live
     * dim row — the uniqueness the delta-join decomposition requires.
     */
@@ -175,16 +192,7 @@ object SinkMvJoin {
     val dSchema = ShardSink.schemaAtVersion(dimDir, dimV)
     require(fSchema.fieldNames.contains(fk), s"join key '$fk' not in fact ${fSchema.fieldNames.mkString(",")}")
     require(dSchema.fieldNames.contains(pk), s"join key '$pk' not in dim ${dSchema.fieldNames.mkString(",")}")
-    val gtypes = groups.map { g =>
-      if (g.startsWith("d_") && dSchema.fieldNames.contains(g.stripPrefix("d_")))
-        SinkMatView.gtypeOf(dSchema(g.stripPrefix("d_")).dataType)
-      else {
-        require(fSchema.fieldNames.contains(g),
-          s"group column '$g' resolves in neither fact (${fSchema.fieldNames.mkString(",")}) " +
-            s"nor dim under d_ (${dSchema.fieldNames.map("d_" + _).mkString(",")})")
-        SinkMatView.gtypeOf(fSchema(g).dataType)
-      }
-    }
+    val gtypes = resolveJoinGtypes(fSchema, dSchema, groups)
     val st = MvjState(factDir, dimDir, fk, pk, groups, gtypes, where, factV, dimV, aggs, Map.empty)
     val dim = dimAt(spark, st, dimV)
     requireUniqueKeys(dim, pk, dim.select(col(pk)))
@@ -233,13 +241,14 @@ object SinkMvJoin {
   private def refreshOnce(
       spark: SparkSession, mvDir: String, st: MvjState,
       stateV: Long, factTo: Long, dimTo: Long): RefreshStats = {
-    // contribution columns every part exposes: the fact's data columns,
-    // the dim's under d_, and the signed weight
+    // each part exposes its snapshot's own columns (fact data columns,
+    // dim's under d_, the signed weight); the parts union BY NAME with
+    // null-fill, so a column ADDED between the two watermarks is simply
+    // NULL in the old-snapshot part — exactly the value those rows had
+    // there (a fixed column list from the newest schema would instead
+    // fail to resolve against the pinned old snapshot and wedge the
+    // refresh forever — review fix)
     val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    val fSchema = ShardSink.schemaAtVersion(st.fact, factTo)
-    val dSchema = ShardSink.schemaAtVersion(st.dim, dimTo)
-    val outCols: Seq[String] =
-      fSchema.fieldNames.toSeq ++ dSchema.fieldNames.toSeq.map("d_" + _) ++ Seq("_sign")
     // [Δd ⋈ f] — dim deltas against the OLD fact snapshot. Signs ride on
     // the dim side: a dim update is (−old attrs, +new attrs) against the
     // SAME fact rows.
@@ -251,7 +260,6 @@ object SinkMvJoin {
         dimAt(spark, st, dimTo), st.pk,
         dChPrefixed.select(col(s"d_${st.pk}").as(st.pk)))
       parts += joinedFrame(factAt(spark, st, st.factV), dChPrefixed, st.fk, st.pk)
-        .select(outCols.map(col): _*)
     }
     // [Δf ⋈ d'] — fact deltas against the NEW dim snapshot.
     if (factTo > st.factV) {
@@ -259,9 +267,8 @@ object SinkMvJoin {
         .withColumn("_sign", signOf(col("_change_type")))
         .drop("_change_type", "_commit_version")
       parts += joinedFrame(fCh, dimView(dimAt(spark, st, dimTo)), st.fk, st.pk)
-        .select(outCols.map(col): _*)
     }
-    val ch = parts.reduce(_ unionByName _).persist()
+    val ch = parts.reduce(_.unionByName(_, allowMissingColumns = true)).persist()
     try {
       val outcome = SinkMatView.foldChanges(
         st.groups, st.aggs, SinkMatView.filtered(ch, st.pred), col("_sign"), st.rows,
@@ -407,7 +414,7 @@ object SinkMvJoin {
 
   /** DuckDB re-derivation: live fact rows are `doc_id < 1500 OR doc_id
     * >= 2000`; the final region of shard s is r9 for 7, r0 for 15 (the
-    * late insert), else r(s%3). Constants: 4 refreshes; contribution
+    * late insert), else r(s%3). Constants: 3 refreshes; contribution
     * rows 468 (500 tail-deletes minus the 32 unjoined shard-15 rows) +
     * 281 (one dim window: 94 shard-7 rows × ± for the update plus the
     * 93 shard-15 rows the insert joins in) + 400 (append, fully joined)

@@ -81,6 +81,11 @@ class SinkColStatsSpec extends SparkSpec {
     // count (round 16); the short row null-counts into BOTH columns
     assert(st4("s") === SinkColStats.ColStat('s', null, null, Some(2L)))
     assert(st4("l") === SinkColStats.ColStat('l', "5", "5", Some(1L)))
+    // malformed null-count fields degrade to "no stats, never prunes" —
+    // never a parse crash (review fix: empty / overflowing nc)
+    assert(SinkColStats.decode("c:l:1:2:").isEmpty)
+    assert(SinkColStats.decode("c:l:1:2:99999999999999999999").isEmpty)
+    assert(SinkColStats.decode("c:l:1:2:7")("c").nc === Some(7L))
   }
 
   test("predicates: ranges, IN exactness, prefix successor, cross-type never prunes") {

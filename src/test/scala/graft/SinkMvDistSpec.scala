@@ -183,6 +183,11 @@ class SinkMvDistSpec extends SparkSpec {
     v1Only.foreach { case (_, f) =>
       assert(!new java.io.File(mvDir, f).exists(), s"unreferenced segment $f survived vacuum")
     }
+    // a LOOSER retention after a tighter sweep must skip the already-
+    // swept versions, not crash reading their missing headers
+    val swept2 = SinkMvDist.vacuum(mvDir, retainVersions = 3, olderThanMillis = 0L)
+    assert(swept2.isEmpty)
+    assert(SinkMvDist.read(spark, mvDir).count() === 804L)
   }
 
   test("streaming maintenance: replays no-op, no-data commits fast-forward, final parity") {

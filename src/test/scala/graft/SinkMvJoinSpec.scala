@@ -129,6 +129,22 @@ class SinkMvJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("not unique"), e.getMessage)
   }
 
+  test("fact schema evolution inside a dim window does not wedge the refresh") {
+    val (s, factDir, dimDir, tag) = fixture("evo")
+    val mvDir = factDir + ".mvj"
+    SinkMvJoin.create(s, factDir, dimDir, mvDir, "shard", "doc_id", Seq("d_region"), aggs)
+    // fact evolves (no-data commit) while a dim change is in flight: the
+    // dim-delta part joins the fact snapshot PINNED BEFORE the ALTER —
+    // a fixed newest-schema column list failed to resolve there and
+    // wedged the refresh forever (review fix: parts union by name)
+    s.sql(s"ALTER TABLE mvj_$tag.fact ADD COLUMN score BIGINT")
+    s.sql(s"UPDATE mvj_$tag.dim SET region = 'rY' WHERE doc_id = 2")
+    val st = SinkMvJoin.refresh(s, mvDir)
+    assert(st.applied)
+    assert(mvRollup(s, mvDir) === joinRollup(s, factDir, dimDir))
+    assert(mvRollup(s, mvDir).exists(_._1 == "rY"))
+  }
+
   test("join-MV vacuum: superseded states sweep, the current state survives") {
     val (s, factDir, dimDir, tag) = fixture("vac")
     val mvDir = factDir + ".mvj"
