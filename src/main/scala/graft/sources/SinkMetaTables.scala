@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * for single-blob manifests where the census is small by construction.
   */
 object ShardSinkMetaTable {
-  val Kinds: Set[String] = Set("files", "history", "tags", "constraints")
+  val Kinds: Set[String] = Set("files", "history", "tags", "constraints", "partitions")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType(Seq(
@@ -53,6 +53,17 @@ object ShardSinkMetaTable {
     case "constraints" => StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("predicate", StringType, nullable = false)))
+    // Iceberg's `db.table.partitions` analogue over the shard layout:
+    // one row per shard of PURE files (the clustered/compacted state),
+    // plus ONE NULL-shard row rolling up files that straddle shards or
+    // carry no stats — never silently dropped from the census
+    case "partitions" => StructType(Seq(
+      StructField("shard", IntegerType, nullable = true),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("doc_min", LongType, nullable = true),
+      StructField("doc_max", LongType, nullable = true),
+      StructField("has_deletes", BooleanType, nullable = false)))
   }
 
   private def u(s: String): UTF8String = UTF8String.fromString(s)
@@ -83,6 +94,26 @@ object ShardSinkMetaTable {
       ShardSink.currentConstraints(dir).map { case (n, p) =>
         Array[Any](u(n), u(p))
       }
+    case "partitions" =>
+      val es = ShardSink.committedEntries(dir)
+      val (pure, rest) = es.partition(e => e.hasStats && e.shardMin == e.shardMax)
+      def docMin(g: Seq[SinkEntry]): Any = {
+        val ds = g.filter(_.hasDocStats)
+        if (ds.isEmpty) null else Long.box(ds.map(_.docMin).min)
+      }
+      def docMax(g: Seq[SinkEntry]): Any = {
+        val ds = g.filter(_.hasDocStats)
+        if (ds.isEmpty) null else Long.box(ds.map(_.docMax).max)
+      }
+      val perShard = pure.groupBy(_.shardMin).toSeq.sortBy(_._1).map { case (sh, g) =>
+        Array[Any](sh, g.size.toLong, g.map(_.rows).sum, docMin(g), docMax(g),
+          g.exists(_.hasDeletes))
+      }
+      val strag =
+        if (rest.isEmpty) Seq.empty
+        else Seq(Array[Any](null, rest.size.toLong, rest.map(_.rows).sum,
+          docMin(rest), docMax(rest), rest.exists(_.hasDeletes)))
+      perShard ++ strag
   }
 }
 

@@ -849,6 +849,39 @@ object SinkMvDist {
       |       CAST(4 AS BIGINT) AS dim_version
       |FROM g GROUP BY d_region, uid ORDER BY d_region, uid""".stripMargin
 
+  /** O(one bucket) POINT READ of the view — the KV-probe pattern over MV
+    * state: the key's bucket is derived with the SAME Spark expression
+    * the writers use (evaluated on a one-row frame, so it can never
+    * drift from the write-side hash), and only that bucket's segment
+    * files are opened. A per-user-grain rollup answers a single-user
+    * probe reading one segment, not the view. `key` gives one value per
+    * group column (null = the NULL group).
+    */
+  def lookup(spark: SparkSession, mvDir: String, key: Seq[Any]): DataFrame = {
+    val v = currentVersion(mvDir)
+    require(v > 0L, s"no distributed materialized view at $mvDir")
+    val st = readHeaderAt(mvDir, v)
+    require(key.length == st.groups.length,
+      s"lookup key has ${key.length} values for ${st.groups.length} group columns")
+    val keySchema = StructType(st.groups.zip(st.gtypes).map { case (n, t) =>
+      StructField(n, SinkMatView.gdt(t), nullable = true)
+    })
+    val keyDf = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row.fromSeq(key)),
+      keySchema)
+    val b = keyDf.select(bucketCol(st, st.groups.map(col)).as("_b"))
+      .collect().head.getInt(0)
+    driverRowsCollected.incrementAndGet()
+    val pred = st.groups.zip(key).map { case (g, kv) =>
+      if (kv == null) col(g).isNull else col(g) === lit(kv)
+    }.reduce(_ && _)
+    stateDf(spark, mvDir, st, Some(Set(b)))
+      .where(pred)
+      .select(
+        (st.groups.map(col) ++
+          st.aggs.zipWithIndex.map { case (a, i) => col(slotV(i)).as(a.name) }): _*)
+  }
+
   /** Re-bucket the state into `newBuckets` segments — the maintenance op
     * for a view whose group cardinality outgrew its bucket count (fat
     * buckets make every refresh rewrite outsized files) or shrank below

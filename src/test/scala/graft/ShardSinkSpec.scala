@@ -2319,6 +2319,35 @@ class ShardSinkSpec extends SparkSpec {
     } finally ShardSink.setSegmentTarget(512)
   }
 
+  test("partitions metadata table: pure shards roll up, straddlers land in the NULL row") {
+    val root = freshDir().getPath
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.mtp", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.mtp.root", root)
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "320").option("numPartitions", "2").load()
+      .writeTo("mtp.docs").append() // append files straddle shards
+    val dir = new java.io.File(root, "docs").getPath
+    val before = s.sql("SELECT * FROM mtp.docs.partitions").collect()
+    // fresh append layout: every file straddles → one NULL-shard row
+    // carrying the full census (nothing silently dropped)
+    assert(before.exists(r => r.isNullAt(0)))
+    assert(before.filter(r => r.isNullAt(0)).map(_.getLong(2)).sum +
+      before.filter(r => !r.isNullAt(0)).map(_.getLong(2)).sum === 320L)
+    graft.sources.ShardSink.compact(dir) // shard-pure files
+    val after = s.sql("SELECT * FROM mtp.docs.partitions").collect()
+    assert(after.length === 16 && after.forall(r => !r.isNullAt(0)))
+    assert(after.map(_.getLong(2)).sum === 320L)
+    // per-shard rows agree with the files table rolled up
+    val fromFiles = s.sql(
+      """SELECT shard_min, COUNT(*) nf, SUM(n_rows) nr
+        |FROM mtp.docs.files WHERE shard_min = shard_max
+        |GROUP BY shard_min""".stripMargin).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val fromParts = after.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromParts === fromFiles)
+  }
+
   test("metadata tables: files/history/tags/constraints via the extra identifier level") {
     val root = freshDir().getPath
     val s = spark.newSession()

@@ -73,6 +73,12 @@ class SinkConstraintSpec extends AnyFunSuite {
     assert(eval("body >= 'b'", 0L, 0, "ba", 0.0) === Some(true))
     assert(eval("body < 'b'", 0L, 0, "a", 0.0) === Some(true))
     assert(eval("body <> ''", 0L, 0, "", 0.0) === Some(false))
+    // supplementary-plane values compare in SPARK's UTF-8 order (round
+    // 16): U+1F600 sorts ABOVE fullwidth A (U+FF21) — Java's UTF-16
+    // unit order inverts this pair, and the write-path enforcement must
+    // agree with the ADD-time Spark-SQL validation
+    assert(eval("body > 'Ａ'", 0L, 0, "😀", 0.0) === Some(true))
+    assert(eval("body < 'Ａ'", 0L, 0, "😀", 0.0) === Some(false))
   }
 
   test("parse: NOT and IS [NOT] NULL") {

@@ -306,6 +306,34 @@ class SinkMvDistSpec extends SparkSpec {
     assert(!SinkMvDist.refresh(s, factDir, mvDir).applied)
   }
 
+  test("lookup reads exactly the key's bucket — the KV probe over MV state") {
+    val dir = freshDir("mvd_lookup")
+    val mvDir = mvDirOf(dir)
+    append(dir, 0L, 800L, n = 900)
+    SinkMvDist.create(spark, dir, mvDir, Seq("doc_id"),
+      Seq(MvAgg("n", "count"), MvAgg("s", "sum", "doc_id")), buckets = 16)
+    val probe = SinkMvDist.lookup(spark, mvDir, Seq(Long.box(123L)))
+    val rows = probe.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 123L && rows.head.getLong(1) === 1L &&
+      rows.head.getLong(2) === 123L)
+    // physical IO: only the key's bucket's segment files were planned —
+    // never the whole state
+    val opened = probe.inputFiles.map(f => new java.io.File(f).getName).toSet
+    val byBucket = SinkMvDist.stateFiles(mvDir, 1L).groupBy(_._1)
+    val owning = byBucket.find { case (_, fs) => fs.map(_._2).toSet == opened }
+    assert(owning.isDefined,
+      s"lookup planned $opened, not exactly one bucket of ${byBucket.mapValues(_.map(_._2))}")
+    assert(opened.size < SinkMvDist.stateFiles(mvDir, 1L).size,
+      "lookup read the whole state")
+    // a missing key answers empty from the same single bucket
+    assert(SinkMvDist.lookup(spark, mvDir, Seq(Long.box(5555L))).count() === 0L)
+    // NULL group values probe their own group
+    val e = intercept[IllegalArgumentException](
+      SinkMvDist.lookup(spark, mvDir, Seq(Long.box(1L), Long.box(2L))))
+    assert(e.getMessage.contains("group columns"))
+  }
+
   test("rebucket rewrites the state under a new bucket function; refreshes keep folding") {
     val dir = freshDir("mvd_rebucket")
     val mvDir = mvDirOf(dir)
