@@ -2194,7 +2194,14 @@ object ShardSink {
     val cks = s.read.table("graft_mt.docs_mt.constraints").agg(
       count(lit(1)).as("n_constraints"),
       concat_ws(",", sort_array(collect_set(col("predicate")))).as("predicates"))
-    files.crossJoin(hist).crossJoin(tags).crossJoin(cks)
+    // partitions (round 16): post-compact every file is shard-pure, so
+    // the rollup is exactly 16 shard rows, zero NULL-shard straddlers
+    val parts = s.read.table("graft_mt.docs_mt.partitions").agg(
+      count(lit(1)).as("n_partitions"),
+      sum(col("n_rows")).as("n_part_rows"),
+      sum(col("n_files")).as("n_part_files"),
+      sum(when(col("shard").isNull, 1L).otherwise(0L)).as("n_straddler_rows"))
+    files.crossJoin(hist).crossJoin(tags).crossJoin(cks).crossJoin(parts)
   }
 
   val metaTablesReportSql: String =
@@ -2211,7 +2218,11 @@ object ShardSink {
       |       'addConstraint,append,compact,delete' AS ops,
       |       CAST(1 AS BIGINT) AS n_tags,
       |       CAST(1 AS BIGINT) AS n_constraints,
-      |       'doc_id >= 40' AS predicates""".stripMargin
+      |       'doc_id >= 40' AS predicates,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM per_shard) AS n_partitions,
+      |       (SELECT CAST(SUM(n) AS BIGINT) FROM per_shard) AS n_part_rows,
+      |       (SELECT CAST(SUM(CAST(CEIL(n / 25.0) AS BIGINT)) AS BIGINT) FROM per_shard) AS n_part_files,
+      |       CAST(0 AS BIGINT) AS n_straddler_rows""".stripMargin
 
   /** CTAS/RTAS under the hash gate: `CREATE TABLE … AS SELECT` derives a
     * new landing zone (with an EVOLVED extra column persisted through
