@@ -2200,7 +2200,9 @@ object ShardSink {
       count(lit(1)).as("n_partitions"),
       sum(col("n_rows")).as("n_part_rows"),
       sum(col("n_files")).as("n_part_files"),
-      sum(when(col("shard").isNull, 1L).otherwise(0L)).as("n_straddler_rows"))
+      // ROWS in the NULL-shard straddler rollup (0 when compacted), not
+      // the 0/1 presence of the rollup row itself — review fix
+      sum(when(col("shard").isNull, col("n_rows")).otherwise(0L)).as("n_straddler_rows"))
     files.crossJoin(hist).crossJoin(tags).crossJoin(cks).crossJoin(parts)
   }
 

@@ -198,21 +198,31 @@ object SinkMatView {
     */
   def vacuum(
       mvDir: String, retainVersions: Int = 1,
-      olderThanMillis: Long = 7L * 24 * 3600 * 1000L): Seq[String] = {
+      olderThanMillis: Long = 7L * 24 * 3600 * 1000L): Seq[String] =
+    sweepStateLadder(mvDir, currentVersion(mvDir), retainVersions,
+      olderThanMillis, { case StateV(n) => n.toLong }, "_mv.tmp-")
+
+  /** The ONE retention core every blob-state MV ladder shares (this
+    * object's and [[SinkMvJoin]]'s; [[SinkMvDist]] adds segment rules on
+    * top of the same policy): keep the newest `retainVersions` states,
+    * sweep the rest plus AGE-GATED tmp litter from crashed flips (a
+    * concurrent refresh's in-flight tmp body is younger and survives;
+    * olderThanMillis = 0 sweeps everything and is only safe with no
+    * refresh in flight). `versionOf` is the ladder's file-name matcher.
+    */
+  private[sources] def sweepStateLadder(
+      mvDir: String, cur: Long, retainVersions: Int, olderThanMillis: Long,
+      versionOf: PartialFunction[String, Long], tmpPrefix: String): Seq[String] = {
     require(retainVersions >= 1, "an MV must retain at least its current state")
-    val cur = currentVersion(mvDir)
     require(cur > 0L, s"no materialized view at $mvDir")
     val floor = math.max(1L, cur - retainVersions + 1L)
     val dirPath = new Path(mvDir)
     val fs = SinkFs.fsOf(dirPath)
     val cutoff = System.currentTimeMillis() - olderThanMillis
-    val swept = SinkFs.listFileNames(dirPath).filter {
-      case StateV(n) => n.toLong < floor
-      // crashed-flip litter — AGE-GATED like the table vacuum: a
-      // concurrent refresh's in-flight tmp body is younger and survives
-      // (0 sweeps everything and is only safe with no refresh in flight)
-      case n => n.startsWith("_mv.tmp-") &&
-        fs.getFileStatus(new Path(mvDir, n)).getModificationTime <= cutoff
+    val swept = SinkFs.listFileNames(dirPath).filter { n =>
+      versionOf.andThen(_ < floor).applyOrElse(n, (x: String) =>
+        x.startsWith(tmpPrefix) &&
+          fs.getFileStatus(new Path(mvDir, x)).getModificationTime <= cutoff)
     }.sorted
     swept.foreach(n => SinkFs.delete(new Path(mvDir, n)))
     swept

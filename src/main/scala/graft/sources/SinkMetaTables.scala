@@ -56,7 +56,14 @@ object ShardSinkMetaTable {
     // Iceberg's `db.table.partitions` analogue over the shard layout:
     // one row per shard of PURE files (the clustered/compacted state),
     // plus ONE NULL-shard row rolling up files that straddle shards or
-    // carry no stats — never silently dropped from the census
+    // carry no stats — never silently dropped from the census. The
+    // rollup resolves at PLAN time (≤ shards+1 rows out, but O(files)
+    // driver parse in) — at segmented million-file scale the same
+    // answer is one SQL over the DISTRIBUTED files table
+    // (`SELECT shard_min, count(*), sum(n_rows) FROM cat.t.files
+    //  WHERE shard_min = shard_max GROUP BY shard_min`), which is the
+    // path a scale-conscious operator should take; this kind exists for
+    // the control-plane convenience query
     case "partitions" => StructType(Seq(
       StructField("shard", IntegerType, nullable = true),
       StructField("n_files", LongType, nullable = false),

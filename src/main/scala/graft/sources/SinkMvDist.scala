@@ -342,6 +342,11 @@ object SinkMvDist {
 
   // ---- refresh ---------------------------------------------------------------
 
+  /** Refresh to the source's (and, for a join MV, the dim's) current
+    * version. The returned stats' from/to versions are FACT-centric: a
+    * dim-only window folds with fromV == toV and applied = true —
+    * progress of both watermarks is read via [[lastSourceVersions]].
+    */
   def refresh(spark: SparkSession, srcDir: String, mvDir: String): RefreshStats = {
     var attempt = 0
     while (true) {
@@ -664,9 +669,7 @@ object SinkMvDist {
     val v = asOf.getOrElse(currentVersion(mvDir))
     require(v > 0L, s"no distributed materialized view at $mvDir")
     val st = readHeaderAt(mvDir, v)
-    stateDf(spark, mvDir, st, None).select(
-      (st.groups.map(col) ++
-        st.aggs.zipWithIndex.map { case (a, i) => col(slotV(i)).as(a.name) }): _*)
+    stateDf(spark, mvDir, st, None).select(outputProjection(st): _*)
   }
 
   // ---- driver-checked query ------------------------------------------------
@@ -877,10 +880,15 @@ object SinkMvDist {
     }.reduce(_ && _)
     stateDf(spark, mvDir, st, Some(Set(b)))
       .where(pred)
-      .select(
-        (st.groups.map(col) ++
-          st.aggs.zipWithIndex.map { case (a, i) => col(slotV(i)).as(a.name) }): _*)
+      .select(outputProjection(st): _*)
   }
+
+  /** The view's USER-FACING projection (groups, then each agg's value
+    * slot under its declared name) — one definition for read and lookup.
+    */
+  private def outputProjection(st: MvdState): Seq[Column] =
+    st.groups.map(col) ++
+      st.aggs.zipWithIndex.map { case (a, i) => col(slotV(i)).as(a.name) }
 
   /** Re-bucket the state into `newBuckets` segments — the maintenance op
     * for a view whose group cardinality outgrew its bucket count (fat

@@ -318,22 +318,9 @@ object SinkMvJoin {
     */
   def vacuum(
       mvDir: String, retainVersions: Int = 1,
-      olderThanMillis: Long = 7L * 24 * 3600 * 1000L): Seq[String] = {
-    require(retainVersions >= 1, "an MV must retain at least its current state")
-    val cur = currentVersion(mvDir)
-    require(cur > 0L, s"no join materialized view at $mvDir")
-    val floor = math.max(1L, cur - retainVersions + 1L)
-    val dirPath = new Path(mvDir)
-    val fs = SinkFs.fsOf(dirPath)
-    val cutoff = System.currentTimeMillis() - olderThanMillis
-    val swept = SinkFs.listFileNames(dirPath).filter {
-      case StateV(n) => n.toLong < floor
-      case n => n.startsWith("_mvj.tmp-") &&
-        fs.getFileStatus(new Path(mvDir, n)).getModificationTime <= cutoff
-    }.sorted
-    swept.foreach(n => SinkFs.delete(new Path(mvDir, n)))
-    swept
-  }
+      olderThanMillis: Long = 7L * 24 * 3600 * 1000L): Seq[String] =
+    SinkMatView.sweepStateLadder(mvDir, currentVersion(mvDir), retainVersions,
+      olderThanMillis, { case StateV(n) => n.toLong }, "_mvj.tmp-")
 
   // ---- driver-checked query -----------------------------------------------------
 
