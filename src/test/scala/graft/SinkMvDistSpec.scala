@@ -334,6 +334,71 @@ class SinkMvDistSpec extends SparkSpec {
     assert(e.getMessage.contains("group columns"))
   }
 
+  test("asOf reads time-travel the view's own ladder") {
+    val dir = freshDir("mvd_asof")
+    val mvDir = mvDirOf(dir)
+    append(dir, 0L, 300L, n = 600)
+    SinkMvDist.create(spark, dir, mvDir, Seq("shard"), rollupAggs, buckets = 4)
+    append(dir, 300L, 600L, n = 600)
+    SinkMvDist.refresh(spark, dir, mvDir)
+    assert(SinkMvDist.read(spark, mvDir, asOf = Some(1L))
+      .agg(sum("n")).collect().head.getLong(0) === 300L)
+    assert(SinkMvDist.read(spark, mvDir)
+      .agg(sum("n")).collect().head.getLong(0) === 600L)
+    intercept[Exception](SinkMvDist.read(spark, mvDir, asOf = Some(9L)).collect())
+  }
+
+  test("distributed JOIN MV honors a WHERE predicate across both delta paths") {
+    val root = java.nio.file.Files.createTempDirectory("mvdj_pred").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.mvdjp", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.mvdjp.root", root)
+    s.conf.set("spark.sql.catalog.mvdjp.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mvdjp.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mvdjp.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1200").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("mvdjp.dim").append()
+    s.sql("ALTER TABLE mvdjp.dim ADD COLUMN region STRING")
+    docs(0L, 16L)
+      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
+      .writeTo("mvdjp.dim").append()
+    docs(0L, 800L).writeTo("mvdjp.fact").append()
+    val factDir = new java.io.File(root, "fact").getPath
+    val dimDir = new java.io.File(root, "dim").getPath
+    val mvDir = factDir + ".mvdjp"
+    // predicate mixes BOTH sides: even fact ids in non-r1 regions
+    SinkMvDist.createJoin(s, factDir, dimDir, mvDir, "shard", "doc_id",
+      Seq("d_region"),
+      Seq(MvAgg("n", "count"), MvAgg("sd", "sum", "doc_id")),
+      where = "doc_id % 2 = 0 AND d_region <> 'r1'", buckets = 4)
+    def parity(): Unit = {
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val d = s.read.table("mvdjp.dim")
+        .select(col("doc_id").as("pk"), col("region").as("d_region"))
+      val want = canon(s.read.table("mvdjp.fact")
+        .join(d, col("shard") === col("pk"))
+        .where(expr("doc_id % 2 = 0 AND d_region <> 'r1'"))
+        .groupBy(col("d_region"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd")))
+      assert(canon(SinkMvDist.read(s, mvDir)) === want)
+    }
+    parity()
+    // fact delta under the predicate
+    s.sql("DELETE FROM mvdjp.fact WHERE doc_id >= 600")
+    SinkMvDist.refresh(s, factDir, mvDir)
+    parity()
+    // dim delta that crosses the predicate boundary BOTH ways: r1 rows
+    // enter the view (r1 → rZ), rZ's even facts leave nothing — and a
+    // region moving INTO 'r1' would leave it (covered by parity)
+    s.sql("UPDATE mvdjp.dim SET region = 'rZ' WHERE doc_id = 4") // was r1
+    SinkMvDist.refresh(s, factDir, mvDir)
+    parity()
+    assert(SinkMvDist.read(s, mvDir).collect().exists(_.getString(0) == "rZ"))
+  }
+
   test("rebucket rewrites the state under a new bucket function; refreshes keep folding") {
     val dir = freshDir("mvd_rebucket")
     val mvDir = mvDirOf(dir)
