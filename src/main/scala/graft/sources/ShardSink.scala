@@ -161,6 +161,14 @@ class ShardSinkTable(
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"shardsink($path)"
 
+  /** Backing directory + version pin, read by the MV-rewrite rule to
+    * match registered base tables (a version-pinned read is never
+    * rewritten — the MV reflects the CURRENT watermark, and pinned scans
+    * are exactly what the MV machinery's own recomputes use).
+    */
+  def tableDir: String = path
+  def pinnedVersion: Option[Long] = asOf
+
   /** [[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]:
     * SQL UPDATE / MERGE INTO (and the copy-on-write fallback for DELETEs
     * outside the metadata-only predicate class). `rlo.mode` picks the

@@ -38,13 +38,27 @@ object SinkMvDist {
   import SinkMatView.{MvAgg, MvConflict, RefreshStats}
 
   private val StateV = """_mvd\.v(\d+)\.json""".r
+  // "hashv" (absent in pre-round-17 headers → 1) versions the group→bucket
+  // hash INPUT: v1 joined key cells with the control char U+0001, which
+  // escCol does NOT escape, so multi-column keys containing that literal
+  // char shared a hash input (deterministic on both read/write sides, so correct, but
+  // adversarially skewable); v2 joins cells with a TAB, which gcellCol
+  // escapes OUT of cell content, so the input is unambiguous for every key
+  // shape. Existing MVs keep their persisted assignment until a `rebucket`
+  // migrates them.
   private val HeaderRe =
     ("""\{"src":"([^"]*)","group":"([^"]*)","gtype":"([^"]*)",""" +
-      """"pred":"([^"]*)","srcV":(\d+),"buckets":(\d+),"aggs":\[(.*)\]\}""").r
+      """"pred":"([^"]*)","srcV":(\d+),"buckets":(\d+),(?:"hashv":(\d+),)?"aggs":\[(.*)\]\}""").r
   private val HeaderJoinRe =
     ("""\{"src":"([^"]*)","group":"([^"]*)","gtype":"([^"]*)",""" +
-      """"pred":"([^"]*)","srcV":(\d+),"buckets":(\d+),""" +
+      """"pred":"([^"]*)","srcV":(\d+),"buckets":(\d+),(?:"hashv":(\d+),)?""" +
       """"dim":"([^"]*)","fk":"([^"]*)","pk":"([^"]*)","dimV":(\d+),"aggs":\[(.*)\]\}""").r
+  private val HeaderDimsRe =
+    ("""\{"src":"([^"]*)","group":"([^"]*)","gtype":"([^"]*)",""" +
+      """"pred":"([^"]*)","srcV":(\d+),"buckets":(\d+),(?:"hashv":(\d+),)?""" +
+      """"dims":\[(.*)\],"aggs":\[(.*)\]\}""").r
+  private val DimRe =
+    """\{"dim":"([^"]*)","fk":"([^"]*)","pk":"([^"]*)","pfx":"([^"]*)","dimV":(\d+)\}""".r
   private val AggRe = """\{"n":"([^"]*)","k":"([^"]*)","e":"([^"]*)"\}""".r
 
   /** One-shot interleave hook: runs after the fold is derived but before
@@ -61,18 +75,31 @@ object SinkMvDist {
     */
   val driverRowsCollected = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Same-count rebuckets answered as idempotent no-ops — the misuse
+    * observability stat (a caller repeatedly "rebucketing" to the current
+    * count is suspicious but never wrong; see [[rebucket]]).
+    */
+  val rebucketNoops = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** A JOIN definition (round 16): the MV materializes
     * `fact ⋈ dim ON fk = pk` with dim columns under the `d_` prefix —
     * [[SinkMvJoin]]'s delta-join decomposition over [[SinkMvDist]]'s
     * distributed bucketed state, so a per-user-grain star-schema rollup
     * needs neither a driver-resident view nor a full rescan.
     */
-  private[sources] final case class MvdJoin(dim: String, fk: String, pk: String, dimV: Long)
+  private[sources] final case class MvdJoin(
+      dim: String, fk: String, pk: String, dimV: Long, pfx: String = "d_")
 
   private final case class MvdState(
       src: String, groups: Seq[String], gtypes: Seq[String], pred: String,
       srcV: Long, buckets: Int, aggs: Seq[MvAgg], refs: Seq[(Int, String)],
-      join: Option[MvdJoin] = None)
+      joins: Seq[MvdJoin] = Nil, hashv: Int = 2) {
+    /** Each dim's refresh/recompute window view (fromV = its watermark). */
+    def windows(tos: Seq[Long]): Seq[SinkMvJoin.DimWindow] =
+      joins.zip(tos).map { case (j, to) =>
+        SinkMvJoin.DimWindow(j.dim, j.fk, j.pk, j.pfx, j.dimV, to)
+      }
+  }
 
   // ---- header ------------------------------------------------------------
 
@@ -80,11 +107,19 @@ object SinkMvDist {
     val aggs = st.aggs
       .map(a => s"""{"n":"${a.name}","k":"${a.kind}","e":"${a.e}"}""")
       .mkString("[", ",", "]")
-    val join = st.join.map(j =>
-      s""""dim":"${j.dim}","fk":"${j.fk}","pk":"${j.pk}","dimV":${j.dimV},""").getOrElse("")
+    // single classic-prefix dim keeps the round-16 inline shape (existing
+    // headers stay readable byte-for-byte); snowflakes write a dims array
+    val join = st.joins match {
+      case Nil => ""
+      case Seq(j) if j.pfx == "d_" =>
+        s""""dim":"${j.dim}","fk":"${j.fk}","pk":"${j.pk}","dimV":${j.dimV},"""
+      case many => many.map(j =>
+        s"""{"dim":"${j.dim}","fk":"${j.fk}","pk":"${j.pk}","pfx":"${j.pfx}","dimV":${j.dimV}}""")
+        .mkString("\"dims\":[", ",", "],")
+    }
     s"""{"src":"${st.src}","group":"${st.groups.mkString(",")}",""" +
       s""""gtype":"${st.gtypes.mkString(",")}","pred":"${st.pred}",""" +
-      s""""srcV":${st.srcV},"buckets":${st.buckets},$join"aggs":$aggs}"""
+      s""""srcV":${st.srcV},"buckets":${st.buckets},"hashv":${st.hashv},$join"aggs":$aggs}"""
   }
 
   private def writeHeader(mvDir: String, version: Long, st: MvdState): Unit = {
@@ -119,14 +154,21 @@ object SinkMvDist {
     }
     def aggsOf(as: String): Seq[MvAgg] = AggRe.findAllMatchIn(as)
       .map(m => MvAgg(m.group(1), m.group(2), m.group(3))).toSeq
+    def hv(s: String): Int = if (s == null) 1 else s.toInt
+    def dimsOf(ds: String): Seq[MvdJoin] = DimRe.findAllMatchIn(ds)
+      .map(m => MvdJoin(m.group(1), m.group(2), m.group(3), m.group(5).toLong,
+        pfx = m.group(4))).toSeq
     lines.head match {
-      case HeaderJoinRe(s, g, t, pr, sv, b, dim, fk, pk, dv, as) =>
+      case HeaderJoinRe(s, g, t, pr, sv, b, h, dim, fk, pk, dv, as) =>
         MvdState(s, g.split(",", -1).toSeq, t.split(",", -1).toSeq, pr,
           sv.toLong, b.toInt, aggsOf(as), refsOf,
-          Some(MvdJoin(dim, fk, pk, dv.toLong)))
-      case HeaderRe(s, g, t, pr, sv, b, as) =>
+          Seq(MvdJoin(dim, fk, pk, dv.toLong)), hashv = hv(h))
+      case HeaderDimsRe(s, g, t, pr, sv, b, h, ds, as) =>
         MvdState(s, g.split(",", -1).toSeq, t.split(",", -1).toSeq, pr,
-          sv.toLong, b.toInt, aggsOf(as), refsOf)
+          sv.toLong, b.toInt, aggsOf(as), refsOf, dimsOf(ds), hashv = hv(h))
+      case HeaderRe(s, g, t, pr, sv, b, h, as) =>
+        MvdState(s, g.split(",", -1).toSeq, t.split(",", -1).toSeq, pr,
+          sv.toLong, b.toInt, aggsOf(as), refsOf, hashv = hv(h))
       case other => sys.error(s"unparseable distributed-MV header at $mvDir: $other")
     }
   }
@@ -165,10 +207,16 @@ object SinkMvDist {
     * the group columns (state rows, delta rows, source rows): xxhash64 of
     * the null-marked, escaped key string. Both sides of every join derive
     * it the same way, so bucket-pruned reads can never miss a group.
+    * hashv 2 joins cells with a TAB — escaped out of gcellCol output, so
+    * the hash input is unambiguous for every key shape; hashv 1 used
+    * \u0001, which escCol does not escape, so keys containing a literal
+    * \u0001 shared an input (deterministic on both sides, hence correct,
+    * but adversarially skewable). Persisted assignments stay on hashv 1
+    * until a rebucket migrates the MV.
     */
   private def bucketCol(st: MvdState, keys: Seq[Column]): Column =
-    pmod(xxhash64(concat_ws("", keys.map(gcellCol): _*)), lit(st.buckets))
-      .cast(IntegerType)
+    pmod(xxhash64(concat_ws(if (st.hashv >= 2) "\t" else "\u0001",
+      keys.map(gcellCol): _*)), lit(st.buckets)).cast(IntegerType)
 
   private def slotV(i: Int) = s"_v$i"
   private def slotC(i: Int) = s"_c$i"
@@ -302,42 +350,105 @@ object SinkMvDist {
       spark: SparkSession, factDir: String, dimDir: String, mvDir: String,
       fk: String, pk: String, groups: Seq[String], aggs: Seq[MvAgg],
       where: String = "", buckets: Int = 16): (Long, Long) = {
+    val (fv, dvs) = createSnowflake(spark, factDir, mvDir,
+      Seq(SnowDim(dimDir, fk, pk, "d_")), groups, aggs, where, buckets)
+    (fv, dvs.head)
+  }
+
+  /** One dim of a snowflake definition: its table, the join key `fk`
+    * (resolving against the fact or an EARLIER dim's prefixed columns —
+    * the chain), its unique key `pk`, and its column prefix.
+    */
+  final case class SnowDim(dim: String, fk: String, pk: String, pfx: String)
+
+  /** SNOWFLAKE-MV creation (round 17): `SELECT groups, aggs FROM fact ⋈
+    * dim1 ⋈ … ⋈ dimk [WHERE pred] GROUP BY` over DISTRIBUTED state, each
+    * dim's columns under its declared prefix and each dim carrying its
+    * own watermark. Joins apply in declaration order; a later dim's `fk`
+    * may name an earlier dim's prefixed column (the snowflake chain).
+    * Returns (factV, per-dim versions).
+    */
+  def createSnowflake(
+      spark: SparkSession, factDir: String, mvDir: String, dims: Seq[SnowDim],
+      groups: Seq[String], aggs: Seq[MvAgg],
+      where: String = "", buckets: Int = 16): (Long, Seq[Long]) = {
     SinkMatView.validate(groups, aggs, where)
     require(buckets >= 1 && buckets <= 4096, s"buckets out of range: $buckets")
+    require(dims.nonEmpty, "a join MV needs at least one dim")
+    val pfxes = dims.map(_.pfx)
+    require(pfxes.distinct.length == pfxes.length, s"duplicate dim prefixes: $pfxes")
+    pfxes.foreach(p => require(p.matches("[A-Za-z][A-Za-z0-9]*_"),
+      s"dim prefix '$p' must be alphanumeric ending in '_'"))
     require(currentVersion(mvDir) == 0L,
       s"distributed materialized view already exists at $mvDir")
     val factV = ShardSink.currentManifestVersion(factDir)
-    val dimV = ShardSink.currentManifestVersion(dimDir)
-    require(factV > 0L && dimV > 0L,
-      s"create the join MV after both tables' first commits ($factDir v$factV, $dimDir v$dimV)")
+    require(factV > 0L, s"create the join MV after the fact's first commit ($factDir)")
     val fSchema = ShardSink.schemaAtVersion(factDir, factV)
-    val dSchema = ShardSink.schemaAtVersion(dimDir, dimV)
-    require(fSchema.fieldNames.contains(fk), s"join key '$fk' not in fact ${fSchema.fieldNames.mkString(",")}")
-    require(dSchema.fieldNames.contains(pk), s"join key '$pk' not in dim ${dSchema.fieldNames.mkString(",")}")
-    val gtypes = SinkMvJoin.resolveJoinGtypes(fSchema, dSchema, groups)
-    val dim = SinkMatView.srcAt(spark, dimDir, dimV)
-    SinkMvJoin.requireUniqueKeys(dim, pk, dim.select(col(pk)))
-    val st = MvdState(factDir, groups, gtypes, where, factV, buckets, aggs, Nil,
-      Some(MvdJoin(dimDir, fk, pk, dimV)))
+    val dimVs = dims.map(d => ShardSink.currentManifestVersion(d.dim))
+    dims.zip(dimVs).foreach { case (d, v) =>
+      require(v > 0L, s"create the join MV after every dim's first commit (${d.dim})") }
+    val dSchemas = dims.zip(dimVs).map { case (d, v) =>
+      ShardSink.schemaAtVersion(d.dim, v) }
+    // each fk resolves against the columns AVAILABLE at its join step:
+    // the fact's, plus every earlier dim's prefixed names
+    dims.zipWithIndex.foldLeft(fSchema.fieldNames.toSet) { case (avail, (d, i)) =>
+      require(avail.contains(d.fk),
+        s"join key '${d.fk}' of ${d.dim} resolves against none of ${avail.toSeq.sorted.mkString(",")}")
+      require(dSchemas(i).fieldNames.contains(d.pk),
+        s"join key '${d.pk}' not in dim ${dSchemas(i).fieldNames.mkString(",")}")
+      avail ++ dSchemas(i).fieldNames.map(c => s"${d.pfx}$c")
+    }
+    val gtypes = resolveSnowGtypes(fSchema, dims.map(_.pfx).zip(dSchemas), groups)
+    dims.zip(dimVs).foreach { case (d, v) =>
+      val dim = SinkMatView.srcAt(spark, d.dim, v)
+      SinkMvJoin.requireUniqueKeys(dim, d.pk, dim.select(col(d.pk)))
+    }
+    val joins = dims.zip(dimVs).map { case (d, v) => MvdJoin(d.dim, d.fk, d.pk, v, d.pfx) }
+    val st = MvdState(factDir, groups, gtypes, where, factV, buckets, aggs, Nil, joins)
     val (aggCols, nnCols) = aggSlots(aggs)
     val full = SinkMatView.filtered(
-      SinkMvJoin.joinedFrame(
-        SinkMatView.srcAt(spark, factDir, factV), SinkMvJoin.dimView(dim), fk, pk), where)
+      SinkMvJoin.joinedAt(spark, factDir, factV, st.windows(dimVs)), where)
       .groupBy(groups.map(col): _*)
       .agg(aggCols.head, aggCols.tail ++ nnCols: _*)
     val refs = writeSegments(mvDir, 1L, st, full)
     writeHeader(mvDir, 1L, st.copy(refs = refs))
-    (factV, dimV)
+    (factV, dimVs)
   }
 
-  /** (fact watermark, dim watermark) of a distributed JOIN MV. */
+  /** Group-type resolution across a dim chain: a group column resolves
+    * against the first dim whose prefix matches (stripped name in that
+    * dim's schema), else against the fact.
+    */
+  private def resolveSnowGtypes(
+      fSchema: StructType, dims: Seq[(String, StructType)],
+      groups: Seq[String]): Seq[String] =
+    groups.map { g =>
+      dims.collectFirst {
+        case (pfx, sch) if g.startsWith(pfx) && sch.fieldNames.contains(g.stripPrefix(pfx)) =>
+          SinkMatView.gtypeOf(sch(g.stripPrefix(pfx)).dataType)
+      }.getOrElse {
+        require(fSchema.fieldNames.contains(g),
+          s"group column '$g' resolves in neither fact (${fSchema.fieldNames.mkString(",")}) " +
+            s"nor any dim prefix (${dims.map(_._1).mkString(",")})")
+        SinkMatView.gtypeOf(fSchema(g).dataType)
+      }
+    }
+
+  /** (fact watermark, dim watermark) of a distributed single-dim JOIN MV. */
   def lastSourceVersions(mvDir: String): (Long, Long) = {
+    val (fv, dvs) = lastSourceVersionsAll(mvDir)
+    require(dvs.length == 1,
+      s"the MV at $mvDir has ${dvs.length} dims — use lastSourceVersionsAll")
+    (fv, dvs.head)
+  }
+
+  /** (fact watermark, per-dim watermarks in declaration order). */
+  def lastSourceVersionsAll(mvDir: String): (Long, Seq[Long]) = {
     val v = currentVersion(mvDir)
     require(v > 0L, s"no distributed materialized view at $mvDir")
     val st = readHeaderAt(mvDir, v)
-    val j = st.join.getOrElse(
-      throw new IllegalArgumentException(s"the MV at $mvDir is single-table"))
-    (st.srcV, j.dimV)
+    require(st.joins.nonEmpty, s"the MV at $mvDir is single-table")
+    (st.srcV, st.joins.map(_.dimV))
   }
 
   // ---- refresh ---------------------------------------------------------------
@@ -355,13 +466,12 @@ object SinkMvDist {
       val st = readHeaderAt(mvDir, stateV)
       require(st.src == srcDir, s"MV at $mvDir materializes ${st.src}, not $srcDir")
       val toV = ShardSink.currentManifestVersion(srcDir)
-      val dimTo = st.join.map(j => ShardSink.currentManifestVersion(j.dim))
-      if (toV <= st.srcV && st.join.zip(dimTo).forall { case (j, dv) => dv <= j.dimV })
+      val dimTos = st.joins.map(j => ShardSink.currentManifestVersion(j.dim))
+      if (toV <= st.srcV && st.joins.zip(dimTos).forall { case (j, dv) => dv <= j.dimV })
         return RefreshStats(st.srcV, st.srcV, 0L, 0L, stateV, applied = false)
-      try return st.join match {
-        case Some(j) => joinRefreshOnce(spark, mvDir, st, j, stateV, toV, dimTo.get)
-        case None => refreshOnce(spark, srcDir, mvDir, st, stateV, toV)
-      }
+      try return (
+        if (st.joins.nonEmpty) joinRefreshOnce(spark, mvDir, st, stateV, toV, dimTos)
+        else refreshOnce(spark, srcDir, mvDir, st, stateV, toV))
       catch {
         case _: MvConflict if attempt < 5 => attempt += 1 // re-read, re-derive
         case c: MvConflict => throw c
@@ -387,6 +497,16 @@ object SinkMvDist {
     * after the skipped window is PROVEN change-free (no-data commits:
     * OPTIMIZE/ZORDER/ALTER), and a gap hiding a data commit fails
     * loudly. The fold itself is the batch refresh's distributed plan.
+    *
+    * JOIN MVs (round 17) stream too: `srcDir` names WHICH side's change
+    * feed the batch came from — each source runs its own CDF stream with
+    * its own watermark in the header, and the delta-join decomposition
+    * applies one single-source window per batch: a dim batch is
+    * `[Δd ⋈ f@factV]` (the fact watermark is fixed while only the dim
+    * moves), a fact batch is `[Δf ⋈ d@dimV]`. Interleavings compose
+    * exactly because every window is pinned at the OTHER side's current
+    * header watermark — the same telescoping as the batch refresh, one
+    * commit at a time. Gap fast-forward and replay dedup are per-source.
     */
   def refreshFromChanges(
       spark: SparkSession, srcDir: String, mvDir: String,
@@ -396,25 +516,54 @@ object SinkMvDist {
       val stateV = currentVersion(mvDir)
       require(stateV > 0L, s"no distributed materialized view at $mvDir (create it first)")
       val st = readHeaderAt(mvDir, stateV)
-      require(st.src == srcDir, s"MV at $mvDir materializes ${st.src}, not $srcDir")
-      require(st.join.isEmpty,
-        "streaming maintenance drives a SINGLE table's change feed; a join MV " +
-          "refreshes from both tables via refresh()")
-      if (toV <= st.srcV) // replayed or pre-create commit: already covered
+      val dimIdx = st.joins.indexWhere(_.dim == srcDir)
+      val isDim = st.src != srcDir && dimIdx >= 0
+      require(st.src == srcDir || isDim,
+        s"MV at $mvDir materializes ${st.src}" +
+          st.joins.map(j => s" ⋈ ${j.dim}").mkString + s", not $srcDir")
+      val fromV = if (isDim) st.joins(dimIdx).dimV else st.srcV
+      if (toV <= fromV) // replayed or pre-create commit: already covered
         return RefreshStats(st.srcV, st.srcV, 0L, 0L, stateV, applied = false)
-      if (toV > st.srcV + 1L) {
+      if (toV > fromV + 1L) {
         val gapRows =
-          SinkMatView.changes(spark, srcDir, st.srcV, toV - 1L).limit(1).count()
+          SinkMatView.changes(spark, srcDir, fromV, toV - 1L).limit(1).count()
         require(gapRows == 0L,
-          s"streaming MV gap at $mvDir: batch carries commit $toV but the " +
-            s"view reflects ${st.srcV} and commits (${st.srcV}, ${toV - 1L}] " +
-            "carry change rows — commits must apply in order")
+          s"streaming MV gap at $mvDir: batch carries commit $toV of $srcDir " +
+            s"but the view reflects $fromV and commits ($fromV, ${toV - 1L}] " +
+            "carry change rows — commits must apply in order per source")
       }
-      val cached = ch.persist()
-      try return foldBatch(spark, mvDir, st, stateV, cached,
-        SinkMvJoin.signOf(col("_change_type")),
-        () => SinkMatView.filtered(SinkMatView.srcAt(spark, srcDir, toV), st.pred),
-        st.copy(srcV = toV), st.srcV, toV)
+      // (contribution, dirty-recompute source, advanced watermarks). The
+      // single-table path folds the BATCH frame directly; the join paths
+      // re-derive the window from the immutable commit log through the
+      // SAME contributionStream as the batch refresh (the batch equals
+      // changes(fromV, toV] by the CDF reader contract — re-deriving
+      // keeps one code path for the join algebra, at the cost of
+      // re-reading one commit's feed)
+      val (contrib, recompute, nextSt) =
+        if (st.joins.isEmpty)
+          (ch.withColumn("_sign", SinkMvJoin.signOf(col("_change_type")))
+            .drop("_change_type", "_commit_version"),
+            () => SinkMatView.filtered(SinkMatView.srcAt(spark, srcDir, toV), st.pred),
+            st.copy(srcV = toV))
+        else {
+          // only the batch's own source moves; every other dim is pinned
+          // at its header watermark (its old and new versions coincide)
+          val wins = st.joins.zipWithIndex.map { case (jj, k) =>
+            val win = if (isDim && k == dimIdx) (fromV, toV) else (jj.dimV, jj.dimV)
+            SinkMvJoin.DimWindow(jj.dim, jj.fk, jj.pk, jj.pfx, win._1, win._2)
+          }
+          val factTo = if (isDim) st.srcV else toV
+          val nextJoins =
+            if (isDim) st.joins.updated(dimIdx, st.joins(dimIdx).copy(dimV = toV))
+            else st.joins
+          (SinkMvJoin.contributionStream(spark, st.src, st.srcV, factTo, wins),
+            () => SinkMatView.filtered(
+              SinkMvJoin.joinedAt(spark, st.src, factTo, wins), st.pred),
+            st.copy(srcV = factTo, joins = nextJoins))
+        }
+      val cached = contrib.persist()
+      try return foldBatch(spark, mvDir, st, stateV, cached, col("_sign"),
+        recompute, nextSt, st.srcV, if (isDim) st.srcV else toV)
       catch {
         case _: MvConflict if attempt < 5 => attempt += 1
         case c: MvConflict => throw c
@@ -434,46 +583,24 @@ object SinkMvDist {
     finally { ch.unpersist(); () }
   }
 
-  /** The JOIN refresh (round 16): the same delta-join decomposition as
-    * [[SinkMvJoin]] — [Δd ⋈ f@old] ∪ [Δf ⋈ d'@new], signed — feeding
-    * the DISTRIBUTED fold; the dirty recompute is a fact⋈dim join at
-    * the target versions. Uniqueness of changed dim keys is re-checked
-    * per window, as in the blob join MV.
+  /** The JOIN refresh: the delta-join decomposition — one signed window
+    * per changed source, composed in declaration order — feeding the
+    * DISTRIBUTED fold ([[SinkMvJoin.contributionStream]]: one core, two
+    * state backends, any dim-chain length); the dirty recompute is the
+    * full fact⋈dims join at the target versions. Uniqueness of changed
+    * dim keys is re-checked per window, as in the blob join MV.
     */
   private def joinRefreshOnce(
-      spark: SparkSession, mvDir: String, st: MvdState, j: MvdJoin,
-      stateV: Long, factTo: Long, dimTo: Long): RefreshStats = {
-    // parts expose their snapshots' OWN columns and union by name with
-    // null-fill — a column added between the watermarks is NULL in the
-    // old-snapshot part, which is what those rows held there (a fixed
-    // newest-schema column list would fail to resolve on the pinned old
-    // snapshot and wedge the refresh — review fix, same as SinkMvJoin)
-    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    if (dimTo > j.dimV) {
-      val dCh = SinkMatView.changes(spark, j.dim, j.dimV, dimTo)
-        .withColumn("_sign", SinkMvJoin.signOf(col("_change_type")))
-      val dChPrefixed = SinkMvJoin.dimView(dCh, extra = Seq("_sign"))
-      SinkMvJoin.requireUniqueKeys(
-        SinkMatView.srcAt(spark, j.dim, dimTo), j.pk,
-        dChPrefixed.select(col(s"d_${j.pk}").as(j.pk)))
-      parts += SinkMvJoin.joinedFrame(
-        SinkMatView.srcAt(spark, st.src, st.srcV), dChPrefixed, j.fk, j.pk)
-    }
-    if (factTo > st.srcV) {
-      val fCh = SinkMatView.changes(spark, st.src, st.srcV, factTo)
-        .withColumn("_sign", SinkMvJoin.signOf(col("_change_type")))
-        .drop("_change_type", "_commit_version")
-      parts += SinkMvJoin.joinedFrame(
-        fCh, SinkMvJoin.dimView(SinkMatView.srcAt(spark, j.dim, dimTo)), j.fk, j.pk)
-    }
-    val ch = parts.reduce(_.unionByName(_, allowMissingColumns = true)).persist()
+      spark: SparkSession, mvDir: String, st: MvdState,
+      stateV: Long, factTo: Long, dimTos: Seq[Long]): RefreshStats = {
+    val wins = st.windows(dimTos)
+    val ch = SinkMvJoin.contributionStream(spark, st.src, st.srcV, factTo, wins).persist()
     try foldBatch(spark, mvDir, st, stateV, ch, col("_sign"),
       () => SinkMatView.filtered(
-        SinkMvJoin.joinedFrame(
-          SinkMatView.srcAt(spark, st.src, factTo),
-          SinkMvJoin.dimView(SinkMatView.srcAt(spark, j.dim, dimTo)),
-          j.fk, j.pk), st.pred),
-      st.copy(srcV = factTo, join = Some(j.copy(dimV = dimTo))), st.srcV, factTo)
+        SinkMvJoin.joinedAt(spark, st.src, factTo, wins), st.pred),
+      st.copy(srcV = factTo,
+        joins = st.joins.zip(dimTos).map { case (j, dv) => j.copy(dimV = dv) }),
+      st.srcV, factTo)
     finally { ch.unpersist(); () }
   }
 
@@ -852,6 +979,274 @@ object SinkMvDist {
       |       CAST(4 AS BIGINT) AS dim_version
       |FROM g GROUP BY d_region, uid ORDER BY d_region, uid""".stripMargin
 
+  /** Driver-checked STREAMING JOIN-MV MAINTENANCE (round 17): the
+    * distributed fact⋈dim MV maintained CONTINUOUSLY from BOTH change
+    * feeds — each table's CDF stream lands its commits through
+    * [[refreshFromChanges]] in its own `foreachBatch` loop, one
+    * single-source window per batch ([Δf ⋈ d@dimV] / [Δd ⋈ f@factV]),
+    * with per-source watermarks in the header. Exercised: a create-time
+    * coverage no-op on the dim stream, an empty-commit (OPTIMIZE)
+    * fast-forward gap on the fact feed (the compaction is also the CDF
+    * retention horizon — the fact stream delivers from it onward), a
+    * fact tail-DELETE (dirty extremes through the pruned join
+    * recompute), a fact append, and a dim UPDATE that moves every
+    * shard-5 row between region groups with no rescan. The
+    * final per-(region, uid) view, the applied/skipped split, both
+    * watermarks AND a zero row-diff against a from-scratch join all sit
+    * under the DuckDB hash gate.
+    */
+  def mvJoinStreamParity(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mvjs:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmvjs_$sfx")
+    SinkFs.deleteRecursively(root)
+    val s = graft.streaming.StreamTune.session(spark)
+    s.conf.set("spark.sql.catalog.graft_mvjs", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mvjs.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mvjs.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvjs.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvjs.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2400").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("graft_mvjs.dim_mvjs").append() // d1
+    s.sql("ALTER TABLE graft_mvjs.dim_mvjs ADD COLUMN region STRING") // d2
+    docs(0L, 16L)
+      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
+      .writeTo("graft_mvjs.dim_mvjs").append() // d3
+    docs(0L, 0L).writeTo("graft_mvjs.fact_mvjs").append() // f1
+    s.sql("ALTER TABLE graft_mvjs.fact_mvjs ADD COLUMN uid BIGINT") // f2
+    def ingest(lo: Long, hi: Long): Unit =
+      docs(lo, hi).withColumn("uid", (col("doc_id") % 300L).cast("long"))
+        .writeTo("graft_mvjs.fact_mvjs").append()
+    ingest(0L, 1200L) // f3
+    val factDir = new java.io.File(root, "fact_mvjs").getPath
+    val dimDir = new java.io.File(root, "dim_mvjs").getPath
+    val mvDir = factDir + ".mvjs"
+    createJoin(s, factDir, dimDir, mvDir, fk = "shard", pk = "doc_id",
+      groups = Seq("d_region", "uid"), aggs = Seq(
+        MvAgg("n_docs", "count"),
+        MvAgg("sum_ids", "sum", "doc_id"),
+        MvAgg("xor_ids", "xor", "doc_id"),
+        MvAgg("max_doc", "max", "doc_id")), buckets = 8)
+    // the compact lands FIRST: it is both the no-data gap the stream must
+    // fast-forward across AND the CDF retention horizon (feeds below a
+    // compaction are released, so the stream delivers from it onward —
+    // data commits the stream must replay have to come after)
+    ShardSink.compact(factDir) // f4: no-data commit — never a batch
+    s.sql("DELETE FROM graft_mvjs.fact_mvjs WHERE doc_id >= 900") // f5
+    ingest(1200L, 1500L) // f6
+    s.sql("UPDATE graft_mvjs.dim_mvjs SET region = 'rX' WHERE doc_id = 5") // d4
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
+    val skipped = new java.util.concurrent.atomic.AtomicLong(0L)
+    // one stream per SOURCE, drained sequentially (fact first) so the
+    // lifecycle constants are deterministic; each batch carries ONE
+    // commit of its own feed and folds under that source's watermark
+    def drain(dir: String): Unit = {
+      val q = s.readStream.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("readChangeFeed", "true").load()
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          val vs = batch.agg(
+            min(col("_commit_version")), max(col("_commit_version"))).collect().head
+          if (!vs.isNullAt(0)) {
+            require(vs.getLong(0) == vs.getLong(1),
+              "the CDF stream delivers one commit per trigger")
+            val st = refreshFromChanges(s, dir, mvDir, batch, vs.getLong(0))
+            (if (st.applied) applied else skipped).incrementAndGet()
+            ()
+          }
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain(factDir)
+    drain(dimDir)
+    val (fv, dv) = lastSourceVersions(mvDir)
+    val d = SinkMatView.srcAt(s, dimDir, dv)
+      .select(col("doc_id").as("_pk"), col("region").as("d_region"))
+    val full = SinkMatView.srcAt(s, factDir, fv)
+      .join(d, col("shard") === col("_pk"))
+      .groupBy(col("d_region"), col("uid"))
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+        expr("bit_xor(doc_id)").as("xor_ids"), max("doc_id").as("max_doc"))
+    val mv = read(s, mvDir)
+    val nDiff = mv.exceptAll(full).union(full.exceptAll(mv)).count()
+    mv.withColumn("n_applied", lit(applied.get()))
+      .withColumn("n_skipped", lit(skipped.get()))
+      .withColumn("mv_version", lit(currentVersion(mvDir)))
+      .withColumn("fact_version", lit(fv))
+      .withColumn("dim_version", lit(dv))
+      .withColumn("n_diff", lit(nDiff))
+      .orderBy("d_region", "uid")
+  }
+
+  /** DuckDB re-derivation: live fact rows are `doc_id < 900 OR 1200 <=
+    * doc_id < 1500`; uid = doc % 300; region of shard s is rX for 5 (the
+    * streamed dim update, folded last against the final fact), else
+    * r(s % 3). Constants: 3 applied (the fact DELETE — arriving over the
+    * compact's provably-empty (3,4] gap — the fact append, and the dim
+    * update) + 1 skipped (d3, covered by the create; the fact stream
+    * starts at the compaction horizon, so f3 is never delivered); MV v4
+    * = create + 3; fact v6 = bootstrap + ALTER + ingest + OPTIMIZE +
+    * DELETE + append; dim v4 = bootstrap + ALTER + map + update; diff 0.
+    * Change rows: 300 (delete) + 300 (append) + 2 × 75 live shard-5 rows
+    * (dim update: 56 in [0,900) + 19 in [1200,1500)) = 750 — not output
+    * (the per-batch splits are already pinned by n_applied + the hash
+    * over every group row).
+    */
+  val mvJoinStreamParitySql: String =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 300 AS uid,
+      |         CASE WHEN doc_id % 16 = 5 THEN 'rX'
+      |              ELSE 'r' || CAST((doc_id % 16) % 3 AS VARCHAR) END AS d_region
+      |  FROM range(0, 1500) t(doc_id)
+      |  WHERE doc_id < 900 OR doc_id >= 1200)
+      |SELECT d_region, uid, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+      |       CAST(3 AS BIGINT) AS n_applied,
+      |       CAST(1 AS BIGINT) AS n_skipped,
+      |       CAST(4 AS BIGINT) AS mv_version,
+      |       CAST(6 AS BIGINT) AS fact_version,
+      |       CAST(4 AS BIGINT) AS dim_version,
+      |       CAST(0 AS BIGINT) AS n_diff
+      |FROM g GROUP BY d_region, uid ORDER BY d_region, uid""".stripMargin
+
+  /** Driver-checked SNOWFLAKE MV (round 17): `fact ⋈ dim1 ⋈ dim2 GROUP BY
+    * (d2_zone, d1_region, uid)` — a CHAIN join (dim2 keys off dim1's
+    * `catk` column, not the fact) over distributed bucketed state, with
+    * one watermark per source and deltas composed in declaration order.
+    * Lifecycle: a fact tail-DELETE (dirty extremes recomputed through the
+    * full chain join, pruned), then BOTH dim updates land in ONE refresh
+    * window — the case the fixed composition order exists for (Δd1 joins
+    * d2@OLD, Δd2 joins d1@NEW) — shard-7 rows move region groups and
+    * every catk-1 shard's rows move zone groups, no rescan; finally a
+    * fact append against both evolved dims. The full group table plus
+    * lifecycle bookkeeping sits under the DuckDB hash gate.
+    */
+  def mvSnowflakeReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mvsn:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmvsn_$sfx")
+    SinkFs.deleteRecursively(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_mvsn", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mvsn.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mvsn.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvsn.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvsn.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2400").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    // dim2 (outer ring): keys 0..3, zone z(k % 2)
+    docs(0L, 0L).writeTo("graft_mvsn.dim2_mvsn").append() // e1
+    s.sql("ALTER TABLE graft_mvsn.dim2_mvsn ADD COLUMN zone STRING") // e2
+    docs(0L, 4L)
+      .withColumn("zone", concat(lit("z"), (col("doc_id") % 2).cast("string")))
+      .writeTo("graft_mvsn.dim2_mvsn").append() // e3
+    // dim1 (inner ring): keys 0..15, region r(k % 3), catk = k % 4 → dim2
+    docs(0L, 0L).writeTo("graft_mvsn.dim1_mvsn").append() // d1
+    s.sql("ALTER TABLE graft_mvsn.dim1_mvsn ADD COLUMN region STRING") // d2
+    s.sql("ALTER TABLE graft_mvsn.dim1_mvsn ADD COLUMN catk BIGINT") // d3
+    docs(0L, 16L)
+      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
+      .withColumn("catk", (col("doc_id") % 4).cast("long"))
+      .writeTo("graft_mvsn.dim1_mvsn").append() // d4
+    docs(0L, 0L).writeTo("graft_mvsn.fact_mvsn").append() // f1
+    s.sql("ALTER TABLE graft_mvsn.fact_mvsn ADD COLUMN uid BIGINT") // f2
+    def ingest(lo: Long, hi: Long): Unit =
+      docs(lo, hi).withColumn("uid", (col("doc_id") % 150L).cast("long"))
+        .writeTo("graft_mvsn.fact_mvsn").append()
+    ingest(0L, 1200L) // f3
+    val factDir = new java.io.File(root, "fact_mvsn").getPath
+    val d1Dir = new java.io.File(root, "dim1_mvsn").getPath
+    val d2Dir = new java.io.File(root, "dim2_mvsn").getPath
+    val mvDir = factDir + ".mvsn"
+    createSnowflake(s, factDir, mvDir,
+      Seq(
+        SnowDim(d1Dir, fk = "shard", pk = "doc_id", pfx = "d1_"),
+        SnowDim(d2Dir, fk = "d1_catk", pk = "doc_id", pfx = "d2_")),
+      groups = Seq("d2_zone", "d1_region", "uid"), aggs = Seq(
+        MvAgg("n_docs", "count"),
+        MvAgg("sum_ids", "sum", "doc_id"),
+        MvAgg("xor_ids", "xor", "doc_id"),
+        MvAgg("max_doc", "max", "doc_id")), buckets = 8)
+    s.sql("DELETE FROM graft_mvsn.fact_mvsn WHERE doc_id >= 900") // f4
+    val r1 = refresh(s, factDir, mvDir)
+    // BOTH dim windows fold in ONE refresh, composed in order
+    s.sql("UPDATE graft_mvsn.dim1_mvsn SET region = 'rX' WHERE doc_id = 7") // d5
+    s.sql("UPDATE graft_mvsn.dim2_mvsn SET zone = 'zX' WHERE doc_id = 1") // e4
+    val r2 = refresh(s, factDir, mvDir)
+    ingest(1200L, 1400L) // f5
+    val r3 = refresh(s, factDir, mvDir)
+    val stats = Seq(r1, r2, r3)
+    val (fv, dvs) = lastSourceVersionsAll(mvDir)
+    read(s, mvDir)
+      .withColumn("n_refreshes", lit(stats.count(_.applied).toLong))
+      .withColumn("change_rows", lit(stats.map(_.changeRows).sum))
+      .withColumn("mv_version", lit(currentVersion(mvDir)))
+      .withColumn("fact_version", lit(fv))
+      .withColumn("dim1_version", lit(dvs.head))
+      .withColumn("dim2_version", lit(dvs(1)))
+      .orderBy("d2_zone", "d1_region", "uid")
+  }
+
+  /** DuckDB re-derivation: live fact rows are `doc_id < 900 OR 1200 <=
+    * doc_id < 1400`; uid = doc % 150; shard s = doc % 16 maps region rX
+    * for 7 else r(s % 3), and zone zX for catk s % 4 = 1 else
+    * z((s % 4) % 2). Constants: 3 refreshes; change rows 300 (tail
+    * delete through the chain) + 562 in the one double-dim window (the
+    * d1 update: 56 live shard-7 rows × ±, joined against d2@OLD; the d2
+    * update: live catk-1 rows — shards 1/5/9/13 → 57+56+56+56 = 225 —
+    * × ±, joined against d1@NEW) + 200 (append) = 1062; MV v4 = create
+    * + 3; fact v5; dim1 v5 (bootstrap + 2 ALTERs + map + update); dim2
+    * v4 (bootstrap + ALTER + map + update).
+    */
+  val mvSnowflakeReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 150 AS uid, doc_id % 16 AS s
+      |  FROM range(0, 1400) t(doc_id)
+      |  WHERE doc_id < 900 OR doc_id >= 1200),
+      |m AS (
+      |  SELECT doc_id, uid,
+      |         CASE WHEN s = 7 THEN 'rX' ELSE 'r' || CAST(s % 3 AS VARCHAR) END AS d1_region,
+      |         CASE WHEN s % 4 = 1 THEN 'zX' ELSE 'z' || CAST((s % 4) % 2 AS VARCHAR) END AS d2_zone
+      |  FROM g)
+      |SELECT d2_zone, d1_region, uid, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+      |       CAST(3 AS BIGINT) AS n_refreshes,
+      |       CAST(1062 AS BIGINT) AS change_rows,
+      |       CAST(4 AS BIGINT) AS mv_version,
+      |       CAST(5 AS BIGINT) AS fact_version,
+      |       CAST(5 AS BIGINT) AS dim1_version,
+      |       CAST(4 AS BIGINT) AS dim2_version
+      |FROM m GROUP BY d2_zone, d1_region, uid
+      |ORDER BY d2_zone, d1_region, uid""".stripMargin
+
+  /** A single-table MV definition + raw slot-level state, consumed by the
+    * automatic query-rewrite rule ([[SinkMvRewrite]]): the distributed
+    * state frame carries the group columns plus, per aggregate i, its
+    * value slot `_v<i>` and non-null counter `_c<i>` — enough to
+    * re-derive every aggregate EXACTLY (including SQL NULL-ness) after
+    * folding a change-feed tail on top.
+    */
+  private[sources] final case class MvSlots(
+      state: DataFrame, src: String, groups: Seq[String], aggs: Seq[MvAgg],
+      pred: String, srcV: Long, isJoin: Boolean) {
+    def slotValue(i: Int): String = slotV(i)
+    def slotCounter(i: Int): String = slotC(i)
+  }
+
+  private[sources] def slotState(spark: SparkSession, mvDir: String): MvSlots = {
+    val v = currentVersion(mvDir)
+    require(v > 0L, s"no distributed materialized view at $mvDir")
+    val st = readHeaderAt(mvDir, v)
+    MvSlots(stateDf(spark, mvDir, st, None), st.src, st.groups, st.aggs,
+      st.pred, st.srcV, st.joins.nonEmpty)
+  }
+
   /** O(one bucket) POINT READ of the view — the KV-probe pattern over MV
     * state: the key's bucket is derived with the SAME Spark expression
     * the writers use (evaluated on a one-row frame, so it can never
@@ -866,11 +1261,30 @@ object SinkMvDist {
     val st = readHeaderAt(mvDir, v)
     require(key.length == st.groups.length,
       s"lookup key has ${key.length} values for ${st.groups.length} group columns")
+    // validate/coerce each key value against its group column's declared
+    // type BEFORE building the probe frame: a mismatched value (e.g. a
+    // Long for an int column) would otherwise surface as an opaque
+    // encoder error deep in createDataFrame (review fix). Lossless
+    // numeric widening/narrowing is accepted; anything else names the
+    // column and the expected type.
+    val coerced: Seq[Any] = st.groups.zip(st.gtypes).zip(key).map {
+      case (_, null) => null
+      case ((_, "int"), v: java.lang.Integer) => v
+      case ((n, "int"), v: java.lang.Long) =>
+        require(v.longValue == v.intValue,
+          s"lookup key for group column '$n' (int) out of range: $v")
+        Int.box(v.intValue)
+      case ((_, "long"), v: java.lang.Long) => v
+      case ((_, "long"), v: java.lang.Integer) => Long.box(v.longValue)
+      case ((_, "string"), v: String) => v
+      case ((n, t), v) => throw new IllegalArgumentException(
+        s"lookup key for group column '$n' expects $t, got ${v.getClass.getSimpleName}: $v")
+    }
     val keySchema = StructType(st.groups.zip(st.gtypes).map { case (n, t) =>
       StructField(n, SinkMatView.gdt(t), nullable = true)
     })
     val keyDf = spark.createDataFrame(
-      java.util.Collections.singletonList(org.apache.spark.sql.Row.fromSeq(key)),
+      java.util.Collections.singletonList(org.apache.spark.sql.Row.fromSeq(coerced)),
       keySchema)
     val b = keyDf.select(bucketCol(st, st.groups.map(col)).as("_b"))
       .collect().head.getInt(0)
@@ -906,15 +1320,19 @@ object SinkMvDist {
       val stateV = currentVersion(mvDir)
       require(stateV > 0L, s"no distributed materialized view at $mvDir")
       val st = readHeaderAt(mvDir, stateV)
-      if (st.buckets == newBuckets) {
-        // a lost race against a concurrent rebucket to the SAME count is
-        // the desired state, not an error (review fix); only a first
-        // attempt on an already-matching MV refuses as a misuse signal
-        if (attempt > 0) return
-        throw new IllegalArgumentException(
-          s"the MV at $mvDir already has $newBuckets buckets")
+      if (st.buckets == newBuckets && st.hashv >= 2) {
+        // the desired end state already holds (same count, current hash
+        // input) — an IDEMPOTENT no-op on every attempt, not just after a
+        // lost flip: a concurrent rebucket to the same count that commits
+        // before this caller's first header read must not turn into an
+        // error one flip earlier than the identical race would succeed
+        // (review fix). The misuse signal is a counter, not an exception.
+        rebucketNoops.incrementAndGet()
+        return
       }
-      val newSt = st.copy(buckets = newBuckets)
+      // same count + hashv 1 falls through: the rewrite IS the migration
+      // to the v2 (tab-separated) bucket hash input
+      val newSt = st.copy(buckets = newBuckets, hashv = 2)
       val full = stateDf(spark, mvDir, st, None)
       try {
         val refs = writeSegments(mvDir, stateV + 1L, newSt, full)
@@ -926,6 +1344,134 @@ object SinkMvDist {
       }
     }
   }
+
+  /** Per-bucket state-segment METADATA — (bucket, n_files, bytes) from
+    * file status only, zero data IO: the policy input for
+    * [[autoRebucket]], exposed the way the table format exposes its
+    * partitions metadata table. Bytes proxy rows (fixed-width TSV cells),
+    * so the growth/skew thresholds need no state scan.
+    */
+  def bucketStats(mvDir: String): Seq[(Int, Int, Long)] = {
+    val v = currentVersion(mvDir)
+    require(v > 0L, s"no distributed materialized view at $mvDir")
+    val st = readHeaderAt(mvDir, v)
+    val fs = SinkFs.fsOf(new Path(mvDir))
+    st.refs.groupBy(_._1).toSeq.map { case (b, files) =>
+      (b, files.size,
+        files.map(f => fs.getFileStatus(new Path(mvDir, f._2)).getLen).sum)
+    }.sortBy(_._1)
+  }
+
+  /** STATS-TRIGGERED auto-rebucket — the dist-MV analogue of the table's
+    * auto-compact: a view whose group cardinality outgrew its bucket
+    * count makes every refresh rewrite outsized segment files, so when
+    * the MEAN bucket size crosses `targetBytesPerBucket` the state is
+    * rebucketed to the power-of-two count that brings it back under
+    * target (capped at `maxBuckets`); a max/mean ratio past `skewFactor`
+    * (adversarial key clustering) doubles the count instead. Returns the
+    * new bucket count when triggered, None otherwise — an untriggered
+    * call costs O(segment files) driver metadata reads and nothing else.
+    * Query results are IDENTICAL before and after (rebucket changes only
+    * carry-forward granularity; spec- and gate-pinned).
+    */
+  def autoRebucket(
+      spark: SparkSession, mvDir: String, targetBytesPerBucket: Long,
+      skewFactor: Double = 4.0, maxBuckets: Int = 4096): Option[Int] = {
+    require(targetBytesPerBucket > 0L, "targetBytesPerBucket must be positive")
+    val v = currentVersion(mvDir)
+    require(v > 0L, s"no distributed materialized view at $mvDir")
+    val st = readHeaderAt(mvDir, v)
+    val stats = bucketStats(mvDir)
+    val total = stats.map(_._3).sum
+    val mean = total.toDouble / math.max(1, st.buckets)
+    val maxBytes = stats.map(_._3).foldLeft(0L)(math.max)
+    def pow2ceil(x: Long): Int = {
+      var n = 1
+      while (n < x && n < maxBuckets) n <<= 1
+      n
+    }
+    val want = pow2ceil(math.ceil(total.toDouble / targetBytesPerBucket).toLong)
+    if (mean > targetBytesPerBucket && want > st.buckets) {
+      rebucket(spark, mvDir, want)
+      Some(want)
+    } else if (st.buckets > 1 && st.buckets < maxBuckets &&
+      maxBytes > skewFactor * math.max(1.0, mean)) {
+      val n = math.min(maxBuckets, st.buckets * 2)
+      rebucket(spark, mvDir, n)
+      Some(n)
+    } else None
+  }
+
+  /** Driver-checked AUTO-REBUCKET (round 17): a per-doc-grain MV born
+    * with 2 buckets outgrows them through two ingest windows; the policy
+    * triggers ONE metadata-driven rebucket (mean bucket bytes over
+    * target → next power of two), after which the view answers
+    * identically (asOf time travel across the flip is part of the
+    * gate: n_diff compares the pre-rebucket version against the current
+    * read). A second policy call is a recorded non-trigger.
+    */
+  def mvAutoRebucketReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mvar:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmvar_$sfx")
+    SinkFs.deleteRecursively(root)
+    val dir = new java.io.File(root, "docs_mvar").getPath
+    val mvDir = dir + ".mvd"
+    val s = spark.newSession()
+    def append(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "2400").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.format("graft.sources.ShardSinkSource")
+        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    append(0L, 400L) // v1: small enough for 2 buckets
+    create(s, dir, mvDir, Seq("doc_id"), Seq(
+      MvAgg("n_docs", "count"),
+      MvAgg("sum_len", "sum", "length(body)")), buckets = 2)
+    append(400L, 2400L) // v2: 6x growth
+    refresh(s, dir, mvDir) // MV v2
+    val before = bucketStats(mvDir)
+    val vBefore = currentVersion(mvDir)
+    // ~2400 rows × ~15 TSV bytes ≫ 2 × 4 KiB → the growth trigger fires
+    val triggered = autoRebucket(s, mvDir, targetBytesPerBucket = 4096L)
+    val after = bucketStats(mvDir)
+    val again = autoRebucket(s, mvDir, targetBytesPerBucket = 4096L)
+    val pre = read(s, mvDir, asOf = Some(vBefore))
+    val cur = read(s, mvDir)
+    val nDiff = cur.exceptAll(pre).union(pre.exceptAll(cur)).count()
+    cur
+      .groupBy((col("doc_id") % 16L).as("shard"))
+      .agg(count(lit(1)).as("n_groups"), sum("n_docs").as("n_docs"),
+        sum("sum_len").as("sum_len"))
+      .withColumn("buckets_before", lit(before.map(_._1).toSet.size.toLong))
+      .withColumn("rebucketed", lit(if (triggered.isDefined) 1L else 0L))
+      .withColumn("buckets_after_ge8",
+        lit(if (after.map(_._1).toSet.size >= 8) 1L else 0L))
+      .withColumn("retriggered", lit(if (again.isDefined) 1L else 0L))
+      .withColumn("mv_version", lit(currentVersion(mvDir)))
+      .withColumn("n_diff", lit(nDiff))
+      .orderBy("shard")
+  }
+
+  /** DuckDB re-derivation: 2400 per-doc groups (count 1, 32-char bodies)
+    * rolled up per doc % 16. Constants: 2 populated buckets before; the
+    * policy triggers once (2400 × ~15 B ≫ 2 × 4 KiB) to ≥ 8 buckets and
+    * does NOT re-trigger at the new layout; MV v3 = create + refresh +
+    * rebucket; time travel across the flip shows 0 row diff.
+    */
+  val mvAutoRebucketReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 16 AS shard FROM range(0, 2400) t(doc_id))
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(COUNT(*) * 32 AS BIGINT) AS sum_len,
+      |       CAST(2 AS BIGINT) AS buckets_before,
+      |       CAST(1 AS BIGINT) AS rebucketed,
+      |       CAST(1 AS BIGINT) AS buckets_after_ge8,
+      |       CAST(0 AS BIGINT) AS retriggered,
+      |       CAST(3 AS BIGINT) AS mv_version,
+      |       CAST(0 AS BIGINT) AS n_diff
+      |FROM g GROUP BY shard ORDER BY shard""".stripMargin
 
   /** Sweep superseded headers and every state segment no RETAINED header
     * references, plus aged staging/tmp litter from crashed flips. Carried

@@ -123,16 +123,31 @@ object SinkMvJoin {
 
   // ---- the joined relation --------------------------------------------------
 
-  /** The dim side under its `d_` prefix. `extra` columns (a sign computed
-    * from the dim change feed) ride along un-prefixed.
+  /** The dim side under its prefix (`d_` for the classic star MV; a
+    * snowflake MV names one per dim, e.g. `d1_`/`d2_`). `extra` columns
+    * (a sign computed from the dim change feed) ride along un-prefixed.
+    * Only the KNOWN change-feed columns are excluded from prefixing — an
+    * underscore-leading dim DATA column (legal per ADD COLUMN's
+    * identifier rule, e.g. `_score`) is a real definition-surface column
+    * and appears as `d__score`, instead of silently vanishing from the
+    * join (review fix).
     */
-  private[sources] def dimView(df: DataFrame, extra: Seq[String] = Nil): DataFrame = {
-    val dataCols = df.columns.filterNot(c => c.startsWith("_") || extra.contains(c))
-    df.select(extra.map(col) ++ dataCols.map(c => col(c).as(s"d_$c")): _*)
+  private val FeedCols = Set("_change_type", "_commit_version", "_sign")
+  private[sources] def dimView(
+      df: DataFrame, pfx: String = "d_", extra: Seq[String] = Nil): DataFrame = {
+    val dataCols = df.columns.filterNot(c => FeedCols.contains(c) || extra.contains(c))
+    df.select(extra.map(col) ++ dataCols.map(c => col(c).as(s"$pfx$c")): _*)
   }
 
-  private[sources] def joinedFrame(fact: DataFrame, dimPrefixed: DataFrame, fk: String, pk: String): DataFrame =
-    fact.join(dimPrefixed, fact(fk) === dimPrefixed(s"d_$pk"), "inner")
+  /** `left ⋈ dim ON left.fk = dim.<pfx>pk` — `left` is the fact, or (in a
+    * snowflake chain) the fact already joined to earlier dims, with `fk`
+    * resolving against any of its columns (so a chain dim can key off a
+    * PREFIXED column of an earlier dim, e.g. fk = "d1_cat").
+    */
+  private[sources] def joinedFrame(
+      left: DataFrame, dimPrefixed: DataFrame, fk: String, pk: String,
+      pfx: String = "d_"): DataFrame =
+    left.join(dimPrefixed, left(fk) === dimPrefixed(s"$pfx$pk"), "inner")
 
   private def factAt(spark: SparkSession, st: MvjState, v: Long): DataFrame =
     SinkMatView.srcAt(spark, st.fact, v)
@@ -170,6 +185,84 @@ object SinkMvJoin {
       s"join-MV dim key '$pk' is not unique after this window — refusing a fold " +
         "that would double contributions")
   }
+
+  /** One dim of a join definition inside a refresh window: its directory,
+    * the join key (`fk` resolves against the fact or an EARLIER dim's
+    * prefixed columns — the snowflake chain), its unique key `pk`, its
+    * column prefix, and its version window (fromV == toV ⇒ unchanged).
+    */
+  private[sources] final case class DimWindow(
+      dim: String, fk: String, pk: String, pfx: String, fromV: Long, toV: Long)
+
+  /** THE shared signed contribution stream of one refresh window — the
+    * delta-join decomposition, generalized to a dim CHAIN and applied in
+    * a fixed composition order so the windows telescope exactly:
+    *
+    *   J(f′, d1′, …, dk′) − J(f, d1, …, dk)
+    *     = Σᵢ [ f@old ⋈ d1′…dᵢ₋₁′@NEW ⋈ Δdᵢ ⋈ dᵢ₊₁…dk@OLD ]
+    *     +    [ Δf ⋈ d1′…dk′@NEW ]
+    *
+    * — dim i's delta joins every EARLIER dim at its new version and every
+    * LATER dim at its old version; the fact delta joins all dims new.
+    * One builder for BOTH state backends: the blob MV
+    * ([[SinkMvJoin.refreshOnce]]) and the distributed bucketed state
+    * ([[SinkMvDist]]'s join refresh) feed the SAME frame to their folds.
+    * Parts expose their snapshots' OWN columns and union BY NAME with
+    * null-fill — a column added between the watermarks is NULL in the
+    * old-snapshot part, which is exactly what those rows held there (a
+    * fixed newest-schema column list would fail to resolve on the pinned
+    * old snapshot and wedge the refresh). Changed dim keys are
+    * uniqueness-checked per window. At least one window must be
+    * non-empty. Signs ride on the single Δ side of each part: a dim
+    * update is (−old attrs, +new attrs) against the SAME joined rows, so
+    * rows MOVE between groups with no rescan.
+    */
+  private[sources] def contributionStream(
+      spark: SparkSession, fact: String, factV: Long, factTo: Long,
+      dims: Seq[DimWindow]): DataFrame = {
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    dims.zipWithIndex.foreach { case (d, i) =>
+      if (d.toV > d.fromV) {
+        val dCh = SinkMatView.changes(spark, d.dim, d.fromV, d.toV)
+          .withColumn("_sign", signOf(col("_change_type")))
+        val dChPrefixed = dimView(dCh, d.pfx, extra = Seq("_sign"))
+        requireUniqueKeys(
+          SinkMatView.srcAt(spark, d.dim, d.toV), d.pk,
+          dChPrefixed.select(col(s"${d.pfx}${d.pk}").as(d.pk)))
+        parts += dims.zipWithIndex.foldLeft(
+          SinkMatView.srcAt(spark, fact, factV)) { case (acc, (dj, j)) =>
+          val side =
+            if (j < i) dimView(SinkMatView.srcAt(spark, dj.dim, dj.toV), dj.pfx)
+            else if (j == i) dChPrefixed
+            else dimView(SinkMatView.srcAt(spark, dj.dim, dj.fromV), dj.pfx)
+          joinedFrame(acc, side, dj.fk, dj.pk, dj.pfx)
+        }
+      }
+    }
+    if (factTo > factV) {
+      val fCh = SinkMatView.changes(spark, fact, factV, factTo)
+        .withColumn("_sign", signOf(col("_change_type")))
+        .drop("_change_type", "_commit_version")
+      parts += dims.foldLeft(fCh) { (acc, dj) =>
+        joinedFrame(acc, dimView(SinkMatView.srcAt(spark, dj.dim, dj.toV), dj.pfx),
+          dj.fk, dj.pk, dj.pfx)
+      }
+    }
+    require(parts.nonEmpty, "empty refresh window has no contribution stream")
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The joined fact⋈dims relation pinned at explicit versions (each
+    * DimWindow read at its `toV`) — the dirty-group recompute target both
+    * backends aggregate over.
+    */
+  private[sources] def joinedAt(
+      spark: SparkSession, fact: String, factV: Long,
+      dims: Seq[DimWindow]): DataFrame =
+    dims.foldLeft(SinkMatView.srcAt(spark, fact, factV)) { (acc, d) =>
+      joinedFrame(acc, dimView(SinkMatView.srcAt(spark, d.dim, d.toV), d.pfx),
+        d.fk, d.pk, d.pfx)
+    }
 
   // ---- create ---------------------------------------------------------------
 
@@ -241,42 +334,15 @@ object SinkMvJoin {
   private def refreshOnce(
       spark: SparkSession, mvDir: String, st: MvjState,
       stateV: Long, factTo: Long, dimTo: Long): RefreshStats = {
-    // each part exposes its snapshot's own columns (fact data columns,
-    // dim's under d_, the signed weight); the parts union BY NAME with
-    // null-fill, so a column ADDED between the two watermarks is simply
-    // NULL in the old-snapshot part — exactly the value those rows had
-    // there (a fixed column list from the newest schema would instead
-    // fail to resolve against the pinned old snapshot and wedge the
-    // refresh forever — review fix)
-    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    // [Δd ⋈ f] — dim deltas against the OLD fact snapshot. Signs ride on
-    // the dim side: a dim update is (−old attrs, +new attrs) against the
-    // SAME fact rows.
-    if (dimTo > st.dimV) {
-      val dCh = SinkMatView.changes(spark, st.dim, st.dimV, dimTo)
-        .withColumn("_sign", signOf(col("_change_type")))
-      val dChPrefixed = dimView(dCh, extra = Seq("_sign"))
-      requireUniqueKeys(
-        dimAt(spark, st, dimTo), st.pk,
-        dChPrefixed.select(col(s"d_${st.pk}").as(st.pk)))
-      parts += joinedFrame(factAt(spark, st, st.factV), dChPrefixed, st.fk, st.pk)
-    }
-    // [Δf ⋈ d'] — fact deltas against the NEW dim snapshot.
-    if (factTo > st.factV) {
-      val fCh = SinkMatView.changes(spark, st.fact, st.factV, factTo)
-        .withColumn("_sign", signOf(col("_change_type")))
-        .drop("_change_type", "_commit_version")
-      parts += joinedFrame(fCh, dimView(dimAt(spark, st, dimTo)), st.fk, st.pk)
-    }
-    val ch = parts.reduce(_.unionByName(_, allowMissingColumns = true)).persist()
+    val win = Seq(DimWindow(st.dim, st.fk, st.pk, "d_", st.dimV, dimTo))
+    val ch = contributionStream(spark, st.fact, st.factV, factTo, win).persist()
     try {
       val outcome = SinkMatView.foldChanges(
         st.groups, st.aggs, SinkMatView.filtered(ch, st.pred), col("_sign"), st.rows,
         (dirtyKeys, dirtyAggIdx) => {
           val aggsToFix = dirtyAggIdx.map(i => SinkMatView.aggColumn(st.aggs(i)))
           SinkMatView.filtered(
-            joinedFrame(factAt(spark, st, factTo),
-              dimView(dimAt(spark, st, dimTo)), st.fk, st.pk), st.pred)
+            joinedAt(spark, st.fact, factTo, win), st.pred)
             .where(SinkMatView.groupFilter(st.groups, st.gtypes, dirtyKeys))
             .groupBy(st.groups.map(col): _*)
             .agg(aggsToFix.head, aggsToFix.tail: _*)

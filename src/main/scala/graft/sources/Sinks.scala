@@ -224,6 +224,10 @@ object Sinks {
     "q_dsv2_mv_join" -> (SinkMvJoin.mvJoinReport _),
     "q_dsv2_mv_restore" -> (SinkMatView.mvRestoreReport _),
     "q_dsv2_mv_join_dist" -> (SinkMvDist.mvJoinDistReport _),
+    "s_mvjoin_stream_parity" -> (SinkMvDist.mvJoinStreamParity _),
+    "q_dsv2_mv_snowflake" -> (SinkMvDist.mvSnowflakeReport _),
+    "q_dsv2_mv_rewrite" -> (SinkMvRewrite.mvRewriteReport _),
+    "q_dsv2_mv_auto_rebucket" -> (SinkMvDist.mvAutoRebucketReport _),
     "q_dsv2_zorder_cols" -> (SinkColStats.zorderColsReport _),
     "q_dsv2_meta_col_minmax" -> (SinkColStats.metaColMinMaxReport _),
     "q_dsv2_restore" -> (ShardSink.restoreReport _),
@@ -289,6 +293,10 @@ object Sinks {
     "q_dsv2_mv_join" -> SinkMvJoin.mvJoinReportSql,
     "q_dsv2_mv_restore" -> SinkMatView.mvRestoreReportSql,
     "q_dsv2_mv_join_dist" -> SinkMvDist.mvJoinDistReportSql,
+    "s_mvjoin_stream_parity" -> SinkMvDist.mvJoinStreamParitySql,
+    "q_dsv2_mv_snowflake" -> SinkMvDist.mvSnowflakeReportSql,
+    "q_dsv2_mv_rewrite" -> SinkMvRewrite.mvRewriteReportSql,
+    "q_dsv2_mv_auto_rebucket" -> SinkMvDist.mvAutoRebucketReportSql,
     "q_dsv2_zorder_cols" -> SinkColStats.zorderColsReportSql,
     "q_dsv2_meta_col_minmax" -> SinkColStats.metaColMinMaxReportSql,
     "q_dsv2_restore" -> ShardSink.restoreReportSql,

@@ -70,22 +70,41 @@ object TextOps {
       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
 
-  /** Sketch twin of [[wordFreq]] (and the third of the sketch family, with
-    * HLL distinct and t-digest percentiles): `approx_top_k` builds a
-    * mergeable frequency sketch per partition — single pass, bounded
-    * memory, and the only thing crossing the exchange is one sketch per
-    * partition, not the token cardinality. Estimates → rows-only check;
-    * the exact twins ([[wordFreq]], [[bigramTopK]]) are the oracle-checked
-    * baselines. Result projected to scalar rows (the harness can't sort
-    * struct-array cells).
+  /** Sketch twin of [[wordFreq]] — a DETERMINISTIC hash-bucketed count
+    * sketch (count-min with depth 1, width 8192, hash = the pinned
+    * md5-derived 60-bit family every oracle-checked sketch here uses):
+    * token occurrences fold into `pmod(h(token), 8192)` counters — fixed
+    * memory regardless of vocabulary, mergeable across partitions
+    * (map-side combined), one pass — and a token's estimate is its
+    * bucket's counter, an over-count exactly when the bucket collides.
+    * Candidates probe the sketch through a BROADCAST of the 8192-row
+    * counter table. Round 17 upgrade (the treatment MinHash got in round
+    * 6): a seed-pinned arithmetic hash instead of `approx_top_k`'s
+    * opaque sketch makes the whole estimate re-derivable in SQL, so this
+    * sits under the DuckDB HASH gate — over-counts and all — leaving
+    * only the genuinely randomized sketches (HLL, t-digest) rows-only.
+    * The exact twin [[wordFreq]] remains the accuracy baseline.
     */
-  def approxTopWords(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  def approxTopWords(spark: SparkSession, sfDir: String): DataFrame = {
+    val SketchWidth = 8192L
+    val toks = Tables.documents(spark, sfDir)
       .select(explode(tokens(col("text"))).as("token"))
-      .agg(expr("approx_top_k(token, 20, 10000)").as("tk"))
-      .select(explode(col("tk")).as("e"))
-      .select(col("e.item").as("token"), col("e.count").as("n_approx"))
+      .withColumn("bkt", pmod(md5Hash60(col("token")), lit(SketchWidth)))
+    val sketch = toks.groupBy("bkt").agg(count(lit(1)).as("n_approx"))
+    toks.select("token", "bkt").distinct()
+      .join(broadcast(sketch), "bkt")
+      .select(col("token"), col("n_approx"))
       .orderBy(desc("n_approx"), asc("token"))
+      .limit(20)
+  }
+
+  val approxTopWordsSql: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |b AS (SELECT token, ${md5Hash60Sql("token")} % 8192 AS bkt FROM tok),
+      |sk AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n_approx FROM b GROUP BY bkt),
+      |cand AS (SELECT DISTINCT token, bkt FROM b)
+      |SELECT token, n_approx FROM cand JOIN sk USING (bkt)
+      |ORDER BY n_approx DESC, token LIMIT 20""".stripMargin
 
   /** Bigram LM table — conditional probabilities P(w2 | w1) = c12 / c1
     * with c1 the bigram-prefix total (so Σ_w2 p = 1 per w1), the count
@@ -880,6 +899,7 @@ object TextOps {
     "t_shuffle_delta" -> shuffleDeltaSql,
     "x5_text_stats" -> textStatsSql,
     "x5_word_freq" -> wordFreqSql,
+    "x5_approx_top_words" -> approxTopWordsSql,
     "t_quality_score" -> qualityScoreSql,
     "t_token_budget" -> tokenBudgetSql,
     "t_fingerprints" -> fingerprintsSql,

@@ -219,6 +219,80 @@ class SinkMvDistSpec extends SparkSpec {
     assert(e.getMessage.contains("gap"))
   }
 
+  test("streaming JOIN MV: per-source batches fold under per-source watermarks") {
+    val root = java.nio.file.Files.createTempDirectory("mvdjs").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.mvdjs", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.mvdjs.root", root)
+    s.conf.set("spark.sql.catalog.mvdjs.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mvdjs.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mvdjs.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1200").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("mvdjs.dim").append() // d1
+    s.sql("ALTER TABLE mvdjs.dim ADD COLUMN region STRING") // d2
+    docs(0L, 16L)
+      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
+      .writeTo("mvdjs.dim").append() // d3
+    docs(0L, 600L).writeTo("mvdjs.fact").append() // f1
+    val factDir = new java.io.File(root, "fact").getPath
+    val dimDir = new java.io.File(root, "dim").getPath
+    val mvDir = factDir + ".mvdjs"
+    SinkMvDist.createJoin(s, factDir, dimDir, mvDir, "shard", "doc_id",
+      Seq("d_region"),
+      Seq(MvAgg("n", "count"), MvAgg("sd", "sum", "doc_id"),
+        MvAgg("hi", "max", "doc_id")), buckets = 4)
+    def changesOf(dir: String, fromV: Long, toV: Long) =
+      s.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("readChangeFeed", "true")
+        .option("changeFeedFrom", fromV).option("changeFeedTo", toV).load()
+    def parity(): Unit = {
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val (fv, dv) = SinkMvDist.lastSourceVersions(mvDir)
+      val d = graft.sources.SinkTestAccess.srcAt(s, dimDir, dv)
+        .select(col("doc_id").as("_pk"), col("region").as("d_region"))
+      val want = canon(graft.sources.SinkTestAccess.srcAt(s, factDir, fv)
+        .join(d, col("shard") === col("_pk"))
+        .groupBy(col("d_region"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"), max("doc_id").as("hi")))
+      assert(canon(SinkMvDist.read(s, mvDir)) === want)
+    }
+    // a FACT batch folds [Δf ⋈ d@dimV] under the fact watermark
+    s.sql("DELETE FROM mvdjs.fact WHERE doc_id >= 400") // f2: dirties maxes
+    val stF = SinkMvDist.refreshFromChanges(s, factDir, mvDir, changesOf(factDir, 1L, 2L), 2L)
+    assert(stF.applied && stF.changeRows === 200L)
+    assert(SinkMvDist.lastSourceVersions(mvDir) === ((2L, 3L)))
+    parity()
+    // its replay is a recorded no-op
+    assert(!SinkMvDist.refreshFromChanges(s, factDir, mvDir, changesOf(factDir, 1L, 2L), 2L).applied)
+    // a DIM batch folds [Δd ⋈ f@factV] under the dim watermark: fact rows
+    // move between groups with no rescan
+    s.sql("UPDATE mvdjs.dim SET region = 'rX' WHERE doc_id = 5") // d4
+    val stD = SinkMvDist.refreshFromChanges(s, dimDir, mvDir, changesOf(dimDir, 3L, 4L), 4L)
+    assert(stD.applied)
+    assert(SinkMvDist.lastSourceVersions(mvDir) === ((2L, 4L)))
+    parity()
+    assert(SinkMvDist.read(s, mvDir).collect().exists(_.getString(0) == "rX"))
+    // a fact gap over a no-data commit fast-forwards; a gap hiding DATA
+    // fails loudly on ITS source
+    ShardSink.compact(factDir) // f3: no-data
+    docs(600L, 700L).writeTo("mvdjs.fact").append() // f4
+    val stG = SinkMvDist.refreshFromChanges(s, factDir, mvDir, changesOf(factDir, 3L, 4L), 4L)
+    assert(stG.applied)
+    parity()
+    docs(700L, 800L).writeTo("mvdjs.fact").append() // f5 (data, to be skipped)
+    docs(800L, 900L).writeTo("mvdjs.fact").append() // f6
+    val e = intercept[IllegalArgumentException](
+      SinkMvDist.refreshFromChanges(s, factDir, mvDir, changesOf(factDir, 5L, 6L), 6L))
+    assert(e.getMessage.contains("gap"), e.getMessage)
+    // a batch from a table the MV does not materialize is rejected
+    val e2 = intercept[IllegalArgumentException](
+      SinkMvDist.refreshFromChanges(s, dimDir + "x", mvDir, changesOf(dimDir, 3L, 4L), 4L))
+    assert(e2.getMessage.contains("materializes"), e2.getMessage)
+  }
+
   test("concurrent refresh: the loser retries into a no-op, never a double-apply") {
     val dir = freshDir("mvd_race")
     val mvDir = mvDirOf(dir)
@@ -306,6 +380,123 @@ class SinkMvDistSpec extends SparkSpec {
     assert(!SinkMvDist.refresh(s, factDir, mvDir).applied)
   }
 
+  test("snowflake MV: fact⋈dim1⋈dim2 chain folds from all three feeds, composed in order") {
+    val root = java.nio.file.Files.createTempDirectory("mvd_snow").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.mvds", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.mvds.root", root)
+    s.conf.set("spark.sql.catalog.mvds.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mvds.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mvds.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1600").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    // dim2 (outer ring): keys 0..3, zone z(k%2)
+    docs(0L, 0L).writeTo("mvds.dim2").append()
+    s.sql("ALTER TABLE mvds.dim2 ADD COLUMN zone STRING")
+    docs(0L, 4L)
+      .withColumn("zone", concat(lit("z"), (col("doc_id") % 2).cast("string")))
+      .writeTo("mvds.dim2").append()
+    // dim1 (inner ring): keys 0..15, region r(k%3), catk = k%4 → dim2 key
+    docs(0L, 0L).writeTo("mvds.dim1").append()
+    s.sql("ALTER TABLE mvds.dim1 ADD COLUMN region STRING")
+    s.sql("ALTER TABLE mvds.dim1 ADD COLUMN catk BIGINT")
+    docs(0L, 16L)
+      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
+      .withColumn("catk", (col("doc_id") % 4).cast("long"))
+      .writeTo("mvds.dim1").append()
+    docs(0L, 800L).writeTo("mvds.fact").append()
+    val factDir = new java.io.File(root, "fact").getPath
+    val d1Dir = new java.io.File(root, "dim1").getPath
+    val d2Dir = new java.io.File(root, "dim2").getPath
+    val mvDir = factDir + ".mvds"
+    SinkMvDist.createSnowflake(s, factDir, mvDir,
+      Seq(
+        SinkMvDist.SnowDim(d1Dir, fk = "shard", pk = "doc_id", pfx = "d1_"),
+        SinkMvDist.SnowDim(d2Dir, fk = "d1_catk", pk = "doc_id", pfx = "d2_")),
+      groups = Seq("d2_zone", "d1_region"),
+      aggs = Seq(MvAgg("n", "count"), MvAgg("sd", "sum", "doc_id"),
+        MvAgg("hi", "max", "doc_id")), buckets = 4)
+    def parity(): Unit = {
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val d1 = s.read.table("mvds.dim1")
+        .select(col("doc_id").as("_pk1"), col("region").as("d1_region"),
+          col("catk").as("d1_catk"))
+      val d2 = s.read.table("mvds.dim2")
+        .select(col("doc_id").as("_pk2"), col("zone").as("d2_zone"))
+      val want = canon(s.read.table("mvds.fact")
+        .join(d1, col("shard") === col("_pk1"))
+        .join(d2, col("d1_catk") === col("_pk2"))
+        .groupBy(col("d2_zone"), col("d1_region"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"), max("doc_id").as("hi")))
+      assert(canon(SinkMvDist.read(s, mvDir)) === want)
+    }
+    parity()
+    // fact window: tail delete dirties extremes → recompute through the
+    // FULL chain join, pruned to dirty groups
+    s.sql("DELETE FROM mvds.fact WHERE doc_id >= 600")
+    val r1 = SinkMvDist.refresh(s, factDir, mvDir)
+    assert(r1.applied && r1.changeRows === 200L && r1.dirtyGroups > 0L, r1.toString)
+    parity()
+    // BOTH dim windows in ONE refresh — the composition order the
+    // telescoping fixes: Δd1 joins d2@OLD, Δd2 joins d1@NEW
+    s.sql("UPDATE mvds.dim1 SET region = 'rX' WHERE doc_id = 7")
+    s.sql("UPDATE mvds.dim2 SET zone = 'zX' WHERE doc_id = 1")
+    val r2 = SinkMvDist.refresh(s, factDir, mvDir)
+    assert(r2.applied)
+    parity()
+    val got = SinkMvDist.read(s, mvDir).collect()
+    assert(got.exists(_.getString(1) == "rX") && got.exists(_.getString(0) == "zX"))
+    // fact append against BOTH evolved dims; all three watermarks current.
+    // IO pin: the clean fold opens ONLY the appended commit's fact files
+    // plus the (control-plane small) dims — never the fact census
+    val factFilesBefore = graft.sources.SinkTestAccess.resolveBase(factDir)._2.length
+    docs(800L, 1000L).writeTo("mvds.fact").append()
+    val newFactFiles =
+      graft.sources.SinkTestAccess.resolveBase(factDir)._2.length - factFilesBefore
+    val dimFiles = graft.sources.SinkTestAccess.resolveBase(d1Dir)._2.length +
+      graft.sources.SinkTestAccess.resolveBase(d2Dir)._2.length
+    val before = SinkMvDist.driverRowsCollected.get()
+    val c0 = ShardSink.dataFileReadCount.get()
+    val rA = SinkMvDist.refresh(s, factDir, mvDir)
+    val opened = ShardSink.dataFileReadCount.get() - c0
+    assert(rA.applied && rA.dirtyGroups === 0L)
+    assert(opened <= (newFactFiles + dimFiles).toLong,
+      s"refresh opened $opened files; delta is $newFactFiles fact + $dimFiles dim " +
+        s"(fact census ${graft.sources.SinkTestAccess.resolveBase(factDir)._2.length})")
+    assert(SinkMvDist.driverRowsCollected.get() - before <= 10L,
+      "driver materialization must stay bucket-bounded through the chain fold")
+    parity()
+    val (fv, dvs) = SinkMvDist.lastSourceVersionsAll(mvDir)
+    assert(fv === ShardSink.currentManifestVersion(factDir))
+    assert(dvs === Seq(
+      ShardSink.currentManifestVersion(d1Dir),
+      ShardSink.currentManifestVersion(d2Dir)))
+    assert(!SinkMvDist.refresh(s, factDir, mvDir).applied)
+    // a dim1 batch also streams through refreshFromChanges (chain MV)
+    s.sql("UPDATE mvds.dim1 SET region = 'rY' WHERE doc_id = 8")
+    val d1v = ShardSink.currentManifestVersion(d1Dir)
+    val ch = s.read.format("graft.sources.ShardSinkSource")
+      .option("path", d1Dir).option("readChangeFeed", "true")
+      .option("changeFeedFrom", d1v - 1L).option("changeFeedTo", d1v).load()
+    assert(SinkMvDist.refreshFromChanges(s, d1Dir, mvDir, ch, d1v).applied)
+    parity()
+    // duplicate prefixes and unresolvable chain keys are rejected
+    val eP = intercept[IllegalArgumentException](
+      SinkMvDist.createSnowflake(s, factDir, factDir + ".bad1",
+        Seq(SinkMvDist.SnowDim(d1Dir, "shard", "doc_id", "d_"),
+          SinkMvDist.SnowDim(d2Dir, "d_catk", "doc_id", "d_")),
+        Seq("d_region"), Seq(MvAgg("n", "count"))))
+    assert(eP.getMessage.contains("duplicate dim prefixes"), eP.getMessage)
+    val eK = intercept[IllegalArgumentException](
+      SinkMvDist.createSnowflake(s, factDir, factDir + ".bad2",
+        Seq(SinkMvDist.SnowDim(d2Dir, "d1_catk", "doc_id", "d2_"),
+          SinkMvDist.SnowDim(d1Dir, "shard", "doc_id", "d1_")),
+        Seq("d1_region"), Seq(MvAgg("n", "count"))))
+    assert(eK.getMessage.contains("resolves against none"), eK.getMessage)
+  }
+
   test("lookup reads exactly the key's bucket — the KV probe over MV state") {
     val dir = freshDir("mvd_lookup")
     val mvDir = mvDirOf(dir)
@@ -332,6 +523,16 @@ class SinkMvDistSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       SinkMvDist.lookup(spark, mvDir, Seq(Long.box(1L), Long.box(2L))))
     assert(e.getMessage.contains("group columns"))
+    // key values are VALIDATED against the group column's declared type
+    // before the probe frame is built: a mismatch names the column and
+    // the expected type instead of dying in the row encoder (review fix),
+    // and lossless numeric widening is accepted
+    val bad = intercept[IllegalArgumentException](
+      SinkMvDist.lookup(spark, mvDir, Seq("123")))
+    assert(bad.getMessage.contains("doc_id") && bad.getMessage.contains("long"),
+      bad.getMessage)
+    assert(SinkMvDist.lookup(spark, mvDir, Seq(Int.box(123)))
+      .collect().head.getLong(0) === 123L)
   }
 
   test("asOf reads time-travel the view's own ladder") {
@@ -421,8 +622,121 @@ class SinkMvDistSpec extends SparkSpec {
     assert(v3.intersect(v2).nonEmpty, "no carry-forward after rebucket")
     assert(SinkMvDist.read(spark, mvDir)
       .agg(sum("n")).collect().head.getLong(0) === 604L)
-    val e = intercept[IllegalArgumentException](SinkMvDist.rebucket(spark, mvDir, 16))
-    assert(e.getMessage.contains("already has"))
+    // same-count rebucket on a current-hash MV: IDEMPOTENT no-op on every
+    // attempt (a concurrent rebucket to the same count that lands first
+    // must not turn the caller's identical request into an error) — the
+    // misuse signal is a counter, never an exception (review fix)
+    val noopsBefore = SinkMvDist.rebucketNoops.get()
+    val vBefore = SinkMvDist.currentVersion(mvDir)
+    SinkMvDist.rebucket(spark, mvDir, 16)
+    assert(SinkMvDist.rebucketNoops.get() === noopsBefore + 1L)
+    assert(SinkMvDist.currentVersion(mvDir) === vBefore, "no-op rebucket flipped a version")
+    assert(SinkMvDist.read(spark, mvDir)
+      .agg(sum("n")).collect().head.getLong(0) === 604L)
+  }
+
+  test("legacy (pre-hashv) headers read under the v1 bucket hash; rebucket migrates them") {
+    val dir = freshDir("mvd_legacy")
+    val mvDir = mvDirOf(dir)
+    append(dir, 0L, 500L, n = 800)
+    // single group column: the v1 and v2 hash INPUTS coincide (one cell,
+    // no separator in play), so stripping the header field yields a
+    // faithful pre-round-17 MV whose persisted bucket assignment is
+    // still consistent with the v1 read-side hash
+    SinkMvDist.create(spark, dir, mvDir, Seq("doc_id"),
+      Seq(MvAgg("n", "count"), MvAgg("s", "sum", "doc_id")), buckets = 8)
+    val header = new java.io.File(mvDir, "_mvd.v1.json")
+    val legacy = new String(
+      java.nio.file.Files.readAllBytes(header.toPath), "UTF-8")
+      .replace("\"hashv\":2,", "")
+    java.nio.file.Files.write(header.toPath, legacy.getBytes("UTF-8"))
+    // reads, lookups and refreshes keep working against the legacy layout
+    assert(SinkMvDist.read(spark, mvDir).count() === 500L)
+    assert(SinkMvDist.lookup(spark, mvDir, Seq(Long.box(42L))).count() === 1L)
+    append(dir, 500L, 520L, n = 800)
+    val st = SinkMvDist.refresh(spark, dir, mvDir)
+    assert(st.applied && st.changeRows === 20L)
+    assert(SinkMvDist.read(spark, mvDir).count() === 520L)
+    // a SAME-COUNT rebucket on a legacy MV is NOT a no-op: it is the
+    // migration rewrite to the v2 (tab-separated) hash input
+    val noops = SinkMvDist.rebucketNoops.get()
+    SinkMvDist.rebucket(spark, mvDir, 8)
+    assert(SinkMvDist.rebucketNoops.get() === noops, "migration counted as a no-op")
+    val migrated = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(mvDir, s"_mvd.v${SinkMvDist.currentVersion(mvDir)}.json").toPath),
+      "UTF-8")
+    assert(migrated.contains("\"hashv\":2,"), "rebucket did not migrate the hash version")
+    assert(SinkMvDist.read(spark, mvDir).count() === 520L)
+    assert(SinkMvDist.lookup(spark, mvDir, Seq(Long.box(510L))).count() === 1L)
+  }
+
+  test("multi-column keys with embedded separator chars spread across buckets (v2 hash)") {
+    val root = java.nio.file.Files.createTempDirectory("mvd_sep").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.mvd_sep", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.mvd_sep.root", root)
+    s.conf.set("spark.sql.catalog.mvd_sep.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("mvd_sep.docs").append()
+    s.sql("ALTER TABLE mvd_sep.docs ADD COLUMN ka STRING")
+    s.sql("ALTER TABLE mvd_sep.docs ADD COLUMN kb STRING")
+    // the adversarial shape the v1 hash collapsed: 7 DISTINCT (ka, kb)
+    // pairs that all concatenate (with the v1 U+0001 joiner) to the SAME
+    // string 'x␁x␁x␁x␁x␁x␁x␁x' — under v1 they were one hash input and
+    // thus ONE bucket; the v2 tab-separated input keeps them distinct, so
+    // they must spread
+    val S = "concat_ws(char(1), 'x','x','x','x','x','x','x','x')"
+    docs(0L, 350L)
+      .withColumn("ka", expr(s"substring($S, 1, 2 * cast(doc_id % 7 as int) + 1)"))
+      .withColumn("kb", expr(s"substring($S, 2 * cast(doc_id % 7 as int) + 3)"))
+      .writeTo("mvd_sep.docs").append()
+    val dir = new java.io.File(root, "docs").getPath
+    val mvDir = mvDirOf(dir)
+    SinkMvDist.create(s, dir, mvDir, Seq("ka", "kb"),
+      Seq(MvAgg("n", "count"), MvAgg("sd", "sum", "doc_id")), buckets = 8)
+    val groups = SinkMvDist.read(s, mvDir).collect()
+    assert(groups.length === 7, s"expected 7 distinct groups, got ${groups.length}")
+    val spread = SinkMvDist.stateFiles(mvDir, 1L).map(_._1).toSet
+    assert(spread.size >= 3,
+      s"adversarial keys collapsed into buckets $spread — separator ambiguity?")
+    // and the fold still routes deltas to the right buckets
+    docs(350L, 400L)
+      .withColumn("ka", expr(s"substring($S, 1, 2 * cast(doc_id % 7 as int) + 1)"))
+      .withColumn("kb", expr(s"substring($S, 2 * cast(doc_id % 7 as int) + 3)"))
+      .writeTo("mvd_sep.docs").append()
+    SinkMvDist.refresh(s, dir, mvDir)
+    assert(SinkMvDist.read(s, mvDir)
+      .agg(sum("n")).collect().head.getLong(0) === 400L)
+  }
+
+  test("autoRebucket: growth past target triggers one metadata-driven rebucket") {
+    val dir = freshDir("mvd_auto")
+    val mvDir = mvDirOf(dir)
+    append(dir, 0L, 200L, n = 2000)
+    SinkMvDist.create(spark, dir, mvDir, Seq("doc_id"),
+      Seq(MvAgg("n", "count"), MvAgg("s", "sum", "doc_id")), buckets = 2)
+    // well under target: no trigger, no version flip, metadata-only cost
+    assert(SinkMvDist.autoRebucket(spark, mvDir, targetBytesPerBucket = 1L << 20).isEmpty)
+    assert(SinkMvDist.currentVersion(mvDir) === 1L)
+    append(dir, 200L, 2000L, n = 2000)
+    SinkMvDist.refresh(spark, dir, mvDir) // v2
+    val got = SinkMvDist.autoRebucket(spark, mvDir, targetBytesPerBucket = 4096L)
+    assert(got.isDefined && got.get > 2, s"growth did not trigger: $got")
+    assert(SinkMvDist.currentVersion(mvDir) === 3L)
+    assert(SinkMvDist.bucketStats(mvDir).map(_._1).toSet.size >= 8)
+    // identical view across the flip; watermark untouched
+    assert(SinkMvDist.read(spark, mvDir).agg(sum("n")).collect().head.getLong(0) === 2000L)
+    assert(SinkMvDist.lastSourceVersion(mvDir) === 2L)
+    // the new layout is under target: a second call is a non-trigger
+    assert(SinkMvDist.autoRebucket(spark, mvDir, targetBytesPerBucket = 4096L).isEmpty)
+    assert(SinkMvDist.currentVersion(mvDir) === 3L)
+    // refreshes keep folding on the new layout
+    append(dir, 2000L, 2004L, n = 2004)
+    val st = SinkMvDist.refresh(spark, dir, mvDir)
+    assert(st.applied && st.changeRows === 4L)
+    assert(SinkMvDist.read(spark, mvDir).agg(sum("n")).collect().head.getLong(0) === 2004L)
   }
 
   test("string group values round-trip the segment codec: %, the %N marker, NULL groups") {

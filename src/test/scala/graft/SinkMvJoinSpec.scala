@@ -165,4 +165,41 @@ class SinkMvJoinSpec extends SparkSpec {
         Seq("nope"), aggs))
     assert(e1.getMessage.contains("resolves in neither"), e1.getMessage)
   }
+
+  test("an underscore-leading dim DATA column is a real join-MV group, not dropped") {
+    // ADD COLUMN's identifier rule admits names like `_tier`; the dim view
+    // must prefix them (`d__tier`) instead of silently dropping anything
+    // that starts with '_' — only the KNOWN feed columns are excluded
+    // (review fix)
+    val (s, factDir, dimDir, tag) = fixture("uscr")
+    s.sql(s"ALTER TABLE mvj_$tag.dim ADD COLUMN _tier STRING")
+    s.sql(s"UPDATE mvj_$tag.dim SET _tier = concat('t', CAST(doc_id % 2 AS STRING))")
+    val mvDir = factDir + ".mvju"
+    SinkMvJoin.create(s, factDir, dimDir, mvDir, "shard", "doc_id",
+      Seq("d__tier"), Seq(MvAgg("n", "count"), MvAgg("s", "sum", "doc_id")))
+    def want: Set[(String, Long, Long)] = {
+      val f = s.read.format("graft.sources.ShardSinkSource").option("path", factDir).load()
+      val d = s.read.format("graft.sources.ShardSinkSource").option("path", dimDir).load()
+        .select(col("doc_id").as("pk"), col("_tier").as("d__tier"))
+      f.join(d, col("shard") === col("pk"))
+        .groupBy(col("d__tier"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    def got: Set[(String, Long, Long)] = SinkMvJoin.read(s, mvDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    // both delta paths keep resolving the underscore column: a dim update
+    // moves groups, a fact append folds against the evolved dim
+    s.sql(s"UPDATE mvj_$tag.dim SET _tier = 'tX' WHERE doc_id = 3")
+    SinkMvJoin.refresh(s, mvDir)
+    assert(got === want)
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2400").option("numPartitions", "2").load()
+      .where(col("doc_id") >= 1200L && col("doc_id") < 1400L)
+      .writeTo(s"mvj_$tag.fact").append()
+    SinkMvJoin.refresh(s, mvDir)
+    assert(got === want)
+    assert(got.exists(_._1 == "tX"))
+  }
 }

@@ -1,0 +1,156 @@
+package graft
+
+import graft.sources.{ShardSink, SinkMvDist, SinkMvRewrite}
+import graft.sources.SinkMatView.MvAgg
+import org.apache.spark.sql.functions._
+
+/** Round-17 MV-AWARE QUERY REWRITE ([[SinkMvRewrite]]): a plain GROUP BY
+  * over a registered ShardSink base table is transparently answered from
+  * the distributed MV's state (+ change-feed tail) — pinned here by the
+  * data-file read counter (base files NOT opened), the rewrite counter,
+  * and value parity against the un-rewritten scan. Conservative bails:
+  * version-pinned reads, extreme aggregates over a stale watermark,
+  * unregistered tables.
+  */
+class SinkMvRewriteSpec extends SparkSpec {
+
+  private def freshDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    new java.io.File(d, "t").getPath
+  }
+
+  private def append(s: org.apache.spark.sql.SparkSession, dir: String, lo: Long, hi: Long): Unit =
+    s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1200").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+      .write.format("graft.sources.ShardSinkSource")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+
+  test("registered MV answers matching aggregates; base data files stay closed") {
+    val dir = freshDir("mvrw")
+    val mvDir = dir + ".mvd"
+    val s = spark.newSession()
+    append(s, dir, 0L, 800L) // v1
+    SinkMvDist.create(s, dir, mvDir, Seq("shard"), Seq(
+      MvAgg("n", "count"), MvAgg("sd", "sum", "doc_id"),
+      MvAgg("x", "xor", "doc_id"), MvAgg("hi", "max", "doc_id")), buckets = 4)
+    SinkMvRewrite.register(dir, mvDir)
+    try {
+      s.experimental.extraOptimizations = Seq(SinkMvRewrite)
+      def base = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // current watermark: full rewrite including the extreme — ZERO base
+      // data files opened, and the plan carries no base-table scan
+      val q1 = base.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"), max("doc_id").as("hi"))
+      val r0 = SinkMvRewrite.rewrites.get()
+      val c0 = ShardSink.dataFileReadCount.get()
+      val got1 = canon(q1.collect())
+      assert(ShardSink.dataFileReadCount.get() - c0 === 0L,
+        "rewritten aggregate opened base data files")
+      assert(SinkMvRewrite.rewrites.get() === r0 + 1L)
+      assert(!q1.queryExecution.executedPlan.toString.contains("ShardSinkScan["),
+        "rewritten plan still scans the base table")
+      val want1 = canon(spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).load().groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"), max("doc_id").as("hi"))
+        .collect())
+      assert(got1 === want1)
+      // stale watermark: LINEAR aggregates compensate through the tail —
+      // only the tail commit's files open
+      val filesBefore = graft.sources.SinkTestAccess.resolveBase(dir)._2.length
+      append(s, dir, 800L, 900L) // v2, not yet refreshed into the MV
+      val tailFiles = graft.sources.SinkTestAccess.resolveBase(dir)._2.length - filesBefore
+      val q2 = base.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"),
+          expr("bit_xor(doc_id)").as("x"))
+      val c1 = ShardSink.dataFileReadCount.get()
+      val got2 = canon(q2.collect())
+      assert(SinkMvRewrite.rewrites.get() === r0 + 2L)
+      assert(ShardSink.dataFileReadCount.get() - c1 <= tailFiles.toLong,
+        "tail compensation read more than the tail commit")
+      val want2 = canon(spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).load().groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"),
+          expr("bit_xor(doc_id)").as("x")).collect())
+      assert(got2 === want2)
+      // an EXTREME over a stale watermark must NOT rewrite (a tail
+      // retraction could have removed the recorded extreme) — falls back
+      val q3 = base.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"), max("doc_id").as("hi"))
+      val got3 = canon(q3.collect())
+      assert(SinkMvRewrite.rewrites.get() === r0 + 2L, "extreme-over-tail was rewritten")
+      assert(got3 === canon(spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).load().groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"), max("doc_id").as("hi"))
+        .collect()))
+      // version-pinned reads never rewrite (the MV machinery's own
+      // recompute shape)
+      val qPinned = s.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("versionAsOf", 1).load()
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      qPinned.collect()
+      assert(SinkMvRewrite.rewrites.get() === r0 + 2L, "pinned read was rewritten")
+      // a residual filter bails (the MV has no predicate)
+      base.where(col("doc_id") < 10L).groupBy(col("shard"))
+        .agg(count(lit(1)).as("n")).collect()
+      assert(SinkMvRewrite.rewrites.get() === r0 + 2L, "filtered aggregate was rewritten")
+      // unregistering restores the base scan
+      SinkMvRewrite.unregister(dir)
+      q1.collect()
+      assert(SinkMvRewrite.rewrites.get() === r0 + 2L)
+    } finally {
+      SinkMvRewrite.unregister(dir)
+      s.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("group liveness and NULL-ness survive the state ∪ tail compensation") {
+    val root = java.nio.file.Files.createTempDirectory("mvrw_null").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.mvrwn", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.mvrwn.root", root)
+    s.conf.set("spark.sql.catalog.mvrwn.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mvrwn.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mvrwn.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "600").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("mvrwn.docs").append()
+    s.sql("ALTER TABLE mvrwn.docs ADD COLUMN val BIGINT") // NULL for doc < 300
+    docs(0L, 300L).writeTo("mvrwn.docs").append()
+    docs(300L, 400L).withColumn("val", col("doc_id")).writeTo("mvrwn.docs").append()
+    val dir = new java.io.File(root, "docs").getPath
+    val mvDir = dir + ".mvd"
+    SinkMvDist.create(s, dir, mvDir, Seq("shard"), Seq(
+      MvAgg("n", "count"), MvAgg("sv", "sum", "val")), buckets = 4)
+    SinkMvRewrite.register(dir, mvDir)
+    try {
+      s.experimental.extraOptimizations = Seq(SinkMvRewrite)
+      // the tail: delete every row carrying a non-null `val` AND all of
+      // shard 3 — sum must go back to NULL (not 0) where the last
+      // non-null contribution retracts, and shard 3 must LEAVE the result
+      s.sql("DELETE FROM mvrwn.docs WHERE doc_id >= 300 OR shard = 3")
+      val r0 = SinkMvRewrite.rewrites.get()
+      val got = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"), sum("val").as("sv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          if (r.isNullAt(2)) null else Long.box(r.getLong(2)))).toSet
+      assert(SinkMvRewrite.rewrites.get() === r0 + 1L, "tail compensation did not rewrite")
+      val want = spark.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"), sum("val").as("sv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          if (r.isNullAt(2)) null else Long.box(r.getLong(2)))).toSet
+      assert(got === want)
+      assert(!got.exists(_._1 == 3), "emptied group survived the compensation")
+      assert(got.forall(_._3 == null), "sum over all-null groups must be NULL, not 0")
+    } finally {
+      SinkMvRewrite.unregister(dir)
+      s.experimental.extraOptimizations = Nil
+    }
+  }
+}

@@ -86,4 +86,8 @@ object SinkTestAccess {
   def onNextMvdFlip(f: () => Unit): Unit = SinkMvDist.refreshBarrier.set(f)
 
   def deleteRecursively(f: java.io.File): Unit = SinkFs.deleteRecursively(f)
+
+  /** Version-pinned table read, for spec-side parity recomputes. */
+  def srcAt(spark: org.apache.spark.sql.SparkSession, dir: String, v: Long)
+      : org.apache.spark.sql.DataFrame = SinkMatView.srcAt(spark, dir, v)
 }
