@@ -89,6 +89,92 @@ object EtlQueries {
        |ORDER BY nome""".stripMargin
   }
 
+  /** Per-country raw HTML page fixtures — the markup SHAPE the scrape's
+    * DOM walk sees (main.py:94–104: `tbody tr` → `td` cell texts), as ONE
+    * raw string per page: a `<th>` header row (zero `td` cells → arity
+    * drop), data rows with a leading chrome cell, a truncated row (P-6),
+    * an unparseable row (P-7), and a trailing-extra-cell row (positional
+    * extraction ignores it). Single-line so `.` never needs DOTALL.
+    */
+  private def htmlPage(rows: Seq[Seq[String]]): String =
+    "<html><body><table><tbody>" +
+      "<tr><th>c</th><th>Nome</th><th>Atual</th><th>Max</th><th>Min</th><th>Var</th></tr>" +
+      rows.map(r => "<tr>" + r.map(c => s"<td>$c</td>").mkString + "</tr>").mkString +
+      "</tbody></table></body></html>"
+
+  private val htmlPages: Seq[(String, String)] = Seq(
+    "Brasil" -> htmlPage(Seq(
+      Seq("", "Ibovespa", "1.234,56", "1.240,00", "1.200,10", "+1,25%"),
+      Seq("", "IBrX 50", "10.876,54", "10.900,00", "10.800,99", "-0,48%"),
+      Seq("", "Truncada", "1,00"), // < 6 cells: arity guard (P-6)
+      Seq("", "Quebrada", "N/A", "-", "", "x%"))), // unparseable: drop (P-7)
+    "EUA" -> htmlPage(Seq(
+      Seq("", "SP 500", "5.432,10", "5.450,00", "5.400,00", "+0,75%", "extra"),
+      Seq("", "Dow Jones", "38.765,43", "38.800,00", "38.700,00", "+0,10%"))))
+
+  /** S-1 closed end-to-end (round 17): the same row/cell scan, but from a
+    * RAW HTML STRING column — the shape a crawl table actually lands in.
+    * `regexp_extract_all` lifts `<tr>…</tr>` rows out of each page, then
+    * `<td>…</td>` cell texts out of each row (the header's `<th>` cells
+    * extract to zero `td`s and fall to the arity guard), and the result
+    * feeds the EXACT chain [[rowScan]] proved: P-6 arity guard → 1-based
+    * positional projection → F-1/F-2 normalization → P-7 unparseable-row
+    * drop → F-5 sector classification with default. Scan-side regex +
+    * explode, no shuffle before the final order — at 100 TB this is the
+    * per-document parse stage of an HTML crawl ingest, embarrassingly
+    * parallel.
+    */
+  def htmlRowScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    htmlPages.toDF("pais", "html")
+      .select(col("pais"),
+        explode(expr("regexp_extract_all(html, '<tr>(.*?)</tr>', 1)")).as("row"))
+      .select(col("pais"),
+        expr("regexp_extract_all(row, '<td>(.*?)</td>', 1)").as("cells"))
+      .where(size($"cells") >= 6)
+      .select(
+        col("pais"),
+        element_at($"cells", 2).as("nome"),
+        ptBrNumber("element_at(cells, 3)").as("valor_atual"),
+        ptBrNumber("element_at(cells, 4)").as("maxima"),
+        ptBrNumber("element_at(cells, 5)").as("minima"),
+        ptBrPercent("element_at(cells, 6)").as("variacao"))
+      .where(
+        $"valor_atual".isNotNull && $"maxima".isNotNull &&
+          $"minima".isNotNull && $"variacao".isNotNull)
+      .withColumn("setor",
+        Normalize.classify(col("nome"), brazilSectorOf, "Diversificado"))
+      .orderBy("nome")
+  }
+
+  lazy val htmlRowScanSql: String = {
+    val pageValues = htmlPages
+      .map { case (p, h) => s"('$p', '$h')" }.mkString(",\n  ")
+    val sectorCases = brazilSectorOf.toSeq.sorted
+      .map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ")
+    s"""WITH pages(pais, html) AS (VALUES
+       |  $pageValues),
+       |rows_ AS (
+       |  SELECT pais, unnest(regexp_extract_all(html, '<tr>(.*?)</tr>', 1)) AS row
+       |  FROM pages),
+       |cells_ AS (
+       |  SELECT pais, regexp_extract_all(row, '<td>(.*?)</td>', 1) AS cells FROM rows_),
+       |kept AS (SELECT pais, cells FROM cells_ WHERE len(cells) >= 6),
+       |parsed AS (
+       |  SELECT pais, cells[2] AS nome,
+       |    ${ptBrNumberSql("cells[3]")} AS valor_atual,
+       |    ${ptBrNumberSql("cells[4]")} AS maxima,
+       |    ${ptBrNumberSql("cells[5]")} AS minima,
+       |    ${ptBrPercentSql("cells[6]")} AS variacao
+       |  FROM kept)
+       |SELECT pais, nome, valor_atual, maxima, minima, variacao,
+       |       CASE nome $sectorCases ELSE 'Diversificado' END AS setor
+       |FROM parsed
+       |WHERE valor_atual IS NOT NULL AND maxima IS NOT NULL
+       |  AND minima IS NOT NULL AND variacao IS NOT NULL
+       |ORDER BY nome""".stripMargin
+  }
+
   /** Illustrative fixture maps exercising the main.py:106 classification
     * SHAPE — Brazil classifies by index name with default "Diversificado",
     * other countries by country with default "Primário". The entries are
@@ -189,10 +275,12 @@ object EtlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ptbr_normalize" -> (ptBrNormalize _),
     "q_rowscan" -> (rowScan _),
+    "q_html_rowscan" -> (htmlRowScan _),
     "q_etl_star_build" -> (starBuild _))
 
   val oracle: Map[String, String] = Map(
     "q_ptbr_normalize" -> ptBrNormalizeSql,
     "q_rowscan" -> rowScanSql,
+    "q_html_rowscan" -> htmlRowScanSql,
     "q_etl_star_build" -> starBuildSql)
 }

@@ -1502,6 +1502,122 @@ object VectorOps {
        |ORDER BY sim DESC, c.vec_id LIMIT 20""".stripMargin
   }
 
+  /** X-3 COMPOSED IVF-PQ (round 17) — the FAISS-shaped index a 100 TB
+    * embedding corpus actually deploys: the coarse k-means quantizer
+    * prunes the search to the `nProbe` cells nearest the query (IVF — at
+    * scale the table is partitioned by cell, so unprobed cells are
+    * unread), the survivors are scored by ASYMMETRIC DISTANCE over their
+    * PQ codes (ADC — an 8-lookup table sum instead of a 64-dim float
+    * dot), and only the [[PqCandidates]] best ADC candidates pay the
+    * exact cosine re-rank. Both quantizers are the EXISTING memoized
+    * training runs ([[kmeansCentroids]], [[pqCodebooks]]) — composing
+    * the index adds no training pass — and every stage reuses the same
+    * spec'd expressions (probe selection = [[knnIvf]]'s, encode/ADC =
+    * [[knnPq]]'s), so the composition cannot drift from its parts. The
+    * oracle RE-TRAINS both quantizers in SQL (the two proven CTE chains,
+    * nested so their shared seed CTE names stay scoped) and replays the
+    * same prune → ADC cut → re-rank.
+    */
+  def knnIvfPq(spark: SparkSession, sfDir: String, nProbe: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = kmeansCentroids(spark, sfDir)
+    val books = pqCodebooks(spark, sfDir)
+    val q = labelCentroidVector(spark, sfDir, 0)
+    def dotS(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val qq = dotS(q, q)
+    def d2(c: Seq[Double]): Double = (dotS(c, c) - 2.0 * dotS(c, q)) + qq
+    val probed = cents.toSeq.sortBy { case (id, c) => (d2(c), id) }.take(nProbe).map(_._1)
+    def qSub(sIdx: Int): Seq[Double] = q.slice(sIdx * PqSubDim, (sIdx + 1) * PqSubDim)
+    def codeCol(sIdx: Int): Column =
+      subCode(slice(embDouble, sIdx * PqSubDim + 1, PqSubDim), books(sIdx))
+    val adc = (0 until PqSubspaces).map { sIdx =>
+      val qs = qSub(sIdx)
+      val lut = books(sIdx).map(c => (dotSeq(qs, qs) - 2.0 * dotSeq(qs, c)) + dotSeq(c, c))
+      element_at(typedLit(lut), codeCol(sIdx) + 1)
+    }.reduceLeft(_ + _)
+    val sim = cosine(embDouble, typedLit(q))
+    Tables.embeddings(spark, sfDir)
+      .withColumn("cluster", clusterAssignment(embDouble, cents))
+      .where(col("cluster").isin(probed: _*))
+      .select(col("vec_id"), col("label"), col("cluster"), col("embedding"), adc.as("adc"))
+      .orderBy(asc("adc"), asc("vec_id"))
+      .limit(PqCandidates)
+      .select(col("vec_id"), col("label"), col("cluster"),
+        round(col("adc"), 6).as("adc"), round(sim, 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(20)
+  }
+
+  def knnIvfPqQuery(spark: SparkSession, sfDir: String): DataFrame = knnIvfPq(spark, sfDir)
+
+  /** DuckDB twin of [[knnIvfPq]]: the IVF side (probed-cell membership)
+    * and the PQ side (per-vector ADC) nest their RE-TRAINING chains in
+    * separate subquery scopes — both chains define a per-label-means
+    * seed CTE, and nesting keeps the names from colliding while reusing
+    * the exact [[kmeansCteChain]] / [[pqCbCteChain]] text the green
+    * knnIvf/knnPq oracles train with. The composition then intersects,
+    * cuts by ADC, and re-ranks — stage for stage what the Spark plan does.
+    */
+  lazy val knnIvfPqSql: String = {
+    val ones = (0 until PqSubspaces).map(_ => "1.0").mkString("[", ", ", "]")
+    val lastC = s"cents$KmeansIters"
+    val lastB = s"cb$KmeansIters"
+    val d2 = kmeansD2Sql
+    s"""WITH ivfset AS (
+       |  WITH $kmeansCteChain,
+       |  qv AS (SELECT cvec AS qvec FROM cents0 WHERE clabel = 0),
+       |  probed AS (
+       |    SELECT clabel FROM $lastC, qv
+       |    ORDER BY ((list_dot_product(cvec, cvec) - 2.0 * list_dot_product(cvec, qvec))
+       |              + list_dot_product(qvec, qvec)), clabel
+       |    LIMIT 3),
+       |  assigned AS (
+       |    SELECT e.vec_id, c.clabel AS cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $d2, c.clabel) AS rn
+       |    FROM embeddings e CROSS JOIN $lastC c)
+       |  SELECT a.vec_id, a.cluster FROM assigned a
+       |  WHERE a.rn = 1 AND a.cluster IN (SELECT clabel FROM probed)),
+       |pqadc AS (
+       |  WITH $pqCbCteChain,
+       |  qs AS (
+       |    SELECT pos // $PqSubDim AS sub, list(v ORDER BY pos) AS qsub
+       |    FROM pc WHERE label = 0 GROUP BY pos // $PqSubDim),
+       |  codes AS (
+       |    SELECT vec_id, label, sub, code, cvec,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY
+       |             ((list_dot_product(ev.esub, ev.esub) - 2.0 * list_dot_product(ev.esub, cb.cvec))
+       |              + list_dot_product(cb.cvec, cb.cvec)), code) AS rn
+       |    FROM ev JOIN $lastB cb USING (sub))
+       |  SELECT c.vec_id, ANY_VALUE(c.label) AS label,
+       |         list_dot_product(
+       |           list(((list_dot_product(q.qsub, q.qsub) - 2.0 * list_dot_product(q.qsub, c.cvec))
+       |                 + list_dot_product(c.cvec, c.cvec)) ORDER BY c.sub),
+       |           $ones) AS adc
+       |  FROM codes c JOIN qs q USING (sub)
+       |  WHERE c.rn = 1
+       |  GROUP BY c.vec_id),
+       |qv2 AS (
+       |  SELECT list(v ORDER BY pos) AS qvec FROM (
+       |    SELECT i - 1 AS pos,
+       |           CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+       |             / CAST(COUNT(*) AS DOUBLE) AS v
+       |    FROM (SELECT unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+       |          FROM embeddings WHERE label = 0)
+       |    GROUP BY 1)),
+       |cand AS (
+       |  SELECT p.vec_id, p.label, i.cluster, p.adc
+       |  FROM pqadc p JOIN ivfset i USING (vec_id)
+       |  ORDER BY p.adc, p.vec_id LIMIT $PqCandidates)
+       |SELECT c.vec_id, c.label, c.cluster, ROUND(c.adc, 6) AS adc,
+       |       ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qvec)
+       |             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+       |                * sqrt(list_dot_product(qvec, qvec))), 6) AS sim
+       |FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN qv2
+       |ORDER BY sim DESC, c.vec_id LIMIT 20""".stripMargin
+  }
+
   /** PQ-side incremental index maintenance — [[ivfDelta]]'s twin for the
     * product quantizer: the delta batch (same deterministic crawl model —
     * every [[IvfDeltaMod]]th vector, re-keyed, +0.25/dim exact-FP shift)
@@ -1676,7 +1792,8 @@ object VectorOps {
     // 20 rows, materialized once — three method branches join against it,
     // and an unmaterialized plan would re-run the brute-force scan per branch
     val exact = knnCosine(spark, sfDir).select("vec_id").localCheckpoint(true)
-    Seq("ivf" -> knnIvf(spark, sfDir), "lsh" -> knnLsh(spark, sfDir), "pq" -> knnPq(spark, sfDir))
+    Seq("ivf" -> knnIvf(spark, sfDir), "ivfpq" -> knnIvfPq(spark, sfDir),
+      "lsh" -> knnLsh(spark, sfDir), "pq" -> knnPq(spark, sfDir))
       .map { case (m, approx) =>
         approx.select("vec_id").join(exact, "vec_id")
           .agg(count(lit(1)).as("hits"))
@@ -1693,10 +1810,14 @@ object VectorOps {
     s"""WITH exact AS ($knnCosineSql),
        |     lsh AS ($knnLshSql),
        |     ivf AS ($knnIvfSql),
+       |     ivfpq AS ($knnIvfPqSql),
        |     pq AS ($knnPqSql)
        |SELECT * FROM (
        |  SELECT 'ivf' AS method, 20 AS k,
        |         (SELECT COUNT(*) FROM ivf WHERE vec_id IN (SELECT vec_id FROM exact))::BIGINT AS hits
+       |  UNION ALL
+       |  SELECT 'ivfpq' AS method, 20 AS k,
+       |         (SELECT COUNT(*) FROM ivfpq WHERE vec_id IN (SELECT vec_id FROM exact))::BIGINT AS hits
        |  UNION ALL
        |  SELECT 'lsh' AS method, 20 AS k,
        |         (SELECT COUNT(*) FROM lsh WHERE vec_id IN (SELECT vec_id FROM exact))::BIGINT AS hits
@@ -2072,6 +2193,7 @@ object VectorOps {
     "x3_knn_ivf" -> (knnIvfQuery _),
     "x3_knn_pq" -> (knnPq _),
     "x4_ann_recall" -> (annRecall _),
+    "x3_knn_ivfpq" -> (knnIvfPqQuery _),
     "x6_cluster_quality" -> (clusterQuality _),
     "x3_ivf_delta" -> (ivfDelta _),
     "x3_pq_delta" -> (pqDelta _),
@@ -2098,6 +2220,7 @@ object VectorOps {
     "x3_knn_ivf" -> knnIvfSql,
     "x3_knn_pq" -> knnPqSql,
     "x4_ann_recall" -> annRecallSql,
+    "x3_knn_ivfpq" -> knnIvfPqSql,
     "x6_cluster_quality" -> clusterQualitySql,
     "x3_ivf_delta" -> ivfDeltaSql,
     "x3_pq_delta" -> pqDeltaSql,
