@@ -5765,6 +5765,16 @@ class ShardSinkScan(
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with SupportsReportPartitioning with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
+
+  /** True iff this scan reads the CURRENT table in full — no version pin
+    * and no pushed pruning of any kind. The MV-rewrite rule requires it:
+    * a predicate that file-exact pruning CONSUMED leaves no residual
+    * Filter node in the plan, so only the scan itself can testify that
+    * the aggregate really covers the whole table (review fix).
+    */
+  def isFullUnprunedScan: Boolean =
+    asOf.isEmpty && pruneShards.isEmpty && pruneDocs.isEmpty &&
+      prunePoints.isEmpty && pruneCols.isEmpty
   override def description(): String =
     s"ShardSinkScan[$path, manifest-committed files only" +
       asOf.map(v => s", versionAsOf=$v").getOrElse("") +

@@ -1355,10 +1355,16 @@ object SinkMvDist {
     val v = currentVersion(mvDir)
     require(v > 0L, s"no distributed materialized view at $mvDir")
     val st = readHeaderAt(mvDir, v)
+    // ONE directory listing, not one status RPC per segment — on an
+    // object store per-file round trips would dominate the "metadata
+    // only" promise (review fix). A referenced-but-missing segment is
+    // corruption and fails loudly.
     val fs = SinkFs.fsOf(new Path(mvDir))
+    val sizes: Map[String, Long] = fs.listStatus(new Path(mvDir))
+      .filter(_.isFile).map(f => f.getPath.getName -> f.getLen).toMap
     st.refs.groupBy(_._1).toSeq.map { case (b, files) =>
-      (b, files.size,
-        files.map(f => fs.getFileStatus(new Path(mvDir, f._2)).getLen).sum)
+      (b, files.size, files.map(f => sizes.getOrElse(f._2,
+        sys.error(s"state segment ${f._2} referenced by v$v is missing at $mvDir"))).sum)
     }.sortBy(_._1)
   }
 
@@ -1388,7 +1394,8 @@ object SinkMvDist {
     def pow2ceil(x: Long): Int = {
       var n = 1
       while (n < x && n < maxBuckets) n <<= 1
-      n
+      // the last shift may overshoot a non-power-of-two cap (review fix)
+      math.min(n, maxBuckets)
     }
     val want = pow2ceil(math.ceil(total.toDouble / targetBytesPerBucket).toLong)
     if (mean > targetBytesPerBucket && want > st.buckets) {

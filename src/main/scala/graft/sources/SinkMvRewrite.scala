@@ -87,15 +87,21 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
   }
 
   /** The bare registered relation under an optional column-pruning
-    * Project — anything else (filters, joins, expressions) bails.
+    * Project — anything else (filters, joins, expressions) bails. A
+    * ScanRelation additionally proves its scan is FULL and UNPRUNED:
+    * ShardSink can CONSUME a predicate into file-exact pruning (the
+    * Filter node disappears from the plan entirely), so the absence of a
+    * Filter above the relation is not evidence the aggregate covers the
+    * whole table — the scan itself must testify (review fix; an
+    * agg-pushdown or otherwise foreign scan class bails the same way).
     */
   private def baseTable(plan: LogicalPlan): Option[ShardSinkTable] = plan match {
     case r: DataSourceV2Relation => r.table match {
       case t: ShardSinkTable => Some(t)
       case _ => None
     }
-    case r: DataSourceV2ScanRelation => r.relation.table match {
-      case t: ShardSinkTable => Some(t)
+    case r: DataSourceV2ScanRelation => (r.relation.table, r.scan) match {
+      case (t: ShardSinkTable, sc: ShardSinkScan) if sc.isFullUnprunedScan => Some(t)
       case _ => None
     }
     case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>

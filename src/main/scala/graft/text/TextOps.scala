@@ -87,11 +87,18 @@ object TextOps {
     */
   def approxTopWords(spark: SparkSession, sfDir: String): DataFrame = {
     val SketchWidth = 8192L
-    val toks = Tables.documents(spark, sfDir)
+    // ONE corpus tokenization: the token-grain rollup feeds BOTH the
+    // bucket counters (a sum over the far smaller token frame) and the
+    // candidate set — the two consumers share the token-grain exchange
+    // (ReuseExchange dedupes the identical subplans), so the documents
+    // scan + explode runs once (review fix: the first cut re-tokenized
+    // the corpus for the candidate distinct)
+    val tokenCounts = Tables.documents(spark, sfDir)
       .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_tok"))
       .withColumn("bkt", pmod(md5Hash60(col("token")), lit(SketchWidth)))
-    val sketch = toks.groupBy("bkt").agg(count(lit(1)).as("n_approx"))
-    toks.select("token", "bkt").distinct()
+    val sketch = tokenCounts.groupBy("bkt").agg(sum("n_tok").as("n_approx"))
+    tokenCounts.select("token", "bkt")
       .join(broadcast(sketch), "bkt")
       .select(col("token"), col("n_approx"))
       .orderBy(desc("n_approx"), asc("token"))

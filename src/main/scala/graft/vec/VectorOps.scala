@@ -1780,16 +1780,17 @@ object VectorOps {
       |FROM qq ORDER BY vec_id""".stripMargin
 
   /** ANN quality harness: recall@20 of each approximate index (LSH, IVF,
-    * PQ) against the brute-force top-20 — the eval loop every production
-    * ANN deployment runs before trusting an index. `hits` = |approx ∩
-    * exact| as an exact integer, so the metric is hash-checkable: the
-    * oracle re-runs all four searches (including re-deriving the k-means
-    * and PQ codebooks) inside one SQL statement. Cost is the four
-    * single-scan searches — no new shuffle shape; at 100 TB the same
-    * query runs over a sampled query set rather than one centroid probe.
+    * composed IVF-PQ, PQ) against the brute-force top-20 — the eval loop
+    * every production ANN deployment runs before trusting an index.
+    * `hits` = |approx ∩ exact| as an exact integer, so the metric is
+    * hash-checkable: the oracle re-runs all five searches (including
+    * re-deriving the k-means and PQ codebooks) inside one SQL statement.
+    * Cost is the five single-scan searches — no new shuffle shape; at
+    * 100 TB the same query runs over a sampled query set rather than one
+    * centroid probe.
     */
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    // 20 rows, materialized once — three method branches join against it,
+    // 20 rows, materialized once — four method branches join against it,
     // and an unmaterialized plan would re-run the brute-force scan per branch
     val exact = knnCosine(spark, sfDir).select("vec_id").localCheckpoint(true)
     Seq("ivf" -> knnIvf(spark, sfDir), "ivfpq" -> knnIvfPq(spark, sfDir),

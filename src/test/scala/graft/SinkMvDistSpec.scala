@@ -737,6 +737,17 @@ class SinkMvDistSpec extends SparkSpec {
     val st = SinkMvDist.refresh(spark, dir, mvDir)
     assert(st.applied && st.changeRows === 4L)
     assert(SinkMvDist.read(spark, mvDir).agg(sum("n")).collect().head.getLong(0) === 2004L)
+    // a non-power-of-two maxBuckets CAPS the growth target instead of the
+    // last shift overshooting it (review fix)
+    val dir2 = freshDir("mvd_auto_cap")
+    val mvDir2 = mvDirOf(dir2)
+    append(dir2, 0L, 1000L, n = 1200)
+    SinkMvDist.create(spark, dir2, mvDir2, Seq("doc_id"),
+      Seq(MvAgg("n", "count")), buckets = 2)
+    val capped = SinkMvDist.autoRebucket(spark, mvDir2,
+      targetBytesPerBucket = 64L, maxBuckets = 3)
+    assert(capped === Some(3), s"cap not honored: $capped")
+    assert(SinkMvDist.bucketStats(mvDir2).map(_._1).toSet.subsetOf(Set(0, 1, 2)))
   }
 
   test("string group values round-trip the segment codec: %, the %N marker, NULL groups") {

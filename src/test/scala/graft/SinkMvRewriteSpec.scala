@@ -97,10 +97,39 @@ class SinkMvRewriteSpec extends SparkSpec {
       base.where(col("doc_id") < 10L).groupBy(col("shard"))
         .agg(count(lit(1)).as("n")).collect()
       assert(SinkMvRewrite.rewrites.get() === r0 + 2L, "filtered aggregate was rewritten")
+      // a filter CONSUMED by file-exact pruning leaves NO Filter node in
+      // the plan — the scan itself must testify it is unpruned, or the
+      // rewrite would answer a shard-3 query with every shard (review
+      // fix). Compaction makes the layout shard-pure, which is exactly
+      // when ShardSink consumes a one-shard predicate.
+      // catch the MV up BEFORE compacting: compaction is the CDF
+      // retention horizon, so an un-refreshed window would expire
+      SinkMvDist.refresh(s, dir, mvDir)
+      ShardSink.compact(dir)
+      SinkMvDist.refresh(s, dir, mvDir) // fast-forward over the no-data commit
+      val qc = base.where(col("shard") === 3).groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"))
+      val rBefore = SinkMvRewrite.rewrites.get()
+      val gotC = qc.collect()
+      assert(SinkMvRewrite.rewrites.get() === rBefore, "consumed-filter aggregate was rewritten")
+      assert(gotC.length === 1 && gotC.head.getInt(0) === 3, gotC.mkString(","))
+      assert(!qc.queryExecution.optimizedPlan.toString.contains("Filter"),
+        "expected the shard predicate to be CONSUMED by file pruning — " +
+          "the regression this test exists for did not engage")
+      // the UNFILTERED aggregate still rewrites after compaction (the
+      // full scan is unpruned). A SUM rides along so ShardSink's own
+      // metadata agg pushdown — which claims pure count/min/max rollups
+      // on the compacted layout before this rule ever sees them, an even
+      // cheaper answer — does not swallow the Aggregate node
+      val qf = base.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
+      qf.collect()
+      assert(SinkMvRewrite.rewrites.get() === rBefore + 1L)
       // unregistering restores the base scan
       SinkMvRewrite.unregister(dir)
+      val rFinal = SinkMvRewrite.rewrites.get()
       q1.collect()
-      assert(SinkMvRewrite.rewrites.get() === r0 + 2L)
+      assert(SinkMvRewrite.rewrites.get() === rFinal, "unregistered table was rewritten")
     } finally {
       SinkMvRewrite.unregister(dir)
       s.experimental.extraOptimizations = Nil
