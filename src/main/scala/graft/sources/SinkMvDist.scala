@@ -532,22 +532,24 @@ object SinkMvDist {
             s"but the view reflects $fromV and commits ($fromV, ${toV - 1L}] " +
             "carry change rows — commits must apply in order per source")
       }
-      // (contribution, dirty-recompute source, advanced watermarks). The
-      // single-table path folds the BATCH frame directly; the join paths
-      // re-derive the window from the immutable commit log through the
-      // SAME contributionStream as the batch refresh (the batch equals
-      // changes(fromV, toV] by the CDF reader contract — re-deriving
-      // keeps one code path for the join algebra, at the cost of
-      // re-reading one commit's feed)
+      // (contribution, dirty-recompute source, advanced watermarks). Every
+      // path folds the DELIVERED batch frame directly — the stream already
+      // materialized this commit's change rows, so re-deriving them from
+      // the log would only add a read (phase-timed in PLANS.md §38.2).
+      // Only the batch's own source moves; every other source is pinned at
+      // its header watermark, so the join paths are the delta-join
+      // decomposition with a single Δ side: a dim batch joins fact@srcV
+      // plus the other dims at their watermarks, a fact batch joins every
+      // dim at its watermark — the same telescoping contributionStream
+      // implements for multi-source batch windows.
+      val signed = ch.withColumn("_sign", SinkMvJoin.signOf(col("_change_type")))
+        .drop("_change_type", "_commit_version")
       val (contrib, recompute, nextSt) =
         if (st.joins.isEmpty)
-          (ch.withColumn("_sign", SinkMvJoin.signOf(col("_change_type")))
-            .drop("_change_type", "_commit_version"),
+          (signed,
             () => SinkMatView.filtered(SinkMatView.srcAt(spark, srcDir, toV), st.pred),
             st.copy(srcV = toV))
         else {
-          // only the batch's own source moves; every other dim is pinned
-          // at its header watermark (its old and new versions coincide)
           val wins = st.joins.zipWithIndex.map { case (jj, k) =>
             val win = if (isDim && k == dimIdx) (fromV, toV) else (jj.dimV, jj.dimV)
             SinkMvJoin.DimWindow(jj.dim, jj.fk, jj.pk, jj.pfx, win._1, win._2)
@@ -556,7 +558,27 @@ object SinkMvDist {
           val nextJoins =
             if (isDim) st.joins.updated(dimIdx, st.joins(dimIdx).copy(dimV = toV))
             else st.joins
-          (SinkMvJoin.contributionStream(spark, st.src, st.srcV, factTo, wins),
+          val contribution =
+            if (isDim) {
+              val j = st.joins(dimIdx)
+              val dChPrefixed = SinkMvJoin.dimView(signed, j.pfx, extra = Seq("_sign"))
+              SinkMvJoin.requireUniqueKeys(
+                SinkMatView.srcAt(spark, j.dim, toV), j.pk,
+                dChPrefixed.select(col(s"${j.pfx}${j.pk}").as(j.pk)))
+              st.joins.zipWithIndex.foldLeft(
+                SinkMatView.srcAt(spark, st.src, st.srcV)) { case (acc, (jj, k)) =>
+                val side =
+                  if (k == dimIdx) dChPrefixed
+                  else SinkMvJoin.dimView(
+                    SinkMatView.srcAt(spark, jj.dim, jj.dimV), jj.pfx)
+                SinkMvJoin.joinedFrame(acc, side, jj.fk, jj.pk, jj.pfx)
+              }
+            } else st.joins.foldLeft(signed) { (acc, jj) =>
+              SinkMvJoin.joinedFrame(acc,
+                SinkMvJoin.dimView(SinkMatView.srcAt(spark, jj.dim, jj.dimV), jj.pfx),
+                jj.fk, jj.pk, jj.pfx)
+            }
+          (contribution,
             () => SinkMatView.filtered(
               SinkMvJoin.joinedAt(spark, st.src, factTo, wins), st.pred),
             st.copy(srcV = factTo, joins = nextJoins))

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.functions._
@@ -30,8 +30,13 @@ import org.apache.spark.sql.types.LongType
   *     current watermark, and version-pinned scans are exactly what the
   *     MV machinery's own recomputes issue, which must never
   *     self-rewrite);
-  *   - the MV is single-table with an empty predicate, and the query has
-  *     no residual filter;
+  *   - the MV is single-table; a predicate-bearing MV matches a query
+  *     whose residual WHERE is SEMANTICALLY the MV's predicate (the MV
+  *     pred is re-resolved and re-OPTIMIZED against the same table in a
+  *     nested plan, so inferred not-null conjuncts and constant foldings
+  *     land on both sides before the conjunct-set comparison — no
+  *     textual paren/spacing fragility); an unfiltered query never
+  *     matches a predicate MV and vice versa;
   *   - the group-by columns equal the MV's group columns (any order);
   *   - every aggregate maps to a declared MV aggregate: `count(*)` /
   *     `count(1)` to the count slot, `sum/min/max/bit_xor(e)` to the
@@ -52,17 +57,22 @@ import org.apache.spark.sql.types.LongType
   */
 object SinkMvRewrite extends Rule[LogicalPlan] {
 
-  /** base table dir → distributed-MV dir. Registration is explicit: the
-    * caller vouches that the MV's change-feed contract holds for the
-    * table (cdf enabled for CoW DML etc.).
+  /** base table dir → distributed-MV dirs (a table may carry several
+    * MVs at different groups/predicates; the first whose definition
+    * subsumes the query wins). Registration is explicit: the caller
+    * vouches that each MV's change-feed contract holds for the table
+    * (cdf enabled for CoW DML etc.).
     */
-  private val registry = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, List[String]]()
 
   /** Rewrites applied — observability + the spec's assertion hook. */
   val rewrites = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def register(tableDir: String, mvDir: String): Unit = {
-    registry.put(tableDir, mvDir); ()
+    registry.merge(tableDir, List(mvDir),
+      (old, add) => (old ++ add).distinct)
+    ()
   }
   def unregister(tableDir: String): Unit = { registry.remove(tableDir); () }
 
@@ -77,13 +87,68 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     if (registry.isEmpty || inRewrite.get()) return plan
     plan.transform {
       case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
-        baseTable(child) match {
-          case Some(t) if t.pinnedVersion.isEmpty && registry.containsKey(t.tableDir) =>
-            tryRewrite(agg, groupExprs, aggExprs, t.tableDir,
-              registry.get(t.tableDir)).getOrElse(agg)
-          case _ => agg
+        peel(child, None) match {
+          case Some((filterCond, rel)) =>
+            baseTable(rel) match {
+              case Some(t) if t.pinnedVersion.isEmpty && registry.containsKey(t.tableDir) =>
+                registry.get(t.tableDir).iterator
+                  .map(mvDir => tryRewrite(agg, groupExprs, aggExprs, filterCond, rel,
+                    t.tableDir, mvDir))
+                  .collectFirst { case Some(p) => p }
+                  .getOrElse(agg)
+              case _ => agg
+            }
+          case None => agg
         }
     }
+  }
+
+  /** Peel column-pruning Projects and AT MOST one Filter off the
+    * aggregate's child, in whatever order the optimizer stacked them
+    * (pruning typically lands ABOVE the filter), down to the relation.
+    */
+  private def peel(plan: LogicalPlan, cond: Option[Expression])
+      : Option[(Option[Expression], LogicalPlan)] = plan match {
+    case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) =>
+      peel(c, cond)
+    case Filter(f, c) if cond.isEmpty => peel(c, Some(f))
+    case r: DataSourceV2Relation => Some((cond, r))
+    case r: DataSourceV2ScanRelation => Some((cond, r))
+    case _ => None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Does the query's residual filter equal the MV's predicate? Decided
+    * SEMANTICALLY: the MV pred string is analyzed AND optimized against a
+    * fresh read of the same table (under the re-entrancy guard), so both
+    * sides carry the same inferred not-null conjuncts and foldings; its
+    * attributes are then mapped by name onto the query relation's and the
+    * conjunct SETS must match under semanticEquals. Any shape surprise
+    * (pred folded away, consumed into the scan, unmappable attribute)
+    * answers false — never a wrong rewrite.
+    */
+  private def predMatches(
+      spark: SparkSession, tableDir: String, pred: String,
+      cond: Expression, rel: LogicalPlan): Boolean = {
+    val fresh = spark.read.format("graft.sources.ShardSinkSource")
+      .option("path", tableDir).load().where(expr(pred))
+    val mvConj = fresh.queryExecution.optimizedPlan match {
+      case Filter(c, _) =>
+        val byName = rel.output.map(a => a.name -> a).toMap
+        try conjuncts(c.transform {
+          case a: AttributeReference =>
+            byName.getOrElse(a.name, return false)
+        })
+        catch { case _: scala.runtime.NonLocalReturnControl[_] => return false }
+      case _ => return false
+    }
+    val qConj = conjuncts(cond)
+    mvConj.forall(mc => qConj.exists(_.semanticEquals(mc))) &&
+      qConj.forall(qc => mvConj.exists(_.semanticEquals(qc)))
   }
 
   /** The bare registered relation under an optional column-pruning
@@ -104,8 +169,6 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       case (t: ShardSinkTable, sc: ShardSinkScan) if sc.isFullUnprunedScan => Some(t)
       case _ => None
     }
-    case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
-      baseTable(child)
     case _ => None
   }
 
@@ -134,11 +197,23 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
 
   private def tryRewrite(
       agg: Aggregate, groupExprs: Seq[Expression], aggExprs: Seq[NamedExpression],
+      filterCond: Option[Expression], rel: LogicalPlan,
       tableDir: String, mvDir: String): Option[LogicalPlan] = {
     val spark = SparkSession.active
     if (SinkMvDist.currentVersion(mvDir) == 0L) return None
     val mv = SinkMvDist.slotState(spark, mvDir)
-    if (mv.isJoin || mv.pred.nonEmpty || mv.src != tableDir) return None
+    if (mv.isJoin || mv.src != tableDir) return None
+    (mv.pred.nonEmpty, filterCond) match {
+      case (false, None) => // plain MV, plain query
+      case (true, Some(c)) =>
+        val ok = {
+          inRewrite.set(java.lang.Boolean.TRUE)
+          try predMatches(spark, tableDir, mv.pred, c, rel)
+          finally inRewrite.set(java.lang.Boolean.FALSE)
+        }
+        if (!ok) return None
+      case _ => return None // filtered query over plain MV, or vice versa
+    }
     // group columns: plain attributes, same SET as the MV's groups
     val groupNames = groupExprs.map {
       case a: AttributeReference => a.name
@@ -182,7 +257,8 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
         if (!hasTail) statePart
         else {
           val sign = SinkMvJoin.signOf(col("_change_type"))
-          val tail = SinkMatView.changes(spark, tableDir, mv.srcV, toV).select(
+          val tail = SinkMatView.filtered(
+            SinkMatView.changes(spark, tableDir, mv.srcV, toV), mv.pred).select(
             mv.groups.map(col) ++ slots.flatMap { i =>
               val a = mv.aggs(i)
               val (v, nn) = a.kind match {
@@ -239,9 +315,11 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     * STALE watermark (a 200-doc tail commit compensates through the
     * change feed; linear aggregates only) and once AFTER a refresh (full
     * rewrite including the extreme, with ZERO base data files opened —
-    * the counter delta is an output column under the hash gate). Both
-    * result sets, the rewrite count, and the file-open count are
-    * re-derived by DuckDB.
+    * the counter delta is an output column under the hash gate). A
+    * SECOND registered MV carries a WHERE predicate, and the query
+    * writing the semantically-equal WHERE routes to it — the multi-MV registry picks the matching
+    * definition. All three result sets, the rewrite count, and the
+    * file-open count are re-derived by DuckDB.
     */
   def mvRewriteReport(spark: SparkSession, sfDir: String): DataFrame = {
     val sfx = java.security.MessageDigest.getInstance("MD5")
@@ -263,7 +341,16 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       SinkMatView.MvAgg("sum_ids", "sum", "doc_id"),
       SinkMatView.MvAgg("xor_ids", "xor", "doc_id"),
       SinkMatView.MvAgg("max_doc", "max", "doc_id")), buckets = 8)
+    val mvDirP = dir + ".mvdp"
+    SinkMvDist.create(s, dir, mvDirP, Seq("shard"), Seq(
+      SinkMatView.MvAgg("q3_n", "count"),
+      SinkMatView.MvAgg("q3_sum", "sum", "doc_id")),
+      // % 3, not % 2: shard = doc % 16 makes doc-parity shard-correlated
+      // (even docs land only on even shards), and the gate wants every
+      // shard to carry a q3 row
+      where = "doc_id % 3 = 0", buckets = 8)
     register(dir, mvDir)
+    register(dir, mvDirP)
     try {
       s.experimental.extraOptimizations = Seq(SinkMvRewrite)
       def base = s.read.format("graft.sources.ShardSinkSource")
@@ -286,11 +373,18 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       val got2 = q2.collect().map(r =>
         (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       val q2Files = ShardSink.dataFileReadCount.get() - c0
+      // predicate-MV leg: the equal WHERE (conjunctless, but written on
+      // the query side through the DataFrame API) routes to the second
+      // MV; its watermark is stale by the tail commit, compensated
+      val q3 = base.where(expr("doc_id % 3 = 0")).groupBy(col("shard"))
+        .agg(count(lit(1)).as("q3_n"), sum("doc_id").as("q3_sum"))
+      val got3 = q3.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       val nRewrites = rewrites.get() - r0
       import s.implicits._
       val df1 = got1.toSeq.toDF("shard", "q1_n", "q1_sum", "q1_xor")
+      val df3 = got3.toSeq.toDF("shard", "q3_n", "q3_sum")
       got2.toSeq.toDF("shard", "n_docs", "sum_ids", "xor_ids", "max_doc")
-        .join(df1, "shard")
+        .join(df1, "shard").join(df3, "shard")
         .withColumn("n_rewrites", lit(nRewrites))
         .withColumn("q2_files_opened", lit(q2Files))
         .orderBy("shard")
@@ -300,12 +394,13 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** DuckDB re-derivation: both queries aggregate docs 0..999 per shard
-    * (q1 via state ∪ tail compensation, q2 via pure state) — identical
-    * values by construction, re-derived once and projected twice.
-    * Constants: 2 rewrites (q1 tail-compensated, q2 full; the refresh's
-    * own internal scans are version-pinned and never rewrite); q2 opened
-    * 0 base data files.
+
+
+  /** DuckDB re-derivation: all three queries aggregate docs 0..999 per
+    * shard (q1 via state ∪ tail compensation, q2 via pure state, q3 the
+    * predicate MV — even docs only, tail-compensated under the same
+    * predicate). Constants: 3 rewrites (the refresh's own internal scans
+    * are version-pinned and never rewrite); q2 opened 0 base data files.
     */
   val mvRewriteReportSql: String =
     """WITH g AS (
@@ -318,7 +413,9 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       |       CAST(COUNT(*) AS BIGINT) AS q1_n,
       |       CAST(SUM(doc_id) AS BIGINT) AS q1_sum,
       |       bit_xor(doc_id) AS q1_xor,
-      |       CAST(2 AS BIGINT) AS n_rewrites,
+      |       CAST(COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS q3_n,
+      |       CAST(SUM(doc_id) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS q3_sum,
+      |       CAST(3 AS BIGINT) AS n_rewrites,
       |       CAST(0 AS BIGINT) AS q2_files_opened
       |FROM g GROUP BY shard ORDER BY shard""".stripMargin
 }

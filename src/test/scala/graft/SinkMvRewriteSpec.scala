@@ -136,6 +136,62 @@ class SinkMvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a predicate-bearing MV matches the semantically-equal query WHERE") {
+    val dir = freshDir("mvrw_pred")
+    val mvDir = dir + ".mvd"
+    val s = spark.newSession()
+    append(s, dir, 0L, 600L)
+    SinkMvDist.create(s, dir, mvDir, Seq("shard"), Seq(
+      MvAgg("n", "count"), MvAgg("sd", "sum", "doc_id")),
+      where = "doc_id % 2 = 0 AND length(body) = 32", buckets = 4)
+    SinkMvRewrite.register(dir, mvDir)
+    try {
+      s.experimental.extraOptimizations = Seq(SinkMvRewrite)
+      def base = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      // the same predicate — written with different spacing/order than the
+      // definition — rewrites, base files stay closed
+      val q = base.where(expr("length(body) = 32 AND doc_id % 2 = 0"))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
+      val r0 = SinkMvRewrite.rewrites.get()
+      val c0 = ShardSink.dataFileReadCount.get()
+      val got = canon(q.collect())
+      assert(SinkMvRewrite.rewrites.get() === r0 + 1L, "predicate MV did not rewrite")
+      assert(ShardSink.dataFileReadCount.get() - c0 === 0L)
+      val want = canon(spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).load()
+        .where(expr("doc_id % 2 = 0 AND length(body) = 32"))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
+        .collect())
+      assert(got === want)
+      // tail compensation honors the predicate (a FRESH frame — an
+      // already-optimized plan stays pinned to its snapshot, as any DSv2
+      // scan does)
+      append(s, dir, 600L, 700L)
+      val q2 = base.where(expr("length(body) = 32 AND doc_id % 2 = 0"))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
+      val got2 = canon(q2.collect())
+      assert(SinkMvRewrite.rewrites.get() === r0 + 2L)
+      assert(got2 === canon(spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).load()
+        .where(expr("doc_id % 2 = 0 AND length(body) = 32"))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
+        .collect()))
+      // a DIFFERENT predicate must not match, in either direction
+      base.where(expr("doc_id % 2 = 1 AND length(body) = 32"))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n")).collect()
+      base.where(expr("doc_id % 2 = 0")).groupBy(col("shard"))
+        .agg(count(lit(1)).as("n")).collect()
+      base.groupBy(col("shard")).agg(count(lit(1)).as("n")).collect()
+      assert(SinkMvRewrite.rewrites.get() === r0 + 2L,
+        "a non-matching predicate (or no predicate) was rewritten against a predicate MV")
+    } finally {
+      SinkMvRewrite.unregister(dir)
+      s.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("group liveness and NULL-ness survive the state ∪ tail compensation") {
     val root = java.nio.file.Files.createTempDirectory("mvrw_null").toString
     val s = spark.newSession()
