@@ -537,48 +537,30 @@ object SinkMvDist {
       // materialized this commit's change rows, so re-deriving them from
       // the log would only add a read (phase-timed in PLANS.md §38.2).
       // Only the batch's own source moves; every other source is pinned at
-      // its header watermark, so the join paths are the delta-join
-      // decomposition with a single Δ side: a dim batch joins fact@srcV
-      // plus the other dims at their watermarks, a fact batch joins every
-      // dim at its watermark — the same telescoping contributionStream
-      // implements for multi-source batch windows.
+      // its header watermark, so the join paths are ONE call into the
+      // shared contributionStream core with the batch passed as the moved
+      // source's delta override — the streaming path shares every line of
+      // the join algebra (telescoping order, uniqueness guard, prefix
+      // handling) with the batch refresh.
       val signed = ch.withColumn("_sign", SinkMvJoin.signOf(col("_change_type")))
-        .drop("_change_type", "_commit_version")
       val (contrib, recompute, nextSt) =
         if (st.joins.isEmpty)
-          (signed,
+          (signed.drop("_change_type", "_commit_version"),
             () => SinkMatView.filtered(SinkMatView.srcAt(spark, srcDir, toV), st.pred),
             st.copy(srcV = toV))
         else {
           val wins = st.joins.zipWithIndex.map { case (jj, k) =>
-            val win = if (isDim && k == dimIdx) (fromV, toV) else (jj.dimV, jj.dimV)
-            SinkMvJoin.DimWindow(jj.dim, jj.fk, jj.pk, jj.pfx, win._1, win._2)
+            if (isDim && k == dimIdx)
+              SinkMvJoin.DimWindow(jj.dim, jj.fk, jj.pk, jj.pfx, fromV, toV,
+                delta = Some(signed))
+            else SinkMvJoin.DimWindow(jj.dim, jj.fk, jj.pk, jj.pfx, jj.dimV, jj.dimV)
           }
           val factTo = if (isDim) st.srcV else toV
           val nextJoins =
             if (isDim) st.joins.updated(dimIdx, st.joins(dimIdx).copy(dimV = toV))
             else st.joins
-          val contribution =
-            if (isDim) {
-              val j = st.joins(dimIdx)
-              val dChPrefixed = SinkMvJoin.dimView(signed, j.pfx, extra = Seq("_sign"))
-              SinkMvJoin.requireUniqueKeys(
-                SinkMatView.srcAt(spark, j.dim, toV), j.pk,
-                dChPrefixed.select(col(s"${j.pfx}${j.pk}").as(j.pk)))
-              st.joins.zipWithIndex.foldLeft(
-                SinkMatView.srcAt(spark, st.src, st.srcV)) { case (acc, (jj, k)) =>
-                val side =
-                  if (k == dimIdx) dChPrefixed
-                  else SinkMvJoin.dimView(
-                    SinkMatView.srcAt(spark, jj.dim, jj.dimV), jj.pfx)
-                SinkMvJoin.joinedFrame(acc, side, jj.fk, jj.pk, jj.pfx)
-              }
-            } else st.joins.foldLeft(signed) { (acc, jj) =>
-              SinkMvJoin.joinedFrame(acc,
-                SinkMvJoin.dimView(SinkMatView.srcAt(spark, jj.dim, jj.dimV), jj.pfx),
-                jj.fk, jj.pk, jj.pfx)
-            }
-          (contribution,
+          (SinkMvJoin.contributionStream(spark, st.src, st.srcV, factTo, wins,
+            factDelta = if (isDim) None else Some(signed)),
             () => SinkMatView.filtered(
               SinkMvJoin.joinedAt(spark, st.src, factTo, wins), st.pred),
             st.copy(srcV = factTo, joins = nextJoins))
@@ -1406,6 +1388,9 @@ object SinkMvDist {
       spark: SparkSession, mvDir: String, targetBytesPerBucket: Long,
       skewFactor: Double = 4.0, maxBuckets: Int = 4096): Option[Int] = {
     require(targetBytesPerBucket > 0L, "targetBytesPerBucket must be positive")
+    // rebucket itself enforces <= 4096; a larger caller cap must clamp
+    // here instead of crashing mid-policy (review fix)
+    val cap = math.min(maxBuckets, 4096)
     val v = currentVersion(mvDir)
     require(v > 0L, s"no distributed materialized view at $mvDir")
     val st = readHeaderAt(mvDir, v)
@@ -1415,17 +1400,17 @@ object SinkMvDist {
     val maxBytes = stats.map(_._3).foldLeft(0L)(math.max)
     def pow2ceil(x: Long): Int = {
       var n = 1
-      while (n < x && n < maxBuckets) n <<= 1
+      while (n < x && n < cap) n <<= 1
       // the last shift may overshoot a non-power-of-two cap (review fix)
-      math.min(n, maxBuckets)
+      math.min(n, cap)
     }
     val want = pow2ceil(math.ceil(total.toDouble / targetBytesPerBucket).toLong)
     if (mean > targetBytesPerBucket && want > st.buckets) {
       rebucket(spark, mvDir, want)
       Some(want)
-    } else if (st.buckets > 1 && st.buckets < maxBuckets &&
+    } else if (st.buckets > 1 && st.buckets < cap &&
       maxBytes > skewFactor * math.max(1.0, mean)) {
-      val n = math.min(maxBuckets, st.buckets * 2)
+      val n = math.min(cap, st.buckets * 2)
       rebucket(spark, mvDir, n)
       Some(n)
     } else None

@@ -190,9 +190,15 @@ object SinkMvJoin {
     * the join key (`fk` resolves against the fact or an EARLIER dim's
     * prefixed columns — the snowflake chain), its unique key `pk`, its
     * column prefix, and its version window (fromV == toV ⇒ unchanged).
+    * `delta`, when set, is this window's change rows ALREADY MATERIALIZED
+    * (a streamed micro-batch, pre-signed with `_sign`) — the builder uses
+    * it instead of re-deriving the window from the commit log, so the
+    * streaming path shares every line of the join algebra without paying
+    * a second feed read.
     */
   private[sources] final case class DimWindow(
-      dim: String, fk: String, pk: String, pfx: String, fromV: Long, toV: Long)
+      dim: String, fk: String, pk: String, pfx: String, fromV: Long, toV: Long,
+      delta: Option[DataFrame] = None)
 
   /** THE shared signed contribution stream of one refresh window — the
     * delta-join decomposition, generalized to a dim CHAIN and applied in
@@ -219,12 +225,13 @@ object SinkMvJoin {
     */
   private[sources] def contributionStream(
       spark: SparkSession, fact: String, factV: Long, factTo: Long,
-      dims: Seq[DimWindow]): DataFrame = {
+      dims: Seq[DimWindow], factDelta: Option[DataFrame] = None): DataFrame = {
     val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     dims.zipWithIndex.foreach { case (d, i) =>
       if (d.toV > d.fromV) {
-        val dCh = SinkMatView.changes(spark, d.dim, d.fromV, d.toV)
-          .withColumn("_sign", signOf(col("_change_type")))
+        val dCh = d.delta.getOrElse(
+          SinkMatView.changes(spark, d.dim, d.fromV, d.toV)
+            .withColumn("_sign", signOf(col("_change_type"))))
         val dChPrefixed = dimView(dCh, d.pfx, extra = Seq("_sign"))
         requireUniqueKeys(
           SinkMatView.srcAt(spark, d.dim, d.toV), d.pk,
@@ -240,8 +247,9 @@ object SinkMvJoin {
       }
     }
     if (factTo > factV) {
-      val fCh = SinkMatView.changes(spark, fact, factV, factTo)
-        .withColumn("_sign", signOf(col("_change_type")))
+      val fCh = factDelta.getOrElse(
+        SinkMatView.changes(spark, fact, factV, factTo)
+          .withColumn("_sign", signOf(col("_change_type"))))
         .drop("_change_type", "_commit_version")
       parts += dims.foldLeft(fCh) { (acc, dj) =>
         joinedFrame(acc, dimView(SinkMatView.srcAt(spark, dj.dim, dj.toV), dj.pfx),

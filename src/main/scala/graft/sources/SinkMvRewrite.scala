@@ -91,9 +91,15 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
           case Some((filterCond, rel)) =>
             baseTable(rel) match {
               case Some(t) if t.pinnedVersion.isEmpty && registry.containsKey(t.tableDir) =>
+                // an optimizer rule must NEVER break the query: a stale
+                // registration (renamed column, swept MV dir, corrupt
+                // header) bails to the base scan instead of escaping
+                // (review fix)
                 registry.get(t.tableDir).iterator
-                  .map(mvDir => tryRewrite(agg, groupExprs, aggExprs, filterCond, rel,
-                    t.tableDir, mvDir))
+                  .map(mvDir =>
+                    try tryRewrite(agg, groupExprs, aggExprs, filterCond, rel,
+                      t.tableDir, mvDir)
+                    catch { case scala.util.control.NonFatal(_) => None })
                   .collectFirst { case Some(p) => p }
                   .getOrElse(agg)
               case _ => agg
@@ -203,17 +209,10 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     if (SinkMvDist.currentVersion(mvDir) == 0L) return None
     val mv = SinkMvDist.slotState(spark, mvDir)
     if (mv.isJoin || mv.src != tableDir) return None
-    (mv.pred.nonEmpty, filterCond) match {
-      case (false, None) => // plain MV, plain query
-      case (true, Some(c)) =>
-        val ok = {
-          inRewrite.set(java.lang.Boolean.TRUE)
-          try predMatches(spark, tableDir, mv.pred, c, rel)
-          finally inRewrite.set(java.lang.Boolean.FALSE)
-        }
-        if (!ok) return None
-      case _ => return None // filtered query over plain MV, or vice versa
-    }
+    // cheap structural screens first — the semantic predicate match costs
+    // a nested analyze+optimize, so it runs only when the shape already
+    // fits (review fix); the (pred, filter) presence must agree either way
+    if (mv.pred.nonEmpty != filterCond.nonEmpty) return None
     // group columns: plain attributes, same SET as the MV's groups
     val groupNames = groupExprs.map {
       case a: AttributeReference => a.name
@@ -228,12 +227,27 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     case class AggOut(mvIdx: Int, name: String) extends Out
     val outs: Seq[Out] = aggExprs.map {
       case a: AttributeReference if groupNames.contains(a.name) => GroupOut(a.name)
-      case al @ Alias(AggregateExpression(f, Complete, false, None, _), name) =>
+      // the LongType guard is load-bearing: MV slots hold per-row BIGINT
+      // casts, so a textual match over a non-integral column (sum of a
+      // DOUBLE) would silently return truncated values — only aggregates
+      // that already produce BIGINT may map (review fix)
+      case al @ Alias(ae @ AggregateExpression(f, Complete, false, None, _), name)
+          if ae.dataType == LongType =>
         mvAggIndex(f, mv.aggs) match {
           case Some(i) => AggOut(i, name)
           case None => return None
         }
       case _ => return None
+    }
+    (mv.pred.nonEmpty, filterCond) match {
+      case (true, Some(c)) =>
+        val ok = {
+          inRewrite.set(java.lang.Boolean.TRUE)
+          try predMatches(spark, tableDir, mv.pred, c, rel)
+          finally inRewrite.set(java.lang.Boolean.FALSE)
+        }
+        if (!ok) return None
+      case _ => // plain MV, plain query
     }
     val needed = outs.collect { case AggOut(i, _) => i }.distinct
     val hasExtreme = needed.exists(i =>
@@ -244,6 +258,11 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     // a tail may contain retractions, which can remove a recorded
     // extreme — extremes rewrite only at a current watermark
     if (hasExtreme && hasTail) return None
+    // the tail must still be DERIVABLE: compaction releases change feeds
+    // below its horizon, and a spliced expired-range scan would fail the
+    // user's query at execution instead of falling back (review fix —
+    // same bound changePartitions enforces)
+    if (hasTail && mv.srcV + 1L < ShardSink.horizonOf(tableDir)) return None
 
     inRewrite.set(java.lang.Boolean.TRUE)
     try {
@@ -398,8 +417,8 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
 
   /** DuckDB re-derivation: all three queries aggregate docs 0..999 per
     * shard (q1 via state ∪ tail compensation, q2 via pure state, q3 the
-    * predicate MV — even docs only, tail-compensated under the same
-    * predicate). Constants: 3 rewrites (the refresh's own internal scans
+    * predicate MV — doc_id multiples of three, tail-compensated under
+    * the same predicate). Constants: 3 rewrites (the refresh's own internal scans
     * are version-pinned and never rewrite); q2 opened 0 base data files.
     */
   val mvRewriteReportSql: String =

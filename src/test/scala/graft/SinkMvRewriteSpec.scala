@@ -125,11 +125,86 @@ class SinkMvRewriteSpec extends SparkSpec {
         .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
       qf.collect()
       assert(SinkMvRewrite.rewrites.get() === rBefore + 1L)
-      // unregistering restores the base scan
+      // unregistering restores the base scan — on a FRESH frame (an
+      // already-executed DataFrame reuses its cached plan, so re-running
+      // q1 would prove nothing — review fix), pinned by the plan shape
       SinkMvRewrite.unregister(dir)
       val rFinal = SinkMvRewrite.rewrites.get()
-      q1.collect()
+      val qU = base.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
+      qU.collect()
       assert(SinkMvRewrite.rewrites.get() === rFinal, "unregistered table was rewritten")
+      assert(qU.queryExecution.executedPlan.toString.contains("ShardSinkScan["),
+        "unregistered query did not return to the base scan")
+    } finally {
+      SinkMvRewrite.unregister(dir)
+      s.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("a stale MV whose tail expired under compaction falls back to the base scan") {
+    val dir = freshDir("mvrw_hz")
+    val mvDir = dir + ".mvd"
+    val s = spark.newSession()
+    append(s, dir, 0L, 400L) // v1
+    SinkMvDist.create(s, dir, mvDir, Seq("shard"), Seq(
+      MvAgg("n", "count"), MvAgg("sd", "sum", "doc_id")), buckets = 4)
+    SinkMvRewrite.register(dir, mvDir)
+    try {
+      s.experimental.extraOptimizations = Seq(SinkMvRewrite)
+      append(s, dir, 400L, 500L) // v2: un-refreshed tail
+      ShardSink.compact(dir) // v3: horizon = 3 — the (1, 3] feed expired
+      val r0 = SinkMvRewrite.rewrites.get()
+      val q = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
+      // the rule must BAIL, not splice an expired change-feed scan that
+      // fails the user's query at execution (review fix)
+      val got = q.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(SinkMvRewrite.rewrites.get() === r0, "expired-tail MV was rewritten")
+      val want = spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).load()
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want)
+    } finally {
+      SinkMvRewrite.unregister(dir)
+      s.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("a non-integral aggregate never maps to a BIGINT MV slot") {
+    val root = java.nio.file.Files.createTempDirectory("mvrw_typ").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.mvrwt", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.mvrwt.root", root)
+    s.conf.set("spark.sql.catalog.mvrwt.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "400").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("mvrwt.docs").append()
+    s.sql("ALTER TABLE mvrwt.docs ADD COLUMN score DOUBLE")
+    docs(0L, 300L).withColumn("score", col("doc_id") / 4.0).writeTo("mvrwt.docs").append()
+    val dir = new java.io.File(root, "docs").getPath
+    val mvDir = dir + ".mvd"
+    // the MV folds sum(cast(score AS BIGINT)) — per-row truncation. A
+    // query's sum(score) (a DOUBLE sum) matches the slot TEXTUALLY but
+    // must NOT rewrite: the truncated slot is not the double sum
+    SinkMvDist.create(s, dir, mvDir, Seq("shard"), Seq(
+      MvAgg("n", "count"), MvAgg("sc", "sum", "score")), buckets = 4)
+    SinkMvRewrite.register(dir, mvDir)
+    try {
+      s.experimental.extraOptimizations = Seq(SinkMvRewrite)
+      val r0 = SinkMvRewrite.rewrites.get()
+      val got = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"), sum("score").as("sc"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(SinkMvRewrite.rewrites.get() === r0,
+        "a DOUBLE sum was rewritten to the truncated BIGINT slot")
+      val want = spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).load()
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"), sum("score").as("sc"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === want)
     } finally {
       SinkMvRewrite.unregister(dir)
       s.experimental.extraOptimizations = Nil
