@@ -37,7 +37,11 @@ import org.apache.spark.sql.types.LongType
   *     land on both sides before the conjunct-set comparison — no
   *     textual paren/spacing fragility); an unfiltered query never
   *     matches a predicate MV and vice versa;
-  *   - the group-by columns equal the MV's group columns (any order);
+  *   - the group-by columns are a SUBSET of the MV's group columns (any
+  *     order, possibly empty — a global aggregate): state rows are
+  *     complete per-fine-group partials, so a coarser rollup re-aggregates
+  *     them exactly (counts/sums/xors fold linearly with their non-null
+  *     counters; a min of fine-group mins IS the coarse min);
   *   - every aggregate maps to a declared MV aggregate: `count(*)` /
   *     `count(1)` to the count slot, `sum/min/max/bit_xor(e)` to the
   *     slot whose expression matches textually after normalization.
@@ -99,7 +103,9 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
                   .map(mvDir =>
                     try tryRewrite(agg, groupExprs, aggExprs, filterCond, rel,
                       t.tableDir, mvDir)
-                    catch { case scala.util.control.NonFatal(_) => None })
+                    catch { case scala.util.control.NonFatal(e) =>
+                      if (sys.props.contains("graft.mvrw.debug")) e.printStackTrace()
+                      None })
                   .collectFirst { case Some(p) => p }
                   .getOrElse(agg)
               case _ => agg
@@ -213,12 +219,14 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     // a nested analyze+optimize, so it runs only when the shape already
     // fits (review fix); the (pred, filter) presence must agree either way
     if (mv.pred.nonEmpty != filterCond.nonEmpty) return None
-    // group columns: plain attributes, same SET as the MV's groups
+    // group columns: plain attributes forming a SUBSET of the MV's
+    // groups — state rows are complete fine-group partials, so any
+    // coarser rollup (including the global aggregate) re-derives exactly
     val groupNames = groupExprs.map {
       case a: AttributeReference => a.name
       case _ => return None
     }
-    if (groupNames.toSet != mv.groups.toSet || groupNames.distinct != groupNames)
+    if (!groupNames.toSet.subsetOf(mv.groups.toSet) || groupNames.distinct != groupNames)
       return None
     // each output is a group attr or a mappable aggregate
     val countSlot = mv.aggs.indexWhere(_.kind == "count") // validate() guarantees ≥ 0
@@ -295,7 +303,9 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       val aggCols = slots.map { i =>
         val a = mv.aggs(i)
         a.kind match {
-          case "count" => sum(col(s"_p$i")).as(s"_r$i")
+          // coalesce for the GLOBAL aggregate over an empty view: SQL
+          // returns one row with count 0, and sum-over-nothing is NULL
+          case "count" => coalesce(sum(col(s"_p$i")), lit(0L)).as(s"_r$i")
           case "sum" => when(sum(col(s"_pn$i")) === 0L, lit(null).cast(LongType))
             .otherwise(sum(col(s"_p$i"))).as(s"_r$i")
           case "xor" => when(sum(col(s"_pn$i")) === 0L, lit(null).cast(LongType))
@@ -304,10 +314,15 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
           case "max" => max(col(s"_p$i")).as(s"_r$i")
         }
       }
-      val compensated = unioned
-        .groupBy(mv.groups.map(col): _*)
+      val grouped = unioned
+        .groupBy(groupNames.map(col): _*) // the QUERY's (possibly coarser) grain
         .agg(aggCols.head, aggCols.tail: _*)
-        .where(col(s"_r$countSlot") > 0L) // group liveness, as in the fold
+      // group liveness, as in the fold — a coarse group whose total count
+      // reached zero has no base rows and leaves; the GLOBAL aggregate
+      // keeps its single row (SQL returns (0, NULL, …) over no rows)
+      val compensated =
+        if (groupNames.isEmpty) grouped
+        else grouped.where(col(s"_r$countSlot") > 0L)
       val shaped = compensated.select(outs.map {
         case GroupOut(n) => col(n)
         case AggOut(i, n) => col(s"_r$i").as(n)
@@ -398,12 +413,19 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       val q3 = base.where(expr("doc_id % 3 = 0")).groupBy(col("shard"))
         .agg(count(lit(1)).as("q3_n"), sum("doc_id").as("q3_sum"))
       val got3 = q3.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      // GLOBAL-aggregate leg: no GROUP BY at all — the empty group set is
+      // a subset of every MV's, so the shard MV's partials re-roll to one
+      // row
+      val g = base.agg(count(lit(1)).as("g_n"), sum("doc_id").as("g_sum"))
+        .collect().head
       val nRewrites = rewrites.get() - r0
       import s.implicits._
       val df1 = got1.toSeq.toDF("shard", "q1_n", "q1_sum", "q1_xor")
       val df3 = got3.toSeq.toDF("shard", "q3_n", "q3_sum")
       got2.toSeq.toDF("shard", "n_docs", "sum_ids", "xor_ids", "max_doc")
         .join(df1, "shard").join(df3, "shard")
+        .withColumn("g_n", lit(g.getLong(0)))
+        .withColumn("g_sum", lit(g.getLong(1)))
         .withColumn("n_rewrites", lit(nRewrites))
         .withColumn("q2_files_opened", lit(q2Files))
         .orderBy("shard")
@@ -418,8 +440,10 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
   /** DuckDB re-derivation: all three queries aggregate docs 0..999 per
     * shard (q1 via state ∪ tail compensation, q2 via pure state, q3 the
     * predicate MV — doc_id multiples of three, tail-compensated under
-    * the same predicate). Constants: 3 rewrites (the refresh's own internal scans
-    * are version-pinned and never rewrite); q2 opened 0 base data files.
+    * the same predicate), plus a GLOBAL (group-less) aggregate answered
+    * from the shard MV's partials. Constants: 4 rewrites (the refresh's
+    * own internal scans are version-pinned and never rewrite); q2 opened
+    * 0 base data files.
     */
   val mvRewriteReportSql: String =
     """WITH g AS (
@@ -434,7 +458,9 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       |       bit_xor(doc_id) AS q1_xor,
       |       CAST(COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS q3_n,
       |       CAST(SUM(doc_id) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS q3_sum,
-      |       CAST(3 AS BIGINT) AS n_rewrites,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS g_n,
+      |       (SELECT CAST(SUM(doc_id) AS BIGINT) FROM g) AS g_sum,
+      |       CAST(4 AS BIGINT) AS n_rewrites,
       |       CAST(0 AS BIGINT) AS q2_files_opened
       |FROM g GROUP BY shard ORDER BY shard""".stripMargin
 }

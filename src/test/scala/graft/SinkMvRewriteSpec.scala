@@ -142,6 +142,47 @@ class SinkMvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("coarser GROUP BYs and the global aggregate re-roll the MV's fine-group partials") {
+    val dir = freshDir("mvrw_coarse")
+    val mvDir = dir + ".mvd"
+    val s = spark.newSession()
+    append(s, dir, 0L, 600L)
+    // per-(shard, doc bucket) grain — the query rolls it up coarser
+    SinkMvDist.create(s, dir, mvDir, Seq("shard", "doc_id"), Seq(
+      MvAgg("n", "count"), MvAgg("sd", "sum", "doc_id"),
+      MvAgg("hi", "max", "doc_id")), buckets = 8)
+    SinkMvRewrite.register(dir, mvDir)
+    try {
+      s.experimental.extraOptimizations = Seq(SinkMvRewrite)
+      def base = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+      val r0 = SinkMvRewrite.rewrites.get()
+      // coarser: GROUP BY shard over the (shard, doc_id)-grain MV —
+      // extremes are exact at the coarse grain (min of fine mins)
+      val qc = base.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"), max("doc_id").as("hi"))
+      val c0 = ShardSink.dataFileReadCount.get()
+      val gotC = qc.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(SinkMvRewrite.rewrites.get() === r0 + 1L, "coarser rollup did not rewrite")
+      assert(ShardSink.dataFileReadCount.get() - c0 === 0L)
+      val wantC = spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).load().groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"), max("doc_id").as("hi"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(gotC === wantC)
+      // global: no GROUP BY at all
+      val qg = base.agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
+      val gotG = qg.collect().head
+      assert(SinkMvRewrite.rewrites.get() === r0 + 2L, "global aggregate did not rewrite")
+      assert(gotG.getLong(0) === 600L && gotG.getLong(1) === (599L * 600L) / 2L)
+      // a group column OUTSIDE the MV's set still bails
+      base.groupBy(col("body")).agg(count(lit(1)).as("n")).collect()
+      assert(SinkMvRewrite.rewrites.get() === r0 + 2L, "non-subset grouping was rewritten")
+    } finally {
+      SinkMvRewrite.unregister(dir)
+      s.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("a stale MV whose tail expired under compaction falls back to the base scan") {
     val dir = freshDir("mvrw_hz")
     val mvDir = dir + ".mvd"
