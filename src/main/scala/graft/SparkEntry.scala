@@ -6,9 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * `queries` aggregates every implemented operator (SURVEY.md §2 IDs noted
   * at each definition site); `oracleSql` carries the DuckDB-equivalent ANSI
-  * SQL for each hash-checked query. Non-SQL-expressible operators (MinHash
-  * banding, SimHash, LSH ANN, approx-distinct, mapPartitions media stub)
-  * are present in `queries` only → driver records a rows-only check.
+  * SQL for each hash-checked query. Every entry is hash-checked as of
+  * round 18 — the last rows-only sketches (HLL approx-distinct, t-digest
+  * approx-percentile) were replaced by deterministic KMV twins whose
+  * estimates DuckDB re-derives bit-for-bit.
   */
 object SparkEntry {
 

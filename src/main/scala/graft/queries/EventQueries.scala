@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.model.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -150,15 +150,75 @@ object EventQueries {
       |       CAST(COUNT(*) AS BIGINT) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** X-8 (approx side): HLL++ sketches — single pass, fixed memory,
-    * mergeable across 1000 executors. Not oracle-hash-checked (estimates),
-    * driver records rows>0.
+  /** X-8 (approx side): DETERMINISTIC approx distinct via a KMV
+    * (bottom-k / k-minimum-values) sketch — the round-18 upgrade from
+    * `approx_count_distinct`'s opaque HLL to a sketch the DuckDB oracle
+    * re-derives bit-for-bit (the treatment `x5_approx_top_words` got in
+    * round 17). Values hash through the pinned md5-60 family
+    * ([[graft.text.TextOps.md5Hash60]]); per group the k = 256 SMALLEST
+    * distinct hashes are kept and the estimate is the classic KMV
+    * (k − 1) / F(h_k) with F the fraction of the 2⁶⁰ hash space below the
+    * k-th minimum — i.e. (k − 1) · 2⁶⁰ / h_k. A group with fewer than k
+    * distinct hashes is exact by construction. `n_exact` rides along so
+    * the estimate's error is itself under the hash gate.
+    *
+    * Scale shape: the `row_number ≤ k` rank filter compiles to
+    * WindowGroupLimit — per-partition bottom-k heaps BEFORE the single
+    * group-key exchange — so executor memory is O(k · groups/partition)
+    * and the shuffle carries ≤ k rows per group regardless of corpus
+    * size; the sketch is mergeable (union of bottom-k sets, re-cut at k),
+    * which is what makes it a sketch and not a sort.
     */
-  def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+  def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 256
+    val h = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        graft.text.TextOps.md5Hash60(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val w = Window.partitionBy("event_type").orderBy("h")
+    h.withColumn("rk", row_number().over(w)).where(col("rk") <= K)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
+      .agg(count(lit(1)).as("d"),
+        max(when(col("rk") === K, col("h"))).as("hk"))
+      .join(Tables.events(spark, sfDir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact")), "event_type")
+      .select(
+        col("event_type"),
+        when(col("d") < K, col("d").cast("double"))
+          .otherwise(round(
+            lit((K - 1).toDouble) * lit(math.pow(2.0, 60)) / col("hk").cast("double"), 4))
+          .as("n_users_kmv"),
+        col("n_exact"))
       .orderBy("event_type")
+  }
+
+  /** DuckDB re-derivation of the KMV estimate: same md5-60 family, same
+    * bottom-256 cut, same (k−1)·2⁶⁰/h_k arithmetic (2⁶⁰ and 255·2⁶⁰ are
+    * exactly representable doubles; the division is one IEEE op in both
+    * engines), same exact-below-k short-circuit.
+    */
+  val approxDistinctUsersSql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, h,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |  FROM h),
+      |s AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d,
+      |         MAX(CASE WHEN rk = 256 THEN h END) AS hk
+      |  FROM r WHERE rk <= 256 GROUP BY event_type),
+      |x AS (
+      |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      |  FROM events GROUP BY event_type)
+      |SELECT s.event_type,
+      |       CASE WHEN d < 256 THEN CAST(d AS DOUBLE)
+      |            ELSE ROUND(255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE), 4)
+      |       END AS n_users_kmv,
+      |       x.n_exact
+      |FROM s JOIN x USING (event_type) ORDER BY event_type""".stripMargin
 
   /** Telemetry anomaly gate — per-type 3σ outlier counts from
     * decimal-EXACT moments (the [[graft.queries.RelQueries.statsAgg]]
@@ -259,25 +319,91 @@ object EventQueries {
       |  ROUND(quantile_cont(value, 0.99), 6) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** Sketch twin of [[percentiles]]: approx_percentile builds mergeable
-    * per-partition digests — single pass, bounded memory, the shape that
-    * replaces exact sorting at 100 TB. Estimates → rows-only check. The
-    * quantile array is projected to scalar columns (the harness sorts rows
-    * by value, so array-typed cells are not checkable).
+  /** Sketch twin of [[percentiles]] — round-18 upgrade from
+    * `approx_percentile`'s randomized t-digest to DETERMINISTIC
+    * hash-sampled order statistics, fully re-derivable in SQL (the same
+    * KMV treatment as [[approxDistinctUsers]]): per event type, the
+    * k = 1024 rows whose md5-60 row-key hash is smallest form a uniform
+    * (but pinned) sample, and each quantile is linearly interpolated
+    * between the sample's order statistics at pos = (n−1)·q — exactly
+    * `percentile`'s definition applied to the sample. A group with fewer
+    * than k rows degenerates to the exact percentile by construction.
+    *
+    * Scale shape: the `row_number ≤ k` cut compiles to WindowGroupLimit
+    * (per-partition bottom-k heaps before ONE exchange), the sample is
+    * mergeable (union, re-cut at k), and the order statistics run over
+    * ≤ k rows per group — bounded memory at any corpus size, no global
+    * sort. The interpolation operands (sample values, (n−1)·q doubles)
+    * are identical expressions in both engines → bit-identical under
+    * round(6).
     */
-  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .groupBy("event_type")
-      .agg(
-        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("p_approx"),
-        count(lit(1)).as("n"))
-      .select(
-        col("event_type"),
-        element_at(col("p_approx"), 1).as("p50_approx"),
-        element_at(col("p_approx"), 2).as("p90_approx"),
-        element_at(col("p_approx"), 3).as("p99_approx"),
-        col("n"))
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 1024
+    val wH = Window.partitionBy("event_type").orderBy("h")
+    val sample = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        graft.text.TextOps.md5Hash60(col("event_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(wH)).where(col("rk") <= K)
+    val wV = Window.partitionBy("event_type").orderBy("value")
+    val ranked = sample
+      .withColumn("rn", row_number().over(wV))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    def ordStats(q: Double, tag: String): Seq[Column] = {
+      val pos = (col("n") - 1L).cast("double") * lit(q)
+      val lo = floor(pos).cast("long")
+      Seq(
+        max(when(col("rn") === lo + 1L, col("value"))).as(s"_lo_$tag"),
+        max(when(col("rn") === lo + 2L, col("value"))).as(s"_hi_$tag"))
+    }
+    val qs = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val aggCols = qs.flatMap { case (q, t) => ordStats(q, t) } :+ max(col("n")).as("n_sample")
+    def interp(q: Double, tag: String): Column = {
+      val pos = (col("n_sample") - 1L).cast("double") * lit(q)
+      val frac = pos - floor(pos)
+      round(col(s"_lo_$tag") +
+        frac * (coalesce(col(s"_hi_$tag"), col(s"_lo_$tag")) - col(s"_lo_$tag")), 6)
+        .as(s"${tag}_kmv")
+    }
+    ranked.groupBy("event_type")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("event_type") +: qs.map { case (q, t) => interp(q, t) } :+ col("n_sample"): _*)
       .orderBy("event_type")
+  }
+
+  /** DuckDB re-derivation: same pinned sample (bottom-1024 by md5-60 of
+    * event_id), same order statistics, same (n−1)·q interpolation.
+    */
+  val approxPercentilesSql: String =
+    """WITH s AS (
+      |  SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) AS rk
+      |  FROM events),
+      |k AS (SELECT event_type, value FROM s WHERE rk <= 1024),
+      |r AS (
+      |  SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM k),
+      |a AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN value END) AS lo50,
+      |    MAX(CASE WHEN rn = CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 2 THEN value END) AS hi50,
+      |    MAX(CASE WHEN rn = CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 THEN value END) AS lo90,
+      |    MAX(CASE WHEN rn = CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 2 THEN value END) AS hi90,
+      |    MAX(CASE WHEN rn = CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1 THEN value END) AS lo99,
+      |    MAX(CASE WHEN rn = CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 2 THEN value END) AS hi99,
+      |    CAST(MAX(n) AS BIGINT) AS n_sample
+      |  FROM r GROUP BY event_type)
+      |SELECT event_type,
+      |  ROUND(lo50 + (CAST(n_sample - 1 AS DOUBLE) * 0.5
+      |    - FLOOR(CAST(n_sample - 1 AS DOUBLE) * 0.5)) * (COALESCE(hi50, lo50) - lo50), 6) AS p50_kmv,
+      |  ROUND(lo90 + (CAST(n_sample - 1 AS DOUBLE) * 0.9
+      |    - FLOOR(CAST(n_sample - 1 AS DOUBLE) * 0.9)) * (COALESCE(hi90, lo90) - lo90), 6) AS p90_kmv,
+      |  ROUND(lo99 + (CAST(n_sample - 1 AS DOUBLE) * 0.99
+      |    - FLOOR(CAST(n_sample - 1 AS DOUBLE) * 0.99)) * (COALESCE(hi99, lo99) - lo99), 6) AS p99_kmv,
+      |  n_sample
+      |FROM a ORDER BY event_type""".stripMargin
 
   /** Time-series gap fill + last-observation-carried-forward: the resample
     * operator metric/feature pipelines need (sparse event stream → dense
@@ -566,5 +692,7 @@ object EventQueries {
     "q_session_counts" -> sessionCountsSql,
     "x8_distinct_users" -> distinctUsersSql,
     "q_anomaly_zscore" -> anomalyZscoreSql,
-    "x9_percentiles" -> percentilesSql)
+    "x9_percentiles" -> percentilesSql,
+    "x8_approx_distinct" -> approxDistinctUsersSql,
+    "x9_approx_percentiles" -> approxPercentilesSql)
 }

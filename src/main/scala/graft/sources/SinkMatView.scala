@@ -66,7 +66,21 @@ object SinkMatView {
       fromV: Long, toV: Long, changeRows: Long, dirtyGroups: Long,
       mvVersion: Long, applied: Boolean)
 
-  private val Kinds = Set("count", "sum", "xor", "min", "max")
+  // "dsum" (round 18): an EXACT-DECIMAL sum over a fractional column —
+  // per-row values cast to DECIMAL(24,6), partials held as DECIMAL(30,6)
+  // so the incremental fold (including retractions) is exact arithmetic;
+  // a double-typed partial would drift (a + b − b ≠ a in IEEE). Exposed
+  // to readers as DOUBLE. Distributed ([[SinkMvDist]]) state only — the
+  // blob MVs' Long-cell codec cannot hold it and rejects it at create.
+  private val Kinds = Set("count", "sum", "xor", "min", "max", "dsum")
+
+  /** dsum slot storage type (state cells + fold arithmetic). */
+  private[sources] val DsumCell: DecimalType = DecimalType(30, 6)
+  /** dsum per-row input cast — six fractional digits, exact for the
+    * money/metric-shaped doubles a rollup MV sums; values needing more
+    * precision should sum a scaled BIGINT instead.
+    */
+  private[sources] val DsumIn: DecimalType = DecimalType(24, 6)
   private val StateV = """_mv\.v(\d+)\.json""".r
 
   // ---- state model -------------------------------------------------------
@@ -265,6 +279,7 @@ object SinkMatView {
     case "xor" => expr(s"bit_xor(cast((${a.e}) as bigint))").as(a.name)
     case "min" => min(expr(a.e).cast(LongType)).as(a.name)
     case "max" => max(expr(a.e).cast(LongType)).as(a.name)
+    case "dsum" => sum(expr(a.e).cast(DsumIn)).cast(DsumCell).as(a.name)
   }
 
   private def badChars(e: String): Boolean =
@@ -339,6 +354,8 @@ object SinkMatView {
       spark: SparkSession, srcDir: String, mvDir: String,
       groups: Seq[String], aggs: Seq[MvAgg], where: String): Long = {
     validate(groups, aggs, where)
+    require(aggs.forall(_.kind != "dsum"),
+      "dsum needs decimal state cells — supported by the DISTRIBUTED MV (SinkMvDist) only")
     require(currentVersion(mvDir) == 0L, s"materialized view already exists at $mvDir")
     val srcV = ShardSink.currentManifestVersion(srcDir)
     require(srcV > 0L, s"no committed version at $srcDir — create the MV after the first commit")

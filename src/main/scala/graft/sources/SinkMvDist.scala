@@ -197,11 +197,14 @@ object SinkMvDist {
   private def ungcellCol(c: Column, gtype: String): Column =
     when(c === "%N", lit(null).cast(StringType)).otherwise(unescCol(c))
       .cast(SinkMatView.gdt(gtype))
-  /** Long-or-empty value cell, ANSI-safe in both directions. */
+  /** Value-or-empty cell, ANSI-safe in both directions. Decimal cells
+    * round-trip exactly: cast-to-string renders the full scale
+    * ("12.340000") and the typed cast parses it back bit-for-bit.
+    */
   private def cellCol(c: Column): Column =
     coalesce(c.cast(StringType), lit(""))
-  private def uncellCol(c: Column): Column =
-    when(c === "", lit(null).cast(StringType)).otherwise(c).cast(LongType)
+  private def uncellCol(c: Column, dt: DataType = LongType): Column =
+    when(c === "", lit(null).cast(StringType)).otherwise(c).cast(dt)
 
   /** The deterministic group→bucket map, computable on ANY frame carrying
     * the group columns (state rows, delta rows, source rows): xxhash64 of
@@ -221,13 +224,19 @@ object SinkMvDist {
   private def slotV(i: Int) = s"_v$i"
   private def slotC(i: Int) = s"_c$i"
 
+  /** Value-slot storage type: BIGINT for every round-16 kind, exact
+    * DECIMAL for dsum (round 18) — the counter slots stay BIGINT.
+    */
+  private[sources] def slotType(a: MvAgg): DataType =
+    if (a.kind == "dsum") SinkMatView.DsumCell else LongType
+
   private def stateSchema(st: MvdState): StructType =
     StructType(
       st.groups.zip(st.gtypes).map { case (n, t) =>
         StructField(n, SinkMatView.gdt(t), nullable = true)
-      } ++ (0 until st.aggs.length).flatMap(i => Seq(
-        StructField(slotV(i), LongType, nullable = true),
-        StructField(slotC(i), LongType, nullable = true))))
+      } ++ st.aggs.zipWithIndex.flatMap { case (a, i) => Seq(
+        StructField(slotV(i), slotType(a), nullable = true),
+        StructField(slotC(i), LongType, nullable = true)) })
 
   /** Distributed scan of the state segments (optionally bucket-pruned —
     * file = bucket, so the prune is a file-list filter, zero data IO for
@@ -251,8 +260,10 @@ object SinkMvDist {
       ungcellCol(element_at(cells, i + 1), t).as(n)
     }
     val vcols = (0 until 2 * st.aggs.length).map { j =>
-      val name = if (j < st.aggs.length) slotV(j) else slotC(j - st.aggs.length)
-      uncellCol(element_at(cells, g + j + 1)).as(name)
+      val (name, dt) =
+        if (j < st.aggs.length) (slotV(j), slotType(st.aggs(j)))
+        else (slotC(j - st.aggs.length), LongType: DataType)
+      uncellCol(element_at(cells, g + j + 1), dt).as(name)
     }
     spark.read.text(paths: _*).select(gcols ++ vcols: _*)
   }
@@ -305,7 +316,7 @@ object SinkMvDist {
   private def aggSlots(aggs: Seq[MvAgg]): (Seq[Column], Seq[Column]) = (
     aggs.zipWithIndex.map { case (a, i) => SinkMatView.aggColumn(a).as(slotV(i)) },
     aggs.zipWithIndex.map { case (a, i) =>
-      if (a.kind == "sum" || a.kind == "xor")
+      if (a.kind == "sum" || a.kind == "xor" || a.kind == "dsum")
         count(when(expr(a.e).isNotNull, 1)).as(slotC(i))
       else lit(0L).as(slotC(i))
     })
@@ -507,6 +518,9 @@ object SinkMvDist {
     * exactly because every window is pinned at the OTHER side's current
     * header watermark — the same telescoping as the batch refresh, one
     * commit at a time. Gap fast-forward and replay dedup are per-source.
+    * The returned stats' (fromV, toV) are the MOVED source's window —
+    * a dim batch reports the dim versions it advanced, not the
+    * unchanged fact watermark (advice fix).
     */
   def refreshFromChanges(
       spark: SparkSession, srcDir: String, mvDir: String,
@@ -523,7 +537,7 @@ object SinkMvDist {
           st.joins.map(j => s" ⋈ ${j.dim}").mkString + s", not $srcDir")
       val fromV = if (isDim) st.joins(dimIdx).dimV else st.srcV
       if (toV <= fromV) // replayed or pre-create commit: already covered
-        return RefreshStats(st.srcV, st.srcV, 0L, 0L, stateV, applied = false)
+        return RefreshStats(fromV, fromV, 0L, 0L, stateV, applied = false)
       if (toV > fromV + 1L) {
         val gapRows =
           SinkMatView.changes(spark, srcDir, fromV, toV - 1L).limit(1).count()
@@ -566,8 +580,12 @@ object SinkMvDist {
             st.copy(srcV = factTo, joins = nextJoins))
         }
       val cached = contrib.persist()
+      // stats carry the MOVED source's (fromV, toV): a dim batch used to
+      // report the unchanged fact watermark twice, so callers/monitoring
+      // could not see which dim version the applied batch advanced to
+      // (advice fix) — fact batches are unchanged
       try return foldBatch(spark, mvDir, st, stateV, cached, col("_sign"),
-        recompute, nextSt, st.srcV, if (isDim) st.srcV else toV)
+        recompute, nextSt, fromV, toV)
       catch {
         case _: MvConflict if attempt < 5 => attempt += 1
         case c: MvConflict => throw c
@@ -630,6 +648,10 @@ object SinkMvDist {
           case "count" => Seq(sum(sign).as(s"_d$i"))
           case "sum" => Seq(
             sum(sign * expr(a.e).cast(LongType)).as(s"_d$i"),
+            sum(sign * when(expr(a.e).isNotNull, 1L).otherwise(0L)).as(s"_dn$i"))
+          case "dsum" => Seq(
+            sum(sign * expr(a.e).cast(SinkMatView.DsumIn))
+              .cast(SinkMatView.DsumCell).as(s"_d$i"),
             sum(sign * when(expr(a.e).isNotNull, 1L).otherwise(0L)).as(s"_dn$i"))
           case "xor" => Seq(
             expr(s"bit_xor(cast((${a.e}) as bigint))").as(s"_d$i"),
@@ -703,6 +725,16 @@ object SinkMvDist {
               val nn = coalesce(sc, lit(0L)) + coalesce(j(s"_dn$i"), lit(0L))
               foldCols += when(nn === 0L, lit(null).cast(LongType))
                 .otherwise(coalesce(sv, lit(0L)) + coalesce(j(s"_d$i"), lit(0L)))
+                .as(slotV(i))
+              foldCols += nn.as(slotC(i))
+            case "dsum" =>
+              val zero = lit(0).cast(SinkMatView.DsumCell)
+              val nn = coalesce(sc, lit(0L)) + coalesce(j(s"_dn$i"), lit(0L))
+              // exact decimal addition — retractions restore the partial
+              // bit-for-bit, which double arithmetic cannot promise
+              foldCols += when(nn === 0L, lit(null).cast(SinkMatView.DsumCell))
+                .otherwise((coalesce(sv, zero) + coalesce(j(s"_d$i"), zero))
+                  .cast(SinkMatView.DsumCell))
                 .as(slotV(i))
               foldCols += nn.as(slotC(i))
             case "xor" =>
@@ -1237,18 +1269,20 @@ object SinkMvDist {
     * folding a change-feed tail on top.
     */
   private[sources] final case class MvSlots(
-      state: DataFrame, src: String, groups: Seq[String], aggs: Seq[MvAgg],
-      pred: String, srcV: Long, isJoin: Boolean) {
+      state: DataFrame, src: String, groups: Seq[String], gtypes: Seq[String],
+      aggs: Seq[MvAgg], pred: String, srcV: Long, joins: Seq[MvdJoin]) {
+    def isJoin: Boolean = joins.nonEmpty
     def slotValue(i: Int): String = slotV(i)
     def slotCounter(i: Int): String = slotC(i)
+    def slotDataType(i: Int): DataType = slotType(aggs(i))
   }
 
   private[sources] def slotState(spark: SparkSession, mvDir: String): MvSlots = {
     val v = currentVersion(mvDir)
     require(v > 0L, s"no distributed materialized view at $mvDir")
     val st = readHeaderAt(mvDir, v)
-    MvSlots(stateDf(spark, mvDir, st, None), st.src, st.groups, st.aggs,
-      st.pred, st.srcV, st.joins.nonEmpty)
+    MvSlots(stateDf(spark, mvDir, st, None), st.src, st.groups, st.gtypes,
+      st.aggs, st.pred, st.srcV, st.joins)
   }
 
   /** O(one bucket) POINT READ of the view — the KV-probe pattern over MV
@@ -1306,7 +1340,12 @@ object SinkMvDist {
     */
   private def outputProjection(st: MvdState): Seq[Column] =
     st.groups.map(col) ++
-      st.aggs.zipWithIndex.map { case (a, i) => col(slotV(i)).as(a.name) }
+      st.aggs.zipWithIndex.map { case (a, i) =>
+        // dsum reads back as DOUBLE (the type the summed column had);
+        // the exact decimal is internal state discipline, not the API
+        if (a.kind == "dsum") col(slotV(i)).cast(DoubleType).as(a.name)
+        else col(slotV(i)).as(a.name)
+      }
 
   /** Re-bucket the state into `newBuckets` segments — the maintenance op
     * for a view whose group cardinality outgrew its bucket count (fat

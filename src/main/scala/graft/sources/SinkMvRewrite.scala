@@ -62,10 +62,23 @@ import org.apache.spark.sql.types.LongType
 object SinkMvRewrite extends Rule[LogicalPlan] {
 
   /** base table dir → distributed-MV dirs (a table may carry several
-    * MVs at different groups/predicates; the first whose definition
-    * subsumes the query wins). Registration is explicit: the caller
-    * vouches that each MV's change-feed contract holds for the table
-    * (cdf enabled for CoW DML etc.).
+    * MVs at different groups/predicates; the CHEAPEST whose definition
+    * subsumes the query wins — see the cost model in [[tryRewrite]]).
+    * Registration is explicit, and it is a CONTRACT the caller vouches
+    * for:
+    *   - each MV's change-feed prerequisites hold for the table (cdf
+    *     enabled for CoW DML etc.);
+    *   - while any registered table is being queried, the registered
+    *     MVs' state is not vacuumed below their current version and the
+    *     table's change feeds at/after each MV watermark are not
+    *     compacted away. The rewritten plan pins state segment refs and
+    *     the tail window at OPTIMIZATION time (the horizon check runs
+    *     there); a concurrent refresh+vacuum or compaction between
+    *     planning and execution would fail the query at execution
+    *     instead of falling back. Run maintenance with the table
+    *     unregistered, or with retention covering in-flight queries —
+    *     the same discipline every snapshot-pinning table format asks
+    *     of its vacuum (advice fix: contract documented).
     */
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, List[String]]()
@@ -94,20 +107,26 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
         peel(child, None) match {
           case Some((filterCond, rel)) =>
             baseTable(rel) match {
-              case Some(t) if t.pinnedVersion.isEmpty && registry.containsKey(t.tableDir) =>
+              case Some(t) if t.pinnedVersion.isEmpty =>
                 // an optimizer rule must NEVER break the query: a stale
                 // registration (renamed column, swept MV dir, corrupt
                 // header) bails to the base scan instead of escaping
-                // (review fix)
-                registry.get(t.tableDir).iterator
-                  .map(mvDir =>
-                    try tryRewrite(agg, groupExprs, aggExprs, filterCond, rel,
-                      t.tableDir, mvDir)
-                    catch { case scala.util.control.NonFatal(e) =>
-                      if (sys.props.contains("graft.mvrw.debug")) e.printStackTrace()
-                      None })
-                  .collectFirst { case Some(p) => p }
-                  .getOrElse(agg)
+                // (review fix). ONE registry read — a containsKey-then-get
+                // pair races a concurrent unregister into an NPE inside
+                // the optimizer (advice fix)
+                Option(registry.get(t.tableDir)) match {
+                  case Some(mvDirs) =>
+                    mvDirs.iterator
+                      .map(mvDir =>
+                        try tryRewrite(agg, groupExprs, aggExprs, filterCond, rel,
+                          t.tableDir, mvDir)
+                        catch { case scala.util.control.NonFatal(e) =>
+                          if (sys.props.contains("graft.mvrw.debug")) e.printStackTrace()
+                          None })
+                      .collectFirst { case Some(p) => p }
+                      .getOrElse(agg)
+                  case None => agg
+                }
               case _ => agg
             }
           case None => agg
@@ -199,7 +218,10 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     }
     f match {
       case Count(Seq(Literal(1, _))) => Some(aggs.indexWhere(_.kind == "count")).filter(_ >= 0)
-      case Sum(e, _) => byKind("sum", e)
+      // try_sum must NOT map: on Long overflow it returns NULL while the
+      // MV's refresh-time ANSI sum slot errored (or vice versa) — a
+      // silent semantics change in the overflow corner (advice fix)
+      case Sum(e, ctx) if ctx.evalMode != EvalMode.TRY => byKind("sum", e)
       case Min(e) => byKind("min", e)
       case Max(e) => byKind("max", e)
       case BitXorAgg(e) => byKind("xor", e)

@@ -272,6 +272,10 @@ class SinkMvDistSpec extends SparkSpec {
     s.sql("UPDATE mvdjs.dim SET region = 'rX' WHERE doc_id = 5") // d4
     val stD = SinkMvDist.refreshFromChanges(s, dimDir, mvDir, changesOf(dimDir, 3L, 4L), 4L)
     assert(stD.applied)
+    // stats report the MOVED source's window — a dim batch carries the
+    // dim versions it advanced, not the unchanged fact watermark
+    // (advice fix r18)
+    assert(stD.fromV === 3L && stD.toV === 4L)
     assert(SinkMvDist.lastSourceVersions(mvDir) === ((2L, 4L)))
     parity()
     assert(SinkMvDist.read(s, mvDir).collect().exists(_.getString(0) == "rX"))

@@ -252,6 +252,36 @@ class SinkMvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("try_sum never maps to the MV's ANSI sum slot") {
+    val dir = freshDir("mvrw_try")
+    val mvDir = dir + ".mvd"
+    val s = spark.newSession()
+    append(s, dir, 0L, 300L)
+    SinkMvDist.create(s, dir, mvDir, Seq("shard"), Seq(
+      MvAgg("n", "count"), MvAgg("sd", "sum", "doc_id")), buckets = 4)
+    SinkMvRewrite.register(dir, mvDir)
+    try {
+      s.experimental.extraOptimizations = Seq(SinkMvRewrite)
+      def base = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+      val r0 = SinkMvRewrite.rewrites.get()
+      // try_sum(doc_id) matches the sum slot TEXTUALLY but differs in the
+      // Long-overflow corner (NULL vs error) — it must fall back (advice
+      // fix r18); plain sum in the same query shape still rewrites
+      val gotTry = base.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), expr("try_sum(doc_id)").as("sd"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(SinkMvRewrite.rewrites.get() === r0, "try_sum was rewritten to the ANSI slot")
+      val gotSum = base.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(SinkMvRewrite.rewrites.get() === r0 + 1L)
+      assert(gotTry === gotSum)
+    } finally {
+      SinkMvRewrite.unregister(dir)
+      s.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("a predicate-bearing MV matches the semantically-equal query WHERE") {
     val dir = freshDir("mvrw_pred")
     val mvDir = dir + ".mvd"
