@@ -1,71 +1,110 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
-/** MV-AWARE AUTOMATIC QUERY REWRITE (round 17) — the capability gap
+/** MV-AWARE AUTOMATIC QUERY REWRITE (rounds 17–18) — the capability gap
   * between "has MVs" and "uses MVs": a user writing the plain
   *
-  *   `SELECT g…, count(*), sum(e)… FROM base_table GROUP BY g…`
+  *   `SELECT g…, count(*), sum(e)… FROM base_table GROUP BY g…`            (r17)
+  *   `SELECT d.attr, f.g…, aggs… FROM fact f JOIN dim d ON f.fk = d.pk
+  *    GROUP BY d.attr, f.g…`                                               (r18)
   *
-  * against a [[ShardSink]] base table is transparently answered from a
-  * REGISTERED distributed MV's state plus the change-feed tail of any
-  * commits past the MV watermark — the base table's data files are never
-  * opened (spec-pinned by the data-file read counter). This is the same
-  * `Rule[LogicalPlan]` rung as [[graft.plans.DotProductFusion]]: wire it
-  * per-session via `spark.experimental.extraOptimizations` (or an
-  * extensions `injectOptimizerRule`).
+  * against REGISTERED [[ShardSink]] tables is transparently answered from
+  * a registered distributed MV's state plus the change-feed tail of any
+  * commits past the MV watermark(s) — the base tables' data files are
+  * never opened for state-covered rows (spec-pinned by the data-file read
+  * counter). Same `Rule[LogicalPlan]` rung as
+  * [[graft.plans.DotProductFusion]]: wire it per-session via
+  * `spark.experimental.extraOptimizations` (or an extensions
+  * `injectOptimizerRule`).
   *
   * Matching is deliberately CONSERVATIVE — a non-match always falls back
   * to the base scan, which is always correct:
-  *   - the aggregate's child is the bare relation (possibly under a
-  *     column-pruning Project) of a registered table, read UNPINNED (a
-  *     `versionAsOf` read is never rewritten — the MV reflects the
-  *     current watermark, and version-pinned scans are exactly what the
-  *     MV machinery's own recomputes issue, which must never
-  *     self-rewrite);
-  *   - the MV is single-table; a predicate-bearing MV matches a query
-  *     whose residual WHERE is SEMANTICALLY the MV's predicate (the MV
-  *     pred is re-resolved and re-OPTIMIZED against the same table in a
-  *     nested plan, so inferred not-null conjuncts and constant foldings
-  *     land on both sides before the conjunct-set comparison — no
-  *     textual paren/spacing fragility); an unfiltered query never
-  *     matches a predicate MV and vice versa;
+  *   - single-table: the aggregate's child is the bare relation (possibly
+  *     under a column-pruning Project, plus at most one Filter) of a
+  *     registered table, read UNPINNED (a `versionAsOf` read is never
+  *     rewritten — version-pinned scans are exactly what the MV
+  *     machinery's own recomputes issue, which must never self-rewrite);
+  *   - join (round 18): the child is an INNER equi-join of the registered
+  *     fact and a registered join-MV's dim on exactly the MV's fk = pk
+  *     (either side may sit under column-pruning/renaming Projects —
+  *     aliases are resolved down to base columns), with NO residual
+  *     filter and a predicate-less MV; single-dim star MVs only (the
+  *     snowflake chain stays batch/stream-maintained, not yet rewritten);
+  *   - a predicate-bearing single-table MV matches a query whose residual
+  *     WHERE is SEMANTICALLY the MV's predicate (the MV pred is
+  *     re-resolved and re-OPTIMIZED against the same table so inferred
+  *     not-null conjuncts and foldings land on both sides before the
+  *     conjunct-set comparison); an unfiltered query never matches a
+  *     predicate MV and vice versa;
   *   - the group-by columns are a SUBSET of the MV's group columns (any
-  *     order, possibly empty — a global aggregate): state rows are
-  *     complete per-fine-group partials, so a coarser rollup re-aggregates
-  *     them exactly (counts/sums/xors fold linearly with their non-null
-  *     counters; a min of fine-group mins IS the coarse min);
-  *   - every aggregate maps to a declared MV aggregate: `count(*)` /
-  *     `count(1)` to the count slot, `sum/min/max/bit_xor(e)` to the
-  *     slot whose expression matches textually after normalization.
+  *     order, possibly empty — a global aggregate); dim-side group attrs
+  *     map under the MV's dim prefix (`region` → `d_region`): state rows
+  *     are complete per-fine-group partials, so a coarser rollup
+  *     re-aggregates them exactly;
+  *   - every aggregate maps onto declared MV slots:
+  *       `count(*)`           → the count slot;
+  *       `sum(bigint e)`      → the sum slot for e (never try_sum — its
+  *                              Long-overflow answer is NULL where the
+  *                              refresh-time ANSI slot errored);
+  *       `sum(double e)`      → the dsum slot for e (round 18): partials
+  *                              are EXACT DECIMAL(30,6) — by declaring a
+  *                              dsum slot the MV owner asserts 6 fractional
+  *                              digits carry the column, and the rewrite
+  *                              answer is the better-defined one (a direct
+  *                              double-sum scan is partition-order
+  *                              dependent in its last ULP);
+  *       `count(e)`           → the non-null counter a sum/xor/dsum slot
+  *                              over the same e already maintains;
+  *       `avg(e)`             → sum-slot (or dsum-slot) / its counter,
+  *                              divided once in DOUBLE — exact operands,
+  *                              one IEEE division;
+  *       `min/max/bit_xor(e)` → their slots (BIGINT).
   *
   * The rewritten plan is  state slots ∪ signed tail → one re-aggregation:
-  * per group, count = Σ(state count, tail signs); sum/xor re-derive SQL
-  * NULL-ness from the non-null counters the state already carries
-  * (`_c<i>` + tail non-null signs — retracting the last non-null
-  * contribution yields NULL, not 0); a group whose count reaches zero
-  * leaves the result. Extremes (min/max) are only derivable from state
-  * alone when the tail is EMPTY — a tail with retractions could have
-  * removed the recorded extreme — so a query touching min/max rewrites
-  * only at a current watermark; otherwise it falls back to the base scan.
+  * per group, count = Σ(state count, tail signs); sum/xor/dsum re-derive
+  * SQL NULL-ness from the non-null counters the state already carries.
+  * A group whose count reaches zero leaves the result. Extremes (min/max)
+  * over a tail use the HYBRID path (round 18): tail INSERTS extend the
+  * recorded extreme declaratively (max of state ∪ inserted values); the
+  * few groups the tail RETRACTS from are re-computed by ONE pruned scan
+  * of the base table at the current version, spliced over the state
+  * answer — the same clean-or-dirty treatment the MV refresh itself uses.
+  * The dirty-group key list is collected at plan time from the tail feed
+  * only (never the base table), capped at [[DirtyCap]]; past the cap the
+  * whole query falls back.
   *
-  * At 100 TB this converts every dashboard-shaped rollup over a slowly
-  * appending fact table from a full scan into an O(|MV| + |tail|) read.
+  * COST GUARD + MV SELECTION (round 18): among all registered MVs whose
+  * definition subsumes the query, the CHEAPEST wins, and the rewrite is
+  * REFUSED outright when it would not beat the base scan. The cost model
+  * is pure metadata — no data IO: MV state segment bytes
+  * ([[SinkMvDist.bucketStats]]) + the tail windows' change-feed file
+  * bytes + (join MVs) the full opposite-side scan a compensating
+  * delta-join part must perform ([Δd ⋈ f@old] reads the whole fact;
+  * [Δf ⋈ d@new] reads the whole dim), compared against the current
+  * manifests' data-file bytes. A churned table whose tail outweighs its
+  * data falls back ([[costFallbacks]] counts the refusals).
+  *
+  * At 100 TB this converts every dashboard-shaped rollup — single-table
+  * or star — over a slowly appending fact table from a full scan into an
+  * O(|MV| + |tail|) read, and never converts one that would not pay.
   */
 object SinkMvRewrite extends Rule[LogicalPlan] {
 
   /** base table dir → distributed-MV dirs (a table may carry several
     * MVs at different groups/predicates; the CHEAPEST whose definition
-    * subsumes the query wins — see the cost model in [[tryRewrite]]).
-    * Registration is explicit, and it is a CONTRACT the caller vouches
-    * for:
+    * subsumes the query wins — see the cost model above). Join MVs
+    * register under their FACT table's dir. Registration is explicit,
+    * and it is a CONTRACT the caller vouches for:
     *   - each MV's change-feed prerequisites hold for the table (cdf
     *     enabled for CoW DML etc.);
     *   - while any registered table is being queried, the registered
@@ -86,6 +125,23 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
   /** Rewrites applied — observability + the spec's assertion hook. */
   val rewrites = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Rewrites REFUSED by the cost guard (a subsuming MV existed but
+    * state + tail + compensation would not beat the base scan).
+    */
+  val costFallbacks = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Hybrid-extreme rewrites whose dirty set exceeded [[DirtyCap]] and
+    * fell back entirely.
+    */
+  val dirtyCapFallbacks = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Max tail-retracted groups the hybrid extreme path re-computes from
+    * the base table; past this the plan falls back to the full scan
+    * (the recompute's IN-list predicate — and the plan-time collect that
+    * builds it — must stay trivially small).
+    */
+  val DirtyCap = 64
+
   def register(tableDir: String, mvDir: String): Unit = {
     registry.merge(tableDir, List(mvDir),
       (old, add) => (old ++ add).distinct)
@@ -95,7 +151,8 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
 
   // re-entrancy guard: building the replacement plan triggers a nested
   // optimization (of the state ∪ tail aggregate) that must not itself
-  // attempt rewrites
+  // attempt rewrites; plan-time jobs (dirty-key collect over the tail
+  // feed, dim-key uniqueness probes) run under it too
   private val inRewrite = new ThreadLocal[java.lang.Boolean] {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
@@ -104,35 +161,48 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     if (registry.isEmpty || inRewrite.get()) return plan
     plan.transform {
       case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
-        peel(child, None) match {
-          case Some((filterCond, rel)) =>
-            baseTable(rel) match {
-              case Some(t) if t.pinnedVersion.isEmpty =>
-                // an optimizer rule must NEVER break the query: a stale
-                // registration (renamed column, swept MV dir, corrupt
-                // header) bails to the base scan instead of escaping
-                // (review fix). ONE registry read — a containsKey-then-get
-                // pair races a concurrent unregister into an NPE inside
-                // the optimizer (advice fix)
-                Option(registry.get(t.tableDir)) match {
-                  case Some(mvDirs) =>
-                    mvDirs.iterator
-                      .map(mvDir =>
-                        try tryRewrite(agg, groupExprs, aggExprs, filterCond, rel,
-                          t.tableDir, mvDir)
-                        catch { case scala.util.control.NonFatal(e) =>
-                          if (sys.props.contains("graft.mvrw.debug")) e.printStackTrace()
-                          None })
-                      .collectFirst { case Some(p) => p }
-                      .getOrElse(agg)
-                  case None => agg
-                }
-              case _ => agg
-            }
-          case None => agg
-        }
+        try rewriteAggregate(agg, groupExprs, aggExprs, child).getOrElse(agg)
+        catch { case scala.util.control.NonFatal(e) =>
+          // an optimizer rule must NEVER break the query: a stale
+          // registration (renamed column, swept MV dir, corrupt header,
+          // expired feed) bails to the base scan instead of escaping
+          if (sys.props.contains("graft.mvrw.debug")) e.printStackTrace()
+          agg }
     }
   }
+
+  /** One query shape the rule can answer: the fact side, the optional
+    * dim side (round-18 join rewrite), each with its base-column
+    * resolution map, plus the single-table residual filter.
+    */
+  private final case class SideInfo(
+      table: ShardSinkTable, base: Map[ExprId, String])
+  private final case class Shape(
+      fact: SideInfo, dim: Option[SideInfo],
+      factKey: String, pkKey: String,
+      filterCond: Option[Expression], factRel: LogicalPlan)
+
+  private def rewriteAggregate(
+      agg: Aggregate, groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    val shapes: Seq[Shape] = singleShape(child).toSeq ++ joinShapes(child)
+    if (shapes.isEmpty) return None
+    val candidates: Seq[(LogicalPlan, Long)] = shapes.flatMap { sh =>
+      Option(registry.get(sh.fact.table.tableDir)).toSeq.flatten.flatMap { mvDir =>
+        try tryRewrite(agg, groupExprs, aggExprs, sh, mvDir)
+        catch { case scala.util.control.NonFatal(e) =>
+          if (sys.props.contains("graft.mvrw.debug")) e.printStackTrace()
+          None }
+      }
+    }
+    if (candidates.isEmpty) None
+    else {
+      rewrites.incrementAndGet()
+      Some(candidates.minBy(_._2)._1)
+    }
+  }
+
+  // ---- shape matching --------------------------------------------------------
 
   /** Peel column-pruning Projects and AT MOST one Filter off the
     * aggregate's child, in whatever order the optimizer stacked them
@@ -147,6 +217,104 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     case r: DataSourceV2ScanRelation => Some((cond, r))
     case _ => None
   }
+
+  private def singleShape(child: LogicalPlan): Option[Shape] =
+    peel(child, None).flatMap { case (cond, rel) =>
+      sideOf(rel).map(si => Shape(si, None, "", "", cond, rel))
+    }
+
+  /** The two orientations of an inner equi-join of two registered-format
+    * relations — each side resolved through its column-pruning/renaming
+    * Projects down to base column names. No Filter is accepted anywhere
+    * in the join shape (predicate join MVs are not rewritten yet).
+    */
+  private def joinShapes(child: LogicalPlan): Seq[Shape] = {
+    def peelProj(p: LogicalPlan): LogicalPlan = p match {
+      case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) => peelProj(c)
+      case x => x
+    }
+    // the analyzer wraps a narrower join key in an implicit up-cast
+    // (`cast(shard as bigint) = dk`); the MV's own joinedFrame inserts
+    // the IDENTICAL cast for the same key pair, so looking through it
+    // preserves equality semantics exactly
+    def keyAttr(e: Expression): Option[AttributeReference] = e match {
+      case at: AttributeReference => Some(at)
+      case c: Cast => c.child match {
+        case at: AttributeReference => Some(at)
+        case _ => None
+      }
+      case _ => None
+    }
+    peelProj(child) match {
+      case Join(l, r, Inner, Some(EqualTo(ka, kb)), _)
+          if keyAttr(ka).isDefined && keyAttr(kb).isDefined =>
+        val a = keyAttr(ka).get
+        val b = keyAttr(kb).get
+        (resolveSide(l), resolveSide(r)) match {
+          case (Some(ls), Some(rs)) =>
+            // which side does each key attribute belong to?
+            def keyOf(si: SideInfo, at: AttributeReference): Option[String] =
+              si.base.get(at.exprId)
+            val lr = for (fk <- keyOf(ls, a); pk <- keyOf(rs, b))
+              yield Shape(ls, Some(rs), fk, pk, None, child)
+            val lr2 = for (fk <- keyOf(ls, b); pk <- keyOf(rs, a))
+              yield Shape(ls, Some(rs), fk, pk, None, child)
+            val rl = for (fk <- keyOf(rs, a); pk <- keyOf(ls, b))
+              yield Shape(rs, Some(ls), fk, pk, None, child)
+            val rl2 = for (fk <- keyOf(rs, b); pk <- keyOf(ls, a))
+              yield Shape(rs, Some(ls), fk, pk, None, child)
+            (lr.toSeq ++ lr2 ++ rl ++ rl2).distinct
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+  }
+
+  /** One join side resolved down to its ShardSink relation: the table
+    * plus a map from every visible attribute's exprId to its BASE column
+    * name — plain attrs pass through, `Alias(col, newName)` renames
+    * resolve to the underlying column, anything computed bails.
+    */
+  private def resolveSide(plan: LogicalPlan): Option[SideInfo] = plan match {
+    case Project(es, c) =>
+      resolveSide(c).flatMap { si =>
+        val entries = es.map {
+          case at: AttributeReference => si.base.get(at.exprId).map(at.exprId -> _)
+          case al @ Alias(ar: AttributeReference, _) =>
+            si.base.get(ar.exprId).map(al.exprId -> _)
+          case _ => None
+        }
+        if (entries.forall(_.isDefined)) Some(si.copy(base = entries.flatten.toMap))
+        else None
+      }
+    case rel => sideOf(rel)
+  }
+
+  /** The bare registered relation — a ScanRelation additionally proves
+    * its scan is FULL and UNPRUNED: ShardSink can CONSUME a predicate
+    * into file-exact pruning (the Filter node disappears from the plan
+    * entirely), so the absence of a Filter above the relation is not
+    * evidence the aggregate covers the whole table — the scan itself
+    * must testify (review fix; an agg-pushdown or otherwise foreign scan
+    * class bails the same way). Version-pinned reads never match — the
+    * MV machinery's own recomputes have that shape (self-rewrite guard).
+    */
+  private def sideOf(plan: LogicalPlan): Option[SideInfo] = plan match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: ShardSinkTable if t.pinnedVersion.isEmpty =>
+        Some(SideInfo(t, r.output.map(at => at.exprId -> at.name).toMap))
+      case _ => None
+    }
+    case r: DataSourceV2ScanRelation => (r.relation.table, r.scan) match {
+      case (t: ShardSinkTable, sc: ShardSinkScan)
+          if t.pinnedVersion.isEmpty && sc.isFullUnprunedScan =>
+        Some(SideInfo(t, r.output.map(at => at.exprId -> at.name).toMap))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  // ---- predicate matching ------------------------------------------------------
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -169,10 +337,10 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       .option("path", tableDir).load().where(expr(pred))
     val mvConj = fresh.queryExecution.optimizedPlan match {
       case Filter(c, _) =>
-        val byName = rel.output.map(a => a.name -> a).toMap
+        val byName = rel.output.map(at => at.name -> at).toMap
         try conjuncts(c.transform {
-          case a: AttributeReference =>
-            byName.getOrElse(a.name, return false)
+          case at: AttributeReference =>
+            byName.getOrElse(at.name, return false)
         })
         catch { case _: scala.runtime.NonLocalReturnControl[_] => return false }
       case _ => return false
@@ -182,172 +350,398 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       qConj.forall(qc => mvConj.exists(_.semanticEquals(qc)))
   }
 
-  /** The bare registered relation under an optional column-pruning
-    * Project — anything else (filters, joins, expressions) bails. A
-    * ScanRelation additionally proves its scan is FULL and UNPRUNED:
-    * ShardSink can CONSUME a predicate into file-exact pruning (the
-    * Filter node disappears from the plan entirely), so the absence of a
-    * Filter above the relation is not evidence the aggregate covers the
-    * whole table — the scan itself must testify (review fix; an
-    * agg-pushdown or otherwise foreign scan class bails the same way).
-    */
-  private def baseTable(plan: LogicalPlan): Option[ShardSinkTable] = plan match {
-    case r: DataSourceV2Relation => r.table match {
-      case t: ShardSinkTable => Some(t)
-      case _ => None
-    }
-    case r: DataSourceV2ScanRelation => (r.relation.table, r.scan) match {
-      case (t: ShardSinkTable, sc: ShardSinkScan) if sc.isFullUnprunedScan => Some(t)
-      case _ => None
-    }
-    case _ => None
-  }
+  // ---- aggregate mapping --------------------------------------------------------
 
   private def norm(sql: String): String =
     sql.toLowerCase.replace("`", "").replace(" ", "")
 
-  /** Map one query aggregate function onto the index of a declared MV
-    * aggregate, or None (→ no rewrite).
+  /** How one query aggregate derives from the MV slots. */
+  private sealed trait AggMap { def slot: Int }
+  /** The value slot verbatim (count/sum/min/max/xor — BIGINT). */
+  private final case class SlotMap(slot: Int) extends AggMap
+  /** A dsum value slot: exact decimal partial, exposed as DOUBLE. */
+  private final case class DSlotMap(slot: Int) extends AggMap
+  /** `count(e)`: the non-null counter a sum/xor/dsum slot on e carries. */
+  private final case class CounterMap(slot: Int) extends AggMap
+  /** `avg(e)`: value slot / non-null counter, one DOUBLE division. */
+  private final case class AvgMap(slot: Int) extends AggMap
+
+  /** Map one query aggregate function onto the MV slots, or None (→ no
+    * rewrite). `rename` rewrites the function's argument attributes to
+    * the MV's column naming (dim attrs gain their prefix; aliases resolve
+    * to base names) before the textual match; it answers None for an
+    * attribute the shape cannot account for.
     */
-  private def mvAggIndex(
-      f: AggregateFunction, aggs: Seq[SinkMatView.MvAgg]): Option[Int] = {
-    def byKind(kind: String, e: Expression): Option[Int] = {
-      val n = norm(e.sql)
-      val i = aggs.indexWhere(a => a.kind == kind && norm(a.e) == n)
-      if (i >= 0) Some(i) else None
-    }
+  private def mapAgg(
+      f: AggregateFunction, outType: DataType, aggs: Seq[SinkMatView.MvAgg],
+      rename: Expression => Option[Expression]): Option[AggMap] = {
+    def slotOf(kinds: Set[String], e: Expression): Option[Int] =
+      rename(e).flatMap { re =>
+        val n = norm(re.sql)
+        val i = aggs.indexWhere(a => kinds.contains(a.kind) && norm(a.e) == n)
+        if (i >= 0) Some(i) else None
+      }
     f match {
-      case Count(Seq(Literal(1, _))) => Some(aggs.indexWhere(_.kind == "count")).filter(_ >= 0)
+      case Count(Seq(Literal(1, _))) =>
+        Some(aggs.indexWhere(_.kind == "count")).filter(_ >= 0).map(SlotMap)
+      // count(e) = rows where e IS NOT NULL — exactly the `_c` counter a
+      // sum-family slot over the same expression maintains (round 18)
+      case Count(Seq(e)) if !e.isInstanceOf[Literal] && outType == LongType =>
+        slotOf(Set("sum", "xor", "dsum"), e).map(CounterMap)
       // try_sum must NOT map: on Long overflow it returns NULL while the
       // MV's refresh-time ANSI sum slot errored (or vice versa) — a
       // silent semantics change in the overflow corner (advice fix)
-      case Sum(e, ctx) if ctx.evalMode != EvalMode.TRY => byKind("sum", e)
-      case Min(e) => byKind("min", e)
-      case Max(e) => byKind("max", e)
-      case BitXorAgg(e) => byKind("xor", e)
+      case Sum(e, ctx) if ctx.evalMode != EvalMode.TRY =>
+        // the type guard is load-bearing: BIGINT sums map to sum slots,
+        // DOUBLE sums map ONLY to dsum slots (exact decimal partials) —
+        // a textual match of sum(double) onto a BIGINT slot would return
+        // per-row-truncated values (review fix r17, extended r18)
+        if (outType == LongType) slotOf(Set("sum"), e).map(SlotMap)
+        else if (outType == DoubleType) slotOf(Set("dsum"), e).map(DSlotMap)
+        else None
+      case Average(e, mode) if mode != EvalMode.TRY && outType == DoubleType =>
+        slotOf(Set("sum", "dsum"), e).map(AvgMap)
+      case Min(e) if outType == LongType => slotOf(Set("min"), e).map(SlotMap)
+      case Max(e) if outType == LongType => slotOf(Set("max"), e).map(SlotMap)
+      case BitXorAgg(e) if outType == LongType => slotOf(Set("xor"), e).map(SlotMap)
       case _ => None
     }
   }
 
+  // ---- cost model (metadata only) ------------------------------------------------
+
+  private def sizesOf(dir: String): Map[String, Long] = {
+    val p = new Path(dir)
+    val fs = SinkFs.fsOf(p)
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p).filter(_.isFile).map(f => f.getPath.getName -> f.getLen).toMap
+  }
+
+  private def tableBytes(dir: String, v: Long, sizes: Map[String, Long]): Long =
+    ShardSink.entriesAtVersion(dir, v).map { e =>
+      sizes.getOrElse(e.file, 0L) +
+        (if (e.hasDeletes) sizes.getOrElse(e.dv, 0L) else 0L)
+    }.sum
+
+  /** Bytes the tail window's change-feed read will open — the feed
+    * partitions' file sizes (append feeds read the commit's data files
+    * zero-copy; DML feeds read their cdc sidecars or vector-diffed
+    * files), resolved against one directory listing.
+    */
+  private def partsBytes(
+      parts: Seq[org.apache.spark.sql.connector.read.InputPartition],
+      sizes: Map[String, Long]): Long =
+    parts.map {
+      case f: ShardSinkChangeFile => sizes.getOrElse(new Path(f.file).getName, 0L)
+      case s: ShardSinkChangeSidecar => sizes.getOrElse(new Path(s.file).getName, 0L)
+      case _ => 0L
+    }.sum
+
+  /** Can this tail window carry retractions at all? Decided from feed
+    * METADATA alone: plain insert partitions cannot retract, anything
+    * else (delete/update partitions, cdc sidecars, unknown shapes) may.
+    * An insert-only window lets the hybrid-extreme path skip its
+    * plan-time dirty probe entirely — the common append-only dashboard
+    * tail pays zero extra reads.
+    */
+  private def mayRetract(
+      parts: Seq[org.apache.spark.sql.connector.read.InputPartition]): Boolean =
+    parts.exists {
+      case f: ShardSinkChangeFile => f.changeType != "insert"
+      case _ => true
+    }
+
+  // ---- the rewrite ----------------------------------------------------------------
+
   private def tryRewrite(
       agg: Aggregate, groupExprs: Seq[Expression], aggExprs: Seq[NamedExpression],
-      filterCond: Option[Expression], rel: LogicalPlan,
-      tableDir: String, mvDir: String): Option[LogicalPlan] = {
+      sh: Shape, mvDir: String): Option[(LogicalPlan, Long)] = {
     val spark = SparkSession.active
     if (SinkMvDist.currentVersion(mvDir) == 0L) return None
     val mv = SinkMvDist.slotState(spark, mvDir)
-    if (mv.isJoin || mv.src != tableDir) return None
-    // cheap structural screens first — the semantic predicate match costs
-    // a nested analyze+optimize, so it runs only when the shape already
-    // fits (review fix); the (pred, filter) presence must agree either way
-    if (mv.pred.nonEmpty != filterCond.nonEmpty) return None
+    val tableDir = sh.fact.table.tableDir
+    if (mv.src != tableDir) return None
+
+    // shape ↔ MV family agreement
+    val join: Option[SinkMvDist.MvdJoin] = sh.dim match {
+      case None =>
+        if (mv.isJoin) return None
+        // cheap structural screens first — the semantic predicate match
+        // costs a nested analyze+optimize, so it runs only when the shape
+        // already fits; the (pred, filter) presence must agree either way
+        if (mv.pred.nonEmpty != sh.filterCond.nonEmpty) return None
+        None
+      case Some(dimSide) =>
+        if (mv.joins.length != 1) return None // single-dim star MVs only
+        val j = mv.joins.head
+        if (j.dim != dimSide.table.tableDir) return None
+        if (sh.factKey != j.fk || sh.pkKey != j.pk) return None
+        if (mv.pred.nonEmpty || sh.filterCond.nonEmpty) return None
+        Some(j)
+    }
+    val pfx = join.map(_.pfx).getOrElse("")
+
+    // attribute → MV/state column naming (dim attrs gain the prefix)
+    def stateName(at: AttributeReference): Option[String] =
+      sh.fact.base.get(at.exprId)
+        .orElse(sh.dim.flatMap(_.base.get(at.exprId)).map(pfx + _))
+    val rename: Expression => Option[Expression] = e => {
+      var ok = true
+      val out = e.transform {
+        case at: AttributeReference =>
+          stateName(at) match {
+            case Some(n) => at.withName(n)
+            case None => ok = false; at
+          }
+      }
+      if (ok) Some(out) else None
+    }
+
     // group columns: plain attributes forming a SUBSET of the MV's
     // groups — state rows are complete fine-group partials, so any
     // coarser rollup (including the global aggregate) re-derives exactly
-    val groupNames = groupExprs.map {
-      case a: AttributeReference => a.name
-      case _ => return None
-    }
-    if (!groupNames.toSet.subsetOf(mv.groups.toSet) || groupNames.distinct != groupNames)
-      return None
-    // each output is a group attr or a mappable aggregate
-    val countSlot = mv.aggs.indexWhere(_.kind == "count") // validate() guarantees ≥ 0
-    sealed trait Out
-    case class GroupOut(name: String) extends Out
-    case class AggOut(mvIdx: Int, name: String) extends Out
-    val outs: Seq[Out] = aggExprs.map {
-      case a: AttributeReference if groupNames.contains(a.name) => GroupOut(a.name)
-      // the LongType guard is load-bearing: MV slots hold per-row BIGINT
-      // casts, so a textual match over a non-integral column (sum of a
-      // DOUBLE) would silently return truncated values — only aggregates
-      // that already produce BIGINT may map (review fix)
-      case al @ Alias(ae @ AggregateExpression(f, Complete, false, None, _), name)
-          if ae.dataType == LongType =>
-        mvAggIndex(f, mv.aggs) match {
-          case Some(i) => AggOut(i, name)
+    val queryGroups: Seq[(String, String)] = groupExprs.map {
+      case at: AttributeReference =>
+        stateName(at) match {
+          case Some(n) => (n, at.name)
           case None => return None
         }
       case _ => return None
     }
-    (mv.pred.nonEmpty, filterCond) match {
+    val stateGroupNames = queryGroups.map(_._1)
+    if (!stateGroupNames.toSet.subsetOf(mv.groups.toSet) ||
+      stateGroupNames.distinct != stateGroupNames) return None
+
+    // each output is a group attr or a mappable aggregate
+    val countSlot = mv.aggs.indexWhere(_.kind == "count") // validate() guarantees ≥ 0
+    sealed trait Out
+    case class GroupOut(state: String, out: String) extends Out
+    case class AggOut(m: AggMap, name: String) extends Out
+    val outs: Seq[Out] = aggExprs.map {
+      case at: AttributeReference if queryGroups.exists(_._2 == at.name) &&
+          stateName(at).isDefined =>
+        GroupOut(stateName(at).get, at.name)
+      case Alias(ae @ AggregateExpression(f, Complete, false, None, _), name) =>
+        mapAgg(f, ae.dataType, mv.aggs, rename) match {
+          case Some(m) => AggOut(m, name)
+          case None => return None
+        }
+      case _ => return None
+    }
+
+    // predicate agreement (single-table predicate MVs)
+    (mv.pred.nonEmpty, sh.filterCond) match {
       case (true, Some(c)) =>
         val ok = {
           inRewrite.set(java.lang.Boolean.TRUE)
-          try predMatches(spark, tableDir, mv.pred, c, rel)
+          try predMatches(spark, tableDir, mv.pred, c, sh.factRel)
           finally inRewrite.set(java.lang.Boolean.FALSE)
         }
         if (!ok) return None
       case _ => // plain MV, plain query
     }
-    val needed = outs.collect { case AggOut(i, _) => i }.distinct
-    val hasExtreme = needed.exists(i =>
-      mv.aggs(i).kind == "min" || mv.aggs(i).kind == "max")
+
+    // watermarks + tail derivability
     val toV = ShardSink.currentManifestVersion(tableDir)
     if (toV < mv.srcV) return None // table behind the MV: inconsistent registration
-    val hasTail = toV > mv.srcV
-    // a tail may contain retractions, which can remove a recorded
-    // extreme — extremes rewrite only at a current watermark
-    if (hasExtreme && hasTail) return None
-    // the tail must still be DERIVABLE: compaction releases change feeds
-    // below its horizon, and a spliced expired-range scan would fail the
-    // user's query at execution instead of falling back (review fix —
-    // same bound changePartitions enforces)
-    if (hasTail && mv.srcV + 1L < ShardSink.horizonOf(tableDir)) return None
+    val factTail = toV > mv.srcV
+    if (factTail && mv.srcV + 1L < ShardSink.horizonOf(tableDir)) return None
+    val dimTo = join.map(j => ShardSink.currentManifestVersion(j.dim)).getOrElse(0L)
+    val dimTail = join.exists(j => dimTo > j.dimV)
+    join.foreach { j =>
+      if (dimTo < j.dimV) return None
+      if (dimTail && j.dimV + 1L < ShardSink.horizonOf(j.dim)) return None
+    }
+    val hasTail = factTail || dimTail
+
+    val needed = outs.collect { case AggOut(m, _) => m.slot }.distinct
+    val extremeIdx = needed.filter(i =>
+      mv.aggs(i).kind == "min" || mv.aggs(i).kind == "max")
+    // join MVs never rewrite extremes over a tail (the hybrid recompute
+    // would need the full chain join — exactly the cost the guard exists
+    // to avoid); single-table extremes take the hybrid path below
+    if (extremeIdx.nonEmpty && hasTail && join.isDefined) return None
+
+    // ---- cost guard + selection metric (metadata only) ----
+    val factSizes = sizesOf(tableDir)
+    val stateBytes = SinkMvDist.bucketStats(mvDir).map(_._3).sum
+    val factBytes = tableBytes(tableDir, toV, factSizes)
+    val factParts =
+      if (factTail) ShardSink.changePartitions(tableDir, mv.srcV, toV)
+      else Seq.empty
+    val factFeed = partsBytes(factParts, factSizes)
+    val (dimBytes, dimFeed) = join match {
+      case None => (0L, 0L)
+      case Some(j) =>
+        val ds = sizesOf(j.dim)
+        val dParts =
+          if (dimTail) ShardSink.changePartitions(j.dim, j.dimV, dimTo)
+          else Seq.empty
+        (tableBytes(j.dim, dimTo, ds), partsBytes(dParts, ds))
+    }
+    // a fact-tail part joins the FULL dim at its new version; a dim-tail
+    // part joins the FULL fact at the old watermark — both are real reads
+    // the compensation pays and the base scan pays only once
+    val compensation =
+      (if (factTail && join.isDefined) dimBytes else 0L) +
+        (if (dimTail) factBytes else 0L)
+    val cost = stateBytes + factFeed + dimFeed + compensation
+    val base = factBytes + dimBytes
+    if (sys.props.contains("graft.mvrw.debug"))
+      // scalastyle:off println
+      println(s"[mvrw] $mvDir cost=$cost (state=$stateBytes factFeed=$factFeed " +
+        s"dimFeed=$dimFeed comp=$compensation) base=$base (fact=$factBytes dim=$dimBytes)")
+      // scalastyle:on println
+    if (cost > base) { costFallbacks.incrementAndGet(); return None }
 
     inRewrite.set(java.lang.Boolean.TRUE)
     try {
-      val slots = needed ++ (if (needed.contains(countSlot)) Nil else Seq(countSlot))
-      // state part: per needed agg, its value + counter slot
+      val slots = (needed ++ Seq(countSlot)).distinct
+
+      // ---- the signed tail (None = both watermarks current)
+      val tailDf: Option[DataFrame] =
+        if (!hasTail) None
+        else join match {
+          case None =>
+            Some(SinkMatView.filtered(
+              SinkMatView.changes(spark, tableDir, mv.srcV, toV), mv.pred)
+              .withColumn("_sign", SinkMvJoin.signOf(col("_change_type"))))
+          case Some(j) =>
+            // the delta-join decomposition, one window per source, via
+            // the SAME core the refresh folds through — dim-key
+            // uniqueness is re-proven per window inside
+            Some(SinkMvJoin.contributionStream(spark, mv.src, mv.srcV, toV,
+              Seq(SinkMvJoin.DimWindow(j.dim, j.fk, j.pk, j.pfx, j.dimV, dimTo))))
+        }
+
+      // ---- hybrid extremes: which result-grain groups did the tail
+      // retract from? (single-table only — collected from the TAIL FEED,
+      // never the base table; capped)
+      val dirtyRows: Array[org.apache.spark.sql.Row] =
+        if (extremeIdx.isEmpty || !hasTail || !mayRetract(factParts)) Array.empty
+        else {
+          val retr = tailDf.get.where(col("_sign") < 0L)
+          if (queryGroups.isEmpty) {
+            // global extreme: any retraction at all → fall back
+            if (retr.limit(1).count() > 0L) return None
+            Array.empty
+          } else {
+            val rs = retr.select(stateGroupNames.map(col): _*)
+              .distinct().limit(DirtyCap + 1).collect()
+            if (rs.length > DirtyCap) {
+              dirtyCapFallbacks.incrementAndGet()
+              return None
+            }
+            rs
+          }
+        }
+      val dirtyPred: Option[Column] =
+        if (dirtyRows.isEmpty) None
+        else Some(dirtyRows.toSeq.map { r =>
+          stateGroupNames.zipWithIndex.map { case (g, i) =>
+            if (r.isNullAt(i)) col(g).isNull else col(g) === lit(r.get(i))
+          }.reduce(_ && _)
+        }.reduce(_ || _))
+
+      // ---- state part: per needed agg, its value + counter slot
       val statePart = mv.state.select(
         mv.groups.map(col) ++ slots.flatMap(i => Seq(
           col(mv.slotValue(i)).as(s"_p$i"), col(mv.slotCounter(i)).as(s"_pn$i"))): _*)
-      // tail part: one signed contribution row per change row
-      val unioned =
-        if (!hasTail) statePart
-        else {
-          val sign = SinkMvJoin.signOf(col("_change_type"))
-          val tail = SinkMatView.filtered(
-            SinkMatView.changes(spark, tableDir, mv.srcV, toV), mv.pred).select(
+      val unioned = tailDf match {
+        case None => statePart
+        case Some(tail) =>
+          val sign = col("_sign")
+          val t = tail.select(
             mv.groups.map(col) ++ slots.flatMap { i =>
               val a = mv.aggs(i)
               val (v, nn) = a.kind match {
                 case "count" => (sign, lit(0L))
                 case "sum" => (sign * expr(a.e).cast(LongType),
                   sign * when(expr(a.e).isNotNull, 1L).otherwise(0L))
+                case "dsum" => (
+                  (sign * expr(a.e).cast(SinkMatView.DsumIn))
+                    .cast(SinkMatView.DsumCell),
+                  sign * when(expr(a.e).isNotNull, 1L).otherwise(0L))
                 case "xor" => (expr(a.e).cast(LongType),
                   sign * when(expr(a.e).isNotNull, 1L).otherwise(0L))
-                case _ => return None // extremes never reach here with a tail
+                // hybrid: tail INSERTS extend the recorded extreme; the
+                // retracted-from groups are overridden by the pruned
+                // recompute below
+                case _ => (when(sign > 0L, expr(a.e).cast(LongType)), lit(0L))
               }
               Seq(v.as(s"_p$i"), nn.as(s"_pn$i"))
             }: _*)
-          statePart.unionByName(tail)
-        }
-      val aggCols = slots.map { i =>
+          statePart.unionByName(t)
+      }
+
+      // ---- one re-aggregation at the QUERY's (possibly coarser) grain
+      val aggCols = slots.flatMap { i =>
         val a = mv.aggs(i)
-        a.kind match {
+        val r = a.kind match {
           // coalesce for the GLOBAL aggregate over an empty view: SQL
           // returns one row with count 0, and sum-over-nothing is NULL
-          case "count" => coalesce(sum(col(s"_p$i")), lit(0L)).as(s"_r$i")
+          case "count" => coalesce(sum(col(s"_p$i")), lit(0L))
           case "sum" => when(sum(col(s"_pn$i")) === 0L, lit(null).cast(LongType))
-            .otherwise(sum(col(s"_p$i"))).as(s"_r$i")
+            .otherwise(sum(col(s"_p$i")))
+          case "dsum" => when(sum(col(s"_pn$i")) === 0L,
+            lit(null).cast(SinkMatView.DsumCell))
+            .otherwise(sum(col(s"_p$i")).cast(SinkMatView.DsumCell))
           case "xor" => when(sum(col(s"_pn$i")) === 0L, lit(null).cast(LongType))
-            .otherwise(expr(s"bit_xor(_p$i)")).as(s"_r$i")
-          case "min" => min(col(s"_p$i")).as(s"_r$i")
-          case "max" => max(col(s"_p$i")).as(s"_r$i")
+            .otherwise(expr(s"bit_xor(_p$i)"))
+          case "min" => min(col(s"_p$i"))
+          case "max" => max(col(s"_p$i"))
         }
+        Seq(r.as(s"_r$i"), coalesce(sum(col(s"_pn$i")), lit(0L)).as(s"_rn$i"))
       }
       val grouped = unioned
-        .groupBy(groupNames.map(col): _*) // the QUERY's (possibly coarser) grain
+        .groupBy(stateGroupNames.map(col): _*)
         .agg(aggCols.head, aggCols.tail: _*)
       // group liveness, as in the fold — a coarse group whose total count
       // reached zero has no base rows and leaves; the GLOBAL aggregate
       // keeps its single row (SQL returns (0, NULL, …) over no rows)
-      val compensated =
-        if (groupNames.isEmpty) grouped
+      val live =
+        if (queryGroups.isEmpty) grouped
         else grouped.where(col(s"_r$countSlot") > 0L)
-      val shaped = compensated.select(outs.map {
-        case GroupOut(n) => col(n)
-        case AggOut(i, n) => col(s"_r$i").as(n)
+
+      // ---- dirty-extreme recompute: ONE pruned scan of the base table
+      // at the current version (version-pinned — never self-rewrites),
+      // restricted to the retracted-from groups, spliced over the state
+      // answer for exactly those groups
+      val (fixedFrame, isDirty) = dirtyPred match {
+        case None => (live, lit(false))
+        case Some(dp) =>
+          val rec = SinkMatView.filtered(
+            SinkMatView.srcAt(spark, tableDir, toV), mv.pred)
+            .where(dp)
+            .groupBy(stateGroupNames.map(col): _*)
+            .agg(
+              extremeIdx.map(i => (if (mv.aggs(i).kind == "min")
+                min(expr(mv.aggs(i).e).cast(LongType))
+              else max(expr(mv.aggs(i).e).cast(LongType))).as(s"_fx$i")).head,
+              extremeIdx.drop(1).map(i => (if (mv.aggs(i).kind == "min")
+                min(expr(mv.aggs(i).e).cast(LongType))
+              else max(expr(mv.aggs(i).e).cast(LongType))).as(s"_fx$i")): _*)
+            .withColumn("_fxflag", lit(1))
+          val rr = stateGroupNames.foldLeft(rec)((df, k) =>
+            df.withColumnRenamed(k, s"_rk_$k"))
+          val cond = stateGroupNames.map(k => live(k) <=> rr(s"_rk_$k")).reduce(_ && _)
+          (live.join(rr, cond, "left"), col("_fxflag").isNotNull)
+      }
+
+      // ---- shape to the query's output list
+      def resValue(i: Int): Column =
+        if (extremeIdx.contains(i) && dirtyPred.isDefined)
+          when(isDirty, col(s"_fx$i")).otherwise(col(s"_r$i"))
+        else col(s"_r$i")
+      val shaped = fixedFrame.select(outs.map {
+        case GroupOut(st, out) => col(st).as(out)
+        case AggOut(SlotMap(i), n) => resValue(i).as(n)
+        case AggOut(DSlotMap(i), n) => col(s"_r$i").cast(DoubleType).as(n)
+        case AggOut(CounterMap(i), n) => col(s"_rn$i").as(n)
+        case AggOut(AvgMap(i), n) =>
+          when(col(s"_rn$i") === 0L, lit(null).cast(DoubleType))
+            .otherwise(col(s"_r$i").cast(DoubleType) / col(s"_rn$i").cast(DoubleType))
+            .as(n)
       }: _*)
       // splice: a fully-OPTIMIZED subplan (the extraOptimizations batch
       // runs after V2 pushdown — an analyzed-only DSv2 tail relation
@@ -358,40 +752,60 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
         Alias(if (n.dataType == o.dataType) n else Cast(n, o.dataType), o.name)(
           exprId = o.exprId)
       }
-      rewrites.incrementAndGet()
-      Some(Project(proj, sub))
+      Some((Project(proj, sub), cost))
     } finally inRewrite.set(java.lang.Boolean.FALSE)
   }
 
-  // ---- driver-checked query ------------------------------------------------
+  // ---- driver-checked queries ------------------------------------------------
 
-  /** Driver-checked MV-AWARE REWRITE (round 17): a per-shard rollup MV
-    * over an 800-doc table, registered for rewrite; the user's PLAIN
-    * GROUP BY over the base table is then answered twice — once with a
-    * STALE watermark (a 200-doc tail commit compensates through the
-    * change feed; linear aggregates only) and once AFTER a refresh (full
-    * rewrite including the extreme, with ZERO base data files opened —
-    * the counter delta is an output column under the hash gate). A
-    * SECOND registered MV carries a WHERE predicate, and the query
-    * writing the semantically-equal WHERE routes to it — the multi-MV registry picks the matching
-    * definition. All three result sets, the rewrite count, and the
-    * file-open count are re-derived by DuckDB.
+  /** Driver-checked MV-AWARE REWRITE (rounds 17–18): three MVs over an
+    * appending-then-churned table, registered for rewrite; the user's
+    * PLAIN GROUP BYs are answered from MV state across six legs —
+    *   q1: STALE watermark, linear aggregates compensated through the
+    *       append tail's change feed;
+    *   q4: the round-18 DERIVED aggregates — avg(doc_id) from the sum
+    *       slot and its non-null counter, count(score) from the dsum
+    *       slot's counter, sum(score) from the exact-decimal dsum slot —
+    *       all through the same stale tail;
+    *   q2: AFTER a refresh — the full rewrite including the extreme,
+    *       with ZERO base data files opened (the counter delta is an
+    *       output column under the hash gate);
+    *   q3: the predicate MV — a semantically-equal WHERE routes to it,
+    *       stale-compensated under the predicate;
+    *   g:  the GLOBAL aggregate — the empty group set re-rolls the
+    *       shard MV's partials to one row;
+    *   q5: the round-18 HYBRID EXTREME — after compaction (shard-pure
+    *       layout) a MoR DELETE retracts part of shard 5, and the max
+    *       query rewrites anyway: linear slots fold state ∪ tail, the
+    *       ONE dirty shard's extreme is recomputed by a shard-pruned
+    *       base read (q5_files_opened pins how few files that took).
+    * All six results, the rewrite count and both file-open counters are
+    * re-derived by DuckDB.
     */
   def mvRewriteReport(spark: SparkSession, sfDir: String): DataFrame = {
     val sfx = java.security.MessageDigest.getInstance("MD5")
-      .digest(("mvrw:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      .digest(("mvrw18:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmvrw_$sfx")
     SinkFs.deleteRecursively(root)
-    val dir = new java.io.File(root, "docs_mvrw").getPath
-    val mvDir = dir + ".mvd"
     val s = spark.newSession()
-    def append(lo: Long, hi: Long): Unit =
-      s.read.format("graft.sources.DocGenSource")
-        .option("numDocs", "1200").option("numPartitions", "2").load()
-        .where(col("doc_id") >= lo && col("doc_id") < hi)
-        .write.format("graft.sources.ShardSinkSource")
-        .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
-    append(0L, 800L) // v1
+    s.conf.set("spark.sql.catalog.graft_mvrw", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mvrw.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mvrw.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvrw.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvrw.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1200").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("graft_mvrw.docs_mvrw").append() // v1: bootstrap
+    s.sql("ALTER TABLE graft_mvrw.docs_mvrw ADD COLUMN score DOUBLE") // v2
+    def ingest(lo: Long, hi: Long): Unit =
+      docs(lo, hi)
+        .withColumn("score", when(col("doc_id") % 5L === 0L, lit(null).cast("double"))
+          .otherwise(col("doc_id") / lit(4.0)))
+        .writeTo("graft_mvrw.docs_mvrw").append()
+    ingest(0L, 800L) // v3
+    val dir = new java.io.File(root.getPath, "docs_mvrw").getPath
+    val mvDir = dir + ".mvd"
     SinkMvDist.create(s, dir, mvDir, Seq("shard"), Seq(
       SinkMatView.MvAgg("n_docs", "count"),
       SinkMatView.MvAgg("sum_ids", "sum", "doc_id"),
@@ -405,23 +819,36 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       // (even docs land only on even shards), and the gate wants every
       // shard to carry a q3 row
       where = "doc_id % 3 = 0", buckets = 8)
+    val mvDirD = dir + ".mvdd"
+    SinkMvDist.create(s, dir, mvDirD, Seq("shard"), Seq(
+      SinkMatView.MvAgg("d_n", "count"),
+      SinkMatView.MvAgg("d_sum", "sum", "doc_id"),
+      SinkMatView.MvAgg("d_ds", "dsum", "score")), buckets = 8)
     register(dir, mvDir)
     register(dir, mvDirP)
+    register(dir, mvDirD)
     try {
       s.experimental.extraOptimizations = Seq(SinkMvRewrite)
       def base = s.read.format("graft.sources.ShardSinkSource")
         .option("path", dir).load()
       val r0 = rewrites.get()
-      append(800L, 1000L) // v2: the un-refreshed tail
-      // STALE-watermark query: linear aggregates compensate via the tail
+      ingest(800L, 1000L) // v4: the un-refreshed tail
+      // q1 — STALE-watermark linear aggregates compensate via the tail
       val q1 = base.groupBy(col("shard"))
         .agg(count(lit(1)).as("q1_n"), sum("doc_id").as("q1_sum"),
           expr("bit_xor(doc_id)").as("q1_xor"))
       val got1 = q1.collect().map(r =>
         (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      SinkMvDist.refresh(s, dir, mvDir) // MV → v2
-      // CURRENT-watermark query: full rewrite incl. the extreme; base
-      // data files must stay closed
+      // q4 — DERIVED aggregates (avg / count(col) / sum(double)) route to
+      // the dsum-bearing MV, also stale-compensated
+      val q4 = base.groupBy(col("shard"))
+        .agg(avg("doc_id").as("d_avg"), count(col("score")).as("d_nscore"),
+          sum("score").as("d_sscore"))
+      val got4 = q4.collect().map(r =>
+        (r.getInt(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      SinkMvDist.refresh(s, dir, mvDir) // MV → v4
+      // q2 — CURRENT-watermark full rewrite incl. the extreme; base data
+      // files must stay closed
       val q2 = base.groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
           expr("bit_xor(doc_id)").as("xor_ids"), max("doc_id").as("max_doc"))
@@ -429,27 +856,41 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       val got2 = q2.collect().map(r =>
         (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       val q2Files = ShardSink.dataFileReadCount.get() - c0
-      // predicate-MV leg: the equal WHERE (conjunctless, but written on
-      // the query side through the DataFrame API) routes to the second
-      // MV; its watermark is stale by the tail commit, compensated
+      // q3 — the predicate-MV leg: the semantically-equal WHERE routes to
+      // the second MV, stale-compensated under the predicate
       val q3 = base.where(expr("doc_id % 3 = 0")).groupBy(col("shard"))
         .agg(count(lit(1)).as("q3_n"), sum("doc_id").as("q3_sum"))
       val got3 = q3.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      // GLOBAL-aggregate leg: no GROUP BY at all — the empty group set is
-      // a subset of every MV's, so the shard MV's partials re-roll to one
-      // row
+      // g — GLOBAL aggregate: the empty group set is a subset of every
+      // MV's, so the shard MV's partials re-roll to one row
       val g = base.agg(count(lit(1)).as("g_n"), sum("doc_id").as("g_sum"))
         .collect().head
+      // q5 — HYBRID EXTREME over a retracting tail: compact first (the
+      // MV must be refreshed over the no-data commit — compaction is the
+      // CDF retention horizon), then a MoR DELETE retracts shard 5's top
+      ShardSink.compact(dir) // v5: no-data, shard-pure layout
+      SinkMvDist.refresh(s, dir, mvDir) // fast-forward; MV srcV → v5
+      s.sql("DELETE FROM graft_mvrw.docs_mvrw WHERE shard = 5 AND doc_id >= 500") // v6
+      val q5 = base.groupBy(col("shard"))
+        .agg(count(lit(1)).as("q5_n"), sum("doc_id").as("q5_sum"),
+          max("doc_id").as("q5_max"))
+      val c1 = ShardSink.dataFileReadCount.get()
+      val got5 = q5.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val q5Files = ShardSink.dataFileReadCount.get() - c1
       val nRewrites = rewrites.get() - r0
       import s.implicits._
       val df1 = got1.toSeq.toDF("shard", "q1_n", "q1_sum", "q1_xor")
       val df3 = got3.toSeq.toDF("shard", "q3_n", "q3_sum")
+      val df4 = got4.toSeq.toDF("shard", "d_avg", "d_nscore", "d_sscore")
+      val df5 = got5.toSeq.toDF("shard", "q5_n", "q5_sum", "q5_max")
       got2.toSeq.toDF("shard", "n_docs", "sum_ids", "xor_ids", "max_doc")
-        .join(df1, "shard").join(df3, "shard")
+        .join(df1, "shard").join(df3, "shard").join(df4, "shard").join(df5, "shard")
         .withColumn("g_n", lit(g.getLong(0)))
         .withColumn("g_sum", lit(g.getLong(1)))
         .withColumn("n_rewrites", lit(nRewrites))
         .withColumn("q2_files_opened", lit(q2Files))
+        .withColumn("q5_files_opened", lit(q5Files))
         .orderBy("shard")
     } finally {
       unregister(dir)
@@ -457,32 +898,162 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     }
   }
 
-
-
-  /** DuckDB re-derivation: all three queries aggregate docs 0..999 per
-    * shard (q1 via state ∪ tail compensation, q2 via pure state, q3 the
-    * predicate MV — doc_id multiples of three, tail-compensated under
-    * the same predicate), plus a GLOBAL (group-less) aggregate answered
-    * from the shard MV's partials. Constants: 4 rewrites (the refresh's
-    * own internal scans are version-pinned and never rewrite); q2 opened
-    * 0 base data files.
+  /** DuckDB re-derivation: q1/q2/q3/q4 and the global leg aggregate docs
+    * 0..999 per shard (score = doc/4, NULL on multiples of five); q5
+    * aggregates the post-DELETE live set (shard-5 docs ≥ 500 removed).
+    * Constants: 6 rewrites (one per leg — the refreshes' own internal
+    * scans are version-pinned and never rewrite); q2 opened 0 base data
+    * files; q5 opened 3 — the retraction probe and the spliced tail
+    * each read the DELETE's vector-diffed shard-5 file, and the dirty
+    * recompute's shard-pruned scan reads it once more (every other
+    * shard's file stays closed).
     */
   val mvRewriteReportSql: String =
     """WITH g AS (
-      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard
-      |  FROM range(0, 1000) t(doc_id))
-      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
-      |       bit_xor(doc_id) AS xor_ids,
-      |       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id / 4.0 END AS score
+      |  FROM range(0, 1000) t(doc_id)),
+      |l AS (
+      |  SELECT * FROM g WHERE NOT (shard = 5 AND doc_id >= 500))
+      |SELECT g.shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(g.doc_id) AS BIGINT) AS sum_ids,
+      |       bit_xor(g.doc_id) AS xor_ids,
+      |       CAST(MAX(g.doc_id) AS BIGINT) AS max_doc,
       |       CAST(COUNT(*) AS BIGINT) AS q1_n,
-      |       CAST(SUM(doc_id) AS BIGINT) AS q1_sum,
-      |       bit_xor(doc_id) AS q1_xor,
-      |       CAST(COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS q3_n,
-      |       CAST(SUM(doc_id) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS q3_sum,
+      |       CAST(SUM(g.doc_id) AS BIGINT) AS q1_sum,
+      |       bit_xor(g.doc_id) AS q1_xor,
+      |       CAST(COUNT(*) FILTER (WHERE g.doc_id % 3 = 0) AS BIGINT) AS q3_n,
+      |       CAST(SUM(g.doc_id) FILTER (WHERE g.doc_id % 3 = 0) AS BIGINT) AS q3_sum,
+      |       CAST(SUM(g.doc_id) AS DOUBLE) / CAST(COUNT(g.doc_id) AS DOUBLE) AS d_avg,
+      |       CAST(COUNT(g.score) AS BIGINT) AS d_nscore,
+      |       CAST(SUM(CAST(g.score AS DECIMAL(24,6))) AS DOUBLE) AS d_sscore,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM l WHERE l.shard = g.shard) AS q5_n,
+      |       (SELECT CAST(SUM(l.doc_id) AS BIGINT) FROM l WHERE l.shard = g.shard) AS q5_sum,
+      |       (SELECT CAST(MAX(l.doc_id) AS BIGINT) FROM l WHERE l.shard = g.shard) AS q5_max,
       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS g_n,
       |       (SELECT CAST(SUM(doc_id) AS BIGINT) FROM g) AS g_sum,
-      |       CAST(4 AS BIGINT) AS n_rewrites,
-      |       CAST(0 AS BIGINT) AS q2_files_opened
-      |FROM g GROUP BY shard ORDER BY shard""".stripMargin
+      |       CAST(6 AS BIGINT) AS n_rewrites,
+      |       CAST(0 AS BIGINT) AS q2_files_opened,
+      |       CAST(3 AS BIGINT) AS q5_files_opened
+      |FROM g GROUP BY g.shard ORDER BY g.shard""".stripMargin
+
+  /** Driver-checked JOIN-MV REWRITE (round 18): a fact ⋈ dim GROUP BY
+    * (the reference's own flagship query shape) over a registered join
+    * MV, exercised through four legs —
+    *   A: both watermarks current → rewritten; NEITHER table's data
+    *      files open (a_files pins 0);
+    *   B: a fact append tail → rewritten through [Δf ⋈ d@new], the one
+    *      delta-join part a fact tail needs;
+    *   C: a dim UPDATE tail → the [Δd ⋈ f@old] part would rescan the
+    *      whole fact, so the round-18 COST GUARD refuses (cost_fallbacks
+    *      pins exactly one refusal) and the base join answers;
+    *   D: after a refresh folds the dim move → rewritten again with
+    *      zero data files (d_files pins 0), the rX group move visible.
+    * The final per-(region, uid) table and all counters sit under the
+    * DuckDB hash gate.
+    */
+  def mvJoinRewriteReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mvjr:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmvjr_$sfx")
+    SinkFs.deleteRecursively(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_mvjr", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mvjr.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mvjr.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvjr.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvjr.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2400").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("graft_mvjr.dim_mvjr").append() // d1
+    s.sql("ALTER TABLE graft_mvjr.dim_mvjr ADD COLUMN region STRING") // d2
+    docs(0L, 16L)
+      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
+      .writeTo("graft_mvjr.dim_mvjr").append() // d3
+    docs(0L, 0L).writeTo("graft_mvjr.fact_mvjr").append() // f1
+    s.sql("ALTER TABLE graft_mvjr.fact_mvjr ADD COLUMN uid BIGINT") // f2
+    def ingest(lo: Long, hi: Long): Unit =
+      docs(lo, hi).withColumn("uid", (col("doc_id") % 300L).cast("long"))
+        .writeTo("graft_mvjr.fact_mvjr").append()
+    ingest(0L, 1200L) // f3
+    val factDir = new java.io.File(root.getPath, "fact_mvjr").getPath
+    val dimDir = new java.io.File(root.getPath, "dim_mvjr").getPath
+    val mvDir = factDir + ".mvjr"
+    SinkMvDist.createJoin(s, factDir, dimDir, mvDir, fk = "shard", pk = "doc_id",
+      groups = Seq("d_region", "uid"), aggs = Seq(
+        SinkMatView.MvAgg("n_docs", "count"),
+        SinkMatView.MvAgg("sum_ids", "sum", "doc_id")), buckets = 8)
+    register(factDir, mvDir)
+    try {
+      s.experimental.extraOptimizations = Seq(SinkMvRewrite)
+      def q = s.read.format("graft.sources.ShardSinkSource")
+        .option("path", factDir).load()
+        .join(s.read.format("graft.sources.ShardSinkSource")
+          .option("path", dimDir).load()
+          .select(col("doc_id").as("dk"), col("region")),
+          col("shard") === col("dk"), "inner")
+        .groupBy(col("region"), col("uid"))
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+      val r0 = rewrites.get()
+      val cf0 = costFallbacks.get()
+      // leg A: current watermarks — zero data files on EITHER table
+      val cA = ShardSink.dataFileReadCount.get()
+      q.collect()
+      val aFiles = ShardSink.dataFileReadCount.get() - cA
+      // leg B: fact tail — compensates through [Δf ⋈ d@new]
+      ingest(1200L, 1500L) // f4
+      q.collect()
+      val bRewrites = rewrites.get() - r0 // A + B = 2
+      SinkMvDist.refresh(s, factDir, mvDir) // fold f4
+      // leg C: dim tail — the cost guard must refuse ([Δd ⋈ f@old]
+      // rescans the whole fact) and the base join answers correctly
+      s.sql("UPDATE graft_mvjr.dim_mvjr SET region = 'rX' WHERE doc_id = 5") // d4
+      q.collect()
+      val cRewrites = rewrites.get() - r0 // still 2
+      val cFallbacks = costFallbacks.get() - cf0 // exactly 1
+      SinkMvDist.refresh(s, factDir, mvDir) // fold the dim move
+      // leg D: current again — rewritten, group move visible, zero files
+      val cD = ShardSink.dataFileReadCount.get()
+      val gotD = q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val dFiles = ShardSink.dataFileReadCount.get() - cD
+      val nRewrites = rewrites.get() - r0 // 3
+      import s.implicits._
+      gotD.toSeq.toDF("d_region", "uid", "n_docs", "sum_ids")
+        .withColumn("n_rewrites", lit(nRewrites))
+        .withColumn("b_rewrites", lit(bRewrites))
+        .withColumn("c_rewrites", lit(cRewrites))
+        .withColumn("cost_fallbacks", lit(cFallbacks))
+        .withColumn("a_files_opened", lit(aFiles))
+        .withColumn("d_files_opened", lit(dFiles))
+        .orderBy("d_region", "uid")
+    } finally {
+      unregister(factDir)
+      s.experimental.extraOptimizations = Nil
+    }
+  }
+
+  /** DuckDB re-derivation: live fact rows are docs 0..1499 with
+    * uid = doc % 300; the region of shard s = doc % 16 is rX for 5 (the
+    * dim update, folded before leg D) else r(s % 3). Constants: 3
+    * rewrites total (A, B, D), 2 after leg B, still 2 after the refused
+    * leg C, exactly 1 cost fallback (leg C's [Δd ⋈ f@old] rescan loses
+    * to the base join), and 0 data files opened by legs A and D.
+    */
+  val mvJoinRewriteReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 300 AS uid,
+      |         CASE WHEN doc_id % 16 = 5 THEN 'rX'
+      |              ELSE 'r' || CAST((doc_id % 16) % 3 AS VARCHAR) END AS d_region
+      |  FROM range(0, 1500) t(doc_id))
+      |SELECT d_region, uid, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |       CAST(3 AS BIGINT) AS n_rewrites,
+      |       CAST(2 AS BIGINT) AS b_rewrites,
+      |       CAST(2 AS BIGINT) AS c_rewrites,
+      |       CAST(1 AS BIGINT) AS cost_fallbacks,
+      |       CAST(0 AS BIGINT) AS a_files_opened,
+      |       CAST(0 AS BIGINT) AS d_files_opened
+      |FROM g GROUP BY d_region, uid ORDER BY d_region, uid""".stripMargin
 }

@@ -227,6 +227,7 @@ object Sinks {
     "s_mvjoin_stream_parity" -> (SinkMvDist.mvJoinStreamParity _),
     "q_dsv2_mv_snowflake" -> (SinkMvDist.mvSnowflakeReport _),
     "q_dsv2_mv_rewrite" -> (SinkMvRewrite.mvRewriteReport _),
+    "q_dsv2_mv_join_rewrite" -> (SinkMvRewrite.mvJoinRewriteReport _),
     "q_dsv2_mv_auto_rebucket" -> (SinkMvDist.mvAutoRebucketReport _),
     "q_dsv2_zorder_cols" -> (SinkColStats.zorderColsReport _),
     "q_dsv2_meta_col_minmax" -> (SinkColStats.metaColMinMaxReport _),
@@ -296,6 +297,7 @@ object Sinks {
     "s_mvjoin_stream_parity" -> SinkMvDist.mvJoinStreamParitySql,
     "q_dsv2_mv_snowflake" -> SinkMvDist.mvSnowflakeReportSql,
     "q_dsv2_mv_rewrite" -> SinkMvRewrite.mvRewriteReportSql,
+    "q_dsv2_mv_join_rewrite" -> SinkMvRewrite.mvJoinRewriteReportSql,
     "q_dsv2_mv_auto_rebucket" -> SinkMvDist.mvAutoRebucketReportSql,
     "q_dsv2_zorder_cols" -> SinkColStats.zorderColsReportSql,
     "q_dsv2_meta_col_minmax" -> SinkColStats.metaColMinMaxReportSql,
