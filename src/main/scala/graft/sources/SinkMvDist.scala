@@ -1148,6 +1148,157 @@ object SinkMvDist {
       |       CAST(0 AS BIGINT) AS n_diff
       |FROM g GROUP BY d_region, uid ORDER BY d_region, uid""".stripMargin
 
+  /** Driver-checked STREAMING SNOWFLAKE-MV MAINTENANCE (round 18): the
+    * three-source chain MV of [[mvSnowflakeReport]] maintained
+    * CONTINUOUSLY from THREE change feeds — fact, dim1 and dim2 each run
+    * their own CDF stream landing commits through [[refreshFromChanges]],
+    * one single-source window per batch, per-source watermarks in the
+    * header. The both-dims-in-one-interleave window of the batch gate
+    * appears here as consecutive single-source batches (d1's update folds
+    * pinned at the header's d2 version, then d2's update folds against
+    * the ALREADY-ADVANCED d1 — the same telescoping, one commit at a
+    * time), and the fact feed crosses a compaction-horizon commit (the
+    * compact is both the no-data gap the stream fast-forwards over and
+    * the CDF retention floor the stream starts from). The final
+    * per-(zone, region, uid) view, the applied/skipped split, all THREE
+    * watermarks and a zero row-diff against a from-scratch chain join
+    * sit under the DuckDB hash gate.
+    */
+  def mvSnowflakeStreamParity(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mvss:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmvss_$sfx")
+    SinkFs.deleteRecursively(root)
+    val s = graft.streaming.StreamTune.session(spark)
+    s.conf.set("spark.sql.catalog.graft_mvss", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mvss.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mvss.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvss.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvss.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2400").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    // dim2 (outer ring): keys 0..3, zone z(k % 2)
+    docs(0L, 0L).writeTo("graft_mvss.dim2_mvss").append() // e1
+    s.sql("ALTER TABLE graft_mvss.dim2_mvss ADD COLUMN zone STRING") // e2
+    docs(0L, 4L)
+      .withColumn("zone", concat(lit("z"), (col("doc_id") % 2).cast("string")))
+      .writeTo("graft_mvss.dim2_mvss").append() // e3
+    // dim1 (inner ring): keys 0..15, region r(k % 3), catk = k % 4 → dim2
+    docs(0L, 0L).writeTo("graft_mvss.dim1_mvss").append() // d1
+    s.sql("ALTER TABLE graft_mvss.dim1_mvss ADD COLUMN region STRING") // d2
+    s.sql("ALTER TABLE graft_mvss.dim1_mvss ADD COLUMN catk BIGINT") // d3
+    docs(0L, 16L)
+      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
+      .withColumn("catk", (col("doc_id") % 4).cast("long"))
+      .writeTo("graft_mvss.dim1_mvss").append() // d4
+    docs(0L, 0L).writeTo("graft_mvss.fact_mvss").append() // f1
+    s.sql("ALTER TABLE graft_mvss.fact_mvss ADD COLUMN uid BIGINT") // f2
+    def ingest(lo: Long, hi: Long): Unit =
+      docs(lo, hi).withColumn("uid", (col("doc_id") % 150L).cast("long"))
+        .writeTo("graft_mvss.fact_mvss").append()
+    ingest(0L, 1200L) // f3
+    val factDir = new java.io.File(root, "fact_mvss").getPath
+    val d1Dir = new java.io.File(root, "dim1_mvss").getPath
+    val d2Dir = new java.io.File(root, "dim2_mvss").getPath
+    val mvDir = factDir + ".mvss"
+    createSnowflake(s, factDir, mvDir,
+      Seq(
+        SnowDim(d1Dir, fk = "shard", pk = "doc_id", pfx = "d1_"),
+        SnowDim(d2Dir, fk = "d1_catk", pk = "doc_id", pfx = "d2_")),
+      groups = Seq("d2_zone", "d1_region", "uid"), aggs = Seq(
+        MvAgg("n_docs", "count"),
+        MvAgg("sum_ids", "sum", "doc_id"),
+        MvAgg("xor_ids", "xor", "doc_id"),
+        MvAgg("max_doc", "max", "doc_id")), buckets = 8)
+    // the compact lands FIRST: the no-data gap the fact stream
+    // fast-forwards across AND its CDF retention horizon
+    ShardSink.compact(factDir) // f4: no-data commit — never a batch
+    s.sql("DELETE FROM graft_mvss.fact_mvss WHERE doc_id >= 900") // f5
+    ingest(1200L, 1400L) // f6
+    s.sql("UPDATE graft_mvss.dim1_mvss SET region = 'rX' WHERE doc_id = 7") // d5
+    s.sql("UPDATE graft_mvss.dim2_mvss SET zone = 'zX' WHERE doc_id = 1") // e4
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
+    val skipped = new java.util.concurrent.atomic.AtomicLong(0L)
+    // one stream per SOURCE, drained sequentially (fact, then the dims in
+    // chain order) so the lifecycle constants are deterministic; each
+    // batch carries ONE commit of its own feed and folds with every
+    // OTHER source pinned at its header watermark
+    def drain(dir: String): Unit = {
+      val q = s.readStream.format("graft.sources.ShardSinkSource")
+        .option("path", dir).option("readChangeFeed", "true").load()
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          val vs = batch.agg(
+            min(col("_commit_version")), max(col("_commit_version"))).collect().head
+          if (!vs.isNullAt(0)) {
+            require(vs.getLong(0) == vs.getLong(1),
+              "the CDF stream delivers one commit per trigger")
+            val st = refreshFromChanges(s, dir, mvDir, batch, vs.getLong(0))
+            (if (st.applied) applied else skipped).incrementAndGet()
+            ()
+          }
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain(factDir)
+    drain(d1Dir)
+    drain(d2Dir)
+    val (fv, dvs) = lastSourceVersionsAll(mvDir)
+    val full = SinkMatView.filtered(
+      SinkMvJoin.joinedAt(s, factDir, fv, Seq(
+        SinkMvJoin.DimWindow(d1Dir, "shard", "doc_id", "d1_", dvs.head, dvs.head),
+        SinkMvJoin.DimWindow(d2Dir, "d1_catk", "doc_id", "d2_", dvs(1), dvs(1)))), "")
+      .groupBy(col("d2_zone"), col("d1_region"), col("uid"))
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+        expr("bit_xor(doc_id)").as("xor_ids"), max("doc_id").as("max_doc"))
+    val mv = read(s, mvDir)
+    val nDiff = mv.exceptAll(full).union(full.exceptAll(mv)).count()
+    mv.withColumn("n_applied", lit(applied.get()))
+      .withColumn("n_skipped", lit(skipped.get()))
+      .withColumn("mv_version", lit(currentVersion(mvDir)))
+      .withColumn("fact_version", lit(fv))
+      .withColumn("dim1_version", lit(dvs.head))
+      .withColumn("dim2_version", lit(dvs(1)))
+      .withColumn("n_diff", lit(nDiff))
+      .orderBy("d2_zone", "d1_region", "uid")
+  }
+
+  /** DuckDB re-derivation: live fact rows are `doc_id < 900 OR 1200 <=
+    * doc_id < 1400`; uid = doc % 150; shard s = doc % 16 maps region rX
+    * for 7 (the streamed d1 update) else r(s % 3), and zone zX for catk
+    * s % 4 = 1 (the streamed d2 update) else z((s % 4) % 2). Constants:
+    * 4 applied (the fact DELETE — arriving over the compact's
+    * provably-empty gap — the fact append, and one update per dim) + 2
+    * skipped (d4 and e3, both covered by the create; the fact stream
+    * starts at the compaction horizon, so f3 is never delivered); MV v5
+    * = create + 4; fact v6 = bootstrap + ALTER + ingest + OPTIMIZE +
+    * DELETE + append; dim1 v5 = bootstrap + 2 ALTERs + map + update;
+    * dim2 v4 = bootstrap + ALTER + map + update; diff 0.
+    */
+  val mvSnowflakeStreamParitySql: String =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 150 AS uid, doc_id % 16 AS s
+      |  FROM range(0, 1400) t(doc_id)
+      |  WHERE doc_id < 900 OR doc_id >= 1200),
+      |m AS (
+      |  SELECT doc_id, uid,
+      |         CASE WHEN s = 7 THEN 'rX' ELSE 'r' || CAST(s % 3 AS VARCHAR) END AS d1_region,
+      |         CASE WHEN s % 4 = 1 THEN 'zX' ELSE 'z' || CAST((s % 4) % 2 AS VARCHAR) END AS d2_zone
+      |  FROM g)
+      |SELECT d2_zone, d1_region, uid, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |       bit_xor(doc_id) AS xor_ids,
+      |       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+      |       CAST(4 AS BIGINT) AS n_applied,
+      |       CAST(2 AS BIGINT) AS n_skipped,
+      |       CAST(5 AS BIGINT) AS mv_version,
+      |       CAST(6 AS BIGINT) AS fact_version,
+      |       CAST(5 AS BIGINT) AS dim1_version,
+      |       CAST(4 AS BIGINT) AS dim2_version,
+      |       CAST(0 AS BIGINT) AS n_diff
+      |FROM m GROUP BY d2_zone, d1_region, uid
+      |ORDER BY d2_zone, d1_region, uid""".stripMargin
+
   /** Driver-checked SNOWFLAKE MV (round 17): `fact ⋈ dim1 ⋈ dim2 GROUP BY
     * (d2_zone, d1_region, uid)` — a CHAIN join (dim2 keys off dim1's
     * `catk` column, not the fact) over distributed bucketed state, with

@@ -226,6 +226,7 @@ object Sinks {
     "q_dsv2_mv_join_dist" -> (SinkMvDist.mvJoinDistReport _),
     "s_mvjoin_stream_parity" -> (SinkMvDist.mvJoinStreamParity _),
     "q_dsv2_mv_snowflake" -> (SinkMvDist.mvSnowflakeReport _),
+    "s_mvsnow_stream_parity" -> (SinkMvDist.mvSnowflakeStreamParity _),
     "q_dsv2_mv_rewrite" -> (SinkMvRewrite.mvRewriteReport _),
     "q_dsv2_mv_join_rewrite" -> (SinkMvRewrite.mvJoinRewriteReport _),
     "q_dsv2_mv_auto_rebucket" -> (SinkMvDist.mvAutoRebucketReport _),
@@ -296,6 +297,7 @@ object Sinks {
     "q_dsv2_mv_join_dist" -> SinkMvDist.mvJoinDistReportSql,
     "s_mvjoin_stream_parity" -> SinkMvDist.mvJoinStreamParitySql,
     "q_dsv2_mv_snowflake" -> SinkMvDist.mvSnowflakeReportSql,
+    "s_mvsnow_stream_parity" -> SinkMvDist.mvSnowflakeStreamParitySql,
     "q_dsv2_mv_rewrite" -> SinkMvRewrite.mvRewriteReportSql,
     "q_dsv2_mv_join_rewrite" -> SinkMvRewrite.mvJoinRewriteReportSql,
     "q_dsv2_mv_auto_rebucket" -> SinkMvDist.mvAutoRebucketReportSql,

@@ -443,4 +443,23 @@ class VectorOpsSpec extends SparkSpec {
       assert(r.getDouble(6) >= 1.0, s"drift_ratio ${r.getDouble(6)} < 1 on a shifted batch")
     }
   }
+
+  test("residual IVF-PQ: distinct books, per-cell LUTs, recall measured against raw") {
+    import graft.vec.VectorOps
+    val res = VectorOps.knnIvfPqRes(spark, sf001).collect()
+    assert(res.length === 20)
+    // residual books are a DIFFERENT model from the raw books (they
+    // quantize vec − cellCentroid, not vec)
+    assert(VectorOps.pqResidualCodebooks(spark, sf001) !=
+      VectorOps.pqCodebooks(spark, sf001))
+    // every returned row sits in a probed cell and carries a finite ADC
+    assert(res.forall(r => !r.isNullAt(3)))
+    // the recall harness measures the residual method alongside raw —
+    // on THIS corpus residuals are isotropic (see the scaladoc), so the
+    // assertion is presence + sanity, not superiority
+    val rec = VectorOps.annRecall(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rec.contains("ivfpq_res"))
+    assert(rec("ivfpq_res") >= 10L, s"residual recall collapsed: ${rec("ivfpq_res")}/20")
+  }
 }
