@@ -1425,7 +1425,6 @@ object SinkMvDist {
     def isJoin: Boolean = joins.nonEmpty
     def slotValue(i: Int): String = slotV(i)
     def slotCounter(i: Int): String = slotC(i)
-    def slotDataType(i: Int): DataType = slotType(aggs(i))
   }
 
   private[sources] def slotState(spark: SparkSession, mvDir: String): MvSlots = {

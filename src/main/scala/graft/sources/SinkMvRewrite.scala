@@ -182,23 +182,53 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       factKey: String, pkKey: String,
       filterCond: Option[Expression], factRel: LogicalPlan)
 
+  /** One candidate MV's screening outcome: shape/slot mismatch, a cost
+    * refusal, or a mapped candidate with its metadata cost and a DEFERRED
+    * plan builder — mapping and costing are pure metadata, so every
+    * candidate is screened, but the expensive part (nested analyze +
+    * optimize, plus any plan-time jobs the hybrid path needs) runs only
+    * for the winner (review fix: N−1 nested optimizations were wasted on
+    * multi-MV tables).
+    */
+  private sealed trait Screened
+  private case object NoMatch extends Screened
+  private case object CostRefused extends Screened
+  private final case class Mapped(cost: Long, build: () => Option[LogicalPlan])
+    extends Screened
+
   private def rewriteAggregate(
       agg: Aggregate, groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
     val shapes: Seq[Shape] = singleShape(child).toSeq ++ joinShapes(child)
     if (shapes.isEmpty) return None
-    val candidates: Seq[(LogicalPlan, Long)] = shapes.flatMap { sh =>
-      Option(registry.get(sh.fact.table.tableDir)).toSeq.flatten.flatMap { mvDir =>
+    val screened: Seq[Screened] = shapes.flatMap { sh =>
+      Option(registry.get(sh.fact.table.tableDir)).toSeq.flatten.map { mvDir =>
         try tryRewrite(agg, groupExprs, aggExprs, sh, mvDir)
         catch { case scala.util.control.NonFatal(e) =>
           if (sys.props.contains("graft.mvrw.debug")) e.printStackTrace()
-          None }
+          NoMatch }
       }
     }
-    if (candidates.isEmpty) None
-    else {
-      rewrites.incrementAndGet()
-      Some(candidates.minBy(_._2)._1)
+    // cheapest-first: build lazily, fall to the next candidate on a
+    // build-time surprise (each builder is independently NonFatal-safe)
+    val built = screened.collect { case m: Mapped => m }
+      .sortBy(_.cost).iterator
+      .map(m =>
+        try m.build()
+        catch { case scala.util.control.NonFatal(e) =>
+          if (sys.props.contains("graft.mvrw.debug")) e.printStackTrace()
+          None })
+      .collectFirst { case Some(p) => p }
+    built match {
+      case Some(p) =>
+        rewrites.incrementAndGet()
+        Some(p)
+      case None =>
+        // the counter means "this QUERY fell back although a subsuming MV
+        // existed" — a per-candidate loss that another MV won is not a
+        // fallback (review fix)
+        if (screened.contains(CostRefused)) costFallbacks.incrementAndGet()
+        None
     }
   }
 
@@ -236,20 +266,25 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     // the analyzer wraps a narrower join key in an implicit up-cast
     // (`cast(shard as bigint) = dk`); the MV's own joinedFrame inserts
     // the IDENTICAL cast for the same key pair, so looking through it
-    // preserves equality semantics exactly
-    def keyAttr(e: Expression): Option[AttributeReference] = e match {
+    // preserves equality semantics exactly — but ONLY that cast: the
+    // target must be the lossless up-cast to the OTHER key's type. A
+    // user-written narrowing/lossy cast (cast(dk AS INT), cast(... AS
+    // STRING)) changes which rows join and must never match (review fix)
+    def keyAttr(e: Expression, other: Expression): Option[AttributeReference] = e match {
       case at: AttributeReference => Some(at)
       case c: Cast => c.child match {
-        case at: AttributeReference => Some(at)
+        case at: AttributeReference
+            if c.dataType == other.dataType &&
+              Cast.canUpCast(at.dataType, c.dataType) => Some(at)
         case _ => None
       }
       case _ => None
     }
     peelProj(child) match {
       case Join(l, r, Inner, Some(EqualTo(ka, kb)), _)
-          if keyAttr(ka).isDefined && keyAttr(kb).isDefined =>
-        val a = keyAttr(ka).get
-        val b = keyAttr(kb).get
+          if keyAttr(ka, kb).isDefined && keyAttr(kb, ka).isDefined =>
+        val a = keyAttr(ka, kb).get
+        val b = keyAttr(kb, ka).get
         (resolveSide(l), resolveSide(r)) match {
           case (Some(ls), Some(rs)) =>
             // which side does each key attribute belong to?
@@ -366,6 +401,13 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
   /** `avg(e)`: value slot / non-null counter, one DOUBLE division. */
   private final case class AvgMap(slot: Int) extends AggMap
 
+  /** One query output column: a (possibly renamed) group attribute or a
+    * slot-mapped aggregate.
+    */
+  private sealed trait Out
+  private final case class GroupOut(state: String, out: String) extends Out
+  private final case class AggOut(m: AggMap, name: String) extends Out
+
   /** Map one query aggregate function onto the MV slots, or None (→ no
     * rewrite). `rename` rewrites the function's argument attributes to
     * the MV's column naming (dim attrs gain their prefix; aliases resolve
@@ -400,7 +442,20 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
         else if (outType == DoubleType) slotOf(Set("dsum"), e).map(DSlotMap)
         else None
       case Average(e, mode) if mode != EvalMode.TRY && outType == DoubleType =>
-        slotOf(Set("sum", "dsum"), e).map(AvgMap)
+        // the slot-kind set depends on the INPUT type, exactly like Sum's
+        // outType guard: an integral avg derives from either slot family
+        // (both partials are exact), but a fractional avg may only use
+        // the exact-decimal dsum slot — a BIGINT sum slot over a DOUBLE
+        // column holds per-row-truncated values and would silently
+        // change the average (review fix)
+        val kinds: Set[String] = e.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType | LongType => Set("sum", "dsum")
+          case DoubleType | org.apache.spark.sql.types.FloatType => Set("dsum")
+          case _ => Set.empty
+        }
+        if (kinds.isEmpty) None else slotOf(kinds, e).map(AvgMap)
       case Min(e) if outType == LongType => slotOf(Set("min"), e).map(SlotMap)
       case Max(e) if outType == LongType => slotOf(Set("max"), e).map(SlotMap)
       case BitXorAgg(e) if outType == LongType => slotOf(Set("xor"), e).map(SlotMap)
@@ -455,28 +510,28 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
 
   private def tryRewrite(
       agg: Aggregate, groupExprs: Seq[Expression], aggExprs: Seq[NamedExpression],
-      sh: Shape, mvDir: String): Option[(LogicalPlan, Long)] = {
+      sh: Shape, mvDir: String): Screened = {
     val spark = SparkSession.active
-    if (SinkMvDist.currentVersion(mvDir) == 0L) return None
+    if (SinkMvDist.currentVersion(mvDir) == 0L) return NoMatch
     val mv = SinkMvDist.slotState(spark, mvDir)
     val tableDir = sh.fact.table.tableDir
-    if (mv.src != tableDir) return None
+    if (mv.src != tableDir) return NoMatch
 
     // shape ↔ MV family agreement
     val join: Option[SinkMvDist.MvdJoin] = sh.dim match {
       case None =>
-        if (mv.isJoin) return None
+        if (mv.isJoin) return NoMatch
         // cheap structural screens first — the semantic predicate match
         // costs a nested analyze+optimize, so it runs only when the shape
         // already fits; the (pred, filter) presence must agree either way
-        if (mv.pred.nonEmpty != sh.filterCond.nonEmpty) return None
+        if (mv.pred.nonEmpty != sh.filterCond.nonEmpty) return NoMatch
         None
       case Some(dimSide) =>
-        if (mv.joins.length != 1) return None // single-dim star MVs only
+        if (mv.joins.length != 1) return NoMatch // single-dim star MVs only
         val j = mv.joins.head
-        if (j.dim != dimSide.table.tableDir) return None
-        if (sh.factKey != j.fk || sh.pkKey != j.pk) return None
-        if (mv.pred.nonEmpty || sh.filterCond.nonEmpty) return None
+        if (j.dim != dimSide.table.tableDir) return NoMatch
+        if (sh.factKey != j.fk || sh.pkKey != j.pk) return NoMatch
+        if (mv.pred.nonEmpty || sh.filterCond.nonEmpty) return NoMatch
         Some(j)
     }
     val pfx = join.map(_.pfx).getOrElse("")
@@ -504,19 +559,16 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       case at: AttributeReference =>
         stateName(at) match {
           case Some(n) => (n, at.name)
-          case None => return None
+          case None => return NoMatch
         }
-      case _ => return None
+      case _ => return NoMatch
     }
     val stateGroupNames = queryGroups.map(_._1)
     if (!stateGroupNames.toSet.subsetOf(mv.groups.toSet) ||
-      stateGroupNames.distinct != stateGroupNames) return None
+      stateGroupNames.distinct != stateGroupNames) return NoMatch
 
     // each output is a group attr or a mappable aggregate
     val countSlot = mv.aggs.indexWhere(_.kind == "count") // validate() guarantees ≥ 0
-    sealed trait Out
-    case class GroupOut(state: String, out: String) extends Out
-    case class AggOut(m: AggMap, name: String) extends Out
     val outs: Seq[Out] = aggExprs.map {
       case at: AttributeReference if queryGroups.exists(_._2 == at.name) &&
           stateName(at).isDefined =>
@@ -524,9 +576,9 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       case Alias(ae @ AggregateExpression(f, Complete, false, None, _), name) =>
         mapAgg(f, ae.dataType, mv.aggs, rename) match {
           case Some(m) => AggOut(m, name)
-          case None => return None
+          case None => return NoMatch
         }
-      case _ => return None
+      case _ => return NoMatch
     }
 
     // predicate agreement (single-table predicate MVs)
@@ -537,20 +589,20 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
           try predMatches(spark, tableDir, mv.pred, c, sh.factRel)
           finally inRewrite.set(java.lang.Boolean.FALSE)
         }
-        if (!ok) return None
+        if (!ok) return NoMatch
       case _ => // plain MV, plain query
     }
 
     // watermarks + tail derivability
     val toV = ShardSink.currentManifestVersion(tableDir)
-    if (toV < mv.srcV) return None // table behind the MV: inconsistent registration
+    if (toV < mv.srcV) return NoMatch // table behind the MV: inconsistent registration
     val factTail = toV > mv.srcV
-    if (factTail && mv.srcV + 1L < ShardSink.horizonOf(tableDir)) return None
+    if (factTail && mv.srcV + 1L < ShardSink.horizonOf(tableDir)) return NoMatch
     val dimTo = join.map(j => ShardSink.currentManifestVersion(j.dim)).getOrElse(0L)
     val dimTail = join.exists(j => dimTo > j.dimV)
     join.foreach { j =>
-      if (dimTo < j.dimV) return None
-      if (dimTail && j.dimV + 1L < ShardSink.horizonOf(j.dim)) return None
+      if (dimTo < j.dimV) return NoMatch
+      if (dimTail && j.dimV + 1L < ShardSink.horizonOf(j.dim)) return NoMatch
     }
     val hasTail = factTail || dimTail
 
@@ -560,7 +612,7 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     // join MVs never rewrite extremes over a tail (the hybrid recompute
     // would need the full chain join — exactly the cost the guard exists
     // to avoid); single-table extremes take the hybrid path below
-    if (extremeIdx.nonEmpty && hasTail && join.isDefined) return None
+    if (extremeIdx.nonEmpty && hasTail && join.isDefined) return NoMatch
 
     // ---- cost guard + selection metric (metadata only) ----
     val factSizes = sizesOf(tableDir)
@@ -585,15 +637,43 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     val compensation =
       (if (factTail && join.isDefined) dimBytes else 0L) +
         (if (dimTail) factBytes else 0L)
-    val cost = stateBytes + factFeed + dimFeed + compensation
+    // the hybrid-extreme path's plan-time retraction probe re-reads the
+    // tail feed once more (review fix: previously uncounted). Its pruned
+    // base recompute stays uncounted — unknowable before the probe runs,
+    // bounded by DirtyCap groups, and usually file-pruned to a sliver;
+    // a layout it cannot prune is the residual risk the cap bounds.
+    val hybridProbe =
+      if (extremeIdx.nonEmpty && hasTail && join.isEmpty && mayRetract(factParts))
+        factFeed
+      else 0L
+    val cost = stateBytes + factFeed + dimFeed + compensation + hybridProbe
     val base = factBytes + dimBytes
     if (sys.props.contains("graft.mvrw.debug"))
       // scalastyle:off println
       println(s"[mvrw] $mvDir cost=$cost (state=$stateBytes factFeed=$factFeed " +
-        s"dimFeed=$dimFeed comp=$compensation) base=$base (fact=$factBytes dim=$dimBytes)")
+        s"dimFeed=$dimFeed comp=$compensation probe=$hybridProbe) " +
+        s"base=$base (fact=$factBytes dim=$dimBytes)")
       // scalastyle:on println
-    if (cost > base) { costFallbacks.incrementAndGet(); return None }
+    if (cost > base) return CostRefused
 
+    Mapped(cost, () => buildPlan(spark, agg, mv, tableDir, join, toV, dimTo,
+      hasTail, factParts, outs, queryGroups, stateGroupNames, extremeIdx,
+      needed, countSlot))
+  }
+
+  /** Build the replacement plan for the WINNING candidate — the expensive
+    * half of the rewrite (nested analyze+optimize of the state ∪ tail
+    * aggregate, plus the hybrid path's plan-time probe), deferred so only
+    * the cheapest mapped MV ever pays it.
+    */
+  private def buildPlan(
+      spark: SparkSession, agg: Aggregate, mv: SinkMvDist.MvSlots,
+      tableDir: String, join: Option[SinkMvDist.MvdJoin], toV: Long, dimTo: Long,
+      hasTail: Boolean,
+      factParts: Seq[org.apache.spark.sql.connector.read.InputPartition],
+      outs: Seq[Out], queryGroups: Seq[(String, String)],
+      stateGroupNames: Seq[String], extremeIdx: Seq[Int],
+      needed: Seq[Int], countSlot: Int): Option[LogicalPlan] = {
     inRewrite.set(java.lang.Boolean.TRUE)
     try {
       val slots = (needed ++ Seq(countSlot)).distinct
@@ -635,13 +715,16 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
             rs
           }
         }
+      // typed OR-of-conjunctions through the SAME groupFilter helper the
+      // refresh's dirty recompute uses (typed literals keep source
+      // pruning engaged; NULL group values match via isNull) — review
+      // fix: this was a hand-rolled duplicate
+      val typeOf = mv.groups.zip(mv.gtypes).toMap
       val dirtyPred: Option[Column] =
         if (dirtyRows.isEmpty) None
-        else Some(dirtyRows.toSeq.map { r =>
-          stateGroupNames.zipWithIndex.map { case (g, i) =>
-            if (r.isNullAt(i)) col(g).isNull else col(g) === lit(r.get(i))
-          }.reduce(_ && _)
-        }.reduce(_ || _))
+        else Some(SinkMatView.groupFilter(
+          stateGroupNames, stateGroupNames.map(typeOf),
+          dirtyRows.toSeq.map(r => SinkMatView.keyOf(r, stateGroupNames.length))))
 
       // ---- state part: per needed agg, its value + counter slot
       val statePart = mv.state.select(
@@ -752,7 +835,7 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
         Alias(if (n.dataType == o.dataType) n else Cast(n, o.dataType), o.name)(
           exprId = o.exprId)
       }
-      Some((Project(proj, sub), cost))
+      Some(Project(proj, sub))
     } finally inRewrite.set(java.lang.Boolean.FALSE)
   }
 

@@ -1682,6 +1682,14 @@ object VectorOps {
         .select(col("sub"), col("code"), col("esub"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
+      // loud, named failure beats a NoSuchElementException deep in the
+      // seed lookup: below PqCodebookSize+1 vectors the quantile ranks
+      // collide/vanish and no sound seed exists (the SQL twin would
+      // silently train fewer codes — divergent, so neither side runs)
+      require(seedMap.size == PqSubspaces * PqCodebookSize,
+        s"residual PQ training needs at least ${PqCodebookSize + 1} vectors " +
+          s"for ${PqCodebookSize} distinct norm-quantile seeds per subspace; " +
+          s"got ${seedMap.size}/${PqSubspaces * PqCodebookSize} seed slots under $sfDir")
       var books: Seq[Seq[Seq[Double]]] = (0 until PqSubspaces).map { s =>
         (0 until PqCodebookSize).map(code => seedMap((s, code)))
       }
@@ -1787,13 +1795,18 @@ object VectorOps {
 
   /** The RESIDUAL codebook-training CTE chain: the k-means chain (for
     * cell assignment), per-vector residuals (`rv = e[i] − cvec[i]` of the
-    * assigned cell), residual subvectors `rev`, the per-label residual
-    * mean seed `rcb0`, and [[KmeansIters]] unrolled Lloyd iterations
-    * ending in `rcb$KmeansIters(sub, code, cvec)`. Mirrors
-    * [[pqCbCteChain]]'s iteration template line for line (assignment via
-    * ROW_NUMBER over the identical distance expansion and (dist, code)
-    * tie rule, decimal-exact means, COALESCE keeping emptied codes) —
-    * only the input subvectors differ.
+    * assigned cell), residual subvectors `rev`, the NORM-QUANTILE
+    * order-statistic seed `rcb0` (rank ((k+1)·n)//(K+1) per subspace by
+    * (‖esub‖², vec_id) — per-group residual MEANS collapse to the origin
+    * and cannot seed, see [[pqResidualCodebooks]]), and [[ResKmeansIters]]
+    * unrolled Lloyd iterations ending in `rcb$ResKmeansIters(sub, code,
+    * cvec)`. Mirrors [[pqCbCteChain]]'s iteration template line for line
+    * (assignment via ROW_NUMBER over the identical distance expansion and
+    * (dist, code) tie rule, decimal-exact means, COALESCE keeping emptied
+    * codes) — only the input subvectors and the seed differ. The
+    * multi-referenced CTEs are MATERIALIZED: DuckDB inlines by default,
+    * which re-derives the upstream chain per reference and turns the
+    * unrolled ladder exponential.
     */
   private lazy val pqResCbCteChain: String = {
     val rD2 = """((list_dot_product(ev.esub, ev.esub) - 2.0 * list_dot_product(ev.esub, cb.cvec))

@@ -246,6 +246,20 @@ class SinkMvRewriteSpec extends SparkSpec {
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
       assert(SinkMvRewrite.rewrites.get() === r0,
         "a DOUBLE sum was rewritten to the truncated BIGINT slot")
+      // avg(double) has the same hazard through a different door: its
+      // output is ALWAYS double, so the slot-kind guard must key off the
+      // INPUT type — a BIGINT sum slot over a DOUBLE column would return
+      // truncated averages (review fix r18)
+      val gotAvg = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+        .groupBy(col("shard")).agg(avg("score").as("a"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+      assert(SinkMvRewrite.rewrites.get() === r0,
+        "avg(double) was rewritten to the truncated BIGINT sum slot")
+      val wantAvg = spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).load()
+        .groupBy(col("shard")).agg(avg("score").as("a"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+      assert(gotAvg === wantAvg)
       val want = spark.read.format("graft.sources.ShardSinkSource")
         .option("path", dir).load()
         .groupBy(col("shard")).agg(count(lit(1)).as("n"), sum("score").as("sc"))
@@ -648,7 +662,8 @@ class SinkMvRewriteSpec extends SparkSpec {
     val mvDir = factDir + ".mvjd"
     SinkMvDist.createJoin(s, factDir, dimDir, mvDir, fk = "shard", pk = "doc_id",
       groups = Seq("d_region", "uid"), aggs = Seq(
-        MvAgg("n", "count"), MvAgg("sd", "sum", "doc_id")), buckets = 4)
+        MvAgg("n", "count"), MvAgg("sd", "sum", "doc_id"),
+        MvAgg("hi", "max", "doc_id")), buckets = 4)
     SinkMvRewrite.register(factDir, mvDir)
     try {
       s.experimental.extraOptimizations = Seq(SinkMvRewrite)
@@ -701,15 +716,45 @@ class SinkMvRewriteSpec extends SparkSpec {
       assert(SinkMvRewrite.rewrites.get() === r0 + 3L, "refreshed join MV did not rewrite")
       assert(got4 === want())
       assert(got4.exists(_._1 == "rX"), "the dim update's group move is missing")
-      // an extreme over ANY join tail falls back (no hybrid for joins)
-      ingest(1200L, 1200L) // no-op keeps shape; add a real tail then query max
-      s.sql("UPDATE mvrwj.dim SET region = 'rY' WHERE doc_id = 7") // d5
+      // a USER-written narrowing cast on the join key must never match:
+      // only the analyzer's lossless up-cast to the other key's type is
+      // looked through (review fix r18) — cast(dk AS INT) changes which
+      // rows join under wraparound and is not the MV's equality
+      val rN = SinkMvRewrite.rewrites.get()
+      fact.join(
+        dim.select(col("doc_id").as("dk"), col("region")),
+        col("shard") === col("dk").cast("int"), "inner")
+        .groupBy(col("region"), col("uid"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
+        .collect()
+      assert(SinkMvRewrite.rewrites.get() === rN,
+        "a narrowing join-key cast was matched to the MV's up-cast equality")
+      // an extreme over ANY join tail falls back (no hybrid for joins):
+      // the bail is the EXTREME guard, which runs BEFORE the cost model —
+      // pinned by costFallbacks staying put (a cost refusal would move it)
+      s.sql("UPDATE mvrwj.dim SET region = 'rY' WHERE doc_id = 7") // d5: dim tail
       val qx = fact.join(
         dim.select(col("doc_id").as("dk"), col("region")),
         col("shard") === col("dk"), "inner")
         .groupBy(col("region"))
-        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
-      qx.collect() // correctness only; guard/bail path exercised above
+        .agg(count(lit(1)).as("n"), max("doc_id").as("hi"))
+      val rX = SinkMvRewrite.rewrites.get()
+      val fX = SinkMvRewrite.costFallbacks.get()
+      val gotX = qx.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(SinkMvRewrite.rewrites.get() === rX, "join extreme over a tail was rewritten")
+      assert(SinkMvRewrite.costFallbacks.get() === fX,
+        "the join-extreme bail reached the cost guard instead of bailing first")
+      val wantX = spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", factDir).load()
+        .join(spark.read.format("graft.sources.ShardSinkSource")
+          .option("path", dimDir).load()
+          .select(col("doc_id").as("dk"), col("region")),
+          col("shard") === col("dk"), "inner")
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n"), max("doc_id").as("hi"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotX === wantX)
     } finally {
       SinkMvRewrite.unregister(factDir)
       s.experimental.extraOptimizations = Nil
