@@ -99,7 +99,8 @@ class QualitySpec extends SparkSpec {
 
   test("annRecall: one row per method, hits within [0, k]") {
     val rows = VectorOps.annRecall(spark, sf001).collect()
-    assert(rows.map(_.getString(0)).toSeq === Seq("ivf", "ivfpq", "lsh", "pq"))
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("ivf", "ivfpq", "ivfpq_res", "lsh", "pq"))
     rows.foreach { r =>
       val k = r.getInt(1)
       val hits = r.getLong(2)
