@@ -5775,6 +5775,18 @@ class ShardSinkScan(
   def isFullUnprunedScan: Boolean =
     asOf.isEmpty && pruneShards.isEmpty && pruneDocs.isEmpty &&
       prunePoints.isEmpty && pruneCols.isEmpty
+  /** The pruned-column names when this scan's ONLY pruning is
+    * `col IS NOT NULL` envelopes on an unpinned read — the one pruning
+    * kind the MV-rewrite rule may accept, PROVIDED the columns prove to
+    * be matched inner-join keys (such files hold exclusively null key
+    * values, rows the join drops anyway). None for any other shape.
+    */
+  def notNullOnlyPruning: Option[Set[String]] =
+    if (asOf.isEmpty && pruneShards.isEmpty && pruneDocs.isEmpty &&
+        prunePoints.isEmpty && pruneCols.nonEmpty &&
+        pruneCols.forall(_.isInstanceOf[SinkColStats.ColNotNull]))
+      Some(pruneCols.collect { case SinkColStats.ColNotNull(c) => c }.toSet)
+    else None
   override def description(): String =
     s"ShardSinkScan[$path, manifest-committed files only" +
       asOf.map(v => s", versionAsOf=$v").getOrElse("") +

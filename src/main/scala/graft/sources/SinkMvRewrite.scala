@@ -34,12 +34,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   *     registered table, read UNPINNED (a `versionAsOf` read is never
   *     rewritten — version-pinned scans are exactly what the MV
   *     machinery's own recomputes issue, which must never self-rewrite);
-  *   - join (round 18): the child is an INNER equi-join of the registered
-  *     fact and a registered join-MV's dim on exactly the MV's fk = pk
-  *     (either side may sit under column-pruning/renaming Projects —
-  *     aliases are resolved down to base columns), with NO residual
-  *     filter and a predicate-less MV; single-dim star MVs only (the
-  *     snowflake chain stays batch/stream-maintained, not yet rewritten);
+  *   - join (round 18): the child is an INNER equi-join CHAIN of the
+  *     registered fact and a join-MV's dims — single-dim stars AND
+  *     snowflake chains — paired ONE-TO-ONE in declaration order on
+  *     exactly the MV's fk = pk keys (a chain dim's fk may reference an
+  *     earlier dim's prefixed column; every side may sit under
+  *     column-pruning/renaming Projects — aliases resolve down to base
+  *     columns), with NO residual filter and a predicate-less MV;
   *   - a predicate-bearing single-table MV matches a query whose residual
   *     WHERE is SEMANTICALLY the MV's predicate (the MV pred is
   *     re-resolved and re-OPTIMIZED against the same table so inferred
@@ -175,11 +176,24 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     * dim side (round-18 join rewrite), each with its base-column
     * resolution map, plus the single-table residual filter.
     */
+  /** `nnNames`: base column names this side was null-filtered on by the
+    * optimizer's inner-join inference (`Filter isnotnull(k)` under the
+    * join). Peeling such a filter is semantics-preserving ONLY when k is
+    * one of the matched equi-join keys (an inner join drops null keys by
+    * itself, and the MV's own joinedFrame does the same) — the pairing
+    * step validates exactly that and bails otherwise.
+    */
   private final case class SideInfo(
-      table: ShardSinkTable, base: Map[ExprId, String])
+      table: ShardSinkTable, base: Map[ExprId, String],
+      nnNames: Set[String] = Set.empty)
+  /** One dim of a matched join tree: the resolved side plus the raw key
+    * attributes of its equi-join condition (fk may belong to the fact OR
+    * an earlier dim — the snowflake chain; validated during MV pairing).
+    */
+  private final case class DimSide(
+      side: SideInfo, fkAttr: AttributeReference, pkAttr: AttributeReference)
   private final case class Shape(
-      fact: SideInfo, dim: Option[SideInfo],
-      factKey: String, pkKey: String,
+      fact: SideInfo, dims: Seq[DimSide],
       filterCond: Option[Expression], factRel: LogicalPlan)
 
   /** One candidate MV's screening outcome: shape/slot mismatch, a cost
@@ -250,13 +264,18 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
 
   private def singleShape(child: LogicalPlan): Option[Shape] =
     peel(child, None).flatMap { case (cond, rel) =>
-      sideOf(rel).map(si => Shape(si, None, "", "", cond, rel))
+      sideOf(rel).map(si => Shape(si, Seq.empty, cond, rel))
     }
 
-  /** The two orientations of an inner equi-join of two registered-format
-    * relations — each side resolved through its column-pruning/renaming
-    * Projects down to base column names. No Filter is accepted anywhere
-    * in the join shape (predicate join MVs are not rewritten yet).
+  /** Candidate join trees of an inner equi-join chain — LEFT-DEEP trees
+    * of registered relations, each side resolved through its
+    * column-pruning/renaming Projects down to base column names, dims
+    * collected in JOIN ORDER (the order [[SinkMvDist.createSnowflake]]
+    * declares and composes by). Both orientations are produced at every
+    * step (a 2-table query may put the dim on either side; deeper trees
+    * with a mis-oriented fact simply fail MV pairing later). No Filter is
+    * accepted anywhere in the join shape (predicate join MVs are not
+    * rewritten yet).
     */
   private def joinShapes(child: LogicalPlan): Seq[Shape] = {
     def peelProj(p: LogicalPlan): LogicalPlan = p match {
@@ -280,29 +299,28 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       }
       case _ => None
     }
-    peelProj(child) match {
+    val MaxDims = 4
+    def trees(p: LogicalPlan): Seq[Shape] = peelProj(p) match {
       case Join(l, r, Inner, Some(EqualTo(ka, kb)), _)
           if keyAttr(ka, kb).isDefined && keyAttr(kb, ka).isDefined =>
         val a = keyAttr(ka, kb).get
         val b = keyAttr(kb, ka).get
-        (resolveSide(l), resolveSide(r)) match {
-          case (Some(ls), Some(rs)) =>
-            // which side does each key attribute belong to?
-            def keyOf(si: SideInfo, at: AttributeReference): Option[String] =
-              si.base.get(at.exprId)
-            val lr = for (fk <- keyOf(ls, a); pk <- keyOf(rs, b))
-              yield Shape(ls, Some(rs), fk, pk, None, child)
-            val lr2 = for (fk <- keyOf(ls, b); pk <- keyOf(rs, a))
-              yield Shape(ls, Some(rs), fk, pk, None, child)
-            val rl = for (fk <- keyOf(rs, a); pk <- keyOf(ls, b))
-              yield Shape(rs, Some(ls), fk, pk, None, child)
-            val rl2 = for (fk <- keyOf(rs, b); pk <- keyOf(ls, a))
-              yield Shape(rs, Some(ls), fk, pk, None, child)
-            (lr.toSeq ++ lr2 ++ rl ++ rl2).distinct
-          case _ => Seq.empty
-        }
-      case _ => Seq.empty
+        // one side of the condition must be THIS dim's pk (and the fk
+        // must come from elsewhere — a self-referencing condition bails)
+        def append(rest: Seq[Shape], dimPlan: LogicalPlan): Seq[Shape] =
+          resolveSide(dimPlan).toSeq.flatMap { ds =>
+            Seq((a, b), (b, a)).flatMap { case (fkA, pkA) =>
+              if (ds.base.contains(pkA.exprId) && !ds.base.contains(fkA.exprId))
+                rest.filter(_.dims.length < MaxDims)
+                  .map(t => t.copy(dims = t.dims :+ DimSide(ds, fkA, pkA)))
+              else Seq.empty
+            }
+          }
+        append(trees(l), r) ++ append(trees(r), l)
+      case leaf =>
+        sideOf(leaf).map(si => Shape(si, Seq.empty, None, child)).toSeq
     }
+    trees(child).filter(_.dims.nonEmpty).distinct
   }
 
   /** One join side resolved down to its ShardSink relation: the table
@@ -322,6 +340,23 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
         if (entries.forall(_.isDefined)) Some(si.copy(base = entries.flatten.toMap))
         else None
       }
+    // the optimizer's inner-join constraint inference plants
+    // `Filter isnotnull(joinKey)` on a side (when the scan cannot
+    // consume it — e.g. an ALTER-added column without stats): record the
+    // null-filtered BASE names and let the pairing step prove each one
+    // is a matched join key; any other filter shape bails
+    case Filter(cond, c) =>
+      val cj = conjuncts(cond)
+      if (cj.forall { case IsNotNull(_: AttributeReference) => true; case _ => false })
+        resolveSide(c).flatMap { si =>
+          val names = cj.map { case IsNotNull(at: AttributeReference) =>
+            si.base.get(at.exprId)
+          }
+          if (names.forall(_.isDefined))
+            Some(si.copy(nnNames = si.nnNames ++ names.flatten))
+          else None
+        }
+      else None
     case rel => sideOf(rel)
   }
 
@@ -344,6 +379,17 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       case (t: ShardSinkTable, sc: ShardSinkScan)
           if t.pinnedVersion.isEmpty && sc.isFullUnprunedScan =>
         Some(SideInfo(t, r.output.map(at => at.exprId -> at.name).toMap))
+      // a scan whose ONLY pruning is `col IS NOT NULL` envelopes is
+      // acceptable WHEN those columns prove to be matched join keys: the
+      // pushdown skips files holding exclusively null key values — rows
+      // an inner join drops anyway. Report the columns into nnNames so
+      // the pairing validation covers them (the residual Filter, when
+      // Spark keeps one, adds the same names — the subset check is
+      // idempotent); any other pruning kind still bails
+      case (t: ShardSinkTable, sc: ShardSinkScan)
+          if t.pinnedVersion.isEmpty && sc.notNullOnlyPruning.isDefined =>
+        Some(SideInfo(t, r.output.map(at => at.exprId -> at.name).toMap,
+          nnNames = sc.notNullOnlyPruning.get))
       case _ => None
     }
     case _ => None
@@ -517,29 +563,54 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     val tableDir = sh.fact.table.tableDir
     if (mv.src != tableDir) return NoMatch
 
-    // shape ↔ MV family agreement
-    val join: Option[SinkMvDist.MvdJoin] = sh.dim match {
-      case None =>
-        if (mv.isJoin) return NoMatch
-        // cheap structural screens first — the semantic predicate match
-        // costs a nested analyze+optimize, so it runs only when the shape
-        // already fits; the (pred, filter) presence must agree either way
-        if (mv.pred.nonEmpty != sh.filterCond.nonEmpty) return NoMatch
-        None
-      case Some(dimSide) =>
-        if (mv.joins.length != 1) return NoMatch // single-dim star MVs only
-        val j = mv.joins.head
-        if (j.dim != dimSide.table.tableDir) return NoMatch
-        if (sh.factKey != j.fk || sh.pkKey != j.pk) return NoMatch
-        if (mv.pred.nonEmpty || sh.filterCond.nonEmpty) return NoMatch
-        Some(j)
+    // shape ↔ MV family agreement: the query's dim chain must pair the
+    // MV's declared joins ONE-TO-ONE IN ORDER (the order createSnowflake
+    // composes deltas by) — single-table is the empty chain
+    if (mv.joins.length != sh.dims.length) return NoMatch
+    if (mv.joins.isEmpty) {
+      // cheap structural screens first — the semantic predicate match
+      // costs a nested analyze+optimize, so it runs only when the shape
+      // already fits; the (pred, filter) presence must agree either way
+      if (mv.pred.nonEmpty != sh.filterCond.nonEmpty) return NoMatch
+    } else {
+      if (mv.pred.nonEmpty || sh.filterCond.nonEmpty) return NoMatch
     }
-    val pfx = join.map(_.pfx).getOrElse("")
+    val joins = mv.joins
 
-    // attribute → MV/state column naming (dim attrs gain the prefix)
+    // attribute → MV/state column naming (dim attrs gain their prefix)
     def stateName(at: AttributeReference): Option[String] =
-      sh.fact.base.get(at.exprId)
-        .orElse(sh.dim.flatMap(_.base.get(at.exprId)).map(pfx + _))
+      sh.fact.base.get(at.exprId).orElse(
+        sh.dims.zip(joins).collectFirst {
+          case (d, j) if d.side.base.contains(at.exprId) =>
+            j.pfx + d.side.base(at.exprId)
+        })
+    // pairwise dim matching: table dir + pk on the dim side; the fk must
+    // resolve — through the SAME prefixed naming — to exactly the MV's
+    // declared join key (which createSnowflake validated against the
+    // fact or an EARLIER dim's columns, so a textual match implies the
+    // correct chain reference)
+    val keyNamesBySide =
+      scala.collection.mutable.Map[SideInfo, Set[String]]().withDefaultValue(Set.empty)
+    sh.dims.zip(joins).foreach { case (d, j) =>
+      if (d.side.table.tableDir != j.dim) return NoMatch
+      if (!d.side.base.get(d.pkAttr.exprId).contains(j.pk)) return NoMatch
+      if (!stateName(d.fkAttr).contains(j.fk)) return NoMatch
+      keyNamesBySide(d.side) = keyNamesBySide(d.side) + j.pk
+      val fkOwner: Option[(SideInfo, String)] =
+        if (sh.fact.base.contains(d.fkAttr.exprId))
+          Some((sh.fact, sh.fact.base(d.fkAttr.exprId)))
+        else sh.dims.collectFirst {
+          case dd if dd.side.base.contains(d.fkAttr.exprId) =>
+            (dd.side, dd.side.base(d.fkAttr.exprId))
+        }
+      fkOwner.foreach { case (o, n) => keyNamesBySide(o) = keyNamesBySide(o) + n }
+    }
+    // every null-filtered column must be a MATCHED join key of its own
+    // side — an IsNotNull over anything else is a REAL filter the MV
+    // does not apply, and the rewrite would silently drop rows
+    (sh.fact +: sh.dims.map(_.side)).foreach { si =>
+      if (!si.nnNames.subsetOf(keyNamesBySide(si))) return NoMatch
+    }
     val rename: Expression => Option[Expression] = e => {
       var ok = true
       val out = e.transform {
@@ -598,13 +669,13 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     if (toV < mv.srcV) return NoMatch // table behind the MV: inconsistent registration
     val factTail = toV > mv.srcV
     if (factTail && mv.srcV + 1L < ShardSink.horizonOf(tableDir)) return NoMatch
-    val dimTo = join.map(j => ShardSink.currentManifestVersion(j.dim)).getOrElse(0L)
-    val dimTail = join.exists(j => dimTo > j.dimV)
-    join.foreach { j =>
-      if (dimTo < j.dimV) return NoMatch
-      if (dimTail && j.dimV + 1L < ShardSink.horizonOf(j.dim)) return NoMatch
+    val dimTos = joins.map(j => ShardSink.currentManifestVersion(j.dim))
+    val dimTails = joins.zip(dimTos).map { case (j, dv) => dv > j.dimV }
+    joins.zip(dimTos).foreach { case (j, dv) =>
+      if (dv < j.dimV) return NoMatch
+      if (dv > j.dimV && j.dimV + 1L < ShardSink.horizonOf(j.dim)) return NoMatch
     }
-    val hasTail = factTail || dimTail
+    val hasTail = factTail || dimTails.exists(identity)
 
     val needed = outs.collect { case AggOut(m, _) => m.slot }.distinct
     val extremeIdx = needed.filter(i =>
@@ -612,7 +683,7 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     // join MVs never rewrite extremes over a tail (the hybrid recompute
     // would need the full chain join — exactly the cost the guard exists
     // to avoid); single-table extremes take the hybrid path below
-    if (extremeIdx.nonEmpty && hasTail && join.isDefined) return NoMatch
+    if (extremeIdx.nonEmpty && hasTail && joins.nonEmpty) return NoMatch
 
     // ---- cost guard + selection metric (metadata only) ----
     val factSizes = sizesOf(tableDir)
@@ -622,28 +693,30 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       if (factTail) ShardSink.changePartitions(tableDir, mv.srcV, toV)
       else Seq.empty
     val factFeed = partsBytes(factParts, factSizes)
-    val (dimBytes, dimFeed) = join match {
-      case None => (0L, 0L)
-      case Some(j) =>
-        val ds = sizesOf(j.dim)
-        val dParts =
-          if (dimTail) ShardSink.changePartitions(j.dim, j.dimV, dimTo)
-          else Seq.empty
-        (tableBytes(j.dim, dimTo, ds), partsBytes(dParts, ds))
+    val dimStats = joins.zip(dimTos).zip(dimTails).map { case ((j, dv), moved) =>
+      val ds = sizesOf(j.dim)
+      val dParts =
+        if (moved) ShardSink.changePartitions(j.dim, j.dimV, dv) else Seq.empty
+      (tableBytes(j.dim, dv, ds), partsBytes(dParts, ds))
     }
-    // a fact-tail part joins the FULL dim at its new version; a dim-tail
-    // part joins the FULL fact at the old watermark — both are real reads
-    // the compensation pays and the base scan pays only once
+    val dimBytesAll = dimStats.map(_._1)
+    val dimBytes = dimBytesAll.sum
+    val dimFeed = dimStats.map(_._2).sum
+    // a fact-tail part joins EVERY dim at its new version; a moved dim's
+    // part joins the FULL fact plus every OTHER dim — all real reads the
+    // compensation pays, where the base scan pays each table once
     val compensation =
-      (if (factTail && join.isDefined) dimBytes else 0L) +
-        (if (dimTail) factBytes else 0L)
+      (if (factTail && joins.nonEmpty) dimBytes else 0L) +
+        dimTails.zipWithIndex.collect { case (true, i) =>
+          factBytes + (dimBytes - dimBytesAll(i))
+        }.sum
     // the hybrid-extreme path's plan-time retraction probe re-reads the
     // tail feed once more (review fix: previously uncounted). Its pruned
     // base recompute stays uncounted — unknowable before the probe runs,
     // bounded by DirtyCap groups, and usually file-pruned to a sliver;
     // a layout it cannot prune is the residual risk the cap bounds.
     val hybridProbe =
-      if (extremeIdx.nonEmpty && hasTail && join.isEmpty && mayRetract(factParts))
+      if (extremeIdx.nonEmpty && hasTail && joins.isEmpty && mayRetract(factParts))
         factFeed
       else 0L
     val cost = stateBytes + factFeed + dimFeed + compensation + hybridProbe
@@ -656,7 +729,10 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       // scalastyle:on println
     if (cost > base) return CostRefused
 
-    Mapped(cost, () => buildPlan(spark, agg, mv, tableDir, join, toV, dimTo,
+    val windows = joins.zip(dimTos).map { case (j, dv) =>
+      SinkMvJoin.DimWindow(j.dim, j.fk, j.pk, j.pfx, j.dimV, dv)
+    }
+    Mapped(cost, () => buildPlan(spark, agg, mv, tableDir, windows, toV,
       hasTail, factParts, outs, queryGroups, stateGroupNames, extremeIdx,
       needed, countSlot))
   }
@@ -668,7 +744,7 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     */
   private def buildPlan(
       spark: SparkSession, agg: Aggregate, mv: SinkMvDist.MvSlots,
-      tableDir: String, join: Option[SinkMvDist.MvdJoin], toV: Long, dimTo: Long,
+      tableDir: String, windows: Seq[SinkMvJoin.DimWindow], toV: Long,
       hasTail: Boolean,
       factParts: Seq[org.apache.spark.sql.connector.read.InputPartition],
       outs: Seq[Out], queryGroups: Seq[(String, String)],
@@ -678,21 +754,19 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     try {
       val slots = (needed ++ Seq(countSlot)).distinct
 
-      // ---- the signed tail (None = both watermarks current)
+      // ---- the signed tail (None = every watermark current)
       val tailDf: Option[DataFrame] =
         if (!hasTail) None
-        else join match {
-          case None =>
-            Some(SinkMatView.filtered(
-              SinkMatView.changes(spark, tableDir, mv.srcV, toV), mv.pred)
-              .withColumn("_sign", SinkMvJoin.signOf(col("_change_type"))))
-          case Some(j) =>
-            // the delta-join decomposition, one window per source, via
-            // the SAME core the refresh folds through — dim-key
-            // uniqueness is re-proven per window inside
-            Some(SinkMvJoin.contributionStream(spark, mv.src, mv.srcV, toV,
-              Seq(SinkMvJoin.DimWindow(j.dim, j.fk, j.pk, j.pfx, j.dimV, dimTo))))
-        }
+        else if (windows.isEmpty)
+          Some(SinkMatView.filtered(
+            SinkMatView.changes(spark, tableDir, mv.srcV, toV), mv.pred)
+            .withColumn("_sign", SinkMvJoin.signOf(col("_change_type"))))
+        else
+          // the delta-join decomposition, one window per source (dims in
+          // declaration order — unmoved sources carry fromV == toV), via
+          // the SAME core the refresh folds through; dim-key uniqueness
+          // is re-proven per moved window inside
+          Some(SinkMvJoin.contributionStream(spark, mv.src, mv.srcV, toV, windows))
 
       // ---- hybrid extremes: which result-grain groups did the tail
       // retract from? (single-table only — collected from the TAIL FEED,
@@ -1139,4 +1213,140 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       |       CAST(0 AS BIGINT) AS a_files_opened,
       |       CAST(0 AS BIGINT) AS d_files_opened
       |FROM g GROUP BY d_region, uid ORDER BY d_region, uid""".stripMargin
+
+  /** Driver-checked SNOWFLAKE-MV REWRITE (round 18): the full chain
+    * query — `fact ⋈ dim1 ⋈ dim2 GROUP BY (zone, region, uid)`, dim2
+    * keyed off dim1's `catk` column — answered from the snowflake MV
+    * through four legs:
+    *   A: all three watermarks current → rewritten; NO table's data
+    *      files open (a_files pins 0);
+    *   B: a fact append tail → rewritten through [Δf ⋈ d1@new ⋈ d2@new];
+    *   C: a dim1 UPDATE tail → the [Δd1 ⋈ f@old ⋈ d2@old] part would
+    *      rescan the whole fact, so the cost guard refuses
+    *      (cost_fallbacks pins exactly one) and the base chain answers;
+    *   D: after a refresh folds the region move → rewritten again with
+    *      zero data files, the rX group move visible.
+    */
+  def mvSnowRewriteReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mvsr:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmvsr_$sfx")
+    SinkFs.deleteRecursively(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_mvsr", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mvsr.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mvsr.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvsr.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvsr.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "2400").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("graft_mvsr.dim2_mvsr").append() // e1
+    s.sql("ALTER TABLE graft_mvsr.dim2_mvsr ADD COLUMN zone STRING") // e2
+    docs(0L, 4L)
+      .withColumn("zone", concat(lit("z"), (col("doc_id") % 2).cast("string")))
+      .writeTo("graft_mvsr.dim2_mvsr").append() // e3
+    docs(0L, 0L).writeTo("graft_mvsr.dim1_mvsr").append() // d1
+    s.sql("ALTER TABLE graft_mvsr.dim1_mvsr ADD COLUMN region STRING") // d2
+    s.sql("ALTER TABLE graft_mvsr.dim1_mvsr ADD COLUMN catk BIGINT") // d3
+    docs(0L, 16L)
+      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
+      .withColumn("catk", (col("doc_id") % 4).cast("long"))
+      .writeTo("graft_mvsr.dim1_mvsr").append() // d4
+    docs(0L, 0L).writeTo("graft_mvsr.fact_mvsr").append() // f1
+    s.sql("ALTER TABLE graft_mvsr.fact_mvsr ADD COLUMN uid BIGINT") // f2
+    def ingest(lo: Long, hi: Long): Unit =
+      docs(lo, hi).withColumn("uid", (col("doc_id") % 150L).cast("long"))
+        .writeTo("graft_mvsr.fact_mvsr").append()
+    ingest(0L, 1200L) // f3
+    val factDir = new java.io.File(root.getPath, "fact_mvsr").getPath
+    val d1Dir = new java.io.File(root.getPath, "dim1_mvsr").getPath
+    val d2Dir = new java.io.File(root.getPath, "dim2_mvsr").getPath
+    val mvDir = factDir + ".mvsr"
+    SinkMvDist.createSnowflake(s, factDir, mvDir,
+      Seq(
+        SinkMvDist.SnowDim(d1Dir, fk = "shard", pk = "doc_id", pfx = "d1_"),
+        SinkMvDist.SnowDim(d2Dir, fk = "d1_catk", pk = "doc_id", pfx = "d2_")),
+      groups = Seq("d2_zone", "d1_region", "uid"), aggs = Seq(
+        SinkMatView.MvAgg("n_docs", "count"),
+        SinkMatView.MvAgg("sum_ids", "sum", "doc_id")), buckets = 8)
+    register(factDir, mvDir)
+    try {
+      s.experimental.extraOptimizations = Seq(SinkMvRewrite)
+      def q = s.read.format("graft.sources.ShardSinkSource")
+        .option("path", factDir).load()
+        .join(s.read.format("graft.sources.ShardSinkSource")
+          .option("path", d1Dir).load()
+          .select(col("doc_id").as("d1k"), col("region"), col("catk")),
+          col("shard") === col("d1k"), "inner")
+        .join(s.read.format("graft.sources.ShardSinkSource")
+          .option("path", d2Dir).load()
+          .select(col("doc_id").as("d2k"), col("zone")),
+          col("catk") === col("d2k"), "inner")
+        .groupBy(col("zone"), col("region"), col("uid"))
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+      val r0 = rewrites.get()
+      val cf0 = costFallbacks.get()
+      // leg A: every watermark current — zero data files on ALL tables
+      val cA = ShardSink.dataFileReadCount.get()
+      q.collect()
+      val aFiles = ShardSink.dataFileReadCount.get() - cA
+      // leg B: fact tail — the [Δf ⋈ d1@new ⋈ d2@new] part compensates
+      ingest(1200L, 1400L) // f4
+      q.collect()
+      val bRewrites = rewrites.get() - r0 // A + B = 2
+      SinkMvDist.refresh(s, factDir, mvDir) // fold f4
+      // leg C: dim1 tail — [Δd1 ⋈ f@old ⋈ d2@old] rescans the fact; the
+      // cost guard refuses and the base chain answers
+      s.sql("UPDATE graft_mvsr.dim1_mvsr SET region = 'rX' WHERE doc_id = 7") // d5
+      q.collect()
+      val cRewrites = rewrites.get() - r0 // still 2
+      val cFallbacks = costFallbacks.get() - cf0 // exactly 1
+      SinkMvDist.refresh(s, factDir, mvDir) // fold the region move
+      // leg D: current again — rewritten, the group move visible
+      val cD = ShardSink.dataFileReadCount.get()
+      val gotD = q.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val dFiles = ShardSink.dataFileReadCount.get() - cD
+      val nRewrites = rewrites.get() - r0 // 3
+      import s.implicits._
+      gotD.toSeq.toDF("zone", "region", "uid", "n_docs", "sum_ids")
+        .withColumn("n_rewrites", lit(nRewrites))
+        .withColumn("b_rewrites", lit(bRewrites))
+        .withColumn("c_rewrites", lit(cRewrites))
+        .withColumn("cost_fallbacks", lit(cFallbacks))
+        .withColumn("a_files_opened", lit(aFiles))
+        .withColumn("d_files_opened", lit(dFiles))
+        .orderBy("zone", "region", "uid")
+    } finally {
+      unregister(factDir)
+      s.experimental.extraOptimizations = Nil
+    }
+  }
+
+  /** DuckDB re-derivation: live fact rows are docs 0..1399 with
+    * uid = doc % 150; shard s = doc % 16 maps region rX for 7 (the dim1
+    * update, folded before leg D) else r(s % 3), and zone z((s % 4) % 2)
+    * through the catk chain. Constants: 3 rewrites (A, B, D), 2 after
+    * leg B, still 2 after the refused leg C, exactly 1 cost fallback,
+    * 0 data files opened by legs A and D.
+    */
+  val mvSnowRewriteReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 150 AS uid, doc_id % 16 AS s
+      |  FROM range(0, 1400) t(doc_id)),
+      |m AS (
+      |  SELECT doc_id, uid,
+      |         CASE WHEN s = 7 THEN 'rX' ELSE 'r' || CAST(s % 3 AS VARCHAR) END AS region,
+      |         'z' || CAST((s % 4) % 2 AS VARCHAR) AS zone
+      |  FROM g)
+      |SELECT zone, region, uid, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |       CAST(3 AS BIGINT) AS n_rewrites,
+      |       CAST(2 AS BIGINT) AS b_rewrites,
+      |       CAST(2 AS BIGINT) AS c_rewrites,
+      |       CAST(1 AS BIGINT) AS cost_fallbacks,
+      |       CAST(0 AS BIGINT) AS a_files_opened,
+      |       CAST(0 AS BIGINT) AS d_files_opened
+      |FROM m GROUP BY zone, region, uid ORDER BY zone, region, uid""".stripMargin
 }

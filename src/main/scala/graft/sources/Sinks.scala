@@ -229,6 +229,7 @@ object Sinks {
     "s_mvsnow_stream_parity" -> (SinkMvDist.mvSnowflakeStreamParity _),
     "q_dsv2_mv_rewrite" -> (SinkMvRewrite.mvRewriteReport _),
     "q_dsv2_mv_join_rewrite" -> (SinkMvRewrite.mvJoinRewriteReport _),
+    "q_dsv2_mv_snow_rewrite" -> (SinkMvRewrite.mvSnowRewriteReport _),
     "q_dsv2_mv_auto_rebucket" -> (SinkMvDist.mvAutoRebucketReport _),
     "q_dsv2_zorder_cols" -> (SinkColStats.zorderColsReport _),
     "q_dsv2_meta_col_minmax" -> (SinkColStats.metaColMinMaxReport _),
@@ -300,6 +301,7 @@ object Sinks {
     "s_mvsnow_stream_parity" -> SinkMvDist.mvSnowflakeStreamParitySql,
     "q_dsv2_mv_rewrite" -> SinkMvRewrite.mvRewriteReportSql,
     "q_dsv2_mv_join_rewrite" -> SinkMvRewrite.mvJoinRewriteReportSql,
+    "q_dsv2_mv_snow_rewrite" -> SinkMvRewrite.mvSnowRewriteReportSql,
     "q_dsv2_mv_auto_rebucket" -> SinkMvDist.mvAutoRebucketReportSql,
     "q_dsv2_zorder_cols" -> SinkColStats.zorderColsReportSql,
     "q_dsv2_meta_col_minmax" -> SinkColStats.metaColMinMaxReportSql,

@@ -760,4 +760,81 @@ class SinkMvRewriteSpec extends SparkSpec {
       s.experimental.extraOptimizations = Nil
     }
   }
+
+  test("snowflake rewrite: the chain query answers from the snowflake MV") {
+    val root = java.nio.file.Files.createTempDirectory("mvrw_snow").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.mvrws", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.mvrws.root", root)
+    s.conf.set("spark.sql.catalog.mvrws.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1200").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("mvrws.dim2").append()
+    s.sql("ALTER TABLE mvrws.dim2 ADD COLUMN zone STRING")
+    docs(0L, 4L).withColumn("zone", concat(lit("z"), (col("doc_id") % 2).cast("string")))
+      .writeTo("mvrws.dim2").append()
+    docs(0L, 0L).writeTo("mvrws.dim1").append()
+    s.sql("ALTER TABLE mvrws.dim1 ADD COLUMN region STRING")
+    s.sql("ALTER TABLE mvrws.dim1 ADD COLUMN catk BIGINT")
+    docs(0L, 16L)
+      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
+      .withColumn("catk", (col("doc_id") % 4).cast("long"))
+      .writeTo("mvrws.dim1").append()
+    docs(0L, 0L).writeTo("mvrws.fact").append()
+    s.sql("ALTER TABLE mvrws.fact ADD COLUMN uid BIGINT")
+    docs(0L, 800L).withColumn("uid", (col("doc_id") % 150L).cast("long"))
+      .writeTo("mvrws.fact").append()
+    val factDir = new java.io.File(root, "fact").getPath
+    val d1Dir = new java.io.File(root, "dim1").getPath
+    val d2Dir = new java.io.File(root, "dim2").getPath
+    val mvDir = factDir + ".mvsr"
+    SinkMvDist.createSnowflake(s, factDir, mvDir,
+      Seq(SinkMvDist.SnowDim(d1Dir, "shard", "doc_id", "d1_"),
+        SinkMvDist.SnowDim(d2Dir, "d1_catk", "doc_id", "d2_")),
+      Seq("d2_zone", "d1_region", "uid"),
+      Seq(MvAgg("n", "count"), MvAgg("sd", "sum", "doc_id")), buckets = 4)
+    SinkMvRewrite.register(factDir, mvDir)
+    try {
+      s.experimental.extraOptimizations = Seq(SinkMvRewrite)
+      def fact = s.read.format("graft.sources.ShardSinkSource").option("path", factDir).load()
+      def d1 = s.read.format("graft.sources.ShardSinkSource").option("path", d1Dir).load()
+      def d2 = s.read.format("graft.sources.ShardSinkSource").option("path", d2Dir).load()
+      def q = fact
+        .join(d1.select(col("doc_id").as("d1k"), col("region"), col("catk")),
+          col("shard") === col("d1k"), "inner")
+        .join(d2.select(col("doc_id").as("d2k"), col("zone")),
+          col("catk") === col("d2k"), "inner")
+        .groupBy(col("zone"), col("region"), col("uid"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val r0 = SinkMvRewrite.rewrites.get()
+      val c0 = ShardSink.dataFileReadCount.get()
+      val got = canon(q.collect())
+      assert(SinkMvRewrite.rewrites.get() === r0 + 1L, "snowflake chain did not rewrite")
+      assert(ShardSink.dataFileReadCount.get() - c0 === 0L,
+        "snowflake rewrite opened base data files at current watermarks")
+      val want = canon(spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", factDir).load()
+        .join(spark.read.format("graft.sources.ShardSinkSource").option("path", d1Dir).load()
+          .select(col("doc_id").as("d1k"), col("region"), col("catk")),
+          col("shard") === col("d1k"), "inner")
+        .join(spark.read.format("graft.sources.ShardSinkSource").option("path", d2Dir).load()
+          .select(col("doc_id").as("d2k"), col("zone")),
+          col("catk") === col("d2k"), "inner")
+        .groupBy(col("zone"), col("region"), col("uid"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd")).collect())
+      assert(got === want)
+      // a DIFFERENT chain (fact joined straight to dim2 on shard) pairs
+      // no MV — the dim-order/dir contract must hold
+      fact.join(d2.select(col("doc_id").as("d2k"), col("zone")),
+        col("shard") === col("d2k"), "inner")
+        .groupBy(col("zone")).agg(count(lit(1)).as("n")).collect()
+      assert(SinkMvRewrite.rewrites.get() === r0 + 1L, "a mis-paired chain was rewritten")
+    } finally {
+      SinkMvRewrite.unregister(factDir)
+      s.experimental.extraOptimizations = Nil
+    }
+  }
 }
