@@ -136,6 +136,12 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     */
   val dirtyCapFallbacks = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Longest dim chain the join matcher will pair — bounds the
+    * orientation fan-out of the candidate-tree builder. Deeper
+    * registered snowflakes are maintainable but never rewritten.
+    */
+  val MaxChainDims = 8
+
   /** Max tail-retracted groups the hybrid extreme path re-computes from
     * the base table; past this the plan falls back to the full scan
     * (the recompute's IN-list predicate — and the plan-time collect that
@@ -273,9 +279,16 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     * collected in JOIN ORDER (the order [[SinkMvDist.createSnowflake]]
     * declares and composes by). Both orientations are produced at every
     * step (a 2-table query may put the dim on either side; deeper trees
-    * with a mis-oriented fact simply fail MV pairing later). No Filter is
-    * accepted anywhere in the join shape (predicate join MVs are not
-    * rewritten yet).
+    * with a mis-oriented fact simply fail MV pairing later). The only
+    * Filter shape accepted anywhere under the join is the optimizer's
+    * inner-join null inference — IsNotNull conjuncts over bare
+    * attributes, recorded into [[SideInfo.nnNames]] and validated as
+    * matched join keys during MV pairing; every other filter bails
+    * (predicate join MVs are not rewritten yet). Chains are capped at
+    * [[MaxChainDims]] dims — a longer registered snowflake silently
+    * falls back to the base scan (the cap bounds the candidate-tree
+    * fan-out; raise it alongside a fan-out audit if a deeper chain ever
+    * matters).
     */
   private def joinShapes(child: LogicalPlan): Seq[Shape] = {
     def peelProj(p: LogicalPlan): LogicalPlan = p match {
@@ -299,7 +312,6 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       }
       case _ => None
     }
-    val MaxDims = 4
     def trees(p: LogicalPlan): Seq[Shape] = peelProj(p) match {
       case Join(l, r, Inner, Some(EqualTo(ka, kb)), _)
           if keyAttr(ka, kb).isDefined && keyAttr(kb, ka).isDefined =>
@@ -311,14 +323,17 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
           resolveSide(dimPlan).toSeq.flatMap { ds =>
             Seq((a, b), (b, a)).flatMap { case (fkA, pkA) =>
               if (ds.base.contains(pkA.exprId) && !ds.base.contains(fkA.exprId))
-                rest.filter(_.dims.length < MaxDims)
+                rest.filter(_.dims.length < MaxChainDims)
                   .map(t => t.copy(dims = t.dims :+ DimSide(ds, fkA, pkA)))
               else Seq.empty
             }
           }
         append(trees(l), r) ++ append(trees(r), l)
       case leaf =>
-        sideOf(leaf).map(si => Shape(si, Seq.empty, None, child)).toSeq
+        // resolveSide, not sideOf: the FACT side may sit under renaming
+        // Projects or an inferred IsNotNull filter exactly like a dim
+        // side (review fix — r17 resolved both sides uniformly)
+        resolveSide(leaf).map(si => Shape(si, Seq.empty, None, child)).toSeq
     }
     trees(child).filter(_.dims.nonEmpty).distinct
   }

@@ -832,6 +832,43 @@ class SinkMvRewriteSpec extends SparkSpec {
         col("shard") === col("d2k"), "inner")
         .groupBy(col("zone")).agg(count(lit(1)).as("n")).collect()
       assert(SinkMvRewrite.rewrites.get() === r0 + 1L, "a mis-paired chain was rewritten")
+      // the FACT side under a renaming Project resolves like a dim side
+      // (review fix r18: the tree builder's leaf regressed to attr-only
+      // projects) — aliased fact columns still rewrite
+      val qa = fact.select(col("shard").as("sh"), col("uid"), col("doc_id"))
+        .join(d1.select(col("doc_id").as("d1k"), col("region"), col("catk")),
+          col("sh") === col("d1k"), "inner")
+        .join(d2.select(col("doc_id").as("d2k"), col("zone")),
+          col("catk") === col("d2k"), "inner")
+        .groupBy(col("zone"), col("region"), col("uid"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
+      val gotA = canon(qa.collect())
+      assert(SinkMvRewrite.rewrites.get() === r0 + 2L, "aliased-fact chain did not rewrite")
+      assert(gotA === want)
+      // a REAL IS NOT NULL filter on a NON-key column pushed into a side
+      // must refuse: the MV still counts those rows (the nn-peel is valid
+      // for matched join keys only)
+      val rNn = SinkMvRewrite.rewrites.get()
+      val qn = fact.where(col("uid").isNotNull)
+        .join(d1.select(col("doc_id").as("d1k"), col("region"), col("catk")),
+          col("shard") === col("d1k"), "inner")
+        .join(d2.select(col("doc_id").as("d2k"), col("zone")),
+          col("catk") === col("d2k"), "inner")
+        .groupBy(col("zone"), col("region"), col("uid"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
+      val gotN = canon(qn.collect())
+      assert(SinkMvRewrite.rewrites.get() === rNn,
+        "a non-key IS NOT NULL filter was absorbed into the rewrite")
+      assert(gotN === canon(spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", factDir).load().where(col("uid").isNotNull)
+        .join(spark.read.format("graft.sources.ShardSinkSource").option("path", d1Dir).load()
+          .select(col("doc_id").as("d1k"), col("region"), col("catk")),
+          col("shard") === col("d1k"), "inner")
+        .join(spark.read.format("graft.sources.ShardSinkSource").option("path", d2Dir).load()
+          .select(col("doc_id").as("d2k"), col("zone")),
+          col("catk") === col("d2k"), "inner")
+        .groupBy(col("zone"), col("region"), col("uid"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd")).collect()))
     } finally {
       SinkMvRewrite.unregister(factDir)
       s.experimental.extraOptimizations = Nil
