@@ -339,9 +339,16 @@ object EventQueries {
     */
   def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     val K = 1024
-    val wH = Window.partitionBy("event_type").orderBy("h")
+    // the sample cut is a row_number, so its ORDER BY must be a TOTAL
+    // order: on the 60-bit hash alone, a duplicate event_id (or a hash
+    // collision) makes the k-boundary pick engine-dependent and the two
+    // sides could sample different rows (advice fix) — event_id then
+    // value break every tie deterministically in BOTH engines (rows
+    // still tied agree on value, so the selection is immaterial)
+    val wH = Window.partitionBy("event_type")
+      .orderBy(col("h"), col("event_id"), col("value"))
     val sample = Tables.events(spark, sfDir)
-      .select(col("event_type"), col("value"),
+      .select(col("event_type"), col("value"), col("event_id"),
         graft.text.TextOps.md5Hash60(col("event_id").cast("string")).as("h"))
       .withColumn("rk", row_number().over(wH)).where(col("rk") <= K)
     val wV = Window.partitionBy("event_type").orderBy("value")
@@ -377,7 +384,8 @@ object EventQueries {
     """WITH s AS (
       |  SELECT event_type, value,
       |         row_number() OVER (PARTITION BY event_type
-      |           ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) AS rk
+      |           ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT,
+      |                    event_id, value) AS rk
       |  FROM events),
       |k AS (SELECT event_type, value FROM s WHERE rk <= 1024),
       |r AS (

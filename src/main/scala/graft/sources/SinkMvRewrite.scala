@@ -68,7 +68,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   *                              over the same e already maintains;
   *       `avg(e)`             → sum-slot (or dsum-slot) / its counter,
   *                              divided once in DOUBLE — exact operands,
-  *                              one IEEE division;
+  *                              one IEEE division. Like dsum, this is a
+  *                              BETTER-DEFINED answer than base
+  *                              execution, and an explicit contract
+  *                              deviation (advice fix): un-rewritten
+  *                              Spark `avg(bigint)` accumulates its sum
+  *                              in DOUBLE, so for groups whose running
+  *                              sum exceeds 2^53 the base path loses low
+  *                              bits partition-order-dependently while
+  *                              the rewrite divides the EXACT BIGINT sum
+  *                              once — answers can differ in the last
+  *                              ULP, and the rewrite's is the
+  *                              deterministic one;
   *       `min/max/bit_xor(e)` → their slots (BIGINT).
   *
   * The rewritten plan is  state slots ∪ signed tail → one re-aggregation:
