@@ -374,6 +374,11 @@ class ShardSinkTable(
       private var pruneColPreds: Seq[SinkColStats.ColPred] = Nil
       private var used: Array[Filter] = Array.empty
       private var sawFilters = false
+      // filters CONSUMED by file-exact pruning (returned empty from
+      // pushFilters): the built scan carries them so a downstream plan
+      // analysis (the MV-rewrite rule) can reconstruct the predicate a
+      // consumed Filter node no longer testifies to
+      private var consumedF: Seq[Filter] = Nil
       // FILE-EXACT FILTER CONSUMPTION (round 15): when every pushed
       // filter is in the shard/doc class AND the manifest proves every
       // kept file is ALL-match (stats fully inside the predicate — the
@@ -443,6 +448,7 @@ class ShardSinkTable(
           if (exact) {
             pinnedV = pv
             used = filters
+            consumedF = filters.toSeq
             sawFilters = false // fully applied by file pruning
             return Array.empty
           }
@@ -605,7 +611,7 @@ class ShardSinkTable(
             prunePoints = prunePoints, groupByShard = g)
         case None =>
           new ShardSinkScan(path, pinnedV, prune, required, pruneDocs, table, prunePoints,
-            pruneColPreds)
+            pruneColPreds, consumedF)
       }
     }
   }
@@ -5761,7 +5767,8 @@ class ShardSinkScan(
     pruneDocs: Option[(Long, Long)] = None,
     table: StructType = DocGen.schema,
     prunePoints: Option[Set[Long]] = None,
-    pruneCols: Seq[SinkColStats.ColPred] = Nil) extends Scan with Batch
+    pruneCols: Seq[SinkColStats.ColPred] = Nil,
+    consumed: Seq[Filter] = Nil) extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with SupportsReportPartitioning with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -5787,6 +5794,28 @@ class ShardSinkScan(
         pruneCols.forall(_.isInstanceOf[SinkColStats.ColNotNull]))
       Some(pruneCols.collect { case SinkColStats.ColNotNull(c) => c }.toSet)
     else None
+  /** Filters the builder CONSUMED into file-exact pruning (round 19):
+    * when a pushed predicate was fully applied by pruning, the Filter
+    * node disappears from the plan, so a consumer that must account for
+    * every applied predicate (the MV-rewrite rule's filtered-rollup
+    * match) reads the consumed set here and reconstructs it. Consumption
+    * always pins the proven snapshot, exposed as [[consumedPin]] — the
+    * consumer must check the pin against its own version resolution.
+    */
+  private[sources] def consumedFilters: Seq[Filter] = consumed
+  private[sources] def consumedPin: Option[Long] = asOf
+  /** True iff the scan is unpinned and every pruning it applies derives
+    * from pushed filters (i.e. from conjuncts of a residual Filter the
+    * plan still carries above it) — under such a Filter, (Filter ∘ this
+    * scan) equals σ_cond(full table) because pruning only ever skips
+    * files that provably cannot match the pushed predicates.
+    */
+  private[sources] def filterDerivedPruningOnly: Boolean =
+    asOf.isEmpty && consumed.isEmpty
+  /** The entries this scan will read — the metadata input for a cost
+    * model that must price a PRUNED base scan honestly (round 19).
+    */
+  private[sources] def costEntries: Seq[SinkEntry] = kept
   override def description(): String =
     s"ShardSinkScan[$path, manifest-committed files only" +
       asOf.map(v => s", versionAsOf=$v").getOrElse("") +
@@ -6133,20 +6162,38 @@ case class ShardSinkChangeReaderFactory(
       override def close(): Unit = ()
     }
 
+  /** A compaction/vacuum released this change file between a consumer's
+    * PLAN and its EXECUTION (the tail windows a spliced MV rewrite pins,
+    * a refresh racing maintenance) — named instead of a raw
+    * FileNotFoundException out of a task (round 19; state segments get
+    * the same treatment in [[MvStateSweptException]]).
+    */
+  private def named[A](file: String)(body: => A): A =
+    try body
+    catch {
+      case _: java.io.FileNotFoundException =>
+        throw new RuntimeException(
+          s"change-feed file '$file' of $path was compacted/vacuumed away " +
+            "between plan and execution — re-run the query (it will " +
+            "re-resolve, or fall back to the base scan); run maintenance " +
+            "with retention covering in-flight readers")
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case s: ShardSinkChangeSidecar =>
         // counted like data reads: the MV spec proves refresh IO is
         // O(changed files), and change partitions are that IO
         ShardSink.dataFileReadCount.incrementAndGet()
-        val rows = SinkFs.readLines(new org.apache.hadoop.fs.Path(s.file)).map { l =>
+        val rows = named(s.file)(
+          SinkFs.readLines(new org.apache.hadoop.fs.Path(s.file))).map { l =>
           val cut = l.indexOf('\t')
           (l.substring(0, cut), l.substring(cut + 1))
         }
         reader(rows.toIndexedSeq, s.version)
       case f: ShardSinkChangeFile =>
         ShardSink.dataFileReadCount.incrementAndGet()
-        val all = SinkFs.readLines(new org.apache.hadoop.fs.Path(f.file))
+        val all = named(f.file)(SinkFs.readLines(new org.apache.hadoop.fs.Path(f.file)))
         val picked = f.only match {
           case Some(ps) => ps.filter(_ < all.size).map(all)
           case None =>
@@ -6455,9 +6502,24 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
         ShardSink.cloneShallow(src, dir, version)
       case rp: TableChange.RemoveProperty if rp.property.startsWith("graft.constraint.") =>
         ShardSink.dropConstraint(dir, rp.property.stripPrefix("graft.constraint."))
+      // MATERIALIZED-VIEW DDL (round 19, [[SinkMvDdl]]): SET
+      // TBLPROPERTIES ('graft.mv.<name>' = '<definition>') creates a
+      // distributed MV at the conventional sibling dir and registers it
+      // for the automatic rewrite; ('graft.mv.refresh' = '<name>')
+      // refreshes one; UNSET ('graft.mv.<name>') unregisters + drops.
+      case sp: TableChange.SetProperty if sp.property == "graft.mv.refresh" =>
+        SinkMvDdl.refresh(
+          org.apache.spark.sql.SparkSession.active, dir, sp.value)
+        ()
+      case sp: TableChange.SetProperty if sp.property.startsWith("graft.mv.") =>
+        SinkMvDdl.create(org.apache.spark.sql.SparkSession.active, dir,
+          sp.property.stripPrefix("graft.mv."), sp.value)
+      case rp: TableChange.RemoveProperty if rp.property.startsWith("graft.mv.") =>
+        SinkMvDdl.drop(dir, rp.property.stripPrefix("graft.mv."))
       case other => throw new UnsupportedOperationException(
         "shard sink supports ADD COLUMN, RENAME COLUMN, type widening, " +
-          s"'graft.restore', 'graft.tag.*' and 'graft.constraint.*' only, got $other")
+          "'graft.restore', 'graft.tag.*', 'graft.constraint.*' and " +
+          s"'graft.mv.*' only, got $other")
     }
     loadTable(ident)
   }

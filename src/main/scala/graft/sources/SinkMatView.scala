@@ -72,7 +72,28 @@ object SinkMatView {
   // a double-typed partial would drift (a + b − b ≠ a in IEEE). Exposed
   // to readers as DOUBLE. Distributed ([[SinkMvDist]]) state only — the
   // blob MVs' Long-cell codec cannot hold it and rejects it at create.
-  private val Kinds = Set("count", "sum", "xor", "min", "max", "dsum")
+  // "dmin"/"dmax"/"smin"/"smax" (round 19): TYPED extremes — min/max
+  // over DOUBLE and STRING columns. Same net-grain fold and the same
+  // clean-or-dirty decision table as the BIGINT extremes (comparisons,
+  // not arithmetic — no precision caveat); only the value-grain cast and
+  // the state cell type differ. Distributed state only, like dsum.
+  private val Kinds =
+    Set("count", "sum", "xor", "min", "max", "dsum", "dmin", "dmax", "smin", "smax")
+
+  /** The kinds whose state cells outgrow the blob MVs' Long-cell codec —
+    * distributed ([[SinkMvDist]]) state only.
+    */
+  private[sources] val DistOnlyKinds = Set("dsum", "dmin", "dmax", "smin", "smax")
+  private[sources] def isExtremeKind(k: String): Boolean =
+    k == "min" || k == "max" || k == "dmin" || k == "dmax" || k == "smin" || k == "smax"
+  private[sources] def isMinKind(k: String): Boolean =
+    k == "min" || k == "dmin" || k == "smin"
+  /** The type an extreme slot's value-grain fold compares in. */
+  private[sources] def extremeValueType(k: String): DataType = k match {
+    case "min" | "max" => LongType
+    case "dmin" | "dmax" => DoubleType
+    case _ => StringType
+  }
 
   /** dsum slot storage type (state cells + fold arithmetic). */
   private[sources] val DsumCell: DecimalType = DecimalType(30, 6)
@@ -277,9 +298,10 @@ object SinkMatView {
     case "count" => count(lit(1)).as(a.name)
     case "sum" => sum(expr(a.e).cast(LongType)).as(a.name)
     case "xor" => expr(s"bit_xor(cast((${a.e}) as bigint))").as(a.name)
-    case "min" => min(expr(a.e).cast(LongType)).as(a.name)
-    case "max" => max(expr(a.e).cast(LongType)).as(a.name)
     case "dsum" => sum(expr(a.e).cast(DsumIn)).cast(DsumCell).as(a.name)
+    case k if isExtremeKind(k) =>
+      val v = expr(a.e).cast(extremeValueType(k))
+      (if (isMinKind(k)) min(v) else max(v)).as(a.name)
   }
 
   private def badChars(e: String): Boolean =
@@ -354,8 +376,8 @@ object SinkMatView {
       spark: SparkSession, srcDir: String, mvDir: String,
       groups: Seq[String], aggs: Seq[MvAgg], where: String): Long = {
     validate(groups, aggs, where)
-    require(aggs.forall(_.kind != "dsum"),
-      "dsum needs decimal state cells — supported by the DISTRIBUTED MV (SinkMvDist) only")
+    aggs.find(a => DistOnlyKinds(a.kind)).foreach(a => sys.error(
+      s"${a.kind} needs typed state cells — supported by the DISTRIBUTED MV (SinkMvDist) only"))
     require(currentVersion(mvDir) == 0L, s"materialized view already exists at $mvDir")
     val srcV = ShardSink.currentManifestVersion(srcDir)
     require(srcV > 0L, s"no committed version at $srcDir — create the MV after the first commit")

@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * for single-blob manifests where the census is small by construction.
   */
 object ShardSinkMetaTable {
-  val Kinds: Set[String] = Set("files", "history", "tags", "constraints", "partitions")
+  val Kinds: Set[String] =
+    Set("files", "history", "tags", "constraints", "partitions", "mvs")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType(Seq(
@@ -53,6 +54,22 @@ object ShardSinkMetaTable {
     case "constraints" => StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("predicate", StringType, nullable = false)))
+    // the MV census (round 19, [[SinkMvDdl]]): one row per
+    // DDL-conventional materialized view of the table — definition,
+    // watermark vs the table's current version, state-segment stats.
+    // Control-plane cardinality (a table carries a handful of MVs);
+    // resolves at plan time like history/tags.
+    case "mvs" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("group_cols", StringType, nullable = false),
+      StructField("predicate", StringType, nullable = false),
+      StructField("aggs", StringType, nullable = false),
+      StructField("buckets", LongType, nullable = false),
+      StructField("src_version", LongType, nullable = false),
+      StructField("mv_version", LongType, nullable = false),
+      StructField("n_segments", LongType, nullable = false),
+      StructField("state_bytes", LongType, nullable = false),
+      StructField("watermark_current", BooleanType, nullable = false)))
     // Iceberg's `db.table.partitions` analogue over the shard layout:
     // one row per shard of PURE files (the clustered/compacted state),
     // plus ONE NULL-shard row rolling up files that straddle shards or
@@ -100,6 +117,13 @@ object ShardSinkMetaTable {
     case "constraints" =>
       ShardSink.currentConstraints(dir).map { case (n, p) =>
         Array[Any](u(n), u(p))
+      }
+    case "mvs" =>
+      val cur = ShardSink.currentManifestVersion(dir)
+      SinkMvDdl.list(dir).map { i =>
+        Array[Any](u(i.name), u(i.groups), u(i.pred), u(i.aggs),
+          i.buckets.toLong, i.srcV, i.mvVersion, i.nSegments.toLong,
+          i.stateBytes, i.srcV == cur)
       }
     case "partitions" =>
       val es = ShardSink.committedEntries(dir)

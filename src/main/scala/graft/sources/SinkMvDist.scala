@@ -225,10 +225,15 @@ object SinkMvDist {
   private def slotC(i: Int) = s"_c$i"
 
   /** Value-slot storage type: BIGINT for every round-16 kind, exact
-    * DECIMAL for dsum (round 18) — the counter slots stay BIGINT.
+    * DECIMAL for dsum (round 18), DOUBLE/STRING for the typed extremes
+    * (round 19) — the counter slots stay BIGINT.
     */
-  private[sources] def slotType(a: MvAgg): DataType =
-    if (a.kind == "dsum") SinkMatView.DsumCell else LongType
+  private[sources] def slotType(a: MvAgg): DataType = a.kind match {
+    case "dsum" => SinkMatView.DsumCell
+    case "dmin" | "dmax" => DoubleType
+    case "smin" | "smax" => StringType
+    case _ => LongType
+  }
 
   private def stateSchema(st: MvdState): StructType =
     StructType(
@@ -240,7 +245,11 @@ object SinkMvDist {
 
   /** Distributed scan of the state segments (optionally bucket-pruned —
     * file = bucket, so the prune is a file-list filter, zero data IO for
-    * untouched buckets).
+    * untouched buckets). Reads through [[MvStateSource]] (round 19): the
+    * segment set is pinned here at PLAN time, and a segment a concurrent
+    * vacuum swept before EXECUTION fails with the named
+    * [[MvStateSweptException]] instead of a raw missing-file error —
+    * the failure surface the rewrite's registration contract documents.
     */
   private def stateDf(
       spark: SparkSession, mvDir: String, st: MvdState,
@@ -253,19 +262,27 @@ object SinkMvDist {
     if (refs.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val paths = refs.map { case (_, f) => new Path(mvDir, f).toString }
     val cells = split(col("value"), "\t", -1)
     val g = st.groups.length
     val gcols = st.groups.zip(st.gtypes).zipWithIndex.map { case ((n, t), i) =>
       ungcellCol(element_at(cells, i + 1), t).as(n)
     }
     val vcols = (0 until 2 * st.aggs.length).map { j =>
-      val (name, dt) =
-        if (j < st.aggs.length) (slotV(j), slotType(st.aggs(j)))
-        else (slotC(j - st.aggs.length), LongType: DataType)
-      uncellCol(element_at(cells, g + j + 1), dt).as(name)
+      val cell = element_at(cells, g + j + 1)
+      if (j < st.aggs.length) {
+        val dt = slotType(st.aggs(j))
+        // STRING value slots ride the group-cell codec (escaped content
+        // + the unambiguous %N null marker — an empty-string VALUE must
+        // not collide with NULL the way the numeric cells' "" does)
+        if (dt == StringType) ungcellCol(cell, "string").as(slotV(j))
+        else uncellCol(cell, dt).as(slotV(j))
+      } else uncellCol(cell, LongType).as(slotC(j - st.aggs.length))
     }
-    spark.read.text(paths: _*).select(gcols ++ vcols: _*)
+    spark.read.format("graft.sources.MvStateSource")
+      .option("mvDir", mvDir)
+      .option("files", refs.map(_._2).mkString(","))
+      .load()
+      .select(gcols ++ vcols: _*)
   }
 
   /** Write a state frame's rows as bucket-pure segment files: a
@@ -279,7 +296,11 @@ object SinkMvDist {
     val na = st.aggs.length
     val lineCells =
       st.groups.map(n => gcellCol(col(n))) ++
-        (0 until na).map(i => cellCol(col(slotV(i)))) ++
+        (0 until na).map { i =>
+          // string slots: escaped + %N, mirroring the read side
+          if (slotType(st.aggs(i)) == StringType) gcellCol(col(slotV(i)))
+          else cellCol(col(slotV(i)))
+        } ++
         (0 until na).map(i => cellCol(col(slotC(i))))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(mvDir, s"_mvd.stage-$nonce")
@@ -662,12 +683,14 @@ object SinkMvDist {
       var delta = chF
         .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("_chrows"), deltaCols: _*)
-      // ---- the value-grain extreme deltas, one per distinct expression
-      val extremeExprs = st.aggs.filter(a => a.kind == "min" || a.kind == "max")
-        .map(_.e).distinct
-      extremeExprs.zipWithIndex.foreach { case (e, j) =>
+      // ---- the value-grain extreme deltas, one per distinct
+      // (expression, value type) — the typed kinds (round 19) fold the
+      // same way, comparing in their own type
+      val extremeKeys = st.aggs.filter(a => SinkMatView.isExtremeKind(a.kind))
+        .map(a => (a.e, SinkMatView.extremeValueType(a.kind))).distinct
+      extremeKeys.zipWithIndex.foreach { case ((e, dt), j) =>
         val per = chF
-          .groupBy(keys.map(col) :+ expr(e).cast(LongType).as("_mv_v"): _*)
+          .groupBy(keys.map(col) :+ expr(e).cast(dt).as("_mv_v"): _*)
           .agg(sum(sign).as("_net"))
           .groupBy(keys.map(col): _*)
           .agg(
@@ -705,7 +728,7 @@ object SinkMvDist {
         val j = nsJoin(state, deltaC.withColumn("_dpresent", lit(1)), keys, "full_outer")
         val had = j("_present").isNotNull
         def keyOut(k: String, i: Int): Column = coalesce(j(k), j(s"_r_$k")).as(k)
-        val exprIdx = extremeExprs.zipWithIndex.toMap
+        val exprIdx = extremeKeys.zipWithIndex.toMap
         val countIdx = st.aggs.indexWhere(_.kind == "count")
         val foldCols = scala.collection.mutable.ArrayBuffer[Column]()
         val dirtyFlags = scala.collection.mutable.ArrayBuffer[Column]()
@@ -743,9 +766,9 @@ object SinkMvDist {
                 .otherwise(coalesce(sv, lit(0L)).bitwiseXOR(coalesce(j(s"_d$i"), lit(0L))))
                 .as(slotV(i))
               foldCols += nn.as(slotC(i))
-            case "min" | "max" =>
-              val ji = exprIdx(a.e)
-              val isMin = a.kind == "min"
+            case k if SinkMatView.isExtremeKind(k) =>
+              val ji = exprIdx((a.e, SinkMatView.extremeValueType(k)))
+              val isMin = SinkMatView.isMinKind(k)
               val pos = if (isMin) j(s"_pmin$ji") else j(s"_pmax$ji")
               val neg = if (isMin) j(s"_nmin$ji") else j(s"_nmax$ji")
               val clean = if (isMin) least(sv, pos) else greatest(sv, pos)
@@ -768,7 +791,7 @@ object SinkMvDist {
         val folded = folded0.where(col(slotV(countIdx)) > 0L).persist()
         try {
           val dirtyAggIdx = st.aggs.zipWithIndex
-            .filter { case (a, _) => a.kind == "min" || a.kind == "max" }.map(_._2)
+            .filter { case (a, _) => SinkMatView.isExtremeKind(a.kind) }.map(_._2)
           val anyDirty =
             if (dirtyAggIdx.isEmpty) lit(false)
             else dirtyAggIdx.map(i => col(s"_dirty$i")).reduce(_ || _)
@@ -952,17 +975,13 @@ object SinkMvDist {
     def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
       .option("numDocs", "2400").option("numPartitions", "2").load()
       .where(col("doc_id") >= lo && col("doc_id") < hi)
-    docs(0L, 0L).writeTo("graft_mvjd.dim_mvjd").append() // d1
-    s.sql("ALTER TABLE graft_mvjd.dim_mvjd ADD COLUMN region STRING") // d2
-    docs(0L, 16L)
-      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
-      .writeTo("graft_mvjd.dim_mvjd").append() // d3: all 16 keys mapped
-    docs(0L, 0L).writeTo("graft_mvjd.fact_mvjd").append() // f1
-    s.sql("ALTER TABLE graft_mvjd.fact_mvjd ADD COLUMN uid BIGINT") // f2
+    // base tables (d1–d3: the 16-key region dim; f1–f3: the 1200-doc
+    // uid-grain fact) copied from the JVM-shared star fixture — same
+    // commits, versions and content as the inline build (round 19)
+    SinkFixtures.starInto(s, root.getPath, "dim_mvjd", "fact_mvjd")
     def ingest(lo: Long, hi: Long): Unit =
       docs(lo, hi).withColumn("uid", (col("doc_id") % 300L).cast("long"))
         .writeTo("graft_mvjd.fact_mvjd").append()
-    ingest(0L, 1200L) // f3
     val factDir = new java.io.File(root, "fact_mvjd").getPath
     val dimDir = new java.io.File(root, "dim_mvjd").getPath
     val mvDir = factDir + ".mvjd"
@@ -1045,17 +1064,12 @@ object SinkMvDist {
     def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
       .option("numDocs", "2400").option("numPartitions", "2").load()
       .where(col("doc_id") >= lo && col("doc_id") < hi)
-    docs(0L, 0L).writeTo("graft_mvjs.dim_mvjs").append() // d1
-    s.sql("ALTER TABLE graft_mvjs.dim_mvjs ADD COLUMN region STRING") // d2
-    docs(0L, 16L)
-      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
-      .writeTo("graft_mvjs.dim_mvjs").append() // d3
-    docs(0L, 0L).writeTo("graft_mvjs.fact_mvjs").append() // f1
-    s.sql("ALTER TABLE graft_mvjs.fact_mvjs ADD COLUMN uid BIGINT") // f2
+    // base tables (d1–d3, f1–f3) from the JVM-shared star fixture —
+    // identical commits/versions to the inline build (round 19)
+    SinkFixtures.starInto(s, root.getPath, "dim_mvjs", "fact_mvjs")
     def ingest(lo: Long, hi: Long): Unit =
       docs(lo, hi).withColumn("uid", (col("doc_id") % 300L).cast("long"))
         .writeTo("graft_mvjs.fact_mvjs").append()
-    ingest(0L, 1200L) // f3
     val factDir = new java.io.File(root, "fact_mvjs").getPath
     val dimDir = new java.io.File(root, "dim_mvjs").getPath
     val mvDir = factDir + ".mvjs"
@@ -1178,26 +1192,13 @@ object SinkMvDist {
     def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
       .option("numDocs", "2400").option("numPartitions", "2").load()
       .where(col("doc_id") >= lo && col("doc_id") < hi)
-    // dim2 (outer ring): keys 0..3, zone z(k % 2)
-    docs(0L, 0L).writeTo("graft_mvss.dim2_mvss").append() // e1
-    s.sql("ALTER TABLE graft_mvss.dim2_mvss ADD COLUMN zone STRING") // e2
-    docs(0L, 4L)
-      .withColumn("zone", concat(lit("z"), (col("doc_id") % 2).cast("string")))
-      .writeTo("graft_mvss.dim2_mvss").append() // e3
-    // dim1 (inner ring): keys 0..15, region r(k % 3), catk = k % 4 → dim2
-    docs(0L, 0L).writeTo("graft_mvss.dim1_mvss").append() // d1
-    s.sql("ALTER TABLE graft_mvss.dim1_mvss ADD COLUMN region STRING") // d2
-    s.sql("ALTER TABLE graft_mvss.dim1_mvss ADD COLUMN catk BIGINT") // d3
-    docs(0L, 16L)
-      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
-      .withColumn("catk", (col("doc_id") % 4).cast("long"))
-      .writeTo("graft_mvss.dim1_mvss").append() // d4
-    docs(0L, 0L).writeTo("graft_mvss.fact_mvss").append() // f1
-    s.sql("ALTER TABLE graft_mvss.fact_mvss ADD COLUMN uid BIGINT") // f2
+    // base tables (e1–e3: zone dim2; d1–d4: region/catk dim1; f1–f3: the
+    // 1200-doc uid-grain fact) from the JVM-shared snowflake fixture —
+    // identical commits/versions to the inline build (round 19)
+    SinkFixtures.snowInto(s, root.getPath, "dim2_mvss", "dim1_mvss", "fact_mvss")
     def ingest(lo: Long, hi: Long): Unit =
       docs(lo, hi).withColumn("uid", (col("doc_id") % 150L).cast("long"))
         .writeTo("graft_mvss.fact_mvss").append()
-    ingest(0L, 1200L) // f3
     val factDir = new java.io.File(root, "fact_mvss").getPath
     val d1Dir = new java.io.File(root, "dim1_mvss").getPath
     val d2Dir = new java.io.File(root, "dim2_mvss").getPath
@@ -1325,26 +1326,12 @@ object SinkMvDist {
     def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
       .option("numDocs", "2400").option("numPartitions", "2").load()
       .where(col("doc_id") >= lo && col("doc_id") < hi)
-    // dim2 (outer ring): keys 0..3, zone z(k % 2)
-    docs(0L, 0L).writeTo("graft_mvsn.dim2_mvsn").append() // e1
-    s.sql("ALTER TABLE graft_mvsn.dim2_mvsn ADD COLUMN zone STRING") // e2
-    docs(0L, 4L)
-      .withColumn("zone", concat(lit("z"), (col("doc_id") % 2).cast("string")))
-      .writeTo("graft_mvsn.dim2_mvsn").append() // e3
-    // dim1 (inner ring): keys 0..15, region r(k % 3), catk = k % 4 → dim2
-    docs(0L, 0L).writeTo("graft_mvsn.dim1_mvsn").append() // d1
-    s.sql("ALTER TABLE graft_mvsn.dim1_mvsn ADD COLUMN region STRING") // d2
-    s.sql("ALTER TABLE graft_mvsn.dim1_mvsn ADD COLUMN catk BIGINT") // d3
-    docs(0L, 16L)
-      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
-      .withColumn("catk", (col("doc_id") % 4).cast("long"))
-      .writeTo("graft_mvsn.dim1_mvsn").append() // d4
-    docs(0L, 0L).writeTo("graft_mvsn.fact_mvsn").append() // f1
-    s.sql("ALTER TABLE graft_mvsn.fact_mvsn ADD COLUMN uid BIGINT") // f2
+    // base tables (e1–e3, d1–d4, f1–f3) from the JVM-shared snowflake
+    // fixture — identical commits/versions to the inline build (round 19)
+    SinkFixtures.snowInto(s, root.getPath, "dim2_mvsn", "dim1_mvsn", "fact_mvsn")
     def ingest(lo: Long, hi: Long): Unit =
       docs(lo, hi).withColumn("uid", (col("doc_id") % 150L).cast("long"))
         .writeTo("graft_mvsn.fact_mvsn").append()
-    ingest(0L, 1200L) // f3
     val factDir = new java.io.File(root, "fact_mvsn").getPath
     val d1Dir = new java.io.File(root, "dim1_mvsn").getPath
     val d2Dir = new java.io.File(root, "dim2_mvsn").getPath
@@ -1536,6 +1523,22 @@ object SinkMvDist {
         case c: MvConflict => throw c
       }
     }
+  }
+
+  /** Definition + state summary for the `.mvs` census ([[SinkMvDdl]],
+    * round 19) — header fields plus segment-count/bytes, no data IO.
+    */
+  private[sources] final case class MvDescribe(
+      src: String, groups: Seq[String], pred: String, srcV: Long,
+      buckets: Int, aggs: Seq[MvAgg], nSegments: Int, stateBytes: Long,
+      mvVersion: Long)
+
+  private[sources] def describe(mvDir: String): MvDescribe = {
+    val v = currentVersion(mvDir)
+    require(v > 0L, s"no distributed materialized view at $mvDir")
+    val st = readHeaderAt(mvDir, v)
+    MvDescribe(st.src, st.groups, st.pred, st.srcV, st.buckets, st.aggs,
+      st.refs.size, bucketStats(mvDir).map(_._3).sum, v)
   }
 
   /** Per-bucket state-segment METADATA — (bucket, n_files, bytes) from

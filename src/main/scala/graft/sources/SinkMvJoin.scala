@@ -284,8 +284,8 @@ object SinkMvJoin {
       fk: String, pk: String, groups: Seq[String], aggs: Seq[MvAgg],
       where: String = ""): (Long, Long) = {
     SinkMatView.validate(groups, aggs, where)
-    require(aggs.forall(_.kind != "dsum"),
-      "dsum needs decimal state cells — supported by the DISTRIBUTED MV (SinkMvDist) only")
+    aggs.find(a => SinkMatView.DistOnlyKinds(a.kind)).foreach(a => sys.error(
+      s"${a.kind} needs typed state cells — supported by the DISTRIBUTED MV (SinkMvDist) only"))
     require(currentVersion(mvDir) == 0L, s"join materialized view already exists at $mvDir")
     val factV = ShardSink.currentManifestVersion(factDir)
     val dimV = ShardSink.currentManifestVersion(dimDir)

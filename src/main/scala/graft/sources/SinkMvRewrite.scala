@@ -40,13 +40,28 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   *     exactly the MV's fk = pk keys (a chain dim's fk may reference an
   *     earlier dim's prefixed column; every side may sit under
   *     column-pruning/renaming Projects — aliases resolve down to base
-  *     columns), with NO residual filter and a predicate-less MV;
-  *   - a predicate-bearing single-table MV matches a query whose residual
-  *     WHERE is SEMANTICALLY the MV's predicate (the MV pred is
-  *     re-resolved and re-OPTIMIZED against the same table so inferred
-  *     not-null conjuncts and foldings land on both sides before the
-  *     conjunct-set comparison); an unfiltered query never matches a
-  *     predicate MV and vice versa;
+  *     columns), against a predicate-less MV;
+  *   - FILTERED ROLLUPS (round 19): a residual WHERE whose conjuncts
+  *     reference ONLY MV group columns (dim attributes under their
+  *     prefix) rewrites anyway — state rows are complete fine-group
+  *     partials, so the filter applies to the state read and the tail
+  *     exactly. This covers the single most common dashboard query
+  *     (`WHERE g = 'x' GROUP BY g`) in all three disguises the plan can
+  *     take: a residual Filter above the scan, a Filter whose pushable
+  *     conjuncts additionally file-pruned the scan (pruning is implied
+  *     by the retained condition), and a filter the scan CONSUMED into
+  *     file-exact pruning (no Filter node remains — the scan testifies
+  *     to the consumed set and its pinned snapshot, and the rule
+  *     reconstructs the conjuncts). Any conjunct over a non-group
+  *     column still falls back;
+  *   - a predicate-bearing single-table MV matches a query whose
+  *     residual WHERE IMPLIES the MV's predicate where decidable
+  *     (round 19; the MV pred is re-resolved and re-OPTIMIZED against
+  *     the same table so inferred not-null conjuncts and foldings land
+  *     on both sides, then every MV conjunct must semantically match a
+  *     query conjunct — the leftover query conjuncts are a group-column
+  *     residual like any other). An unfiltered query never matches a
+  *     predicate MV; join MVs with predicates never rewrite;
   *   - the group-by columns are a SUBSET of the MV's group columns (any
   *     order, possibly empty — a global aggregate); dim-side group attrs
   *     map under the MV's dim prefix (`region` → `d_region`): state rows
@@ -80,7 +95,22 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   *                              once — answers can differ in the last
   *                              ULP, and the rewrite's is the
   *                              deterministic one;
-  *       `min/max/bit_xor(e)` → their slots (BIGINT).
+  *       `min/max/bit_xor(e)` → their slots — BIGINT, or the round-19
+  *                              typed extreme kinds (dmin/dmax DOUBLE,
+  *                              smin/smax STRING), selected by the
+  *                              aggregate's output type;
+  *       `count(DISTINCT e…)`  → FINE-GRAIN SUBSUMPTION (round 19): when
+  *                              the MV's group set contains the distinct
+  *                              column(s), live fine-group rows ARE the
+  *                              distinct value inventory — the answer is
+  *                              count_distinct over the re-aggregated
+  *                              fine groups per query group (nulls
+  *                              excluded by count_distinct, retracted
+  *                              values by the liveness filter), rolled
+  *                              up with the linear slots in one extra
+  *                              aggregation; xor/extreme slots in the
+  *                              same query fall back (they do not
+  *                              re-roll through two levels exactly).
   *
   * The rewritten plan is  state slots ∪ signed tail → one re-aggregation:
   * per group, count = Σ(state count, tail signs); sum/xor/dsum re-derive
@@ -103,8 +133,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * bytes + (join MVs) the full opposite-side scan a compensating
   * delta-join part must perform ([Δd ⋈ f@old] reads the whole fact;
   * [Δf ⋈ d@new] reads the whole dim), compared against the current
-  * manifests' data-file bytes. A churned table whose tail outweighs its
-  * data falls back ([[costFallbacks]] counts the refusals).
+  * manifests' data-file bytes — a pruned base scan is priced at its
+  * kept entries, not the full table. A churned table whose tail
+  * outweighs its data falls back ([[costFallbacks]] counts the
+  * refusals).
+  *
+  * DIM-TAIL COMPENSATION (round 19): when the MV's group set contains a
+  * moved dim's fk, an ATTRIBUTE-ONLY dim window skips the [Δd ⋈ f@old]
+  * rescan entirely — state rows are addressable by the key, so the
+  * changed keys' rows REMAP to the dim's post-image group values (and
+  * deleted keys' rows drop), reading only the dim and its feed. A
+  * window carrying dim INSERTS disqualifies at a plan-time probe (a new
+  * key pulls fact rows the state never saw) and the query falls back;
+  * so do aggregate expressions over the dim's columns and chain dims
+  * keyed off the moved dim.
   *
   * At 100 TB this converts every dashboard-shaped rollup — single-table
   * or star — over a slowly appending fact table from a full scan into an
@@ -167,6 +209,17 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
   }
   def unregister(tableDir: String): Unit = { registry.remove(tableDir); () }
 
+  /** Unregister ONE MV of a table (the SQL DROP spelling) — other
+    * registered MVs keep answering.
+    */
+  def unregister(tableDir: String, mvDir: String): Unit = {
+    registry.computeIfPresent(tableDir, (_, old) => {
+      val rest = old.filterNot(_ == mvDir)
+      if (rest.isEmpty) null else rest
+    })
+    ()
+  }
+
   // re-entrancy guard: building the replacement plan triggers a nested
   // optimization (of the state ∪ tail aggregate) that must not itself
   // attempt rewrites; plan-time jobs (dirty-key collect over the tail
@@ -193,25 +246,41 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     * dim side (round-18 join rewrite), each with its base-column
     * resolution map, plus the single-table residual filter.
     */
-  /** `nnNames`: base column names this side was null-filtered on by the
-    * optimizer's inner-join inference (`Filter isnotnull(k)` under the
-    * join). Peeling such a filter is semantics-preserving ONLY when k is
-    * one of the matched equi-join keys (an inner join drops null keys by
-    * itself, and the MV's own joinedFrame does the same) — the pairing
-    * step validates exactly that and bails otherwise.
+  /** `nn`: IsNotNull conjuncts this side carries (the optimizer's
+    * inner-join inference, or not-null-envelope scan pruning), as (base
+    * column name, expression). A name that proves to be a matched
+    * equi-join key is PEELED (an inner join drops null keys by itself,
+    * and the MV's own joinedFrame does the same); any other name demotes
+    * to an ordinary residual conjunct and must pass the group-column
+    * check like the rest of `conds`. `conds`: residual filter conjuncts
+    * over this side's attributes — round 19's filtered-rollup match
+    * applies them to MV state when they reference only group columns.
+    * `consumedPin`: the snapshot a filter-consuming scan pinned (must
+    * equal the rewrite's own version resolution or the match bails).
     */
   private final case class SideInfo(
       table: ShardSinkTable, base: Map[ExprId, String],
-      nnNames: Set[String] = Set.empty)
+      nn: Seq[(String, Expression)] = Nil,
+      conds: Seq[Expression] = Nil,
+      consumedPin: Option[Long] = None)
   /** One dim of a matched join tree: the resolved side plus the raw key
     * attributes of its equi-join condition (fk may belong to the fact OR
     * an earlier dim — the snowflake chain; validated during MV pairing).
     */
   private final case class DimSide(
       side: SideInfo, fkAttr: AttributeReference, pkAttr: AttributeReference)
+  /** One dim window compensated at QUERY TIME by a state-grain group
+    * remap (round 19) instead of a delta-join part — see the
+    * qualification in [[tryRewrite]] and the remap in [[buildPlan]].
+    */
+  private final case class CompDim(
+      dim: String, fk: String, pk: String, pfx: String, fromV: Long, toV: Long)
+  /** `conds`: the single-table residual filter's conjuncts (join-side
+    * residuals live on their [[SideInfo]]s).
+    */
   private final case class Shape(
       fact: SideInfo, dims: Seq[DimSide],
-      filterCond: Option[Expression], factRel: LogicalPlan)
+      conds: Seq[Expression], factRel: LogicalPlan)
 
   /** One candidate MV's screening outcome: shape/slot mismatch, a cost
     * refusal, or a mapped candidate with its metadata cost and a DEFERRED
@@ -281,7 +350,8 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
 
   private def singleShape(child: LogicalPlan): Option[Shape] =
     peel(child, None).flatMap { case (cond, rel) =>
-      sideOf(rel).map(si => Shape(si, Seq.empty, cond, rel))
+      sideOf(rel, underFilter = cond.isDefined).map(si =>
+        Shape(si, Seq.empty, cond.toSeq.flatMap(conjuncts), rel))
     }
 
   /** Candidate join trees of an inner equi-join chain — LEFT-DEEP trees
@@ -290,12 +360,12 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     * collected in JOIN ORDER (the order [[SinkMvDist.createSnowflake]]
     * declares and composes by). Both orientations are produced at every
     * step (a 2-table query may put the dim on either side; deeper trees
-    * with a mis-oriented fact simply fail MV pairing later). The only
-    * Filter shape accepted anywhere under the join is the optimizer's
-    * inner-join null inference — IsNotNull conjuncts over bare
-    * attributes, recorded into [[SideInfo.nnNames]] and validated as
-    * matched join keys during MV pairing; every other filter bails
-    * (predicate join MVs are not rewritten yet). Chains are capped at
+    * with a mis-oriented fact simply fail MV pairing later). A Filter on
+    * a side splits: IsNotNull conjuncts over bare attributes go to
+    * [[SideInfo.nn]] (peeled when they prove to be matched join keys
+    * during MV pairing, demoted to residual conjuncts otherwise); every
+    * other conjunct is recorded into [[SideInfo.conds]] and must pass
+    * the round-19 group-column residual check. Chains are capped at
     * [[MaxChainDims]] dims — a longer registered snowflake silently
     * falls back to the base scan (the cap bounds the candidate-tree
     * fan-out; raise it alongside a fan-out audit if a deeper chain ever
@@ -342,9 +412,9 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
         append(trees(l), r) ++ append(trees(r), l)
       case leaf =>
         // resolveSide, not sideOf: the FACT side may sit under renaming
-        // Projects or an inferred IsNotNull filter exactly like a dim
-        // side (review fix — r17 resolved both sides uniformly)
-        resolveSide(leaf).map(si => Shape(si, Seq.empty, None, child)).toSeq
+        // Projects or a residual Filter exactly like a dim side (review
+        // fix — r17 resolved both sides uniformly)
+        resolveSide(leaf).map(si => Shape(si, Seq.empty, Nil, child)).toSeq
     }
     trees(child).filter(_.dims.nonEmpty).distinct
   }
@@ -354,9 +424,10 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     * name — plain attrs pass through, `Alias(col, newName)` renames
     * resolve to the underlying column, anything computed bails.
     */
-  private def resolveSide(plan: LogicalPlan): Option[SideInfo] = plan match {
+  private def resolveSide(
+      plan: LogicalPlan, underFilter: Boolean = false): Option[SideInfo] = plan match {
     case Project(es, c) =>
-      resolveSide(c).flatMap { si =>
+      resolveSide(c, underFilter).flatMap { si =>
         val entries = es.map {
           case at: AttributeReference => si.base.get(at.exprId).map(at.exprId -> _)
           case al @ Alias(ar: AttributeReference, _) =>
@@ -366,24 +437,26 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
         if (entries.forall(_.isDefined)) Some(si.copy(base = entries.flatten.toMap))
         else None
       }
-    // the optimizer's inner-join constraint inference plants
-    // `Filter isnotnull(joinKey)` on a side (when the scan cannot
-    // consume it — e.g. an ALTER-added column without stats): record the
-    // null-filtered BASE names and let the pairing step prove each one
-    // is a matched join key; any other filter shape bails
+    // a residual Filter on a side: IsNotNull conjuncts over bare
+    // attributes route to `nn` (the pairing step peels matched join keys
+    // and demotes the rest to residual conds); every OTHER conjunct is a
+    // real residual predicate — recorded into `conds` for the
+    // filtered-rollup match (round 19), which rewrites only when every
+    // such conjunct references MV group columns alone
     case Filter(cond, c) =>
-      val cj = conjuncts(cond)
-      if (cj.forall { case IsNotNull(_: AttributeReference) => true; case _ => false })
-        resolveSide(c).flatMap { si =>
-          val names = cj.map { case IsNotNull(at: AttributeReference) =>
-            si.base.get(at.exprId)
-          }
-          if (names.forall(_.isDefined))
-            Some(si.copy(nnNames = si.nnNames ++ names.flatten))
-          else None
+      resolveSide(c, underFilter = true).flatMap { si =>
+        val (nns, rest) = conjuncts(cond).partition {
+          case IsNotNull(_: AttributeReference) => true
+          case _ => false
         }
-      else None
-    case rel => sideOf(rel)
+        val nnEntries = nns.map { case e @ IsNotNull(at: AttributeReference) =>
+          si.base.get(at.exprId).map(n => n -> (e: Expression))
+        }
+        if (nnEntries.forall(_.isDefined))
+          Some(si.copy(nn = si.nn ++ nnEntries.flatten, conds = si.conds ++ rest))
+        else None
+      }
+    case rel => sideOf(rel, underFilter)
   }
 
   /** The bare registered relation — a ScanRelation additionally proves
@@ -395,30 +468,92 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     * class bails the same way). Version-pinned reads never match — the
     * MV machinery's own recomputes have that shape (self-rewrite guard).
     */
-  private def sideOf(plan: LogicalPlan): Option[SideInfo] = plan match {
+  private def sideOf(plan: LogicalPlan, underFilter: Boolean): Option[SideInfo] = plan match {
     case r: DataSourceV2Relation => r.table match {
       case t: ShardSinkTable if t.pinnedVersion.isEmpty =>
         Some(SideInfo(t, r.output.map(at => at.exprId -> at.name).toMap))
       case _ => None
     }
     case r: DataSourceV2ScanRelation => (r.relation.table, r.scan) match {
-      case (t: ShardSinkTable, sc: ShardSinkScan)
-          if t.pinnedVersion.isEmpty && sc.isFullUnprunedScan =>
-        Some(SideInfo(t, r.output.map(at => at.exprId -> at.name).toMap))
-      // a scan whose ONLY pruning is `col IS NOT NULL` envelopes is
-      // acceptable WHEN those columns prove to be matched join keys: the
-      // pushdown skips files holding exclusively null key values — rows
-      // an inner join drops anyway. Report the columns into nnNames so
-      // the pairing validation covers them (the residual Filter, when
-      // Spark keeps one, adds the same names — the subset check is
-      // idempotent); any other pruning kind still bails
-      case (t: ShardSinkTable, sc: ShardSinkScan)
-          if t.pinnedVersion.isEmpty && sc.notNullOnlyPruning.isDefined =>
-        Some(SideInfo(t, r.output.map(at => at.exprId -> at.name).toMap,
-          nnNames = sc.notNullOnlyPruning.get))
+      case (t: ShardSinkTable, sc: ShardSinkScan) if t.pinnedVersion.isEmpty =>
+        val base = r.output.map(at => at.exprId -> at.name).toMap
+        val byName = r.output.collect { case at: AttributeReference => at.name -> at }.toMap
+        if (sc.isFullUnprunedScan) Some(SideInfo(t, base))
+        // a scan whose ONLY pruning is `col IS NOT NULL` envelopes: the
+        // pushdown skips files holding exclusively null values of those
+        // columns — report them into `nn`, where the pairing step peels
+        // matched join keys and demotes the rest to residual conjuncts
+        // (the residual Filter, when Spark keeps one, adds the same
+        // entries — the peel/demote treatment is idempotent)
+        else if (sc.notNullOnlyPruning.isDefined) {
+          val entries = sc.notNullOnlyPruning.get.toSeq.sorted.map(n =>
+            byName.get(n).map(at => n -> (IsNotNull(at): Expression)))
+          if (entries.forall(_.isDefined)) Some(SideInfo(t, base, nn = entries.flatten))
+          else None
+        }
+        // FILE-EXACT CONSUMPTION (round 19): the pushed predicate was
+        // fully applied by pruning — no Filter node remains, but the
+        // scan testifies to exactly which filters it consumed (and the
+        // snapshot it pinned while proving the all-match claim). The
+        // consumed set reconstructs as residual conjuncts; tryRewrite
+        // validates the pin against its own version resolution.
+        else if (sc.consumedFilters.nonEmpty)
+          fromConsumed(sc.consumedFilters, byName).map(cs =>
+            SideInfo(t, base, conds = cs, consumedPin = sc.consumedPin))
+        // a pruned scan UNDER a residual Filter: every pruning this scan
+        // applies derives from pushed filters — conjuncts of that very
+        // Filter — so (Filter ∘ pruned scan) equals σ_cond(full table);
+        // the Filter's conjuncts are already recorded by the caller
+        else if (underFilter && sc.filterDerivedPruningOnly)
+          Some(SideInfo(t, base))
+        else None
       case _ => None
     }
     case _ => None
+  }
+
+  /** Reconstruct consumed source filters as catalyst conjuncts over the
+    * relation's output attributes. Only the shapes the consumption path
+    * can produce (shard/doc-class comparisons, IN, IsNotNull, AND/OR);
+    * anything else answers None and the side bails — never a partial
+    * account of an applied predicate. Literal types must match the
+    * column exactly (consumption-eligible filters come from analyzer-
+    * normalized comparisons, so they do).
+    */
+  private def fromConsumed(
+      fs: Seq[org.apache.spark.sql.sources.Filter],
+      byName: Map[String, AttributeReference]): Option[Seq[Expression]] = {
+    import org.apache.spark.sql.{sources => sf}
+    def attr(n: String): Option[AttributeReference] = byName.get(n)
+    def typed(at: AttributeReference, v: Any): Option[Literal] = {
+      val l = Literal(v)
+      if (l.dataType == at.dataType) Some(l) else None
+    }
+    def conv(f: sf.Filter): Option[Expression] = f match {
+      case sf.EqualTo(n, v) =>
+        attr(n).flatMap(at => typed(at, v).map(EqualTo(at, _)))
+      case sf.In(n, vs) =>
+        attr(n).flatMap { at =>
+          val ls = vs.toSeq.map(typed(at, _))
+          if (ls.forall(_.isDefined)) Some(In(at, ls.flatten)) else None
+        }
+      case sf.GreaterThan(n, v) =>
+        attr(n).flatMap(at => typed(at, v).map(GreaterThan(at, _)))
+      case sf.GreaterThanOrEqual(n, v) =>
+        attr(n).flatMap(at => typed(at, v).map(GreaterThanOrEqual(at, _)))
+      case sf.LessThan(n, v) =>
+        attr(n).flatMap(at => typed(at, v).map(LessThan(at, _)))
+      case sf.LessThanOrEqual(n, v) =>
+        attr(n).flatMap(at => typed(at, v).map(LessThanOrEqual(at, _)))
+      case sf.IsNotNull(n) => attr(n).map(IsNotNull)
+      case sf.And(l, r) =>
+        for { le <- conv(l); re <- conv(r) } yield And(le, re)
+      case sf.Or(l, r) =>
+        for { le <- conv(l); re <- conv(r) } yield Or(le, re)
+      case _ => None
+    }
+    val out = fs.map(conv)
+    if (out.forall(_.isDefined)) Some(out.flatten.flatMap(conjuncts)) else None
   }
 
   // ---- predicate matching ------------------------------------------------------
@@ -428,33 +563,45 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     case x => Seq(x)
   }
 
-  /** Does the query's residual filter equal the MV's predicate? Decided
-    * SEMANTICALLY: the MV pred string is analyzed AND optimized against a
-    * fresh read of the same table (under the re-entrancy guard), so both
-    * sides carry the same inferred not-null conjuncts and foldings; its
-    * attributes are then mapped by name onto the query relation's and the
-    * conjunct SETS must match under semanticEquals. Any shape surprise
-    * (pred folded away, consumed into the scan, unmappable attribute)
-    * answers false — never a wrong rewrite.
+  /** Predicate-MV residual split (round 19 — generalizes the r17 exact
+    * match to IMPLICATION where decidable): the MV pred string is
+    * analyzed AND optimized against a fresh read of the same table
+    * (under the re-entrancy guard), so it carries the same inferred
+    * not-null conjuncts and foldings the query's own optimization
+    * produced (the consumed-filter reconstructions carry theirs because
+    * Spark pushes the inferred IsNotNulls alongside — symmetric by
+    * construction); its attributes map by name onto the query
+    * relation's, and every MV conjunct must semantically match a query
+    * conjunct. The query is then AT LEAST as restrictive as the MV, and
+    * the unmatched query conjuncts are EXACTLY the residual:
+    * query = σ(mvpred ∧ residual)(T) = σ(residual) over the MV's base
+    * rows. Any shape surprise (pred folded away, consumed into the
+    * scan, unmappable attribute) answers None — never a wrong rewrite.
+    * The old exact-equality match is the empty-residual case.
     */
-  private def predMatches(
+  private def splitResidual(
       spark: SparkSession, tableDir: String, pred: String,
-      cond: Expression, rel: LogicalPlan): Boolean = {
+      qConds: Seq[Expression], rel: LogicalPlan): Option[Seq[Expression]] = {
     val fresh = spark.read.format("graft.sources.ShardSinkSource")
       .option("path", tableDir).load().where(expr(pred))
-    val mvConj = fresh.queryExecution.optimizedPlan match {
+    val mvConj: Seq[Expression] = fresh.queryExecution.optimizedPlan match {
       case Filter(c, _) =>
         val byName = rel.output.map(at => at.name -> at).toMap
-        try conjuncts(c.transform {
+        var ok = true
+        val mapped = c.transform {
           case at: AttributeReference =>
-            byName.getOrElse(at.name, return false)
-        })
-        catch { case _: scala.runtime.NonLocalReturnControl[_] => return false }
-      case _ => return false
+            byName.get(at.name) match {
+              case Some(a) => a
+              case None => ok = false; at
+            }
+        }
+        if (!ok) return None
+        conjuncts(mapped)
+      case _ => return None
     }
-    val qConj = conjuncts(cond)
-    mvConj.forall(mc => qConj.exists(_.semanticEquals(mc))) &&
-      qConj.forall(qc => mvConj.exists(_.semanticEquals(qc)))
+    if (mvConj.forall(mc => qConds.exists(_.semanticEquals(mc))))
+      Some(qConds.filterNot(qc => mvConj.exists(_.semanticEquals(qc))))
+    else None
   }
 
   // ---- aggregate mapping --------------------------------------------------------
@@ -473,12 +620,17 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
   /** `avg(e)`: value slot / non-null counter, one DOUBLE division. */
   private final case class AvgMap(slot: Int) extends AggMap
 
-  /** One query output column: a (possibly renamed) group attribute or a
-    * slot-mapped aggregate.
+  /** One query output column: a (possibly renamed) group attribute, a
+    * slot-mapped aggregate, or a count(DISTINCT …) over MV group
+    * columns (round 19 — fine-grain subsumption: when the MV's group
+    * set contains the distinct column(s), the distinct count per query
+    * group is exactly the number of LIVE fine groups with non-null
+    * values there, so it re-derives from state with no base read).
     */
   private sealed trait Out
   private final case class GroupOut(state: String, out: String) extends Out
   private final case class AggOut(m: AggMap, name: String) extends Out
+  private final case class DistinctOut(cols: Seq[String], name: String) extends Out
 
   /** Map one query aggregate function onto the MV slots, or None (→ no
     * rewrite). `rename` rewrites the function's argument attributes to
@@ -528,8 +680,20 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
           case _ => Set.empty
         }
         if (kinds.isEmpty) None else slotOf(kinds, e).map(AvgMap)
-      case Min(e) if outType == LongType => slotOf(Set("min"), e).map(SlotMap)
-      case Max(e) if outType == LongType => slotOf(Set("max"), e).map(SlotMap)
+      // extremes: the slot kind follows the OUTPUT type (round 19 added
+      // the double/string slot kinds — same fold, typed comparisons)
+      case Min(e) => (outType match {
+        case LongType => Some("min")
+        case DoubleType => Some("dmin")
+        case org.apache.spark.sql.types.StringType => Some("smin")
+        case _ => None
+      }).flatMap(k => slotOf(Set(k), e)).map(SlotMap)
+      case Max(e) => (outType match {
+        case LongType => Some("max")
+        case DoubleType => Some("dmax")
+        case org.apache.spark.sql.types.StringType => Some("smax")
+        case _ => None
+      }).flatMap(k => slotOf(Set(k), e)).map(SlotMap)
       case BitXorAgg(e) if outType == LongType => slotOf(Set("xor"), e).map(SlotMap)
       case _ => None
     }
@@ -544,11 +708,14 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     else fs.listStatus(p).filter(_.isFile).map(f => f.getPath.getName -> f.getLen).toMap
   }
 
-  private def tableBytes(dir: String, v: Long, sizes: Map[String, Long]): Long =
-    ShardSink.entriesAtVersion(dir, v).map { e =>
+  private def entriesBytes(es: Seq[SinkEntry], sizes: Map[String, Long]): Long =
+    es.map { e =>
       sizes.getOrElse(e.file, 0L) +
         (if (e.hasDeletes) sizes.getOrElse(e.dv, 0L) else 0L)
     }.sum
+
+  private def tableBytes(dir: String, v: Long, sizes: Map[String, Long]): Long =
+    entriesBytes(ShardSink.entriesAtVersion(dir, v), sizes)
 
   /** Bytes the tail window's change-feed read will open — the feed
     * partitions' file sizes (append feeds read the commit's data files
@@ -591,16 +758,13 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
 
     // shape ↔ MV family agreement: the query's dim chain must pair the
     // MV's declared joins ONE-TO-ONE IN ORDER (the order createSnowflake
-    // composes deltas by) — single-table is the empty chain
+    // composes deltas by) — single-table is the empty chain. Residual
+    // query filters no longer bail structurally (round 19): they become
+    // the filtered-rollup residual below. Predicate-bearing JOIN MVs are
+    // still never rewritten; a predicate-bearing single-table MV demands
+    // a query filter to match against.
     if (mv.joins.length != sh.dims.length) return NoMatch
-    if (mv.joins.isEmpty) {
-      // cheap structural screens first — the semantic predicate match
-      // costs a nested analyze+optimize, so it runs only when the shape
-      // already fits; the (pred, filter) presence must agree either way
-      if (mv.pred.nonEmpty != sh.filterCond.nonEmpty) return NoMatch
-    } else {
-      if (mv.pred.nonEmpty || sh.filterCond.nonEmpty) return NoMatch
-    }
+    if (mv.joins.nonEmpty && mv.pred.nonEmpty) return NoMatch
     val joins = mv.joins
 
     // attribute → MV/state column naming (dim attrs gain their prefix)
@@ -631,18 +795,25 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
         }
       fkOwner.foreach { case (o, n) => keyNamesBySide(o) = keyNamesBySide(o) + n }
     }
-    // every null-filtered column must be a MATCHED join key of its own
-    // side — an IsNotNull over anything else is a REAL filter the MV
-    // does not apply, and the rewrite would silently drop rows
-    (sh.fact +: sh.dims.map(_.side)).foreach { si =>
-      if (!si.nnNames.subsetOf(keyNamesBySide(si))) return NoMatch
-    }
+    // a null-filtered column that is a MATCHED join key of its own side
+    // is PEELED (the inner join drops null keys by itself); any other
+    // IsNotNull is a REAL filter the MV does not apply — it demotes to a
+    // residual conjunct and must pass the group-column check below
+    val demotedNN: Seq[Expression] =
+      (sh.fact +: sh.dims.map(_.side)).flatMap { si =>
+        si.nn.collect { case (n, e) if !keyNamesBySide(si).contains(n) => e }
+      }
     val rename: Expression => Option[Expression] = e => {
       var ok = true
       val out = e.transform {
         case at: AttributeReference =>
           stateName(at) match {
-            case Some(n) => at.withName(n)
+            // the qualifier must go too: a catalog-resolved attribute
+            // renders as `cat.table.col` in .sql, which would break both
+            // the textual slot match and the residual's re-parse against
+            // the state frame (round-19 fix — the SQL-DDL path surfaced
+            // it; DataFrame-path attrs are unqualified)
+            case Some(n) => at.withName(n).withQualifier(Seq.empty)
             case None => ok = false; at
           }
       }
@@ -664,12 +835,22 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     if (!stateGroupNames.toSet.subsetOf(mv.groups.toSet) ||
       stateGroupNames.distinct != stateGroupNames) return NoMatch
 
-    // each output is a group attr or a mappable aggregate
+    // each output is a group attr, a mappable aggregate, or a
+    // count(DISTINCT group columns) (round 19)
     val countSlot = mv.aggs.indexWhere(_.kind == "count") // validate() guarantees ≥ 0
     val outs: Seq[Out] = aggExprs.map {
       case at: AttributeReference if queryGroups.exists(_._2 == at.name) &&
           stateName(at).isDefined =>
         GroupOut(stateName(at).get, at.name)
+      case Alias(AggregateExpression(Count(es), Complete, true, None, _), name)
+          if es.nonEmpty && es.forall(_.isInstanceOf[AttributeReference]) =>
+        val cols = es.map { case at: AttributeReference =>
+          stateName(at) match {
+            case Some(n) if mv.groups.contains(n) => n
+            case _ => return NoMatch // distinct column outside the MV grain
+          }
+        }
+        DistinctOut(cols, name)
       case Alias(ae @ AggregateExpression(f, Complete, false, None, _), name) =>
         mapAgg(f, ae.dataType, mv.aggs, rename) match {
           case Some(m) => AggOut(m, name)
@@ -677,17 +858,64 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
         }
       case _ => return NoMatch
     }
+    val distinctCols: Seq[String] =
+      outs.collect { case DistinctOut(cs, _) => cs }.flatten.distinct
+        .filterNot(stateGroupNames.contains)
+    // the distinct path re-aggregates TWICE (fine grain, then the query
+    // grain) — exact for the linear slot kinds, but xor does not re-roll
+    // through the liveness filter and extremes would need the hybrid
+    // machinery at the fine grain: both fall back (conservative)
+    if (distinctCols.nonEmpty || outs.exists(_.isInstanceOf[DistinctOut])) {
+      val linearOnly = outs.forall {
+        case AggOut(m, _) =>
+          val k = mv.aggs(m.slot).kind
+          k == "count" || k == "sum" || k == "dsum"
+        case _ => true
+      }
+      if (!linearOnly) return NoMatch
+    }
 
-    // predicate agreement (single-table predicate MVs)
-    (mv.pred.nonEmpty, sh.filterCond) match {
-      case (true, Some(c)) =>
-        val ok = {
+    // ---- filtered-rollup residual (round 19) ----
+    // all residual conjuncts: the single-table filter's, each join
+    // side's, plus the demoted IsNotNulls
+    val rawConds: Seq[Expression] =
+      sh.conds ++ (sh.fact +: sh.dims.map(_.side)).flatMap(_.conds) ++ demotedNN
+    // a predicate MV matches when its conjuncts are a SUBSET of the
+    // query's (implication where decidable — the query is at least as
+    // restrictive); the LEFTOVER query conjuncts are the residual. A
+    // plain MV's residual is the whole set.
+    val residual: Seq[Expression] =
+      if (mv.pred.isEmpty) rawConds
+      else {
+        if (rawConds.isEmpty) return NoMatch // unfiltered query, filtered MV
+        val split = {
           inRewrite.set(java.lang.Boolean.TRUE)
-          try predMatches(spark, tableDir, mv.pred, c, sh.factRel)
+          try splitResidual(spark, tableDir, mv.pred, rawConds, sh.factRel)
           finally inRewrite.set(java.lang.Boolean.FALSE)
         }
-        if (!ok) return NoMatch
-      case _ => // plain MV, plain query
+        split.getOrElse(return NoMatch)
+      }
+    // every residual conjunct must be deterministic and reference ONLY
+    // MV group columns — state rows are complete fine-group partials, so
+    // a group-column filter applies to them exactly (the reference
+    // analogue: the flagship query's own dim-attribute filters,
+    // main.py:154). Rendering goes through the renamed expression's SQL,
+    // the same textual channel the slot match uses; a non-round-tripping
+    // expression fails the nested parse and the builder falls back.
+    val residualCols: Seq[Column] = residual.map { c =>
+      if (!c.deterministic) return NoMatch
+      rename(c) match {
+        case Some(rc) =>
+          var groupsOnly = true
+          rc.foreach {
+            case at: AttributeReference =>
+              if (!mv.groups.contains(at.name)) groupsOnly = false
+            case _ =>
+          }
+          if (!groupsOnly) return NoMatch
+          expr(rc.sql)
+        case None => return NoMatch
+      }
     }
 
     // watermarks + tail derivability
@@ -701,11 +929,36 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       if (dv < j.dimV) return NoMatch
       if (dv > j.dimV && j.dimV + 1L < ShardSink.horizonOf(j.dim)) return NoMatch
     }
-    val hasTail = factTail || dimTails.exists(identity)
+    // DIM-TAIL COMPENSATION qualification (round 19): an attribute-only
+    // dim window applies to STATE directly when (a) the dim's fk is an
+    // MV group column — state rows are addressable by key, so the
+    // changed keys' rows REMAP to their new prefixed-attribute group
+    // values (or drop, for deleted keys) with no fact rescan; (b) no
+    // aggregate expression reads this dim's columns (their values are
+    // baked into the slots); (c) no later chain dim keys off this dim
+    // (its moves would re-route the chain). All-or-nothing across moved
+    // dims — mixing compensated and windowed dim deltas would break the
+    // delta-join composition order. Insert-carrying windows disqualify
+    // at a plan-time probe in the builder (a new key pulls fact rows the
+    // state never saw).
+    val movedIdx = dimTails.zipWithIndex.collect { case (true, i) => i }
+    val compQualified = movedIdx.nonEmpty && movedIdx.forall { i =>
+      val j = joins(i)
+      mv.groups.contains(j.fk) &&
+        mv.aggs.forall(a => !a.e.contains(j.pfx)) &&
+        joins.drop(i + 1).forall(j2 => !j2.fk.startsWith(j.pfx))
+    }
+    val hasTail = factTail || (!compQualified && dimTails.exists(identity))
+    // a consumption-pinned scan must pin exactly the version the rewrite
+    // resolves for its side — a commit between the scan's all-match
+    // proof and this resolution would otherwise let the claims diverge
+    if (sh.fact.consumedPin.exists(_ != toV)) return NoMatch
+    sh.dims.zip(dimTos).foreach { case (d, dv) =>
+      if (d.side.consumedPin.exists(_ != dv)) return NoMatch
+    }
 
     val needed = outs.collect { case AggOut(m, _) => m.slot }.distinct
-    val extremeIdx = needed.filter(i =>
-      mv.aggs(i).kind == "min" || mv.aggs(i).kind == "max")
+    val extremeIdx = needed.filter(i => SinkMatView.isExtremeKind(mv.aggs(i).kind))
     // join MVs never rewrite extremes over a tail (the hybrid recompute
     // would need the full chain join — exactly the cost the guard exists
     // to avoid); single-table extremes take the hybrid path below
@@ -714,7 +967,18 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     // ---- cost guard + selection metric (metadata only) ----
     val factSizes = sizesOf(tableDir)
     val stateBytes = SinkMvDist.bucketStats(mvDir).map(_._3).sum
-    val factBytes = tableBytes(tableDir, toV, factSizes)
+    // the base a rewrite must beat is what the BASE PLAN would read: a
+    // scan the consumed/residual filter already file-pruned is priced at
+    // its kept entries, not the full table (round 19 — overpricing the
+    // base would fire rewrites a pruned scan beats)
+    val factBytes = sh.factRel match {
+      case r: DataSourceV2ScanRelation => r.scan match {
+        case sc: ShardSinkScan if !sc.isFullUnprunedScan =>
+          entriesBytes(sc.costEntries, factSizes)
+        case _ => tableBytes(tableDir, toV, factSizes)
+      }
+      case _ => tableBytes(tableDir, toV, factSizes)
+    }
     val factParts =
       if (factTail) ShardSink.changePartitions(tableDir, mv.srcV, toV)
       else Seq.empty
@@ -730,12 +994,15 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     val dimFeed = dimStats.map(_._2).sum
     // a fact-tail part joins EVERY dim at its new version; a moved dim's
     // part joins the FULL fact plus every OTHER dim — all real reads the
-    // compensation pays, where the base scan pays each table once
+    // window path pays, where the base scan pays each table once. A
+    // COMPENSATED dim move (round 19) pays only the dim's own bytes (the
+    // post-image read; its feed is already counted in dimFeed).
     val compensation =
       (if (factTail && joins.nonEmpty) dimBytes else 0L) +
-        dimTails.zipWithIndex.collect { case (true, i) =>
-          factBytes + (dimBytes - dimBytesAll(i))
-        }.sum
+        (if (compQualified) movedIdx.map(dimBytesAll).sum
+         else dimTails.zipWithIndex.collect { case (true, i) =>
+           factBytes + (dimBytes - dimBytesAll(i))
+         }.sum)
     // the hybrid-extreme path's plan-time retraction probe re-reads the
     // tail feed once more (review fix: previously uncounted). Its pruned
     // base recompute stays uncounted — unknowable before the probe runs,
@@ -755,12 +1022,23 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       // scalastyle:on println
     if (cost > base) return CostRefused
 
-    val windows = joins.zip(dimTos).map { case (j, dv) =>
-      SinkMvJoin.DimWindow(j.dim, j.fk, j.pk, j.pfx, j.dimV, dv)
+    // compensated dims enter the window list PINNED at their new version
+    // (fromV == toV): a fact-tail part then joins them at the state the
+    // remap brought the MV to — the telescoping holds
+    val windows = joins.zip(dimTos).zipWithIndex.map { case ((j, dv), i) =>
+      if (compQualified && dimTails(i))
+        SinkMvJoin.DimWindow(j.dim, j.fk, j.pk, j.pfx, dv, dv)
+      else SinkMvJoin.DimWindow(j.dim, j.fk, j.pk, j.pfx, j.dimV, dv)
     }
+    val comp: Seq[CompDim] =
+      if (compQualified) movedIdx.map { i =>
+        val j = joins(i)
+        CompDim(j.dim, j.fk, j.pk, j.pfx, j.dimV, dimTos(i))
+      }
+      else Seq.empty
     Mapped(cost, () => buildPlan(spark, agg, mv, tableDir, windows, toV,
       hasTail, factParts, outs, queryGroups, stateGroupNames, extremeIdx,
-      needed, countSlot))
+      needed, countSlot, residualCols, distinctCols, comp))
   }
 
   /** Build the replacement plan for the WINNING candidate — the expensive
@@ -775,24 +1053,75 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       factParts: Seq[org.apache.spark.sql.connector.read.InputPartition],
       outs: Seq[Out], queryGroups: Seq[(String, String)],
       stateGroupNames: Seq[String], extremeIdx: Seq[Int],
-      needed: Seq[Int], countSlot: Int): Option[LogicalPlan] = {
+      needed: Seq[Int], countSlot: Int,
+      residualCols: Seq[Column], distinctCols: Seq[String],
+      comp: Seq[CompDim]): Option[LogicalPlan] = {
     inRewrite.set(java.lang.Boolean.TRUE)
     try {
       val slots = (needed ++ Seq(countSlot)).distinct
+
+      // ---- dim-tail compensation (round 19): remap state rows to the
+      // moved dims' POST-image group values — changed keys' rows move
+      // between groups (or drop, for deleted keys); unchanged keys pass
+      // through. One small probe per dim disqualifies insert-carrying
+      // windows (a new key pulls fact rows the state never saw → fall
+      // back), and changed-key uniqueness is re-proven like every other
+      // consumer of the delta-join algebra.
+      val compedState: Option[DataFrame] = {
+        var st = mv.state
+        val ok = comp.forall { d =>
+          val feed = SinkMatView.changes(spark, d.dim, d.fromV, d.toV)
+          if (feed.where(col("_change_type") === "insert").limit(1).count() > 0L) false
+          else {
+            val dimNew = SinkMatView.srcAt(spark, d.dim, d.toV)
+            val keys = feed.select(col(d.pk)).distinct()
+            SinkMvJoin.requireUniqueKeys(dimNew, d.pk, keys)
+            val affected = mv.groups.filter(_.startsWith(d.pfx))
+            // (changed key, live?, post-image attr values) — LEFT so a
+            // deleted key keeps its row with a null liveness marker
+            val post = keys.select(col(d.pk).as("_mvc_k"))
+              .join(dimNew.select(col(d.pk).as("_mvc_k2") +:
+                affected.map(g => col(g.stripPrefix(d.pfx)).as(s"_mvc_$g")): _*),
+                col("_mvc_k") === col("_mvc_k2"), "left")
+            val joined = st.join(post, st(d.fk) === post("_mvc_k"), "left")
+            st = joined
+              // deleted keys' rows leave the view; untouched rows pass
+              .where(col("_mvc_k").isNull || col("_mvc_k2").isNotNull)
+              .select(mv.groups.map { g =>
+                (if (affected.contains(g))
+                  when(col("_mvc_k").isNotNull, col(s"_mvc_$g")).otherwise(col(g))
+                else col(g)).as(g)
+              } ++ (0 until mv.aggs.length).flatMap(i =>
+                Seq(col(mv.slotValue(i)), col(mv.slotCounter(i)))): _*)
+            true
+          }
+        }
+        if (ok) Some(st) else None
+      }
+      if (compedState.isEmpty) return None
+      val stateIn = compedState.get
+      // the filtered-rollup residual (group columns only, state naming):
+      // applied to the state read AND the tail — fine-group partials are
+      // complete, so the filter cuts whole groups exactly; it never
+      // filters within a group
+      val resid: Option[Column] = residualCols.reduceOption(_ && _)
+      def withResid(df: DataFrame): DataFrame =
+        resid.map(df.where).getOrElse(df)
 
       // ---- the signed tail (None = every watermark current)
       val tailDf: Option[DataFrame] =
         if (!hasTail) None
         else if (windows.isEmpty)
-          Some(SinkMatView.filtered(
+          Some(withResid(SinkMatView.filtered(
             SinkMatView.changes(spark, tableDir, mv.srcV, toV), mv.pred)
-            .withColumn("_sign", SinkMvJoin.signOf(col("_change_type"))))
+            .withColumn("_sign", SinkMvJoin.signOf(col("_change_type")))))
         else
           // the delta-join decomposition, one window per source (dims in
           // declaration order — unmoved sources carry fromV == toV), via
           // the SAME core the refresh folds through; dim-key uniqueness
           // is re-proven per moved window inside
-          Some(SinkMvJoin.contributionStream(spark, mv.src, mv.srcV, toV, windows))
+          Some(withResid(
+            SinkMvJoin.contributionStream(spark, mv.src, mv.srcV, toV, windows)))
 
       // ---- hybrid extremes: which result-grain groups did the tail
       // retract from? (single-table only — collected from the TAIL FEED,
@@ -826,8 +1155,10 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
           stateGroupNames, stateGroupNames.map(typeOf),
           dirtyRows.toSeq.map(r => SinkMatView.keyOf(r, stateGroupNames.length))))
 
-      // ---- state part: per needed agg, its value + counter slot
-      val statePart = mv.state.select(
+      // ---- state part: per needed agg, its value + counter slot (the
+      // residual applies AFTER the compensation remap — it may reference
+      // the very attributes the remap refreshed)
+      val statePart = withResid(stateIn).select(
         mv.groups.map(col) ++ slots.flatMap(i => Seq(
           col(mv.slotValue(i)).as(s"_p$i"), col(mv.slotCounter(i)).as(s"_pn$i"))): _*)
       val unioned = tailDf match {
@@ -847,17 +1178,22 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
                   sign * when(expr(a.e).isNotNull, 1L).otherwise(0L))
                 case "xor" => (expr(a.e).cast(LongType),
                   sign * when(expr(a.e).isNotNull, 1L).otherwise(0L))
-                // hybrid: tail INSERTS extend the recorded extreme; the
-                // retracted-from groups are overridden by the pruned
-                // recompute below
-                case _ => (when(sign > 0L, expr(a.e).cast(LongType)), lit(0L))
+                // hybrid: tail INSERTS extend the recorded extreme (in
+                // the slot's own type); the retracted-from groups are
+                // overridden by the pruned recompute below
+                case _ =>
+                  (when(sign > 0L, expr(a.e).cast(SinkMvDist.slotType(a))), lit(0L))
               }
               Seq(v.as(s"_p$i"), nn.as(s"_pn$i"))
             }: _*)
           statePart.unionByName(t)
       }
 
-      // ---- one re-aggregation at the QUERY's (possibly coarser) grain
+      // ---- re-aggregation grain: the query's — or, when a
+      // count(DISTINCT …) rides along, the FINE grain (query groups ∪
+      // distinct columns), with a second roll-up below (round 19)
+      val hasDistinct = outs.exists(_.isInstanceOf[DistinctOut])
+      val fineGrain = stateGroupNames ++ distinctCols
       val aggCols = slots.flatMap { i =>
         val a = mv.aggs(i)
         val r = a.kind match {
@@ -871,44 +1207,72 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
             .otherwise(sum(col(s"_p$i")).cast(SinkMatView.DsumCell))
           case "xor" => when(sum(col(s"_pn$i")) === 0L, lit(null).cast(LongType))
             .otherwise(expr(s"bit_xor(_p$i)"))
-          case "min" => min(col(s"_p$i"))
-          case "max" => max(col(s"_p$i"))
+          case k if SinkMatView.isMinKind(k) => min(col(s"_p$i"))
+          case _ => max(col(s"_p$i")) // max / dmax / smax
         }
         Seq(r.as(s"_r$i"), coalesce(sum(col(s"_pn$i")), lit(0L)).as(s"_rn$i"))
       }
       val grouped = unioned
-        .groupBy(stateGroupNames.map(col): _*)
+        .groupBy(fineGrain.map(col): _*)
         .agg(aggCols.head, aggCols.tail: _*)
-      // group liveness, as in the fold — a coarse group whose total count
+      // group liveness, as in the fold — a group whose total count
       // reached zero has no base rows and leaves; the GLOBAL aggregate
       // keeps its single row (SQL returns (0, NULL, …) over no rows)
       val live =
-        if (queryGroups.isEmpty) grouped
+        if (fineGrain.isEmpty) grouped
         else grouped.where(col(s"_r$countSlot") > 0L)
+      // ---- the distinct roll-up (round 19): live fine-group rows ARE
+      // the distinct value inventory — count_distinct over them per
+      // query group is exactly count(DISTINCT e) over the base (nulls
+      // excluded by count_distinct, dead groups by the liveness filter),
+      // and the linear slots re-roll by summation
+      val coarse =
+        if (!hasDistinct) live
+        else {
+          val roll = slots.flatMap { i =>
+            val a = mv.aggs(i)
+            val v = a.kind match {
+              case "count" => coalesce(sum(col(s"_r$i")), lit(0L))
+              case "sum" => when(sum(col(s"_rn$i")) === 0L, lit(null).cast(LongType))
+                .otherwise(sum(col(s"_r$i")))
+              case "dsum" => when(sum(col(s"_rn$i")) === 0L,
+                lit(null).cast(SinkMatView.DsumCell))
+                .otherwise(sum(col(s"_r$i")).cast(SinkMatView.DsumCell))
+              // xor/extremes are gated out of the distinct path upstream
+              case other => sys.error(s"non-linear slot '$other' in the distinct path")
+            }
+            Seq(v.as(s"_r$i"), coalesce(sum(col(s"_rn$i")), lit(0L)).as(s"_rn$i"))
+          } ++ outs.zipWithIndex.collect { case (DistinctOut(cs, _), k) =>
+            count_distinct(col(cs.head), cs.tail.map(col): _*).as(s"_dc$k")
+          }
+          live.groupBy(stateGroupNames.map(col): _*).agg(roll.head, roll.tail: _*)
+        }
 
       // ---- dirty-extreme recompute: ONE pruned scan of the base table
       // at the current version (version-pinned — never self-rewrites),
       // restricted to the retracted-from groups, spliced over the state
       // answer for exactly those groups
       val (fixedFrame, isDirty) = dirtyPred match {
-        case None => (live, lit(false))
+        case None => (coarse, lit(false))
         case Some(dp) =>
-          val rec = SinkMatView.filtered(
-            SinkMatView.srcAt(spark, tableDir, toV), mv.pred)
+          // the residual is redundant under the dirty-group predicate
+          // (dirty keys came from the residual-filtered tail) but keeps
+          // the recompute scan's pruning engaged
+          val rec = withResid(SinkMatView.filtered(
+            SinkMatView.srcAt(spark, tableDir, toV), mv.pred))
             .where(dp)
             .groupBy(stateGroupNames.map(col): _*)
             .agg(
-              extremeIdx.map(i => (if (mv.aggs(i).kind == "min")
-                min(expr(mv.aggs(i).e).cast(LongType))
-              else max(expr(mv.aggs(i).e).cast(LongType))).as(s"_fx$i")).head,
-              extremeIdx.drop(1).map(i => (if (mv.aggs(i).kind == "min")
-                min(expr(mv.aggs(i).e).cast(LongType))
-              else max(expr(mv.aggs(i).e).cast(LongType))).as(s"_fx$i")): _*)
+              SinkMatView.aggColumn(mv.aggs(extremeIdx.head)).as(s"_fx${extremeIdx.head}"),
+              extremeIdx.drop(1).map(i =>
+                SinkMatView.aggColumn(mv.aggs(i)).as(s"_fx$i")): _*)
             .withColumn("_fxflag", lit(1))
+          // dirtyPred implies extremes, which the distinct path gates
+          // out — coarse IS live here; spelled coarse for uniformity
           val rr = stateGroupNames.foldLeft(rec)((df, k) =>
             df.withColumnRenamed(k, s"_rk_$k"))
-          val cond = stateGroupNames.map(k => live(k) <=> rr(s"_rk_$k")).reduce(_ && _)
-          (live.join(rr, cond, "left"), col("_fxflag").isNotNull)
+          val cond = stateGroupNames.map(k => coarse(k) <=> rr(s"_rk_$k")).reduce(_ && _)
+          (coarse.join(rr, cond, "left"), col("_fxflag").isNotNull)
       }
 
       // ---- shape to the query's output list
@@ -916,15 +1280,16 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
         if (extremeIdx.contains(i) && dirtyPred.isDefined)
           when(isDirty, col(s"_fx$i")).otherwise(col(s"_r$i"))
         else col(s"_r$i")
-      val shaped = fixedFrame.select(outs.map {
-        case GroupOut(st, out) => col(st).as(out)
-        case AggOut(SlotMap(i), n) => resValue(i).as(n)
-        case AggOut(DSlotMap(i), n) => col(s"_r$i").cast(DoubleType).as(n)
-        case AggOut(CounterMap(i), n) => col(s"_rn$i").as(n)
-        case AggOut(AvgMap(i), n) =>
+      val shaped = fixedFrame.select(outs.zipWithIndex.map {
+        case (GroupOut(st, out), _) => col(st).as(out)
+        case (AggOut(SlotMap(i), n), _) => resValue(i).as(n)
+        case (AggOut(DSlotMap(i), n), _) => col(s"_r$i").cast(DoubleType).as(n)
+        case (AggOut(CounterMap(i), n), _) => col(s"_rn$i").as(n)
+        case (AggOut(AvgMap(i), n), _) =>
           when(col(s"_rn$i") === 0L, lit(null).cast(DoubleType))
             .otherwise(col(s"_r$i").cast(DoubleType) / col(s"_rn$i").cast(DoubleType))
             .as(n)
+        case (DistinctOut(_, n), k) => col(s"_dc$k").as(n)
       }: _*)
       // splice: a fully-OPTIMIZED subplan (the extraOptimizations batch
       // runs after V2 pushdown — an analyzed-only DSv2 tail relation
@@ -950,6 +1315,10 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     *       slot and its non-null counter, count(score) from the dsum
     *       slot's counter, sum(score) from the exact-decimal dsum slot —
     *       all through the same stale tail;
+    *   q6: the round-19 TYPED extremes — max(score) from the dmax
+    *       (DOUBLE) slot and min(body) from the smin (STRING) slot,
+    *       over the same stale insert-only tail (declarative extension,
+    *       no retraction probe);
     *   q2: AFTER a refresh — the full rewrite including the extreme,
     *       with ZERO base data files opened (the counter delta is an
     *       output column under the hash gate);
@@ -1006,7 +1375,10 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     SinkMvDist.create(s, dir, mvDirD, Seq("shard"), Seq(
       SinkMatView.MvAgg("d_n", "count"),
       SinkMatView.MvAgg("d_sum", "sum", "doc_id"),
-      SinkMatView.MvAgg("d_ds", "dsum", "score")), buckets = 8)
+      SinkMatView.MvAgg("d_ds", "dsum", "score"),
+      // round-19 TYPED extremes: a DOUBLE max and a STRING min slot
+      SinkMatView.MvAgg("d_mx", "dmax", "score"),
+      SinkMatView.MvAgg("d_mnb", "smin", "body")), buckets = 8)
     register(dir, mvDir)
     register(dir, mvDirP)
     register(dir, mvDirD)
@@ -1029,6 +1401,12 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
           sum("score").as("d_sscore"))
       val got4 = q4.collect().map(r =>
         (r.getInt(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      // q6 — the round-19 TYPED extremes, over the same stale insert-only
+      // tail: max(score) routes to the dmax slot, min(body) to the smin
+      // slot; inserts extend both declaratively (no retraction → no probe)
+      val q6 = base.groupBy(col("shard"))
+        .agg(max("score").as("d_mx"), min("body").as("d_mnb"))
+      val got6 = q6.collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2)))
       SinkMvDist.refresh(s, dir, mvDir) // MV → v4
       // q2 — CURRENT-watermark full rewrite incl. the extreme; base data
       // files must stay closed
@@ -1061,14 +1439,16 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       val got5 = q5.collect().map(r =>
         (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       val q5Files = ShardSink.dataFileReadCount.get() - c1
-      val nRewrites = rewrites.get() - r0
+      val nRewrites = rewrites.get() - r0 // q1 q4 q6 q2 q3 g q5 = 7
       import s.implicits._
       val df1 = got1.toSeq.toDF("shard", "q1_n", "q1_sum", "q1_xor")
       val df3 = got3.toSeq.toDF("shard", "q3_n", "q3_sum")
       val df4 = got4.toSeq.toDF("shard", "d_avg", "d_nscore", "d_sscore")
       val df5 = got5.toSeq.toDF("shard", "q5_n", "q5_sum", "q5_max")
+      val df6 = got6.toSeq.toDF("shard", "d_mx", "d_mnb")
       got2.toSeq.toDF("shard", "n_docs", "sum_ids", "xor_ids", "max_doc")
         .join(df1, "shard").join(df3, "shard").join(df4, "shard").join(df5, "shard")
+        .join(df6, "shard")
         .withColumn("g_n", lit(g.getLong(0)))
         .withColumn("g_sum", lit(g.getLong(1)))
         .withColumn("n_rewrites", lit(nRewrites))
@@ -1081,20 +1461,21 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** DuckDB re-derivation: q1/q2/q3/q4 and the global leg aggregate docs
-    * 0..999 per shard (score = doc/4, NULL on multiples of five); q5
-    * aggregates the post-DELETE live set (shard-5 docs ≥ 500 removed).
-    * Constants: 6 rewrites (one per leg — the refreshes' own internal
-    * scans are version-pinned and never rewrite); q2 opened 0 base data
-    * files; q5 opened 3 — the retraction probe and the spliced tail
-    * each read the DELETE's vector-diffed shard-5 file, and the dirty
-    * recompute's shard-pruned scan reads it once more (every other
-    * shard's file stays closed).
+  /** DuckDB re-derivation: q1/q2/q3/q4/q6 and the global leg aggregate
+    * docs 0..999 per shard (score = doc/4, NULL on multiples of five;
+    * body = md5 of the decimal id); q5 aggregates the post-DELETE live
+    * set (shard-5 docs ≥ 500 removed). Constants: 7 rewrites (one per
+    * leg — the refreshes' own internal scans are version-pinned and
+    * never rewrite); q2 opened 0 base data files; q5 opened 3 — the
+    * retraction probe and the spliced tail each read the DELETE's
+    * vector-diffed shard-5 file, and the dirty recompute's shard-pruned
+    * scan reads it once more (every other shard's file stays closed).
     */
   val mvRewriteReportSql: String =
     """WITH g AS (
       |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
-      |         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id / 4.0 END AS score
+      |         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id / 4.0 END AS score,
+      |         md5(CAST(doc_id AS VARCHAR)) AS body
       |  FROM range(0, 1000) t(doc_id)),
       |l AS (
       |  SELECT * FROM g WHERE NOT (shard = 5 AND doc_id >= 500))
@@ -1110,15 +1491,300 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       |       CAST(SUM(g.doc_id) AS DOUBLE) / CAST(COUNT(g.doc_id) AS DOUBLE) AS d_avg,
       |       CAST(COUNT(g.score) AS BIGINT) AS d_nscore,
       |       CAST(SUM(CAST(g.score AS DECIMAL(24,6))) AS DOUBLE) AS d_sscore,
+      |       CAST(MAX(g.score) AS DOUBLE) AS d_mx,
+      |       MIN(g.body) AS d_mnb,
       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM l WHERE l.shard = g.shard) AS q5_n,
       |       (SELECT CAST(SUM(l.doc_id) AS BIGINT) FROM l WHERE l.shard = g.shard) AS q5_sum,
       |       (SELECT CAST(MAX(l.doc_id) AS BIGINT) FROM l WHERE l.shard = g.shard) AS q5_max,
       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS g_n,
       |       (SELECT CAST(SUM(doc_id) AS BIGINT) FROM g) AS g_sum,
-      |       CAST(6 AS BIGINT) AS n_rewrites,
+      |       CAST(7 AS BIGINT) AS n_rewrites,
       |       CAST(0 AS BIGINT) AS q2_files_opened,
       |       CAST(3 AS BIGINT) AS q5_files_opened
       |FROM g GROUP BY g.shard ORDER BY g.shard""".stripMargin
+
+  /** Driver-checked FILTERED-ROLLUP REWRITE (round 19): the single most
+    * common dashboard query — a group-column WHERE over a plain rollup —
+    * answered from MV state in every disguise the plan can take:
+    *   f1: `WHERE shard IN (3, 5) GROUP BY shard` on the mixed-shard
+    *       layout — the filter stays a residual Filter over a
+    *       file-pruned scan; rewritten with ZERO base data files
+    *       (f1_files pins it);
+    *   f2: the same query over a STALE watermark — the residual applies
+    *       to the state read AND the compensating tail;
+    *   f3: predicate IMPLICATION — `WHERE doc_id % 3 = 0 AND shard = 5`
+    *       routes to the predicate MV (pred = `doc_id % 3 = 0`): the MV
+    *       conjuncts match and `shard = 5` is the group-column leftover,
+    *       applied to the predicate MV's state; zero files (f3_files);
+    *   f4: the GLOBAL aggregate under a group filter —
+    *       `WHERE shard < 4` with no GROUP BY re-rolls filtered state
+    *       partials to one row;
+    *   f5: the FALLBACK pin — `WHERE doc_id < 100` references a
+    *       non-group column, so the query must NOT rewrite (n_rewrites
+    *       excludes it) and the base scan answers;
+    *   f6: the CONSUMED-filter path — after OPTIMIZE the layout is
+    *       shard-pure, so `shard IN (3, 5)` is consumed into file-exact
+    *       pruning and NO Filter node remains; the scan's consumed-set
+    *       testimony reconstructs the predicate and the rewrite still
+    *       fires with zero files (f6_files).
+    * All six legs' values, the rewrite count and the three file counters
+    * sit under the DuckDB hash gate.
+    */
+  def mvFilterRewriteReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mvfr:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmvfr_$sfx")
+    SinkFs.deleteRecursively(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_mvfr", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mvfr.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mvfr.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvfr.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvfr.cdf.enabled", "true")
+    def ingest(lo: Long, hi: Long): Unit =
+      s.read.format("graft.sources.DocGenSource")
+        .option("numDocs", "1200").option("numPartitions", "2").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .writeTo("graft_mvfr.docs_mvfr").append()
+    ingest(0L, 1000L) // v1
+    val dir = new java.io.File(root.getPath, "docs_mvfr").getPath
+    val mvA = dir + ".mvfa"
+    SinkMvDist.create(s, dir, mvA, Seq("shard"), Seq(
+      SinkMatView.MvAgg("n_docs", "count"),
+      SinkMatView.MvAgg("sum_ids", "sum", "doc_id")), buckets = 8)
+    val mvP = dir + ".mvfp"
+    SinkMvDist.create(s, dir, mvP, Seq("shard"), Seq(
+      SinkMatView.MvAgg("p_n", "count"),
+      SinkMatView.MvAgg("p_sum", "sum", "doc_id")),
+      where = "doc_id % 3 = 0", buckets = 8)
+    register(dir, mvA)
+    register(dir, mvP)
+    try {
+      s.experimental.extraOptimizations = Seq(SinkMvRewrite)
+      def base = s.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).load()
+      def shardQ = base.where(col("shard").isin(3, 5)).groupBy(col("shard"))
+        .agg(count(lit(1)).as("q_n"), sum("doc_id").as("q_sum"))
+      val r0 = rewrites.get()
+      // f1 — residual Filter over a file-pruned scan, current watermark
+      val c1 = ShardSink.dataFileReadCount.get()
+      val got1 = shardQ.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val f1Files = ShardSink.dataFileReadCount.get() - c1
+      // f2 — same query across a stale watermark: residual + tail
+      ingest(1000L, 1200L) // v2
+      val got2 = shardQ.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      SinkMvDist.refresh(s, dir, mvA)
+      SinkMvDist.refresh(s, dir, mvP)
+      // f3 — predicate implication: MV pred ∧ group-column leftover
+      val q3 = base.where(expr("doc_id % 3 = 0 AND shard = 5")).groupBy(col("shard"))
+        .agg(count(lit(1)).as("p_qn"), sum("doc_id").as("p_qsum"))
+      val c3 = ShardSink.dataFileReadCount.get()
+      val got3 = q3.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).head
+      val f3Files = ShardSink.dataFileReadCount.get() - c3
+      // f4 — the global aggregate under a group filter
+      val got4 = base.where(col("shard") < 4)
+        .agg(count(lit(1)).as("g_n"), sum("doc_id").as("g_sum")).collect().head
+      // f5 — non-group residual: MUST fall back to the base scan
+      val r5 = rewrites.get()
+      val got5 = base.where(col("doc_id") < 100).groupBy(col("shard"))
+        .agg(count(lit(1)).as("n")).collect()
+      val f5NoRewrite = rewrites.get() - r5 // 0
+      // f6 — compacted shard-pure layout: the filter is CONSUMED into
+      // file-exact pruning (no Filter node remains) and the scan's
+      // consumed-set testimony still rewrites
+      ShardSink.compact(dir) // v3: no-data commit
+      SinkMvDist.refresh(s, dir, mvA) // fast-forward watermarks
+      SinkMvDist.refresh(s, dir, mvP)
+      val c6 = ShardSink.dataFileReadCount.get()
+      val got6 = shardQ.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val f6Files = ShardSink.dataFileReadCount.get() - c6
+      val nRewrites = rewrites.get() - r0 // f1 f2 f3 f4 f6 = 5
+      import s.implicits._
+      val df1 = got1.toSeq.toDF("shard", "f1_n", "f1_sum")
+      val df2 = got2.toSeq.toDF("shard", "f2_n", "f2_sum")
+      val df6 = got6.toSeq.toDF("shard", "f6_n", "f6_sum")
+      df1.join(df2, "shard").join(df6, "shard")
+        .withColumn("f3_n", lit(got3._2))
+        .withColumn("f3_sum", lit(got3._3))
+        .withColumn("f4_n", lit(got4.getLong(0)))
+        .withColumn("f4_sum", lit(got4.getLong(1)))
+        .withColumn("f5_rows", lit(got5.length.toLong))
+        .withColumn("f5_total", lit(got5.map(_.getLong(1)).sum))
+        .withColumn("f5_extra_rewrites", lit(f5NoRewrite))
+        .withColumn("n_rewrites", lit(nRewrites))
+        .withColumn("f1_files_opened", lit(f1Files))
+        .withColumn("f3_files_opened", lit(f3Files))
+        .withColumn("f6_files_opened", lit(f6Files))
+        .orderBy("shard")
+    } finally {
+      unregister(dir)
+      s.experimental.extraOptimizations = Nil
+    }
+  }
+
+  /** DuckDB re-derivation: docs 0..999 at f1, 0..1199 from f2 on, shard
+    * = doc % 16, no deletes. Constants: 5 rewrites (f1, f2, f3, f4, f6 —
+    * f5's non-group residual falls back, pinned separately as 0 extra
+    * rewrites); f1/f3/f6 each opened 0 base data files (f2's tail
+    * legitimately reads the appended commit's files); f5 returns one row
+    * per shard (16) totalling the 100 filtered docs.
+    */
+  val mvFilterRewriteReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard
+      |  FROM range(0, 1200) t(doc_id)),
+      |g1 AS (SELECT * FROM g WHERE doc_id < 1000)
+      |SELECT s.shard,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g1 WHERE g1.shard = s.shard) AS f1_n,
+      |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM g1 WHERE g1.shard = s.shard) AS f1_sum,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE g.shard = s.shard) AS f2_n,
+      |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM g WHERE g.shard = s.shard) AS f2_sum,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE g.shard = s.shard) AS f6_n,
+      |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM g WHERE g.shard = s.shard) AS f6_sum,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE g.shard = 5 AND doc_id % 3 = 0) AS f3_n,
+      |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM g WHERE g.shard = 5 AND doc_id % 3 = 0) AS f3_sum,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE g.shard < 4) AS f4_n,
+      |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM g WHERE g.shard < 4) AS f4_sum,
+      |  CAST(16 AS BIGINT) AS f5_rows,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g WHERE doc_id < 100) AS f5_total,
+      |  CAST(0 AS BIGINT) AS f5_extra_rewrites,
+      |  CAST(5 AS BIGINT) AS n_rewrites,
+      |  CAST(0 AS BIGINT) AS f1_files_opened,
+      |  CAST(0 AS BIGINT) AS f3_files_opened,
+      |  CAST(0 AS BIGINT) AS f6_files_opened
+      |FROM (VALUES (3), (5)) s(shard) ORDER BY s.shard""".stripMargin
+
+  /** Driver-checked COUNT-DISTINCT REWRITE (round 19): `count(DISTINCT
+    * uid)` — a real user's second dashboard query — answered from an MV
+    * grouped at the FINE grain `(shard, uid)`:
+    *   d1: `SELECT shard, count(*), count(DISTINCT uid), sum(doc_id)
+    *        GROUP BY shard` at a current watermark — live fine groups
+    *        per shard ARE the distinct uids; ZERO base files (d1_files);
+    *   d2: the same query over a STALE watermark — the tail folds at the
+    *       fine grain first, so new/retracted uids surface exactly;
+    *   d3: the GLOBAL `count(DISTINCT uid)`;
+    *   d4: composed with the round-19 group filter —
+    *       `WHERE shard IN (3, 5)` — both features in one plan, zero
+    *       files (d4_files);
+    *   d5: the FALLBACK pin — `count(DISTINCT doc_id)` has no MV whose
+    *       group set contains doc_id, so the query must NOT rewrite.
+    * NULL uids (every 7th doc) pin count_distinct's null exclusion
+    * through the fine-group path. All values + counters are re-derived
+    * by DuckDB.
+    */
+  def mvDistinctRewriteReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mvdr:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmvdr_$sfx")
+    SinkFs.deleteRecursively(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_mvdr", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mvdr.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mvdr.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvdr.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvdr.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1200").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("graft_mvdr.docs_mvdr").append() // v1: bootstrap
+    s.sql("ALTER TABLE graft_mvdr.docs_mvdr ADD COLUMN uid BIGINT") // v2
+    def ingest(lo: Long, hi: Long): Unit =
+      docs(lo, hi)
+        .withColumn("uid", when(col("doc_id") % 7L === 0L, lit(null).cast("long"))
+          .otherwise(col("doc_id") % 50L))
+        .writeTo("graft_mvdr.docs_mvdr").append()
+    ingest(0L, 1000L) // v3
+    val dir = new java.io.File(root.getPath, "docs_mvdr").getPath
+    val mvD = dir + ".mvdu"
+    SinkMvDist.create(s, dir, mvD, Seq("shard", "uid"), Seq(
+      SinkMatView.MvAgg("n_rows", "count"),
+      SinkMatView.MvAgg("s_ids", "sum", "doc_id")), buckets = 8)
+    register(dir, mvD)
+    try {
+      s.experimental.extraOptimizations = Seq(SinkMvRewrite)
+      def base = s.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).load()
+      def shardQ = base.groupBy(col("shard"))
+        .agg(count(lit(1)).as("q_n"), count_distinct(col("uid")).as("q_du"),
+          sum("doc_id").as("q_sum"))
+      val r0 = rewrites.get()
+      // d1 — current watermark, zero base files
+      val c1 = ShardSink.dataFileReadCount.get()
+      val got1 = shardQ.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val d1Files = ShardSink.dataFileReadCount.get() - c1
+      // d2 — stale watermark: the tail folds at the fine grain first
+      ingest(1000L, 1200L) // v4
+      val got2 = shardQ.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      SinkMvDist.refresh(s, dir, mvD)
+      // d3 — the global distinct
+      val gDu = base.agg(count_distinct(col("uid")).as("g_du"))
+        .collect().head.getLong(0)
+      // d4 — distinct + group-column residual composed; zero files
+      val c4 = ShardSink.dataFileReadCount.get()
+      val got4 = base.where(col("shard").isin(3, 5)).groupBy(col("shard"))
+        .agg(count_distinct(col("uid")).as("f_du"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val d4Files = ShardSink.dataFileReadCount.get() - c4
+      // d5 — no MV's grain carries doc_id: MUST fall back
+      val r5 = rewrites.get()
+      val got5 = base.groupBy(col("shard"))
+        .agg(count_distinct(col("doc_id")).as("n")).collect()
+      val d5NoRewrite = rewrites.get() - r5 // 0
+      val nRewrites = rewrites.get() - r0 // d1 d2 d3 d4 = 4
+      import s.implicits._
+      val df1 = got1.toSeq.toDF("shard", "d1_n", "d1_du", "d1_sum")
+      val df2 = got2.toSeq.toDF("shard", "d2_n", "d2_du", "d2_sum")
+      df1.join(df2, "shard")
+        .withColumn("g_du", lit(gDu))
+        .withColumn("d4_du3", lit(got4.head._2))
+        .withColumn("d4_du5", lit(got4(1)._2))
+        .withColumn("d5_rows", lit(got5.length.toLong))
+        .withColumn("d5_total", lit(got5.map(_.getLong(1)).sum))
+        .withColumn("d5_extra_rewrites", lit(d5NoRewrite))
+        .withColumn("n_rewrites", lit(nRewrites))
+        .withColumn("d1_files_opened", lit(d1Files))
+        .withColumn("d4_files_opened", lit(d4Files))
+        .orderBy("shard")
+    } finally {
+      unregister(dir)
+      s.experimental.extraOptimizations = Nil
+    }
+  }
+
+  /** DuckDB re-derivation: docs 0..999 at d1, 0..1199 from d2 on; shard
+    * = doc % 16; uid = doc % 50, NULL on multiples of seven. Constants:
+    * 4 rewrites (d1–d4; d5's doc_id grain is unregistered and falls
+    * back — 0 extra rewrites); d1 and d4 opened 0 base data files; d5
+    * answers 16 shard rows totalling 1200 distinct doc_ids.
+    */
+  val mvDistinctRewriteReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id % 50 END AS uid
+      |  FROM range(0, 1200) t(doc_id)),
+      |g1 AS (SELECT * FROM g WHERE doc_id < 1000)
+      |SELECT a.shard,
+      |  a.d1_n, a.d1_du, a.d1_sum, b.d2_n, b.d2_du, b.d2_sum,
+      |  (SELECT CAST(COUNT(DISTINCT uid) AS BIGINT) FROM g) AS g_du,
+      |  (SELECT CAST(COUNT(DISTINCT uid) AS BIGINT) FROM g WHERE shard = 3) AS d4_du3,
+      |  (SELECT CAST(COUNT(DISTINCT uid) AS BIGINT) FROM g WHERE shard = 5) AS d4_du5,
+      |  CAST(16 AS BIGINT) AS d5_rows,
+      |  CAST(1200 AS BIGINT) AS d5_total,
+      |  CAST(0 AS BIGINT) AS d5_extra_rewrites,
+      |  CAST(4 AS BIGINT) AS n_rewrites,
+      |  CAST(0 AS BIGINT) AS d1_files_opened,
+      |  CAST(0 AS BIGINT) AS d4_files_opened
+      |FROM (SELECT shard, CAST(COUNT(*) AS BIGINT) AS d1_n,
+      |             CAST(COUNT(DISTINCT uid) AS BIGINT) AS d1_du,
+      |             CAST(SUM(doc_id) AS BIGINT) AS d1_sum
+      |      FROM g1 GROUP BY shard) a
+      |JOIN (SELECT shard, CAST(COUNT(*) AS BIGINT) AS d2_n,
+      |             CAST(COUNT(DISTINCT uid) AS BIGINT) AS d2_du,
+      |             CAST(SUM(doc_id) AS BIGINT) AS d2_sum
+      |      FROM g GROUP BY shard) b USING (shard)
+      |ORDER BY a.shard""".stripMargin
 
   /** Driver-checked JOIN-MV REWRITE (round 18): a fact ⋈ dim GROUP BY
     * (the reference's own flagship query shape) over a registered join
@@ -1149,17 +1815,12 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
       .option("numDocs", "2400").option("numPartitions", "2").load()
       .where(col("doc_id") >= lo && col("doc_id") < hi)
-    docs(0L, 0L).writeTo("graft_mvjr.dim_mvjr").append() // d1
-    s.sql("ALTER TABLE graft_mvjr.dim_mvjr ADD COLUMN region STRING") // d2
-    docs(0L, 16L)
-      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
-      .writeTo("graft_mvjr.dim_mvjr").append() // d3
-    docs(0L, 0L).writeTo("graft_mvjr.fact_mvjr").append() // f1
-    s.sql("ALTER TABLE graft_mvjr.fact_mvjr ADD COLUMN uid BIGINT") // f2
+    // base tables (d1–d3, f1–f3) from the JVM-shared star fixture —
+    // identical commits/versions to the inline build (round 19)
+    SinkFixtures.starInto(s, root.getPath, "dim_mvjr", "fact_mvjr")
     def ingest(lo: Long, hi: Long): Unit =
       docs(lo, hi).withColumn("uid", (col("doc_id") % 300L).cast("long"))
         .writeTo("graft_mvjr.fact_mvjr").append()
-    ingest(0L, 1200L) // f3
     val factDir = new java.io.File(root.getPath, "fact_mvjr").getPath
     val dimDir = new java.io.File(root.getPath, "dim_mvjr").getPath
     val mvDir = factDir + ".mvjr"
@@ -1240,6 +1901,145 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       |       CAST(0 AS BIGINT) AS d_files_opened
       |FROM g GROUP BY d_region, uid ORDER BY d_region, uid""".stripMargin
 
+  /** Driver-checked DIM-TAIL COMPENSATION (round 19): the join-MV
+    * rewrite across a MOVED dim with no fact rescan — the MV's grain
+    * includes the fk (`shard`), so state rows are key-addressable:
+    *   A: both watermarks current → rewritten, zero files (a_files);
+    *   B: a dim attribute UPDATE (region of key 5 → 'rX') → the changed
+    *      key's state rows REMAP to the post-image group at query time;
+    *      the rewrite fires (no cost refusal) reading only the dim +
+    *      its feed — far fewer files than the 16-file compacted fact
+    *      (b_files_lt8 pins it);
+    *   C: a dim INSERT (genuinely key-changing) → the plan-time probe
+    *      DISQUALIFIES the compensation and the base join answers
+    *      (c_extra_rewrites pins 0; cost_fallbacks unchanged — this is
+    *      a derivability refusal, not a cost one);
+    *   D: after a refresh folds both dim commits → rewritten, zero
+    *      files;
+    *   E: a dim key DELETE (key 9) → compensation DROPS the key's state
+    *      rows — the final table excludes shard 9 and is the hash-gated
+    *      output (B ≡ D row-set equality rides as bd_equal).
+    */
+  def mvDimTailRewriteReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(("mvdt:" + sfDir).getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sinkmvdt_$sfx")
+    SinkFs.deleteRecursively(root)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft_mvdt", classOf[ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mvdt.root", root.getPath)
+    s.conf.set("spark.sql.catalog.graft_mvdt.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvdt.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.graft_mvdt.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1200").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    // base tables (d1–d3, f1–f3) from the JVM-shared star fixture —
+    // identical commits/versions to the inline build (round 19)
+    SinkFixtures.starInto(s, root.getPath, "dim_mvdt", "fact_mvdt")
+    val factDir = new java.io.File(root.getPath, "fact_mvdt").getPath
+    val dimDir = new java.io.File(root.getPath, "dim_mvdt").getPath
+    ShardSink.compact(factDir) // f4: shard-pure 16-file layout
+    val mvDir = factDir + ".mvdt"
+    // the FINE grain: fk (shard) rides the group set — the compensation's
+    // addressability condition
+    SinkMvDist.createJoin(s, factDir, dimDir, mvDir, fk = "shard", pk = "doc_id",
+      groups = Seq("shard", "d_region", "uid"), aggs = Seq(
+        SinkMatView.MvAgg("n_docs", "count"),
+        SinkMatView.MvAgg("sum_ids", "sum", "doc_id")), buckets = 8)
+    register(factDir, mvDir)
+    try {
+      s.experimental.extraOptimizations = Seq(SinkMvRewrite)
+      def q = s.read.format("graft.sources.ShardSinkSource")
+        .option("path", factDir).load()
+        .join(s.read.format("graft.sources.ShardSinkSource")
+          .option("path", dimDir).load()
+          .select(col("doc_id").as("dk"), col("region")),
+          col("shard") === col("dk"), "inner")
+        .groupBy(col("region"), col("uid"))
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val r0 = rewrites.get()
+      val cf0 = costFallbacks.get()
+      // A — current watermarks
+      val cA = ShardSink.dataFileReadCount.get()
+      val gotA = q.collect()
+      val aFiles = ShardSink.dataFileReadCount.get() - cA
+      val aTotal = gotA.map(_.getLong(3)).sum
+      // B — attribute-only dim move: compensated, fact never rescanned
+      s.sql("UPDATE graft_mvdt.dim_mvdt SET region = 'rX' WHERE doc_id = 5") // d4
+      val cB = ShardSink.dataFileReadCount.get()
+      val gotB = canon(q.collect())
+      val bFiles = ShardSink.dataFileReadCount.get() - cB
+      val bRewrites = rewrites.get() - r0 // A + B = 2
+      // C — a key-CHANGING dim commit: the probe refuses, base answers
+      docs(16L, 18L).withColumn("region", lit("r9"))
+        .writeTo("graft_mvdt.dim_mvdt").append() // d5
+      q.collect()
+      val cExtra = rewrites.get() - r0 - bRewrites // 0
+      SinkMvDist.refresh(s, factDir, mvDir) // fold d4 + d5
+      // D — current again
+      val cD = ShardSink.dataFileReadCount.get()
+      val gotD = canon(q.collect())
+      val dFiles = ShardSink.dataFileReadCount.get() - cD
+      // E — a dim key DELETE: compensation drops shard-9 state rows
+      s.sql("DELETE FROM graft_mvdt.dim_mvdt WHERE doc_id = 9") // d6
+      val gotE = q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val nRewrites = rewrites.get() - r0 // A B D E = 4
+      val cfDelta = costFallbacks.get() - cf0 // 0
+      import s.implicits._
+      gotE.toSeq.toDF("d_region", "uid", "n_docs", "sum_ids")
+        .withColumn("a_rows", lit(gotA.length.toLong))
+        .withColumn("a_total", lit(aTotal))
+        .withColumn("bd_equal", lit(if (gotB.toSet == gotD.toSet) 1L else 0L))
+        .withColumn("n_rewrites", lit(nRewrites))
+        .withColumn("b_rewrites", lit(bRewrites))
+        .withColumn("c_extra_rewrites", lit(cExtra))
+        .withColumn("cost_fallbacks", lit(cfDelta))
+        .withColumn("a_files_opened", lit(aFiles))
+        .withColumn("d_files_opened", lit(dFiles))
+        .withColumn("b_files_lt8", lit(if (bFiles < 8L) 1L else 0L))
+        .orderBy("d_region", "uid")
+    } finally {
+      unregister(factDir)
+      s.experimental.extraOptimizations = Nil
+    }
+  }
+
+  /** DuckDB re-derivation: fact rows are docs 0..1199, uid = doc % 300,
+    * shard s = doc % 16; the final (leg-E) region map is rX for 5 (the
+    * compensated move) else r(s % 3), with shard 9 EXCLUDED (the
+    * compensated key delete); legs B and D must agree row-for-row
+    * (bd_equal). Constants: 4 rewrites (A, B, D, E — C's key-changing
+    * window is a derivability refusal: 0 extra rewrites AND 0 cost
+    * fallbacks); A and D opened 0 data files; B read fewer than 8 files
+    * (the dim + its feed) against the 16-file compacted fact.
+    */
+  val mvDimTailRewriteReportSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 300 AS uid, CAST(doc_id % 16 AS INT) AS s
+      |  FROM range(0, 1200) t(doc_id)),
+      |m AS (
+      |  SELECT doc_id, uid,
+      |         CASE WHEN s = 5 THEN 'rX' ELSE 'r' || CAST(s % 3 AS VARCHAR) END AS d_region
+      |  FROM g WHERE s <> 9)
+      |SELECT d_region, uid, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+      |          SELECT DISTINCT 'r' || CAST(s % 3 AS VARCHAR), uid FROM g)) AS a_rows,
+      |       (SELECT CAST(SUM(doc_id) AS BIGINT) FROM g) AS a_total,
+      |       CAST(1 AS BIGINT) AS bd_equal,
+      |       CAST(4 AS BIGINT) AS n_rewrites,
+      |       CAST(2 AS BIGINT) AS b_rewrites,
+      |       CAST(0 AS BIGINT) AS c_extra_rewrites,
+      |       CAST(0 AS BIGINT) AS cost_fallbacks,
+      |       CAST(0 AS BIGINT) AS a_files_opened,
+      |       CAST(0 AS BIGINT) AS d_files_opened,
+      |       CAST(1 AS BIGINT) AS b_files_lt8
+      |FROM m GROUP BY d_region, uid ORDER BY d_region, uid""".stripMargin
+
   /** Driver-checked SNOWFLAKE-MV REWRITE (round 18): the full chain
     * query — `fact ⋈ dim1 ⋈ dim2 GROUP BY (zone, region, uid)`, dim2
     * keyed off dim1's `catk` column — answered from the snowflake MV
@@ -1267,24 +2067,12 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
     def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
       .option("numDocs", "2400").option("numPartitions", "2").load()
       .where(col("doc_id") >= lo && col("doc_id") < hi)
-    docs(0L, 0L).writeTo("graft_mvsr.dim2_mvsr").append() // e1
-    s.sql("ALTER TABLE graft_mvsr.dim2_mvsr ADD COLUMN zone STRING") // e2
-    docs(0L, 4L)
-      .withColumn("zone", concat(lit("z"), (col("doc_id") % 2).cast("string")))
-      .writeTo("graft_mvsr.dim2_mvsr").append() // e3
-    docs(0L, 0L).writeTo("graft_mvsr.dim1_mvsr").append() // d1
-    s.sql("ALTER TABLE graft_mvsr.dim1_mvsr ADD COLUMN region STRING") // d2
-    s.sql("ALTER TABLE graft_mvsr.dim1_mvsr ADD COLUMN catk BIGINT") // d3
-    docs(0L, 16L)
-      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
-      .withColumn("catk", (col("doc_id") % 4).cast("long"))
-      .writeTo("graft_mvsr.dim1_mvsr").append() // d4
-    docs(0L, 0L).writeTo("graft_mvsr.fact_mvsr").append() // f1
-    s.sql("ALTER TABLE graft_mvsr.fact_mvsr ADD COLUMN uid BIGINT") // f2
+    // base tables (e1–e3, d1–d4, f1–f3) from the JVM-shared snowflake
+    // fixture — identical commits/versions to the inline build (round 19)
+    SinkFixtures.snowInto(s, root.getPath, "dim2_mvsr", "dim1_mvsr", "fact_mvsr")
     def ingest(lo: Long, hi: Long): Unit =
       docs(lo, hi).withColumn("uid", (col("doc_id") % 150L).cast("long"))
         .writeTo("graft_mvsr.fact_mvsr").append()
-    ingest(0L, 1200L) // f3
     val factDir = new java.io.File(root.getPath, "fact_mvsr").getPath
     val d1Dir = new java.io.File(root.getPath, "dim1_mvsr").getPath
     val d2Dir = new java.io.File(root.getPath, "dim2_mvsr").getPath

@@ -228,6 +228,10 @@ object Sinks {
     "q_dsv2_mv_snowflake" -> (SinkMvDist.mvSnowflakeReport _),
     "s_mvsnow_stream_parity" -> (SinkMvDist.mvSnowflakeStreamParity _),
     "q_dsv2_mv_rewrite" -> (SinkMvRewrite.mvRewriteReport _),
+    "q_dsv2_mv_filter_rewrite" -> (SinkMvRewrite.mvFilterRewriteReport _),
+    "q_dsv2_mv_distinct_rewrite" -> (SinkMvRewrite.mvDistinctRewriteReport _),
+    "q_dsv2_mv_sql_ddl" -> (SinkMvDdl.mvSqlDdlReport _),
+    "q_dsv2_mv_dimtail_rewrite" -> (SinkMvRewrite.mvDimTailRewriteReport _),
     "q_dsv2_mv_join_rewrite" -> (SinkMvRewrite.mvJoinRewriteReport _),
     "q_dsv2_mv_snow_rewrite" -> (SinkMvRewrite.mvSnowRewriteReport _),
     "q_dsv2_mv_auto_rebucket" -> (SinkMvDist.mvAutoRebucketReport _),
@@ -300,6 +304,10 @@ object Sinks {
     "q_dsv2_mv_snowflake" -> SinkMvDist.mvSnowflakeReportSql,
     "s_mvsnow_stream_parity" -> SinkMvDist.mvSnowflakeStreamParitySql,
     "q_dsv2_mv_rewrite" -> SinkMvRewrite.mvRewriteReportSql,
+    "q_dsv2_mv_filter_rewrite" -> SinkMvRewrite.mvFilterRewriteReportSql,
+    "q_dsv2_mv_distinct_rewrite" -> SinkMvRewrite.mvDistinctRewriteReportSql,
+    "q_dsv2_mv_sql_ddl" -> SinkMvDdl.mvSqlDdlReportSql,
+    "q_dsv2_mv_dimtail_rewrite" -> SinkMvRewrite.mvDimTailRewriteReportSql,
     "q_dsv2_mv_join_rewrite" -> SinkMvRewrite.mvJoinRewriteReportSql,
     "q_dsv2_mv_snow_rewrite" -> SinkMvRewrite.mvSnowRewriteReportSql,
     "q_dsv2_mv_auto_rebucket" -> SinkMvDist.mvAutoRebucketReportSql,

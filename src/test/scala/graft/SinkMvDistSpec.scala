@@ -88,6 +88,48 @@ class SinkMvDistSpec extends SparkSpec {
     assert(!noop.applied)
   }
 
+  test("typed extremes (dmin/dmax/smin/smax) fold, dirty-recompute and round-trip the codec") {
+    val dir = freshDir("mvd_typed")
+    val mvDir = mvDirOf(dir)
+    append(dir, 0L, 800L) // v1
+    // bodies are md5 strings; the double kinds ride doc_id (CAST keeps
+    // the SQL-string expression in DOUBLE arithmetic — a bare `/ 4.0`
+    // literal is DECIMAL division)
+    SinkMvDist.create(spark, dir, mvDir, Seq("shard"), Seq(
+      MvAgg("n", "count"),
+      MvAgg("dmx", "dmax", "cast(doc_id as double) / 4"),
+      MvAgg("dmn", "dmin", "cast(doc_id as double) / 4"),
+      MvAgg("smx", "smax", "body"),
+      MvAgg("smn", "smin", "body")), buckets = 4)
+    def sourceTyped: Set[(Int, Long, Double, Double, String, String)] =
+      spark.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"),
+          max(expr("cast(doc_id as double) / 4")).as("dmx"),
+          min(expr("cast(doc_id as double) / 4")).as("dmn"),
+          max(col("body")).as("smx"), min(col("body")).as("smn"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getString(4), r.getString(5))).toSet
+    def mvTyped: Set[(Int, Long, Double, Double, String, String)] =
+      SinkMvDist.read(spark, mvDir)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getString(4), r.getString(5))).toSet
+    assert(mvTyped === sourceTyped) // create + codec round trip
+    // an append extends all four extremes on the clean fast path
+    append(dir, 800L, 1600L) // v2
+    val r1 = SinkMvDist.refresh(spark, dir, mvDir)
+    assert(r1.applied && r1.dirtyGroups === 0L, r1.toString)
+    assert(mvTyped === sourceTyped)
+    // a tail delete removes every shard's recorded dmax AND the smax/smin
+    // where the extreme body sat in the tail — the dirty recompute
+    // re-derives exactly those groups in their own types
+    SinkTestAccess.morDeleteWhere(dir,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 1000L))) // v3
+    val r2 = SinkMvDist.refresh(spark, dir, mvDir)
+    assert(r2.applied && r2.dirtyGroups > 0L, r2.toString)
+    assert(mvTyped === sourceTyped)
+  }
+
   test("driver materialization is bounded by buckets, independent of group cardinality") {
     // identical lifecycle at per-doc grain with 4x the groups: the
     // counter must grow by the same bounded amount (≤ buckets + 2 per
@@ -501,6 +543,29 @@ class SinkMvDistSpec extends SparkSpec {
     assert(eK.getMessage.contains("resolves against none"), eK.getMessage)
   }
 
+  test("a segment swept between plan and execution fails with the NAMED error") {
+    val dir = freshDir("mvd_swept")
+    val mvDir = mvDirOf(dir)
+    append(dir, 0L, 400L)
+    SinkMvDist.create(spark, dir, mvDir, Seq("shard"), rollupAggs, buckets = 4)
+    val df = SinkMvDist.read(spark, mvDir)
+    df.queryExecution.executedPlan // pin the plan — and the v1 segment refs
+    // a rebucket rewrites EVERY segment, so the eager vacuum sweeps all
+    // of v1's — exactly the maintenance race the registration contract
+    // documents (refresh/rebucket + vacuum between a reader's plan and
+    // its execution)
+    SinkMvDist.rebucket(spark, mvDir, 8)
+    SinkMvDist.vacuum(mvDir, retainVersions = 1, olderThanMillis = 0L)
+    val e = intercept[Throwable](df.collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    val msgs = chain(e).map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("vacuumed between plan and execution"),
+      s"expected the NAMED swept-state error, got: $e")
+    // the current state still answers — a fresh read re-resolves cleanly
+    assert(SinkMvDist.read(spark, mvDir).count() === 16L)
+  }
+
   test("lookup reads exactly the key's bucket — the KV probe over MV state") {
     val dir = freshDir("mvd_lookup")
     val mvDir = mvDirOf(dir)
@@ -513,8 +578,15 @@ class SinkMvDistSpec extends SparkSpec {
     assert(rows.head.getLong(0) === 123L && rows.head.getLong(1) === 1L &&
       rows.head.getLong(2) === 123L)
     // physical IO: only the key's bucket's segment files were planned —
-    // never the whole state
-    val opened = probe.inputFiles.map(f => new java.io.File(f).getName).toSet
+    // never the whole state (read via the named-error state source, so
+    // the pin inspects its planned partitions; inputFiles only surfaces
+    // file-table relations)
+    val opened = probe.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.partitions.flatten.collect {
+          case p: graft.sources.MvStateFilePartition => p.file
+        }
+    }.flatten.toSet
     val byBucket = SinkMvDist.stateFiles(mvDir, 1L).groupBy(_._1)
     val owning = byBucket.find { case (_, fs) => fs.map(_._2).toSet == opened }
     assert(owning.isDefined,

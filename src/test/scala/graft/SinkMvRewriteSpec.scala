@@ -188,6 +188,51 @@ class SinkMvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("count(DISTINCT group column) answers from the fine-grain MV; non-linear companions gate off") {
+    val dir = freshDir("mvrw_dc")
+    val mvDir = dir + ".mvd"
+    val s = spark.newSession()
+    append(s, dir, 0L, 600L)
+    SinkMvDist.create(s, dir, mvDir, Seq("shard", "doc_id"), Seq(
+      MvAgg("n", "count"), MvAgg("sd", "sum", "doc_id"),
+      MvAgg("x", "xor", "doc_id")), buckets = 4)
+    SinkMvRewrite.register(dir, mvDir)
+    try {
+      s.experimental.extraOptimizations = Seq(SinkMvRewrite)
+      def base = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+      val r0 = SinkMvRewrite.rewrites.get()
+      // fine-grain subsumption: doc_id is an MV group column, so live
+      // fine groups per shard ARE the distinct doc_ids — zero base files
+      val q = base.groupBy(col("shard"))
+        .agg(count_distinct(col("doc_id")).as("du"), count(lit(1)).as("n"),
+          sum("doc_id").as("sd"))
+      val c0 = ShardSink.dataFileReadCount.get()
+      val got = q.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(SinkMvRewrite.rewrites.get() === r0 + 1L, "count(distinct) did not rewrite")
+      assert(ShardSink.dataFileReadCount.get() - c0 === 0L,
+        "the distinct rewrite opened base data files")
+      val want = spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).load().groupBy(col("shard"))
+        .agg(count_distinct(col("doc_id")).as("du"), count(lit(1)).as("n"),
+          sum("doc_id").as("sd"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === want)
+      // a non-linear companion (bit_xor does not re-roll through the
+      // two-level distinct aggregation) must fall back
+      base.groupBy(col("shard"))
+        .agg(count_distinct(col("doc_id")).as("du"), expr("bit_xor(doc_id)").as("x"))
+        .collect()
+      assert(SinkMvRewrite.rewrites.get() === r0 + 1L, "distinct+xor was rewritten")
+      // a distinct column outside the MV's group set must fall back
+      base.groupBy(col("shard")).agg(count_distinct(col("body")).as("du")).collect()
+      assert(SinkMvRewrite.rewrites.get() === r0 + 1L, "non-grain distinct was rewritten")
+    } finally {
+      SinkMvRewrite.unregister(dir)
+      s.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("a stale MV whose tail expired under compaction falls back to the base scan") {
     val dir = freshDir("mvrw_hz")
     val mvDir = dir + ".mvd"
@@ -572,6 +617,72 @@ class SinkMvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("typed extremes: dmax/smin slots rewrite; a retracting tail takes the hybrid path") {
+    val root = java.nio.file.Files.createTempDirectory("mvrw_tex").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.mvrwt", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.mvrwt.root", root)
+    s.conf.set("spark.sql.catalog.mvrwt.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mvrwt.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mvrwt.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "1000").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("mvrwt.docs").append() // v1
+    s.sql("ALTER TABLE mvrwt.docs ADD COLUMN score DOUBLE") // v2
+    docs(0L, 1000L).withColumn("score",
+      when(col("doc_id") % 5L === 0L, lit(null).cast("double"))
+        .otherwise(col("doc_id") / lit(4.0)))
+      .writeTo("mvrwt.docs").append() // v3
+    val dir = new java.io.File(root, "docs").getPath
+    val mvDir = dir + ".mvd"
+    SinkMvDist.create(s, dir, mvDir, Seq("shard"), Seq(
+      MvAgg("n", "count"),
+      MvAgg("mx", "dmax", "score"),
+      MvAgg("mb", "smin", "body")), buckets = 4)
+    SinkMvRewrite.register(dir, mvDir)
+    try {
+      s.experimental.extraOptimizations = Seq(SinkMvRewrite)
+      def q = s.read.format("graft.sources.ShardSinkSource").option("path", dir).load()
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), max("score").as("mx"), min("body").as("mb"))
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+      def want = canon(spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", dir).load()
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), max("score").as("mx"), min("body").as("mb"))
+        .collect())
+      // current watermark: the typed slots answer with zero base files
+      // (DOUBLE and STRING values round-trip the segment codec exactly)
+      val r0 = SinkMvRewrite.rewrites.get()
+      val c0 = ShardSink.dataFileReadCount.get()
+      val got0 = canon(q.collect())
+      assert(SinkMvRewrite.rewrites.get() === r0 + 1L, "typed extremes did not rewrite")
+      assert(ShardSink.dataFileReadCount.get() - c0 === 0L,
+        "typed-extreme rewrite opened base data files")
+      assert(got0 === want)
+      // shard-pure layout first (the MoR delete's feed then touches ONE
+      // shard file instead of ≈ the whole table — on the mixed layout
+      // the cost guard rightly refuses); MV refreshed across the no-data
+      // commit before the horizon moves
+      ShardSink.compact(dir) // v4
+      SinkMvDist.refresh(s, dir, mvDir)
+      // a retracting tail: shard 5 loses its top half — its recorded
+      // dmax (score rides doc_id) is removed and the smin may be too, so
+      // the hybrid path recomputes the dirty group and splices it
+      s.sql("DELETE FROM mvrwt.docs WHERE shard = 5 AND doc_id >= 500") // v5
+      val r1 = SinkMvRewrite.rewrites.get()
+      val got1 = canon(q.collect())
+      assert(SinkMvRewrite.rewrites.get() === r1 + 1L,
+        "retracting typed tail did not hybrid-rewrite")
+      assert(got1 === want)
+    } finally {
+      SinkMvRewrite.unregister(dir)
+      s.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("derived aggregates: avg, count(col) and sum(double) answer from MV slots") {
     val root = java.nio.file.Files.createTempDirectory("mvrw_der").toString
     val s = spark.newSession()
@@ -761,6 +872,80 @@ class SinkMvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("dim-tail compensation: attr-only dim moves remap state; key changes refuse") {
+    val root = java.nio.file.Files.createTempDirectory("mvrw_dt").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.mvrwdt", classOf[graft.sources.ShardSinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.mvrwdt.root", root)
+    s.conf.set("spark.sql.catalog.mvrwdt.rlo.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mvrwdt.delete.mode", "merge-on-read")
+    s.conf.set("spark.sql.catalog.mvrwdt.cdf.enabled", "true")
+    def docs(lo: Long, hi: Long) = s.read.format("graft.sources.DocGenSource")
+      .option("numDocs", "800").option("numPartitions", "2").load()
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+    docs(0L, 0L).writeTo("mvrwdt.dim").append()
+    s.sql("ALTER TABLE mvrwdt.dim ADD COLUMN region STRING")
+    docs(0L, 16L)
+      .withColumn("region", concat(lit("r"), (col("doc_id") % 3).cast("string")))
+      .writeTo("mvrwdt.dim").append()
+    docs(0L, 800L).writeTo("mvrwdt.fact").append()
+    val factDir = new java.io.File(root, "fact").getPath
+    val dimDir = new java.io.File(root, "dim").getPath
+    val mvDir = factDir + ".mvdt"
+    SinkMvDist.createJoin(s, factDir, dimDir, mvDir, fk = "shard", pk = "doc_id",
+      groups = Seq("shard", "d_region"), aggs = Seq(
+        MvAgg("n", "count"), MvAgg("sd", "sum", "doc_id")), buckets = 4)
+    SinkMvRewrite.register(factDir, mvDir)
+    try {
+      s.experimental.extraOptimizations = Seq(SinkMvRewrite)
+      def q = s.read.format("graft.sources.ShardSinkSource")
+        .option("path", factDir).load()
+        .join(s.read.format("graft.sources.ShardSinkSource")
+          .option("path", dimDir).load()
+          .select(col("doc_id").as("dk"), col("region")),
+          col("shard") === col("dk"), "inner")
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
+      def want = spark.read.format("graft.sources.ShardSinkSource")
+        .option("path", factDir).load()
+        .join(spark.read.format("graft.sources.ShardSinkSource")
+          .option("path", dimDir).load()
+          .select(col("doc_id").as("dk"), col("region")),
+          col("shard") === col("dk"), "inner")
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // an attribute-only dim UPDATE: the rewrite fires WITHOUT the fact
+      // in the plan (the compensation reads state + dim + feed only)
+      s.sql("UPDATE mvrwdt.dim SET region = 'rX' WHERE doc_id = 5")
+      val r0 = SinkMvRewrite.rewrites.get()
+      val qq = q
+      val got = qq.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(SinkMvRewrite.rewrites.get() === r0 + 1L,
+        "the attr-only dim tail did not compensate-rewrite")
+      val plan = qq.queryExecution.executedPlan.toString
+      assert(!plan.contains(s"ShardSinkScan[$factDir,"),
+        s"the compensated rewrite still scans the fact: $plan")
+      assert(got === want)
+      // a dim DELETE (key 7 leaves): compensation drops its state rows
+      s.sql("DELETE FROM mvrwdt.dim WHERE doc_id = 7")
+      val got2 = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(SinkMvRewrite.rewrites.get() === r0 + 2L,
+        "the dim-delete tail did not compensate-rewrite")
+      assert(got2 === want)
+      // a genuinely KEY-CHANGING dim tail (an insert) must refuse — the
+      // new key would pull fact rows the state never saw
+      docs(16L, 17L).withColumn("region", lit("r9")).writeTo("mvrwdt.dim").append()
+      val got3 = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(SinkMvRewrite.rewrites.get() === r0 + 2L,
+        "a key-changing dim tail was compensated")
+      assert(got3 === want)
+    } finally {
+      SinkMvRewrite.unregister(factDir)
+      s.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("snowflake rewrite: the chain query answers from the snowflake MV") {
     val root = java.nio.file.Files.createTempDirectory("mvrw_snow").toString
     val s = spark.newSession()
@@ -845,9 +1030,11 @@ class SinkMvRewriteSpec extends SparkSpec {
       val gotA = canon(qa.collect())
       assert(SinkMvRewrite.rewrites.get() === r0 + 2L, "aliased-fact chain did not rewrite")
       assert(gotA === want)
-      // a REAL IS NOT NULL filter on a NON-key column pushed into a side
-      // must refuse: the MV still counts those rows (the nn-peel is valid
-      // for matched join keys only)
+      // a REAL IS NOT NULL filter on a non-key GROUP column pushed into
+      // a side is a round-19 filtered-rollup residual: uid is an MV
+      // group column, so the filter applies to state fine-groups exactly
+      // and the query REWRITES (pre-r19 this had to refuse — the nn-peel
+      // alone is valid for matched join keys only)
       val rNn = SinkMvRewrite.rewrites.get()
       val qn = fact.where(col("uid").isNotNull)
         .join(d1.select(col("doc_id").as("d1k"), col("region"), col("catk")),
@@ -857,8 +1044,8 @@ class SinkMvRewriteSpec extends SparkSpec {
         .groupBy(col("zone"), col("region"), col("uid"))
         .agg(count(lit(1)).as("n"), sum("doc_id").as("sd"))
       val gotN = canon(qn.collect())
-      assert(SinkMvRewrite.rewrites.get() === rNn,
-        "a non-key IS NOT NULL filter was absorbed into the rewrite")
+      assert(SinkMvRewrite.rewrites.get() === rNn + 1L,
+        "the group-column IS NOT NULL residual did not rewrite")
       assert(gotN === canon(spark.read.format("graft.sources.ShardSinkSource")
         .option("path", factDir).load().where(col("uid").isNotNull)
         .join(spark.read.format("graft.sources.ShardSinkSource").option("path", d1Dir).load()
@@ -869,6 +1056,18 @@ class SinkMvRewriteSpec extends SparkSpec {
           col("catk") === col("d2k"), "inner")
         .groupBy(col("zone"), col("region"), col("uid"))
         .agg(count(lit(1)).as("n"), sum("doc_id").as("sd")).collect()))
+      // a residual over a NON-group column (body is no MV group) must
+      // still fall back — group-column-only is the exactness condition
+      val rNg = SinkMvRewrite.rewrites.get()
+      fact.where(length(col("body")) >= 0)
+        .join(d1.select(col("doc_id").as("d1k"), col("region"), col("catk")),
+          col("shard") === col("d1k"), "inner")
+        .join(d2.select(col("doc_id").as("d2k"), col("zone")),
+          col("catk") === col("d2k"), "inner")
+        .groupBy(col("zone"), col("region"), col("uid"))
+        .agg(count(lit(1)).as("n")).collect()
+      assert(SinkMvRewrite.rewrites.get() === rNg,
+        "a non-group-column residual was absorbed into the rewrite")
     } finally {
       SinkMvRewrite.unregister(factDir)
       s.experimental.extraOptimizations = Nil
