@@ -6511,6 +6511,10 @@ class ShardSinkCatalog extends org.apache.spark.sql.connector.catalog.TableCatal
         SinkMvDdl.refresh(
           org.apache.spark.sql.SparkSession.active, dir, sp.value)
         ()
+      // re-wire a persisted MV after a JVM restart (registration is
+      // in-memory; the census shows registered = false until this)
+      case sp: TableChange.SetProperty if sp.property == "graft.mv.attach" =>
+        SinkMvDdl.attach(dir, sp.value)
       case sp: TableChange.SetProperty if sp.property.startsWith("graft.mv.") =>
         SinkMvDdl.create(org.apache.spark.sql.SparkSession.active, dir,
           sp.property.stripPrefix("graft.mv."), sp.value)

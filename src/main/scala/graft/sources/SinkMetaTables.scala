@@ -69,7 +69,10 @@ object ShardSinkMetaTable {
       StructField("mv_version", LongType, nullable = false),
       StructField("n_segments", LongType, nullable = false),
       StructField("state_bytes", LongType, nullable = false),
-      StructField("watermark_current", BooleanType, nullable = false)))
+      StructField("watermark_current", BooleanType, nullable = false),
+      // registration is in-memory: a persisted MV shows false after a
+      // JVM restart until 'graft.mv.attach' re-wires it
+      StructField("registered", BooleanType, nullable = false)))
     // Iceberg's `db.table.partitions` analogue over the shard layout:
     // one row per shard of PURE files (the clustered/compacted state),
     // plus ONE NULL-shard row rolling up files that straddle shards or
@@ -123,7 +126,7 @@ object ShardSinkMetaTable {
       SinkMvDdl.list(dir).map { i =>
         Array[Any](u(i.name), u(i.groups), u(i.pred), u(i.aggs),
           i.buckets.toLong, i.srcV, i.mvVersion, i.nSegments.toLong,
-          i.stateBytes, i.srcV == cur)
+          i.stateBytes, i.srcV == cur, i.registered)
       }
     case "partitions" =>
       val es = ShardSink.committedEntries(dir)

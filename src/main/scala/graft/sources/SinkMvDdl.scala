@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   *       rule (`spark.experimental.extraOptimizations`);
   *   ALTER TABLE <cat>.<t> SET TBLPROPERTIES ('graft.mv.refresh' = '<name>')
   *     → one incremental refresh to the current watermark(s);
+  *   ALTER TABLE <cat>.<t> SET TBLPROPERTIES ('graft.mv.attach' = '<name>')
+  *     → RE-WIRE a persisted MV into the rewrite after a JVM restart
+  *       (registration is in-memory; the census's `registered` column
+  *       shows the detached state) — no state rebuild;
   *   ALTER TABLE <cat>.<t> UNSET TBLPROPERTIES ('graft.mv.<name>')
   *     → unregister from the rewrite and DROP the state directory;
   *   SELECT * FROM <cat>.<t>.mvs
@@ -44,8 +48,8 @@ object SinkMvDdl {
 
   private def requireName(name: String): Unit = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid MV name '$name'")
-    require(name != "refresh",
-      "the MV name 'refresh' is reserved (it is the refresh key)")
+    require(name != "refresh" && name != "attach",
+      s"the MV name '$name' is reserved (refresh/attach are operation keys)")
   }
 
   /** The conventional state directory — a SIBLING of the table dir, like
@@ -81,6 +85,21 @@ object SinkMvDdl {
     SinkMvDist.refresh(spark, tableDir, mvDir)
   }
 
+  /** Re-wire a PERSISTED MV into the rewrite — registration is
+    * in-memory, so after a JVM restart the state directory survives but
+    * the rewrite no longer consults it (the census shows
+    * `registered = false`). `SET TBLPROPERTIES ('graft.mv.attach' =
+    * '<name>')` re-attaches without rebuilding state (review fix: the
+    * only previous SQL remedy was UNSET + a full re-create).
+    */
+  def attach(tableDir: String, name: String): Unit = {
+    requireName(name)
+    val mvDir = mvDirFor(tableDir, name)
+    require(SinkMvDist.currentVersion(mvDir) > 0L,
+      s"no materialized view named '$name' on $tableDir")
+    SinkMvRewrite.register(tableDir, mvDir)
+  }
+
   def drop(tableDir: String, name: String): Unit = {
     requireName(name)
     val mvDir = mvDirFor(tableDir, name)
@@ -100,7 +119,11 @@ object SinkMvDdl {
     *       (`'graft.mv.refresh' = 'rollup'`), the same query answers at
     *       the current watermark, zero files again (s2_files);
     *   m:  `SELECT … FROM <cat>.<t>.mvs` — the census row pins the
-    *       definition, both versions and the currency flag;
+    *       definition, both versions, currency and registration flags;
+    *   r:  a simulated JVM RESTART (the in-memory registration drops,
+    *       the census shows `registered = false`) followed by the SQL
+    *       `('graft.mv.attach' = 'rollup')` — the rewrite resumes on
+    *       the persisted state with zero files and no rebuild;
     *   d:  `UNSET TBLPROPERTIES ('graft.mv.rollup')` drops the view —
     *       the same query falls back to the base scan (0 extra
     *       rewrites, value parity) and the census goes empty.
@@ -144,16 +167,27 @@ object SinkMvDdl {
       // m — the census
       val mvs = s.sql(
         """SELECT name, group_cols, aggs, buckets, src_version, mv_version,
-          |       n_segments, watermark_current
+          |       n_segments, watermark_current, registered
           |FROM graft_mvsq.docs_mvsq.mvs""".stripMargin).collect()
       val m = mvs.head
+      // r — a JVM restart loses the IN-MEMORY registration while the
+      // state dir survives: simulate the detach, observe the census
+      // showing it, RE-ATTACH through SQL, and the rewrite resumes on
+      // the existing state (s3, zero files — no rebuild)
+      SinkMvRewrite.unregister(dir, mvDirFor(dir, "rollup"))
+      val detached = s.sql(
+        "SELECT registered FROM graft_mvsq.docs_mvsq.mvs").collect().head.getBoolean(0)
+      s.sql("ALTER TABLE graft_mvsq.docs_mvsq SET TBLPROPERTIES ('graft.mv.attach' = 'rollup')")
+      val c3 = ShardSink.dataFileReadCount.get()
+      q.collect()
+      val s3Files = ShardSink.dataFileReadCount.get() - c3
       // d — DROP via UNSET: the query falls back and the census empties
       s.sql("ALTER TABLE graft_mvsq.docs_mvsq UNSET TBLPROPERTIES ('graft.mv.rollup')")
       val r3 = SinkMvRewrite.rewrites.get()
       val got3 = q.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       val dExtra = SinkMvRewrite.rewrites.get() - r3 // 0
       val nMvsAfter = s.sql("SELECT * FROM graft_mvsq.docs_mvsq.mvs").count()
-      val nRewrites = SinkMvRewrite.rewrites.get() - r0 // s1 + s2 = 2
+      val nRewrites = SinkMvRewrite.rewrites.get() - r0 // s1 + s2 + s3 = 3
       import s.implicits._
       val df1 = got1.toSeq.toDF("shard", "s1_n", "s1_sum")
       val df2 = got2.toSeq.toDF("shard", "s2_n", "s2_sum")
@@ -167,6 +201,9 @@ object SinkMvDdl {
         .withColumn("mv_version", lit(m.getLong(5)))
         .withColumn("seg_ge1", lit(if (m.getLong(6) >= 1L) 1L else 0L))
         .withColumn("mv_current", lit(if (m.getBoolean(7)) 1L else 0L))
+        .withColumn("mv_registered", lit(if (m.getBoolean(8)) 1L else 0L))
+        .withColumn("r_detached", lit(if (!detached) 1L else 0L))
+        .withColumn("s3_files_opened", lit(s3Files))
         .withColumn("n_mvs_before", lit(mvs.length.toLong))
         .withColumn("n_mvs_after", lit(nMvsAfter))
         .withColumn("d_extra_rewrites", lit(dExtra))
@@ -180,13 +217,15 @@ object SinkMvDdl {
     }
   }
 
-  /** DuckDB re-derivation: docs 0..899 at s1, 0..1199 from s2 on (the
-    * post-drop query repeats s2's values off the base scan); shard =
-    * doc % 16. Census constants: one MV named `rollup`, groups `shard`,
-    * two slots, 8 buckets, src v2 after the SQL refresh, MV v2 (create +
-    * refresh), watermark current, ≥ 1 segment; census empty after the
-    * drop. Counters: 2 rewrites (s1, s2), 0 after the drop, 0 files for
-    * both rewritten legs.
+  /** DuckDB re-derivation: docs 0..899 at s1, 0..1199 from s2 on (s3
+    * and the post-drop query repeat s2's values); shard = doc % 16.
+    * Census constants: one MV named `rollup`, groups `shard`, two
+    * slots, 8 buckets, src v2 after the SQL refresh, MV v2 (create +
+    * refresh), watermark current, registered, ≥ 1 segment; the
+    * simulated restart shows registered = false (r_detached) and the
+    * SQL attach restores the rewrite on existing state; census empty
+    * after the drop. Counters: 3 rewrites (s1, s2, s3-after-attach),
+    * 0 after the drop, 0 files for every rewritten leg.
     */
   val mvSqlDdlReportSql: String =
     """WITH g AS (
@@ -202,10 +241,13 @@ object SinkMvDdl {
       |       CAST(2 AS BIGINT) AS mv_version,
       |       CAST(1 AS BIGINT) AS seg_ge1,
       |       CAST(1 AS BIGINT) AS mv_current,
+      |       CAST(1 AS BIGINT) AS mv_registered,
+      |       CAST(1 AS BIGINT) AS r_detached,
+      |       CAST(0 AS BIGINT) AS s3_files_opened,
       |       CAST(1 AS BIGINT) AS n_mvs_before,
       |       CAST(0 AS BIGINT) AS n_mvs_after,
       |       CAST(0 AS BIGINT) AS d_extra_rewrites,
-      |       CAST(2 AS BIGINT) AS n_rewrites,
+      |       CAST(3 AS BIGINT) AS n_rewrites,
       |       CAST(0 AS BIGINT) AS s1_files_opened,
       |       CAST(0 AS BIGINT) AS s2_files_opened
       |FROM (SELECT shard, CAST(COUNT(*) AS BIGINT) AS s1_n,
@@ -219,7 +261,8 @@ object SinkMvDdl {
   /** One `.mvs` census row, rendering-ready. */
   final case class MvInfo(
       name: String, groups: String, pred: String, aggs: String, buckets: Int,
-      srcV: Long, mvVersion: Long, nSegments: Int, stateBytes: Long)
+      srcV: Long, mvVersion: Long, nSegments: Int, stateBytes: Long,
+      registered: Boolean)
 
   /** Every DDL-conventional MV of a table (siblings named
     * `<base>.mv-<name>` holding a committed distributed-MV header),
@@ -241,7 +284,8 @@ object SinkMvDdl {
             h.aggs.map(a =>
               if (a.e.isEmpty) s"${a.name}:${a.kind}"
               else s"${a.name}:${a.kind}(${a.e})").mkString(","),
-            h.buckets, h.srcV, h.mvVersion, h.nSegments, h.stateBytes))
+            h.buckets, h.srcV, h.mvVersion, h.nSegments, h.stateBytes,
+            SinkMvRewrite.isRegistered(tableDir, d.getPath)))
         }
       }
   }

@@ -796,8 +796,12 @@ object SinkMvDist {
             if (dirtyAggIdx.isEmpty) lit(false)
             else dirtyAggIdx.map(i => col(s"_dirty$i")).reduce(_ || _)
           val dirtyKeys = folded.where(anyDirty).select(keys.map(col): _*)
-          val nDirty = dirtyKeys.count()
-          driverRowsCollected.incrementAndGet()
+          // an extreme-less MV can never dirty — skip the count job
+          // entirely (one Spark job per fold across every sum/count-only
+          // lifecycle; round-19 harness hygiene)
+          val nDirty =
+            if (dirtyAggIdx.isEmpty) 0L
+            else { driverRowsCollected.incrementAndGet(); dirtyKeys.count() }
           // ---- dirty extremes: ONE pruned recompute join at toV — the
           // source scan keeps its file skipping (the dirty keys arrive as
           // a join side, typically broadcast), and only dirty groups

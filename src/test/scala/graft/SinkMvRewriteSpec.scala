@@ -933,6 +933,16 @@ class SinkMvRewriteSpec extends SparkSpec {
       assert(SinkMvRewrite.rewrites.get() === r0 + 2L,
         "the dim-delete tail did not compensate-rewrite")
       assert(got2 === want)
+      // a pk-CHANGING dim UPDATE (update_postimage with a NEW key — the
+      // feed spells it update, never insert) is ALSO key-arriving and
+      // must refuse: the arriving key 55 pulls no state rows while key
+      // 3's vanish, underivable from state (review fix — an insert-only
+      // probe let this through)
+      s.sql("UPDATE mvrwdt.dim SET doc_id = 55 WHERE doc_id = 3")
+      val got2b = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(SinkMvRewrite.rewrites.get() === r0 + 2L,
+        "a pk-changing dim update was compensated")
+      assert(got2b === want)
       // a genuinely KEY-CHANGING dim tail (an insert) must refuse — the
       // new key would pull fact rows the state never saw
       docs(16L, 17L).withColumn("region", lit("r9")).writeTo("mvrwdt.dim").append()
