@@ -105,6 +105,14 @@ object Bench {
       // session-wide so q_dsv2_shard_rollup's no-exchange shape holds
       // without any query function mutating shared conf mid-suite
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // static conf, default 100: the suite generates thousands of codegen
+      // classes (each multi-commit lifecycle alone compiles ~200), so the
+      // default LRU evicts everything before reuse and EVERY rep re-runs
+      // janino on identical sources (measured: ~200 recompiles per
+      // q_dsv2_mv_* rep, 10–30 ms each). Scale-neutral engine tuning —
+      // any long-running Spark app with a diverse query mix raises it;
+      // memory cost is bounded (generated source + bytecode per entry).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -17,6 +17,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // same as Bench: q_dsv2_shard_rollup's partitioning contract
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // same as Bench: codegen-class reuse across the 239-query dump
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

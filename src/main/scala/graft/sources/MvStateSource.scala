@@ -69,21 +69,31 @@ class MvStateTable(mvDir: String, files: Seq[String]) extends Table with Support
       override def createReaderFactory(): PartitionReaderFactory =
         (partition: InputPartition) => {
           val p = partition.asInstanceOf[MvStateFilePartition]
-          val lines =
-            try SinkFs.readLines(new Path(p.mvDir, p.file))
+          // stream the segment line by line instead of materializing it:
+          // per-task memory stays one line regardless of segment size, so
+          // a mis-bucketed MV degrades to slow, not to a task OOM
+          // (round-19 ADVICE/verdict residual; guide §5)
+          val path = new Path(p.mvDir, p.file)
+          val reader =
+            try new java.io.BufferedReader(new java.io.InputStreamReader(
+              SinkFs.fsOf(path).open(path), "UTF-8"))
             catch {
               case _: java.io.FileNotFoundException =>
                 throw MvStateSweptException(p.mvDir, p.file)
             }
           new PartitionReader[InternalRow] {
-            private var i = -1
-            override def next(): Boolean = { i += 1; i < lines.length }
+            private var line: String = null
+            override def next(): Boolean = {
+              line = reader.readLine()
+              while (line != null && line.isEmpty) line = reader.readLine()
+              line != null
+            }
             override def get(): InternalRow = {
               val r = new GenericInternalRow(1)
-              r.update(0, UTF8String.fromString(lines(i)))
+              r.update(0, UTF8String.fromString(line))
               r
             }
-            override def close(): Unit = ()
+            override def close(): Unit = reader.close()
           }
         }
     }

@@ -780,8 +780,14 @@ case class ShardSinkCountPartition(rows: Array[Array[Any]]) extends InputPartiti
 private[sources] object SinkFs {
   import org.apache.hadoop.fs.{FileSystem, Path}
 
-  def fsOf(p: Path): FileSystem =
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  // ONE shared Configuration: each `new Configuration()` re-parses the
+  // default XML resources on first property access (~ms), and fsOf runs
+  // on every manifest/header/hint touch — thousands of times per
+  // multi-commit lifecycle. Configuration is read-only here and
+  // thread-safe for reads; FileSystem.get caches instances per scheme.
+  private val hadoopConf = new org.apache.hadoop.conf.Configuration()
+
+  def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
 
   def exists(p: Path): Boolean = fsOf(p).exists(p)
 

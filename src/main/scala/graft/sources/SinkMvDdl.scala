@@ -69,6 +69,16 @@ object SinkMvDdl {
       .map(m => SinkMatView.MvAgg(m.group(1), m.group(2), m.group(3))).toSeq
     require(aggs.nonEmpty,
       s"graft.mv.$name: the definition needs an \"aggs\":[{...}] list — got: $defn")
+    // every object inside the aggs array must parse: a reordered-key or
+    // whitespace-bearing entry would otherwise be silently SKIPPED and the
+    // MV created with fewer slots than its definition (round-19 ADVICE) —
+    // fail the DDL instead
+    val aggsBody = """"aggs":\[(.*)\]""".r.findFirstMatchIn(defn).map(_.group(1)).getOrElse("")
+    val objCount = aggsBody.count(_ == '{')
+    require(objCount == aggs.length,
+      s"graft.mv.$name: ${objCount - aggs.length} agg entr(y/ies) did not parse — " +
+        """each must be exactly {"n":"<name>","k":"<kind>","e":"<expr>"} """ +
+        s"(no whitespace, keys in that order) — got: $aggsBody")
     val pred = field(defn, "pred").getOrElse("")
     val buckets = fieldNum(defn, "buckets").getOrElse(16)
     val mvDir = mvDirFor(tableDir, name)

@@ -209,7 +209,16 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       (old, add) => (old ++ add).distinct)
     ()
   }
-  def unregister(tableDir: String): Unit = { registry.remove(tableDir); () }
+  def unregister(tableDir: String): Unit = {
+    registry.remove(tableDir)
+    // drop memoized dim-window probe verdicts with the registration: a
+    // table dropped and recreated at the same path could otherwise be
+    // served a stale 'no arriving keys / unique' verdict whose
+    // (dim, fromV, toV) key happens to collide with the new incarnation's
+    // version numbers (round-19 ADVICE). Unregister is control-plane-rare,
+    // so a full invalidation costs nothing measurable.
+    compProbeCache.clear()
+  }
 
   /** Is this MV currently wired into the rewrite? The `.mvs` census
     * exposes it — registration is in-memory, so after a JVM restart a
@@ -227,6 +236,7 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       val rest = old.filterNot(_ == mvDir)
       if (rest.isEmpty) null else rest
     })
+    compProbeCache.clear() // same staleness rule as the full unregister
     ()
   }
 
@@ -1095,7 +1105,13 @@ object SinkMvRewrite extends Rule[LogicalPlan] {
       val compedState: Option[DataFrame] = {
         var st = mv.state
         val ok = comp.forall { d =>
-          if (compProbeCache.size > ProbeCacheCap) compProbeCache.clear()
+          // evict single arbitrary entries at the cap instead of a full
+          // clear() (round-19 ADVICE: the clear thrashed hot verdicts);
+          // windows are immutable so WHICH entry goes is harmless
+          while (compProbeCache.size > ProbeCacheCap) {
+            val it = compProbeCache.keySet().iterator()
+            if (it.hasNext) { it.next(); it.remove() }
+          }
           val qualified = compProbeCache.computeIfAbsent(
             (d.dim, d.fromV, d.toV),
             _ => {
