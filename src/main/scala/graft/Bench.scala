@@ -113,6 +113,14 @@ object Bench {
       // any long-running Spark app with a diverse query mix raises it;
       // memory cost is bounded (generated source + bytecode per entry).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // never take the bypass-merge shuffle writer: it opens one file PER
+      // REDUCE PARTITION per map task (32× the files at this shape, on a
+      // slow ext4 /tmp — profiled as the single hottest syscall site),
+      // where the sort writer opens one. Production reducer counts sit
+      // far above the 200-partition bypass threshold anyway, so this also
+      // makes local plans exercise the same shuffle machinery a cluster
+      // runs.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

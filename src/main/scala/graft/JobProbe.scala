@@ -26,6 +26,7 @@ object JobProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000") // same as Bench
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1") // same as Bench
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
       val Array(k, v) = kv.split("=", 2); builder.config(k, v)
@@ -62,8 +63,55 @@ object JobProbe {
       spark.range(1000000).selectExpr("sum(id * 2)").collect()
     } catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_SAMPLE=1: sample every thread's stacks at 20 ms while the
+    // query runs; print the hottest (method, state) frames afterwards —
+    // the driver-side gap (wall − sum of jobs) decomposed without a
+    // profiler agent. Frames are bucketed by the deepest graft/spark frame.
+    val sample = sys.env.get("SPARK_GRAFT_SAMPLE").contains("1")
+    val hist = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+    @volatile var sampling = false
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) {
+          val stacks = Thread.getAllStackTraces()
+          stacks.forEach { (t, st) =>
+            if (t.getState == Thread.State.RUNNABLE && st.nonEmpty &&
+              !t.getName.contains("sampler")) {
+              val interesting = st.find { e =>
+                val c = e.getClassName
+                (c.startsWith("graft.") || c.startsWith("org.apache.spark.sql.catalyst") ||
+                  c.startsWith("org.apache.spark.sql.execution") ||
+                  c.startsWith("org.codehaus.janino") ||
+                  c.startsWith("org.apache.hadoop")) && !c.contains("Probe")
+              }.getOrElse(st.head)
+              // blocking IO syscalls: attribute to the nearest spark/graft
+              // caller so "open0" decomposes into shuffle vs state store
+              // vs sink writes
+              val top = st.head
+              val key =
+                if (top.getMethodName.endsWith("0") || top.isNativeMethod) {
+                  val caller = st.find { e =>
+                    val c = e.getClassName
+                    c.startsWith("org.apache.spark") || c.startsWith("graft.")
+                  }.map(e => e.getClassName.replaceAll("\\$.*", "").split("\\.").last +
+                    "." + e.getMethodName).getOrElse("?")
+                  top.getMethodName + " <- " + caller
+                } else interesting.getClassName.replaceAll("\\$.*", "") + "." +
+                  interesting.getMethodName
+              hist.merge(key, 1, (a, b) => a + b)
+            }
+          }
+        }
+        Thread.sleep(20)
+      }
+    }, "jobprobe-sampler")
+    sampler.setDaemon(true)
+    if (sample) sampler.start()
+
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { rep =>
+      sampling = sample
+      if (rep == reps && sample) hist.clear() // keep only the last rep's profile
       jobs.clear(); order.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
@@ -81,6 +129,14 @@ object JobProbe {
         println(f"  job ${j.id}%4d  ${d}%7.3f s  stages=${j.nStages}%2d tasks=${j.nTasks}%4d  ${j.site}")
       }
       println(f"  [sum of jobs $sum%.2f s vs wall $wall%.2f s — gap ${wall - sum}%.2f s driver-side]")
+      sampling = false
+      if (sample && rep == reps) {
+        println("  hottest sampled frames (20 ms ticks, RUNNABLE threads):")
+        import scala.jdk.CollectionConverters._
+        hist.asScala.toSeq.sortBy(-_._2).take(25).foreach { case (k, n) =>
+          println(f"    $n%5d  $k")
+        }
+      }
     }
     spark.stop()
   }

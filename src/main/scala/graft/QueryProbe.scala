@@ -24,6 +24,7 @@ object QueryProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000") // same as Bench
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1") // same as Bench
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_CONF="k1=v1;k2=v2" for config experiments
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>

@@ -19,6 +19,8 @@ object Verify {
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // same as Bench: codegen-class reuse across the 239-query dump
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // same as Bench: sort shuffle writer, never bypass-merge (file count)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

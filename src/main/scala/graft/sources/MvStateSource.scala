@@ -76,7 +76,7 @@ class MvStateTable(mvDir: String, files: Seq[String]) extends Table with Support
           val path = new Path(p.mvDir, p.file)
           val reader =
             try new java.io.BufferedReader(new java.io.InputStreamReader(
-              SinkFs.fsOf(path).open(path), "UTF-8"))
+              SinkFs.open(path), "UTF-8"))
             catch {
               case _: java.io.FileNotFoundException =>
                 throw MvStateSweptException(p.mvDir, p.file)

@@ -789,30 +789,69 @@ private[sources] object SinkFs {
 
   def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
 
-  def exists(p: Path): Boolean = fsOf(p).exists(p)
+  /** Local (`file:`/schemeless) fast path. Hadoop's LocalFileSystem is a
+    * ChecksumFileSystem and, with no native library loaded (this
+    * container), permissioned creates FORK a `chmod` per file and every
+    * create/read pays a `.crc` sidecar write/verify — measured as a
+    * visible slice of every multi-commit lifecycle. Local paths therefore
+    * go straight through java.io/java.nio (same bytes, same rename/
+    * visibility semantics — [[moveFresh]] already special-cases local);
+    * any real scheme (hdfs://, s3a://) keeps the Hadoop FS API path.
+    */
+  private def localOf(p: Path): Option[java.io.File] = {
+    val u = p.toUri
+    if (u.getScheme == null || u.getScheme == "file") Some(new java.io.File(u.getPath))
+    else None
+  }
 
-  def delete(p: Path): Unit = fsOf(p).delete(p, false)
+  def exists(p: Path): Boolean = localOf(p) match {
+    case Some(f) => f.exists()
+    case None => fsOf(p).exists(p)
+  }
 
-  def create(p: Path): java.io.BufferedWriter = {
-    val fs = fsOf(p)
-    fs.mkdirs(p.getParent)
-    new java.io.BufferedWriter(
-      new java.io.OutputStreamWriter(fs.create(p, true), "UTF-8"))
+  def delete(p: Path): Unit = localOf(p) match {
+    case Some(f) => f.delete(); ()
+    case None => fsOf(p).delete(p, false); ()
+  }
+
+  def create(p: Path): java.io.BufferedWriter = localOf(p) match {
+    case Some(f) =>
+      val parent = f.getParentFile
+      if (parent != null && !parent.isDirectory) { parent.mkdirs(); () }
+      new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(f, false), "UTF-8"))
+    case None =>
+      val fs = fsOf(p)
+      fs.mkdirs(p.getParent)
+      new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(fs.create(p, true), "UTF-8"))
+  }
+
+  /** Raw input stream; throws java.io.FileNotFoundException on a missing
+    * file on BOTH paths (callers map it to their named errors).
+    */
+  def open(p: Path): java.io.InputStream = localOf(p) match {
+    case Some(f) => new java.io.FileInputStream(f)
+    case None => fsOf(p).open(p)
   }
 
   def readString(p: Path): String = {
-    val in = fsOf(p).open(p)
-    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    val in = open(p)
+    try new String(in.readAllBytes(), "UTF-8")
     finally in.close()
   }
 
   def readLines(p: Path): Seq[String] =
     readString(p).split("\n", -1).toSeq.filter(_.nonEmpty)
 
-  def listFileNames(dir: Path): Seq[String] = {
-    val fs = fsOf(dir)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.getName)
+  def listFileNames(dir: Path): Seq[String] = localOf(dir) match {
+    case Some(d) =>
+      val fs = d.listFiles()
+      if (fs == null) Seq.empty else fs.toSeq.filter(_.isFile).map(_.getName)
+    case None =>
+      val fs = fsOf(dir)
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.getName)
   }
 
   /** Recursive local delete — the one copy of the helper every
@@ -831,10 +870,15 @@ private[sources] object SinkFs {
     * Used for DATA files, whose destination names are job-unique — the
     * manifest flip uses [[moveFresh]] so it never opens this window.
     */
-  def moveOver(src: Path, dest: Path): Unit = {
-    val fs = fsOf(dest)
-    if (fs.exists(dest)) fs.delete(dest, false)
-    require(fs.rename(src, dest), s"rename failed: $src -> $dest")
+  def moveOver(src: Path, dest: Path): Unit = (localOf(src), localOf(dest)) match {
+    case (Some(s), Some(d)) =>
+      java.nio.file.Files.move(s.toPath, d.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    case _ =>
+      val fs = fsOf(dest)
+      if (fs.exists(dest)) fs.delete(dest, false)
+      require(fs.rename(src, dest), s"rename failed: $src -> $dest")
   }
 
   /** Move to a name that must NOT exist — the winner-election primitive

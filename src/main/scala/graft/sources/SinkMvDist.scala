@@ -303,30 +303,37 @@ object SinkMvDist {
         } ++
         (0 until na).map(i => cellCol(col(slotC(i))))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val staging = new Path(mvDir, s"_mvd.stage-$nonce")
-    state
+    // cluster by bucket, then write the segments DIRECTLY from the tasks
+    // (tmp name → rename, the sink writer's own pattern) instead of a
+    // full Spark dynamic-partition text write: the Hadoop committer costs
+    // a staging tree, a per-file commit rename, a `.crc` sidecar and (no
+    // native lib) a forked chmod per file+dir, every refresh, to land
+    // ≤ `buckets` tiny TSV files. One file per bucket per task either
+    // way; a retried task truncates and re-renames the same tmp name, so
+    // the last completed attempt's (deterministic) content wins.
+    val mvDirStr = mvDir
+    val refs = state
       .withColumn("_b", bucketCol(st, st.groups.map(col)))
-      .select(concat_ws("\t", lineCells: _*).as("value"), col("_b"))
-      // cluster by bucket BEFORE the dynamic-partition write: one task
-      // per bucket writes one file, instead of every upstream partition
-      // opening a file per bucket (≤ tasks × buckets small files and a
-      // committer pass over all of them)
+      .select(col("_b").cast(IntegerType), concat_ws("\t", lineCells: _*))
       .repartition(math.max(1, st.buckets), col("_b"))
-      .write.partitionBy("_b").mode("overwrite").text(staging.toString)
-    val fs = SinkFs.fsOf(staging)
-    val refs = scala.collection.mutable.ArrayBuffer[(Int, String)]()
-    try {
-      fs.listStatus(staging).filter(_.isDirectory).foreach { d =>
-        val b = d.getPath.getName.stripPrefix("_b=").toInt
-        fs.listStatus(d.getPath).filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-          .zipWithIndex.foreach { case (p, k) =>
-            val name = s"state-v$version-b$b-$nonce-$k.tsv"
-            SinkFs.moveOver(p.getPath, new Path(mvDir, name))
-            refs += ((b, name))
-          }
-      }
-    } finally { fs.delete(staging, true); () }
-    refs.toSeq
+      .rdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        val open = scala.collection.mutable.Map[Int, java.io.BufferedWriter]()
+        rows.foreach { r =>
+          val b = r.getInt(0)
+          val w = open.getOrElseUpdate(b,
+            SinkFs.create(new Path(mvDirStr, s"_mvd.tmp-$nonce-p$pid-b$b")))
+          w.write(r.getString(1)); w.write("\n")
+        }
+        open.foreach(_._2.close())
+        open.keysIterator.map { b =>
+          val name = s"state-v$version-b$b-$nonce-$pid.tsv"
+          SinkFs.moveOver(
+            new Path(mvDirStr, s"_mvd.tmp-$nonce-p$pid-b$b"), new Path(mvDirStr, name))
+          (b, name)
+        }.toList.iterator
+      }.collect().toSeq
+    refs
   }
 
   /** The state slot columns a full build aggregates into: per agg, its
