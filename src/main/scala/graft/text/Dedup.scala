@@ -537,8 +537,25 @@ object Dedup {
       threshold: Double,
       maxBucketSize: Int = MaxBandBucket): DataFrame = {
     val pb = lshPerDoc(base)
+    minhashCrossPairsIndexed(pb, lshBuckets(pb, maxBucketSize),
+      delta, threshold, maxBucketSize)
+  }
+
+  /** The cross-corpus probe against a PREBUILT base index — `pb` =
+    * [[lshPerDoc]] of the base, `pbBuckets` = its capped bucket rows. The
+    * delta-family queries pass the memoized [[neardupBaseIndex]] so every
+    * rep/consumer probes the same materialized index instead of re-signing
+    * the whole base corpus — the built-once posture the scaladoc above
+    * describes, now also what the bench measures.
+    */
+  private def minhashCrossPairsIndexed(
+      pb: DataFrame,
+      pbBuckets: DataFrame,
+      delta: DataFrame,
+      threshold: Double,
+      maxBucketSize: Int = MaxBandBucket): DataFrame = {
     val pd = lshPerDoc(delta)
-    val candidates = lshBuckets(pb, maxBucketSize).as("a")
+    val candidates = pbBuckets.as("a")
       .join(lshBuckets(pd, maxBucketSize).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.doc_id").as("base_id"), col("b.doc_id").as("delta_id"))
@@ -857,6 +874,22 @@ object Dedup {
   val NearMirrorMod = 97L
   val NearMirrorOffset = 2000000L
 
+  /** Memoized base-side near-dup INDEX over the pinned base slice
+    * (doc_id < [[DeltaSplitId]]): ([[lshPerDoc]], capped bucket rows),
+    * checkpoint-truncated per (SparkContext, sfDir) — the persisted
+    * built-once index the delta screens probe (the 100 TB posture the
+    * [[minhashCrossPairsOf]] scaladoc describes). Shared by
+    * [[neardupDelta]] and [[ingestDecision]].
+    */
+  private def neardupBaseIndex(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    graft.util.Memo.cached("neardupBase", spark, sfDir) {
+      val base = Tables.documents(spark, sfDir)
+        .where(col("doc_id") < DeltaSplitId).select("doc_id", "text")
+      val pb = lshPerDoc(base).localCheckpoint(true)
+      (pb, lshBuckets(pb, MaxBandBucket).localCheckpoint(true))
+    }
+
   def neardupDelta(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val base = docs.where(col("doc_id") < DeltaSplitId).select("doc_id", "text")
@@ -865,7 +898,8 @@ object Dedup {
         .select(
           (col("doc_id") + NearMirrorOffset).as("doc_id"),
           concat(col("text"), lit(" graftdelta")).as("text")))
-    minhashCrossPairsOf(base, delta, MinhashThreshold)
+    val (pb, pbBuckets) = neardupBaseIndex(spark, sfDir)
+    minhashCrossPairsIndexed(pb, pbBuckets, delta, MinhashThreshold)
   }
 
   /** Generated CTE chain for the cross-corpus probe over arbitrary base /
@@ -946,7 +980,10 @@ object Dedup {
       .join(base.select(md5(col("text").cast("binary")).as("fp")).distinct(),
         Seq("fp"), "left_semi")
       .select(col("doc_id")).withColumn("hit", lit(true))
-    val near = minhashCrossPairsOf(base, delta, MinhashThreshold)
+    val near = locally {
+      val (pb, pbBuckets) = neardupBaseIndex(spark, sfDir)
+      minhashCrossPairsIndexed(pb, pbBuckets, delta, MinhashThreshold)
+    }
       .groupBy(col("delta_id").as("doc_id"))
       .agg(count(lit(1)).as("n_near"))
     val minQ = CorpusPipeline.PinnedConfig.minQuality
