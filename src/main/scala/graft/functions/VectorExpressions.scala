@@ -425,6 +425,23 @@ object GraftFunctions {
         s"graft_top_k expects (score, id, k literal), got ${args.size} args")
   }
 
+  val ngramsInfo: ExpressionInfo =
+    new ExpressionInfo(classOf[GraftNgrams].getName, "graft_ngrams")
+
+  val ngramsBuilder: Seq[Expression] => Expression = {
+    case Seq(t, nExpr) if nExpr.foldable =>
+      nExpr.eval() match {
+        case n: Int => GraftNgrams(t, n)
+        case n: Long => GraftNgrams(t, n.toInt)
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_ngrams n must be an integer literal, got $other")
+      }
+    case args =>
+      throw new IllegalArgumentException(
+        s"graft_ngrams expects (array<string>, n literal), got ${args.size} args")
+  }
+
   // sessions this object has registered on — a weak map so sessions can be
   // collected; synchronized: query entry points may race from test threads
   private val registeredSessions =
@@ -448,13 +465,15 @@ object GraftFunctions {
       !registry.functionExists(FunctionIdentifier("graft_sign")) ||
       !registry.functionExists(FunctionIdentifier("graft_nearest")) ||
       !registry.functionExists(FunctionIdentifier("graft_vec_sum")) ||
-      !registry.functionExists(FunctionIdentifier("graft_top_k"))) {
+      !registry.functionExists(FunctionIdentifier("graft_top_k")) ||
+      !registry.functionExists(FunctionIdentifier("graft_ngrams"))) {
       registry.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
       registry.createOrReplaceTempFunction("graft_cosine", cosineBuilder, "built-in")
       registry.createOrReplaceTempFunction("graft_sign", signBuilder, "built-in")
       registry.createOrReplaceTempFunction("graft_nearest", nearestBuilder, "built-in")
       registry.createOrReplaceTempFunction("graft_vec_sum", vecSumBuilder, "built-in")
       registry.createOrReplaceTempFunction("graft_top_k", topKBuilder, "built-in")
+      registry.createOrReplaceTempFunction("graft_ngrams", ngramsBuilder, "built-in")
     }
   }
 
@@ -479,6 +498,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the custom-AGGREGATE rung (TypedImperativeAggregate, round 12)
     ext.injectFunction((FunctionIdentifier("graft_vec_sum"), GraftFunctions.vecSumInfo, GraftFunctions.vecSumBuilder))
     ext.injectFunction((FunctionIdentifier("graft_top_k"), GraftFunctions.topKInfo, GraftFunctions.topKBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_ngrams"), GraftFunctions.ngramsInfo, GraftFunctions.ngramsBuilder))
     // HOF dot-product composition → fused native expression (see the rule's
     // scaladoc for the semantics-preservation argument)
     ext.injectOptimizerRule(_ => graft.plans.DotProductFusion)

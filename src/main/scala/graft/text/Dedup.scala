@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Word trigram shingles of the token array column named `t`
-    * (guards len < 3; indices are in range by construction).
+    * (guards len < 3; indices are in range by construction). The fused
+    * [[graft.functions.GraftNgrams]] loop — bit-identical to the previous
+    * `CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t)-3), i ->
+    * concat_ws(' ', t[i], t[i+1], t[i+2])) ELSE array() END`, whose
+    * interpreted per-element lambda was the hot frame of every corpus
+    * shingle scan (see the expression's scaladoc).
     */
-  val shinglesExpr: Column =
-    expr(
-      "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
-        "ELSE array() END")
+  val shinglesExpr: Column = graft.functions.GraftNgrams.ngrams(col("t"), 3)
 
   /** Per-doc DISTINCT shingle rows: (doc_id, sh). */
   private def shingleRows(docs: DataFrame): DataFrame =
@@ -374,12 +376,7 @@ object Dedup {
     * [[shinglesExpr]] (which is bound to a column literally named `t`),
     * producing byte-identical shingle strings.
     */
-  private def shingleArr(t: Column): Column =
-    when(size(t) >= 3,
-      transform(sequence(lit(0), size(t) - 3), i =>
-        concat_ws(" ",
-          element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
-      .otherwise(array().cast("array<string>"))
+  private def shingleArr(t: Column): Column = graft.functions.GraftNgrams.ngrams(t, 3)
 
   /** Per-ROW minhash signature as `array<long>` of [[NumHashes]] values —
     * NO aggregation, NO shuffle: a document's shingles all live in its own

@@ -287,9 +287,9 @@ object TextOps {
   private def bigramsOf(docs: DataFrame): DataFrame =
     docs
       .select(split(col("text"), " ").as("t"))
-      .select(explode(expr(
-        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])) ELSE array() END"))
-        .as("bigram"))
+      // fused codegen n-gram loop (graft.functions.GraftNgrams) — the
+      // interpreted-HOF twin it replaces bit-for-bit is in its scaladoc
+      .select(explode(graft.functions.GraftNgrams.ngrams(col("t"), 2)).as("bigram"))
 
   /** Heavy-hitters top-k over any `text`-column corpus — exposed for
     * property testing against the naive string-groupBy (identical output

@@ -18,6 +18,14 @@ object GraftSqlAccess {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Inverse direction: wrap a catalyst Expression as a Column (the Spark-3
+    * `new Column(expr)` idiom, gone behind the ColumnNode wall in Spark 4).
+    * Lets DataFrame helpers use graft's native expressions without routing
+    * through the session function registry.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** Apply the same -0.0/NaN canonicalization Spark's optimizer applies to
     * built-in join/grouping keys (`NormalizeFloatingNumbers`). Custom
     * logical nodes (graft.plans.AsOfJoinPlan) are invisible to that rule,

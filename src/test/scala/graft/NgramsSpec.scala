@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.GraftNgrams
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Bit-parity of the fused [[graft.functions.GraftNgrams]] loop against the
+  * interpreted HOF composition it replaced (round-20 optimization): same
+  * strings, same empty/null contract, for the shipped windows (trigram
+  * shingles, bigrams) — on the real sf0.001 corpus AND an adversarial
+  * edge-case corpus (short docs, empty tokens from repeated spaces, null
+  * text, unicode). The old composition is reconstructed here verbatim so
+  * any drift in the new expression fails loudly.
+  */
+class NgramsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The pre-round-20 composition, verbatim (null tokens → CASE falls to
+    * ELSE → empty array; concat_ws skips null elements).
+    */
+  private def oldNgrams(t: Column, n: Int): Column = {
+    val win = (i: Column) => (0 until n).map(j => element_at(t, i + j + 1))
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n), i => concat_ws(" ", win(i): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val edge = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "one two"), // < 3 tokens
+    (3L, "single"), // < 2 tokens
+    (4L, ""), // split("") = [""] — one empty token
+    (5L, "a  b   c"), // repeated spaces → empty tokens in the array
+    (6L, "ünïcode tökens müst mätch bïtför bït"),
+    (7L, null.asInstanceOf[String])) // null text → null token array
+    .toDF("doc_id", "text")
+
+  private def corpus = graft.model.Tables.documents(spark, sf001)
+
+  for (n <- Seq(2, 3)) {
+    test(s"graft_ngrams(n=$n) is bit-identical to the HOF composition (edge corpus)") {
+      val t = split($"text", " ")
+      val rows = edge
+        .select(
+          $"doc_id",
+          GraftNgrams.ngrams(t, n).as("fused"),
+          oldNgrams(t, n).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) === r.getSeq[String](2), s"doc ${r.getLong(0)}")
+      }
+      // the null-text row must land on the empty-array arm, not null
+      val nullRow = rows.find(_.getLong(0) == 7L).get
+      assert(!nullRow.isNullAt(1) && nullRow.getSeq[String](1).isEmpty)
+    }
+
+    test(s"graft_ngrams(n=$n) is bit-identical to the HOF composition (sf0.001 corpus)") {
+      val t = split($"text", " ")
+      val diff = corpus
+        .select(GraftNgrams.ngrams(t, n).as("fused"), oldNgrams(t, n).as("hof"))
+        .where(not($"fused" <=> $"hof"))
+        .count()
+      assert(diff === 0L)
+    }
+  }
+
+  test("graft_ngrams skips null ELEMENTS like concat_ws (and via SQL registry)") {
+    // concat_ws(' ', 'a', NULL, 'c') = 'a c' — the fused loop must keep
+    // that rule even though split() never produces null tokens
+    val withNulls = Seq(Tuple1(Seq("a", null, "c", "d"))).toDF("t")
+    val fused = withNulls.select(GraftNgrams.ngrams($"t", 3)).as[Seq[String]].head()
+    assert(fused === Seq("a c", "c d")) // trigram windows with null skipped
+    // SQL spelling through the registry (register() ran in SparkSpec)
+    withNulls.createOrReplaceTempView("ngrams_probe")
+    val viaSql = spark.sql("SELECT graft_ngrams(t, 3) FROM ngrams_probe")
+      .as[Seq[String]].head()
+    assert(viaSql === fused)
+  }
+}
