@@ -60,6 +60,54 @@ object NgramBench {
       val f = time(s"fused n=$k", GraftNgrams.ngrams(col("t"), k))
       println(f"n=$k: fused is ${h / f}%.2fx the HOF path on $n rows x $toks tokens")
     }
+
+    // ---- scan-side minhash: HOF composition vs graft.functions.GraftMinhash
+    // (the pre-round-20 Dedup.rowMinhashSig body, verbatim)
+    def hofMinhash(t: Column): Column = {
+      val seedMod = 1152921504606846976L // 2^60
+      val seedMask = 36028797018963968L // 2^55
+      val digests = transform(hofNgrams(t, 3), sh => md5(sh.cast("binary")))
+      val pairs = transform(digests, m =>
+        struct(
+          conv(substring(m, 1, 15), 16, 10).cast("long").as("h"),
+          (conv(substring(m, 16, 15), 16, 10).cast("long") % lit(seedMask)).as("h2m")))
+      val seeds = typedLit((0L until 32L).toSeq)
+      val perShingle = transform(pairs, p =>
+        transform(seeds, s => (p.getField("h") + s * p.getField("h2m")) % lit(seedMod)))
+      val folded = aggregate(
+        perShingle,
+        typedLit(Seq.fill(32)(Long.MaxValue)),
+        (acc, v) => zip_with(acc, v, (a, b) => least(a, b)))
+      when(size(digests) > 0, folded).otherwise(lit(null).cast("array<bigint>"))
+    }
+
+    def timeSig(name: String, c: => Column): Double = {
+      def df = docs.select(c.as("sig"))
+        .agg(count(lit(1)), min(element_at(col("sig"), 1)))
+      df.collect() // warm
+      val sec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"$name%-12s $sec%8.3f s")
+      sec
+    }
+    val hs = timeSig("hof sig", hofMinhash(col("t")))
+    val fs = timeSig("fused sig", graft.functions.GraftMinhash.minhash(col("t"), 3, 32))
+    println(f"minhash: fused is ${hs / fs}%.2fx the HOF path on $n rows x $toks tokens")
+
+    // NGRAM_PLANS=1: print both projection plans — the committed evidence
+    // for plans/r20 (the streaming parity queries' micro-batch plans are
+    // not reachable through PlanDump; this is the same projection their
+    // batches run)
+    if (sys.env.get("NGRAM_PLANS").contains("1")) {
+      println("===== rowminhash projection (HOF composition, pre-round-20) =====")
+      docs.select(hofMinhash(col("t")).as("sig")).explain("formatted")
+      println("===== rowminhash projection (fused graft_minhash) =====")
+      docs.select(graft.functions.GraftMinhash.minhash(col("t"), 3, 32).as("sig"))
+        .explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputT
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{array, coalesce}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Space-joined word n-grams of a token array — the codegen'd loop form of
@@ -112,4 +112,189 @@ object GraftNgrams {
     coalesce(
       GraftSqlAccess.column(GraftNgrams(GraftSqlAccess.expression(t), n)),
       array().cast("array<string>"))
+}
+
+/** Per-row MinHash signature over word n-gram shingles of a token array —
+  * the fused loop form of the scan-side composition in
+  * `Dedup.rowMinhashSig`:
+  *
+  *   digests    = transform(ngrams(t, n), sh -> md5(cast(sh as binary)))
+  *   (h, h2m)   = (conv(substr(md,1,15),16,10),
+  *                 conv(substr(md,16,15),16,10) % 2^55)   per shingle
+  *   perShingle = transform(..., 32 of (h + s*h2m) % 2^60)
+  *   sig        = aggregate(perShingle, [MaxValue]*32, zip_with(least))
+  *   NULL when the doc has no shingles (< n tokens)
+  *
+  * Four nested higher-order functions, every lambda on the interpreted
+  * per-element path, plus a hex-string round-trip (md5 hex → substring →
+  * conv → cast) and three intermediate arrays per SHINGLE. On the corpus
+  * scan — linear in corpus bytes, the binding cost of streaming near-dup
+  * and the delta screens at real scale — this was the last interpreted
+  * hot path after [[GraftNgrams]]. The fused loop hashes each shingle's
+  * BYTES directly (token bytes joined by 0x20 — exactly the bytes
+  * `cast(concat_ws(' ', ...) as binary)` fed md5) and folds the seeded
+  * minima in place: no shingle strings, no hex strings, no per-shingle
+  * arrays.
+  *
+  * Bit-parity argument, piece by piece:
+  *   - md5 input: concat_ws(' ', tokens) over non-null tokens = their
+  *     UTF-8 bytes joined by single spaces (null tokens skipped) — the
+  *     update sequence below byte-for-byte.
+  *   - `conv(substr(hex,1,15),16,10)` = the digest's top 60 bits = the
+  *     first 8 bytes read big-endian, unsigned-shifted right by 4.
+  *   - `conv(substr(hex,16,15),16,10)` = digest nibbles 15..29 = (low
+  *     nibble of byte 7) << 56 | bytes 8..14 big-endian; both values are
+  *     < 2^60 so the long arithmetic and `%` are exact in both engines.
+  *   - seeds: (h + s·h2m) % 2^60 with h < 2^60, s ≤ 31, h2m < 2^55 —
+  *     max < 2^61, no signed-64 overflow (the same bound the Dedup
+  *     scaladoc proves for the batch side; [[GraftMinhash.SeedMod]] /
+  *     [[GraftMinhash.SeedMask]] are the single source of truth both
+  *     paths share).
+  *   - min-fold from Long.MaxValue in shingle order — associative and
+  *     commutative, so order is immaterial anyway.
+  * NgramsSpec pins equality against the HOF composition verbatim;
+  * DedupSpec pins row-vs-batch signature parity as before.
+  */
+case class GraftMinhash(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1 && numHashes >= 1, s"graft_minhash bad params ($n, $numHashes)")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[ArrayData]
+    val sz = t.numElements()
+    if (sz < n) null
+    else {
+      val md = GraftMinhash.localMd.get()
+      val tok = new Array[Array[Byte]](sz)
+      var i = 0
+      while (i < sz) {
+        tok(i) = if (t.isNullAt(i)) null else t.getUTF8String(i).getBytes
+        i += 1
+      }
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      i = 0
+      while (i <= sz - n) {
+        var first = true
+        var j = 0
+        while (j < n) {
+          val b = tok(i + j)
+          if (b != null) {
+            if (!first) md.update(' '.toByte)
+            md.update(b)
+            first = false
+          }
+          j += 1
+        }
+        val d = md.digest()
+        var top = 0L
+        var k = 0
+        while (k < 8) { top = (top << 8) | (d(k) & 0xFFL); k += 1 }
+        val h = top >>> 4
+        var v = (d(7) & 0xFL)
+        k = 8
+        while (k < 15) { v = (v << 8) | (d(k) & 0xFFL); k += 1 }
+        val h2m = v % GraftMinhash.SeedMask
+        var s = 0
+        while (s < numHashes) {
+          val g = (h + s * h2m) % GraftMinhash.SeedMod
+          if (g < mins(s)) mins(s) = g
+          s += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState(
+      "java.security.MessageDigest", "graftMd",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+              |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, t => {
+      val gen = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      val sz = ctx.freshName("sz")
+      val tok = ctx.freshName("tok")
+      val mins = ctx.freshName("mins")
+      val d = ctx.freshName("d")
+      val first = ctx.freshName("first")
+      val top = ctx.freshName("top")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val h2m = ctx.freshName("h2m")
+      val g = ctx.freshName("g")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      s"""
+         |int $sz = $t.numElements();
+         |if ($sz < $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  byte[][] $tok = new byte[$sz][];
+         |  for (int $i = 0; $i < $sz; $i++) {
+         |    $tok[$i] = $t.isNullAt($i) ? null : $t.getUTF8String($i).getBytes();
+         |  }
+         |  long[] $mins = new long[$numHashes];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i <= $sz - $n; $i++) {
+         |    boolean $first = true;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      if ($tok[$i + $j] != null) {
+         |        if (!$first) $md.update((byte) ' ');
+         |        $md.update($tok[$i + $j]);
+         |        $first = false;
+         |      }
+         |    }
+         |    byte[] $d = $md.digest();
+         |    long $top = 0L;
+         |    for (int $k = 0; $k < 8; $k++) { $top = ($top << 8) | ($d[$k] & 0xFFL); }
+         |    long $h = $top >>> 4;
+         |    long $v = $d[7] & 0xFL;
+         |    for (int $k = 8; $k < 15; $k++) { $v = ($v << 8) | ($d[$k] & 0xFFL); }
+         |    long $h2m = $v % ${GraftMinhash.SeedMask}L;
+         |    for (int $s = 0; $s < $numHashes; $s++) {
+         |      long $g = ($h + $s * $h2m) % ${GraftMinhash.SeedMod}L;
+         |      if ($g < $mins[$s]) $mins[$s] = $g;
+         |    }
+         |  }
+         |  ${ev.value} = new $gen($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GraftMinhash {
+  /** 2^60 — the seeded-hash modulus (keeps values positive in a signed
+    * BIGINT in both engines). Single source of truth: Dedup's batch path
+    * derives its constants from here.
+    */
+  val SeedMod: Long = 1152921504606846976L
+
+  /** 2^55 — h2 is masked below this so `31·h2' + h1 < 2^61` never
+    * overflows a signed 64-bit long in EITHER engine.
+    */
+  val SeedMask: Long = 36028797018963968L
+
+  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Column handle: per-row minhash signature of a token array (null when
+    * fewer than `n` tokens), built directly — no registry needed.
+    */
+  def minhash(t: Column, n: Int, numHashes: Int): Column =
+    GraftSqlAccess.column(GraftMinhash(GraftSqlAccess.expression(t), n, numHashes))
 }

@@ -313,14 +313,16 @@ object Dedup {
   val BandSize = 4 // 8 bands of 4 → catches Jaccard ≳ 0.5 with high prob.
 
   /** 2^60 — the seeded-hash modulus (keeps values positive in a signed
-    * BIGINT in both engines, like [[TextOps.md5Hash60]]).
+    * BIGINT in both engines, like [[TextOps.md5Hash60]]). Shared with the
+    * fused scan-side expression ([[graft.functions.GraftMinhash]]) — one
+    * definition, so batch and row paths cannot drift.
     */
-  private val SeedMod = 1152921504606846976L
+  private val SeedMod = graft.functions.GraftMinhash.SeedMod
   /** 2^55 — h2 is masked below this so `31·h2' + h1 < 2^61` never
     * overflows a signed 64-bit long in EITHER engine (DuckDB BIGINT
     * overflow is an error, not a wrap — the arithmetic must stay exact).
     */
-  private val SeedMask = 36028797018963968L
+  private val SeedMask = graft.functions.GraftMinhash.SeedMask
 
   /** Seed `i` of the double-hash family: `(h1 + i·h2') mod 2^60`, all
     * operands non-negative and bounded, so `%` is identical in Spark and
@@ -372,41 +374,21 @@ object Dedup {
 
   // ---- scan-side (per-row) minhash — the streaming-safe construction ----
 
-  /** Word-trigram shingles of a token-array Column — the DSL twin of
-    * [[shinglesExpr]] (which is bound to a column literally named `t`),
-    * producing byte-identical shingle strings.
-    */
-  private def shingleArr(t: Column): Column = graft.functions.GraftNgrams.ngrams(t, 3)
-
   /** Per-ROW minhash signature as `array<long>` of [[NumHashes]] values —
     * NO aggregation, NO shuffle: a document's shingles all live in its own
     * row, so the signature is a pure projection (the insight that makes
     * minhash computable inside a Structured Streaming stage, where a
     * corpus-keyed groupBy would be unbounded state). Same hash family as
-    * [[minhashSignatures]] — one md5 per shingle (the digests materialize
-    * in their OWN transform: HOF lambdas are interpreted per element with
-    * no codegen subexpression elimination, so a lambda mentioning md5
-    * twice would hash twice), then per-shingle seed vectors folded with an
-    * elementwise-min `aggregate`/`zip_with` (each input array is referenced
-    * exactly once, so nothing re-evaluates per seed). Docs with no
+    * [[minhashSignatures]] — one md5 per shingle, [[NumHashes]] double-hash
+    * derivations folded into running minima, all fused into ONE codegen'd
+    * loop ([[graft.functions.GraftMinhash]]; its scaladoc carries the
+    * bit-parity argument against the four-level HOF composition it
+    * replaced, which NgramsSpec also pins test-side). Docs with no
     * shingles (< 3 tokens) yield NULL. DedupSpec asserts bit-parity with
     * the aggregated batch signature.
     */
-  def rowMinhashSig(text: Column): Column = {
-    val digests = transform(shingleArr(split(text, " ")), sh => md5(sh.cast("binary")))
-    val pairs = transform(digests, m =>
-      struct(
-        conv(substring(m, 1, 15), 16, 10).cast("long").as("h"),
-        (conv(substring(m, 16, 15), 16, 10).cast("long") % lit(SeedMask)).as("h2m")))
-    val seeds = typedLit((0L until NumHashes.toLong).toSeq)
-    val perShingle = transform(pairs, p =>
-      transform(seeds, s => (p.getField("h") + s * p.getField("h2m")) % lit(SeedMod)))
-    val folded = aggregate(
-      perShingle,
-      typedLit(Seq.fill(NumHashes)(Long.MaxValue)),
-      (acc, v) => zip_with(acc, v, (a, b) => least(a, b)))
-    when(size(digests) > 0, folded).otherwise(lit(null).cast("array<bigint>"))
-  }
+  def rowMinhashSig(text: Column): Column =
+    graft.functions.GraftMinhash.minhash(split(text, " "), 3, NumHashes)
 
   /** Per-ROW LSH band keys for [[rowMinhashSig]]: one string key per band,
     * `band ':' md5hex(mh..mh)` — docs agreeing on ALL [[BandSize]] hashes

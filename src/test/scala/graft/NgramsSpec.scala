@@ -64,6 +64,46 @@ class NgramsSpec extends SparkSpec {
     }
   }
 
+  /** The pre-round-20 scan-side minhash composition, verbatim (the
+    * four-level HOF chain [[graft.functions.GraftMinhash]] replaced):
+    * md5 per shingle, (h, h2m) from the hex halves, 32 seeded values per
+    * shingle, elementwise-min fold; null when no shingles.
+    */
+  private def oldRowMinhashSig(text: Column): Column = {
+    val seedMod = 1152921504606846976L // 2^60
+    val seedMask = 36028797018963968L // 2^55
+    val digests = transform(oldNgrams(split(text, " "), 3), sh => md5(sh.cast("binary")))
+    val pairs = transform(digests, m =>
+      struct(
+        conv(substring(m, 1, 15), 16, 10).cast("long").as("h"),
+        (conv(substring(m, 16, 15), 16, 10).cast("long") % lit(seedMask)).as("h2m")))
+    val seeds = typedLit((0L until 32L).toSeq)
+    val perShingle = transform(pairs, p =>
+      transform(seeds, s => (p.getField("h") + s * p.getField("h2m")) % lit(seedMod)))
+    val folded = aggregate(
+      perShingle,
+      typedLit(Seq.fill(32)(Long.MaxValue)),
+      (acc, v) => zip_with(acc, v, (a, b) => least(a, b)))
+    when(size(digests) > 0, folded).otherwise(lit(null).cast("array<bigint>"))
+  }
+
+  test("graft_minhash is bit-identical to the HOF row-signature composition") {
+    import graft.text.Dedup
+    for (df <- Seq(edge, corpus.toDF())) {
+      val diff = df
+        .select(
+          Dedup.rowMinhashSig($"text").as("fused"),
+          oldRowMinhashSig($"text").as("hof"))
+        .where(not($"fused" <=> $"hof"))
+        .count()
+      assert(diff === 0L)
+    }
+    // null contract: null text and < 3 tokens both yield a NULL signature
+    val nulls = edge.where($"doc_id".isin(2L, 3L, 4L, 7L))
+      .select(Dedup.rowMinhashSig($"text")).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
   test("graft_ngrams skips null ELEMENTS like concat_ws (and via SQL registry)") {
     // concat_ws(' ', 'a', NULL, 'c') = 'a c' — the fused loop must keep
     // that rule even though split() never produces null tokens
