@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlAccess}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{array, coalesce}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Space-joined word n-grams of a token array — the codegen'd loop form of
@@ -287,7 +287,7 @@ object GraftMinhash {
     */
   val SeedMask: Long = 36028797018963968L
 
-  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+  private[functions] val localMd = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
@@ -297,4 +297,127 @@ object GraftMinhash {
     */
   def minhash(t: Column, n: Int, numHashes: Int): Column =
     GraftSqlAccess.column(GraftMinhash(GraftSqlAccess.expression(t), n, numHashes))
+}
+
+/** The engine's 60-bit md5-derived hash, fused: the top 60 bits of the
+  * md5 digest read straight off the digest BYTES — bit-identical to the
+  * composition it replaces,
+  *
+  *   conv(substring(md5(cast(c as binary)), 1, 15), 16, 10) :: long
+  *
+  * because the first 15 hex chars of the digest ARE its top 60 bits: the
+  * first 8 bytes read big-endian, unsigned-shifted right by 4 (< 2^60, so
+  * the signed long is non-negative and `conv`'s unsigned parse agrees).
+  * The composition pays a 32-char hex string, a substring, and
+  * NumberConverter's char-by-char base conversion per VALUE — and
+  * `TextOps.md5Hash60` is called per TOKEN (rolling fingerprints, k-gram
+  * hashes, simhash contributions) and per K-token WINDOW (span dedup), so
+  * at corpus scale this is pure scan-side overhead. Profiling the delta
+  * screens showed `NumberConverter.byte2char/char2byte/convert` among the
+  * hottest sampled frames. The DuckDB twin (`md5Hash60Sql`) is untouched —
+  * same values, hash checks unaffected.
+  */
+case class GraftMd5H60(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5h60"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = GraftMinhash.localMd.get().digest(input.asInstanceOf[UTF8String].getBytes)
+    var top = 0L
+    var k = 0
+    while (k < 8) { top = (top << 8) | (d(k) & 0xFFL); k += 1 }
+    top >>> 4
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState(
+      "java.security.MessageDigest", "graftMd",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+              |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, t => {
+      val d = ctx.freshName("d")
+      val top = ctx.freshName("top")
+      val k = ctx.freshName("k")
+      s"""
+         |byte[] $d = $md.digest($t.getBytes());
+         |long $top = 0L;
+         |for (int $k = 0; $k < 8; $k++) { $top = ($top << 8) | ($d[$k] & 0xFFL); }
+         |${ev.value} = $top >>> 4;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Both 60-bit halves of a string's md5 digest as `struct<h, h2m>` — the
+  * per-shingle input of the batch minhash family ([[GraftMinhash]]'s
+  * scaladoc carries the byte-for-byte equivalence of each half to its
+  * hex-substring/`conv` original; `h2m` is pre-masked `% 2^55` exactly as
+  * `Dedup.shingleHashed` did). One digest, zero hex strings, and the
+  * struct sits in its own projection at the call site so both halves
+  * come from a single computation, as before.
+  */
+case class GraftMd5Halves(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("h2m", LongType, nullable = false)))
+  override def prettyName: String = "graft_md5halves"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = GraftMinhash.localMd.get().digest(input.asInstanceOf[UTF8String].getBytes)
+    var top = 0L
+    var k = 0
+    while (k < 8) { top = (top << 8) | (d(k) & 0xFFL); k += 1 }
+    var v = (d(7) & 0xFL)
+    k = 8
+    while (k < 15) { v = (v << 8) | (d(k) & 0xFFL); k += 1 }
+    new GenericInternalRow(Array[Any](top >>> 4, v % GraftMinhash.SeedMask))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState(
+      "java.security.MessageDigest", "graftMd",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+              |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, t => {
+      val gir = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+      val d = ctx.freshName("d")
+      val top = ctx.freshName("top")
+      val v = ctx.freshName("v")
+      val k = ctx.freshName("k")
+      s"""
+         |byte[] $d = $md.digest($t.getBytes());
+         |long $top = 0L;
+         |for (int $k = 0; $k < 8; $k++) { $top = ($top << 8) | ($d[$k] & 0xFFL); }
+         |long $v = $d[7] & 0xFL;
+         |for (int $k = 8; $k < 15; $k++) { $v = ($v << 8) | ($d[$k] & 0xFFL); }
+         |${ev.value} = new $gir(new Object[] {
+         |  java.lang.Long.valueOf($top >>> 4),
+         |  java.lang.Long.valueOf($v % ${GraftMinhash.SeedMask}L) });
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GraftMd5 {
+  /** 60-bit md5 hash of a string Column (the fused `TextOps.md5Hash60`). */
+  def h60(c: Column): Column =
+    GraftSqlAccess.column(GraftMd5H60(GraftSqlAccess.expression(c)))
+
+  /** Both halves as `struct<h, h2m>` (the fused `Dedup.shingleHashed` core). */
+  def halves(c: Column): Column =
+    GraftSqlAccess.column(GraftMd5Halves(GraftSqlAccess.expression(c)))
 }

@@ -65,9 +65,11 @@ object BpeTrainer {
         .where(size(col("t")) >= 2)
         .select(
           col("cnt"),
-          explode(expr(
-            "transform(sequence(1, size(t) - 1), j -> concat(element_at(t, j), ' ', element_at(t, j + 1)))"))
-            .as("pair"))
+          // fused codegen bigram loop (graft.functions.GraftNgrams) — for
+          // the guarded size>=2, null-free token arrays here this is
+          // string-identical to the previous per-element lambda
+          // transform(sequence(1, size(t)-1), j -> concat(t[j], ' ', t[j+1]))
+          explode(graft.functions.GraftNgrams.ngrams(col("t"), 2)).as("pair"))
         .groupBy("pair")
         .agg(sum(col("cnt")).as("freq"))
         .orderBy(desc("freq"), asc("pair"))
@@ -135,9 +137,11 @@ object BpeTrainer {
         .where(size(col("t")) >= 2)
         .select(
           col("cnt"),
-          explode(expr(
-            "transform(sequence(1, size(t) - 1), j -> concat(element_at(t, j), ' ', element_at(t, j + 1)))"))
-            .as("pair"))
+          // fused codegen bigram loop (graft.functions.GraftNgrams) — for
+          // the guarded size>=2, null-free token arrays here this is
+          // string-identical to the previous per-element lambda
+          // transform(sequence(1, size(t)-1), j -> concat(t[j], ' ', t[j+1]))
+          explode(graft.functions.GraftNgrams.ngrams(col("t"), 2)).as("pair"))
         .groupBy("pair")
         .agg(sum(col("cnt")).as("freq"))
         .orderBy(desc("freq"), asc("pair"))

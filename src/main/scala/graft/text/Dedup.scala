@@ -346,20 +346,18 @@ object Dedup {
       .select(col("doc_id"), explode(shinglesExpr).as("sh"))
 
   /** Per-shingle-row (doc_id, h, h2m): ONE md5 per shingle, split into its
-    * two 60-bit halves — `h` (chars 1–15, identical to
+    * two 60-bit halves — `h` (digest's top 60 bits, identical to
     * [[TextOps.md5Hash60]], also the exact-verification key) and the
-    * masked `h2m` (chars 16–30 mod 2^55) that seeds the double-hash
-    * family. The md5 hex lands in its own projection so each half is a
-    * cheap substring — CollapseProject won't inline a non-cheap
-    * expression referenced twice, so the digest is computed once.
+    * masked `h2m` (next 60 bits mod 2^55) that seeds the double-hash
+    * family. Both halves come from one fused digest
+    * ([[graft.functions.GraftMd5Halves]] — bit-identical to the previous
+    * hex-substring/`conv` pair, see its scaladoc); the struct lands in
+    * its own projection so CollapseProject keeps the single computation.
     */
   private def shingleHashed(docs: DataFrame): DataFrame =
     shingleRowsMulti(docs)
-      .withColumn("mdx", md5(col("sh").cast("binary")))
-      .select(
-        col("doc_id"),
-        conv(substring(col("mdx"), 1, 15), 16, 10).cast("long").as("h"),
-        (conv(substring(col("mdx"), 16, 15), 16, 10).cast("long") % lit(SeedMask)).as("h2m"))
+      .withColumn("hh", graft.functions.GraftMd5.halves(col("sh")))
+      .select(col("doc_id"), col("hh.h").as("h"), col("hh.h2m").as("h2m"))
 
   /** 32 seeded minhash values per doc: one md5 per shingle row, 32
     * double-hash derivations ([[seededHash]]) folded into min-aggregates.

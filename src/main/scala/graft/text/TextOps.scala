@@ -24,9 +24,11 @@ object TextOps {
     * the oracle instead of rows-only (xxhash64 is Spark-private). 60 bits
     * keep the value positive in a signed BIGINT in both engines; collision
     * behavior is that of a truncated cryptographic hash — uniform.
+    * Evaluated by the fused [[graft.functions.GraftMd5H60]] loop (digest
+    * bytes → top 60 bits directly; its scaladoc carries the bit-identity
+    * argument against the hex-substring/`conv` composition this was).
     */
-  def md5Hash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+  def md5Hash60(c: Column): Column = graft.functions.GraftMd5.h60(c)
 
   /** DuckDB twin of [[md5Hash60]] over an arbitrary SQL expression. */
   def md5Hash60Sql(expr: String): String =

@@ -104,6 +104,28 @@ class NgramsSpec extends SparkSpec {
     assert(nulls.forall(_.isNullAt(0)))
   }
 
+  test("graft_md5h60 / graft_md5halves are bit-identical to the hex/conv compositions") {
+    val seedMask = 36028797018963968L // 2^55
+    // the pre-round-20 compositions, verbatim
+    def oldH60(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    def oldH2m(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 16, 15), 16, 10).cast("long") % lit(seedMask)
+    val probes = Seq("", " ", "a", "the quick brown fox", "ünïcode tökens", "a" * 4096)
+      .toDF("s")
+      .union(corpus.select($"text".as("s")))
+      .union(edge.select($"text".as("s")))
+    val fused = graft.functions.GraftMd5.halves($"s").as("hh")
+    val diff = probes
+      .select(
+        graft.functions.GraftMd5.h60($"s").as("f60"), oldH60($"s").as("o60"),
+        fused.getField("h").as("fh"), fused.getField("h2m").as("fh2m"),
+        oldH2m($"s").as("oh2m"))
+      .where(not($"f60" <=> $"o60") || not($"fh" <=> $"o60") || not($"fh2m" <=> $"oh2m"))
+      .count()
+    assert(diff === 0L)
+  }
+
   test("graft_ngrams skips null ELEMENTS like concat_ws (and via SQL registry)") {
     // concat_ws(' ', 'a', NULL, 'c') = 'a c' — the fused loop must keep
     // that rule even though split() never produces null tokens
