@@ -143,7 +143,10 @@ object Sampling {
       col("doc_id"),
       col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long").as("b16"))
+      // fused digest-byte read (graft.functions.GraftMd5Top) — bit-identical
+      // to conv(substring(md5(...),1,4),16,10); the DuckDB twin keeps the
+      // hex spelling
+      graft.functions.GraftMd5.top(col("doc_id").cast("string"), 4).as("b16"))
     val per = docs.groupBy("source")
       .agg(sum(col("n_tokens")).as("t"))
       .withColumn("w", regexp_extract(col("source"), "(\\d+)$", 1).cast("long") % 3 + 1)
@@ -214,7 +217,10 @@ object Sampling {
       col("doc_id"),
       col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long").as("b16"))
+      // fused digest-byte read (graft.functions.GraftMd5Top) — bit-identical
+      // to conv(substring(md5(...),1,4),16,10); the DuckDB twin keeps the
+      // hex spelling
+      graft.functions.GraftMd5.top(col("doc_id").cast("string"), 4).as("b16"))
     val per = docs.groupBy("source").agg(sum(col("n_tokens")).as("t"))
     val tmin = per.agg(min(col("t")).as("tmin"))
     val rates = per.crossJoin(broadcast(tmin))

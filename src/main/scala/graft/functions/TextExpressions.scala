@@ -299,37 +299,45 @@ object GraftMinhash {
     GraftSqlAccess.column(GraftMinhash(GraftSqlAccess.expression(t), n, numHashes))
 }
 
-/** The engine's 60-bit md5-derived hash, fused: the top 60 bits of the
-  * md5 digest read straight off the digest BYTES — bit-identical to the
-  * composition it replaces,
+/** The top `nibbles`·4 bits of a string's md5 digest, fused: read
+  * straight off the digest BYTES — bit-identical to the composition it
+  * replaces,
   *
-  *   conv(substring(md5(cast(c as binary)), 1, 15), 16, 10) :: long
+  *   conv(substring(md5(cast(c as binary)), 1, nibbles), 16, 10) :: long
   *
-  * because the first 15 hex chars of the digest ARE its top 60 bits: the
-  * first 8 bytes read big-endian, unsigned-shifted right by 4 (< 2^60, so
-  * the signed long is non-negative and `conv`'s unsigned parse agrees).
+  * because the first `nibbles` hex chars of the digest ARE its top
+  * 4·nibbles bits: the first 8 bytes read big-endian, unsigned-shifted
+  * right by (64 − 4·nibbles); with nibbles ≤ 15 the value is < 2^60, so
+  * the signed long is non-negative and `conv`'s unsigned parse agrees.
   * The composition pays a 32-char hex string, a substring, and
-  * NumberConverter's char-by-char base conversion per VALUE — and
-  * `TextOps.md5Hash60` is called per TOKEN (rolling fingerprints, k-gram
-  * hashes, simhash contributions) and per K-token WINDOW (span dedup), so
-  * at corpus scale this is pure scan-side overhead. Profiling the delta
-  * screens showed `NumberConverter.byte2char/char2byte/convert` among the
-  * hottest sampled frames. The DuckDB twin (`md5Hash60Sql`) is untouched —
-  * same values, hash checks unaffected.
+  * NumberConverter's char-by-char base conversion per VALUE — and at
+  * nibbles = 15 this is `TextOps.md5Hash60`, called per TOKEN (rolling
+  * fingerprints, k-gram hashes, simhash contributions) and per K-token
+  * WINDOW (span dedup); at nibbles = 4 it is the samplers' 16-bit
+  * bucket, per document. At corpus scale both are pure scan-side
+  * overhead. Profiling the delta screens showed
+  * `NumberConverter.byte2char/char2byte/convert` among the hottest
+  * sampled frames. The DuckDB twins (`md5Hash60Sql`, the samplers'
+  * `('0x' || substr(md5(...),1,4))::BIGINT`) are untouched — same
+  * values, hash checks unaffected.
   */
-case class GraftMd5H60(child: Expression)
+case class GraftMd5Top(child: Expression, nibbles: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
+  require(nibbles >= 1 && nibbles <= 15,
+    s"graft_md5top nibbles must be 1..15 (a positive signed long), got $nibbles")
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
-  override def prettyName: String = "graft_md5h60"
+  override def prettyName: String = "graft_md5top"
+
+  private def shift: Int = 64 - 4 * nibbles
 
   override protected def nullSafeEval(input: Any): Any = {
     val d = GraftMinhash.localMd.get().digest(input.asInstanceOf[UTF8String].getBytes)
     var top = 0L
     var k = 0
     while (k < 8) { top = (top << 8) | (d(k) & 0xFFL); k += 1 }
-    top >>> 4
+    top >>> shift
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -346,10 +354,46 @@ case class GraftMd5H60(child: Expression)
          |byte[] $d = $md.digest($t.getBytes());
          |long $top = 0L;
          |for (int $k = 0; $k < 8; $k++) { $top = ($top << 8) | ($d[$k] & 0xFFL); }
-         |${ev.value} = $top >>> 4;
+         |${ev.value} = $top >>> $shift;
        """.stripMargin
     })
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Bit length of a non-negative long — the fused form of the
+  * base-conversion round-trip `length(conv(cast(v as string), 10, 2))`
+  * (decimal string → NumberConverter parse → binary STRING → length)
+  * the surprisal operators used per vocab/LM row. Contract matches the
+  * composition exactly on its whole domain: v > 0 → ⌊log2 v⌋ + 1
+  * (= 64 − numberOfLeadingZeros); v = 0 → 1 (conv renders "0");
+  * v < 0 → 64 (NumberConverter renders the unsigned two's-complement,
+  * 64 binary digits) — negatives cannot occur at the call sites (counts
+  * ≥ 1) but the twin must not drift on ANY input.
+  */
+case class GraftBitLen(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bitlen"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[Long]
+    if (v < 0L) 64L
+    else if (v == 0L) 1L
+    else (64 - java.lang.Long.numberOfLeadingZeros(v)).toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = ($v < 0L) ? 64L
+         |  : (($v == 0L) ? 1L : (long) (64 - java.lang.Long.numberOfLeadingZeros($v)));
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -414,10 +458,20 @@ case class GraftMd5Halves(child: Expression)
 
 object GraftMd5 {
   /** 60-bit md5 hash of a string Column (the fused `TextOps.md5Hash60`). */
-  def h60(c: Column): Column =
-    GraftSqlAccess.column(GraftMd5H60(GraftSqlAccess.expression(c)))
+  def h60(c: Column): Column = top(c, 15)
+
+  /** Top `nibbles`·4 bits of the md5 digest — the fused
+    * `conv(substring(md5(c), 1, nibbles), 16, 10)` (e.g. the samplers'
+    * 16-bit bucket at nibbles = 4).
+    */
+  def top(c: Column, nibbles: Int): Column =
+    GraftSqlAccess.column(GraftMd5Top(GraftSqlAccess.expression(c), nibbles))
 
   /** Both halves as `struct<h, h2m>` (the fused `Dedup.shingleHashed` core). */
   def halves(c: Column): Column =
     GraftSqlAccess.column(GraftMd5Halves(GraftSqlAccess.expression(c)))
+
+  /** Bit length of a non-negative long Column ([[GraftBitLen]]). */
+  def bitLen(c: Column): Column =
+    GraftSqlAccess.column(GraftBitLen(GraftSqlAccess.expression(c)))
 }

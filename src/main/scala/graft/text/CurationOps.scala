@@ -144,8 +144,10 @@ object CurationOps {
     val surp = vocab.crossJoin(broadcast(total))
       .select(
         col("tok"),
-        (length(conv(col("total").cast("string"), 10, 2))
-          - length(conv(col("cnt").cast("string"), 10, 2))).cast("bigint").as("surp"))
+        // fused bit length (graft.functions.GraftBitLen) — bit-identical to
+        // length(conv(cast(v as string),10,2)); DuckDB twin keeps bit_length
+        (graft.functions.GraftMd5.bitLen(col("total"))
+          - graft.functions.GraftMd5.bitLen(col("cnt"))).cast("bigint").as("surp"))
     toks.join(surp, "tok")
       .groupBy("doc_id")
       .agg(
@@ -561,8 +563,9 @@ object CurationOps {
         "transform(sequence(1, size(t) - 1), " +
           "j -> struct(element_at(t, j) AS w1, element_at(t, j + 1) AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    def bitlen(c: Column): Column =
-      length(conv(c.cast("string"), 10, 2)).cast("bigint")
+    // fused bit length (graft.functions.GraftBitLen) — bit-identical to
+    // the previous length(conv(cast(c as string),10,2)) round-trip
+    def bitlen(c: Column): Column = graft.functions.GraftMd5.bitLen(c)
     val c12 = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val lm = c12.join(c1, "w1")

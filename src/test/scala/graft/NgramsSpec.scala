@@ -126,6 +126,28 @@ class NgramsSpec extends SparkSpec {
     assert(diff === 0L)
   }
 
+  test("graft_md5top(4) and graft_bitlen are bit-identical to their compositions") {
+    // samplers' 16-bit bucket: conv(substring(md5(x),1,4),16,10)
+    val probes = corpus.select($"doc_id".cast("string").as("s"))
+      .union(Seq("", "0", "a b", "ünïcode").toDF("s"))
+    val bucketDiff = probes
+      .select(
+        graft.functions.GraftMd5.top($"s", 4).as("f"),
+        conv(substring(md5($"s".cast("binary")), 1, 4), 16, 10).cast("long").as("o"))
+      .where(not($"f" <=> $"o")).count()
+    assert(bucketDiff === 0L)
+    // bit length: length(conv(cast(v as string),10,2)) — including the 0 and
+    // negative corners the call sites can't produce but the twin must match
+    val vals = (Seq(0L, 1L, 2L, 3L, 255L, 256L, Long.MaxValue, -1L, -5L, Long.MinValue)
+      ++ (1 to 62).map(1L << _)).toDF("v")
+    val bitDiff = vals
+      .select(
+        graft.functions.GraftMd5.bitLen($"v").as("f"),
+        length(conv($"v".cast("string"), 10, 2)).cast("bigint").as("o"))
+      .where(not($"f" <=> $"o")).count()
+    assert(bitDiff === 0L)
+  }
+
   test("graft_ngrams skips null ELEMENTS like concat_ws (and via SQL registry)") {
     // concat_ws(' ', 'a', NULL, 'c') = 'a c' — the fused loop must keep
     // that rule even though split() never produces null tokens
